@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory + testdata catalog bootstrap.
+  *
+  * The engine is a thin layer over `org.apache.spark.sql`: a SparkSession with
+  * scale-appropriate defaults (AQE on, shuffle partitions sized to the local
+  * parallelism instead of the 200 default), the driver testdata registered as
+  * temp views, and the Hive-gap function registry installed (see
+  * [[graft.functions.HiveFunctions]]).
+  *
+  * Mirrors the role of Hive's session + metastore bootstrap
+  * (ref: ql/src/java/org/apache/hadoop/hive/ql/session/SessionState.java) but
+  * delegates all catalog/planning machinery to Spark.
+  */
+object Engine {
+
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Build a session with scale-appropriate defaults. On a real cluster the
+    * same settings apply; only `master` changes.
+    */
+  def session(master: String = "local[32]", appName: String = "graft"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    configure(spark)
+    spark
+  }
+
+  /** Apply engine settings + function registrations to an externally-built
+    * session (the driver's Verify/Bench mains construct their own).
+    */
+  def configure(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // Hive string<->numeric coercions need non-ANSI mode (SURVEY §7).
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    // events.parquet carries TIMESTAMP(NANOS) which Spark has no native type
+    // for: read as long and convert (see table()).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.functions.HiveFunctions.registerAll(spark)
+    spark
+  }
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    configure(spark)
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events")
+      // ns-precision column arrives as long (nanosAsLong); truncate to the
+      // engine-wide µs precision. Integer DIV avoids double rounding.
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    else df
+  }
+
+  // Idempotent view registration, cached per (session, sfDir).
+  private val registered = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+
+  /** Register all testdata tables as temp views (idempotent per session+dir). */
+  def register(spark: SparkSession, sfDir: String): SparkSession = {
+    val key = System.identityHashCode(spark) + "|" + sfDir
+    registered.computeIfAbsent(key, { _ =>
+      configure(spark)
+      tableNames.foreach { n => table(spark, sfDir, n).createOrReplaceTempView(n) }
+      true
+    })
+    spark
+  }
+}

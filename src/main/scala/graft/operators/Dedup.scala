@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large corpora: exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard.
+  *
+  * Scale design (100 TB): signatures are computed map-side as pure Catalyst
+  * expressions (codegen'd, no UDFs); the only shuffles are (a) the hash
+  * group-by for exact dedup and (b) the LSH band-bucket self-join, which is an
+  * equi-join on (band_idx, band_hash) — both partition cleanly by key and
+  * avoid any O(n^2) comparison. Candidate verification touches only
+  * same-bucket pairs.
+  */
+object Dedup {
+
+  /** Exact dedup on a content hash: keeps the row with the minimum id per
+    * distinct content. One hash-partitioned aggregation — the canonical
+    * groupBy-dedup.
+    */
+  def exact(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val keyed = df.withColumn("__h", md5(col(contentCol).cast("binary")))
+    val keep = keyed.groupBy(col("__h")).agg(min(col(idCol)).as(idCol))
+    keep.join(keyed.drop(idCol).dropDuplicates("__h"), Seq("__h")).drop("__h")
+  }
+
+  /** Exact-duplicate group stats: content hash -> group size, kept id. */
+  def exactGroups(df: DataFrame, idCol: String, contentCol: String): DataFrame =
+    df.groupBy(md5(col(contentCol).cast("binary")).as("content_hash"))
+      .agg(count(lit(1)).as("group_size"), min(col(idCol)).as("keep_id"))
+
+  /** MinHash signature: for shingle set S, sig[i] = min_{s in S}
+    * (a_i * xxhash64(s) + b_i mod 2^61-1). Pure expressions, map-side.
+    */
+  def minhashSignature(words: Column, shingleSize: Int, numHashes: Int): Column = {
+    val prime = 2305843009213693951L // 2^61 - 1
+    val hs = transform(TextAnalysis.shingles(words, shingleSize), s => xxhash64(s))
+    val seeds = sequence(lit(0), lit(numHashes - 1))
+    transform(seeds, i =>
+      array_min(transform(hs, h =>
+        pmod(h * (i * lit(2654435761L) + lit(1)) + i * lit(40503L), lit(prime)))))
+  }
+
+  /** Adds a `minhash` signature column (array<bigint> of length numHashes). */
+  def withMinhash(df: DataFrame, textCol: String = "text",
+      shingleSize: Int = 3, numHashes: Int = 64): DataFrame =
+    df.withColumn("minhash",
+      minhashSignature(TextAnalysis.tokens(col(textCol)), shingleSize, numHashes))
+
+  /** LSH banding: explode the signature into (band_idx, band_hash) keys.
+    * Docs sharing any band key are near-dup candidates. bands*rowsPerBand must
+    * equal the signature length.
+    */
+  def lshBands(df: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    df.withColumn("band_idx", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("band_hash",
+        xxhash64(concat_ws(",", transform(
+          slice(col("minhash"), col("band_idx") * rowsPerBand + 1, lit(rowsPerBand)),
+          _.cast("string")))))
+  }
+
+  /** Near-duplicate candidate pairs via MinHash LSH.
+    * Returns (id_a, id_b, est_jaccard) for pairs sharing >= 1 band bucket,
+    * with est_jaccard = fraction of matching signature components.
+    * The self-join is equi on (band_idx, band_hash): at scale it shuffles by
+    * bucket key only; bucket skew is bounded because identical texts collapse
+    * to identical signatures (dedup exact first for pathological corpora).
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String = "text",
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sig = withMinhash(df.select(col(idCol), col(textCol)), textCol, shingleSize, numHashes)
+      .select(col(idCol), col("minhash"))
+    val banded = lshBands(sig, bands, r)
+      .select(col(idCol), col("minhash"), col("band_idx"), col("band_hash"))
+    val a = banded.select(col(idCol).as("id_a"), col("minhash").as("sig_a"),
+      col("band_idx"), col("band_hash"))
+    val b = banded.select(col(idCol).as("id_b"), col("minhash").as("sig_b"),
+      col("band_idx"), col("band_hash"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .distinct()
+      .withColumn("est_jaccard",
+        round(size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => x === y), b => b)).cast("double") / numHashes, 4))
+      .drop("sig_a", "sig_b")
+  }
+
+  /** SimHash (64-bit) of the token stream: per-bit majority vote of token
+    * hashes. Pure expressions: one transform per doc + 64-lane vote done with
+    * an aggregate over bit positions.
+    */
+  def simhash(words: Column): Column = {
+    val hs = transform(words, w => xxhash64(w))
+    // For each bit position, count tokens with that bit set; bit is 1 when
+    // count*2 > n. Static 64-lane expression tree (codegen'd).
+    val n = size(hs)
+    (0 until 64).map { bit =>
+      val ones = size(filter(hs, h => shiftright(h, bit).bitwiseAND(lit(1L)) === 1L))
+      when(ones * 2 > n, shiftleft(lit(1L), bit)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  def withSimhash(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("simhash", simhash(TextAnalysis.tokens(col(textCol))))
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Exact n-gram Jaccard similarity between two word arrays. */
+  def jaccard(wordsA: Column, wordsB: Column, k: Int): Column = {
+    val sa = array_distinct(TextAnalysis.shingles(wordsA, k))
+    val sb = array_distinct(TextAnalysis.shingles(wordsB, k))
+    round(size(array_intersect(sa, sb)).cast("double") /
+      greatest(size(array_union(sa, sb)), lit(1)), 4)
+  }
+
+  /** Verified near-dup pairs: LSH candidates filtered by exact Jaccard. */
+  def nearDuplicates(df: DataFrame, idCol: String, textCol: String = "text",
+      threshold: Double = 0.7, shingleSize: Int = 3,
+      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, shingleSize, numHashes, bands)
+    val texts = df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__w"))
+    cands
+      .join(texts.select(col(idCol).as("id_a"), col("__w").as("__wa")), "id_a")
+      .join(texts.select(col(idCol).as("id_b"), col("__w").as("__wb")), "id_b")
+      .withColumn("jaccard", jaccard(col("__wa"), col("__wb"), shingleSize))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"), col("jaccard"))
+  }
+}

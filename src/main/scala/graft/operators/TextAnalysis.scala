@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale corpus processing: tokenization
+  * stats, quality scoring, language ID, document fingerprinting.
+  *
+  * All operators are pure narrow projections built from codegen'd Catalyst
+  * expressions (no UDFs, no shuffles) — at 100 TB they run map-side at scan
+  * speed and scale linearly with partition count. Extends the reference's text
+  * surface (sentences/ngrams, ref ql/.../udf/generic/GenericUDFSentences.java,
+  * GenericUDAFnGrams.java) with the corpus-hygiene operators an LLM data
+  * pipeline needs.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer (Hive sentences()-style splitting, simplified to a
+    * pinned spec: split on runs of whitespace).
+    */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** Token count per document. */
+  def withTokenCount(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("n_tokens", size(tokens(col(textCol))))
+
+  /** BPE-ish subword count estimate: words + extra tokens for long words
+    * (every 4 chars beyond the first 4 ≈ one more subword).
+    */
+  def withSubwordEstimate(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("n_subwords",
+      aggregate(tokens(col(textCol)), lit(0L),
+        (acc, w) => acc + lit(1L) + (greatest(length(w) - 4, lit(0)) / 4).cast("long")))
+
+  /** Quality metrics: length, token stats, stopword/punctuation/digit ratios,
+    * type-token ratio. Mirrors the heuristics used to filter web corpora.
+    */
+  def withQualityScore(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val ws = tokens(text)
+    val stop = array(Seq("the", "a", "of", "and", "to", "in", "is", "it",
+      "for", "on", "with", "as", "at", "by", "an").map(lit): _*)
+    df.withColumn("n_chars_m", length(text).cast("long"))
+      .withColumn("n_tokens", size(ws).cast("long"))
+      .withColumn("avg_token_len",
+        round(length(text).cast("double") / greatest(size(ws), lit(1)), 4))
+      .withColumn("stopword_ratio",
+        round(size(array_intersect(array_distinct(ws), stop)).cast("double") /
+          greatest(size(array_distinct(ws)), lit(1)), 4))
+      .withColumn("digit_ratio",
+        round((length(text) - length(regexp_replace(text, "[0-9]", ""))).cast("double") /
+          greatest(length(text), lit(1)), 4))
+      .withColumn("punct_ratio",
+        round((length(text) - length(regexp_replace(text, "[^\\w\\s]", ""))).cast("double") /
+          greatest(length(text), lit(1)), 4))
+      .withColumn("type_token_ratio",
+        round(size(array_distinct(ws)).cast("double") / greatest(size(ws), lit(1)), 4))
+  }
+
+  private val langStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "auf"),
+    "es" -> Seq("el", "la", "de", "y", "es", "en", "un", "que", "no", "los"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "un", "une", "que", "dans"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "他", "这", "中", "大"))
+
+  /** Heuristic language ID: stopword-hit score per language, highest wins
+    * (ties broken lexically). Pure expression — no shuffle, no UDF.
+    */
+  def withLangId(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val ws = array_distinct(tokens(col(textCol)))
+    val scored = langStopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(size(array_intersect(ws, array(words.map(lit): _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    // greatest picks max score; on ties the later (lexically larger) struct
+    // wins in struct comparison only if score equal and lang greater — invert
+    // lang ordering is unnecessary for a heuristic; document tie rule as-is.
+    df.withColumn("lang_scores", array(scored: _*))
+      .withColumn("lang_pred", element_at(array_sort(col("lang_scores"),
+        (a, b) => when(a("score") > b("score"), -1)
+          .when(a("score") < b("score"), 1)
+          .when(a("lang") < b("lang"), -1).when(a("lang") > b("lang"), 1)
+          .otherwise(0)), 1)("lang"))
+      .withColumn("lang_score", element_at(array_sort(col("lang_scores"),
+        (a, b) => when(a("score") > b("score"), -1)
+          .when(a("score") < b("score"), 1)
+          .when(a("lang") < b("lang"), -1).when(a("lang") > b("lang"), 1)
+          .otherwise(0)), 1)("score"))
+      .drop("lang_scores")
+  }
+
+  /** Word k-shingles as strings ("w1 w2 ... wk"). */
+  def shingles(words: Column, k: Int): Column =
+    when(size(words) >= k,
+      transform(sequence(lit(0), size(words) - k),
+        i => concat_ws(" ", slice(words, i + 1, lit(k)))))
+      .otherwise(array(concat_ws(" ", words)))
+
+  /** Rolling-hash document fingerprint: min/max/count of shingle hashes plus a
+    * combined 64-bit fingerprint. Content-defined, order-independent of
+    * partitioning, computable map-side at scan speed.
+    */
+  def withFingerprint(df: DataFrame, textCol: String = "text", k: Int = 5): DataFrame = {
+    val hs = transform(shingles(tokens(col(textCol)), k), s => xxhash64(s))
+    df.withColumn("fp_min", array_min(hs))
+      .withColumn("fp_max", array_max(hs))
+      .withColumn("fp_xor", aggregate(hs, lit(0L), (acc, h) => acc.bitwiseXOR(h)))
+      .withColumn("n_shingles", size(hs).cast("long"))
+  }
+}

@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Engine
+import QDef.q
+
+/** Event-time windowing over the `events` table — the batch twins of the
+  * Structured Streaming surface (SURVEY §2.7). Hive's only comparable
+  * primitive is the `tumbling_window` scalar
+  * (ref udf/generic/GenericUDFTumbledWindow.java); sliding/session windows and
+  * dedup are capability extensions expressed with Spark's native
+  * window()/session_window(). The same expressions run unchanged under
+  * readStream (see graft.streaming and its spec).
+  */
+object EventQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Engine.table(spark, dir, name)
+
+  val defs: Seq[QDef] = Seq(
+
+    q("e01_tumbling_window",
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      t(spark, dir, "events")
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"), Exact.dsum($"value").as("total"))
+        .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          $"event_type", $"n", $"total")
+        .orderBy($"window_start", $"event_type")
+    },
+
+    // Sliding window: each event lands in two 1h windows 30m apart.
+    q("e02_sliding_window",
+      """SELECT strftime(time_bucket(INTERVAL '30 minutes', ts)
+        |    - k * INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS total
+        |FROM events, (VALUES (0), (1)) o(k)
+        |GROUP BY 1 ORDER BY window_start""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      t(spark, dir, "events")
+        .groupBy(window($"ts", "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n"), Exact.dsum($"value").as("total"))
+        .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          $"n", $"total")
+        .orderBy($"window_start")
+    },
+
+    // Session windows (gap 5 min). Spark closes a session when the next event
+    // is >= gap after the previous one; the oracle sessionizes with
+    // lag + running flag-sum, the classic SQL formulation.
+    q("e03_session_window",
+      """WITH g AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |         >= INTERVAL '5 minutes' THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (SELECT user_id, ts, value,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g)
+        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS total
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      t(spark, dir, "events")
+        .groupBy(session_window($"ts", "5 minutes"), $"user_id")
+        .agg(count(lit(1)).as("n"), Exact.dsum($"value").as("total"))
+        .select($"user_id",
+          date_format($"session_window.start", "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          $"n", $"total")
+        .orderBy($"user_id", $"session_start")
+    },
+
+    // Deterministic dedup: first event per (user, type) — batch analog of
+    // streaming dropDuplicates.
+    q("e04_dedup_first_event",
+      """SELECT user_id, event_type, event_id AS first_event_id FROM (
+        |  SELECT user_id, event_type, event_id,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id", $"event_type").orderBy($"ts", $"event_id")
+      t(spark, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"user_id", $"event_type", $"event_id".as("first_event_id"))
+        .orderBy($"user_id", $"event_type")
+    },
+
+    q("e05_daily_stats",
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+        |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS total, CAST((CAST(sum(CAST(value AS DECIMAL(25,2)))*10000 AS HUGEINT)*2 + count(*)) // (2*count(*)) AS DOUBLE)/10000.0 AS avg_v,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      t(spark, dir, "events")
+        .groupBy(date_format(date_trunc("day", $"ts"), "yyyy-MM-dd").as("day"), $"event_type")
+        .agg(count(lit(1)).as("n"), Exact.dsum($"value").as("total"),
+          Exact.davg($"value").as("avg_v"),
+          countDistinct($"user_id").as("n_users"))
+        .orderBy($"day", $"event_type")
+    },
+  )
+}

@@ -1,0 +1,353 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Engine
+import QDef.q
+
+/** Scalar + aggregate function surface (SURVEY §2.3/§2.5). Each query packs a
+  * family of Hive functions into one verifiable projection; the oracle is the
+  * DuckDB-dialect equivalent (function names differ, semantics matched).
+  * Functions with engine-specific algorithms (approx_count_distinct,
+  * percentile_approx, histogram_numeric, crc32, xxhash) are covered by
+  * ScalaTest instead of the oracle.
+  */
+object FunctionQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Engine.table(spark, dir, name)
+
+  private def sqlQ(sql: String): (SparkSession, String) => DataFrame =
+    (spark, dir) => { Engine.register(spark, dir); spark.sql(sql) }
+
+  val defs: Seq[QDef] = Seq(
+
+    q("f01_string_basic",
+      """SELECT c_custkey,
+        |  upper(c_name) AS u, lower(c_name) AS l,
+        |  substr(c_name, 10, 4) AS sub,
+        |  CAST(length(c_name) AS INT) AS len,
+        |  reverse(c_mktsegment) AS rev,
+        |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS pad,
+        |  rpad(c_mktsegment, 12, '.') AS rp,
+        |  concat_ws('|', c_name, c_mktsegment) AS cw,
+        |  replace(c_name, 'Customer', 'Cust') AS rep,
+        |  trim(concat(' ', c_name, ' ')) AS tr,
+        |  CAST(instr(c_name, '#') AS INT) AS ipos,
+        |  split_part(c_name, '#', 2) AS spart,
+        |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS trans,
+        |  upper(substr(c_mktsegment,1,1)) || lower(substr(c_mktsegment,2)) AS icap,
+        |  repeat(substr(c_mktsegment,1,2), 3) AS rep3
+        |FROM customer WHERE c_custkey < 50 ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      t(spark, dir, "customer").filter($"c_custkey" < 50)
+        .select($"c_custkey",
+          upper($"c_name").as("u"), lower($"c_name").as("l"),
+          substring($"c_name", 10, 4).as("sub"),
+          length($"c_name").as("len"),
+          reverse($"c_mktsegment").as("rev"),
+          lpad($"c_custkey".cast("string"), 8, "0").as("pad"),
+          rpad($"c_mktsegment", 12, ".").as("rp"),
+          concat_ws("|", $"c_name", $"c_mktsegment").as("cw"),
+          regexp_replace($"c_name", "Customer", "Cust").as("rep"),
+          trim(concat(lit(" "), $"c_name", lit(" "))).as("tr"),
+          instr($"c_name", "#").as("ipos"),
+          expr("split_part(c_name, '#', 2)").as("spart"),
+          translate($"c_mktsegment", "AEIOU", "aeiou").as("trans"),
+          initcap(lower($"c_mktsegment")).as("icap"),
+          repeat(substring($"c_mktsegment", 1, 2), 3).as("rep3"))
+        .orderBy($"c_custkey")
+    },
+
+    q("f02_string_regex",
+      """SELECT p_partkey,
+        |  regexp_extract(p_name, '^(\w+) (\w+)$', 1) AS adj,
+        |  regexp_extract(p_name, '^(\w+) (\w+)$', 2) AS noun,
+        |  regexp_replace(p_type, '[AEIOU]', '_', 'g') AS novowel,
+        |  regexp_matches(p_name, '^b') AS starts_b,
+        |  CASE WHEN p_brand LIKE 'Brand#1%' THEN 1 ELSE 0 END AS is_b1
+        |FROM part WHERE p_partkey < 200 ORDER BY p_partkey""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      t(spark, dir, "part").filter($"p_partkey" < 200)
+        .select($"p_partkey",
+          regexp_extract($"p_name", "^(\\w+) (\\w+)$", 1).as("adj"),
+          regexp_extract($"p_name", "^(\\w+) (\\w+)$", 2).as("noun"),
+          regexp_replace($"p_type", "[AEIOU]", "_").as("novowel"),
+          $"p_name".rlike("^b").as("starts_b"),
+          when($"p_brand".like("Brand#1%"), 1).otherwise(0).as("is_b1"))
+        .orderBy($"p_partkey")
+    },
+
+    q("f03_string_hash",
+      """SELECT r_regionkey,
+        |  md5(r_name) AS h_md5,
+        |  sha256(r_name) AS h_sha256,
+        |  to_base64(CAST(r_name AS BLOB)) AS b64,
+        |  upper(hex(CAST(r_name AS BLOB))) AS hx,
+        |  CAST(ascii(r_name) AS INT) AS asc_first,
+        |  chr(65 + r_regionkey) AS ch
+        |FROM region ORDER BY r_regionkey""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      t(spark, dir, "region")
+        .select($"r_regionkey",
+          md5($"r_name".cast("binary")).as("h_md5"),
+          sha2($"r_name".cast("binary"), 256).as("h_sha256"),
+          base64($"r_name".cast("binary")).as("b64"),
+          upper(hex($"r_name".cast("binary"))).as("hx"),
+          ascii($"r_name").as("asc_first"),
+          chr(lit(65) + $"r_regionkey").as("ch"))
+        .orderBy($"r_regionkey")
+    },
+
+    q("f04_math",
+      """SELECT p_partkey,
+        |  round(p_retailprice, 1) AS r1,
+        |  CAST(floor(p_retailprice) AS BIGINT) AS fl,
+        |  CAST(ceil(p_retailprice) AS BIGINT) AS ce,
+        |  abs(p_size - 20) AS ab,
+        |  round(power(p_size, 2), 4) AS pw,
+        |  round(sqrt(p_retailprice), 6) AS sq,
+        |  round(ln(p_retailprice), 6) AS lg,
+        |  round(log10(p_retailprice), 6) AS l10,
+        |  round(log2(p_retailprice), 6) AS l2,
+        |  round(exp(p_size / 100.0), 6) AS ex,
+        |  CAST(sign(p_size - 20) AS DOUBLE) AS sg,
+        |  p_partkey % 7 AS pm,
+        |  round(degrees(p_size / 10.0), 6) AS dg,
+        |  round(radians(p_size), 6) AS rd,
+        |  round(cbrt(p_retailprice), 6) AS cb,
+        |  greatest(p_size, 25) AS gr, least(p_size, 25) AS le
+        |FROM part WHERE p_partkey < 100 ORDER BY p_partkey""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      t(spark, dir, "part").filter($"p_partkey" < 100)
+        .select($"p_partkey",
+          round($"p_retailprice", 1).as("r1"),
+          floor($"p_retailprice").as("fl"),
+          ceil($"p_retailprice").as("ce"),
+          abs($"p_size" - 20).as("ab"),
+          round(pow($"p_size", 2), 4).as("pw"),
+          round(sqrt($"p_retailprice"), 6).as("sq"),
+          round(log($"p_retailprice"), 6).as("lg"),
+          round(log10($"p_retailprice"), 6).as("l10"),
+          round(log2($"p_retailprice"), 6).as("l2"),
+          round(exp($"p_size" / 100.0), 6).as("ex"),
+          signum($"p_size" - 20).as("sg"),
+          pmod($"p_partkey", lit(7)).as("pm"),
+          round(degrees($"p_size" / 10.0), 6).as("dg"),
+          round(radians($"p_size"), 6).as("rd"),
+          round(cbrt($"p_retailprice"), 6).as("cb"),
+          greatest($"p_size", lit(25)).as("gr"),
+          least($"p_size", lit(25)).as("le"))
+        .orderBy($"p_partkey")
+    },
+
+    q("f05_datetime",
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS y,
+        |  CAST(month(o_orderdate) AS INT) AS mo,
+        |  CAST(day(o_orderdate) AS INT) AS d,
+        |  CAST(quarter(o_orderdate) AS INT) AS q,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+        |  CAST(weekofyear(o_orderdate) AS INT) AS woy,
+        |  CAST(dayofyear(o_orderdate) AS INT) AS doy,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS mon_start,
+        |  strftime(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE), '%Y-%m-%d') AS plus3m,
+        |  strftime(CAST(o_orderdate + INTERVAL 30 DAY AS DATE), '%Y-%m-%d') AS plus30d,
+        |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS eom,
+        |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INT) AS dd,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS unix_s,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS fmt
+        |FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      t(spark, dir, "orders").filter($"o_orderkey" < 200)
+        .select($"o_orderkey",
+          year($"o_orderdate").as("y"),
+          month($"o_orderdate").as("mo"),
+          dayofmonth($"o_orderdate").as("d"),
+          quarter($"o_orderdate").as("q"),
+          dayofweek($"o_orderdate").as("dow"),
+          weekofyear($"o_orderdate").as("woy"),
+          dayofyear($"o_orderdate").as("doy"),
+          date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM-dd").as("mon_start"),
+          date_format(add_months($"o_orderdate", 3), "yyyy-MM-dd").as("plus3m"),
+          date_format(date_add($"o_orderdate", 30), "yyyy-MM-dd").as("plus30d"),
+          date_format(last_day($"o_orderdate"), "yyyy-MM-dd").as("eom"),
+          datediff(to_date(lit("2000-01-01")), $"o_orderdate").as("dd"),
+          unix_timestamp($"o_orderdate").as("unix_s"),
+          date_format($"o_orderdate", "yyyy-MM-dd HH:mm:ss").as("fmt"))
+        .orderBy($"o_orderkey")
+    },
+
+    q("f06_conditional",
+      """SELECT c_custkey,
+        |  CASE c_mktsegment WHEN 'BUILDING' THEN 'B' WHEN 'AUTOMOBILE' THEN 'A'
+        |    ELSE 'X' END AS seg_code,
+        |  CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'low'
+        |    ELSE 'high' END AS bal_bucket,
+        |  coalesce(nullif(c_mktsegment, 'MACHINERY'), 'none') AS seg_nn,
+        |  round(greatest(c_acctbal, 0.0), 2) AS bal_pos,
+        |  round(least(c_acctbal, 1000.0), 2) AS bal_cap,
+        |  CASE WHEN c_acctbal > 0 THEN 'pos' ELSE 'neg' END AS sgn,
+        |  (c_acctbal IS NULL) AS isn, (c_acctbal IS NOT NULL) AS isnn,
+        |  (c_acctbal BETWEEN 0 AND 1000) AS in_range,
+        |  (c_nationkey IN (0, 1, 2)) AS in_set
+        |FROM customer WHERE c_custkey < 100 ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      t(spark, dir, "customer").filter($"c_custkey" < 100)
+        .select($"c_custkey",
+          when($"c_mktsegment" === "BUILDING", "B")
+            .when($"c_mktsegment" === "AUTOMOBILE", "A")
+            .otherwise("X").as("seg_code"),
+          when($"c_acctbal" < 0, "neg").when($"c_acctbal" < 5000, "low")
+            .otherwise("high").as("bal_bucket"),
+          coalesce(nullif($"c_mktsegment", lit("MACHINERY")), lit("none")).as("seg_nn"),
+          round(greatest($"c_acctbal", lit(0.0)), 2).as("bal_pos"),
+          round(least($"c_acctbal", lit(1000.0)), 2).as("bal_cap"),
+          expr("if(c_acctbal > 0, 'pos', 'neg')").as("sgn"),
+          $"c_acctbal".isNull.as("isn"),
+          $"c_acctbal".isNotNull.as("isnn"),
+          $"c_acctbal".between(0, 1000).as("in_range"),
+          $"c_nationkey".isin(0, 1, 2).as("in_set"))
+        .orderBy($"c_custkey")
+    },
+
+    q("f07_json",
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      t(spark, dir, "events")
+        .select(get_json_object($"props", "$.k").cast("int").as("k"), $"value")
+        .groupBy($"k")
+        .agg(count(lit(1)).as("n"), Exact.dsum($"value").as("total"))
+        .orderBy($"k")
+    },
+
+    q("f08_array",
+      """SELECT doc_id,
+        |  CAST(len(string_split(text,' ')) AS INT) AS n_words,
+        |  list_contains(string_split(text,' '), 'the') AS has_the,
+        |  CAST(coalesce(list_position(string_split(text,' '), 'the'), 0) AS BIGINT) AS pos_the,
+        |  CAST(len(list_distinct(string_split(text,' '))) AS INT) AS n_uniq,
+        |  array_to_string(string_split(text,' ')[1:3], '-') AS first3,
+        |  list_min(string_split(text,' ')) AS wmin,
+        |  list_max(string_split(text,' ')) AS wmax
+        |FROM documents WHERE doc_id < 30 ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      t(spark, dir, "documents").filter($"doc_id" < 30)
+        .withColumn("words", split($"text", " "))
+        .select($"doc_id",
+          size($"words").as("n_words"),
+          array_contains($"words", "the").as("has_the"),
+          array_position($"words", "the").as("pos_the"),
+          size(array_distinct($"words")).as("n_uniq"),
+          array_join(slice($"words", 1, 3), "-").as("first3"),
+          array_min($"words").as("wmin"),
+          array_max($"words").as("wmax"))
+        .orderBy($"doc_id")
+    },
+
+    q("f09_agg_stats",
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity),4) AS sd_s,
+        |  round(stddev_pop(l_quantity),4) AS sd_p,
+        |  round(var_samp(l_quantity),4) AS var_s,
+        |  round(var_pop(l_quantity),4) AS var_p,
+        |  round(corr(l_quantity, l_extendedprice),6) AS cr,
+        |  round(covar_pop(l_quantity, l_extendedprice),2) AS cv_p,
+        |  round(covar_samp(l_quantity, l_extendedprice),2) AS cv_s,
+        |  round(min(l_quantity),2) AS mn, round(max(l_quantity),2) AS mx,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      t(spark, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          round(stddev_samp($"l_quantity"), 4).as("sd_s"),
+          round(stddev_pop($"l_quantity"), 4).as("sd_p"),
+          round(var_samp($"l_quantity"), 4).as("var_s"),
+          round(var_pop($"l_quantity"), 4).as("var_p"),
+          round(corr($"l_quantity", $"l_extendedprice"), 6).as("cr"),
+          round(covar_pop($"l_quantity", $"l_extendedprice"), 2).as("cv_p"),
+          round(covar_samp($"l_quantity", $"l_extendedprice"), 2).as("cv_s"),
+          round(min($"l_quantity"), 2).as("mn"),
+          round(max($"l_quantity"), 2).as("mx"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    },
+
+    q("f10_agg_regr",
+      """SELECT l_linestatus,
+        |  round(regr_slope(l_extendedprice, l_quantity),4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity),4) AS icept,
+        |  round(regr_r2(l_extendedprice, l_quantity),6) AS r2,
+        |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+        |  round(regr_avgx(l_extendedprice, l_quantity),4) AS avgx,
+        |  round(regr_avgy(l_extendedprice, l_quantity),4) AS avgy,
+        |  round(regr_sxx(l_extendedprice, l_quantity),2) AS sxx,
+        |  round(regr_syy(l_extendedprice, l_quantity),2) AS syy,
+        |  round(regr_sxy(l_extendedprice, l_quantity),2) AS sxy
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      t(spark, dir, "lineitem")
+        .groupBy($"l_linestatus")
+        .agg(
+          round(regr_slope($"l_extendedprice", $"l_quantity"), 4).as("slope"),
+          round(regr_intercept($"l_extendedprice", $"l_quantity"), 4).as("icept"),
+          round(regr_r2($"l_extendedprice", $"l_quantity"), 6).as("r2"),
+          regr_count($"l_extendedprice", $"l_quantity").as("n"),
+          round(regr_avgx($"l_extendedprice", $"l_quantity"), 4).as("avgx"),
+          round(regr_avgy($"l_extendedprice", $"l_quantity"), 4).as("avgy"),
+          round(regr_sxx($"l_extendedprice", $"l_quantity"), 2).as("sxx"),
+          round(regr_syy($"l_extendedprice", $"l_quantity"), 2).as("syy"),
+          round(regr_sxy($"l_extendedprice", $"l_quantity"), 2).as("sxy"))
+        .orderBy($"l_linestatus")
+    },
+
+    // Exact percentiles (Hive percentile/percentile_cont/percentile_disc,
+    // ref FunctionRegistry.java:553-579).
+    q("f11_agg_percentile",
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5),4) AS p50,
+        |  round(quantile_cont(l_quantity, 0.25),4) AS p25,
+        |  round(quantile_disc(l_quantity, 0.75),4) AS p75d,
+        |  round(median(l_quantity),4) AS med
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    )(sqlQ(
+      """SELECT l_returnflag,
+        |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity),4) AS p50,
+        |  round(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity),4) AS p25,
+        |  round(percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity),4) AS p75d,
+        |  round(median(l_quantity),4) AS med
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // collect_set with canonical ordering (ref GenericUDAFCollectSet).
+    q("f12_agg_collect",
+      """SELECT c_nationkey,
+        |  array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segs,
+        |  count(*) AS n
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      t(spark, dir, "customer")
+        .groupBy($"c_nationkey")
+        .agg(concat_ws(",", array_sort(collect_set($"c_mktsegment"))).as("segs"),
+          count(lit(1)).as("n"))
+        .orderBy($"c_nationkey")
+    },
+
+    // width_bucket binning (Hive GenericUDFWidthBucket,
+    // ref FunctionRegistry.java:636).
+    q("f13_width_bucket",
+      """SELECT CASE WHEN c_acctbal < 0 THEN 0
+        |  WHEN c_acctbal >= 10000 THEN 11
+        |  ELSE CAST(floor(c_acctbal/1000) AS BIGINT) + 1 END AS bucket,
+        |  count(*) AS n
+        |FROM customer GROUP BY 1 ORDER BY bucket""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      t(spark, dir, "customer")
+        .select(expr("width_bucket(c_acctbal, 0.0, 10000.0, 10)").as("bucket"))
+        .groupBy($"bucket").agg(count(lit(1)).as("n"))
+        .orderBy($"bucket")
+    },
+  )
+}

@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Engine
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import QDef.{q, rowsOnly}
+
+/** LLM-data-pipeline operators over `documents` and `embeddings`:
+  * dedup (exact, MinHash, SimHash, Jaccard), similarity search, text
+  * analysis. SQL-expressible ops get DuckDB oracles; signature-algorithm ops
+  * (MinHash/SimHash/LSH/xxhash fingerprints) are rows-only here and verified
+  * structurally in ScalaTest (known near-dup pairs, brute-force recall).
+  */
+object PipelineQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Engine.table(spark, dir, name)
+
+  val defs: Seq[QDef] = Seq(
+
+    q("p01_token_count",
+      """SELECT doc_id, CAST(len(regexp_split_to_array(text, '\s+')) AS INT) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      TextAnalysis.withTokenCount(t(spark, dir, "documents"))
+        .select($"doc_id", $"n_tokens".cast("int").as("n_tokens"))
+        .orderBy($"doc_id")
+    },
+
+    q("p02_subword_estimate",
+      """SELECT doc_id, CAST(list_sum(list_transform(
+        |    regexp_split_to_array(text, '\s+'),
+        |    w -> 1 + CAST(floor(greatest(len(w) - 4, 0) / 4) AS BIGINT))) AS BIGINT)
+        |  AS n_subwords
+        |FROM documents ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      TextAnalysis.withSubwordEstimate(t(spark, dir, "documents"))
+        .select($"doc_id", $"n_subwords")
+        .orderBy($"doc_id")
+    },
+
+    q("p03_quality_score",
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars_m,
+        |  CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
+        |  round(CAST(length(text) AS DOUBLE)
+        |    / greatest(len(regexp_split_to_array(text, '\s+')), 1), 4) AS avg_token_len,
+        |  round(CAST(len(list_intersect(
+        |      list_distinct(regexp_split_to_array(text, '\s+')),
+        |      ['the','a','of','and','to','in','is','it','for','on','with','as','at','by','an']))
+        |    AS DOUBLE) / greatest(len(list_distinct(regexp_split_to_array(text, '\s+'))), 1), 4)
+        |    AS stopword_ratio,
+        |  round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+        |    / greatest(length(text), 1), 4) AS digit_ratio,
+        |  round(CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
+        |    / greatest(length(text), 1), 4) AS punct_ratio,
+        |  round(CAST(len(list_distinct(regexp_split_to_array(text, '\s+'))) AS DOUBLE)
+        |    / greatest(len(regexp_split_to_array(text, '\s+')), 1), 4) AS type_token_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      TextAnalysis.withQualityScore(t(spark, dir, "documents"))
+        .select($"doc_id", $"n_chars_m", $"n_tokens", $"avg_token_len",
+          $"stopword_ratio", $"digit_ratio", $"punct_ratio", $"type_token_ratio")
+        .orderBy($"doc_id")
+    },
+
+    q("p04_exact_dedup",
+      """SELECT md5(text) AS content_hash, count(*) AS group_size,
+        |  min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      Dedup.exactGroups(t(spark, dir, "documents"), "doc_id", "text")
+        .orderBy($"content_hash")
+    },
+
+    rowsOnly("p05_lang_id") { (spark, dir) =>
+      import spark.implicits._
+      TextAnalysis.withLangId(t(spark, dir, "documents"))
+        .select($"doc_id", $"lang_pred", $"lang_score")
+        .orderBy($"doc_id")
+    },
+
+    rowsOnly("p06_minhash_signature") { (spark, dir) =>
+      import spark.implicits._
+      Dedup.withMinhash(t(spark, dir, "documents"), numHashes = 32)
+        .select($"doc_id",
+          element_at($"minhash", 1).as("mh_0"),
+          element_at($"minhash", 2).as("mh_1"),
+          aggregate($"minhash", lit(0L), (a, b) => a.bitwiseXOR(b)).as("mh_xor"))
+        .orderBy($"doc_id")
+    },
+
+    rowsOnly("p07_simhash") { (spark, dir) =>
+      import spark.implicits._
+      val withSh = Dedup.withSimhash(t(spark, dir, "documents"))
+      val ref = withSh.filter($"doc_id" === 0)
+        .select($"simhash".as("ref_simhash"))
+      withSh.crossJoin(broadcast(ref))
+        .select($"doc_id", $"simhash",
+          Dedup.hammingDistance($"simhash", $"ref_simhash").cast("int").as("hamming_to_doc0"))
+        .orderBy($"doc_id")
+    },
+
+    // Exact word-set Jaccard on a bounded deterministic candidate set.
+    q("p08_jaccard_pairs",
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(
+        |      list_distinct(string_split(a.text,' ')),
+        |      list_distinct(string_split(b.text,' ')))) AS DOUBLE)
+        |    / greatest(len(list_distinct(list_concat(
+        |      list_distinct(string_split(a.text,' ')),
+        |      list_distinct(string_split(b.text,' '))))), 1), 4) AS jaccard
+        |FROM documents a JOIN documents b
+        |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 = 0
+        |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val d = t(spark, dir, "documents").filter($"doc_id" % 5 === 0)
+        .select($"doc_id", $"lang", array_distinct(split($"text", " ")).as("ws"))
+      val a = d.select($"doc_id".as("id_a"), $"lang", $"ws".as("wa"))
+      val b = d.select($"doc_id".as("id_b"), $"lang", $"ws".as("wb"))
+      a.join(b, Seq("lang")).filter($"id_a" < $"id_b")
+        .select($"id_a", $"id_b",
+          round(size(array_intersect($"wa", $"wb")).cast("double") /
+            greatest(size(array_union($"wa", $"wb")), lit(1)), 4).as("jaccard"))
+        .orderBy($"id_a", $"id_b")
+    },
+
+    rowsOnly("p09_fingerprint") { (spark, dir) =>
+      import spark.implicits._
+      TextAnalysis.withFingerprint(t(spark, dir, "documents"))
+        .select($"doc_id", $"fp_min", $"fp_max", $"fp_xor", $"n_shingles")
+        .orderBy($"doc_id")
+    },
+
+    // Brute-force cosine top-k, verified cell-by-cell against DuckDB's
+    // list_cosine_similarity.
+    q("p10_cosine_topk",
+      """SELECT query_id, item_id, cos_sim, rnk FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS item_id,
+        |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |      CAST(c.embedding AS DOUBLE[])), 5) AS cos_sim,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |        CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rnk
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 5)
+        |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val emb = t(spark, dir, "embeddings")
+      Similarity.cosineTopK(emb, emb.filter($"vec_id" < 5), "vec_id", "embedding", 10)
+        .orderBy($"query_id", $"rnk")
+    },
+
+    rowsOnly("p11_ann_lsh") { (spark, dir) =>
+      import spark.implicits._
+      val emb = t(spark, dir, "embeddings")
+      Similarity.annLsh(emb, emb.filter($"vec_id" < 20), "vec_id", "embedding",
+        k = 10, nPlanes = 8)
+        .orderBy($"query_id", $"rnk")
+    },
+
+    rowsOnly("p12_label_centroid") { (spark, dir) =>
+      import spark.implicits._
+      Similarity.labelCentroidSimilarity(
+        t(spark, dir, "embeddings"), "vec_id", "embedding", "label")
+        .orderBy($"vec_id")
+    },
+  )
+}

@@ -1,0 +1,55 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable query: a Spark-first implementation plus (when the operation
+  * is SQL-expressible) an equivalent DuckDB oracle SQL over the same parquet
+  * tables. `oracle == None` downgrades the driver check to rows-only — used
+  * for algorithm-specific operators (MinHash, SimHash, LSH, approx sketches)
+  * whose exact output no other engine reproduces; those are instead covered by
+  * ScalaTest specs.
+  */
+final case class QDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object QDef {
+  /** Query whose correctness is checked cell-by-cell against DuckDB. */
+  def q(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame): QDef =
+    QDef(name, fn, Some(oracle))
+
+  /** Rows-only check (non-SQL-expressible operator; ScalaTest covers it). */
+  def rowsOnly(name: String)(fn: (SparkSession, String) => DataFrame): QDef =
+    QDef(name, fn, None)
+}
+
+/** Cross-engine-exact aggregation helpers. The testdata's monetary doubles
+  * are 2-decimal quantized, so summing them as DECIMAL is exact and identical
+  * in Spark and DuckDB — float-rounding flakiness in verification is
+  * structurally impossible (double-sum ordering differences otherwise shift
+  * the last bits and can flip a round()).
+  */
+object Exact {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.types.DecimalType
+
+  /** 2-decimal money value as exact decimal. */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Small 2-decimal factor (discount/tax style) — keeps product precision
+    * within DECIMAL(38) in both engines.
+    */
+  def dec8(c: Column): Column = c.cast(DecimalType(8, 2))
+
+  /** Exact sum of a 2-decimal double column, emitted as double. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(25, 2))).cast("double")
+
+  /** Exact sum of a decimal product expression, emitted as double. */
+  def dsumExpr(c: Column): Column = sum(c).cast("double")
+
+  /** Exact average (decimal sum / count, HALF_UP at 4dp), as double. */
+  def davg(c: Column): Column =
+    round(sum(c.cast(DecimalType(25, 2))) / count(lit(1)), 4).cast("double")
+}
