@@ -73,11 +73,20 @@ object HiveFunctions {
 
     // tumbling_window(ts, interval) -> window start
     // (ref udf/generic/GenericUDFTumbledWindow.java): floor the epoch to the
-    // interval. Implemented as timestamp arithmetic on microseconds.
+    // interval, via Spark's native TimeWindow (codegen'd). TimeWindow only
+    // accepts int/long/string duration literals, so interval literals are
+    // converted to microseconds here.
     fn("tumbling_window") { args =>
-      val ts = Cast(args.head, org.apache.spark.sql.types.TimestampType)
-      val interval = args(1)
-      GetStructField(new TimeWindow(ts, interval, interval, Literal(0L)), 0, Some("start"))
+      import org.apache.spark.sql.types._
+      val ts = Cast(args.head, TimestampType)
+      val micros: Expression = args(1) match {
+        case Literal(us: Long, _: DayTimeIntervalType) => Literal(us)
+        case Literal(ci: org.apache.spark.unsafe.types.CalendarInterval, CalendarIntervalType)
+            if ci.months == 0 =>
+          Literal(ci.days * 86400000000L + ci.microseconds)
+        case other => other // int/long/string literal handled by TimeWindow
+      }
+      GetStructField(new TimeWindow(ts, micros, micros, Literal(0L)), 0, Some("start"))
     }
 
     // nvl2(a, b, c) = if a is not null then b else c.

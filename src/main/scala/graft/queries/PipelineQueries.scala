@@ -167,5 +167,22 @@ object PipelineQueries {
         t(spark, dir, "embeddings"), "vec_id", "embedding", "label")
         .orderBy($"vec_id")
     },
+
+    // LSH candidate pairs (the corpus contains organic near-duplicates).
+    rowsOnly("p13_minhash_pairs") { (spark, dir) =>
+      import spark.implicits._
+      Dedup.minhashCandidates(t(spark, dir, "documents"), "doc_id", "text",
+        shingleSize = 3, numHashes = 64, bands = 16)
+        .orderBy($"est_jaccard".desc, $"id_a", $"id_b")
+        .limit(50)
+    },
+
+    // Full near-dup pipeline: LSH candidates -> exact-jaccard verification.
+    rowsOnly("p14_near_duplicates") { (spark, dir) =>
+      import spark.implicits._
+      Dedup.nearDuplicates(t(spark, dir, "documents"), "doc_id", "text",
+        threshold = 0.8)
+        .orderBy($"id_a", $"id_b")
+    },
   )
 }

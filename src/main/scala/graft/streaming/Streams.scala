@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Structured Streaming facade (SURVEY §2.7).
+  *
+  * The reference's streaming surface is ingest-only
+  * (streaming/.../HiveStreamingConnection.java:107 — transactional record
+  * append; kafka-handler for offset-based pull). This module exposes the
+  * continuous-query capabilities a modern pipeline expects, as thin
+  * compositions of Spark's native streaming operators: tumbling/sliding
+  * windows, session windows, watermarked late-data handling, streaming dedup,
+  * and stream-static joins. Every transform here is identical to its batch
+  * twin in graft.queries.EventQueries — the same expressions run over
+  * readStream.
+  */
+object Streams {
+
+  /** File-source stream over an events-shaped parquet directory. The driver
+    * testdata stores ts as TIMESTAMP(NANOS); read as long + convert, same as
+    * Engine.table.
+    */
+  def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.Engine.configure(spark)
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Tumbling-window counts with a watermark for late data. */
+  def tumblingCounts(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+
+  /** Sliding-window aggregate. */
+  def slidingCounts(events: DataFrame, window_ : String = "1 hour",
+      slide: String = "30 minutes", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("n"))
+
+  /** Session windows per user (gap-based). */
+  def sessionCounts(events: DataFrame, gap: String = "5 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("session_start"), col("user_id"), col("n"))
+
+  /** Streaming dedup on event_id within the watermark horizon. */
+  def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-static enrichment join (static side broadcast by Catalyst). */
+  def enrich(events: DataFrame, dim: DataFrame, eventKey: String,
+      dimKey: String): DataFrame =
+    events.join(dim, events(eventKey) === dim(dimKey), "left_outer")
+
+  /** Run a streaming DataFrame to completion against a memory sink and return
+    * the finished query (test/drain harness; production sinks use
+    * writeStream.format(...) directly).
+    */
+  def drainToMemory(df: DataFrame, name: String,
+      outputMode: String = "append"): StreamingQuery = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
+  /** Transactional-ish file sink mirroring HiveStreamingConnection semantics:
+    * per-batch atomic parquet append via foreachBatch (each micro-batch lands
+    * in its own directory, committed by Spark's file-commit protocol).
+    */
+  def parquetAppendSink(df: DataFrame, path: String,
+      checkpoint: String): StreamingQuery =
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.write.mode("append").parquet(path)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.{Engine, SparkSpec}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = Engine.table(spark, sfDir, "documents")
+
+  /** documents ∪ (exact copies of docs 0-4 with shifted ids) — a corpus with
+    * known duplicate pairs, derived from the shared testdata.
+    */
+  private lazy val withExactDups = {
+    import spark.implicits._
+    val copies = docs.filter($"doc_id" < 5)
+      .withColumn("doc_id", $"doc_id" + 100000)
+    docs.unionByName(copies)
+  }
+
+  /** Near-duplicates: docs 0-4 with the first word dropped (high word-set
+    * overlap, not byte-identical).
+    */
+  private lazy val withNearDups = {
+    import spark.implicits._
+    val perturbed = docs.filter($"doc_id" < 5)
+      .withColumn("doc_id", $"doc_id" + 100000)
+      .withColumn("text", expr("concat_ws(' ', slice(split(text, ' '), 2, 100000))"))
+    docs.unionByName(perturbed)
+  }
+
+  test("exact dedup removes byte-identical duplicates, keeps min id") {
+    import spark.implicits._
+    val deduped = Dedup.exact(withExactDups, "doc_id", "text")
+    assert(deduped.count() === docs.count())
+    // originals (min ids) survive
+    assert(deduped.filter($"doc_id" >= 100000).count() === 0)
+  }
+
+  test("exactGroups reports duplicate group sizes") {
+    import spark.implicits._
+    val groups = Dedup.exactGroups(withExactDups, "doc_id", "text")
+    assert(groups.filter($"group_size" === 2).count() === 5)
+    assert(groups.filter($"group_size" === 2).agg(max($"keep_id")).head().getLong(0) < 5)
+  }
+
+  test("minhash LSH finds near-duplicate pairs with high estimated jaccard") {
+    import spark.implicits._
+    val cands = Dedup.minhashCandidates(withNearDups, "doc_id", "text",
+      shingleSize = 3, numHashes = 64, bands = 16)
+    val pairs = cands.filter($"id_b" === $"id_a" + 100000)
+    // all 5 planted near-dup pairs surface as candidates with high est sim
+    // (the corpus also contains organic near-dups — those may appear too)
+    assert(pairs.count() === 5)
+    assert(pairs.agg(min($"est_jaccard")).head().getDouble(0) > 0.9)
+  }
+
+  test("nearDuplicates verifies candidates with exact jaccard") {
+    import spark.implicits._
+    val nd = Dedup.nearDuplicates(withNearDups, "doc_id", "text", threshold = 0.6)
+    val planted = nd.filter($"id_b" === $"id_a" + 100000)
+    assert(planted.count() === 5)
+    assert(planted.agg(min($"jaccard")).head().getDouble(0) >= 0.6)
+  }
+
+  test("simhash of near-identical docs has small hamming distance") {
+    import spark.implicits._
+    val sh = Dedup.withSimhash(withNearDups).select($"doc_id", $"simhash")
+    val a = sh.filter($"doc_id" < 5).withColumnRenamed("simhash", "sa")
+      .withColumnRenamed("doc_id", "ida")
+    val b = sh.filter($"doc_id" >= 100000).withColumnRenamed("simhash", "sb")
+      .withColumnRenamed("doc_id", "idb")
+    val joined = a.join(b, a("ida") + 100000 === b("idb"))
+      .select(Dedup.hammingDistance($"sa", $"sb").cast("long").as("hd"))
+    assert(joined.agg(max($"hd")).head().getLong(0) <= 12)
+    // distinct docs sit farther apart on average than the planted near-dups
+    val cross = a.crossJoin(b)
+      .filter($"ida" + 100000 =!= $"idb")
+      .select(Dedup.hammingDistance($"sa", $"sb").cast("long").as("hd"))
+    val crossAvg = cross.agg(avg($"hd")).head().getDouble(0)
+    val pairAvg = joined.agg(avg($"hd")).head().getDouble(0)
+    assert(crossAvg > pairAvg)
+  }
+
+  test("jaccard is exact on known sets") {
+    import spark.implicits._
+    val df = Seq(("a b c d", "a b c e")).toDF("t1", "t2")
+    val j = df.select(Dedup.jaccard(split($"t1", " "), split($"t2", " "), 1).as("j"))
+      .head().getDouble(0)
+    // shingle k=1: sets {a,b,c,d} vs {a,b,c,e}: 3 / 5
+    assert(j === 0.6)
+  }
+}

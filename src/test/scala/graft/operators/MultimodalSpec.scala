@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val media = Multimodal.syntheticMediaTable(spark, sfDir)
+
+  test("synthetic media table has binary payloads and typed metadata") {
+    val r = media.filter(col("media_id") === 0).head()
+    assert(r.bytes.nonEmpty)
+    assert(r.width > 0 && r.height > 0)
+    assert(Seq("image", "audio", "video").contains(r.kind))
+  }
+
+  test("feature extraction yields normalized histograms and entropy") {
+    val feats = Multimodal.extractFeatures(media.limit(100))
+    val r = feats.head()
+    assert(r.histogram.length === 16)
+    assert(math.abs(r.histogram.sum - 1.0) < 1e-9)
+    assert(r.byte_entropy >= 0 && r.byte_entropy <= 4.0) // 16 buckets -> max 4 bits
+    assert(feats.count() === 100)
+  }
+
+  test("frame sampling explodes video rows into frames") {
+    import spark.implicits._
+    val frames = Multimodal.sampleFrames(media, stride = 2)
+    assert(frames.count() > 0)
+    // frames only from video-kind rows
+    val videoIds = media.filter(col("kind") === "video")
+      .select("media_id").as[Long].collect().toSet
+    assert(frames.select("media_id").as[Long].collect().forall(videoIds))
+    // frame indices are the sampled stride
+    assert(frames.select("frame_idx").as[Int].collect().forall(_ % 2 == 0))
+  }
+
+  test("resize stub is deterministic and respects target dims") {
+    val resized = Multimodal.resizeAll(media.limit(10), 8, 8)
+    val rows = resized.collect()
+    assert(rows.forall(m => m.width == 8 && m.height == 8))
+    assert(rows.forall(_.bytes.length <= 64))
+    val again = Multimodal.resizeAll(media.limit(10), 8, 8).collect()
+    assert(rows.map(_.bytes.toSeq).toSeq === again.map(_.bytes.toSeq).toSeq)
+  }
+
+  test("mediaSummary aggregates per kind") {
+    val s = Multimodal.mediaSummary(media).collect()
+    assert(s.length === 3)
+    assert(s.map(_.getAs[Long]("n")).sum === media.count())
+  }
+}

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import graft.{Engine, SparkSpec}
+import org.apache.spark.sql.functions._
+
+class StreamsSpec extends SparkSpec {
+
+  private def batchEvents = Engine.table(spark, sfDir, "events")
+
+  test("streaming tumbling counts equal the batch computation") {
+    import spark.implicits._
+    val stream = Streams.eventStream(spark, sfDir)
+    val q = Streams.drainToMemory(
+      Streams.tumblingCounts(stream), "t_tumble", outputMode = "complete")
+    try {
+      val got = spark.table("t_tumble")
+        .select($"window_start", $"event_type", $"n")
+      val want = batchEvents
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .select($"window.start".as("window_start"), $"event_type", $"n")
+      assert(got.except(want).count() === 0 && want.except(got).count() === 0)
+    } finally q.stop()
+  }
+
+  test("streaming session windows produce per-user sessions") {
+    import spark.implicits._
+    val stream = Streams.eventStream(spark, sfDir)
+    val q = Streams.drainToMemory(
+      Streams.sessionCounts(stream), "t_sess", outputMode = "complete")
+    try {
+      val got = spark.table("t_sess")
+      assert(got.count() > 0)
+      assert(got.agg(sum($"n")).head().getLong(0) === batchEvents.count())
+    } finally q.stop()
+  }
+
+  test("streaming dedup keeps one row per event_id") {
+    import spark.implicits._
+    val stream = Streams.eventStream(spark, sfDir)
+    val q = Streams.drainToMemory(Streams.dedupEvents(stream), "t_dedup")
+    try {
+      val got = spark.table("t_dedup")
+      assert(got.count() === got.select($"event_id").distinct().count())
+    } finally q.stop()
+  }
+
+  test("stream-static join enriches events with a dimension") {
+    import spark.implicits._
+    val stream = Streams.eventStream(spark, sfDir)
+    val dim = batchEvents.select($"user_id").distinct()
+      .withColumn("user_tag", concat(lit("u"), $"user_id"))
+    val q = Streams.drainToMemory(
+      Streams.enrich(stream, dim, "user_id", "user_id")
+        .select(stream("event_id"), col("user_tag")), "t_enrich")
+    try {
+      val got = spark.table("t_enrich")
+      assert(got.count() === batchEvents.count())
+      assert(got.filter(col("user_tag").isNull).count() === 0)
+    } finally q.stop()
+  }
+
+  test("parquetAppendSink lands micro-batches atomically") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_sink_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    val stream = Streams.eventStream(spark, sfDir)
+    val q = Streams.parquetAppendSink(
+      stream.select($"event_id", $"event_type", $"value"), out, ckpt)
+    try {
+      q.processAllAvailable()
+      val written = spark.read.parquet(out)
+      assert(written.count() === batchEvents.count())
+    } finally q.stop()
+  }
+}
