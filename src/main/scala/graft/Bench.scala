@@ -1,23 +1,70 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs the headline queries at local[32]
+  * on SPARK_GRAFT_SF_DIR and prints ONE JSON line
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
+  *
+  * Work is forced with the noop datasource sink (full computation, no
+  * collect/serialization overhead on the measurement). One untimed warmup
+  * exercises the scan + codegen paths so timings reflect steady state.
+  */
 object Bench {
+
+  /** Headline subset: one per operator family that matters at scale. */
+  val headline: Seq[String] = Seq(
+    "q01_tpch_q1",          // scan + filter + hash agg
+    "q02_filter_q6",        // selective pushed-down scan
+    "q03_join_q3_topn",     // 3-way join + top-N
+    "q04_join_q5_broadcast",// 5-way join, broadcast dims
+    "q11_join_nonequi",     // equi + residual predicate join
+    "q19_grouping_sets",    // grouping-sets expansion
+    "q22_count_distinct",   // multi distinct agg
+    "q23_window_rank",      // ranking window
+    "q24_window_running",   // running-frame window
+    "q28_subquery_scalar",  // scalar subquery
+    "q38_explode_wordcount",// UDTF explode + agg
+    "e01_tumbling_window",  // event-time tumbling
+    "e03_session_window",   // session windows
+    "e04_dedup_first_event",// window dedup
+    "p03_quality_score",    // text quality (map-side expressions)
+    "p06_minhash_signature",// minhash signatures (map-side)
+    "p13_minhash_pairs",    // LSH band join
+    "p10_cosine_topk",      // brute-force similarity top-k
+    "p11_ann_lsh")          // LSH ANN
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    Engine.configure(spark)
+
+    def run(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+
+    // untimed warmup: scan-heavy + window + join paths
+    Seq("q01_tpch_q1", "e01_tumbling_window", "q03_join_q3_topn").foreach { n =>
+      try run(n) catch { case _: Throwable => () }
+    }
+
+    val results = headline.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try run(name) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

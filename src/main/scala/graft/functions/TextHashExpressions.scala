@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.GraftShims
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Primitive-loop signature expressions for dedup at scale.
+  *
+  * Spark's higher-order functions (transform/aggregate/filter) evaluate their
+  * lambdas interpretively per element; a 64-permutation MinHash expressed as
+  * nested transforms costs ~10µs per inner op. These expressions do the same
+  * math in a single JVM primitive loop per row (CodegenFallback — one virtual
+  * call per row, negligible next to the O(shingles × hashes) inner work),
+  * ~1000× faster and still map-side, partition-parallel, shuffle-free.
+  */
+object TextHash {
+  /** Same modulus/permutation family as classic MinHash: 2^61 - 1. */
+  val Prime = 2305843009213693951L
+  val MulA = 2654435761L
+  val MulB = 40503L
+  val Seed = 42L // matches Spark's xxhash64 default seed
+
+  private def hashUtf8(s: UTF8String): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, Seed)
+
+  /** Hashes of word k-shingles ("w1 w2 .. wk"); a short doc collapses to one
+    * whole-doc shingle (mirrors TextAnalysis.shingles).
+    */
+  def shingleHashes(words: ArrayData, k: Int): Array[Long] = {
+    val n = words.numElements()
+    val sep = UTF8String.fromString(" ")
+    if (n == 0) return Array.empty
+    val count = if (n < k) 1 else n - k + 1
+    val width = if (n < k) n else k
+    val out = new Array[Long](count)
+    var i = 0
+    while (i < count) {
+      val parts = new Array[UTF8String](2 * width - 1)
+      var j = 0
+      while (j < width) {
+        parts(2 * j) = words.getUTF8String(i + j)
+        if (j < width - 1) parts(2 * j + 1) = sep
+        j += 1
+      }
+      out(i) = hashUtf8(UTF8String.concat(parts: _*))
+      i += 1
+    }
+    out
+  }
+
+  def pmodP(x: Long): Long = { val m = x % Prime; if (m < 0) m + Prime else m }
+}
+
+/** MinHash signature of array<string> words: array<bigint> of length
+  * `numHashes`, sig[i] = min over shingles of an affine permutation of the
+  * shingle hash.
+  */
+case class MinHashSignature(child: Expression, shingleSize: Int, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val hs = TextHash.shingleHashes(input.asInstanceOf[ArrayData], shingleSize)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var s = 0
+    while (s < hs.length) {
+      val h = hs(s)
+      var i = 0
+      while (i < numHashes) {
+        val v = TextHash.pmodP(h * (i * TextHash.MulA + 1L) + i * TextHash.MulB)
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(sig)
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
+}
+
+/** 64-bit SimHash of array<string> words: per-bit majority vote of word
+  * hashes.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[ArrayData]
+    val n = words.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val s = words.getUTF8String(i)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, TextHash.Seed)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) * 2 > n) out |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+}
+
+/** Shingle hash array (for fingerprinting): array<bigint> of xxhash64 of each
+  * word k-shingle — the primitive-loop twin of
+  * transform(shingles(words,k), xxhash64).
+  */
+case class ShingleHashes(child: Expression, shingleSize: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextHash.shingleHashes(input.asInstanceOf[ArrayData], shingleSize))
+  override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
+}
+
+object TextHashColumns {
+  def minhashSignature(words: Column, shingleSize: Int, numHashes: Int): Column =
+    GraftShims.column(
+      MinHashSignature(GraftShims.expression(words), shingleSize, numHashes))
+  def simhash64(words: Column): Column =
+    GraftShims.column(SimHash64(GraftShims.expression(words)))
+  def shingleHashes(words: Column, shingleSize: Int): Column =
+    GraftShims.column(ShingleHashes(GraftShims.expression(words), shingleSize))
+}

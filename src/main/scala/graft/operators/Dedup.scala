@@ -31,16 +31,13 @@ object Dedup {
       .agg(count(lit(1)).as("group_size"), min(col(idCol)).as("keep_id"))
 
   /** MinHash signature: for shingle set S, sig[i] = min_{s in S}
-    * (a_i * xxhash64(s) + b_i mod 2^61-1). Pure expressions, map-side.
+    * (a_i * xxhash64(s) + b_i mod 2^61-1). Implemented as a custom Catalyst
+    * expression with a primitive inner loop (graft.functions.MinHashSignature)
+    * — Spark's interpreted higher-order functions are ~1000x slower for the
+    * O(shingles x hashes) work. Map-side, shuffle-free.
     */
-  def minhashSignature(words: Column, shingleSize: Int, numHashes: Int): Column = {
-    val prime = 2305843009213693951L // 2^61 - 1
-    val hs = transform(TextAnalysis.shingles(words, shingleSize), s => xxhash64(s))
-    val seeds = sequence(lit(0), lit(numHashes - 1))
-    transform(seeds, i =>
-      array_min(transform(hs, h =>
-        pmod(h * (i * lit(2654435761L) + lit(1)) + i * lit(40503L), lit(prime)))))
-  }
+  def minhashSignature(words: Column, shingleSize: Int, numHashes: Int): Column =
+    graft.functions.TextHashColumns.minhashSignature(words, shingleSize, numHashes)
 
   /** Adds a `minhash` signature column (array<bigint> of length numHashes). */
   def withMinhash(df: DataFrame, textCol: String = "text",
@@ -93,16 +90,8 @@ object Dedup {
     * hashes. Pure expressions: one transform per doc + 64-lane vote done with
     * an aggregate over bit positions.
     */
-  def simhash(words: Column): Column = {
-    val hs = transform(words, w => xxhash64(w))
-    // For each bit position, count tokens with that bit set; bit is 1 when
-    // count*2 > n. Static 64-lane expression tree (codegen'd).
-    val n = size(hs)
-    (0 until 64).map { bit =>
-      val ones = size(filter(hs, h => shiftright(h, bit).bitwiseAND(lit(1L)) === 1L))
-      when(ones * 2 > n, shiftleft(lit(1L), bit)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+  def simhash(words: Column): Column =
+    graft.functions.TextHashColumns.simhash64(words)
 
   def withSimhash(df: DataFrame, textCol: String = "text"): DataFrame =
     df.withColumn("simhash", simhash(TextAnalysis.tokens(col(textCol))))

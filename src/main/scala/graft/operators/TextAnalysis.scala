@@ -102,7 +102,7 @@ object TextAnalysis {
     * partitioning, computable map-side at scan speed.
     */
   def withFingerprint(df: DataFrame, textCol: String = "text", k: Int = 5): DataFrame = {
-    val hs = transform(shingles(tokens(col(textCol)), k), s => xxhash64(s))
+    val hs = graft.functions.TextHashColumns.shingleHashes(tokens(col(textCol)), k)
     df.withColumn("fp_min", array_min(hs))
       .withColumn("fp_max", array_max(hs))
       .withColumn("fp_xor", aggregate(hs, lit(0L), (acc, h) => acc.bitwiseXOR(h)))
