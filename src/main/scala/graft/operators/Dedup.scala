@@ -46,23 +46,21 @@ object Dedup {
       minhashSignature(TextAnalysis.tokens(col(textCol)), shingleSize, numHashes))
 
   /** LSH banding: explode the signature into (band_idx, band_hash) keys.
-    * Docs sharing any band key are near-dup candidates. bands*rowsPerBand must
-    * equal the signature length.
+    * Docs sharing any band key are near-dup candidates.
     */
-  def lshBands(df: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
-    df.withColumn("band_idx", explode(sequence(lit(0), lit(bands - 1))))
-      .withColumn("band_hash",
-        xxhash64(concat_ws(",", transform(
-          slice(col("minhash"), col("band_idx") * rowsPerBand + 1, lit(rowsPerBand)),
-          _.cast("string")))))
-  }
+  def lshBands(df: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    df.select(df.columns.map(col) :+
+      posexplode(graft.functions.VectorColumns.lshBandHashes(col("minhash"), bands))
+        .as(Seq("band_idx", "band_hash")): _*)
 
   /** Near-duplicate candidate pairs via MinHash LSH.
     * Returns (id_a, id_b, est_jaccard) for pairs sharing >= 1 band bucket,
     * with est_jaccard = fraction of matching signature components.
-    * The self-join is equi on (band_idx, band_hash): at scale it shuffles by
-    * bucket key only; bucket skew is bounded because identical texts collapse
-    * to identical signatures (dedup exact first for pathological corpora).
+    * Scale design: the self-join is equi on (band_idx, band_hash) and the
+    * agreement fraction is computed BEFORE dedup, so the pair shuffle carries
+    * (id_a, id_b, est) — never the signatures. Bucket skew is bounded because
+    * identical texts collapse to identical signatures (run exact dedup first
+    * for pathological corpora).
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String = "text",
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
@@ -71,19 +69,17 @@ object Dedup {
     val sig = withMinhash(df.select(col(idCol), col(textCol)), textCol, shingleSize, numHashes)
       .select(col(idCol), col("minhash"))
     val banded = lshBands(sig, bands, r)
-      .select(col(idCol), col("minhash"), col("band_idx"), col("band_hash"))
     val a = banded.select(col(idCol).as("id_a"), col("minhash").as("sig_a"),
       col("band_idx"), col("band_hash"))
     val b = banded.select(col(idCol).as("id_b"), col("minhash").as("sig_b"),
       col("band_idx"), col("band_hash"))
     a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
-      .distinct()
-      .withColumn("est_jaccard",
-        round(size(filter(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => x === y), b => b)).cast("double") / numHashes, 4))
-      .drop("sig_a", "sig_b")
+      .select(col("id_a"), col("id_b"),
+        round(graft.functions.VectorColumns.sigMatchFraction(col("sig_a"), col("sig_b")), 4)
+          .as("est_jaccard"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("est_jaccard")).as("est_jaccard"))
   }
 
   /** SimHash (64-bit) of the token stream: per-bit majority vote of token

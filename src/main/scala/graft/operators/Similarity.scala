@@ -2,14 +2,15 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.VectorColumns
 
 /** Similarity search over embedding columns (array<float>).
   *
   * Baseline: brute-force cosine top-k — a broadcast join of the (small) query
-  * set against the corpus, all arithmetic in codegen'd higher-order functions,
-  * followed by a per-query top-k window. At 100 TB the corpus side stays
-  * partition-parallel with no shuffle until the final per-query top-k (which
-  * reduces to k rows per query per partition via TakeOrdered semantics).
+  * set against the corpus, vector math in primitive-loop Catalyst expressions
+  * (graft.functions.VectorExpressions), followed by a per-query top-k that
+  * Spark plans as WindowGroupLimit (partial top-k BEFORE the shuffle, k rows
+  * per partition per query cross the wire, not the corpus).
   *
   * Scale path: random-hyperplane LSH bucketing — deterministic hyperplanes
   * derived from a seed, signature computed map-side, candidates restricted to
@@ -17,26 +18,22 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two double arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Dot product (primitive loop; accepts float or double arrays). */
+  def dot(a: Column, b: Column): Column = VectorColumns.dot(a, b)
 
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+  def l2Norm(a: Column): Column = VectorColumns.l2Norm(a)
 
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (l2Norm(a) * l2Norm(b))
-
-  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+  def cosine(a: Column, b: Column): Column = VectorColumns.cosine(a, b)
 
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding self-matches by id). Query side must be small enough
-    * to broadcast.
+    * to broadcast; the corpus side streams partition-parallel with no shuffle
+    * until the k-row-per-partition window limit.
     */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("item_id"), asDouble(col(vecCol)).as("__cv"))
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
+    val c = corpus.select(col(idCol).as("item_id"), col(vecCol).as("__cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
     val scored = c.join(broadcast(q), col("item_id") =!= col("query_id"))
       .withColumn("cos_sim", cosine(col("__qv"), col("__cv")))
     val w = org.apache.spark.sql.expressions.Window
@@ -49,24 +46,12 @@ object Similarity {
         col("rnk"))
   }
 
-  /** Deterministic pseudo-random hyperplane component in [-1, 1), derived from
-    * (seed, plane, dim) via xxhash64 — reproducible across runs and engines.
+  /** Random-hyperplane LSH signature: `nPlanes` sign bits packed in a long.
+    * `dims` must match the embedding dimensionality.
     */
-  private def planeComponent(plane: Int, dim: Column, seed: Long): Column =
-    (xxhash64(concat_ws(":", lit(seed), lit(plane), dim)).cast("double")
-      / lit(Long.MaxValue.toDouble))
-
-  /** Random-hyperplane LSH signature: `nPlanes` sign bits packed in a long. */
-  def lshSignature(vec: Column, nPlanes: Int, seed: Long): Column = {
-    val v = asDouble(vec)
-    (0 until nPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => x * planeComponent(p, i, seed)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+  def lshSignature(vec: Column, nPlanes: Int, dims: Int, seed: Long): Column =
+    VectorColumns.hyperplaneSignature(vec,
+      VectorColumns.planeMatrix(nPlanes, dims, seed))
 
   /** ANN via LSH buckets: candidates share the exact signature bucket; exact
     * cosine re-rank inside the bucket. Trades recall for a shuffle keyed on
@@ -74,10 +59,12 @@ object Similarity {
     */
   def annLsh(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nPlanes: Int = 12, seed: Long = 42L): DataFrame = {
-    val c = corpus.select(col(idCol).as("item_id"), asDouble(col(vecCol)).as("__cv"))
-      .withColumn("bucket", lshSignature(col("__cv"), nPlanes, seed))
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
-      .withColumn("bucket", lshSignature(col("__qv"), nPlanes, seed))
+    val dims = corpus.select(size(col(vecCol))).head().getInt(0)
+    val sig = (c: Column) => lshSignature(c, nPlanes, dims, seed)
+    val c = corpus.select(col(idCol).as("item_id"), col(vecCol).as("__cv"))
+      .withColumn("bucket", sig(col("__cv")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("bucket", sig(col("__qv")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("item_id"))
@@ -96,9 +83,10 @@ object Similarity {
   def labelCentroidSimilarity(corpus: DataFrame, idCol: String, vecCol: String,
       labelCol: String): DataFrame = {
     val dims = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
-    val v = asDouble(col(vecCol))
+    val v = col(vecCol)
     val sums = corpus.groupBy(col(labelCol))
-      .agg(array((0 until dims).map(i => avg(element_at(v, i + 1))): _*).as("centroid"))
+      .agg(array((0 until dims).map(i =>
+        avg(element_at(v, i + 1).cast("double"))): _*).as("centroid"))
     corpus.join(broadcast(sums), labelCol)
       .withColumn("cos_to_centroid", round(cosine(v, col("centroid")), 5))
       .select(col(idCol), col(labelCol), col("cos_to_centroid"))
