@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
 import org.apache.spark.sql.catalyst.expressions._
 
 /** Closes the Hive-vs-Spark function-name gap (SURVEY §2.5): Hive names that
@@ -91,5 +92,81 @@ object HiveFunctions {
 
     // nvl2(a, b, c) = if a is not null then b else c.
     fn("nvl2")(args => If(IsNotNull(args.head), args(1), args(2)))
+
+    // --- mask family (defaults n=4; ref GenericUDFMaskFirstN.java etc) -----
+    def intArg(args: Seq[Expression], i: Int, default: Int): Int =
+      if (args.length > i && args(i).foldable)
+        Option(args(i).eval(null)).map(_.asInstanceOf[Number].intValue).getOrElse(default)
+      else default
+    fn("mask_first_n")(a => MaskRange(a.head, intArg(a, 1, 4), fromStart = true, show = false))
+    fn("mask_last_n")(a => MaskRange(a.head, intArg(a, 1, 4), fromStart = false, show = false))
+    fn("mask_show_first_n")(a => MaskRange(a.head, intArg(a, 1, 4), fromStart = true, show = true))
+    fn("mask_show_last_n")(a => MaskRange(a.head, intArg(a, 1, 4), fromStart = false, show = true))
+    // mask_hash = md5 hex of the value (ref GenericUDFMaskHash.java)
+    fn("mask_hash")(a => Md5(Cast(a.head, org.apache.spark.sql.types.BinaryType)))
+
+    // --- uniontype encoding (SURVEY §1.2): struct<tag:tinyint, fieldN...> ---
+    fn("create_union") { args =>
+      val tag = Cast(args.head, org.apache.spark.sql.types.ByteType)
+      val fields = args.tail.zipWithIndex.flatMap { case (v, i) =>
+        Seq(Literal(s"field$i"),
+          If(EqualTo(tag, Literal(i.toByte)), v, Literal.create(null, v.dataType)))
+      }
+      CreateNamedStruct(Literal("tag") +: tag +: fields)
+    }
+    fn("extract_union") { args =>
+      if (args.length == 1) args.head // struct form already carries all fields
+      else args(1) match {
+        case lit if lit.foldable =>
+          val i = lit.eval(null).asInstanceOf[Number].intValue
+          UnresolvedExtractValue(args.head, Literal(s"field$i"))
+        case _ => throw new IllegalArgumentException("extract_union tag must be a literal")
+      }
+    }
+
+    // --- sort_array_by(arr, field [, 'ASC'|'DESC']) (GenericUDFSortArrayByField)
+    fn("sort_array_by") { args =>
+      val fieldName = args(1) match {
+        case l if l.foldable => l.eval(null).toString
+        case _ => throw new IllegalArgumentException("sort_array_by field must be a literal")
+      }
+      val asc = args.lift(2).forall {
+        case l if l.foldable => l.eval(null).toString.equalsIgnoreCase("ASC")
+        case _ => true
+      }
+      val x = UnresolvedNamedLambdaVariable(Seq("x"))
+      val y = UnresolvedNamedLambdaVariable(Seq("y"))
+      val fx = UnresolvedExtractValue(x, Literal(fieldName))
+      val fy = UnresolvedExtractValue(y, Literal(fieldName))
+      val cmp = CaseWhen(Seq(
+        (LessThan(fx, fy), Literal(if (asc) -1 else 1)),
+        (GreaterThan(fx, fy), Literal(if (asc) 1 else -1))), Some(Literal(0)))
+      ArraySort(args.head, LambdaFunction(cmp, Seq(x, y)))
+    }
+
+    // --- UDTFs: parse_url_tuple, replicate_rows (SURVEY §2.6) --------------
+    fn("parse_url_tuple")(args => ParseUrlTuple(args))
+    fn("replicate_rows")(args => ReplicateRows(args))
+
+    // --- bloom_filter / in_bloom_filter (GenericUDAFBloomFilter +
+    // GenericUDFInBloomFilter) on Spark's native sketch --------------------
+    fn("bloom_filter") { args =>
+      val items = if (args.length > 1) Cast(args(1), org.apache.spark.sql.types.LongType)
+        else Literal(1000000L)
+      val bits = if (args.length > 2) Cast(args(2), org.apache.spark.sql.types.LongType)
+        else Literal(8388608L)
+      new aggregate.BloomFilterAggregate(new XxHash64(Seq(args.head)), items, bits)
+    }
+    fn("in_bloom_filter")(args =>
+      BloomFilterMightContain(args(1), new XxHash64(Seq(args.head))))
+
+    // --- misc --------------------------------------------------------------
+    fn("surrogate_key")(_ => MonotonicallyIncreasingID())
+    fn("version")(_ => Literal("graft-0.1.0 (spark " +
+      org.apache.spark.SPARK_VERSION + ")"))
+    alias("murmur_hash", "hash")
+
+    // ngrams / context_ngrams UDAFs
+    NGramAggregates.register(spark)
   }
 }

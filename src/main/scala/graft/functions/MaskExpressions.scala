@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hive mask_* family (ref ql/src/java/org/apache/hadoop/hive/ql/udf/generic/
+  * GenericUDFMaskFirstN.java and siblings; registered at
+  * FunctionRegistry.java:700-706). Hive default masking: upper->X, lower->x,
+  * digit->n, other chars unchanged. Spark ships plain `mask` only; the
+  * positional variants are provided here.
+  *
+  * `n < 0` follows Hive's default of 4.
+  */
+case class MaskRange(child: Expression, n: Int, fromStart: Boolean, show: Boolean)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+
+  private def maskChar(c: Char): Char =
+    if (c.isUpper) 'X' else if (c.isLower) 'x' else if (c.isDigit) 'n' else c
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val nn = if (n < 0) 4 else n
+    val out = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val inRange = if (fromStart) i < nn else i >= s.length - nn
+      // show=true masks OUTSIDE the range (mask_show_first_n etc)
+      val doMask = if (show) !inRange else inRange
+      out.append(if (doMask) maskChar(s.charAt(i)) else s.charAt(i))
+      i += 1
+    }
+    UTF8String.fromString(out.toString)
+  }
+  override protected def withNewChildInternal(c: Expression): MaskRange = copy(child = c)
+}

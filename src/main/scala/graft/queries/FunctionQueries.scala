@@ -335,6 +335,50 @@ object FunctionQueries {
         .orderBy($"c_nationkey")
     },
 
+    // Hive-gap functions registered by graft.functions.HiveFunctions,
+    // exercised through the SQL surface and cross-checked in DuckDB via
+    // equivalent rewrites.
+    q("f14_hive_string_gaps",
+      """SELECT c_custkey,
+        |  CASE c_mktsegment WHEN 'BUILDING' THEN 1 WHEN 'AUTOMOBILE' THEN 2
+        |    WHEN 'MACHINERY' THEN 3 ELSE 0 END AS f,
+        |  concat(regexp_replace(regexp_replace(regexp_replace(substr(c_name,1,4),
+        |    '[A-Z]','X','g'), '[a-z]','x','g'), '[0-9]','n','g'), substr(c_name,5)) AS m4,
+        |  (c_mktsegment LIKE 'B%' OR c_mktsegment LIKE 'A%') AS la,
+        |  (c_mktsegment LIKE 'B%' AND c_mktsegment LIKE '%G') AS ll,
+        |  coalesce(c_acctbal > 0, false) AS it,
+        |  CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NOT NULL
+        |    THEN 'other' ELSE 'bldg' END AS nv,
+        |  md5(c_mktsegment) AS mh
+        |FROM customer WHERE c_custkey < 50 ORDER BY c_custkey""".stripMargin
+    )(sqlQ(
+      """SELECT c_custkey,
+        |  field(c_mktsegment, 'BUILDING', 'AUTOMOBILE', 'MACHINERY') AS f,
+        |  mask_first_n(c_name, 4) AS m4,
+        |  likeany(c_mktsegment, 'B%', 'A%') AS la,
+        |  likeall(c_mktsegment, 'B%', '%G') AS ll,
+        |  istrue(c_acctbal > 0) AS it,
+        |  nvl2(nullif(c_mktsegment, 'BUILDING'), 'other', 'bldg') AS nv,
+        |  mask_hash(c_mktsegment) AS mh
+        |FROM customer WHERE c_custkey < 50 ORDER BY c_custkey""".stripMargin)),
+
+    q("f15_hive_time_gaps",
+      """SELECT o_orderkey,
+        |  CAST(epoch_ms(o_orderdate) AS BIGINT) AS em,
+        |  strftime(date_trunc('year', o_orderdate), '%Y-%m-%d %H:%M:%S') AS fy,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d %H:%M:%S') AS fm,
+        |  strftime(time_bucket(INTERVAL '7 days', o_orderdate,
+        |    TIMESTAMP '1970-01-01'), '%Y-%m-%d %H:%M:%S') AS tw
+        |FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey""".stripMargin
+    )(sqlQ(
+      """SELECT o_orderkey,
+        |  to_epoch_milli(o_orderdate) AS em,
+        |  date_format(floor_year(o_orderdate), 'yyyy-MM-dd HH:mm:ss') AS fy,
+        |  date_format(floor_month(o_orderdate), 'yyyy-MM-dd HH:mm:ss') AS fm,
+        |  date_format(tumbling_window(o_orderdate, INTERVAL 7 DAYS),
+        |    'yyyy-MM-dd HH:mm:ss') AS tw
+        |FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey""".stripMargin)),
+
     // width_bucket binning (Hive GenericUDFWidthBucket,
     // ref FunctionRegistry.java:636).
     q("f13_width_bucket",

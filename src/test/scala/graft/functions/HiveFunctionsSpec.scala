@@ -59,4 +59,111 @@ class HiveFunctionsSpec extends SparkSpec {
     assert(one[String]("nvl2('x', 'notnull', 'null')") === "notnull")
     assert(one[String]("nvl2(CAST(NULL AS STRING), 'notnull', 'null')") === "null")
   }
+
+  test("mask family") {
+    assert(one[String]("mask_first_n('Abcd1234', 4)") === "Xxxx1234")
+    assert(one[String]("mask_last_n('Abcd1234', 4)") === "Abcdnnnn")
+    assert(one[String]("mask_show_first_n('Abcd1234', 4)") === "Abcdnnnn")
+    assert(one[String]("mask_show_last_n('Abcd1234', 4)") === "Xxxx1234")
+    assert(one[String]("mask_first_n('Abcd1234')") === "Xxxx1234") // default n=4
+    assert(one[String]("mask_hash('panther')") ===
+      one[String]("md5(CAST('panther' AS BINARY))"))
+  }
+
+  test("create_union / extract_union round-trip") {
+    HiveFunctions.registerAll(spark)
+    val r = spark.sql(
+      "SELECT create_union(1, CAST(7 AS INT), 'hello') AS u").head().getStruct(0)
+    assert(r.getAs[Byte]("tag") === 1.toByte)
+    assert(r.isNullAt(r.fieldIndex("field0")))
+    assert(r.getAs[String]("field1") === "hello")
+    assert(one[String](
+      "extract_union(create_union(1, CAST(7 AS INT), 'hello'), 1)") === "hello")
+    assert(one[Int](
+      "extract_union(create_union(0, CAST(7 AS INT), 'hello'), 0)") === 7)
+  }
+
+  test("sort_array_by sorts array<struct> by field") {
+    HiveFunctions.registerAll(spark)
+    val got = spark.sql(
+      """SELECT sort_array_by(array(named_struct('a', 3, 'b', 'z'),
+        |  named_struct('a', 1, 'b', 'y'), named_struct('a', 2, 'b', 'x')), 'a')
+        |  AS s""".stripMargin)
+      .head().getSeq[org.apache.spark.sql.Row](0).map(_.getInt(0))
+    assert(got === Seq(1, 2, 3))
+    val desc = spark.sql(
+      """SELECT sort_array_by(array(named_struct('a', 3), named_struct('a', 1),
+        |  named_struct('a', 2)), 'a', 'DESC') AS s""".stripMargin)
+      .head().getSeq[org.apache.spark.sql.Row](0).map(_.getInt(0))
+    assert(desc === Seq(3, 2, 1))
+  }
+
+  test("parse_url_tuple extracts multiple parts in one pass") {
+    HiveFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT t.* FROM (SELECT 'https://user@example.com:8080/a/b?x=1&y=2#frag' AS url)
+        |LATERAL VIEW parse_url_tuple(url, 'HOST', 'PATH', 'QUERY', 'PROTOCOL',
+        |  'REF', 'QUERY:y') t AS host, path, query, proto, ref, qy""".stripMargin).head()
+    assert(r.getString(0) === "example.com")
+    assert(r.getString(1) === "/a/b")
+    assert(r.getString(2) === "x=1&y=2")
+    assert(r.getString(3) === "https")
+    assert(r.getString(4) === "frag")
+    assert(r.getString(5) === "2")
+  }
+
+  test("replicate_rows emits n copies") {
+    HiveFunctions.registerAll(spark)
+    val n = spark.sql(
+      """SELECT t.* FROM (SELECT 3L AS n, 'a' AS v)
+        |LATERAL VIEW replicate_rows(n, v) t AS v2""".stripMargin).count()
+    assert(n === 3)
+  }
+
+  test("bloom_filter / in_bloom_filter") {
+    HiveFunctions.registerAll(spark)
+    graft.Engine.register(spark, sfDir)
+    // the filter side must be a constant or scalar subquery (same contract as
+    // Spark's native runtime-filter might_contain)
+    val hits = spark.sql(
+      """SELECT count(*) AS n FROM orders WHERE in_bloom_filter(o_custkey,
+        |  (SELECT bloom_filter(c_custkey, 2000, 65536) FROM customer))
+        |""".stripMargin).head().getLong(0)
+    val total = spark.sql("SELECT count(*) FROM orders").head().getLong(0)
+    // every o_custkey is a real customer key -> all rows pass (no false negatives)
+    assert(hits === total)
+    val misses = spark.sql(
+      """SELECT count(*) AS n FROM orders WHERE in_bloom_filter(o_custkey + 10000000,
+        |  (SELECT bloom_filter(c_custkey, 2000, 65536) FROM customer))
+        |""".stripMargin).head().getLong(0)
+    assert(misses < total / 10) // false-positive rate is small
+  }
+
+  test("ngrams finds frequent word n-grams") {
+    HiveFunctions.registerAll(spark)
+    graft.Engine.register(spark, sfDir)
+    val top = spark.sql(
+      """SELECT ngrams(array(split(text, ' ')), 2, 5, 10) AS g FROM documents""")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(top.length === 5)
+    val freqs = top.map(_.getAs[Double]("estfrequency"))
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b })
+    assert(top.head.getAs[Seq[String]]("ngram").length === 2)
+  }
+
+  test("context_ngrams fills wildcard slots") {
+    HiveFunctions.registerAll(spark)
+    val top = spark.sql(
+      """SELECT context_ngrams(array(split('the cat sat on the mat the cat ran', ' ')),
+        |  array('the', CAST(NULL AS STRING)), 2, 10) AS g""".stripMargin)
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(top.map(_.getAs[Seq[String]]("ngram").head).toSet === Set("cat", "mat"))
+    assert(top.find(_.getAs[Seq[String]]("ngram").head == "cat")
+      .get.getAs[Double]("estfrequency") === 2.0)
+  }
+
+  test("surrogate_key and version") {
+    HiveFunctions.registerAll(spark)
+    assert(spark.sql("SELECT surrogate_key() AS k, version() AS v").count() === 1)
+  }
 }
