@@ -10,8 +10,8 @@ object SparkEntry {
     * LLM-pipeline operators.
     */
   val allDefs: Seq[QDef] =
-    CoreQueries.defs ++ FunctionQueries.defs ++ EventQueries.defs ++
-      PipelineQueries.defs
+    CoreQueries.defs ++ TpchQueries.defs ++ FunctionQueries.defs ++
+      EventQueries.defs ++ PipelineQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
