@@ -47,6 +47,10 @@ object Engine {
     // events.parquet carries TIMESTAMP(NANOS) which Spark has no native type
     // for: read as long and convert (see table()).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // cost-based optimization from ANALYZE'd statistics (join reorder,
+    // broadcast decisions) — the Catalyst analog of Hive's CBO+StatsOptimizer.
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
     graft.functions.HiveFunctions.registerAll(spark)
     spark
   }
