@@ -379,6 +379,49 @@ object FunctionQueries {
         |    'yyyy-MM-dd HH:mm:ss') AS tw
         |FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey""".stripMargin)),
 
+    // More of the string surface: levenshtein, find_in_set, format_number,
+    // str_to_map, sentences-adjacent splitting.
+    q("f16_string_more",
+      """SELECT p_partkey,
+        |  CAST(levenshtein(p_name, 'cold widget') AS INT) AS lev,
+        |  CASE WHEN list_contains(string_split('PROMO,ECONOMY,LARGE', ','), p_type)
+        |    THEN CAST(list_position(string_split('PROMO,ECONOMY,LARGE', ','), p_type) AS INT)
+        |    ELSE 0 END AS fis,
+        |  format('{:.2f}', CAST(p_retailprice AS DECIMAL(18,2))) AS fmt,
+        |  CAST(len(string_split(p_type, 'O')) - 1 AS INT) AS n_os
+        |FROM part WHERE p_partkey < 100 ORDER BY p_partkey""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      t(spark, dir, "part").filter($"p_partkey" < 100)
+        .select($"p_partkey",
+          levenshtein($"p_name", lit("cold widget")).as("lev"),
+          expr("find_in_set(p_type, 'PROMO,ECONOMY,LARGE')").as("fis"),
+          format_string("%.2f", $"p_retailprice").as("fmt"),
+          (size(split($"p_type", "O")) - 1).as("n_os"))
+        .orderBy($"p_partkey")
+    },
+
+    // Algorithm-specific approximations: no cross-engine oracle; bounds are
+    // asserted in ScalaTest (ApproxSpec).
+    QDef.rowsOnly("f17_approx_aggs") { (spark, dir) =>
+      import spark.implicits._
+      t(spark, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          approx_count_distinct($"l_partkey").as("approx_parts"),
+          percentile_approx($"l_quantity", lit(0.5), lit(1000)).as("p50_approx"),
+          expr("histogram_numeric(l_quantity, 5)").as("hist"))
+        .orderBy($"l_returnflag")
+    },
+
+    // sentences() tokenizer (Hive GenericUDFSentences) + ngrams UDAF.
+    QDef.rowsOnly("f18_sentences_ngrams") { (spark, dir) =>
+      import spark.implicits._
+      Engine.register(spark, dir)
+      spark.sql(
+        """SELECT ngrams(sentences(concat(text, '.')), 2, 10, 100) AS top_bigrams
+          |FROM documents""".stripMargin)
+    },
+
     // width_bucket binning (Hive GenericUDFWidthBucket,
     // ref FunctionRegistry.java:636).
     q("f13_width_bucket",

@@ -85,6 +85,29 @@ object Streams {
     q
   }
 
+  /** Custom stateful operator: running per-user aggregate maintained with
+    * flatMapGroupsWithState — the extension point for state Spark's built-in
+    * windows can't express (Hive has no equivalent; its GenericUDAFEvaluator
+    * state lives within one query). Emits one update per user per
+    * micro-batch: (user_id, events_seen, total_value).
+    */
+  case class UserRunning(user_id: Long, events_seen: Long, total_value: Double)
+
+  def runningUserTotals(events: DataFrame): org.apache.spark.sql.Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.select(col("user_id").as[Long], col("value").as[Double])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) => {
+          val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var v = v0
+          rows.foreach { case (_, value) => n += 1; v += value }
+          state.update((n, v))
+          Iterator(UserRunning(user, n, v))
+        })
+  }
+
   /** Transactional-ish file sink mirroring HiveStreamingConnection semantics:
     * per-batch atomic parquet append via foreachBatch (each micro-batch lands
     * in its own directory, committed by Spark's file-commit protocol).

@@ -60,6 +60,23 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState maintains running per-user totals") {
+    import spark.implicits._
+    val stream = Streams.eventStream(spark, sfDir)
+    val q = Streams.drainToMemory(
+      Streams.runningUserTotals(stream).toDF(), "t_state", outputMode = "append")
+    try {
+      val got = spark.table("t_state")
+      val want = batchEvents.groupBy($"user_id")
+        .agg(count(lit(1)).as("events_seen"))
+      // one final state row per user with the full count (single micro-batch)
+      val merged = got.groupBy($"user_id")
+        .agg(max($"events_seen").as("events_seen"))
+      assert(merged.join(want, Seq("user_id"))
+        .filter(merged("events_seen") =!= want("events_seen")).count() === 0)
+    } finally q.stop()
+  }
+
   test("parquetAppendSink lands micro-batches atomically") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft_sink_").toString
