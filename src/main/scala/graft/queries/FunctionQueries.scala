@@ -422,6 +422,30 @@ object FunctionQueries {
           |FROM documents""".stripMargin)
     },
 
+    // Bitwise operators (Hive `& | ^ ~ shiftleft shiftright`,
+    // FunctionRegistry.java:438-452).
+    q("f19_bitops",
+      """SELECT p_partkey,
+        |  p_partkey & 255 AS ba, p_partkey | 16 AS bo,
+        |  xor(p_partkey, 85) AS bx, CAST(~p_partkey AS BIGINT) AS bn,
+        |  p_size << 2 AS sl, p_partkey >> 3 AS sr,
+        |  bin(p_size) AS bi,
+        |  CAST(bit_count(p_partkey) AS INT) AS bc
+        |FROM part WHERE p_partkey < 100 ORDER BY p_partkey""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      t(spark, dir, "part").filter($"p_partkey" < 100)
+        .select($"p_partkey",
+          $"p_partkey".bitwiseAND(255).as("ba"),
+          $"p_partkey".bitwiseOR(16).as("bo"),
+          $"p_partkey".bitwiseXOR(85).as("bx"),
+          expr("~p_partkey").as("bn"),
+          shiftleft($"p_size", 2).as("sl"),
+          shiftright($"p_partkey", 3).as("sr"),
+          bin($"p_size").as("bi"),
+          bit_count($"p_partkey").as("bc"))
+        .orderBy($"p_partkey")
+    },
+
     // width_bucket binning (Hive GenericUDFWidthBucket,
     // ref FunctionRegistry.java:636).
     q("f13_width_bucket",
