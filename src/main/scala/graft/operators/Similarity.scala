@@ -77,6 +77,82 @@ object Similarity {
         col("rnk"))
   }
 
+  /** IVF-style ANN: the corpus is clustered into `nLists` inverted lists
+    * around deterministic seed centroids (one mean-refinement pass); each
+    * query probes its `nProbe` nearest centroids and re-ranks exactly within
+    * those lists only. At scale the corpus is partitioned by list id — a
+    * query touches nProbe/nLists of the data instead of all of it, and the
+    * probe join is an equi-join on list id.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("item_id"), col(vecCol).as("__cv"))
+    // deterministic seeds: the nLists smallest xxhash64(id)
+    val seeds = c.withColumn("__h", xxhash64(col("item_id")))
+      .orderBy(col("__h")).limit(nLists)
+      .withColumn("seed_id", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("__h"))) - 1)
+      .select(col("seed_id"), col("__cv").as("__seed"))
+    // assign every vector to its nearest seed, then refine centroids once
+    def nearest(vecs: DataFrame, cents: DataFrame, centVec: String,
+        out: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("item_id")).orderBy(col("__sim").desc, col(centVec))
+      vecs.crossJoin(broadcast(cents))
+        .withColumn("__sim", cosine(col("__cv"), col("__centv")))
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("item_id"))
+            .orderBy(col("__sim").desc, col(centVec))))
+        .filter(col("__rn") === 1)
+        .select(vecs.columns.map(col) :+ col(centVec).as(out): _*)
+    }
+    val assigned0 = nearest(c, seeds.select(col("seed_id").as("__cent"),
+      col("__seed").as("__centv")), "__cent", "list_id")
+    val dims = corpus.select(size(col(vecCol))).head().getInt(0)
+    val refined = assigned0.groupBy(col("list_id"))
+      .agg(array((0 until dims).map(i =>
+        avg(element_at(col("__cv"), i + 1).cast("double"))): _*).as("__centv"))
+      .select(col("list_id").as("__cent"), col("__centv"))
+    val assigned = nearest(c, refined, "__cent", "list_id").cache()
+    // probe: nProbe nearest refined centroids per query
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val probes = q.crossJoin(broadcast(refined))
+      .withColumn("__sim", cosine(col("__qv"), col("__centv")))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("__sim").desc, col("__cent"))))
+      .filter(col("__rn") <= nProbe)
+      .select(col("query_id"), col("__qv"), col("__cent").as("list_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("item_id"))
+    assigned.join(probes, Seq("list_id"))
+      .filter(col("item_id") =!= col("query_id"))
+      .withColumn("cos_sim", cosine(col("__qv"), col("__cv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("item_id"), round(col("cos_sim"), 5).as("cos_sim"),
+        col("rnk"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: hyperplane-LSH buckets generate
+    * candidates (equi-join, no O(n^2)), exact cosine verifies against the
+    * threshold. Lower nPlanes widens buckets (higher recall, more work).
+    */
+  def embeddingNearDups(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
+    val dims = corpus.select(size(col(vecCol))).head().getInt(0)
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .withColumn("bucket", lshSignature(col("__v"), nPlanes, dims, seed))
+    val a = c.select(col("id").as("id_a"), col("__v").as("__va"), col("bucket"))
+    val b = c.select(col("id").as("id_b"), col("__v").as("__vb"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", round(cosine(col("__va"), col("__vb")), 5))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+      .distinct()
+  }
+
   /** Pairwise cosine of all corpus vectors against a centroid per label —
     * embedding quality diagnostic (centroid computed with a single agg).
     */

@@ -168,6 +168,24 @@ object PipelineQueries {
         .orderBy($"vec_id")
     },
 
+    // IVF-style ANN (scale path: probe nProbe of nLists inverted lists).
+    rowsOnly("p15_ivf_topk") { (spark, dir) =>
+      import spark.implicits._
+      val emb = t(spark, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter($"vec_id" < 10), "vec_id", "embedding",
+        k = 5, nLists = 16, nProbe = 4)
+        .orderBy($"query_id", $"rnk")
+    },
+
+    // Embedding-cosine near-duplicate pairs (LSH candidates + exact verify).
+    rowsOnly("p16_embedding_neardup") { (spark, dir) =>
+      import spark.implicits._
+      Similarity.embeddingNearDups(t(spark, dir, "embeddings"), "vec_id",
+        "embedding", threshold = -1.0, nPlanes = 10)
+        .orderBy($"cos_sim".desc, $"id_a", $"id_b")
+        .limit(100)
+    },
+
     // LSH candidate pairs (the corpus contains organic near-duplicates).
     rowsOnly("p13_minhash_pairs") { (spark, dir) =>
       import spark.implicits._

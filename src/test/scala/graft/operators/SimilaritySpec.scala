@@ -52,6 +52,30 @@ class SimilaritySpec extends SparkSpec {
     assert(hits.count() === 10)
   }
 
+  test("ivfTopK recalls most of brute-force top-k") {
+    import spark.implicits._
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", 5)
+      .select($"query_id", $"item_id")
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 5, nLists = 8, nProbe = 6)
+    assert(ivf.groupBy($"query_id").count().collect().forall(_.getLong(1) <= 5))
+    val recalled = ivf.select($"query_id", $"item_id").intersect(exact).count()
+    // probing 6/8 lists: most exact neighbors are recalled
+    assert(recalled >= 25, s"recall $recalled/50 too low")
+  }
+
+  test("embeddingNearDups finds planted clones via LSH buckets") {
+    import spark.implicits._
+    val clones = emb.filter($"vec_id" < 5).withColumn("vec_id", $"vec_id" + 900000L)
+    val corpus = emb.unionByName(clones)
+    val dups = Similarity.embeddingNearDups(corpus, "vec_id", "embedding",
+      threshold = 0.999)
+    val planted = dups.filter($"id_b" === $"id_a" + 900000L)
+    assert(planted.count() === 5)
+    assert(planted.agg(min($"cos_sim")).head().getDouble(0) >= 0.999)
+  }
+
   test("labelCentroidSimilarity yields a bounded score per vector") {
     import spark.implicits._
     val d = Similarity.labelCentroidSimilarity(emb, "vec_id", "embedding", "label")
