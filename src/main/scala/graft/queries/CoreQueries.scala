@@ -476,7 +476,7 @@ object CoreQueries {
         |FROM orders WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
     )(sqlQ(
-      """SELECT o_orderstatus, count(*) AS n, CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,2))) / count(*), 2) AS DOUBLE) AS avg_price
+      """SELECT o_orderstatus, count(*) AS n, CAST((CAST(sum(CAST(o_totalprice AS DECIMAL(25,2)))*100 AS BIGINT)*2 + count(*)) DIV (2*count(*)) AS DOUBLE)/100.0 AS avg_price
         |FROM orders WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 

@@ -49,7 +49,20 @@ object Exact {
   /** Exact sum of a decimal product expression, emitted as double. */
   def dsumExpr(c: Column): Column = sum(c).cast("double")
 
-  /** Exact average (decimal sum / count, HALF_UP at 4dp), as double. */
-  def davg(c: Column): Column =
-    round(sum(c.cast(DecimalType(25, 2))) / count(lit(1)), 4).cast("double")
+  /** Exact average, HALF_UP at 4dp, as double. Implemented as the integer
+    * formula floor((S*10^4*2 + n) DIV (2n)) / 10^4 with true integral
+    * division — Spark's decimal division caps precision and re-rounds at an
+    * intermediate scale, which disagrees with a single HALF_UP rounding
+    * exactly at scale boundaries (observed at sf0.1). The oracle SQL uses the
+    * same formula, so both engines round identically by construction.
+    */
+  def davg(c: Column): Column = {
+    val m = (sum(c.cast(DecimalType(25, 2))) * lit(10000)).cast("long")
+    val n = count(lit(1))
+    val q = org.apache.spark.sql.GraftShims.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.GraftShims.expression(m * 2 + n),
+        org.apache.spark.sql.GraftShims.expression(n * 2)))
+    q.cast("double") / 10000.0
+  }
 }
