@@ -32,7 +32,10 @@ object Bench {
     "p06_minhash_signature",// minhash signatures (map-side)
     "p13_minhash_pairs",    // LSH band join
     "p10_cosine_topk",      // brute-force similarity top-k
-    "p11_ann_lsh")          // LSH ANN
+    "p11_ann_lsh",          // LSH ANN
+    "t07_volume_shipping",  // 6-way join
+    "t13_customer_distribution", // outer join + double aggregation
+    "t21_waiting_supplier") // double-correlated EXISTS/NOT EXISTS
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -45,6 +45,28 @@ class WatermarkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join within event-time bounds") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val buys = MemoryStream[(Long, Timestamp)]
+    val c = clicks.toDF().toDF("user", "cts").withWatermark("cts", "10 minutes")
+    val b = buys.toDF().toDF("buser", "bts").withWatermark("bts", "10 minutes")
+    val joined = c.join(b,
+      expr("user = buser AND bts BETWEEN cts AND cts + INTERVAL 15 minutes"))
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:00:00")))
+      buys.addData((1L, ts("2024-01-01 10:05:00")),  // within 15m -> joins
+        (2L, ts("2024-01-01 10:30:00")))             // outside bound -> no join
+      q.processAllAvailable()
+      val rows = spark.table("ss_join").collect()
+      assert(rows.length === 1)
+      assert(rows(0).getLong(0) === 1L)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups within the horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
