@@ -469,6 +469,57 @@ object CoreQueries {
         .orderBy($"c_custkey")
     },
 
+    // Time-interval RANGE frame (ValueBoundaryScanner over timestamps).
+    q("q41_window_time_range",
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS od,
+        |  CAST(count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL '30 days' PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_30d
+        |FROM orders WHERE o_custkey < 50
+        |ORDER BY o_orderkey""".stripMargin
+    ) { (spark, dir) =>
+      Engine.register(spark, dir)
+      spark.sql(
+        """SELECT o_orderkey, date_format(o_orderdate, 'yyyy-MM-dd') AS od,
+          |  count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate
+          |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS n_30d
+          |FROM orders WHERE o_custkey < 50
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    // IGNORE NULLS navigation functions over constructed nulls.
+    q("q42_window_ignore_nulls",
+      """SELECT event_id,
+        |  last_value(big_v IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS last_big
+        |FROM (SELECT event_id, user_id, ts,
+        |  CASE WHEN value > 90 THEN value END AS big_v FROM events)
+        |ORDER BY event_id""".stripMargin
+    ) { (spark, dir) =>
+      Engine.register(spark, dir)
+      spark.sql(
+        """SELECT event_id,
+          |  last_value(big_v) IGNORE NULLS OVER (PARTITION BY user_id
+          |    ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |    AS last_big
+          |FROM (SELECT event_id, user_id, ts,
+          |  CASE WHEN value > 90 THEN value END AS big_v FROM events)
+          |ORDER BY event_id""".stripMargin)
+    },
+
+    // Explicit NULLS FIRST/LAST ordering over constructed nulls.
+    q("q43_null_ordering",
+      """SELECT c_custkey, seg FROM (
+        |  SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg FROM customer
+        |  WHERE c_custkey < 40)
+        |ORDER BY seg ASC NULLS LAST, c_custkey""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      t(spark, dir, "customer").filter($"c_custkey" < 40)
+        .select($"c_custkey", nullif($"c_mktsegment", lit("BUILDING")).as("seg"))
+        .orderBy($"seg".asc_nulls_last, $"c_custkey")
+    },
+
     // --- subqueries (HiveSubQueryRemoveRule / HiveRelDecorrelator analogs,
     // all handled by Catalyst's RewriteCorrelatedScalarSubquery etc.) -------
     q("q28_subquery_scalar",
