@@ -520,6 +520,28 @@ object CoreQueries {
         .orderBy($"seg".asc_nulls_last, $"c_custkey")
     },
 
+    // json_tuple UDTF (multi-key JSON extraction in one pass).
+    q("q44_json_tuple",
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events WHERE event_id < 100 ORDER BY event_id""".stripMargin
+    ) { (spark, dir) =>
+      Engine.register(spark, dir)
+      spark.sql(
+        """SELECT event_id, CAST(t.k AS INT) AS k
+          |FROM events LATERAL VIEW json_tuple(props, 'k') t AS k
+          |WHERE event_id < 100 ORDER BY event_id""".stripMargin)
+    },
+
+    // NOT IN with a subquery -> null-aware anti join.
+    q("q45_not_in_subquery",
+      """SELECT c_custkey FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+        |ORDER BY c_custkey""".stripMargin
+    )(sqlQ(
+      """SELECT c_custkey FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+        |ORDER BY c_custkey""".stripMargin)),
+
     // --- subqueries (HiveSubQueryRemoveRule / HiveRelDecorrelator analogs,
     // all handled by Catalyst's RewriteCorrelatedScalarSubquery etc.) -------
     q("q28_subquery_scalar",
