@@ -74,10 +74,39 @@ object PipelineQueries {
         .orderBy($"content_hash")
     },
 
-    rowsOnly("p05_lang_id") { (spark, dir) =>
+    // Language-ID heuristic is deterministic (stopword-hit argmax, lexical
+    // tiebreak) — replicated in the oracle as explicit score comparisons.
+    q("p05_lang_id",
+      """WITH s AS (SELECT doc_id,
+        |    list_distinct(regexp_split_to_array(text, '\s+')) AS ws FROM documents),
+        |sc AS (SELECT doc_id,
+        |  len(list_intersect(ws, ['der','die','das','und','ist','nicht','ein','mit','zu','auf'])) AS sde,
+        |  len(list_intersect(ws, ['the','a','of','and','to','in','is','that','it','for'])) AS sen,
+        |  len(list_intersect(ws, ['el','la','de','y','es','en','un','que','no','los'])) AS ses,
+        |  len(list_intersect(ws, ['le','la','et','les','des','est','un','une','que','dans'])) AS sfr,
+        |  len(list_intersect(ws, ['的','是','了','在','我','有','他','这','中','大'])) AS szh
+        |  FROM s)
+        |SELECT doc_id,
+        |  CASE WHEN sde >= sen AND sde >= ses AND sde >= sfr AND sde >= szh THEN 'de'
+        |       WHEN sen >= ses AND sen >= sfr AND sen >= szh THEN 'en'
+        |       WHEN ses >= sfr AND ses >= szh THEN 'es'
+        |       WHEN sfr >= szh THEN 'fr' ELSE 'zh' END AS lang_pred,
+        |  CAST(greatest(sde, sen, ses, sfr, szh) AS INT) AS lang_score
+        |FROM sc ORDER BY doc_id""".stripMargin) { (spark, dir) =>
       import spark.implicits._
       TextAnalysis.withLangId(t(spark, dir, "documents"))
-        .select($"doc_id", $"lang_pred", $"lang_score")
+        .select($"doc_id", $"lang_pred", $"lang_score".cast("int").as("lang_score"))
+        .orderBy($"doc_id")
+    },
+
+    // Exact dedup as a relational op: keep the min-id row per content hash.
+    q("p17_exact_dedup_rows",
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      Dedup.exact(t(spark, dir, "documents"), "doc_id", "text")
+        .select($"doc_id", $"lang", $"source")
         .orderBy($"doc_id")
     },
 
