@@ -82,6 +82,20 @@ object Dedup {
       .agg(first(col("est_jaccard")).as("est_jaccard"))
   }
 
+  /** End-to-end near-dup removal: exact dedup, then drop every LSH-verified
+    * near-duplicate with a larger id than its match (the canonical
+    * keep-first corpus cleaning pass). Output is the cleaned DataFrame.
+    */
+  def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String = "text",
+      threshold: Double = 0.8, shingleSize: Int = 3,
+      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val exactClean = exact(df, idCol, textCol)
+    val toDrop = nearDuplicates(exactClean, idCol, textCol, threshold,
+      shingleSize, numHashes, bands)
+      .select(col("id_b").as(idCol)).distinct()
+    exactClean.join(toDrop, Seq(idCol), "left_anti")
+  }
+
   /** SimHash (64-bit) of the token stream: per-bit majority vote of token
     * hashes. Pure expressions: one transform per doc + 64-lane vote done with
     * an aggregate over bit positions.

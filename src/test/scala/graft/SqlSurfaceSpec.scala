@@ -65,6 +65,16 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(sql1[Double]("CAST(round(2.5, 0) AS DOUBLE)") === 3.0)  // HALF_UP
   }
 
+  test("stack and inline UDTFs") {
+    val st = spark.sql("SELECT stack(2, 'a', 1, 'b', 2) AS (k, v)").collect()
+    assert(st.map(r => (r.getString(0), r.getInt(1))).toSeq ===
+      Seq(("a", 1), ("b", 2)))
+    val inl = spark.sql(
+      "SELECT inline(array(named_struct('x', 1, 'y', 'p'), named_struct('x', 2, 'y', 'q')))")
+      .collect()
+    assert(inl.map(_.getInt(0)).toSeq === Seq(1, 2))
+  }
+
   test("reflect/java_method and assert_true/raise_error surface") {
     assert(sql1[String]("reflect('java.lang.String', 'valueOf', 42)") === "42")
     assert(sql1[String]("typeof(1.5)") === "decimal(2,1)")

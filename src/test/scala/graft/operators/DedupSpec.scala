@@ -81,6 +81,17 @@ class DedupSpec extends SparkSpec {
     assert(crossAvg > pairAvg)
   }
 
+  test("dropNearDuplicates removes exact and near dups, keeps originals") {
+    import spark.implicits._
+    val cleaned = Dedup.dropNearDuplicates(withNearDups, "doc_id", "text",
+      threshold = 0.8)
+    // all 5 perturbed copies are gone; their originals survive
+    assert(cleaned.filter($"doc_id" >= 100000).count() === 0)
+    assert(cleaned.filter($"doc_id" < 5).count() === 5)
+    // organic near-dups in the corpus may also be removed, never added
+    assert(cleaned.count() <= docs.count())
+  }
+
   test("jaccard is exact on known sets") {
     import spark.implicits._
     val df = Seq(("a b c d", "a b c e")).toDF("t1", "t2")
