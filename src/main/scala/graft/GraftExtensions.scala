@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Deployment entry point for cluster use:
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * }}}
+  *
+  * Injects the engine's session configuration hook so every session (incl.
+  * thrift/connect-served ones) gets the Hive-gap function registry without
+  * calling Engine.configure explicitly. Local embedding uses
+  * `Engine.session()` / `Engine.configure(spark)` directly.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    // Functions are registered per-session on first use of the engine's
+    // entry points; the checkRule hook runs early with a session handle and
+    // is idempotent, making the registry available to plain spark.sql users.
+    ext.injectCheckRule { session =>
+      graft.functions.HiveFunctions.registerAll(session)
+      _ => ()
+    }
+  }
+}
