@@ -52,6 +52,7 @@ object Engine {
     spark.conf.set("spark.sql.cbo.enabled", "true")
     spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
     graft.functions.HiveFunctions.registerAll(spark)
+    graft.plans.MaterializedViews.install(spark)
     spark
   }
 

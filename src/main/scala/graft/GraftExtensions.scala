@@ -22,5 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.functions.HiveFunctions.registerAll(session)
       _ => ()
     }
+    ext.injectOptimizerRule(session =>
+      new graft.plans.MaterializedViews.MvRewriteRule(session))
   }
 }
