@@ -166,7 +166,8 @@ object HiveFunctions {
       org.apache.spark.SPARK_VERSION + ")"))
     alias("murmur_hash", "hash")
 
-    // ngrams / context_ngrams UDAFs
+    // ngrams / context_ngrams UDAFs + DataSketches family
     NGramAggregates.register(spark)
+    SketchAggregates.register(spark)
   }
 }

@@ -37,6 +37,29 @@ class ApproxSpec extends SparkSpec {
     assert(hist.map(_.getDouble(1)).sum === li.count().toDouble)
   }
 
+  test("kll_quantile sketch brackets the exact quantile") {
+    HiveFunctions.registerAll(spark)
+    Engine.register(spark, sfDir)
+    val approx = spark.sql(
+      "SELECT kll_quantile(l_extendedprice, 0.5) AS v FROM lineitem")
+      .head().getDouble(0)
+    val exact = spark.sql(
+      "SELECT percentile(l_extendedprice, 0.5) AS v FROM lineitem")
+      .head().getDouble(0)
+    assert(math.abs(approx - exact) / exact < 0.05)
+  }
+
+  test("theta_count_distinct estimates distinct keys") {
+    HiveFunctions.registerAll(spark)
+    Engine.register(spark, sfDir)
+    val approx = spark.sql(
+      "SELECT theta_count_distinct(CAST(l_partkey AS STRING)) AS v FROM lineitem")
+      .head().getLong(0)
+    val exact = spark.sql("SELECT count(DISTINCT l_partkey) FROM lineitem")
+      .head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05)
+  }
+
   test("bloom_filter false-positive rate stays near design point") {
     HiveFunctions.registerAll(spark)
     Engine.register(spark, sfDir)
