@@ -667,6 +667,84 @@ object CoreQueries {
         .agg(count(lit(1)).as("n"), Exact.dsum($"o_totalprice").as("total"))
     },
 
+    // Three-branch union with mixed ALL/DISTINCT composition.
+    q("q46_union_multi",
+      """SELECT nk, count(*) AS n FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  UNION ALL SELECT s_nationkey FROM supplier
+        |  UNION ALL SELECT n_nationkey FROM nation)
+        |GROUP BY nk ORDER BY nk""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val c = t(spark, dir, "customer").select($"c_nationkey".as("nk"))
+      val s = t(spark, dir, "supplier").select($"s_nationkey".as("nk"))
+      val n = t(spark, dir, "nation").select($"n_nationkey".as("nk"))
+      c.union(s).union(n).groupBy($"nk").agg(count(lit(1)).as("n")).orderBy($"nk")
+    },
+
+    // Derived table with a window, filtered outside (nested pipeline).
+    q("q47_derived_window",
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 2 AND o_custkey < 100 ORDER BY o_custkey, rn""".stripMargin
+    )(sqlQ(
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 2 AND o_custkey < 100 ORDER BY o_custkey, rn""".stripMargin)),
+
+    // Conditional-aggregation matrix + HAVING over computed aggregates.
+    q("q48_case_agg_matrix",
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN l_quantity < 10 THEN 1 ELSE 0 END) AS BIGINT) AS small_q,
+        |  CAST(sum(CASE WHEN l_quantity BETWEEN 10 AND 40 THEN 1 ELSE 0 END) AS BIGINT) AS mid_q,
+        |  CAST(sum(CASE WHEN l_quantity > 40 THEN 1 ELSE 0 END) AS BIGINT) AS big_q,
+        |  CAST(sum(CASE WHEN l_discount > 0.05
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS disc_rev
+        |FROM lineitem GROUP BY l_returnflag
+        |HAVING count(*) > 100 ORDER BY l_returnflag""".stripMargin
+    )(sqlQ(
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN l_quantity < 10 THEN 1 ELSE 0 END) AS BIGINT) AS small_q,
+        |  CAST(sum(CASE WHEN l_quantity BETWEEN 10 AND 40 THEN 1 ELSE 0 END) AS BIGINT) AS mid_q,
+        |  CAST(sum(CASE WHEN l_quantity > 40 THEN 1 ELSE 0 END) AS BIGINT) AS big_q,
+        |  CAST(sum(CASE WHEN l_discount > 0.05
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS disc_rev
+        |FROM lineitem GROUP BY l_returnflag
+        |HAVING count(*) > 100 ORDER BY l_returnflag""".stripMargin)),
+
+    // Self-join: pairs of same-customer orders placed within 30 days.
+    q("q49_self_join",
+      """SELECT a.o_custkey AS ck, count(*) AS n_pairs
+        |FROM orders a JOIN orders b
+        |  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+        |  AND abs(datediff('day', CAST(a.o_orderdate AS DATE),
+        |    CAST(b.o_orderdate AS DATE))) <= 30
+        |GROUP BY a.o_custkey ORDER BY n_pairs DESC, ck LIMIT 25""".stripMargin
+    ) { (spark, dir) =>
+      Engine.register(spark, dir)
+      spark.sql(
+        """SELECT a.o_custkey AS ck, count(*) AS n_pairs
+          |FROM orders a JOIN orders b
+          |  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+          |  AND abs(datediff(a.o_orderdate, b.o_orderdate)) <= 30
+          |GROUP BY a.o_custkey ORDER BY n_pairs DESC, ck LIMIT 25""".stripMargin)
+    },
+
+    // Ordered string aggregation (listagg / string_agg).
+    q("q50_listagg",
+      """SELECT n_regionkey,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS names
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+    )(sqlQ(
+      """SELECT n_regionkey,
+        |  listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS names
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)),
+
     // --- UDTF / lateral view (UDTFOperator + LateralViewJoinOperator) ------
     q("q38_explode_wordcount",
       """SELECT word, count(*) AS n FROM (
