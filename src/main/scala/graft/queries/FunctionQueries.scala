@@ -422,6 +422,56 @@ object FunctionQueries {
           |FROM documents""".stripMargin)
     },
 
+    // Trigonometric family (sinh/cosh/tanh are DuckDB-absent; emulated from
+    // exp in the oracle — same IEEE formulae, round 6).
+    q("f20_trig",
+      """SELECT p_partkey,
+        |  round(sin(p_size/10.0),6) AS sn, round(cos(p_size/10.0),6) AS cs,
+        |  round(tan(p_size/100.0),6) AS tn,
+        |  round(asin(p_size/100.0),6) AS asn, round(acos(p_size/100.0),6) AS acs,
+        |  round(atan(p_size/10.0),6) AS atn,
+        |  round(atan2(p_size/10.0, 2.0),6) AS at2,
+        |  round((exp(p_size/10.0)-exp(-p_size/10.0))/2,6) AS snh,
+        |  round((exp(p_size/10.0)+exp(-p_size/10.0))/2,6) AS csh,
+        |  round((exp(p_size/5.0)-1)/(exp(p_size/5.0)+1),6) AS tnh,
+        |  round(pi(),6) AS p, round(exp(1.0),6) AS eu
+        |FROM part WHERE p_partkey < 100 ORDER BY p_partkey""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      t(spark, dir, "part").filter($"p_partkey" < 100)
+        .select($"p_partkey",
+          round(sin($"p_size" / 10.0), 6).as("sn"),
+          round(cos($"p_size" / 10.0), 6).as("cs"),
+          round(tan($"p_size" / 100.0), 6).as("tn"),
+          round(asin($"p_size" / 100.0), 6).as("asn"),
+          round(acos($"p_size" / 100.0), 6).as("acs"),
+          round(atan($"p_size" / 10.0), 6).as("atn"),
+          round(atan2($"p_size" / 10.0, lit(2.0)), 6).as("at2"),
+          round(sinh($"p_size" / 10.0), 6).as("snh"),
+          round(cosh($"p_size" / 10.0), 6).as("csh"),
+          round(tanh($"p_size" / 10.0), 6).as("tnh"),
+          round(lit(math.Pi), 6).as("p"),
+          round(exp(lit(1.0)), 6).as("eu"))
+        .orderBy($"p_partkey")
+    },
+
+    // locate/position/char_length/octet_length (FunctionRegistry.java:286-389).
+    q("f21_string_lengths",
+      """SELECT c_custkey,
+        |  CAST(strpos(c_name, 'mer') AS INT) AS loc,
+        |  CAST(length(c_name) AS INT) AS clen,
+        |  CAST(octet_length(encode(c_name)) AS INT) AS olen,
+        |  CAST(length(c_mktsegment) AS INT) AS slen
+        |FROM customer WHERE c_custkey < 50 ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      t(spark, dir, "customer").filter($"c_custkey" < 50)
+        .select($"c_custkey",
+          locate("mer", $"c_name").as("loc"),
+          char_length($"c_name").as("clen"),
+          octet_length($"c_name").as("olen"),
+          expr("character_length(c_mktsegment)").as("slen"))
+        .orderBy($"c_custkey")
+    },
+
     // Bitwise operators (Hive `& | ^ ~ shiftleft shiftright`,
     // FunctionRegistry.java:438-452).
     q("f19_bitops",
