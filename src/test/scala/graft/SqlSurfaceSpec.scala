@@ -82,6 +82,21 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(spark.sql("SELECT assert_true(1 < 2) AS v").head().isNullAt(0))
   }
 
+  test("Hive-style implicit coercions and division semantics (non-ANSI)") {
+    Engine.configure(spark)
+    // string <-> numeric coercion
+    assert(sql1[Double]("'5' + 1") === 6.0)
+    assert(sql1[Double]("'3.5' * 2") === 7.0)
+    assert(sql1[Boolean]("'10' > 9"))
+    // `/` is always fractional; `div` is integral (Hive semantics)
+    assert(sql1[Double]("5 / 2") === 2.5)
+    assert(sql1[Long]("5 div 2") === 2L)
+    // bad string casts yield NULL; numeric overflow wraps (both Hive-style,
+    // never a runtime error)
+    assert(spark.sql("SELECT CAST('abc' AS INT) AS v").head().isNullAt(0))
+    assert(sql1[Int]("CAST(99999999999 AS INT)") === 1215752191) // 2^32 wrap
+  }
+
   test("grouping filter via HAVING and positional/alias GROUP BY") {
     Engine.register(spark, sfDir)
     val r = spark.sql(
