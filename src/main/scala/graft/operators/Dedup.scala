@@ -20,9 +20,16 @@ object Dedup {
     * groupBy-dedup.
     */
   def exact(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
-    val keyed = df.withColumn("__h", md5(col(contentCol).cast("binary")))
-    val keep = keyed.groupBy(col("__h")).agg(min(col(idCol)).as(idCol))
-    keep.join(keyed.drop(idCol).dropDuplicates("__h"), Seq("__h")).drop("__h")
+    // keep the min-id ROW per content hash (not min id + arbitrary metadata):
+    // rank within hash by id and keep rank 1, so every output column comes
+    // from the same surviving row — deterministic regardless of duplicates'
+    // other columns.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__h")).orderBy(col(idCol))
+    df.withColumn("__h", md5(col(contentCol).cast("binary")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__h", "__rn")
   }
 
   /** Exact-duplicate group stats: content hash -> group size, kept id. */

@@ -36,6 +36,16 @@ class DedupSpec extends SparkSpec {
     assert(deduped.filter($"doc_id" >= 100000).count() === 0)
   }
 
+  test("exact dedup keeps the surviving row's own metadata") {
+    import spark.implicits._
+    // copies share text but carry a marker source — must never leak through
+    val copies = docs.filter($"doc_id" < 5)
+      .withColumn("doc_id", $"doc_id" + 100000)
+      .withColumn("source", lit("COPY_MARKER"))
+    val deduped = Dedup.exact(docs.unionByName(copies), "doc_id", "text")
+    assert(deduped.filter($"source" === "COPY_MARKER").count() === 0)
+  }
+
   test("exactGroups reports duplicate group sizes") {
     import spark.implicits._
     val groups = Dedup.exactGroups(withExactDups, "doc_id", "text")
