@@ -52,8 +52,11 @@ object Bench {
     Engine.configure(spark)
 
     def run(name: String): Unit =
-      SparkEntry.queries(name)(spark, sfDir)
+      try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
 
     // untimed warmup: scan-heavy + window + join paths
     Seq("q01_tpch_q1", "e01_tumbling_window", "q03_join_q3_topn").foreach { n =>

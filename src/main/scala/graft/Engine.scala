@@ -68,17 +68,22 @@ object Engine {
     else df
   }
 
-  // Idempotent view registration, cached per (session, sfDir).
-  private val registered = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+  // Current registered dir per live session (views are session-global, so
+  // the cache must be invalidated when the dir changes; weak keys let dead
+  // sessions drop out instead of colliding on reused identity hashes).
+  private val registeredDir =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
 
-  /** Register all testdata tables as temp views (idempotent per session+dir). */
+  /** Register all testdata tables as temp views (idempotent per session until
+    * the dir changes, then re-registered).
+    */
   def register(spark: SparkSession, sfDir: String): SparkSession = {
-    val key = System.identityHashCode(spark) + "|" + sfDir
-    registered.computeIfAbsent(key, { _ =>
+    if (registeredDir.get(spark) != sfDir) {
       configure(spark)
       tableNames.foreach { n => table(spark, sfDir, n).createOrReplaceTempView(n) }
-      true
-    })
+      registeredDir.put(spark, sfDir)
+    }
     spark
   }
 }

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.datasketches.kll.KllDoublesSketch
 import org.apache.datasketches.memory.Memory
 import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
-import org.apache.datasketches.theta.{CompactSketch, SetOperation, Sketches, UpdateSketch}
+import org.apache.datasketches.theta.{SetOperation, Sketches, Union, UpdateSketch}
 import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 
@@ -12,70 +12,97 @@ import org.apache.spark.sql.expressions.Aggregator
   * kll families; this engine exposes the two workhorses on the
   * datasketches-java library Spark already ships).
   *
-  * Sketches are mergeable by construction, so these aggregate with proper
-  * partial/merge semantics: each partition builds a sketch, the shuffle
-  * carries serialized sketch bytes (KBs regardless of input size), and
-  * quantile/distinct estimates come out at the driver — the canonical
+  * Buffers hold LIVE sketch objects: Spark's udaf wrapper
+  * (ScalaAggregator, a TypedImperativeAggregate) keeps the buffer
+  * deserialized between update calls, so per-row work is one sketch update;
+  * the encoder (sketch bytes) runs only at partial-output/shuffle
+  * boundaries — KBs per partition regardless of input size, the canonical
   * 100 TB-safe approximate aggregation shape.
   */
 object SketchAggregates {
 
-  /** kll_quantile(value, p): KLL-sketch quantile estimate. The requested
-    * quantile p travels in the buffer so partial/merge works across
-    * executors.
-    */
-  class KllQuantile extends Aggregator[(Double, Double), (Double, Array[Byte]), Double] {
-    def zero: (Double, Array[Byte]) = (0.5, Array.empty)
-    private def sk(b: Array[Byte]): KllDoublesSketch =
-      if (b.isEmpty) KllDoublesSketch.newHeapInstance(200)
-      else KllDoublesSketch.heapify(Memory.wrap(b))
-    def reduce(b: (Double, Array[Byte]), in: (Double, Double)): (Double, Array[Byte]) = {
-      val s = sk(b._2)
-      s.update(in._1)
-      (in._2, s.toByteArray)
+  /** Mutable holder serialized as compact sketch bytes. */
+  final class KllBuf(var p: Double, var sk: KllDoublesSketch) extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.writeDouble(p)
+      val bytes = if (sk == null) Array.empty[Byte] else sk.toByteArray
+      out.writeInt(bytes.length)
+      out.write(bytes)
     }
-    def merge(a: (Double, Array[Byte]), b: (Double, Array[Byte])): (Double, Array[Byte]) = {
-      val p = if (b._2.nonEmpty) b._1 else a._1
-      if (a._2.isEmpty) return (p, b._2)
-      if (b._2.isEmpty) return (p, a._2)
-      val s = sk(a._2)
-      s.merge(KllDoublesSketch.heapify(Memory.wrap(b._2)))
-      (p, s.toByteArray)
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      p = in.readDouble()
+      val n = in.readInt()
+      val bytes = new Array[Byte](n)
+      in.readFully(bytes)
+      sk = if (n == 0) null else KllDoublesSketch.heapify(Memory.wrap(bytes))
     }
-    def finish(b: (Double, Array[Byte])): Double =
-      if (b._2.isEmpty) Double.NaN
-      else sk(b._2).getQuantile(b._1, QuantileSearchCriteria.INCLUSIVE)
-    def bufferEncoder: Encoder[(Double, Array[Byte])] =
-      Encoders.tuple(Encoders.scalaDouble, Encoders.BINARY)
+  }
+
+  /** kll_quantile(value, p): KLL-sketch quantile estimate. */
+  class KllQuantile extends Aggregator[(Double, Double), KllBuf, Double] {
+    def zero: KllBuf = new KllBuf(0.5, null)
+    def reduce(b: KllBuf, in: (Double, Double)): KllBuf = {
+      if (b.sk == null) b.sk = KllDoublesSketch.newHeapInstance(200)
+      b.sk.update(in._1)
+      b.p = in._2
+      b
+    }
+    def merge(a: KllBuf, b: KllBuf): KllBuf = {
+      val p = if (b.sk != null) b.p else a.p
+      if (a.sk == null) { b.p = p; return b }
+      if (b.sk != null) a.sk.merge(b.sk)
+      a.p = p
+      a
+    }
+    def finish(b: KllBuf): Double =
+      if (b.sk == null) Double.NaN
+      else b.sk.getQuantile(b.p, QuantileSearchCriteria.INCLUSIVE)
+    def bufferEncoder: Encoder[KllBuf] = Encoders.javaSerialization[KllBuf]
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  /** Mutable theta-union holder serialized as compact sketch bytes. */
+  final class ThetaBuf(var sk: UpdateSketch, var merged: Union) extends Serializable {
+    def result: org.apache.datasketches.theta.CompactSketch = {
+      if (merged == null) merged = SetOperation.builder().buildUnion()
+      if (sk != null) { merged.union(sk.compact()); sk = null }
+      merged.getResult
+    }
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      val bytes = result.toByteArray
+      out.writeInt(bytes.length)
+      out.write(bytes)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      val n = in.readInt()
+      val bytes = new Array[Byte](n)
+      in.readFully(bytes)
+      sk = null
+      merged = SetOperation.builder().buildUnion()
+      merged.union(Sketches.wrapCompactSketch(Memory.wrap(bytes)))
+    }
+  }
+
   /** theta_count_distinct(x): theta-sketch distinct estimate (long). */
-  class ThetaDistinct extends Aggregator[String, Array[Byte], Long] {
-    def zero: Array[Byte] = Array.empty
-    def reduce(b: Array[Byte], x: String): Array[Byte] = {
-      val s = UpdateSketch.builder().build()
-      if (x != null) s.update(x)
-      if (b.isEmpty) s.compact().toByteArray
-      else {
-        val u = SetOperation.builder().buildUnion()
-        u.union(Sketches.wrapCompactSketch(Memory.wrap(b)))
-        u.union(s.compact())
-        u.getResult.toByteArray
-      }
+  class ThetaDistinct extends Aggregator[String, ThetaBuf, Long] {
+    def zero: ThetaBuf = new ThetaBuf(null, null)
+    def reduce(b: ThetaBuf, x: String): ThetaBuf = {
+      if (b.sk == null) b.sk = UpdateSketch.builder().build()
+      if (x != null) b.sk.update(x)
+      b
     }
-    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-      if (a.isEmpty) return b
-      if (b.isEmpty) return a
-      val u = SetOperation.builder().buildUnion()
-      u.union(Sketches.wrapCompactSketch(Memory.wrap(a)))
-      u.union(Sketches.wrapCompactSketch(Memory.wrap(b)))
-      u.getResult.toByteArray
+    def merge(a: ThetaBuf, b: ThetaBuf): ThetaBuf = {
+      if (a.sk == null && a.merged == null) return b
+      if (b.sk == null && b.merged == null) return a
+      if (a.merged == null) a.merged = SetOperation.builder().buildUnion()
+      a.merged.union(b.result)
+      if (a.sk != null) { a.merged.union(a.sk.compact()); a.sk = null }
+      a
     }
-    def finish(b: Array[Byte]): Long =
-      if (b.isEmpty) 0L
-      else math.round(Sketches.wrapCompactSketch(Memory.wrap(b)).getEstimate)
-    def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    def finish(b: ThetaBuf): Long =
+      if (b.sk == null && b.merged == null) 0L
+      else math.round(b.result.getEstimate)
+    def bufferEncoder: Encoder[ThetaBuf] = Encoders.javaSerialization[ThetaBuf]
     def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
 

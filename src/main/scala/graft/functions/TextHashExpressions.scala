@@ -18,11 +18,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * ~1000× faster and still map-side, partition-parallel, shuffle-free.
   */
 object TextHash {
-  /** Same modulus/permutation family as classic MinHash: 2^61 - 1. */
-  val Prime = 2305843009213693951L
-  val MulA = 2654435761L
-  val MulB = 40503L
   val Seed = 42L // matches Spark's xxhash64 default seed
+
+  /** Per-permutation odd multipliers: h -> h * mult_i + i is a bijection of
+    * the 64-bit ring (odd multiplier), so each signature slot is an honest
+    * permutation min under unsigned comparison — no modular reduction, no
+    * overflow bias.
+    */
+  def oddMultiplier(i: Int): Long =
+    XXH64.hashLong(i.toLong, Seed) | 1L
 
   private def hashUtf8(s: UTF8String): Long =
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, Seed)
@@ -52,30 +56,32 @@ object TextHash {
     out
   }
 
-  def pmodP(x: Long): Long = { val m = x % Prime; if (m < 0) m + Prime else m }
 }
 
 /** MinHash signature of array<string> words: array<bigint> of length
-  * `numHashes`, sig[i] = min over shingles of an affine permutation of the
-  * shingle hash.
+  * `numHashes`, sig[i] = unsigned-min over shingles of the i-th 64-bit
+  * permutation (odd-multiplier affine map) of the shingle hash.
   */
 case class MinHashSignature(child: Expression, shingleSize: Int, numHashes: Int)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private lazy val mults: Array[Long] =
+    Array.tabulate(numHashes)(TextHash.oddMultiplier)
   override def nullSafeEval(input: Any): Any = {
     val hs = TextHash.shingleHashes(input.asInstanceOf[ArrayData], shingleSize)
-    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val sig = Array.fill(numHashes)(-1L) // unsigned max
     var s = 0
     while (s < hs.length) {
       val h = hs(s)
       var i = 0
       while (i < numHashes) {
-        val v = TextHash.pmodP(h * (i * TextHash.MulA + 1L) + i * TextHash.MulB)
-        if (v < sig(i)) sig(i) = v
+        val v = h * mults(i) + i
+        if (java.lang.Long.compareUnsigned(v, sig(i)) < 0) sig(i) = v
         i += 1
       }
       s += 1
     }
+    if (hs.isEmpty) java.util.Arrays.fill(sig, 0L)
     new GenericArrayData(sig)
   }
   override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)

@@ -68,7 +68,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+    // zero-magnitude vectors have no direction: similarity 0, not NaN
+    // (NaN sorts above every number in Spark and passes >= filters)
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    java.lang.Double.valueOf(if (denom == 0.0) 0.0 else dot / denom)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
     copy(left = l, right = r)
@@ -126,6 +129,8 @@ case class SigMatchFraction(left: Expression, right: Expression)
   */
 case class HyperplaneSignature(child: Expression, planes: Array[Array[Double]])
     extends UnaryExpression with CodegenFallback {
+  require(planes.length <= 64,
+    s"at most 64 hyperplanes fit a long signature, got ${planes.length}")
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]

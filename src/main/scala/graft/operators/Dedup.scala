@@ -37,8 +37,9 @@ object Dedup {
     df.groupBy(md5(col(contentCol).cast("binary")).as("content_hash"))
       .agg(count(lit(1)).as("group_size"), min(col(idCol)).as("keep_id"))
 
-  /** MinHash signature: for shingle set S, sig[i] = min_{s in S}
-    * (a_i * xxhash64(s) + b_i mod 2^61-1). Implemented as a custom Catalyst
+  /** MinHash signature: for shingle set S, sig[i] = unsigned-min_{s in S}
+    * of the i-th odd-multiplier 64-bit permutation of xxhash64(s).
+    * Implemented as a custom Catalyst
     * expression with a primitive inner loop (graft.functions.MinHashSignature)
     * — Spark's interpreted higher-order functions are ~1000x slower for the
     * O(shingles x hashes) work. Map-side, shuffle-free.

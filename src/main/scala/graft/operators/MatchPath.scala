@@ -30,20 +30,29 @@ object MatchPath {
       else Step(tok, 1, 1)
     }
 
-  /** Greedy left-to-right match of the step sequence starting at `start`.
-    * Returns the exclusive end index, or -1 when no match.
+  /** Greedy-with-backtracking match of the step sequence starting at
+    * `start` (regex semantics: a quantified run yields rows back when the
+    * next step cannot otherwise match, e.g. "DELAY+.DEPART" where the DEPART
+    * row also satisfies DELAY). Returns the exclusive end index, or -1.
     */
   private[operators] def matchAt(flags: Array[Array[Boolean]], start: Int,
       steps: Seq[Step], symIdx: Map[String, Int]): Int = {
-    var pos = start
-    for (step <- steps) {
-      val si = symIdx(step.symbol)
-      var taken = 0
-      while (pos < flags.length && flags(pos)(si) &&
-        (step.max < 0 || taken < step.max)) { pos += 1; taken += 1 }
-      if (taken < step.min) return -1
+    def go(pos: Int, si: Int): Int = {
+      if (si == steps.length) return pos
+      val step = steps(si)
+      val idx = symIdx(step.symbol)
+      var maxRun = 0
+      while (pos + maxRun < flags.length && flags(pos + maxRun)(idx) &&
+        (step.max < 0 || maxRun < step.max)) maxRun += 1
+      var take = maxRun
+      while (take >= step.min) {
+        val r = go(pos + take, si + 1)
+        if (r >= 0) return r
+        take -= 1
+      }
+      -1
     }
-    pos
+    go(start, 0)
   }
 
   /** Returns one row per match: partition key, match start/end order values,

@@ -96,8 +96,6 @@ object Similarity {
     // assign every vector to its nearest seed, then refine centroids once
     def nearest(vecs: DataFrame, cents: DataFrame, centVec: String,
         out: String): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("item_id")).orderBy(col("__sim").desc, col(centVec))
       vecs.crossJoin(broadcast(cents))
         .withColumn("__sim", cosine(col("__cv"), col("__centv")))
         .withColumn("__rn", row_number().over(
@@ -113,7 +111,7 @@ object Similarity {
       .agg(array((0 until dims).map(i =>
         avg(element_at(col("__cv"), i + 1).cast("double"))): _*).as("__centv"))
       .select(col("list_id").as("__cent"), col("__centv"))
-    val assigned = nearest(c, refined, "__cent", "list_id").cache()
+    val assigned = nearest(c, refined, "__cent", "list_id")
     // probe: nProbe nearest refined centroids per query
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
     val probes = q.crossJoin(broadcast(refined))

@@ -17,6 +17,11 @@ object Skew {
     */
   def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
       salts: Int, joinType: String = "inner"): DataFrame = {
+    // replication of `other` is only sound when unmatched `other` rows are
+    // not emitted (each of its `salts` copies would surface separately)
+    require(Set("inner", "left", "leftouter", "leftsemi", "cross").contains(
+      joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left-side joins, got $joinType")
     val salted = skewed.withColumn("__salt",
       (rand(42) * salts).cast("int"))
     val replicated = other.withColumn("__salt",

@@ -16,9 +16,11 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   /** Whitespace tokenizer (Hive sentences()-style splitting, simplified to a
-    * pinned spec: split on runs of whitespace).
+    * pinned spec: split on runs of whitespace, no empty tokens — leading/
+    * trailing whitespace and empty text yield no artifacts).
     */
-  def tokens(text: Column): Column = split(text, "\\s+")
+  def tokens(text: Column): Column =
+    array_remove(split(trim(text), "\\s+"), "")
 
   /** Token count per document. */
   def withTokenCount(df: DataFrame, textCol: String = "text"): DataFrame =

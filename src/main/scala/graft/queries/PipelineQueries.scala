@@ -20,7 +20,7 @@ object PipelineQueries {
   val defs: Seq[QDef] = Seq(
 
     q("p01_token_count",
-      """SELECT doc_id, CAST(len(regexp_split_to_array(text, '\s+')) AS INT) AS n_tokens
+      """SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w <> '')) AS INT) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin) { (spark, dir) =>
       import spark.implicits._
       TextAnalysis.withTokenCount(t(spark, dir, "documents"))
@@ -30,7 +30,7 @@ object PipelineQueries {
 
     q("p02_subword_estimate",
       """SELECT doc_id, CAST(list_sum(list_transform(
-        |    regexp_split_to_array(text, '\s+'),
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w <> ''),
         |    w -> 1 + CAST(floor(greatest(len(w) - 4, 0) / 4) AS BIGINT))) AS BIGINT)
         |  AS n_subwords
         |FROM documents ORDER BY doc_id""".stripMargin) { (spark, dir) =>
@@ -43,20 +43,20 @@ object PipelineQueries {
     q("p03_quality_score",
       """SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS n_chars_m,
-        |  CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w <> '')) AS BIGINT) AS n_tokens,
         |  round(CAST(length(text) AS DOUBLE)
-        |    / greatest(len(regexp_split_to_array(text, '\s+')), 1), 4) AS avg_token_len,
+        |    / greatest(len(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w <> '')), 1), 4) AS avg_token_len,
         |  round(CAST(len(list_intersect(
-        |      list_distinct(regexp_split_to_array(text, '\s+')),
+        |      list_distinct(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w <> '')),
         |      ['the','a','of','and','to','in','is','it','for','on','with','as','at','by','an']))
-        |    AS DOUBLE) / greatest(len(list_distinct(regexp_split_to_array(text, '\s+'))), 1), 4)
+        |    AS DOUBLE) / greatest(len(list_distinct(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w <> ''))), 1), 4)
         |    AS stopword_ratio,
         |  round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
         |    / greatest(length(text), 1), 4) AS digit_ratio,
         |  round(CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
         |    / greatest(length(text), 1), 4) AS punct_ratio,
-        |  round(CAST(len(list_distinct(regexp_split_to_array(text, '\s+'))) AS DOUBLE)
-        |    / greatest(len(regexp_split_to_array(text, '\s+')), 1), 4) AS type_token_ratio
+        |  round(CAST(len(list_distinct(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w <> ''))) AS DOUBLE)
+        |    / greatest(len(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w <> '')), 1), 4) AS type_token_ratio
         |FROM documents ORDER BY doc_id""".stripMargin) { (spark, dir) =>
       import spark.implicits._
       TextAnalysis.withQualityScore(t(spark, dir, "documents"))
@@ -78,7 +78,7 @@ object PipelineQueries {
     // tiebreak) — replicated in the oracle as explicit score comparisons.
     q("p05_lang_id",
       """WITH s AS (SELECT doc_id,
-        |    list_distinct(regexp_split_to_array(text, '\s+')) AS ws FROM documents),
+        |    list_distinct(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w <> '')) AS ws FROM documents),
         |sc AS (SELECT doc_id,
         |  len(list_intersect(ws, ['der','die','das','und','ist','nicht','ein','mit','zu','auf'])) AS sde,
         |  len(list_intersect(ws, ['the','a','of','and','to','in','is','that','it','for'])) AS sen,

@@ -28,6 +28,18 @@ class MatchPathSpec extends SparkSpec {
     assert(r(0).getInt(3) === 4)
   }
 
+  test("backtracks when quantified symbols overlap the next step") {
+    import spark.implicits._
+    // every row satisfies A; the last also satisfies B: A+ must yield it back
+    val df = Seq((1L, 1L, 1.0), (1L, 2L, 2.0), (1L, 3L, 9.0))
+      .toDF("user_id", "seq", "v")
+    val m = MatchPath.matchpath(df, "user_id", "seq",
+      Seq("A" -> ($"v" > 0), "B" -> ($"v" >= 9)), "A+.B")
+    val r = m.collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(1) === 1L && r(0).getLong(2) === 3L)
+  }
+
   test("non-overlapping matches within a partition") {
     import spark.implicits._
     val df = Seq(
