@@ -14,12 +14,15 @@ import org.apache.spark.sql.catalyst.expressions._
   */
 object HiveFunctions {
 
+  // Weak keys (like Engine.registeredDir): identity hashes are not unique, so
+  // a permanent Integer set could both leak and silently skip registration for
+  // a new session colliding with a dead one's hash.
   private val registeredSessions =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[Integer, java.lang.Boolean]())
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
   def registerAll(spark: SparkSession): Unit = {
-    if (!registeredSessions.add(System.identityHashCode(spark))) return
+    if (registeredSessions.put(spark, java.lang.Boolean.TRUE) != null) return
     val reg = spark.sessionState.functionRegistry
 
     def fn(name: String)(builder: Seq[Expression] => Expression): Unit =
@@ -93,17 +96,24 @@ object HiveFunctions {
     // nvl2(a, b, c) = if a is not null then b else c.
     fn("nvl2")(args => If(IsNotNull(args.head), args(1), args(2)))
 
-    // --- mask family (defaults n=4; ref GenericUDFMaskFirstN.java etc) -----
+    // --- mask family (ref GenericUDFMaskFirstN.java etc). The charCount
+    // default of 4 applies only when the argument is ABSENT; an explicit
+    // negative count clamps to 0 (GenericUDFMaskFirstN: `if (charCount < 0)
+    // charCount = 0`), and a non-literal count is an error (Hive requires a
+    // constant).
     def intArg(args: Seq[Expression], i: Int, default: Int): Int =
-      if (args.length > i && args(i).foldable)
+      if (args.length <= i) default
+      else if (args(i).foldable)
         Option(args(i).eval(null)).map(_.asInstanceOf[Number].intValue).getOrElse(default)
-      else default
+      else throw new IllegalArgumentException(
+        s"mask_* char count must be a literal, got: ${args(i).sql}")
     fn("mask_first_n")(a => MaskRange(a.head, intArg(a, 1, 4), fromStart = true, show = false))
     fn("mask_last_n")(a => MaskRange(a.head, intArg(a, 1, 4), fromStart = false, show = false))
     fn("mask_show_first_n")(a => MaskRange(a.head, intArg(a, 1, 4), fromStart = true, show = true))
     fn("mask_show_last_n")(a => MaskRange(a.head, intArg(a, 1, 4), fromStart = false, show = true))
-    // mask_hash = md5 hex of the value (ref GenericUDFMaskHash.java)
-    fn("mask_hash")(a => Md5(Cast(a.head, org.apache.spark.sql.types.BinaryType)))
+    // mask_hash = sha256 hex of the string value (ref GenericUDFMaskHash.java /
+    // MaskHashTransformer: DigestUtils.sha256Hex by default)
+    fn("mask_hash")(a => Sha2(Cast(a.head, org.apache.spark.sql.types.BinaryType), Literal(256)))
 
     // --- uniontype encoding (SURVEY §1.2): struct<tag:tinyint, fieldN...> ---
     fn("create_union") { args =>

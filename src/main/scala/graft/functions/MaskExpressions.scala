@@ -11,7 +11,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * digit->n, other chars unchanged. Spark ships plain `mask` only; the
   * positional variants are provided here.
   *
-  * `n < 0` follows Hive's default of 4.
+  * `n < 0` clamps to 0 (GenericUDFMaskFirstN: `if (charCount < 0) charCount =
+  * 0`); the default of 4 applies only when the argument is absent and is
+  * supplied by the registration site (HiveFunctions).
   */
 case class MaskRange(child: Expression, n: Int, fromStart: Boolean, show: Boolean)
     extends UnaryExpression with CodegenFallback {
@@ -22,7 +24,7 @@ case class MaskRange(child: Expression, n: Int, fromStart: Boolean, show: Boolea
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
-    val nn = if (n < 0) 4 else n
+    val nn = if (n < 0) 0 else n
     val out = new StringBuilder(s.length)
     var i = 0
     while (i < s.length) {

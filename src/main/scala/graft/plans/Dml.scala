@@ -39,6 +39,8 @@ object Dml {
     fs.delete(bak, true)
     // drop any cached file listing for the swapped path
     spark.catalog.refreshByPath(table)
+    // drop materialized views built over this path — they are now stale
+    MaterializedViews.invalidateSource(table)
   }
 
   /** DELETE FROM table WHERE cond. */
@@ -64,11 +66,20 @@ object Dml {
     * not matched -> insert source row.
     * Planned as one full-outer join + projection — the declarative equivalent
     * of Hive's rewrite-to-multi-insert.
+    *
+    * Standard MERGE (including Hive's) raises a cardinality violation when the
+    * source has multiple rows per key — otherwise each matched target row
+    * would silently be duplicated in the post-image. Enforced here with a
+    * pre-join duplicate-key check.
     */
   def merge(spark: SparkSession, table: String, source: DataFrame,
       targetKey: String, sourceKey: String,
       whenMatchedSet: Map[String, Column] = Map.empty,
       whenMatchedDelete: Boolean = false): Unit = {
+    val dup = source.groupBy(col(sourceKey)).count().filter(col("count") > 1).limit(1).collect()
+    if (dup.nonEmpty)
+      throw new IllegalStateException(
+        s"MERGE cardinality violation: source has multiple rows for $sourceKey=${dup.head.get(0)}")
     val t = spark.read.parquet(table).as("t")
     val s = source.as("s")
     val cols = spark.read.parquet(table).columns
@@ -92,8 +103,11 @@ object Dml {
   }
 
   /** INSERT INTO (append). */
-  def insertInto(spark: SparkSession, table: String, rows: DataFrame): Unit =
+  def insertInto(spark: SparkSession, table: String, rows: DataFrame): Unit = {
     rows.write.mode("append").parquet(table)
+    spark.catalog.refreshByPath(table)
+    MaterializedViews.invalidateSource(table)
+  }
 
   /** Multi-insert: FROM src INSERT INTO a SELECT ... INSERT INTO b SELECT ...
     * (ref SemanticAnalyzer multi-insert). The source is analyzed once and
@@ -105,6 +119,7 @@ object Dml {
     val cached = source.cache()
     try sinks.foreach { case (f, path) =>
       f(cached).write.mode("append").parquet(path)
+      MaterializedViews.invalidateSource(path)
     } finally cached.unpersist()
   }
 }

@@ -1,60 +1,275 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.Alias
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Cast, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** Materialized views with automatic query rewrite — the one optimizer
   * capability SURVEY §4.1 flags as having no Spark equivalent (Hive:
   * HiveMaterializedViewsRegistry.java:83 + the calcite/rules/views package).
   *
-  * v1 scope: exact-subtree rewrite. A registered MV stores its optimized
-  * logical plan; [[MvRewriteRule]] replaces any query subtree that
-  * `sameResult`s it with a scan of the materialized parquet, remapping output
-  * attribute ids. Containment-based rewrite (filters/rollups over the MV) is
-  * the v2 extension — the mechanism (plan registry + custom Rule in the
-  * optimizer) is what this establishes.
+  * Rewrites supported:
+  *   1. **Exact subtree**: any query subtree that `sameResult`s a registered
+  *      MV plan is replaced by a scan of the materialized parquet. Because the
+  *      rule runs `transformUp`, filters/sorts/projections *above* the matched
+  *      subtree survive untouched — filter-over-MV and project-over-MV come
+  *      for free.
+  *   2. **Aggregate rollup (containment)**: a query `Aggregate` whose child
+  *      matches the MV's aggregate child and whose grouping keys are a subset
+  *      of the MV's is answered from the MV by re-aggregating: `sum→sum of
+  *      sums`, `count→sum of counts`, `min/max→min/max of min/maxes`
+  *      (the Calcite `AggregateProjectPullUpConstantsRule`-family capability,
+  *      ref calcite/rules/views/HiveMaterializedViewRule.java). A residual
+  *      filter under the query aggregate is allowed when it touches only MV
+  *      grouping keys.
   *
-  * The rule is installed by Engine.configure via
-  * `spark.experimental.extraOptimizations` (and by GraftExtensions for the
-  * spark.sql.extensions deployment path).
+  * Freshness: each MV records the source paths its plan scans. DML writers
+  * ([[Dml]] copy-on-write swaps and appends) invalidate every MV built over
+  * the written path, so the registry never serves data staler than the last
+  * DML through this engine. Out-of-band writes to the files (a foreign job
+  * rewriting the parquet directly) are outside the staleness contract — same
+  * as Hive's, which gates rewrite on metastore transaction ids it can see.
+  *
+  * Registries are scoped per session (weak keys), mirroring Hive's
+  * per-metastore registry; a dropped session drops its MVs.
   */
 object MaterializedViews {
 
-  final case class Mv(name: String, plan: LogicalPlan, path: String)
+  final case class Mv(name: String, plan: LogicalPlan, path: String, sources: Set[String])
 
-  private val registry = new java.util.concurrent.ConcurrentHashMap[String, Mv]()
+  private val registries =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, Mv]]())
+
+  private def registryFor(spark: SparkSession) = registries.synchronized {
+    var r = registries.get(spark)
+    if (r == null) {
+      r = new java.util.concurrent.ConcurrentHashMap[String, Mv]()
+      registries.put(spark, r)
+    }
+    r
+  }
+
+  /** Scheme-less normal form so `file:/x/y` (scan rootPaths) and `/x/y`
+    * (user-supplied table dirs) compare equal.
+    */
+  private def normPath(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  private def sourcePaths(plan: LogicalPlan): Set[String] =
+    plan.collect {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(p => normPath(p.toString))
+        case _ => Seq.empty[String]
+      }
+    }.flatten.toSet
 
   /** CREATE MATERIALIZED VIEW name AS <df>, stored at `path`. */
   def create(spark: SparkSession, name: String, df: DataFrame, path: String): Unit = {
     df.write.mode("overwrite").parquet(path)
-    registry.put(name, Mv(name, df.queryExecution.optimizedPlan, path))
+    registryFor(spark).put(name,
+      Mv(name, df.queryExecution.optimizedPlan, path, sourcePaths(df.queryExecution.optimizedPlan)))
   }
 
-  def drop(name: String): Unit = registry.remove(name)
+  def drop(spark: SparkSession, name: String): Unit = registryFor(spark).remove(name)
 
-  def registered: Seq[Mv] = {
+  def registered(spark: SparkSession): Seq[Mv] = {
     import scala.jdk.CollectionConverters._
-    registry.values.asScala.toSeq
+    registryFor(spark).values.asScala.toSeq
   }
 
-  /** Rewrite rule: exact-subtree substitution by plan equivalence. */
+  /** Invalidate every MV (in every live session) whose sources include
+    * `table` — called by [[Dml]] after any write to that path.
+    */
+  def invalidateSource(table: String): Unit = {
+    val p = normPath(table)
+    registries.synchronized {
+      registries.values.forEach { reg =>
+        reg.values.removeIf(mv => mv.sources.contains(p) || normPath(mv.path) == p)
+      }
+    }
+  }
+
+  /** Rewrite rule: exact-subtree substitution + aggregate-rollup containment. */
   class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
-    override def apply(plan: LogicalPlan): LogicalPlan = {
-      if (registry.isEmpty) return plan
-      plan.transformUp {
-        case p =>
-          registered.find(mv => mv.plan.sameResult(p)) match {
-            case Some(mv) =>
-              val scan = spark.read.parquet(mv.path).queryExecution.analyzed
-              // map MV scan columns back onto the subtree's attribute ids so
-              // the surrounding plan resolves unchanged
-              Project(p.output.zip(scan.output).map { case (orig, attr) =>
-                Alias(attr, orig.name)(exprId = orig.exprId)
-              }, scan)
-            case None => p
+
+    private def mvScan(mv: Mv): LogicalPlan =
+      spark.read.parquet(mv.path).queryExecution.analyzed
+
+    /** Re-alias scan output onto the replaced subtree's attribute ids so the
+      * surrounding plan resolves unchanged.
+      */
+    private def remap(orig: Seq[Attribute], scan: LogicalPlan): LogicalPlan =
+      Project(orig.zip(scan.output).map { case (o, a) =>
+        Alias(if (a.dataType == o.dataType) a else Cast(a, o.dataType), o.name)(exprId = o.exprId)
+      }, scan)
+
+    private def exact(p: LogicalPlan, mvs: Seq[Mv]): Option[LogicalPlan] =
+      mvs.find(_.plan.sameResult(p)).map(mv => remap(p.output, mvScan(mv)))
+
+    /** Peel column-pruning Projects and Filters off an aggregate child,
+      * returning the base plan plus the combined filter condition. The
+      * optimizer prunes each plan to its own column needs, so MV and query
+      * children only compare equal at this base level.
+      */
+    private def peel(p: LogicalPlan): (LogicalPlan, Option[Expression]) = p match {
+      case Project(ps, ch) if ps.forall(_.isInstanceOf[Attribute]) => peel(ch)
+      case Filter(c, ch) =>
+        val (base, inner) = peel(ch)
+        (base, Some(inner.map(org.apache.spark.sql.catalyst.expressions.And(_, c)).getOrElse(c)))
+      case other => (other, None)
+    }
+
+    /** Aggregate-rollup: answer `Aggregate(gq, aq, [proj/filter] base)` from an
+      * MV `Aggregate(gm, am, [proj/filter] base')` with `base sameResult base'`.
+      */
+    private def rollup(p: LogicalPlan, mvs: Seq[Mv]): Option[LogicalPlan] = p match {
+      case q @ Aggregate(gq, aq, qbelow, _) =>
+        val (baseQ, qcond) = peel(qbelow)
+        mvs.iterator.flatMap { mv =>
+          mv.plan match {
+            case Aggregate(gm, am, mbelow, _) =>
+              val (baseM, mcond) = peel(mbelow)
+              if (!baseM.sameResult(baseQ) ||
+                  baseM.output.length != baseQ.output.length ||
+                  baseM.output.zip(baseQ.output).exists { case (m, s) => m.dataType != s.dataType })
+                None
+              else tryRollup(q, gq, aq, qcond, mcond, gm, am, baseM, baseQ, mv)
+            case _ => None
           }
+        }.take(1).toList.headOption
+      case _ => None
+    }
+
+    private def tryRollup(
+        q: Aggregate,
+        gq: Seq[Expression], aq: Seq[NamedExpression],
+        qcond: Option[Expression], mcond: Option[Expression],
+        gm: Seq[Expression], am: Seq[NamedExpression],
+        mchild: LogicalPlan, qchild: LogicalPlan, mv: Mv): Option[LogicalPlan] = {
+      // Attribute correspondence: bases are sameResult, so outputs align
+      // positionally — map query-side child attrs into MV-child space.
+      val qToM: Map[Long, Attribute] =
+        qchild.output.zip(mchild.output).map { case (s, m) => s.exprId.id -> m }.toMap
+      def inMvSpace(e: Expression): Option[Expression] = {
+        var ok = true
+        val mapped = e.transform {
+          case a: Attribute => qToM.get(a.exprId.id) match {
+            case Some(m) => m
+            case None => ok = false; a
+          }
+        }
+        if (ok) Some(mapped) else None
+      }
+      // Index of an MV *grouping* output whose expression canonical-matches.
+      def mvGroupIdx(mapped: Expression): Option[Int] =
+        am.zipWithIndex.collectFirst {
+          case (Alias(e, _), i)
+              if gm.exists(_.canonicalized == e.canonicalized) &&
+                e.canonicalized == mapped.canonicalized => i
+          case (a: Attribute, i)
+              if gm.exists(_.canonicalized == a.canonicalized) &&
+                a.canonicalized == mapped.canonicalized => i
+        }
+      // Index of an MV aggregate output matching an aggregate function.
+      def mvAggIdx(f: AggregateFunction => Boolean): Option[Int] =
+        am.zipWithIndex.collectFirst {
+          case (Alias(AggregateExpression(af, _, false, _, _), _), i) if f(af) => i
+        }
+
+      val scan = mvScan(mv)
+      if (scan.output.length != am.length) return None
+      def scanAttr(i: Int): Attribute = scan.output(i)
+
+      // 1. every query grouping key must be an MV grouping key
+      val gIdx: Seq[Option[Int]] = gq.map(g => inMvSpace(g).flatMap(mvGroupIdx))
+      if (gIdx.exists(_.isEmpty)) return None
+      val newG: Seq[Expression] = gIdx.map(i => scanAttr(i.get))
+
+      // 2. filters must line up: an MV-side filter must be matched exactly by
+      // the query's (after attr mapping); any remaining query-side filter may
+      // touch only MV grouping keys and is re-evaluated over the MV scan.
+      val newCond: Option[Expression] = (qcond, mcond) match {
+        case (None, None) => None
+        case (None, Some(_)) => return None // MV is a strict subset of the data
+        case (Some(c), Some(mc)) =>
+          val mapped = inMvSpace(c).getOrElse(return None)
+          if (mapped.canonicalized == mc.canonicalized) None else return None
+        case (Some(c), None) =>
+          var ok = true
+          val mapped = inMvSpace(c).getOrElse { return None }
+          val rewritten = mapped.transform {
+            case a: Attribute =>
+              mvGroupIdx(a) match {
+                case Some(i) => scanAttr(i)
+                case None => ok = false; a
+              }
+          }
+          if (!ok) return None
+          Some(rewritten)
+      }
+
+      // 3. every query aggregate output must be derivable from MV outputs
+      def agg(af: AggregateFunction): Expression =
+        AggregateExpression(af, Complete, isDistinct = false)
+      val newAggs: Seq[Option[NamedExpression]] = aq.map { ne =>
+        val (inner, name, exprId) = ne match {
+          case Alias(e, n) => (e, n, ne.exprId)
+          case a: Attribute => (a, a.name, a.exprId)
+        }
+        val derived: Option[Expression] = inner match {
+          case AggregateExpression(af, _, false, _, _) =>
+            af match {
+              case Sum(e, _) =>
+                inMvSpace(e).flatMap(m => mvAggIdx {
+                  case Sum(me, _) => me.canonicalized == m.canonicalized
+                  case _ => false
+                }).map(i => agg(Sum(scanAttr(i))))
+              case Count(es) =>
+                // count(*) / count(lit): every MV row covers `count` raws
+                inMvSpace(es.headOption.getOrElse(org.apache.spark.sql.catalyst.expressions.Literal(1)))
+                  .flatMap { m =>
+                    mvAggIdx {
+                      case Count(mes) =>
+                        val me = mes.headOption.getOrElse(org.apache.spark.sql.catalyst.expressions.Literal(1))
+                        me.canonicalized == m.canonicalized || (me.foldable && m.foldable)
+                      case _ => false
+                    }
+                  }.map(i => agg(Sum(scanAttr(i))))
+              case Min(e) =>
+                inMvSpace(e).flatMap(m => mvAggIdx {
+                  case Min(me) => me.canonicalized == m.canonicalized
+                  case _ => false
+                }).map(i => agg(Min(scanAttr(i))))
+              case Max(e) =>
+                inMvSpace(e).flatMap(m => mvAggIdx {
+                  case Max(me) => me.canonicalized == m.canonicalized
+                  case _ => false
+                }).map(i => agg(Max(scanAttr(i))))
+              case _ => None
+            }
+          case e => // grouping-key output
+            inMvSpace(e).flatMap(mvGroupIdx).map(scanAttr)
+        }
+        derived.map { d =>
+          val cast = if (d.dataType == ne.dataType) d else Cast(d, ne.dataType)
+          Alias(cast, name)(exprId = exprId)
+        }
+      }
+      if (newAggs.exists(_.isEmpty)) return None
+
+      val base: LogicalPlan = newCond.map(Filter(_, scan)).getOrElse(scan)
+      Some(Aggregate(newG, newAggs.map(_.get), base))
+    }
+
+    override def apply(plan: LogicalPlan): LogicalPlan = {
+      val mvs = registered(spark)
+      if (mvs.isEmpty) return plan
+      plan.transformUp {
+        case p => exact(p, mvs).orElse(rollup(p, mvs)).getOrElse(p)
       }
     }
   }

@@ -276,31 +276,78 @@ object FunctionQueries {
         .orderBy($"l_returnflag")
     },
 
+    // Linear-regression family. The regr_* builtins use order-dependent
+    // double accumulation (Welford central moments), so their last bits vary
+    // with partition count and round() can flip at a boundary — the builtins
+    // are therefore verified in ScalaTest (AggregateSemanticsSpec) against
+    // these exact formulas, while the oracled query computes the same
+    // quantities from exact DECIMAL sums. All derived values are produced by
+    // identical IEEE expressions in both engines, so results are bit-stable.
+    // x = l_quantity (integral), y = l_extendedprice (2-decimal quantized).
     q("f10_agg_regr",
-      """SELECT l_linestatus,
-        |  round(regr_slope(l_extendedprice, l_quantity),4) AS slope,
-        |  round(regr_intercept(l_extendedprice, l_quantity),4) AS icept,
-        |  round(regr_r2(l_extendedprice, l_quantity),6) AS r2,
-        |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
-        |  round(regr_avgx(l_extendedprice, l_quantity),4) AS avgx,
-        |  round(regr_avgy(l_extendedprice, l_quantity),4) AS avgy,
-        |  round(regr_sxx(l_extendedprice, l_quantity),2) AS sxx,
-        |  round(regr_syy(l_extendedprice, l_quantity),2) AS syy,
-        |  round(regr_sxy(l_extendedprice, l_quantity),2) AS sxy
-        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin) { (spark, dir) =>
+      """WITH s AS (
+        |  SELECT l_linestatus,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(15,2)) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(15,2)) AS sy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(25,4)) AS sxx2,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(25,4)) AS syy2,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(25,4)) AS sxy2
+        |  FROM lineitem GROUP BY l_linestatus),
+        |w AS (
+        |  SELECT l_linestatus, n, sxx2, syy2, sxy2,
+        |    CAST(sx AS DECIMAL(19,2)) AS sx, CAST(sy AS DECIMAL(19,2)) AS sy
+        |  FROM s),
+        |d AS (
+        |  SELECT l_linestatus, n,
+        |    CAST(CAST(n AS DECIMAL(10,0)) * sxx2 - CAST(sx * sx AS DECIMAL(31,4)) AS DOUBLE) AS nsxx,
+        |    CAST(CAST(n AS DECIMAL(10,0)) * syy2 - CAST(sy * sy AS DECIMAL(31,4)) AS DOUBLE) AS nsyy,
+        |    CAST(CAST(n AS DECIMAL(10,0)) * sxy2 - CAST(sx * sy AS DECIMAL(31,4)) AS DOUBLE) AS nsxy,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd, CAST(n AS DOUBLE) AS nd
+        |  FROM w)
+        |SELECT l_linestatus,
+        |  nsxy / nsxx AS slope,
+        |  (syd - (nsxy / nsxx) * sxd) / nd AS icept,
+        |  (nsxy * nsxy) / (nsxx * nsyy) AS r2,
+        |  n,
+        |  sxd / nd AS avgx,
+        |  syd / nd AS avgy,
+        |  nsxx / nd AS sxx,
+        |  nsyy / nd AS syy,
+        |  nsxy / nd AS sxy
+        |FROM d ORDER BY l_linestatus""".stripMargin) { (spark, dir) =>
       import spark.implicits._
-      t(spark, dir, "lineitem")
+      import org.apache.spark.sql.types.DecimalType
+      val x = $"l_quantity".cast(DecimalType(12, 2))
+      val y = $"l_extendedprice".cast(DecimalType(12, 2))
+      val s = t(spark, dir, "lineitem")
         .groupBy($"l_linestatus")
         .agg(
-          round(regr_slope($"l_extendedprice", $"l_quantity"), 4).as("slope"),
-          round(regr_intercept($"l_extendedprice", $"l_quantity"), 4).as("icept"),
-          round(regr_r2($"l_extendedprice", $"l_quantity"), 6).as("r2"),
-          regr_count($"l_extendedprice", $"l_quantity").as("n"),
-          round(regr_avgx($"l_extendedprice", $"l_quantity"), 4).as("avgx"),
-          round(regr_avgy($"l_extendedprice", $"l_quantity"), 4).as("avgy"),
-          round(regr_sxx($"l_extendedprice", $"l_quantity"), 2).as("sxx"),
-          round(regr_syy($"l_extendedprice", $"l_quantity"), 2).as("syy"),
-          round(regr_sxy($"l_extendedprice", $"l_quantity"), 2).as("sxy"))
+          count(lit(1)).as("n"),
+          sum(x).cast(DecimalType(15, 2)).as("sx"),
+          sum(y).cast(DecimalType(15, 2)).as("sy"),
+          sum(x * x).cast(DecimalType(25, 4)).as("sxx2"),
+          sum(y * y).cast(DecimalType(25, 4)).as("syy2"),
+          sum(x * y).cast(DecimalType(25, 4)).as("sxy2"))
+      val d = s.select($"l_linestatus", $"n",
+        ($"n".cast(DecimalType(10, 0)) * $"sxx2"
+          - ($"sx" * $"sx").cast(DecimalType(31, 4))).cast("double").as("nsxx"),
+        ($"n".cast(DecimalType(10, 0)) * $"syy2"
+          - ($"sy" * $"sy").cast(DecimalType(31, 4))).cast("double").as("nsyy"),
+        ($"n".cast(DecimalType(10, 0)) * $"sxy2"
+          - ($"sx" * $"sy").cast(DecimalType(31, 4))).cast("double").as("nsxy"),
+        $"sx".cast("double").as("sxd"), $"sy".cast("double").as("syd"),
+        $"n".cast("double").as("nd"))
+      d.select($"l_linestatus",
+        ($"nsxy" / $"nsxx").as("slope"),
+        (($"syd" - ($"nsxy" / $"nsxx") * $"sxd") / $"nd").as("icept"),
+        (($"nsxy" * $"nsxy") / ($"nsxx" * $"nsyy")).as("r2"),
+        $"n",
+        ($"sxd" / $"nd").as("avgx"),
+        ($"syd" / $"nd").as("avgy"),
+        ($"nsxx" / $"nd").as("sxx"),
+        ($"nsyy" / $"nd").as("syy"),
+        ($"nsxy" / $"nd").as("sxy"))
         .orderBy($"l_linestatus")
     },
 
@@ -349,7 +396,7 @@ object FunctionQueries {
         |  coalesce(c_acctbal > 0, false) AS it,
         |  CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NOT NULL
         |    THEN 'other' ELSE 'bldg' END AS nv,
-        |  md5(c_mktsegment) AS mh
+        |  sha256(c_mktsegment) AS mh
         |FROM customer WHERE c_custkey < 50 ORDER BY c_custkey""".stripMargin
     )(sqlQ(
       """SELECT c_custkey,
@@ -401,7 +448,9 @@ object FunctionQueries {
     },
 
     // Algorithm-specific approximations: no cross-engine oracle; bounds are
-    // asserted in ScalaTest (ApproxSpec).
+    // asserted in ScalaTest (ApproxSpec). Array outputs are serialized to
+    // JSON strings — the driver's rows-only pass still sorts the result
+    // frame, and raw array cells are unsortable/unhashable there.
     QDef.rowsOnly("f17_approx_aggs") { (spark, dir) =>
       import spark.implicits._
       t(spark, dir, "lineitem")
@@ -409,7 +458,7 @@ object FunctionQueries {
         .agg(
           approx_count_distinct($"l_partkey").as("approx_parts"),
           percentile_approx($"l_quantity", lit(0.5), lit(1000)).as("p50_approx"),
-          expr("histogram_numeric(l_quantity, 5)").as("hist"))
+          to_json(expr("histogram_numeric(l_quantity, 5)")).as("hist"))
         .orderBy($"l_returnflag")
     },
 
@@ -418,7 +467,7 @@ object FunctionQueries {
       import spark.implicits._
       Engine.register(spark, dir)
       spark.sql(
-        """SELECT ngrams(sentences(concat(text, '.')), 2, 10, 100) AS top_bigrams
+        """SELECT to_json(ngrams(sentences(concat(text, '.')), 2, 10, 100)) AS top_bigrams
           |FROM documents""".stripMargin)
     },
 

@@ -66,8 +66,17 @@ class HiveFunctionsSpec extends SparkSpec {
     assert(one[String]("mask_show_first_n('Abcd1234', 4)") === "Abcdnnnn")
     assert(one[String]("mask_show_last_n('Abcd1234', 4)") === "Xxxx1234")
     assert(one[String]("mask_first_n('Abcd1234')") === "Xxxx1234") // default n=4
+    // explicit negative count clamps to 0 (GenericUDFMaskFirstN), it does NOT
+    // fall back to the missing-argument default of 4
+    assert(one[String]("mask_first_n('Abcd1234', -1)") === "Abcd1234")
+    assert(one[String]("mask_last_n('Abcd1234', -5)") === "Abcd1234")
+    // mask_hash = sha256 hex (GenericUDFMaskHash / DigestUtils.sha256Hex)
     assert(one[String]("mask_hash('panther')") ===
-      one[String]("md5(CAST('panther' AS BINARY))"))
+      one[String]("sha2(CAST('panther' AS BINARY), 256)"))
+    // non-literal count is rejected, matching Hive's constant requirement
+    intercept[Exception] {
+      spark.sql("SELECT mask_first_n('Abcd', CAST(rand()*2 AS INT))").collect()
+    }
   }
 
   test("create_union / extract_union round-trip") {
