@@ -559,5 +559,123 @@ object FunctionQueries {
         .groupBy($"bucket").agg(count(lit(1)).as("n"))
         .orderBy($"bucket")
     },
+
+    // Map surface: str_to_map, element access, map_keys/map_values, size
+    // (Hive map type + GenericUDFStrToMap, FunctionRegistry.java:615-640).
+    // The oracle recomputes the expected values from the base columns — the
+    // check verifies the map round-trip, not the mechanism.
+    q("f22_map_functions",
+      """SELECT c_custkey,
+        |  c_mktsegment AS v_seg,
+        |  CAST(c_nationkey AS VARCHAR) AS v_nat,
+        |  'nat,seg' AS ks,
+        |  c_mktsegment || ',' || CAST(c_nationkey AS VARCHAR) AS vs,
+        |  CAST(2 AS INT) AS n,
+        |  true AS has_seg
+        |FROM customer WHERE c_custkey < 60 ORDER BY c_custkey""".stripMargin
+    )(sqlQ(
+      """SELECT c_custkey,
+        |  m['seg'] AS v_seg,
+        |  m['nat'] AS v_nat,
+        |  concat_ws(',', array_sort(map_keys(m))) AS ks,
+        |  concat_ws(',', map_values(m)) AS vs,
+        |  size(m) AS n,
+        |  map_contains_key(m, 'seg') AS has_seg
+        |FROM (SELECT c_custkey,
+        |  str_to_map(concat('seg:', c_mktsegment, ',nat:', CAST(c_nationkey AS STRING)), ',', ':') AS m
+        |  FROM customer) WHERE c_custkey < 60 ORDER BY c_custkey""".stripMargin)),
+
+    // Struct surface: named_struct, field access, struct-in-array indexing
+    // (Hive struct type; toStruct/index, FunctionRegistry.java:494-496).
+    q("f23_struct_functions",
+      """SELECT c_custkey,
+        |  c_name AS nm, c_mktsegment AS seg,
+        |  c_nationkey AS nk, c_nationkey AS ak
+        |FROM customer WHERE c_custkey < 40 ORDER BY c_custkey""".stripMargin
+    )(sqlQ(
+      """SELECT c_custkey,
+        |  named_struct('nm', c_name, 'seg', c_mktsegment).nm AS nm,
+        |  named_struct('nm', c_name, 'seg', c_mktsegment).seg AS seg,
+        |  struct(c_custkey, c_nationkey).c_nationkey AS nk,
+        |  array(named_struct('k', c_nationkey))[0].k AS ak
+        |FROM customer WHERE c_custkey < 40 ORDER BY c_custkey""".stripMargin)),
+
+    // Datetime depth: months_between (31-day-month fraction, HALF_UP@8dp —
+    // formula mirrored exactly; rounding parity verified exhaustively over the
+    // value domain), next_day, weekday, dayofweek alignment, interval add
+    // (ref GenericUDFMonthsBetween, GenericUDFNextDay).
+    q("f24_datetime_more",
+      """SELECT o_orderkey,
+        |  CASE WHEN day(CAST(o_orderdate AS DATE)) = 15
+        |    THEN CAST((year(o_orderdate)-1995)*12 + (month(o_orderdate)-6) AS DOUBLE)
+        |    ELSE round((year(o_orderdate)-1995)*12 + (month(o_orderdate)-6)
+        |      + ((day(CAST(o_orderdate AS DATE))-15)*86400.0)/2678400.0, 8) END AS mb,
+        |  CAST(CAST(o_orderdate AS DATE) + to_days(CAST(
+        |    CASE WHEN (1 - dayofweek(o_orderdate) + 7) % 7 = 0 THEN 7
+        |         ELSE (1 - dayofweek(o_orderdate) + 7) % 7 END AS INT)) AS DATE) AS nd,
+        |  CAST(isodow(o_orderdate) - 1 AS INT) AS wd,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dw,
+        |  o_orderdate + INTERVAL 3 DAY AS plus3,
+        |  o_orderdate - INTERVAL 2 HOUR AS minus2h
+        |FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""".stripMargin
+    )(sqlQ(
+      """SELECT o_orderkey,
+        |  months_between(o_orderdate, TIMESTAMP '1995-06-15 00:00:00') AS mb,
+        |  next_day(o_orderdate, 'MON') AS nd,
+        |  weekday(o_orderdate) AS wd,
+        |  dayofweek(o_orderdate) AS dw,
+        |  o_orderdate + INTERVAL 3 DAYS AS plus3,
+        |  o_orderdate - INTERVAL 2 HOURS AS minus2h
+        |FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""".stripMargin)),
+
+    // printf-style formatting, elt, substring_index, locate, space
+    // (GenericUDFPrintf, GenericUDFElt, GenericUDFSubstringIndex...).
+    q("f25_string_format",
+      """SELECT p_partkey,
+        |  printf('%05d|%s', p_partkey, p_type) AS fs,
+        |  printf('%x', p_partkey) AS fx,
+        |  CASE CAST(1 + p_partkey % 3 AS INT) WHEN 1 THEN 'alpha'
+        |    WHEN 2 THEN 'beta' ELSE 'gamma' END AS e,
+        |  list_extract(string_split(p_name, ' '), 1) AS si1,
+        |  array_to_string(list_slice(string_split(p_name, ' '),
+        |    len(string_split(p_name, ' ')), len(string_split(p_name, ' '))), ' ') AS si2,
+        |  CAST(ascii(p_type) AS INT) AS asc,
+        |  chr(CAST(65 + p_partkey % 26 AS INT)) AS ch,
+        |  '[' || repeat(' ', 2) || ']' AS sp,
+        |  CAST(instr(p_name, 'o') AS INT) AS loc
+        |FROM part WHERE p_partkey < 80 ORDER BY p_partkey""".stripMargin
+    )(sqlQ(
+      """SELECT p_partkey,
+        |  format_string('%05d|%s', p_partkey, p_type) AS fs,
+        |  format_string('%x', p_partkey) AS fx,
+        |  elt(CAST(1 + p_partkey % 3 AS INT), 'alpha', 'beta', 'gamma') AS e,
+        |  substring_index(p_name, ' ', 1) AS si1,
+        |  substring_index(p_name, ' ', -1) AS si2,
+        |  ascii(p_type) AS asc,
+        |  chr(65 + p_partkey % 26) AS ch,
+        |  concat('[', space(2), ']') AS sp,
+        |  locate('o', p_name) AS loc
+        |FROM part WHERE p_partkey < 80 ORDER BY p_partkey""".stripMargin)),
+
+    // Radix conversion: bin/hex/conv (GenericUDFConv, UDFBin, UDFHex) — the
+    // oracle uses DuckDB to_base (uppercase digits, matching conv/hex).
+    q("f26_conv_bases",
+      """SELECT o_orderkey,
+        |  to_base(o_orderkey, 2) AS b2,
+        |  to_base(o_orderkey, 16) AS hx,
+        |  to_base(o_orderkey, 16) AS c16,
+        |  to_base(o_orderkey, 36) AS c36,
+        |  hex(o_orderpriority) AS hs,
+        |  o_orderpriority AS rt
+        |FROM orders WHERE o_orderkey < 150 ORDER BY o_orderkey""".stripMargin
+    )(sqlQ(
+      """SELECT o_orderkey,
+        |  bin(o_orderkey) AS b2,
+        |  hex(o_orderkey) AS hx,
+        |  conv(CAST(o_orderkey AS STRING), 10, 16) AS c16,
+        |  conv(CAST(o_orderkey AS STRING), 10, 36) AS c36,
+        |  hex(o_orderpriority) AS hs,
+        |  CAST(unhex(hex(o_orderpriority)) AS STRING) AS rt
+        |FROM orders WHERE o_orderkey < 150 ORDER BY o_orderkey""".stripMargin)),
   )
 }
