@@ -75,4 +75,66 @@ object Ddl {
   /** TABLESAMPLE: deterministic Bernoulli sample with a seed. */
   def tablesample(df: DataFrame, fraction: Double, seed: Long = 42L): DataFrame =
     df.sample(withReplacement = false, fraction, seed)
+
+  /** EXPORT TABLE t TO 'dir' (ref ql/src/java/org/apache/hadoop/hive/ql/parse/
+    * ExportSemanticAnalyzer.java): dumps the table's data plus a metadata
+    * descriptor so [[importTable]] can reconstruct it — schema, partition
+    * columns, and layout survive the round trip.
+    */
+  def exportTable(spark: SparkSession, table: String, dir: String): Unit = {
+    val df = spark.table(table)
+    val partCols: Seq[String] =
+      spark.catalog.listColumns(table).collect().filter(_.isPartition).map(_.name).toSeq
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).save(s"$dir/data")
+    val meta = s"""{"table": ${ujsonStr(table)}, "schema": ${df.schema.json},""" +
+      s""" "partitionColumns": [${partCols.map(ujsonStr).mkString(",")}]}"""
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/_metadata.json"), true)
+    try out.write(meta.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** IMPORT TABLE t FROM 'dir' (ref parse/ImportSemanticAnalyzer.java):
+    * recreates a table from an [[exportTable]] dump, preserving schema and
+    * partition layout. `table` defaults to the exported name.
+    */
+  def importTable(spark: SparkSession, dir: String, table: String = ""): String = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(s"$dir/_metadata.json"))
+    val meta = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    // minimal field extraction (metadata is engine-written, shape is fixed)
+    def strField(k: String): String = {
+      val m = ("\"" + k + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
+      m.findFirstMatchIn(meta).map(_.group(1)).getOrElse("")
+    }
+    val name = if (table.nonEmpty) table else strField("table")
+    val schemaJson = {
+      val i = meta.indexOf("\"schema\":") + "\"schema\":".length
+      val j = meta.lastIndexOf(" \"partitionColumns\"")
+      meta.substring(i, j).trim.stripSuffix(",")
+    }
+    val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val partCols = {
+      val i = meta.indexOf("\"partitionColumns\": [") + "\"partitionColumns\": [".length
+      val j = meta.indexOf("]", i)
+      meta.substring(i, j).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty).toSeq
+    }
+    val df = spark.read.schema(schema).parquet(s"$dir/data")
+      .select(schema.fieldNames.map(col): _*) // restore declared column order
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).saveAsTable(name)
+    name
+  }
+
+  private def ujsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
 }

@@ -21,6 +21,23 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(out.map(_.getString(1)).toSet.contains("ASIA"))
   }
 
+  test("TRANSFORM with ROW FORMAT DELIMITED custom field separators") {
+    Engine.register(spark, sfDir)
+    // ',' separators survive both directions through cat (ref ScriptOperator +
+    // LazySimpleSerDe delimiter handling). Note Spark splits script output
+    // with a regex, so regex metacharacters ('|') are not usable verbatim.
+    val out = spark.sql(
+      """SELECT TRANSFORM(r_regionkey, r_name)
+        |  ROW FORMAT DELIMITED FIELDS TERMINATED BY ','
+        |  USING 'cat'
+        |  AS (k STRING, name STRING)
+        |  ROW FORMAT DELIMITED FIELDS TERMINATED BY ','
+        |FROM region""".stripMargin).collect()
+    assert(out.length === 5)
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSet
+      .contains(("2", "ASIA")))
+  }
+
   test("DISTRIBUTE BY / SORT BY / CLUSTER BY shape the partitioning") {
     Engine.register(spark, sfDir)
     val distributed = spark.sql(

@@ -90,4 +90,30 @@ class DdlSpec extends SparkSpec {
     // deterministic under the fixed seed
     assert(Ddl.tablesample(Engine.table(spark, sfDir, "lineitem"), 0.1).count() === n)
   }
+
+  test("EXPORT/IMPORT round-trips a partitioned table") {
+    import spark.implicits._
+    val orders = Engine.table(spark, sfDir, "orders")
+      .withColumn("o_year", year($"o_orderdate"))
+    Ddl.createPartitionedTable(orders, "orders_exp", Seq("o_year"))
+    val dump = java.nio.file.Files.createTempDirectory("graft_export_").toString + "/orders_dump"
+    Ddl.exportTable(spark, "orders_exp", dump)
+    assert(new java.io.File(dump + "/_metadata.json").exists())
+
+    val imported = Ddl.importTable(spark, dump, "orders_imp")
+    assert(imported === "orders_imp")
+    // same rows, schema, and partition layout
+    assert(spark.table("orders_imp").count() === orders.count())
+    assert(spark.table("orders_imp").schema.fieldNames.sorted.toSeq ===
+      spark.table("orders_exp").schema.fieldNames.sorted.toSeq)
+    val partCols = spark.catalog.listColumns("orders_imp").collect()
+      .filter(_.isPartition).map(_.name).toSeq
+    assert(partCols === Seq("o_year"))
+    // partition pruning works on the imported table
+    val pruned = spark.table("orders_imp").filter($"o_year" === 1996)
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [isnotnull(o_year"))
+    assert(pruned.count() ===
+      orders.filter($"o_year" === 1996).count())
+  }
 }

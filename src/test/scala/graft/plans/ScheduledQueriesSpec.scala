@@ -1,0 +1,49 @@
+package graft.plans
+
+import graft.{Engine, SparkSpec}
+import org.apache.spark.sql.functions._
+
+class ScheduledQueriesSpec extends SparkSpec {
+
+  test("due queries run once per interval, disabled ones never") {
+    import spark.implicits._
+    val runs = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    ScheduledQueries.create(spark, "hourly_counts", everyMillis = 3600000L) { s =>
+      Engine.table(s, sfDir, "orders").groupBy($"o_orderstatus").count()
+    } { df => runs += (("hourly_counts", df.count())) }
+    ScheduledQueries.create(spark, "disabled_job", everyMillis = 1000L) { s =>
+      Engine.table(s, sfDir, "region")
+    } { df => runs += (("disabled_job", df.count())) }
+    ScheduledQueries.setEnabled(spark, "disabled_job", enabled = false)
+
+    try {
+      // t=0: hourly job is due (never ran); disabled job is skipped
+      assert(ScheduledQueries.runDue(spark, now = 0L) === Seq("hourly_counts"))
+      // t=+30min: nothing due
+      assert(ScheduledQueries.runDue(spark, now = 1800000L) === Seq.empty)
+      // t=+1h: due again
+      assert(ScheduledQueries.runDue(spark, now = 3600000L) === Seq("hourly_counts"))
+      assert(runs.map(_._1) === Seq("hourly_counts", "hourly_counts"))
+      assert(runs.forall(_._2 === 3L)) // three order statuses
+      assert(ScheduledQueries.list(spark).map(_.name) ===
+        Seq("disabled_job", "hourly_counts"))
+    } finally {
+      ScheduledQueries.drop(spark, "hourly_counts")
+      ScheduledQueries.drop(spark, "disabled_job")
+    }
+    assert(ScheduledQueries.list(spark).isEmpty)
+  }
+
+  test("a scheduled materialization keeps its target fresh") {
+    import spark.implicits._
+    val target = java.nio.file.Files.createTempDirectory("graft_sched_").toString + "/daily"
+    ScheduledQueries.create(spark, "daily_rollup", everyMillis = 86400000L) { s =>
+      Engine.table(s, sfDir, "lineitem").groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"))
+    } { df => df.write.mode("overwrite").parquet(target) }
+    try {
+      ScheduledQueries.runDue(spark, now = 0L)
+      assert(spark.read.parquet(target).count() === 3L)
+    } finally ScheduledQueries.drop(spark, "daily_rollup")
+  }
+}
