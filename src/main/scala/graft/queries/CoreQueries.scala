@@ -320,6 +320,12 @@ object CoreQueries {
 
     // --- grouping sets / cube / rollup (GroupByOperator grouping-sets
     // expansion, ref exec/GroupByOperator.java:131,230-234) -----------------
+    // GROUPING SETS via the pre-aggregated rollup operator: Spark's native
+    // path Expands every row once per set (3× the stream into the aggregate);
+    // graft.operators.Rollup aggregates once at the finest grain and rolls
+    // each set up from the 6-row pre-aggregate — the plan that survives a
+    // 100× scale-up. Native GROUPING SETS/CUBE/ROLLUP stay covered by
+    // q20/q21; the oracle here is the standard SQL form.
     q("q19_grouping_sets",
       """SELECT l_returnflag, l_linestatus,
         |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
@@ -327,15 +333,23 @@ object CoreQueries {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS sum_qty, count(*) AS n
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
-        |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
-    )(sqlQ(
-      """SELECT l_returnflag, l_linestatus,
-        |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
-        |  CAST(grouping(l_linestatus) AS INT) AS g_ls,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS sum_qty, count(*) AS n
-        |FROM lineitem
-        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
-        |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+        |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import graft.operators.Rollup
+      import org.apache.spark.sql.types.DecimalType
+      Rollup.groupingSets(t(spark, dir, "lineitem"),
+        keys = Seq("l_returnflag", "l_linestatus"),
+        sets = Seq(Seq("l_returnflag", "l_linestatus"), Seq("l_returnflag"), Seq.empty),
+        aggs = Seq(
+          Rollup.Agg("sum_qty_d", $"l_quantity".cast(DecimalType(25, 2)), Rollup.SumAgg),
+          Rollup.Agg("n", lit(1), Rollup.CountAgg)))
+        .select($"l_returnflag", $"l_linestatus",
+          $"grouping_l_returnflag".as("g_rf"),
+          $"grouping_l_linestatus".as("g_ls"),
+          $"sum_qty_d".cast("double").as("sum_qty"), $"n")
+        .orderBy($"g_rf", $"g_ls", $"l_returnflag".asc_nulls_first,
+          $"l_linestatus".asc_nulls_first)
+    },
 
     q("q20_cube",
       """SELECT l_returnflag, l_linestatus,
