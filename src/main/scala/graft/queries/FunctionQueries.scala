@@ -677,5 +677,26 @@ object FunctionQueries {
         |  hex(o_orderpriority) AS hs,
         |  CAST(unhex(hex(o_orderpriority)) AS STRING) AS rt
         |FROM orders WHERE o_orderkey < 150 ORDER BY o_orderkey""".stripMargin)),
+
+    // Variant type (SURVEY §1.2: Hive `variant` → Spark 4 VariantType):
+    // parse_json into a real VARIANT value, typed extraction via variant_get,
+    // dynamic field presence, round-trip through to_json. The oracle reads the
+    // same JSON with DuckDB's json functions.
+    q("f27_variant",
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS INT) AS k_int,
+        |  CAST(json_extract(props, '$.k') AS VARCHAR) AS k_str,
+        |  CAST(json_extract(props, '$.missing') AS INT) AS k_missing,
+        |  json_extract_string(props, '$') IS NOT NULL AS is_obj,
+        |  json_extract(props, '$') AS rt
+        |FROM events WHERE event_id < 300 ORDER BY event_id""".stripMargin
+    )(sqlQ(
+      """SELECT event_id,
+        |  variant_get(parse_json(props), '$.k', 'int') AS k_int,
+        |  CAST(variant_get(parse_json(props), '$.k', 'string') AS STRING) AS k_str,
+        |  try_variant_get(parse_json(props), '$.missing', 'int') AS k_missing,
+        |  parse_json(props) IS NOT NULL AS is_obj,
+        |  to_json(parse_json(props)) AS rt
+        |FROM events WHERE event_id < 300 ORDER BY event_id""".stripMargin)),
   )
 }
