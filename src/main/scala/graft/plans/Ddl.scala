@@ -76,6 +76,34 @@ object Ddl {
   def tablesample(df: DataFrame, fraction: Double, seed: Long = 42L): DataFrame =
     df.sample(withReplacement = false, fraction, seed)
 
+  /** ALTER TABLE ... CONCATENATE analog (ref exec/OrcFileMergeOperator /
+    * RCFileMergeOperator): compacts a directory of small parquet files into
+    * `targetFiles` — the small-files problem is the classic large-warehouse
+    * scan killer (file-open overhead + tiny row groups defeat pushdown).
+    * Atomic via the same staged-swap protocol as copy-on-write DML.
+    */
+  def compact(spark: SparkSession, path: String, targetFiles: Int): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + "._compact_tmp")
+    val bak = new org.apache.hadoop.fs.Path(path + "._compact_bak")
+    fs.delete(tmp, true)
+    spark.read.parquet(path).coalesce(targetFiles).write.parquet(tmp.toString)
+    fs.delete(bak, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(path), bak))
+      throw new IllegalStateException(s"cannot stage $path for compaction")
+    if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(path))) {
+      fs.rename(bak, new org.apache.hadoop.fs.Path(path))
+      throw new IllegalStateException(s"cannot commit compacted $path")
+    }
+    fs.delete(bak, true)
+    spark.catalog.refreshByPath(path)
+  }
+
+  /** MSCK REPAIR TABLE — discover partitions written outside the catalog. */
+  def msckRepair(spark: SparkSession, table: String): Unit =
+    spark.catalog.recoverPartitions(table)
+
   /** EXPORT TABLE t TO 'dir' (ref ql/src/java/org/apache/hadoop/hive/ql/parse/
     * ExportSemanticAnalyzer.java): dumps the table's data plus a metadata
     * descriptor so [[importTable]] can reconstruct it — schema, partition

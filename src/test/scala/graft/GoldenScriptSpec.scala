@@ -1,0 +1,71 @@
+package graft
+
+/** Hive qtest-style golden scripts (SURVEY §5: the .q scripts under
+  * ql/src/test/queries/clientpositive plus golden .q.out diffs, driver
+  * QTestUtil.java:110).
+  * A script is a ';'-separated mix of DDL/DML/SELECT; the harness executes
+  * each statement against the engine and renders results deterministically
+  * (TAB-separated cells, NULL for nulls, non-query statements echo a marker).
+  * The rendered transcript is diffed against the inline golden — the same
+  * masking discipline as Hive's harness, with unstable output (paths, plans,
+  * timings) never rendered.
+  */
+class GoldenScriptSpec extends SparkSpec {
+
+  private def runScript(script: String): String = {
+    Engine.register(spark, sfDir)
+    script.split(";").map(_.trim).filter(_.nonEmpty).map { stmt =>
+      val df = spark.sql(stmt)
+      val isQuery = df.schema.nonEmpty
+      val body =
+        if (isQuery)
+          df.collect().map(_.toSeq.map {
+            case null => "NULL"
+            case d: Double => if (d == d.floor && !d.isInfinite) f"$d%.1f" else d.toString
+            case v => v.toString
+          }.mkString("\t")).mkString("\n")
+        else "OK"
+      s"> ${stmt.linesIterator.mkString(" ").replaceAll("\\s+", " ")}\n$body"
+    }.mkString("\n")
+  }
+
+  test("golden: ddl + insert + select transcript") {
+    val got = runScript(
+      """CREATE OR REPLACE TEMP VIEW g_src AS
+        |  SELECT * FROM VALUES (1, 'a'), (2, 'b'), (3, 'a') AS t(id, tag);
+        |SELECT tag, count(*) AS n, sum(id) AS s FROM g_src GROUP BY tag ORDER BY tag;
+        |SELECT id, tag FROM g_src WHERE id > 1 ORDER BY id DESC;
+        |SELECT upper(tag) AS u, id * 10 AS x FROM g_src WHERE tag = 'a' ORDER BY id""".stripMargin)
+    val golden =
+      """> CREATE OR REPLACE TEMP VIEW g_src AS SELECT * FROM VALUES (1, 'a'), (2, 'b'), (3, 'a') AS t(id, tag)
+        |OK
+        |> SELECT tag, count(*) AS n, sum(id) AS s FROM g_src GROUP BY tag ORDER BY tag
+        |a	2	4
+        |b	1	2
+        |> SELECT id, tag FROM g_src WHERE id > 1 ORDER BY id DESC
+        |3	a
+        |2	b
+        |> SELECT upper(tag) AS u, id * 10 AS x FROM g_src WHERE tag = 'a' ORDER BY id
+        |A	10
+        |A	30""".stripMargin
+    assert(got === golden)
+  }
+
+  test("golden: testdata aggregate over the TPC-H fixture") {
+    val got = runScript(
+      """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey;
+        |SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    val golden =
+      """> SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey
+        |0	AFRICA
+        |1	AMERICA
+        |2	ASIA
+        |3	EUROPE
+        |4	MIDDLE EAST
+        |> SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+        |F	493
+        |O	514
+        |P	493""".stripMargin
+    assert(got === golden)
+  }
+}

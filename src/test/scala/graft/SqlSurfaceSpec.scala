@@ -38,6 +38,24 @@ class SqlSurfaceSpec extends SparkSpec {
       .contains(("2", "ASIA")))
   }
 
+  test("FROM src INSERT ... INSERT ... multi-insert SQL (SemanticAnalyzer multi-insert)") {
+    Engine.register(spark, sfDir)
+    val d = java.nio.file.Files.createTempDirectory("graft_mi_").toString
+    spark.sql(s"CREATE TABLE mi_hi (r_regionkey BIGINT, r_name STRING) USING parquet LOCATION '$d/hi'")
+    spark.sql(s"CREATE TABLE mi_lo (r_regionkey BIGINT, r_name STRING) USING parquet LOCATION '$d/lo'")
+    try {
+      spark.sql(
+        """FROM region
+          |INSERT INTO mi_hi SELECT r_regionkey, r_name WHERE r_regionkey >= 3
+          |INSERT INTO mi_lo SELECT r_regionkey, r_name WHERE r_regionkey < 3""".stripMargin)
+      assert(spark.table("mi_hi").count() === 2)
+      assert(spark.table("mi_lo").count() === 3)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS mi_hi")
+      spark.sql("DROP TABLE IF EXISTS mi_lo")
+    }
+  }
+
   test("DISTRIBUTE BY / SORT BY / CLUSTER BY shape the partitioning") {
     Engine.register(spark, sfDir)
     val distributed = spark.sql(

@@ -91,6 +91,20 @@ class DdlSpec extends SparkSpec {
     assert(Ddl.tablesample(Engine.table(spark, sfDir, "lineitem"), 0.1).count() === n)
   }
 
+  test("compact merges small files atomically, preserving data") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_").toString + "/t"
+    // 16 small files
+    spark.range(1000).selectExpr("id", "id % 7 AS k").repartition(16)
+      .write.parquet(dir)
+    def files = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files === 16)
+    val before = spark.read.parquet(dir).orderBy($"id").collect()
+    Ddl.compact(spark, dir, targetFiles = 2)
+    assert(files === 2)
+    assert(spark.read.parquet(dir).orderBy($"id").collect().toSeq === before.toSeq)
+  }
+
   test("EXPORT/IMPORT round-trips a partitioned table") {
     import spark.implicits._
     val orders = Engine.table(spark, sfDir, "orders")
