@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftShims
 import org.apache.spark.sql.types._
@@ -13,9 +13,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * Spark's higher-order functions (transform/aggregate/filter) evaluate their
   * lambdas interpretively per element; a 64-permutation MinHash expressed as
   * nested transforms costs ~10µs per inner op. These expressions do the same
-  * math in a single JVM primitive loop per row (CodegenFallback — one virtual
-  * call per row, negligible next to the O(shingles × hashes) inner work),
-  * ~1000× faster and still map-side, partition-parallel, shuffle-free.
+  * math in a single JVM primitive loop per row, ~1000× faster and still
+  * map-side, partition-parallel, shuffle-free. Each implements `doGenCode` as
+  * a call into a static kernel ([[TextHashKernels]]), so projections
+  * containing them stay inside one WholeStageCodegen span — no interpreted
+  * eval() boundary in the hot path.
   */
 object TextHash {
   val Seed = 42L // matches Spark's xxhash64 default seed
@@ -55,27 +57,28 @@ object TextHash {
     }
     out
   }
-
 }
 
-/** MinHash signature of array<string> words: array<bigint> of length
-  * `numHashes`, sig[i] = unsigned-min over shingles of the i-th 64-bit
-  * permutation (odd-multiplier affine map) of the shingle hash.
+/** Static kernels invoked from generated code (Scala top-level objects emit
+  * static forwarders, so janino sees plain static methods).
   */
-case class MinHashSignature(child: Expression, shingleSize: Int, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  private lazy val mults: Array[Long] =
-    Array.tabulate(numHashes)(TextHash.oddMultiplier)
-  override def nullSafeEval(input: Any): Any = {
-    val hs = TextHash.shingleHashes(input.asInstanceOf[ArrayData], shingleSize)
+object TextHashKernels {
+  private val multsCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Long]]()
+  private def mults(numHashes: Int): Array[Long] =
+    multsCache.computeIfAbsent(numHashes,
+      (n: Integer) => Array.tabulate(n.intValue)(TextHash.oddMultiplier))
+
+  def minhash(words: ArrayData, shingleSize: Int, numHashes: Int): ArrayData = {
+    val hs = TextHash.shingleHashes(words, shingleSize)
+    val m = mults(numHashes)
     val sig = Array.fill(numHashes)(-1L) // unsigned max
     var s = 0
     while (s < hs.length) {
       val h = hs(s)
       var i = 0
       while (i < numHashes) {
-        val v = h * mults(i) + i
+        val v = h * m(i) + i
         if (java.lang.Long.compareUnsigned(v, sig(i)) < 0) sig(i) = v
         i += 1
       }
@@ -84,16 +87,8 @@ case class MinHashSignature(child: Expression, shingleSize: Int, numHashes: Int)
     if (hs.isEmpty) java.util.Arrays.fill(sig, 0L)
     new GenericArrayData(sig)
   }
-  override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
-}
 
-/** 64-bit SimHash of array<string> words: per-bit majority vote of word
-  * hashes.
-  */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = LongType
-  override def nullSafeEval(input: Any): Any = {
-    val words = input.asInstanceOf[ArrayData]
+  def simhash(words: ArrayData): Long = {
     val n = words.numElements()
     val counts = new Array[Int](64)
     var i = 0
@@ -113,8 +108,38 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
       if (counts(b) * 2 > n) out |= (1L << b)
       b += 1
     }
-    java.lang.Long.valueOf(out)
+    out
   }
+
+  def shingles(words: ArrayData, shingleSize: Int): ArrayData =
+    new GenericArrayData(TextHash.shingleHashes(words, shingleSize))
+}
+
+/** MinHash signature of array<string> words: array<bigint> of length
+  * `numHashes`, sig[i] = unsigned-min over shingles of the i-th 64-bit
+  * permutation (odd-multiplier affine map) of the shingle hash.
+  */
+case class MinHashSignature(child: Expression, shingleSize: Int, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextHashKernels.minhash(input.asInstanceOf[ArrayData], shingleSize, numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashKernels.minhash($c, $shingleSize, $numHashes);")
+  override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
+}
+
+/** 64-bit SimHash of array<string> words: per-bit majority vote of word
+  * hashes.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(TextHashKernels.simhash(input.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashKernels.simhash($c);")
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
 }
 
@@ -123,10 +148,13 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
   * transform(shingles(words,k), xxhash64).
   */
 case class ShingleHashes(child: Expression, shingleSize: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
-    new GenericArrayData(TextHash.shingleHashes(input.asInstanceOf[ArrayData], shingleSize))
+    TextHashKernels.shingles(input.asInstanceOf[ArrayData], shingleSize)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashKernels.shingles($c, $shingleSize);")
   override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
 }
 

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftShims
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -12,80 +12,53 @@ import org.apache.spark.sql.types._
   * zip_with/aggregate run their lambdas interpretively per element; for
   * 64-1024-dim embeddings crossed against a query set that cost dominates the
   * scan. These expressions read ArrayData directly in a tight JVM loop —
-  * map-side, no shuffle, linear in corpus size.
+  * map-side, no shuffle, linear in corpus size — and codegen as static-kernel
+  * calls ([[VectorKernels]]) so the surrounding projection stays in one
+  * WholeStageCodegen span.
   */
 private object VecRead {
-  /** Read element i as double from a float or double array. */
-  def get(a: ArrayData, et: DataType, i: Int): Double = et match {
-    case FloatType => a.getFloat(i).toDouble
-    case DoubleType => a.getDouble(i)
-    case _ => throw new IllegalArgumentException(s"unsupported vector type $et")
-  }
   def elementType(dt: DataType): DataType =
     dt.asInstanceOf[ArrayType].elementType
+  def isFloat(e: Expression): Boolean = elementType(e.dataType) == FloatType
 }
 
-case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
-  override def dataType: DataType = DoubleType
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
-    val ta = VecRead.elementType(left.dataType)
-    val tb = VecRead.elementType(right.dataType)
+/** Static kernels invoked from generated code. `xFloat` flags select the
+  * float/double ArrayData accessor (decided once at plan time, branch-free
+  * per element thanks to JIT specialization on the constant).
+  */
+object VectorKernels {
+  @inline private def get(a: ArrayData, isFloat: Boolean, i: Int): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  def dot(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0; var i = 0
-    while (i < n) { s += VecRead.get(a, ta, i) * VecRead.get(b, tb, i); i += 1 }
-    java.lang.Double.valueOf(s)
+    while (i < n) { s += get(a, aFloat, i) * get(b, bFloat, i); i += 1 }
+    s
   }
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
-    copy(left = l, right = r)
-}
 
-case class L2Norm(child: Expression) extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = DoubleType
-  override def nullSafeEval(input: Any): Any = {
-    val a = input.asInstanceOf[ArrayData]
-    val t = VecRead.elementType(child.dataType)
+  def l2(a: ArrayData, aFloat: Boolean): Double = {
     var s = 0.0; var i = 0
     val n = a.numElements()
-    while (i < n) { val v = VecRead.get(a, t, i); s += v * v; i += 1 }
-    java.lang.Double.valueOf(math.sqrt(s))
+    while (i < n) { val v = get(a, aFloat, i); s += v * v; i += 1 }
+    math.sqrt(s)
   }
-  override protected def withNewChildInternal(c: Expression): L2Norm = copy(child = c)
-}
 
-case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
-  override def dataType: DataType = DoubleType
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
-    val ta = VecRead.elementType(left.dataType)
-    val tb = VecRead.elementType(right.dataType)
+  def cosine(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
-      val x = VecRead.get(a, ta, i); val y = VecRead.get(b, tb, i)
+      val x = get(a, aFloat, i); val y = get(b, bFloat, i)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
     // zero-magnitude vectors have no direction: similarity 0, not NaN
     // (NaN sorts above every number in Spark and passes >= filters)
     val denom = math.sqrt(na) * math.sqrt(nb)
-    java.lang.Double.valueOf(if (denom == 0.0) 0.0 else dot / denom)
+    if (denom == 0.0) 0.0 else dot / denom
   }
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
-    copy(left = l, right = r)
-}
 
-/** LSH band hashes of a minhash signature: array of `bands` xxhash64 values,
-  * one per contiguous rows-per-band block. Primitive-loop twin of
-  * xxhash64(concat_ws(",", slice(sig, ...))).
-  */
-case class LshBandHashes(child: Expression, bands: Int)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullSafeEval(input: Any): Any = {
-    val sig = input.asInstanceOf[ArrayData]
+  def lshBands(sig: ArrayData, bands: Int): ArrayData = {
     val n = sig.numElements()
     val r = n / bands
     val out = new Array[Long](bands)
@@ -103,38 +76,15 @@ case class LshBandHashes(child: Expression, bands: Int)
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
-  override protected def withNewChildInternal(c: Expression): LshBandHashes = copy(child = c)
-}
 
-/** Fraction of equal components between two equal-length long-array
-  * signatures (MinHash agreement = estimated Jaccard).
-  */
-case class SigMatchFraction(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
-  override def dataType: DataType = DoubleType
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+  def sigMatch(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var eq = 0; var i = 0
     while (i < n) { if (a.getLong(i) == b.getLong(i)) eq += 1; i += 1 }
-    java.lang.Double.valueOf(if (n == 0) 0.0 else eq.toDouble / n)
+    if (n == 0) 0.0 else eq.toDouble / n
   }
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): SigMatchFraction =
-    copy(left = l, right = r)
-}
 
-/** Signature of sign-projections onto fixed hyperplanes, packed into a long.
-  * The plane matrix is generated deterministically driver-side and shipped in
-  * the expression (tiny: nPlanes x dims doubles).
-  */
-case class HyperplaneSignature(child: Expression, planes: Array[Array[Double]])
-    extends UnaryExpression with CodegenFallback {
-  require(planes.length <= 64,
-    s"at most 64 hyperplanes fit a long signature, got ${planes.length}")
-  override def dataType: DataType = LongType
-  override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
-    val t = VecRead.elementType(child.dataType)
+  def hyperplane(v: ArrayData, vFloat: Boolean, planes: Array[Array[Double]]): Long = {
     val n = v.numElements()
     var sigBits = 0L
     var p = 0
@@ -142,11 +92,101 @@ case class HyperplaneSignature(child: Expression, planes: Array[Array[Double]])
       val plane = planes(p)
       var s = 0.0; var i = 0
       val m = math.min(n, plane.length)
-      while (i < m) { s += VecRead.get(v, t, i) * plane(i); i += 1 }
+      while (i < m) { s += get(v, vFloat, i) * plane(i); i += 1 }
       if (s >= 0) sigBits |= (1L << p)
       p += 1
     }
-    java.lang.Long.valueOf(sigBits)
+    sigBits
+  }
+}
+
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    java.lang.Double.valueOf(VectorKernels.dot(
+      l.asInstanceOf[ArrayData], VecRead.isFloat(left),
+      r.asInstanceOf[ArrayData], VecRead.isFloat(right)))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorKernels.dot($a, ${VecRead.isFloat(left)}, $b, ${VecRead.isFloat(right)});")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}
+
+case class L2Norm(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Double.valueOf(
+      VectorKernels.l2(input.asInstanceOf[ArrayData], VecRead.isFloat(child)))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorKernels.l2($c, ${VecRead.isFloat(child)});")
+  override protected def withNewChildInternal(c: Expression): L2Norm = copy(child = c)
+}
+
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    java.lang.Double.valueOf(VectorKernels.cosine(
+      l.asInstanceOf[ArrayData], VecRead.isFloat(left),
+      r.asInstanceOf[ArrayData], VecRead.isFloat(right)))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorKernels.cosine($a, ${VecRead.isFloat(left)}, $b, ${VecRead.isFloat(right)});")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
+    copy(left = l, right = r)
+}
+
+/** LSH band hashes of a minhash signature: array of `bands` xxhash64 values,
+  * one per contiguous rows-per-band block. Primitive-loop twin of
+  * xxhash64(concat_ws(",", slice(sig, ...))).
+  */
+case class LshBandHashes(child: Expression, bands: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.lshBands(input.asInstanceOf[ArrayData], bands)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorKernels.lshBands($c, $bands);")
+  override protected def withNewChildInternal(c: Expression): LshBandHashes = copy(child = c)
+}
+
+/** Fraction of equal components between two equal-length long-array
+  * signatures (MinHash agreement = estimated Jaccard).
+  */
+case class SigMatchFraction(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    java.lang.Double.valueOf(VectorKernels.sigMatch(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorKernels.sigMatch($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SigMatchFraction =
+    copy(left = l, right = r)
+}
+
+/** Signature of sign-projections onto fixed hyperplanes, packed into a long.
+  * The plane matrix is generated deterministically driver-side and shipped in
+  * the expression (tiny: nPlanes x dims doubles; codegen references it via
+  * addReferenceObj).
+  */
+case class HyperplaneSignature(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression {
+  require(planes.length <= 64,
+    s"at most 64 hyperplanes fit a long signature, got ${planes.length}")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(VectorKernels.hyperplane(
+      input.asInstanceOf[ArrayData], VecRead.isFloat(child), planes))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorKernels.hyperplane($c, ${VecRead.isFloat(child)}, $ref);")
   }
   override protected def withNewChildInternal(c: Expression): HyperplaneSignature = copy(child = c)
 }
