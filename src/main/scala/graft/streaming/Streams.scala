@@ -65,6 +65,24 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming near-duplicate suppression: the streaming twin of
+    * `Dedup.withMinhash` + keep-first. Signatures are map-side codegen'd
+    * expressions, so they attach to a stream unchanged; dedup keys on the
+    * full MinHash signature (documents whose shingle sets collide on every
+    * permutation are near-identical) within the watermark horizon. State is
+    * bounded by distinct signatures per horizon — the streaming analog of the
+    * batch keep-first pass.
+    */
+  def dedupNearDuplicates(docs: DataFrame, textCol: String, tsCol: String,
+      watermark: String = "2 hours", shingleSize: Int = 3,
+      numHashes: Int = 16): DataFrame =
+    docs
+      .withColumn("_minhash_sig", graft.functions.TextHashColumns
+        .minhashSignature(split(col(textCol), "\\s+"), shingleSize, numHashes))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("_minhash_sig")
+      .drop("_minhash_sig")
+
   /** Stream-static enrichment join (static side broadcast by Catalyst). */
   def enrich(events: DataFrame, dim: DataFrame, eventKey: String,
       dimKey: String): DataFrame =

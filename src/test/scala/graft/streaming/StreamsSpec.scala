@@ -45,6 +45,29 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-duplicate suppression keys on the MinHash signature") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def at(m: Int) = new java.sql.Timestamp(base.getTime + m * 60000L)
+    val textA = "the quick brown fox jumps over the lazy dog again and again"
+    val textAws = "the  quick brown fox jumps  over the lazy dog again and again"
+    val textB = "completely different content about distributed query engines"
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    in.addData((1L, at(0), textA), (2L, at(1), textAws), (3L, at(2), textB),
+      (4L, at(3), textA))
+    val docs = in.toDF().toDF("doc_id", "ts", "text")
+    val q = Streams.drainToMemory(
+      Streams.dedupNearDuplicates(docs, "text", "ts"), "t_neardup")
+    try {
+      val got = spark.table("t_neardup").select($"doc_id").as[Long].collect().sorted
+      // whitespace-variant and exact copy are suppressed; first of each
+      // signature group survives
+      assert(got.toSeq === Seq(1L, 3L))
+    } finally q.stop()
+  }
+
   test("stream-static join enriches events with a dimension") {
     import spark.implicits._
     val stream = Streams.eventStream(spark, sfDir)
