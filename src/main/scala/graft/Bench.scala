@@ -58,8 +58,10 @@ object Bench {
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
 
-    // untimed warmup: scan-heavy + window + join paths
-    Seq("q01_tpch_q1", "e01_tumbling_window", "q03_join_q3_topn").foreach { n =>
+    // untimed warmup: one full pass over the headline set, so the timed pass
+    // measures steady state (codegen compiled, JIT warm, file listings
+    // cached) rather than first-run compilation latency
+    headline.foreach { n =>
       try run(n) catch { case _: Throwable => () }
     }
 
