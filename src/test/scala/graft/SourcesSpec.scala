@@ -64,6 +64,22 @@ class SourcesSpec extends SparkSpec {
     assert(parsed.agg(sum($"v")).head().getLong(0) === 150L)
   }
 
+  test("sequencefile round-trip via the RDD bridge (HiveSequenceFileInputFormat analog)") {
+    import spark.implicits._
+    val dir = tmp("seq")
+    // write (key=p_partkey, value=p_name) as a Hadoop SequenceFile
+    sample.select($"p_partkey", $"p_name").limit(50)
+      .rdd.map(r => (r.getLong(0), r.getString(1)))
+      .saveAsSequenceFile(dir)
+    val back = spark.sparkContext
+      .sequenceFile[Long, String](dir)
+      .toDF("p_partkey", "p_name")
+    assert(back.count() === 50)
+    val orig = sample.select($"p_partkey", $"p_name").limit(50)
+      .as[(Long, String)].collect().toMap
+    assert(back.as[(Long, String)].collect().toMap === orig)
+  }
+
   test("schema merging across evolving parquet files") {
     import spark.implicits._
     val dir = tmp("merge")
