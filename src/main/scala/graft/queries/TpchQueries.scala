@@ -202,5 +202,55 @@ object TpchQueries {
         |  WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
         |    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) custsale
         |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin),
+
+    // Q2 shape (no partsupp: lineitem is the part-supplier bridge): cheapest
+    // source per part via a correlated scalar min subquery.
+    both("t02_min_cost_supplier",
+      """SELECT DISTINCT p.p_partkey, s.s_name, s.s_acctbal
+        |FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |WHERE p.p_size < 15
+        |  AND l.l_extendedprice = (SELECT min(l2.l_extendedprice)
+        |    FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+        |ORDER BY s.s_acctbal DESC, p.p_partkey, s.s_name LIMIT 20""".stripMargin),
+
+    // Q11 shape: parts whose revenue share exceeds 1.5x the mean share —
+    // HAVING against global scalar subqueries, scale-free (threshold relative
+    // to the part population) and kept exact by cross-multiplying decimals
+    // instead of dividing.
+    both("t11_part_value_share",
+      """SELECT l_partkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS part_value
+        |FROM lineitem GROUP BY l_partkey
+        |HAVING sum(CAST(l_extendedprice AS DECIMAL(18,2))) *
+        |    (SELECT count(DISTINCT l_partkey) FROM lineitem) * 2 >
+        |  (SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2))) FROM lineitem) * 3
+        |ORDER BY part_value DESC, l_partkey""".stripMargin),
+
+    // Q16 shape: distinct supplier count per part attribute, excluding a
+    // NOT IN supplier subquery.
+    both("t16_supplier_counts",
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size IN (5, 15, 25, 35)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin),
+
+    // Q20 shape: suppliers moving an above-average share of promo-part
+    // quantity — nested IN subqueries with a grouped HAVING, division-free
+    // (decimal cross-multiply) so both engines compare exactly.
+    both("t20_promo_suppliers",
+      """SELECT s_name, s_nationkey
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+        |  GROUP BY l_suppkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) *
+        |      (SELECT count(*) FROM supplier) >
+        |    (SELECT sum(CAST(l_quantity AS DECIMAL(12,2))) FROM lineitem
+        |     WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')))
+        |ORDER BY s_name""".stripMargin),
   )
 }
