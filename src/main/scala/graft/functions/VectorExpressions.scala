@@ -19,7 +19,16 @@ import org.apache.spark.sql.types._
 private object VecRead {
   def elementType(dt: DataType): DataType =
     dt.asInstanceOf[ArrayType].elementType
-  def isFloat(e: Expression): Boolean = elementType(e.dataType) == FloatType
+  /** True for float arrays, false for double arrays; anything else is an
+    * error — reading int storage through getDouble would silently produce
+    * garbage similarity scores.
+    */
+  def isFloat(e: Expression): Boolean = elementType(e.dataType) match {
+    case FloatType => true
+    case DoubleType => false
+    case other => throw new IllegalArgumentException(
+      s"vector expressions require array<float> or array<double>, got array<$other>")
+  }
 }
 
 /** Static kernels invoked from generated code. `xFloat` flags select the

@@ -73,7 +73,11 @@ object Rollup {
     }
     /** rollup of partials (operates on `_pre_<name>`) */
     def merge(a: Agg): Column = kind match {
-      case SumAgg | CountAgg => sum(col(s"_pre_${a.name}"))
+      case SumAgg => sum(col(s"_pre_${a.name}"))
+      // sum-of-counts over an empty pre-aggregate is NULL, but count over
+      // empty input is 0 — coalesce keeps the global (empty-set) branch
+      // faithful to native count semantics
+      case CountAgg => coalesce(sum(col(s"_pre_${a.name}")), lit(0L))
       case MinAgg => min(col(s"_pre_${a.name}"))
       case MaxAgg => max(col(s"_pre_${a.name}"))
     }

@@ -40,7 +40,7 @@ object Dml {
     // drop any cached file listing for the swapped path
     spark.catalog.refreshByPath(table)
     // drop materialized views built over this path — they are now stale
-    MaterializedViews.invalidateSource(table)
+    MaterializedViews.invalidateSource(spark, table)
   }
 
   /** DELETE FROM table WHERE cond. */
@@ -67,19 +67,24 @@ object Dml {
     * Planned as one full-outer join + projection — the declarative equivalent
     * of Hive's rewrite-to-multi-insert.
     *
-    * Standard MERGE (including Hive's) raises a cardinality violation when the
-    * source has multiple rows per key — otherwise each matched target row
-    * would silently be duplicated in the post-image. Enforced here with a
-    * pre-join duplicate-key check.
+    * Standard MERGE (including Hive's) raises a cardinality violation when
+    * multiple source rows MATCH the same target row — otherwise each matched
+    * target row would silently be duplicated in the post-image. Enforced with
+    * a pre-join check on duplicate source keys that exist in the target
+    * (duplicate keys absent from the target are legal: both rows insert;
+    * NULL keys never match anything).
     */
   def merge(spark: SparkSession, table: String, source: DataFrame,
       targetKey: String, sourceKey: String,
       whenMatchedSet: Map[String, Column] = Map.empty,
       whenMatchedDelete: Boolean = false): Unit = {
-    val dup = source.groupBy(col(sourceKey)).count().filter(col("count") > 1).limit(1).collect()
+    val targetKeys = spark.read.parquet(table).select(col(targetKey).as(sourceKey))
+    val dup = source.join(targetKeys, Seq(sourceKey), "left_semi")
+      .filter(col(sourceKey).isNotNull)
+      .groupBy(col(sourceKey)).count().filter(col("count") > 1).limit(1).collect()
     if (dup.nonEmpty)
       throw new IllegalStateException(
-        s"MERGE cardinality violation: source has multiple rows for $sourceKey=${dup.head.get(0)}")
+        s"MERGE cardinality violation: multiple source rows match target $sourceKey=${dup.head.get(0)}")
     val t = spark.read.parquet(table).as("t")
     val s = source.as("s")
     val cols = spark.read.parquet(table).columns
@@ -106,7 +111,7 @@ object Dml {
   def insertInto(spark: SparkSession, table: String, rows: DataFrame): Unit = {
     rows.write.mode("append").parquet(table)
     spark.catalog.refreshByPath(table)
-    MaterializedViews.invalidateSource(table)
+    MaterializedViews.invalidateSource(spark, table)
   }
 
   /** Multi-insert: FROM src INSERT INTO a SELECT ... INSERT INTO b SELECT ...
@@ -119,7 +124,8 @@ object Dml {
     val cached = source.cache()
     try sinks.foreach { case (f, path) =>
       f(cached).write.mode("append").parquet(path)
-      MaterializedViews.invalidateSource(path)
+      spark.catalog.refreshByPath(path)
+      MaterializedViews.invalidateSource(spark, path)
     } finally cached.unpersist()
   }
 }

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Cast, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Cast, Coalesce, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -20,81 +20,111 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *   2. **Aggregate rollup (containment)**: a query `Aggregate` whose child
   *      matches the MV's aggregate child and whose grouping keys are a subset
   *      of the MV's is answered from the MV by re-aggregating: `sum→sum of
-  *      sums`, `count→sum of counts`, `min/max→min/max of min/maxes`
-  *      (the Calcite `AggregateProjectPullUpConstantsRule`-family capability,
-  *      ref calcite/rules/views/HiveMaterializedViewRule.java). A residual
-  *      filter under the query aggregate is allowed when it touches only MV
-  *      grouping keys.
+  *      sums`, `count→sum of counts` (coalesced to 0 over an empty MV),
+  *      `min/max→min/max of min/maxes` (the Calcite
+  *      `AggregateProjectPullUpConstantsRule`-family capability, ref
+  *      calcite/rules/views/HiveMaterializedViewRule.java). Aggregates with a
+  *      FILTER clause or DISTINCT never match. A residual filter under the
+  *      query aggregate is allowed when it touches only MV grouping keys.
   *
-  * Freshness: each MV records the source paths its plan scans. DML writers
-  * ([[Dml]] copy-on-write swaps and appends) invalidate every MV built over
-  * the written path, so the registry never serves data staler than the last
-  * DML through this engine. Out-of-band writes to the files (a foreign job
+  * Freshness: each MV records the (fully-qualified) source paths its plan
+  * scans. DML writers ([[Dml]] copy-on-write swaps and appends) invalidate
+  * every registered MV over the written path — across all live sessions in
+  * the process — so the registry never serves data staler than the last DML
+  * through this engine. Out-of-band writes to the files (a foreign job
   * rewriting the parquet directly) are outside the staleness contract — same
   * as Hive's, which gates rewrite on metastore transaction ids it can see.
   *
-  * Registries are scoped per session (weak keys), mirroring Hive's
-  * per-metastore registry; a dropped session drops its MVs.
+  * Ownership: each session's [[MvRewriteRule]] owns its registry, and the
+  * session itself holds the rule (via `experimental.extraOptimizations` or
+  * the spark.sql.extensions injection). MV plans reference their session, so
+  * the whole MV graph is garbage-collected with the session; the only
+  * process-wide structure is a weak set of live rules used for cross-session
+  * invalidation (keys weak, values primitive — no value→key strong chain).
   */
 object MaterializedViews {
 
   final case class Mv(name: String, plan: LogicalPlan, path: String, sources: Set[String])
 
-  private val registries =
+  private val liveRules =
     java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, Mv]]())
+      new java.util.WeakHashMap[MvRewriteRule, java.lang.Boolean]())
 
-  private def registryFor(spark: SparkSession) = registries.synchronized {
-    var r = registries.get(spark)
-    if (r == null) {
-      r = new java.util.concurrent.ConcurrentHashMap[String, Mv]()
-      registries.put(spark, r)
-    }
-    r
+  private def rules: Seq[MvRewriteRule] = liveRules.synchronized {
+    import scala.jdk.CollectionConverters._
+    liveRules.keySet.asScala.toSeq
   }
 
-  /** Scheme-less normal form so `file:/x/y` (scan rootPaths) and `/x/y`
-    * (user-supplied table dirs) compare equal.
+  /** Fully-qualified URI form (scheme + authority + absolute path) so
+    * user-supplied table dirs compare equal to scan rootPaths, and paths on
+    * different filesystems never collide.
     */
-  private def normPath(p: String): String =
-    new org.apache.hadoop.fs.Path(p).toUri.getPath
+  private def qualify(spark: SparkSession, p: String): String = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(path).toString
+  }
 
+  /** Scan roots are already qualified by the file index. */
   private def sourcePaths(plan: LogicalPlan): Set[String] =
     plan.collect {
       case l: LogicalRelation => l.relation match {
-        case fs: HadoopFsRelation => fs.location.rootPaths.map(p => normPath(p.toString))
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
         case _ => Seq.empty[String]
       }
     }.flatten.toSet
 
+  private def ruleFor(spark: SparkSession): MvRewriteRule = {
+    val existing = spark.experimental.extraOptimizations
+      .collectFirst { case r: MvRewriteRule => r }
+      .orElse(rules.find(_.session eq spark)) // spark.sql.extensions-injected
+    existing.getOrElse {
+      val r = new MvRewriteRule(spark)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ r
+      r
+    }
+  }
+
+  /** Install the rewrite rule on a session (idempotent). */
+  def install(spark: SparkSession): Unit = { ruleFor(spark); () }
+
   /** CREATE MATERIALIZED VIEW name AS <df>, stored at `path`. */
   def create(spark: SparkSession, name: String, df: DataFrame, path: String): Unit = {
     df.write.mode("overwrite").parquet(path)
-    registryFor(spark).put(name,
-      Mv(name, df.queryExecution.optimizedPlan, path, sourcePaths(df.queryExecution.optimizedPlan)))
+    val plan = df.queryExecution.optimizedPlan
+    ruleFor(spark).registry.put(name,
+      Mv(name, plan, qualify(spark, path), sourcePaths(plan)))
   }
 
-  def drop(spark: SparkSession, name: String): Unit = registryFor(spark).remove(name)
+  def drop(spark: SparkSession, name: String): Unit =
+    ruleFor(spark).registry.remove(name)
 
   def registered(spark: SparkSession): Seq[Mv] = {
     import scala.jdk.CollectionConverters._
-    registryFor(spark).values.asScala.toSeq
+    ruleFor(spark).registry.values.asScala.toSeq
   }
 
   /** Invalidate every MV (in every live session) whose sources include
     * `table` — called by [[Dml]] after any write to that path.
     */
-  def invalidateSource(table: String): Unit = {
-    val p = normPath(table)
-    registries.synchronized {
-      registries.values.forEach { reg =>
-        reg.values.removeIf(mv => mv.sources.contains(p) || normPath(mv.path) == p)
-      }
-    }
+  def invalidateSource(spark: SparkSession, table: String): Unit = {
+    val q = qualify(spark, table)
+    rules.foreach(_.registry.values.removeIf(mv =>
+      mv.sources.contains(q) || mv.path == q))
   }
 
   /** Rewrite rule: exact-subtree substitution + aggregate-rollup containment. */
   class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
+    private[plans] val session: SparkSession = spark
+    private[plans] val registry =
+      new java.util.concurrent.ConcurrentHashMap[String, Mv]()
+    liveRules.put(this, java.lang.Boolean.TRUE)
+
+    private def mvs: Seq[Mv] = {
+      import scala.jdk.CollectionConverters._
+      registry.values.asScala.toSeq
+    }
 
     private def mvScan(mv: Mv): LogicalPlan =
       spark.read.parquet(mv.path).queryExecution.analyzed
@@ -107,7 +137,7 @@ object MaterializedViews {
         Alias(if (a.dataType == o.dataType) a else Cast(a, o.dataType), o.name)(exprId = o.exprId)
       }, scan)
 
-    private def exact(p: LogicalPlan, mvs: Seq[Mv]): Option[LogicalPlan] =
+    private def exact(p: LogicalPlan): Option[LogicalPlan] =
       mvs.find(_.plan.sameResult(p)).map(mv => remap(p.output, mvScan(mv)))
 
     /** Peel column-pruning Projects and Filters off an aggregate child,
@@ -126,7 +156,7 @@ object MaterializedViews {
     /** Aggregate-rollup: answer `Aggregate(gq, aq, [proj/filter] base)` from an
       * MV `Aggregate(gm, am, [proj/filter] base')` with `base sameResult base'`.
       */
-    private def rollup(p: LogicalPlan, mvs: Seq[Mv]): Option[LogicalPlan] = p match {
+    private def rollup(p: LogicalPlan): Option[LogicalPlan] = p match {
       case q @ Aggregate(gq, aq, qbelow, _) =>
         val (baseQ, qcond) = peel(qbelow)
         mvs.iterator.flatMap { mv =>
@@ -174,10 +204,11 @@ object MaterializedViews {
               if gm.exists(_.canonicalized == a.canonicalized) &&
                 a.canonicalized == mapped.canonicalized => i
         }
-      // Index of an MV aggregate output matching an aggregate function.
+      // Index of an MV aggregate output matching an aggregate function
+      // (plain aggregates only: no DISTINCT, no FILTER clause).
       def mvAggIdx(f: AggregateFunction => Boolean): Option[Int] =
         am.zipWithIndex.collectFirst {
-          case (Alias(AggregateExpression(af, _, false, _, _), _), i) if f(af) => i
+          case (Alias(AggregateExpression(af, _, false, None, _), _), i) if f(af) => i
         }
 
       val scan = mvScan(mv)
@@ -221,24 +252,27 @@ object MaterializedViews {
           case a: Attribute => (a, a.name, a.exprId)
         }
         val derived: Option[Expression] = inner match {
-          case AggregateExpression(af, _, false, _, _) =>
+          // plain aggregates only — DISTINCT or FILTER on the query side is
+          // not derivable from an unfiltered MV aggregate
+          case AggregateExpression(af, _, false, None, _) =>
             af match {
               case Sum(e, _) =>
                 inMvSpace(e).flatMap(m => mvAggIdx {
                   case Sum(me, _) => me.canonicalized == m.canonicalized
                   case _ => false
                 }).map(i => agg(Sum(scanAttr(i))))
-              case Count(es) =>
-                // count(*) / count(lit): every MV row covers `count` raws
-                inMvSpace(es.headOption.getOrElse(org.apache.spark.sql.catalyst.expressions.Literal(1)))
-                  .flatMap { m =>
-                    mvAggIdx {
-                      case Count(mes) =>
-                        val me = mes.headOption.getOrElse(org.apache.spark.sql.catalyst.expressions.Literal(1))
-                        me.canonicalized == m.canonicalized || (me.foldable && m.foldable)
-                      case _ => false
-                    }
-                  }.map(i => agg(Sum(scanAttr(i))))
+              case Count(es) if es.length <= 1 =>
+                // count(*) ≡ count(1); multi-arg count never matches
+                val qArg = es.headOption.getOrElse(Literal(1))
+                inMvSpace(qArg).flatMap { m =>
+                  mvAggIdx {
+                    case Count(mes) if mes.length <= 1 =>
+                      mes.headOption.getOrElse(Literal(1)).canonicalized == m.canonicalized
+                    case _ => false
+                  }
+                }.map(i =>
+                  // sum-of-counts is NULL over an empty MV; count is 0
+                  Coalesce(Seq(agg(Sum(scanAttr(i))), Literal(0L))))
               case Min(e) =>
                 inMvSpace(e).flatMap(m => mvAggIdx {
                   case Min(me) => me.canonicalized == m.canonicalized
@@ -266,18 +300,10 @@ object MaterializedViews {
     }
 
     override def apply(plan: LogicalPlan): LogicalPlan = {
-      val mvs = registered(spark)
-      if (mvs.isEmpty) return plan
+      if (registry.isEmpty) return plan
       plan.transformUp {
-        case p => exact(p, mvs).orElse(rollup(p, mvs)).getOrElse(p)
+        case p => exact(p).orElse(rollup(p)).getOrElse(p)
       }
     }
-  }
-
-  /** Install the rewrite rule on a session (idempotent). */
-  def install(spark: SparkSession): Unit = {
-    val existing = spark.experimental.extraOptimizations
-    if (!existing.exists(_.isInstanceOf[MvRewriteRule]))
-      spark.experimental.extraOptimizations = existing :+ new MvRewriteRule(spark)
   }
 }

@@ -78,7 +78,8 @@ object Streams {
       numHashes: Int = 16): DataFrame =
     docs
       .withColumn("_minhash_sig", graft.functions.TextHashColumns
-        .minhashSignature(split(col(textCol), "\\s+"), shingleSize, numHashes))
+        .minhashSignature(graft.operators.TextAnalysis.tokens(col(textCol)),
+          shingleSize, numHashes))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("_minhash_sig")
       .drop("_minhash_sig")

@@ -38,6 +38,21 @@ class RollupSpec extends SparkSpec {
     assert(got.map(_.toSeq).toSeq === want.map(_.toSeq).toSeq)
   }
 
+  test("empty input: global set yields count 0, keyed sets yield no rows (native parity)") {
+    import spark.implicits._
+    val empty = Engine.table(spark, sfDir, "lineitem").filter(lit(false))
+    val got = Rollup.groupingSets(empty,
+      keys = Seq("l_returnflag"),
+      sets = Seq(Seq("l_returnflag"), Seq.empty),
+      aggs = Seq(Rollup.Agg("n", lit(1), Rollup.CountAgg),
+        Rollup.Agg("sq", $"l_quantity", Rollup.SumAgg)))
+      .collect()
+    assert(got.length === 1) // only the () set emits a row
+    val r = got.head
+    assert(r.getAs[Long]("n") === 0L)
+    assert(r.isNullAt(r.fieldIndex("sq"))) // sum over empty is NULL, like native
+  }
+
   test("the rollup branches reuse one fine-grain aggregate exchange") {
     import spark.implicits._
     val li = Engine.table(spark, sfDir, "lineitem")

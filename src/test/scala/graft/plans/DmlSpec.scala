@@ -74,6 +74,29 @@ class DmlSpec extends SparkSpec {
     assert(after.filter($"o_orderkey" % 100 === 0).count() === 0)
   }
 
+  test("merge cardinality: duplicate matched keys throw, duplicate unmatched keys insert") {
+    import spark.implicits._
+    val t = scratchOrders()
+    def srcRow(key: Long, price: Double) = spark.range(1).select(
+      lit(key).as("o_orderkey"), lit(1L).as("o_custkey"),
+      lit("N").as("o_orderstatus"), lit(price).as("o_totalprice"),
+      to_timestamp(lit("2020-01-01 00:00:00")).as("o_orderdate"),
+      lit("1-URGENT").as("o_orderpriority"))
+    // two source rows for an UNMATCHED key: legal, both insert
+    val n = spark.read.parquet(t).count()
+    Dml.merge(spark, t, srcRow(7777771L, 1.0).union(srcRow(7777771L, 2.0)),
+      "o_orderkey", "o_orderkey")
+    assert(spark.read.parquet(t).count() === n + 2)
+    // two source rows for a MATCHED key: cardinality violation
+    val matched = spark.read.parquet(t).select($"o_orderkey").limit(1).head().getLong(0)
+    val ex = intercept[IllegalStateException] {
+      Dml.merge(spark, t, srcRow(matched, 1.0).union(srcRow(matched, 2.0)),
+        "o_orderkey", "o_orderkey",
+        whenMatchedSet = Map("o_totalprice" -> col("s.o_totalprice")))
+    }
+    assert(ex.getMessage.contains("cardinality"))
+  }
+
   test("multiInsert fans one source scan into several sinks") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_mi_").toString

@@ -132,6 +132,34 @@ class MaterializedViewsSpec extends SparkSpec {
     } finally MaterializedViews.drop(spark, "block_mv")
   }
 
+  test("a FILTER-clause aggregate blocks the rollup rewrite") {
+    import spark.implicits._
+    Engine.configure(spark)
+    val li = Engine.table(spark, sfDir, "lineitem")
+    val path = mvPath("filteragg_mv")
+    MaterializedViews.create(spark, "filteragg_mv",
+      li.groupBy($"l_returnflag", $"l_linestatus").agg(sum($"l_quantity").as("sq")),
+      path)
+    try {
+      li.createOrReplaceTempView("li_mv_fagg")
+      // FILTER (WHERE ...) must NOT be answered from the unfiltered MV sums
+      val q = spark.sql(
+        """SELECT l_returnflag,
+          |  sum(l_quantity) FILTER (WHERE l_discount > 0.05) AS sq
+          |FROM li_mv_fagg GROUP BY l_returnflag""".stripMargin)
+      val scans = q.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.rootPaths.mkString(",")
+      }
+      assert(!scans.exists(_.contains(new java.io.File(path).getName)))
+      // and the filtered result is correct
+      val want = li.filter($"l_discount" > 0.05).groupBy($"l_returnflag")
+        .agg(sum($"l_quantity")).orderBy($"l_returnflag").collect().map(_.toSeq).toSeq
+      assert(q.orderBy($"l_returnflag").collect().map(_.toSeq).toSeq === want)
+    } finally MaterializedViews.drop(spark, "filteragg_mv")
+  }
+
   test("DML through the engine invalidates MVs over the written path") {
     import spark.implicits._
     Engine.configure(spark)
