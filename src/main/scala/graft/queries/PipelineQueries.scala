@@ -231,5 +231,25 @@ object PipelineQueries {
         threshold = 0.8)
         .orderBy($"id_a", $"id_b")
     },
+
+    // Multimodal binary-column pipeline: per-partition feature extraction
+    // (histogram + entropy) over opaque payloads, summarized per media kind.
+    // Deterministic stub codec; plumbing (schema, partitioning, batch shape)
+    // is the real operator — MultimodalSpec covers the components.
+    rowsOnly("p18_media_features") { (spark, dir) =>
+      graft.operators.Multimodal.mediaSummary(
+        graft.operators.Multimodal.syntheticMediaTable(spark, dir))
+    },
+
+    // Frame sampling: 1 video row -> N frame rows (UDTF shape), counted per
+    // media id to keep the output scalar-only.
+    rowsOnly("p19_frame_sample") { (spark, dir) =>
+      import spark.implicits._
+      graft.operators.Multimodal.sampleFrames(
+        graft.operators.Multimodal.syntheticMediaTable(spark, dir))
+        .groupBy($"media_id")
+        .agg(count(lit(1)).as("n_frames"), max($"frame_idx").as("max_idx"))
+        .orderBy($"media_id")
+    },
   )
 }
