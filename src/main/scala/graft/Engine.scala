@@ -86,4 +86,11 @@ object Engine {
     }
     spark
   }
+
+  /** The thin SQL front door (SURVEY §7): `spark.sql` after the engine's
+    * registrations — functions, MV rewrite, and the data-dir tables are all
+    * in place, so HiveQL-shaped statements run unchanged.
+    */
+  def sql(spark: SparkSession, sfDir: String, query: String): DataFrame =
+    register(spark, sfDir).sql(query)
 }

@@ -27,4 +27,10 @@ class EngineSpec extends SparkSpec {
     val qs = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
   }
+
+  test("Engine.sql front door: registrations + tables in one call") {
+    val df = Engine.sql(spark, sfDir,
+      "SELECT field(r_name, 'AMERICA', 'ASIA') AS f FROM region WHERE r_regionkey = 2")
+    assert(df.head().getInt(0) === 2) // engine-registered function over a testdata view
+  }
 }
