@@ -678,6 +678,24 @@ object FunctionQueries {
         |  CAST(unhex(hex(o_orderpriority)) AS STRING) AS rt
         |FROM orders WHERE o_orderkey < 150 ORDER BY o_orderkey""".stripMargin)),
 
+    // ANSI EXTRACT(field FROM source) syntax — same text in both engines.
+    q("f28_extract_syntax",
+      """SELECT o_orderkey,
+        |  CAST(extract(YEAR FROM o_orderdate) AS INT) AS y,
+        |  CAST(extract(QUARTER FROM o_orderdate) AS INT) AS q,
+        |  CAST(extract(MONTH FROM o_orderdate) AS INT) AS m,
+        |  CAST(extract(DAY FROM o_orderdate) AS INT) AS d,
+        |  CAST(extract(HOUR FROM o_orderdate) AS INT) AS h
+        |FROM orders WHERE o_orderkey < 250 ORDER BY o_orderkey""".stripMargin
+    )(sqlQ(
+      """SELECT o_orderkey,
+        |  CAST(extract(YEAR FROM o_orderdate) AS INT) AS y,
+        |  CAST(extract(QUARTER FROM o_orderdate) AS INT) AS q,
+        |  CAST(extract(MONTH FROM o_orderdate) AS INT) AS m,
+        |  CAST(extract(DAY FROM o_orderdate) AS INT) AS d,
+        |  CAST(extract(HOUR FROM o_orderdate) AS INT) AS h
+        |FROM orders WHERE o_orderkey < 250 ORDER BY o_orderkey""".stripMargin)),
+
     // Variant type (SURVEY §1.2: Hive `variant` → Spark 4 VariantType):
     // parse_json into a real VARIANT value, typed extraction via variant_get,
     // dynamic field presence, round-trip through to_json. The oracle reads the

@@ -51,6 +51,32 @@ class GoldenScriptSpec extends SparkSpec {
     assert(got === golden)
   }
 
+  test("golden: negative script records the error class (clientnegative analog)") {
+    // Hive's clientnegative suite asserts expected failures; here a failing
+    // statement renders as ERROR(<exception class>) and the script continues.
+    def runNegative(script: String): String =
+      script.split(";").map(_.trim).filter(_.nonEmpty).map { stmt =>
+        val head = s"> ${stmt.replaceAll("\\s+", " ")}"
+        val body =
+          try { spark.sql(stmt).collect(); "OK" }
+          catch { case e: Exception => s"ERROR(${e.getClass.getSimpleName})" }
+        s"$head\n$body"
+      }.mkString("\n")
+    Engine.register(spark, sfDir)
+    val got = runNegative(
+      """SELECT no_such_column FROM region;
+        |SELECT r_name FROM no_such_table;
+        |SELECT count(*) FROM region""".stripMargin)
+    val golden =
+      """> SELECT no_such_column FROM region
+        |ERROR(ExtendedAnalysisException)
+        |> SELECT r_name FROM no_such_table
+        |ERROR(ExtendedAnalysisException)
+        |> SELECT count(*) FROM region
+        |OK""".stripMargin
+    assert(got === golden)
+  }
+
   test("golden: testdata aggregate over the TPC-H fixture") {
     val got = runScript(
       """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey;
