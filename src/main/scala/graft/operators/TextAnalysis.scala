@@ -110,4 +110,58 @@ object TextAnalysis {
       .withColumn("fp_xor", aggregate(hs, lit(0L), (acc, h) => acc.bitwiseXOR(h)))
       .withColumn("n_shingles", size(hs).cast("long"))
   }
+
+  /** Word-bigram list of a document ("w1 w2", "w2 w3", ...). */
+  def bigrams(text: Column): Column = {
+    val ws = tokens(text)
+    zip_with(slice(ws, lit(1), greatest(size(ws) - 1, lit(0))),
+      slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+  }
+
+  /** Repetition metrics (Gopher-rules-style corpus hygiene): duplicate-word
+    * count and the most-frequent-bigram share per document. Computed
+    * relationally (explode → count → max per doc) so the per-document cost is
+    * O(bigrams), not O(bigrams²) interpreted lambdas — the shuffle is keyed
+    * by doc id and carries one row per distinct bigram.
+    */
+  def repetitionMetrics(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val base = df.select(col(idCol),
+      size(tokens(text)).cast("long").as("n_words"),
+      size(array_distinct(tokens(text))).cast("long").as("n_distinct_words"),
+      bigrams(text).as("_bg"))
+    val perBigram = base
+      .select(col(idCol), col("n_words"), col("n_distinct_words"),
+        explode(col("_bg")).as("_b"))
+      .groupBy(col(idCol), col("n_words"), col("n_distinct_words"), col("_b"))
+      .agg(count(lit(1)).as("_cnt"))
+    perBigram
+      .groupBy(col(idCol), col("n_words"), col("n_distinct_words"))
+      .agg(sum(col("_cnt")).as("n_bigrams"), max(col("_cnt")).as("top_bigram_cnt"))
+      .withColumn("dup_word_cnt", col("n_words") - col("n_distinct_words"))
+      .withColumn("top_bigram_ratio",
+        round(col("top_bigram_cnt").cast("double") /
+          greatest(col("n_bigrams"), lit(1L)), 4))
+  }
+
+  /** PII scrubbing: emails, phone numbers, and IPv4 literals replaced with
+    * typed placeholders. Patterns are RE2-safe (portable) and the operator is
+    * a pure codegen'd projection — scan-speed at any scale. Extends the
+    * reference's masking surface (GenericUDFMask*) to free-text columns.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\d{3}[-.]\\d{3}[-.]\\d{4}" -> "<PHONE>",
+    "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}" -> "<IP>")
+
+  def scrubPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
+  def withScrubbedText(df: DataFrame, textCol: String = "text",
+      outCol: String = "text_scrubbed"): DataFrame =
+    df.withColumn(outCol, scrubPii(col(textCol)))
 }

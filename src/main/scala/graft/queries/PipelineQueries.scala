@@ -232,6 +232,57 @@ object PipelineQueries {
         .orderBy($"id_a", $"id_b")
     },
 
+    // Repetition metrics (Gopher-rules corpus hygiene): duplicate words and
+    // most-frequent-bigram share per document, computed relationally.
+    q("p20_repetition_metrics",
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(trim(text), ' '), w -> w <> '')) AS BIGINT) AS n_words,
+        |    CAST(len(list_distinct(list_filter(string_split(trim(text), ' '), w -> w <> ''))) AS BIGINT) AS n_distinct_words,
+        |    unnest(list_transform(range(1, len(list_filter(string_split(trim(text), ' '), w -> w <> ''))),
+        |      i -> list_filter(string_split(trim(text), ' '), w -> w <> '')[i] || ' '
+        |        || list_filter(string_split(trim(text), ' '), w -> w <> '')[i+1])) AS bg
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_words, n_distinct_words, bg, count(*) AS cnt
+        |  FROM b GROUP BY ALL)
+        |SELECT doc_id, n_words, n_distinct_words,
+        |  CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+        |  CAST(max(cnt) AS BIGINT) AS top_bigram_cnt,
+        |  n_words - n_distinct_words AS dup_word_cnt,
+        |  round(CAST(max(cnt) AS DOUBLE) / greatest(CAST(sum(cnt) AS BIGINT), 1), 4) AS top_bigram_ratio
+        |FROM c GROUP BY doc_id, n_words, n_distinct_words
+        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      TextAnalysis.repetitionMetrics(t(spark, dir, "documents"))
+        .select($"doc_id", $"n_words", $"n_distinct_words", $"n_bigrams",
+          $"top_bigram_cnt", $"dup_word_cnt", $"top_bigram_ratio")
+        .orderBy($"doc_id")
+    },
+
+    // PII scrubbing over synthesized free text (emails, phones, IPv4 →
+    // typed placeholders); extends the reference's mask family to free text.
+    q("p21_pii_scrub",
+      """SELECT c_custkey,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    c_name || ' <' || lower(replace(c_name, '#', '.')) || '@example.com> call 555-'
+        |      || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-'
+        |      || lpad(CAST(c_custkey AS VARCHAR), 4, '0')
+        |      || ' from 10.0.' || CAST(c_custkey % 256 AS VARCHAR) || '.7',
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\d{3}[-.]\d{3}[-.]\d{4}', '<PHONE>', 'g'),
+        |    '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g') AS scrubbed
+        |FROM customer WHERE c_custkey < 120 ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val raw = concat($"c_name", lit(" <"),
+        lower(regexp_replace($"c_name", "#", ".")), lit("@example.com> call 555-"),
+        lpad(($"c_custkey" % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad($"c_custkey".cast("string"), 4, "0"),
+        lit(" from 10.0."), ($"c_custkey" % 256).cast("string"), lit(".7"))
+      t(spark, dir, "customer").filter($"c_custkey" < 120)
+        .select($"c_custkey", TextAnalysis.scrubPii(raw).as("scrubbed"))
+        .orderBy($"c_custkey")
+    },
+
     // Multimodal binary-column pipeline: per-partition feature extraction
     // (histogram + entropy) over opaque payloads, summarized per media kind.
     // Deterministic stub codec; plumbing (schema, partitioning, batch shape)

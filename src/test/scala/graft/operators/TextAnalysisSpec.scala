@@ -57,4 +57,33 @@ class TextAnalysisSpec extends SparkSpec {
     val distinct = fp1.select($"fp_min").distinct().count()
     assert(distinct > 45)
   }
+
+  test("repetition metrics on known text") {
+    import spark.implicits._
+    // "a b a b c": 5 words, 3 distinct, bigrams [a b, b a, a b, b c] -> top 2/4
+    val df = Seq((1L, "a b a b c"), (2L, "x y z w")).toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionMetrics(df).orderBy($"doc_id").collect()
+    assert(m(0).getAs[Long]("n_words") === 5L)
+    assert(m(0).getAs[Long]("n_distinct_words") === 3L)
+    assert(m(0).getAs[Long]("dup_word_cnt") === 2L)
+    assert(m(0).getAs[Long]("n_bigrams") === 4L)
+    assert(m(0).getAs[Long]("top_bigram_cnt") === 2L)
+    assert(m(0).getAs[Double]("top_bigram_ratio") === 0.5)
+    assert(m(1).getAs[Long]("top_bigram_cnt") === 1L)
+  }
+
+  test("PII scrubbing replaces emails, phones, and IPs with placeholders") {
+    import spark.implicits._
+    val df = Seq(
+      "mail bob.smith+x@corp.example.org now",
+      "call 555-123-4567 or 555.987.6543",
+      "host 192.168.0.1 responded",
+      "clean text stays untouched").toDF("text")
+    val got = TextAnalysis.withScrubbedText(df).select($"text_scrubbed")
+      .as[String].collect()
+    assert(got(0) === "mail <EMAIL> now")
+    assert(got(1) === "call <PHONE> or <PHONE>")
+    assert(got(2) === "host <IP> responded")
+    assert(got(3) === "clean text stays untouched")
+  }
 }
