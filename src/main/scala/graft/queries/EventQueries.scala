@@ -106,5 +106,34 @@ object EventQueries {
           countDistinct($"user_id").as("n_users"))
         .orderBy($"day", $"event_type")
     },
+
+    // Ordered funnel conversion (view -> click -> purchase by earliest
+    // occurrence per user): one shuffle keyed by user, conditional min
+    // aggregation — the sessionized-funnel shape Hive answers with PTFs.
+    q("e06_funnel",
+      """WITH s AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        |    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+        |  FROM events GROUP BY user_id)
+        |SELECT count(*) AS n_users,
+        |  CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS viewed,
+        |  CAST(sum(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS clicked_after,
+        |  CAST(sum(CASE WHEN t_click > t_view AND t_buy > t_click THEN 1 ELSE 0 END) AS BIGINT) AS purchased_after
+        |FROM s""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      t(spark, dir, "events")
+        .groupBy($"user_id")
+        .agg(
+          min(when($"event_type" === "view", $"ts")).as("t_view"),
+          min(when($"event_type" === "click", $"ts")).as("t_click"),
+          min(when($"event_type" === "purchase", $"ts")).as("t_buy"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(when($"t_view".isNotNull, 1).otherwise(0)).cast("long").as("viewed"),
+          sum(when($"t_click" > $"t_view", 1).otherwise(0)).cast("long").as("clicked_after"),
+          sum(when($"t_click" > $"t_view" && $"t_buy" > $"t_click", 1).otherwise(0))
+            .cast("long").as("purchased_after"))
+    },
   )
 }
