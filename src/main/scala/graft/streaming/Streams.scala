@@ -104,6 +104,34 @@ object Streams {
     q
   }
 
+  /** Streaming upsert sink: each micro-batch MERGEs into a parquet table by
+    * key (insert new keys, overwrite matched rows) — the Structured Streaming
+    * analog of Hive's transactional ingest API (HiveStreamingConnection.java:
+    * 107), with per-batch atomicity from the copy-on-write swap. Rows are
+    * deduplicated by key within a batch (last-writer-wins is per batch;
+    * cross-batch, later batches win by construction).
+    */
+  def upsertSink(df: DataFrame, path: String, key: String): StreamingQuery = {
+    import org.apache.spark.sql.DataFrame
+    val q = df.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val deduped = batch.dropDuplicates(key)
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(path)))
+          deduped.write.mode("overwrite").parquet(path)
+        else
+          graft.plans.Dml.merge(spark, path, deduped, key, key,
+            whenMatchedSet = deduped.columns.filterNot(_ == key)
+              .map(c => c -> col(s"s.$c")).toMap)
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
   /** Custom stateful operator: running per-user aggregate maintained with
     * flatMapGroupsWithState — the extension point for state Spark's built-in
     * windows can't express (Hive has no equivalent; its GenericUDAFEvaluator

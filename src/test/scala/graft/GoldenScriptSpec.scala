@@ -18,7 +18,11 @@ class GoldenScriptSpec extends SparkSpec {
       val df = spark.sql(stmt)
       val isQuery = df.schema.nonEmpty
       val body =
-        if (isQuery)
+        if (stmt.toUpperCase.startsWith("EXPLAIN"))
+          // plans are version/stats-dependent — masked, like the reference's
+          // QTestUtil output masking; only plan presence is golden
+          if (df.collect().exists(_.getString(0).nonEmpty)) "PLAN(masked)" else "PLAN(empty)"
+        else if (isQuery)
           df.collect().map(_.toSeq.map {
             case null => "NULL"
             case d: Double => if (d == d.floor && !d.isInfinite) f"$d%.1f" else d.toString
@@ -48,6 +52,18 @@ class GoldenScriptSpec extends SparkSpec {
         |> SELECT upper(tag) AS u, id * 10 AS x FROM g_src WHERE tag = 'a' ORDER BY id
         |A	10
         |A	30""".stripMargin
+    assert(got === golden)
+  }
+
+  test("golden: EXPLAIN output is masked, results are not") {
+    val got = runScript(
+      """EXPLAIN SELECT r_name FROM region WHERE r_regionkey = 1;
+        |SELECT r_name FROM region WHERE r_regionkey = 1""".stripMargin)
+    val golden =
+      """> EXPLAIN SELECT r_name FROM region WHERE r_regionkey = 1
+        |PLAN(masked)
+        |> SELECT r_name FROM region WHERE r_regionkey = 1
+        |AMERICA""".stripMargin
     assert(got === golden)
   }
 

@@ -100,6 +100,25 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("upsertSink merges each micro-batch by key (streaming transactional ingest)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("graft_upsert_").toString + "/t"
+    val in = MemoryStream[(Long, String, Double)]
+    in.addData((1L, "a", 1.0), (2L, "b", 2.0))
+    val q = Streams.upsertSink(in.toDF().toDF("k", "tag", "v"), path, "k")
+    try {
+      assert(spark.read.parquet(path).count() === 2)
+      // second batch: update k=2, insert k=3
+      in.addData((2L, "b2", 20.0), (3L, "c", 3.0))
+      q.processAllAvailable()
+      val got = spark.read.parquet(path).orderBy($"k")
+        .as[(Long, String, Double)].collect().toSeq
+      assert(got === Seq((1L, "a", 1.0), (2L, "b2", 20.0), (3L, "c", 3.0)))
+    } finally q.stop()
+  }
+
   test("parquetAppendSink lands micro-batches atomically") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft_sink_").toString
