@@ -283,6 +283,28 @@ object MaterializedViews {
                   case Max(me) => me.canonicalized == m.canonicalized
                   case _ => false
                 }).map(i => agg(Max(scanAttr(i))))
+              // avg = sum of sums / sum of counts; requires the MV to carry
+              // BOTH sum(e) and count(e) over the same expression (count(e)
+              // matches avg's null handling; count(1) only if e never null).
+              // Double-typed only: decimal avg has engine-specific
+              // precision/rounding the re-derivation would not reproduce.
+              case Average(e, _) if inner.dataType == org.apache.spark.sql.types.DoubleType =>
+                inMvSpace(e).flatMap { m =>
+                  val sumIdx = mvAggIdx {
+                    case Sum(me, _) => me.canonicalized == m.canonicalized
+                    case _ => false
+                  }
+                  val cntIdx = mvAggIdx {
+                    case Count(Seq(me)) => me.canonicalized == m.canonicalized
+                    case Count(mes) if mes.headOption.forall(_.foldable) => !m.nullable
+                    case _ => false
+                  }
+                  for (si <- sumIdx; ci <- cntIdx) yield
+                    org.apache.spark.sql.catalyst.expressions.Divide(
+                      Cast(agg(Sum(scanAttr(si))), org.apache.spark.sql.types.DoubleType),
+                      Cast(agg(Sum(scanAttr(ci))), org.apache.spark.sql.types.DoubleType),
+                      org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY)
+                }
               case _ => None
             }
           case e => // grouping-key output

@@ -351,6 +351,21 @@ object CoreQueries {
           $"l_linestatus".asc_nulls_first)
     },
 
+    // nth_value with an explicit full frame + lead with a default — the
+    // window-function tail (FunctionRegistry.java:653-690 surface).
+    q("q51_nth_value",
+      """SELECT c_custkey, c_nationkey,
+        |  nth_value(c_custkey, 3) OVER (PARTITION BY c_nationkey ORDER BY c_custkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_ck,
+        |  lead(c_custkey, 2, -1) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS ld2
+        |FROM customer ORDER BY c_custkey""".stripMargin
+    )(sqlQ(
+      """SELECT c_custkey, c_nationkey,
+        |  nth_value(c_custkey, 3) OVER (PARTITION BY c_nationkey ORDER BY c_custkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_ck,
+        |  lead(c_custkey, 2, -1) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS ld2
+        |FROM customer ORDER BY c_custkey""".stripMargin)),
+
     q("q20_cube",
       """SELECT l_returnflag, l_linestatus,
         |  CAST(grouping(l_returnflag) AS INT) AS g_rf,

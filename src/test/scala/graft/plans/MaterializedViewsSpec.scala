@@ -132,6 +132,38 @@ class MaterializedViewsSpec extends SparkSpec {
     } finally MaterializedViews.drop(spark, "block_mv")
   }
 
+  test("avg rolls up from MV sum+count (double-typed)") {
+    import spark.implicits._
+    Engine.configure(spark)
+    val li = Engine.table(spark, sfDir, "lineitem")
+    val path = mvPath("avg_mv")
+    MaterializedViews.create(spark, "avg_mv",
+      li.groupBy($"l_returnflag", $"l_linestatus")
+        .agg(sum($"l_discount").as("sd"), count($"l_discount").as("cd")),
+      path)
+    try {
+      def q = li.groupBy($"l_returnflag").agg(avg($"l_discount").as("ad"))
+      val scans = q.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.rootPaths.mkString(",")
+      }
+      assert(scans.exists(_.contains(new java.io.File(path).getName)),
+        s"expected avg rollup over MV in:\n${q.queryExecution.optimizedPlan}")
+      // numerically equal to the direct computation (same sums re-associated;
+      // tolerance covers double re-association)
+      val got = q.orderBy($"l_returnflag").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val want = li.groupBy($"l_returnflag").agg(avg($"l_discount").as("x"))
+        .orderBy($"l_returnflag").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(got.keySet === want.keySet)
+      got.foreach { case (k, v) =>
+        assert(math.abs(v - want(k)) <= 1e-9 * math.max(1.0, math.abs(want(k))))
+      }
+    } finally MaterializedViews.drop(spark, "avg_mv")
+  }
+
   test("a FILTER-clause aggregate blocks the rollup rewrite") {
     import spark.implicits._
     Engine.configure(spark)
