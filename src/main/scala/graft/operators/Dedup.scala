@@ -104,6 +104,29 @@ object Dedup {
     exactClean.join(toDrop, Seq(idCol), "left_anti")
   }
 
+  /** Keep-best near-dup cleaning: like [[dropNearDuplicates]] but the
+    * survivor of each candidate pair is chosen by `scoreCol` (higher wins;
+    * ties break to the smaller id) instead of keep-first — the shape a
+    * quality-filtered training corpus wants (drop the worse copy, not the
+    * later one). Greedy pairwise, same chain caveat as keep-first: in a
+    * cluster a~b~c the pairwise losers all drop.
+    */
+  def dropNearDuplicatesKeepBest(df: DataFrame, idCol: String, scoreCol: String,
+      textCol: String = "text", threshold: Double = 0.8, shingleSize: Int = 3,
+      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val exactClean = exact(df, idCol, textCol)
+    val pairs = nearDuplicates(exactClean, idCol, textCol, threshold,
+      shingleSize, numHashes, bands)
+    val scores = exactClean.select(col(idCol), col(scoreCol))
+    val losers = pairs
+      .join(scores.select(col(idCol).as("id_a"), col(scoreCol).as("_score_a")), "id_a")
+      .join(scores.select(col(idCol).as("id_b"), col(scoreCol).as("_score_b")), "id_b")
+      .select(when(col("_score_a") >= col("_score_b"), col("id_b"))
+        .otherwise(col("id_a")).as(idCol))
+      .distinct()
+    exactClean.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** SimHash (64-bit) of the token stream: per-bit majority vote of token
     * hashes. Pure expressions: one transform per doc + 64-lane vote done with
     * an aggregate over bit positions.

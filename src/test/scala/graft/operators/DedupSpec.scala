@@ -102,6 +102,22 @@ class DedupSpec extends SparkSpec {
     assert(cleaned.count() <= docs.count())
   }
 
+  test("dropNearDuplicatesKeepBest keeps the higher-scored copy") {
+    import spark.implicits._
+    // planted copies (id >= 100000) get a HIGHER score than their originals:
+    // keep-best must retain the copy and drop the original — the opposite of
+    // keep-first
+    val scored = withNearDups.withColumn("score",
+      when($"doc_id" >= 100000, 10.0).otherwise(1.0))
+    val cleaned = Dedup.dropNearDuplicatesKeepBest(scored, "doc_id", "score",
+      "text", threshold = 0.8)
+    val keptCopies = cleaned.filter($"doc_id" >= 100000).count()
+    val droppedOriginals = 5 - cleaned.filter($"doc_id" < 5).count()
+    assert(keptCopies === 5)
+    assert(droppedOriginals === 5)
+    assert(cleaned.count() <= scored.count())
+  }
+
   test("jaccard is exact on known sets") {
     import spark.implicits._
     val df = Seq(("a b c d", "a b c e")).toDF("t1", "t2")
