@@ -283,6 +283,23 @@ object PipelineQueries {
         .orderBy($"c_custkey")
     },
 
+    // The composed cleaning pipeline a training corpus runs end-to-end:
+    // quality scoring -> threshold filter -> PII scrub -> near-dup removal
+    // keeping the highest-quality copy -> token accounting. Every stage is
+    // a DataFrame->DataFrame operator, so the whole pipeline is one Catalyst
+    // plan (scan-speed projections + one LSH band join).
+    rowsOnly("p22_clean_pipeline") { (spark, dir) =>
+      import spark.implicits._
+      val scored = TextAnalysis.withQualityScore(t(spark, dir, "documents"))
+        .filter($"n_tokens" >= 5 && $"type_token_ratio" > 0.2)
+      val cleaned = Dedup.dropNearDuplicatesKeepBest(
+        scored, "doc_id", "type_token_ratio", "text", threshold = 0.8)
+      TextAnalysis.withScrubbedText(cleaned)
+        .select($"doc_id", $"lang", $"n_tokens", $"type_token_ratio",
+          length($"text_scrubbed").cast("long").as("n_chars_clean"))
+        .orderBy($"doc_id")
+    },
+
     // Multimodal binary-column pipeline: per-partition feature extraction
     // (histogram + entropy) over opaque payloads, summarized per media kind.
     // Deterministic stub codec; plumbing (schema, partitioning, batch shape)
