@@ -105,8 +105,9 @@ object Dedup {
   }
 
   /** Keep-best near-dup cleaning: like [[dropNearDuplicates]] but the
-    * survivor of each candidate pair is chosen by `scoreCol` (higher wins;
-    * ties break to the smaller id) instead of keep-first — the shape a
+    * survivor — of exact-duplicate groups AND of each near-dup candidate
+    * pair — is chosen by `scoreCol` (higher wins; NULL ranks last; ties
+    * break to the smaller id) instead of keep-first — the shape a
     * quality-filtered training corpus wants (drop the worse copy, not the
     * later one). Greedy pairwise, same chain caveat as keep-first: in a
     * cluster a~b~c the pairwise losers all drop.
@@ -114,14 +115,25 @@ object Dedup {
   def dropNearDuplicatesKeepBest(df: DataFrame, idCol: String, scoreCol: String,
       textCol: String = "text", threshold: Double = 0.8, shingleSize: Int = 3,
       numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    val exactClean = exact(df, idCol, textCol)
+    // NULL scores rank below every real score (and below each other, where
+    // the id tie-break decides) — otherwise a NULL comparison would invert
+    // survivor selection.
+    def rank(c: Column): Column =
+      coalesce(c.cast("double"), lit(Double.NegativeInfinity))
+    // exact duplicates also keep the best-scored copy (not the min id):
+    // highest score wins, ties to the smaller id
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(textCol)).orderBy(rank(col(scoreCol)).desc, col(idCol).asc)
+    val exactClean = df
+      .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
     val pairs = nearDuplicates(exactClean, idCol, textCol, threshold,
       shingleSize, numHashes, bands)
     val scores = exactClean.select(col(idCol), col(scoreCol))
     val losers = pairs
       .join(scores.select(col(idCol).as("id_a"), col(scoreCol).as("_score_a")), "id_a")
       .join(scores.select(col(idCol).as("id_b"), col(scoreCol).as("_score_b")), "id_b")
-      .select(when(col("_score_a") >= col("_score_b"), col("id_b"))
+      .select(when(rank(col("_score_a")) >= rank(col("_score_b")), col("id_b"))
         .otherwise(col("id_a")).as(idCol))
       .distinct()
     exactClean.join(losers, Seq(idCol), "left_anti")

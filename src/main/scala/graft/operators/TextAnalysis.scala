@@ -133,13 +133,19 @@ object TextAnalysis {
       size(array_distinct(tokens(text))).cast("long").as("n_distinct_words"),
       bigrams(text).as("_bg"))
     val perBigram = base
-      .select(col(idCol), col("n_words"), col("n_distinct_words"),
-        explode(col("_bg")).as("_b"))
-      .groupBy(col(idCol), col("n_words"), col("n_distinct_words"), col("_b"))
+      .select(col(idCol), explode(col("_bg")).as("_b"))
+      .groupBy(col(idCol), col("_b"))
       .agg(count(lit(1)).as("_cnt"))
-    perBigram
-      .groupBy(col(idCol), col("n_words"), col("n_distinct_words"))
+    val perDoc = perBigram
+      .groupBy(col(idCol))
       .agg(sum(col("_cnt")).as("n_bigrams"), max(col("_cnt")).as("top_bigram_cnt"))
+    // explode drops docs with no bigrams (< 2 tokens, empty, null text) —
+    // exactly the degenerate docs hygiene rules must still see: left-join the
+    // metrics back so every input doc appears, with zeroed bigram stats
+    base.select(col(idCol), col("n_words"), col("n_distinct_words"))
+      .join(perDoc, Seq(idCol), "left_outer")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+      .withColumn("top_bigram_cnt", coalesce(col("top_bigram_cnt"), lit(0L)))
       .withColumn("dup_word_cnt", col("n_words") - col("n_distinct_words"))
       .withColumn("top_bigram_ratio",
         round(col("top_bigram_cnt").cast("double") /

@@ -295,8 +295,11 @@ object MaterializedViews {
                     case _ => false
                   }
                   val cntIdx = mvAggIdx {
-                    case Count(Seq(me)) => me.canonicalized == m.canonicalized
-                    case Count(mes) if mes.headOption.forall(_.foldable) => !m.nullable
+                    // count(e) over the same expression matches avg's null
+                    // handling; count(1)/count(*) (foldable arg) counts rows,
+                    // acceptable only when e can never be null
+                    case Count(Seq(me)) if !me.foldable => me.canonicalized == m.canonicalized
+                    case Count(Seq(me)) if me.foldable => !m.nullable
                     case _ => false
                   }
                   for (si <- sumIdx; ci <- cntIdx) yield

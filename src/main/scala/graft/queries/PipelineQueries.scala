@@ -235,23 +235,24 @@ object PipelineQueries {
     // Repetition metrics (Gopher-rules corpus hygiene): duplicate words and
     // most-frequent-bigram share per document, computed relationally.
     q("p20_repetition_metrics",
-      """WITH b AS (
-        |  SELECT doc_id,
-        |    CAST(len(list_filter(string_split(trim(text), ' '), w -> w <> '')) AS BIGINT) AS n_words,
-        |    CAST(len(list_distinct(list_filter(string_split(trim(text), ' '), w -> w <> ''))) AS BIGINT) AS n_distinct_words,
-        |    unnest(list_transform(range(1, len(list_filter(string_split(trim(text), ' '), w -> w <> ''))),
-        |      i -> list_filter(string_split(trim(text), ' '), w -> w <> '')[i] || ' '
-        |        || list_filter(string_split(trim(text), ' '), w -> w <> '')[i+1])) AS bg
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS ws
         |  FROM documents),
-        |c AS (SELECT doc_id, n_words, n_distinct_words, bg, count(*) AS cnt
-        |  FROM b GROUP BY ALL)
-        |SELECT doc_id, n_words, n_distinct_words,
-        |  CAST(sum(cnt) AS BIGINT) AS n_bigrams,
-        |  CAST(max(cnt) AS BIGINT) AS top_bigram_cnt,
-        |  n_words - n_distinct_words AS dup_word_cnt,
-        |  round(CAST(max(cnt) AS DOUBLE) / greatest(CAST(sum(cnt) AS BIGINT), 1), 4) AS top_bigram_ratio
-        |FROM c GROUP BY doc_id, n_words, n_distinct_words
-        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+        |m AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words FROM w),
+        |b AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bg
+        |  FROM w),
+        |c AS (SELECT doc_id, bg, count(*) AS cnt FROM b GROUP BY ALL),
+        |d AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+        |    CAST(max(cnt) AS BIGINT) AS top_bigram_cnt FROM c GROUP BY doc_id)
+        |SELECT m.doc_id, m.n_words, m.n_distinct_words,
+        |  coalesce(d.n_bigrams, 0) AS n_bigrams,
+        |  coalesce(d.top_bigram_cnt, 0) AS top_bigram_cnt,
+        |  m.n_words - m.n_distinct_words AS dup_word_cnt,
+        |  round(CAST(coalesce(d.top_bigram_cnt, 0) AS DOUBLE)
+        |    / greatest(coalesce(d.n_bigrams, 0), 1), 4) AS top_bigram_ratio
+        |FROM m LEFT JOIN d USING (doc_id) ORDER BY doc_id""".stripMargin) { (spark, dir) =>
       import spark.implicits._
       TextAnalysis.repetitionMetrics(t(spark, dir, "documents"))
         .select($"doc_id", $"n_words", $"n_distinct_words", $"n_bigrams",
@@ -284,10 +285,11 @@ object PipelineQueries {
     },
 
     // The composed cleaning pipeline a training corpus runs end-to-end:
-    // quality scoring -> threshold filter -> PII scrub -> near-dup removal
-    // keeping the highest-quality copy -> token accounting. Every stage is
+    // quality scoring -> threshold filter -> near-dup removal keeping the
+    // highest-quality copy -> PII scrub -> token accounting. Every stage is
     // a DataFrame->DataFrame operator, so the whole pipeline is one Catalyst
-    // plan (scan-speed projections + one LSH band join).
+    // plan; the shuffles are the dedup stage's keyed joins, everything else
+    // is map-side.
     rowsOnly("p22_clean_pipeline") { (spark, dir) =>
       import spark.implicits._
       val scored = TextAnalysis.withQualityScore(t(spark, dir, "documents"))

@@ -107,17 +107,32 @@ object Streams {
   /** Streaming upsert sink: each micro-batch MERGEs into a parquet table by
     * key (insert new keys, overwrite matched rows) — the Structured Streaming
     * analog of Hive's transactional ingest API (HiveStreamingConnection.java:
-    * 107), with per-batch atomicity from the copy-on-write swap. Rows are
-    * deduplicated by key within a batch (last-writer-wins is per batch;
-    * cross-batch, later batches win by construction).
+    * 107), with per-batch atomicity from the copy-on-write swap.
+    *
+    * Within a batch, the surviving row per key is the one with the greatest
+    * `versionCol` (e.g. an event timestamp) — streams carry no row order, so
+    * deterministic last-writer-wins needs an explicit version; with
+    * `versionCol = None` the within-batch winner is arbitrary (documented,
+    * not last-writer). Cross-batch, later batches always win. Rows with a
+    * NULL key are dropped: a MERGE key never matches NULL, so they would
+    * re-insert on every batch.
     */
-  def upsertSink(df: DataFrame, path: String, key: String): StreamingQuery = {
+  def upsertSink(df: DataFrame, path: String, key: String,
+      versionCol: Option[String] = None): StreamingQuery = {
     import org.apache.spark.sql.DataFrame
     val q = df.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val deduped = batch.dropDuplicates(key)
+        val keyed = batch.filter(col(key).isNotNull)
+        val deduped = versionCol match {
+          case Some(v) =>
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(col(key)).orderBy(col(v).desc)
+            keyed.withColumn("_rn", row_number().over(w))
+              .filter(col("_rn") === 1).drop("_rn")
+          case None => keyed.dropDuplicates(key)
+        }
         val fs = new org.apache.hadoop.fs.Path(path)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (!fs.exists(new org.apache.hadoop.fs.Path(path)))

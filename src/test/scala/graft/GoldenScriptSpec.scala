@@ -15,20 +15,25 @@ class GoldenScriptSpec extends SparkSpec {
   private def runScript(script: String): String = {
     Engine.register(spark, sfDir)
     script.split(";").map(_.trim).filter(_.nonEmpty).map { stmt =>
-      val df = spark.sql(stmt)
-      val isQuery = df.schema.nonEmpty
       val body =
-        if (stmt.toUpperCase.startsWith("EXPLAIN"))
-          // plans are version/stats-dependent — masked, like the reference's
-          // QTestUtil output masking; only plan presence is golden
-          if (df.collect().exists(_.getString(0).nonEmpty)) "PLAN(masked)" else "PLAN(empty)"
-        else if (isQuery)
-          df.collect().map(_.toSeq.map {
-            case null => "NULL"
-            case d: Double => if (d == d.floor && !d.isInfinite) f"$d%.1f" else d.toString
-            case v => v.toString
-          }.mkString("\t")).mkString("\n")
-        else "OK"
+        try {
+          val df = spark.sql(stmt)
+          val isQuery = df.schema.nonEmpty
+          if (stmt.toUpperCase.startsWith("EXPLAIN"))
+            // plans are version/stats-dependent — masked, like the reference's
+            // QTestUtil output masking; only plan presence is golden
+            if (df.collect().exists(_.getString(0).nonEmpty)) "PLAN(masked)" else "PLAN(empty)"
+          else if (isQuery)
+            df.collect().map(_.toSeq.map {
+              case null => "NULL"
+              case d: Double => if (d == d.floor && !d.isInfinite) f"$d%.1f" else d.toString
+              case v => v.toString
+            }.mkString("\t")).mkString("\n")
+          else "OK"
+        } catch {
+          // clientnegative analog: expected failures render as the error class
+          case e: Exception => s"ERROR(${e.getClass.getSimpleName})"
+        }
       s"> ${stmt.linesIterator.mkString(" ").replaceAll("\\s+", " ")}\n$body"
     }.mkString("\n")
   }
@@ -68,18 +73,9 @@ class GoldenScriptSpec extends SparkSpec {
   }
 
   test("golden: negative script records the error class (clientnegative analog)") {
-    // Hive's clientnegative suite asserts expected failures; here a failing
+    // Hive's clientnegative suite asserts expected failures; a failing
     // statement renders as ERROR(<exception class>) and the script continues.
-    def runNegative(script: String): String =
-      script.split(";").map(_.trim).filter(_.nonEmpty).map { stmt =>
-        val head = s"> ${stmt.replaceAll("\\s+", " ")}"
-        val body =
-          try { spark.sql(stmt).collect(); "OK" }
-          catch { case e: Exception => s"ERROR(${e.getClass.getSimpleName})" }
-        s"$head\n$body"
-      }.mkString("\n")
-    Engine.register(spark, sfDir)
-    val got = runNegative(
+    val got = runScript(
       """SELECT no_such_column FROM region;
         |SELECT r_name FROM no_such_table;
         |SELECT count(*) FROM region""".stripMargin)
@@ -89,7 +85,7 @@ class GoldenScriptSpec extends SparkSpec {
         |> SELECT r_name FROM no_such_table
         |ERROR(ExtendedAnalysisException)
         |> SELECT count(*) FROM region
-        |OK""".stripMargin
+        |5""".stripMargin
     assert(got === golden)
   }
 

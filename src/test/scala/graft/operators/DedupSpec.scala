@@ -118,6 +118,22 @@ class DedupSpec extends SparkSpec {
     assert(cleaned.count() <= scored.count())
   }
 
+  test("keep-best: exact duplicates keep the best-scored copy; NULL scores lose") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "the same exact text content here", Some(1.0)),   // exact-dup, low
+      (2L, "the same exact text content here", Some(9.0)),   // exact-dup, high -> survives
+      (3L, "a completely different document body", None),    // near-pairless, null score survives alone
+      (4L, "unique scored document text body words", Some(2.0)))
+      .toDF("doc_id", "text", "score")
+    val cleaned = Dedup.dropNearDuplicatesKeepBest(rows, "doc_id", "score",
+      "text", threshold = 0.9)
+    val ids = cleaned.select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(ids.contains(2L) && !ids.contains(1L),
+      s"exact-dup survivor must be the higher-scored copy, got $ids")
+    assert(ids.contains(3L) && ids.contains(4L))
+  }
+
   test("jaccard is exact on known sets") {
     import spark.implicits._
     val df = Seq(("a b c d", "a b c e")).toDF("t1", "t2")

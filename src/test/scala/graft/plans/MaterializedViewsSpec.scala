@@ -136,6 +136,11 @@ class MaterializedViewsSpec extends SparkSpec {
     import spark.implicits._
     Engine.configure(spark)
     val li = Engine.table(spark, sfDir, "lineitem")
+    // collect the reference BEFORE registering the MV — afterwards the same
+    // aggregate would itself be rewritten and the check would be vacuous
+    val want = li.groupBy($"l_returnflag").agg(avg($"l_discount").as("x"))
+      .orderBy($"l_returnflag").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
     val path = mvPath("avg_mv")
     MaterializedViews.create(spark, "avg_mv",
       li.groupBy($"l_returnflag", $"l_linestatus")
@@ -153,9 +158,6 @@ class MaterializedViewsSpec extends SparkSpec {
       // numerically equal to the direct computation (same sums re-associated;
       // tolerance covers double re-association)
       val got = q.orderBy($"l_returnflag").collect()
-        .map(r => r.getString(0) -> r.getDouble(1)).toMap
-      val want = li.groupBy($"l_returnflag").agg(avg($"l_discount").as("x"))
-        .orderBy($"l_returnflag").collect()
         .map(r => r.getString(0) -> r.getDouble(1)).toMap
       assert(got.keySet === want.keySet)
       got.foreach { case (k, v) =>

@@ -106,11 +106,16 @@ class StreamsSpec extends SparkSpec {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val path = java.nio.file.Files.createTempDirectory("graft_upsert_").toString + "/t"
     val in = MemoryStream[(Long, String, Double)]
-    in.addData((1L, "a", 1.0), (2L, "b", 2.0))
-    val q = Streams.upsertSink(in.toDF().toDF("k", "tag", "v"), path, "k")
+    // v doubles as the version: within one batch the HIGHEST v must win,
+    // and null keys are dropped (a MERGE key never matches NULL)
+    in.addData((1L, "a", 1.0), (2L, "b_old", 2.0), (2L, "b", 5.0))
+    val q = Streams.upsertSink(in.toDF().toDF("k", "tag", "v"), path, "k",
+      versionCol = Some("v"))
     try {
-      assert(spark.read.parquet(path).count() === 2)
-      // second batch: update k=2, insert k=3
+      assert(spark.read.parquet(path).orderBy($"k")
+        .as[(Long, String, Double)].collect().toSeq ===
+        Seq((1L, "a", 1.0), (2L, "b", 5.0)))
+      // second batch: update k=2 (later batch wins), insert k=3
       in.addData((2L, "b2", 20.0), (3L, "c", 3.0))
       q.processAllAvailable()
       val got = spark.read.parquet(path).orderBy($"k")
