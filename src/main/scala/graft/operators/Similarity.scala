@@ -85,7 +85,7 @@ object Similarity {
     * probe join is an equi-join on list id.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+      k: Int, nLists: Int = 16, nProbe: Int = 4, iters: Int = 1): DataFrame = {
     val c = corpus.select(col(idCol).as("item_id"), col(vecCol).as("__cv"))
     // deterministic seeds: the nLists smallest xxhash64(id)
     val seeds = c.withColumn("__h", xxhash64(col("item_id")))
@@ -93,7 +93,9 @@ object Similarity {
       .withColumn("seed_id", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("__h"))) - 1)
       .select(col("seed_id"), col("__cv").as("__seed"))
-    // assign every vector to its nearest seed, then refine centroids once
+    // assign every vector to its nearest centroid, refine `iters` times
+    // (Lloyd steps; each is one broadcast cross-score + one groupBy — at
+    // scale, centroids stay tiny and every pass is a map-side scan)
     def nearest(vecs: DataFrame, cents: DataFrame, centVec: String,
         out: String): DataFrame = {
       vecs.crossJoin(broadcast(cents))
@@ -104,14 +106,22 @@ object Similarity {
         .filter(col("__rn") === 1)
         .select(vecs.columns.map(col) :+ col(centVec).as(out): _*)
     }
-    val assigned0 = nearest(c, seeds.select(col("seed_id").as("__cent"),
-      col("__seed").as("__centv")), "__cent", "list_id")
     val dims = corpus.select(size(col(vecCol))).head().getInt(0)
-    val refined = assigned0.groupBy(col("list_id"))
-      .agg(array((0 until dims).map(i =>
-        avg(element_at(col("__cv"), i + 1).cast("double"))): _*).as("__centv"))
-      .select(col("list_id").as("__cent"), col("__centv"))
-    val assigned = nearest(c, refined, "__cent", "list_id")
+    def refineOnce(assignedPrev: DataFrame): DataFrame =
+      assignedPrev.groupBy(col("list_id"))
+        .agg(array((0 until dims).map(i =>
+          avg(element_at(col("__cv"), i + 1).cast("double"))): _*).as("__centv"))
+        .select(col("list_id").as("__cent"), col("__centv"))
+    var assigned = nearest(c, seeds.select(col("seed_id").as("__cent"),
+      col("__seed").as("__centv")), "__cent", "list_id")
+    var refined = refineOnce(assigned)
+    var it = 1
+    while (it < math.max(1, iters)) {
+      assigned = nearest(c, refined, "__cent", "list_id")
+      refined = refineOnce(assigned)
+      it += 1
+    }
+    assigned = nearest(c, refined, "__cent", "list_id")
     // probe: nProbe nearest refined centroids per query
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
     val probes = q.crossJoin(broadcast(refined))
