@@ -366,6 +366,16 @@ object CoreQueries {
         |  lead(c_custkey, 2, -1) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS ld2
         |FROM customer ORDER BY c_custkey""".stripMargin)),
 
+    // GROUP BY ALL / ORDER BY ALL — the modern shorthand both engines share.
+    q("q52_group_by_all",
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY ALL ORDER BY ALL""".stripMargin
+    )(sqlQ(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY ALL ORDER BY ALL""".stripMargin)),
+
     q("q20_cube",
       """SELECT l_returnflag, l_linestatus,
         |  CAST(grouping(l_returnflag) AS INT) AS g_rf,

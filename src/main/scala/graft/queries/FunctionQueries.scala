@@ -696,6 +696,32 @@ object FunctionQueries {
         |  CAST(extract(HOUR FROM o_orderdate) AS INT) AS h
         |FROM orders WHERE o_orderkey < 250 ORDER BY o_orderkey""".stripMargin)),
 
+    // try_* error-safe functions (null-on-error — the engine-wide non-ANSI
+    // coercion story made explicit): try_cast, try_divide, try_element_at,
+    // try_add overflow. The oracle emulates with TRY_CAST/CASE in DuckDB.
+    q("f29_try_functions",
+      """SELECT p_partkey,
+        |  TRY_CAST(p_type AS INT) AS bad_int,
+        |  TRY_CAST(CAST(p_size AS VARCHAR) AS INT) AS good_int,
+        |  CASE WHEN p_size - p_size = 0 THEN NULL
+        |    ELSE p_retailprice / (p_size - p_size) END AS div0,
+        |  p_retailprice / 2.0 AS half,
+        |  string_split(p_name, ' ')[5] AS oob,
+        |  string_split(p_name, ' ')[1] AS w1,
+        |  CASE WHEN p_partkey > 7 THEN NULL
+        |    ELSE p_partkey + 9223372036854775800 END AS ovf
+        |FROM part WHERE p_partkey < 90 ORDER BY p_partkey""".stripMargin
+    )(sqlQ(
+      """SELECT p_partkey,
+        |  try_cast(p_type AS INT) AS bad_int,
+        |  try_cast(CAST(p_size AS STRING) AS INT) AS good_int,
+        |  try_divide(p_retailprice, p_size - p_size) AS div0,
+        |  try_divide(p_retailprice, 2.0) AS half,
+        |  try_element_at(split(p_name, ' '), 5) AS oob,
+        |  try_element_at(split(p_name, ' '), 1) AS w1,
+        |  try_add(p_partkey, 9223372036854775800L) AS ovf
+        |FROM part WHERE p_partkey < 90 ORDER BY p_partkey""".stripMargin)),
+
     // Variant type (SURVEY §1.2: Hive `variant` → Spark 4 VariantType):
     // parse_json into a real VARIANT value, typed extraction via variant_get,
     // dynamic field presence, round-trip through to_json. The oracle reads the
