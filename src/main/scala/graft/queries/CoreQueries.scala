@@ -376,6 +376,30 @@ object CoreQueries {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY ALL ORDER BY ALL""".stripMargin)),
 
+    // LATERAL correlated subquery in FROM (the modern spelling of Hive's
+    // LATERAL VIEW + correlated-derived-table patterns) — top-2 orders per
+    // region through a two-hop correlation.
+    q("q53_lateral_subquery",
+      """SELECT r.r_name, t.o_orderkey, t.o_totalprice
+        |FROM region r,
+        |  LATERAL (
+        |    SELECT o.o_orderkey, o.o_totalprice
+        |    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |      JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |    WHERE n.n_regionkey = r.r_regionkey
+        |    ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 2) t
+        |ORDER BY r.r_name, t.o_totalprice DESC, t.o_orderkey""".stripMargin
+    )(sqlQ(
+      """SELECT r.r_name, t.o_orderkey, t.o_totalprice
+        |FROM region r,
+        |  LATERAL (
+        |    SELECT o.o_orderkey, o.o_totalprice
+        |    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |      JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |    WHERE n.n_regionkey = r.r_regionkey
+        |    ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 2) t
+        |ORDER BY r.r_name, t.o_totalprice DESC, t.o_orderkey""".stripMargin)),
+
     q("q20_cube",
       """SELECT l_returnflag, l_linestatus,
         |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
