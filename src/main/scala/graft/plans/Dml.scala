@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -16,15 +16,157 @@ import org.apache.spark.sql.functions._
   * guarantees (Hive needed a metastore txn manager for that — out of scope,
   * SURVEY §7).
   *
-  * Scale note: the post-image write is a full-table rewrite here; on a
-  * partitioned table the same plan applies per affected partition only
-  * (partition-pruned COW), which is how this scales to 100 TB — rewrite cost
-  * is proportional to touched partitions, not table size.
+  * Scale design — partition-pruned COW: on a Hive-style `key=value` layout
+  * (written by `partitionBy`), a DML statement rewrites ONLY the partitions
+  * that contain matching rows. The affected-partition set is computed first
+  * (when the predicate constrains partition columns, Catalyst prunes that
+  * scan to the matching directories — metadata-cost); the post-image of just
+  * those partitions is written in one `partitionBy` job to a staging dir,
+  * and only the touched leaf directories are swapped (per-leaf staged
+  * rename). A `DELETE WHERE day = X` on a 100 TB table costs one partition,
+  * not a full rewrite — the COW analog of Hive rewriting only ACID deltas.
+  * Unpartitioned layouts keep the whole-table swap.
+  *
+  * As in Hive, partition columns cannot be assigned by UPDATE or
+  * MERGE ... WHEN MATCHED (rows never move between partitions in place).
   */
 object Dml {
 
+  private val DefaultPartName = "__HIVE_DEFAULT_PARTITION__"
+
+  /** A detected Hive-style partition layout: ordered partition columns and
+    * the existing leaf directories keyed by their (unescaped) value tuple.
+    * NULL partitions (the default-partition dir) key as `null` values.
+    */
+  private[plans] case class Layout(cols: Seq[String], leaves: Map[Seq[String], String])
+
+  private def fsOf(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def hidden(name: String): Boolean =
+    name.startsWith(".") || name.startsWith("_")
+
+  /** Relative paths of all `k=v[/k2=v2...]` leaf directories under root. */
+  private def leafDirs(fs: FileSystem, root: Path): Seq[String] = {
+    def walk(p: Path, rel: String): Seq[String] = {
+      val kids = fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.contains("=") &&
+          !hidden(s.getPath.getName))
+      if (kids.isEmpty) { if (rel.isEmpty) Nil else Seq(rel) }
+      else kids.flatMap { k =>
+        walk(k.getPath,
+          if (rel.isEmpty) k.getPath.getName else rel + "/" + k.getPath.getName)
+      }
+    }
+    if (fs.exists(root)) walk(root, "") else Nil
+  }
+
+  /** Hive path unescaping: %xx escapes produced by the partitioned writer. */
+  private def unescapePathName(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          Character.digit(s.charAt(i + 1), 16) >= 0 &&
+          Character.digit(s.charAt(i + 2), 16) >= 0) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private[plans] def detectLayout(spark: SparkSession, table: String): Option[Layout] = {
+    val rels = leafDirs(fsOf(spark, table), new Path(table))
+    if (rels.isEmpty) return None
+    def parse(rel: String): (Seq[String], Seq[String]) = {
+      val segs = rel.split("/").toSeq.map { seg =>
+        val i = seg.indexOf('=')
+        (unescapePathName(seg.substring(0, i)), unescapePathName(seg.substring(i + 1)))
+      }
+      (segs.map(_._1),
+        segs.map { case (_, v) => if (v == DefaultPartName) null else v })
+    }
+    val parsed = rels.map(r => r -> parse(r))
+    val cols = parsed.head._2._1
+    require(parsed.forall(_._2._1 == cols),
+      s"inconsistent partition directory layout under $table")
+    Some(Layout(cols, parsed.map { case (r, (_, vs)) => vs -> r }.toMap))
+  }
+
+  /** Distinct partition-value tuples (as strings, null for SQL NULL) of
+    * `rows`. Driver-side collect is bounded by the number of affected
+    * partitions — metadata scale, like listing partitions.
+    */
+  private def affectedTuples(rows: DataFrame, cols: Seq[String]): Seq[Seq[String]] =
+    rows.select(cols.map(c => col(c).cast("string")): _*).distinct().collect()
+      .map(r => cols.indices.map(i => if (r.isNullAt(i)) null else r.getString(i)))
+      .map(_.toSeq).toSeq
+
+  private def relsOf(layout: Layout, tuples: Seq[Seq[String]], table: String): Seq[String] =
+    tuples.map(vs => layout.leaves.getOrElse(vs, throw new IllegalStateException(
+      s"partition ${layout.cols.zip(vs).mkString(",")} not found under $table")))
+
+  /** OR-of-ANDs membership filter over the partition columns — Catalyst
+    * turns this into static partition pruning on the read.
+    */
+  private def partFilterOf(tuples: Seq[Seq[String]], cols: Seq[String]): Column =
+    tuples.map(vs => cols.zip(vs).map { case (c, v) =>
+      if (v == null) col(c).isNull else col(c).cast("string") === lit(v)
+    }.reduce(_ && _)).reduceOption(_ || _).getOrElse(lit(false))
+
+  /** Write `post` (which must carry the partition columns) partitioned into a
+    * staging dir, then commit per leaf: affected leaves are swapped (or
+    * removed when the post-image has no rows for them), brand-new leaves are
+    * moved in, and — only when `allowAppend` (MERGE inserts) — staged files
+    * for existing untouched leaves are appended file-by-file. Every other
+    * leaf directory of the table is never opened, never rewritten.
+    */
+  private def prunedRewrite(spark: SparkSession, table: String, layout: Layout,
+      affectedRels: Seq[String], post: DataFrame, allowAppend: Boolean): Unit = {
+    val fs = fsOf(spark, table)
+    val tmp = new Path(table + "._cow_tmp")
+    fs.delete(tmp, true)
+    post.write.partitionBy(layout.cols: _*).parquet(tmp.toString)
+    val tmpRels = leafDirs(fs, tmp)
+    affectedRels.foreach { rel =>
+      val dst = new Path(table + "/" + rel)
+      val src = new Path(tmp + "/" + rel)
+      val bak = new Path(dst.getParent, "._cow_bak_" + dst.getName)
+      fs.delete(bak, true)
+      if (!fs.rename(dst, bak))
+        throw new IllegalStateException(s"cannot stage partition $rel of $table")
+      if (fs.exists(src) && !fs.rename(src, dst)) {
+        fs.rename(bak, dst) // roll back this leaf
+        throw new IllegalStateException(s"cannot commit partition $rel of $table")
+      }
+      fs.delete(bak, true)
+    }
+    val affectedSet = affectedRels.toSet
+    tmpRels.filterNot(affectedSet).foreach { rel =>
+      val dst = new Path(table + "/" + rel)
+      val src = new Path(tmp + "/" + rel)
+      if (!fs.exists(dst)) {
+        fs.mkdirs(dst.getParent)
+        if (!fs.rename(src, dst))
+          throw new IllegalStateException(s"cannot add partition $rel to $table")
+      } else if (allowAppend) {
+        fs.listStatus(src).filter(s => s.isFile && !hidden(s.getPath.getName))
+          .foreach { f =>
+            if (!fs.rename(f.getPath, new Path(dst, f.getPath.getName)))
+              throw new IllegalStateException(s"cannot append to partition $rel of $table")
+          }
+      } else throw new IllegalStateException(
+        s"unexpected rewrite of unaffected partition $rel of $table")
+    }
+    fs.delete(tmp, true)
+    spark.catalog.refreshByPath(table)
+    MaterializedViews.invalidateSource(spark, table)
+  }
+
   private def swapIn(spark: SparkSession, table: String, post: DataFrame): Unit = {
-    val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = fsOf(spark, table)
     val tmp = new Path(table + "._cow_tmp")
     val bak = new Path(table + "._cow_bak")
     fs.delete(tmp, true)
@@ -43,29 +185,62 @@ object Dml {
     MaterializedViews.invalidateSource(spark, table)
   }
 
+  private def requireNoPartitionAssignment(layout: Layout, set: Iterable[String],
+      verb: String): Unit = {
+    val partLower = layout.cols.map(_.toLowerCase).toSet
+    val bad = set.filter(c => partLower.contains(c.toLowerCase))
+    if (bad.nonEmpty) throw new UnsupportedOperationException(
+      s"$verb may not assign partition column(s) ${bad.mkString(", ")} (Hive semantics)")
+  }
+
   /** DELETE FROM table WHERE cond. */
   def deleteWhere(spark: SparkSession, table: String, cond: Column): Unit = {
     val t = spark.read.parquet(table)
     // keep rows where cond is false OR null (SQL DELETE semantics)
-    swapIn(spark, table, t.filter(!coalesce(cond, lit(false))))
+    val hit = coalesce(cond, lit(false))
+    detectLayout(spark, table) match {
+      case Some(l) =>
+        val tuples = affectedTuples(t.filter(hit), l.cols)
+        if (tuples.isEmpty) return // nothing matches: zero partitions touched
+        val post = t.filter(partFilterOf(tuples, l.cols)).filter(!hit)
+        prunedRewrite(spark, table, l, relsOf(l, tuples, table), post,
+          allowAppend = false)
+      case None =>
+        swapIn(spark, table, t.filter(!hit))
+    }
   }
 
-  /** UPDATE table SET col = expr, ... WHERE cond. */
+  /** UPDATE table SET col = expr, ... WHERE cond. Partition columns cannot be
+    * assigned (Hive semantics — rows never migrate partitions in place).
+    */
   def updateWhere(spark: SparkSession, table: String, cond: Column,
       set: Map[String, Column]): Unit = {
     val t = spark.read.parquet(table)
     val hit = coalesce(cond, lit(false))
-    val post = set.foldLeft(t) { case (df, (c, e)) =>
+    def postOf(base: DataFrame): DataFrame = set.foldLeft(base) { case (df, (c, e)) =>
       df.withColumn(c, when(hit, e).otherwise(col(c)))
     }
-    swapIn(spark, table, post)
+    detectLayout(spark, table) match {
+      case Some(l) =>
+        requireNoPartitionAssignment(l, set.keys, "UPDATE")
+        val tuples = affectedTuples(t.filter(hit), l.cols)
+        if (tuples.isEmpty) return
+        val post = postOf(t.filter(partFilterOf(tuples, l.cols)))
+        prunedRewrite(spark, table, l, relsOf(l, tuples, table), post,
+          allowAppend = false)
+      case None =>
+        swapIn(spark, table, postOf(t))
+    }
   }
 
   /** MERGE INTO target USING source ON key:
     * matched -> apply `whenMatchedSet` (or delete when `whenMatchedDelete`),
     * not matched -> insert source row.
     * Planned as one full-outer join + projection — the declarative equivalent
-    * of Hive's rewrite-to-multi-insert.
+    * of Hive's rewrite-to-multi-insert. On a partitioned layout the join's
+    * target side is pruned to the partitions containing matched keys; those
+    * are the only directories rewritten, while inserted rows land in their
+    * own (possibly new) partitions as appended files.
     *
     * Standard MERGE (including Hive's) raises a cardinality violation when
     * multiple source rows MATCH the same target row — otherwise each matched
@@ -85,12 +260,13 @@ object Dml {
     if (dup.nonEmpty)
       throw new IllegalStateException(
         s"MERGE cardinality violation: multiple source rows match target $sourceKey=${dup.head.get(0)}")
-    val t = spark.read.parquet(table).as("t")
-    val s = source.as("s")
     val cols = spark.read.parquet(table).columns
-    val joined = t.join(s, col(s"t.$targetKey") === col(s"s.$sourceKey"), "full_outer")
-    val matched = col(s"t.$targetKey").isNotNull && col(s"s.$sourceKey").isNotNull
-    val post =
+
+    def postOf(target: DataFrame): DataFrame = {
+      val t = target.as("t")
+      val s = source.as("s")
+      val joined = t.join(s, col(s"t.$targetKey") === col(s"s.$sourceKey"), "full_outer")
+      val matched = col(s"t.$targetKey").isNotNull && col(s"s.$sourceKey").isNotNull
       if (whenMatchedDelete) {
         // keep unmatched target rows; insert unmatched source rows
         joined.filter(!matched)
@@ -104,12 +280,34 @@ object Dml {
             .otherwise(coalesce(col(s"t.$c"), col(s"s.$c"))).as(c)
         }: _*)
       }
-    swapIn(spark, table, post)
+    }
+
+    detectLayout(spark, table) match {
+      case Some(l) =>
+        requireNoPartitionAssignment(l, whenMatchedSet.keys, "MERGE WHEN MATCHED")
+        val t = spark.read.parquet(table)
+        val matchedTarget = t.join(
+          source.select(col(sourceKey).as(targetKey)).distinct(),
+          Seq(targetKey), "left_semi")
+        val tuples = affectedTuples(matchedTarget, l.cols)
+        // target side pruned to matched partitions; unmatched source rows
+        // fall out of the full-outer join as inserts into their own partitions
+        val post = postOf(t.filter(partFilterOf(tuples, l.cols)))
+        prunedRewrite(spark, table, l, relsOf(l, tuples, table), post,
+          allowAppend = true)
+      case None =>
+        swapIn(spark, table, postOf(spark.read.parquet(table)))
+    }
   }
 
-  /** INSERT INTO (append). */
+  /** INSERT INTO (append); respects a partitioned layout (dynamic-partition
+    * append — new rows land in their `key=value` directories).
+    */
   def insertInto(spark: SparkSession, table: String, rows: DataFrame): Unit = {
-    rows.write.mode("append").parquet(table)
+    detectLayout(spark, table) match {
+      case Some(l) => rows.write.mode("append").partitionBy(l.cols: _*).parquet(table)
+      case None => rows.write.mode("append").parquet(table)
+    }
     spark.catalog.refreshByPath(table)
     MaterializedViews.invalidateSource(spark, table)
   }

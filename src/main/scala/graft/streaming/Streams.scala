@@ -109,16 +109,26 @@ object Streams {
     * analog of Hive's transactional ingest API (HiveStreamingConnection.java:
     * 107), with per-batch atomicity from the copy-on-write swap.
     *
+    * Scale design: the table is laid out in `numBuckets` hash-bucket
+    * partitions of the key (a `bucketCol=N` directory layout, derived
+    * deterministically as xxhash64(key) mod numBuckets). The per-batch MERGE
+    * goes through Dml's partition-pruned copy-on-write, so a micro-batch
+    * rewrites only the buckets its keys hash into — cost proportional to the
+    * batch's bucket coverage, not to accumulated table size. Size numBuckets
+    * so one bucket ≈ a few HDFS blocks at the target scale.
+    *
     * Within a batch, the surviving row per key is the one with the greatest
     * `versionCol` (e.g. an event timestamp) — streams carry no row order, so
     * deterministic last-writer-wins needs an explicit version; with
     * `versionCol = None` the within-batch winner is arbitrary (documented,
     * not last-writer). Cross-batch, later batches always win. Rows with a
     * NULL key are dropped: a MERGE key never matches NULL, so they would
-    * re-insert on every batch.
+    * re-insert on every batch. The bucket column is part of the stored
+    * schema (it reads back as the table's last column).
     */
   def upsertSink(df: DataFrame, path: String, key: String,
-      versionCol: Option[String] = None): StreamingQuery = {
+      versionCol: Option[String] = None, numBuckets: Int = 16,
+      bucketCol: String = "bucket_id"): StreamingQuery = {
     import org.apache.spark.sql.DataFrame
     val q = df.writeStream
       .outputMode("append")
@@ -133,12 +143,18 @@ object Streams {
               .filter(col("_rn") === 1).drop("_rn")
           case None => keyed.dropDuplicates(key)
         }
+        val bucketed = deduped.withColumn(bucketCol,
+          pmod(xxhash64(col(key)), lit(numBuckets.toLong)))
         val fs = new org.apache.hadoop.fs.Path(path)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (!fs.exists(new org.apache.hadoop.fs.Path(path)))
-          deduped.write.mode("overwrite").parquet(path)
+          bucketed.write.partitionBy(bucketCol).parquet(path)
         else
-          graft.plans.Dml.merge(spark, path, deduped, key, key,
+          // matched rows keep their bucket (the key, hence the hash, is
+          // unchanged) — bucketCol is never assigned, so Dml's pruned COW
+          // rewrites only buckets containing this batch's matched keys and
+          // appends inserts into their hash buckets
+          graft.plans.Dml.merge(spark, path, bucketed, key, key,
             whenMatchedSet = deduped.columns.filterNot(_ == key)
               .map(c => c -> col(s"s.$c")).toMap)
       }

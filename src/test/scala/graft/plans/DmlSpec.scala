@@ -97,6 +97,120 @@ class DmlSpec extends SparkSpec {
     assert(ex.getMessage.contains("cardinality"))
   }
 
+  /** A scratch copy of orders partitioned by o_orderstatus (3 partitions). */
+  private def scratchPartitionedOrders(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dmlp_").toString + "/orders"
+    Engine.table(spark, sfDir, "orders").write
+      .partitionBy("o_orderstatus").parquet(dir)
+    dir
+  }
+
+  /** Data-file signature of one partition dir: (name, length, mtime). */
+  private def fileSig(table: String, leaf: String): Set[(String, Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(s"$table/$leaf")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).filter(_.isFile)
+      .filterNot(s => s.getPath.getName.startsWith(".") || s.getPath.getName.startsWith("_"))
+      .map(s => (s.getPath.getName, s.getLen, s.getModificationTime)).toSet
+  }
+
+  test("partitioned delete touches only partitions containing matches") {
+    import spark.implicits._
+    val t = scratchPartitionedOrders()
+    val before = spark.read.parquet(t)
+    val n = before.count()
+    val nHit = before.filter($"o_orderstatus" === "P" && $"o_orderkey" % 2 === 0).count()
+    val sigO = fileSig(t, "o_orderstatus=O")
+    val sigF = fileSig(t, "o_orderstatus=F")
+    assert(sigO.nonEmpty && sigF.nonEmpty)
+    Dml.deleteWhere(spark, t,
+      col("o_orderstatus") === "P" && col("o_orderkey") % 2 === 0)
+    // untouched partitions keep their exact files (same names, sizes, mtimes)
+    assert(fileSig(t, "o_orderstatus=O") === sigO)
+    assert(fileSig(t, "o_orderstatus=F") === sigF)
+    val after = spark.read.parquet(t)
+    assert(after.count() === n - nHit)
+    assert(after.filter($"o_orderstatus" === "P" && $"o_orderkey" % 2 === 0).count() === 0)
+  }
+
+  test("partitioned delete on a partition predicate drops the whole directory") {
+    import spark.implicits._
+    val t = scratchPartitionedOrders()
+    val keep = spark.read.parquet(t).filter($"o_orderstatus" =!= "F").count()
+    val sigO = fileSig(t, "o_orderstatus=O")
+    Dml.deleteWhere(spark, t, col("o_orderstatus") === "F")
+    assert(fileSig(t, "o_orderstatus=F").isEmpty) // dir removed, not rewritten
+    assert(fileSig(t, "o_orderstatus=O") === sigO)
+    assert(spark.read.parquet(t).count() === keep)
+  }
+
+  test("partitioned update rewrites only matching partitions; partition column assignment throws") {
+    import spark.implicits._
+    val t = scratchPartitionedOrders()
+    val sigF = fileSig(t, "o_orderstatus=F")
+    val sigP = fileSig(t, "o_orderstatus=P")
+    Dml.updateWhere(spark, t,
+      col("o_orderstatus") === "O" && col("o_totalprice") > 100000,
+      Map("o_orderpriority" -> lit("0-REWRITTEN")))
+    assert(fileSig(t, "o_orderstatus=F") === sigF)
+    assert(fileSig(t, "o_orderstatus=P") === sigP)
+    val after = spark.read.parquet(t)
+    assert(after.filter($"o_orderpriority" === "0-REWRITTEN").count() ===
+      after.filter($"o_orderstatus" === "O" && $"o_totalprice" > 100000).count())
+    intercept[UnsupportedOperationException] {
+      Dml.updateWhere(spark, t, lit(true), Map("o_orderstatus" -> lit("X")))
+    }
+  }
+
+  test("partitioned merge rewrites matched partitions, appends inserts, creates new partitions") {
+    import spark.implicits._
+    val t = scratchPartitionedOrders()
+    val before = spark.read.parquet(t)
+    val beforeCount = before.count()
+    // matched keys all live in partition F; inserts target existing partition
+    // O (append) and brand-new partition Z (new directory)
+    val fKeys = before.filter($"o_orderstatus" === "F").limit(5)
+      .select($"o_orderkey").as[Long].collect().toSeq
+    val sigO = fileSig(t, "o_orderstatus=O")
+    val sigP = fileSig(t, "o_orderstatus=P")
+    def row(key: Long, status: String) = spark.range(1).select(
+      lit(key).as("o_orderkey"), lit(1L).as("o_custkey"),
+      lit(123.45).as("o_totalprice"),
+      to_timestamp(lit("2020-01-01 00:00:00")).as("o_orderdate"),
+      lit("1-URGENT").as("o_orderpriority"), lit(status).as("o_orderstatus"))
+    val src = fKeys.map(k => row(k, "F")).reduce(_ union _)
+      .union(row(7777771L, "O")).union(row(7777772L, "Z"))
+    Dml.merge(spark, t, src, "o_orderkey", "o_orderkey",
+      whenMatchedSet = Map("o_totalprice" -> col("s.o_totalprice")))
+    // P untouched; O only gained files (original files still present)
+    assert(fileSig(t, "o_orderstatus=P") === sigP)
+    val sigOAfter = fileSig(t, "o_orderstatus=O")
+    assert(sigO.subsetOf(sigOAfter) && sigOAfter.size > sigO.size)
+    assert(fileSig(t, "o_orderstatus=Z").nonEmpty)
+    val after = spark.read.parquet(t)
+    assert(after.count() === beforeCount + 2)
+    assert(after.filter($"o_orderkey".isin(fKeys: _*) && $"o_totalprice" === 123.45)
+      .count() === fKeys.size)
+    assert(after.filter($"o_orderkey" === 7777772L && $"o_orderstatus" === "Z").count() === 1)
+    intercept[UnsupportedOperationException] {
+      Dml.merge(spark, t, src, "o_orderkey", "o_orderkey",
+        whenMatchedSet = Map("o_orderstatus" -> lit("X")))
+    }
+  }
+
+  test("partitioned insertInto appends into the key=value layout") {
+    import spark.implicits._
+    val t = scratchPartitionedOrders()
+    val n = spark.read.parquet(t).count()
+    val rows = spark.read.parquet(t).limit(3)
+      .withColumn("o_orderkey", $"o_orderkey" + 50000000L)
+    Dml.insertInto(spark, t, rows)
+    assert(spark.read.parquet(t).count() === n + 3)
+    // no stray files at the table root — everything under key=value dirs
+    assert(fileSig(t, ".").isEmpty)
+  }
+
   test("multiInsert fans one source scan into several sinks") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_mi_").toString

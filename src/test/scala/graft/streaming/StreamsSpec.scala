@@ -112,15 +112,54 @@ class StreamsSpec extends SparkSpec {
     val q = Streams.upsertSink(in.toDF().toDF("k", "tag", "v"), path, "k",
       versionCol = Some("v"))
     try {
-      assert(spark.read.parquet(path).orderBy($"k")
+      assert(spark.read.parquet(path).orderBy($"k").select($"k", $"tag", $"v")
         .as[(Long, String, Double)].collect().toSeq ===
         Seq((1L, "a", 1.0), (2L, "b", 5.0)))
       // second batch: update k=2 (later batch wins), insert k=3
       in.addData((2L, "b2", 20.0), (3L, "c", 3.0))
       q.processAllAvailable()
-      val got = spark.read.parquet(path).orderBy($"k")
+      val got = spark.read.parquet(path).orderBy($"k").select($"k", $"tag", $"v")
         .as[(Long, String, Double)].collect().toSeq
       assert(got === Seq((1L, "a", 1.0), (2L, "b2", 20.0), (3L, "c", 3.0)))
+    } finally q.stop()
+  }
+
+  test("upsertSink rewrites only the hash buckets a micro-batch touches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("graft_upsertb_").toString + "/t"
+    val nBuckets = 64
+    def bucketOf(k: Long): Long = spark.range(1)
+      .select(pmod(xxhash64(lit(k)), lit(nBuckets.toLong))).head().getLong(0)
+    def sigs(): Map[String, Set[(String, Long, Long)]] = {
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(root).filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .map { d =>
+          d.getPath.getName -> fs.listStatus(d.getPath).filter(_.isFile)
+            .map(f => (f.getPath.getName, f.getLen, f.getModificationTime)).toSet
+        }.toMap
+    }
+    val in = MemoryStream[(Long, Double)]
+    in.addData((1L to 40L).map(k => (k, k * 1.0)): _*)
+    val q = Streams.upsertSink(in.toDF().toDF("k", "v"), path, "k",
+      numBuckets = nBuckets)
+    try {
+      val before = sigs()
+      assert(before.size > 10) // keys spread over many buckets
+      // batch 2 touches exactly two keys: update k=7, insert k=1000
+      in.addData((7L, 70.0), (1000L, 1.0))
+      q.processAllAvailable()
+      val after = sigs()
+      val touched = Set(bucketOf(7L), bucketOf(1000L)).map("bucket_id=" + _)
+      before.keys.filterNot(touched).foreach { b =>
+        assert(after(b) === before(b), s"untouched bucket $b was rewritten")
+      }
+      assert(after(s"bucket_id=${bucketOf(7L)}") !== before(s"bucket_id=${bucketOf(7L)}"))
+      assert(spark.read.parquet(path).filter($"k" === 7L).select($"v")
+        .head().getDouble(0) === 70.0)
+      assert(spark.read.parquet(path).count() === 41)
     } finally q.stop()
   }
 
