@@ -90,27 +90,71 @@ object Dedup {
       .agg(first(col("est_jaccard")).as("est_jaccard"))
   }
 
-  /** End-to-end near-dup removal: exact dedup, then drop every LSH-verified
-    * near-duplicate with a larger id than its match (the canonical
-    * keep-first corpus cleaning pass). Output is the cleaned DataFrame.
+  /** Connected components over an undirected edge list, by iterative
+    * min-label propagation: every node's label becomes the minimum of its
+    * own and its neighbors', repeated until fixpoint (or `maxIters`). Each
+    * sweep is one equi-join + min-aggregate, both shuffling on the node id —
+    * no driver-side graph, O(diameter) sweeps (near-dup clusters are
+    * shallow). Lineage is truncated per sweep with localCheckpoint so the
+    * plan doesn't grow with iterations (at cluster scale, point
+    * `spark.sparkContext.setCheckpointDir` at durable storage and swap in
+    * `checkpoint` for strict fault tolerance).
+    *
+    * Returns (id, component) for every node appearing in an edge; at
+    * fixpoint the component label is the minimum id of the component.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIters: Int = 20): DataFrame = {
+    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val nbrMin = sym.join(labels, sym("src") === labels("id"))
+        .groupBy(col("dst")).agg(min(col("component")).as("_nbr_min"))
+      val stepped = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
+        .select(labels("id"),
+          least(labels("component"), coalesce(col("_nbr_min"), labels("component")))
+            .as("component"),
+          (col("_nbr_min") < labels("component")).as("_chg"))
+        .localCheckpoint()
+      changed = stepped.filter(col("_chg")).count()
+      labels = stepped.drop("_chg")
+      it += 1
+    }
+    labels
+  }
+
+  /** End-to-end near-dup removal: exact dedup, then resolve LSH-verified
+    * near-duplicate pairs into connected components and keep the minimum id
+    * of each component (the canonical keep-first corpus cleaning pass) —
+    * a~b~c chains collapse to exactly one survivor even when a and c are
+    * not directly similar. Output is the cleaned DataFrame.
     */
   def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String = "text",
       threshold: Double = 0.8, shingleSize: Int = 3,
       numHashes: Int = 64, bands: Int = 16): DataFrame = {
     val exactClean = exact(df, idCol, textCol)
-    val toDrop = nearDuplicates(exactClean, idCol, textCol, threshold,
+    val pairs = nearDuplicates(exactClean, idCol, textCol, threshold,
       shingleSize, numHashes, bands)
-      .select(col("id_b").as(idCol)).distinct()
-    exactClean.join(toDrop, Seq(idCol), "left_anti")
+    // at fixpoint the component label IS the min id: losers are the rest
+    val losers = connectedComponents(pairs, "id_a", "id_b")
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    exactClean.join(losers, Seq(idCol), "left_anti")
   }
 
   /** Keep-best near-dup cleaning: like [[dropNearDuplicates]] but the
-    * survivor — of exact-duplicate groups AND of each near-dup candidate
-    * pair — is chosen by `scoreCol` (higher wins; NULL ranks last; ties
-    * break to the smaller id) instead of keep-first — the shape a
-    * quality-filtered training corpus wants (drop the worse copy, not the
-    * later one). Greedy pairwise, same chain caveat as keep-first: in a
-    * cluster a~b~c the pairwise losers all drop.
+    * survivor — of exact-duplicate groups AND of each near-dup cluster —
+    * is chosen by `scoreCol` (higher wins; NULL ranks last; ties break to
+    * the smaller id) instead of keep-first — the shape a quality-filtered
+    * training corpus wants (drop the worse copy, not the later one).
+    * Clusters are connected components of the verified candidate pairs, so
+    * a chain keeps exactly its single best-scored member.
     */
   def dropNearDuplicatesKeepBest(df: DataFrame, idCol: String, scoreCol: String,
       textCol: String = "text", threshold: Double = 0.8, shingleSize: Int = 3,
@@ -129,13 +173,14 @@ object Dedup {
       .filter(col("_rn") === 1).drop("_rn")
     val pairs = nearDuplicates(exactClean, idCol, textCol, threshold,
       shingleSize, numHashes, bands)
-    val scores = exactClean.select(col(idCol), col(scoreCol))
-    val losers = pairs
-      .join(scores.select(col(idCol).as("id_a"), col(scoreCol).as("_score_a")), "id_a")
-      .join(scores.select(col(idCol).as("id_b"), col(scoreCol).as("_score_b")), "id_b")
-      .select(when(rank(col("_score_a")) >= rank(col("_score_b")), col("id_b"))
-        .otherwise(col("id_a")).as(idCol))
-      .distinct()
+    val comp = connectedComponents(pairs, "id_a", "id_b")
+      .join(exactClean.select(col(idCol).as("id"), col(scoreCol).as("_score")), "id")
+    val cw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component")).orderBy(rank(col("_score")).desc, col("id").asc)
+    val losers = comp
+      .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(cw))
+      .filter(col("_rn") =!= 1)
+      .select(col("id").as(idCol))
     exactClean.join(losers, Seq(idCol), "left_anti")
   }
 

@@ -53,23 +53,43 @@ object Similarity {
     VectorColumns.hyperplaneSignature(vec,
       VectorColumns.planeMatrix(nPlanes, dims, seed))
 
-  /** ANN via LSH buckets: candidates share the exact signature bucket; exact
+  /** ANN via LSH buckets: candidates share the signature bucket; exact
     * cosine re-rank inside the bucket. Trades recall for a shuffle keyed on
     * the bucket id instead of a full cross join.
+    *
+    * `dims` is the embedding dimensionality (pass it; the default -1 reads
+    * one row to detect it). `probeFlips = 1` enables multi-probe: each query
+    * additionally probes every bucket at Hamming distance 1 from its own
+    * (the nPlanes single-bit flips) — the classic multi-probe LSH recall
+    * recovery (Lv et al., VLDB'07) at the cost of nPlanes+1 probe keys per
+    * query instead of wider buckets. Only the (small, broadcast) query side
+    * fans out; the corpus is still bucketed once.
     */
   def annLsh(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, nPlanes: Int = 12, seed: Long = 42L): DataFrame = {
-    val dims = corpus.select(size(col(vecCol))).head().getInt(0)
-    val sig = (c: Column) => lshSignature(c, nPlanes, dims, seed)
+      k: Int, nPlanes: Int = 12, seed: Long = 42L, dims: Int = -1,
+      probeFlips: Int = 0): DataFrame = {
+    require(probeFlips >= 0 && probeFlips <= 1,
+      "probeFlips: 0 (exact bucket) or 1 (probe all single-bit flips)")
+    val d = if (dims > 0) dims else corpus.select(size(col(vecCol))).head().getInt(0)
+    val sig = (c: Column) => lshSignature(c, nPlanes, d, seed)
     val c = corpus.select(col(idCol).as("item_id"), col(vecCol).as("__cv"))
       .withColumn("bucket", sig(col("__cv")))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-      .withColumn("bucket", sig(col("__qv")))
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__sig", sig(col("__qv")))
+    val q =
+      if (probeFlips == 0) q0.withColumn("bucket", col("__sig")).drop("__sig")
+      else q0.withColumn("bucket", explode(array(
+          (Seq(col("__sig")) ++
+            (0 until nPlanes).map(i => col("__sig").bitwiseXOR(lit(1L << i)))): _*)))
+        .drop("__sig")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("item_id"))
     c.join(broadcast(q), Seq("bucket"))
       .filter(col("item_id") =!= col("query_id"))
+      // a pair can surface through several probe buckets — dedupe before rank
+      .select(col("query_id"), col("item_id"), col("__qv"), col("__cv"))
+      .dropDuplicates("query_id", "item_id")
       .withColumn("cos_sim", cosine(col("__qv"), col("__cv")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
@@ -106,11 +126,13 @@ object Similarity {
         .filter(col("__rn") === 1)
         .select(vecs.columns.map(col) :+ col(centVec).as(out): _*)
     }
-    val dims = corpus.select(size(col(vecCol))).head().getInt(0)
+    // one vector-avg Aggregator per group — a single aggregate expression
+    // regardless of dimensionality (dims x avg(element_at) would bloat
+    // codegen at 768+), with map-side partial aggregation intact
     def refineOnce(assignedPrev: DataFrame): DataFrame =
       assignedPrev.groupBy(col("list_id"))
-        .agg(array((0 until dims).map(i =>
-          avg(element_at(col("__cv"), i + 1).cast("double"))): _*).as("__centv"))
+        .agg(graft.functions.VectorAggregates.vectorAvg(
+          col("__cv").cast("array<double>")).as("__centv"))
         .select(col("list_id").as("__cent"), col("__centv"))
     var assigned = nearest(c, seeds.select(col("seed_id").as("__cent"),
       col("__seed").as("__centv")), "__cent", "list_id")
@@ -147,10 +169,11 @@ object Similarity {
     * threshold. Lower nPlanes widens buckets (higher recall, more work).
     */
   def embeddingNearDups(corpus: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
-    val dims = corpus.select(size(col(vecCol))).head().getInt(0)
+      threshold: Double, nPlanes: Int = 8, seed: Long = 42L,
+      dims: Int = -1): DataFrame = {
+    val d = if (dims > 0) dims else corpus.select(size(col(vecCol))).head().getInt(0)
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("__v"))
-      .withColumn("bucket", lshSignature(col("__v"), nPlanes, dims, seed))
+      .withColumn("bucket", lshSignature(col("__v"), nPlanes, d, seed))
     val a = c.select(col("id").as("id_a"), col("__v").as("__va"), col("bucket"))
     val b = c.select(col("id").as("id_b"), col("__v").as("__vb"), col("bucket"))
     a.join(b, Seq("bucket"))
@@ -166,11 +189,10 @@ object Similarity {
     */
   def labelCentroidSimilarity(corpus: DataFrame, idCol: String, vecCol: String,
       labelCol: String): DataFrame = {
-    val dims = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
     val v = col(vecCol)
     val sums = corpus.groupBy(col(labelCol))
-      .agg(array((0 until dims).map(i =>
-        avg(element_at(v, i + 1).cast("double"))): _*).as("centroid"))
+      .agg(graft.functions.VectorAggregates.vectorAvg(
+        v.cast("array<double>")).as("centroid"))
     corpus.join(broadcast(sums), labelCol)
       .withColumn("cos_to_centroid", round(cosine(v, col("centroid")), 5))
       .select(col(idCol), col(labelCol), col("cos_to_centroid"))

@@ -186,7 +186,7 @@ object PipelineQueries {
       import spark.implicits._
       val emb = t(spark, dir, "embeddings")
       Similarity.annLsh(emb, emb.filter($"vec_id" < 20), "vec_id", "embedding",
-        k = 10, nPlanes = 8)
+        k = 10, nPlanes = 8, dims = 64, probeFlips = 1)
         .orderBy($"query_id", $"rnk")
     },
 
@@ -210,7 +210,7 @@ object PipelineQueries {
     rowsOnly("p16_embedding_neardup") { (spark, dir) =>
       import spark.implicits._
       Similarity.embeddingNearDups(t(spark, dir, "embeddings"), "vec_id",
-        "embedding", threshold = -1.0, nPlanes = 10)
+        "embedding", threshold = -1.0, nPlanes = 10, dims = 64)
         .orderBy($"cos_sim".desc, $"id_a", $"id_b")
         .limit(100)
     },

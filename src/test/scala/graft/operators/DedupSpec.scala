@@ -134,6 +134,49 @@ class DedupSpec extends SparkSpec {
     assert(ids.contains(3L) && ids.contains(4L))
   }
 
+  test("connectedComponents labels chains and separate clusters") {
+    import spark.implicits._
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  /** A 3-doc chain of sliding 30-word windows (stride 6): adjacent windows
+    * share 22/34 shingles (jaccard .647), the chain ends only 16/40 (.4) —
+    * so with threshold 0.6 the verified pairs are exactly (1,2) and (2,3).
+    */
+  private def chainDocs = {
+    import spark.implicits._
+    val words = (0 until 42).map(i => s"tok$i")
+    def win(start: Int) = words.slice(start, start + 30).mkString(" ")
+    (Seq((1L, win(0)), (2L, win(6)), (3L, win(12))) :+
+      (50L, (100 until 130).map(i => s"zz$i").mkString(" ")))
+      .toDF("doc_id", "text")
+  }
+
+  test("near-dup chain a~b~c collapses to one survivor (keep-first)") {
+    import spark.implicits._
+    // pair (1,3) is below threshold: only the component walk links them
+    val pairs = Dedup.nearDuplicates(chainDocs, "doc_id", threshold = 0.6,
+      numHashes = 64, bands = 32)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L), (2L, 3L)))
+    val cleaned = Dedup.dropNearDuplicates(chainDocs, "doc_id", threshold = 0.6,
+      numHashes = 64, bands = 32)
+    assert(cleaned.select($"doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 50L))
+  }
+
+  test("near-dup chain keeps exactly the best-scored member (keep-best)") {
+    import spark.implicits._
+    val scored = chainDocs.withColumn("score",
+      when($"doc_id" === 2L, 0.9).when($"doc_id" === 3L, 0.5).otherwise(0.1))
+    val cleaned = Dedup.dropNearDuplicatesKeepBest(scored, "doc_id", "score",
+      threshold = 0.6, numHashes = 64, bands = 32)
+    assert(cleaned.select($"doc_id").as[Long].collect().sorted.toSeq === Seq(2L, 50L))
+  }
+
   test("jaccard is exact on known sets") {
     import spark.implicits._
     val df = Seq(("a b c d", "a b c e")).toDF("t1", "t2")

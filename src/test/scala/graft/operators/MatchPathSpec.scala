@@ -50,6 +50,32 @@ class MatchPathSpec extends SparkSpec {
     assert(m.count() === 2)
   }
 
+  test("streams a 1M-row single partition key with a tiny bounded buffer") {
+    import spark.implicits._
+    // one partition key, 1M rows: the old whole-group materialization would
+    // need the full group in memory; the streaming scan holds <= one match
+    // attempt (2 rows here), proven by the maxBufferRows = 8 guard rail
+    val df = spark.range(1000000L).select(
+      lit(1L).as("user_id"), ($"id" + 1).as("seq"),
+      when($"id" % 2 === 0, 1.0).otherwise(9.0).as("v"))
+    val m = MatchPath.matchpath(df, "user_id", "seq",
+      Seq("A" -> ($"v" < 5), "B" -> ($"v" >= 5)), "A.B", maxBufferRows = 8)
+    assert(m.count() === 500000L)
+  }
+
+  test("buffer guard rail fails fast instead of OOMing on a degenerate run") {
+    import spark.implicits._
+    val df = spark.range(100L).select(
+      lit(1L).as("user_id"), ($"id" + 1).as("seq"), lit(1.0).as("v"))
+    val ex = intercept[Exception] {
+      MatchPath.matchpath(df, "user_id", "seq",
+        Seq("A" -> ($"v" > 0)), "A+", maxBufferRows = 10).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("matchpath buffer exceeded")))
+  }
+
   test("works over the events table (purchase after clicks)") {
     import spark.implicits._
     val events = Engine.table(spark, sfDir, "events")

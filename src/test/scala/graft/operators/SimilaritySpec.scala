@@ -76,6 +76,39 @@ class SimilaritySpec extends SparkSpec {
     assert(planted.agg(min($"cos_sim")).head().getDouble(0) >= 0.999)
   }
 
+  test("multi-probe LSH recovers recall lost to narrow buckets") {
+    import spark.implicits._
+    val queries = emb.filter($"vec_id" < 20)
+    val exact = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", 5)
+      .select($"query_id", $"item_id")
+    def recall(flips: Int): Long =
+      Similarity.annLsh(emb, queries, "vec_id", "embedding", k = 5,
+        nPlanes = 6, dims = 64, probeFlips = flips)
+        .select($"query_id", $"item_id").intersect(exact).count()
+    val single = recall(0)
+    val multi = recall(1)
+    // at 6 planes buckets are narrow for this corpus (single-probe recalls
+    // ~4/100); probing the 6 Hamming-1 buckets per query must recover
+    // strictly (here ~6x) more of the brute-force top-k
+    assert(multi > single, s"multi-probe $multi not above single-probe $single")
+    assert(multi >= 20, s"multi-probe recall $multi/100 too low")
+  }
+
+  test("vector-avg centroid is a single aggregate even at 768 dims") {
+    import spark.implicits._
+    // every vector in a label group is identical -> cosine to centroid = 1
+    val wide = spark.range(90).select(
+      $"id".as("vec_id"), ($"id" % 3).as("label"),
+      transform(sequence(lit(1), lit(768)),
+        i => (i * (($"id" % 3) + 1)).cast("double")).as("embedding"))
+    val d = Similarity.labelCentroidSimilarity(wide, "vec_id", "embedding", "label")
+    val plan = d.queryExecution.executedPlan.toString
+    assert(!plan.contains("element_at"), "centroid still expands per-dimension aggs")
+    val scores = d.select($"cos_to_centroid").as[Double].collect()
+    assert(scores.length === 90)
+    scores.foreach(s => assert(math.abs(s - 1.0) < 1e-9))
+  }
+
   test("labelCentroidSimilarity yields a bounded score per vector") {
     import spark.implicits._
     val d = Similarity.labelCentroidSimilarity(emb, "vec_id", "embedding", "label")
