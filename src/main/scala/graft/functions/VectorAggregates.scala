@@ -47,8 +47,12 @@ object VectorAggregates {
       }
     }
 
+    // SQL avg semantics: an empty group (all-null vectors) yields NULL, not
+    // an empty array. NULL vectors are skipped in reduce; individual vector
+    // ELEMENTS must be non-null (array<double> with null elements fails the
+    // Seq[Double] encoder — filter such vectors upstream).
     override def finish(r: VecSum): Seq[Double] =
-      if (r.n == 0L) Seq.empty
+      if (r.n == 0L) null
       else { val out = new Array[Double](r.sum.length)
         var i = 0; while (i < r.sum.length) { out(i) = r.sum(i) / r.n; i += 1 }
         out.toSeq }

@@ -93,6 +93,32 @@ object VectorKernels {
     if (n == 0) 0.0 else eq.toDouble / n
   }
 
+  /** Id of the cosine-nearest centroid (ties to the lowest id — centroids
+    * arrive sorted by id). Linear scan over the (tiny) centroid matrix per
+    * row: the whole Lloyd assignment step is one map-side projection.
+    */
+  def nearestCentroid(v: ArrayData, vFloat: Boolean,
+      cents: Array[Array[Double]], ids: Array[Long]): Long = {
+    val n = v.numElements()
+    var best = 0; var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val m = math.min(n, cent.length)
+      while (i < m) {
+        val x = get(v, vFloat, i); val y = cent(i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      val sim = if (denom == 0.0) 0.0 else dot / denom
+      if (sim > bestSim) { bestSim = sim; best = c }
+      c += 1
+    }
+    ids(best)
+  }
+
   def hyperplane(v: ArrayData, vFloat: Boolean, planes: Array[Array[Double]]): Long = {
     val n = v.numElements()
     var sigBits = 0L
@@ -200,6 +226,27 @@ case class HyperplaneSignature(child: Expression, planes: Array[Array[Double]])
   override protected def withNewChildInternal(c: Expression): HyperplaneSignature = copy(child = c)
 }
 
+/** Cosine-argmax against a literal centroid matrix (IVF assignment / one
+  * Lloyd half-step as a shuffle-free map-side projection; the centroid set is
+  * tiny and ships in the expression via addReferenceObj).
+  */
+case class NearestCentroid(child: Expression, cents: Array[Array[Double]],
+    ids: Array[Long]) extends UnaryExpression {
+  require(cents.nonEmpty && cents.length == ids.length,
+    "nearest_centroid needs a non-empty centroid set with matching ids")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(VectorKernels.nearestCentroid(
+      input.asInstanceOf[ArrayData], VecRead.isFloat(child), cents, ids))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    val idsRef = ctx.addReferenceObj("ids", ids, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorKernels.nearestCentroid($c, ${VecRead.isFloat(child)}, $centsRef, $idsRef);")
+  }
+  override protected def withNewChildInternal(c: Expression): NearestCentroid = copy(child = c)
+}
+
 object VectorColumns {
   import org.apache.spark.unsafe.types.UTF8String
 
@@ -226,4 +273,7 @@ object VectorColumns {
     GraftShims.column(CosineSimilarity(GraftShims.expression(a), GraftShims.expression(b)))
   def lshBandHashes(sig: Column, bands: Int): Column =
     GraftShims.column(LshBandHashes(GraftShims.expression(sig), bands))
+  def nearestCentroid(vec: Column, cents: Array[Array[Double]],
+      ids: Array[Long]): Column =
+    GraftShims.column(NearestCentroid(GraftShims.expression(vec), cents, ids))
 }

@@ -126,6 +126,13 @@ object Dedup {
       labels = stepped.drop("_chg")
       it += 1
     }
+    if (changed > 0)
+      // non-convergence means clusters deeper than maxIters sweeps keep >1
+      // survivor (silent under-dedup) — make it detectable
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents: NOT converged after $it sweeps ($changed labels " +
+          s"still changing) — raise maxIters (chains deeper than $maxIters " +
+          "leave multiple survivors per cluster)")
     labels
   }
 

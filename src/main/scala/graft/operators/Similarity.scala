@@ -57,8 +57,9 @@ object Similarity {
     * cosine re-rank inside the bucket. Trades recall for a shuffle keyed on
     * the bucket id instead of a full cross join.
     *
-    * `dims` is the embedding dimensionality (pass it; the default -1 reads
-    * one row to detect it). `probeFlips = 1` enables multi-probe: each query
+    * `dims` is the embedding dimensionality and is required — deriving it
+    * from the data would cost a driver-side read of one row on every call.
+    * `probeFlips = 1` enables multi-probe: each query
     * additionally probes every bucket at Hamming distance 1 from its own
     * (the nPlanes single-bit flips) — the classic multi-probe LSH recall
     * recovery (Lv et al., VLDB'07) at the cost of nPlanes+1 probe keys per
@@ -66,11 +67,12 @@ object Similarity {
     * fans out; the corpus is still bucketed once.
     */
   def annLsh(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, nPlanes: Int = 12, seed: Long = 42L, dims: Int = -1,
+      k: Int, dims: Int, nPlanes: Int = 12, seed: Long = 42L,
       probeFlips: Int = 0): DataFrame = {
     require(probeFlips >= 0 && probeFlips <= 1,
       "probeFlips: 0 (exact bucket) or 1 (probe all single-bit flips)")
-    val d = if (dims > 0) dims else corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dims > 0, "dims must be the embedding dimensionality")
+    val d = dims
     val sig = (c: Column) => lshSignature(c, nPlanes, d, seed)
     val c = corpus.select(col(idCol).as("item_id"), col(vecCol).as("__cv"))
       .withColumn("bucket", sig(col("__cv")))
@@ -97,6 +99,21 @@ object Similarity {
         col("rnk"))
   }
 
+  /** Nearest-centroid assignment (one Lloyd half-step) as a pure map-side
+    * projection: the centroid set is tiny (nLists vectors), so it ships as a
+    * literal matrix inside a codegen'd cosine-argmax expression
+    * ([[graft.functions.NearestCentroid]]). ZERO shuffle per pass — strictly
+    * better than both the row_number-window (corpus sort-shuffle) and a
+    * groupBy-argmax (corpus shuffle) formulation. Ties break to the lowest
+    * centroid id (`cents` sorted by id).
+    */
+  private[operators] def assignToCentroids(vecs: DataFrame,
+      cents: Array[(Long, Array[Double])], out: String): DataFrame = {
+    val sorted = cents.sortBy(_._1)
+    vecs.withColumn(out, graft.functions.VectorColumns.nearestCentroid(
+      col("__cv"), sorted.map(_._2), sorted.map(_._1)))
+  }
+
   /** IVF-style ANN: the corpus is clustered into `nLists` inverted lists
     * around deterministic seed centroids (one mean-refinement pass); each
     * query probes its `nProbe` nearest centroids and re-ranks exactly within
@@ -106,26 +123,24 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nLists: Int = 16, nProbe: Int = 4, iters: Int = 1): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val c = corpus.select(col(idCol).as("item_id"), col(vecCol).as("__cv"))
-    // deterministic seeds: the nLists smallest xxhash64(id)
-    val seeds = c.withColumn("__h", xxhash64(col("item_id")))
-      .orderBy(col("__h")).limit(nLists)
-      .withColumn("seed_id", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("__h"))) - 1)
-      .select(col("seed_id"), col("__cv").as("__seed"))
-    // assign every vector to its nearest centroid, refine `iters` times
-    // (Lloyd steps; each is one broadcast cross-score + one groupBy — at
-    // scale, centroids stay tiny and every pass is a map-side scan)
-    def nearest(vecs: DataFrame, cents: DataFrame, centVec: String,
-        out: String): DataFrame = {
-      vecs.crossJoin(broadcast(cents))
-        .withColumn("__sim", cosine(col("__cv"), col("__centv")))
-        .withColumn("__rn", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("item_id"))
-            .orderBy(col("__sim").desc, col(centVec))))
-        .filter(col("__rn") === 1)
-        .select(vecs.columns.map(col) :+ col(centVec).as(out): _*)
-    }
+    // deterministic seeds: the nLists smallest xxhash64(id). Centroid sets
+    // live driver-side between passes (nLists x dims doubles — metadata
+    // scale) and ship as literals in the assignment expression, so each Lloyd
+    // pass executes exactly one corpus aggregation and no lineage chains
+    // across iterations.
+    def collectCents(df: DataFrame): Array[(Long, Array[Double])] =
+      df.select(col("__cent").cast("long"),
+        col("__centv").cast("array<double>")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    var cents = collectCents(
+      c.withColumn("__h", xxhash64(col("item_id")))
+        .orderBy(col("__h")).limit(nLists)
+        .withColumn("__cent", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("__h"))) - 1)
+        .select(col("__cent"), col("__cv").as("__centv")))
     // one vector-avg Aggregator per group — a single aggregate expression
     // regardless of dimensionality (dims x avg(element_at) would bloat
     // codegen at 768+), with map-side partial aggregation intact
@@ -134,16 +149,14 @@ object Similarity {
         .agg(graft.functions.VectorAggregates.vectorAvg(
           col("__cv").cast("array<double>")).as("__centv"))
         .select(col("list_id").as("__cent"), col("__centv"))
-    var assigned = nearest(c, seeds.select(col("seed_id").as("__cent"),
-      col("__seed").as("__centv")), "__cent", "list_id")
-    var refined = refineOnce(assigned)
-    var it = 1
+    var it = 0
     while (it < math.max(1, iters)) {
-      assigned = nearest(c, refined, "__cent", "list_id")
-      refined = refineOnce(assigned)
+      cents = collectCents(refineOnce(assignToCentroids(c, cents, "list_id")))
       it += 1
     }
-    assigned = nearest(c, refined, "__cent", "list_id")
+    val assigned = assignToCentroids(c, cents, "list_id")
+    val refined = cents.toSeq.map { case (id, v) => (id, v.toSeq) }
+      .toDF("__cent", "__centv")
     // probe: nProbe nearest refined centroids per query
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
     val probes = q.crossJoin(broadcast(refined))
@@ -167,15 +180,32 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs: hyperplane-LSH buckets generate
     * candidates (equi-join, no O(n^2)), exact cosine verifies against the
     * threshold. Lower nPlanes widens buckets (higher recall, more work).
+    * `dims` is required (no driver-side row peek).
+    *
+    * `probeFlips = 1` extends candidate generation to pairs whose signatures
+    * differ in one bit: ONE side of the self-join fans out to its nPlanes
+    * Hamming-1 buckets (multi-probe); the other side stays exactly bucketed,
+    * so the join input grows (nPlanes+1)x on one side only — still an
+    * equi-join, never all-pairs — and a pair at signature distance <= 1 meets
+    * in the unflipped side's bucket.
     */
   def embeddingNearDups(corpus: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nPlanes: Int = 8, seed: Long = 42L,
-      dims: Int = -1): DataFrame = {
-    val d = if (dims > 0) dims else corpus.select(size(col(vecCol))).head().getInt(0)
+      threshold: Double, dims: Int, nPlanes: Int = 8, seed: Long = 42L,
+      probeFlips: Int = 0): DataFrame = {
+    require(probeFlips >= 0 && probeFlips <= 1,
+      "probeFlips: 0 (exact bucket) or 1 (probe all single-bit flips)")
+    require(dims > 0, "dims must be the embedding dimensionality")
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("__v"))
-      .withColumn("bucket", lshSignature(col("__v"), nPlanes, d, seed))
-    val a = c.select(col("id").as("id_a"), col("__v").as("__va"), col("bucket"))
-    val b = c.select(col("id").as("id_b"), col("__v").as("__vb"), col("bucket"))
+      .withColumn("__sig", lshSignature(col("__v"), nPlanes, dims, seed))
+    val a0 = c.select(col("id").as("id_a"), col("__v").as("__va"), col("__sig"))
+    val a =
+      if (probeFlips == 0) a0.withColumn("bucket", col("__sig")).drop("__sig")
+      else a0.withColumn("bucket", explode(array(
+          (Seq(col("__sig")) ++
+            (0 until nPlanes).map(i => col("__sig").bitwiseXOR(lit(1L << i)))): _*)))
+        .drop("__sig")
+    val b = c.select(col("id").as("id_b"), col("__v").as("__vb"),
+      col("__sig").as("bucket"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos_sim", round(cosine(col("__va"), col("__vb")), 5))

@@ -34,6 +34,43 @@ object Dml {
 
   private val DefaultPartName = "__HIVE_DEFAULT_PARTITION__"
 
+  /** Partition manifest cache — the Spark-native analog of Hive keeping
+    * partitions in the metastore (ref standalone-metastore/.../
+    * hive_metastore.thrift:651). Without it every DML statement re-lists the
+    * whole partition tree on the driver: fine at 10^3 leaves, a per-statement
+    * stall at 10^5-10^6. The cache is maintained transactionally with each
+    * commit (leaves added/removed by the statement are applied to the cached
+    * manifest), so repeated statements never re-list. Single-writer, like the
+    * rest of this module; external writers must call [[invalidateLayout]].
+    */
+  private val layoutCache =
+    scala.collection.concurrent.TrieMap.empty[String, Option[Layout]]
+
+  /** Count of full partition-tree listings (observable by tests). */
+  private[plans] val treeListings = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Drop the cached partition manifest for a table path (call after writing
+    * to the table outside this module).
+    */
+  def invalidateLayout(table: String): Unit = layoutCache.remove(table)
+
+  /** Internal table read with partition-column type inference OFF: partition
+    * values stay strings that match the directory names byte-for-byte, so
+    * affected-partition tuples round-trip exactly (inference would turn dir
+    * `k=00` into int 0, rendered back as "0" — breaking both the leaf lookup
+    * and the staged rewrite). Comparisons in user predicates still coerce.
+    */
+  private def readTable(spark: SparkSession, table: String): DataFrame = {
+    val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try spark.read.parquet(table)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** A detected Hive-style partition layout: ordered partition columns and
     * the existing leaf directories keyed by their (unescaped) value tuple.
     * NULL partitions (the default-partition dir) key as `null` values.
@@ -46,13 +83,21 @@ object Dml {
   private def hidden(name: String): Boolean =
     name.startsWith(".") || name.startsWith("_")
 
-  /** Relative paths of all `k=v[/k2=v2...]` leaf directories under root. */
+  /** Relative paths of all `k=v[/k2=v2...]` leaf directories under root.
+    * A `k=v` dir containing neither data files nor child partition dirs is
+    * ignored (a stray empty intermediate, e.g. left by an interrupted
+    * external delete) rather than parsed as a short leaf — which would trip
+    * the layout-consistency require and brick DML on the table.
+    */
   private def leafDirs(fs: FileSystem, root: Path): Seq[String] = {
     def walk(p: Path, rel: String): Seq[String] = {
-      val kids = fs.listStatus(p).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.contains("=") &&
-          !hidden(s.getPath.getName))
-      if (kids.isEmpty) { if (rel.isEmpty) Nil else Seq(rel) }
+      val all = fs.listStatus(p).toSeq
+      val kids = all.filter(s => s.isDirectory && s.getPath.getName.contains("=") &&
+        !hidden(s.getPath.getName))
+      if (kids.isEmpty) {
+        val hasData = all.exists(s => s.isFile && !hidden(s.getPath.getName))
+        if (rel.isEmpty || !hasData) Nil else Seq(rel)
+      }
       else kids.flatMap { k =>
         walk(k.getPath,
           if (rel.isEmpty) k.getPath.getName else rel + "/" + k.getPath.getName)
@@ -77,22 +122,37 @@ object Dml {
     sb.toString
   }
 
-  private[plans] def detectLayout(spark: SparkSession, table: String): Option[Layout] = {
-    val rels = leafDirs(fsOf(spark, table), new Path(table))
-    if (rels.isEmpty) return None
-    def parse(rel: String): (Seq[String], Seq[String]) = {
-      val segs = rel.split("/").toSeq.map { seg =>
-        val i = seg.indexOf('=')
-        (unescapePathName(seg.substring(0, i)), unescapePathName(seg.substring(i + 1)))
-      }
-      (segs.map(_._1),
-        segs.map { case (_, v) => if (v == DefaultPartName) null else v })
+  private def parseLeaf(rel: String): (Seq[String], Seq[String]) = {
+    val segs = rel.split("/").toSeq.map { seg =>
+      val i = seg.indexOf('=')
+      (unescapePathName(seg.substring(0, i)), unescapePathName(seg.substring(i + 1)))
     }
-    val parsed = rels.map(r => r -> parse(r))
-    val cols = parsed.head._2._1
-    require(parsed.forall(_._2._1 == cols),
-      s"inconsistent partition directory layout under $table")
-    Some(Layout(cols, parsed.map { case (r, (_, vs)) => vs -> r }.toMap))
+    (segs.map(_._1),
+      segs.map { case (_, v) => if (v == DefaultPartName) null else v })
+  }
+
+  private[plans] def detectLayout(spark: SparkSession, table: String): Option[Layout] =
+    layoutCache.getOrElseUpdate(table, {
+      treeListings.incrementAndGet()
+      val rels = leafDirs(fsOf(spark, table), new Path(table))
+      if (rels.isEmpty) None
+      else {
+        val parsed = rels.map(r => r -> parseLeaf(r))
+        val cols = parsed.head._2._1
+        require(parsed.forall(_._2._1 == cols),
+          s"inconsistent partition directory layout under $table")
+        Some(Layout(cols, parsed.map { case (r, (_, vs)) => vs -> r }.toMap))
+      }
+    })
+
+  /** Apply a commit's leaf additions/removals to the cached manifest. */
+  private def commitLayout(table: String, layout: Layout,
+      removed: Seq[String], added: Seq[String]): Unit = {
+    val rm = removed.toSet
+    val kept = layout.leaves.filterNot { case (_, rel) => rm.contains(rel) }
+    val next = kept ++ added.map(rel => parseLeaf(rel)._2 -> rel)
+    if (next.isEmpty) layoutCache.remove(table)
+    else layoutCache.put(table, Some(Layout(layout.cols, next)))
   }
 
   /** Distinct partition-value tuples (as strings, null for SQL NULL) of
@@ -123,25 +183,59 @@ object Dml {
     * for existing untouched leaves are appended file-by-file. Every other
     * leaf directory of the table is never opened, never rewritten.
     */
+  /** Delete now-empty `k=v` ancestors of a removed leaf (multi-level layouts:
+    * removing the last `hour=Y` under `day=X` must not leave a childless
+    * `day=X` behind to be parsed as a short leaf).
+    */
+  private def cleanEmptyParents(fs: FileSystem, root: Path, from: Path): Unit = {
+    var p = from
+    while (p != null && p != root && p.getName.contains("=") &&
+        fs.exists(p) && fs.listStatus(p).isEmpty) {
+      fs.delete(p, false)
+      p = p.getParent
+    }
+  }
+
   private def prunedRewrite(spark: SparkSession, table: String, layout: Layout,
       affectedRels: Seq[String], post: DataFrame, allowAppend: Boolean): Unit = {
     val fs = fsOf(spark, table)
+    val root = new Path(table)
     val tmp = new Path(table + "._cow_tmp")
     fs.delete(tmp, true)
     post.write.partitionBy(layout.cols: _*).parquet(tmp.toString)
     val tmpRels = leafDirs(fs, tmp)
-    affectedRels.foreach { rel =>
-      val dst = new Path(table + "/" + rel)
-      val src = new Path(tmp + "/" + rel)
-      val bak = new Path(dst.getParent, "._cow_bak_" + dst.getName)
-      fs.delete(bak, true)
-      if (!fs.rename(dst, bak))
-        throw new IllegalStateException(s"cannot stage partition $rel of $table")
-      if (fs.exists(src) && !fs.rename(src, dst)) {
-        fs.rename(bak, dst) // roll back this leaf
-        throw new IllegalStateException(s"cannot commit partition $rel of $table")
+    val removed = Seq.newBuilder[String]
+    val added = Seq.newBuilder[String]
+    // Commit is per-leaf (sequential renames), not whole-table atomic: a
+    // mid-commit failure leaves earlier leaves updated and later ones not.
+    // Each leaf swap is individually atomic and idempotent to retry; on
+    // failure any leaf stranded in its ._cow_bak_* staging dir is restored
+    // before rethrowing so no rows are left invisible to readers.
+    val staged = scala.collection.mutable.ListBuffer.empty[(Path, Path)] // (bak, dst)
+    def restoreStaged(): Unit = staged.foreach { case (bak, dst) =>
+      if (fs.exists(bak) && !fs.exists(dst)) fs.rename(bak, dst)
+    }
+    try {
+      affectedRels.foreach { rel =>
+        val dst = new Path(table + "/" + rel)
+        val src = new Path(tmp + "/" + rel)
+        val bak = new Path(dst.getParent, "._cow_bak_" + dst.getName)
+        fs.delete(bak, true)
+        if (!fs.rename(dst, bak))
+          throw new IllegalStateException(s"cannot stage partition $rel of $table")
+        staged += ((bak, dst))
+        val isRemoval = !fs.exists(src)
+        if (!isRemoval && !fs.rename(src, dst))
+          throw new IllegalStateException(s"cannot commit partition $rel of $table")
+        staged.remove(staged.length - 1)
+        fs.delete(bak, true)
+        if (isRemoval) {
+          removed += rel
+          cleanEmptyParents(fs, root, dst.getParent)
+        }
       }
-      fs.delete(bak, true)
+    } catch {
+      case e: Throwable => restoreStaged(); throw e
     }
     val affectedSet = affectedRels.toSet
     tmpRels.filterNot(affectedSet).foreach { rel =>
@@ -151,6 +245,7 @@ object Dml {
         fs.mkdirs(dst.getParent)
         if (!fs.rename(src, dst))
           throw new IllegalStateException(s"cannot add partition $rel to $table")
+        added += rel
       } else if (allowAppend) {
         fs.listStatus(src).filter(s => s.isFile && !hidden(s.getPath.getName))
           .foreach { f =>
@@ -161,6 +256,7 @@ object Dml {
         s"unexpected rewrite of unaffected partition $rel of $table")
     }
     fs.delete(tmp, true)
+    commitLayout(table, layout, removed.result(), added.result())
     spark.catalog.refreshByPath(table)
     MaterializedViews.invalidateSource(spark, table)
   }
@@ -179,6 +275,7 @@ object Dml {
       throw new IllegalStateException(s"cannot commit new table $table")
     }
     fs.delete(bak, true)
+    layoutCache.put(table, None) // whole-table swap: stays unpartitioned
     // drop any cached file listing for the swapped path
     spark.catalog.refreshByPath(table)
     // drop materialized views built over this path — they are now stale
@@ -195,7 +292,7 @@ object Dml {
 
   /** DELETE FROM table WHERE cond. */
   def deleteWhere(spark: SparkSession, table: String, cond: Column): Unit = {
-    val t = spark.read.parquet(table)
+    val t = readTable(spark, table)
     // keep rows where cond is false OR null (SQL DELETE semantics)
     val hit = coalesce(cond, lit(false))
     detectLayout(spark, table) match {
@@ -215,7 +312,7 @@ object Dml {
     */
   def updateWhere(spark: SparkSession, table: String, cond: Column,
       set: Map[String, Column]): Unit = {
-    val t = spark.read.parquet(table)
+    val t = readTable(spark, table)
     val hit = coalesce(cond, lit(false))
     def postOf(base: DataFrame): DataFrame = set.foldLeft(base) { case (df, (c, e)) =>
       df.withColumn(c, when(hit, e).otherwise(col(c)))
@@ -242,61 +339,94 @@ object Dml {
     * are the only directories rewritten, while inserted rows land in their
     * own (possibly new) partitions as appended files.
     *
+    * Unqualified column references in `whenMatchedSet` expressions resolve to
+    * the SOURCE row (the upsert intent: `Map("price" -> col("price"))` takes
+    * the source's price); unassigned columns keep the target's value.
+    *
     * Standard MERGE (including Hive's) raises a cardinality violation when
     * multiple source rows MATCH the same target row — otherwise each matched
-    * target row would silently be duplicated in the post-image. Enforced with
-    * a pre-join check on duplicate source keys that exist in the target
-    * (duplicate keys absent from the target are legal: both rows insert;
-    * NULL keys never match anything).
+    * target row would silently be duplicated in the post-image. The check is
+    * folded into the merge job itself (a per-source-key count + an in-join
+    * raise_error on any matched row whose key occurs twice in the source) —
+    * no separate guard scan of the target. Duplicate keys absent from the
+    * target are legal: both rows insert; NULL keys never match anything.
+    * Callers that guarantee unique source keys (e.g. a deduped streaming
+    * micro-batch) pass `sourceKeysUnique = true` to skip even the per-key
+    * count.
     */
   def merge(spark: SparkSession, table: String, source: DataFrame,
       targetKey: String, sourceKey: String,
       whenMatchedSet: Map[String, Column] = Map.empty,
-      whenMatchedDelete: Boolean = false): Unit = {
-    val targetKeys = spark.read.parquet(table).select(col(targetKey).as(sourceKey))
-    val dup = source.join(targetKeys, Seq(sourceKey), "left_semi")
-      .filter(col(sourceKey).isNotNull)
-      .groupBy(col(sourceKey)).count().filter(col("count") > 1).limit(1).collect()
-    if (dup.nonEmpty)
-      throw new IllegalStateException(
-        s"MERGE cardinality violation: multiple source rows match target $sourceKey=${dup.head.get(0)}")
-    val cols = spark.read.parquet(table).columns
+      whenMatchedDelete: Boolean = false,
+      sourceKeysUnique: Boolean = false): Unit = {
+    val target0 = readTable(spark, table)
+    val cols = target0.columns
+
+    // the t-side is renamed to __t_* before the join so SOURCE columns keep
+    // their plain names — whenMatchedSet expressions written with plain
+    // col("c") references resolve against the source row unambiguously
+    def tc(c: String): Column = col("__t_" + c)
+    val guarded =
+      if (sourceKeysUnique) source
+      else source.withColumn("__src_cnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(sourceKey))))
 
     def postOf(target: DataFrame): DataFrame = {
-      val t = target.as("t")
-      val s = source.as("s")
-      val joined = t.join(s, col(s"t.$targetKey") === col(s"s.$sourceKey"), "full_outer")
-      val matched = col(s"t.$targetKey").isNotNull && col(s"s.$sourceKey").isNotNull
+      val tRen = target.select(cols.map(c => col(c).as("__t_" + c)): _*)
+      val joined = tRen.join(guarded, tc(targetKey) === col(sourceKey), "full_outer")
+      val matched = tc(targetKey).isNotNull && col(sourceKey).isNotNull
+      // cardinality guard, same job: any matched row whose source key is
+      // duplicated fails the statement at execution time
+      val checked =
+        if (sourceKeysUnique) joined
+        else joined.filter(when(matched && col("__src_cnt") > 1,
+          raise_error(concat(
+            lit(s"MERGE cardinality violation: multiple source rows match target $sourceKey="),
+            col(sourceKey).cast("string")))).isNull)
       if (whenMatchedDelete) {
         // keep unmatched target rows; insert unmatched source rows
-        joined.filter(!matched)
-          .select(cols.map { c =>
-            coalesce(col(s"t.$c"), col(s"s.$c")).as(c)
-          }: _*)
+        checked.filter(!matched)
+          .select(cols.map(c => coalesce(tc(c), col(c)).as(c)): _*)
       } else {
-        joined.select(cols.map { c =>
-          val updated = whenMatchedSet.getOrElse(c, col(s"t.$c"))
+        checked.select(cols.map { c =>
+          val updated = whenMatchedSet.getOrElse(c, tc(c))
           when(matched, updated)
-            .otherwise(coalesce(col(s"t.$c"), col(s"s.$c"))).as(c)
+            .otherwise(coalesce(tc(c), col(c))).as(c)
         }: _*)
       }
     }
 
-    detectLayout(spark, table) match {
-      case Some(l) =>
-        requireNoPartitionAssignment(l, whenMatchedSet.keys, "MERGE WHEN MATCHED")
-        val t = spark.read.parquet(table)
-        val matchedTarget = t.join(
-          source.select(col(sourceKey).as(targetKey)).distinct(),
-          Seq(targetKey), "left_semi")
-        val tuples = affectedTuples(matchedTarget, l.cols)
-        // target side pruned to matched partitions; unmatched source rows
-        // fall out of the full-outer join as inserts into their own partitions
-        val post = postOf(t.filter(partFilterOf(tuples, l.cols)))
-        prunedRewrite(spark, table, l, relsOf(l, tuples, table), post,
-          allowAppend = true)
-      case None =>
-        swapIn(spark, table, postOf(spark.read.parquet(table)))
+    // the in-job guard surfaces as a SparkRuntimeException wrapped in job
+    // failure layers — unwrap to the documented IllegalStateException
+    def unwrapCardinality[A](body: => A): A =
+      try body catch {
+        case e: Throwable =>
+          val hit = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+            .find(c => c.getMessage != null &&
+              c.getMessage.contains("MERGE cardinality violation"))
+          hit match {
+            case Some(c) => throw new IllegalStateException(
+              c.getMessage.linesIterator.toSeq.headOption.getOrElse(c.getMessage), e)
+            case None => throw e
+          }
+      }
+
+    unwrapCardinality {
+      detectLayout(spark, table) match {
+        case Some(l) =>
+          requireNoPartitionAssignment(l, whenMatchedSet.keys, "MERGE WHEN MATCHED")
+          val matchedTarget = target0.join(
+            source.select(col(sourceKey).as(targetKey)).distinct(),
+            Seq(targetKey), "left_semi")
+          val tuples = affectedTuples(matchedTarget, l.cols)
+          // target side pruned to matched partitions; unmatched source rows
+          // fall out of the full-outer join as inserts into their own partitions
+          val post = postOf(target0.filter(partFilterOf(tuples, l.cols)))
+          prunedRewrite(spark, table, l, relsOf(l, tuples, table), post,
+            allowAppend = true)
+        case None =>
+          swapIn(spark, table, postOf(target0))
+      }
     }
   }
 
@@ -305,7 +435,9 @@ object Dml {
     */
   def insertInto(spark: SparkSession, table: String, rows: DataFrame): Unit = {
     detectLayout(spark, table) match {
-      case Some(l) => rows.write.mode("append").partitionBy(l.cols: _*).parquet(table)
+      case Some(l) =>
+        rows.write.mode("append").partitionBy(l.cols: _*).parquet(table)
+        invalidateLayout(table) // appended rows may have created new leaves
       case None => rows.write.mode("append").parquet(table)
     }
     spark.catalog.refreshByPath(table)

@@ -210,7 +210,7 @@ object PipelineQueries {
     rowsOnly("p16_embedding_neardup") { (spark, dir) =>
       import spark.implicits._
       Similarity.embeddingNearDups(t(spark, dir, "embeddings"), "vec_id",
-        "embedding", threshold = -1.0, nPlanes = 10, dims = 64)
+        "embedding", threshold = -1.0, dims = 64, nPlanes = 10, probeFlips = 1)
         .orderBy($"cos_sim".desc, $"id_a", $"id_b")
         .limit(100)
     },

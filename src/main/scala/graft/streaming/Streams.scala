@@ -107,7 +107,12 @@ object Streams {
   /** Streaming upsert sink: each micro-batch MERGEs into a parquet table by
     * key (insert new keys, overwrite matched rows) — the Structured Streaming
     * analog of Hive's transactional ingest API (HiveStreamingConnection.java:
-    * 107), with per-batch atomicity from the copy-on-write swap.
+    * 107). Commit granularity is per-LEAF, not per-batch: the bucketed layout
+    * commits via sequential per-bucket renames, so a mid-batch failure can
+    * leave some buckets updated and others not; each bucket swap is
+    * individually atomic, failures restore any bucket staged in its
+    * `._cow_bak_*` dir before rethrowing, and replaying the micro-batch is
+    * idempotent (same keys → same buckets → same post-image).
     *
     * Scale design: the table is laid out in `numBuckets` hash-bucket
     * partitions of the key (a `bucketCol=N` directory layout, derived
@@ -153,10 +158,13 @@ object Streams {
           // matched rows keep their bucket (the key, hence the hash, is
           // unchanged) — bucketCol is never assigned, so Dml's pruned COW
           // rewrites only buckets containing this batch's matched keys and
-          // appends inserts into their hash buckets
+          // appends inserts into their hash buckets. Plain column names
+          // resolve to the source (batch) row inside Dml.merge; the batch is
+          // already deduped by key, so the cardinality guard is skipped.
           graft.plans.Dml.merge(spark, path, bucketed, key, key,
             whenMatchedSet = deduped.columns.filterNot(_ == key)
-              .map(c => c -> col(s"s.$c")).toMap)
+              .map(c => c -> col(c)).toMap,
+            sourceKeysUnique = true)
       }
       .start()
     q.processAllAvailable()

@@ -46,7 +46,7 @@ class SimilaritySpec extends SparkSpec {
       .withColumn("vec_id", $"vec_id" + 900000L)
     val corpus = emb.unionByName(clones)
     val ann = Similarity.annLsh(corpus, emb.filter($"vec_id" < 10),
-      "vec_id", "embedding", k = 5, nPlanes = 12)
+      "vec_id", "embedding", k = 5, dims = 64, nPlanes = 12)
     // identical vector hashes to the identical bucket -> always retrievable
     val hits = ann.filter($"item_id" === $"query_id" + 900000L && $"rnk" === 1)
     assert(hits.count() === 10)
@@ -70,7 +70,7 @@ class SimilaritySpec extends SparkSpec {
     val clones = emb.filter($"vec_id" < 5).withColumn("vec_id", $"vec_id" + 900000L)
     val corpus = emb.unionByName(clones)
     val dups = Similarity.embeddingNearDups(corpus, "vec_id", "embedding",
-      threshold = 0.999)
+      threshold = 0.999, dims = 64)
     val planted = dups.filter($"id_b" === $"id_a" + 900000L)
     assert(planted.count() === 5)
     assert(planted.agg(min($"cos_sim")).head().getDouble(0) >= 0.999)
@@ -83,7 +83,7 @@ class SimilaritySpec extends SparkSpec {
       .select($"query_id", $"item_id")
     def recall(flips: Int): Long =
       Similarity.annLsh(emb, queries, "vec_id", "embedding", k = 5,
-        nPlanes = 6, dims = 64, probeFlips = flips)
+        dims = 64, nPlanes = 6, probeFlips = flips)
         .select($"query_id", $"item_id").intersect(exact).count()
     val single = recall(0)
     val multi = recall(1)
@@ -92,6 +92,75 @@ class SimilaritySpec extends SparkSpec {
     // strictly (here ~6x) more of the brute-force top-k
     assert(multi > single, s"multi-probe $multi not above single-probe $single")
     assert(multi >= 20, s"multi-probe recall $multi/100 too low")
+  }
+
+  test("ivfTopK assignment is a shuffle-free map-side projection") {
+    import spark.implicits._
+    val vecs = emb.select($"vec_id".as("item_id"), $"embedding".as("__cv"))
+    val cents = emb.filter($"vec_id" < 4)
+      .select($"vec_id", $"embedding".cast("array<double>")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val assigned = Similarity.assignToCentroids(vecs, cents, "list_id")
+    val plan = assigned.queryExecution.executedPlan.toString
+    // one Lloyd half-step = scan + project; no shuffle, no sort, no window
+    assert(!plan.contains("Exchange"), s"assignment shuffles:\n$plan")
+    assert(!plan.contains("Window"), s"assignment window-based:\n$plan")
+    assert(!plan.contains("Sort"), s"assignment sorts:\n$plan")
+    // exactly one row per vector, assigned to a valid centroid
+    assert(assigned.count() === emb.count())
+    assert(assigned.filter($"list_id" >= 4 || $"list_id" < 0).count() === 0)
+    // argmax is correct: matches the brute-force best centroid per vector
+    val centsDf = cents.toSeq.map { case (id, v) => (id, v.toSeq) }
+      .toDF("__cent", "__centv")
+    val brute = vecs.crossJoin(broadcast(centsDf))
+      .withColumn("s", Similarity.cosine($"__cv", $"__centv"))
+      .groupBy($"item_id").agg(max_by($"__cent", struct($"s", -$"__cent")).as("want"))
+    val mismatch = assigned.join(brute, "item_id")
+      .filter($"list_id" =!= $"want").count()
+    assert(mismatch === 0)
+  }
+
+  test("ivfTopK iters=3 re-refines without geometric lineage blowup") {
+    import spark.implicits._
+    val queries = emb.filter($"vec_id" < 5)
+    // correctness at iters=3 (centroids refined twice more): still top-k rows,
+    // and runtime stays in the same regime as iters=1 (checkpointed centroids
+    // mean each extra iter adds one assignment + one tiny agg, not a
+    // re-execution of the whole prior chain)
+    val t1 = System.nanoTime()
+    val r1 = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 5, nLists = 8, nProbe = 6, iters = 1).count()
+    val d1 = (System.nanoTime() - t1) / 1e9
+    val t3 = System.nanoTime()
+    val r3 = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 5, nLists = 8, nProbe = 6, iters = 3).count()
+    val d3 = (System.nanoTime() - t3) / 1e9
+    assert(r1 === 25 && r3 === 25)
+    // geometric re-execution would be >= 4x; linear growth with generous
+    // jitter headroom stays under 3x
+    assert(d3 < d1 * 3 + 2.0, s"iters=3 took ${d3}s vs iters=1 ${d1}s")
+  }
+
+  test("multi-probe embeddingNearDups recovers pairs split by one plane") {
+    import spark.implicits._
+    val sub = emb.filter($"vec_id" < 150)
+    // brute-force truth: all pairs above threshold
+    val a = sub.select($"vec_id".as("id_a"), $"embedding".as("__va"))
+    val b = sub.select($"vec_id".as("id_b"), $"embedding".as("__vb"))
+    val truth = a.crossJoin(b).filter($"id_a" < $"id_b")
+      .withColumn("cs", Similarity.cosine($"__va", $"__vb"))
+      .filter($"cs" >= 0.55).select($"id_a", $"id_b")
+    def found(flips: Int): Long =
+      Similarity.embeddingNearDups(sub, "vec_id", "embedding",
+        threshold = 0.55, dims = 64, nPlanes = 12, probeFlips = flips)
+        .select($"id_a", $"id_b").intersect(truth).count()
+    val single = found(0)
+    val multi = found(1)
+    assert(multi >= single,
+      s"multi-probe pairs $multi below single-probe $single")
+    val n = truth.count()
+    assert(multi > single || single == n,
+      s"multi-probe recovered nothing extra ($single/$n already)")
   }
 
   test("vector-avg centroid is a single aggregate even at 768 dims") {

@@ -52,7 +52,7 @@ class DmlSpec extends SparkSpec {
       .withColumn("o_totalprice", lit(999.99))
       .unionByName(newRow)
     Dml.merge(spark, t, src, "o_orderkey", "o_orderkey",
-      whenMatchedSet = Map("o_totalprice" -> col("s.o_totalprice")))
+      whenMatchedSet = Map("o_totalprice" -> col("o_totalprice")))
     val after = spark.read.parquet(t)
     assert(after.count() === beforeCount + 1)
     assert(after.filter($"o_orderkey" === 9999999L).count() === 1)
@@ -92,7 +92,7 @@ class DmlSpec extends SparkSpec {
     val ex = intercept[IllegalStateException] {
       Dml.merge(spark, t, srcRow(matched, 1.0).union(srcRow(matched, 2.0)),
         "o_orderkey", "o_orderkey",
-        whenMatchedSet = Map("o_totalprice" -> col("s.o_totalprice")))
+        whenMatchedSet = Map("o_totalprice" -> col("o_totalprice")))
     }
     assert(ex.getMessage.contains("cardinality"))
   }
@@ -182,7 +182,7 @@ class DmlSpec extends SparkSpec {
     val src = fKeys.map(k => row(k, "F")).reduce(_ union _)
       .union(row(7777771L, "O")).union(row(7777772L, "Z"))
     Dml.merge(spark, t, src, "o_orderkey", "o_orderkey",
-      whenMatchedSet = Map("o_totalprice" -> col("s.o_totalprice")))
+      whenMatchedSet = Map("o_totalprice" -> col("o_totalprice")))
     // P untouched; O only gained files (original files still present)
     assert(fileSig(t, "o_orderstatus=P") === sigP)
     val sigOAfter = fileSig(t, "o_orderstatus=O")
@@ -209,6 +209,66 @@ class DmlSpec extends SparkSpec {
     assert(spark.read.parquet(t).count() === n + 3)
     // no stray files at the table root — everything under key=value dirs
     assert(fileSig(t, ".").isEmpty)
+  }
+
+  test("partition manifest is maintained across statements without re-listing") {
+    import spark.implicits._
+    val t = scratchPartitionedOrders()
+    val listingsBefore = Dml.treeListings.get()
+    Dml.updateWhere(spark, t, col("o_orderstatus") === "P" && col("o_totalprice") > 0,
+      Map("o_orderpriority" -> lit("M1")))
+    Dml.deleteWhere(spark, t,
+      col("o_orderstatus") === "P" && col("o_orderkey") % 7 === 0)
+    Dml.updateWhere(spark, t, col("o_orderstatus") === "F" && col("o_totalprice") > 0,
+      Map("o_orderpriority" -> lit("M2")))
+    // only the FIRST statement lists the partition tree; the manifest is
+    // maintained transactionally with each commit afterwards
+    assert(Dml.treeListings.get() === listingsBefore + 1)
+    val after = spark.read.parquet(t)
+    assert(after.filter($"o_orderstatus" === "F" && $"o_orderpriority" =!= "M2").count() === 0)
+    assert(after.filter($"o_orderstatus" === "P" && $"o_orderkey" % 7 === 0).count() === 0)
+  }
+
+  test("delete emptying nested leaves removes empty parent dirs; later DML still works") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dml2_").toString + "/t"
+    Engine.table(spark, sfDir, "orders")
+      .withColumn("half", (col("o_orderkey") % 2).cast("int"))
+      .write.partitionBy("o_orderstatus", "half").parquet(dir)
+    Dml.deleteWhere(spark, dir, col("o_orderstatus") === "P")
+    val p = new org.apache.hadoop.fs.Path(s"$dir/o_orderstatus=P")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // both half=* leaves under P are gone AND the childless parent is cleaned
+    // up — a leftover empty o_orderstatus=P would be parsed as a short leaf
+    // and brick every later statement on the table
+    assert(!fs.exists(p))
+    Dml.updateWhere(spark, dir, col("o_orderstatus") === "O",
+      Map("o_orderpriority" -> lit("STILL-WORKS")))
+    val after = spark.read.parquet(dir)
+    assert(after.filter($"o_orderstatus" === "P").count() === 0)
+    assert(after.filter($"o_orderpriority" === "STILL-WORKS").count() ===
+      after.filter($"o_orderstatus" === "O").count())
+  }
+
+  test("numeric-looking string partition values survive DML exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dml3_").toString + "/t"
+    // "00" and "1.10" infer as numbers and would re-render as "0"/"1.1",
+    // breaking both the leaf lookup and the staged rewrite — internal reads
+    // run with partition-type inference off so dir names round-trip
+    spark.range(20).select($"id",
+      when($"id" % 2 === 0, "00").otherwise("1.10").as("k"))
+      .write.partitionBy("k").parquet(dir)
+    Dml.deleteWhere(spark, dir, col("id") < 4) // touches both partitions
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/k=00")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/k=1.10")))
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet === Set("k=00", "k=1.10"))
+    assert(spark.read.parquet(dir).count() === 16)
+    Dml.updateWhere(spark, dir, col("id") === 10, Map("id" -> lit(1000L)))
+    assert(spark.read.parquet(dir).filter($"id" === 1000L).count() === 1)
   }
 
   test("multiInsert fans one source scan into several sinks") {
