@@ -28,14 +28,53 @@ object Bench {
     "e01_tumbling_window",  // event-time tumbling
     "e03_session_window",   // session windows
     "e04_dedup_first_event",// window dedup
+    "e07_matchpath",        // matchpath PTF (bounded-buffer streaming scan)
     "p03_quality_score",    // text quality (map-side expressions)
     "p06_minhash_signature",// minhash signatures (map-side)
     "p13_minhash_pairs",    // LSH band join
     "p10_cosine_topk",      // brute-force similarity top-k
-    "p11_ann_lsh",          // LSH ANN
+    "p11_ann_lsh",          // LSH ANN (multi-probe: see notes)
+    "p22_clean_pipeline",   // composed clean: score+dedup(CC)+scrub
     "t07_volume_shipping",  // 6-way join
     "t13_customer_distribution", // outer join + double aggregation
     "t21_waiting_supplier") // double-correlated EXISTS/NOT EXISTS
+
+  /** Context the numbers need to be read correctly (emitted in the JSON). */
+  val notes: Map[String, String] = Map(
+    "p11_ann_lsh" -> ("multi-probe LSH since r3 (probeFlips=1, 13 probe " +
+      "buckets/query for ~6x recall) -- r2 and earlier benched single-probe"),
+    "dml_pruned_roundtrip" -> ("partition-pruned COW on a partitioned copy " +
+      "of orders: 1-partition UPDATE + partition-predicate DELETE + keyed " +
+      "MERGE (5 updates + 2 inserts); table copy untimed"))
+
+  /** Pruned-DML round-trip: builds an UNTIMED partitioned scratch copy of
+    * orders, then times UPDATE (one partition) + DELETE (partition
+    * predicate) + MERGE (keyed update + inserts) — the statements whose
+    * pruning was rebuilt in r3 and was previously invisible to the bench.
+    */
+  private def dmlPrunedRoundTrip(spark: SparkSession, sfDir: String): Double = {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bench_dml_")
+      .toString + "/orders"
+    val orders = Engine.table(spark, sfDir, "orders")
+    orders.write.partitionBy("o_orderstatus").parquet(dir)
+    // source built over the immutable input table, not the scratch dir —
+    // the scratch's file listing goes stale after the delete swaps leaves
+    val src = orders.filter(col("o_orderkey") < 100)
+      .filter(col("o_orderkey") % 5 =!= 0 || col("o_orderstatus") =!= "F")
+      .withColumn("o_totalprice", lit(1.23))
+      .unionByName(orders.limit(2)
+        .withColumn("o_orderkey", col("o_orderkey") + 900000000L))
+    val t0 = System.nanoTime()
+    graft.plans.Dml.updateWhere(spark, dir,
+      col("o_orderstatus") === "P" && col("o_totalprice") > 100000,
+      Map("o_orderpriority" -> lit("0-BENCH")))
+    graft.plans.Dml.deleteWhere(spark, dir,
+      col("o_orderstatus") === "F" && col("o_orderkey") % 5 === 0)
+    graft.plans.Dml.merge(spark, dir, src, "o_orderkey", "o_orderkey",
+      whenMatchedSet = Map("o_totalprice" -> col("o_totalprice")))
+    (System.nanoTime() - t0) / 1e9
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -65,15 +104,26 @@ object Bench {
       try run(n) catch { case _: Throwable => () }
     }
 
+    // DML warmup (separate scratch copy; compiles the COW write paths)
+    try dmlPrunedRoundTrip(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] dml warmup FAILED: ${e.getMessage}") }
+
     val results = headline.map { name =>
       val t0 = System.nanoTime()
       try run(name) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    } :+ ("dml_pruned_roundtrip" -> {
+      try dmlPrunedRoundTrip(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] dml_pruned_roundtrip FAILED: ${e.getMessage}"); -1.0 }
+    })
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val ns = notes.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"notes":$ns,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -135,5 +135,23 @@ object EventQueries {
           sum(when($"t_click" > $"t_view" && $"t_buy" > $"t_click", 1).otherwise(0))
             .cast("long").as("purchased_after"))
     },
+
+    // matchpath PTF over real event streams: per-user runs of small-value
+    // events ending in a large one ("browse+ then buy" shape). Golden-pinned
+    // (CatalogGoldenSpec) and benched — the streaming bounded-buffer matcher
+    // is exercised at data scale, not just on toy sequences. The order key
+    // is (ts, event_id)-composite so ties can't flip match boundaries.
+    QDef.rowsOnly("e07_matchpath") { (spark, dir) =>
+      import spark.implicits._
+      val ev = t(spark, dir, "events")
+        .withColumn("ord", unix_micros($"ts") * 1000L + pmod($"event_id", lit(1000L)))
+      graft.operators.MatchPath.matchpath(ev, "user_id", "ord",
+        Seq("SMALL" -> ($"value" < 50.0), "BIG" -> ($"value" >= 50.0)),
+        "SMALL.SMALL+.BIG")
+        .groupBy($"pk")
+        .agg(count(lit(1)).as("n_matches"), max($"match_len").as("longest"),
+          min($"start_ord").as("first_start"))
+        .orderBy($"pk")
+    },
   )
 }
