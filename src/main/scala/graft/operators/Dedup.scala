@@ -122,7 +122,9 @@ object Dedup {
             .as("component"),
           (col("_nbr_min") < labels("component")).as("_chg"))
         .localCheckpoint()
-      changed = stepped.filter(col("_chg")).count()
+      // loop control needs only "any label changed?" — a limit-1 probe over
+      // the checkpointed sweep, not a full count
+      changed = if (stepped.filter(col("_chg")).isEmpty) 0L else 1L
       labels = stepped.drop("_chg")
       it += 1
     }
@@ -172,9 +174,12 @@ object Dedup {
     def rank(c: Column): Column =
       coalesce(c.cast("double"), lit(Double.NegativeInfinity))
     // exact duplicates also keep the best-scored copy (not the min id):
-    // highest score wins, ties to the smaller id
+    // highest score wins, ties to the smaller id. The window keys on the
+    // content HASH, not the full text — shuffling/sorting on multi-KB
+    // document keys wastes the wire at corpus scale
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(textCol)).orderBy(rank(col(scoreCol)).desc, col(idCol).asc)
+      .partitionBy(md5(col(textCol).cast("binary")))
+      .orderBy(rank(col(scoreCol)).desc, col(idCol).asc)
     val exactClean = df
       .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")

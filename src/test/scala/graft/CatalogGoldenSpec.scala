@@ -59,6 +59,38 @@ class CatalogGoldenSpec extends SparkSpec {
         "(regenerate with GRAFT_REGEN_GOLDENS=1)")
   }
 
+  // Second pin at sf0.01 (the driver's correctness-gate scale) as a compact
+  // digest — row count + md5 of the rendered transcript — so a scale-
+  // dependent regression (wrong pruning, lost rows past the first file)
+  // can't hide behind an sf0.001-only golden.
+  private val sf001Dir = "/root/testdata/sf0.01"
+
+  private def digest(df: DataFrame): String = {
+    val r = render(df)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(r.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"rows=${r.linesIterator.size - 1}\nmd5=$md\n"
+  }
+
+  noOracle.foreach { d =>
+    test(s"golden digest @sf0.01: ${d.name}") {
+      val got = digest(d.fn(spark, sf001Dir))
+      val path = goldenDir.resolve(d.name + ".sf0.01.digest")
+      if (regen) {
+        val second = digest(d.fn(spark, sf001Dir))
+        assert(got === second,
+          s"${d.name} digests unstably across two runs at sf0.01 — cannot pin")
+        Files.createDirectories(goldenDir)
+        Files.write(path, got.getBytes("UTF-8"))
+      } else {
+        assert(Files.exists(path), s"missing digest golden $path — regenerate")
+        val want = new String(Files.readAllBytes(path), "UTF-8")
+        assert(got === want, s"${d.name} sf0.01 digest diverged:\n" +
+          s"  golden: ${want.trim.replace("\n", " ")}\n  got   : ${got.trim.replace("\n", " ")}")
+      }
+    }
+  }
+
   noOracle.foreach { d =>
     test(s"golden: ${d.name}") {
       val got = render(d.fn(spark, sfDir))
