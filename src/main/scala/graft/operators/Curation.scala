@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data assembly: deterministic
+  * per-stratum quota sampling and target-weight domain mixing.
+  *
+  * Everything here is deterministic by construction — sample membership and
+  * ordering derive from md5 of row keys, never from an RNG — so a curated
+  * corpus is reproducible across runs, engines, and cluster sizes, and the
+  * operators are oracle-verifiable in plain SQL (the p23/p24 catalog
+  * queries hash-match DuckDB). That is the property a 100 TB curation run
+  * needs: re-executing a failed stage or re-partitioning the input cannot
+  * change which documents were picked.
+  *
+  * Scale: quotaSample is one window shuffle keyed by stratum with the
+  * rank<=q filter pushed as WindowGroupLimit (partial top-q before the
+  * exchange); mixDomains is a pure map-side explode — no shuffle at all.
+  */
+object Curation {
+
+  /** First 8 hex chars of md5 of the utf8 string rendering — a uniform
+    * deterministic draw, compared lexicographically against a hex threshold
+    * (lowercase hex compares like the number it encodes).
+    */
+  private def hashKey(c: Column): Column =
+    substring(md5(c.cast("string").cast("binary")), 1, 8)
+
+  /** 8-digit lowercase hex threshold for fraction f in [0,1]. */
+  private[operators] def hexThreshold(f: Double): String =
+    f"${math.min(math.max(f, 0.0), 1.0) * 4294967296.0}%.0f".toLong
+      .min(0xffffffffL).toInt.toHexString.reverse.padTo(8, '0').reverse.mkString
+
+  /** Deterministic quota sample: the `quota` rows of each stratum that rank
+    * first by (md5(id), id) — a fixed-size uniform-without-replacement
+    * sample per stratum whose membership is a pure function of the ids.
+    * Output carries `__rank` (1-based within the stratum).
+    */
+  def quotaSample(df: DataFrame, stratumCol: String, idCol: String,
+      quota: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(hashKey(col(idCol)), col(idCol))
+    df.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= quota)
+  }
+
+  /** Domain mixing to target weights: weight w replicates every row of the
+    * domain floor(w) times and admits one further copy for a deterministic
+    * md5-chosen w-minus-floor(w) fraction of its rows (epochs 0..ceil(w)-1;
+    * the standard up/down-sampling mix for training corpora — weight 0.25
+    * keeps a quarter of the domain, weight 2.5 gives every row twice plus a
+    * half-chance third copy). Domains absent from `weights` get
+    * `defaultWeight`. Map-side only: explode(sequence) + filter, no
+    * shuffle; output adds an `epoch` column (0-based copy index).
+    */
+  def mixDomains(df: DataFrame, domainCol: String, idCol: String,
+      weights: Map[String, Double], defaultWeight: Double = 1.0): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(w => w >= 0 && w <= 100),
+      "domain weights must be in [0, 100]")
+    def chain(f: Double => Column): Column =
+      weights.toSeq.sortBy(_._1).foldRight(f(defaultWeight)) {
+        case ((d, w), acc) => when(col(domainCol) === d, f(w)).otherwise(acc)
+      }
+    val wFloor = chain(w => lit(math.floor(w).toLong))
+    val wCeil = chain(w => lit(math.ceil(w).toLong))
+    val thr = chain(w => lit(hexThreshold(w - math.floor(w))))
+    val draw = hashKey(concat(col(idCol).cast("string"), lit(":"), col(domainCol)))
+    df.withColumn("epoch",
+        explode(sequence(lit(0L), greatest(wCeil, lit(1L)) - 1L)))
+      .filter(col("epoch") < wFloor ||
+        (col("epoch") === wFloor && draw < thr))
+      .withColumn("epoch", col("epoch").cast("int"))
+  }
+}

@@ -302,6 +302,54 @@ object PipelineQueries {
         .orderBy($"doc_id")
     },
 
+    // Deterministic per-stratum quota sample (md5-ordered, no RNG): sample
+    // membership is a pure function of the ids, so a 100 TB curation run is
+    // reproducible across retries/cluster sizes — and exactly verifiable in
+    // DuckDB, unlike an RNG sampler.
+    q("p23_quota_sample",
+      """SELECT doc_id, lang, source, CAST(rn AS INT) AS rank_in_stratum FROM (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 25 ORDER BY lang, rank_in_stratum""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      graft.operators.Curation.quotaSample(
+        t(spark, dir, "documents").select($"doc_id", $"lang", $"source"),
+        "lang", "doc_id", quota = 25)
+        .select($"doc_id", $"lang", $"source", $"__rank".as("rank_in_stratum"))
+        .orderBy($"lang", $"rank_in_stratum")
+    },
+
+    // Domain mixing to target weights (up/down-sampling with epoch
+    // replication): weight 2.5 -> two full copies + md5-chosen half of a
+    // third; 0.25 -> deterministic quarter; 0 -> dropped. Map-side only.
+    q("p24_domain_mix",
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.25
+        |      WHEN 'src2' THEN 1.5 WHEN 'src3' THEN 0.0 ELSE 1.0 END AS wt
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, source, wt,
+        |    unnest(range(0, CAST(greatest(ceil(wt), 1) AS BIGINT))) AS epoch
+        |  FROM w)
+        |SELECT doc_id, source, CAST(epoch AS INT) AS epoch
+        |FROM e
+        |WHERE epoch < floor(wt)
+        |   OR (epoch = floor(wt)
+        |       AND substr(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 8) <
+        |           CASE source WHEN 'src0' THEN '80000000' WHEN 'src1' THEN '40000000'
+        |             WHEN 'src2' THEN '80000000' ELSE '00000000' END)
+        |ORDER BY doc_id, epoch""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      graft.operators.Curation.mixDomains(
+        t(spark, dir, "documents").select($"doc_id", $"source"),
+        "source", "doc_id",
+        Map("src0" -> 2.5, "src1" -> 0.25, "src2" -> 1.5, "src3" -> 0.0))
+        .orderBy($"doc_id", $"epoch")
+    },
+
     // Multimodal binary-column pipeline: per-partition feature extraction
     // (histogram + entropy) over opaque payloads, summarized per media kind.
     // Deterministic stub codec; plumbing (schema, partitioning, batch shape)

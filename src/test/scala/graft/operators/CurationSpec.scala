@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.{Engine, SparkSpec}
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+
+  private lazy val docs = Engine.table(spark, sfDir, "documents")
+    .select(col("doc_id"), col("lang"), col("source"))
+
+  test("quotaSample takes exactly quota per stratum, deterministically") {
+    val s1 = Curation.quotaSample(docs, "lang", "doc_id", 10)
+    val s2 = Curation.quotaSample(docs, "lang", "doc_id", 10)
+    val counts = s1.groupBy(col("lang")).count().collect()
+    assert(counts.length === 5)
+    counts.foreach(r => assert(r.getLong(1) === 10L))
+    // pure function of ids: two runs pick the identical membership
+    assert(s1.select("doc_id").exceptAll(s2.select("doc_id")).isEmpty)
+    // growing the quota extends the sample, never reshuffles it (nested
+    // samples — the property that lets a pipeline cheaply resize)
+    val s3 = Curation.quotaSample(docs, "lang", "doc_id", 20)
+    assert(s1.select("doc_id").exceptAll(s3.select("doc_id")).isEmpty)
+  }
+
+  test("quotaSample plans a WindowGroupLimit (partial top-q before the shuffle)") {
+    val plan = Curation.quotaSample(docs, "lang", "doc_id", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no partial group limit:\n$plan")
+  }
+
+  test("mixDomains hits expected per-domain counts, map-side only") {
+    val weights = Map("src0" -> 2.5, "src1" -> 0.25, "src2" -> 0.0)
+    val mixed = Curation.mixDomains(docs, "source", "doc_id", weights)
+    val plan = mixed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"mixDomains shuffles:\n$plan")
+    val got = mixed.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = docs.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // src2 dropped entirely; unlisted domains exactly 1x
+    assert(!got.contains("src2"))
+    assert(got("src4") === base("src4"))
+    // src0: between 2x and 3x (2 full epochs + hash-fraction of a third)
+    assert(got("src0") >= 2 * base("src0") && got("src0") <= 3 * base("src0"))
+    // src1: strict subset of one epoch
+    assert(got("src1") > 0 && got("src1") < base("src1"))
+    // determinism: same counts on re-run
+    val again = Curation.mixDomains(docs, "source", "doc_id", weights)
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === got)
+  }
+
+  test("hexThreshold endpoints") {
+    assert(Curation.hexThreshold(0.0) === "00000000")
+    assert(Curation.hexThreshold(1.0) === "ffffffff")
+    assert(Curation.hexThreshold(0.5) === "80000000")
+    assert(Curation.hexThreshold(0.25) === "40000000")
+  }
+}
