@@ -93,6 +93,44 @@ object VectorKernels {
     if (n == 0) 0.0 else eq.toDouble / n
   }
 
+  /** Symmetric int8 quantization codes: code_i = round(x_i / (maxAbs/127)).
+    * 4x smaller than float32. Cosine is invariant to the per-vector scale,
+    * so codes alone reconstruct cosine to ~1e-2 — no scale column needed
+    * for similarity work (store the scale only if values must be
+    * reconstructed).
+    */
+  def int8Codes(v: ArrayData, vFloat: Boolean): Array[Byte] = {
+    val n = v.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) { val a = math.abs(get(v, vFloat, i)); if (a > maxAbs) maxAbs = a; i += 1 }
+    val out = new Array[Byte](n)
+    if (maxAbs == 0.0) return out
+    val inv = 127.0 / maxAbs
+    i = 0
+    while (i < n) {
+      out(i) = math.rint(get(v, vFloat, i) * inv).toInt
+        .max(-127).min(127).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Cosine over int8 code arrays — integer multiply-accumulate (the form
+    * SIMD vectorizes), one double division at the end.
+    */
+  def int8Cosine(a: Array[Byte], b: Array[Byte]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0L; var na = 0L; var nb = 0L; var i = 0
+    while (i < n) {
+      val x = a(i).toInt; val y = b(i).toInt
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na.toDouble) * math.sqrt(nb.toDouble)
+    if (denom == 0.0) 0.0 else dot.toDouble / denom
+  }
+
   /** Id of the cosine-nearest centroid (ties to the lowest id — centroids
     * arrive sorted by id). Linear scan over the (tiny) centroid matrix per
     * row: the whole Lloyd assignment step is one map-side projection.
@@ -226,6 +264,33 @@ case class HyperplaneSignature(child: Expression, planes: Array[Array[Double]])
   override protected def withNewChildInternal(c: Expression): HyperplaneSignature = copy(child = c)
 }
 
+/** Symmetric int8 quantization of a float/double vector into a byte array
+  * (4x compression; pair with [[Int8CosineSim]] for integer-ALU scoring).
+  */
+case class Int8Quantize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.int8Codes(input.asInstanceOf[ArrayData], VecRead.isFloat(child))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorKernels.int8Codes($c, ${VecRead.isFloat(child)});")
+  override protected def withNewChildInternal(c: Expression): Int8Quantize = copy(child = c)
+}
+
+/** Cosine similarity over two int8 code arrays (integer MAC loop). */
+case class Int8CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    java.lang.Double.valueOf(VectorKernels.int8Cosine(
+      l.asInstanceOf[Array[Byte]], r.asInstanceOf[Array[Byte]]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorKernels.int8Cosine($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Int8CosineSim =
+    copy(left = l, right = r)
+}
+
 /** Cosine-argmax against a literal centroid matrix (IVF assignment / one
   * Lloyd half-step as a shuffle-free map-side projection; the centroid set is
   * tiny and ships in the expression via addReferenceObj).
@@ -276,4 +341,8 @@ object VectorColumns {
   def nearestCentroid(vec: Column, cents: Array[Array[Double]],
       ids: Array[Long]): Column =
     GraftShims.column(NearestCentroid(GraftShims.expression(vec), cents, ids))
+  def int8Quantize(vec: Column): Column =
+    GraftShims.column(Int8Quantize(GraftShims.expression(vec)))
+  def int8Cosine(a: Column, b: Column): Column =
+    GraftShims.column(Int8CosineSim(GraftShims.expression(a), GraftShims.expression(b)))
 }

@@ -215,6 +215,16 @@ object PipelineQueries {
         .limit(100)
     },
 
+    // int8-quantized top-k (4x-smaller candidate scan, integer scoring,
+    // exact re-rank of refine*k survivors).
+    rowsOnly("p25_int8_topk") { (spark, dir) =>
+      import spark.implicits._
+      val emb = t(spark, dir, "embeddings")
+      Similarity.cosineTopKInt8(emb, emb.filter($"vec_id" < 5), "vec_id",
+        "embedding", k = 10, refine = 3)
+        .orderBy($"query_id", $"rnk")
+    },
+
     // LSH candidate pairs (the corpus contains organic near-duplicates).
     rowsOnly("p13_minhash_pairs") { (spark, dir) =>
       import spark.implicits._

