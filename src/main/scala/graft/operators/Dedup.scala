@@ -105,9 +105,14 @@ object Dedup {
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIters: Int = 20): DataFrame = {
+    // the edge list is consumed by EVERY sweep — checkpoint it once, or each
+    // sweep re-executes the whole upstream candidate pipeline (for near-dup
+    // edges: minhash + band join + jaccard verify) through its lineage. The
+    // edge set is small (verified duplicate pairs), so this is cheap.
     val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
+      .localCheckpoint()
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint()
@@ -147,7 +152,9 @@ object Dedup {
   def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String = "text",
       threshold: Double = 0.8, shingleSize: Int = 3,
       numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    val exactClean = exact(df, idCol, textCol)
+    // consumed by candidate generation AND the final anti-join — checkpoint
+    // so the scan + dedup window run once, not once per consumer
+    val exactClean = exact(df, idCol, textCol).localCheckpoint()
     val pairs = nearDuplicates(exactClean, idCol, textCol, threshold,
       shingleSize, numHashes, bands)
     // at fixpoint the component label IS the min id: losers are the rest
@@ -180,9 +187,12 @@ object Dedup {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(md5(col(textCol).cast("binary")))
       .orderBy(rank(col(scoreCol)).desc, col(idCol).asc)
+    // three consumers (pair generation, score join, final anti-join):
+    // checkpoint so the corpus scan + dedup window run once
     val exactClean = df
       .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
+      .localCheckpoint()
     val pairs = nearDuplicates(exactClean, idCol, textCol, threshold,
       shingleSize, numHashes, bands)
     val comp = connectedComponents(pairs, "id_a", "id_b")
