@@ -74,8 +74,12 @@ object Dedup {
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
+    // both sides of the band self-join consume the signatures — checkpoint
+    // them so the O(shingles x hashes) signature pass runs once, not twice
+    // (the signature table is (id, numHashes longs), a sliver of the corpus)
     val sig = withMinhash(df.select(col(idCol), col(textCol)), textCol, shingleSize, numHashes)
       .select(col(idCol), col("minhash"))
+      .localCheckpoint()
     val banded = lshBands(sig, bands, r)
     val a = banded.select(col(idCol).as("id_a"), col("minhash").as("sig_a"),
       col("band_idx"), col("band_hash"))
