@@ -171,6 +171,25 @@ object HiveFunctions {
       BloomFilterMightContain(args(1), new XxHash64(Seq(args.head))))
 
     // --- misc --------------------------------------------------------------
+    // --- graft vector/text-hash primitives, SQL-visible ------------------
+    // (the engine's flagship codegen kernels, callable from plain SQL: e.g.
+    //  SELECT vec_cosine(a.embedding, b.embedding) FROM ...)
+    def intLit(a: Seq[Expression], i: Int, what: String): Int = a(i) match {
+      case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+    fn("vec_cosine")(a => CosineSimilarity(a(0), a(1)))
+    fn("vec_dot")(a => DotProduct(a(0), a(1)))
+    fn("vec_l2")(a => L2Norm(a.head))
+    fn("int8_quantize")(a => Int8Quantize(a.head))
+    fn("int8_cosine")(a => Int8CosineSim(a(0), a(1)))
+    fn("minhash_signature")(a => MinHashSignature(a.head,
+      intLit(a, 1, "shingleSize"), intLit(a, 2, "numHashes")))
+    fn("simhash64")(a => SimHash64(a.head))
+    fn("hamming_distance")(a =>
+      BitwiseCount(BitwiseXor(a(0), a(1))))
+
     fn("surrogate_key")(_ => MonotonicallyIncreasingID())
     fn("version")(_ => Literal("graft-0.1.0 (spark " +
       org.apache.spark.SPARK_VERSION + ")"))

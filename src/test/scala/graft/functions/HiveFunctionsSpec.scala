@@ -175,4 +175,29 @@ class HiveFunctionsSpec extends SparkSpec {
     HiveFunctions.registerAll(spark)
     assert(spark.sql("SELECT surrogate_key() AS k, version() AS v").count() === 1)
   }
+
+  test("vector and text-hash kernels are SQL-visible") {
+    HiveFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT
+        |  vec_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c_same,
+        |  vec_cosine(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS c_orth,
+        |  vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |  vec_l2(array(3.0D, 4.0D)) AS n,
+        |  int8_cosine(int8_quantize(array(1.0D, 2.0D, 3.0D)),
+        |              int8_quantize(array(2.0D, 4.0D, 6.0D))) AS q,
+        |  hamming_distance(11L, 8L) AS h,
+        |  simhash64(split('a b c a b', ' ')) =
+        |    simhash64(split('a b c a b', ' ')) AS sh_stable,
+        |  size(minhash_signature(split('one two three four', ' '), 2, 16)) AS mh_len
+        |""".stripMargin).head()
+    assert(math.abs(r.getAs[Double]("c_same") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("c_orth")) < 1e-12)
+    assert(r.getAs[Double]("d") === 11.0)
+    assert(r.getAs[Double]("n") === 5.0)
+    assert(math.abs(r.getAs[Double]("q") - 1.0) < 0.01)
+    assert(r.getAs[Int]("h") === 2) // 1011 vs 1000
+    assert(r.getAs[Boolean]("sh_stable"))
+    assert(r.getAs[Int]("mh_len") === 16)
+  }
 }
