@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 /** SURVEY §2.2 source/sink formats: every built-in format the reference's
   * capability class needs round-trips with schema and values intact (ORC with
   * predicate pushdown, CSV with header+inferSchema, JSON lines, text with
-  * skip-header-style filtering). Avro requires the external spark-avro module
-  * (absent in this container) — documented substitution.
+  * skip-header-style filtering, Avro via the Hadoop RDD bridge — the
+  * spark-avro datasource module is absent in this container, avro-mapred is
+  * not — plus JDBC federation against embedded Derby).
   */
 class SourcesSpec extends SparkSpec {
 
@@ -47,6 +48,46 @@ class SourcesSpec extends SparkSpec {
     assert(back.count() === sample.count())
     assert(back.select(countDistinct($"p_brand")).head().getLong(0) ===
       sample.select(countDistinct($"p_brand")).head().getLong(0))
+  }
+
+  test("avro round-trip via the Hadoop RDD bridge (AvroSerDe analog)") {
+    import spark.implicits._
+    import org.apache.avro.{Schema, SchemaBuilder}
+    import org.apache.avro.generic.{GenericData, GenericRecord}
+    import org.apache.avro.mapred.AvroKey
+    import org.apache.avro.mapreduce.{AvroJob, AvroKeyInputFormat, AvroKeyOutputFormat}
+    import org.apache.hadoop.io.NullWritable
+    val schemaJson = SchemaBuilder.record("part").fields()
+      .requiredLong("p_partkey").requiredString("p_name").requiredInt("p_size")
+      .endRecord().toString
+    val dir = tmp("avro")
+    val src = sample.select($"p_partkey", $"p_name", $"p_size").limit(50)
+    val rdd = src.rdd.mapPartitions { it =>
+      val schema = new Schema.Parser().parse(schemaJson)
+      it.map { r =>
+        val rec = new GenericData.Record(schema)
+        rec.put("p_partkey", r.getLong(0))
+        rec.put("p_name", r.getString(1))
+        rec.put("p_size", r.getInt(2))
+        (new AvroKey[GenericRecord](rec), NullWritable.get())
+      }
+    }
+    val job = org.apache.hadoop.mapreduce.Job
+      .getInstance(spark.sparkContext.hadoopConfiguration)
+    AvroJob.setOutputKeySchema(job, new Schema.Parser().parse(schemaJson))
+    rdd.saveAsNewAPIHadoopFile(dir, classOf[AvroKey[GenericRecord]],
+      classOf[NullWritable], classOf[AvroKeyOutputFormat[GenericRecord]],
+      job.getConfiguration)
+    val back = spark.sparkContext.newAPIHadoopFile(dir,
+        classOf[AvroKeyInputFormat[GenericRecord]],
+        classOf[AvroKey[GenericRecord]], classOf[NullWritable])
+      // extract before the record reader reuses the datum object
+      .map { case (k, _) => (k.datum.get("p_partkey").asInstanceOf[Long],
+        k.datum.get("p_name").toString, k.datum.get("p_size").asInstanceOf[Int]) }
+      .toDF("p_partkey", "p_name", "p_size")
+    assert(back.count() === 50)
+    assert(back.as[(Long, String, Int)].collect().toSet ===
+      src.as[(Long, String, Int)].collect().toSet)
   }
 
   test("text source with header skipping and regex parsing") {
