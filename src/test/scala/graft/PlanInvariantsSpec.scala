@@ -76,4 +76,22 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(code.contains("VectorKernels.lshBands"), "lsh kernel not inlined")
     assert(df.count() === 500) // and the generated code actually runs
   }
+
+  test("vector kernels (cosine, int8, nearest-centroid) codegen without fallback") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.debug._
+    val emb = Engine.table(spark, sfDir, "embeddings")
+    val df = emb.select(
+      graft.functions.VectorColumns.cosine(col("embedding"), col("embedding")).as("c"),
+      graft.functions.VectorColumns.int8Cosine(
+        graft.functions.VectorColumns.int8Quantize(col("embedding")),
+        graft.functions.VectorColumns.int8Quantize(col("embedding"))).as("q"),
+      graft.functions.VectorColumns.nearestCentroid(col("embedding"),
+        Array(Array.fill(64)(0.5), Array.fill(64)(-0.5)), Array(0L, 1L)).as("nc"))
+    val code = df.queryExecution.debug.codegenToSeq().map(_._2).mkString("\n")
+    assert(code.contains("VectorKernels.cosine"), "cosine kernel not inlined")
+    assert(code.contains("VectorKernels.int8Cosine"), "int8 kernel not inlined")
+    assert(code.contains("VectorKernels.nearestCentroid"), "centroid kernel not inlined")
+    assert(df.count() === emb.count())
+  }
 }
