@@ -38,16 +38,53 @@ object KafkaShaped {
     StructField("timestamp", TimestampType),
     StructField("timestampType", IntegerType)))
 
+  private def fsOf(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Hidden sidecar holding the per-partition high-water marks ("p:off"
+    * lines), maintained transactionally by [[produce]] — the broker's
+    * offset index analog. Keeps high-water lookup O(partitions) instead of
+    * a full topic scan per produce; a missing sidecar (external writer,
+    * pre-sidecar topic) falls back to the scan. Underscore-prefixed, so
+    * parquet readers ignore it. Single-writer, like the rest of the module.
+    */
+  private def offsetsPath(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "_graft_offsets")
+
   /** Current high-water offset per partition (next offset to assign is +1).
     * Driver-side, bounded by partition count — metadata scale.
     */
   def latestOffsets(spark: SparkSession, dir: String): Map[Int, Long] = {
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = fsOf(spark, dir)
     if (!fs.exists(new org.apache.hadoop.fs.Path(dir))) Map.empty
-    else spark.read.schema(schema).parquet(dir)
+    else if (fs.exists(offsetsPath(dir))) {
+      val in = fs.open(offsetsPath(dir))
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      txt.linesIterator.filter(_.nonEmpty).map { l =>
+        val Array(p, o) = l.split(":"); p.toInt -> o.toLong
+      }.toMap
+    } else scanOffsets(spark, dir)
+  }
+
+  /** High-water marks from the data itself (sidecar-free fallback). */
+  def scanOffsets(spark: SparkSession, dir: String): Map[Int, Long] =
+    spark.read.schema(schema).parquet(dir)
       .groupBy(col("partition")).agg(max(col("offset")).as("hw"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+  private def writeOffsets(spark: SparkSession, dir: String,
+      hw: Map[Int, Long]): Unit = {
+    val fs = fsOf(spark, dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir, "._graft_offsets_tmp")
+    val out = fs.create(tmp, true)
+    try out.write(hw.toSeq.sorted.map { case (p, o) => s"$p:$o" }
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(offsetsPath(dir), false)
+    if (!fs.rename(tmp, offsetsPath(dir)))
+      throw new IllegalStateException(s"cannot commit offset sidecar under $dir")
   }
 
   /** Append records to a topic dir. `records` must carry `key` and `value`
@@ -77,7 +114,7 @@ object KafkaShaped {
           .cast("int"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("partition")).orderBy(col(tsCol), col("__in"))
-    seq
+    val out = seq
       .withColumn("__rn", row_number().over(w).cast("long"))
       .join(broadcast(baseDf), Seq("partition"))
       .select(
@@ -88,7 +125,11 @@ object KafkaShaped {
         (col("__base") + col("__rn")).as("offset"),
         col(tsCol).cast("timestamp").as("timestamp"),
         lit(0).as("timestampType")) // 0 = CreateTime
-      .write.mode("append").parquet(dir)
+      .localCheckpoint() // materialize once: appended AND max-offset'd below
+    out.write.mode("append").parquet(dir)
+    val batchHw = out.groupBy(col("partition")).agg(max(col("offset")).as("hw"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    writeOffsets(spark, dir, base ++ batchHw)
   }
 
   /** Batch read from per-partition starting offsets (exclusive-of-consumed:

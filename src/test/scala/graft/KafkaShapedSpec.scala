@@ -79,6 +79,26 @@ class KafkaShapedSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("offset sidecar matches the data and falls back to a scan when absent") {
+    import spark.implicits._
+    val dir = tmp()
+    KafkaShaped.produce(batch(0 until 50), dir, "events", numPartitions = 3)
+    KafkaShaped.produce(batch(50 until 90), dir, "events", numPartitions = 3)
+    val fromSidecar = KafkaShaped.latestOffsets(spark, dir)
+    val fromScan = KafkaShaped.scanOffsets(spark, dir)
+    assert(fromSidecar === fromScan)
+    // external writer scenario: sidecar gone -> scan fallback, same answer,
+    // and the next produce rebuilds it consistently
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_graft_offsets"), false)
+    assert(KafkaShaped.latestOffsets(spark, dir) === fromScan)
+    KafkaShaped.produce(batch(90 until 100), dir, "events", numPartitions = 3)
+    assert(KafkaShaped.latestOffsets(spark, dir) ===
+      KafkaShaped.scanOffsets(spark, dir))
+    assert(KafkaShaped.readBatch(spark, dir).count() === 100)
+  }
+
   test("null keys round-robin instead of landing in one partition") {
     import spark.implicits._
     val dir = tmp()
