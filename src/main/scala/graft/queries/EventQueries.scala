@@ -137,11 +137,37 @@ object EventQueries {
     },
 
     // matchpath PTF over real event streams: per-user runs of small-value
-    // events ending in a large one ("browse+ then buy" shape). Golden-pinned
-    // (CatalogGoldenSpec) and benched — the streaming bounded-buffer matcher
-    // is exercised at data scale, not just on toy sequences. The order key
-    // is (ts, event_id)-composite so ties can't flip match boundaries.
-    QDef.rowsOnly("e07_matchpath") { (spark, dir) =>
+    // events ending in a large one ("browse+ then buy" shape). For THIS
+    // pattern (SMALL.SMALL+.BIG, greedy, non-overlapping, every row SMALL
+    // or BIG) the matcher's semantics reduce to gaps-and-islands SQL — a
+    // maximal SMALL run of length L>=2 whose next row is BIG is exactly one
+    // match of length L+1 — so the streaming matcher is verified cell-level
+    // against a DuckDB oracle, not just rows-only. The order key is a
+    // (ts, event_id) composite so ties can't flip match boundaries.
+    q("e07_matchpath",
+      """WITH ev AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS pk,
+        |    epoch_ns(ts) // 1000 * 1000 + event_id % 1000 AS ord,
+        |    value < 50 AS small
+        |  FROM events),
+        |r AS (SELECT pk, ord, small,
+        |    row_number() OVER (PARTITION BY pk ORDER BY ord) AS rn
+        |  FROM ev),
+        |isl AS (SELECT pk, ord, rn,
+        |    rn - row_number() OVER (PARTITION BY pk, small ORDER BY rn) AS grp
+        |  FROM r WHERE small),
+        |runs AS (SELECT pk, grp, min(ord) AS run_start, max(rn) AS run_end,
+        |    count(*) AS run_len
+        |  FROM isl GROUP BY pk, grp),
+        |m AS (SELECT runs.pk, runs.run_start AS start_ord,
+        |    big.ord AS end_ord, runs.run_len + 1 AS match_len
+        |  FROM runs JOIN r big
+        |    ON big.pk = runs.pk AND big.rn = runs.run_end + 1 AND NOT big.small
+        |  WHERE runs.run_len >= 2)
+        |SELECT pk, count(*) AS n_matches,
+        |  CAST(max(match_len) AS INT) AS longest,
+        |  min(start_ord) AS first_start
+        |FROM m GROUP BY pk ORDER BY pk""".stripMargin) { (spark, dir) =>
       import spark.implicits._
       val ev = t(spark, dir, "events")
         .withColumn("ord", unix_micros($"ts") * 1000L + pmod($"event_id", lit(1000L)))

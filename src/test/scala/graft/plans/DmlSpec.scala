@@ -97,6 +97,18 @@ class DmlSpec extends SparkSpec {
     assert(ex.getMessage.contains("cardinality"))
   }
 
+  test("merge cardinality guard also fires under whenMatchedDelete") {
+    import spark.implicits._
+    val t = scratchOrders()
+    val matched = spark.read.parquet(t).limit(1)
+    val dupSrc = matched.union(matched.withColumn("o_totalprice", lit(2.0)))
+    val ex = intercept[IllegalStateException] {
+      Dml.merge(spark, t, dupSrc, "o_orderkey", "o_orderkey",
+        whenMatchedDelete = true)
+    }
+    assert(ex.getMessage.contains("cardinality"))
+  }
+
   /** A scratch copy of orders partitioned by o_orderstatus (3 partitions). */
   private def scratchPartitionedOrders(): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_dmlp_").toString + "/orders"
