@@ -99,6 +99,30 @@ class KafkaShapedSpec extends SparkSpec {
     assert(KafkaShaped.readBatch(spark, dir).count() === 100)
   }
 
+  test("kafka stream composes with windowed aggregation (stream = batch)") {
+    import spark.implicits._
+    val dir = tmp()
+    KafkaShaped.produce(batch(0 until 100), dir, "events", numPartitions = 4)
+    // the standard consumer shape: value bytes -> JSON -> event-time window
+    def shape(records: org.apache.spark.sql.DataFrame) = records
+      .select($"timestamp".as("ts"),
+        get_json_object($"value".cast("string"), "$.event").cast("long").as("event"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "10 minutes"))
+      .agg(count(lit(1)).as("n"), sum($"event").as("s"))
+      .select($"window.start".as("w"), $"n", $"s")
+    val q = graft.streaming.Streams.drainToMemory(
+      shape(KafkaShaped.readStream(spark, dir)), "kafka_windowed", "complete")
+    try {
+      val streamed = spark.table("kafka_windowed").orderBy($"w")
+        .collect().map(_.toSeq).toSeq
+      val batched = shape(KafkaShaped.readBatch(spark, dir)).orderBy($"w")
+        .collect().map(_.toSeq).toSeq
+      assert(streamed === batched)
+      assert(streamed.map(_(1).asInstanceOf[Long]).sum === 100L)
+    } finally q.stop()
+  }
+
   test("null keys round-robin instead of landing in one partition") {
     import spark.implicits._
     val dir = tmp()
