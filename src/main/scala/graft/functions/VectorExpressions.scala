@@ -131,6 +131,85 @@ object VectorKernels {
     if (denom == 0.0) 0.0 else dot.toDouble / denom
   }
 
+  /** Unit-L2 copy of the vector as array<double> (zero vectors stay zero). */
+  def l2Normalize(v: ArrayData, vFloat: Boolean): ArrayData = {
+    val n = v.numElements()
+    var s = 0.0; var i = 0
+    while (i < n) { val x = get(v, vFloat, i); s += x * x; i += 1 }
+    val norm = math.sqrt(s)
+    val out = new Array[Double](n)
+    if (norm > 0.0) { i = 0; while (i < n) { out(i) = get(v, vFloat, i) / norm; i += 1 } }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Product-quantization encode: split the vector into `m` contiguous
+    * subspaces and store, per subspace, the index of the L2-nearest codebook
+    * entry — one byte each (codebooks of <= 256 entries). 64-dim float32 ->
+    * 8 bytes at m=8: 32x compression.
+    */
+  def pqEncode(v: ArrayData, vFloat: Boolean,
+      codebooks: Array[Array[Array[Double]]]): Array[Byte] = {
+    val m = codebooks.length
+    val out = new Array[Byte](m)
+    var s = 0
+    while (s < m) {
+      val cb = codebooks(s)
+      val sub = cb(0).length
+      val off = s * sub
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        val cent = cb(c)
+        var d = 0.0; var i = 0
+        while (i < sub) {
+          val x = get(v, vFloat, off + i) - cent(i); d += x * x; i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best.toByte
+      s += 1
+    }
+    out
+  }
+
+  /** Per-query ADC lookup table: lut[s*K + c] = dot(query_sub_s, codebook
+    * entry c of subspace s). Computed once per query (m*K*subdim flops);
+    * scoring a corpus code is then m lookups + adds.
+    */
+  def pqLut(q: ArrayData, qFloat: Boolean,
+      codebooks: Array[Array[Array[Double]]]): ArrayData = {
+    val m = codebooks.length
+    val k = codebooks(0).length
+    val out = new Array[Double](m * k)
+    var s = 0
+    while (s < m) {
+      val cb = codebooks(s)
+      val sub = cb(0).length
+      val off = s * sub
+      var c = 0
+      while (c < cb.length) {
+        val cent = cb(c)
+        var d = 0.0; var i = 0
+        while (i < sub) { d += get(q, qFloat, off + i) * cent(i); i += 1 }
+        out(s * k + c) = d
+        c += 1
+      }
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** ADC dot product: sum of per-subspace LUT entries for the stored codes. */
+  def pqAdcDot(codes: Array[Byte], lut: ArrayData, k: Int): Double = {
+    var s = 0; var d = 0.0
+    while (s < codes.length) {
+      d += lut.getDouble(s * k + (codes(s) & 0xff))
+      s += 1
+    }
+    d
+  }
+
   /** Id of the cosine-nearest centroid (ties to the lowest id — centroids
     * arrive sorted by id). Linear scan over the (tiny) centroid matrix per
     * row: the whole Lloyd assignment step is one map-side projection.
@@ -291,6 +370,63 @@ case class Int8CosineSim(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Unit-L2 normalization (dot of normalized vectors == cosine). */
+case class L2Normalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.l2Normalize(input.asInstanceOf[ArrayData], VecRead.isFloat(child))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorKernels.l2Normalize($c, ${VecRead.isFloat(child)});")
+  override protected def withNewChildInternal(c: Expression): L2Normalize = copy(child = c)
+}
+
+/** Product-quantization encode against literal codebooks (shipped via
+  * addReferenceObj; tiny — m*K*subdim doubles).
+  */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  require(codebooks.nonEmpty && codebooks.forall(cb => cb.nonEmpty && cb.length <= 256),
+    "pq_encode needs 1..256 codebook entries per subspace")
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.pqEncode(input.asInstanceOf[ArrayData], VecRead.isFloat(child), codebooks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorKernels.pqEncode($c, ${VecRead.isFloat(child)}, $ref);")
+  }
+  override protected def withNewChildInternal(c: Expression): PqEncode = copy(child = c)
+}
+
+/** Per-query ADC lookup table over literal codebooks. */
+case class PqLut(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.pqLut(input.asInstanceOf[ArrayData], VecRead.isFloat(child), codebooks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorKernels.pqLut($c, ${VecRead.isFloat(child)}, $ref);")
+  }
+  override protected def withNewChildInternal(c: Expression): PqLut = copy(child = c)
+}
+
+/** ADC dot product of stored PQ codes against a query's lookup table. */
+case class PqAdcDot(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    java.lang.Double.valueOf(VectorKernels.pqAdcDot(
+      l.asInstanceOf[Array[Byte]], r.asInstanceOf[ArrayData], k))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorKernels.pqAdcDot($a, $b, $k);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcDot =
+    copy(left = l, right = r)
+}
+
 /** Cosine-argmax against a literal centroid matrix (IVF assignment / one
   * Lloyd half-step as a shuffle-free map-side projection; the centroid set is
   * tiny and ships in the expression via addReferenceObj).
@@ -345,4 +481,12 @@ object VectorColumns {
     GraftShims.column(Int8Quantize(GraftShims.expression(vec)))
   def int8Cosine(a: Column, b: Column): Column =
     GraftShims.column(Int8CosineSim(GraftShims.expression(a), GraftShims.expression(b)))
+  def l2Normalize(vec: Column): Column =
+    GraftShims.column(L2Normalize(GraftShims.expression(vec)))
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    GraftShims.column(PqEncode(GraftShims.expression(vec), codebooks))
+  def pqLut(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    GraftShims.column(PqLut(GraftShims.expression(vec), codebooks))
+  def pqAdcDot(codes: Column, lut: Column, k: Int): Column =
+    GraftShims.column(PqAdcDot(GraftShims.expression(codes), GraftShims.expression(lut), k))
 }

@@ -249,6 +249,104 @@ object Similarity {
         round(col("cos_sim"), 5).as("cos_sim"), col("rnk"))
   }
 
+  /** Deterministic driver-side Lloyd k-means (seeds = first k sample points
+    * in the given order; empty clusters keep their centroid). The sample is
+    * metadata-sized; training PQ on a sample is standard practice — the
+    * corpus itself is only ever scanned once, to encode.
+    */
+  private def kMeansFit(pts: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
+    require(pts.nonEmpty, "k-means needs a non-empty sample")
+    val kk = math.min(k, pts.length)
+    val dim = pts(0).length
+    var cents = Array.tabulate(kk)(i => pts(i).clone)
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val cnts = new Array[Int](kk)
+      pts.foreach { p =>
+        var best = 0; var bd = Double.MaxValue
+        var c = 0
+        while (c < kk) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val x = p(i) - cents(c)(i); d += x * x; i += 1 }
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        cnts(best) += 1
+        val s = sums(best); var i = 0
+        while (i < dim) { s(i) += p(i); i += 1 }
+      }
+      cents = Array.tabulate(kk) { c =>
+        if (cnts(c) == 0) cents(c)
+        else { val s = sums(c); val o = new Array[Double](dim)
+          var i = 0; while (i < dim) { o(i) = s(i) / cnts(c); i += 1 }; o }
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** Train product-quantization codebooks: an md5-ordered (deterministic,
+    * RNG-free) sample of `sampleN` L2-normalized vectors, split into `m`
+    * contiguous subspaces, k-means per subspace. Returns
+    * codebooks(subspace)(code)(component).
+    */
+  def trainPq(corpus: DataFrame, idCol: String, vecCol: String, dims: Int,
+      m: Int = 8, kCodes: Int = 256, sampleN: Int = 2000,
+      iters: Int = 5): Array[Array[Array[Double]]] = {
+    require(dims % m == 0, s"m=$m must divide dims=$dims")
+    val sub = dims / m
+    val sample = corpus
+      .select(col(idCol).as("id"),
+        graft.functions.VectorColumns.l2Normalize(col(vecCol)).as("v"))
+      .orderBy(substring(md5(col("id").cast("string").cast("binary")), 1, 8), col("id"))
+      .limit(sampleN)
+      .select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    Array.tabulate(m) { s =>
+      kMeansFit(sample.map(v => java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub)),
+        kCodes, iters)
+    }
+  }
+
+  /** Product-quantization ANN: the corpus is scanned as `m`-byte PQ codes
+    * (32x smaller than 64-dim float32 at m=8) scored against a per-query
+    * ADC lookup table — m array lookups + adds per candidate instead of a
+    * dims-length float loop — then the top `refine*k` per query re-ranked
+    * with exact cosine. Vectors are L2-normalized before encoding so ADC
+    * dot IS approximate cosine. Codebooks are trained on a deterministic
+    * md5-ordered sample (one driver-side k-means per subspace); the corpus
+    * is scanned exactly once to encode. The 100 TB shape: codes live
+    * scan-side at bytes-per-vector cost, full vectors are only touched for
+    * refine*k rows per query.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, dims: Int, m: Int = 8, kCodes: Int = 256,
+      sampleN: Int = 2000, trainIters: Int = 5, refine: Int = 3): DataFrame = {
+    val cb = trainPq(corpus, idCol, vecCol, dims, m, kCodes, sampleN, trainIters)
+    val kActual = cb(0).length
+    val norm = (c: Column) => graft.functions.VectorColumns.l2Normalize(c)
+    val c = corpus.select(col(idCol).as("item_id"), col(vecCol).as("__cv"),
+      graft.functions.VectorColumns.pqEncode(norm(col(vecCol)), cb).as("__code"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__lut", graft.functions.VectorColumns.pqLut(norm(col("__qv")), cb))
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("__adc").desc, col("item_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("item_id"))
+    c.join(broadcast(q), col("item_id") =!= col("query_id"))
+      .withColumn("__adc",
+        graft.functions.VectorColumns.pqAdcDot(col("__code"), col("__lut"), kActual))
+      .withColumn("__rn", row_number().over(wAdc))
+      .filter(col("__rn") <= k * refine)
+      .withColumn("cos_sim", cosine(col("__qv"), col("__cv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("item_id"),
+        round(col("cos_sim"), 5).as("cos_sim"), col("rnk"))
+  }
+
   /** Pairwise cosine of all corpus vectors against a centroid per label —
     * embedding quality diagnostic (centroid computed with a single agg).
     */

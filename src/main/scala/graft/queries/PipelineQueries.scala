@@ -225,6 +225,16 @@ object PipelineQueries {
         .orderBy($"query_id", $"rnk")
     },
 
+    // Product-quantization ANN (32x-compressed codes + ADC lookup scoring,
+    // exact re-rank; codebooks trained on a deterministic md5 sample).
+    rowsOnly("p26_pq_topk") { (spark, dir) =>
+      import spark.implicits._
+      val emb = t(spark, dir, "embeddings")
+      Similarity.pqTopK(emb, emb.filter($"vec_id" < 5), "vec_id", "embedding",
+        k = 10, dims = 64, m = 8, kCodes = 64, refine = 4)
+        .orderBy($"query_id", $"rnk")
+    },
+
     // LSH candidate pairs (the corpus contains organic near-duplicates).
     rowsOnly("p13_minhash_pairs") { (spark, dir) =>
       import spark.implicits._

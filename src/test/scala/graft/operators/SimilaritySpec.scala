@@ -193,6 +193,41 @@ class SimilaritySpec extends SparkSpec {
     assert(e1 === 50)
   }
 
+  test("pqTopK: 8-byte codes recall most of exact top-k after refine") {
+    import spark.implicits._
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", 5)
+      .select($"query_id", $"item_id")
+    val pq = Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+      k = 5, dims = 64, m = 8, kCodes = 64, refine = 8)
+    assert(pq.groupBy($"query_id").count().collect().forall(_.getLong(1) === 5))
+    val recalled = pq.select($"query_id", $"item_id").intersect(exact).count()
+    // 8 subspaces x 64 codes on 64-dim: coarse but refine=4 recovers most
+    assert(recalled >= 35, s"pq recall $recalled/50 too low")
+    // determinism: training is RNG-free, so two runs agree exactly
+    val again = Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+      k = 5, dims = 64, m = 8, kCodes = 64, refine = 8)
+    assert(pq.exceptAll(again).isEmpty && again.exceptAll(pq).isEmpty)
+  }
+
+  test("pq ADC dot approximates cosine on normalized vectors") {
+    import spark.implicits._
+    val cb = Similarity.trainPq(emb, "vec_id", "embedding", dims = 64,
+      m = 8, kCodes = 64, sampleN = 500)
+    val V = graft.functions.VectorColumns
+    val pairs = emb.filter($"vec_id" < 30)
+      .select($"vec_id".as("ia"), $"embedding".as("va"))
+      .crossJoin(emb.filter($"vec_id" >= 30 && $"vec_id" < 60)
+        .select($"vec_id".as("ib"), $"embedding".as("vb")))
+    val err = pairs.select(abs(
+        V.pqAdcDot(V.pqEncode(V.l2Normalize($"va"), cb),
+          V.pqLut(V.l2Normalize($"vb"), cb), cb(0).length) -
+        Similarity.cosine($"va", $"vb")).as("e"))
+      .agg(avg($"e"), max($"e")).head()
+    assert(err.getDouble(0) < 0.08, s"mean ADC error ${err.getDouble(0)}")
+    assert(err.getDouble(1) < 0.35, s"max ADC error ${err.getDouble(1)}")
+  }
+
   test("vector-avg centroid is a single aggregate even at 768 dims") {
     import spark.implicits._
     // every vector in a label group is identical -> cosine to centroid = 1
