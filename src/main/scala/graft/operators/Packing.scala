@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for training-data assembly: assign documents to
+  * fixed-capacity token windows ("packs") so that each pack's token sum
+  * stays within `capacity` — the standard pretraining step that turns a
+  * cleaned corpus into dense fixed-length samples with minimal padding.
+  *
+  * Algorithm: best-fit-decreasing per bucket. Documents are hashed into
+  * `numBuckets` independent packing domains (md5 of the id — deterministic,
+  * RNG-free), each bucket's documents are sorted by (tokens desc, md5(id))
+  * and packed greedily into the open pack with the least remaining capacity
+  * that still fits (a capacity-indexed TreeMap: O(n log n) per bucket,
+  * ~11/9 x optimal fill in the worst case, near-optimal in practice).
+  * Documents longer than `capacity` get a pack of their own, flagged
+  * `overflow` (chunk upstream if that is not wanted).
+  *
+  * Scale: one shuffle keyed by bucket; packing runs partition-local with
+  * O(open packs) state per bucket. Buckets are independent, so parallelism
+  * = numBuckets regardless of corpus size, and determinism is per-bucket:
+  * re-running a failed stage, or packing on a different cluster size,
+  * produces byte-identical assignments.
+  *
+  * Output: one row per document — (idCol, tokenCol, pack_id, pack_pos,
+  * overflow), where pack_id is globally unique (bucket in the high bits)
+  * and pack_pos is the document's order within its pack.
+  */
+object Packing {
+
+  def packSequences(df: DataFrame, idCol: String, tokenCol: String,
+      capacity: Int, numBuckets: Int = 64): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    require(numBuckets > 0 && numBuckets <= (1 << 20), "1..2^20 buckets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val prepped = df.select(
+        col(idCol).cast("long").as("id"),
+        col(tokenCol).cast("int").as("tokens"),
+        md5(col(idCol).cast("string").cast("binary")).as("__h"))
+      .withColumn("bucket",
+        pmod(conv(substring(col("__h"), 1, 8), 16, 10).cast("long"),
+          lit(numBuckets.toLong)).cast("int"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("tokens").desc, col("__h"), col("id"))
+      .select(col("bucket"), col("id"), col("tokens"))
+      .as[(Int, Long, Int)]
+    prepped.mapPartitions { it =>
+      // partitions hold whole buckets (hash-partitioned on bucket) and rows
+      // arrive bucket-contiguous, tokens-descending
+      new Iterator[(Long, Int, Long, Int, Boolean)] {
+        private val buf = it.buffered
+        private var bucket = -1
+        private var nextPack = 0L
+        // remaining capacity -> FIFO of (packId, nextPos); FIFO keeps the
+        // choice among equal remainders deterministic (oldest pack wins)
+        private var open: java.util.TreeMap[Int, scala.collection.mutable.Queue[(Long, Int)]] = _
+        private def reset(b: Int): Unit = {
+          bucket = b; nextPack = 0L
+          open = new java.util.TreeMap[Int, scala.collection.mutable.Queue[(Long, Int)]]()
+        }
+        override def hasNext: Boolean = buf.hasNext
+        override def next(): (Long, Int, Long, Int, Boolean) = {
+          val (b, id, tokens) = buf.next()
+          if (b != bucket) reset(b)
+          val globalBase = b.toLong << 40
+          if (tokens > capacity) {
+            // oversize: its own flagged pack, never entered into `open`
+            val p = nextPack; nextPack += 1
+            (id, tokens, globalBase | p, 0, true)
+          } else {
+            val entry = open.ceilingEntry(tokens)
+            if (entry == null) {
+              val p = nextPack; nextPack += 1
+              val rem = capacity - tokens
+              if (rem > 0)
+                open.computeIfAbsent(rem, _ => scala.collection.mutable.Queue.empty)
+                  .enqueue((p, 1))
+              (id, tokens, globalBase | p, 0, false)
+            } else {
+              val rem = entry.getKey
+              val q = entry.getValue
+              val (p, pos) = q.dequeue()
+              if (q.isEmpty) open.remove(rem)
+              val newRem = rem - tokens
+              if (newRem > 0)
+                open.computeIfAbsent(newRem, _ => scala.collection.mutable.Queue.empty)
+                  .enqueue((p, pos + 1))
+              (id, tokens, globalBase | p, pos, false)
+            }
+          }
+        }
+      }
+    }.toDF("id", "tokens", "pack_id", "pack_pos", "overflow")
+      .withColumnRenamed("id", idCol)
+      .withColumnRenamed("tokens", tokenCol)
+  }
+
+  /** Pack-level summary: documents, token fill, fill ratio per pack. */
+  def packStats(packed: DataFrame, tokenCol: String, capacity: Int): DataFrame =
+    packed.groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col(tokenCol)).as("n_tokens"),
+        max(col("overflow")).as("overflow"))
+      .withColumn("fill_ratio",
+        round(col("n_tokens").cast("double") / capacity, 4))
+}

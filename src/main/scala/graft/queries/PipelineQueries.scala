@@ -370,6 +370,18 @@ object PipelineQueries {
         .orderBy($"doc_id", $"epoch")
     },
 
+    // Sequence packing: documents -> fixed-capacity token windows
+    // (best-fit-decreasing per md5 bucket; deterministic, RNG-free).
+    rowsOnly("p27_sequence_packing") { (spark, dir) =>
+      import spark.implicits._
+      val d = graft.operators.TextAnalysis
+        .withTokenCount(t(spark, dir, "documents"))
+        .select($"doc_id", $"n_tokens".cast("int").as("n_tokens"))
+      graft.operators.Packing.packSequences(d, "doc_id", "n_tokens",
+        capacity = 256, numBuckets = 8)
+        .orderBy($"doc_id")
+    },
+
     // Multimodal binary-column pipeline: per-partition feature extraction
     // (histogram + entropy) over opaque payloads, summarized per media kind.
     // Deterministic stub codec; plumbing (schema, partitioning, batch shape)
