@@ -46,6 +46,30 @@ object Curation {
       .filter(col("__rank") <= quota)
   }
 
+  /** Deterministic train/validation/test split: each row is assigned to the
+    * named split whose cumulative-fraction interval contains its md5 draw.
+    * Membership is a pure function of the id — no RNG, no `randomSplit`
+    * sampling drift — so the same document lands in the same split across
+    * runs, engines, repartitions, and data growth (new rows never move old
+    * rows between splits, unlike percentile-based splitting). Map-side only.
+    */
+  def hashSplit(df: DataFrame, idCol: String, splits: Seq[(String, Double)],
+      splitCol: String = "split"): DataFrame = {
+    require(splits.size >= 2, "need at least two splits")
+    require(splits.forall(_._2 > 0), "split fractions must be positive")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val draw = hashKey(col(idCol))
+    // upper threshold of every split but the last (which takes the rest)
+    val cum = splits.init
+      .scanLeft(("", 0.0)) { case ((_, acc), (n, f)) => (n, acc + f) }.tail
+    val first = when(draw < lit(hexThreshold(cum.head._2)), cum.head._1)
+    val assigned = cum.tail.foldLeft(first) { case (acc, (name, c)) =>
+      acc.when(draw < lit(hexThreshold(c)), name)
+    }
+    df.withColumn(splitCol, assigned.otherwise(splits.last._1))
+  }
+
   /** Domain mixing to target weights: weight w replicates every row of the
     * domain floor(w) times and admits one further copy for a deterministic
     * md5-chosen w-minus-floor(w) fraction of its rows (epochs 0..ceil(w)-1;

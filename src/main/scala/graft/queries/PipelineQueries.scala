@@ -370,6 +370,87 @@ object PipelineQueries {
         .orderBy($"doc_id", $"epoch")
     },
 
+    // Deterministic train/val/test split: assignment is a pure function of
+    // the doc id (md5 draw vs cumulative-fraction thresholds) — the oracle
+    // replays the identical thresholds, pinned in CurationSpec against
+    // Curation.hexThreshold.
+    q("p30_train_split",
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccd' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'validation'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      graft.operators.Curation.hashSplit(
+        t(spark, dir, "documents").select($"doc_id"), "doc_id",
+        Seq("train" -> 0.8, "validation" -> 0.1, "test" -> 0.1))
+        .orderBy($"doc_id")
+    },
+
+    // Benchmark decontamination: corpus docs sharing word 4-grams with the
+    // benchmark slice (doc_id % 50 = 0, an eval-set stand-in). The planted
+    // near-copy in the testdata crosses minOverlap=2; coincidental
+    // single-gram hits stay below it. Cell-exact vs DuckDB.
+    q("p28_decontaminate",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w <> '') AS ws
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, CASE WHEN len(ws) >= 4
+        |    THEN list_distinct(list_transform(range(1, len(ws) - 2),
+        |      i -> array_to_string(list_slice(ws, i, i + 3), ' ')))
+        |    ELSE [array_to_string(ws, ' ')] END AS gs
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 50 = 0),
+        |corpus AS (SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % 50 <> 0),
+        |hits AS (SELECT c.doc_id, count(*) AS n_overlap
+        |  FROM corpus c JOIN bench b USING (g) GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(h.n_overlap, 0) AS n_overlap,
+        |  CAST(COALESCE(h.n_overlap, 0) >= 2 AS INT) AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+        |LEFT JOIN hits h USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val docs = t(spark, dir, "documents")
+      graft.operators.Decontaminate.overlapStats(
+        docs.filter($"doc_id" % 50 =!= 0), docs.filter($"doc_id" % 50 === 0),
+        k = 4, minOverlap = 2)
+        .select($"doc_id", $"n_overlap", $"contaminated")
+        .orderBy($"doc_id")
+    },
+
+    // BM25 keyword top-k: full Okapi scoring (tf/df/dl/avgdl) computed
+    // relationally — the shuffle carries query-term hits only — and the
+    // same formula evaluated by DuckDB cell-for-cell. round(sum(double))
+    // is safe HERE (unlike the money aggregates, see Exact): the summands
+    // are logs, so a sum landing exactly on a 4dp rounding boundary is
+    // measure-zero, and each doc sums <= 3 terms.
+    q("p29_bm25_topk",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w <> '') AS ws
+        |  FROM documents),
+        |d AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl, ws FROM toks),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM d),
+        |tf AS (
+        |  SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(ws) AS term FROM d)
+        |  WHERE term IN ('spark', 'vector', 'stream') GROUP BY 1, 2, 3),
+        |dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |agg AS (
+        |  SELECT t.doc_id, round(sum(
+        |    ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+        |      * t.tf * 2.2 / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / s.avgdl))), 4) AS bm25
+        |  FROM tf t JOIN dft f USING (term) CROSS JOIN stats s GROUP BY 1)
+        |SELECT doc_id, bm25, CAST(rnk AS INT) AS rnk FROM (
+        |  SELECT doc_id, bm25, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+        |  FROM agg)
+        |WHERE rnk <= 20 ORDER BY rnk""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      graft.operators.TextSearch.bm25TopK(t(spark, dir, "documents"),
+        Seq("spark", "vector", "stream"), k = 20)
+        .orderBy($"rnk")
+    },
+
     // Sequence packing: documents -> fixed-capacity token windows
     // (best-fit-decreasing per md5 bucket; deterministic, RNG-free).
     rowsOnly("p27_sequence_packing") { (spark, dir) =>

@@ -56,5 +56,34 @@ class CurationSpec extends SparkSpec {
     assert(Curation.hexThreshold(1.0) === "ffffffff")
     assert(Curation.hexThreshold(0.5) === "80000000")
     assert(Curation.hexThreshold(0.25) === "40000000")
+    // thresholds hard-coded in the p30_train_split oracle SQL
+    assert(Curation.hexThreshold(0.8) === "cccccccd")
+    assert(Curation.hexThreshold(0.9) === "e6666666")
+  }
+
+  test("hashSplit: disjoint-exhaustive, ratio-accurate, map-side, stable") {
+    val splits = Seq("train" -> 0.8, "validation" -> 0.1, "test" -> 0.1)
+    val out = Curation.hashSplit(docs, "doc_id", splits)
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"),
+      "hashSplit must not shuffle")
+    // every row assigned to exactly one of the named splits
+    assert(out.count() === docs.count())
+    val counts = out.groupBy(col("split")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet.subsetOf(splits.map(_._1).toSet))
+    val n = docs.count().toDouble
+    assert(math.abs(counts("train") / n - 0.8) < 0.1)
+    // membership is a pure function of the id: repartitioned input, same map
+    val again = Curation.hashSplit(docs.repartition(7), "doc_id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(r.length - 1)).toMap
+    val first = out.collect().map(r => r.getLong(0) -> r.getString(r.length - 1)).toMap
+    assert(again === first)
+    // growing the corpus never reassigns existing rows
+    val grown = Curation.hashSplit(
+      docs.union(docs.withColumn("doc_id", col("doc_id") + 100000L)),
+      "doc_id", splits)
+      .filter(col("doc_id") < 100000L)
+      .collect().map(r => r.getLong(0) -> r.getString(r.length - 1)).toMap
+    assert(grown === first)
   }
 }
