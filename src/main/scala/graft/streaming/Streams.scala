@@ -84,6 +84,32 @@ object Streams {
       .dropDuplicatesWithinWatermark("_minhash_sig")
       .drop("_minhash_sig")
 
+  /** Streaming contamination monitor: the streaming twin of
+    * `Decontaminate.overlapStats` for docs arriving on a stream. Gram
+    * generation is the same map-side shingle projection; the benchmark gram
+    * set is static (stream-static equi-join, broadcast by Catalyst); the
+    * per-document overlap count is a keyed streaming aggregation, so run it
+    * in update/complete mode. Emits `(idCol, n_overlap)` for documents at or
+    * above `minOverlap` — the quarantine feed a training-data ingest pipeline
+    * tails.
+    */
+  def contaminationMonitor(docs: DataFrame, benchmark: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 4, minOverlap: Int = 2): DataFrame = {
+    val benchGrams = broadcast(
+      benchmark.select(explode(array_distinct(graft.operators.TextAnalysis
+        .shingles(graft.operators.TextAnalysis.tokens(col(textCol)), k)))
+        .as("__gram")).distinct())
+    docs.select(col(idCol),
+        explode(array_distinct(graft.operators.TextAnalysis
+          .shingles(graft.operators.TextAnalysis.tokens(col(textCol)), k)))
+          .as("__gram"))
+      .join(benchGrams, "__gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
+
   /** Stream-static enrichment join (static side broadcast by Catalyst). */
   def enrich(events: DataFrame, dim: DataFrame, eventKey: String,
       dimKey: String): DataFrame =

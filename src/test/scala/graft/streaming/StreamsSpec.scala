@@ -68,6 +68,34 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming contamination monitor equals the batch overlapStats flags") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val bench = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val corpusRows = Seq(
+      (10L, "intro words then the quick brown fox jumps over it"), // 3 shared 4-grams
+      (11L, "nothing in common with the benchmark suite at all"),
+      (12L, "jumps over the lazy dog is a stolen fragment"))        // 2 shared 4-grams
+    val in = MemoryStream[(Long, String)]
+    in.addData(corpusRows: _*)
+    val q = Streams.drainToMemory(
+      Streams.contaminationMonitor(in.toDF().toDF("doc_id", "text"), bench,
+        k = 4, minOverlap = 2),
+      "t_contam", outputMode = "complete")
+    try {
+      val got = spark.table("t_contam")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = graft.operators.Decontaminate.overlapStats(
+          corpusRows.toDF("doc_id", "text"), bench, k = 4, minOverlap = 2)
+        .filter($"contaminated" === 1)
+        .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_overlap")).toMap
+      assert(got === want)
+      assert(got.keySet === Set(10L, 12L))
+    } finally q.stop()
+  }
+
   test("stream-static join enriches events with a dimension") {
     import spark.implicits._
     val stream = Streams.eventStream(spark, sfDir)
