@@ -35,6 +35,8 @@ object Bench {
     "p10_cosine_topk",      // brute-force similarity top-k
     "p11_ann_lsh",          // LSH ANN (multi-probe: see notes)
     "p22_clean_pipeline",   // composed clean: score+dedup(CC)+scrub
+    "p28_decontaminate",    // k-gram overlap vs broadcast benchmark set
+    "p29_bm25_topk",        // relational Okapi BM25 top-k
     "t07_volume_shipping",  // 6-way join
     "t13_customer_distribution", // outer join + double aggregation
     "t21_waiting_supplier") // double-correlated EXISTS/NOT EXISTS

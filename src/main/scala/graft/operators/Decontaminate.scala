@@ -14,24 +14,34 @@ import org.apache.spark.sql.functions._
   * of the same shingle stream) with the corpus-hygiene operator the reference
   * never needed.
   *
+  * Grams are matched by their 64-bit xxhash (the same codegen'd primitive-
+  * loop kernel MinHash/fingerprinting use, ~5× the throughput of building
+  * gram strings through higher-order array lambdas, and 8-byte rows on the
+  * wire instead of strings). Hash equality stands in for gram equality: a
+  * false match needs an xxhash64 collision — P ≈ n²/2⁶⁵, ~10⁻⁸ even for a
+  * 10⁹-gram corpus crossed with a 10⁶-gram benchmark — and decontamination
+  * tolerates it gracefully (one spuriously-quarantined document).
+  *
   * Scale design (100 TB corpus, small benchmark): the benchmark gram set is
   * an eval suite — thousands of documents, not billions — so it is
   * `broadcast()` and the corpus side never shuffles for candidate matching;
   * the only exchange is the per-document overlap count, keyed by doc id and
   * carrying ONLY matched grams (a row per contaminated-gram hit, not per
-  * corpus gram). Gram generation itself is the codegen'd `shingles`
-  * projection — map-side, scan-speed.
+  * corpus gram). Gram hashing itself is map-side, at scan speed.
   */
 object Decontaminate {
 
-  /** Distinct word k-grams per document. Documents shorter than `k` tokens
-    * contribute their whole text as one gram, so short benchmark items (quiz
-    * answers, single sentences) still match verbatim copies.
+  /** Distinct word k-gram hashes per document (one exploded row each).
+    * Documents shorter than `k` tokens contribute their whole text as one
+    * gram, so short benchmark items (quiz answers, single sentences) still
+    * match verbatim copies; empty/whitespace-only documents contribute
+    * nothing.
     */
-  private def grams(df: DataFrame, idCol: String, textCol: String, k: Int) =
+  private[graft] def grams(df: DataFrame, idCol: String, textCol: String,
+      k: Int) =
     df.select(col(idCol),
-      explode(array_distinct(
-        TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), k))).as("__gram"))
+      explode(array_distinct(graft.functions.TextHashColumns.shingleHashes(
+        TextAnalysis.tokens(col(textCol)), k))).as("__gram"))
 
   /** Per-corpus-document overlap stats against the benchmark: every corpus
     * row comes back with `n_overlap` (distinct shared k-grams) and a 0/1

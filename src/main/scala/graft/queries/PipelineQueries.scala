@@ -390,7 +390,9 @@ object PipelineQueries {
     // Benchmark decontamination: corpus docs sharing word 4-grams with the
     // benchmark slice (doc_id % 50 = 0, an eval-set stand-in). The planted
     // near-copy in the testdata crosses minOverlap=2; coincidental
-    // single-gram hits stay below it. Cell-exact vs DuckDB.
+    // single-gram hits stay below it. Spark matches 64-bit gram hashes
+    // (codegen kernel); the oracle matches the gram strings — identical
+    // counts absent an xxhash64 collision. Cell-exact vs DuckDB.
     q("p28_decontaminate",
       """WITH toks AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w <> '') AS ws
@@ -399,7 +401,8 @@ object PipelineQueries {
         |  SELECT doc_id, CASE WHEN len(ws) >= 4
         |    THEN list_distinct(list_transform(range(1, len(ws) - 2),
         |      i -> array_to_string(list_slice(ws, i, i + 3), ' ')))
-        |    ELSE [array_to_string(ws, ' ')] END AS gs
+        |    WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')]
+        |    ELSE [] END AS gs
         |  FROM toks),
         |bench AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 50 = 0),
         |corpus AS (SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % 50 <> 0),

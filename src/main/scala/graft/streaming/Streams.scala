@@ -96,14 +96,9 @@ object Streams {
   def contaminationMonitor(docs: DataFrame, benchmark: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       k: Int = 4, minOverlap: Int = 2): DataFrame = {
-    val benchGrams = broadcast(
-      benchmark.select(explode(array_distinct(graft.operators.TextAnalysis
-        .shingles(graft.operators.TextAnalysis.tokens(col(textCol)), k)))
-        .as("__gram")).distinct())
-    docs.select(col(idCol),
-        explode(array_distinct(graft.operators.TextAnalysis
-          .shingles(graft.operators.TextAnalysis.tokens(col(textCol)), k)))
-          .as("__gram"))
+    val benchGrams = broadcast(graft.operators.Decontaminate
+      .grams(benchmark, idCol, textCol, k).select(col("__gram")).distinct())
+    graft.operators.Decontaminate.grams(docs, idCol, textCol, k)
       .join(benchGrams, "__gram")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_overlap"))
