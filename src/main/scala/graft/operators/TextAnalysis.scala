@@ -152,6 +152,29 @@ object TextAnalysis {
           greatest(col("n_bigrams"), lit(1L)), 4))
   }
 
+  /** Word-unigram entropy per document (bits): H = log2(n) − Σc·log2(c)/n
+    * over word frequencies — the compression-ratio proxy quality filters use
+    * (low entropy = repetitive/templated text, high = diverse vocabulary).
+    * Relational like [[repetitionMetrics]]: explode → per-word counts → one
+    * aggregate per doc; the shuffle is keyed by doc id and carries one row
+    * per distinct word. Empty documents get 0.0.
+    */
+  def wordEntropy(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val perWord = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("__w"))
+      .groupBy(col(idCol), col("__w"))
+      .agg(count(lit(1)).cast("double").as("__c"))
+    val perDoc = perWord.groupBy(col(idCol))
+      .agg(sum(col("__c")).as("__n"),
+        sum(col("__c") * log2(col("__c"))).as("__s"))
+      .select(col(idCol),
+        round(log2(col("__n")) - col("__s") / col("__n"), 4).as("word_entropy"))
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left_outer")
+      .withColumn("word_entropy", coalesce(col("word_entropy"), lit(0.0)))
+  }
+
   /** PII scrubbing: emails, phone numbers, and IPv4 literals replaced with
     * typed placeholders. Patterns are RE2-safe (portable) and the operator is
     * a pure codegen'd projection — scan-speed at any scale. Extends the

@@ -370,6 +370,25 @@ object PipelineQueries {
         .orderBy($"doc_id", $"epoch")
     },
 
+    // Word-entropy quality signal: H = log2(n) - sum(c*log2(c))/n per doc.
+    // round(4) over sums of irrational logs — boundary flakes measure-zero
+    // (see p29 note).
+    q("p31_word_entropy",
+      """WITH w AS (
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS word
+        |  FROM documents),
+        |c AS (SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS c FROM w GROUP BY 1, 2),
+        |h AS (
+        |  SELECT doc_id, round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS word_entropy
+        |  FROM c GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(h.word_entropy, 0.0) AS word_entropy
+        |FROM documents d LEFT JOIN h USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      TextAnalysis.wordEntropy(t(spark, dir, "documents"))
+        .orderBy($"doc_id")
+    },
+
     // Deterministic train/val/test split: assignment is a pure function of
     // the doc id (md5 draw vs cumulative-fraction thresholds) — the oracle
     // replays the identical thresholds, pinned in CurationSpec against

@@ -67,12 +67,16 @@ class PlanInvariantsSpec extends SparkSpec {
     import org.apache.spark.sql.execution.debug._
     val df = Engine.table(spark, sfDir, "documents")
       .select(graft.functions.TextHashColumns
-        .minhashSignature(split(col("text"), " "), 3, 16).as("sig"))
-      .select(graft.functions.VectorColumns.lshBandHashes(col("sig"), 4).as("bands"))
+        .minhashSignature(split(col("text"), " "), 3, 16).as("sig"),
+        graft.functions.TextHashColumns
+          .shingleHashes(split(col("text"), " "), 4).as("grams"))
+      .select(graft.functions.VectorColumns.lshBandHashes(col("sig"), 4).as("bands"),
+        col("grams"))
     val code = df.queryExecution.debug.codegenToSeq().map(_._2).mkString("\n")
     // the static kernels are called inline in generated code — a regression
     // to CodegenFallback would route through interpreted eval() instead
     assert(code.contains("TextHashKernels.minhash"), "minhash kernel not inlined")
+    assert(code.contains("TextHashKernels.shingles"), "shingle kernel not inlined")
     assert(code.contains("VectorKernels.lshBands"), "lsh kernel not inlined")
     assert(df.count() === 500) // and the generated code actually runs
   }

@@ -72,6 +72,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m(1).getAs[Long]("top_bigram_cnt") === 1L)
   }
 
+  test("word entropy: closed-form values, degenerate docs, every row kept") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a a a"),        // one symbol -> 0 bits
+      (2L, "a b c d"),        // uniform over 4 -> 2 bits
+      (3L, "a a b b"),        // uniform over 2 -> 1 bit
+      (4L, "a a a b"),        // 3/4,1/4 -> ~0.8113
+      (5L, "   ")).toDF("doc_id", "text") // no tokens -> 0.0, row kept
+    val got = TextAnalysis.wordEntropy(df).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) === 0.0)
+    assert(got(2L) === 2.0)
+    assert(got(3L) === 1.0)
+    assert(got(4L) === 0.8113)
+    assert(got(5L) === 0.0)
+    assert(got.size === 5)
+  }
+
   test("PII scrubbing replaces emails, phones, and IPs with placeholders") {
     import spark.implicits._
     val df = Seq(
