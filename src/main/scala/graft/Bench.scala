@@ -111,10 +111,27 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] dml warmup FAILED: ${e.getMessage}") }
 
+    // measurement hygiene: drop every block the warmup pass left behind
+    // (retained loser-id checkpoints etc.), clear cached relations, and GC so
+    // the timed pass starts from a clean heap instead of under
+    // storage-memory pressure from warmup residue
+    def cleanStorage(gc: Boolean): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+      if (gc) { System.gc(); Thread.sleep(200) }
+    }
+    cleanStorage(gc = true)
+
     val results = headline.map { name =>
       val t0 = System.nanoTime()
       try run(name) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // keep each measurement independent of its predecessors' residue
+      // (no GC between queries — pauses would bleed into the next timer
+      // less predictably than the blocks do)
+      cleanStorage(gc = false)
+      name -> sec
     } :+ ("dml_pruned_roundtrip" -> {
       try dmlPrunedRoundTrip(spark, sfDir)
       catch { case e: Throwable =>

@@ -56,6 +56,21 @@ object Engine {
     spark
   }
 
+  /** Free the storage blocks behind a `localCheckpoint()`ed frame.
+    *
+    * `Dataset.unpersist` does not release checkpoint blocks (they are RDD
+    * storage, not cache-manager entries) and the ContextCleaner only reclaims
+    * them when the RDD object happens to be GC'd — so iterative operators
+    * that checkpoint per sweep must release superseded frames explicitly or
+    * MEMORY_AND_DISK blocks accumulate for the life of the session. A
+    * released frame is NOT recomputable (the checkpoint truncated its
+    * lineage): only release frames that can never be scanned again.
+    */
+  private[graft] def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     configure(spark)
     val df = spark.read.parquet(s"$sfDir/$name.parquet")

@@ -71,7 +71,18 @@ object Dedup {
     * for pathological corpora).
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String = "text",
-      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame =
+    minhashCandidatesReleasable(df, idCol, textCol, shingleSize, numHashes, bands)._1
+
+  /** [[minhashCandidates]] plus a release hook that frees the internal
+    * signature checkpoint's storage blocks. Call the hook once the returned
+    * frame has been fully materialized (and will never be scanned again) —
+    * the composed dedup operators do; ad-hoc callers can use the plain
+    * variant and accept signature-table retention until GC.
+    */
+  private[graft] def minhashCandidatesReleasable(df: DataFrame, idCol: String,
+      textCol: String = "text", shingleSize: Int = 3, numHashes: Int = 64,
+      bands: Int = 16): (DataFrame, () => Unit) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     // both sides of the band self-join consume the signatures — checkpoint
@@ -85,13 +96,14 @@ object Dedup {
       col("band_idx"), col("band_hash"))
     val b = banded.select(col(idCol).as("id_b"), col("minhash").as("sig_b"),
       col("band_idx"), col("band_hash"))
-    a.join(b, Seq("band_idx", "band_hash"))
+    val cands = a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(graft.functions.VectorColumns.sigMatchFraction(col("sig_a"), col("sig_b")), 4)
           .as("est_jaccard"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(first(col("est_jaccard")).as("est_jaccard"))
+    (cands, () => graft.Engine.releaseCheckpoint(sig))
   }
 
   /** Connected components over an undirected edge list, by iterative
@@ -125,18 +137,30 @@ object Dedup {
     while (changed > 0 && it < maxIters) {
       val nbrMin = sym.join(labels, sym("src") === labels("id"))
         .groupBy(col("dst")).agg(min(col("component")).as("_nbr_min"))
+      // the convergence signal piggybacks on the checkpoint's own job as an
+      // observed metric — no extra probe job per sweep
+      val obs = org.apache.spark.sql.Observation(
+        s"graft_cc_${ccObsId.incrementAndGet()}")
+      val prev = labels
       val stepped = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
         .select(labels("id"),
           least(labels("component"), coalesce(col("_nbr_min"), labels("component")))
             .as("component"),
           (col("_nbr_min") < labels("component")).as("_chg"))
+        .observe(obs, sum(when(col("_chg"), 1L).otherwise(0L)).as("changed"))
         .localCheckpoint()
-      // loop control needs only "any label changed?" — a limit-1 probe over
-      // the checkpointed sweep, not a full count
-      changed = if (stepped.filter(col("_chg")).isEmpty) 0L else 1L
       labels = stepped.drop("_chg")
+      changed = observedLong(obs, "changed")
+        // metric delivery rides the async listener bus; on (never observed)
+        // timeout fall back to a limit-1 probe rather than hang or miscount
+        .getOrElse(if (stepped.filter(col("_chg")).isEmpty) 0L else 1L)
+      // the superseded sweep's blocks are dead the moment the new checkpoint
+      // exists — release them, or MEMORY_AND_DISK usage grows per sweep for
+      // the life of the session
+      graft.Engine.releaseCheckpoint(prev)
       it += 1
     }
+    graft.Engine.releaseCheckpoint(sym)
     if (changed > 0)
       // non-convergence means clusters deeper than maxIters sweeps keep >1
       // survivor (silent under-dedup) — make it detectable
@@ -147,25 +171,56 @@ object Dedup {
     labels
   }
 
+  private val ccObsId = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Bounded wait for an Observation's metric row (the action has already
+    * completed synchronously; only listener-bus delivery is async). None on
+    * timeout so callers can fall back instead of blocking forever —
+    * `Observation.get` alone would hang if the bus ever dropped the event.
+    */
+  private def observedLong(obs: org.apache.spark.sql.Observation,
+      key: String): Option[Long] =
+    try {
+      val m = scala.concurrent.Await.result(
+        scala.concurrent.Future(obs.get)(scala.concurrent.ExecutionContext.global),
+        scala.concurrent.duration.Duration(30, "s"))
+      Some(m.get(key) match { case Some(n: Long) => n; case _ => 0L })
+    } catch { case _: java.util.concurrent.TimeoutException => None }
+
   /** End-to-end near-dup removal: exact dedup, then resolve LSH-verified
     * near-duplicate pairs into connected components and keep the minimum id
     * of each component (the canonical keep-first corpus cleaning pass) —
     * a~b~c chains collapse to exactly one survivor even when a and c are
     * not directly similar. Output is the cleaned DataFrame.
+    *
+    * Storage discipline: every internal checkpoint (signatures, exact-clean
+    * corpus, CC sweeps) is released before returning; the only blocks that
+    * outlive the call are the loser-id set (tiny), which the returned frame
+    * anti-joins against a freshly recomputed exact-dedup pass. Consuming the
+    * output therefore re-runs one corpus window — the deliberate trade
+    * against retaining a corpus-sized MEMORY_AND_DISK checkpoint for an
+    * unbounded time (at 100 TB the latter is not viable).
     */
   def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String = "text",
       threshold: Double = 0.8, shingleSize: Int = 3,
       numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    // consumed by candidate generation AND the final anti-join — checkpoint
-    // so the scan + dedup window run once, not once per consumer
+    // consumed by candidate generation twice (signatures + jaccard texts) —
+    // checkpoint so the scan + dedup window run once while candidates build
     val exactClean = exact(df, idCol, textCol).localCheckpoint()
-    val pairs = nearDuplicates(exactClean, idCol, textCol, threshold,
-      shingleSize, numHashes, bands)
-    // at fixpoint the component label IS the min id: losers are the rest
-    val losers = connectedComponents(pairs, "id_a", "id_b")
+    val (pairs, releaseSig) = nearDuplicatesReleasable(exactClean, idCol,
+      textCol, threshold, shingleSize, numHashes, bands)
+    // at fixpoint the component label IS the min id: losers are the rest.
+    // connectedComponents materializes `pairs` (its first action), after
+    // which the signature checkpoint is dead.
+    val comp = connectedComponents(pairs, "id_a", "id_b")
+    releaseSig()
+    val losers = comp
       .filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
-    exactClean.join(losers, Seq(idCol), "left_anti")
+      .localCheckpoint()
+    graft.Engine.releaseCheckpoint(comp)
+    graft.Engine.releaseCheckpoint(exactClean)
+    exact(df, idCol, textCol).join(losers, Seq(idCol), "left_anti")
   }
 
   /** Keep-best near-dup cleaning: like [[dropNearDuplicates]] but the
@@ -179,36 +234,46 @@ object Dedup {
   def dropNearDuplicatesKeepBest(df: DataFrame, idCol: String, scoreCol: String,
       textCol: String = "text", threshold: Double = 0.8, shingleSize: Int = 3,
       numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    // NULL scores rank below every real score (and below each other, where
-    // the id tie-break decides) — otherwise a NULL comparison would invert
-    // survivor selection.
-    def rank(c: Column): Column =
-      coalesce(c.cast("double"), lit(Double.NegativeInfinity))
-    // exact duplicates also keep the best-scored copy (not the min id):
-    // highest score wins, ties to the smaller id. The window keys on the
-    // content HASH, not the full text — shuffling/sorting on multi-KB
-    // document keys wastes the wire at corpus scale
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(md5(col(textCol).cast("binary")))
-      .orderBy(rank(col(scoreCol)).desc, col(idCol).asc)
-    // three consumers (pair generation, score join, final anti-join):
-    // checkpoint so the corpus scan + dedup window run once
-    val exactClean = df
-      .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn")
-      .localCheckpoint()
-    val pairs = nearDuplicates(exactClean, idCol, textCol, threshold,
-      shingleSize, numHashes, bands)
-    val comp = connectedComponents(pairs, "id_a", "id_b")
+    // exact-duplicate groups also keep the best-scored copy (recomputable
+    // pure plan — built twice: once checkpointed for candidate generation,
+    // once fresh for the returned frame, same storage discipline as
+    // [[dropNearDuplicates]])
+    def keepBestExact: DataFrame = {
+      // the window keys on the content HASH, not the full text —
+      // shuffling/sorting on multi-KB document keys wastes the wire
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col(textCol).cast("binary")))
+        .orderBy(scoreRank(col(scoreCol)).desc, col(idCol).asc)
+      df.withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
+    }
+    // consumed by pair generation (2x) and the score join — checkpoint so
+    // the corpus scan + dedup window run once while the loser set builds
+    val exactClean = keepBestExact.localCheckpoint()
+    val (pairs, releaseSig) = nearDuplicatesReleasable(exactClean, idCol,
+      textCol, threshold, shingleSize, numHashes, bands)
+    val labels = connectedComponents(pairs, "id_a", "id_b")
+    releaseSig()
+    val comp = labels
       .join(exactClean.select(col(idCol).as("id"), col(scoreCol).as("_score")), "id")
     val cw = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("component")).orderBy(rank(col("_score")).desc, col("id").asc)
+      .partitionBy(col("component")).orderBy(scoreRank(col("_score")).desc, col("id").asc)
     val losers = comp
       .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(cw))
       .filter(col("_rn") =!= 1)
       .select(col("id").as(idCol))
-    exactClean.join(losers, Seq(idCol), "left_anti")
+      .localCheckpoint()
+    graft.Engine.releaseCheckpoint(labels)
+    graft.Engine.releaseCheckpoint(exactClean)
+    keepBestExact.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** NULL scores rank below every real score (and below each other, where
+    * the id tie-break decides) — otherwise a NULL comparison would invert
+    * survivor selection.
+    */
+  private def scoreRank(c: Column): Column =
+    coalesce(c.cast("double"), lit(Double.NegativeInfinity))
 
   /** SimHash (64-bit) of the token stream: per-bit majority vote of token
     * hashes. Pure expressions: one transform per doc + 64-lane vote done with
@@ -235,14 +300,25 @@ object Dedup {
   /** Verified near-dup pairs: LSH candidates filtered by exact Jaccard. */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String = "text",
       threshold: Double = 0.7, shingleSize: Int = 3,
-      numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    val cands = minhashCandidates(df, idCol, textCol, shingleSize, numHashes, bands)
+      numHashes: Int = 64, bands: Int = 16): DataFrame =
+    nearDuplicatesReleasable(df, idCol, textCol, threshold, shingleSize,
+      numHashes, bands)._1
+
+  /** [[nearDuplicates]] plus the signature-checkpoint release hook (see
+    * [[minhashCandidatesReleasable]]).
+    */
+  private[graft] def nearDuplicatesReleasable(df: DataFrame, idCol: String,
+      textCol: String = "text", threshold: Double = 0.7, shingleSize: Int = 3,
+      numHashes: Int = 64, bands: Int = 16): (DataFrame, () => Unit) = {
+    val (cands, release) =
+      minhashCandidatesReleasable(df, idCol, textCol, shingleSize, numHashes, bands)
     val texts = df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__w"))
-    cands
+    val verified = cands
       .join(texts.select(col(idCol).as("id_a"), col("__w").as("__wa")), "id_a")
       .join(texts.select(col(idCol).as("id_b"), col("__w").as("__wb")), "id_b")
       .withColumn("jaccard", jaccard(col("__wa"), col("__wb"), shingleSize))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"), col("jaccard"))
+    (verified, release)
   }
 }

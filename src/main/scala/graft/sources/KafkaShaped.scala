@@ -130,6 +130,8 @@ object KafkaShaped {
     val batchHw = out.groupBy(col("partition")).agg(max(col("offset")).as("hw"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     writeOffsets(spark, dir, base ++ batchHw)
+    // both consumers are done — free the batch's checkpoint blocks
+    graft.Engine.releaseCheckpoint(out)
   }
 
   /** Batch read from per-partition starting offsets (exclusive-of-consumed:

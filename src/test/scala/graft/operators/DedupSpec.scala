@@ -177,6 +177,29 @@ class DedupSpec extends SparkSpec {
     assert(cleaned.select($"doc_id").as[Long].collect().sorted.toSeq === Seq(2L, 50L))
   }
 
+  test("dedup releases its internal checkpoint blocks (storage returns to baseline)") {
+    import spark.implicits._
+    def persisted = spark.sparkContext.getPersistentRDDs.size
+    val before = persisted
+    val cleaned = Dedup.dropNearDuplicates(withNearDups, "doc_id", "text",
+      threshold = 0.8)
+    assert(cleaned.count() > 0)
+    // signatures, the exact-clean corpus, the CC edge set, and every CC
+    // sweep must be released by the operator itself; the only block set the
+    // call may leave behind is the loser-id checkpoint (tiny) that the
+    // returned frame anti-joins against
+    val retained = persisted - before
+    assert(retained <= 1,
+      s"dropNearDuplicates retained $retained persisted RDD(s), expected <= 1")
+    val keepBest = Dedup.dropNearDuplicatesKeepBest(
+      withNearDups.withColumn("score", lit(1.0)), "doc_id", "score", "text",
+      threshold = 0.8)
+    assert(keepBest.count() > 0)
+    val retained2 = persisted - before
+    assert(retained2 <= 2,
+      s"keep-best retained ${retained2 - retained} more persisted RDD(s), expected <= 1")
+  }
+
   test("jaccard is exact on known sets") {
     import spark.implicits._
     val df = Seq(("a b c d", "a b c e")).toDF("t1", "t2")
