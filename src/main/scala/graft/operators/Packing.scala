@@ -33,10 +33,13 @@ object Packing {
       capacity: Int, numBuckets: Int = 64): DataFrame = {
     require(capacity > 0, "capacity must be positive")
     require(numBuckets > 0 && numBuckets <= (1 << 20), "1..2^20 buckets")
-    val spark = df.sparkSession
-    import spark.implicits._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // the id rides through in its ORIGINAL type (string/UUID ids must not be
+    // silently cast — a long cast would null them and corrupt every row)
+    val idType = df.schema(idCol).dataType
     val prepped = df.select(
-        col(idCol).cast("long").as("id"),
+        col(idCol).as("id"),
         col(tokenCol).cast("int").as("tokens"),
         md5(col(idCol).cast("string").cast("binary")).as("__h"))
       .withColumn("bucket",
@@ -45,11 +48,16 @@ object Packing {
       .repartition(col("bucket"))
       .sortWithinPartitions(col("bucket"), col("tokens").desc, col("__h"), col("id"))
       .select(col("bucket"), col("id"), col("tokens"))
-      .as[(Int, Long, Int)]
+    val outSchema = StructType(Seq(
+      StructField("id", idType),
+      StructField("tokens", IntegerType),
+      StructField("pack_id", LongType, nullable = false),
+      StructField("pack_pos", IntegerType, nullable = false),
+      StructField("overflow", BooleanType, nullable = false)))
     prepped.mapPartitions { it =>
       // partitions hold whole buckets (hash-partitioned on bucket) and rows
       // arrive bucket-contiguous, tokens-descending
-      new Iterator[(Long, Int, Long, Int, Boolean)] {
+      new Iterator[Row] {
         private val buf = it.buffered
         private var bucket = -1
         private var nextPack = 0L
@@ -61,14 +69,17 @@ object Packing {
           open = new java.util.TreeMap[Int, scala.collection.mutable.Queue[(Long, Int)]]()
         }
         override def hasNext: Boolean = buf.hasNext
-        override def next(): (Long, Int, Long, Int, Boolean) = {
-          val (b, id, tokens) = buf.next()
+        override def next(): Row = {
+          val r = buf.next()
+          val b = r.getInt(0)
+          val id = r.get(1)
+          val tokens = r.getInt(2)
           if (b != bucket) reset(b)
           val globalBase = b.toLong << 40
           if (tokens > capacity) {
             // oversize: its own flagged pack, never entered into `open`
             val p = nextPack; nextPack += 1
-            (id, tokens, globalBase | p, 0, true)
+            Row(id, tokens, globalBase | p, 0, true)
           } else {
             val entry = open.ceilingEntry(tokens)
             if (entry == null) {
@@ -77,7 +88,7 @@ object Packing {
               if (rem > 0)
                 open.computeIfAbsent(rem, _ => scala.collection.mutable.Queue.empty)
                   .enqueue((p, 1))
-              (id, tokens, globalBase | p, 0, false)
+              Row(id, tokens, globalBase | p, 0, false)
             } else {
               val rem = entry.getKey
               val q = entry.getValue
@@ -87,12 +98,12 @@ object Packing {
               if (newRem > 0)
                 open.computeIfAbsent(newRem, _ => scala.collection.mutable.Queue.empty)
                   .enqueue((p, pos + 1))
-              (id, tokens, globalBase | p, pos, false)
+              Row(id, tokens, globalBase | p, pos, false)
             }
           }
         }
       }
-    }.toDF("id", "tokens", "pack_id", "pack_pos", "overflow")
+    }(org.apache.spark.sql.Encoders.row(outSchema))
       .withColumnRenamed("id", idCol)
       .withColumnRenamed("tokens", tokenCol)
   }

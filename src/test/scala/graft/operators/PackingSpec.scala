@@ -49,6 +49,24 @@ class PackingSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("string ids survive packing in their original type and value") {
+    import spark.implicits._
+    val named = Seq(("doc-alpha", 100), ("doc-beta", 120), ("doc-gamma", 90),
+      ("550e8400-e29b-41d4-a716-446655440000", 200))
+      .toDF("doc_id", "n_tokens")
+    val packed = Packing.packSequences(named, "doc_id", "n_tokens", 256, 2)
+    assert(packed.schema("doc_id").dataType ===
+      org.apache.spark.sql.types.StringType)
+    assert(packed.filter($"doc_id".isNull).count() === 0)
+    assert(packed.select($"doc_id").as[String].collect().toSet ===
+      Set("doc-alpha", "doc-beta", "doc-gamma",
+        "550e8400-e29b-41d4-a716-446655440000"))
+    // every doc assigned exactly once, capacity respected
+    assert(packed.count() === 4)
+    val stats = Packing.packStats(packed, "n_tokens", 256)
+    assert(stats.filter(!$"overflow" && $"n_tokens" > 256).count() === 0)
+  }
+
   test("oversize documents get flagged solo packs") {
     import spark.implicits._
     val tiny = Seq((1L, 100), (2L, 500), (3L, 100), (4L, 60))
