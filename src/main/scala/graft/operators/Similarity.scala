@@ -135,11 +135,13 @@ object Similarity {
       df.select(col("__cent").cast("long"),
         col("__centv").cast("array<double>")).collect()
         .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    // orderBy+limit is TakeOrderedAndProject: one sorted nLists-row
+    // partition, so the seed index is the row position
+    // (monotonically_increasing_id of partition 0) — no global WindowExec
     var cents = collectCents(
       c.withColumn("__h", xxhash64(col("item_id")))
         .orderBy(col("__h")).limit(nLists)
-        .withColumn("__cent", row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(col("__h"))) - 1)
+        .withColumn("__cent", monotonically_increasing_id())
         .select(col("__cent"), col("__cv").as("__centv")))
     // one vector-avg Aggregator per group — a single aggregate expression
     // regardless of dimensionality (dims x avg(element_at) would bloat

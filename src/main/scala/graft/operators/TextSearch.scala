@@ -62,11 +62,13 @@ object TextSearch {
           (col("__tf") + (col("__dl") / col("__avgdl") * b + (1.0 - b)) * k1))
     val agg = scored.groupBy(col(idCol))
       .agg(round(sum(col("__s")), 4).as("bm25"))
-    // orderBy+limit plans as TakeOrderedAndProject; the rank window then
-    // runs over k rows, not the corpus.
+    // orderBy+limit plans as TakeOrderedAndProject (single sorted partition
+    // of k rows); the rank is then just the row's position in that
+    // partition — monotonically_increasing_id starts at 0 on partition 0 —
+    // so no global WindowExec (and no "No Partition Defined" log flood) is
+    // ever planned.
     agg.orderBy(col("bm25").desc, col(idCol)).limit(k)
-      .withColumn("rnk",
-        row_number().over(Window.orderBy(col("bm25").desc, col(idCol))))
+      .withColumn("rnk", (monotonically_increasing_id() + 1).cast("int"))
   }
 
   /** Per-term corpus statistics for the supplied vocabulary:
