@@ -6,11 +6,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal column handling: image/audio/video as opaque `binary` columns
   * with typed metadata, processed by per-partition batch operators.
   *
-  * The Spark-side plumbing (schema, partitioning, batch iteration, typed
-  * Datasets) is real; the codec layer is a clearly marked deterministic STUB
-  * (this container has no image/audio libraries). Swapping `StubCodec` for a
-  * real decoder (e.g. javacv / a JNI codec) changes no plan shapes: decode is
-  * embarrassingly parallel map-side work that scales with partition count.
+  * The image path is REAL: [[ImageCodec]] decodes and resizes PNG/BMP/GIF/
+  * JPEG/WBMP payloads with the JDK's built-in `javax.imageio` + `java.awt
+  * .image` (zero external dependencies), and the synthetic media table's
+  * image-kind rows carry genuine PNG payloads. Audio/video payloads — for
+  * which this container ships no codec — fall back to the clearly marked
+  * deterministic [[StubCodec]]; swapping it for a real decoder (e.g. javacv
+  * / a JNI codec) changes no plan shapes: decode is embarrassingly parallel
+  * map-side work that scales with partition count.
   */
 object Multimodal {
 
@@ -23,10 +26,84 @@ object Multimodal {
 
   case class Frame(media_id: Long, frame_idx: Int, bytes: Array[Byte])
 
-  /** ===== STUB codec =====
-    * Deterministic fake "decode": a header of [kind tag][w][h][duration] is
-    * parsed from the first bytes; payload is treated as raw samples. A real
-    * implementation would replace only this object.
+  /** ===== REAL image codec (JDK ImageIO — PNG/BMP/GIF/JPEG/WBMP) =====
+    * Decode and resize are genuine pixel operations; `None` means "no
+    * installed reader understands this payload" and callers fall back to
+    * [[StubCodec]] so non-image kinds keep flowing through the same
+    * plumbing.
+    */
+  object ImageCodec {
+    // never spill decode buffers to temp files on the executors
+    javax.imageio.ImageIO.setUseCache(false)
+
+    /** Real decoded (width, height); header-only read (no pixel decode). */
+    def decodeDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try { r.setInput(iis); Some((r.getWidth(0), r.getHeight(0))) }
+          catch { case _: Exception => None }
+          finally r.dispose()
+        }
+      } catch { case _: Exception => None }
+      finally if (iis != null) iis.close()
+    }
+
+    /** Decode → bilinear rescale to (w, h) → deterministic PNG re-encode.
+      * None when the payload is not a decodable image.
+      */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+      try {
+        Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))).map { src =>
+          val dst = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(src, 0, 0, w, h, null)
+          } finally g.dispose()
+          encodePng(dst)
+        }
+      } catch { case _: Exception => None }
+
+    /** Deterministic PNG whose (w x h) RGB pixels derive from `seed` bytes —
+      * gives the synthetic media table REAL decodable image payloads without
+      * external fixtures.
+      */
+    def syntheticPng(seed: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val n = math.max(1, seed.length)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val b = seed((x + y * w) % n) & 0xff
+          img.setRGB(x, y, (b << 16) | (((x * 31 + y * 17) & 0xff) << 8) | (b ^ 0x5a))
+          x += 1
+        }
+        y += 1
+      }
+      encodePng(img)
+    }
+
+    private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** ===== STUB codec (audio/video only) =====
+    * Deterministic fake "decode" for payload kinds this container has no
+    * codec for: dims parsed from the first bytes, resize = subsample. A real
+    * audio/video implementation would replace only this object.
     */
   object StubCodec {
     def decodeDims(bytes: Array[Byte]): (Int, Int) =
@@ -34,7 +111,7 @@ object Multimodal {
       else ((bytes(0) & 0x7f) + 1, (bytes(1) & 0x7f) + 1)
 
     def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
-      // STUB: real impl would rescale pixels; we deterministically subsample.
+      // STUB: real impl would rescale samples; we deterministically subsample.
       val n = math.max(1, math.min(bytes.length, w * h))
       val out = new Array[Byte](n)
       var i = 0
@@ -44,8 +121,11 @@ object Multimodal {
   }
 
   /** Deterministic synthetic media table derived from the shared `documents`
-    * testdata (text bytes as payload) — exercises the binary-column plumbing
-    * without external fixtures.
+    * testdata — exercises the binary-column plumbing without external
+    * fixtures. Image-kind rows carry a REAL PNG payload (pixels derived from
+    * the document text, dims from the stub header so they stay in 1..128)
+    * whose metadata comes from a genuine ImageIO decode; audio/video rows
+    * keep raw text bytes + stub metadata (no codec shipped for those kinds).
     */
   def syntheticMediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
@@ -55,8 +135,16 @@ object Multimodal {
         val id = r.getLong(0)
         val bytes = r.getString(1).getBytes("UTF-8")
         val kind = Seq("image", "audio", "video")((id % 3).toInt)
-        val (w, h) = StubCodec.decodeDims(bytes)
-        MediaRow(id, kind, bytes, w, h, bytes.length.toLong * 10)
+        if (kind == "image") {
+          val (w0, h0) = StubCodec.decodeDims(bytes)
+          val png = ImageCodec.syntheticPng(bytes, math.max(1, w0), math.max(1, h0))
+          // metadata from the real decode, not the generator's intent
+          val (w, h) = ImageCodec.decodeDims(png).getOrElse((0, 0))
+          MediaRow(id, kind, png, w, h, 0L)
+        } else {
+          val (w, h) = StubCodec.decodeDims(bytes)
+          MediaRow(id, kind, bytes, w, h, bytes.length.toLong * 10)
+        }
       }
   }
 
@@ -106,12 +194,17 @@ object Multimodal {
     media.filter(col("width") >= minW && col("height") >= minH)
       .as[MediaRow](media.encoder)
 
-  /** Resize pipeline stage (STUB resample, real plumbing). */
+  /** Resize pipeline stage: REAL bilinear rescale + PNG re-encode for
+    * decodable image payloads; stub subsample for kinds without a codec.
+    */
   def resizeAll(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      rows.map(m => m.copy(bytes = StubCodec.resize(m.bytes, w, h),
-        width = w, height = h))
+      rows.map { m =>
+        val resized = ImageCodec.resize(m.bytes, w, h)
+          .getOrElse(StubCodec.resize(m.bytes, w, h))
+        m.copy(bytes = resized, width = w, height = h)
+      }
     }
   }
 

@@ -35,13 +35,42 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.select("frame_idx").as[Int].collect().forall(_ % 2 == 0))
   }
 
-  test("resize stub is deterministic and respects target dims") {
+  test("resize is deterministic and respects target dims (real + stub paths)") {
     val resized = Multimodal.resizeAll(media.limit(10), 8, 8)
     val rows = resized.collect()
     assert(rows.forall(m => m.width == 8 && m.height == 8))
-    assert(rows.forall(_.bytes.length <= 64))
+    // image rows: the resized payload is a REAL 8x8 PNG
+    rows.filter(_.kind == "image").foreach { m =>
+      assert(Multimodal.ImageCodec.decodeDims(m.bytes) === Some((8, 8)))
+    }
+    // non-image rows: stub subsample stays bounded by w*h
+    assert(rows.filter(_.kind != "image").forall(_.bytes.length <= 64))
     val again = Multimodal.resizeAll(media.limit(10), 8, 8).collect()
     assert(rows.map(_.bytes.toSeq).toSeq === again.map(_.bytes.toSeq).toSeq)
+  }
+
+  test("ImageCodec decodes a committed real PNG fixture (dims + resize)") {
+    val path = java.nio.file.Paths.get(sys.props("user.dir"),
+      "src", "test", "resources", "fixtures", "graft_fixture.png")
+    val bytes = java.nio.file.Files.readAllBytes(path)
+    assert(Multimodal.ImageCodec.decodeDims(bytes) === Some((13, 7)))
+    val small = Multimodal.ImageCodec.resize(bytes, 8, 6)
+    assert(small.isDefined)
+    assert(Multimodal.ImageCodec.decodeDims(small.get) === Some((8, 6)))
+    // deterministic re-encode
+    assert(Multimodal.ImageCodec.resize(bytes, 8, 6).get.toSeq === small.get.toSeq)
+    // non-image payloads are refused, not mangled
+    assert(Multimodal.ImageCodec.decodeDims("not an image".getBytes) === None)
+    assert(Multimodal.ImageCodec.resize("not an image".getBytes, 4, 4) === None)
+  }
+
+  test("synthetic image rows carry genuinely decodable PNG payloads") {
+    val imgs = media.filter(col("kind") === "image").limit(20).collect()
+    assert(imgs.nonEmpty)
+    imgs.foreach { m =>
+      assert(Multimodal.ImageCodec.decodeDims(m.bytes) === Some((m.width, m.height)),
+        s"media_id=${m.media_id} payload is not a decodable PNG of its metadata dims")
+    }
   }
 
   test("mediaSummary aggregates per kind") {
