@@ -123,14 +123,21 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nLists: Int = 16, nProbe: Int = 4, iters: Int = 1): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val c = corpus.select(col(idCol).as("item_id"), col(vecCol).as("__cv"))
-    // deterministic seeds: the nLists smallest xxhash64(id). Centroid sets
-    // live driver-side between passes (nLists x dims doubles — metadata
-    // scale) and ship as literals in the assignment expression, so each Lloyd
-    // pass executes exactly one corpus aggregation and no lineage chains
-    // across iterations.
+    val cents = trainIvfCentroids(c, nLists, iters)
+    val assigned = assignToCentroids(c, cents, "list_id")
+    ivfProbeAndRank(assigned, cents, queries, idCol, vecCol, k, nProbe)
+  }
+
+  /** Deterministic IVF centroid training: seeds = the nLists smallest
+    * xxhash64(id); each Lloyd pass is ONE corpus aggregation
+    * (literal-matrix codegen'd argmax assignment + vector-avg). Centroid
+    * sets live driver-side between passes (nLists x dims doubles — metadata
+    * scale) and ship as literals in the assignment expression, so no
+    * lineage chains across iterations.
+    */
+  private def trainIvfCentroids(c: DataFrame, nLists: Int,
+      iters: Int): Array[(Long, Array[Double])] = {
     def collectCents(df: DataFrame): Array[(Long, Array[Double])] =
       df.select(col("__cent").cast("long"),
         col("__centv").cast("array<double>")).collect()
@@ -156,7 +163,18 @@ object Similarity {
       cents = collectCents(refineOnce(assignToCentroids(c, cents, "list_id")))
       it += 1
     }
-    val assigned = assignToCentroids(c, cents, "list_id")
+    cents
+  }
+
+  /** Probe the nProbe nearest centroids per query, then exact cosine re-rank
+    * within the probed lists only. `assigned` carries (item_id, __cv,
+    * list_id).
+    */
+  private def ivfProbeAndRank(assigned: DataFrame,
+      cents: Array[(Long, Array[Double])], queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
     val refined = cents.toSeq.map { case (id, v) => (id, v.toSeq) }
       .toDF("__cent", "__centv")
     // probe: nProbe nearest refined centroids per query
@@ -177,6 +195,63 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("item_id"), round(col("cos_sim"), 5).as("cos_sim"),
         col("rnk"))
+  }
+
+  /** Persist an IVF index at `path`: the corpus assigned to `nLists`
+    * inverted lists, written `partitionBy(list_id)` (one directory per
+    * list), plus the trained centroids as a tiny parquet sidecar. Train
+    * once, query many times — at 100 TB the payoff is that an indexed query
+    * READS only its probed lists' partitions (static partition pruning, the
+    * same elimination lever as the reference's partitioned tables) instead
+    * of re-scanning and re-assigning the whole corpus per call.
+    */
+  def ivfWriteIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, nLists: Int = 16, iters: Int = 1): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col(idCol).as("item_id"), col(vecCol).as("__cv"))
+    val cents = trainIvfCentroids(c, nLists, iters)
+    assignToCentroids(c, cents, "list_id")
+      .select(col("item_id"), col("__cv").as("vec"), col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
+    cents.toSeq.map { case (id, v) => (id, v.toSeq) }
+      .toDF("list_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Top-k over a persisted IVF index. The union of probed list ids is
+    * collected driver-side (bounded by nQueries x nProbe and by nLists —
+    * metadata scale, like the centroids themselves) and applied as a
+    * LITERAL `isin` filter before anything else, so the scan plans STATIC
+    * partition pruning: only the probed lists' directories are listed and
+    * read. Output shape identical to [[ivfTopK]].
+    */
+  def ivfTopKIndexed(queries: DataFrame, path: String, idCol: String,
+      vecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("list_id").cast("long"), col("centroid").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    val refined = cents.toSeq.map { case (id, v) => (id, v.toSeq) }
+      .toDF("__cent", "__centv")
+    val probedIds = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .crossJoin(broadcast(refined))
+      .withColumn("__sim", cosine(col("__qv"), col("__centv")))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("__sim").desc, col("__cent"))))
+      .filter(col("__rn") <= nProbe)
+      .select(col("__cent")).distinct()
+      .collect().map(_.getLong(0))
+    // literal isin directly on the partition column → partitionFilters in
+    // the FileSourceScan; unprobed list dirs are never listed or read
+    val assigned = spark.read.parquet(s"$path/lists")
+      .filter(col("list_id").isin(probedIds: _*))
+      .select(col("item_id"), col("vec").as("__cv"),
+        col("list_id").cast("long").as("list_id"))
+    ivfProbeAndRank(assigned, cents, queries, idCol, vecCol, k, nProbe)
   }
 
   /** Embedding-cosine near-duplicate pairs: hyperplane-LSH buckets generate

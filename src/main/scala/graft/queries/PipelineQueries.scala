@@ -235,6 +235,20 @@ object PipelineQueries {
         .orderBy($"query_id", $"rnk")
     },
 
+    // IVF over a PERSISTED list-partitioned index: train + write once, then
+    // the probe query reads only its probed lists' partitions (static
+    // partition pruning — SimilaritySpec asserts the partition filter).
+    rowsOnly("p32_ivf_indexed_topk") { (spark, dir) =>
+      import spark.implicits._
+      val emb = t(spark, dir, "embeddings")
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivf_idx_").toString
+      Similarity.ivfWriteIndex(emb, "vec_id", "embedding", idx,
+        nLists = 16, iters = 1)
+      Similarity.ivfTopKIndexed(emb.filter($"vec_id" < 10), idx, "vec_id",
+        "embedding", k = 5, nProbe = 6)
+        .orderBy($"query_id", $"rnk")
+    },
+
     // LSH candidate pairs (the corpus contains organic near-duplicates).
     rowsOnly("p13_minhash_pairs") { (spark, dir) =>
       import spark.implicits._

@@ -65,6 +65,44 @@ class SimilaritySpec extends SparkSpec {
     assert(recalled >= 25, s"recall $recalled/50 too low")
   }
 
+  test("ivfWriteIndex persists list-partitioned lists; indexed probe prunes partitions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx_").toString
+    Similarity.ivfWriteIndex(emb, "vec_id", "embedding", dir, nLists = 8, iters = 1)
+    // one directory per inverted list + a centroid sidecar
+    val listDirs = new java.io.File(dir + "/lists").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("list_id="))
+    assert(listDirs.length > 1 && listDirs.length <= 8)
+    assert(new java.io.File(dir + "/centroids").exists())
+
+    // single query, nProbe=2 of 8: the scan must plan STATIC partition
+    // pruning on list_id with at most 2 probed lists
+    val res = Similarity.ivfTopKIndexed(emb.filter($"vec_id" === 0), dir,
+      "vec_id", "embedding", k = 5, nProbe = 2)
+    val plan = res.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters"),
+      "indexed scan lost its partition filter — the probe would read every list")
+    val inList = "list_id[^ ]* IN \\(([-0-9,]+)\\)".r
+      .findFirstMatchIn(plan).map(_.group(1).split(",").length)
+    assert(inList.exists(_ <= 2),
+      s"expected <=2 probed lists in the partition filter, plan:\n" +
+        plan.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+
+    // parity: indexed recall matches the unindexed path's bound vs brute force
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", 5)
+      .select($"query_id", $"item_id")
+    val idx = Similarity.ivfTopKIndexed(queries, dir, "vec_id", "embedding",
+      k = 5, nProbe = 6)
+    val recalled = idx.select($"query_id", $"item_id").intersect(exact).count()
+    assert(recalled >= 25, s"indexed recall $recalled/50 too low")
+    // reading a persisted index is deterministic
+    val again = Similarity.ivfTopKIndexed(queries, dir, "vec_id", "embedding",
+      k = 5, nProbe = 6)
+    assert(idx.exceptAll(again).isEmpty && again.exceptAll(idx).isEmpty)
+  }
+
   test("embeddingNearDups finds planted clones via LSH buckets") {
     import spark.implicits._
     val clones = emb.filter($"vec_id" < 5).withColumn("vec_id", $"vec_id" + 900000L)
