@@ -137,12 +137,42 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] dml_pruned_roundtrip FAILED: ${e.getMessage}"); -1.0 }
     })
+    // p22 cost attribution: time each cumulative prefix of the cleaning
+    // pipeline (score+filter, +near-dup CC, +scrub) with the same plan shape
+    // the composed query runs; differences attribute cost per stage. Emitted
+    // as a separate `breakdown` field — NOT part of the headline total.
+    // NOTE: frames are built INSIDE the timer — the dedup stage runs its
+    // checkpoint/CC jobs eagerly at construction, so constructing outside
+    // would attribute its cost to nothing.
+    val p22Stages: Seq[(String, () => org.apache.spark.sql.DataFrame)] = {
+      val cp = graft.queries.PipelineQueries.CleanPipeline
+      Seq("p22_stage1_score_filter" -> (() => cp.scored(spark, sfDir)),
+        "p22_stage2_neardup_keepbest" -> (() => cp.deduped(spark, sfDir)),
+        "p22_stage3_scrub_full" -> (() => cp.full(spark, sfDir)))
+    }
+    val breakdown = p22Stages.map { case (name, build) =>
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try build().write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}") }
+        val sec = (System.nanoTime() - t0) / 1e9
+        cleanStorage(gc = false)
+        sec
+      }
+      once() // per-stage warmup: each stage is a distinct plan the headline
+             // warmup never compiled; without it attribution is jitter-bound
+      name -> once()
+    }
+    val bd = breakdown.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val ns = notes.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"notes":$ns,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"breakdown":$bd,"notes":$ns,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -17,6 +17,30 @@ object PipelineQueries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Engine.table(spark, dir, name)
 
+  /** p22's stages, exposed individually so the bench can attribute the
+    * composed pipeline's cost (score+filter / near-dup CC / scrub) without
+    * duplicating the query text. Each returns the CUMULATIVE pipeline up to
+    * that stage — timing them separately and differencing attributes cost
+    * per stage with the plan shape the composed query actually runs.
+    */
+  object CleanPipeline {
+    def scored(spark: SparkSession, dir: String): DataFrame = {
+      import spark.implicits._
+      TextAnalysis.withQualityScore(t(spark, dir, "documents"))
+        .filter($"n_tokens" >= 5 && $"type_token_ratio" > 0.2)
+    }
+    def deduped(spark: SparkSession, dir: String): DataFrame =
+      Dedup.dropNearDuplicatesKeepBest(
+        scored(spark, dir), "doc_id", "type_token_ratio", "text", threshold = 0.8)
+    def full(spark: SparkSession, dir: String): DataFrame = {
+      import spark.implicits._
+      TextAnalysis.withScrubbedText(deduped(spark, dir))
+        .select($"doc_id", $"lang", $"n_tokens", $"type_token_ratio",
+          length($"text_scrubbed").cast("long").as("n_chars_clean"))
+        .orderBy($"doc_id")
+    }
+  }
+
   val defs: Seq[QDef] = Seq(
 
     q("p01_token_count",
@@ -325,15 +349,7 @@ object PipelineQueries {
     // plan; the shuffles are the dedup stage's keyed joins, everything else
     // is map-side.
     rowsOnly("p22_clean_pipeline") { (spark, dir) =>
-      import spark.implicits._
-      val scored = TextAnalysis.withQualityScore(t(spark, dir, "documents"))
-        .filter($"n_tokens" >= 5 && $"type_token_ratio" > 0.2)
-      val cleaned = Dedup.dropNearDuplicatesKeepBest(
-        scored, "doc_id", "type_token_ratio", "text", threshold = 0.8)
-      TextAnalysis.withScrubbedText(cleaned)
-        .select($"doc_id", $"lang", $"n_tokens", $"type_token_ratio",
-          length($"text_scrubbed").cast("long").as("n_chars_clean"))
-        .orderBy($"doc_id")
+      CleanPipeline.full(spark, dir)
     },
 
     // Deterministic per-stratum quota sample (md5-ordered, no RNG): sample
