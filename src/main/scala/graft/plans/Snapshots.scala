@@ -54,7 +54,16 @@ import org.apache.spark.sql.functions._
   */
 object Snapshots {
 
-  /** One committed version: the full table state, not a diff. */
+  /** One committed version: the full table state, not a diff.
+    *
+    * `stats` maps each data file to its row count and per-column min/max —
+    * the scan-planning index [[SnapshotTable.readWhere]] prunes with (the
+    * table-format analog of the reference's column stats in the metastore:
+    * ref ql/src/java/org/apache/hadoop/hive/ql/stats/ — there stats feed the
+    * optimizer; here they gate file IO directly). `meta` carries commit
+    * annotations (e.g. streaming (streamId, batchId) for idempotent sinks).
+    * Both default empty so pre-upgrade manifests still parse.
+    */
   final case class Manifest(
       version: Long,
       parent: Long,
@@ -62,7 +71,16 @@ object Snapshots {
       action: String,
       partitionCols: Seq[String],
       schemaJson: String,
-      files: Seq[String])
+      files: Seq[String],
+      stats: Map[String, FileStat] = Map.empty,
+      meta: Map[String, String] = Map.empty)
+
+  /** Per-column min/max/null-count over one data file; values rendered as
+    * strings (parsed back by the column's declared type at prune time).
+    */
+  final case class ColStat(min: Option[String], max: Option[String], nulls: Long)
+
+  final case class FileStat(rows: Long, cols: Map[String, ColStat])
 
   final class ConcurrentModificationException(msg: String)
     extends RuntimeException(msg)
@@ -159,16 +177,61 @@ object Snapshots {
     // ----------------------------------------------------------------- data
 
     /** Stages `df` as immutable parquet under data/<uuid>/ and returns the
-      * new files' table-relative paths. Nothing is visible to readers until
-      * the manifest referencing these files is published.
+      * new files' table-relative paths plus their column stats. Nothing is
+      * visible to readers until the manifest referencing these files is
+      * published. Stats cost one aggregation job over the just-written files
+      * (page-cache warm); the production path reads them from the parquet
+      * footers the write already produced.
       */
-    private def stage(df: DataFrame, partitionCols: Seq[String]): Seq[String] = {
+    private def stage(df: DataFrame, partitionCols: Seq[String])
+        : (Seq[String], Map[String, FileStat]) = {
       val commitDir = s"data/${UUID.randomUUID().toString.take(8)}"
+      val dir = new Path(rootPath, commitDir)
       val w = df.write.mode("errorifexists")
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-        .parquet(new Path(rootPath, commitDir).toString)
-      listParquet(new Path(rootPath, commitDir))
-        .map(p => relativize(p))
+        .parquet(dir.toString)
+      val files = listParquet(dir).map(p => relativize(p))
+      if (files.isEmpty) (files, Map.empty)
+      else (files, collectStats(dir, df.schema, partitionCols))
+    }
+
+    /** Min/max/null-count per (file, column) for the skippable data columns.
+      * Partition columns are excluded — their values live in the path and
+      * [[readWhere]] prunes them from the `k=v` segments directly.
+      */
+    private def collectStats(dir: Path,
+        schema: org.apache.spark.sql.types.StructType,
+        partitionCols: Seq[String]): Map[String, FileStat] = {
+      import org.apache.spark.sql.types._
+      val statCols = schema.fields
+        .filterNot(f => partitionCols.contains(f.name))
+        .filter(f => f.dataType match {
+          case _: NumericType | StringType | DateType | TimestampType |
+               BooleanType => true
+          case _ => false
+        })
+        .map(_.name).toSeq
+      val dataSchema = StructType(schema.fields
+        .filterNot(f => partitionCols.contains(f.name)))
+      val staged = spark.read.schema(dataSchema).parquet(dir.toString)
+      val aggs = count(lit(1)).as("__rows") +: statCols.flatMap(c => Seq(
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c")))
+      val rootQ = fs.makeQualified(rootPath).toUri.getPath + "/"
+      staged.groupBy(input_file_name().as("__f"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map { r =>
+          val rel = new Path(r.getString(0)).toUri.getPath.stripPrefix(rootQ)
+          val cols = statCols.map { c =>
+            c -> ColStat(
+              Option(r.getAs[String](s"__min_$c")),
+              Option(r.getAs[String](s"__max_$c")),
+              r.getAs[Long](s"__nulls_$c"))
+          }.toMap
+          rel -> FileStat(r.getAs[Long]("__rows"), cols)
+        }.toMap
     }
 
     private def listParquet(dir: Path): Seq[Path] = {
@@ -235,33 +298,99 @@ object Snapshots {
       readFiles(h.last)
     }
 
+    /** Stats-pruned scan: plans the file list against `cond` BEFORE any IO —
+      * partition-column conjuncts prune on the `k=v` path segments, data
+      * columns on the manifest's per-file min/max — then applies the full
+      * predicate to the surviving files (stats only skip, never decide, so
+      * correctness never depends on them). At 100 TB this is the difference
+      * between opening every file and opening the handful whose range
+      * intersects the predicate — scan planning, not scan filtering.
+      */
+    def readWhere(cond: Column): DataFrame = {
+      val m = latest()
+      readFiles(m.copy(files = planFiles(m, cond))).filter(cond)
+    }
+
+    /** The pruned file list [[readWhere]] would scan (exposed for tests and
+      * EXPLAIN-style inspection). The predicate is resolved by the analyzer
+      * against the table schema (types checked, casts inserted), then
+      * evaluated file-by-file against the manifest ranges.
+      */
+    def planFiles(m: Manifest, cond: Column): Seq[String] = {
+      val schema = schemaOf(m.schemaJson)
+      val resolved = {
+        val empty = spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        empty.filter(cond).queryExecution.analyzed match {
+          case org.apache.spark.sql.catalyst.plans.logical.Filter(c, _) => Some(c)
+          case _ => None
+        }
+      }
+      resolved match {
+        case Some(c) =>
+          m.files.filter(f => Pruning.mayMatch(f, m.stats.get(f),
+            m.partitionCols, schema, c))
+        case None => m.files
+      }
+    }
+
+    /** Incremental read: rows in files ADDED by each commit after
+      * `sinceVersion`, tagged `_commit_version` / `_commit_action`. Appends
+      * yield exact row-level changes; COW commits (delete/update/merge)
+      * yield the post-image of the rewritten files; `compact` commits are
+      * skipped (data-identical by construction). The consumer contract is
+      * the standard table-format one: downstream incremental jobs read
+      * appended data exactly once per version.
+      */
+    def readChanges(sinceVersion: Long): DataFrame = {
+      val h = history()
+      val byVersion = h.map(m => m.version -> m).toMap
+      val changes = h.filter(m => m.version > sinceVersion && m.action != "compact")
+        .flatMap { m =>
+          val parentFiles = byVersion.get(m.parent).map(_.files.toSet)
+            .getOrElse(Set.empty[String])
+          val added = m.files.filterNot(parentFiles)
+          if (added.isEmpty) None
+          else Some(readFiles(m.copy(files = added))
+            .withColumn("_commit_version", lit(m.version))
+            .withColumn("_commit_action", lit(m.action)))
+        }
+      changes.reduceOption(_.unionByName(_)).getOrElse {
+        readFiles(latest().copy(files = Nil))
+          .withColumn("_commit_version", lit(-1L))
+          .withColumn("_commit_action", lit(""))
+          .limit(0)
+      }
+    }
+
     // --------------------------------------------------------------- writes
 
     private[Snapshots] def initialize(df: DataFrame, partitionBy: Seq[String]): Unit = {
       require(versions().isEmpty, s"snapshot table already exists at $root")
-      val files = stage(df, partitionBy)
+      val (files, stats) = stage(df, partitionBy)
       val m = Manifest(0L, -1L, System.currentTimeMillis(), "create",
-        partitionBy, df.schema.json, files)
+        partitionBy, df.schema.json, files, stats)
       if (!casPublish(m))
         throw new ConcurrentModificationException(
           s"concurrent create of snapshot table at $root")
     }
 
     /** Commit loop: stage once, then CAS against the moving head. `validate`
-      * sees the latest manifest and returns the commit's file list (or
-      * throws); appends validate trivially, COW validates replaced files.
+      * sees the latest manifest and returns the commit's file list + stats
+      * (or throws); appends validate trivially, COW validates replaced files.
       */
-    private def commit(action: String, maxRetries: Int)(
-        validate: Manifest => Option[Seq[String]]): Manifest = {
+    private def commit(action: String, maxRetries: Int,
+        meta: Map[String, String] = Map.empty)(
+        validate: Manifest => Option[(Seq[String], Map[String, FileStat])]): Manifest = {
       var attempt = 0
       while (true) {
         val head = latest()
         validate(head) match {
           case None => return head // no-op (nothing matched)
-          case Some(files) =>
+          case Some((files, stats)) =>
             val m = Manifest(head.version + 1, head.version,
               System.currentTimeMillis(), action, head.partitionCols,
-              head.schemaJson, files)
+              head.schemaJson, files, stats, meta)
             if (casPublish(m)) return m
         }
         attempt += 1
@@ -275,14 +404,38 @@ object Snapshots {
     /** Appends `df`. Never conflicts: losers rebase their staged files onto
       * the new head and re-publish (the data files are written once).
       */
-    def append(df: DataFrame, maxRetries: Int = 10): Manifest = {
+    def append(df: DataFrame, maxRetries: Int = 10,
+        meta: Map[String, String] = Map.empty): Manifest = {
       val head0 = latest()
       require(df.schema.fieldNames.sorted.sameElements(
         schemaOf(head0.schemaJson).fieldNames.sorted),
         "append schema must match table schema")
-      val staged = stage(df.select(schemaOf(head0.schemaJson).fieldNames.map(col): _*),
+      val (staged, stagedStats) = stage(
+        df.select(schemaOf(head0.schemaJson).fieldNames.map(col): _*),
         head0.partitionCols)
-      commit("append", maxRetries)(head => Some(head.files ++ staged))
+      commit("append", maxRetries, meta)(head =>
+        Some((head.files ++ staged, head.stats ++ stagedStats)))
+    }
+
+    /** Idempotent streaming append: exactly-once per (streamId, batchId) —
+      * a replayed micro-batch (post-crash restart from the streaming
+      * checkpoint) finds its batch already committed in the log and becomes
+      * a no-op, so `foreachBatch(appendBatch(df, id, _))` gives an
+      * end-to-end exactly-once sink on top of at-least-once delivery (the
+      * same commit-log dedup contract as Delta's `txn` action; the
+      * reference's streaming ingest leans on metastore txns instead: ref
+      * streaming/src/java/org/apache/hive/streaming/HiveStreamingConnection.java:63).
+      */
+    def appendBatch(df: DataFrame, streamId: String, batchId: Long,
+        maxRetries: Int = 10): Manifest = {
+      def committed: Option[Manifest] = history().find(m =>
+        m.meta.get("streamId").contains(streamId) &&
+          m.meta.get("batchId").contains(batchId.toString))
+      committed match {
+        case Some(_) => latest() // replayed batch — already in the log
+        case None => append(df, maxRetries,
+          Map("streamId" -> streamId, "batchId" -> batchId.toString))
+      }
     }
 
     /** Replaces the table contents. Rebases blindly (an overwrite reads
@@ -312,11 +465,11 @@ object Snapshots {
           .toSet
         if (affected.isEmpty) return head // nothing matched — no-op
         val affectedDf = readFiles(head.copy(files = head.files.filter(affected)))
-        val staged = stage(postImage(affectedDf), head.partitionCols)
+        val (staged, stagedStats) = stage(postImage(affectedDf), head.partitionCols)
         val files = head.files.filterNot(affected) ++ staged
         val m = Manifest(head.version + 1, head.version,
           System.currentTimeMillis(), action, head.partitionCols,
-          head.schemaJson, files)
+          head.schemaJson, files, (head.stats -- affected) ++ stagedStats)
         // CAS can only succeed if head is still the latest version, and the
         // affected files were taken FROM head — so a successful publish
         // proves no concurrent commit removed them (write-serializable).
@@ -349,6 +502,131 @@ object Snapshots {
       }, cond)
     }
 
+    /** MERGE: keyed upsert at file granularity. Only files containing a
+      * matched target row rewrite (matched rows get `whenMatchedSet` applied
+      * or, with `whenMatchedDelete`, drop); source rows matching nothing
+      * insert (unless `insertUnmatched=false`). Cardinality guard: >1 source
+      * row per matched target key fails the statement in-job (no extra
+      * target scan), matching [[Dml.merge]]. On a lost commit race the whole
+      * plan replays against the winning snapshot — serializable, not just a
+      * file swap.
+      */
+    def merge(source: DataFrame, targetKey: String, sourceKey: String,
+        whenMatchedSet: Map[String, Column] = Map.empty,
+        whenMatchedDelete: Boolean = false,
+        insertUnmatched: Boolean = true,
+        sourceKeysUnique: Boolean = false,
+        maxRetries: Int = 10): Manifest = {
+      val head0 = latest()
+      val cols = schemaOf(head0.schemaJson).fieldNames.toSeq
+      val bad = whenMatchedSet.keySet.intersect(head0.partitionCols.toSet)
+      require(bad.isEmpty,
+        s"MERGE WHEN MATCHED cannot assign partition columns: ${bad.mkString(", ")}")
+      require(!insertUnmatched || source.columns.contains(sourceKey),
+        s"source must carry the merge key $sourceKey")
+
+      def tc(c: String): Column = col("__t_" + c)
+      val guarded =
+        if (sourceKeysUnique) source
+        else source.withColumn("__src_cnt", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col(sourceKey))))
+
+      // post-image of the affected files ∪ inserted source rows. Affected
+      // files hold EVERY matched target row, so a full-outer join against
+      // them classifies each source row exactly (matched vs insert).
+      def postOf(affectedDf: DataFrame): DataFrame = {
+        val tRen = affectedDf.select(cols.map(c => col(c).as("__t_" + c)): _*)
+        val joined = tRen.join(guarded, tc(targetKey) === col(sourceKey), "full_outer")
+        val matched = tc(targetKey).isNotNull && col(sourceKey).isNotNull
+        val checked =
+          if (sourceKeysUnique) joined
+          else joined.filter(when(matched && col("__src_cnt") > 1,
+            raise_error(concat(
+              lit(s"MERGE cardinality violation: multiple source rows match target $sourceKey="),
+              col(sourceKey).cast("string")))).isNull)
+        val scoped =
+          if (insertUnmatched) checked
+          else checked.filter(tc(targetKey).isNotNull)
+        if (whenMatchedDelete)
+          scoped.filter(!matched)
+            .select(cols.map(c => coalesce(tc(c), col(c)).as(c)): _*)
+        else
+          scoped.select(cols.map { c =>
+            val updated = whenMatchedSet.getOrElse(c, tc(c))
+            when(matched, updated).otherwise(coalesce(tc(c), col(c))).as(c)
+          }: _*)
+      }
+
+      var attempt = 0
+      while (true) {
+        val head = latest()
+        val snap = readFiles(head)
+        val rootQ = fs.makeQualified(rootPath).toUri.getPath + "/"
+        val keys = source.select(col(sourceKey)).distinct()
+        // file name must be captured before the join (single-source expr)
+        val withFile = snap.select(col(targetKey), input_file_name().as("__f"))
+        val affected = withFile
+          .join(keys, withFile(targetKey) === keys(sourceKey), "left_semi")
+          .select(col("__f")).distinct()
+          .collect().map(r => new Path(r.getString(0)).toUri.getPath.stripPrefix(rootQ))
+          .toSet
+        val post =
+          if (affected.isEmpty) {
+            if (!insertUnmatched) return head // nothing matched, no inserts
+            // no target row matches any source key — every source row inserts
+            postOf(readFiles(head.copy(files = Nil)))
+          } else postOf(readFiles(head.copy(files = head.files.filter(affected))))
+        val (staged, stagedStats) = stage(post, head.partitionCols)
+        val m = Manifest(head.version + 1, head.version,
+          System.currentTimeMillis(), "merge", head.partitionCols,
+          head.schemaJson, head.files.filterNot(affected) ++ staged,
+          (head.stats -- affected) ++ stagedStats)
+        if (casPublish(m)) return m
+        attempt += 1
+        if (attempt > maxRetries)
+          throw new ConcurrentModificationException(
+            s"merge at $root lost the commit race $attempt times — giving up")
+      }
+      sys.error("unreachable")
+    }
+
+    /** Compaction: bin-packs files smaller than `targetBytes` into
+      * ~targetBytes outputs, committed as a normal versioned action — data
+      * identical, file count lower, readers never block (the analog of the
+      * reference's background minor compaction: ref
+      * ql/src/java/org/apache/hadoop/hive/ql/txn/compactor/Compactor.java:40,
+      * CompactorMR — there delta files fold into base files under metastore
+      * txns; here small immutable files fold under the same optimistic CAS
+      * as any writer, and a racing DML simply wins or replays). Run it
+      * periodically after streaming appends: micro-batch commits produce
+      * exactly the small-file debris this removes.
+      */
+    def compact(targetBytes: Long = 128L * 1024 * 1024,
+        minInputFiles: Int = 2, maxRetries: Int = 10): Manifest =
+      commit("compact", maxRetries) { head =>
+        val sized = head.files.map { f =>
+          f -> fs.getFileStatus(new Path(rootPath, f)).getLen
+        }
+        val small = sized.filter(_._2 < targetBytes)
+        if (small.size < minInputFiles) None
+        else {
+          val smallSet = small.map(_._1).toSet
+          val nOut = math.max(1, math.ceil(
+            small.map(_._2).sum.toDouble / targetBytes).toInt)
+          val input = readFiles(head.copy(files = head.files.filter(smallSet)))
+          val packed =
+            if (head.partitionCols.nonEmpty)
+              // co-locate each partition's rows so partitionBy emits one
+              // file per (partition, output-slot) instead of a file per
+              // (input task x partition)
+              input.repartition(nOut, head.partitionCols.map(col): _*)
+            else input.repartition(nOut)
+          val (staged, stagedStats) = stage(packed, head.partitionCols)
+          Some((head.files.filterNot(smallSet) ++ staged,
+            (head.stats -- smallSet) ++ stagedStats))
+        }
+      }
+
     // --------------------------------------------------------------- vacuum
 
     /** Deletes data files referenced by no retained manifest and drops the
@@ -374,6 +652,179 @@ object Snapshots {
             fs.delete(d.getPath, true)
         }
       vs.filterNot(keep).foreach(v => fs.delete(manifestPath(v), false))
+    }
+  }
+
+  /** Driver-side file pruning against manifest stats + partition paths.
+    * Conservative by construction: any conjunct it cannot reason about
+    * keeps the file. Supported shapes: col op literal for =, <, <=, >, >=,
+    * IN (literals...), IS [NOT] NULL — over numeric/string/date/boolean
+    * columns. A column whose min is absent in a file's stats is all-NULL
+    * there, so no comparison predicate can match it.
+    */
+  private[plans] object Pruning {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types._
+
+    def mayMatch(file: String, stat: Option[FileStat], partitionCols: Seq[String],
+        schema: StructType, cond: Expression): Boolean =
+      conjuncts(cond).forall(c => conjunctMayMatch(file, stat, partitionCols, schema, c))
+
+    private def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+
+    private def attrName(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.name)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+
+    /** Literal, possibly behind the analyzer's inserted (foldable) cast —
+      * folded driver-side so `price > 200000` prunes even though the int
+      * literal arrives as CAST(200000 AS DOUBLE).
+      */
+    private object Lit {
+      def unapply(e: Expression): Option[Literal] = e match {
+        case l: Literal => Some(l)
+        case c: Cast if c.foldable =>
+          try Some(Literal.create(c.eval(null), c.dataType))
+          catch { case _: Exception => None }
+        case _ => None
+      }
+    }
+
+    /** (min, max, nulls, rows) for `name` in this file — from the `k=v`
+      * path segment for partition columns (value is both min and max),
+      * from manifest stats otherwise. None = cannot reason, keep the file.
+      */
+    private def rangeOf(file: String, stat: Option[FileStat],
+        partitionCols: Seq[String], name: String)
+        : Option[(Option[String], Option[String], Long, Long)] =
+      if (partitionCols.contains(name)) {
+        file.split('/').find(_.startsWith(name + "=")).map { seg =>
+          val raw = unescape(seg.substring(name.length + 1))
+          val rows = stat.map(_.rows).getOrElse(Long.MaxValue)
+          if (raw == "__HIVE_DEFAULT_PARTITION__") (None, None, rows, rows)
+          else (Some(raw), Some(raw), 0L, rows)
+        }
+      } else stat.flatMap { s =>
+        s.cols.get(name).map(cs => (cs.min, cs.max, cs.nulls, s.rows))
+      }
+
+    private def conjunctMayMatch(file: String, stat: Option[FileStat],
+        partitionCols: Seq[String], schema: StructType, e: Expression): Boolean = {
+      def dtOf(name: String): Option[DataType] =
+        schema.fields.find(_.name == name).map(_.dataType)
+
+      // evaluate "some row may satisfy (name op lit)" against the range
+      def check(name: String, op: String, l: Literal): Boolean = {
+        val r = for {
+          dt <- dtOf(name)
+          v <- litKey(l, dt)
+          (minS, maxS, _, _) <- rangeOf(file, stat, partitionCols, name)
+        } yield (minS.flatMap(key(dt, _)), maxS.flatMap(key(dt, _))) match {
+          case (Some(mn), Some(mx)) => op match {
+            case "="  => cmp(v, mn) >= 0 && cmp(v, mx) <= 0
+            case "<"  => cmp(mn, v) < 0
+            case "<=" => cmp(mn, v) <= 0
+            case ">"  => cmp(mx, v) > 0
+            case ">=" => cmp(mx, v) >= 0
+          }
+          // no non-null values in this file — no comparison can match
+          case _ => false
+        }
+        r.getOrElse(true)
+      }
+      def flip(op: String): String = op match {
+        case "<" => ">"; case "<=" => ">="; case ">" => "<"; case ">=" => "<="
+        case o => o
+      }
+
+      e match {
+        case EqualTo(a, Lit(l)) if attrName(a).isDefined =>
+          check(attrName(a).get, "=", l)
+        case EqualTo(Lit(l), a) if attrName(a).isDefined =>
+          check(attrName(a).get, "=", l)
+        case LessThan(a, Lit(l)) if attrName(a).isDefined =>
+          check(attrName(a).get, "<", l)
+        case LessThan(Lit(l), a) if attrName(a).isDefined =>
+          check(attrName(a).get, flip("<"), l)
+        case LessThanOrEqual(a, Lit(l)) if attrName(a).isDefined =>
+          check(attrName(a).get, "<=", l)
+        case LessThanOrEqual(Lit(l), a) if attrName(a).isDefined =>
+          check(attrName(a).get, flip("<="), l)
+        case GreaterThan(a, Lit(l)) if attrName(a).isDefined =>
+          check(attrName(a).get, ">", l)
+        case GreaterThan(Lit(l), a) if attrName(a).isDefined =>
+          check(attrName(a).get, flip(">"), l)
+        case GreaterThanOrEqual(a, Lit(l)) if attrName(a).isDefined =>
+          check(attrName(a).get, ">=", l)
+        case GreaterThanOrEqual(Lit(l), a) if attrName(a).isDefined =>
+          check(attrName(a).get, flip(">="), l)
+        case In(a, vs) if attrName(a).isDefined &&
+            vs.forall(Lit.unapply(_).isDefined) =>
+          vs.exists(v => check(attrName(a).get, "=", Lit.unapply(v).get))
+        case IsNull(a) if attrName(a).isDefined =>
+          rangeOf(file, stat, partitionCols, attrName(a).get)
+            .forall { case (_, _, nulls, _) => nulls > 0 }
+        case IsNotNull(a) if attrName(a).isDefined =>
+          rangeOf(file, stat, partitionCols, attrName(a).get)
+            .forall { case (_, _, nulls, rows) => nulls < rows }
+        case _ => true // unsupported shape — never prune on it
+      }
+    }
+
+    /** Comparable key for a stats string under the column's type. */
+    private def key(dt: DataType, s: String): Option[Any] = dt match {
+      case _: NumericType =>
+        try Some(BigDecimal(s)) catch { case _: NumberFormatException => None }
+      case BooleanType => Some(BigDecimal(if (s == "true") 1 else 0))
+      case DateType =>
+        try Some(BigDecimal(java.time.LocalDate.parse(s).toEpochDay))
+        catch { case _: java.time.format.DateTimeParseException => None }
+      case StringType => Some(s)
+      case _ => None
+    }
+
+    /** Comparable key for a Catalyst literal (internal representation). */
+    private def litKey(l: Literal, dt: DataType): Option[Any] =
+      if (l.value == null) None
+      else (l.dataType, dt) match {
+        case (_: NumericType, _: NumericType) =>
+          try Some(BigDecimal(l.value.toString))
+          catch { case _: NumberFormatException => None }
+        case (BooleanType, BooleanType) =>
+          Some(BigDecimal(if (l.value == true) 1 else 0))
+        case (DateType, DateType) =>
+          Some(BigDecimal(l.value.asInstanceOf[Int].toLong))
+        case (StringType, StringType) => Some(l.value.toString)
+        case _ => None // type mismatch (would need a cast) — don't prune
+      }
+
+    private def cmp(a: Any, b: Any): Int = (a, b) match {
+      case (x: BigDecimal, y: BigDecimal) => x.compare(y)
+      case (x: String, y: String) => x.compareTo(y)
+      case _ => 0
+    }
+
+    /** Hive-style %xx path unescape (URLDecoder would corrupt '+'). */
+    private def unescape(s: String): String = {
+      if (!s.contains('%')) return s
+      val sb = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val ch = s.charAt(i)
+        if (ch == '%' && i + 2 < s.length) {
+          try {
+            sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+            i += 3
+          } catch { case _: NumberFormatException => sb.append(ch); i += 1 }
+        } else { sb.append(ch); i += 1 }
+      }
+      sb.toString
     }
   }
 }

@@ -56,5 +56,79 @@ object SnapshotQueries {
         .groupBy($"o_orderstatus")
         .agg(count(lit(1)).as("n"), Exact.dsum($"o_totalprice").as("total"))
         .orderBy($"o_orderstatus")
+    },
+
+    // MERGE upsert: matched keys zero their price, unmatched source rows
+    // insert — the oracle replays both arms relationally (update via CASE,
+    // insert via UNION ALL).
+    q("s03_snapshot_merge",
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS total
+        |FROM (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 100 = 0 THEN 0.0 ELSE o_totalprice END AS o_totalprice
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 700000000, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 997 = 0
+        |) GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val orders = Engine.table(spark, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      val t = Snapshots.create(spark, scratch(), orders)
+      val source = orders.filter($"o_orderkey" % 100 === 0)
+        .withColumn("o_totalprice", lit(0.0))
+        .unionByName(orders.filter($"o_orderkey" % 997 === 0)
+          .withColumn("o_orderkey", $"o_orderkey" + 700000000L))
+      t.merge(source, "o_orderkey", "o_orderkey",
+        whenMatchedSet = Map("o_totalprice" -> $"o_totalprice"))
+      t.read()
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"), Exact.dsum($"o_totalprice").as("total"))
+        .orderBy($"o_orderstatus")
+    },
+
+    // Stats-pruned scan: the predicate is answered from a partition-pruned +
+    // min/max-pruned file subset; the oracle is the plain WHERE over the
+    // original table (stats only skip files, never change results).
+    q("s04_snapshot_pruned_scan",
+      """SELECT count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS total,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM orders
+        |WHERE o_orderstatus = 'F' AND o_totalprice > 200000""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val orders = Engine.table(spark, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      val t = Snapshots.create(spark, scratch(), orders,
+        partitionBy = Seq("o_orderstatus"))
+      t.readWhere($"o_orderstatus" === "F" && $"o_totalprice" > 200000)
+        .agg(count(lit(1)).as("n"), Exact.dsum($"o_totalprice").as("total"),
+          min($"o_orderkey").cast("long").as("min_key"),
+          max($"o_orderkey").cast("long").as("max_key"))
+    },
+
+    // Incremental read (CDC over appends): each version's added rows are
+    // tagged with the commit version; the oracle reconstructs the tagged
+    // union from the append predicates.
+    q("s05_snapshot_incremental",
+      """SELECT commit_version, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM (
+        |  SELECT 1 AS commit_version, o_orderkey FROM orders WHERE o_orderkey % 3 = 1
+        |  UNION ALL
+        |  SELECT 2 AS commit_version, o_orderkey FROM orders WHERE o_orderkey % 3 = 2
+        |) GROUP BY commit_version ORDER BY commit_version""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val orders = Engine.table(spark, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      val t = Snapshots.create(spark, scratch(), orders.filter($"o_orderkey" % 3 === 0))
+      t.append(orders.filter($"o_orderkey" % 3 === 1)) // v1
+      t.append(orders.filter($"o_orderkey" % 3 === 2)) // v2
+      t.readChanges(sinceVersion = 0L)
+        .groupBy($"_commit_version".cast("int").as("commit_version"))
+        .agg(count(lit(1)).as("n"), sum($"o_orderkey").as("key_sum"))
+        .orderBy($"commit_version")
     })
 }

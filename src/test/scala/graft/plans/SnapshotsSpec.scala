@@ -163,6 +163,177 @@ class SnapshotsSpec extends SparkSpec {
       t.append(nums(10, 20), maxRetries = 0))
   }
 
+  test("merge updates matched rows, inserts unmatched, leaves the rest") {
+    import spark.implicits._
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 100))
+    val source = Seq(
+      (5L, "merged5", 1), (17L, "merged17", 1), // matched -> update s
+      (1000L, "new1000", 2), (1001L, "new1001", 3) // unmatched -> insert
+    ).toDF("id", "s", "k")
+    val m = t.merge(source, "id", "id", whenMatchedSet = Map("s" -> col("s")))
+    assert(m.action === "merge")
+    val got = t.read()
+    assert(got.count() === 102)
+    assert(got.filter(col("s").isin("merged5", "merged17")).count() === 2)
+    assert(got.filter(col("id") >= 1000L).count() === 2)
+    assert(got.filter(col("id") === 5L).select("s").head.getString(0) === "merged5")
+    // snapshot isolation: v0 pristine
+    assert(t.readVersion(0).filter(col("s").startsWith("merged")).count() === 0)
+  }
+
+  test("merge whenMatchedDelete removes matches; insertUnmatched=false skips inserts") {
+    import spark.implicits._
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 100))
+    val source = Seq((3L, "x", 0), (7L, "x", 0), (5000L, "x", 0)).toDF("id", "s", "k")
+    t.merge(source, "id", "id", whenMatchedDelete = true, insertUnmatched = false)
+    val got = t.read()
+    assert(got.count() === 98)
+    assert(got.filter(col("id").isin(3L, 7L)).count() === 0)
+    assert(got.filter(col("id") === 5000L).count() === 0, "no insert requested")
+  }
+
+  test("merge rewrites only files containing matches (file-granularity COW)") {
+    import spark.implicits._
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 100))
+    t.append(nums(2000, 2100))
+    val before = t.latest()
+    // keys hit only the second commit's range
+    val source = Seq((2050L, "m", 0)).toDF("id", "s", "k")
+    t.merge(source, "id", "id", whenMatchedSet = Map("s" -> lit("m")))
+    val after = t.latest()
+    assert(after.files.toSet.intersect(before.files.toSet).nonEmpty,
+      "files without matches must carry over by reference")
+    assert(t.read().count() === 200)
+  }
+
+  test("merge cardinality violation fails the statement in-job") {
+    import spark.implicits._
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 50))
+    val dup = Seq((5L, "a", 0), (5L, "b", 0)).toDF("id", "s", "k")
+    intercept[Exception] {
+      t.merge(dup, "id", "id", whenMatchedSet = Map("s" -> col("s")))
+    }
+    // failed statement must not have committed
+    assert(t.latest().version === 0L)
+    assert(t.read().count() === 50)
+  }
+
+  test("merge cannot assign partition columns") {
+    import spark.implicits._
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 20), partitionBy = Seq("k"))
+    val source = Seq((5L, "x", 1)).toDF("id", "s", "k")
+    intercept[IllegalArgumentException](
+      t.merge(source, "id", "id", whenMatchedSet = Map("k" -> lit(9))))
+  }
+
+  test("compact folds small files, keeps data identical, and is versioned") {
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 50).coalesce(1))
+    (0 until 4).foreach(i => t.append(nums(100 * (i + 1), 100 * (i + 1) + 50).coalesce(1)))
+    val before = t.latest()
+    assert(before.files.size >= 5)
+    val m = t.compact(targetBytes = 512L * 1024 * 1024)
+    assert(m.action === "compact")
+    assert(m.files.size < before.files.size)
+    assert(t.read().count() === 250)
+    assert(t.read().agg(sum(col("id"))).head.getLong(0) ===
+      t.readVersion(before.version).agg(sum(col("id"))).head.getLong(0))
+    // compaction below the input threshold is a no-op
+    val v = t.latest().version
+    assert(t.compact(targetBytes = 1L).version === v)
+  }
+
+  test("readWhere prunes files by manifest min/max stats") {
+    import spark.implicits._
+    val root = freshRoot()
+    // three appends with disjoint id ranges -> disjoint file stats
+    val t = Snapshots.create(spark, root, nums(0, 100).coalesce(2))
+    t.append(nums(1000, 1100).coalesce(2))
+    t.append(nums(5000, 5100).coalesce(2))
+    val m = t.latest()
+    val planned = t.planFiles(m, col("id") >= 5000L)
+    assert(planned.nonEmpty && planned.size < m.files.size,
+      s"stats must prune: planned ${planned.size}/${m.files.size}")
+    assert(t.readWhere(col("id") >= 5000L).count() === 100)
+    // equality inside one range
+    assert(t.planFiles(m, col("id") === 1050L).size < m.files.size)
+    assert(t.readWhere(col("id") === 1050L).count() === 1)
+    // IN over two ranges keeps both, prunes the third
+    val in2 = t.planFiles(m, col("id").isin(5L, 5050L))
+    assert(in2.size < m.files.size)
+    // string stats prune too
+    val sPlan = t.planFiles(m, col("s") === "row5050")
+    assert(sPlan.size < m.files.size)
+    assert(t.readWhere(col("s") === "row5050").count() === 1)
+    // correctness never depends on stats: full predicate still applied
+    assert(t.readWhere(col("id") >= 5000L && col("id") < 5010L).count() === 10)
+  }
+
+  test("readWhere prunes partition directories from the path segments") {
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 100), partitionBy = Seq("k"))
+    val m = t.latest()
+    val planned = t.planFiles(m, col("k") === 2)
+    assert(planned.nonEmpty && planned.forall(_.contains("k=2")),
+      s"partition pruning must keep only k=2 files: $planned")
+    assert(t.readWhere(col("k") === 2).count() === 25)
+    // conjunct of partition + stats predicates composes
+    val both = t.planFiles(m, col("k") === 2 && col("id") > 9999L)
+    assert(both.forall(_.contains("k=2")))
+  }
+
+  test("readWhere null-count stats answer IS NULL / IS NOT NULL") {
+    import spark.implicits._
+    val root = freshRoot()
+    val withNulls = Seq((1L, null.asInstanceOf[String], 0), (2L, null.asInstanceOf[String], 0))
+      .toDF("id", "s", "k")
+    val t = Snapshots.create(spark, root, nums(0, 10).coalesce(1))
+    t.append(withNulls.coalesce(1))
+    val m = t.latest()
+    val nullPlan = t.planFiles(m, col("s").isNull)
+    assert(nullPlan.size < m.files.size, "files with zero nulls must prune for IS NULL")
+    assert(t.readWhere(col("s").isNull).count() === 2)
+    // all-null file: comparison predicates can't match it
+    val cmpPlan = t.planFiles(m, col("s") === "row1")
+    assert(cmpPlan.size < m.files.size, "all-null file must prune for equality")
+    assert(t.readWhere(col("s") === "row1").count() === 1)
+  }
+
+  test("readChanges returns appended rows tagged with version, skips compact") {
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 10).coalesce(1))
+    t.append(nums(100, 110).coalesce(1)) // v1
+    t.append(nums(200, 220).coalesce(1)) // v2
+    t.compact(targetBytes = 512L * 1024 * 1024) // v3: data-identical
+    val ch = t.readChanges(sinceVersion = 0L)
+    assert(ch.columns.contains("_commit_version"))
+    assert(ch.count() === 30, "create's rows are before sinceVersion")
+    assert(ch.filter(col("_commit_version") === 1L).count() === 10)
+    assert(ch.filter(col("_commit_version") === 2L).count() === 20)
+    assert(ch.filter(col("_commit_action") === "compact").count() === 0)
+    assert(t.readChanges(t.latest().version).count() === 0)
+  }
+
+  test("appendBatch is idempotent per (streamId, batchId) — exactly-once sink") {
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 10))
+    t.appendBatch(nums(100, 110), "streamA", batchId = 0L)
+    // replayed micro-batch (same ids) must be a no-op
+    t.appendBatch(nums(100, 110), "streamA", batchId = 0L)
+    assert(t.read().count() === 20, "replay must not double-append")
+    assert(t.latest().version === 1L)
+    t.appendBatch(nums(200, 210), "streamA", batchId = 1L)
+    assert(t.read().count() === 30)
+    // a different stream's batch 0 is independent
+    t.appendBatch(nums(300, 310), "streamB", batchId = 0L)
+    assert(t.read().count() === 40)
+  }
+
   test("vacuum drops unreferenced files and pruned versions") {
     val root = freshRoot()
     val t = Snapshots.create(spark, root, nums(0, 100))
