@@ -9,11 +9,13 @@ import org.apache.spark.sql.functions._
   * The image path is REAL: [[ImageCodec]] decodes and resizes PNG/BMP/GIF/
   * JPEG/WBMP payloads with the JDK's built-in `javax.imageio` + `java.awt
   * .image` (zero external dependencies), and the synthetic media table's
-  * image-kind rows carry genuine PNG payloads. Audio/video payloads — for
-  * which this container ships no codec — fall back to the clearly marked
-  * deterministic [[StubCodec]]; swapping it for a real decoder (e.g. javacv
-  * / a JNI codec) changes no plan shapes: decode is embarrassingly parallel
-  * map-side work that scales with partition count.
+  * image-kind rows carry genuine PNG payloads. The audio path is REAL too:
+  * [[AudioCodec]] decodes WAV/AIFF/AU metadata and resamples PCM via the
+  * JDK's `javax.sound.sampled`, and audio-kind rows carry genuine WAV
+  * payloads. Video — for which the JDK ships no codec — falls back to the
+  * clearly marked deterministic [[StubCodec]]; swapping it for a real
+  * decoder (e.g. javacv / a JNI codec) changes no plan shapes: decode is
+  * embarrassingly parallel map-side work that scales with partition count.
   */
 object Multimodal {
 
@@ -100,7 +102,121 @@ object Multimodal {
     }
   }
 
-  /** ===== STUB codec (audio/video only) =====
+  /** ===== REAL audio codec (JDK javax.sound.sampled — WAV/AIFF/AU) =====
+    * Metadata decode and linear-interpolation resampling are genuine sample
+    * operations on PCM payloads; `None` means "no installed reader
+    * understands this payload" and callers fall back to [[StubCodec]].
+    */
+  object AudioCodec {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+    case class AudioMeta(sampleRate: Int, channels: Int, frames: Long,
+        durationMs: Long)
+
+    /** Real (rate, channels, frames, duration) from the container header. */
+    def decodeMeta(bytes: Array[Byte]): Option[AudioMeta] =
+      try {
+        val in = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val f = in.getFormat
+          val frames = in.getFrameLength
+          if (frames <= 0 || f.getSampleRate <= 0) None
+          else Some(AudioMeta(f.getSampleRate.toInt, f.getChannels, frames,
+            frames * 1000L / f.getSampleRate.toLong))
+        } finally in.close()
+      } catch { case _: Exception => None }
+
+    /** Decoded 16-bit mono samples + source rate (channels mean-mixed). */
+    private def pcmMono(bytes: Array[Byte]): Option[(Array[Short], Int)] =
+      try {
+        val src = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val f = src.getFormat
+          val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+            f.getSampleRate, 16, f.getChannels, 2 * f.getChannels,
+            f.getSampleRate, false)
+          val pcm = AudioSystem.getAudioInputStream(target, src)
+          val raw = pcm.readAllBytes()
+          val ch = f.getChannels
+          val n = raw.length / (2 * ch)
+          val out = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            var acc = 0
+            var c = 0
+            while (c < ch) {
+              val o = (i * ch + c) * 2
+              acc += ((raw(o + 1) << 8) | (raw(o) & 0xff)).toShort
+              c += 1
+            }
+            out(i) = (acc / ch).toShort
+            i += 1
+          }
+          Some((out, f.getSampleRate.toInt))
+        } finally src.close()
+      } catch { case _: Exception => None }
+
+    /** Linear-interpolation resample to `targetHz`, re-encoded as 16-bit
+      * mono WAV. None when the payload is not decodable audio.
+      */
+    def resample(bytes: Array[Byte], targetHz: Int): Option[Array[Byte]] =
+      pcmMono(bytes).map { case (samples, srcHz) =>
+        val n = math.max(1, (samples.length.toLong * targetHz / srcHz).toInt)
+        val out = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          val pos = i.toDouble * srcHz / targetHz
+          val lo = math.min(samples.length - 1, pos.toInt)
+          val hi = math.min(samples.length - 1, lo + 1)
+          val frac = pos - lo
+          out(i) = ((1 - frac) * samples(lo) + frac * samples(hi)).toShort
+          i += 1
+        }
+        encodeWav(out, targetHz)
+      }
+
+    /** Deterministic WAV whose 16-bit mono samples derive from `seed` —
+      * gives the synthetic media table REAL decodable audio payloads.
+      * Sample count is seed-proportional but capped (≤ half a second at
+      * 8 kHz) so payload size stays bounded.
+      */
+    def syntheticWav(seed: Array[Byte], rate: Int = 8000): Array[Byte] = {
+      val len = math.max(1, seed.length)
+      val n = math.max(64, math.min(4000, len * 8))
+      val samples = new Array[Short](n)
+      var i = 0
+      while (i < n) {
+        val b = seed(i % len) & 0xff
+        // seed-keyed mixture of two tones — real waveform, bit-deterministic
+        val s = 0.6 * math.sin(2 * math.Pi * (200 + b * 4) * i / rate) +
+          0.4 * math.sin(2 * math.Pi * (50 + (b ^ 0x37)) * i / rate)
+        samples(i) = (s * 12000).toShort
+        i += 1
+      }
+      encodeWav(samples, rate)
+    }
+
+    private def encodeWav(samples: Array[Short], rate: Int): Array[Byte] = {
+      val raw = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        raw(2 * i) = (samples(i) & 0xff).toByte
+        raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        rate.toFloat, 16, 1, 2, rate.toFloat, false)
+      val in = new AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(in, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+  }
+
+  /** ===== STUB codec (video only) =====
     * Deterministic fake "decode" for payload kinds this container has no
     * codec for: dims parsed from the first bytes, resize = subsample. A real
     * audio/video implementation would replace only this object.
@@ -124,8 +240,11 @@ object Multimodal {
     * testdata — exercises the binary-column plumbing without external
     * fixtures. Image-kind rows carry a REAL PNG payload (pixels derived from
     * the document text, dims from the stub header so they stay in 1..128)
-    * whose metadata comes from a genuine ImageIO decode; audio/video rows
-    * keep raw text bytes + stub metadata (no codec shipped for those kinds).
+    * whose metadata comes from a genuine ImageIO decode; audio-kind rows
+    * carry a REAL WAV payload (samples derived from the text) whose
+    * duration comes from a genuine javax.sound decode (width/height carry
+    * channels/sample-bits); video rows keep raw text bytes + stub metadata
+    * (the JDK ships no video codec).
     */
   def syntheticMediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
@@ -135,17 +254,45 @@ object Multimodal {
         val id = r.getLong(0)
         val bytes = r.getString(1).getBytes("UTF-8")
         val kind = Seq("image", "audio", "video")((id % 3).toInt)
-        if (kind == "image") {
-          val (w0, h0) = StubCodec.decodeDims(bytes)
-          val png = ImageCodec.syntheticPng(bytes, math.max(1, w0), math.max(1, h0))
-          // metadata from the real decode, not the generator's intent
-          val (w, h) = ImageCodec.decodeDims(png).getOrElse((0, 0))
-          MediaRow(id, kind, png, w, h, 0L)
-        } else {
-          val (w, h) = StubCodec.decodeDims(bytes)
-          MediaRow(id, kind, bytes, w, h, bytes.length.toLong * 10)
+        kind match {
+          case "image" =>
+            val (w0, h0) = StubCodec.decodeDims(bytes)
+            val png = ImageCodec.syntheticPng(bytes, math.max(1, w0), math.max(1, h0))
+            // metadata from the real decode, not the generator's intent
+            val (w, h) = ImageCodec.decodeDims(png).getOrElse((0, 0))
+            MediaRow(id, kind, png, w, h, 0L)
+          case "audio" =>
+            val wav = AudioCodec.syntheticWav(bytes)
+            val m = AudioCodec.decodeMeta(wav)
+            MediaRow(id, kind, wav,
+              m.map(_.channels).getOrElse(0), 16,
+              m.map(_.durationMs).getOrElse(0L))
+          case _ =>
+            val (w, h) = StubCodec.decodeDims(bytes)
+            MediaRow(id, kind, bytes, w, h, bytes.length.toLong * 10)
         }
       }
+  }
+
+  /** Audio pipeline stage: REAL linear-interpolation resample to `targetHz`
+    * for decodable audio payloads (duration preserved, frame count scaled);
+    * non-audio rows pass through untouched. Same mapPartitions batch shape
+    * as [[resizeAll]].
+    */
+  def resampleAudio(media: Dataset[MediaRow], targetHz: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        if (m.kind != "audio") m
+        else AudioCodec.resample(m.bytes, targetHz) match {
+          case Some(wav) =>
+            val meta = AudioCodec.decodeMeta(wav)
+            m.copy(bytes = wav,
+              duration_ms = meta.map(_.durationMs).getOrElse(m.duration_ms))
+          case None => m // not decodable — leave payload untouched
+        }
+      }
+    }
   }
 
   /** Per-partition batch feature extraction (histogram + entropy). This is

@@ -73,6 +73,57 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("AudioCodec round-trips a synthetic WAV (meta + deterministic encode)") {
+    val wav = Multimodal.AudioCodec.syntheticWav("hello audio".getBytes, rate = 8000)
+    val meta = Multimodal.AudioCodec.decodeMeta(wav)
+    assert(meta.isDefined, "generated WAV must decode")
+    assert(meta.get.sampleRate === 8000)
+    assert(meta.get.channels === 1)
+    assert(meta.get.durationMs === meta.get.frames * 1000 / 8000)
+    // bit-deterministic generation
+    assert(Multimodal.AudioCodec.syntheticWav("hello audio".getBytes).toSeq === wav.toSeq)
+    // non-audio payloads are refused, not mangled
+    assert(Multimodal.AudioCodec.decodeMeta("not audio".getBytes) === None)
+    assert(Multimodal.AudioCodec.resample("not audio".getBytes, 4000) === None)
+  }
+
+  test("AudioCodec resample halves the frame count at half the rate") {
+    val wav = Multimodal.AudioCodec.syntheticWav("resample me please".getBytes, rate = 8000)
+    val src = Multimodal.AudioCodec.decodeMeta(wav).get
+    val down = Multimodal.AudioCodec.resample(wav, 4000)
+    assert(down.isDefined)
+    val dst = Multimodal.AudioCodec.decodeMeta(down.get).get
+    assert(dst.sampleRate === 4000)
+    // duration preserved within a millisecond of rounding
+    assert(math.abs(dst.durationMs - src.durationMs) <= 1,
+      s"duration drifted: ${src.durationMs}ms -> ${dst.durationMs}ms")
+    assert(math.abs(dst.frames - src.frames / 2) <= 1)
+  }
+
+  test("synthetic audio rows carry genuinely decodable WAV payloads") {
+    val auds = media.filter(col("kind") === "audio").limit(20).collect()
+    assert(auds.nonEmpty)
+    auds.foreach { m =>
+      val meta = Multimodal.AudioCodec.decodeMeta(m.bytes)
+      assert(meta.isDefined, s"media_id=${m.media_id} payload is not decodable audio")
+      assert(meta.get.durationMs === m.duration_ms, "metadata must come from the real decode")
+      assert(m.width === meta.get.channels && m.height === 16)
+    }
+  }
+
+  test("resampleAudio rewrites audio payloads only, preserving the rest") {
+    val out = Multimodal.resampleAudio(media.limit(30), 4000).collect()
+    val in = media.limit(30).collect()
+    out.zip(in).foreach { case (o, i) =>
+      assert(o.media_id === i.media_id && o.kind === i.kind)
+      if (o.kind == "audio") {
+        assert(Multimodal.AudioCodec.decodeMeta(o.bytes).get.sampleRate === 4000)
+      } else {
+        assert(o.bytes.toSeq === i.bytes.toSeq, "non-audio rows must pass through")
+      }
+    }
+  }
+
   test("mediaSummary aggregates per kind") {
     val s = Multimodal.mediaSummary(media).collect()
     assert(s.length === 3)
