@@ -47,7 +47,11 @@ object Bench {
       "buckets/query for ~6x recall) -- r2 and earlier benched single-probe"),
     "dml_pruned_roundtrip" -> ("partition-pruned COW on a partitioned copy " +
       "of orders: 1-partition UPDATE + partition-predicate DELETE + keyed " +
-      "MERGE (5 updates + 2 inserts); table copy untimed"))
+      "MERGE (5 updates + 2 inserts); table copy untimed"),
+    "snapshot_versioned_roundtrip" -> ("snapshot-table (manifest log) DML " +
+      "over orders: 3 appends + keyed MERGE + stats-pruned readWhere + " +
+      "compact; v0 create untimed; every commit collects per-file min/max " +
+      "stats"))
 
   /** Pruned-DML round-trip: builds an UNTIMED partitioned scratch copy of
     * orders, then times UPDATE (one partition) + DELETE (partition
@@ -75,6 +79,36 @@ object Bench {
       col("o_orderstatus") === "F" && col("o_orderkey") % 5 === 0)
     graft.plans.Dml.merge(spark, dir, src, "o_orderkey", "o_orderkey",
       whenMatchedSet = Map("o_totalprice" -> col("o_totalprice")))
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Snapshot-table round-trip: versioned appends, a keyed MERGE, a
+    * stats-pruned read, and a compaction — the manifest-log write path whose
+    * cost is otherwise invisible to the headline queries. The v0 create is
+    * untimed (it's ingest, not DML).
+    */
+  private def snapshotRoundTrip(spark: SparkSession, sfDir: String): Double = {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_bench_snap_")
+      .toString + "/orders"
+    val orders = Engine.table(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val t = graft.plans.Snapshots.create(spark, root, orders)
+    val t0 = System.nanoTime()
+    t.append(orders.filter(col("o_orderkey") % 1000 === 1)
+      .withColumn("o_orderkey", col("o_orderkey") + 800000000L))
+    t.append(orders.filter(col("o_orderkey") % 1000 === 2)
+      .withColumn("o_orderkey", col("o_orderkey") + 810000000L))
+    t.append(orders.filter(col("o_orderkey") % 1000 === 3)
+      .withColumn("o_orderkey", col("o_orderkey") + 820000000L))
+    t.merge(orders.filter(col("o_orderkey") % 500 === 0)
+        .withColumn("o_totalprice", lit(0.0)),
+      "o_orderkey", "o_orderkey",
+      whenMatchedSet = Map("o_totalprice" -> col("o_totalprice")),
+      sourceKeysUnique = true)
+    t.readWhere(col("o_orderkey") >= 800000000L)
+      .write.format("noop").mode("overwrite").save()
+    t.compact()
     (System.nanoTime() - t0) / 1e9
   }
 
@@ -111,6 +145,11 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] dml warmup FAILED: ${e.getMessage}") }
 
+    // snapshot warmup (separate scratch table; compiles the manifest-log paths)
+    try snapshotRoundTrip(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] snapshot warmup FAILED: ${e.getMessage}") }
+
     // measurement hygiene: drop every block the warmup pass left behind
     // (retained loser-id checkpoints etc.), clear cached relations, and GC so
     // the timed pass starts from a clean heap instead of under
@@ -136,6 +175,10 @@ object Bench {
       try dmlPrunedRoundTrip(spark, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"[bench] dml_pruned_roundtrip FAILED: ${e.getMessage}"); -1.0 }
+    }) :+ ("snapshot_versioned_roundtrip" -> {
+      try { cleanStorage(gc = false); snapshotRoundTrip(spark, sfDir) }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] snapshot_versioned_roundtrip FAILED: ${e.getMessage}"); -1.0 }
     })
     // p22 cost attribution: time each cumulative prefix of the cleaning
     // pipeline (score+filter, +near-dup CC, +scrub) with the same plan shape

@@ -227,4 +227,27 @@ object Streams {
       }
       .option("checkpointLocation", checkpoint)
       .start()
+
+  /** End-to-end exactly-once append sink into a snapshot table (which must
+    * already exist): each micro-batch commits one manifest version stamped
+    * with (streamId, batchId), so a batch replayed after a crash-restart
+    * finds itself already in the log and no-ops — at-least-once delivery
+    * from the checkpoint becomes exactly-once in the table. Readers get
+    * snapshot isolation over the stream's output for free, and
+    * [[graft.plans.Snapshots.SnapshotTable.compact]] folds the micro-batch
+    * file debris without blocking the writer.
+    */
+  def snapshotAppendSink(df: DataFrame, tableRoot: String,
+      streamId: String): StreamingQuery = {
+    val q = df.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.plans.Snapshots.table(batch.sparkSession, tableRoot)
+          .appendBatch(batch, streamId, batchId)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
 }

@@ -204,4 +204,32 @@ class StreamsSpec extends SparkSpec {
       assert(written.count() === batchEvents.count())
     } finally q.stop()
   }
+
+  test("snapshotAppendSink commits one stamped version per micro-batch, exactly once") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_snapsink_").toString + "/t"
+    val t = graft.plans.Snapshots.create(spark, root,
+      Seq((0L, "seed")).toDF("id", "s"))
+    val in = MemoryStream[(Long, String)]
+    in.addData((1L, "a"), (2L, "b"))
+    val q = Streams.snapshotAppendSink(in.toDF().toDF("id", "s"), root, "sinkSpec")
+    try {
+      assert(t.read().count() === 3)
+      val v1 = t.latest()
+      assert(v1.meta.get("streamId").contains("sinkSpec") &&
+        v1.meta.get("batchId").contains("0"))
+      in.addData((3L, "c"))
+      q.processAllAvailable()
+      assert(t.read().count() === 4)
+      // a crash-replay of batch 1 must be a no-op (exactly-once)
+      val headBefore = t.latest().version
+      t.appendBatch(Seq((3L, "c")).toDF("id", "s"), "sinkSpec", batchId = 1L)
+      assert(t.latest().version === headBefore, "replayed batch must not commit")
+      assert(t.read().count() === 4)
+      // readers see each micro-batch as an isolated snapshot version
+      assert(t.readVersion(v1.version).count() === 3)
+    } finally q.stop()
+  }
 }
