@@ -177,6 +177,26 @@ object Multimodal {
         encodeWav(out, targetHz)
       }
 
+    /** Real signal features over the decoded PCM: (sampleRate, nSamples,
+      * RMS energy normalized to [0,1], zero-crossing rate in [0,1]).
+      */
+    def features(bytes: Array[Byte]): Option[(Int, Long, Double, Double)] =
+      pcmMono(bytes).map { case (samples, rate) =>
+        var sq = 0.0
+        var crossings = 0L
+        var i = 0
+        while (i < samples.length) {
+          val s = samples(i).toDouble
+          sq += s * s
+          if (i > 0 && ((samples(i - 1) < 0) != (samples(i) < 0))) crossings += 1
+          i += 1
+        }
+        val n = math.max(1, samples.length)
+        (rate, samples.length.toLong,
+          math.sqrt(sq / n) / 32768.0,
+          if (samples.length < 2) 0.0 else crossings.toDouble / (samples.length - 1))
+      }
+
     /** Deterministic WAV whose 16-bit mono samples derive from `seed` —
       * gives the synthetic media table REAL decodable audio payloads.
       * Sample count is seed-proportional but capped (≤ half a second at
@@ -198,7 +218,7 @@ object Multimodal {
       encodeWav(samples, rate)
     }
 
-    private def encodeWav(samples: Array[Short], rate: Int): Array[Byte] = {
+    private[operators] def encodeWav(samples: Array[Short], rate: Int): Array[Byte] = {
       val raw = new Array[Byte](samples.length * 2)
       var i = 0
       while (i < samples.length) {
@@ -272,6 +292,24 @@ object Multimodal {
             MediaRow(id, kind, bytes, w, h, bytes.length.toLong * 10)
         }
       }
+  }
+
+  case class AudioFeatures(media_id: Long, sample_rate: Int, n_samples: Long,
+      rms: Double, zero_cross_rate: Double)
+
+  /** Audio feature extraction: REAL RMS energy + zero-crossing rate over
+    * the decoded PCM of audio-kind rows (undecodable payloads drop, they
+    * don't fake). Same partition-local batch shape as [[extractFeatures]].
+    */
+  def audioFeatures(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio").mapPartitions { rows =>
+      rows.flatMap { m =>
+        AudioCodec.features(m.bytes).map { case (rate, n, rms, zcr) =>
+          AudioFeatures(m.media_id, rate, n, rms, zcr)
+        }
+      }
+    }
   }
 
   /** Audio pipeline stage: REAL linear-interpolation resample to `targetHz`

@@ -1,0 +1,174 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally maintained aggregate materializations over snapshot tables —
+  * the analog of the reference's ALTER MATERIALIZED VIEW ... REBUILD, which
+  * rebuilds incrementally when the source tables saw only INSERTs since the
+  * last rebuild and falls back to a full rebuild otherwise (ref
+  * ql/src/java/org/apache/hadoop/hive/ql/ddl/view/materialized/update/
+  * MaterializedViewUpdateDesc.java + the calcite incremental-rewriting rules
+  * under ql/optimizer/calcite/rules/views/, e.g.
+  * HiveAggregateIncrementalRewritingRule.java).
+  *
+  * The materialization records the snapshot-table version it reflects.
+  * `refresh()` inspects the commit log since that version:
+  *   - only `append` / `compact` commits → **incremental**: partial-aggregate
+  *     ONLY the appended rows ([[Snapshots.SnapshotTable.readChanges]] —
+  *     compaction is data-identical and already skipped there) and fold them
+  *     into the stored aggregate (sum+sum, count+count, min/min, max/max;
+  *     avg maintained as sum+count and derived at read).
+  *   - any COW commit (delete/update/merge/overwrite) → **full** rebuild:
+  *     deletions can lower a sum or retire a min/max, which insert-only
+  *     maintenance cannot express — the same condition under which the
+  *     reference abandons incremental rebuild.
+  *
+  * Scale: an incremental refresh costs one keyed shuffle over the DELTA plus
+  * one over the MV — proportional to what changed and to the aggregate
+  * cardinality, never to accumulated table size. That is the entire point at
+  * 100 TB: a daily-append fact table refreshes its rollups in O(day), not
+  * O(history).
+  */
+object IncrementalViews {
+
+  /** One aggregate column: `func` in sum|count|min|max|avg over `input`
+    * (input ignored for count — always count(1) rows), emitted as `name`.
+    */
+  final case class AggSpec(func: String, input: String, name: String) {
+    require(Set("sum", "count", "min", "max", "avg").contains(func),
+      s"unsupported incremental aggregate: $func")
+  }
+
+  final case class RefreshResult(mode: String, version: Long, deltaRows: Long)
+
+  def create(spark: SparkSession, tableRoot: String, mvPath: String,
+      keys: Seq[String], aggs: Seq[AggSpec]): IncrementalAggView = {
+    val v = new IncrementalAggView(spark, tableRoot, mvPath, keys, aggs)
+    v.rebuildFull()
+    v
+  }
+
+  def open(spark: SparkSession, tableRoot: String, mvPath: String,
+      keys: Seq[String], aggs: Seq[AggSpec]): IncrementalAggView =
+    new IncrementalAggView(spark, tableRoot, mvPath, keys, aggs)
+
+  final class IncrementalAggView private[IncrementalViews] (
+      spark: SparkSession, tableRoot: String, mvPath: String,
+      keys: Seq[String], aggs: Seq[AggSpec]) {
+
+    private def table = Snapshots.table(spark, tableRoot)
+    private val statePath = java.nio.file.Paths.get(mvPath, "_mv_state.json")
+    private def dataDir = s"$mvPath/data"
+
+    /** Internal storage columns: avg is carried as (__sum, __cnt). */
+    private def storageAggs: Seq[org.apache.spark.sql.Column] = aggs.flatMap {
+      case AggSpec("sum", in, name) => Seq(sum(col(in)).as(name))
+      case AggSpec("count", _, name) => Seq(count(lit(1)).as(name))
+      case AggSpec("min", in, name) => Seq(min(col(in)).as(name))
+      case AggSpec("max", in, name) => Seq(max(col(in)).as(name))
+      case AggSpec("avg", in, name) => Seq(
+        sum(col(in)).as(s"${name}__sum"), count(col(in)).as(s"${name}__cnt"))
+      case other => sys.error(s"unreachable: $other")
+    }
+
+    /** Fold two partial states with the same storage schema: sums and counts
+      * add, mins/maxes re-extremize — exactly the partial→final split Spark
+      * itself uses for these aggregates, which is what makes them
+      * incrementally maintainable under insert-only changes.
+      */
+    private def merge(parts: DataFrame): DataFrame = {
+      val folds = aggs.flatMap {
+        case AggSpec("sum", _, name) => Seq(sum(col(name)).as(name))
+        case AggSpec("count", _, name) => Seq(sum(col(name)).as(name))
+        case AggSpec("min", _, name) => Seq(min(col(name)).as(name))
+        case AggSpec("max", _, name) => Seq(max(col(name)).as(name))
+        case AggSpec("avg", _, name) => Seq(
+          sum(col(s"${name}__sum")).as(s"${name}__sum"),
+          sum(col(s"${name}__cnt")).as(s"${name}__cnt"))
+        case other => sys.error(s"unreachable: $other")
+      }
+      parts.groupBy(keys.map(col): _*).agg(folds.head, folds.tail: _*)
+    }
+
+    private def partialAgg(rows: DataFrame): DataFrame = {
+      val as = storageAggs
+      rows.groupBy(keys.map(col): _*).agg(as.head, as.tail: _*)
+    }
+
+    private def writeState(df: DataFrame, version: Long): Unit = {
+      // stage-and-swap so a crashed refresh leaves the previous
+      // materialization readable (the state file still names it)
+      val staged = s"$mvPath/data-${java.util.UUID.randomUUID().toString.take(8)}"
+      df.write.mode("errorifexists").parquet(staged)
+      val old = java.nio.file.Paths.get(dataDir)
+      val hadOld = java.nio.file.Files.exists(old)
+      if (hadOld) {
+        val bak = java.nio.file.Paths.get(s"$mvPath/data-old")
+        java.nio.file.Files.move(old, bak)
+        java.nio.file.Files.move(java.nio.file.Paths.get(staged), old)
+        org.apache.commons.io.FileUtils.deleteDirectory(bak.toFile)
+      } else {
+        java.nio.file.Files.createDirectories(old.getParent)
+        java.nio.file.Files.move(java.nio.file.Paths.get(staged), old)
+      }
+      java.nio.file.Files.writeString(statePath, s"""{"version":$version}""")
+    }
+
+    /** The snapshot-table version this materialization reflects. */
+    def version(): Long = {
+      require(java.nio.file.Files.exists(statePath),
+        s"not an incremental MV (no _mv_state.json): $mvPath")
+      val s = java.nio.file.Files.readString(statePath)
+      s.replaceAll("[^0-9-]", "").toLong
+    }
+
+    /** Full rebuild at the table's current head. */
+    def rebuildFull(): RefreshResult = {
+      val head = table.latest()
+      writeState(partialAgg(table.readVersion(head.version)), head.version)
+      RefreshResult("full", head.version, -1L)
+    }
+
+    /** Incremental when the log since [[version]] holds only append/compact
+      * commits; full rebuild otherwise. No-op when already current.
+      */
+    def refresh(): RefreshResult = {
+      val since = version()
+      val t = table
+      val head = t.latest()
+      if (head.version == since) return RefreshResult("noop", since, 0L)
+      val newCommits = t.history().filter(_.version > since)
+      val insertOnly = newCommits.forall(m =>
+        m.action == "append" || m.action == "compact")
+      if (!insertOnly) return rebuildFull()
+      // fold the appended rows into the stored partials. The delta must be
+      // pinned to `head` (not a racing later commit): readChanges caps at
+      // the history we already listed.
+      val delta = t.readChanges(sinceVersion = since)
+        .filter(col("_commit_version") <= head.version)
+        .drop("_commit_version", "_commit_action")
+      val deltaRows = delta.count()
+      if (deltaRows > 0)
+        writeState(merge(partialAgg(delta).unionByName(storedPartials())),
+          head.version)
+      else
+        java.nio.file.Files.writeString(statePath,
+          s"""{"version":${head.version}}""")
+      RefreshResult("incremental", head.version, deltaRows)
+    }
+
+    private def storedPartials(): DataFrame = spark.read.parquet(dataDir)
+
+    /** The materialized aggregate, with avg derived from its sum+count. */
+    def read(): DataFrame = {
+      val base = storedPartials()
+      val outCols = keys.map(col) ++ aggs.map {
+        case AggSpec("avg", _, name) =>
+          (col(s"${name}__sum") / col(s"${name}__cnt")).as(name)
+        case a => col(a.name)
+      }
+      base.select(outCols: _*)
+    }
+  }
+}

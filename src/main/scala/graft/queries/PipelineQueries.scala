@@ -534,5 +534,19 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_frames"), max($"frame_idx").as("max_idx"))
         .orderBy($"media_id")
     },
+
+    // Real audio decode: RMS energy + zero-crossing rate over the PCM of
+    // every audio-kind payload (JDK javax.sound), summarized per rate.
+    rowsOnly("p33_audio_features") { (spark, dir) =>
+      import spark.implicits._
+      graft.operators.Multimodal.audioFeatures(
+        graft.operators.Multimodal.syntheticMediaTable(spark, dir))
+        .groupBy($"sample_rate")
+        .agg(count(lit(1)).as("n"),
+          round(avg($"rms"), 6).as("avg_rms"),
+          round(avg($"zero_cross_rate"), 6).as("avg_zcr"),
+          sum($"n_samples").as("total_samples"))
+        .orderBy($"sample_rate")
+    },
   )
 }

@@ -130,5 +130,38 @@ object SnapshotQueries {
         .groupBy($"_commit_version".cast("int").as("commit_version"))
         .agg(count(lit(1)).as("n"), sum($"o_orderkey").as("key_sum"))
         .orderBy($"commit_version")
+    },
+
+    // Incrementally maintained aggregate MV: built over a third of orders,
+    // refreshed after an append of another third (insert-only → the fold
+    // touches only the delta). The oracle aggregates the union directly;
+    // sums ride DECIMAL so the fold is exact across engines.
+    q("s06_incremental_mv_refresh",
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS total,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import graft.plans.IncrementalViews
+      import IncrementalViews.AggSpec
+      val orders = Engine.table(spark, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus",
+          $"o_totalprice".cast(org.apache.spark.sql.types.DecimalType(25, 2))
+            .as("price_d"))
+      val t = Snapshots.create(spark, scratch(), orders.filter($"o_orderkey" % 3 === 0))
+      val mv = IncrementalViews.create(spark, t.root, scratch(),
+        Seq("o_orderstatus"),
+        Seq(AggSpec("count", "*", "n"), AggSpec("sum", "price_d", "total_d"),
+          AggSpec("min", "o_orderkey", "min_key"),
+          AggSpec("max", "o_orderkey", "max_key")))
+      t.append(orders.filter($"o_orderkey" % 3 === 1))
+      val r = mv.refresh()
+      require(r.mode == "incremental", s"expected incremental refresh, got $r")
+      mv.read()
+        .select($"o_orderstatus", $"n", $"total_d".cast("double").as("total"),
+          $"min_key", $"max_key")
+        .orderBy($"o_orderstatus")
     })
 }

@@ -111,6 +111,34 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("AudioCodec features are exact on a constructed alternating wave") {
+    // samples +1000,-1000,+1000,... : RMS = 1000/32768 exactly, every
+    // adjacent pair crosses zero -> zcr = 1.0
+    val samples = Array.tabulate(400)(i => if (i % 2 == 0) 1000 else -1000)
+      .map(_.toShort)
+    val wav = Multimodal.AudioCodec.encodeWav(samples, 8000)
+    val Some((rate, n, rms, zcr)) = Multimodal.AudioCodec.features(wav)
+    assert(rate === 8000 && n === 400L)
+    assert(math.abs(rms - 1000.0 / 32768.0) < 1e-12)
+    assert(zcr === 1.0)
+    // constant signal: zero crossings
+    val flat = Multimodal.AudioCodec.encodeWav(Array.fill(100)(500.toShort), 8000)
+    val Some((_, _, _, zcrFlat)) = Multimodal.AudioCodec.features(flat)
+    assert(zcrFlat === 0.0)
+  }
+
+  test("audioFeatures extracts real PCM features for every audio row") {
+    import spark.implicits._
+    val feats = Multimodal.audioFeatures(media.limit(60)).collect()
+    val nAudio = media.limit(60).filter(col("kind") === "audio").count()
+    assert(feats.length.toLong === nAudio, "every audio payload must decode")
+    feats.foreach { f =>
+      assert(f.sample_rate === 8000)
+      assert(f.rms > 0 && f.rms < 1.0)
+      assert(f.zero_cross_rate > 0 && f.zero_cross_rate < 1.0)
+    }
+  }
+
   test("resampleAudio rewrites audio payloads only, preserving the rest") {
     val out = Multimodal.resampleAudio(media.limit(30), 4000).collect()
     val in = media.limit(30).collect()

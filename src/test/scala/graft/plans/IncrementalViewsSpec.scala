@@ -1,0 +1,101 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import IncrementalViews.AggSpec
+
+/** Incremental aggregate materializations over snapshot tables: insert-only
+  * refreshes fold just the delta; COW commits force a full rebuild; results
+  * always equal a from-scratch aggregation of the current snapshot.
+  */
+class IncrementalViewsSpec extends SparkSpec {
+
+  private def fresh(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/x"
+
+  private def rows(lo: Int, hi: Int) = {
+    import spark.implicits._
+    (lo until hi).map(i => (i.toLong, s"g${i % 3}", i * 1.5)).toDF("id", "grp", "v")
+  }
+
+  private val specs = Seq(AggSpec("count", "*", "n"), AggSpec("sum", "v", "sv"),
+    AggSpec("min", "id", "mn"), AggSpec("max", "id", "mx"),
+    AggSpec("avg", "v", "av"))
+
+  private def expected(t: Snapshots.SnapshotTable): DataFrame =
+    t.read().groupBy(col("grp")).agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+      min(col("id")).as("mn"), max(col("id")).as("mx"), avg(col("v")).as("av"))
+
+  private def assertMatches(mv: IncrementalViews.IncrementalAggView,
+      t: Snapshots.SnapshotTable): Unit = {
+    val got = mv.read()
+    val want = expected(t)
+    assert(got.count() === want.count())
+    assert(got.except(want).count() === 0 && want.except(got).count() === 0,
+      s"mv=${got.orderBy("grp").collect().mkString(";")} " +
+        s"want=${want.orderBy("grp").collect().mkString(";")}")
+  }
+
+  test("create materializes the current aggregate (avg derived from sum+count)") {
+    val t = Snapshots.create(spark, fresh("graft_imv_"), rows(0, 90))
+    val mv = IncrementalViews.create(spark, t.root, fresh("graft_imvd_"),
+      Seq("grp"), specs)
+    assertMatches(mv, t)
+    assert(mv.version() === 0L)
+  }
+
+  test("append-only refresh is incremental and exact (including new groups)") {
+    import spark.implicits._
+    val t = Snapshots.create(spark, fresh("graft_imv_"), rows(0, 90))
+    val mv = IncrementalViews.create(spark, t.root, fresh("graft_imvd_"),
+      Seq("grp"), specs)
+    t.append(rows(90, 150))
+    // a brand-new group arrives only in the delta
+    t.append(Seq((9999L, "g_new", 2.0)).toDF("id", "grp", "v"))
+    val r = mv.refresh()
+    assert(r.mode === "incremental", s"expected incremental, got $r")
+    assert(r.deltaRows === 61)
+    assertMatches(mv, t)
+    assert(mv.read().filter(col("grp") === "g_new").count() === 1)
+    assert(mv.version() === t.latest().version)
+  }
+
+  test("compaction between appends stays on the incremental path") {
+    val t = Snapshots.create(spark, fresh("graft_imv_"), rows(0, 30).coalesce(1))
+    val mv = IncrementalViews.create(spark, t.root, fresh("graft_imvd_"),
+      Seq("grp"), specs)
+    t.append(rows(30, 60).coalesce(1))
+    t.compact(targetBytes = 512L * 1024 * 1024)
+    t.append(rows(60, 90).coalesce(1))
+    val r = mv.refresh()
+    assert(r.mode === "incremental")
+    assert(r.deltaRows === 60, "compaction's rewritten files must not re-count")
+    assertMatches(mv, t)
+  }
+
+  test("COW commits (delete/update/merge) force a full rebuild") {
+    val t = Snapshots.create(spark, fresh("graft_imv_"), rows(0, 90))
+    val mv = IncrementalViews.create(spark, t.root, fresh("graft_imvd_"),
+      Seq("grp"), specs)
+    // deletion can retire a min/max and lower sums — insert-only folding
+    // cannot express that
+    t.deleteWhere(col("id") < 10)
+    val r = mv.refresh()
+    assert(r.mode === "full", s"expected full rebuild, got $r")
+    assertMatches(mv, t)
+    // and refresh after the rebuild is a no-op
+    assert(mv.refresh().mode === "noop")
+  }
+
+  test("refresh cost is delta-proportional: appended rows only, never the table") {
+    val t = Snapshots.create(spark, fresh("graft_imv_"), rows(0, 1000))
+    val mv = IncrementalViews.create(spark, t.root, fresh("graft_imvd_"),
+      Seq("grp"), specs)
+    t.append(rows(1000, 1010))
+    val r = mv.refresh()
+    assert(r.mode === "incremental")
+    assert(r.deltaRows === 10, "delta must be the appended rows, not a rescan")
+    assertMatches(mv, t)
+  }
+}
