@@ -2,6 +2,8 @@ package graft.plans
 
 import java.util.UUID
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -23,6 +25,7 @@ import org.apache.spark.sql.functions._
   * table/
   *   _graft_log/v00000000.json   one manifest per committed version
   *   data/<commit-uuid>/...      immutable parquet files, never rewritten
+  *   deletes/<commit-uuid>/...   merge-on-read (file, row-pos) sidecars
   * }}}
   *
   * A manifest is the COMPLETE file listing of its version (plus schema and
@@ -73,7 +76,8 @@ object Snapshots {
       schemaJson: String,
       files: Seq[String],
       stats: Map[String, FileStat] = Map.empty,
-      meta: Map[String, String] = Map.empty)
+      meta: Map[String, String] = Map.empty,
+      deletes: Seq[String] = Nil)
 
   /** Per-column min/max/null-count over one data file; values rendered as
     * strings (parsed back by the column's declared type at prune time).
@@ -257,25 +261,90 @@ object Snapshots {
       org.apache.spark.sql.types.DataType.fromJson(json)
         .asInstanceOf[org.apache.spark.sql.types.StructType]
 
-    /** Reads exactly one manifest's files. The stored schema is passed
-      * explicitly (no footer sampling); partition values come from the
-      * `k=v` path segments under each commit dir (`basePath` anchors the
-      * discovery so data/<uuid> segments are not parsed as partitions).
+    /** Reads exactly one manifest's files, with pending merge-on-read
+      * deletes applied. The stored schema is passed explicitly (no footer
+      * sampling); partition values come from the `k=v` path segments under
+      * each commit dir (`basePath` anchors the discovery so data/<uuid>
+      * segments are not parsed as partitions). Tables with no pending
+      * deletes take the plain-scan fast path — zero overhead.
       */
     private def readFiles(m: Manifest): DataFrame = {
+      val schema = schemaOf(m.schemaJson)
       if (m.files.isEmpty)
         return spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          schemaOf(m.schemaJson))
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      if (m.deletes.isEmpty)
+        spark.read
+          .option("basePath", fs.makeQualified(rootPath).toString)
+          .schema(schema)
+          .parquet(m.files.map(f => new Path(rootPath, f).toString): _*)
+          // partition columns surface at the end of the scan schema — restore
+          // the table's declared column order
+          .select(schema.fieldNames.map(col): _*)
+      else
+        applyDeletes(readFilesMeta(m), m).select(schema.fieldNames.map(col): _*)
+    }
+
+    /** Base scan plus row provenance: `__file` (table-relative path) and
+      * `__pos` (row index within its file) from the parquet reader's
+      * `_metadata` columns — the handle merge-on-read deletes key on.
+      */
+    private def readFilesMeta(m: Manifest): DataFrame = {
       val schema = schemaOf(m.schemaJson)
+      if (m.files.isEmpty)
+        return spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          .withColumn("__file", lit(null).cast("string"))
+          .withColumn("__pos", lit(null).cast("long"))
+      val prefix = metaPathPrefix(m)
       spark.read
         .option("basePath", fs.makeQualified(rootPath).toString)
         .schema(schema)
         .parquet(m.files.map(f => new Path(rootPath, f).toString): _*)
-        // partition columns surface at the end of the scan schema — restore
-        // the table's declared column order
-        .select(schema.fieldNames.map(col): _*)
+        .select(schema.fieldNames.map(col) :+
+          expr(s"substring(_metadata.file_path, ${prefix.length + 2})")
+            .as("__file") :+
+          col("_metadata.row_index").as("__pos"): _*)
     }
+
+    /** How the parquet reader renders this table's root in
+      * `_metadata.file_path` (scheme rendering differs from Hadoop's
+      * `makeQualified`), probed once per table handle from a single file.
+      */
+    @volatile private var cachedMetaPrefix: String = null
+    private def metaPathPrefix(m: Manifest): String = {
+      if (cachedMetaPrefix == null) {
+        val f = m.files.head
+        val abs = spark.read
+          .parquet(new Path(rootPath, f).toString)
+          .select(col("_metadata.file_path")).limit(1)
+          .head().getString(0)
+        require(abs.endsWith("/" + f),
+          s"_metadata.file_path '$abs' does not end with table-relative '$f'")
+        cachedMetaPrefix = abs.dropRight(f.length + 1)
+      }
+      cachedMetaPrefix
+    }
+
+    /** Anti-join the manifest's pending delete entries (provenance columns
+      * are preserved). Entries referencing files no longer in the manifest
+      * match nothing — stale entries are harmless by construction, which is
+      * what lets COW and compaction skip sidecar rewrites entirely.
+      */
+    private def applyDeletes(withMeta: DataFrame, m: Manifest): DataFrame =
+      if (m.deletes.isEmpty) withMeta
+      else {
+        val delSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("file",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("pos",
+            org.apache.spark.sql.types.LongType)))
+        val dels = spark.read.schema(delSchema)
+          .parquet(m.deletes.map(d => new Path(rootPath, d).toString): _*)
+        withMeta.join(dels,
+          withMeta("__file") === dels("file") && withMeta("__pos") === dels("pos"),
+          "left_anti")
+      }
 
     // ---------------------------------------------------------------- reads
 
@@ -380,7 +449,8 @@ object Snapshots {
       * (or throws); appends validate trivially, COW validates replaced files.
       */
     private def commit(action: String, maxRetries: Int,
-        meta: Map[String, String] = Map.empty)(
+        meta: Map[String, String] = Map.empty,
+        deletesOf: Manifest => Seq[String] = _.deletes)(
         validate: Manifest => Option[(Seq[String], Map[String, FileStat])]): Manifest = {
       var attempt = 0
       while (true) {
@@ -390,7 +460,7 @@ object Snapshots {
           case Some((files, stats)) =>
             val m = Manifest(head.version + 1, head.version,
               System.currentTimeMillis(), action, head.partitionCols,
-              head.schemaJson, files, stats, meta)
+              head.schemaJson, files, stats, meta, deletesOf(head))
             if (casPublish(m)) return m
         }
         attempt += 1
@@ -439,11 +509,12 @@ object Snapshots {
     }
 
     /** Replaces the table contents. Rebases blindly (an overwrite reads
-      * nothing, so it serializes after any concurrent commit).
+      * nothing, so it serializes after any concurrent commit). Pending
+      * delete entries reset — every file they reference is replaced.
       */
     def overwrite(df: DataFrame, maxRetries: Int = 10): Manifest = {
       val staged = stage(df, latest().partitionCols)
-      commit("overwrite", maxRetries)(_ => Some(staged))
+      commit("overwrite", maxRetries, deletesOf = _ => Nil)(_ => Some(staged))
     }
 
     /** File-granularity COW: rewrites only the files that contain matching
@@ -456,20 +527,25 @@ object Snapshots {
       var attempt = 0
       while (true) {
         val head = latest()
-        val snap = readFiles(head)
-        val rootQ = fs.makeQualified(rootPath).toUri.getPath + "/"
-        val affected = snap.filter(predicate)
-          .select(input_file_name().as("f")).distinct()
+        // provenance scan with pending MOR deletes applied: affected files
+        // are discovered over VISIBLE rows, and the rewritten post-image
+        // folds those deletes in (a deleted row can never resurrect)
+        val visible = applyDeletes(readFilesMeta(head), head)
+        val affected = visible.filter(predicate)
+          .select(col("__file")).distinct()
           .collect().map(_.getString(0))
-          .map(f => new Path(f).toUri.getPath.stripPrefix(rootQ))
           .toSet
         if (affected.isEmpty) return head // nothing matched — no-op
-        val affectedDf = readFiles(head.copy(files = head.files.filter(affected)))
+        val schema = schemaOf(head.schemaJson)
+        val affectedDf = applyDeletes(
+          readFilesMeta(head.copy(files = head.files.filter(affected))), head)
+          .select(schema.fieldNames.map(col): _*)
         val (staged, stagedStats) = stage(postImage(affectedDf), head.partitionCols)
         val files = head.files.filterNot(affected) ++ staged
         val m = Manifest(head.version + 1, head.version,
           System.currentTimeMillis(), action, head.partitionCols,
-          head.schemaJson, files, (head.stats -- affected) ++ stagedStats)
+          head.schemaJson, files, (head.stats -- affected) ++ stagedStats,
+          Map.empty, head.deletes)
         // CAS can only succeed if head is still the latest version, and the
         // affected files were taken FROM head — so a successful publish
         // proves no concurrent commit removed them (write-serializable).
@@ -485,6 +561,44 @@ object Snapshots {
     /** DELETE WHERE cond — rewrites only files containing matches. */
     def deleteWhere(cond: Column, maxRetries: Int = 10): Manifest =
       cow("delete", maxRetries)(df => df.filter(!coalesce(cond, lit(false))), cond)
+
+    /** Merge-on-read DELETE: writes only a (file, row-position) delete
+      * sidecar — no data file rewrites — and readers anti-join it at scan
+      * time. This is the reference's delete-delta design (ref
+      * ql/src/java/org/apache/hadoop/hive/ql/io/AcidUtils.java —
+      * delete_delta_* dirs folded by the compactor): O(matches) write cost
+      * against [[deleteWhere]]'s O(affected files), traded for a read-time
+      * merge until [[compact]] folds the deletes into rewritten base files
+      * (stale entries then match nothing and vacuum drops their sidecars).
+      * Racing writers serialize exactly like COW: a lost CAS replays the
+      * predicate against the winning snapshot.
+      */
+    def deleteWhereMergeOnRead(cond: Column, maxRetries: Int = 10): Manifest = {
+      var attempt = 0
+      while (true) {
+        val head = latest()
+        if (head.files.isEmpty) return head
+        val matches = applyDeletes(readFilesMeta(head), head)
+          .filter(coalesce(cond, lit(false)))
+          .select(col("__file").as("file"), col("__pos").as("pos"))
+        if (matches.isEmpty) return head // nothing matched — no-op
+        val delDir = s"deletes/${UUID.randomUUID().toString.take(8)}"
+        matches.write.mode("errorifexists")
+          .parquet(new Path(rootPath, delDir).toString)
+        val sidecars = listParquet(new Path(rootPath, delDir)).map(relativize)
+        if (sidecars.isEmpty) return head // nothing matched — no-op
+        val m = Manifest(head.version + 1, head.version,
+          System.currentTimeMillis(), "delete-mor", head.partitionCols,
+          head.schemaJson, head.files, head.stats, Map.empty,
+          head.deletes ++ sidecars)
+        if (casPublish(m)) return m
+        attempt += 1
+        if (attempt > maxRetries)
+          throw new ConcurrentModificationException(
+            s"delete-mor at $root lost the commit race $attempt times — giving up")
+      }
+      sys.error("unreachable")
+    }
 
     /** UPDATE ... SET ... WHERE cond — partition columns not assignable
       * (rows never move between partitions), matching [[Dml.updateWhere]].
@@ -560,27 +674,29 @@ object Snapshots {
       var attempt = 0
       while (true) {
         val head = latest()
-        val snap = readFiles(head)
-        val rootQ = fs.makeQualified(rootPath).toUri.getPath + "/"
         val keys = source.select(col(sourceKey)).distinct()
-        // file name must be captured before the join (single-source expr)
-        val withFile = snap.select(col(targetKey), input_file_name().as("__f"))
-        val affected = withFile
-          .join(keys, withFile(targetKey) === keys(sourceKey), "left_semi")
-          .select(col("__f")).distinct()
-          .collect().map(r => new Path(r.getString(0)).toUri.getPath.stripPrefix(rootQ))
+        // provenance scan over VISIBLE rows (pending MOR deletes applied):
+        // a deleted target row neither matches nor resurrects
+        val visible = applyDeletes(readFilesMeta(head), head)
+        val affected = visible
+          .join(keys, visible(targetKey) === keys(sourceKey), "left_semi")
+          .select(col("__file")).distinct()
+          .collect().map(_.getString(0))
           .toSet
+        val schema = schemaOf(head.schemaJson)
         val post =
           if (affected.isEmpty) {
             if (!insertUnmatched) return head // nothing matched, no inserts
             // no target row matches any source key — every source row inserts
             postOf(readFiles(head.copy(files = Nil)))
-          } else postOf(readFiles(head.copy(files = head.files.filter(affected))))
+          } else postOf(applyDeletes(
+            readFilesMeta(head.copy(files = head.files.filter(affected))), head)
+            .select(schema.fieldNames.map(col): _*))
         val (staged, stagedStats) = stage(post, head.partitionCols)
         val m = Manifest(head.version + 1, head.version,
           System.currentTimeMillis(), "merge", head.partitionCols,
           head.schemaJson, head.files.filterNot(affected) ++ staged,
-          (head.stats -- affected) ++ stagedStats)
+          (head.stats -- affected) ++ stagedStats, Map.empty, head.deletes)
         if (casPublish(m)) return m
         attempt += 1
         if (attempt > maxRetries)
@@ -602,30 +718,69 @@ object Snapshots {
       * exactly the small-file debris this removes.
       */
     def compact(targetBytes: Long = 128L * 1024 * 1024,
-        minInputFiles: Int = 2, maxRetries: Int = 10): Manifest =
-      commit("compact", maxRetries) { head =>
+        minInputFiles: Int = 2, maxRetries: Int = 10): Manifest = {
+      var attempt = 0
+      while (true) {
+        val head = latest()
         val sized = head.files.map { f =>
           f -> fs.getFileStatus(new Path(rootPath, f)).getLen
         }
         val small = sized.filter(_._2 < targetBytes)
-        if (small.size < minInputFiles) None
-        else {
-          val smallSet = small.map(_._1).toSet
-          val nOut = math.max(1, math.ceil(
-            small.map(_._2).sum.toDouble / targetBytes).toInt)
-          val input = readFiles(head.copy(files = head.files.filter(smallSet)))
-          val packed =
-            if (head.partitionCols.nonEmpty)
-              // co-locate each partition's rows so partitionBy emits one
-              // file per (partition, output-slot) instead of a file per
-              // (input task x partition)
-              input.repartition(nOut, head.partitionCols.map(col): _*)
-            else input.repartition(nOut)
-          val (staged, stagedStats) = stage(packed, head.partitionCols)
-          Some((head.files.filterNot(smallSet) ++ staged,
-            (head.stats -- smallSet) ++ stagedStats))
-        }
+        if (small.size < minInputFiles) return head
+        val smallSet = small.map(_._1).toSet
+        val nOut = math.max(1, math.ceil(
+          small.map(_._2).sum.toDouble / targetBytes).toInt)
+        // readFiles applies pending MOR deletes, so compaction FOLDS them
+        // into the rewritten files — the compactor's second job
+        val input = readFiles(head.copy(files = head.files.filter(smallSet)))
+        val packed =
+          if (head.partitionCols.nonEmpty)
+            // co-locate each partition's rows so partitionBy emits one
+            // file per (partition, output-slot) instead of a file per
+            // (input task x partition)
+            input.repartition(nOut, head.partitionCols.map(col): _*)
+          else input.repartition(nOut)
+        val (staged, stagedStats) = stage(packed, head.partitionCols)
+        // consolidate the delete list: entries for compacted-away files are
+        // stale; if none survive, readers return to the join-free fast path
+        val keptFiles = head.files.filterNot(smallSet)
+        val newDeletes =
+          if (head.deletes.isEmpty) head.deletes
+          else {
+            val delSchema = org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("file",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("pos",
+                org.apache.spark.sql.types.LongType)))
+            val dels = spark.read.schema(delSchema)
+              .parquet(head.deletes.map(d => new Path(rootPath, d).toString): _*)
+            val keptDf = spark.createDataFrame(
+              keptFiles.map(org.apache.spark.sql.Row(_)).asJava,
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("__kept",
+                  org.apache.spark.sql.types.StringType))))
+            val live = dels.join(keptDf, dels("file") === keptDf("__kept"),
+              "left_semi")
+            if (live.isEmpty) Nil
+            else {
+              val delDir = s"deletes/${UUID.randomUUID().toString.take(8)}"
+              live.coalesce(1).write.mode("errorifexists")
+                .parquet(new Path(rootPath, delDir).toString)
+              listParquet(new Path(rootPath, delDir)).map(relativize)
+            }
+          }
+        val m = Manifest(head.version + 1, head.version,
+          System.currentTimeMillis(), "compact", head.partitionCols,
+          head.schemaJson, keptFiles ++ staged,
+          (head.stats -- smallSet) ++ stagedStats, Map.empty, newDeletes)
+        if (casPublish(m)) return m
+        attempt += 1
+        if (attempt > maxRetries)
+          throw new ConcurrentModificationException(
+            s"compact at $root lost the commit race $attempt times — giving up")
       }
+      sys.error("unreachable")
+    }
 
     // --------------------------------------------------------------- vacuum
 
@@ -639,18 +794,21 @@ object Snapshots {
     def vacuum(retainLast: Int = 1): Unit = {
       val vs = versions()
       val keep = vs.takeRight(math.max(retainLast, 1)).toSet
-      val referenced = keep.flatMap(v => readManifest(manifestPath(v)).files)
-      val dataDir = new Path(rootPath, "data")
-      if (fs.exists(dataDir))
-        listParquet(dataDir).foreach { p =>
-          if (!referenced.contains(relativize(p))) fs.delete(p, false)
+      val kept = keep.map(v => readManifest(manifestPath(v)))
+      val referenced = kept.flatMap(_.files) ++ kept.flatMap(_.deletes)
+      Seq("data", "deletes").foreach { sub =>
+        val dir = new Path(rootPath, sub)
+        if (fs.exists(dir)) {
+          listParquet(dir).foreach { p =>
+            if (!referenced.contains(relativize(p))) fs.delete(p, false)
+          }
+          // drop now-empty commit dirs
+          fs.listStatus(dir).foreach { d =>
+            if (d.isDirectory && listParquet(d.getPath).isEmpty)
+              fs.delete(d.getPath, true)
+          }
         }
-      // drop now-empty commit dirs and pruned manifests
-      if (fs.exists(dataDir))
-        fs.listStatus(dataDir).foreach { d =>
-          if (d.isDirectory && listParquet(d.getPath).isEmpty)
-            fs.delete(d.getPath, true)
-        }
+      }
       vs.filterNot(keep).foreach(v => fs.delete(manifestPath(v), false))
     }
   }

@@ -163,5 +163,25 @@ object SnapshotQueries {
         .select($"o_orderstatus", $"n", $"total_d".cast("double").as("total"),
           $"min_key", $"max_key")
         .orderBy($"o_orderstatus")
+    },
+
+    // Merge-on-read DELETE (delete-sidecar, no data-file rewrites), then a
+    // compaction that folds the sidecar into rewritten base files — the
+    // visible result must equal the plain relational delete throughout.
+    q("s07_snapshot_mor_delete",
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey % 5 <> 0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val orders = Engine.table(spark, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      val t = Snapshots.create(spark, scratch(), orders)
+      t.deleteWhereMergeOnRead($"o_orderkey" % 5 === 0)
+      t.compact() // folds the sidecar; result must not change
+      t.read()
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"), Exact.dsum($"o_totalprice").as("total"))
+        .orderBy($"o_orderstatus")
     })
 }
