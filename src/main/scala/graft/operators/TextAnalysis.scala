@@ -193,4 +193,30 @@ object TextAnalysis {
   def withScrubbedText(df: DataFrame, textCol: String = "text",
       outCol: String = "text_scrubbed"): DataFrame =
     df.withColumn(outCol, scrubPii(col(textCol)))
+
+  /** Fixed-size overlapping character windows over each document — the
+    * context-window chunking a training/RAG pipeline runs before
+    * tokenization. 1 row → ceil((len−size)/step)+1 rows (one empty chunk
+    * for empty text), entirely relational: `sequence` + `explode` + a
+    * positional `substr`, so it's a codegen'd UDTF-shape plan with no UDF
+    * and no shuffle. Chunk boundaries are character-indexed and therefore
+    * identical under any partitioning (deterministic for retry/replay).
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String = "text",
+      size: Int = 200, overlap: Int = 50): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val step = size - overlap
+    val text = coalesce(col(textCol), lit(""))
+    // last chunk index: 0 when the doc fits in one window, else
+    // ceil((len - size) / step) — the final window may extend past the end
+    // (substr truncates), matching the standard sliding-window contract
+    val lastIdx = when(length(text) <= size, lit(0L))
+      .otherwise(ceil((length(text) - size).cast("double") / step).cast("long"))
+    df.select(col(idCol), text.as("__text"),
+        explode(sequence(lit(0L), lastIdx)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        col("__text").substr(
+          (col("chunk_idx") * step + 1).cast("int"), lit(size)).as("chunk"))
+  }
 }

@@ -600,6 +600,52 @@ object Snapshots {
       sys.error("unreachable")
     }
 
+    /** Merge-on-read UPDATE: the matched rows' old positions go into a
+      * delete sidecar and their updated images append as new files — the
+      * reference's (delete_delta, delta) pair for an ACID UPDATE (ref
+      * ql/src/java/org/apache/hadoop/hive/ql/io/AcidUtils.java — an update
+      * is a delete event + an insert event), committed atomically as one
+      * version. Cost is O(matched rows), not O(affected files); reads merge
+      * until [[compact]] folds both sides in.
+      */
+    def updateWhereMergeOnRead(cond: Column, set: Map[String, Column],
+        maxRetries: Int = 10): Manifest = {
+      val head0 = latest()
+      val bad = set.keySet.intersect(head0.partitionCols.toSet)
+      require(bad.isEmpty, s"cannot assign partition columns: ${bad.mkString(", ")}")
+      var attempt = 0
+      while (true) {
+        val head = latest()
+        if (head.files.isEmpty) return head
+        val schema = schemaOf(head.schemaJson)
+        val matches = applyDeletes(readFilesMeta(head), head)
+          .filter(coalesce(cond, lit(false)))
+        if (matches.isEmpty) return head // nothing matched — no-op
+        // old positions retire via sidecar...
+        val delDir = s"deletes/${UUID.randomUUID().toString.take(8)}"
+        matches.select(col("__file").as("file"), col("__pos").as("pos"))
+          .write.mode("errorifexists")
+          .parquet(new Path(rootPath, delDir).toString)
+        val sidecars = listParquet(new Path(rootPath, delDir)).map(relativize)
+        // ...and the updated images append as fresh files
+        val updated = set.foldLeft(
+          matches.select(schema.fieldNames.map(col): _*)) {
+          case (d, (name, expr)) => d.withColumn(name, expr)
+        }.select(schema.fieldNames.map(col): _*)
+        val (staged, stagedStats) = stage(updated, head.partitionCols)
+        val m = Manifest(head.version + 1, head.version,
+          System.currentTimeMillis(), "update-mor", head.partitionCols,
+          head.schemaJson, head.files ++ staged, head.stats ++ stagedStats,
+          Map.empty, head.deletes ++ sidecars)
+        if (casPublish(m)) return m
+        attempt += 1
+        if (attempt > maxRetries)
+          throw new ConcurrentModificationException(
+            s"update-mor at $root lost the commit race $attempt times — giving up")
+      }
+      sys.error("unreachable")
+    }
+
     /** UPDATE ... SET ... WHERE cond — partition columns not assignable
       * (rows never move between partitions), matching [[Dml.updateWhere]].
       */

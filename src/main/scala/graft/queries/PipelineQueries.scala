@@ -535,6 +535,32 @@ object PipelineQueries {
         .orderBy($"media_id")
     },
 
+    // Context-window chunking: overlapping character windows per document
+    // (UDTF shape, fully relational). The oracle replays the same window
+    // arithmetic with generate_series; chunks compare by md5 so the
+    // verified payload stays compact.
+    q("p34_document_chunks",
+      """WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+        |c AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(0,
+        |      CASE WHEN length(text) <= 200 THEN 0
+        |           ELSE CAST(ceil((length(text) - 200) / 150.0) AS BIGINT)
+        |      END)) AS chunk_idx
+        |  FROM d)
+        |SELECT doc_id, chunk_idx,
+        |  length(substring(text, CAST(chunk_idx * 150 + 1 AS INT), 200)) AS chunk_len,
+        |  md5(substring(text, CAST(chunk_idx * 150 + 1 AS INT), 200)) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      graft.operators.TextAnalysis.chunkDocuments(
+        t(spark, dir, "documents"), "doc_id", "text", size = 200, overlap = 50)
+        .select($"doc_id", $"chunk_idx",
+          length($"chunk").as("chunk_len"),
+          md5($"chunk".cast("binary")).as("chunk_md5"))
+        .orderBy($"doc_id", $"chunk_idx")
+    },
+
     // Real audio decode: RMS energy + zero-crossing rate over the PCM of
     // every audio-kind payload (JDK javax.sound), summarized per rate.
     rowsOnly("p33_audio_features") { (spark, dir) =>

@@ -104,4 +104,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2) === "host <IP> responded")
     assert(got(3) === "clean text stays untouched")
   }
+
+  test("chunkDocuments windows text with overlap, covering every character") {
+    import spark.implicits._
+    val text = ('a' to 'z').mkString * 10 // 260 chars
+    val df = Seq((1L, text), (2L, "short"), (3L, "")).toDF("id", "text")
+    val chunks = TextAnalysis.chunkDocuments(df, "id", "text",
+      size = 100, overlap = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // 260 chars, window 100, step 80: chunks at 0, 80, 160 -> 3 windows
+    val doc1 = chunks.filter(_._1 == 1L).sortBy(_._2)
+    assert(doc1.map(_._2).toSeq === Seq(0L, 1L, 2L))
+    assert(doc1(0)._3 === text.substring(0, 100))
+    assert(doc1(1)._3 === text.substring(80, 180))
+    assert(doc1(2)._3 === text.substring(160, 260))
+    // adjacent chunks share exactly `overlap` characters
+    assert(doc1(0)._3.takeRight(20) === doc1(1)._3.take(20))
+    // reconstruction: stitching de-overlapped chunks rebuilds the document
+    val rebuilt = doc1(0)._3 + doc1.drop(1).map(_._3.drop(20)).mkString
+    assert(rebuilt === text)
+    // short docs yield one whole-text chunk; empty docs one empty chunk
+    assert(chunks.filter(_._1 == 2L).toSeq === Seq((2L, 0L, "short")))
+    assert(chunks.filter(_._1 == 3L).toSeq === Seq((3L, 0L, "")))
+    // invalid parameters refused
+    intercept[IllegalArgumentException](
+      TextAnalysis.chunkDocuments(df, "id", "text", size = 50, overlap = 50))
+  }
 }

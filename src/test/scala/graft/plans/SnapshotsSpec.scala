@@ -387,6 +387,32 @@ class SnapshotsSpec extends SparkSpec {
     assert(t.read().count() === 50)
   }
 
+  test("merge-on-read update appends new images and retires old positions") {
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 100))
+    val before = t.latest()
+    val m = t.updateWhereMergeOnRead(col("id") >= 90, Map("s" -> lit("U")))
+    assert(m.action === "update-mor")
+    assert(before.files.forall(m.files.contains),
+      "MOR update must not rewrite existing data files")
+    assert(m.files.size > before.files.size, "updated images append as new files")
+    assert(m.deletes.nonEmpty)
+    val got = t.read()
+    assert(got.count() === 100, "update must not change cardinality")
+    assert(got.filter(col("s") === "U").count() === 10)
+    assert(got.filter(col("s").startsWith("row")).count() === 90)
+    assert(t.readVersion(0).filter(col("s") === "U").count() === 0)
+    // compact folds both sides back to a plain table
+    t.compact(targetBytes = 512L * 1024 * 1024)
+    assert(t.latest().deletes.isEmpty)
+    assert(t.read().filter(col("s") === "U").count() === 10)
+    assert(t.read().count() === 100)
+    // partition columns stay unassignable
+    val tp = Snapshots.create(spark, freshRoot(), nums(0, 20), partitionBy = Seq("k"))
+    intercept[IllegalArgumentException](
+      tp.updateWhereMergeOnRead(col("id") === 1, Map("k" -> lit(9))))
+  }
+
   test("compact folds MOR deletes into base files and empties the delete list") {
     val root = freshRoot()
     val t = Snapshots.create(spark, root, nums(0, 60).coalesce(1))
