@@ -28,16 +28,18 @@ import org.apache.spark.sql.functions._
   *   deletes/<commit-uuid>/...   merge-on-read (file, row-pos) sidecars
   * }}}
   *
-  * A manifest is the COMPLETE file listing of its version (plus schema and
-  * partition columns). Writers stage data files first, then publish
-  * `v{N+1}.json` with an atomic create-exclusive (hard link on local
-  * filesystems, rename-without-overwrite elsewhere — both fail if the
-  * version already exists). A loser re-reads the new latest manifest,
-  * re-validates, and retries: appends always rebase cleanly; a COW commit
-  * whose replaced files vanished re-plans against the new snapshot; after
-  * `maxRetries` it raises `ConcurrentModificationException`. Readers list
-  * the log and read one manifest's files — they never block writers and
-  * always see a complete committed version (snapshot isolation).
+  * A manifest determines the COMPLETE file listing of its version (plus
+  * schema and partition columns) — stored either directly (a `full`
+  * checkpoint) or as a delta against its parent (see [[Manifest]]). Writers
+  * stage data files first, then publish `v{N+1}.json` with an atomic
+  * create-exclusive (hard link on local filesystems,
+  * rename-without-overwrite elsewhere — both fail if the version already
+  * exists). A loser re-reads the new latest manifest, re-validates, and
+  * retries: appends always rebase cleanly; a COW commit whose replaced
+  * files vanished re-plans against the new snapshot; after `maxRetries` it
+  * raises `ConcurrentModificationException`. Readers list the log and read
+  * one manifest's files — they never block writers and always see a
+  * complete committed version (snapshot isolation).
   *
   * Concurrency model = write-serializable at file granularity: two commits
   * conflict iff one removes a file the other's snapshot still contains.
@@ -46,18 +48,19 @@ import org.apache.spark.sql.functions._
   * full plan on retry, so predicates are re-evaluated against the winning
   * snapshot (no lost updates).
   *
-  * Scale notes (100 TB): the manifest is one JSON listing per version —
-  * driver-side metadata, no data-path cost. At 10^6 files that listing is
-  * ~100 MB; the production path is incremental manifests + log compaction
-  * (exactly Delta's checkpoint design), a mechanical extension of this
-  * format. DML cost is proportional to AFFECTED files only: the predicate
-  * scan prunes on partition directories (values live in the path, so
-  * Catalyst prunes statically), and untouched files carry over by
-  * reference. Readers pass the stored schema, so no footer-sampling job.
+  * Scale notes (100 TB): commit metadata is driver-side JSON with no
+  * data-path cost, and since manifests are delta-encoded between
+  * checkpoints, each commit writes O(its own change) — an append to a
+  * 10^6-file table is a few hundred bytes of log, and a reader folds at
+  * most `checkpointInterval`−1 deltas onto the nearest checkpoint. DML
+  * cost is proportional to AFFECTED files only: the predicate scan prunes
+  * on partition directories (values live in the path, so Catalyst prunes
+  * statically), and untouched files carry over by reference. Readers pass
+  * the stored schema, so no footer-sampling job.
   */
 object Snapshots {
 
-  /** One committed version: the full table state, not a diff.
+  /** One committed version.
     *
     * `stats` maps each data file to its row count and per-column min/max —
     * the scan-planning index [[SnapshotTable.readWhere]] prunes with (the
@@ -65,7 +68,20 @@ object Snapshots {
     * ref ql/src/java/org/apache/hadoop/hive/ql/stats/ — there stats feed the
     * optimizer; here they gate file IO directly). `meta` carries commit
     * annotations (e.g. streaming (streamId, batchId) for idempotent sinks).
-    * Both default empty so pre-upgrade manifests still parse.
+    * All extension fields default empty so pre-upgrade manifests parse.
+    *
+    * On disk a manifest is either `kind="full"` (complete files/stats/
+    * deletes listing — a checkpoint) or `kind="delta"` (only what the
+    * commit changed vs its parent: adds/removes + addStats + deleteAdds/
+    * deleteRemoves, with the listing fields empty). Writers emit a delta by
+    * default and a full checkpoint every `checkpointInterval` versions, so
+    * commit metadata cost is O(the commit's own change), not O(table
+    * files) — at 10^6 files an append writes a few hundred bytes, and a
+    * reader resolves the head by folding at most `checkpointInterval`
+    * deltas onto the nearest checkpoint (exactly Delta Lake's
+    * log-plus-checkpoint design, VLDB 2020). Every manifest the engine
+    * HANDS OUT (latest/history/readVersion) is resolved to full form, so
+    * consumers never see deltas.
     */
   final case class Manifest(
       version: Long,
@@ -77,7 +93,13 @@ object Snapshots {
       files: Seq[String],
       stats: Map[String, FileStat] = Map.empty,
       meta: Map[String, String] = Map.empty,
-      deletes: Seq[String] = Nil)
+      deletes: Seq[String] = Nil,
+      kind: String = "full",
+      adds: Seq[String] = Nil,
+      removes: Seq[String] = Nil,
+      addStats: Map[String, FileStat] = Map.empty,
+      deleteAdds: Seq[String] = Nil,
+      deleteRemoves: Seq[String] = Nil)
 
   /** Per-column min/max/null-count over one data file; values rendered as
     * strings (parsed back by the column's declared type at prune time).
@@ -91,20 +113,27 @@ object Snapshots {
 
   private implicit val jsonFormats: org.json4s.Formats = org.json4s.DefaultFormats
 
-  /** Opens an existing snapshot table rooted at `root`. */
-  def table(spark: SparkSession, root: String): SnapshotTable =
-    new SnapshotTable(spark, root)
+  /** Opens an existing snapshot table rooted at `root`.
+    * `checkpointInterval` = how often a commit writes a full listing
+    * instead of a delta (readers fold at most interval−1 deltas).
+    */
+  def table(spark: SparkSession, root: String,
+      checkpointInterval: Int = 8): SnapshotTable =
+    new SnapshotTable(spark, root, checkpointInterval)
 
   /** Creates version 0 from `df` (fails if a log already exists). */
   def create(spark: SparkSession, root: String, df: DataFrame,
-      partitionBy: Seq[String] = Nil): SnapshotTable = {
-    val t = new SnapshotTable(spark, root)
+      partitionBy: Seq[String] = Nil,
+      checkpointInterval: Int = 8): SnapshotTable = {
+    val t = new SnapshotTable(spark, root, checkpointInterval)
     t.initialize(df, partitionBy)
     t
   }
 
   final class SnapshotTable private[Snapshots] (
-      val spark: SparkSession, val root: String) {
+      val spark: SparkSession, val root: String,
+      val checkpointInterval: Int = 8) {
+    require(checkpointInterval >= 1, "checkpointInterval must be >= 1")
 
     private val rootPath = new Path(root)
     private val logPath = new Path(rootPath, "_graft_log")
@@ -134,16 +163,62 @@ object Snapshots {
         .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
         .sorted
 
-    /** Latest committed manifest. */
+    /** Latest committed manifest (resolved to full form). */
     def latest(): Manifest = {
       val vs = versions()
       require(vs.nonEmpty, s"not a snapshot table (no _graft_log): $root")
-      readManifest(manifestPath(vs.last))
+      resolve(readManifest(manifestPath(vs.last)))
     }
 
-    /** All manifests, oldest first — the table's commit history. */
+    /** All manifests, oldest first (each resolved to full form). */
     def history(): Seq[Manifest] =
-      versions().map(v => readManifest(manifestPath(v)))
+      versions().map(v => resolve(readManifest(manifestPath(v))))
+
+    /** Fold a delta manifest onto its (recursively resolved) parent. A
+      * manifest's resolved form is immutable, so it caches per version;
+      * recursion depth is bounded by `checkpointInterval` (vacuum keeps the
+      * oldest retained manifest full).
+      */
+    private val resolvedCache =
+      new java.util.concurrent.ConcurrentHashMap[Long, Manifest]()
+    private def resolve(m: Manifest): Manifest =
+      if (m.kind != "delta") m
+      else resolvedCache.computeIfAbsent(m.version, { _ =>
+        val parent = resolve(readManifest(manifestPath(m.parent)))
+        val rm = m.removes.toSet
+        val drm = m.deleteRemoves.toSet
+        m.copy(kind = "full",
+          files = parent.files.filterNot(rm) ++ m.adds,
+          stats = (parent.stats -- rm) ++ m.addStats,
+          deletes = parent.deletes.filterNot(drm) ++ m.deleteAdds,
+          adds = Nil, removes = Nil, addStats = Map.empty,
+          deleteAdds = Nil, deleteRemoves = Nil)
+      })
+
+    /** Publish `target` (a FULL next state diffed against the resolved
+      * `head` it was planned from): checkpoint versions persist the full
+      * listing, every other version persists only the delta. The CAS
+      * contract is unchanged — one winner per version slot.
+      */
+    private def publish(head: Manifest, target: Manifest): Boolean = {
+      val toWrite =
+        if (target.version % checkpointInterval == 0) target
+        else {
+          val headFiles = head.files.toSet
+          val targetFiles = target.files.toSet
+          val headDels = head.deletes.toSet
+          val targetDels = target.deletes.toSet
+          val adds = target.files.filterNot(headFiles)
+          target.copy(kind = "delta",
+            files = Nil, stats = Map.empty, deletes = Nil,
+            adds = adds,
+            removes = head.files.filterNot(targetFiles),
+            addStats = target.stats.view.filterKeys(adds.toSet).toMap,
+            deleteAdds = target.deletes.filterNot(headDels),
+            deleteRemoves = head.deletes.filterNot(targetDels))
+        }
+      casPublish(toWrite)
+    }
 
     /** Atomic create-exclusive publish of `v{version}.json`. Local
       * filesystems get a true atomic hard link (link(2) fails with EEXIST);
@@ -355,7 +430,7 @@ object Snapshots {
     def readVersion(v: Long): DataFrame = {
       val p = manifestPath(v)
       require(fs.exists(p), s"version $v does not exist (vacuumed or never committed)")
-      readFiles(readManifest(p))
+      readFiles(resolve(readManifest(p)))
     }
 
     /** Time travel by timestamp: the last version committed at or before
@@ -461,7 +536,7 @@ object Snapshots {
             val m = Manifest(head.version + 1, head.version,
               System.currentTimeMillis(), action, head.partitionCols,
               head.schemaJson, files, stats, meta, deletesOf(head))
-            if (casPublish(m)) return m
+            if (publish(head, m)) return m
         }
         attempt += 1
         if (attempt > maxRetries)
@@ -549,7 +624,7 @@ object Snapshots {
         // CAS can only succeed if head is still the latest version, and the
         // affected files were taken FROM head — so a successful publish
         // proves no concurrent commit removed them (write-serializable).
-        if (casPublish(m)) return m
+        if (publish(head, m)) return m
         attempt += 1
         if (attempt > maxRetries)
           throw new ConcurrentModificationException(
@@ -591,7 +666,7 @@ object Snapshots {
           System.currentTimeMillis(), "delete-mor", head.partitionCols,
           head.schemaJson, head.files, head.stats, Map.empty,
           head.deletes ++ sidecars)
-        if (casPublish(m)) return m
+        if (publish(head, m)) return m
         attempt += 1
         if (attempt > maxRetries)
           throw new ConcurrentModificationException(
@@ -637,7 +712,7 @@ object Snapshots {
           System.currentTimeMillis(), "update-mor", head.partitionCols,
           head.schemaJson, head.files ++ staged, head.stats ++ stagedStats,
           Map.empty, head.deletes ++ sidecars)
-        if (casPublish(m)) return m
+        if (publish(head, m)) return m
         attempt += 1
         if (attempt > maxRetries)
           throw new ConcurrentModificationException(
@@ -743,7 +818,7 @@ object Snapshots {
           System.currentTimeMillis(), "merge", head.partitionCols,
           head.schemaJson, head.files.filterNot(affected) ++ staged,
           (head.stats -- affected) ++ stagedStats, Map.empty, head.deletes)
-        if (casPublish(m)) return m
+        if (publish(head, m)) return m
         attempt += 1
         if (attempt > maxRetries)
           throw new ConcurrentModificationException(
@@ -819,7 +894,7 @@ object Snapshots {
           System.currentTimeMillis(), "compact", head.partitionCols,
           head.schemaJson, keptFiles ++ staged,
           (head.stats -- smallSet) ++ stagedStats, Map.empty, newDeletes)
-        if (casPublish(m)) return m
+        if (publish(head, m)) return m
         attempt += 1
         if (attempt > maxRetries)
           throw new ConcurrentModificationException(
@@ -840,7 +915,23 @@ object Snapshots {
     def vacuum(retainLast: Int = 1): Unit = {
       val vs = versions()
       val keep = vs.takeRight(math.max(retainLast, 1)).toSet
-      val kept = keep.map(v => readManifest(manifestPath(v)))
+      // the oldest retained manifest must be self-contained AFTER its
+      // ancestors are pruned: if it's a delta, rewrite it in place as its
+      // resolved full form (atomic replace; logical content identical)
+      val oldest = keep.min
+      val om = readManifest(manifestPath(oldest))
+      if (om.kind == "delta") {
+        val full = resolve(om)
+        val logLocal = java.nio.file.Paths.get(
+          fs.makeQualified(logPath).toUri.getPath)
+        // tmp in the log dir itself so the replace is same-filesystem atomic
+        val tmp = java.nio.file.Files.createTempFile(logLocal, ".ckpt_", ".json")
+        java.nio.file.Files.writeString(tmp, writeManifestJson(full))
+        java.nio.file.Files.move(tmp,
+          logLocal.resolve(manifestPath(oldest).getName),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      val kept = keep.map(v => resolve(readManifest(manifestPath(v))))
       val referenced = kept.flatMap(_.files) ++ kept.flatMap(_.deletes)
       Seq("data", "deletes").foreach { sub =>
         val dir = new Path(rootPath, sub)

@@ -471,6 +471,85 @@ class SnapshotsSpec extends SparkSpec {
     assert(t.read().count() === 70)
   }
 
+  test("delta manifests: commits between checkpoints write only their change") {
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 40).coalesce(1),
+      checkpointInterval = 4)
+    (0 until 6).foreach(i =>
+      t.append(nums(100 * (i + 1), 100 * (i + 1) + 10).coalesce(1)))
+    // on-disk kinds: v0/v4 checkpoints, the rest deltas
+    def rawKind(v: Int): String = {
+      val j = org.json4s.jackson.JsonMethods.parse(
+        java.nio.file.Files.readString(
+          java.nio.file.Paths.get(root, "_graft_log", f"v$v%08d.json")))
+      (j \ "kind").extract[String]
+    }
+    assert(rawKind(0) === "full" && rawKind(4) === "full")
+    assert(Seq(1, 2, 3, 5, 6).forall(rawKind(_) === "delta"))
+    // a delta append records exactly its own files, no inherited listing
+    val j1 = org.json4s.jackson.JsonMethods.parse(
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(root, "_graft_log", "v00000001.json")))
+    assert((j1 \ "files").extract[Seq[String]].isEmpty)
+    assert((j1 \ "adds").extract[Seq[String]].size === 1)
+    // resolution: latest and every historical version read correctly
+    assert(t.latest().files.size === 7)
+    assert(t.read().count() === 100)
+    (0 to 6).foreach(v => assert(t.readVersion(v).count() === 40 + 10 * v))
+  }
+
+  test("delta manifests: COW, MOR, and compact commits resolve across deltas") {
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 60).coalesce(1),
+      checkpointInterval = 100) // force everything after v0 to be deltas
+    t.append(nums(100, 160).coalesce(1)) // v1 delta
+    t.deleteWhereMergeOnRead(col("id") < 10) // v2 delta (deleteAdds)
+    t.updateWhere(col("id") >= 150, Map("s" -> lit("U"))) // v3 delta (add+remove)
+    t.compact(targetBytes = 512L * 1024 * 1024) // v4 delta (consolidates)
+    assert(t.read().count() === 110)
+    assert(t.read().filter(col("s") === "U").count() === 10)
+    assert(t.read().filter(col("id") < 10).count() === 0)
+    assert(t.latest().deletes.isEmpty, "compact consolidated the sidecars")
+    assert(t.readVersion(2).count() === 110)
+    assert(t.readVersion(1).count() === 120)
+    // stats-pruned reads work off resolved delta state
+    assert(t.readWhere(col("id") >= 100).count() === 60)
+  }
+
+  test("vacuum rewrites the oldest retained delta as a self-contained checkpoint") {
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 30).coalesce(1),
+      checkpointInterval = 100)
+    t.append(nums(100, 130).coalesce(1)) // v1 delta
+    t.append(nums(200, 230).coalesce(1)) // v2 delta
+    t.vacuum(retainLast = 2) // prunes v0 — v1 must become self-contained
+    assert(t.read().count() === 90)
+    assert(t.readVersion(1).count() === 60, "v1 must resolve without v0")
+    // a fresh handle (empty resolution cache) must also read it
+    assert(Snapshots.table(spark, root).readVersion(1).count() === 60)
+    intercept[IllegalArgumentException](t.readVersion(0))
+  }
+
+  test("concurrent appends stay correct with delta manifests on") {
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 10), checkpointInterval = 3)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val jobs = (0 until 8).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit =
+            Snapshots.table(spark, root, checkpointInterval = 3)
+              .append(nums(100 * (i + 1), 100 * (i + 1) + 10))
+        })
+      }
+      jobs.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    assert(t.latest().version === 8L)
+    assert(t.read().count() === 90)
+  }
+
   test("vacuum drops unreferenced files and pruned versions") {
     val root = freshRoot()
     val t = Snapshots.create(spark, root, nums(0, 100))
