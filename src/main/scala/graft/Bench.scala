@@ -37,6 +37,7 @@ object Bench {
     "p22_clean_pipeline",   // composed clean: score+dedup(CC)+scrub
     "p28_decontaminate",    // k-gram overlap vs broadcast benchmark set
     "p29_bm25_topk",        // relational Okapi BM25 top-k
+    "p34_document_chunks",  // context-window chunking (sequence+explode fan-out)
     "t07_volume_shipping",  // 6-way join
     "t13_customer_distribution", // outer join + double aggregation
     "t21_waiting_supplier") // double-correlated EXISTS/NOT EXISTS
