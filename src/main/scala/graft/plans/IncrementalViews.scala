@@ -138,7 +138,8 @@ object IncrementalViews {
       val t = table
       val head = t.latest()
       if (head.version == since) return RefreshResult("noop", since, 0L)
-      val newCommits = t.history().filter(_.version > since)
+      // only the commits after `since` matter — never list the whole log
+      val newCommits = t.historySince(since)
       val insertOnly = newCommits.forall(m =>
         m.action == "append" || m.action == "compact")
       if (!insertOnly) return rebuildFull()

@@ -174,6 +174,14 @@ object Snapshots {
     def history(): Seq[Manifest] =
       versions().map(v => resolve(readManifest(manifestPath(v))))
 
+    /** Manifests with version > `sinceVersion`, oldest first — the
+      * incremental consumers' entry point (reads O(newer versions), not the
+      * whole log).
+      */
+    def historySince(sinceVersion: Long): Seq[Manifest] =
+      versions().filter(_ > sinceVersion)
+        .map(v => resolve(readManifest(manifestPath(v))))
+
     /** Fold a delta manifest onto its (recursively resolved) parent. A
       * manifest's resolved form is immutable, so it caches per version;
       * recursion depth is bounded by `checkpointInterval` (vacuum keeps the
@@ -487,12 +495,17 @@ object Snapshots {
       * appended data exactly once per version.
       */
     def readChanges(sinceVersion: Long): DataFrame = {
-      val h = history()
-      val byVersion = h.map(m => m.version -> m).toMap
-      val changes = h.filter(m => m.version > sinceVersion && m.action != "compact")
+      // read only the manifests after `sinceVersion` plus each one's parent
+      // (for the added-files diff) — O(changed versions), not O(log length)
+      val newer = versions().filter(_ > sinceVersion)
+      val changes = newer
+        .map(v => resolve(readManifest(manifestPath(v))))
+        .filter(_.action != "compact")
         .flatMap { m =>
-          val parentFiles = byVersion.get(m.parent).map(_.files.toSet)
-            .getOrElse(Set.empty[String])
+          val parentFiles =
+            if (m.parent < 0 || !fs.exists(manifestPath(m.parent)))
+              Set.empty[String]
+            else resolve(readManifest(manifestPath(m.parent))).files.toSet
           val added = m.files.filterNot(parentFiles)
           if (added.isEmpty) None
           else Some(readFiles(m.copy(files = added))
@@ -573,14 +586,20 @@ object Snapshots {
       */
     def appendBatch(df: DataFrame, streamId: String, batchId: Long,
         maxRetries: Int = 10): Manifest = {
-      def committed: Option[Manifest] = history().find(m =>
-        m.meta.get("streamId").contains(streamId) &&
-          m.meta.get("batchId").contains(batchId.toString))
-      committed match {
-        case Some(_) => latest() // replayed batch — already in the log
-        case None => append(df, maxRetries,
-          Map("streamId" -> streamId, "batchId" -> batchId.toString))
-      }
+      // batchIds are monotonic per streaming query, so the batch is already
+      // committed iff this stream's most recent commit has batchId >= ours.
+      // Scan the log TAIL-first and stop at the stream's first (most
+      // recent) commit — O(versions since that commit), not O(log length);
+      // a steady stream finds its previous batch within a few manifests.
+      val committed = versions().reverseIterator
+        .map(v => readManifest(manifestPath(v)))
+        .collectFirst {
+          case m if m.meta.get("streamId").contains(streamId) =>
+            m.meta("batchId").toLong >= batchId
+        }.getOrElse(false)
+      if (committed) latest() // replayed batch — already in the log
+      else append(df, maxRetries,
+        Map("streamId" -> streamId, "batchId" -> batchId.toString))
     }
 
     /** Replaces the table contents. Rebases blindly (an overwrite reads
