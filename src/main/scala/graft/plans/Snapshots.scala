@@ -512,7 +512,9 @@ object Snapshots {
             .withColumn("_commit_version", lit(m.version))
             .withColumn("_commit_action", lit(m.action)))
         }
-      changes.reduceOption(_.unionByName(_)).getOrElse {
+      // allowMissingColumns: versions on either side of a schema evolution
+      // union by name with NULL fill, like the per-version reads themselves
+      changes.reduceOption(_.unionByName(_, allowMissingColumns = true)).getOrElse {
         readFiles(latest().copy(files = Nil))
           .withColumn("_commit_version", lit(-1L))
           .withColumn("_commit_action", lit(""))
@@ -690,6 +692,36 @@ object Snapshots {
         if (attempt > maxRetries)
           throw new ConcurrentModificationException(
             s"delete-mor at $root lost the commit race $attempt times — giving up")
+      }
+      sys.error("unreachable")
+    }
+
+    /** Schema evolution — ALTER TABLE ADD COLUMNS (ref: the reference's
+      * AlterTableAddColsDesc under ql/ddl/table/): a metadata-only commit
+      * that extends the stored schema with NULLABLE columns. No data file
+      * changes hands; readers pass the manifest schema to the scan, so
+      * pre-evolution files surface the new columns as NULL. Appends after
+      * the evolution must supply the full new schema. Time travel keeps
+      * each version's own schema.
+      */
+    def addColumns(cols: org.apache.spark.sql.types.StructType,
+        maxRetries: Int = 10): Manifest = {
+      var attempt = 0
+      while (true) {
+        val head = latest()
+        val existing = schemaOf(head.schemaJson)
+        val dup = cols.fieldNames.toSet.intersect(existing.fieldNames.toSet)
+        require(dup.isEmpty, s"columns already exist: ${dup.mkString(", ")}")
+        val newSchema = org.apache.spark.sql.types.StructType(
+          existing.fields ++ cols.fields.map(_.copy(nullable = true)))
+        val m = Manifest(head.version + 1, head.version,
+          System.currentTimeMillis(), "add-columns", head.partitionCols,
+          newSchema.json, head.files, head.stats, Map.empty, head.deletes)
+        if (publish(head, m)) return m
+        attempt += 1
+        if (attempt > maxRetries)
+          throw new ConcurrentModificationException(
+            s"add-columns at $root lost the commit race $attempt times — giving up")
       }
       sys.error("unreachable")
     }

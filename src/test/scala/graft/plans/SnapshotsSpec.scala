@@ -532,6 +532,36 @@ class SnapshotsSpec extends SparkSpec {
     intercept[IllegalArgumentException](t.readVersion(0))
   }
 
+  test("addColumns evolves the schema; old files read the new column as NULL") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 50))
+    val before = t.latest()
+    val m = t.addColumns(StructType(Seq(StructField("score", DoubleType))))
+    assert(m.action === "add-columns")
+    assert(m.files === before.files, "schema evolution is metadata-only")
+    // pre-evolution rows surface the new column as NULL
+    val got = t.read()
+    assert(got.columns.toSeq === Seq("id", "s", "k", "score"))
+    assert(got.filter(col("score").isNull).count() === 50)
+    // appends now carry the full new schema
+    t.append((100 until 110).map(i => (i.toLong, s"row$i", i % 4, i * 0.5))
+      .toDF("id", "s", "k", "score"))
+    assert(t.read().count() === 60)
+    assert(t.read().filter(col("score").isNotNull).count() === 10)
+    // time travel keeps the pre-evolution schema
+    assert(t.readVersion(0).columns.toSeq === Seq("id", "s", "k"))
+    // duplicate columns are refused; DML still works on the evolved table
+    intercept[IllegalArgumentException](
+      t.addColumns(StructType(Seq(StructField("s", StringType)))))
+    t.deleteWhere(col("id") < 5)
+    assert(t.read().count() === 55)
+    // readChanges across the evolution unions by name with NULL fill
+    val ch = t.readChanges(0L)
+    assert(ch.columns.contains("score"))
+  }
+
   test("concurrent appends stay correct with delta manifests on") {
     val root = freshRoot()
     val t = Snapshots.create(spark, root, nums(0, 10), checkpointInterval = 3)
