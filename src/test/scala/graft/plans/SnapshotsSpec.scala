@@ -580,6 +580,45 @@ class SnapshotsSpec extends SparkSpec {
     assert(t.read().count() === 90)
   }
 
+  test("delta manifest size is bounded by the commit's change, not table size") {
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 10).coalesce(1),
+      checkpointInterval = 1000) // everything after v0 is a delta
+    (0 until 25).foreach(i =>
+      t.append(nums(1000 * (i + 1), 1000 * (i + 1) + 10).coalesce(1)))
+    def manifestBytes(v: Int): Long = java.nio.file.Files.size(
+      java.nio.file.Paths.get(root, "_graft_log", f"v$v%08d.json"))
+    // the 25th single-file append must cost ~what the 1st did — NOT grow
+    // with the 26-file table (a full listing would be ~26x)
+    val first = manifestBytes(1)
+    val last = manifestBytes(25)
+    assert(last < first * 2,
+      s"delta manifests must not grow with the table: v1=$first bytes, v25=$last bytes")
+    assert(t.read().count() === 260)
+  }
+
+  test("racing MOR delete and append both land (no lost commit)") {
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 100))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val a = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit =
+          Snapshots.table(spark, root).deleteWhereMergeOnRead(col("id") < 20)
+      })
+      val b = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit =
+          Snapshots.table(spark, root).append(nums(500, 520))
+      })
+      a.get(120, java.util.concurrent.TimeUnit.SECONDS)
+      b.get(120, java.util.concurrent.TimeUnit.SECONDS)
+    } finally pool.shutdown()
+    val got = t.read()
+    assert(got.count() === 100, "80 survivors + 20 appended")
+    assert(got.filter(col("id") < 20).count() === 0, "MOR delete must not be lost")
+    assert(got.filter(col("id") >= 500).count() === 20, "append must not be lost")
+  }
+
   test("vacuum drops unreferenced files and pruned versions") {
     val root = freshRoot()
     val t = Snapshots.create(spark, root, nums(0, 100))
