@@ -189,19 +189,26 @@ object Snapshots {
       */
     private val resolvedCache =
       new java.util.concurrent.ConcurrentHashMap[Long, Manifest]()
-    private def resolve(m: Manifest): Manifest =
-      if (m.kind != "delta") m
-      else resolvedCache.computeIfAbsent(m.version, { _ =>
-        val parent = resolve(readManifest(manifestPath(m.parent)))
-        val rm = m.removes.toSet
-        val drm = m.deleteRemoves.toSet
-        m.copy(kind = "full",
-          files = parent.files.filterNot(rm) ++ m.adds,
-          stats = (parent.stats -- rm) ++ m.addStats,
-          deletes = parent.deletes.filterNot(drm) ++ m.deleteAdds,
-          adds = Nil, removes = Nil, addStats = Map.empty,
-          deleteAdds = Nil, deleteRemoves = Nil)
-      })
+    private def resolve(m: Manifest): Manifest = {
+      if (m.kind != "delta") return m
+      // NOT computeIfAbsent: the parent resolution would nest a map update
+      // inside the mapping function, which ConcurrentHashMap forbids
+      // (recursive-update IllegalStateException). Racing duplicate work is
+      // harmless — resolution is deterministic.
+      val cached = resolvedCache.get(m.version)
+      if (cached != null) return cached
+      val parent = resolve(readManifest(manifestPath(m.parent)))
+      val rm = m.removes.toSet
+      val drm = m.deleteRemoves.toSet
+      val full = m.copy(kind = "full",
+        files = parent.files.filterNot(rm) ++ m.adds,
+        stats = (parent.stats -- rm) ++ m.addStats,
+        deletes = parent.deletes.filterNot(drm) ++ m.deleteAdds,
+        adds = Nil, removes = Nil, addStats = Map.empty,
+        deleteAdds = Nil, deleteRemoves = Nil)
+      resolvedCache.putIfAbsent(m.version, full)
+      full
+    }
 
     /** Publish `target` (a FULL next state diffed against the resolved
       * `head` it was planned from): checkpoint versions persist the full
@@ -397,14 +404,17 @@ object Snapshots {
     @volatile private var cachedMetaPrefix: String = null
     private def metaPathPrefix(m: Manifest): String = {
       if (cachedMetaPrefix == null) {
-        val f = m.files.head
+        // probe over ALL files (the first may be a 0-row file); whichever
+        // file the sampled row came from, its absolute path ends with its
+        // table-relative name — the prefix is what precedes it
         val abs = spark.read
-          .parquet(new Path(rootPath, f).toString)
+          .option("basePath", fs.makeQualified(rootPath).toString)
+          .parquet(m.files.map(f => new Path(rootPath, f).toString): _*)
           .select(col("_metadata.file_path")).limit(1)
           .head().getString(0)
-        require(abs.endsWith("/" + f),
-          s"_metadata.file_path '$abs' does not end with table-relative '$f'")
-        cachedMetaPrefix = abs.dropRight(f.length + 1)
+        val rel = m.files.find(f => abs.endsWith("/" + f)).getOrElse(
+          sys.error(s"_metadata.file_path '$abs' matches no manifest file"))
+        cachedMetaPrefix = abs.dropRight(rel.length + 1)
       }
       cachedMetaPrefix
     }
