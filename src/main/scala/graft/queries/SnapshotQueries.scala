@@ -183,5 +183,36 @@ object SnapshotQueries {
         .groupBy($"o_orderstatus")
         .agg(count(lit(1)).as("n"), Exact.dsum($"o_totalprice").as("total"))
         .orderBy($"o_orderstatus")
+    },
+
+    // Schema evolution: ADD COLUMNS mid-history — pre-evolution rows read
+    // the new column as NULL, post-evolution appends carry real values.
+    // The oracle replays both eras as a NULL-padded union.
+    q("s08_snapshot_add_columns",
+      """SELECT o_orderstatus, count(*) AS n, count(extra) AS n_extra,
+        |  CAST(sum(CAST(extra AS DECIMAL(25,2))) AS DOUBLE) AS extra_sum
+        |FROM (
+        |  SELECT o_orderstatus, CAST(NULL AS DOUBLE) AS extra
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderstatus, CAST(o_orderkey AS DOUBLE) AS extra
+        |  FROM orders WHERE o_orderkey % 2 = 1
+        |) GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val orders = Engine.table(spark, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus")
+      val t = Snapshots.create(spark, scratch(),
+        orders.filter($"o_orderkey" % 2 === 0))
+      t.addColumns(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("extra",
+          org.apache.spark.sql.types.DoubleType))))
+      t.append(orders.filter($"o_orderkey" % 2 === 1)
+        .withColumn("extra", $"o_orderkey".cast("double")))
+      t.read()
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"), count($"extra").as("n_extra"),
+          sum($"extra".cast(org.apache.spark.sql.types.DecimalType(25, 2)))
+            .cast("double").as("extra_sum"))
+        .orderBy($"o_orderstatus")
     })
 }

@@ -88,6 +88,17 @@ class IncrementalViewsSpec extends SparkSpec {
     assert(mv.refresh().mode === "noop")
   }
 
+  test("MV over an empty table materializes and refreshes once rows arrive") {
+    import spark.implicits._
+    val t = Snapshots.create(spark, fresh("graft_imv_"), rows(0, 0))
+    val mv = IncrementalViews.create(spark, t.root, fresh("graft_imvd_"),
+      Seq("grp"), specs)
+    assert(mv.read().count() === 0)
+    t.append(rows(0, 30))
+    assert(mv.refresh().mode === "incremental")
+    assertMatches(mv, t)
+  }
+
   test("refresh cost is delta-proportional: appended rows only, never the table") {
     val t = Snapshots.create(spark, fresh("graft_imv_"), rows(0, 1000))
     val mv = IncrementalViews.create(spark, t.root, fresh("graft_imvd_"),
