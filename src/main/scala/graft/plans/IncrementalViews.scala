@@ -141,7 +141,7 @@ object IncrementalViews {
       // only the commits after `since` matter — never list the whole log
       val newCommits = t.historySince(since)
       val insertOnly = newCommits.forall(m =>
-        m.action == "append" || m.action == "compact")
+        m.action == "append" || m.action == "compact" || m.action == "cluster")
       if (!insertOnly) return rebuildFull()
       // fold the appended rows into the stored partials. The delta must be
       // pinned to `head` (not a racing later commit): readChanges caps at

@@ -510,7 +510,9 @@ object Snapshots {
       val newer = versions().filter(_ > sinceVersion)
       val changes = newer
         .map(v => resolve(readManifest(manifestPath(v))))
-        .filter(_.action != "compact")
+        // compact and cluster are data-identical reorganizations — their
+        // rewritten files are not changes
+        .filter(m => m.action != "compact" && m.action != "cluster")
         .flatMap { m =>
           val parentFiles =
             if (m.parent < 0 || !fs.exists(manifestPath(m.parent)))
@@ -960,6 +962,48 @@ object Snapshots {
         if (attempt > maxRetries)
           throw new ConcurrentModificationException(
             s"compact at $root lost the commit race $attempt times — giving up")
+      }
+      sys.error("unreachable")
+    }
+
+    /** Data clustering: rewrites the table range-partitioned and sorted on
+      * `cols`, so files hold DISJOINT key ranges and [[readWhere]]'s
+      * min/max pruning reaches partition-elimination selectivity on the
+      * clustering key without any physical partitioning (the OPTIMIZE ...
+      * CLUSTER BY role; the reference's CLUSTERED BY ... SORTED BY table
+      * layout, ref ql/ddl CreateTableDesc bucketing/sort spec). Commits as
+      * a data-identical "cluster" action — incremental consumers skip it
+      * like compaction — and folds pending MOR deletes in.
+      */
+    def clusterBy(cols: Seq[String], targetBytes: Long = 128L * 1024 * 1024,
+        maxRetries: Int = 10): Manifest = {
+      val head0 = latest()
+      val bad = cols.toSet.intersect(head0.partitionCols.toSet)
+      require(bad.isEmpty,
+        s"cluster keys cannot be partition columns: ${bad.mkString(", ")}")
+      val schema = schemaOf(head0.schemaJson)
+      val missing = cols.filterNot(schema.fieldNames.contains)
+      require(missing.isEmpty, s"unknown cluster columns: ${missing.mkString(", ")}")
+      var attempt = 0
+      while (true) {
+        val head = latest()
+        if (head.files.isEmpty) return head
+        val totalBytes = head.files.map(f =>
+          fs.getFileStatus(new Path(rootPath, f)).getLen).sum
+        val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+        val input = readFiles(head) // MOR deletes fold in
+        val clustered = input
+          .repartitionByRange(nOut, cols.map(col): _*)
+          .sortWithinPartitions(cols.map(col): _*)
+        val (staged, stagedStats) = stage(clustered, head.partitionCols)
+        val m = Manifest(head.version + 1, head.version,
+          System.currentTimeMillis(), "cluster", head.partitionCols,
+          head.schemaJson, staged, stagedStats, Map.empty, Nil)
+        if (publish(head, m)) return m
+        attempt += 1
+        if (attempt > maxRetries)
+          throw new ConcurrentModificationException(
+            s"cluster at $root lost the commit race $attempt times — giving up")
       }
       sys.error("unreachable")
     }

@@ -619,6 +619,48 @@ class SnapshotsSpec extends SparkSpec {
     assert(got.filter(col("id") >= 500).count() === 20, "append must not be lost")
   }
 
+  test("clusterBy gives files disjoint ranges so stats pruning hits one file") {
+    import spark.implicits._
+    val root = freshRoot()
+    // interleaved appends: every file spans nearly the full id range, so
+    // stats pruning can't skip anything
+    val t = Snapshots.create(spark, root,
+      (0 until 400 by 4).map(i => (i.toLong, s"r$i", i % 4)).toDF("id", "s", "k")
+        .coalesce(1))
+    (1 to 3).foreach { off =>
+      t.append((off until 400 by 4).map(i => (i.toLong, s"r$i", i % 4))
+        .toDF("id", "s", "k").coalesce(1))
+    }
+    val before = t.latest()
+    val unpruned = t.planFiles(before, col("id") === 123L)
+    assert(unpruned.size === before.files.size,
+      "interleaved files must be unprunable before clustering")
+    // cluster on id: small target so multiple range files emerge
+    val m = t.clusterBy(Seq("id"), targetBytes = 2048)
+    assert(m.action === "cluster")
+    assert(m.files.size > 1, s"want multiple range files, got ${m.files.size}")
+    val pruned = t.planFiles(m, col("id") === 123L)
+    assert(pruned.size === 1,
+      s"disjoint ranges must prune to exactly 1 file, got ${pruned.size}/${m.files.size}")
+    // data identical
+    assert(t.read().count() === 400)
+    assert(t.readWhere(col("id") === 123L).count() === 1)
+    assert(t.read().agg(sum(col("id"))).head.getLong(0) ===
+      (0L until 400L).sum)
+    // MOR deletes fold in during clustering
+    t.deleteWhereMergeOnRead(col("id") < 100)
+    t.clusterBy(Seq("id"), targetBytes = 2048)
+    assert(t.latest().deletes.isEmpty)
+    assert(t.read().count() === 300)
+    // cluster commits are invisible to incremental readers
+    assert(t.readChanges(m.version).filter(col("_commit_action") === "cluster")
+      .count() === 0)
+    // partition/unknown cluster keys are refused
+    val tp = Snapshots.create(spark, freshRoot(), nums(0, 20), partitionBy = Seq("k"))
+    intercept[IllegalArgumentException](tp.clusterBy(Seq("k")))
+    intercept[IllegalArgumentException](tp.clusterBy(Seq("nope")))
+  }
+
   test("vacuum drops unreferenced files and pruned versions") {
     val root = freshRoot()
     val t = Snapshots.create(spark, root, nums(0, 100))
