@@ -53,6 +53,7 @@ object Engine {
     spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
     graft.functions.HiveFunctions.registerAll(spark)
     graft.plans.MaterializedViews.install(spark)
+    graft.plans.SnapshotSql.register(spark)
     spark
   }
 

@@ -1,0 +1,65 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** SQL surface for snapshot tables: table-valued functions so plain
+  * `spark.sql` users get time travel and CDC without touching the
+  * programmatic API — the role the reference's SQL syntax extensions play
+  * (Hive exposes everything through HiveQL; here the TVF registry carries
+  * the non-standard relations):
+  *
+  * {{{
+  * SELECT * FROM snapshot_table('/path/to/t')            -- current snapshot
+  * SELECT * FROM snapshot_table('/path/to/t', 3)         -- VERSION AS OF 3
+  * SELECT * FROM snapshot_changes('/path/to/t', 0)       -- CDC since v0
+  * }}}
+  *
+  * Arguments must be literals (the plan is built at analysis time).
+  * Registered by [[graft.Engine.configure]] and the
+  * `spark.sql.extensions` hook, idempotently per session.
+  */
+object SnapshotSql {
+
+  def register(spark: SparkSession): Unit = {
+    registerTvf(spark, "snapshot_table",
+      "snapshot_table(path[, version]) - snapshot read / time travel") {
+      case Seq(path) =>
+        Snapshots.table(spark, asString(path)).read()
+      case Seq(path, version) =>
+        Snapshots.table(spark, asString(path)).readVersion(asLong(version))
+      case other => throw new IllegalArgumentException(
+        s"snapshot_table(path[, version]): got ${other.size} arguments")
+    }
+    registerTvf(spark, "snapshot_changes",
+      "snapshot_changes(path, sinceVersion) - rows added after a version") {
+      case Seq(path, since) =>
+        Snapshots.table(spark, asString(path)).readChanges(asLong(since))
+      case other => throw new IllegalArgumentException(
+        s"snapshot_changes(path, sinceVersion): got ${other.size} arguments")
+    }
+  }
+
+  private def registerTvf(spark: SparkSession, name: String, usage: String)(
+      build: Seq[Expression] => org.apache.spark.sql.DataFrame): Unit =
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier(name),
+      new ExpressionInfo(getClass.getName, null, name, usage, ""),
+      (exprs: Seq[Expression]) => build(exprs).queryExecution.logical
+        : LogicalPlan)
+
+  private def asString(e: Expression): String = e match {
+    case Literal(v, org.apache.spark.sql.types.StringType) if v != null =>
+      v.toString
+    case other => throw new IllegalArgumentException(
+      s"expected a string literal argument, got: $other")
+  }
+
+  private def asLong(e: Expression): Long = e match {
+    case Literal(v: Number, _) => v.longValue()
+    case other => throw new IllegalArgumentException(
+      s"expected an integer literal argument, got: $other")
+  }
+}

@@ -661,6 +661,28 @@ class SnapshotsSpec extends SparkSpec {
     intercept[IllegalArgumentException](tp.clusterBy(Seq("nope")))
   }
 
+  test("SQL TVFs: snapshot_table and snapshot_changes from plain spark.sql") {
+    graft.plans.SnapshotSql.register(spark)
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 50))
+    t.deleteWhere(col("id") < 10) // v1
+    t.append(nums(100, 120)) // v2
+    assert(spark.sql(s"SELECT count(*) AS n FROM snapshot_table('$root')")
+      .head().getLong(0) === 60)
+    assert(spark.sql(s"SELECT count(*) AS n FROM snapshot_table('$root', 0)")
+      .head().getLong(0) === 50)
+    // TVFs compose with plain SQL (joins, filters, aggregates)
+    assert(spark.sql(
+      s"""SELECT count(*) FROM snapshot_table('$root') s
+         |JOIN snapshot_table('$root', 0) v0 USING (id)
+         |WHERE s.id >= 40""".stripMargin).head().getLong(0) === 10)
+    assert(spark.sql(
+      s"SELECT count(*) FROM snapshot_changes('$root', 1) WHERE _commit_version = 2")
+      .head().getLong(0) === 20)
+    // non-literal / wrong-arity arguments are refused with a clear error
+    intercept[Exception](spark.sql("SELECT * FROM snapshot_table(1)").collect())
+  }
+
   test("vacuum drops unreferenced files and pruned versions") {
     val root = freshRoot()
     val t = Snapshots.create(spark, root, nums(0, 100))
