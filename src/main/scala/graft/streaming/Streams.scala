@@ -250,4 +250,39 @@ object Streams {
     q.processAllAvailable()
     q
   }
+
+  /** Streaming upsert into a snapshot table: each micro-batch is deduped by
+    * key (highest `versionCol` wins, like [[upsertSink]]) and MERGEd —
+    * matched keys update, new keys insert, at file granularity with the
+    * table's optimistic concurrency (a racing batch/compaction replays
+    * cleanly). Crash-replay safe WITHOUT batch stamping: re-applying the
+    * same keyed upsert converges to the same state — a replayed update
+    * rewrites the same values, a replayed insert finds its key matched and
+    * updates in place. NULL keys drop (a MERGE key never matches NULL).
+    */
+  def snapshotUpsertSink(df: DataFrame, tableRoot: String, key: String,
+      versionCol: Option[String] = None): StreamingQuery = {
+    val q = df.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val keyed = batch.filter(col(key).isNotNull)
+        val deduped = versionCol match {
+          case Some(v) =>
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(col(key)).orderBy(col(v).desc)
+            keyed.withColumn("_rn", row_number().over(w))
+              .filter(col("_rn") === 1).drop("_rn")
+          case None => keyed.dropDuplicates(key)
+        }
+        val t = graft.plans.Snapshots.table(batch.sparkSession, tableRoot)
+        t.merge(deduped, key, key,
+          whenMatchedSet = deduped.columns.filterNot(_ == key)
+            .map(c => c -> col(c)).toMap,
+          sourceKeysUnique = true)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
 }

@@ -205,6 +205,37 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("snapshotUpsertSink merges micro-batches by key with versioned history") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_snapups_").toString + "/t"
+    val t = graft.plans.Snapshots.create(spark, root,
+      Seq((1L, "orig", 1.0), (2L, "orig", 2.0)).toDF("k", "tag", "v"))
+    val in = MemoryStream[(Long, String, Double)]
+    // within one batch the HIGHEST v wins; k=3 inserts; null-ish keys absent
+    in.addData((2L, "b_old", 5.0), (2L, "b_new", 9.0), (3L, "c", 3.0))
+    val q = Streams.snapshotUpsertSink(in.toDF().toDF("k", "tag", "v"), root,
+      "k", versionCol = Some("v"))
+    try {
+      val got1 = t.read().orderBy($"k").as[(Long, String, Double)].collect().toSeq
+      assert(got1 === Seq((1L, "orig", 1.0), (2L, "b_new", 9.0), (3L, "c", 3.0)))
+      // second batch: update k=1, insert k=4
+      in.addData((1L, "a2", 10.0), (4L, "d", 4.0))
+      q.processAllAvailable()
+      val got2 = t.read().orderBy($"k").as[(Long, String, Double)].collect().toSeq
+      assert(got2 === Seq((1L, "a2", 10.0), (2L, "b_new", 9.0),
+        (3L, "c", 3.0), (4L, "d", 4.0)))
+      // replaying a batch's content converges instead of duplicating
+      t.merge(Seq((4L, "d", 4.0)).toDF("k", "tag", "v"), "k", "k",
+        whenMatchedSet = Map("tag" -> col("tag"), "v" -> col("v")),
+        sourceKeysUnique = true)
+      assert(t.read().count() === 4, "replayed upsert must not duplicate")
+      // pre-stream state is still time-travelable
+      assert(t.readVersion(0).count() === 2)
+    } finally q.stop()
+  }
+
   test("snapshotAppendSink commits one stamped version per micro-batch, exactly once") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
