@@ -683,6 +683,37 @@ class SnapshotsSpec extends SparkSpec {
     intercept[Exception](spark.sql("SELECT * FROM snapshot_table(1)").collect())
   }
 
+  test("plan: readWhere's physical scan holds only the stats-pruned files") {
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 100).coalesce(2))
+    t.append(nums(5000, 5100).coalesce(2))
+    val m = t.latest()
+    val pruned = t.planFiles(m, col("id") >= 5000L)
+    val df = t.readWhere(col("id") >= 5000L)
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val scanFiles = scans.head.relation.location.inputFiles
+    assert(scanFiles.length === pruned.size,
+      s"scan must hold exactly the pruned files: ${scanFiles.length} vs ${pruned.size}")
+    assert(scanFiles.length < m.files.size, "pruning must have skipped files")
+  }
+
+  test("plan: MOR delete merge is a broadcast anti-join, not a shuffle") {
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 1000))
+    t.deleteWhereMergeOnRead(col("id") < 100)
+    val df = t.read()
+    assert(df.count() === 900)
+    // AQE's final plan: the (tiny) delete sidecar must broadcast
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected broadcast left-anti delete merge, got:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "the delete-set merge must not sort-merge at this size")
+  }
+
   test("vacuum drops unreferenced files and pruned versions") {
     val root = freshRoot()
     val t = Snapshots.create(spark, root, nums(0, 100))
