@@ -194,6 +194,41 @@ object TextAnalysis {
       outCol: String = "text_scrubbed"): DataFrame =
     df.withColumn(outCol, scrubPii(col(textCol)))
 
+  /** Corpus-trained bigram language-model scoring — the perplexity-style
+    * quality filter of the CCNet pipeline family (Wenzek et al. 2020),
+    * expressed fully relationally: bigram counts are one (w1, w2)-keyed
+    * aggregation, context counts fold from them, add-k smoothing
+    * P(w2|w1) = (c12 + k) / (c1 + k·V) is a projection, and each document's
+    * score joins its bigrams back to the model. Returns
+    * (id, n_bigrams, bigram_nll) where bigram_nll = −mean ln P (4 dp;
+    * NULL for documents with fewer than 2 tokens). Everything is keyed —
+    * no cartesian, no UDF, no driver-side model; at 100 TB persist the
+    * (w1, w2, p) model table once and reuse it across scoring runs instead
+    * of letting both consumers recompute the tokenization.
+    */
+  def bigramNll(df: DataFrame, idCol: String, textCol: String = "text",
+      k: Double = 0.5): DataFrame = {
+    // bigrams are "w1 w2" strings (tokens are whitespace-free, so the
+    // space join is unambiguous); the context word is the first token
+    val docBg = df.select(col(idCol), explode(bigrams(col(textCol))).as("bg"))
+    val cbg = docBg.groupBy(col("bg"))
+      .agg(count(lit(1)).cast("double").as("c12"))
+    val withCtx = cbg.withColumn("w1", substring_index(col("bg"), " ", 1))
+    val c1 = withCtx.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val vocab = df.select(explode(tokens(col(textCol))).as("w"))
+      .agg(countDistinct(col("w")).cast("double").as("vocab"))
+    val probs = withCtx.join(c1, "w1").crossJoin(broadcast(vocab))
+      .select(col("bg"),
+        ((col("c12") + k) / (col("c1") + lit(k) * col("vocab"))).as("p"))
+    val scored = docBg.join(probs, "bg")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-avg(log(col("p"))), 4).as("bigram_nll"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("bigram_nll"))
+  }
+
   /** Fixed-size overlapping character windows over each document — the
     * context-window chunking a training/RAG pipeline runs before
     * tokenization. 1 row → ceil((len−size)/step)+1 rows (one empty chunk

@@ -561,6 +561,35 @@ object PipelineQueries {
         .orderBy($"doc_id", $"chunk_idx")
     },
 
+    // Corpus bigram LM + perplexity-style quality score (CCNet family):
+    // the oracle retrains the identical add-k model relationally in DuckDB.
+    q("p35_bigram_perplexity",
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |bgidx AS (
+        |  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM w),
+        |bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg FROM bgidx),
+        |cbg AS (SELECT bg, CAST(count(*) AS DOUBLE) AS c12 FROM bg GROUP BY bg),
+        |c1 AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1 FROM cbg GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT x) AS DOUBLE) AS vocab
+        |      FROM (SELECT unnest(ws) AS x FROM w)),
+        |probs AS (
+        |  SELECT cbg.bg, (c12 + 0.5) / (c1.c1 + 0.5 * v.vocab) AS p
+        |  FROM cbg JOIN c1 ON split_part(cbg.bg, ' ', 1) = c1.w1 CROSS JOIN v),
+        |scored AS (
+        |  SELECT bg.doc_id, count(*) AS n_bigrams,
+        |    round(-avg(ln(p)), 4) AS bigram_nll
+        |  FROM bg JOIN probs USING (bg) GROUP BY 1)
+        |SELECT w.doc_id, coalesce(n_bigrams, 0) AS n_bigrams, bigram_nll
+        |FROM w LEFT JOIN scored USING (doc_id) ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      graft.operators.TextAnalysis.bigramNll(
+        t(spark, dir, "documents"), "doc_id")
+        .orderBy($"doc_id")
+    },
+
     // Real audio decode: RMS energy + zero-crossing rate over the PCM of
     // every audio-kind payload (JDK javax.sound), summarized per rate.
     rowsOnly("p33_audio_features") { (spark, dir) =>

@@ -105,6 +105,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(3) === "clean text stays untouched")
   }
 
+  test("bigramNll matches the closed-form add-k model on a tiny corpus") {
+    import spark.implicits._
+    // corpus: "a b a b" + "a b" + "x" -> cbg: (a,b)=3, (b,a)=1; c1: a=3, b=1
+    // V=3 (a, b, x); k=0.5: P(b|a)=(3+.5)/(3+1.5)=7/9, P(a|b)=(1+.5)/(1+1.5)=0.6
+    val df = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x")).toDF("id", "text")
+    val got = TextAnalysis.bigramNll(df, "id").orderBy($"id").collect()
+    val pBA = 3.5 / 4.5
+    val pAB = 1.5 / 2.5
+    val nll1 = BigDecimal(-(math.log(pBA) + math.log(pAB) + math.log(pBA)) / 3)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nll2 = BigDecimal(-math.log(pBA))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0).getLong(1) === 3 && got(0).getDouble(2) === nll1)
+    assert(got(1).getLong(1) === 1 && got(1).getDouble(2) === nll2)
+    // <2 tokens: zero bigrams, NULL score (not a fake 0.0)
+    assert(got(2).getLong(1) === 0 && got(2).isNullAt(2))
+  }
+
   test("chunkDocuments windows text with overlap, covering every character") {
     import spark.implicits._
     val text = ('a' to 'z').mkString * 10 // 260 chars
