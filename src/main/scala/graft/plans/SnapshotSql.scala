@@ -24,19 +24,24 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object SnapshotSql {
 
   def register(spark: SparkSession): Unit = {
+    // plans bind to the session ACTIVE at analysis time, not the one that
+    // registered the function — a cloned session sharing this registry
+    // must not build plans against its parent
     registerTvf(spark, "snapshot_table",
       "snapshot_table(path[, version]) - snapshot read / time travel") {
       case Seq(path) =>
-        Snapshots.table(spark, asString(path)).read()
+        Snapshots.table(SparkSession.active, asString(path)).read()
       case Seq(path, version) =>
-        Snapshots.table(spark, asString(path)).readVersion(asLong(version))
+        Snapshots.table(SparkSession.active, asString(path))
+          .readVersion(asLong(version))
       case other => throw new IllegalArgumentException(
         s"snapshot_table(path[, version]): got ${other.size} arguments")
     }
     registerTvf(spark, "snapshot_changes",
       "snapshot_changes(path, sinceVersion) - rows added after a version") {
       case Seq(path, since) =>
-        Snapshots.table(spark, asString(path)).readChanges(asLong(since))
+        Snapshots.table(SparkSession.active, asString(path))
+          .readChanges(asLong(since))
       case other => throw new IllegalArgumentException(
         s"snapshot_changes(path, sinceVersion): got ${other.size} arguments")
     }
