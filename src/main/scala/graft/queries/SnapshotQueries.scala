@@ -214,5 +214,29 @@ object SnapshotQueries {
           sum($"extra".cast(org.apache.spark.sql.types.DecimalType(25, 2)))
             .cast("double").as("extra_sum"))
         .orderBy($"o_orderstatus")
+    },
+
+    // The SQL surface itself under the gate: plain spark.sql over the
+    // snapshot_table TVF, joining the current snapshot against version 0
+    // (time travel) after a COW delete.
+    q("s09_snapshot_sql_tvf",
+      """SELECT cur.o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(cur.o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS total
+        |FROM (SELECT * FROM orders WHERE o_orderkey % 4 <> 0) cur
+        |JOIN orders v0 ON cur.o_orderkey = v0.o_orderkey
+        |GROUP BY cur.o_orderstatus ORDER BY cur.o_orderstatus""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      graft.plans.SnapshotSql.register(spark)
+      val orders = Engine.table(spark, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      val root = scratch()
+      val t = Snapshots.create(spark, root, orders)
+      t.deleteWhere($"o_orderkey" % 4 === 0)
+      spark.sql(
+        s"""SELECT cur.o_orderstatus, count(*) AS n,
+           |  CAST(sum(CAST(cur.o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS total
+           |FROM snapshot_table('$root') cur
+           |JOIN snapshot_table('$root', 0) v0 ON cur.o_orderkey = v0.o_orderkey
+           |GROUP BY cur.o_orderstatus ORDER BY cur.o_orderstatus""".stripMargin)
     })
 }
