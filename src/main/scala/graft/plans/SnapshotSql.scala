@@ -45,6 +45,13 @@ object SnapshotSql {
       case other => throw new IllegalArgumentException(
         s"snapshot_changes(path, sinceVersion): got ${other.size} arguments")
     }
+    registerTvf(spark, "snapshot_history",
+      "snapshot_history(path) - the commit log (DESCRIBE HISTORY)") {
+      case Seq(path) =>
+        Snapshots.table(SparkSession.active, asString(path)).describeHistory()
+      case other => throw new IllegalArgumentException(
+        s"snapshot_history(path): got ${other.size} arguments")
+    }
   }
 
   private def registerTvf(spark: SparkSession, name: String, usage: String)(

@@ -182,6 +182,21 @@ object Snapshots {
       versions().filter(_ > sinceVersion)
         .map(v => resolve(readManifest(manifestPath(v))))
 
+    /** The commit log as a relation — DESCRIBE HISTORY: one row per
+      * retained version with its action, file/delete counts, row count
+      * (from stats) and commit metadata.
+      */
+    def describeHistory(): DataFrame = {
+      import spark.implicits._
+      history().map { m =>
+        (m.version, m.parent, new java.sql.Timestamp(m.timestampMs),
+          m.action, m.files.size.toLong,
+          m.stats.values.map(_.rows).sum, m.deletes.size.toLong,
+          m.meta)
+      }.toDF("version", "parent", "commit_ts", "action", "n_files",
+        "n_rows_in_stats", "n_delete_sidecars", "meta")
+    }
+
     /** Fold a delta manifest onto its (recursively resolved) parent. A
       * manifest's resolved form is immutable, so it caches per version;
       * recursion depth is bounded by `checkpointInterval` (vacuum keeps the

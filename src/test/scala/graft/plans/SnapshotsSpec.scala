@@ -714,6 +714,23 @@ class SnapshotsSpec extends SparkSpec {
       "the delete-set merge must not sort-merge at this size")
   }
 
+  test("describeHistory exposes the commit log as a relation (and via SQL)") {
+    graft.plans.SnapshotSql.register(spark)
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 50))
+    t.append(nums(100, 110))
+    t.deleteWhereMergeOnRead(col("id") < 5)
+    val h = t.describeHistory().orderBy(col("version")).collect()
+    assert(h.map(_.getString(3)).toSeq === Seq("create", "append", "delete-mor"))
+    assert(h.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L))
+    assert(h(1).getLong(4) > h(0).getLong(4), "append grows the file count")
+    assert(h(2).getLong(6) >= 1L, "MOR delete records its sidecar files")
+    // SQL twin
+    assert(spark.sql(
+      s"SELECT count(*) FROM snapshot_history('$root') WHERE action = 'append'")
+      .head().getLong(0) === 1L)
+  }
+
   test("vacuum drops unreferenced files and pruned versions") {
     val root = freshRoot()
     val t = Snapshots.create(spark, root, nums(0, 100))
