@@ -731,6 +731,29 @@ class SnapshotsSpec extends SparkSpec {
       .head().getLong(0) === 1L)
   }
 
+  test("a broken delta chain fails loud, never resolves to wrong data") {
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 20), checkpointInterval = 100)
+    t.append(nums(100, 120)) // v1 delta
+    t.append(nums(200, 220)) // v2 delta
+    // destroy v1: v2 can no longer resolve
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(root, "_graft_log", "v00000001.json"))
+    val fresh = Snapshots.table(spark, root)
+    intercept[Exception](fresh.read().count())
+  }
+
+  test("the log listing ignores foreign files") {
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 20))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "_graft_log", "garbage.txt"), "not a manifest")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "_graft_log", ".tmp-leftover"), "{}")
+    assert(t.read().count() === 20)
+    assert(t.history().size === 1)
+  }
+
   test("vacuum drops unreferenced files and pruned versions") {
     val root = freshRoot()
     val t = Snapshots.create(spark, root, nums(0, 100))
