@@ -316,7 +316,7 @@ object Snapshots {
         .filterNot(f => partitionCols.contains(f.name))
         .filter(f => f.dataType match {
           case _: NumericType | StringType | DateType | TimestampType |
-               BooleanType => true
+               TimestampNTZType | BooleanType => true
           case _ => false
         })
         .map(_.name).toSeq
@@ -1139,7 +1139,7 @@ object Snapshots {
         val r = for {
           dt <- dtOf(name)
           v <- litKey(l, dt)
-          (minS, maxS, _, _) <- rangeOf(file, stat, partitionCols, name)
+          (minS, maxS, nulls, rows) <- rangeOf(file, stat, partitionCols, name)
         } yield (minS.flatMap(key(dt, _)), maxS.flatMap(key(dt, _))) match {
           case (Some(mn), Some(mx)) => op match {
             case "="  => cmp(v, mn) >= 0 && cmp(v, mx) <= 0
@@ -1148,8 +1148,12 @@ object Snapshots {
             case ">"  => cmp(mx, v) > 0
             case ">=" => cmp(mx, v) >= 0
           }
-          // no non-null values in this file — no comparison can match
-          case _ => false
+          // min/max STRINGS present but unparseable (e.g. a float column
+          // whose bound rendered as NaN/Infinity) — cannot reason, keep.
+          // Absent min/max proves all-NULL only when the null count says
+          // so; a stats writer may also omit bounds it cannot order.
+          case _ =>
+            if (minS.isDefined || maxS.isDefined) true else nulls >= rows
         }
         r.getOrElse(true)
       }
