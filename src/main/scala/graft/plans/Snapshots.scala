@@ -1074,8 +1074,10 @@ object Snapshots {
     * Conservative by construction: any conjunct it cannot reason about
     * keeps the file. Supported shapes: col op literal for =, <, <=, >, >=,
     * IN (literals...), IS [NOT] NULL — over numeric/string/date/boolean
-    * columns. A column whose min is absent in a file's stats is all-NULL
-    * there, so no comparison predicate can match it.
+    * columns. Absent min/max bounds prove a column all-NULL (and thus
+    * unmatchable by comparison predicates) only when the null count
+    * confirms it (nulls >= rows); a stats writer may also omit bounds it
+    * cannot order, so a file with non-null rows and no bounds is kept.
     */
   private[plans] object Pruning {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
@@ -1153,7 +1155,7 @@ object Snapshots {
           // Absent min/max proves all-NULL only when the null count says
           // so; a stats writer may also omit bounds it cannot order.
           case _ =>
-            if (minS.isDefined || maxS.isDefined) true else nulls >= rows
+            if (minS.isDefined || maxS.isDefined) true else nulls < rows
         }
         r.getOrElse(true)
       }

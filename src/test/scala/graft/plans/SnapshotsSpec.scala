@@ -304,6 +304,29 @@ class SnapshotsSpec extends SparkSpec {
     assert(t.readWhere(col("s") === "row1").count() === 1)
   }
 
+  test("Pruning keeps unparseable/absent stat bounds unless provably all-NULL") {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, GreaterThan, Literal}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("x", DoubleType), StructField("s", StringType)))
+    def stat(min: Option[String], max: Option[String], nulls: Long, rows: Long) =
+      Some(Snapshots.FileStat(rows, Map(
+        "x" -> Snapshots.ColStat(min, max, nulls),
+        "s" -> Snapshots.ColStat(min, max, nulls))))
+    val gtX = GreaterThan(UnresolvedAttribute("x"), Literal(5.0))
+    val eqS = EqualTo(UnresolvedAttribute("s"), Literal("v"))
+    // bounds present but unparseable (float NaN/Infinity rendering) -> keep
+    assert(Snapshots.Pruning.mayMatch(
+      "f", stat(Some("NaN"), Some("Infinity"), 0L, 10L), Nil, schema, gtX))
+    // bounds absent but non-null rows exist (writer omitted bounds) -> keep
+    assert(Snapshots.Pruning.mayMatch("f", stat(None, None, 0L, 10L), Nil, schema, gtX))
+    assert(Snapshots.Pruning.mayMatch("f", stat(None, None, 9L, 10L), Nil, schema, gtX))
+    // provably all-NULL -> comparison predicates prune the file
+    assert(!Snapshots.Pruning.mayMatch("f", stat(None, None, 10L, 10L), Nil, schema, gtX))
+    assert(!Snapshots.Pruning.mayMatch("f", stat(None, None, 10L, 10L), Nil, schema, eqS))
+  }
+
   test("readChanges returns appended rows tagged with version, skips compact") {
     val root = freshRoot()
     val t = Snapshots.create(spark, root, nums(0, 10).coalesce(1))
