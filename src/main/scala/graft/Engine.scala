@@ -103,10 +103,31 @@ object Engine {
     spark
   }
 
-  /** The thin SQL front door (SURVEY §7): `spark.sql` after the engine's
+  /** The SQL front door (SURVEY §7): `spark.sql` after the engine's
     * registrations — functions, MV rewrite, and the data-dir tables are all
-    * in place, so HiveQL-shaped statements run unchanged.
+    * in place, so HiveQL-shaped statements run unchanged — plus the two
+    * statement families plain Spark can't execute:
+    *
+    *   - DML statements (UPDATE / DELETE / MERGE / INSERT) against
+    *     engine-managed tables dispatch to the COW / snapshot planners
+    *     ([[graft.plans.SqlDml]]);
+    *   - names registered in [[graft.plans.NamedTables]] resolve to fresh
+    *     snapshot reads pre-analysis (extensions-bootstrapped sessions get
+    *     the same via an injected analyzer rule).
     */
-  def sql(spark: SparkSession, sfDir: String, query: String): DataFrame =
-    register(spark, sfDir).sql(query)
+  def sql(spark: SparkSession, sfDir: String, query: String): DataFrame = {
+    register(spark, sfDir)
+    val parsed =
+      try Some(spark.sessionState.sqlParser.parsePlan(query))
+      catch { case scala.util.control.NonFatal(_) => None }
+    parsed match {
+      case None => spark.sql(query) // surface the canonical parse error
+      case Some(plan) =>
+        graft.plans.SqlDml.maybeRun(spark, plan).getOrElse {
+          val substituted = graft.plans.NamedTables.substitute(spark, plan)
+          if (substituted eq plan) spark.sql(query)
+          else org.apache.spark.sql.GraftShims.ofRows(spark, substituted)
+        }
+    }
+  }
 }

@@ -25,5 +25,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectOptimizerRule(session =>
       new graft.plans.MaterializedViews.MvRewriteRule(session))
+    // catalog-name snapshot tables: SELECT ... FROM <registered-name>
+    ext.injectResolutionRule(session =>
+      new graft.plans.NamedTables.ResolveNamedTables(session))
   }
 }

@@ -11,7 +11,8 @@ object SparkEntry {
     */
   val allDefs: Seq[QDef] =
     CoreQueries.defs ++ TpchQueries.defs ++ FunctionQueries.defs ++
-      EventQueries.defs ++ PipelineQueries.defs ++ SnapshotQueries.defs
+      EventQueries.defs ++ PipelineQueries.defs ++ SnapshotQueries.defs ++
+      SqlDmlQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -358,9 +358,20 @@ object Dml {
       targetKey: String, sourceKey: String,
       whenMatchedSet: Map[String, Column] = Map.empty,
       whenMatchedDelete: Boolean = false,
-      sourceKeysUnique: Boolean = false): Unit = {
+      sourceKeysUnique: Boolean = false,
+      insertUnmatched: Boolean = true): Unit = {
     val target0 = readTable(spark, table)
     val cols = target0.columns
+    require(source.columns.contains(sourceKey),
+      s"source must carry the merge key $sourceKey")
+    // inserting takes whole rows from the source; a source used only to
+    // match (update/delete arms) may carry just the key
+    if (insertUnmatched) {
+      val missing = cols.filterNot(source.columns.contains)
+      require(missing.isEmpty,
+        s"MERGE with an insert arm needs source columns ${missing.mkString(", ")}")
+    }
+    val srcCols = source.columns.toSet
 
     // the t-side is renamed to __t_* before the join so SOURCE columns keep
     // their plain names — whenMatchedSet expressions written with plain
@@ -383,15 +394,19 @@ object Dml {
           raise_error(concat(
             lit(s"MERGE cardinality violation: multiple source rows match target $sourceKey="),
             col(sourceKey).cast("string")))).isNull)
+      // WHEN NOT MATCHED absent: source rows matching nothing fall out
+      val scoped =
+        if (insertUnmatched) checked else checked.filter(tc(targetKey).isNotNull)
+      // a column absent from the source can only come from the target row
+      def fromEither(c: String): Column =
+        if (srcCols(c)) coalesce(tc(c), col(c)) else tc(c)
       if (whenMatchedDelete) {
         // keep unmatched target rows; insert unmatched source rows
-        checked.filter(!matched)
-          .select(cols.map(c => coalesce(tc(c), col(c)).as(c)): _*)
+        scoped.filter(!matched).select(cols.map(c => fromEither(c).as(c)): _*)
       } else {
-        checked.select(cols.map { c =>
+        scoped.select(cols.map { c =>
           val updated = whenMatchedSet.getOrElse(c, tc(c))
-          when(matched, updated)
-            .otherwise(coalesce(tc(c), col(c))).as(c)
+          when(matched, updated).otherwise(fromEither(c)).as(c)
         }: _*)
       }
     }
@@ -419,11 +434,12 @@ object Dml {
             source.select(col(sourceKey).as(targetKey)).distinct(),
             Seq(targetKey), "left_semi")
           val tuples = affectedTuples(matchedTarget, l.cols)
+          if (tuples.isEmpty && !insertUnmatched) return // no matches, no inserts
           // target side pruned to matched partitions; unmatched source rows
           // fall out of the full-outer join as inserts into their own partitions
           val post = postOf(target0.filter(partFilterOf(tuples, l.cols)))
           prunedRewrite(spark, table, l, relsOf(l, tuples, table), post,
-            allowAppend = true)
+            allowAppend = insertUnmatched)
         case None =>
           swapIn(spark, table, postOf(target0))
       }

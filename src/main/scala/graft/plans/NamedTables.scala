@@ -1,0 +1,112 @@
+package graft.plans
+
+import java.util.Locale
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Catalog names for engine-managed tables, so plain SQL addresses them like
+  * any metastore table — the role of the reference's metastore entry (ref
+  * standalone-metastore/src/main/thrift/hive_metastore.thrift:644 struct
+  * Table: every Hive table is a name first, a location second). Here a name
+  * maps to either a snapshot-table root (versioned manifest log,
+  * [[Snapshots]]) or a plain parquet directory (COW DML, [[Dml]]).
+  *
+  * Resolution is deliberately late-bound: each query's analysis re-reads the
+  * CURRENT snapshot, so a name never serves stale data after DML (a temp
+  * view would freeze the file list at registration). Two surfaces install
+  * it:
+  *
+  *   - [[graft.GraftExtensions]] injects [[ResolveNamedTables]] as an
+  *     analyzer rule — `spark.sql("SELECT ... FROM sales")` works on any
+  *     extensions-bootstrapped session;
+  *   - [[graft.Engine.sql]] applies [[substitute]] pre-analysis, covering
+  *     sessions built without the extensions hook.
+  *
+  * Session temp views shadow registered names on the read path (the
+  * analyzer's view resolution runs first; [[substitute]] checks explicitly).
+  * Names are case-insensitive, matching Spark's default resolution.
+  */
+object NamedTables {
+
+  sealed trait Ref { def root: String }
+  /** A snapshot-table root ([[Snapshots]] manifest log). */
+  final case class SnapshotRef(root: String) extends Ref
+  /** A plain parquet table directory ([[Dml]] copy-on-write). */
+  final case class PathRef(root: String) extends Ref
+
+  // JVM-global like the session-catalog it stands in for; tests and the
+  // Verify driver share one session per JVM anyway.
+  private val registry = scala.collection.concurrent.TrieMap.empty[String, Ref]
+
+  private def norm(name: String): String = name.toLowerCase(Locale.ROOT)
+
+  def register(name: String, ref: Ref): Unit = registry.put(norm(name), ref)
+
+  def registerSnapshot(name: String, root: String): Unit =
+    register(name, SnapshotRef(root))
+
+  def registerPath(name: String, path: String): Unit =
+    register(name, PathRef(path))
+
+  def drop(name: String): Unit = registry.remove(norm(name))
+
+  def get(name: String): Option[Ref] = registry.get(norm(name))
+
+  /** The read plan for a reference — built fresh so the latest snapshot
+    * version is always served.
+    */
+  private def readPlan(spark: SparkSession, name: String, ref: Ref): LogicalPlan = {
+    val df = ref match {
+      case SnapshotRef(root) => Snapshots.table(spark, root).read()
+      case PathRef(path) => spark.read.parquet(path)
+    }
+    SubqueryAlias(name, df.queryExecution.logical)
+  }
+
+  /** Resolve a relation identifier to a registered/path-addressed ref:
+    * single-part names come from the registry; `snapshot.`/path`` addresses
+    * a snapshot root directly (the DML/DDL analog of Spark's
+    * `parquet.`/path``).
+    */
+  private[plans] def refOf(parts: Seq[String]): Option[Ref] = parts match {
+    case Seq(name) => get(name)
+    case Seq(fmt, path) if norm(fmt) == "snapshot" => Some(SnapshotRef(path))
+    case _ => None
+  }
+
+  private def tempViewExists(spark: SparkSession, name: String): Boolean =
+    spark.sessionState.catalog.getTempView(name).isDefined ||
+      spark.sessionState.catalog.getGlobalTempView(name).isDefined
+
+  /** Pre-analysis substitution of registered names (and `snapshot.`/path``
+    * relations) with fresh read plans — the front-door path for sessions
+    * built without the extensions hook. Temp views win over registered
+    * names, matching the analyzer-rule precedence.
+    */
+  def substitute(spark: SparkSession, plan: LogicalPlan): LogicalPlan =
+    plan.transformUpWithSubqueries {
+      case u: UnresolvedRelation if resolvable(spark, u) =>
+        readPlan(spark, u.multipartIdentifier.last,
+          refOf(u.multipartIdentifier).get)
+    }
+
+  private def resolvable(spark: SparkSession, u: UnresolvedRelation): Boolean =
+    refOf(u.multipartIdentifier).isDefined &&
+      !(u.multipartIdentifier.size == 1 &&
+        tempViewExists(spark, u.multipartIdentifier.head))
+
+  /** Analyzer rule form, injected by [[graft.GraftExtensions]]. Built-in view
+    * resolution runs earlier in the same fixed-point batch, so temp views
+    * shadow registered names without an explicit check.
+    */
+  class ResolveNamedTables(session: SparkSession) extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+      case u: UnresolvedRelation if refOf(u.multipartIdentifier).isDefined =>
+        readPlan(session, u.multipartIdentifier.last,
+          refOf(u.multipartIdentifier).get)
+    }
+  }
+}

@@ -835,8 +835,16 @@ object Snapshots {
       val bad = whenMatchedSet.keySet.intersect(head0.partitionCols.toSet)
       require(bad.isEmpty,
         s"MERGE WHEN MATCHED cannot assign partition columns: ${bad.mkString(", ")}")
-      require(!insertUnmatched || source.columns.contains(sourceKey),
+      require(source.columns.contains(sourceKey),
         s"source must carry the merge key $sourceKey")
+      // inserting takes whole rows from the source; a source used only to
+      // match (update/delete arms) may carry just the key
+      if (insertUnmatched) {
+        val missing = cols.filterNot(source.columns.contains)
+        require(missing.isEmpty,
+          s"MERGE with an insert arm needs source columns ${missing.mkString(", ")}")
+      }
+      val srcCols = source.columns.toSet
 
       def tc(c: String): Column = col("__t_" + c)
       val guarded =
@@ -860,13 +868,15 @@ object Snapshots {
         val scoped =
           if (insertUnmatched) checked
           else checked.filter(tc(targetKey).isNotNull)
+        // a column absent from the source can only come from the target row
+        def fromEither(c: String): Column =
+          if (srcCols(c)) coalesce(tc(c), col(c)) else tc(c)
         if (whenMatchedDelete)
-          scoped.filter(!matched)
-            .select(cols.map(c => coalesce(tc(c), col(c)).as(c)): _*)
+          scoped.filter(!matched).select(cols.map(c => fromEither(c).as(c)): _*)
         else
           scoped.select(cols.map { c =>
             val updated = whenMatchedSet.getOrElse(c, tc(c))
-            when(matched, updated).otherwise(coalesce(tc(c), col(c))).as(c)
+            when(matched, updated).otherwise(fromEither(c)).as(c)
           }: _*)
       }
 

@@ -1,0 +1,295 @@
+package graft.plans
+
+import java.util.Locale
+
+import org.apache.spark.sql.{Column, DataFrame, GraftShims, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.functions.col
+
+/** SQL-statement DML: UPDATE / DELETE / MERGE / INSERT as SQL text, planned
+  * onto the engine's COW and snapshot-table writers.
+  *
+  * Spark's own parser already produces the DSv2 DML plans
+  * (`UpdateTable`, `DeleteFromTable`, `MergeIntoTable`) — it just has no v1
+  * execution for them. This module is the missing semantic analyzer: it
+  * pattern-matches the PARSED plan (no hand-rolled SQL grammar) and
+  * dispatches to [[Dml]] (plain parquet directories) or [[Snapshots]]
+  * (versioned snapshot tables), mirroring how the reference routes statement
+  * ASTs to semantic analyzers (ref ql/src/java/org/apache/hadoop/hive/ql/
+  * parse/UpdateDeleteSemanticAnalyzer.java, MergeSemanticAnalyzer.java:46 —
+  * there MERGE rewrites to a multi-insert; here it lowers to the engine's
+  * keyed-merge planner, which plans one full-outer join).
+  *
+  * Target addressing: a name registered in [[NamedTables]], or the
+  * path-addressed forms `snapshot.`/root`` and `parquet.`/dir``.
+  *
+  * Supported statement shapes (a deliberate, clearly-errored subset):
+  *   - `UPDATE t SET c = expr, ... [WHERE cond]`
+  *   - `DELETE FROM t [WHERE cond]`
+  *   - `MERGE INTO t [AS a] USING src [AS b] ON a.k = b.k` with at most one
+  *     unconditional WHEN MATCHED THEN UPDATE SET ... / DELETE and at most
+  *     one unconditional WHEN NOT MATCHED THEN INSERT (explicit column list
+  *     of bare source columns, or `INSERT *`). Conditional arms and
+  *     WHEN NOT MATCHED BY SOURCE raise UnsupportedOperationException.
+  *   - `INSERT INTO/OVERWRITE t SELECT ...` (positional, like SQL INSERT)
+  *     against registered/snapshot targets; other targets fall through to
+  *     Spark's native handling.
+  *
+  * In MERGE action expressions, source-alias-qualified and unqualified
+  * column references resolve to the SOURCE row; target-alias-qualified
+  * references resolve to the pre-update target row (matching
+  * [[Dml.merge]] / Snapshots merge semantics, where the joined frame keeps
+  * target columns under a `__t_` prefix).
+  */
+object SqlDml {
+
+  /** The target-side name a MERGE action expression uses for column `c` of
+    * the joined frame — the `__t_` convention shared with [[Dml.merge]] and
+    * [[Snapshots]] merge.
+    */
+  private def targetSide(c: String): String = "__t_" + c
+
+  /** Execute `plan` if it is a DML statement this module handles; None
+    * otherwise (caller falls back to plain `spark.sql`).
+    */
+  def maybeRun(spark: SparkSession, plan: LogicalPlan): Option[DataFrame] =
+    plan match {
+      case DeleteFromTable(t, cond) =>
+        targetOf(t).map { tgt => runDelete(spark, tgt, cond); done(spark) }
+      case UpdateTable(t, assigns, cond) =>
+        targetOf(t).map { tgt => runUpdate(spark, tgt, assigns, cond); done(spark) }
+      case m: MergeIntoTable =>
+        targetOf(m.targetTable).map { tgt => runMerge(spark, tgt, m); done(spark) }
+      case i: InsertIntoStatement =>
+        targetOf(i.table).map { tgt => runInsert(spark, tgt, i); done(spark) }
+      case _ => None
+    }
+
+  /** DML statements return an empty frame, like Spark's own commands. */
+  private def done(spark: SparkSession): DataFrame = spark.emptyDataFrame
+
+  /** A resolved DML target: its ref plus the qualifiers (alias and/or table
+    * name) its columns may carry in statement expressions.
+    */
+  private final case class Target(display: String, qualifiers: Set[String],
+      ref: NamedTables.Ref) {
+    def read(spark: SparkSession): DataFrame = ref match {
+      case NamedTables.SnapshotRef(root) => Snapshots.table(spark, root).read()
+      case NamedTables.PathRef(path) => spark.read.parquet(path)
+    }
+  }
+
+  private def norm(s: String): String = s.toLowerCase(Locale.ROOT)
+
+  /** Unwrap the target relation (through its alias). None when the relation
+    * is not one this module addresses — the statement then falls through to
+    * Spark, which raises its own unsupported-statement error.
+    */
+  private def targetOf(plan: LogicalPlan): Option[Target] = plan match {
+    case SubqueryAlias(id, child) =>
+      targetOf(child).map(t => t.copy(qualifiers = t.qualifiers + norm(id.name)))
+    case u: UnresolvedRelation =>
+      val parts = u.multipartIdentifier
+      val ref = NamedTables.refOf(parts).orElse(parts match {
+        case Seq(fmt, path) if norm(fmt) == "parquet" =>
+          Some(NamedTables.PathRef(path))
+        case _ => None
+      })
+      ref.map(r => Target(parts.mkString("."), Set(norm(parts.last)), r))
+    case _ => None
+  }
+
+  /** Strip a leading target/source qualifier from attribute references so
+    * expressions resolve against the bare table scan.
+    */
+  private def strip(e: Expression, quals: Set[String]): Expression =
+    e.transformUp {
+      case a: UnresolvedAttribute if a.nameParts.size > 1 &&
+          quals.contains(norm(a.nameParts.head)) =>
+        UnresolvedAttribute(a.nameParts.tail)
+    }
+
+  private def asColumn(e: Expression, quals: Set[String]): Column =
+    GraftShims.column(strip(e, quals))
+
+  private def assignName(k: Expression, quals: Set[String]): String =
+    strip(k, quals) match {
+      case a: UnresolvedAttribute if a.nameParts.size == 1 => a.nameParts.head
+      case other => throw new UnsupportedOperationException(
+        s"only top-level columns are assignable, got: ${other.sql}")
+    }
+
+  private def runDelete(spark: SparkSession, t: Target, cond: Expression): Unit = {
+    val c = asColumn(cond, t.qualifiers)
+    t.ref match {
+      case NamedTables.SnapshotRef(root) =>
+        Snapshots.table(spark, root).deleteWhere(c)
+      case NamedTables.PathRef(path) => Dml.deleteWhere(spark, path, c)
+    }
+  }
+
+  private def runUpdate(spark: SparkSession, t: Target,
+      assigns: Seq[Assignment], cond: Option[Expression]): Unit = {
+    val set = assigns.map(a =>
+      assignName(a.key, t.qualifiers) -> asColumn(a.value, t.qualifiers)).toMap
+    val c = cond.map(asColumn(_, t.qualifiers))
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    t.ref match {
+      case NamedTables.SnapshotRef(root) =>
+        Snapshots.table(spark, root).updateWhere(c, set)
+      case NamedTables.PathRef(path) => Dml.updateWhere(spark, path, c, set)
+    }
+  }
+
+  private def runInsert(spark: SparkSession, t: Target,
+      i: InsertIntoStatement): Unit = {
+    if (i.partitionSpec.nonEmpty) throw new UnsupportedOperationException(
+      "static PARTITION specs are not supported; partition columns are data")
+    if (i.userSpecifiedCols.nonEmpty) throw new UnsupportedOperationException(
+      "INSERT with an explicit column list is not supported; supply every column")
+    val rows = GraftShims.ofRows(spark, NamedTables.substitute(spark, i.query))
+    val tableCols = t.read(spark).columns
+    require(rows.columns.length == tableCols.length,
+      s"INSERT arity ${rows.columns.length} != table arity ${tableCols.length}")
+    val aligned = rows.toDF(tableCols: _*) // SQL INSERT is positional
+    t.ref match {
+      case NamedTables.SnapshotRef(root) =>
+        val st = Snapshots.table(spark, root)
+        if (i.overwrite) st.overwrite(aligned) else st.append(aligned)
+      case NamedTables.PathRef(path) =>
+        if (i.overwrite) throw new UnsupportedOperationException(
+          "INSERT OVERWRITE a parquet path table is not supported; use a snapshot table")
+        Dml.insertInto(spark, path, aligned)
+    }
+  }
+
+  private def runMerge(spark: SparkSession, t: Target, m: MergeIntoTable): Unit = {
+    def unsupported(msg: String): Nothing =
+      throw new UnsupportedOperationException(s"MERGE: $msg")
+    if (m.notMatchedBySourceActions.nonEmpty)
+      unsupported("WHEN NOT MATCHED BY SOURCE is not supported")
+
+    // source frame + the qualifiers its columns carry in action expressions
+    val srcQuals: Set[String] = m.sourceTable match {
+      case SubqueryAlias(id, u: UnresolvedRelation) =>
+        Set(norm(id.name), norm(u.multipartIdentifier.last))
+      case SubqueryAlias(id, _) => Set(norm(id.name))
+      case u: UnresolvedRelation => Set(norm(u.multipartIdentifier.last))
+      case _ => Set.empty
+    }
+    val sourceDf0 =
+      GraftShims.ofRows(spark, NamedTables.substitute(spark, m.sourceTable))
+    val targetCols = t.read(spark).columns.toSeq
+    val srcCols0 = sourceDf0.columns.toSet
+
+    // ON clause: one equi-condition, each side classified to target/source
+    def classify(a: UnresolvedAttribute): (String, String) = { // (side, column)
+      val parts = a.nameParts
+      if (parts.size == 2 && t.qualifiers.contains(norm(parts.head)))
+        ("t", parts(1))
+      else if (parts.size == 2 && srcQuals.contains(norm(parts.head)))
+        ("s", parts(1))
+      else if (parts.size == 1) {
+        val inT = targetCols.contains(parts.head)
+        val inS = srcCols0.contains(parts.head)
+        if (inT && inS) unsupported(
+          s"ambiguous ON column ${parts.head}: qualify it with the table alias")
+        else if (inT) ("t", parts.head)
+        else if (inS) ("s", parts.head)
+        else unsupported(s"ON column ${parts.head} not found on either side")
+      } else unsupported(s"cannot resolve ON reference ${a.sql}")
+    }
+    val (targetKey, sourceKey0) = m.mergeCondition match {
+      case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
+        (classify(a), classify(b)) match {
+          case (("t", tk), ("s", sk)) => (tk, sk)
+          case (("s", sk), ("t", tk)) => (tk, sk)
+          case _ => unsupported("ON must equate a target column with a source column")
+        }
+      case _ => unsupported(
+        "ON must be a single equi-condition: target.k = source.k")
+    }
+
+    def single(actions: Seq[MergeAction], kind: String): Option[MergeAction] = {
+      if (actions.size > 1) unsupported(s"at most one $kind clause is supported")
+      actions.headOption.map { a =>
+        if (a.condition.isDefined)
+          unsupported(s"conditional $kind (AND <cond>) is not supported")
+        a
+      }
+    }
+
+    // WHEN NOT MATCHED: project the source to target-named columns so insert
+    // and matched-update share one frame; `renames` maps original source
+    // names to their post-projection (target) names.
+    val (source, renames: Map[String, String], insertUnmatched) =
+      single(m.notMatchedActions, "WHEN NOT MATCHED") match {
+        case None => (sourceDf0, Map.empty[String, String], false)
+        case Some(_: InsertStarAction) =>
+          val missing = targetCols.filterNot(srcCols0)
+          if (missing.nonEmpty) unsupported(
+            s"INSERT * needs source columns ${missing.mkString(", ")}")
+          (sourceDf0, Map.empty[String, String], true)
+        case Some(InsertAction(_, assigns)) =>
+          val pairs = assigns.map { a =>
+            val tgt = assignName(a.key, t.qualifiers)
+            val src = strip(a.value, srcQuals) match {
+              case u: UnresolvedAttribute if u.nameParts.size == 1 =>
+                u.nameParts.head
+              case other => unsupported(
+                s"INSERT values must be bare source columns, got ${other.sql}")
+            }
+            (tgt, src)
+          }
+          val missing = targetCols.filterNot(pairs.map(_._1).toSet)
+          if (missing.nonEmpty) unsupported(
+            s"INSERT must assign every target column; missing ${missing.mkString(", ")}")
+          (sourceDf0.select(pairs.map { case (tgt, src) => col(src).as(tgt) }: _*),
+            pairs.map { case (tgt, src) => src -> tgt }.toMap, true)
+        case Some(other) => unsupported(s"unsupported WHEN NOT MATCHED action: $other")
+      }
+    val sourceKey = renames.getOrElse(sourceKey0, sourceKey0)
+
+    // matched-action expressions: target-qualified refs -> __t_ columns of
+    // the joined frame; source refs -> (possibly renamed) source columns
+    def actionColumn(e: Expression): Column = GraftShims.column(e.transformUp {
+      case a: UnresolvedAttribute =>
+        val parts = a.nameParts
+        if (parts.size > 1 && t.qualifiers.contains(norm(parts.head)))
+          UnresolvedAttribute(targetSide(parts(1)) +: parts.drop(2))
+        else if (parts.size > 1 && srcQuals.contains(norm(parts.head)))
+          UnresolvedAttribute(
+            renames.getOrElse(parts(1), parts(1)) +: parts.drop(2))
+        else if (parts.size == 1)
+          UnresolvedAttribute(Seq(renames.getOrElse(parts.head, parts.head)))
+        else a
+    })
+
+    val (whenMatchedSet, whenMatchedDelete) =
+      single(m.matchedActions, "WHEN MATCHED") match {
+        case None => (Map.empty[String, Column], false)
+        case Some(_: DeleteAction) => (Map.empty[String, Column], true)
+        case Some(UpdateAction(_, assigns, _)) =>
+          (assigns.map(a => assignName(a.key, t.qualifiers)
+            -> actionColumn(a.value)).toMap, false)
+        case Some(_: UpdateStarAction) =>
+          (targetCols.map(c => c -> col(renames.getOrElse(c, c))).toMap, false)
+        case Some(other) => unsupported(s"unsupported WHEN MATCHED action: $other")
+      }
+    if (whenMatchedSet.isEmpty && !whenMatchedDelete && !insertUnmatched)
+      unsupported("statement has no effect: no WHEN clause was given")
+
+    t.ref match {
+      case NamedTables.SnapshotRef(root) =>
+        Snapshots.table(spark, root).merge(source, targetKey, sourceKey,
+          whenMatchedSet = whenMatchedSet, whenMatchedDelete = whenMatchedDelete,
+          insertUnmatched = insertUnmatched)
+      case NamedTables.PathRef(path) =>
+        Dml.merge(spark, path, source, targetKey, sourceKey,
+          whenMatchedSet = whenMatchedSet, whenMatchedDelete = whenMatchedDelete,
+          insertUnmatched = insertUnmatched)
+    }
+  }
+}

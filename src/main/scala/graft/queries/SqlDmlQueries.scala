@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Engine
+import graft.plans.{NamedTables, Snapshots}
+import QDef.q
+
+/** SQL-statement DML under the correctness gate: UPDATE / DELETE / MERGE /
+  * INSERT as SQL text through [[Engine.sql]] (the reference's primary DML
+  * surface — ref ql/src/java/org/apache/hadoop/hive/ql/parse/
+  * UpdateDeleteSemanticAnalyzer.java, MergeSemanticAnalyzer.java:46),
+  * against both a plain parquet path table (COW) and a catalog-named
+  * snapshot table. Results are read back relationally so DuckDB can replay
+  * the statements as plain SELECTs.
+  */
+object SqlDmlQueries {
+
+  private def scratch(): String =
+    java.nio.file.Files.createTempDirectory("graft_sqldmlq_").toString + "/t"
+
+  val defs: Seq[QDef] = Seq(
+
+    // SQL UPDATE + DELETE over a parquet path table (copy-on-write); the
+    // oracle replays both statements as WHERE + CASE over the original.
+    q("s10_sql_dml_cow",
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(CASE WHEN o_orderstatus = 'O' THEN 1.0
+        |                     ELSE o_totalprice END AS DECIMAL(25,2)))
+        |    AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey % 11 <> 0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val path = scratch()
+      Engine.table(spark, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        .write.parquet(path)
+      Engine.sql(spark, dir,
+        s"UPDATE parquet.`$path` SET o_totalprice = 1.0 WHERE o_orderstatus = 'O'")
+      Engine.sql(spark, dir,
+        s"DELETE FROM parquet.`$path` WHERE o_orderkey % 11 = 0")
+      spark.read.parquet(path)
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"), Exact.dsum($"o_totalprice").as("total"))
+        .orderBy($"o_orderstatus")
+    },
+
+    // SQL MERGE into a catalog-NAMED snapshot table (matched rows update,
+    // unmatched insert), read back through the name in plain SQL — both the
+    // statement surface and name resolution under the gate.
+    q("s11_sql_merge_named",
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS total
+        |FROM (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 50 = 0 THEN 2.0 ELSE o_totalprice END AS o_totalprice
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 800000000, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 499 = 0
+        |) GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val orders = Engine.table(spark, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      NamedTables.registerSnapshot("s11_sales",
+        Snapshots.create(spark, scratch(), orders).root)
+      orders.filter($"o_orderkey" % 50 === 0)
+        .withColumn("o_totalprice", lit(2.0))
+        .unionByName(orders.filter($"o_orderkey" % 499 === 0)
+          .withColumn("o_orderkey", $"o_orderkey" + 800000000L))
+        .createOrReplaceTempView("s11_src")
+      Engine.sql(spark, dir,
+        """MERGE INTO s11_sales t USING s11_src s ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice
+          |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderstatus, o_totalprice)
+          |  VALUES (s.o_orderkey, s.o_orderstatus, s.o_totalprice)""".stripMargin)
+      Engine.sql(spark, dir,
+        """SELECT o_orderstatus, count(*) AS n,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS total
+          |FROM s11_sales GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    },
+
+    // SQL INSERT INTO a named snapshot table plus a SQL DELETE through the
+    // same name; the oracle reconstructs the final state relationally.
+    q("s12_sql_insert_named",
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders WHERE o_orderkey % 13 <> 0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val orders = Engine.table(spark, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus")
+      NamedTables.registerSnapshot("s12_t",
+        Snapshots.create(spark, scratch(),
+          orders.filter($"o_orderkey" % 2 === 0)).root)
+      Engine.sql(spark, dir,
+        "INSERT INTO s12_t SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 2 = 1")
+      Engine.sql(spark, dir, "DELETE FROM s12_t WHERE o_orderkey % 13 = 0")
+      Engine.sql(spark, dir,
+        """SELECT o_orderstatus, count(*) AS n,
+          |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+          |FROM s12_t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    })
+}

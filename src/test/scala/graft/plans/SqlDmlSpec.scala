@@ -1,0 +1,169 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.{Engine, SparkSpec}
+
+/** SQL-statement DML (UPDATE/DELETE/MERGE/INSERT as SQL text) and
+  * catalog-name table resolution.
+  */
+class SqlDmlSpec extends SparkSpec {
+
+  private def scratch(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+
+  private def items(lo: Int, hi: Int) = {
+    import spark.implicits._
+    (lo until hi).map(i => (i.toLong, s"name$i", i * 10.0, i % 4)).toDF("id", "name", "price", "k")
+  }
+
+  private def sql(q: String) = Engine.sql(spark, sfDir, q)
+
+  test("UPDATE and DELETE over a parquet path table via SQL text") {
+    val path = scratch("graft_sqldml_")
+    items(0, 100).write.parquet(path)
+    sql(s"UPDATE parquet.`$path` SET price = price * 2 WHERE id < 10")
+    sql(s"DELETE FROM parquet.`$path` WHERE id >= 90")
+    val t = spark.read.parquet(path)
+    assert(t.count() === 90)
+    assert(t.filter(col("id") === 5).head.getDouble(2) === 100.0)
+    assert(t.filter(col("id") === 50).head.getDouble(2) === 500.0)
+  }
+
+  test("DML statements accept alias-qualified references and bare names") {
+    val path = scratch("graft_sqldml_")
+    items(0, 20).write.parquet(path)
+    NamedTables.registerPath("sqldml_ptab", path)
+    sql("UPDATE sqldml_ptab SET price = sqldml_ptab.price + 1 WHERE sqldml_ptab.id = 3")
+    assert(spark.read.parquet(path).filter(col("id") === 3).head.getDouble(2) === 31.0)
+    // registered path names also resolve on the read path
+    val n = sql("SELECT count(*) AS n FROM sqldml_ptab WHERE price >= 0").head.getLong(0)
+    assert(n === 20)
+  }
+
+  test("snapshot tables: SQL UPDATE / DELETE / MERGE against a registered name") {
+    val root = scratch("graft_sqldml_snap_")
+    val t = Snapshots.create(spark, root, items(0, 100))
+    NamedTables.registerSnapshot("sqldml_sales", root)
+
+    sql("UPDATE sqldml_sales SET price = 0.0 WHERE k = 2")
+    sql("DELETE FROM sqldml_sales WHERE id >= 80")
+    import spark.implicits._
+    items(70, 90).select($"id" + 1000, $"name", lit(7.5).as("price"), $"k")
+      .toDF("id", "name", "price", "k")
+      .createOrReplaceTempView("sqldml_src")
+    sql(
+      """MERGE INTO sqldml_sales AS t USING sqldml_src AS s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET price = s.price
+        |WHEN NOT MATCHED THEN INSERT (id, name, price, k)
+        |  VALUES (s.id, s.name, s.price, s.k)""".stripMargin)
+
+    val cur = t.read()
+    assert(cur.count() === 100, "80 kept + 20 inserted (ids 1070..1089)")
+    assert(cur.filter($"k" === 2 && $"id" < 80 && $"id" =!= 1074 && $"id" =!= 1078)
+      .agg(sum($"price")).head.getDouble(0) === 0.0)
+    assert(cur.filter($"id" >= 1000).count() === 20)
+    // time travel unaffected by the SQL-statement surface
+    assert(t.readVersion(0).count() === 100)
+    assert(t.readVersion(0).filter($"k" === 2).agg(sum($"price")).head.getDouble(0) > 0)
+  }
+
+  test("registered names read the CURRENT snapshot (late binding, not a frozen view)") {
+    val root = scratch("graft_sqldml_snap_")
+    Snapshots.create(spark, root, items(0, 10))
+    NamedTables.registerSnapshot("sqldml_live", root)
+    assert(sql("SELECT count(*) AS n FROM sqldml_live").head.getLong(0) === 10)
+    sql("DELETE FROM sqldml_live WHERE id < 4")
+    assert(sql("SELECT count(*) AS n FROM sqldml_live").head.getLong(0) === 6)
+    // and the path-addressed form reads the same table
+    assert(sql(s"SELECT count(*) AS n FROM snapshot.`$root`").head.getLong(0) === 6)
+  }
+
+  test("INSERT INTO and INSERT OVERWRITE a named snapshot table") {
+    val root = scratch("graft_sqldml_snap_")
+    val t = Snapshots.create(spark, root, items(0, 10))
+    NamedTables.registerSnapshot("sqldml_ins", root)
+    sql("INSERT INTO sqldml_ins VALUES (100, 'x', 1.0, 0), (101, 'y', 2.0, 1)")
+    assert(t.read().count() === 12)
+    sql("INSERT OVERWRITE sqldml_ins SELECT id, name, price, k FROM sqldml_ins WHERE id >= 100")
+    assert(t.read().count() === 2)
+    assert(t.latest().version === 2L)
+  }
+
+  test("MERGE: WHEN MATCHED THEN DELETE, no insert arm") {
+    val root = scratch("graft_sqldml_snap_")
+    val t = Snapshots.create(spark, root, items(0, 30))
+    NamedTables.registerSnapshot("sqldml_del", root)
+    import spark.implicits._
+    Seq(1L, 2L, 3L, 999L).toDF("id").createOrReplaceTempView("sqldml_delsrc")
+    sql(
+      """MERGE INTO sqldml_del t USING sqldml_delsrc s ON t.id = s.id
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(t.read().count() === 27, "999 matches nothing and must not insert")
+  }
+
+  test("temp views shadow registered names on the read path") {
+    val root = scratch("graft_sqldml_snap_")
+    Snapshots.create(spark, root, items(0, 50))
+    NamedTables.registerSnapshot("sqldml_shadow", root)
+    import spark.implicits._
+    Seq((1L, "v", 0.0, 0)).toDF("id", "name", "price", "k")
+      .createOrReplaceTempView("sqldml_shadow")
+    try assert(sql("SELECT count(*) AS n FROM sqldml_shadow").head.getLong(0) === 1)
+    finally spark.catalog.dropTempView("sqldml_shadow")
+    assert(sql("SELECT count(*) AS n FROM sqldml_shadow").head.getLong(0) === 50)
+  }
+
+  test("unsupported MERGE shapes fail with clear messages, not wrong answers") {
+    val root = scratch("graft_sqldml_snap_")
+    Snapshots.create(spark, root, items(0, 10))
+    NamedTables.registerSnapshot("sqldml_err", root)
+    import spark.implicits._
+    Seq((1L, "v", 0.0, 0)).toDF("id", "name", "price", "k")
+      .createOrReplaceTempView("sqldml_errsrc")
+    def expectUnsupported(q: String, frag: String): Unit = {
+      val e = intercept[UnsupportedOperationException](sql(q))
+      assert(e.getMessage.contains(frag), s"message was: ${e.getMessage}")
+    }
+    expectUnsupported(
+      """MERGE INTO sqldml_err t USING sqldml_errsrc s ON t.id = s.id AND t.k = s.k
+        |WHEN MATCHED THEN DELETE""".stripMargin,
+      "single equi-condition")
+    expectUnsupported(
+      """MERGE INTO sqldml_err t USING sqldml_errsrc s ON t.id = s.id
+        |WHEN MATCHED AND t.k = 1 THEN DELETE""".stripMargin,
+      "conditional WHEN MATCHED")
+    expectUnsupported(
+      """MERGE INTO sqldml_err t USING sqldml_errsrc s ON t.id = s.id
+        |WHEN NOT MATCHED THEN INSERT (id, name) VALUES (s.id, s.name)""".stripMargin,
+      "every target column")
+    expectUnsupported(
+      """MERGE INTO sqldml_err t USING sqldml_errsrc s ON t.id = s.id
+        |WHEN MATCHED THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin,
+      "NOT MATCHED BY SOURCE")
+  }
+
+  test("extensions-injected rule resolves registered names in plain spark.sql") {
+    val root = scratch("graft_sqldml_snap_")
+    Snapshots.create(spark, root, items(0, 25))
+    NamedTables.registerSnapshot("sqldml_ext", root)
+    // a second session over the same context, bootstrapped the way
+    // spark.sql.extensions would do it on a cluster
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 =
+      try SparkSession.builder().withExtensions(new graft.GraftExtensions().apply(_))
+        .getOrCreate()
+      finally {
+        prevDefault.foreach(SparkSession.setDefaultSession)
+      }
+    try {
+      assert(s2 ne spark)
+      assert(s2.sql("SELECT count(*) AS n FROM sqldml_ext").head.getLong(0) === 25)
+    } finally {
+      SparkSession.setActiveSession(spark)
+    }
+  }
+}
