@@ -422,14 +422,25 @@ object Snapshots {
         // probe over ALL files (the first may be a 0-row file); whichever
         // file the sampled row came from, its absolute path ends with its
         // table-relative name — the prefix is what precedes it
-        val abs = spark.read
-          .option("basePath", fs.makeQualified(rootPath).toString)
-          .parquet(m.files.map(f => new Path(rootPath, f).toString): _*)
-          .select(col("_metadata.file_path")).limit(1)
-          .head().getString(0)
-        val rel = m.files.find(f => abs.endsWith("/" + f)).getOrElse(
-          sys.error(s"_metadata.file_path '$abs' matches no manifest file"))
-        cachedMetaPrefix = abs.dropRight(rel.length + 1)
+        val sample =
+          if (m.files.isEmpty) Array.empty[org.apache.spark.sql.Row]
+          else spark.read
+            .option("basePath", fs.makeQualified(rootPath).toString)
+            .parquet(m.files.map(f => new Path(rootPath, f).toString): _*)
+            .select(col("_metadata.file_path")).take(1)
+        sample.headOption match {
+          case Some(row) =>
+            val abs = row.getString(0)
+            val rel = m.files.find(f => abs.endsWith("/" + f)).getOrElse(
+              sys.error(s"_metadata.file_path '$abs' matches no manifest file"))
+            cachedMetaPrefix = abs.dropRight(rel.length + 1)
+          case None =>
+            // every data file holds zero rows (writers can stage empty part
+            // files): no row exists to render a path, and none can ever
+            // match a delete entry — any well-formed prefix serves, and it
+            // is NOT cached so a later append re-probes the real rendering
+            return fs.makeQualified(rootPath).toString
+        }
       }
       cachedMetaPrefix
     }
@@ -592,7 +603,15 @@ object Snapshots {
       * the new head and re-publish (the data files are written once).
       */
     def append(df: DataFrame, maxRetries: Int = 10,
-        meta: Map[String, String] = Map.empty): Manifest = {
+        meta: Map[String, String] = Map.empty): Manifest =
+      appendUnless(df, maxRetries, meta, _ => false)
+
+    /** Stage once, then commit unless `skip(head)` says the append became
+      * redundant — re-evaluated against each fresh head inside the CAS
+      * retry loop, so the skip decision is serialized with publication.
+      */
+    private def appendUnless(df: DataFrame, maxRetries: Int,
+        meta: Map[String, String], skip: Manifest => Boolean): Manifest = {
       val head0 = latest()
       require(df.schema.fieldNames.sorted.sameElements(
         schemaOf(head0.schemaJson).fieldNames.sorted),
@@ -601,7 +620,8 @@ object Snapshots {
         df.select(schemaOf(head0.schemaJson).fieldNames.map(col): _*),
         head0.partitionCols)
       commit("append", maxRetries, meta)(head =>
-        Some((head.files ++ staged, head.stats ++ stagedStats)))
+        if (skip(head)) None // duplicate landed concurrently — no-op
+        else Some((head.files ++ staged, head.stats ++ stagedStats)))
     }
 
     /** Idempotent streaming append: exactly-once per (streamId, batchId) —
@@ -616,19 +636,29 @@ object Snapshots {
     def appendBatch(df: DataFrame, streamId: String, batchId: Long,
         maxRetries: Int = 10): Manifest = {
       // batchIds are monotonic per streaming query, so the batch is already
-      // committed iff this stream's most recent commit has batchId >= ours.
-      // Scan the log TAIL-first and stop at the stream's first (most
-      // recent) commit — O(versions since that commit), not O(log length);
-      // a steady stream finds its previous batch within a few manifests.
-      val committed = versions().reverseIterator
+      // committed iff this stream's most recent commit AT OR BELOW the
+      // given head has batchId >= ours. Scan the log TAIL-first and stop at
+      // the stream's first (most recent) commit — O(versions since that
+      // commit), not O(log length); a steady stream finds its previous
+      // batch within a few manifests.
+      def committed(upTo: Long): Boolean = versions().reverseIterator
+        .filter(_ <= upTo)
         .map(v => readManifest(manifestPath(v)))
         .collectFirst {
           case m if m.meta.get("streamId").contains(streamId) =>
             m.meta("batchId").toLong >= batchId
         }.getOrElse(false)
-      if (committed) latest() // replayed batch — already in the log
-      else append(df, maxRetries,
-        Map("streamId" -> streamId, "batchId" -> batchId.toString))
+      val head0 = latest()
+      if (committed(head0.version)) return head0 // replayed batch — no-op
+      // The dedup decision is re-checked inside the CAS loop against each
+      // fresh head (not just once up front): two concurrent attempts of the
+      // same batch (zombie driver during failover) both stage, but the
+      // loser's re-validation sees the winner's commit and no-ops — the
+      // same serialization that orders every other writer. The loser's
+      // staged files are unreferenced; vacuum reclaims them.
+      appendUnless(df, maxRetries,
+        Map("streamId" -> streamId, "batchId" -> batchId.toString),
+        head => committed(head.version))
     }
 
     /** Replaces the table contents. Rebases blindly (an overwrite reads
@@ -1042,36 +1072,48 @@ object Snapshots {
       * production would add an age threshold, the standard table-format
       * mitigation.
       */
-    def vacuum(retainLast: Int = 1): Unit = {
+    def vacuum(retainLast: Int = 1, minAgeHours: Double = 24.0): Unit = {
       val vs = versions()
       val keep = vs.takeRight(math.max(retainLast, 1)).toSet
       // the oldest retained manifest must be self-contained AFTER its
       // ancestors are pruned: if it's a delta, rewrite it in place as its
-      // resolved full form (atomic replace; logical content identical)
+      // resolved full form (atomic replace; logical content identical).
+      // Staged through the table's own FileSystem + FileContext rename so
+      // HDFS/S3A-rooted tables vacuum the same way local ones do.
       val oldest = keep.min
       val om = readManifest(manifestPath(oldest))
       if (om.kind == "delta") {
         val full = resolve(om)
-        val logLocal = java.nio.file.Paths.get(
-          fs.makeQualified(logPath).toUri.getPath)
         // tmp in the log dir itself so the replace is same-filesystem atomic
-        val tmp = java.nio.file.Files.createTempFile(logLocal, ".ckpt_", ".json")
-        java.nio.file.Files.writeString(tmp, writeManifestJson(full))
-        java.nio.file.Files.move(tmp,
-          logLocal.resolve(manifestPath(oldest).getName),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        val tmp = new Path(logPath, s".ckpt-${UUID.randomUUID().toString}")
+        val out = fs.create(tmp, false)
+        try out.write(writeManifestJson(full).getBytes("UTF-8")) finally out.close()
+        org.apache.hadoop.fs.FileContext
+          .getFileContext(manifestPath(oldest).toUri,
+            spark.sparkContext.hadoopConfiguration)
+          .rename(fs.makeQualified(tmp), fs.makeQualified(manifestPath(oldest)),
+            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
       }
       val kept = keep.map(v => resolve(readManifest(manifestPath(v))))
       val referenced = kept.flatMap(_.files) ++ kept.flatMap(_.deletes)
+      // Age threshold: an in-flight writer's staged-but-uncommitted files
+      // are unreferenced by EVERY manifest — deleting them would fail the
+      // writer's commit. Only reclaim files older than the horizon (the
+      // Delta/Iceberg retention-check design); maintenance that knows no
+      // writer is active may pass 0.
+      val cutoff = System.currentTimeMillis() - (minAgeHours * 3600 * 1000).toLong
       Seq("data", "deletes").foreach { sub =>
         val dir = new Path(rootPath, sub)
         if (fs.exists(dir)) {
           listParquet(dir).foreach { p =>
-            if (!referenced.contains(relativize(p))) fs.delete(p, false)
+            if (!referenced.contains(relativize(p)) &&
+                fs.getFileStatus(p).getModificationTime <= cutoff)
+              fs.delete(p, false)
           }
-          // drop now-empty commit dirs
+          // drop now-empty, aged-out commit dirs
           fs.listStatus(dir).foreach { d =>
-            if (d.isDirectory && listParquet(d.getPath).isEmpty)
+            if (d.isDirectory && listParquet(d.getPath).isEmpty &&
+                d.getModificationTime <= cutoff)
               fs.delete(d.getPath, true)
           }
         }
@@ -1083,8 +1125,8 @@ object Snapshots {
   /** Driver-side file pruning against manifest stats + partition paths.
     * Conservative by construction: any conjunct it cannot reason about
     * keeps the file. Supported shapes: col op literal for =, <, <=, >, >=,
-    * IN (literals...), IS [NOT] NULL — over numeric/string/date/boolean
-    * columns. Absent min/max bounds prove a column all-NULL (and thus
+    * IN (literals...), IS [NOT] NULL — over numeric/string/date/timestamp/
+    * boolean columns. Absent min/max bounds prove a column all-NULL (and thus
     * unmatchable by comparison predicates) only when the null count
     * confirms it (nulls >= rows); a stats writer may also omit bounds it
     * cannot order, so a file with non-null rows and no bounds is kept.
@@ -1216,6 +1258,15 @@ object Snapshots {
       case DateType =>
         try Some(BigDecimal(java.time.LocalDate.parse(s).toEpochDay))
         catch { case _: java.time.format.DateTimeParseException => None }
+      // stats render timestamps in the session time zone (the engine pins
+      // UTC, Engine.configure) — parse the wall-clock rendering back to
+      // epoch micros, the same scale the Catalyst literal carries
+      case TimestampType | TimestampNTZType =>
+        try {
+          val ldt = java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+          Some(BigDecimal(ldt.toEpochSecond(java.time.ZoneOffset.UTC)) *
+            1000000L + ldt.getNano / 1000L)
+        } catch { case _: java.time.format.DateTimeParseException => None }
       case StringType => Some(s)
       case _ => None
     }
@@ -1231,13 +1282,22 @@ object Snapshots {
           Some(BigDecimal(if (l.value == true) 1 else 0))
         case (DateType, DateType) =>
           Some(BigDecimal(l.value.asInstanceOf[Int].toLong))
+        case (TimestampType, TimestampType) |
+             (TimestampNTZType, TimestampNTZType) => // epoch micros
+          Some(BigDecimal(l.value.asInstanceOf[Long]))
         case (StringType, StringType) => Some(l.value.toString)
         case _ => None // type mismatch (would need a cast) — don't prune
       }
 
     private def cmp(a: Any, b: Any): Int = (a, b) match {
       case (x: BigDecimal, y: BigDecimal) => x.compare(y)
-      case (x: String, y: String) => x.compareTo(y)
+      // Spark orders strings by UTF-8 bytes (code points); String.compareTo
+      // is UTF-16 and misorders supplementary-plane characters against
+      // U+E000..U+FFFF — which would prune files whose true range contains
+      // the literal
+      case (x: String, y: String) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(x)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
       case _ => 0
     }
 

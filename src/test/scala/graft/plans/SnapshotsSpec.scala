@@ -327,6 +327,45 @@ class SnapshotsSpec extends SparkSpec {
     assert(!Snapshots.Pruning.mayMatch("f", stat(None, None, 10L, 10L), Nil, schema, eqS))
   }
 
+  test("timestamp stats prune files for time-range predicates") {
+    import spark.implicits._
+    val root = freshRoot()
+    def batch(day: Int, n: Int) = (0 until n)
+      .map(i => (day * 100L + i, s"2024-03-0$day 0${i % 10}:15:00"))
+      .toDF("id", "s").select(col("id"), to_timestamp(col("s")).as("ts"))
+    val t = Snapshots.create(spark, root, batch(1, 20).coalesce(1))
+    t.append(batch(3, 20).coalesce(1))
+    t.append(batch(5, 20).coalesce(1))
+    val m = t.latest()
+    val planned = t.planFiles(m,
+      col("ts").between(lit("2024-03-03 00:00:00").cast("timestamp"),
+        lit("2024-03-03 23:59:59").cast("timestamp")))
+    assert(planned.nonEmpty && planned.size < m.files.size,
+      s"timestamp stats must prune: planned ${planned.size}/${m.files.size}")
+    assert(t.readWhere(col("ts") >= lit("2024-03-05 00:00:00").cast("timestamp"))
+      .count() === 20)
+    assert(t.planFiles(m, col("ts") < lit("2024-03-02 00:00:00").cast("timestamp"))
+      .size === 1)
+  }
+
+  test("string pruning orders by UTF-8 code points, not UTF-16 units") {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, Literal}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("s", StringType)))
+    // file range [A, U+1F600]; literal U+E000 is inside in code-point order
+    // but ABOVE the max in UTF-16 unit order (surrogates sort low) — a
+    // UTF-16 compare would wrongly prune the file
+    val stat = Some(Snapshots.FileStat(10L, Map(
+      "s" -> Snapshots.ColStat(Some("A"), Some("😀"), 0L))))
+    val eq = EqualTo(UnresolvedAttribute("s"), Literal(""))
+    assert(Snapshots.Pruning.mayMatch("f", stat, Nil, schema, eq),
+      "literal inside the UTF-8 range must keep the file")
+    // and genuinely out-of-range literals still prune
+    val below = EqualTo(UnresolvedAttribute("s"), Literal("0"))
+    assert(!Snapshots.Pruning.mayMatch("f", stat, Nil, schema, below))
+  }
+
   test("readChanges returns appended rows tagged with version, skips compact") {
     val root = freshRoot()
     val t = Snapshots.create(spark, root, nums(0, 10).coalesce(1))
@@ -355,6 +394,33 @@ class SnapshotsSpec extends SparkSpec {
     // a different stream's batch 0 is independent
     t.appendBatch(nums(300, 310), "streamB", batchId = 0L)
     assert(t.read().count() === 40)
+  }
+
+  test("appendBatch dedup is serialized with the CAS: concurrent replays, one lands") {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 10))
+    // two writers race the SAME (streamId, batchId) — the zombie-driver
+    // failover case. Both pass the up-front check (latch-synchronized
+    // start), so only the in-CAS re-validation can prevent a double append.
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(2)
+    try {
+      val attempts = (1 to 2).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          override def call(): Long = {
+            start.countDown(); start.await(30, TimeUnit.SECONDS)
+            t.appendBatch(nums(100, 110), "streamZ", batchId = 7L).version
+          }
+        })
+      }
+      attempts.foreach(_.get(120, TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    assert(t.read().count() === 20, "exactly one attempt may append")
+    assert(t.latest().version === 1L)
+    // and the batch stays idempotent afterwards
+    t.appendBatch(nums(100, 110), "streamZ", batchId = 7L)
+    assert(t.read().count() === 20)
   }
 
   test("merge-on-read delete hides rows without rewriting any data file") {
@@ -475,11 +541,11 @@ class SnapshotsSpec extends SparkSpec {
     val t = Snapshots.create(spark, root, nums(0, 100))
     t.deleteWhereMergeOnRead(col("id") < 20)
     t.deleteWhereMergeOnRead(col("id") >= 90)
-    t.vacuum(retainLast = 1)
+    t.vacuum(retainLast = 1, minAgeHours = 0)
     assert(t.read().count() === 70, "vacuum must not break a MOR table")
     // fold everything, vacuum again: the deletes dir must empty out
     t.compact(targetBytes = 512L * 1024 * 1024)
-    t.vacuum(retainLast = 1)
+    t.vacuum(retainLast = 1, minAgeHours = 0)
     val delDir = java.nio.file.Paths.get(root, "deletes")
     val remaining =
       if (!java.nio.file.Files.exists(delDir)) 0
@@ -547,7 +613,7 @@ class SnapshotsSpec extends SparkSpec {
       checkpointInterval = 100)
     t.append(nums(100, 130).coalesce(1)) // v1 delta
     t.append(nums(200, 230).coalesce(1)) // v2 delta
-    t.vacuum(retainLast = 2) // prunes v0 — v1 must become self-contained
+    t.vacuum(retainLast = 2, minAgeHours = 0) // prunes v0 — v1 must become self-contained
     assert(t.read().count() === 90)
     assert(t.readVersion(1).count() === 60, "v1 must resolve without v0")
     // a fresh handle (empty resolution cache) must also read it
@@ -781,7 +847,7 @@ class SnapshotsSpec extends SparkSpec {
     val root = freshRoot()
     val t = Snapshots.create(spark, root, nums(0, 100))
     t.deleteWhere(col("id") < 50)
-    t.vacuum(retainLast = 1)
+    t.vacuum(retainLast = 1, minAgeHours = 0)
     assert(t.read().count() === 50, "current snapshot unaffected by vacuum")
     intercept[IllegalArgumentException](t.readVersion(0))
     // every surviving data file is referenced by the retained manifest
@@ -796,5 +862,48 @@ class SnapshotsSpec extends SparkSpec {
       java.nio.file.Paths.get(root, f).toString).toSet
     assert(parquets.forall(p => referenced.contains(p.toString)),
       s"unreferenced files survived vacuum: ${parquets.filterNot(p => referenced.contains(p.toString))}")
+  }
+
+  test("vacuum age threshold protects an in-flight writer's staged files") {
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 50))
+    t.deleteWhere(col("id") < 10) // v1: v0's rewritten file becomes garbage
+    // a concurrent writer has staged files but not yet committed
+    val stagedDir = java.nio.file.Paths.get(root, "data", "inflight1")
+    java.nio.file.Files.createDirectories(stagedDir)
+    val staged = stagedDir.resolve("part-00000.parquet")
+    java.nio.file.Files.writeString(staged, "not-yet-committed")
+    t.vacuum(retainLast = 1) // default horizon: fresh files must survive
+    assert(java.nio.file.Files.exists(staged),
+      "a just-staged uncommitted file must survive a default vacuum")
+    assert(t.read().count() === 40)
+    t.vacuum(retainLast = 1, minAgeHours = 0) // explicit: no writers active
+    assert(!java.nio.file.Files.exists(staged))
+  }
+
+  test("vacuum works on an explicitly file:-scheme qualified root") {
+    val root = "file://" + freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 30))
+    t.append(nums(30, 60))
+    t.deleteWhere(col("id") < 5)
+    // retain 2: the oldest retained manifest is a delta and must be
+    // rewritten as a checkpoint through the Hadoop FileSystem API
+    t.vacuum(retainLast = 2, minAgeHours = 0)
+    assert(t.read().count() === 55)
+    assert(Snapshots.table(spark, root).read().count() === 55, "fresh handle reads the rewritten log")
+  }
+
+  test("COW DML on a table whose data files are all empty is a clean no-op") {
+    import spark.implicits._
+    val root = freshRoot()
+    val empty = Seq.empty[(Long, String, Int)].toDF("id", "s", "k").coalesce(1)
+    val t = Snapshots.create(spark, root, empty)
+    t.deleteWhere(col("id") > 5) // must not throw on the path-prefix probe
+    t.updateWhere(col("id") === 1, Map("s" -> lit("x")))
+    assert(t.read().count() === 0)
+    // the table still works once real rows arrive
+    t.append(nums(0, 10).coalesce(1))
+    t.deleteWhere(col("id") < 3)
+    assert(t.read().count() === 7)
   }
 }
