@@ -41,6 +41,18 @@ object Engine {
     * session (the driver's Verify/Bench mains construct their own).
     */
   def configure(spark: SparkSession): SparkSession = {
+    // iterative operators release superseded localCheckpoint frames by
+    // design (releaseCheckpoint below); every release logs an expected
+    // "lineage has been truncated" WARN from the concrete RDD class —
+    // demote the rdd package so bench/test output stays readable
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
+    // the Hive-gap registry deliberately overrides a handful of builtin
+    // names (lcase, nvl2, ...) for Hive semantics — the per-override
+    // "replaced a previously registered function" WARN is expected
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry",
+      org.apache.logging.log4j.Level.ERROR)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     // Hive string<->numeric coercions need non-ANSI mode (SURVEY §7).
     spark.conf.set("spark.sql.ansi.enabled", "false")

@@ -55,12 +55,18 @@ object SnapshotSql {
   }
 
   private def registerTvf(spark: SparkSession, name: String, usage: String)(
-      build: Seq[Expression] => org.apache.spark.sql.DataFrame): Unit =
-    spark.sessionState.tableFunctionRegistry.registerFunction(
-      FunctionIdentifier(name),
-      new ExpressionInfo(getClass.getName, null, name, usage, ""),
-      (exprs: Seq[Expression]) => build(exprs).queryExecution.logical
-        : LogicalPlan)
+      build: Seq[Expression] => org.apache.spark.sql.DataFrame): Unit = {
+    val ident = FunctionIdentifier(name)
+    // lookup-before-register: configure() runs per table()/sql() call, and
+    // re-registration floods the log with "replaced a previously registered
+    // function" warnings
+    if (!spark.sessionState.tableFunctionRegistry.functionExists(ident))
+      spark.sessionState.tableFunctionRegistry.registerFunction(
+        ident,
+        new ExpressionInfo(getClass.getName, null, name, usage, ""),
+        (exprs: Seq[Expression]) => build(exprs).queryExecution.logical
+          : LogicalPlan)
+  }
 
   private def asString(e: Expression): String = e match {
     case Literal(v, org.apache.spark.sql.types.StringType) if v != null =>
