@@ -12,10 +12,13 @@ import org.apache.spark.sql.functions._
   * image-kind rows carry genuine PNG payloads. The audio path is REAL too:
   * [[AudioCodec]] decodes WAV/AIFF/AU metadata and resamples PCM via the
   * JDK's `javax.sound.sampled`, and audio-kind rows carry genuine WAV
-  * payloads. Video — for which the JDK ships no codec — falls back to the
-  * clearly marked deterministic [[StubCodec]]; swapping it for a real
-  * decoder (e.g. javacv / a JNI codec) changes no plan shapes: decode is
-  * embarrassingly parallel map-side work that scales with partition count.
+  * payloads. The video path is REAL for one honest container:
+  * [[VideoCodec]] writes and parses MJPEG-in-AVI (the RIFF layout is
+  * public and simple; each frame is a JPEG decoded by ImageIO), and
+  * video-kind rows carry genuine AVI payloads whose frames decode
+  * individually. Other codecs (H.264 etc.) would slot into the same
+  * map-side shape via an external decoder; decode is embarrassingly
+  * parallel work that scales with partition count.
   */
 object Multimodal {
 
@@ -30,9 +33,9 @@ object Multimodal {
 
   /** ===== REAL image codec (JDK ImageIO — PNG/BMP/GIF/JPEG/WBMP) =====
     * Decode and resize are genuine pixel operations; `None` means "no
-    * installed reader understands this payload" and callers fall back to
-    * [[StubCodec]] so non-image kinds keep flowing through the same
-    * plumbing.
+    * installed reader understands this payload" and callers pass the row
+    * through (or drop it) so non-image kinds keep flowing through the same
+    * plumbing without being corrupted.
     */
   object ImageCodec {
     // never spill decode buffers to temp files on the executors
@@ -105,7 +108,7 @@ object Multimodal {
   /** ===== REAL audio codec (JDK javax.sound.sampled — WAV/AIFF/AU) =====
     * Metadata decode and linear-interpolation resampling are genuine sample
     * operations on PCM payloads; `None` means "no installed reader
-    * understands this payload" and callers fall back to [[StubCodec]].
+    * understands this payload" and callers pass the row through untouched.
     */
   object AudioCodec {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
@@ -236,23 +239,166 @@ object Multimodal {
     }
   }
 
-  /** ===== STUB codec (video only) =====
-    * Deterministic fake "decode" for payload kinds this container has no
-    * codec for: dims parsed from the first bytes, resize = subsample. A real
-    * audio/video implementation would replace only this object.
-    */
-  object StubCodec {
-    def decodeDims(bytes: Array[Byte]): (Int, Int) =
-      if (bytes.length < 8) (0, 0)
-      else ((bytes(0) & 0x7f) + 1, (bytes(1) & 0x7f) + 1)
+  /** Seed-derived synthetic dimensions (1..128) for generated payloads. */
+  private def seedDims(bytes: Array[Byte]): (Int, Int) =
+    if (bytes.length < 8) (1, 1)
+    else ((bytes(0) & 0x7f) + 1, (bytes(1) & 0x7f) + 1)
 
-    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
-      // STUB: real impl would rescale samples; we deterministically subsample.
-      val n = math.max(1, math.min(bytes.length, w * h))
-      val out = new Array[Byte](n)
-      var i = 0
-      while (i < n) { out(i) = bytes((i.toLong * bytes.length / n).toInt); i += 1 }
+  /** ===== REAL video codec (MJPEG-in-AVI, pure JVM) =====
+    * The AVI RIFF container is written and parsed directly from the public
+    * format (RIFF 'AVI ' / LIST hdrl / avih / LIST movi / 00dc chunks, all
+    * little-endian); each frame payload is a standalone JPEG handled by the
+    * JDK's ImageIO. `None`/empty means "not an MJPEG AVI this parser
+    * understands" — callers drop such rows, they never fake a result.
+    */
+  object VideoCodec {
+
+    case class VideoMeta(width: Int, height: Int, nFrames: Int, durationMs: Long)
+
+    private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+    private def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+    private def rdLe32(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+    private def fccAt(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, "US-ASCII")
+
+    private def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) 1 else 0
+      val out = new Array[Byte](8 + body.length + pad)
+      System.arraycopy(fourcc(id), 0, out, 0, 4)
+      System.arraycopy(le32(body.length), 0, out, 4, 4)
+      System.arraycopy(body, 0, out, 8, body.length)
       out
+    }
+
+    private def list(listType: String, bodies: Seq[Array[Byte]]): Array[Byte] =
+      chunk("LIST", fourcc(listType) ++ bodies.flatten)
+
+    /** A minimal single-stream MJPEG AVI around pre-encoded JPEG frames. */
+    def encodeMjpegAvi(frames: Seq[Array[Byte]], w: Int, h: Int,
+        fps: Int): Array[Byte] = {
+      require(frames.nonEmpty && fps > 0, "need at least one frame and fps > 0")
+      val usPerFrame = 1000000 / fps
+      val maxFrame = frames.map(_.length).max
+      val avih = Array(usPerFrame, maxFrame * fps, 0, 0, frames.size, 0, 1,
+        maxFrame, w, h, 0, 0, 0, 0).flatMap(le32)
+      val strh = fourcc("vids") ++ fourcc("MJPG") ++
+        Array(0, 0, 0, 1 /*scale*/ , fps /*rate*/ , 0, frames.size,
+          maxFrame, -1 /*quality*/ , 0).flatMap(le32) ++
+        Array(0, w & 0xffff | (h << 16)).flatMap(le32) // rcFrame (4 shorts)
+      val strf = Array(40, w, h, 1 | (24 << 16)).flatMap(le32) ++
+        fourcc("MJPG") ++ Array(w * h * 3, 0, 0, 0, 0).flatMap(le32)
+      val hdrl = list("hdrl", Seq(chunk("avih", avih),
+        list("strl", Seq(chunk("strh", strh), chunk("strf", strf)))))
+      val movi = list("movi", frames.map(f => chunk("00dc", f)))
+      val body = fourcc("AVI ") ++ hdrl ++ movi
+      fourcc("RIFF") ++ le32(body.length) ++ body
+    }
+
+    private def isAvi(b: Array[Byte]): Boolean =
+      b.length >= 12 && fccAt(b, 0) == "RIFF" && fccAt(b, 8) == "AVI "
+
+    /** Walk all chunks (recursing into LISTs), calling `f(id, listType?,
+      * bodyOffset, bodySize)`. Tolerant of truncated tails.
+      */
+    private def walk(b: Array[Byte], from: Int, to: Int)(
+        f: (String, Int, Int) => Unit): Unit = {
+      var off = from
+      while (off + 8 <= to) {
+        val id = fccAt(b, off)
+        val size = rdLe32(b, off + 4)
+        if (size < 0 || off + 8 + size > to) return // truncated — stop
+        if (id == "LIST" && size >= 4)
+          walk(b, off + 12, off + 8 + size)(f)
+        else f(id, off + 8, size)
+        off += 8 + size + (size % 2) // chunks are word-aligned
+      }
+    }
+
+    /** Real (width, height, frame count, duration) from the avih header. */
+    def decodeMeta(bytes: Array[Byte]): Option[VideoMeta] = {
+      if (!isAvi(bytes)) return None
+      var meta: Option[VideoMeta] = None
+      walk(bytes, 12, bytes.length) { (id, off, size) =>
+        if (id == "avih" && size >= 40 && meta.isEmpty) {
+          val usPerFrame = rdLe32(bytes, off)
+          val total = rdLe32(bytes, off + 16)
+          meta = Some(VideoMeta(rdLe32(bytes, off + 32), rdLe32(bytes, off + 36),
+            total, total.toLong * usPerFrame / 1000L))
+        }
+      }
+      meta
+    }
+
+    /** The (index, JPEG payload) of every video frame chunk. */
+    def decodeFrames(bytes: Array[Byte]): Seq[(Int, Array[Byte])] = {
+      if (!isAvi(bytes)) return Nil
+      val out = Seq.newBuilder[(Int, Array[Byte])]
+      var idx = 0
+      walk(bytes, 12, bytes.length) { (id, off, size) =>
+        if (id.endsWith("dc") || id.endsWith("db")) {
+          out += ((idx, java.util.Arrays.copyOfRange(bytes, off, off + size)))
+          idx += 1
+        }
+      }
+      out.result()
+    }
+
+    /** Decode every frame, bilinear-rescale, re-encode the container. */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+      val frames = decodeFrames(bytes)
+      if (frames.isEmpty) return None
+      val meta = decodeMeta(bytes)
+      val fps = meta.filter(m => m.durationMs > 0 && m.nFrames > 0)
+        .map(m => math.max(1, (m.nFrames * 1000L / m.durationMs).toInt))
+        .getOrElse(4)
+      val resized = frames.map { case (_, jpeg) =>
+        ImageCodec.resize(jpeg, w, h).flatMap(png =>
+          // keep frames JPEG so the container stays MJPEG
+          Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png)))
+            .map(encodeJpeg))
+      }
+      if (resized.exists(_.isEmpty)) None
+      else Some(encodeMjpegAvi(resized.flatten, w, h, fps))
+    }
+
+    private[operators] def encodeJpeg(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+
+    /** Deterministic MJPEG AVI whose frames' pixels derive from `seed` —
+      * gives the synthetic media table REAL decodable video payloads.
+      */
+    def syntheticMjpegAvi(seed: Array[Byte]): Array[Byte] = {
+      val (w0, h0) = seedDims(seed)
+      val (w, h) = (math.max(8, math.min(64, w0)), math.max(8, math.min(64, h0)))
+      val nFrames = 2 + (math.max(0, seed.length) % 5)
+      val n = math.max(1, seed.length)
+      val frames = (0 until nFrames).map { f =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val b = seed((x + y * w + f * 7) % n) & 0xff
+            img.setRGB(x, y,
+              (b << 16) | (((x * 29 + y * 13 + f * 41) & 0xff) << 8) | (b ^ f))
+            x += 1
+          }
+          y += 1
+        }
+        encodeJpeg(img)
+      }
+      encodeMjpegAvi(frames, w, h, fps = 4)
     }
   }
 
@@ -276,7 +422,7 @@ object Multimodal {
         val kind = Seq("image", "audio", "video")((id % 3).toInt)
         kind match {
           case "image" =>
-            val (w0, h0) = StubCodec.decodeDims(bytes)
+            val (w0, h0) = seedDims(bytes)
             val png = ImageCodec.syntheticPng(bytes, math.max(1, w0), math.max(1, h0))
             // metadata from the real decode, not the generator's intent
             val (w, h) = ImageCodec.decodeDims(png).getOrElse((0, 0))
@@ -288,8 +434,11 @@ object Multimodal {
               m.map(_.channels).getOrElse(0), 16,
               m.map(_.durationMs).getOrElse(0L))
           case _ =>
-            val (w, h) = StubCodec.decodeDims(bytes)
-            MediaRow(id, kind, bytes, w, h, bytes.length.toLong * 10)
+            val avi = VideoCodec.syntheticMjpegAvi(bytes)
+            // metadata from the real container decode, not generator intent
+            val m = VideoCodec.decodeMeta(avi)
+            MediaRow(id, kind, avi, m.map(_.width).getOrElse(0),
+              m.map(_.height).getOrElse(0), m.map(_.durationMs).getOrElse(0L))
         }
       }
   }
@@ -359,16 +508,17 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling for video-kind rows: every `stride`-th 64-byte chunk
-    * becomes a "frame" (STUB chunking; a real impl samples keyframes).
-    * 1 row -> N rows, the UDTF/Generator shape.
+  /** Frame sampling for video-kind rows: REAL container parse — every
+    * `stride`-th frame chunk of the MJPEG AVI becomes a row whose payload
+    * is a standalone decodable JPEG. 1 row -> N rows, the UDTF/Generator
+    * shape; payloads no parser understands yield no rows (drop, not fake).
     */
-  def sampleFrames(media: Dataset[MediaRow], stride: Int = 4): Dataset[Frame] = {
+  def sampleFrames(media: Dataset[MediaRow], stride: Int = 2): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { m =>
-      m.bytes.grouped(64).zipWithIndex
-        .filter(_._2 % stride == 0)
-        .map { case (chunk, idx) => Frame(m.media_id, idx, chunk) }
+      VideoCodec.decodeFrames(m.bytes)
+        .filter(_._1 % stride == 0)
+        .map { case (idx, jpeg) => Frame(m.media_id, idx, jpeg) }
     }
   }
 
@@ -379,16 +529,19 @@ object Multimodal {
     media.filter(col("width") >= minW && col("height") >= minH)
       .as[MediaRow](media.encoder)
 
-  /** Resize pipeline stage: REAL bilinear rescale + PNG re-encode for
-    * decodable image payloads; stub subsample for kinds without a codec.
+  /** Resize pipeline stage: REAL bilinear rescale for decodable payloads —
+    * images re-encode as PNG, videos re-encode per-frame and rebuild the
+    * MJPEG container. Payloads no codec understands pass through untouched
+    * (metadata unchanged) rather than being silently corrupted.
     */
   def resizeAll(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { m =>
-        val resized = ImageCodec.resize(m.bytes, w, h)
-          .getOrElse(StubCodec.resize(m.bytes, w, h))
-        m.copy(bytes = resized, width = w, height = h)
+        val resized =
+          if (m.kind == "video") VideoCodec.resize(m.bytes, w, h)
+          else ImageCodec.resize(m.bytes, w, h)
+        resized.map(b => m.copy(bytes = b, width = w, height = h)).getOrElse(m)
       }
     }
   }

@@ -517,15 +517,16 @@ object PipelineQueries {
 
     // Multimodal binary-column pipeline: per-partition feature extraction
     // (histogram + entropy) over opaque payloads, summarized per media kind.
-    // Deterministic stub codec; plumbing (schema, partitioning, batch shape)
-    // is the real operator — MultimodalSpec covers the components.
+    // All three payload kinds are genuine containers (PNG / WAV / MJPEG-AVI)
+    // decoded by real JDK codecs — MultimodalSpec covers the components.
     rowsOnly("p18_media_features") { (spark, dir) =>
       graft.operators.Multimodal.mediaSummary(
         graft.operators.Multimodal.syntheticMediaTable(spark, dir))
     },
 
-    // Frame sampling: 1 video row -> N frame rows (UDTF shape), counted per
-    // media id to keep the output scalar-only.
+    // Frame sampling: 1 video row -> N frame rows (UDTF shape) via a REAL
+    // MJPEG-in-AVI container parse (each frame a decodable JPEG), counted
+    // per media id to keep the output scalar-only.
     rowsOnly("p19_frame_sample") { (spark, dir) =>
       import spark.implicits._
       graft.operators.Multimodal.sampleFrames(

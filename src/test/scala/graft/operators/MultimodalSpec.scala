@@ -35,18 +35,70 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.select("frame_idx").as[Int].collect().forall(_ % 2 == 0))
   }
 
-  test("resize is deterministic and respects target dims (real + stub paths)") {
+  test("resize is deterministic and respects target dims (image + video)") {
     val resized = Multimodal.resizeAll(media.limit(10), 8, 8)
     val rows = resized.collect()
-    assert(rows.forall(m => m.width == 8 && m.height == 8))
     // image rows: the resized payload is a REAL 8x8 PNG
     rows.filter(_.kind == "image").foreach { m =>
+      assert(m.width == 8 && m.height == 8)
       assert(Multimodal.ImageCodec.decodeDims(m.bytes) === Some((8, 8)))
     }
-    // non-image rows: stub subsample stays bounded by w*h
-    assert(rows.filter(_.kind != "image").forall(_.bytes.length <= 64))
+    // video rows: the container is rebuilt and every frame is 8x8
+    rows.filter(_.kind == "video").foreach { m =>
+      assert(m.width == 8 && m.height == 8)
+      val meta = Multimodal.VideoCodec.decodeMeta(m.bytes)
+      assert(meta.map(v => (v.width, v.height)) === Some((8, 8)))
+      Multimodal.VideoCodec.decodeFrames(m.bytes).foreach { case (_, jpeg) =>
+        assert(Multimodal.ImageCodec.decodeDims(jpeg) === Some((8, 8)))
+      }
+    }
+    // audio rows: no image semantics — payload passes through untouched
+    assert(rows.filter(_.kind == "audio").forall(_.bytes.nonEmpty))
     val again = Multimodal.resizeAll(media.limit(10), 8, 8).collect()
     assert(rows.map(_.bytes.toSeq).toSeq === again.map(_.bytes.toSeq).toSeq)
+  }
+
+  test("VideoCodec round-trips MJPEG-in-AVI: meta, frames, real JPEG payloads") {
+    val seed = "the quick brown fox jumps over the lazy dog".getBytes("UTF-8")
+    val avi = Multimodal.VideoCodec.syntheticMjpegAvi(seed)
+    val meta = Multimodal.VideoCodec.decodeMeta(avi)
+    assert(meta.isDefined, "own container must parse")
+    assert(meta.get.nFrames >= 2)
+    assert(meta.get.durationMs === meta.get.nFrames.toLong * 250, "4 fps")
+    val frames = Multimodal.VideoCodec.decodeFrames(avi)
+    assert(frames.size === meta.get.nFrames)
+    assert(frames.map(_._1) === frames.indices)
+    // every frame is a standalone, genuinely decodable JPEG with the
+    // container's dimensions
+    frames.foreach { case (_, jpeg) =>
+      assert(Multimodal.ImageCodec.decodeDims(jpeg)
+        === Some((meta.get.width, meta.get.height)))
+    }
+    // determinism
+    assert(Multimodal.VideoCodec.syntheticMjpegAvi(seed).toSeq === avi.toSeq)
+    // non-AVI payloads decode to nothing — drop, never fake
+    assert(Multimodal.VideoCodec.decodeMeta(seed).isEmpty)
+    assert(Multimodal.VideoCodec.decodeFrames(seed).isEmpty)
+    // truncated container: parser stops cleanly, no exception
+    val truncated = java.util.Arrays.copyOf(avi, avi.length / 2)
+    Multimodal.VideoCodec.decodeFrames(truncated) // must not throw
+  }
+
+  test("sampleFrames extracts real frames at the stride") {
+    import spark.implicits._
+    val vids = media.filter(col("kind") === "video").limit(5).collect()
+    val frames = Multimodal.sampleFrames(media.filter(col("kind") === "video").limit(5), stride = 2)
+      .collect()
+    val byId = frames.groupBy(_.media_id)
+    vids.foreach { v =>
+      val total = Multimodal.VideoCodec.decodeFrames(v.bytes).size
+      val expected = (0 until total).count(_ % 2 == 0)
+      assert(byId.get(v.media_id).map(_.length).getOrElse(0) === expected)
+    }
+    // each sampled frame decodes as an image
+    frames.foreach { f =>
+      assert(Multimodal.ImageCodec.decodeDims(f.bytes).isDefined)
+    }
   }
 
   test("ImageCodec decodes a committed real PNG fixture (dims + resize)") {
