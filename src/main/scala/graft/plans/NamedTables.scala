@@ -3,9 +3,11 @@ package graft.plans
 import java.util.Locale
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.TimestampType
 
 /** Catalog names for engine-managed tables, so plain SQL addresses them like
   * any metastore table — the role of the reference's metastore entry (ref
@@ -81,13 +83,47 @@ object NamedTables {
     spark.sessionState.catalog.getTempView(name).isDefined ||
       spark.sessionState.catalog.getGlobalTempView(name).isDefined
 
+  /** `VERSION AS OF` / `TIMESTAMP AS OF` read plan for a snapshot ref. */
+  private def timeTravelPlan(spark: SparkSession, name: String, ref: Ref,
+      timestamp: Option[Expression], version: Option[String]): LogicalPlan = {
+    val root = ref match {
+      case SnapshotRef(r) => r
+      case PathRef(_) => throw new UnsupportedOperationException(
+        s"$name is a plain parquet table — time travel needs a snapshot table")
+    }
+    val t = Snapshots.table(spark, root)
+    val df = (version, timestamp) match {
+      case (Some(v), _) => t.readVersion(v.toLong)
+      case (_, Some(ts)) => t.readAsOf(evalTimestampMs(ts))
+      case _ => t.read()
+    }
+    SubqueryAlias(name, df.queryExecution.logical)
+  }
+
+  /** Evaluate a TIMESTAMP AS OF expression to epoch millis (UTC session). */
+  private def evalTimestampMs(e: Expression): Long = {
+    val micros =
+      try Cast(e, TimestampType, Some("UTC")).eval(null)
+      catch { case scala.util.control.NonFatal(_) => null }
+    micros match {
+      case l: java.lang.Long => l.longValue() / 1000L
+      case _ => throw new IllegalArgumentException(
+        s"cannot evaluate TIMESTAMP AS OF expression: ${e.sql}")
+    }
+  }
+
   /** Pre-analysis substitution of registered names (and `snapshot.`/path``
     * relations) with fresh read plans — the front-door path for sessions
     * built without the extensions hook. Temp views win over registered
-    * names, matching the analyzer-rule precedence.
+    * names, matching the analyzer-rule precedence. Top-down so a
+    * RelationTimeTravel wrapper is seen before its child relation.
     */
   def substitute(spark: SparkSession, plan: LogicalPlan): LogicalPlan =
-    plan.transformUpWithSubqueries {
+    plan.transformDownWithSubqueries {
+      case RelationTimeTravel(u: UnresolvedRelation, ts, v)
+          if resolvable(spark, u) =>
+        timeTravelPlan(spark, u.multipartIdentifier.last,
+          refOf(u.multipartIdentifier).get, ts, v)
       case u: UnresolvedRelation if resolvable(spark, u) =>
         readPlan(spark, u.multipartIdentifier.last,
           refOf(u.multipartIdentifier).get)
@@ -103,7 +139,11 @@ object NamedTables {
     * shadow registered names without an explicit check.
     */
   class ResolveNamedTables(session: SparkSession) extends Rule[LogicalPlan] {
-    override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
+      case RelationTimeTravel(u: UnresolvedRelation, ts, v)
+          if refOf(u.multipartIdentifier).isDefined =>
+        timeTravelPlan(session, u.multipartIdentifier.last,
+          refOf(u.multipartIdentifier).get, ts, v)
       case u: UnresolvedRelation if refOf(u.multipartIdentifier).isDefined =>
         readPlan(session, u.multipartIdentifier.last,
           refOf(u.multipartIdentifier).get)

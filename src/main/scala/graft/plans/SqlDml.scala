@@ -3,7 +3,7 @@ package graft.plans
 import java.util.Locale
 
 import org.apache.spark.sql.{Column, DataFrame, GraftShims, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.functions.col
@@ -64,6 +64,24 @@ object SqlDml {
         targetOf(m.targetTable).map { tgt => runMerge(spark, tgt, m); done(spark) }
       case i: InsertIntoStatement =>
         targetOf(i.table).map { tgt => runInsert(spark, tgt, i); done(spark) }
+      case CreateTable(UnresolvedIdentifier(Seq(name), _), columns, partitioning,
+          spec: TableSpecBase, ignoreIfExists)
+          if spec.provider.exists(_.equalsIgnoreCase("snapshot")) =>
+        Some { runCreate(spark, name, columns, partitioning, spec,
+          ignoreIfExists); done(spark) }
+      case c: CreateTableAsSelect => c.name match {
+        case UnresolvedIdentifier(Seq(name), _) => c.tableSpec match {
+          case spec: TableSpecBase
+              if spec.provider.exists(_.equalsIgnoreCase("snapshot")) =>
+            Some { runCtas(spark, name, c.partitioning, c.query, spec,
+              c.ignoreIfExists); done(spark) }
+          case _ => None
+        }
+        case _ => None
+      }
+      case DropTable(UnresolvedIdentifier(Seq(name), _), ifExists, _)
+          if NamedTables.get(name).isDefined =>
+        Some { NamedTables.drop(name); done(spark) }
       case _ => None
     }
 
@@ -163,6 +181,70 @@ object SqlDml {
           "INSERT OVERWRITE a parquet path table is not supported; use a snapshot table")
         Dml.insertInto(spark, path, aligned)
     }
+  }
+
+  /** The manifest-log dir a snapshot root would have — existence = table. */
+  private def snapshotExists(spark: SparkSession, root: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(root, "_graft_log")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def locationOf(name: String, spec: TableSpecBase): String =
+    spec.location.getOrElse(throw new UnsupportedOperationException(
+      s"CREATE TABLE $name USING snapshot needs a LOCATION '<root>' clause " +
+        "(snapshot tables are path-rooted; there is no default warehouse)"))
+
+  private def partitionColsOf(partitioning: Seq[
+      org.apache.spark.sql.connector.expressions.Transform]): Seq[String] =
+    partitioning.map { t =>
+      if (t.name == "identity" && t.references.length == 1)
+        t.references.head.fieldNames.mkString(".")
+      else throw new UnsupportedOperationException(
+        s"only PARTITIONED BY (col, ...) is supported, got: $t")
+    }
+
+  /** CREATE TABLE name USING snapshot LOCATION '<root>' — attaches an
+    * existing snapshot table to the name, or creates an empty one when a
+    * column list is given.
+    */
+  private def runCreate(spark: SparkSession, name: String,
+      columns: Seq[ColumnDefinition],
+      partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform],
+      spec: TableSpecBase, ignoreIfExists: Boolean): Unit = {
+    if (NamedTables.get(name).isDefined) {
+      if (ignoreIfExists) return
+      throw new IllegalStateException(s"table $name already exists")
+    }
+    val root = locationOf(name, spec)
+    if (!snapshotExists(spark, root)) {
+      if (columns.isEmpty) throw new IllegalArgumentException(
+        s"no snapshot table at $root and no column list to create one from")
+      val schema = org.apache.spark.sql.types.StructType(
+        columns.map(c => org.apache.spark.sql.types.StructField(
+          c.name, c.dataType, c.nullable)))
+      val empty = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      Snapshots.create(spark, root, empty.coalesce(1),
+        partitionBy = partitionColsOf(partitioning))
+    }
+    NamedTables.registerSnapshot(name, root)
+  }
+
+  /** CREATE TABLE name USING snapshot LOCATION '<root>' AS SELECT ... */
+  private def runCtas(spark: SparkSession, name: String,
+      partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform],
+      query: LogicalPlan, spec: TableSpecBase, ignoreIfExists: Boolean): Unit = {
+    if (NamedTables.get(name).isDefined || {
+      val root = spec.location
+      root.isDefined && snapshotExists(spark, root.get)
+    }) {
+      if (ignoreIfExists) return
+      throw new IllegalStateException(s"table $name already exists")
+    }
+    val root = locationOf(name, spec)
+    val rows = GraftShims.ofRows(spark, NamedTables.substitute(spark, query))
+    Snapshots.create(spark, root, rows, partitionBy = partitionColsOf(partitioning))
+    NamedTables.registerSnapshot(name, root)
   }
 
   private def runMerge(spark: SparkSession, t: Target, m: MergeIntoTable): Unit = {

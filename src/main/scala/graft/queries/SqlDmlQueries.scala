@@ -79,6 +79,29 @@ object SqlDmlQueries {
           |FROM s11_sales GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     },
 
+    // The full SQL lifecycle: CTAS creates a named snapshot table, DML
+    // mutates it, and the read joins the current state against VERSION AS
+    // OF 0 time travel — all statements SQL text, no programmatic API.
+    q("s13_sql_time_travel",
+      """SELECT cur.o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(cur.o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS total
+        |FROM (SELECT * FROM orders WHERE o_orderkey % 6 <> 0) cur
+        |JOIN orders v0 ON cur.o_orderkey = v0.o_orderkey
+        |GROUP BY cur.o_orderstatus ORDER BY cur.o_orderstatus""".stripMargin) { (spark, dir) =>
+      val root = scratch()
+      NamedTables.drop("s13_t") // rerunnable: the name, not the scratch root
+      Engine.sql(spark, dir,
+        s"""CREATE TABLE s13_t USING snapshot LOCATION '$root'
+           |AS SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders""".stripMargin)
+      Engine.sql(spark, dir, "DELETE FROM s13_t WHERE o_orderkey % 6 = 0")
+      Engine.sql(spark, dir,
+        """SELECT cur.o_orderstatus, count(*) AS n,
+          |  CAST(sum(CAST(cur.o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS total
+          |FROM s13_t cur
+          |JOIN s13_t VERSION AS OF 0 v0 ON cur.o_orderkey = v0.o_orderkey
+          |GROUP BY cur.o_orderstatus ORDER BY cur.o_orderstatus""".stripMargin)
+    },
+
     // SQL INSERT INTO a named snapshot table plus a SQL DELETE through the
     // same name; the oracle reconstructs the final state relationally.
     q("s12_sql_insert_named",

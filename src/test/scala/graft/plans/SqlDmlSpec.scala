@@ -144,6 +144,55 @@ class SqlDmlSpec extends SparkSpec {
       "NOT MATCHED BY SOURCE")
   }
 
+  test("VERSION AS OF / TIMESTAMP AS OF time travel on a named snapshot table") {
+    val root = scratch("graft_sqldml_snap_")
+    val t = Snapshots.create(spark, root, items(0, 40))
+    NamedTables.registerSnapshot("sqldml_tt", root)
+    val afterCreate = t.latest().timestampMs
+    Thread.sleep(5)
+    sql("DELETE FROM sqldml_tt WHERE id >= 20")
+    assert(sql("SELECT count(*) AS n FROM sqldml_tt").head.getLong(0) === 20)
+    assert(sql("SELECT count(*) AS n FROM sqldml_tt VERSION AS OF 0").head.getLong(0) === 40)
+    assert(sql("SELECT count(*) AS n FROM sqldml_tt VERSION AS OF 1").head.getLong(0) === 20)
+    val tsLit = java.time.Instant.ofEpochMilli(afterCreate)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime.toString.replace('T', ' ')
+    assert(sql(s"SELECT count(*) AS n FROM sqldml_tt TIMESTAMP AS OF '$tsLit'")
+      .head.getLong(0) === 40)
+    // joins across versions work in one statement
+    val j = sql(
+      """SELECT count(*) AS n FROM sqldml_tt cur
+        |JOIN sqldml_tt VERSION AS OF 0 v0 ON cur.id = v0.id""".stripMargin)
+    assert(j.head.getLong(0) === 20)
+  }
+
+  test("CREATE TABLE / CTAS / DROP TABLE USING snapshot from SQL") {
+    val root = scratch("graft_sqldml_ddl_")
+    items(0, 30).createOrReplaceTempView("sqldml_ctas_src")
+    // CTAS creates the log and registers the name
+    sql(s"""CREATE TABLE sqldml_ctas USING snapshot LOCATION '$root'
+           |AS SELECT id, name, price, k FROM sqldml_ctas_src""".stripMargin)
+    assert(sql("SELECT count(*) AS n FROM sqldml_ctas").head.getLong(0) === 30)
+    assert(Snapshots.table(spark, root).latest().version === 0L)
+    // IF NOT EXISTS on an existing table is a no-op
+    sql(s"CREATE TABLE IF NOT EXISTS sqldml_ctas USING snapshot LOCATION '$root' AS SELECT * FROM sqldml_ctas_src")
+    assert(sql("SELECT count(*) AS n FROM sqldml_ctas").head.getLong(0) === 30)
+    intercept[IllegalStateException](
+      sql(s"CREATE TABLE sqldml_ctas USING snapshot LOCATION '$root' AS SELECT * FROM sqldml_ctas_src"))
+    // DROP unregisters the name; the data stays (external-table semantics)
+    sql("DROP TABLE sqldml_ctas")
+    assert(NamedTables.get("sqldml_ctas").isEmpty)
+    // CREATE TABLE attaches an existing root back under a (new) name
+    sql(s"CREATE TABLE sqldml_attached USING snapshot LOCATION '$root'")
+    assert(sql("SELECT count(*) AS n FROM sqldml_attached").head.getLong(0) === 30)
+    // CREATE TABLE with a column list creates an empty, writable table
+    val root2 = scratch("graft_sqldml_ddl_")
+    sql(s"""CREATE TABLE sqldml_fresh (id BIGINT, v STRING)
+           |USING snapshot LOCATION '$root2'""".stripMargin)
+    assert(sql("SELECT count(*) AS n FROM sqldml_fresh").head.getLong(0) === 0)
+    sql("INSERT INTO sqldml_fresh VALUES (1, 'a'), (2, 'b')")
+    assert(sql("SELECT count(*) AS n FROM sqldml_fresh").head.getLong(0) === 2)
+  }
+
   test("extensions-injected rule resolves registered names in plain spark.sql") {
     val root = scratch("graft_sqldml_snap_")
     Snapshots.create(spark, root, items(0, 25))
