@@ -359,57 +359,27 @@ object Dml {
       whenMatchedSet: Map[String, Column] = Map.empty,
       whenMatchedDelete: Boolean = false,
       sourceKeysUnique: Boolean = false,
-      insertUnmatched: Boolean = true): Unit = {
+      insertUnmatched: Boolean = true): Unit =
+    mergeSpec(spark, table, source, targetKey, sourceKey,
+      MergeEngine.specOf(whenMatchedSet, whenMatchedDelete, insertUnmatched),
+      sourceKeysUnique)
+
+  /** Full multi-arm MERGE (conditional matched arms, conditional insert,
+    * WHEN NOT MATCHED BY SOURCE) — see [[MergeEngine]] for statement
+    * semantics and joined-scope naming. Arms that touch unmatched target
+    * rows rewrite every partition (any leaf may hold one); all other
+    * statements rewrite only partitions containing matched rows.
+    */
+  def mergeSpec(spark: SparkSession, table: String, source: DataFrame,
+      targetKey: String, sourceKey: String, spec: MergeEngine.Spec,
+      sourceKeysUnique: Boolean = false): Unit = {
     val target0 = readTable(spark, table)
     val cols = target0.columns
-    require(source.columns.contains(sourceKey),
-      s"source must carry the merge key $sourceKey")
-    // inserting takes whole rows from the source; a source used only to
-    // match (update/delete arms) may carry just the key
-    if (insertUnmatched) {
-      val missing = cols.filterNot(source.columns.contains)
-      require(missing.isEmpty,
-        s"MERGE with an insert arm needs source columns ${missing.mkString(", ")}")
-    }
-    val srcCols = source.columns.toSet
+    val insertUnmatched = spec.insert.isDefined
 
-    // the t-side is renamed to __t_* before the join so SOURCE columns keep
-    // their plain names — whenMatchedSet expressions written with plain
-    // col("c") references resolve against the source row unambiguously
-    def tc(c: String): Column = col("__t_" + c)
-    val guarded =
-      if (sourceKeysUnique) source
-      else source.withColumn("__src_cnt", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col(sourceKey))))
-
-    def postOf(target: DataFrame): DataFrame = {
-      val tRen = target.select(cols.map(c => col(c).as("__t_" + c)): _*)
-      val joined = tRen.join(guarded, tc(targetKey) === col(sourceKey), "full_outer")
-      val matched = tc(targetKey).isNotNull && col(sourceKey).isNotNull
-      // cardinality guard, same job: any matched row whose source key is
-      // duplicated fails the statement at execution time
-      val checked =
-        if (sourceKeysUnique) joined
-        else joined.filter(when(matched && col("__src_cnt") > 1,
-          raise_error(concat(
-            lit(s"MERGE cardinality violation: multiple source rows match target $sourceKey="),
-            col(sourceKey).cast("string")))).isNull)
-      // WHEN NOT MATCHED absent: source rows matching nothing fall out
-      val scoped =
-        if (insertUnmatched) checked else checked.filter(tc(targetKey).isNotNull)
-      // a column absent from the source can only come from the target row
-      def fromEither(c: String): Column =
-        if (srcCols(c)) coalesce(tc(c), col(c)) else tc(c)
-      if (whenMatchedDelete) {
-        // keep unmatched target rows; insert unmatched source rows
-        scoped.filter(!matched).select(cols.map(c => fromEither(c).as(c)): _*)
-      } else {
-        scoped.select(cols.map { c =>
-          val updated = whenMatchedSet.getOrElse(c, tc(c))
-          when(matched, updated).otherwise(fromEither(c)).as(c)
-        }: _*)
-      }
-    }
+    def postOf(target: DataFrame): DataFrame =
+      MergeEngine.postImage(target, source, targetKey, sourceKey,
+        cols.toSeq, spec, sourceKeysUnique)
 
     // the in-job guard surfaces as a SparkRuntimeException wrapped in job
     // failure layers — unwrap to the documented IllegalStateException
@@ -429,11 +399,15 @@ object Dml {
     unwrapCardinality {
       detectLayout(spark, table) match {
         case Some(l) =>
-          requireNoPartitionAssignment(l, whenMatchedSet.keys, "MERGE WHEN MATCHED")
-          val matchedTarget = target0.join(
-            source.select(col(sourceKey).as(targetKey)).distinct(),
-            Seq(targetKey), "left_semi")
-          val tuples = affectedTuples(matchedTarget, l.cols)
+          val setCols = (spec.matched ++ spec.notMatchedBySource)
+            .collect { case MergeEngine.Update(_, s) => s.keySet }.flatten.toSet
+          requireNoPartitionAssignment(l, setCols, "MERGE")
+          val tuples =
+            if (spec.touchesUnmatchedTargets)
+              l.leaves.keys.toSeq // any leaf may hold an unmatched target row
+            else affectedTuples(target0.join(
+              source.select(col(sourceKey).as(targetKey)).distinct(),
+              Seq(targetKey), "left_semi"), l.cols)
           if (tuples.isEmpty && !insertUnmatched) return // no matches, no inserts
           // target side pruned to matched partitions; unmatched source rows
           // fall out of the full-outer join as inserts into their own partitions

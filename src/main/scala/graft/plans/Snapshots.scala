@@ -859,56 +859,32 @@ object Snapshots {
         whenMatchedDelete: Boolean = false,
         insertUnmatched: Boolean = true,
         sourceKeysUnique: Boolean = false,
+        maxRetries: Int = 10): Manifest =
+      mergeSpec(source, targetKey, sourceKey,
+        MergeEngine.specOf(whenMatchedSet, whenMatchedDelete, insertUnmatched),
+        sourceKeysUnique, maxRetries)
+
+    /** Full multi-arm MERGE (conditional matched arms, conditional insert,
+      * WHEN NOT MATCHED BY SOURCE) — see [[MergeEngine]] for the statement
+      * semantics and joined-scope naming. Arms that touch unmatched target
+      * rows force a whole-table rewrite (every file may hold one); all
+      * other statements rewrite only files containing matched rows.
+      */
+    def mergeSpec(source: DataFrame, targetKey: String, sourceKey: String,
+        spec: MergeEngine.Spec,
+        sourceKeysUnique: Boolean = false,
         maxRetries: Int = 10): Manifest = {
       val head0 = latest()
       val cols = schemaOf(head0.schemaJson).fieldNames.toSeq
-      val bad = whenMatchedSet.keySet.intersect(head0.partitionCols.toSet)
+      val setCols = (spec.matched ++ spec.notMatchedBySource)
+        .collect { case MergeEngine.Update(_, s) => s.keySet }.flatten.toSet
+      val bad = setCols.intersect(head0.partitionCols.toSet)
       require(bad.isEmpty,
-        s"MERGE WHEN MATCHED cannot assign partition columns: ${bad.mkString(", ")}")
-      require(source.columns.contains(sourceKey),
-        s"source must carry the merge key $sourceKey")
-      // inserting takes whole rows from the source; a source used only to
-      // match (update/delete arms) may carry just the key
-      if (insertUnmatched) {
-        val missing = cols.filterNot(source.columns.contains)
-        require(missing.isEmpty,
-          s"MERGE with an insert arm needs source columns ${missing.mkString(", ")}")
-      }
-      val srcCols = source.columns.toSet
+        s"MERGE cannot assign partition columns: ${bad.mkString(", ")}")
 
-      def tc(c: String): Column = col("__t_" + c)
-      val guarded =
-        if (sourceKeysUnique) source
-        else source.withColumn("__src_cnt", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col(sourceKey))))
-
-      // post-image of the affected files ∪ inserted source rows. Affected
-      // files hold EVERY matched target row, so a full-outer join against
-      // them classifies each source row exactly (matched vs insert).
-      def postOf(affectedDf: DataFrame): DataFrame = {
-        val tRen = affectedDf.select(cols.map(c => col(c).as("__t_" + c)): _*)
-        val joined = tRen.join(guarded, tc(targetKey) === col(sourceKey), "full_outer")
-        val matched = tc(targetKey).isNotNull && col(sourceKey).isNotNull
-        val checked =
-          if (sourceKeysUnique) joined
-          else joined.filter(when(matched && col("__src_cnt") > 1,
-            raise_error(concat(
-              lit(s"MERGE cardinality violation: multiple source rows match target $sourceKey="),
-              col(sourceKey).cast("string")))).isNull)
-        val scoped =
-          if (insertUnmatched) checked
-          else checked.filter(tc(targetKey).isNotNull)
-        // a column absent from the source can only come from the target row
-        def fromEither(c: String): Column =
-          if (srcCols(c)) coalesce(tc(c), col(c)) else tc(c)
-        if (whenMatchedDelete)
-          scoped.filter(!matched).select(cols.map(c => fromEither(c).as(c)): _*)
-        else
-          scoped.select(cols.map { c =>
-            val updated = whenMatchedSet.getOrElse(c, tc(c))
-            when(matched, updated).otherwise(fromEither(c)).as(c)
-          }: _*)
-      }
+      def postOf(affectedDf: DataFrame): DataFrame =
+        MergeEngine.postImage(affectedDf, source, targetKey, sourceKey,
+          cols, spec, sourceKeysUnique)
 
       var attempt = 0
       while (true) {
@@ -917,15 +893,17 @@ object Snapshots {
         // provenance scan over VISIBLE rows (pending MOR deletes applied):
         // a deleted target row neither matches nor resurrects
         val visible = applyDeletes(readFilesMeta(head), head)
-        val affected = visible
-          .join(keys, visible(targetKey) === keys(sourceKey), "left_semi")
-          .select(col("__file")).distinct()
-          .collect().map(_.getString(0))
-          .toSet
+        val affected =
+          if (spec.touchesUnmatchedTargets) head.files.toSet
+          else visible
+            .join(keys, visible(targetKey) === keys(sourceKey), "left_semi")
+            .select(col("__file")).distinct()
+            .collect().map(_.getString(0))
+            .toSet
         val schema = schemaOf(head.schemaJson)
         val post =
           if (affected.isEmpty) {
-            if (!insertUnmatched) return head // nothing matched, no inserts
+            if (spec.insert.isEmpty) return head // nothing matched, no inserts
             // no target row matches any source key — every source row inserts
             postOf(readFiles(head.copy(files = Nil)))
           } else postOf(applyDeletes(

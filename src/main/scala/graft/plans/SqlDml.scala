@@ -28,11 +28,12 @@ import org.apache.spark.sql.functions.col
   * Supported statement shapes (a deliberate, clearly-errored subset):
   *   - `UPDATE t SET c = expr, ... [WHERE cond]`
   *   - `DELETE FROM t [WHERE cond]`
-  *   - `MERGE INTO t [AS a] USING src [AS b] ON a.k = b.k` with at most one
-  *     unconditional WHEN MATCHED THEN UPDATE SET ... / DELETE and at most
-  *     one unconditional WHEN NOT MATCHED THEN INSERT (explicit column list
-  *     of bare source columns, or `INSERT *`). Conditional arms and
-  *     WHEN NOT MATCHED BY SOURCE raise UnsupportedOperationException.
+  *   - `MERGE INTO t [AS a] USING src [AS b] ON a.k = b.k` with any number
+  *     of ordered, optionally-conditional WHEN MATCHED THEN UPDATE SET /
+  *     DELETE arms, one optionally-conditional WHEN NOT MATCHED THEN INSERT
+  *     (explicit column list of bare source columns, or `INSERT *`), and
+  *     WHEN NOT MATCHED BY SOURCE THEN UPDATE / DELETE arms
+  *     (first-matching-arm-wins, lowered via [[MergeEngine]]).
   *   - `INSERT INTO/OVERWRITE t SELECT ...` (positional, like SQL INSERT)
   *     against registered/snapshot targets; other targets fall through to
   *     Spark's native handling.
@@ -250,8 +251,6 @@ object SqlDml {
   private def runMerge(spark: SparkSession, t: Target, m: MergeIntoTable): Unit = {
     def unsupported(msg: String): Nothing =
       throw new UnsupportedOperationException(s"MERGE: $msg")
-    if (m.notMatchedBySourceActions.nonEmpty)
-      unsupported("WHEN NOT MATCHED BY SOURCE is not supported")
 
     // source frame + the qualifiers its columns carry in action expressions
     val srcQuals: Set[String] = m.sourceTable match {
@@ -294,26 +293,20 @@ object SqlDml {
         "ON must be a single equi-condition: target.k = source.k")
     }
 
-    def single(actions: Seq[MergeAction], kind: String): Option[MergeAction] = {
-      if (actions.size > 1) unsupported(s"at most one $kind clause is supported")
-      actions.headOption.map { a =>
-        if (a.condition.isDefined)
-          unsupported(s"conditional $kind (AND <cond>) is not supported")
-        a
-      }
-    }
-
-    // WHEN NOT MATCHED: project the source to target-named columns so insert
-    // and matched-update share one frame; `renames` maps original source
-    // names to their post-projection (target) names.
-    val (source, renames: Map[String, String], insertUnmatched) =
-      single(m.notMatchedActions, "WHEN NOT MATCHED") match {
-        case None => (sourceDf0, Map.empty[String, String], false)
+    // WHEN NOT MATCHED (at most one arm, condition allowed): project the
+    // source to target-named columns so insert and matched-update share one
+    // frame; `renames` maps original source names to their post-projection
+    // (target) names.
+    if (m.notMatchedActions.size > 1)
+      unsupported("at most one WHEN NOT MATCHED clause is supported")
+    val (source, renames: Map[String, String]) =
+      m.notMatchedActions.headOption match {
+        case None => (sourceDf0, Map.empty[String, String])
         case Some(_: InsertStarAction) =>
           val missing = targetCols.filterNot(srcCols0)
           if (missing.nonEmpty) unsupported(
             s"INSERT * needs source columns ${missing.mkString(", ")}")
-          (sourceDf0, Map.empty[String, String], true)
+          (sourceDf0, Map.empty[String, String])
         case Some(InsertAction(_, assigns)) =>
           val pairs = assigns.map { a =>
             val tgt = assignName(a.key, t.qualifiers)
@@ -329,13 +322,14 @@ object SqlDml {
           if (missing.nonEmpty) unsupported(
             s"INSERT must assign every target column; missing ${missing.mkString(", ")}")
           (sourceDf0.select(pairs.map { case (tgt, src) => col(src).as(tgt) }: _*),
-            pairs.map { case (tgt, src) => src -> tgt }.toMap, true)
+            pairs.map { case (tgt, src) => src -> tgt }.toMap)
         case Some(other) => unsupported(s"unsupported WHEN NOT MATCHED action: $other")
       }
     val sourceKey = renames.getOrElse(sourceKey0, sourceKey0)
 
-    // matched-action expressions: target-qualified refs -> __t_ columns of
-    // the joined frame; source refs -> (possibly renamed) source columns
+    // action expressions in the joined scope: target-qualified refs -> __t_
+    // columns, source refs -> (possibly renamed) source columns; unqualified
+    // names resolve source-first (the upsert intent)
     def actionColumn(e: Expression): Column = GraftShims.column(e.transformUp {
       case a: UnresolvedAttribute =>
         val parts = a.nameParts
@@ -348,30 +342,48 @@ object SqlDml {
           UnresolvedAttribute(Seq(renames.getOrElse(parts.head, parts.head)))
         else a
     })
+    // WHEN NOT MATCHED BY SOURCE expressions see only the target row —
+    // unqualified names resolve target-side; source references are an error
+    def targetOnlyColumn(e: Expression): Column = GraftShims.column(e.transformUp {
+      case a: UnresolvedAttribute =>
+        val parts = a.nameParts
+        if (parts.size > 1 && t.qualifiers.contains(norm(parts.head)))
+          UnresolvedAttribute(targetSide(parts(1)) +: parts.drop(2))
+        else if (parts.size > 1 && srcQuals.contains(norm(parts.head)))
+          unsupported(s"WHEN NOT MATCHED BY SOURCE cannot reference the source: ${a.sql}")
+        else if (parts.size == 1)
+          UnresolvedAttribute(targetSide(parts.head) +: parts.drop(1))
+        else a
+    })
 
-    val (whenMatchedSet, whenMatchedDelete) =
-      single(m.matchedActions, "WHEN MATCHED") match {
-        case None => (Map.empty[String, Column], false)
-        case Some(_: DeleteAction) => (Map.empty[String, Column], true)
-        case Some(UpdateAction(_, assigns, _)) =>
-          (assigns.map(a => assignName(a.key, t.qualifiers)
-            -> actionColumn(a.value)).toMap, false)
-        case Some(_: UpdateStarAction) =>
-          (targetCols.map(c => c -> col(renames.getOrElse(c, c))).toMap, false)
-        case Some(other) => unsupported(s"unsupported WHEN MATCHED action: $other")
+    def matchedArm(a: MergeAction, tr: Expression => Column,
+        allowStar: Boolean): MergeEngine.MatchedArm =
+      a match {
+        case DeleteAction(cond) => MergeEngine.Delete(cond.map(tr))
+        case UpdateAction(cond, assigns, _) =>
+          MergeEngine.Update(cond.map(tr), assigns.map(x =>
+            assignName(x.key, t.qualifiers) -> tr(x.value)).toMap)
+        case s: UpdateStarAction if allowStar =>
+          MergeEngine.Update(s.condition.map(tr),
+            targetCols.map(c => c -> col(renames.getOrElse(c, c))).toMap)
+        case other => unsupported(s"unsupported action: $other")
       }
-    if (whenMatchedSet.isEmpty && !whenMatchedDelete && !insertUnmatched)
+
+    val spec = MergeEngine.Spec(
+      matched = m.matchedActions.map(matchedArm(_, actionColumn, allowStar = true)),
+      insert = m.notMatchedActions.headOption.map(a =>
+        MergeEngine.Insert(a.condition.map(actionColumn))),
+      notMatchedBySource = m.notMatchedBySourceActions.map(
+        matchedArm(_, targetOnlyColumn, allowStar = false)))
+    if (spec.matched.isEmpty && spec.insert.isEmpty &&
+        spec.notMatchedBySource.isEmpty)
       unsupported("statement has no effect: no WHEN clause was given")
 
     t.ref match {
       case NamedTables.SnapshotRef(root) =>
-        Snapshots.table(spark, root).merge(source, targetKey, sourceKey,
-          whenMatchedSet = whenMatchedSet, whenMatchedDelete = whenMatchedDelete,
-          insertUnmatched = insertUnmatched)
+        Snapshots.table(spark, root).mergeSpec(source, targetKey, sourceKey, spec)
       case NamedTables.PathRef(path) =>
-        Dml.merge(spark, path, source, targetKey, sourceKey,
-          whenMatchedSet = whenMatchedSet, whenMatchedDelete = whenMatchedDelete,
-          insertUnmatched = insertUnmatched)
+        Dml.mergeSpec(spark, path, source, targetKey, sourceKey, spec)
     }
   }
 }

@@ -102,6 +102,46 @@ object SqlDmlQueries {
           |GROUP BY cur.o_orderstatus ORDER BY cur.o_orderstatus""".stripMargin)
     },
 
+    // Multi-arm MERGE: ordered conditional WHEN MATCHED arms (delete /
+    // zero-out / touch) plus WHEN NOT MATCHED BY SOURCE aging — the oracle
+    // replays arm selection as CASE over the same predicates.
+    q("s14_sql_merge_arms",
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS total
+        |FROM (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 10 <> 0 AND o_orderstatus = 'P' THEN 'X'
+        |         ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 10 = 0 AND o_orderstatus <> 'F' THEN 1.0
+        |         WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders
+        |) GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val orders = Engine.table(spark, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      NamedTables.drop("s14_t")
+      NamedTables.registerSnapshot("s14_t",
+        Snapshots.create(spark, scratch(), orders).root)
+      orders.filter($"o_orderkey" % 10 === 0)
+        .select($"o_orderkey".as("k"), $"o_totalprice".as("p"))
+        .createOrReplaceTempView("s14_src")
+      // matched F-status rows bump price; other matched rows zero then bump
+      // is ORDER-dependent: first arm wins. Unmatched-by-source P rows age
+      // to status X; everything else untouched.
+      Engine.sql(spark, dir,
+        """MERGE INTO s14_t t USING s14_src s ON t.o_orderkey = s.k
+          |WHEN MATCHED AND t.o_orderstatus <> 'F'
+          |  THEN UPDATE SET o_totalprice = 1.0
+          |WHEN MATCHED THEN UPDATE SET o_totalprice = t.o_totalprice + 1.0
+          |WHEN NOT MATCHED BY SOURCE AND t.o_orderstatus = 'P'
+          |  THEN UPDATE SET o_orderstatus = 'X'""".stripMargin)
+      Engine.sql(spark, dir,
+        """SELECT o_orderstatus, count(*) AS n,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS total
+          |FROM s14_t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    },
+
     // SQL INSERT INTO a named snapshot table plus a SQL DELETE through the
     // same name; the oracle reconstructs the final state relationally.
     q("s12_sql_insert_named",

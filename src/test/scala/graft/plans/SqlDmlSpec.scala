@@ -131,17 +131,69 @@ class SqlDmlSpec extends SparkSpec {
       "single equi-condition")
     expectUnsupported(
       """MERGE INTO sqldml_err t USING sqldml_errsrc s ON t.id = s.id
-        |WHEN MATCHED AND t.k = 1 THEN DELETE""".stripMargin,
-      "conditional WHEN MATCHED")
-    expectUnsupported(
-      """MERGE INTO sqldml_err t USING sqldml_errsrc s ON t.id = s.id
         |WHEN NOT MATCHED THEN INSERT (id, name) VALUES (s.id, s.name)""".stripMargin,
       "every target column")
     expectUnsupported(
       """MERGE INTO sqldml_err t USING sqldml_errsrc s ON t.id = s.id
-        |WHEN MATCHED THEN DELETE
-        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin,
-      "NOT MATCHED BY SOURCE")
+        |WHEN NOT MATCHED BY SOURCE AND s.price > 0 THEN DELETE""".stripMargin,
+      "cannot reference the source")
+  }
+
+  test("MERGE with conditional multi-arm WHEN MATCHED: first arm wins") {
+    val root = scratch("graft_sqldml_snap_")
+    val t = Snapshots.create(spark, root, items(0, 40))
+    NamedTables.registerSnapshot("sqldml_arms", root)
+    import spark.implicits._
+    // source rows matching ids 0..19; arm order decides: k=0 deletes,
+    // k=1 zeroes the price, everything else doubles it
+    items(0, 20).select($"id", $"k".as("sk")).createOrReplaceTempView("sqldml_armsrc")
+    sql(
+      """MERGE INTO sqldml_arms t USING sqldml_armsrc s ON t.id = s.id
+        |WHEN MATCHED AND t.k = 0 THEN DELETE
+        |WHEN MATCHED AND t.k = 1 THEN UPDATE SET price = 0.0
+        |WHEN MATCHED THEN UPDATE SET price = t.price * 2""".stripMargin)
+    val got = t.read()
+    assert(got.count() === 35, "5 rows with k=0 among ids 0..19 deleted")
+    assert(got.filter($"id" < 20 && $"k" === 1).agg(sum($"price")).head.getDouble(0) === 0.0)
+    // k=2,3 among ids<20 doubled; untouched beyond
+    assert(got.filter($"id" === 2).head.getDouble(2) === 40.0)
+    assert(got.filter($"id" === 3).head.getDouble(2) === 30.0 * 2)
+    assert(got.filter($"id" === 25).head.getDouble(2) === 250.0)
+  }
+
+  test("MERGE WHEN NOT MATCHED BY SOURCE deletes/updates unmatched target rows") {
+    val root = scratch("graft_sqldml_snap_")
+    val t = Snapshots.create(spark, root, items(0, 30))
+    NamedTables.registerSnapshot("sqldml_nmbs", root)
+    import spark.implicits._
+    (0 until 10).map(i => i.toLong).toDF("id").createOrReplaceTempView("sqldml_nmbsrc")
+    // sync-to-source: keep matched rows, age out unmatched ones
+    sql(
+      """MERGE INTO sqldml_nmbs t USING sqldml_nmbsrc s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET price = t.price + 1
+        |WHEN NOT MATCHED BY SOURCE AND t.k = 3 THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET name = 'stale'""".stripMargin)
+    val got = t.read()
+    assert(got.filter($"id" < 10).count() === 10, "matched rows kept")
+    assert(got.filter($"id" === 5).head.getDouble(2) === 51.0, "matched updated")
+    assert(got.filter($"id" >= 10 && $"k" === 3).count() === 0, "k=3 stale deleted")
+    assert(got.filter($"name" === "stale").count() === got.filter($"id" >= 10).count())
+  }
+
+  test("MERGE conditional INSERT arm filters which source rows insert") {
+    val root = scratch("graft_sqldml_snap_")
+    val t = Snapshots.create(spark, root, items(0, 10))
+    NamedTables.registerSnapshot("sqldml_cins", root)
+    import spark.implicits._
+    items(5, 25).createOrReplaceTempView("sqldml_cinsrc")
+    sql(
+      """MERGE INTO sqldml_cins t USING sqldml_cinsrc s ON t.id = s.id
+        |WHEN NOT MATCHED AND s.k = 2 THEN INSERT (id, name, price, k)
+        |  VALUES (s.id, s.name, s.price, s.k)""".stripMargin)
+    val got = t.read()
+    // ids 10..24 with k=2: 10,14,18,22
+    assert(got.count() === 10 + 4)
+    assert(got.filter($"id" >= 10).select("k").distinct().head.getInt(0) === 2)
   }
 
   test("VERSION AS OF / TIMESTAMP AS OF time travel on a named snapshot table") {
