@@ -16,7 +16,22 @@ object ExtensionsCheck {
     val v = spark.sql("SELECT field('b', 'a', 'b') AS f, mask_first_n('Abcd1234') AS m")
       .head()
     assert(v.getInt(0) == 2 && v.getString(1) == "Xxxx1234")
-    println(s"extensions-path OK: field=${v.getInt(0)} mask=${v.getString(1)}")
+    // catalog-name snapshot tables resolve in plain spark.sql via the
+    // injected analyzer rule (incl. time travel), with zero Engine calls
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_extchk_")
+      .toString + "/t"
+    graft.plans.Snapshots.create(spark, root,
+      (0 until 20).map(i => (i.toLong, s"r$i")).toDF("id", "s"))
+    graft.plans.NamedTables.registerSnapshot("extchk", root)
+    graft.plans.Snapshots.table(spark, root)
+      .deleteWhere(org.apache.spark.sql.functions.col("id") < 5)
+    val n = spark.sql("SELECT count(*) AS n FROM extchk").head().getLong(0)
+    val n0 = spark.sql("SELECT count(*) AS n FROM extchk VERSION AS OF 0")
+      .head().getLong(0)
+    assert(n == 15 && n0 == 20, s"named snapshot reads: n=$n n0=$n0")
+    println(s"extensions-path OK: field=${v.getInt(0)} mask=${v.getString(1)} " +
+      s"named=$n timeTravel=$n0")
     spark.stop()
   }
 }
