@@ -34,10 +34,19 @@ import org.apache.spark.sql.types.TimestampType
 object NamedTables {
 
   sealed trait Ref { def root: String }
-  /** A snapshot-table root ([[Snapshots]] manifest log). */
-  final case class SnapshotRef(root: String) extends Ref
+  /** A snapshot-table root ([[Snapshots]] manifest log). `writeMode` picks
+    * the UPDATE/DELETE statement strategy: `cow` rewrites affected files,
+    * `merge-on-read` writes position-delete sidecars that readers merge
+    * until compaction (the reference's delete-delta design) — the
+    * `write.mode` table property.
+    */
+  final case class SnapshotRef(root: String, writeMode: String = WriteCow)
+    extends Ref
   /** A plain parquet table directory ([[Dml]] copy-on-write). */
   final case class PathRef(root: String) extends Ref
+
+  val WriteCow = "copy-on-write"
+  val WriteMor = "merge-on-read"
 
   // JVM-global like the session-catalog it stands in for; tests and the
   // Verify driver share one session per JVM anyway.
@@ -47,8 +56,9 @@ object NamedTables {
 
   def register(name: String, ref: Ref): Unit = registry.put(norm(name), ref)
 
-  def registerSnapshot(name: String, root: String): Unit =
-    register(name, SnapshotRef(root))
+  def registerSnapshot(name: String, root: String,
+      writeMode: String = WriteCow): Unit =
+    register(name, SnapshotRef(root, writeMode))
 
   def registerPath(name: String, path: String): Unit =
     register(name, PathRef(path))
@@ -62,7 +72,7 @@ object NamedTables {
     */
   private def readPlan(spark: SparkSession, name: String, ref: Ref): LogicalPlan = {
     val df = ref match {
-      case SnapshotRef(root) => Snapshots.table(spark, root).read()
+      case r: SnapshotRef => Snapshots.table(spark, r.root).read()
       case PathRef(path) => spark.read.parquet(path)
     }
     SubqueryAlias(name, df.queryExecution.logical)
@@ -87,7 +97,7 @@ object NamedTables {
   private def timeTravelPlan(spark: SparkSession, name: String, ref: Ref,
       timestamp: Option[Expression], version: Option[String]): LogicalPlan = {
     val root = ref match {
-      case SnapshotRef(r) => r
+      case r: SnapshotRef => r.root
       case PathRef(_) => throw new UnsupportedOperationException(
         s"$name is a plain parquet table — time travel needs a snapshot table")
     }

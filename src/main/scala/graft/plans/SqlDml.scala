@@ -83,6 +83,12 @@ object SqlDml {
       case DropTable(UnresolvedIdentifier(Seq(name), _), ifExists, _)
           if NamedTables.get(name).isDefined =>
         Some { NamedTables.drop(name); done(spark) }
+      case AddColumns(tbl: org.apache.spark.sql.catalyst.analysis.UnresolvedTable,
+          cols) =>
+        NamedTables.refOf(tbl.multipartIdentifier).collect {
+          case r: NamedTables.SnapshotRef =>
+            runAddColumns(spark, r.root, cols); done(spark)
+        }
       case _ => None
     }
 
@@ -95,7 +101,7 @@ object SqlDml {
   private final case class Target(display: String, qualifiers: Set[String],
       ref: NamedTables.Ref) {
     def read(spark: SparkSession): DataFrame = ref match {
-      case NamedTables.SnapshotRef(root) => Snapshots.table(spark, root).read()
+      case r: NamedTables.SnapshotRef => Snapshots.table(spark, r.root).read()
       case NamedTables.PathRef(path) => spark.read.parquet(path)
     }
   }
@@ -143,8 +149,10 @@ object SqlDml {
   private def runDelete(spark: SparkSession, t: Target, cond: Expression): Unit = {
     val c = asColumn(cond, t.qualifiers)
     t.ref match {
-      case NamedTables.SnapshotRef(root) =>
-        Snapshots.table(spark, root).deleteWhere(c)
+      case r: NamedTables.SnapshotRef if r.writeMode == NamedTables.WriteMor =>
+        Snapshots.table(spark, r.root).deleteWhereMergeOnRead(c)
+      case r: NamedTables.SnapshotRef =>
+        Snapshots.table(spark, r.root).deleteWhere(c)
       case NamedTables.PathRef(path) => Dml.deleteWhere(spark, path, c)
     }
   }
@@ -156,8 +164,10 @@ object SqlDml {
     val c = cond.map(asColumn(_, t.qualifiers))
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     t.ref match {
-      case NamedTables.SnapshotRef(root) =>
-        Snapshots.table(spark, root).updateWhere(c, set)
+      case r: NamedTables.SnapshotRef if r.writeMode == NamedTables.WriteMor =>
+        Snapshots.table(spark, r.root).updateWhereMergeOnRead(c, set)
+      case r: NamedTables.SnapshotRef =>
+        Snapshots.table(spark, r.root).updateWhere(c, set)
       case NamedTables.PathRef(path) => Dml.updateWhere(spark, path, c, set)
     }
   }
@@ -174,8 +184,8 @@ object SqlDml {
       s"INSERT arity ${rows.columns.length} != table arity ${tableCols.length}")
     val aligned = rows.toDF(tableCols: _*) // SQL INSERT is positional
     t.ref match {
-      case NamedTables.SnapshotRef(root) =>
-        val st = Snapshots.table(spark, root)
+      case r: NamedTables.SnapshotRef =>
+        val st = Snapshots.table(spark, r.root)
         if (i.overwrite) st.overwrite(aligned) else st.append(aligned)
       case NamedTables.PathRef(path) =>
         if (i.overwrite) throw new UnsupportedOperationException(
@@ -194,6 +204,32 @@ object SqlDml {
     spec.location.getOrElse(throw new UnsupportedOperationException(
       s"CREATE TABLE $name USING snapshot needs a LOCATION '<root>' clause " +
         "(snapshot tables are path-rooted; there is no default warehouse)"))
+
+  /** The `write.mode` table property: copy-on-write (default) or
+    * merge-on-read — picks the UPDATE/DELETE statement strategy.
+    */
+  private def writeModeOf(spec: TableSpecBase): String =
+    spec.properties.getOrElse("write.mode", NamedTables.WriteCow) match {
+      case m @ (NamedTables.WriteCow | NamedTables.WriteMor) => m
+      case "cow" => NamedTables.WriteCow
+      case "mor" => NamedTables.WriteMor
+      case other => throw new IllegalArgumentException(
+        s"write.mode must be copy-on-write or merge-on-read, got '$other'")
+    }
+
+  /** ALTER TABLE t ADD COLUMNS (...): snapshot schema evolution —
+    * metadata-only commit, pre-evolution files read the columns as NULL.
+    */
+  private def runAddColumns(spark: SparkSession, root: String,
+      cols: Seq[QualifiedColType]): Unit = {
+    val fields = cols.map { c =>
+      if (c.name.size != 1) throw new UnsupportedOperationException(
+        s"nested ADD COLUMNS is not supported: ${c.name.mkString(".")}")
+      org.apache.spark.sql.types.StructField(c.name.head, c.dataType)
+    }
+    Snapshots.table(spark, root)
+      .addColumns(org.apache.spark.sql.types.StructType(fields))
+  }
 
   private def partitionColsOf(partitioning: Seq[
       org.apache.spark.sql.connector.expressions.Transform]): Seq[String] =
@@ -228,7 +264,7 @@ object SqlDml {
       Snapshots.create(spark, root, empty.coalesce(1),
         partitionBy = partitionColsOf(partitioning))
     }
-    NamedTables.registerSnapshot(name, root)
+    NamedTables.registerSnapshot(name, root, writeModeOf(spec))
   }
 
   /** CREATE TABLE name USING snapshot LOCATION '<root>' AS SELECT ... */
@@ -245,7 +281,7 @@ object SqlDml {
     val root = locationOf(name, spec)
     val rows = GraftShims.ofRows(spark, NamedTables.substitute(spark, query))
     Snapshots.create(spark, root, rows, partitionBy = partitionColsOf(partitioning))
-    NamedTables.registerSnapshot(name, root)
+    NamedTables.registerSnapshot(name, root, writeModeOf(spec))
   }
 
   private def runMerge(spark: SparkSession, t: Target, m: MergeIntoTable): Unit = {
@@ -380,8 +416,8 @@ object SqlDml {
       unsupported("statement has no effect: no WHEN clause was given")
 
     t.ref match {
-      case NamedTables.SnapshotRef(root) =>
-        Snapshots.table(spark, root).mergeSpec(source, targetKey, sourceKey, spec)
+      case r: NamedTables.SnapshotRef =>
+        Snapshots.table(spark, r.root).mergeSpec(source, targetKey, sourceKey, spec)
       case NamedTables.PathRef(path) =>
         Dml.mergeSpec(spark, path, source, targetKey, sourceKey, spec)
     }

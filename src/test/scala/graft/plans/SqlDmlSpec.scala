@@ -245,6 +245,43 @@ class SqlDmlSpec extends SparkSpec {
     assert(sql("SELECT count(*) AS n FROM sqldml_fresh").head.getLong(0) === 2)
   }
 
+  test("write.mode='merge-on-read': SQL UPDATE/DELETE write sidecars, not rewrites") {
+    val root = scratch("graft_sqldml_mor_")
+    import spark.implicits._
+    items(0, 50).createOrReplaceTempView("sqldml_morsrc")
+    sql(s"""CREATE TABLE sqldml_mor USING snapshot LOCATION '$root'
+           |TBLPROPERTIES ('write.mode'='merge-on-read')
+           |AS SELECT * FROM sqldml_morsrc""".stripMargin)
+    val t = Snapshots.table(spark, root)
+    val before = t.latest()
+    sql("DELETE FROM sqldml_mor WHERE id < 10")
+    val afterDelete = t.latest()
+    assert(afterDelete.action === "delete-mor")
+    assert(afterDelete.files === before.files, "MOR delete must not rewrite data files")
+    assert(afterDelete.deletes.nonEmpty)
+    sql("UPDATE sqldml_mor SET price = 0.0 WHERE id >= 40")
+    assert(t.latest().action === "update-mor")
+    assert(sql("SELECT count(*) AS n FROM sqldml_mor").head.getLong(0) === 40)
+    assert(sql("SELECT sum(price) AS s FROM sqldml_mor WHERE id >= 40").head.getDouble(0) === 0.0)
+    // a bad write.mode value errors clearly
+    val e = intercept[IllegalArgumentException](
+      sql(s"CREATE TABLE sqldml_badmode (id BIGINT) USING snapshot LOCATION '${scratch("x_")}' TBLPROPERTIES ('write.mode'='sideways')"))
+    assert(e.getMessage.contains("write.mode"))
+  }
+
+  test("ALTER TABLE ADD COLUMNS evolves a named snapshot table from SQL") {
+    val root = scratch("graft_sqldml_snap_")
+    val t = Snapshots.create(spark, root, items(0, 10))
+    NamedTables.registerSnapshot("sqldml_evolve", root)
+    sql("ALTER TABLE sqldml_evolve ADD COLUMNS (extra DOUBLE, tag STRING)")
+    val got = sql("SELECT * FROM sqldml_evolve")
+    assert(got.columns.toSeq === Seq("id", "name", "price", "k", "extra", "tag"))
+    assert(got.filter(col("extra").isNull).count() === 10, "pre-evolution rows read NULL")
+    sql("INSERT INTO sqldml_evolve VALUES (100, 'n', 1.0, 0, 2.5, 'x')")
+    assert(sql("SELECT count(*) AS n FROM sqldml_evolve WHERE tag = 'x'").head.getLong(0) === 1)
+    assert(t.latest().version === 2L)
+  }
+
   test("extensions-injected rule resolves registered names in plain spark.sql") {
     val root = scratch("graft_sqldml_snap_")
     Snapshots.create(spark, root, items(0, 25))
