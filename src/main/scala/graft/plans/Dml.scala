@@ -420,6 +420,34 @@ object Dml {
     }
   }
 
+  /** INSERT OVERWRITE: replaces the table contents via the staged
+    * whole-table swap (self-referencing sources are safe — the post-image
+    * is fully written to the staging dir before the current table moves).
+    * A partitioned layout is preserved: the post-image rewrites the same
+    * partition columns.
+    */
+  def insertOverwrite(spark: SparkSession, table: String, rows: DataFrame): Unit =
+    detectLayout(spark, table) match {
+      case Some(l) =>
+        val fs = fsOf(spark, table)
+        val tmp = new Path(table + "._cow_tmp")
+        val bak = new Path(table + "._cow_bak")
+        fs.delete(tmp, true)
+        rows.write.partitionBy(l.cols: _*).parquet(tmp.toString)
+        fs.delete(bak, true)
+        if (!fs.rename(new Path(table), bak))
+          throw new IllegalStateException(s"cannot stage current table $table")
+        if (!fs.rename(tmp, new Path(table))) {
+          fs.rename(bak, new Path(table)) // roll back
+          throw new IllegalStateException(s"cannot commit new table $table")
+        }
+        fs.delete(bak, true)
+        invalidateLayout(table) // new leaf set
+        spark.catalog.refreshByPath(table)
+        MaterializedViews.invalidateSource(spark, table)
+      case None => swapIn(spark, table, rows)
+    }
+
   /** INSERT INTO (append); respects a partitioned layout (dynamic-partition
     * append — new rows land in their `key=value` directories).
     */

@@ -30,9 +30,9 @@ object SnapshotSql {
     registerTvf(spark, "snapshot_table",
       "snapshot_table(path[, version]) - snapshot read / time travel") {
       case Seq(path) =>
-        Snapshots.table(SparkSession.active, asString(path)).read()
+        Snapshots.table(SparkSession.active, rootOf(asString(path))).read()
       case Seq(path, version) =>
-        Snapshots.table(SparkSession.active, asString(path))
+        Snapshots.table(SparkSession.active, rootOf(asString(path)))
           .readVersion(asLong(version))
       case other => throw new IllegalArgumentException(
         s"snapshot_table(path[, version]): got ${other.size} arguments")
@@ -40,7 +40,7 @@ object SnapshotSql {
     registerTvf(spark, "snapshot_changes",
       "snapshot_changes(path, sinceVersion) - rows added after a version") {
       case Seq(path, since) =>
-        Snapshots.table(SparkSession.active, asString(path))
+        Snapshots.table(SparkSession.active, rootOf(asString(path)))
           .readChanges(asLong(since))
       case other => throw new IllegalArgumentException(
         s"snapshot_changes(path, sinceVersion): got ${other.size} arguments")
@@ -48,10 +48,19 @@ object SnapshotSql {
     registerTvf(spark, "snapshot_history",
       "snapshot_history(path) - the commit log (DESCRIBE HISTORY)") {
       case Seq(path) =>
-        Snapshots.table(SparkSession.active, asString(path)).describeHistory()
+        Snapshots.table(SparkSession.active, rootOf(asString(path)))
+          .describeHistory()
       case other => throw new IllegalArgumentException(
         s"snapshot_history(path): got ${other.size} arguments")
     }
+  }
+
+  /** TVF arguments accept a registered catalog name as well as a root path
+    * (`snapshot_history('sales')`) — names resolve through [[NamedTables]].
+    */
+  private def rootOf(s: String): String = NamedTables.get(s) match {
+    case Some(r: NamedTables.SnapshotRef) => r.root
+    case _ => s
   }
 
   private def registerTvf(spark: SparkSession, name: String, usage: String)(

@@ -188,9 +188,8 @@ object SqlDml {
         val st = Snapshots.table(spark, r.root)
         if (i.overwrite) st.overwrite(aligned) else st.append(aligned)
       case NamedTables.PathRef(path) =>
-        if (i.overwrite) throw new UnsupportedOperationException(
-          "INSERT OVERWRITE a parquet path table is not supported; use a snapshot table")
-        Dml.insertInto(spark, path, aligned)
+        if (i.overwrite) Dml.insertOverwrite(spark, path, aligned)
+        else Dml.insertInto(spark, path, aligned)
     }
   }
 

@@ -282,6 +282,33 @@ class SqlDmlSpec extends SparkSpec {
     assert(t.latest().version === 2L)
   }
 
+  test("INSERT OVERWRITE replaces a path table, preserving a partitioned layout") {
+    val path = scratch("graft_sqldml_iow_")
+    items(0, 40).write.partitionBy("k").parquet(path)
+    NamedTables.registerPath("sqldml_iow", path)
+    // self-referencing overwrite: keep only k=1 rows
+    sql("INSERT OVERWRITE sqldml_iow SELECT id, name, price, k FROM sqldml_iow WHERE k = 1")
+    assert(sql("SELECT count(*) AS n FROM sqldml_iow").head.getLong(0) === 10)
+    // layout survived: partition pruning still applies on the read
+    val dirs = new java.io.File(path).listFiles().map(_.getName).filter(_.startsWith("k="))
+    assert(dirs.toSeq === Seq("k=1"), s"only k=1 must remain, got ${dirs.toSeq}")
+    // appends after the overwrite land in their partitions
+    sql("INSERT INTO sqldml_iow VALUES (500, 'x', 1.0, 2)")
+    assert(sql("SELECT count(*) AS n FROM sqldml_iow WHERE k = 2").head.getLong(0) === 1)
+  }
+
+  test("snapshot TVFs accept registered names: snapshot_history('name')") {
+    val root = scratch("graft_sqldml_snap_")
+    val t = Snapshots.create(spark, root, items(0, 10))
+    t.append(items(10, 20))
+    NamedTables.registerSnapshot("sqldml_tvfn", root)
+    val h = sql("SELECT version, action FROM snapshot_history('sqldml_tvfn') ORDER BY version")
+      .collect()
+    assert(h.map(_.getString(1)).toSeq === Seq("create", "append"))
+    assert(sql("SELECT count(*) AS n FROM snapshot_table('sqldml_tvfn', 0)").head.getLong(0) === 10)
+    assert(sql("SELECT count(*) AS n FROM snapshot_changes('sqldml_tvfn', 0)").head.getLong(0) === 10)
+  }
+
   test("extensions-injected rule resolves registered names in plain spark.sql") {
     val root = scratch("graft_sqldml_snap_")
     Snapshots.create(spark, root, items(0, 25))
