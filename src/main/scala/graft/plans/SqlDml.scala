@@ -331,36 +331,46 @@ object SqlDml {
     // WHEN NOT MATCHED (at most one arm, condition allowed): project the
     // source to target-named columns so insert and matched-update share one
     // frame; `renames` maps original source names to their post-projection
-    // (target) names.
+    // (target) names. Insert values are arbitrary expressions over the
+    // SOURCE row (literals, functions, source columns) — target references
+    // are meaningless in an insert and error.
     if (m.notMatchedActions.size > 1)
       unsupported("at most one WHEN NOT MATCHED clause is supported")
-    val (source, renames: Map[String, String]) =
+    val (source, renames: Map[String, String], sourceKey) =
       m.notMatchedActions.headOption match {
-        case None => (sourceDf0, Map.empty[String, String])
+        case None => (sourceDf0, Map.empty[String, String], sourceKey0)
         case Some(_: InsertStarAction) =>
           val missing = targetCols.filterNot(srcCols0)
           if (missing.nonEmpty) unsupported(
             s"INSERT * needs source columns ${missing.mkString(", ")}")
-          (sourceDf0, Map.empty[String, String])
+          (sourceDf0, Map.empty[String, String], sourceKey0)
         case Some(InsertAction(_, assigns)) =>
           val pairs = assigns.map { a =>
             val tgt = assignName(a.key, t.qualifiers)
-            val src = strip(a.value, srcQuals) match {
-              case u: UnresolvedAttribute if u.nameParts.size == 1 =>
-                u.nameParts.head
-              case other => unsupported(
-                s"INSERT values must be bare source columns, got ${other.sql}")
+            val e = strip(a.value, srcQuals)
+            e.foreach {
+              case attr: UnresolvedAttribute if attr.nameParts.size > 1 &&
+                  t.qualifiers.contains(norm(attr.nameParts.head)) =>
+                unsupported(s"INSERT values cannot reference the target: ${attr.sql}")
+              case _ => ()
             }
-            (tgt, src)
+            (tgt, e)
           }
           val missing = targetCols.filterNot(pairs.map(_._1).toSet)
           if (missing.nonEmpty) unsupported(
             s"INSERT must assign every target column; missing ${missing.mkString(", ")}")
-          (sourceDf0.select(pairs.map { case (tgt, src) => col(src).as(tgt) }: _*),
-            pairs.map { case (tgt, src) => src -> tgt }.toMap)
+          // the join key rides along under a reserved name: the key column's
+          // insert VALUE may be any expression, but the ON clause needs the
+          // raw source key
+          val projected = sourceDf0.select(
+            pairs.map { case (tgt, e) => GraftShims.column(e).as(tgt) } :+
+              col(sourceKey0).as("__src_key"): _*)
+          (projected,
+            pairs.collect { case (tgt, u: UnresolvedAttribute)
+              if u.nameParts.size == 1 => u.nameParts.head -> tgt }.toMap,
+            "__src_key")
         case Some(other) => unsupported(s"unsupported WHEN NOT MATCHED action: $other")
       }
-    val sourceKey = renames.getOrElse(sourceKey0, sourceKey0)
 
     // action expressions in the joined scope: target-qualified refs -> __t_
     // columns, source refs -> (possibly renamed) source columns; unqualified

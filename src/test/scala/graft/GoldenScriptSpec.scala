@@ -17,7 +17,9 @@ class GoldenScriptSpec extends SparkSpec {
     script.split(";").map(_.trim).filter(_.nonEmpty).map { stmt =>
       val body =
         try {
-          val df = spark.sql(stmt)
+          // the engine's SQL front door: DML statements and named snapshot
+          // tables work in scripts exactly as interactively
+          val df = Engine.sql(spark, sfDir, stmt)
           val isQuery = df.schema.nonEmpty
           if (stmt.toUpperCase.startsWith("EXPLAIN"))
             // plans are version/stats-dependent — masked, like the reference's
@@ -57,6 +59,50 @@ class GoldenScriptSpec extends SparkSpec {
         |> SELECT upper(tag) AS u, id * 10 AS x FROM g_src WHERE tag = 'a' ORDER BY id
         |A	10
         |A	30""".stripMargin
+    assert(got === golden)
+  }
+
+  test("golden: SQL DML lifecycle transcript (CTAS, UPDATE, MERGE, time travel)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_gscript_")
+      .toString + "/t"
+    // the root path is unstable output — masked in both directions, like
+    // the reference harness masks file paths in .q.out
+    val got = runScript(
+      s"""CREATE TABLE g_dml USING snapshot LOCATION '$root'
+         |  AS SELECT * FROM VALUES (1,'a',10.0),(2,'b',20.0),(3,'a',30.0) AS t(id, tag, price);
+         |UPDATE g_dml SET price = 0.0 WHERE tag = 'b';
+         |MERGE INTO g_dml t
+         |  USING (SELECT * FROM VALUES (3, 99.0), (4, 44.0) AS v(id, p)) s
+         |  ON t.id = s.id
+         |  WHEN MATCHED THEN UPDATE SET price = s.p
+         |  WHEN NOT MATCHED THEN INSERT (id, tag, price) VALUES (s.id, 'new', s.p);
+         |SELECT id, tag, price FROM g_dml ORDER BY id;
+         |SELECT count(*) AS n FROM g_dml VERSION AS OF 0;
+         |DELETE FROM g_dml WHERE id = 1;
+         |SELECT id FROM g_dml ORDER BY id;
+         |DROP TABLE g_dml""".stripMargin).replace(root, "MASKED_ROOT")
+    val golden =
+      """> CREATE TABLE g_dml USING snapshot LOCATION 'MASKED_ROOT' AS SELECT * FROM VALUES (1,'a',10.0),(2,'b',20.0),(3,'a',30.0) AS t(id, tag, price)
+        |OK
+        |> UPDATE g_dml SET price = 0.0 WHERE tag = 'b'
+        |OK
+        |> MERGE INTO g_dml t USING (SELECT * FROM VALUES (3, 99.0), (4, 44.0) AS v(id, p)) s ON t.id = s.id WHEN MATCHED THEN UPDATE SET price = s.p WHEN NOT MATCHED THEN INSERT (id, tag, price) VALUES (s.id, 'new', s.p)
+        |OK
+        |> SELECT id, tag, price FROM g_dml ORDER BY id
+        |1	a	10.0
+        |2	b	0.0
+        |3	a	99.0
+        |4	new	44.0
+        |> SELECT count(*) AS n FROM g_dml VERSION AS OF 0
+        |3
+        |> DELETE FROM g_dml WHERE id = 1
+        |OK
+        |> SELECT id FROM g_dml ORDER BY id
+        |2
+        |3
+        |4
+        |> DROP TABLE g_dml
+        |OK""".stripMargin
     assert(got === golden)
   }
 
