@@ -124,6 +124,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Split size sized to the benchmark SF: the sf0.1 tables are single
+      // ~1-11 MB files, so the 128 MB default reads each as ONE task and
+      // leaves the other 31 cores idle on every scan. 4 MB splits give
+      // scan parallelism matching the data (measured: scan-bound queries
+      // 10-25% faster, none slower); at real cluster scale (files >=
+      // 128 MB) the default is correct and this override is wrong — it is
+      // benchmark-scale sizing, not an engine constant.
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "1m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
