@@ -237,12 +237,21 @@ object Streams {
     * [[graft.plans.Snapshots.SnapshotTable.compact]] folds the micro-batch
     * file debris without blocking the writer.
     */
+  /** A sink target may be a snapshot root path or a catalog name registered
+    * in [[graft.plans.NamedTables]] — resolved once at sink construction.
+    */
+  private def rootOf(s: String): String = graft.plans.NamedTables.get(s) match {
+    case Some(r: graft.plans.NamedTables.SnapshotRef) => r.root
+    case _ => s
+  }
+
   def snapshotAppendSink(df: DataFrame, tableRoot: String,
       streamId: String): StreamingQuery = {
+    val root = rootOf(tableRoot)
     val q = df.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.plans.Snapshots.table(batch.sparkSession, tableRoot)
+        graft.plans.Snapshots.table(batch.sparkSession, root)
           .appendBatch(batch, streamId, batchId)
         ()
       }
@@ -262,6 +271,7 @@ object Streams {
     */
   def snapshotUpsertSink(df: DataFrame, tableRoot: String, key: String,
       versionCol: Option[String] = None): StreamingQuery = {
+    val root = rootOf(tableRoot)
     val q = df.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -274,7 +284,7 @@ object Streams {
               .filter(col("_rn") === 1).drop("_rn")
           case None => keyed.dropDuplicates(key)
         }
-        val t = graft.plans.Snapshots.table(batch.sparkSession, tableRoot)
+        val t = graft.plans.Snapshots.table(batch.sparkSession, root)
         t.merge(deduped, key, key,
           whenMatchedSet = deduped.columns.filterNot(_ == key)
             .map(c => c -> col(c)).toMap,

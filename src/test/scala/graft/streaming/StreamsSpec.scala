@@ -263,4 +263,20 @@ class StreamsSpec extends SparkSpec {
       assert(t.readVersion(v1.version).count() === 3)
     } finally q.stop()
   }
+
+  test("streaming sinks accept a registered catalog name as the target") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_snapsinkn_").toString + "/t"
+    val t = graft.plans.Snapshots.create(spark, root,
+      Seq((0L, "seed")).toDF("id", "s"))
+    graft.plans.NamedTables.registerSnapshot("streams_named_sink", root)
+    val in = MemoryStream[(Long, String)]
+    in.addData((1L, "a"))
+    val q = Streams.snapshotAppendSink(in.toDF().toDF("id", "s"),
+      "streams_named_sink", "namedSink")
+    try assert(t.read().count() === 2)
+    finally q.stop()
+  }
 }
