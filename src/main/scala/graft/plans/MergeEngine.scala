@@ -129,6 +129,12 @@ private[plans] object MergeEngine {
         .otherwise(armValue(nIdx, spec.notMatchedBySource, c))
         .as(c)
     }
+    // conform to the target's declared types: inserted source columns and
+    // SET expressions may carry different (castable) types, and a staged
+    // file whose physical type disagrees with the table schema is silent
+    // corruption at read time
+    val types = target.schema.fields.map(f => f.name -> f.dataType).toMap
     checked.filter(alive).select(projection: _*)
+      .select(cols.map(c => col(c).cast(types(c)).as(c)): _*)
   }
 }

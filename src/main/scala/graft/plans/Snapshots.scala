@@ -610,6 +610,18 @@ object Snapshots {
       * redundant — re-evaluated against each fresh head inside the CAS
       * retry loop, so the skip decision is serialized with publication.
       */
+    /** Order the frame's columns to the table schema AND cast each to its
+      * declared type. Writing a differently-typed column (a decimal literal
+      * into a double column, say) would stage a parquet file whose physical
+      * type disagrees with the table schema — readers would then
+      * misinterpret the raw values, which is silent corruption. Uncastable
+      * types fail analysis loudly instead.
+      */
+    private def conform(df: DataFrame,
+        schema: org.apache.spark.sql.types.StructType): DataFrame =
+      df.select(schema.fields.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)): _*)
+
     private def appendUnless(df: DataFrame, maxRetries: Int,
         meta: Map[String, String], skip: Manifest => Boolean): Manifest = {
       val head0 = latest()
@@ -617,8 +629,7 @@ object Snapshots {
         schemaOf(head0.schemaJson).fieldNames.sorted),
         "append schema must match table schema")
       val (staged, stagedStats) = stage(
-        df.select(schemaOf(head0.schemaJson).fieldNames.map(col): _*),
-        head0.partitionCols)
+        conform(df, schemaOf(head0.schemaJson)), head0.partitionCols)
       commit("append", maxRetries, meta)(head =>
         if (skip(head)) None // duplicate landed concurrently — no-op
         else Some((head.files ++ staged, head.stats ++ stagedStats)))
@@ -666,7 +677,9 @@ object Snapshots {
       * delete entries reset — every file they reference is replaced.
       */
     def overwrite(df: DataFrame, maxRetries: Int = 10): Manifest = {
-      val staged = stage(df, latest().partitionCols)
+      val head0 = latest()
+      val staged = stage(conform(df, schemaOf(head0.schemaJson)),
+        head0.partitionCols)
       commit("overwrite", maxRetries, deletesOf = _ => Nil)(_ => Some(staged))
     }
 
@@ -810,11 +823,12 @@ object Snapshots {
           .write.mode("errorifexists")
           .parquet(new Path(rootPath, delDir).toString)
         val sidecars = listParquet(new Path(rootPath, delDir)).map(relativize)
-        // ...and the updated images append as fresh files
-        val updated = set.foldLeft(
+        // ...and the updated images append as fresh files (conformed: a
+        // SET expression must not change the column's physical type)
+        val updated = conform(set.foldLeft(
           matches.select(schema.fieldNames.map(col): _*)) {
           case (d, (name, expr)) => d.withColumn(name, expr)
-        }.select(schema.fieldNames.map(col): _*)
+        }, schema)
         val (staged, stagedStats) = stage(updated, head.partitionCols)
         val m = Manifest(head.version + 1, head.version,
           System.currentTimeMillis(), "update-mor", head.partitionCols,

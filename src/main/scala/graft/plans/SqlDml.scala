@@ -179,10 +179,23 @@ object SqlDml {
     if (i.userSpecifiedCols.nonEmpty) throw new UnsupportedOperationException(
       "INSERT with an explicit column list is not supported; supply every column")
     val rows = GraftShims.ofRows(spark, NamedTables.substitute(spark, i.query))
-    val tableCols = t.read(spark).columns
-    require(rows.columns.length == tableCols.length,
-      s"INSERT arity ${rows.columns.length} != table arity ${tableCols.length}")
-    val aligned = rows.toDF(tableCols: _*) // SQL INSERT is positional
+    val fields = t.read(spark).schema.fields
+    val tableCols = fields.map(_.name)
+    val named =
+      if (i.byName) { // INSERT INTO ... BY NAME: match columns by name
+        val missing = tableCols.filterNot(rows.columns.contains)
+        require(missing.isEmpty,
+          s"INSERT BY NAME is missing column(s) ${missing.mkString(", ")}")
+        rows.select(tableCols.map(col): _*)
+      } else { // plain SQL INSERT is positional
+        require(rows.columns.length == tableCols.length,
+          s"INSERT arity ${rows.columns.length} != table arity ${tableCols.length}")
+        rows.toDF(tableCols.toIndexedSeq: _*)
+      }
+    // SQL INSERT casts values to the column types (a decimal literal into a
+    // double column must not stage a decimal-typed file)
+    val aligned = named.select(
+      fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
     t.ref match {
       case r: NamedTables.SnapshotRef =>
         val st = Snapshots.table(spark, r.root)

@@ -282,6 +282,20 @@ class SqlDmlSpec extends SparkSpec {
     assert(t.latest().version === 2L)
   }
 
+  test("INSERT INTO ... BY NAME matches columns by name, not position") {
+    val root = scratch("graft_sqldml_snap_")
+    val t = Snapshots.create(spark, root, items(0, 5))
+    NamedTables.registerSnapshot("sqldml_byname", root)
+    sql(
+      """INSERT INTO sqldml_byname BY NAME
+        |SELECT 7 AS k, 5.0 AS price, 'n' AS name, 900 AS id""".stripMargin)
+    val r = sql("SELECT * FROM sqldml_byname WHERE id = 900").head
+    assert(r.getString(1) === "n" && r.getDouble(2) === 5.0 && r.getInt(3) === 7)
+    val e = intercept[IllegalArgumentException](sql(
+      "INSERT INTO sqldml_byname BY NAME SELECT 1 AS id, 'x' AS name"))
+    assert(e.getMessage.contains("missing column"))
+  }
+
   test("INSERT OVERWRITE replaces a path table, preserving a partitioned layout") {
     val path = scratch("graft_sqldml_iow_")
     items(0, 40).write.partitionBy("k").parquet(path)
