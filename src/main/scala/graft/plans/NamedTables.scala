@@ -67,6 +67,11 @@ object NamedTables {
 
   def get(name: String): Option[Ref] = registry.get(norm(name))
 
+  /** All registered (name, ref) pairs — the SHOW TABLES analog, exposed to
+    * SQL as the `graft_tables()` TVF.
+    */
+  def all(): Seq[(String, Ref)] = registry.toSeq.sortBy(_._1)
+
   /** The read plan for a reference — built fresh so the latest snapshot
     * version is always served.
     */

@@ -45,6 +45,18 @@ object SnapshotSql {
       case other => throw new IllegalArgumentException(
         s"snapshot_changes(path, sinceVersion): got ${other.size} arguments")
     }
+    registerTvf(spark, "graft_tables",
+      "graft_tables() - registered catalog-name tables (SHOW TABLES analog)") {
+      case Seq() =>
+        val spark = SparkSession.active
+        import spark.implicits._
+        NamedTables.all().map {
+          case (n, r: NamedTables.SnapshotRef) => (n, "snapshot", r.root, r.writeMode)
+          case (n, p: NamedTables.PathRef) => (n, "parquet", p.root, "copy-on-write")
+        }.toDF("name", "format", "location", "write_mode")
+      case other => throw new IllegalArgumentException(
+        s"graft_tables(): got ${other.size} arguments")
+    }
     registerTvf(spark, "snapshot_history",
       "snapshot_history(path) - the commit log (DESCRIBE HISTORY)") {
       case Seq(path) =>

@@ -311,6 +311,17 @@ class SqlDmlSpec extends SparkSpec {
     assert(sql("SELECT count(*) AS n FROM sqldml_iow WHERE k = 2").head.getLong(0) === 1)
   }
 
+  test("graft_tables() lists registered names with format and write mode") {
+    val root = scratch("graft_sqldml_snap_")
+    Snapshots.create(spark, root, items(0, 5))
+    NamedTables.registerSnapshot("sqldml_show", root, NamedTables.WriteMor)
+    val rows = sql("SELECT name, format, write_mode FROM graft_tables() WHERE name = 'sqldml_show'")
+      .collect()
+    assert(rows.length === 1)
+    assert(rows.head.getString(1) === "snapshot")
+    assert(rows.head.getString(2) === "merge-on-read")
+  }
+
   test("snapshot TVFs accept registered names: snapshot_history('name')") {
     val root = scratch("graft_sqldml_snap_")
     val t = Snapshots.create(spark, root, items(0, 10))
