@@ -314,9 +314,11 @@ object Dml {
       set: Map[String, Column]): Unit = {
     val t = readTable(spark, table)
     val hit = coalesce(cond, lit(false))
-    def postOf(base: DataFrame): DataFrame = set.foldLeft(base) { case (df, (c, e)) =>
-      df.withColumn(c, when(hit, e).otherwise(col(c)))
-    }
+    // one projection, not a fold: SQL assignments all read the PRE-update
+    // row (SET a = b, b = a swaps)
+    def postOf(base: DataFrame): DataFrame = base.select(base.columns.map(c =>
+      set.get(c).map(e => when(hit, e).otherwise(col(c))).getOrElse(col(c))
+        .as(c)): _*)
     detectLayout(spark, table) match {
       case Some(l) =>
         requireNoPartitionAssignment(l, set.keys, "UPDATE")

@@ -824,11 +824,11 @@ object Snapshots {
           .parquet(new Path(rootPath, delDir).toString)
         val sidecars = listParquet(new Path(rootPath, delDir)).map(relativize)
         // ...and the updated images append as fresh files (conformed: a
-        // SET expression must not change the column's physical type)
-        val updated = conform(set.foldLeft(
-          matches.select(schema.fieldNames.map(col): _*)) {
-          case (d, (name, expr)) => d.withColumn(name, expr)
-        }, schema)
+        // SET expression must not change the column's physical type; one
+        // projection so all assignments read the PRE-update row)
+        val updated = conform(
+          matches.select(schema.fieldNames.map(c =>
+            set.getOrElse(c, col(c)).as(c)): _*), schema)
         val (staged, stagedStats) = stage(updated, head.partitionCols)
         val m = Manifest(head.version + 1, head.version,
           System.currentTimeMillis(), "update-mor", head.partitionCols,
@@ -853,9 +853,11 @@ object Snapshots {
       require(bad.isEmpty, s"cannot assign partition columns: ${bad.mkString(", ")}")
       cow("update", maxRetries)({ df =>
         val c = coalesce(cond, lit(false))
-        set.foldLeft(df) { case (d, (name, expr)) =>
-          d.withColumn(name, when(c, expr).otherwise(col(name)))
-        }
+        // one projection, not a fold: SQL assignments all read the
+        // PRE-update row (SET a = b, b = a swaps)
+        df.select(df.columns.map(name =>
+          set.get(name).map(e => when(c, e).otherwise(col(name)))
+            .getOrElse(col(name)).as(name)): _*)
       }, cond)
     }
 

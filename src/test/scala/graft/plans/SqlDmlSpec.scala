@@ -282,6 +282,30 @@ class SqlDmlSpec extends SparkSpec {
     assert(t.latest().version === 2L)
   }
 
+  test("UPDATE assignments are simultaneous: SET a = b, b = a swaps") {
+    import spark.implicits._
+    // snapshot COW
+    val root = scratch("graft_sqldml_swap_")
+    val t = Snapshots.create(spark, root,
+      Seq((1L, 10.0, 20.0), (2L, 30.0, 40.0)).toDF("id", "a", "b"))
+    NamedTables.registerSnapshot("sqldml_swap", root)
+    sql("UPDATE sqldml_swap SET a = b, b = a WHERE id = 1")
+    val r = t.read().filter($"id" === 1).head
+    assert(r.getDouble(1) === 20.0 && r.getDouble(2) === 10.0,
+      "both assignments must read the pre-update row")
+    // snapshot MOR
+    NamedTables.registerSnapshot("sqldml_swapm", root, NamedTables.WriteMor)
+    sql("UPDATE sqldml_swapm SET a = b, b = a WHERE id = 2")
+    val r2 = t.read().filter($"id" === 2).head
+    assert(r2.getDouble(1) === 40.0 && r2.getDouble(2) === 30.0)
+    // parquet path table
+    val path = scratch("graft_sqldml_swap_")
+    Seq((1L, 1.0, 2.0)).toDF("id", "a", "b").write.parquet(path)
+    sql(s"UPDATE parquet.`$path` SET a = b, b = a WHERE id = 1")
+    val r3 = spark.read.parquet(path).head
+    assert(r3.getDouble(1) === 2.0 && r3.getDouble(2) === 1.0)
+  }
+
   test("INSERT INTO ... BY NAME matches columns by name, not position") {
     val root = scratch("graft_sqldml_snap_")
     val t = Snapshots.create(spark, root, items(0, 5))
