@@ -313,6 +313,9 @@ object Dml {
   def updateWhere(spark: SparkSession, table: String, cond: Column,
       set: Map[String, Column]): Unit = {
     val t = readTable(spark, table)
+    val unknown = set.keySet.diff(t.columns.toSet)
+    require(unknown.isEmpty,
+      s"UPDATE assigns nonexistent column(s): ${unknown.mkString(", ")}")
     val hit = coalesce(cond, lit(false))
     // one projection, not a fold: SQL assignments all read the PRE-update
     // row (SET a = b, b = a swaps)

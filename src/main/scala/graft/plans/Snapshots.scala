@@ -809,6 +809,9 @@ object Snapshots {
       val head0 = latest()
       val bad = set.keySet.intersect(head0.partitionCols.toSet)
       require(bad.isEmpty, s"cannot assign partition columns: ${bad.mkString(", ")}")
+      val unknown = set.keySet.diff(schemaOf(head0.schemaJson).fieldNames.toSet)
+      require(unknown.isEmpty,
+        s"UPDATE assigns nonexistent column(s): ${unknown.mkString(", ")}")
       var attempt = 0
       while (true) {
         val head = latest()
@@ -851,6 +854,9 @@ object Snapshots {
       val head = latest()
       val bad = set.keySet.intersect(head.partitionCols.toSet)
       require(bad.isEmpty, s"cannot assign partition columns: ${bad.mkString(", ")}")
+      val unknown = set.keySet.diff(schemaOf(head.schemaJson).fieldNames.toSet)
+      require(unknown.isEmpty,
+        s"UPDATE assigns nonexistent column(s): ${unknown.mkString(", ")}")
       cow("update", maxRetries)({ df =>
         val c = coalesce(cond, lit(false))
         // one projection, not a fold: SQL assignments all read the

@@ -304,6 +304,13 @@ class SqlDmlSpec extends SparkSpec {
     sql(s"UPDATE parquet.`$path` SET a = b, b = a WHERE id = 1")
     val r3 = spark.read.parquet(path).head
     assert(r3.getDouble(1) === 2.0 && r3.getDouble(2) === 1.0)
+    // assigning a nonexistent column fails loudly on every planner
+    intercept[IllegalArgumentException](
+      sql("UPDATE sqldml_swap SET nope = 1.0"))
+    intercept[IllegalArgumentException](
+      sql("UPDATE sqldml_swapm SET nope = 1.0"))
+    intercept[IllegalArgumentException](
+      sql(s"UPDATE parquet.`$path` SET nope = 1.0"))
   }
 
   test("INSERT INTO ... BY NAME matches columns by name, not position") {
