@@ -886,6 +886,103 @@ object Snapshots {
         MergeEngine.specOf(whenMatchedSet, whenMatchedDelete, insertUnmatched),
         sourceKeysUnique, maxRetries)
 
+    /** Merge-on-read MERGE: matched target rows retire via a (file,
+      * row-position) delete sidecar while their updated images and —
+      * when `insertUnmatched` — the unmatched source rows append as fresh
+      * files, committed atomically as ONE version. Write cost is
+      * O(matched + inserted rows) against [[merge]]'s O(affected files):
+      * the upsert shape for wide tables where COW write amplification
+      * dominates. Readers pay the sidecar anti-join until [[compact]]
+      * folds it. Single unconditional matched arm (update set / delete),
+      * matching the convenience [[merge]]; multi-arm statements use the
+      * COW [[mergeSpec]]. Cardinality guard and racing-writer semantics
+      * are identical to the COW path.
+      */
+    def mergeMergeOnRead(source: DataFrame, targetKey: String, sourceKey: String,
+        whenMatchedSet: Map[String, Column] = Map.empty,
+        whenMatchedDelete: Boolean = false,
+        insertUnmatched: Boolean = true,
+        sourceKeysUnique: Boolean = false,
+        maxRetries: Int = 10): Manifest = {
+      val head0 = latest()
+      val cols = schemaOf(head0.schemaJson).fieldNames.toSeq
+      val bad = whenMatchedSet.keySet.intersect(head0.partitionCols.toSet)
+      require(bad.isEmpty,
+        s"MERGE cannot assign partition columns: ${bad.mkString(", ")}")
+      require(source.columns.contains(sourceKey),
+        s"source must carry the merge key $sourceKey")
+      if (insertUnmatched) {
+        val missing = cols.filterNot(source.columns.contains)
+        require(missing.isEmpty,
+          s"MERGE with an insert arm needs source columns ${missing.mkString(", ")}")
+      }
+      def tc(c: String): Column = col("__t_" + c)
+      val guarded =
+        if (sourceKeysUnique) source
+        else source.withColumn("__src_cnt", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col(sourceKey))))
+
+      var attempt = 0
+      while (true) {
+        val head = latest()
+        val schema = schemaOf(head.schemaJson)
+        val visible = applyDeletes(readFilesMeta(head), head)
+        // matched pairs keep (file, pos) provenance for the sidecar plus
+        // both rows' values for the updated image
+        val tRen = visible.select(
+          schema.fieldNames.map(c => col(c).as("__t_" + c)) ++
+            Seq(col("__file"), col("__pos")): _*)
+        val joined = tRen.join(guarded, tc(targetKey) === col(sourceKey), "inner")
+        val matches =
+          if (sourceKeysUnique) joined
+          else joined.filter(when(col("__src_cnt") > 1,
+            raise_error(concat(
+              lit(s"MERGE cardinality violation: multiple source rows match target $sourceKey="),
+              col(sourceKey).cast("string")))).isNull)
+        val inserts =
+          if (!insertUnmatched) None
+          else {
+            val keys = visible.select(col(targetKey).as("__t_key")).distinct()
+            val rows = source.join(keys,
+              source(sourceKey) === col("__t_key"), "left_anti")
+              .select(schema.fieldNames.map(col): _*)
+            if (rows.isEmpty) None else Some(rows)
+          }
+        val hasMatches = !matches.isEmpty
+        if (!hasMatches && inserts.isEmpty) return head // no-op
+        // old positions of matched rows retire via sidecar...
+        val sidecars =
+          if (!hasMatches) Nil
+          else {
+            val delDir = s"deletes/${UUID.randomUUID().toString.take(8)}"
+            matches.select(col("__file").as("file"), col("__pos").as("pos"))
+              .write.mode("errorifexists")
+              .parquet(new Path(rootPath, delDir).toString)
+            listParquet(new Path(rootPath, delDir)).map(relativize)
+          }
+        // ...and updated images + inserts append as fresh files
+        val images =
+          if (whenMatchedDelete || !hasMatches) None
+          else Some(matches.select(schema.fieldNames.map(c =>
+            whenMatchedSet.getOrElse(c, tc(c)).as(c)): _*))
+        val appended = (images.toSeq ++ inserts.toSeq)
+          .reduceOption(_ unionByName _)
+          .map(df => stage(conform(df, schema), head.partitionCols))
+        val (staged, stagedStats) =
+          appended.getOrElse((Seq.empty[String], Map.empty[String, FileStat]))
+        val m = Manifest(head.version + 1, head.version,
+          System.currentTimeMillis(), "merge-mor", head.partitionCols,
+          head.schemaJson, head.files ++ staged, head.stats ++ stagedStats,
+          Map.empty, head.deletes ++ sidecars)
+        if (publish(head, m)) return m
+        attempt += 1
+        if (attempt > maxRetries)
+          throw new ConcurrentModificationException(
+            s"merge-mor at $root lost the commit race $attempt times — giving up")
+      }
+      sys.error("unreachable")
+    }
+
     /** Full multi-arm MERGE (conditional matched arms, conditional insert,
       * WHEN NOT MATCHED BY SOURCE) — see [[MergeEngine]] for the statement
       * semantics and joined-scope naming. Arms that touch unmatched target

@@ -438,10 +438,36 @@ object SqlDml {
       unsupported("statement has no effect: no WHEN clause was given")
 
     t.ref match {
+      case r: NamedTables.SnapshotRef
+          if r.writeMode == NamedTables.WriteMor && morShape(spec) =>
+        // merge-on-read table + single-unconditional-arm statement: retire
+        // matched positions via sidecar instead of rewriting files
+        val st = Snapshots.table(spark, r.root)
+        spec.matched.headOption match {
+          case Some(MergeEngine.Delete(_)) =>
+            st.mergeMergeOnRead(source, targetKey, sourceKey,
+              whenMatchedDelete = true, insertUnmatched = spec.insert.isDefined)
+          case Some(MergeEngine.Update(_, set)) =>
+            st.mergeMergeOnRead(source, targetKey, sourceKey,
+              whenMatchedSet = set, insertUnmatched = spec.insert.isDefined)
+          case None =>
+            st.mergeMergeOnRead(source, targetKey, sourceKey,
+              insertUnmatched = spec.insert.isDefined)
+        }
       case r: NamedTables.SnapshotRef =>
         Snapshots.table(spark, r.root).mergeSpec(source, targetKey, sourceKey, spec)
       case NamedTables.PathRef(path) =>
         Dml.mergeSpec(spark, path, source, targetKey, sourceKey, spec)
     }
   }
+
+  /** Statement shapes the merge-on-read planner covers: at most one
+    * unconditional matched arm, unconditional insert, no NOT MATCHED BY
+    * SOURCE. Anything richer falls back to the COW multi-arm planner
+    * (correct on a MOR table, just file-rewriting).
+    */
+  private def morShape(spec: MergeEngine.Spec): Boolean =
+    spec.notMatchedBySource.isEmpty &&
+      spec.matched.size <= 1 && spec.matched.forall(_.condition.isEmpty) &&
+      spec.insert.forall(_.condition.isEmpty)
 }

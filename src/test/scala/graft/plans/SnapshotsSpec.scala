@@ -476,6 +476,45 @@ class SnapshotsSpec extends SparkSpec {
     assert(t.read().count() === 50)
   }
 
+  test("merge-on-read MERGE: sidecar + images + inserts in one version, no rewrites") {
+    import spark.implicits._
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 100))
+    val before = t.latest()
+    val source = Seq(
+      (5L, "m5", 1), (17L, "m17", 1), // matched -> update s
+      (1000L, "new1000", 2) // unmatched -> insert
+    ).toDF("id", "s", "k")
+    val m = t.mergeMergeOnRead(source, "id", "id",
+      whenMatchedSet = Map("s" -> col("s")))
+    assert(m.action === "merge-mor")
+    assert(before.files.forall(m.files.contains),
+      "MOR merge must keep every pre-existing data file")
+    assert(m.deletes.nonEmpty, "matched rows retire via sidecar")
+    val got = t.read()
+    assert(got.count() === 101)
+    assert(got.filter(col("id") === 5L).head.getString(1) === "m5")
+    assert(got.filter(col("id") === 1000L).count() === 1)
+    // snapshot isolation + compaction fold
+    assert(t.readVersion(before.version).filter(col("s") === "m5").count() === 0)
+    t.compact()
+    assert(t.read().count() === 101)
+    assert(t.read().filter(col("id") === 5L).head.getString(1) === "m5")
+    // delete arm: matched rows vanish without touching files
+    val before2 = t.latest()
+    val m2 = t.mergeMergeOnRead(Seq(17L, 9999L).toDF("id"), "id", "id",
+      whenMatchedDelete = true, insertUnmatched = false)
+    assert(m2.action === "merge-mor")
+    assert(before2.files.forall(m2.files.contains))
+    assert(t.read().count() === 100)
+    assert(t.read().filter(col("id") === 17L).count() === 0)
+    // nothing matched, nothing to insert -> no-op
+    val v = t.latest().version
+    t.mergeMergeOnRead(Seq(424242L).toDF("id"), "id", "id",
+      whenMatchedDelete = true, insertUnmatched = false)
+    assert(t.latest().version === v)
+  }
+
   test("merge-on-read update appends new images and retires old positions") {
     val root = freshRoot()
     val t = Snapshots.create(spark, root, nums(0, 100))

@@ -261,6 +261,13 @@ class SqlDmlSpec extends SparkSpec {
     assert(afterDelete.deletes.nonEmpty)
     sql("UPDATE sqldml_mor SET price = 0.0 WHERE id >= 40")
     assert(t.latest().action === "update-mor")
+    // simple upsert MERGE routes to the MOR planner too
+    items(30, 35).createOrReplaceTempView("sqldml_mor_mergesrc")
+    sql(
+      """MERGE INTO sqldml_mor t USING sqldml_mor_mergesrc s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET name = s.name
+        |WHEN NOT MATCHED THEN INSERT * """.stripMargin)
+    assert(t.latest().action === "merge-mor")
     assert(sql("SELECT count(*) AS n FROM sqldml_mor").head.getLong(0) === 40)
     assert(sql("SELECT sum(price) AS s FROM sqldml_mor WHERE id >= 40").head.getDouble(0) === 0.0)
     // a bad write.mode value errors clearly
