@@ -142,6 +142,46 @@ object SqlDmlQueries {
           |FROM s14_t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     },
 
+    // Merge-on-read upsert under the gate: a write.mode=merge-on-read
+    // table takes a SQL MERGE (update + insert arms) as sidecar + appended
+    // images; the oracle replays the upsert relationally — results must be
+    // indistinguishable from the COW path.
+    q("s15_sql_mor_upsert",
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS total
+        |FROM (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 40 = 0 THEN 3.0 ELSE o_totalprice END AS o_totalprice
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 850000000, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 397 = 0
+        |) GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val orders = Engine.table(spark, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      NamedTables.drop("s15_t")
+      NamedTables.registerSnapshot("s15_t",
+        Snapshots.create(spark, scratch(), orders).root, NamedTables.WriteMor)
+      orders.filter($"o_orderkey" % 40 === 0)
+        .withColumn("o_totalprice", lit(3.0))
+        .unionByName(orders.filter($"o_orderkey" % 397 === 0)
+          .withColumn("o_orderkey", $"o_orderkey" + 850000000L))
+        .createOrReplaceTempView("s15_src")
+      Engine.sql(spark, dir,
+        """MERGE INTO s15_t t USING s15_src s ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice
+          |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderstatus, o_totalprice)
+          |  VALUES (s.o_orderkey, s.o_orderstatus, s.o_totalprice)""".stripMargin)
+      require(Snapshots.table(spark,
+        NamedTables.get("s15_t").get.root).latest().action == "merge-mor",
+        "the statement must take the merge-on-read path")
+      Engine.sql(spark, dir,
+        """SELECT o_orderstatus, count(*) AS n,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS total
+          |FROM s15_t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    },
+
     // SQL INSERT INTO a named snapshot table plus a SQL DELETE through the
     // same name; the oracle reconstructs the final state relationally.
     q("s12_sql_insert_named",
