@@ -378,15 +378,26 @@ object Snapshots {
       if (m.files.isEmpty)
         return spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      if (m.deletes.isEmpty)
-        spark.read
-          .option("basePath", fs.makeQualified(rootPath).toString)
-          .schema(schema)
-          .parquet(m.files.map(f => new Path(rootPath, f).toString): _*)
+      if (m.deletes.isEmpty) {
+        // manifest-backed FileIndex: filters pushed by Catalyst reach
+        // listFiles at PLAN time and prune the file list with the manifest
+        // stats — every read surface (plain SQL over a named table, the
+        // TVFs, read()) skips files whose range excludes the predicate,
+        // not just readWhere (the Delta-Lake log-backed-index design)
+        import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+        val dataSchema = org.apache.spark.sql.types.StructType(
+          schema.fields.filterNot(f => m.partitionCols.contains(f.name)))
+        val index = new SnapshotFileIndex(fs.makeQualified(rootPath), fs, m, schema)
+        val rel = HadoopFsRelation(index, index.partitionSchema, dataSchema,
+          None,
+          new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+          Map.empty[String, String])(spark)
+        org.apache.spark.sql.GraftShims
+          .ofRows(spark, LogicalRelation(rel, isStreaming = false))
           // partition columns surface at the end of the scan schema — restore
           // the table's declared column order
           .select(schema.fieldNames.map(col): _*)
-      else
+      } else
         applyDeletes(readFilesMeta(m), m).select(schema.fieldNames.map(col): _*)
     }
 
@@ -1219,6 +1230,72 @@ object Snapshots {
     }
   }
 
+  /** Manifest-backed [[org.apache.spark.sql.execution.datasources.FileIndex]]:
+    * the scan's file listing comes from the manifest (no directory walk),
+    * and the partition/data filters Catalyst pushes into `listFiles` prune
+    * it driver-side with [[Pruning]] over the per-file min/max/null stats —
+    * so ANY read of the table (plain SQL, TVFs, `read()`) plans only the
+    * files whose range can match, at metadata cost. This is the log-backed
+    * index design published by Delta Lake / Iceberg; the reference reaches
+    * the same effect through metastore partition pruning + ORC footers.
+    */
+  private[plans] class SnapshotFileIndex(qualifiedRoot: org.apache.hadoop.fs.Path,
+      fs: org.apache.hadoop.fs.FileSystem, m: Manifest,
+      schema: org.apache.spark.sql.types.StructType)
+    extends org.apache.spark.sql.execution.datasources.FileIndex {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
+    import org.apache.spark.sql.execution.datasources.PartitionDirectory
+
+    private val statuses: Map[String, org.apache.hadoop.fs.FileStatus] =
+      m.files.map(f => f ->
+        fs.getFileStatus(new org.apache.hadoop.fs.Path(qualifiedRoot, f))).toMap
+
+    override def rootPaths: Seq[org.apache.hadoop.fs.Path] = Seq(qualifiedRoot)
+
+    override val partitionSchema: org.apache.spark.sql.types.StructType =
+      org.apache.spark.sql.types.StructType(
+        m.partitionCols.flatMap(c => schema.fields.find(_.name == c)))
+
+    override def listFiles(partitionFilters: Seq[Expression],
+        dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+      val conds = partitionFilters ++ dataFilters
+      val kept = m.files.filter(f => conds.forall(c =>
+        Pruning.mayMatch(f, m.stats.get(f), m.partitionCols, schema, c)))
+      if (m.partitionCols.isEmpty)
+        Seq(PartitionDirectory(InternalRow.empty, kept.map(statuses).toArray))
+      else kept.groupBy(partTuple).map { case (vals, fls) =>
+        PartitionDirectory(partRow(vals), fls.map(statuses).toArray)
+      }.toSeq
+    }
+
+    /** The file's partition values as path-segment strings (null = default
+      * partition), in partitionSchema order.
+      */
+    private def partTuple(file: String): Seq[String] =
+      m.partitionCols.map { c =>
+        file.split('/').find(_.startsWith(c + "=")).map(seg =>
+          Pruning.unescape(seg.substring(c.length + 1))) match {
+          case Some("__HIVE_DEFAULT_PARTITION__") | None => null
+          case Some(v) => v
+        }
+      }
+
+    private def partRow(vals: Seq[String]): InternalRow =
+      InternalRow.fromSeq(vals.zip(partitionSchema.fields).map {
+        case (null, _) => null
+        case (v, f) => Cast(Literal(v), f.dataType, Some("UTC")).eval(null)
+      })
+
+    override def inputFiles: Array[String] =
+      m.files.map(f => new org.apache.hadoop.fs.Path(qualifiedRoot, f).toString)
+        .toArray
+
+    override def refresh(): Unit = () // manifests are immutable
+
+    override def sizeInBytes: Long = statuses.values.map(_.getLen).sum
+  }
+
   /** Driver-side file pruning against manifest stats + partition paths.
     * Conservative by construction: any conjunct it cannot reason about
     * keeps the file. Supported shapes: col op literal for =, <, <=, >, >=,
@@ -1399,7 +1476,7 @@ object Snapshots {
     }
 
     /** Hive-style %xx path unescape (URLDecoder would corrupt '+'). */
-    private def unescape(s: String): String = {
+    private[plans] def unescape(s: String): String = {
       if (!s.contains('%')) return s
       val sb = new StringBuilder(s.length)
       var i = 0

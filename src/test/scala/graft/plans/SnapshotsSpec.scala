@@ -828,6 +828,38 @@ class SnapshotsSpec extends SparkSpec {
     assert(scanFiles.length < m.files.size, "pruning must have skipped files")
   }
 
+  test("plan: plain SQL over a named table prunes files via the manifest FileIndex") {
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 100).coalesce(2))
+    t.append(nums(5000, 5100).coalesce(2))
+    NamedTables.registerSnapshot("snap_planprune", root)
+    // no readWhere anywhere: the ordinary SQL read path must prune by
+    // itself from the filters Catalyst pushes into the scan
+    val df = graft.Engine.sql(spark, "/root/testdata/sf0.001",
+      "SELECT * FROM snap_planprune WHERE id >= 5000")
+    assert(df.count() === 100)
+    val scan = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    val planned = scan.selectedPartitions.totalNumberOfFiles.toInt
+    val expected = t.planFiles(t.latest(), col("id") >= 5000L).size
+    assert(planned === expected,
+      s"SQL scan must plan exactly the stats-pruned files: $planned vs $expected")
+    assert(planned < t.latest().files.size, "pruning must have skipped files")
+    // partitioned tables prune partition directories the same way
+    val root2 = freshRoot()
+    Snapshots.create(spark, root2, nums(0, 100), partitionBy = Seq("k"))
+    NamedTables.registerSnapshot("snap_planprune2", root2)
+    val df2 = graft.Engine.sql(spark, "/root/testdata/sf0.001",
+      "SELECT * FROM snap_planprune2 WHERE k = 2")
+    assert(df2.count() === 25)
+    val scan2 = df2.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(scan2.selectedPartitions.totalNumberOfFiles > 0)
+    assert(scan2.selectedPartitions.partitionCount === 1, "only the k=2 partition plans")
+  }
+
   test("plan: MOR delete merge is a broadcast anti-join, not a shuffle") {
     val root = freshRoot()
     val t = Snapshots.create(spark, root, nums(0, 1000))
