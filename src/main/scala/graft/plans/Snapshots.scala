@@ -378,26 +378,16 @@ object Snapshots {
       if (m.files.isEmpty)
         return spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      if (m.deletes.isEmpty) {
+      if (m.deletes.isEmpty)
         // manifest-backed FileIndex: filters pushed by Catalyst reach
         // listFiles at PLAN time and prune the file list with the manifest
         // stats — every read surface (plain SQL over a named table, the
         // TVFs, read()) skips files whose range excludes the predicate,
-        // not just readWhere (the Delta-Lake log-backed-index design)
-        import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-        val dataSchema = org.apache.spark.sql.types.StructType(
-          schema.fields.filterNot(f => m.partitionCols.contains(f.name)))
-        val index = new SnapshotFileIndex(fs.makeQualified(rootPath), fs, m, schema)
-        val rel = HadoopFsRelation(index, index.partitionSchema, dataSchema,
-          None,
-          new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
-          Map.empty[String, String])(spark)
-        org.apache.spark.sql.GraftShims
-          .ofRows(spark, LogicalRelation(rel, isStreaming = false))
-          // partition columns surface at the end of the scan schema — restore
-          // the table's declared column order
-          .select(schema.fieldNames.map(col): _*)
-      } else
+        // not just readWhere (the Delta-Lake log-backed-index design).
+        // partition columns surface at the end of the scan schema — restore
+        // the table's declared column order
+        scanRelation(m, schema).select(schema.fieldNames.map(col): _*)
+      else
         applyDeletes(readFilesMeta(m), m).select(schema.fieldNames.map(col): _*)
     }
 
@@ -413,14 +403,30 @@ object Snapshots {
           .withColumn("__file", lit(null).cast("string"))
           .withColumn("__pos", lit(null).cast("long"))
       val prefix = metaPathPrefix(m)
-      spark.read
-        .option("basePath", fs.makeQualified(rootPath).toString)
-        .schema(schema)
-        .parquet(m.files.map(f => new Path(rootPath, f).toString): _*)
+      // same manifest-backed index as readFiles: MOR reads and COW/merge
+      // affected-row discovery prune with the pushed filters too (a file
+      // pruned from the base scan can hold no matching rows; its delete
+      // entries then match nothing — correctness never depends on stats)
+      scanRelation(m, schema)
         .select(schema.fieldNames.map(col) :+
           expr(s"substring(_metadata.file_path, ${prefix.length + 2})")
             .as("__file") :+
           col("_metadata.row_index").as("__pos"): _*)
+    }
+
+    /** Scan over the manifest's files through [[SnapshotFileIndex]]. */
+    private def scanRelation(m: Manifest,
+        schema: org.apache.spark.sql.types.StructType): DataFrame = {
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      val dataSchema = org.apache.spark.sql.types.StructType(
+        schema.fields.filterNot(f => m.partitionCols.contains(f.name)))
+      val index = new SnapshotFileIndex(fs.makeQualified(rootPath), fs, m, schema)
+      val rel = HadoopFsRelation(index, index.partitionSchema, dataSchema,
+        None,
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+        Map.empty[String, String])(spark)
+      org.apache.spark.sql.GraftShims
+        .ofRows(spark, LogicalRelation(rel, isStreaming = false))
     }
 
     /** How the parquet reader renders this table's root in
@@ -433,11 +439,12 @@ object Snapshots {
         // probe over ALL files (the first may be a 0-row file); whichever
         // file the sampled row came from, its absolute path ends with its
         // table-relative name — the prefix is what precedes it
+        // probe through the SAME relation the reads use — path rendering
+        // differs between reader implementations, and the prefix must match
+        // what _metadata.file_path yields in the actual scans
         val sample =
           if (m.files.isEmpty) Array.empty[org.apache.spark.sql.Row]
-          else spark.read
-            .option("basePath", fs.makeQualified(rootPath).toString)
-            .parquet(m.files.map(f => new Path(rootPath, f).toString): _*)
+          else scanRelation(m, schemaOf(m.schemaJson))
             .select(col("_metadata.file_path")).take(1)
         sample.headOption match {
           case Some(row) =>
@@ -1259,14 +1266,36 @@ object Snapshots {
 
     override def listFiles(partitionFilters: Seq[Expression],
         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-      val conds = partitionFilters ++ dataFilters
-      val kept = m.files.filter(f => conds.forall(c =>
+      // dataFilters are BEST-EFFORT (Spark re-applies them per row), so the
+      // conservative stats pruning may keep extra files; partitionFilters
+      // are EXACT — Spark never re-evaluates them after partition pruning —
+      // so they must be bound and evaluated against the partition values,
+      // not approximated (the standard PartitioningAwareFileIndex binding)
+      val kept = m.files.filter(f => dataFilters.forall(c =>
         Pruning.mayMatch(f, m.stats.get(f), m.partitionCols, schema, c)))
       if (m.partitionCols.isEmpty)
         Seq(PartitionDirectory(InternalRow.empty, kept.map(statuses).toArray))
-      else kept.groupBy(partTuple).map { case (vals, fls) =>
-        PartitionDirectory(partRow(vals), fls.map(statuses).toArray)
-      }.toSeq
+      else {
+        val groups = kept.groupBy(partTuple).toSeq
+          .map { case (vals, fls) => (partRow(vals), fls) }
+        val pruned =
+          if (partitionFilters.isEmpty) groups
+          else {
+            val bound = org.apache.spark.sql.catalyst.expressions.Predicate
+              .createInterpreted(partitionFilters
+                .reduce(org.apache.spark.sql.catalyst.expressions.And(_, _))
+                .transform {
+                  case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+                    val i = partitionSchema.fieldIndex(a.name)
+                    org.apache.spark.sql.catalyst.expressions.BoundReference(
+                      i, partitionSchema(i).dataType, nullable = true)
+                })
+            groups.filter { case (row, _) => bound.eval(row) }
+          }
+        pruned.map { case (row, fls) =>
+          PartitionDirectory(row, fls.map(statuses).toArray)
+        }
+      }
     }
 
     /** The file's partition values as path-segment strings (null = default

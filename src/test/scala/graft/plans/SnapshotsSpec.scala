@@ -860,6 +860,22 @@ class SnapshotsSpec extends SparkSpec {
     assert(scan2.selectedPartitions.partitionCount === 1, "only the k=2 partition plans")
   }
 
+  test("partition filters the stats cannot reason about still evaluate exactly") {
+    // FileIndex contract: partitionFilters are EXACT (Spark never re-checks
+    // them per row) — shapes the conservative stats pruning keeps, like
+    // NOT(k=2) or k % 2 = 1, must still be evaluated against the partition
+    // values, or excluded rows flow through
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 100), partitionBy = Seq("k"))
+    assert(t.read().filter(!(col("k") === 2)).count() === 75)
+    assert(t.read().filter(col("k") % 2 === 1).count() === 50)
+    assert(t.read().filter(col("k").isNull).count() === 0)
+    // and the COW delete that plans through the same scan removes its rows
+    t.deleteWhere(!(col("k") === 2))
+    assert(t.read().count() === 25)
+    assert(t.read().filter(col("k") =!= 2).count() === 0)
+  }
+
   test("plan: MOR delete merge is a broadcast anti-join, not a shuffle") {
     val root = freshRoot()
     val t = Snapshots.create(spark, root, nums(0, 1000))
