@@ -106,7 +106,14 @@ object Snapshots {
     */
   final case class ColStat(min: Option[String], max: Option[String], nulls: Long)
 
-  final case class FileStat(rows: Long, cols: Map[String, ColStat])
+  /** Per-file row count, column stats, and byte size. `bytes` (0 = unknown,
+    * for manifests written before it was recorded) lets scan planning
+    * synthesize file statuses from the manifest alone — zero filesystem
+    * calls on the plan path, the Delta `add.size` / Iceberg manifest-entry
+    * design.
+    */
+  final case class FileStat(rows: Long, cols: Map[String, ColStat],
+      bytes: Long = 0L)
 
   final class ConcurrentModificationException(msg: String)
     extends RuntimeException(msg)
@@ -299,9 +306,20 @@ object Snapshots {
       val w = df.write.mode("errorifexists")
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(dir.toString)
-      val files = listParquet(dir).map(p => relativize(p))
+      val listed = listParquetStatus(dir)
+      val files = listed.map(s => relativize(s.getPath))
       if (files.isEmpty) (files, Map.empty)
-      else (files, collectStats(dir, df.schema, partitionCols))
+      else {
+        // byte sizes come from the listing the write just produced — scan
+        // planning then needs no further filesystem calls (see FileStat)
+        val sizes = listed.map(s => relativize(s.getPath) -> s.getLen).toMap
+        val stats = collectStats(dir, df.schema, partitionCols)
+          .map { case (rel, st) => rel -> st.copy(bytes = sizes.getOrElse(rel, 0L)) }
+        // a 0-row part file produces no stats group but still needs a size
+        val empties = files.filterNot(stats.contains)
+          .map(rel => rel -> FileStat(0L, Map.empty, sizes.getOrElse(rel, 0L)))
+        (files, stats ++ empties)
+      }
     }
 
     /** Min/max/null-count per (file, column) for the skippable data columns.
@@ -341,6 +359,19 @@ object Snapshots {
           }.toMap
           rel -> FileStat(r.getAs[Long]("__rows"), cols)
         }.toMap
+    }
+
+    private def listParquetStatus(dir: Path)
+        : Seq[org.apache.hadoop.fs.LocatedFileStatus] = {
+      val it = fs.listFiles(dir, true)
+      val buf = Seq.newBuilder[org.apache.hadoop.fs.LocatedFileStatus]
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile && !s.getPath.getName.startsWith("_") &&
+            !s.getPath.getName.startsWith("."))
+          buf += s
+      }
+      buf.result()
     }
 
     private def listParquet(dir: Path): Seq[Path] = {
@@ -1254,9 +1285,18 @@ object Snapshots {
     import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
     import org.apache.spark.sql.execution.datasources.PartitionDirectory
 
+    // file statuses synthesized from manifest-recorded sizes — the plan
+    // path makes NO filesystem calls; only files whose manifest entry
+    // predates size recording (bytes == 0) fall back to a status probe
     private val statuses: Map[String, org.apache.hadoop.fs.FileStatus] =
-      m.files.map(f => f ->
-        fs.getFileStatus(new org.apache.hadoop.fs.Path(qualifiedRoot, f))).toMap
+      m.files.map { f =>
+        val p = new org.apache.hadoop.fs.Path(qualifiedRoot, f)
+        f -> (m.stats.get(f).map(_.bytes).filter(_ > 0L) match {
+          case Some(len) => new org.apache.hadoop.fs.FileStatus(
+            len, false, 1, 128L * 1024 * 1024, m.timestampMs, p)
+          case None => fs.getFileStatus(p)
+        })
+      }.toMap
 
     override def rootPaths: Seq[org.apache.hadoop.fs.Path] = Seq(qualifiedRoot)
 

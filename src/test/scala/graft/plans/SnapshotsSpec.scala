@@ -860,6 +860,21 @@ class SnapshotsSpec extends SparkSpec {
     assert(scan2.selectedPartitions.partitionCount === 1, "only the k=2 partition plans")
   }
 
+  test("manifests written before byte-size recording still read (bytes fallback)") {
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 30).coalesce(1))
+    // strip the bytes field from the stored manifest, as an old writer
+    // would have produced it
+    val v0 = java.nio.file.Paths.get(root, "_graft_log", "v00000000.json")
+    val json = java.nio.file.Files.readString(v0)
+    assert(json.contains("\"bytes\""))
+    java.nio.file.Files.writeString(v0,
+      json.replaceAll(",\"bytes\":\\d+", ""))
+    val t2 = Snapshots.table(spark, root)
+    assert(t2.read().count() === 30, "pre-bytes manifest must read via the status probe")
+    assert(t2.readWhere(col("id") >= 10).count() === 20)
+  }
+
   test("partition filters the stats cannot reason about still evaluate exactly") {
     // FileIndex contract: partitionFilters are EXACT (Spark never re-checks
     // them per row) — shapes the conservative stats pruning keeps, like
