@@ -89,8 +89,41 @@ object SqlDml {
           case r: NamedTables.SnapshotRef =>
             runAddColumns(spark, r.root, cols); done(spark)
         }
+      case d: DescribeRelation => d.relation match {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
+          NamedTables.refOf(u.multipartIdentifier)
+            .map(runDescribe(spark, u.multipartIdentifier.mkString("."), _))
+        case _ => None
+      }
       case _ => None
     }
+
+  /** DESCRIBE [TABLE] <registered-name>: schema rows plus partition and
+    * table-format information, in Spark's describe-output shape.
+    */
+  private def runDescribe(spark: SparkSession, name: String,
+      ref: NamedTables.Ref): DataFrame = {
+    import spark.implicits._
+    val (schema, partCols, extras) = ref match {
+      case r: NamedTables.SnapshotRef =>
+        val t = Snapshots.table(spark, r.root)
+        val m = t.latest()
+        (t.read().schema, m.partitionCols,
+          Seq(("# Detail", "", ""), ("Format", "snapshot", ""),
+            ("Location", r.root, ""), ("Write Mode", r.writeMode, ""),
+            ("Version", m.version.toString, "")))
+      case p: NamedTables.PathRef =>
+        (spark.read.parquet(p.root).schema, Seq.empty[String],
+          Seq(("# Detail", "", ""), ("Format", "parquet", ""),
+            ("Location", p.root, "")))
+    }
+    val cols = schema.fields.map(f =>
+      (f.name, f.dataType.simpleString, if (f.nullable) "" else "not null")).toSeq
+    val parts =
+      if (partCols.isEmpty) Nil
+      else ("# Partition Information", "", "") +: partCols.map(c => (c, "", ""))
+    (cols ++ parts ++ extras).toDF("col_name", "data_type", "comment")
+  }
 
   /** DML statements return an empty frame, like Spark's own commands. */
   private def done(spark: SparkSession): DataFrame = spark.emptyDataFrame

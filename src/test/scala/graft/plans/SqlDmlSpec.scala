@@ -360,6 +360,18 @@ class SqlDmlSpec extends SparkSpec {
     assert(rows.head.getString(2) === "merge-on-read")
   }
 
+  test("DESCRIBE TABLE works on registered names") {
+    val root = scratch("graft_sqldml_snap_")
+    Snapshots.create(spark, root, items(0, 10), partitionBy = Seq("k"))
+    NamedTables.registerSnapshot("sqldml_desc", root)
+    val rows = sql("DESCRIBE TABLE sqldml_desc").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(rows.take(4).map(_._1).toSeq === Seq("id", "name", "price", "k"))
+    assert(rows.contains(("# Partition Information", "")))
+    assert(rows.contains(("Format", "snapshot")))
+    assert(rows.exists { case (k, v) => k == "Location" && v == root })
+  }
+
   test("snapshot TVFs accept registered names: snapshot_history('name')") {
     val root = scratch("graft_sqldml_snap_")
     val t = Snapshots.create(spark, root, items(0, 10))
