@@ -369,22 +369,31 @@ object Dml {
       MergeEngine.specOf(whenMatchedSet, whenMatchedDelete, insertUnmatched),
       sourceKeysUnique)
 
-  /** Full multi-arm MERGE (conditional matched arms, conditional insert,
-    * WHEN NOT MATCHED BY SOURCE) — see [[MergeEngine]] for statement
-    * semantics and joined-scope naming. Arms that touch unmatched target
-    * rows rewrite every partition (any leaf may hold one); all other
-    * statements rewrite only partitions containing matched rows.
-    */
+  /** Single-key convenience: delegates to the composite-key `mergeSpec`. */
   def mergeSpec(spark: SparkSession, table: String, source: DataFrame,
       targetKey: String, sourceKey: String, spec: MergeEngine.Spec,
-      sourceKeysUnique: Boolean = false): Unit = {
+      sourceKeysUnique: Boolean = false): Unit =
+    mergeSpec(spark, table, source, Seq(targetKey -> sourceKey), spec,
+      sourceKeysUnique)
+
+  /** Full multi-arm MERGE (conditional matched arms, conditional insert,
+    * WHEN NOT MATCHED BY SOURCE) — see [[MergeEngine]] for statement
+    * semantics and joined-scope naming. `keys` are the ON-clause equi-pairs
+    * (targetCol, sourceCol) — composite business keys pass several. Arms
+    * that touch unmatched target rows rewrite every partition (any leaf may
+    * hold one); all other statements rewrite only partitions containing
+    * matched rows.
+    */
+  def mergeSpec(spark: SparkSession, table: String, source: DataFrame,
+      keys: Seq[(String, String)], spec: MergeEngine.Spec,
+      sourceKeysUnique: Boolean): Unit = {
     val target0 = readTable(spark, table)
     val cols = target0.columns
     val insertUnmatched = spec.insert.isDefined
 
     def postOf(target: DataFrame): DataFrame =
-      MergeEngine.postImage(target, source, targetKey, sourceKey,
-        cols.toSeq, spec, sourceKeysUnique)
+      MergeEngine.postImage(target, source, keys, cols.toSeq, spec,
+        sourceKeysUnique)
 
     // the in-job guard surfaces as a SparkRuntimeException wrapped in job
     // failure layers — unwrap to the documented IllegalStateException
@@ -411,8 +420,9 @@ object Dml {
             if (spec.touchesUnmatchedTargets)
               l.leaves.keys.toSeq // any leaf may hold an unmatched target row
             else affectedTuples(target0.join(
-              source.select(col(sourceKey).as(targetKey)).distinct(),
-              Seq(targetKey), "left_semi"), l.cols)
+              source.select(keys.map { case (tk, sk) => col(sk).as(tk) }: _*)
+                .distinct(),
+              keys.map(_._1), "left_semi"), l.cols)
           if (tuples.isEmpty && !insertUnmatched) return // no matches, no inserts
           // target side pruned to matched partitions; unmatched source rows
           // fall out of the full-outer join as inserts into their own partitions

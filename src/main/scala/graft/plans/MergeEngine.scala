@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   * `Snapshots.merge`): the standard multi-arm statement
   *
   * {{{
-  * MERGE INTO t USING s ON t.k = s.k
+  * MERGE INTO t USING s ON t.k1 = s.k1 [AND t.k2 = s.k2 ...]
   *   WHEN MATCHED [AND c1] THEN UPDATE SET ... | DELETE      (ordered arms)
   *   WHEN NOT MATCHED [AND ci] THEN INSERT ...               (one arm)
   *   WHEN NOT MATCHED BY SOURCE [AND cj] THEN UPDATE | DELETE (ordered arms)
@@ -20,11 +20,24 @@ import org.apache.spark.sql.functions._
   * index. Arm conditions and update expressions evaluate in the joined
   * scope: source columns by their plain names, target columns under the
   * `__t_` prefix (see [[targetSide]]).
+  *
+  * Row existence on each side of the full-outer join is tracked with
+  * explicit presence markers (`lit(true)` attached to each side before the
+  * join), NOT by key nullness: a source row with a NULL merge key matches
+  * nothing and therefore takes the insert arm (standard SQL join
+  * semantics), and a NULL-keyed target row is in scope for NOT MATCHED BY
+  * SOURCE arms. Inferring existence from key nullability would
+  * misclassify both.
   */
 private[plans] object MergeEngine {
 
   /** The joined-scope name of target column `c`. */
   def targetSide(c: String): String = "__t_" + c
+
+  private val TPresent = "__t_present"
+  private val SPresent = "__s_present"
+  private val SrcCnt = "__src_cnt"
+  private val SrcRn = "__src_rn"
 
   sealed trait MatchedArm { def condition: Option[Column] }
   /** WHEN [NOT] MATCHED [BY SOURCE] [AND cond] THEN UPDATE SET set. */
@@ -33,8 +46,13 @@ private[plans] object MergeEngine {
   /** WHEN [NOT] MATCHED [BY SOURCE] [AND cond] THEN DELETE. */
   final case class Delete(condition: Option[Column]) extends MatchedArm
 
-  /** WHEN NOT MATCHED [AND cond] THEN INSERT (whole source row by name). */
-  final case class Insert(condition: Option[Column])
+  /** WHEN NOT MATCHED [AND cond] THEN INSERT. With `values = None` the
+    * whole source row inserts by name (source must carry every target
+    * column); with explicit values, each target column takes its expression
+    * (evaluated over the source row).
+    */
+  final case class Insert(condition: Option[Column],
+      values: Option[Map[String, Column]] = None)
 
   final case class Spec(
       matched: Seq[MatchedArm] = Nil,
@@ -53,39 +71,68 @@ private[plans] object MergeEngine {
     insert = if (insertUnmatched) Some(Insert(None)) else None)
 
   /** Post-image of `target ⟗ source`: every surviving row of the merged
-    * target. `cols` is the target schema's column order; the source must
-    * carry `sourceKey`, plus every target column when an insert arm exists.
-    * `sourceKeysUnique` skips the standard cardinality guard (>1 source row
-    * matching one target row fails the statement in-job).
+    * target. `keys` are the ON-clause equi-pairs (targetCol, sourceCol) —
+    * one entry for a simple key, several for a composite business key.
+    * `cols` is the target schema's column order; the source must carry every
+    * source key, plus every target column when a whole-row insert arm
+    * exists. `sourceKeysUnique` skips the standard cardinality guard (>1
+    * source row matching one target row fails the statement in-job); the
+    * guard only arms when a matched arm exists — an insert-only MERGE
+    * tolerates duplicate source keys (they simply don't insert when
+    * matched), per SQL/Delta semantics.
     */
-  def postImage(target: DataFrame, source: DataFrame, targetKey: String,
-      sourceKey: String, cols: Seq[String], spec: Spec,
+  def postImage(target: DataFrame, source: DataFrame,
+      keys: Seq[(String, String)], cols: Seq[String], spec: Spec,
       sourceKeysUnique: Boolean): DataFrame = {
+    require(keys.nonEmpty, "MERGE needs at least one ON equi-condition")
     val srcCols = source.columns.toSet
-    require(srcCols.contains(sourceKey),
-      s"source must carry the merge key $sourceKey")
-    if (spec.insert.isDefined) {
-      val missing = cols.filterNot(srcCols)
-      require(missing.isEmpty,
-        s"MERGE with an insert arm needs source columns ${missing.mkString(", ")}")
+    val missingKeys = keys.map(_._2).filterNot(srcCols)
+    require(missingKeys.isEmpty,
+      s"source must carry the merge key(s) ${missingKeys.mkString(", ")}")
+    spec.insert.foreach { ins =>
+      if (ins.values.isEmpty) {
+        val missing = cols.filterNot(srcCols)
+        require(missing.isEmpty,
+          s"MERGE with an insert arm needs source columns ${missing.mkString(", ")}")
+      }
     }
     def tc(c: String): Column = col(targetSide(c))
 
-    val guarded =
-      if (sourceKeysUnique) source
-      else source.withColumn("__src_cnt", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col(sourceKey))))
-    val tRen = target.select(cols.map(c => col(c).as(targetSide(c))): _*)
-    val joined = tRen.join(guarded, tc(targetKey) === col(sourceKey), "full_outer")
+    // cardinality guard: only meaningful when a matched row could be
+    // updated/deleted more than once — insert-only statements tolerate
+    // duplicate source keys (SQL/Delta semantics: they simply don't insert
+    // when matched). The full-outer join still produces one joined copy of
+    // the target row PER matching source row, so the insert-only case
+    // instead numbers the copies and keeps exactly one (the kept copy is
+    // the unchanged target row — no arm touches it, so which copy survives
+    // is immaterial).
+    val guardCardinality = !sourceKeysUnique && spec.matched.nonEmpty
+    val dedupMatched = !sourceKeysUnique && spec.matched.isEmpty
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(k => col(k._2)): _*)
+    val guarded0 =
+      if (guardCardinality) source.withColumn(SrcCnt, count(lit(1)).over(win))
+      else if (dedupMatched)
+        source.withColumn(SrcRn, row_number().over(win.orderBy(lit(1))))
+      else source
+    val sMarked = guarded0.withColumn(SPresent, lit(true))
+    val tRen = target.select(
+      cols.map(c => col(c).as(targetSide(c))) :+ lit(true).as(TPresent): _*)
+    val joinCond = keys.map { case (tk, sk) => tc(tk) === col(sk) }
+      .reduce(_ && _)
+    val joined = tRen.join(sMarked, joinCond, "full_outer")
 
-    val matched = tc(targetKey).isNotNull && col(sourceKey).isNotNull
-    val sourceOnly = tc(targetKey).isNull && col(sourceKey).isNotNull
+    val matched = col(TPresent).isNotNull && col(SPresent).isNotNull
+    val sourceOnly = col(TPresent).isNull && col(SPresent).isNotNull
+    val keyDesc = concat_ws(", ", keys.map { case (_, sk) =>
+      concat(lit(s"$sk="), coalesce(col(sk).cast("string"), lit("NULL")))
+    }: _*)
     val checked =
-      if (sourceKeysUnique) joined
-      else joined.filter(when(matched && col("__src_cnt") > 1,
+      if (!guardCardinality) joined
+      else joined.filter(when(matched && col(SrcCnt) > 1,
         raise_error(concat(
-          lit(s"MERGE cardinality violation: multiple source rows match target $sourceKey="),
-          col(sourceKey).cast("string")))).isNull)
+          lit("MERGE cardinality violation: multiple source rows match target "),
+          keyDesc))).isNull)
 
     // first-matching-arm-wins: arm index 0 = no arm applies (row unchanged);
     // the when-chain is built in arm order so the FIRST true condition wins
@@ -97,8 +144,9 @@ private[plans] object MergeEngine {
       }
       chain.map(_.otherwise(0)).getOrElse(lit(0))
     }
+    val targetOnly = col(TPresent).isNotNull && col(SPresent).isNull
     val mIdx = armIndex(spec.matched, matched)
-    val nIdx = armIndex(spec.notMatchedBySource, tc(targetKey).isNotNull && col(sourceKey).isNull)
+    val nIdx = armIndex(spec.notMatchedBySource, targetOnly)
 
     def deleteIdxs(arms: Seq[MatchedArm]): Seq[Int] =
       arms.zipWithIndex.collect { case (_: Delete, i) => i + 1 }
@@ -110,10 +158,13 @@ private[plans] object MergeEngine {
 
     val insertCond = spec.insert match {
       case None => lit(false)
-      case Some(Insert(c)) => c.getOrElse(lit(true))
+      case Some(Insert(c, _)) => c.getOrElse(lit(true))
     }
+    val matchedSurvives =
+      if (dedupMatched) surviving(mIdx, spec.matched) && col(SrcRn) === 1
+      else surviving(mIdx, spec.matched)
     val alive = when(sourceOnly, insertCond)
-      .when(matched, surviving(mIdx, spec.matched))
+      .when(matched, matchedSurvives)
       .otherwise(surviving(nIdx, spec.notMatchedBySource))
 
     def armValue(idx: Column, arms: Seq[MatchedArm], c: String): Column =
@@ -122,8 +173,12 @@ private[plans] object MergeEngine {
           when(idx === (i + 1), set(c)).otherwise(acc)
         case (acc, _) => acc
       }
+    val insertValues = spec.insert.flatMap(_.values)
     val projection = cols.map { c =>
-      val insVal = if (srcCols(c)) col(c) else tc(c) // tc: unreachable filler
+      val insVal = insertValues match {
+        case Some(vs) => vs.getOrElse(c, lit(null))
+        case None => if (srcCols(c)) col(c) else tc(c) // tc: unreachable filler
+      }
       when(sourceOnly, insVal)
         .when(matched, armValue(mIdx, spec.matched, c))
         .otherwise(armValue(nIdx, spec.notMatchedBySource, c))

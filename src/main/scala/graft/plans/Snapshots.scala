@@ -393,9 +393,30 @@ object Snapshots {
       pUri.stripPrefix(rootUri + "/")
     }
 
+    // asNullable: table columns are always nullable (the reference's model —
+    // every Hive column admits NULL), and DML can introduce NULLs into a
+    // column whose CREATE source happened to be non-nullable. Reading a
+    // parquet NULL through a non-nullable schema would not error — the
+    // vectorized reader returns the primitive slot (0/0.0), which is silent
+    // corruption.
     private def schemaOf(json: String): org.apache.spark.sql.types.StructType =
-      org.apache.spark.sql.types.DataType.fromJson(json)
+      nullableType(org.apache.spark.sql.types.DataType.fromJson(json))
         .asInstanceOf[org.apache.spark.sql.types.StructType]
+
+    private def nullableType(dt: org.apache.spark.sql.types.DataType)
+        : org.apache.spark.sql.types.DataType = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case s: StructType => StructType(s.fields.map(f =>
+          f.copy(dataType = nullableType(f.dataType), nullable = true)))
+        case a: ArrayType =>
+          ArrayType(nullableType(a.elementType), containsNull = true)
+        case m: MapType =>
+          MapType(nullableType(m.keyType), nullableType(m.valueType),
+            valueContainsNull = true)
+        case other => other
+      }
+    }
 
     /** Reads exactly one manifest's files, with pending merge-on-read
       * deletes applied. The stored schema is passed explicitly (no footer
@@ -952,24 +973,48 @@ object Snapshots {
         whenMatchedDelete: Boolean = false,
         insertUnmatched: Boolean = true,
         sourceKeysUnique: Boolean = false,
+        maxRetries: Int = 10): Manifest =
+      mergeMergeOnReadKeys(source, Seq(targetKey -> sourceKey), whenMatchedSet,
+        whenMatchedDelete, insertUnmatched, sourceKeysUnique, maxRetries)
+
+    /** Composite-key merge-on-read MERGE: `mergeKeys` are the ON-clause
+      * equi-pairs (targetCol, sourceCol).
+      */
+    def mergeMergeOnReadKeys(source: DataFrame,
+        mergeKeys: Seq[(String, String)],
+        whenMatchedSet: Map[String, Column] = Map.empty,
+        whenMatchedDelete: Boolean = false,
+        insertUnmatched: Boolean = true,
+        sourceKeysUnique: Boolean = false,
         maxRetries: Int = 10): Manifest = {
+      require(mergeKeys.nonEmpty, "MERGE needs at least one ON equi-condition")
       val head0 = latest()
       val cols = schemaOf(head0.schemaJson).fieldNames.toSeq
       val bad = whenMatchedSet.keySet.intersect(head0.partitionCols.toSet)
       require(bad.isEmpty,
         s"MERGE cannot assign partition columns: ${bad.mkString(", ")}")
-      require(source.columns.contains(sourceKey),
-        s"source must carry the merge key $sourceKey")
+      val missingKeys = mergeKeys.map(_._2).filterNot(source.columns.contains)
+      require(missingKeys.isEmpty,
+        s"source must carry the merge key(s) ${missingKeys.mkString(", ")}")
       if (insertUnmatched) {
         val missing = cols.filterNot(source.columns.contains)
         require(missing.isEmpty,
           s"MERGE with an insert arm needs source columns ${missing.mkString(", ")}")
       }
       def tc(c: String): Column = col("__t_" + c)
+      // with no matched arm the statement cannot touch matched target rows
+      // at all — only the inserts matter (and duplicate source keys are
+      // legal: matched ones simply don't insert)
+      val hasMatchedArm = whenMatchedDelete || whenMatchedSet.nonEmpty
+      val guardCardinality = !sourceKeysUnique && hasMatchedArm
       val guarded =
-        if (sourceKeysUnique) source
+        if (!guardCardinality) source
         else source.withColumn("__src_cnt", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col(sourceKey))))
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(mergeKeys.map(k => col(k._2)): _*)))
+      val keyDesc = concat_ws(", ", mergeKeys.map { case (_, sk) =>
+        concat(lit(s"$sk="), coalesce(col(sk).cast("string"), lit("NULL")))
+      }: _*)
 
       var attempt = 0
       while (true) {
@@ -981,23 +1026,27 @@ object Snapshots {
         val tRen = visible.select(
           schema.fieldNames.map(c => col(c).as("__t_" + c)) ++
             Seq(col("__file"), col("__pos")): _*)
-        val joined = tRen.join(guarded, tc(targetKey) === col(sourceKey), "inner")
+        val joinCond = mergeKeys.map { case (tk, sk) => tc(tk) === col(sk) }
+          .reduce(_ && _)
+        val joined = tRen.join(guarded, joinCond, "inner")
         val matches =
-          if (sourceKeysUnique) joined
+          if (!guardCardinality) joined
           else joined.filter(when(col("__src_cnt") > 1,
             raise_error(concat(
-              lit(s"MERGE cardinality violation: multiple source rows match target $sourceKey="),
-              col(sourceKey).cast("string")))).isNull)
+              lit("MERGE cardinality violation: multiple source rows match target "),
+              keyDesc))).isNull)
         val inserts =
           if (!insertUnmatched) None
           else {
-            val keys = visible.select(col(targetKey).as("__t_key")).distinct()
-            val rows = source.join(keys,
-              source(sourceKey) === col("__t_key"), "left_anti")
+            val keys = visible.select(mergeKeys.map { case (tk, _) =>
+              col(tk).as("__t_" + tk) }: _*).distinct()
+            val antiCond = mergeKeys.map { case (tk, sk) =>
+              source(sk) === keys("__t_" + tk) }.reduce(_ && _)
+            val rows = source.join(keys, antiCond, "left_anti")
               .select(schema.fieldNames.map(col): _*)
             if (rows.isEmpty) None else Some(rows)
           }
-        val hasMatches = !matches.isEmpty
+        val hasMatches = hasMatchedArm && !matches.isEmpty
         if (!hasMatches && inserts.isEmpty) return head // no-op
         // old positions of matched rows retire via sidecar...
         val sidecars =
@@ -1041,7 +1090,17 @@ object Snapshots {
     def mergeSpec(source: DataFrame, targetKey: String, sourceKey: String,
         spec: MergeEngine.Spec,
         sourceKeysUnique: Boolean = false,
-        maxRetries: Int = 10): Manifest = {
+        maxRetries: Int = 10): Manifest =
+      mergeSpec(source, Seq(targetKey -> sourceKey), spec, sourceKeysUnique,
+        maxRetries)
+
+    /** Composite-key multi-arm MERGE: `mergeKeys` are the ON-clause
+      * equi-pairs (targetCol, sourceCol).
+      */
+    def mergeSpec(source: DataFrame, mergeKeys: Seq[(String, String)],
+        spec: MergeEngine.Spec,
+        sourceKeysUnique: Boolean,
+        maxRetries: Int): Manifest = {
       val head0 = latest()
       val cols = schemaOf(head0.schemaJson).fieldNames.toSeq
       val setCols = (spec.matched ++ spec.notMatchedBySource)
@@ -1051,20 +1110,23 @@ object Snapshots {
         s"MERGE cannot assign partition columns: ${bad.mkString(", ")}")
 
       def postOf(affectedDf: DataFrame): DataFrame =
-        MergeEngine.postImage(affectedDf, source, targetKey, sourceKey,
+        MergeEngine.postImage(affectedDf, source, mergeKeys,
           cols, spec, sourceKeysUnique)
 
       var attempt = 0
       while (true) {
         val head = latest()
-        val keys = source.select(col(sourceKey)).distinct()
+        val keys = source.select(mergeKeys.map { case (tk, sk) =>
+          col(sk).as("__s_" + tk) }: _*).distinct()
         // provenance scan over VISIBLE rows (pending MOR deletes applied):
         // a deleted target row neither matches nor resurrects
         val visible = applyDeletes(readFilesMeta(head), head)
+        val semiCond = mergeKeys.map { case (tk, _) =>
+          visible(tk) === keys("__s_" + tk) }.reduce(_ && _)
         val affected =
           if (spec.touchesUnmatchedTargets) head.files.toSet
           else visible
-            .join(keys, visible(targetKey) === keys(sourceKey), "left_semi")
+            .join(keys, semiCond, "left_semi")
             .select(col("__file")).distinct()
             .collect().map(_.getString(0))
             .toSet

@@ -28,12 +28,13 @@ import org.apache.spark.sql.functions.col
   * Supported statement shapes (a deliberate, clearly-errored subset):
   *   - `UPDATE t SET c = expr, ... [WHERE cond]`
   *   - `DELETE FROM t [WHERE cond]`
-  *   - `MERGE INTO t [AS a] USING src [AS b] ON a.k = b.k` with any number
-  *     of ordered, optionally-conditional WHEN MATCHED THEN UPDATE SET /
-  *     DELETE arms, one optionally-conditional WHEN NOT MATCHED THEN INSERT
-  *     (explicit column list of bare source columns, or `INSERT *`), and
-  *     WHEN NOT MATCHED BY SOURCE THEN UPDATE / DELETE arms
-  *     (first-matching-arm-wins, lowered via [[MergeEngine]]).
+  *   - `MERGE INTO t [AS a] USING src [AS b] ON a.k1 = b.k1 [AND ...]`
+  *     (an AND-chain of equi-conditions — composite business keys) with any
+  *     number of ordered, optionally-conditional WHEN MATCHED THEN UPDATE
+  *     SET / DELETE arms, one optionally-conditional WHEN NOT MATCHED THEN
+  *     INSERT (explicit column list — unassigned columns fill with NULL —
+  *     or `INSERT *`), and WHEN NOT MATCHED BY SOURCE THEN UPDATE / DELETE
+  *     arms (first-matching-arm-wins, lowered via [[MergeEngine]]).
   *   - `INSERT INTO/OVERWRITE t SELECT ...` (positional, like SQL INSERT)
   *     against registered/snapshot targets; other targets fall through to
   *     Spark's native handling.
@@ -346,7 +347,9 @@ object SqlDml {
     val targetCols = t.read(spark).columns.toSeq
     val srcCols0 = sourceDf0.columns.toSet
 
-    // ON clause: one equi-condition, each side classified to target/source
+    // ON clause: an AND-chain of equi-conditions, each conjunct classified
+    // to a (target column, source column) pair — composite business keys
+    // are the norm in fact-table upserts
     def classify(a: UnresolvedAttribute): (String, String) = { // (side, column)
       val parts = a.nameParts
       if (parts.size == 2 && t.qualifiers.contains(norm(parts.head)))
@@ -363,35 +366,58 @@ object SqlDml {
         else unsupported(s"ON column ${parts.head} not found on either side")
       } else unsupported(s"cannot resolve ON reference ${a.sql}")
     }
-    val (targetKey, sourceKey0) = m.mergeCondition match {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val mergeKeys: Seq[(String, String)] = conjuncts(m.mergeCondition).map {
       case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
         (classify(a), classify(b)) match {
           case (("t", tk), ("s", sk)) => (tk, sk)
           case (("s", sk), ("t", tk)) => (tk, sk)
-          case _ => unsupported("ON must equate a target column with a source column")
+          case _ => unsupported(
+            "each ON conjunct must equate a target column with a source column")
         }
-      case _ => unsupported(
-        "ON must be a single equi-condition: target.k = source.k")
+      case other => unsupported(
+        s"ON must be an AND-chain of target.k = source.k equi-conditions, got: ${other.sql}")
     }
+    val source = sourceDf0
 
-    // WHEN NOT MATCHED (at most one arm, condition allowed): project the
-    // source to target-named columns so insert and matched-update share one
-    // frame; `renames` maps original source names to their post-projection
-    // (target) names. Insert values are arbitrary expressions over the
-    // SOURCE row (literals, functions, source columns) — target references
-    // are meaningless in an insert and error.
+    // WHEN NOT MATCHED (at most one arm, condition allowed). The source
+    // frame keeps ALL its original columns — insert expressions travel as
+    // explicit per-column values in the spec, so matched-arm references
+    // always bind to the real source columns (a projection that replaced
+    // them could silently re-bind same-named columns). Insert values are
+    // arbitrary expressions over the SOURCE row (literals, functions,
+    // source columns); unassigned target columns fill with NULL; target
+    // references are meaningless in an insert and error.
     if (m.notMatchedActions.size > 1)
       unsupported("at most one WHEN NOT MATCHED clause is supported")
-    val (source, renames: Map[String, String], sourceKey) =
+
+    // action expressions in the joined scope: target-qualified refs -> __t_
+    // columns, source refs -> source columns by their plain names;
+    // unqualified names resolve source-first (the upsert intent)
+    def actionColumn(e: Expression): Column = GraftShims.column(e.transformUp {
+      case a: UnresolvedAttribute =>
+        val parts = a.nameParts
+        if (parts.size > 1 && t.qualifiers.contains(norm(parts.head)))
+          UnresolvedAttribute(targetSide(parts(1)) +: parts.drop(2))
+        else if (parts.size > 1 && srcQuals.contains(norm(parts.head)))
+          UnresolvedAttribute(parts.tail)
+        else a
+    })
+
+    val insertValues: Option[Map[String, Column]] =
       m.notMatchedActions.headOption match {
-        case None => (sourceDf0, Map.empty[String, String], sourceKey0)
+        case None => None
         case Some(_: InsertStarAction) =>
           val missing = targetCols.filterNot(srcCols0)
           if (missing.nonEmpty) unsupported(
             s"INSERT * needs source columns ${missing.mkString(", ")}")
-          (sourceDf0, Map.empty[String, String], sourceKey0)
+          None // whole source row by name
         case Some(InsertAction(_, assigns)) =>
-          val pairs = assigns.map { a =>
+          Some(assigns.map { a =>
             val tgt = assignName(a.key, t.qualifiers)
             val e = strip(a.value, srcQuals)
             e.foreach {
@@ -400,39 +426,10 @@ object SqlDml {
                 unsupported(s"INSERT values cannot reference the target: ${attr.sql}")
               case _ => ()
             }
-            (tgt, e)
-          }
-          val missing = targetCols.filterNot(pairs.map(_._1).toSet)
-          if (missing.nonEmpty) unsupported(
-            s"INSERT must assign every target column; missing ${missing.mkString(", ")}")
-          // the join key rides along under a reserved name: the key column's
-          // insert VALUE may be any expression, but the ON clause needs the
-          // raw source key
-          val projected = sourceDf0.select(
-            pairs.map { case (tgt, e) => GraftShims.column(e).as(tgt) } :+
-              col(sourceKey0).as("__src_key"): _*)
-          (projected,
-            pairs.collect { case (tgt, u: UnresolvedAttribute)
-              if u.nameParts.size == 1 => u.nameParts.head -> tgt }.toMap,
-            "__src_key")
+            tgt -> GraftShims.column(e)
+          }.toMap)
         case Some(other) => unsupported(s"unsupported WHEN NOT MATCHED action: $other")
       }
-
-    // action expressions in the joined scope: target-qualified refs -> __t_
-    // columns, source refs -> (possibly renamed) source columns; unqualified
-    // names resolve source-first (the upsert intent)
-    def actionColumn(e: Expression): Column = GraftShims.column(e.transformUp {
-      case a: UnresolvedAttribute =>
-        val parts = a.nameParts
-        if (parts.size > 1 && t.qualifiers.contains(norm(parts.head)))
-          UnresolvedAttribute(targetSide(parts(1)) +: parts.drop(2))
-        else if (parts.size > 1 && srcQuals.contains(norm(parts.head)))
-          UnresolvedAttribute(
-            renames.getOrElse(parts(1), parts(1)) +: parts.drop(2))
-        else if (parts.size == 1)
-          UnresolvedAttribute(Seq(renames.getOrElse(parts.head, parts.head)))
-        else a
-    })
     // WHEN NOT MATCHED BY SOURCE expressions see only the target row —
     // unqualified names resolve target-side; source references are an error
     def targetOnlyColumn(e: Expression): Column = GraftShims.column(e.transformUp {
@@ -455,15 +452,20 @@ object SqlDml {
           MergeEngine.Update(cond.map(tr), assigns.map(x =>
             assignName(x.key, t.qualifiers) -> tr(x.value)).toMap)
         case s: UpdateStarAction if allowStar =>
+          // UPDATE SET * expands by name: each target column takes the
+          // same-named source column
+          val missing = targetCols.filterNot(srcCols0)
+          if (missing.nonEmpty) unsupported(
+            s"UPDATE SET * needs source columns ${missing.mkString(", ")}")
           MergeEngine.Update(s.condition.map(tr),
-            targetCols.map(c => c -> col(renames.getOrElse(c, c))).toMap)
+            targetCols.map(c => c -> col(c)).toMap)
         case other => unsupported(s"unsupported action: $other")
       }
 
     val spec = MergeEngine.Spec(
       matched = m.matchedActions.map(matchedArm(_, actionColumn, allowStar = true)),
       insert = m.notMatchedActions.headOption.map(a =>
-        MergeEngine.Insert(a.condition.map(actionColumn))),
+        MergeEngine.Insert(a.condition.map(actionColumn), insertValues)),
       notMatchedBySource = m.notMatchedBySourceActions.map(
         matchedArm(_, targetOnlyColumn, allowStar = false)))
     if (spec.matched.isEmpty && spec.insert.isEmpty &&
@@ -478,29 +480,32 @@ object SqlDml {
         val st = Snapshots.table(spark, r.root)
         spec.matched.headOption match {
           case Some(MergeEngine.Delete(_)) =>
-            st.mergeMergeOnRead(source, targetKey, sourceKey,
+            st.mergeMergeOnReadKeys(source, mergeKeys,
               whenMatchedDelete = true, insertUnmatched = spec.insert.isDefined)
           case Some(MergeEngine.Update(_, set)) =>
-            st.mergeMergeOnRead(source, targetKey, sourceKey,
+            st.mergeMergeOnReadKeys(source, mergeKeys,
               whenMatchedSet = set, insertUnmatched = spec.insert.isDefined)
           case None =>
-            st.mergeMergeOnRead(source, targetKey, sourceKey,
+            st.mergeMergeOnReadKeys(source, mergeKeys,
               insertUnmatched = spec.insert.isDefined)
         }
       case r: NamedTables.SnapshotRef =>
-        Snapshots.table(spark, r.root).mergeSpec(source, targetKey, sourceKey, spec)
+        Snapshots.table(spark, r.root).mergeSpec(source, mergeKeys, spec,
+          sourceKeysUnique = false, maxRetries = 10)
       case NamedTables.PathRef(path) =>
-        Dml.mergeSpec(spark, path, source, targetKey, sourceKey, spec)
+        Dml.mergeSpec(spark, path, source, mergeKeys, spec,
+          sourceKeysUnique = false)
     }
   }
 
   /** Statement shapes the merge-on-read planner covers: at most one
-    * unconditional matched arm, unconditional insert, no NOT MATCHED BY
-    * SOURCE. Anything richer falls back to the COW multi-arm planner
-    * (correct on a MOR table, just file-rewriting).
+    * unconditional matched arm, whole-row unconditional insert, no NOT
+    * MATCHED BY SOURCE. Anything richer (conditions, explicit insert
+    * values) falls back to the COW multi-arm planner (correct on a MOR
+    * table, just file-rewriting).
     */
   private def morShape(spec: MergeEngine.Spec): Boolean =
     spec.notMatchedBySource.isEmpty &&
       spec.matched.size <= 1 && spec.matched.forall(_.condition.isEmpty) &&
-      spec.insert.forall(_.condition.isEmpty)
+      spec.insert.forall(i => i.condition.isEmpty && i.values.isEmpty)
 }

@@ -182,6 +182,96 @@ object SqlDmlQueries {
           |FROM s15_t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     },
 
+    // NULL merge keys under the gate: a source row with a NULL key matches
+    // nothing (SQL join semantics) and takes the INSERT arm with its own
+    // values; a NULL-keyed TARGET row matches nothing either and is in
+    // scope for WHEN NOT MATCHED BY SOURCE. The oracle replays both
+    // relationally — count(k) pins non-NULL cardinality so a phantom
+    // all-NULL row cannot hide inside count(*).
+    q("s16_sql_merge_null_keys",
+      """SELECT o_orderstatus, count(*) AS n, count(k) AS n_keys,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS total
+        |FROM (
+        |  SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_orderkey END AS k,
+        |    o_orderstatus,
+        |    CASE WHEN o_orderkey % 97 = 0 THEN 0.0
+        |         WHEN o_orderkey % 50 = 0 THEN 2.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey AS k, o_orderstatus, 2.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 50 = 0 AND o_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT NULL AS k, o_orderstatus, 7.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 499 = 0
+        |) GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val orders = Engine.table(spark, dir, "orders")
+      val target = orders.select(
+        when($"o_orderkey" % 97 === 0, lit(null)).otherwise($"o_orderkey").as("k"),
+        $"o_orderstatus", $"o_totalprice")
+      NamedTables.drop("s16_t")
+      NamedTables.registerSnapshot("s16_t",
+        Snapshots.create(spark, scratch(), target).root)
+      orders.filter($"o_orderkey" % 50 === 0)
+        .select($"o_orderkey".as("k"), $"o_orderstatus", lit(2.0).as("p"))
+        .unionByName(orders.filter($"o_orderkey" % 499 === 0)
+          .select(lit(null).cast("long").as("k"), $"o_orderstatus",
+            lit(7.0).as("p")))
+        .createOrReplaceTempView("s16_src")
+      Engine.sql(spark, dir,
+        """MERGE INTO s16_t t USING s16_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET o_totalprice = s.p
+          |WHEN NOT MATCHED THEN INSERT (k, o_orderstatus, o_totalprice)
+          |  VALUES (s.k, s.o_orderstatus, s.p)
+          |WHEN NOT MATCHED BY SOURCE AND t.k IS NULL
+          |  THEN UPDATE SET o_totalprice = 0.0""".stripMargin)
+      Engine.sql(spark, dir,
+        """SELECT o_orderstatus, count(*) AS n, count(k) AS n_keys,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS total
+          |FROM s16_t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    },
+
+    // Composite-key MERGE over a plain parquet path table: the ON clause is
+    // an AND-chain over the (l_orderkey, l_linenumber) business key, with
+    // differently-named source columns to exercise the target/source column
+    // mapping; the oracle replays the upsert relationally.
+    q("s17_sql_merge_composite_key",
+      """SELECT l_linenumber, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS qty
+        |FROM (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN l_orderkey % 14 = 0 THEN l_quantity + 100
+        |         ELSE l_quantity END AS l_quantity
+        |  FROM lineitem WHERE l_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber + 10, l_quantity
+        |  FROM lineitem WHERE l_orderkey % 14 = 0
+        |) GROUP BY l_linenumber ORDER BY l_linenumber""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val path = scratch()
+      val li = Engine.table(spark, dir, "lineitem")
+      li.filter($"l_orderkey" % 7 === 0)
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+        .write.parquet(path)
+      val src = li.filter($"l_orderkey" % 14 === 0)
+      src.select($"l_orderkey".as("ok"), $"l_linenumber".as("ln"),
+          $"l_quantity".as("qty"))
+        .unionByName(src.select($"l_orderkey".as("ok"),
+          ($"l_linenumber" + 10).as("ln"), $"l_quantity".as("qty")))
+        .createOrReplaceTempView("s17_src")
+      Engine.sql(spark, dir,
+        s"""MERGE INTO parquet.`$path` t USING s17_src s
+           |ON t.l_orderkey = s.ok AND t.l_linenumber = s.ln
+           |WHEN MATCHED THEN UPDATE SET l_quantity = t.l_quantity + 100
+           |WHEN NOT MATCHED THEN INSERT (l_orderkey, l_linenumber, l_quantity)
+           |  VALUES (s.ok, s.ln, s.qty)""".stripMargin)
+      spark.read.parquet(path)
+        .groupBy($"l_linenumber")
+        .agg(count(lit(1)).as("n"), Exact.dsum($"l_quantity").as("qty"))
+        .orderBy($"l_linenumber")
+    },
+
     // SQL INSERT INTO a named snapshot table plus a SQL DELETE through the
     // same name; the oracle reconstructs the final state relationally.
     q("s12_sql_insert_named",

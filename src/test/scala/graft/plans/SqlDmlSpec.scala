@@ -126,17 +126,131 @@ class SqlDmlSpec extends SparkSpec {
       assert(e.getMessage.contains(frag), s"message was: ${e.getMessage}")
     }
     expectUnsupported(
-      """MERGE INTO sqldml_err t USING sqldml_errsrc s ON t.id = s.id AND t.k = s.k
+      """MERGE INTO sqldml_err t USING sqldml_errsrc s ON t.id < s.id
         |WHEN MATCHED THEN DELETE""".stripMargin,
-      "single equi-condition")
-    expectUnsupported(
-      """MERGE INTO sqldml_err t USING sqldml_errsrc s ON t.id = s.id
-        |WHEN NOT MATCHED THEN INSERT (id, name) VALUES (s.id, s.name)""".stripMargin,
-      "every target column")
+      "AND-chain")
     expectUnsupported(
       """MERGE INTO sqldml_err t USING sqldml_errsrc s ON t.id = s.id
         |WHEN NOT MATCHED BY SOURCE AND s.price > 0 THEN DELETE""".stripMargin,
       "cannot reference the source")
+  }
+
+  test("MERGE with a composite ON key (AND-chain) updates and inserts") {
+    import spark.implicits._
+    val root = scratch("graft_sqldml_snap_")
+    val t = Snapshots.create(spark, root,
+      Seq((1L, 1, 10.0), (1L, 2, 20.0), (2L, 1, 30.0))
+        .toDF("oid", "line", "amount"))
+    NamedTables.drop("sqldml_ck")
+    NamedTables.registerSnapshot("sqldml_ck", root)
+    Seq((1L, 2, 99.0), (2L, 2, 42.0))
+      .toDF("s_oid", "s_line", "s_amount").createOrReplaceTempView("sqldml_cksrc")
+    sql(
+      """MERGE INTO sqldml_ck t USING sqldml_cksrc s
+        |ON t.oid = s.s_oid AND t.line = s.s_line
+        |WHEN MATCHED THEN UPDATE SET amount = s.s_amount
+        |WHEN NOT MATCHED THEN INSERT (oid, line, amount)
+        |  VALUES (s.s_oid, s.s_line, s.s_amount)""".stripMargin)
+    val got = t.read().orderBy("oid", "line")
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(got === Seq((1L, 1, 10.0), (1L, 2, 99.0), (2L, 1, 30.0), (2L, 2, 42.0)))
+  }
+
+  test("MERGE NULL-key semantics: source NULL keys insert, no phantom row; COW == MOR") {
+    import spark.implicits._
+    def run(writeMode: String): Seq[(Option[Long], String)] = {
+      val root = scratch("graft_sqldml_snap_")
+      Snapshots.create(spark, root,
+        Seq((Some(1L), "a"), (Some(2L), "b"), (None: Option[Long], "nullkey"))
+          .toDF("id", "v"))
+      val name = s"sqldml_nk_${writeMode.take(3)}"
+      NamedTables.drop(name)
+      NamedTables.registerSnapshot(name, root, writeMode)
+      Seq((Some(2L), "B"), (None: Option[Long], "ghost"))
+        .toDF("id", "v").createOrReplaceTempView("sqldml_nksrc")
+      sql(
+        s"""MERGE INTO $name t USING sqldml_nksrc s ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET v = s.v
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      Snapshots.table(spark, root).read()
+        .orderBy(col("id").asc_nulls_last, col("v"))
+        .as[(Option[Long], String)].collect().toSeq
+    }
+    // NULL-key source row is NOT MATCHED -> inserts its values ("ghost");
+    // the NULL-key target row is untouched; no phantom all-NULL row appears
+    val expected = Seq((Some(1L), "a"), (Some(2L), "B"),
+      (None, "ghost"), (None, "nullkey"))
+    assert(run(NamedTables.WriteCow) === expected)
+    assert(run(NamedTables.WriteMor) === expected, "MOR must agree with COW")
+  }
+
+  test("MERGE NULL-key target rows are in scope for NOT MATCHED BY SOURCE") {
+    import spark.implicits._
+    val root = scratch("graft_sqldml_snap_")
+    val t = Snapshots.create(spark, root,
+      Seq((Some(1L), "a"), (None: Option[Long], "stale"))
+        .toDF("id", "v"))
+    NamedTables.drop("sqldml_nkt")
+    NamedTables.registerSnapshot("sqldml_nkt", root)
+    Seq(Some(1L)).toDF("id").createOrReplaceTempView("sqldml_nktsrc")
+    sql(
+      """MERGE INTO sqldml_nkt t USING sqldml_nktsrc s ON t.id = s.id
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    // the NULL-keyed target row matched nothing -> NMBS DELETE removes it
+    assert(t.read().as[(Option[Long], String)].collect().toSeq ===
+      Seq((Some(1L), "a")))
+  }
+
+  test("MERGE partial INSERT column list fills unassigned columns with NULL") {
+    import spark.implicits._
+    val root = scratch("graft_sqldml_snap_")
+    val t = Snapshots.create(spark, root, items(0, 3))
+    NamedTables.drop("sqldml_pins")
+    NamedTables.registerSnapshot("sqldml_pins", root)
+    Seq((7L, "seven")).toDF("id", "name").createOrReplaceTempView("sqldml_pinsrc")
+    sql(
+      """MERGE INTO sqldml_pins t USING sqldml_pinsrc s ON t.id = s.id
+        |WHEN NOT MATCHED THEN INSERT (id, name) VALUES (s.id, s.name)""".stripMargin)
+    val row = t.read().filter(col("id") === 7L).head
+    assert(row.getString(1) === "seven")
+    assert(row.isNullAt(2) && row.isNullAt(3), "unassigned columns are NULL")
+  }
+
+  test("insert-only MERGE tolerates duplicate matched source keys (no spurious guard)") {
+    import spark.implicits._
+    val root = scratch("graft_sqldml_snap_")
+    val t = Snapshots.create(spark, root, items(0, 5))
+    NamedTables.drop("sqldml_dup")
+    NamedTables.registerSnapshot("sqldml_dup", root)
+    // two source rows with key 1 (matched: don't insert), two with key 9
+    // (unmatched: both insert) — no matched arm, so no cardinality guard
+    Seq((1L, "x", 0.0, 0), (1L, "y", 0.0, 0), (9L, "p", 1.0, 1), (9L, "q", 2.0, 1))
+      .toDF("id", "name", "price", "k").createOrReplaceTempView("sqldml_dupsrc")
+    sql(
+      """MERGE INTO sqldml_dup t USING sqldml_dupsrc s ON t.id = s.id
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = t.read()
+    assert(got.count() === 7, "5 original + 2 inserted for unmatched key 9")
+    assert(got.filter(col("id") === 9L).count() === 2)
+  }
+
+  test("MERGE matched-arm source references bind to real source columns, not insert projections") {
+    import spark.implicits._
+    val root = scratch("graft_sqldml_snap_")
+    val t = Snapshots.create(spark, root, items(0, 3))
+    NamedTables.drop("sqldml_bind")
+    NamedTables.registerSnapshot("sqldml_bind", root)
+    // the insert list assigns target `name` from source `other`; a matched
+    // arm referencing s.name must still see the REAL source column `name`
+    Seq((1L, "realname", "othername", 5.0, 9))
+      .toDF("id", "name", "other", "price", "k")
+      .createOrReplaceTempView("sqldml_bindsrc")
+    sql(
+      """MERGE INTO sqldml_bind t USING sqldml_bindsrc s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET name = s.name
+        |WHEN NOT MATCHED THEN INSERT (id, name, price, k)
+        |  VALUES (s.id, s.other, s.price, s.k)""".stripMargin)
+    assert(t.read().filter(col("id") === 1L).head.getString(1) === "realname")
   }
 
   test("MERGE with conditional multi-arm WHEN MATCHED: first arm wins") {
