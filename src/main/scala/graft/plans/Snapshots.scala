@@ -975,10 +975,14 @@ object Snapshots {
         sourceKeysUnique: Boolean = false,
         maxRetries: Int = 10): Manifest =
       mergeMergeOnReadKeys(source, Seq(targetKey -> sourceKey), whenMatchedSet,
-        whenMatchedDelete, insertUnmatched, sourceKeysUnique, maxRetries)
+        whenMatchedDelete, insertUnmatched, sourceKeysUnique,
+        maxRetries = maxRetries)
 
     /** Composite-key merge-on-read MERGE: `mergeKeys` are the ON-clause
-      * equi-pairs (targetCol, sourceCol).
+      * equi-pairs (targetCol, sourceCol). `insertValues`, when given, maps
+      * each target column to its insert expression over the source row
+      * (unassigned columns fill with NULL); when absent the whole source
+      * row inserts by name.
       */
     def mergeMergeOnReadKeys(source: DataFrame,
         mergeKeys: Seq[(String, String)],
@@ -986,6 +990,7 @@ object Snapshots {
         whenMatchedDelete: Boolean = false,
         insertUnmatched: Boolean = true,
         sourceKeysUnique: Boolean = false,
+        insertValues: Option[Map[String, Column]] = None,
         maxRetries: Int = 10): Manifest = {
       require(mergeKeys.nonEmpty, "MERGE needs at least one ON equi-condition")
       val head0 = latest()
@@ -996,7 +1001,7 @@ object Snapshots {
       val missingKeys = mergeKeys.map(_._2).filterNot(source.columns.contains)
       require(missingKeys.isEmpty,
         s"source must carry the merge key(s) ${missingKeys.mkString(", ")}")
-      if (insertUnmatched) {
+      if (insertUnmatched && insertValues.isEmpty) {
         val missing = cols.filterNot(source.columns.contains)
         require(missing.isEmpty,
           s"MERGE with an insert arm needs source columns ${missing.mkString(", ")}")
@@ -1042,8 +1047,12 @@ object Snapshots {
               col(tk).as("__t_" + tk) }: _*).distinct()
             val antiCond = mergeKeys.map { case (tk, sk) =>
               source(sk) === keys("__t_" + tk) }.reduce(_ && _)
-            val rows = source.join(keys, antiCond, "left_anti")
-              .select(schema.fieldNames.map(col): _*)
+            val unmatched = source.join(keys, antiCond, "left_anti")
+            val rows = insertValues match {
+              case Some(vs) => unmatched.select(schema.fieldNames.map(c =>
+                vs.getOrElse(c, lit(null)).as(c)): _*)
+              case None => unmatched.select(schema.fieldNames.map(col): _*)
+            }
             if (rows.isEmpty) None else Some(rows)
           }
         val hasMatches = hasMatchedArm && !matches.isEmpty

@@ -478,16 +478,20 @@ object SqlDml {
         // merge-on-read table + single-unconditional-arm statement: retire
         // matched positions via sidecar instead of rewriting files
         val st = Snapshots.table(spark, r.root)
+        val insVals = spec.insert.flatMap(_.values)
         spec.matched.headOption match {
           case Some(MergeEngine.Delete(_)) =>
             st.mergeMergeOnReadKeys(source, mergeKeys,
-              whenMatchedDelete = true, insertUnmatched = spec.insert.isDefined)
+              whenMatchedDelete = true, insertUnmatched = spec.insert.isDefined,
+              insertValues = insVals)
           case Some(MergeEngine.Update(_, set)) =>
             st.mergeMergeOnReadKeys(source, mergeKeys,
-              whenMatchedSet = set, insertUnmatched = spec.insert.isDefined)
+              whenMatchedSet = set, insertUnmatched = spec.insert.isDefined,
+              insertValues = insVals)
           case None =>
             st.mergeMergeOnReadKeys(source, mergeKeys,
-              insertUnmatched = spec.insert.isDefined)
+              insertUnmatched = spec.insert.isDefined,
+              insertValues = insVals)
         }
       case r: NamedTables.SnapshotRef =>
         Snapshots.table(spark, r.root).mergeSpec(source, mergeKeys, spec,
@@ -499,13 +503,13 @@ object SqlDml {
   }
 
   /** Statement shapes the merge-on-read planner covers: at most one
-    * unconditional matched arm, whole-row unconditional insert, no NOT
-    * MATCHED BY SOURCE. Anything richer (conditions, explicit insert
-    * values) falls back to the COW multi-arm planner (correct on a MOR
-    * table, just file-rewriting).
+    * unconditional matched arm, an unconditional insert (whole-row or
+    * explicit values), no NOT MATCHED BY SOURCE. Anything richer falls
+    * back to the COW multi-arm planner (correct on a MOR table, just
+    * file-rewriting).
     */
   private def morShape(spec: MergeEngine.Spec): Boolean =
     spec.notMatchedBySource.isEmpty &&
       spec.matched.size <= 1 && spec.matched.forall(_.condition.isEmpty) &&
-      spec.insert.forall(i => i.condition.isEmpty && i.values.isEmpty)
+      spec.insert.forall(_.condition.isEmpty)
 }

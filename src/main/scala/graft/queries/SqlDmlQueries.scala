@@ -243,18 +243,26 @@ object SqlDmlQueries {
         |  SELECT l_orderkey, l_linenumber,
         |    CASE WHEN l_orderkey % 14 = 0 THEN l_quantity + 100
         |         ELSE l_quantity END AS l_quantity
-        |  FROM lineitem WHERE l_orderkey % 7 = 0
+        |  FROM (SELECT l_orderkey, l_linenumber,
+        |          CAST(sum(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS l_quantity
+        |        FROM lineitem WHERE l_orderkey % 7 = 0 GROUP BY 1, 2)
         |  UNION ALL
-        |  SELECT l_orderkey, l_linenumber + 10, l_quantity
-        |  FROM lineitem WHERE l_orderkey % 14 = 0
+        |  SELECT l_orderkey, l_linenumber + 10,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE)
+        |  FROM lineitem WHERE l_orderkey % 14 = 0 GROUP BY 1, 2
         |) GROUP BY l_linenumber ORDER BY l_linenumber""".stripMargin) { (spark, dir) =>
       import spark.implicits._
       val path = scratch()
       val li = Engine.table(spark, dir, "lineitem")
-      li.filter($"l_orderkey" % 7 === 0)
-        .select($"l_orderkey", $"l_linenumber", $"l_quantity")
-        .write.parquet(path)
-      val src = li.filter($"l_orderkey" % 14 === 0)
+      // the synthetic lineitem is TPC-H-ish, not TPC-H: (l_orderkey,
+      // l_linenumber) is NOT unique, so pre-aggregate to make it a key —
+      // a MERGE source with duplicate keys against a matched arm is a
+      // cardinality violation by design
+      def keyed(filter: org.apache.spark.sql.Column) =
+        li.filter(filter).groupBy($"l_orderkey", $"l_linenumber")
+          .agg(Exact.dsum($"l_quantity").as("l_quantity"))
+      keyed($"l_orderkey" % 7 === 0).write.parquet(path)
+      val src = keyed($"l_orderkey" % 14 === 0)
       src.select($"l_orderkey".as("ok"), $"l_linenumber".as("ln"),
           $"l_quantity".as("qty"))
         .unionByName(src.select($"l_orderkey".as("ok"),
