@@ -66,6 +66,7 @@ object Engine {
     graft.functions.HiveFunctions.registerAll(spark)
     graft.plans.MaterializedViews.install(spark)
     graft.plans.SnapshotSql.register(spark)
+    graft.plans.NamedTables.bootstrap(spark)
     spark
   }
 

@@ -21,6 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectCheckRule { session =>
       graft.functions.HiveFunctions.registerAll(session)
       graft.plans.SnapshotSql.register(session)
+      // durable name registry (spark.graft.catalog) loads before any query
+      // can reference a registered name
+      graft.plans.NamedTables.bootstrap(session)
       _ => ()
     }
     ext.injectOptimizerRule(session =>

@@ -8,9 +8,12 @@ import org.apache.spark.sql.SparkSession
   */
 object ExtensionsCheck {
   def main(args: Array[String]): Unit = {
+    val catalogDir = java.nio.file.Files
+      .createTempDirectory("graft_extchk_cat_").toString
     val spark = SparkSession.builder()
       .master("local[2]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.graft.catalog", catalogDir)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     val v = spark.sql("SELECT field('b', 'a', 'b') AS f, mask_first_n('Abcd1234') AS m")
@@ -30,8 +33,24 @@ object ExtensionsCheck {
     val n0 = spark.sql("SELECT count(*) AS n FROM extchk VERSION AS OF 0")
       .head().getLong(0)
     assert(n == 15 && n0 == 20, s"named snapshot reads: n=$n n0=$n0")
-    println(s"extensions-path OK: field=${v.getInt(0)} mask=${v.getString(1)} " +
-      s"named=$n timeTravel=$n0")
+    // restarted-JVM phase: forget all in-memory state (what a process death
+    // leaves behind), start a fresh extensions-bootstrapped session with the
+    // same spark.graft.catalog, and resolve the name with no re-CREATE —
+    // the durable registry alone must serve it
     spark.stop()
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    graft.plans.NamedTables.resetForTest()
+    val spark2 = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.graft.catalog", catalogDir)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val n2 = spark2.sql("SELECT count(*) AS n FROM extchk").head().getLong(0)
+    assert(n2 == 15, s"restarted-JVM named read: n=$n2")
+    graft.plans.NamedTables.drop("extchk")
+    println(s"extensions-path OK: field=${v.getInt(0)} mask=${v.getString(1)} " +
+      s"named=$n timeTravel=$n0 restarted=$n2")
+    spark2.stop()
   }
 }
