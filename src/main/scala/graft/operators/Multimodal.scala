@@ -409,8 +409,9 @@ object Multimodal {
     * whose metadata comes from a genuine ImageIO decode; audio-kind rows
     * carry a REAL WAV payload (samples derived from the text) whose
     * duration comes from a genuine javax.sound decode (width/height carry
-    * channels/sample-bits); video rows keep raw text bytes + stub metadata
-    * (the JDK ships no video codec).
+    * channels/sample-bits); video rows carry a REAL MJPEG-in-AVI payload
+    * (frames derived from the text, JPEG-encoded via ImageIO) whose
+    * width/height/duration come from a genuine RIFF container decode.
     */
   def syntheticMediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, GraftShims, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression}
 import org.apache.spark.sql.catalyst.plans.logical._
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 /** SQL-statement DML: UPDATE / DELETE / MERGE / INSERT as SQL text, planned
   * onto the engine's COW and snapshot-table writers.
@@ -35,9 +35,11 @@ import org.apache.spark.sql.functions.col
   *     INSERT (explicit column list — unassigned columns fill with NULL —
   *     or `INSERT *`), and WHEN NOT MATCHED BY SOURCE THEN UPDATE / DELETE
   *     arms (first-matching-arm-wins, lowered via [[MergeEngine]]).
-  *   - `INSERT INTO/OVERWRITE t SELECT ...` (positional, like SQL INSERT)
-  *     against registered/snapshot targets; other targets fall through to
-  *     Spark's native handling.
+  *   - `INSERT INTO/OVERWRITE t [(col, ...)] [PARTITION (k='v'[, d])]
+  *     SELECT ...` against registered/snapshot targets (positional over the
+  *     listed columns, unlisted fill NULL; static PARTITION values become
+  *     constants, dynamic ones trail the query output); other targets fall
+  *     through to Spark's native handling.
   *
   * In MERGE action expressions, source-alias-qualified and unqualified
   * column references resolve to the SOURCE row; target-alias-qualified
@@ -90,6 +92,12 @@ object SqlDml {
           case r: NamedTables.SnapshotRef =>
             runAddColumns(spark, r.root, cols); done(spark)
         }
+      case ShowTables(ns, pattern, _) if (ns match {
+        case org.apache.spark.sql.catalyst.analysis.CurrentNamespace => true
+        case org.apache.spark.sql.catalyst.analysis.UnresolvedNamespace(parts, _) =>
+          parts.isEmpty
+        case _ => false
+      }) => Some(runShowTables(spark, pattern))
       case d: DescribeRelation => d.relation match {
         case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
           NamedTables.refOf(u.multipartIdentifier)
@@ -98,6 +106,28 @@ object SqlDml {
       }
       case _ => None
     }
+
+  /** SHOW TABLES (current namespace): Spark's own listing — temp views and
+    * session-catalog tables — plus the engine's registered names, in the
+    * native (namespace, tableName, isTemporary) shape. Patterns follow
+    * Spark's SHOW TABLES LIKE semantics: `*` wildcard, `|` alternation,
+    * case-insensitive. `SHOW TABLES IN ns` passes through untouched —
+    * registered names live in the default namespace only.
+    */
+  private def runShowTables(spark: SparkSession,
+      pattern: Option[String]): DataFrame = {
+    import spark.implicits._
+    def matches(name: String): Boolean = pattern.forall(_.split("\\|")
+      .exists(p => name.matches("(?i)" + java.util.regex.Pattern.quote(p)
+        .replace("*", "\\E.*\\Q"))))
+    val native = spark.sql(
+      "SHOW TABLES" + pattern.map(p => s" LIKE '$p'").getOrElse(""))
+    val taken = native.collect().map(_.getString(1)).toSet // command output: tiny
+    val mine = NamedTables.all().map(_._1)
+      .filter(n => matches(n) && !taken.contains(n))
+      .map(n => ("", n, false))
+    native.unionByName(mine.toDF(native.columns.toIndexedSeq: _*))
+  }
 
   /** DESCRIBE [TABLE] <registered-name>: schema rows plus partition and
     * table-format information, in Spark's describe-output shape.
@@ -208,28 +238,59 @@ object SqlDml {
 
   private def runInsert(spark: SparkSession, t: Target,
       i: InsertIntoStatement): Unit = {
-    if (i.partitionSpec.nonEmpty) throw new UnsupportedOperationException(
-      "static PARTITION specs are not supported; partition columns are data")
-    if (i.userSpecifiedCols.nonEmpty) throw new UnsupportedOperationException(
-      "INSERT with an explicit column list is not supported; supply every column")
     val rows = GraftShims.ofRows(spark, NamedTables.substitute(spark, i.query))
     val fields = t.read(spark).schema.fields
     val tableCols = fields.map(_.name)
+    def resolve(c: String): String =
+      tableCols.find(_.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"INSERT column $c not found in ${t.display}" +
+            s" (${tableCols.mkString(", ")})"))
+    // PARTITION (k='v', d) — partition columns are ordinary data columns
+    // here, so a static spec becomes a constant and a dynamic one a
+    // query-supplied column placed LAST, matching the reference's clause
+    // shape (ref ql HiveParser.g insertClause/partitionSpec: query columns
+    // in table order, dynamic partition columns trailing)
+    val static: Map[String, String] =
+      i.partitionSpec.collect { case (k, Some(v)) => resolve(k) -> v }
+    val dynamic: Seq[String] =
+      i.partitionSpec.toSeq.collect { case (k, None) => resolve(k) }
     val named =
       if (i.byName) { // INSERT INTO ... BY NAME: match columns by name
-        val missing = tableCols.filterNot(rows.columns.contains)
+        val expect = tableCols.filterNot(static.contains)
+        val missing = expect.filterNot(rows.columns.contains)
         require(missing.isEmpty,
           s"INSERT BY NAME is missing column(s) ${missing.mkString(", ")}")
-        rows.select(tableCols.map(col): _*)
-      } else { // plain SQL INSERT is positional
-        require(rows.columns.length == tableCols.length,
-          s"INSERT arity ${rows.columns.length} != table arity ${tableCols.length}")
-        rows.toDF(tableCols.toIndexedSeq: _*)
+        rows.select(expect.map(col): _*)
+      } else { // plain SQL INSERT is positional over the assigned columns
+        val listed: Seq[String] =
+          if (i.userSpecifiedCols.nonEmpty) i.userSpecifiedCols.map(resolve)
+          else tableCols.toSeq.filterNot(c =>
+            static.contains(c) || dynamic.contains(c))
+        val expect = listed ++ dynamic
+        require(expect.distinct.size == expect.size,
+          s"INSERT assigns a column twice: ${expect.mkString(", ")}")
+        val clash = listed.filter(static.contains)
+        require(clash.isEmpty,
+          s"column(s) ${clash.mkString(", ")} appear in both the column " +
+            "list and a static PARTITION spec")
+        require(rows.columns.length == expect.length,
+          s"INSERT arity ${rows.columns.length} != expected " +
+            s"${expect.length} (${expect.mkString(", ")})")
+        rows.toDF(expect.toIndexedSeq: _*)
       }
-    // SQL INSERT casts values to the column types (a decimal literal into a
-    // double column must not stage a decimal-typed file)
+    // Full target row: assigned columns cast to the column types (a decimal
+    // literal into a double column must not stage a decimal-typed file),
+    // static PARTITION values as constants, anything else NULL — SQL
+    // INSERT's unlisted-column fill.
+    val assigned = named.columns.toSet
     val aligned = named.select(
-      fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+      fields.map { f =>
+        val c =
+          if (assigned.contains(f.name)) col(f.name)
+          else static.get(f.name).map(lit(_)).getOrElse(lit(null))
+        c.cast(f.dataType).as(f.name)
+      }.toIndexedSeq: _*)
     t.ref match {
       case r: NamedTables.SnapshotRef =>
         val st = Snapshots.table(spark, r.root)
@@ -313,20 +374,28 @@ object SqlDml {
     NamedTables.registerSnapshot(name, root, writeModeOf(spec))
   }
 
-  /** CREATE TABLE name USING snapshot LOCATION '<root>' AS SELECT ... */
+  /** CREATE TABLE name USING snapshot LOCATION '<root>' AS SELECT ...
+    *
+    * A registered NAME is the existence test. An unregistered name whose
+    * LOCATION already holds a snapshot table attaches it (no write): that is
+    * the retry of a CTAS that failed between create and register (the
+    * orphan-root half-failure) and the `IF NOT EXISTS` re-run — in both
+    * cases the durable state at the location wins over re-deriving it from
+    * the query.
+    */
   private def runCtas(spark: SparkSession, name: String,
       partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform],
       query: LogicalPlan, spec: TableSpecBase, ignoreIfExists: Boolean): Unit = {
-    if (NamedTables.get(name).isDefined || {
-      val root = spec.location
-      root.isDefined && snapshotExists(spark, root.get)
-    }) {
+    if (NamedTables.get(name).isDefined) {
       if (ignoreIfExists) return
       throw new IllegalStateException(s"table $name already exists")
     }
     val root = locationOf(name, spec)
-    val rows = GraftShims.ofRows(spark, NamedTables.substitute(spark, query))
-    Snapshots.create(spark, root, rows, partitionBy = partitionColsOf(partitioning))
+    if (!snapshotExists(spark, root)) {
+      val rows = GraftShims.ofRows(spark, NamedTables.substitute(spark, query))
+      Snapshots.create(spark, root, rows,
+        partitionBy = partitionColsOf(partitioning))
+    }
     NamedTables.registerSnapshot(name, root, writeModeOf(spec))
   }
 

@@ -300,5 +300,46 @@ object SqlDmlQueries {
         """SELECT o_orderstatus, count(*) AS n,
           |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
           |FROM s12_t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    },
+
+    // INSERT with an explicit column list (unlisted columns fill NULL) and
+    // a static PARTITION spec (the constant maps onto the partition data
+    // column) — the oracle replays both as UNION ALL branches with the same
+    // fills.
+    q("s18_sql_insert_column_list",
+      """SELECT o_orderstatus, count(*) AS n, count(o_totalprice) AS n_price,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 900000000, o_orderstatus, NULL
+        |  FROM orders WHERE o_orderkey % 3 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey + 950000000, 'Z', NULL
+        |  FROM orders WHERE o_orderkey % 3 = 2
+        |) GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val orders = Engine.table(spark, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      NamedTables.drop("s18_t")
+      NamedTables.registerSnapshot("s18_t",
+        Snapshots.create(spark, scratch(),
+          orders.filter($"o_orderkey" % 3 === 0),
+          partitionBy = Seq("o_orderstatus")).root)
+      // column list: o_totalprice unlisted -> NULL
+      Engine.sql(spark, dir,
+        """INSERT INTO s18_t (o_orderkey, o_orderstatus)
+          |SELECT o_orderkey + 900000000, o_orderstatus
+          |FROM orders WHERE o_orderkey % 3 = 1""".stripMargin)
+      // static PARTITION + column list: o_orderstatus from the spec
+      Engine.sql(spark, dir,
+        """INSERT INTO s18_t PARTITION (o_orderstatus = 'Z') (o_orderkey)
+          |SELECT o_orderkey + 950000000
+          |FROM orders WHERE o_orderkey % 3 = 2""".stripMargin)
+      Engine.sql(spark, dir,
+        """SELECT o_orderstatus, count(*) AS n, count(o_totalprice) AS n_price,
+          |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+          |FROM s18_t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     })
 }

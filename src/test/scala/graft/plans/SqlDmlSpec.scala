@@ -90,6 +90,48 @@ class SqlDmlSpec extends SparkSpec {
     assert(t.latest().version === 2L)
   }
 
+  test("INSERT with an explicit column list fills unlisted columns with NULL") {
+    val root = scratch("graft_sqldml_snap_")
+    val t = Snapshots.create(spark, root, items(0, 5))
+    NamedTables.registerSnapshot("sqldml_collist", root)
+    sql("INSERT INTO sqldml_collist (id, price) VALUES (200, 9.5), (201, 8.5)")
+    import spark.implicits._
+    val ins = t.read().filter($"id" >= 200).orderBy($"id")
+      .collect().map(r => (r.getLong(0), r.isNullAt(1), r.getDouble(2), r.isNullAt(3)))
+    assert(ins.toSeq === Seq((200L, true, 9.5, true), (201L, true, 8.5, true)))
+    // out-of-order lists are positional over the listed names
+    sql("INSERT INTO sqldml_collist (price, id) VALUES (7.5, 202)")
+    assert(t.read().filter($"id" === 202).head.getDouble(2) === 7.5)
+    // unknown and duplicate columns are errors
+    assertThrows[IllegalArgumentException](
+      sql("INSERT INTO sqldml_collist (id, nope) VALUES (1, 2)"))
+    assertThrows[IllegalArgumentException](
+      sql("INSERT INTO sqldml_collist (id, id) VALUES (1, 2)"))
+  }
+
+  test("INSERT with static and dynamic PARTITION specs") {
+    val root = scratch("graft_sqldml_snap_")
+    val t = Snapshots.create(spark, root, items(0, 5),
+      partitionBy = Seq("k"))
+    NamedTables.registerSnapshot("sqldml_part", root)
+    // static: k comes from the spec as a constant, query supplies the rest
+    sql("""INSERT INTO sqldml_part PARTITION (k = 3)
+          |VALUES (300, 'st', 1.5)""".stripMargin)
+    import spark.implicits._
+    assert(t.read().filter($"id" === 300).head.getInt(3) === 3)
+    // static spec + column list: unlisted fill NULL, spec fills k
+    sql("INSERT INTO sqldml_part PARTITION (k = 2) (id) VALUES (301)")
+    val r301 = t.read().filter($"id" === 301).head
+    assert(r301.isNullAt(1) && r301.isNullAt(2) && r301.getInt(3) === 2)
+    // dynamic: the partition column trails the query output
+    sql("""INSERT INTO sqldml_part PARTITION (k)
+          |VALUES (302, 'dy', 2.5, 1)""".stripMargin)
+    assert(t.read().filter($"id" === 302).head.getInt(3) === 1)
+    // a column in both the list and a static spec is an error
+    assertThrows[IllegalArgumentException](
+      sql("INSERT INTO sqldml_part PARTITION (k = 1) (id, k) VALUES (1, 2)"))
+  }
+
   test("MERGE: WHEN MATCHED THEN DELETE, no insert arm") {
     val root = scratch("graft_sqldml_snap_")
     val t = Snapshots.create(spark, root, items(0, 30))
@@ -329,6 +371,39 @@ class SqlDmlSpec extends SparkSpec {
       """SELECT count(*) AS n FROM sqldml_tt cur
         |JOIN sqldml_tt VERSION AS OF 0 v0 ON cur.id = v0.id""".stripMargin)
     assert(j.head.getLong(0) === 20)
+  }
+
+  test("SHOW TABLES lists registered names alongside Spark's own") {
+    val root = scratch("graft_sqldml_show_")
+    Snapshots.create(spark, root, items(0, 3))
+    NamedTables.registerSnapshot("sqldml_show_t", root)
+    items(0, 3).createOrReplaceTempView("sqldml_show_v")
+    val all = sql("SHOW TABLES").collect()
+    assert(all.map(_.getString(1)).contains("sqldml_show_t"))
+    assert(all.map(_.getString(1)).contains("sqldml_show_v"))
+    val reg = all.find(_.getString(1) == "sqldml_show_t").get
+    assert(!reg.getBoolean(2), "registered names are not temporary")
+    // LIKE pattern applies to registered names too
+    val like = sql("SHOW TABLES LIKE 'sqldml_show_*'").collect().map(_.getString(1))
+    assert(like.toSet === Set("sqldml_show_t", "sqldml_show_v"))
+    assert(sql("SHOW TABLES LIKE 'zz_nothing*'").collect().isEmpty)
+    NamedTables.drop("sqldml_show_t")
+  }
+
+  test("CTAS retry after a create/register half-failure attaches the orphan root") {
+    val root = scratch("graft_sqldml_ctasretry_")
+    // simulate the half-failure: the snapshot was created but the JVM died
+    // before the name registration
+    Snapshots.create(spark, root, items(0, 12))
+    assert(NamedTables.get("sqldml_ctas_retry").isEmpty)
+    // the retry (same statement) attaches instead of throwing, and does NOT
+    // re-run the query (version stays 0 — no second write)
+    items(0, 999).createOrReplaceTempView("sqldml_ctas_retry_src")
+    sql(s"""CREATE TABLE sqldml_ctas_retry USING snapshot LOCATION '$root'
+           |AS SELECT * FROM sqldml_ctas_retry_src""".stripMargin)
+    assert(sql("SELECT count(*) AS n FROM sqldml_ctas_retry").head.getLong(0) === 12)
+    assert(Snapshots.table(spark, root).latest().version === 0L)
+    NamedTables.drop("sqldml_ctas_retry")
   }
 
   test("CREATE TABLE / CTAS / DROP TABLE USING snapshot from SQL") {
