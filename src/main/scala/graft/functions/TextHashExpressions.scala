@@ -113,6 +113,44 @@ object TextHashKernels {
 
   def shingles(words: ArrayData, shingleSize: Int): ArrayData =
     new GenericArrayData(TextHash.shingleHashes(words, shingleSize))
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Portable 60-bit shingle hashes: the first 60 bits of MD5 of each word
+    * k-shingle, i.e. exactly `conv(substring(md5(s), 1, 15), 16, 10)` — an
+    * expression every ANSI engine with an md5() can replay, which puts
+    * fingerprint queries under a cross-engine oracle instead of a golden.
+    * Same shingle construction (and short-doc collapse) as
+    * [[TextHash.shingleHashes]]; still one primitive JVM loop per row.
+    */
+  def portableShingles(words: ArrayData, k: Int): ArrayData = {
+    val n = words.numElements()
+    val sep = UTF8String.fromString(" ")
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    val count = if (n < k) 1 else n - k + 1
+    val width = if (n < k) n else k
+    val md = md5Local.get()
+    val out = new Array[Long](count)
+    var i = 0
+    while (i < count) {
+      val parts = new Array[UTF8String](2 * width - 1)
+      var j = 0
+      while (j < width) {
+        parts(2 * j) = words.getUTF8String(i + j)
+        if (j < width - 1) parts(2 * j + 1) = sep
+        j += 1
+      }
+      md.reset()
+      val d = md.digest(UTF8String.concat(parts: _*).getBytes)
+      // first 15 hex chars = big-endian bits 0..59 of the digest
+      out(i) = (java.nio.ByteBuffer.wrap(d, 0, 8).getLong >>> 4)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** MinHash signature of array<string> words: array<bigint> of length
@@ -158,6 +196,21 @@ case class ShingleHashes(child: Expression, shingleSize: Int)
   override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
 }
 
+/** Portable fingerprint shingle hashes: array<bigint> of the first 60 bits
+  * of MD5 of each word k-shingle (see [[TextHashKernels.portableShingles]]).
+  */
+case class PortableShingleHashes(child: Expression, shingleSize: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextHashKernels.portableShingles(input.asInstanceOf[ArrayData], shingleSize)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashKernels.portableShingles($c, $shingleSize);")
+  override protected def withNewChildInternal(c: Expression): PortableShingleHashes =
+    copy(child = c)
+}
+
 object TextHashColumns {
   def minhashSignature(words: Column, shingleSize: Int, numHashes: Int): Column =
     GraftShims.column(
@@ -166,4 +219,7 @@ object TextHashColumns {
     GraftShims.column(SimHash64(GraftShims.expression(words)))
   def shingleHashes(words: Column, shingleSize: Int): Column =
     GraftShims.column(ShingleHashes(GraftShims.expression(words), shingleSize))
+  def portableShingleHashes(words: Column, shingleSize: Int): Column =
+    GraftShims.column(
+      PortableShingleHashes(GraftShims.expression(words), shingleSize))
 }

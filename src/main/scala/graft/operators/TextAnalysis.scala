@@ -99,12 +99,17 @@ object TextAnalysis {
         i => concat_ws(" ", slice(words, i + 1, lit(k)))))
       .otherwise(array(concat_ws(" ", words)))
 
-  /** Rolling-hash document fingerprint: min/max/count of shingle hashes plus a
-    * combined 64-bit fingerprint. Content-defined, order-independent of
-    * partitioning, computable map-side at scan speed.
+  /** Rolling document fingerprint: min/max/count of shingle hashes plus a
+    * combined fingerprint. Content-defined, order-independent of
+    * partitioning, computable map-side at scan speed. The shingle hash is
+    * the PORTABLE 60-bit MD5 slice (`conv(substring(md5(s),1,15),16,10)`)
+    * rather than xxhash64, so any ANSI engine with md5() replays the exact
+    * values — fingerprints are cross-engine identities you can compare
+    * against an independent system, and the p09 catalog query holds them
+    * under a DuckDB oracle.
     */
   def withFingerprint(df: DataFrame, textCol: String = "text", k: Int = 5): DataFrame = {
-    val hs = graft.functions.TextHashColumns.shingleHashes(tokens(col(textCol)), k)
+    val hs = graft.functions.TextHashColumns.portableShingleHashes(tokens(col(textCol)), k)
     df.withColumn("fp_min", array_min(hs))
       .withColumn("fp_max", array_max(hs))
       .withColumn("fp_xor", aggregate(hs, lit(0L), (acc, h) => acc.bitwiseXOR(h)))

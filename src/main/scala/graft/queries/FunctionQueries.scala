@@ -462,13 +462,28 @@ object FunctionQueries {
         .orderBy($"l_returnflag")
     },
 
-    // sentences() tokenizer (Hive GenericUDFSentences) + ngrams UDAF.
-    QDef.rowsOnly("f18_sentences_ngrams") { (spark, dir) =>
+    // sentences() tokenizer (Hive GenericUDFSentences) + ngrams UDAF,
+    // exploded to one row per top bigram. The synthetic documents are
+    // single-space-separated ASCII words, so the oracle replays the
+    // tokenization as a plain split and the ngrams estimator (which never
+    // prunes here: distinct bigrams ≪ k*pf*2) as an exact count with the
+    // same (freq DESC, bigram ASC) tie-break.
+    QDef.q("f18_sentences_ngrams",
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT ws[i] || ' ' || ws[i+1] AS bigram
+        |  FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM w))
+        |SELECT bigram, CAST(cnt AS DOUBLE) AS freq FROM (
+        |  SELECT bigram, count(*) AS cnt FROM g GROUP BY bigram
+        |  ORDER BY cnt DESC, bigram LIMIT 10)
+        |ORDER BY freq DESC, bigram""".stripMargin) { (spark, dir) =>
       import spark.implicits._
       Engine.register(spark, dir)
       spark.sql(
-        """SELECT to_json(ngrams(sentences(concat(text, '.')), 2, 10, 100)) AS top_bigrams
-          |FROM documents""".stripMargin)
+        """SELECT concat_ws(' ', g.ngram) AS bigram, g.estfrequency AS freq FROM (
+          |  SELECT explode(tops) AS g FROM (
+          |    SELECT ngrams(sentences(concat(text, '.')), 2, 10, 100) AS tops
+          |    FROM documents))
+          |ORDER BY freq DESC, bigram""".stripMargin)
     },
 
     // Trigonometric family (sinh/cosh/tanh are DuckDB-absent; emulated from

@@ -180,7 +180,28 @@ object PipelineQueries {
         .orderBy($"id_a", $"id_b")
     },
 
-    rowsOnly("p09_fingerprint") { (spark, dir) =>
+    // Document fingerprint over portable 60-bit MD5-slice shingle hashes —
+    // the oracle replays the exact hash arithmetic (substr(md5)→bigint) so
+    // DuckDB adjudicates every fingerprint value, not just row counts.
+    q("p09_fingerprint",
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |    CASE WHEN len(ws) = 0 THEN []::VARCHAR[]
+        |         WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
+        |         ELSE [array_to_string(ws[i:i+4], ' ')
+        |               for i in range(1, len(ws) - 3)] END AS sh
+        |  FROM w),
+        |h AS (SELECT doc_id,
+        |    list_transform(sh,
+        |      g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)) AS hs
+        |  FROM s)
+        |SELECT doc_id, list_min(hs) AS fp_min, list_max(hs) AS fp_max,
+        |  CASE WHEN len(hs) = 0 THEN 0
+        |       ELSE list_reduce(list_prepend(0, hs), (a, b) -> xor(a, b)) END AS fp_xor,
+        |  CAST(len(hs) AS BIGINT) AS n_shingles
+        |FROM h ORDER BY doc_id""".stripMargin) { (spark, dir) =>
       import spark.implicits._
       TextAnalysis.withFingerprint(t(spark, dir, "documents"))
         .select($"doc_id", $"fp_min", $"fp_max", $"fp_xor", $"n_shingles")
@@ -214,7 +235,20 @@ object PipelineQueries {
         .orderBy($"query_id", $"rnk")
     },
 
-    rowsOnly("p12_label_centroid") { (spark, dir) =>
+    // Per-label centroid (element-wise average) + each vector's cosine to
+    // its label centroid — the oracle rebuilds the centroid by unnesting
+    // the embedding with ordinality and averaging per (label, dim).
+    q("p12_label_centroid",
+      """WITH e AS (SELECT vec_id, label,
+        |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |d AS (SELECT label, unnest(v) AS x,
+        |    unnest(range(1, len(v) + 1)) AS i FROM e),
+        |c AS (SELECT label, i, avg(x) AS cx FROM d GROUP BY label, i),
+        |cent AS (SELECT label, list(cx ORDER BY i) AS centroid
+        |  FROM c GROUP BY label)
+        |SELECT e.vec_id, e.label,
+        |  round(list_cosine_similarity(e.v, cent.centroid), 5) AS cos_to_centroid
+        |FROM e JOIN cent USING (label) ORDER BY vec_id""".stripMargin) { (spark, dir) =>
       import spark.implicits._
       Similarity.labelCentroidSimilarity(
         t(spark, dir, "embeddings"), "vec_id", "embedding", "label")
@@ -526,8 +560,18 @@ object PipelineQueries {
 
     // Frame sampling: 1 video row -> N frame rows (UDTF shape) via a REAL
     // MJPEG-in-AVI container parse (each frame a decodable JPEG), counted
-    // per media id to keep the output scalar-only.
-    rowsOnly("p19_frame_sample") { (spark, dir) =>
+    // per media id to keep the output scalar-only. The synthetic video for
+    // a document has 2 + (byte_length(text) % 5) frames, and stride-2
+    // sampling keeps the even indices — so the oracle states the closed
+    // form and DuckDB adjudicates the whole encode→container-parse→sample
+    // path, not just row counts.
+    q("p19_frame_sample",
+      """WITH v AS (SELECT doc_id, 2 + (strlen(text) % 5) AS nf
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT doc_id AS media_id,
+        |  CAST((nf + 1) // 2 AS BIGINT) AS n_frames,
+        |  CAST(((nf - 1) // 2) * 2 AS INT) AS max_idx
+        |FROM v ORDER BY media_id""".stripMargin) { (spark, dir) =>
       import spark.implicits._
       graft.operators.Multimodal.sampleFrames(
         graft.operators.Multimodal.syntheticMediaTable(spark, dir))

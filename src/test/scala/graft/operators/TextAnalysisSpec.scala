@@ -47,6 +47,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out === Array("en", "es", "de"))
   }
 
+  test("portable shingle hash equals conv(substring(md5(s),1,15),16,10)") {
+    import spark.implicits._
+    // the kernel's 60-bit MD5 slice must match the builtin expression any
+    // ANSI engine can replay — this equality is what makes p09 oracle-able
+    val docs = Engine.table(spark, sfDir, "documents").limit(20)
+    val kernel = TextAnalysis.withFingerprint(docs, k = 5)
+      .select($"doc_id", $"fp_min", $"fp_max", $"fp_xor", $"n_shingles")
+    val hs = transform(
+      TextAnalysis.shingles(TextAnalysis.tokens($"text"), 5),
+      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
+    val builtin = docs.select($"doc_id",
+      array_min(hs).as("fp_min"), array_max(hs).as("fp_max"),
+      aggregate(hs, lit(0L), (a, h) => a.bitwiseXOR(h)).as("fp_xor"),
+      size(hs).cast("long").as("n_shingles"))
+    assert(kernel.except(builtin).count() === 0)
+    assert(builtin.except(kernel).count() === 0)
+  }
+
   test("fingerprint is stable and content-derived") {
     import spark.implicits._
     val docs = Engine.table(spark, sfDir, "documents").limit(50)
