@@ -57,6 +57,22 @@ object Bench {
       "compact; v0 create untimed; every commit collects per-file min/max " +
       "stats"))
 
+  /** The 22 queries benched since round 1 and their r1 (sf0.1, local[32],
+    * single-run) totals — emitted as `matched22_sec`/`matched22_vs_r1` so
+    * round-over-round drift on the stable subset is self-documenting
+    * instead of requiring a by-hand join against BENCH_r01.json.
+    */
+  val r1Matched: Set[String] = Set(
+    "q01_tpch_q1", "q02_filter_q6", "q03_join_q3_topn",
+    "q04_join_q5_broadcast", "q11_join_nonequi", "q19_grouping_sets",
+    "q22_count_distinct", "q23_window_rank", "q24_window_running",
+    "q28_subquery_scalar", "q38_explode_wordcount", "e01_tumbling_window",
+    "e03_session_window", "e04_dedup_first_event", "p03_quality_score",
+    "p06_minhash_signature", "p10_cosine_topk", "p11_ann_lsh",
+    "p13_minhash_pairs", "t07_volume_shipping", "t13_customer_distribution",
+    "t21_waiting_supplier")
+  val r1MatchedTotalSec: Double = 17.7487
+
   /** Pruned-DML round-trip: builds an UNTIMED partitioned scratch copy of
     * orders, then times UPDATE (one partition) + DELETE (partition
     * predicate) + MERGE (keyed update + inserts) — the statements whose
@@ -242,7 +258,10 @@ object Bench {
     val ns = notes.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_runs":$nRuns,"agg":"min","queries":$qs,"breakdown":$bd,"notes":$ns,"sf":"$sfDir"}""")
+    val m22 = results.filter { case (k, v) => r1Matched(k) && v >= 0 }
+      .map(_._2).sum
+    val m22Ratio = m22 / r1MatchedTotalSec
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_runs":$nRuns,"agg":"min","matched22_sec":$m22,"matched22_vs_r1":$m22Ratio,"queries":$qs,"breakdown":$bd,"notes":$ns,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
