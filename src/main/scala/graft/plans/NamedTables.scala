@@ -71,6 +71,19 @@ object NamedTables {
     persist(_ - norm(name))
   }
 
+  /** ALTER TABLE old RENAME TO new — a pure catalog move (the data root
+    * never changes), like the reference's metastore table rename.
+    */
+  def rename(oldName: String, newName: String): Unit = {
+    val ref = registry.getOrElse(norm(oldName),
+      throw new IllegalArgumentException(s"no such table: $oldName"))
+    require(registry.get(norm(newName)).isEmpty,
+      s"table $newName already exists")
+    registry.put(norm(newName), ref)
+    registry.remove(norm(oldName))
+    persist(m => m - norm(oldName) + (norm(newName) -> ref))
+  }
+
   def get(name: String): Option[Ref] = registry.get(norm(name))
 
   /** All registered (name, ref) pairs — the SHOW TABLES analog, exposed to

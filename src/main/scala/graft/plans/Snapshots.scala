@@ -99,7 +99,21 @@ object Snapshots {
       removes: Seq[String] = Nil,
       addStats: Map[String, FileStat] = Map.empty,
       deleteAdds: Seq[String] = Nil,
-      deleteRemoves: Seq[String] = Nil)
+      deleteRemoves: Seq[String] = Nil,
+      // Column mapping (the Delta-Lake name-mapping / Iceberg field-id
+      // design): logical (schema) name -> physical (parquet) name, identity
+      // entries omitted. RENAME COLUMN is then a metadata-only commit — the
+      // physical name is fixed at column birth and files never rewrite.
+      // `droppedPhysical` tombstones the physical names of dropped columns
+      // so a later ADD COLUMNS of the same logical name takes a FRESH
+      // physical name instead of resurrecting stale values from old files.
+      // Both default empty, so manifests written before the fields existed
+      // read back as identity-mapped (json4s fills defaults).
+      colMapping: Map[String, String] = Map.empty,
+      droppedPhysical: Seq[String] = Nil) {
+    /** Physical (parquet) name of a logical column. */
+    def physical(logical: String): String = colMapping.getOrElse(logical, logical)
+  }
 
   /** Per-column min/max/null-count over one data file; values rendered as
     * strings (parsed back by the column's declared type at prune time).
@@ -299,11 +313,19 @@ object Snapshots {
       * (page-cache warm); the production path reads them from the parquet
       * footers the write already produced.
       */
-    private def stage(df: DataFrame, partitionCols: Seq[String])
+    private def stage(df: DataFrame, partitionCols: Seq[String],
+        mapping: Map[String, String] = Map.empty)
         : (Seq[String], Map[String, FileStat]) = {
+      // data files always hold PHYSICAL column names: post-rename commits
+      // keep writing the birth name, so every file in the table agrees and
+      // reads need exactly one alias layer (stats below key physically too)
+      val physDf =
+        if (mapping.isEmpty) df
+        else df.select(df.columns.map(c =>
+          col(c).as(mapping.getOrElse(c, c))): _*)
       val commitDir = s"data/${UUID.randomUUID().toString.take(8)}"
       val dir = new Path(rootPath, commitDir)
-      val w = df.write.mode("errorifexists")
+      val w = physDf.write.mode("errorifexists")
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(dir.toString)
       val listed = listParquetStatus(dir)
@@ -313,7 +335,7 @@ object Snapshots {
         // byte sizes come from the listing the write just produced — scan
         // planning then needs no further filesystem calls (see FileStat)
         val sizes = listed.map(s => relativize(s.getPath) -> s.getLen).toMap
-        val stats = collectStats(dir, df.schema, partitionCols)
+        val stats = collectStats(dir, physDf.schema, partitionCols)
           .map { case (rel, st) => rel -> st.copy(bytes = sizes.getOrElse(rel, 0L)) }
         // a 0-row part file produces no stats group but still needs a size
         val empties = files.filterNot(stats.contains)
@@ -436,9 +458,12 @@ object Snapshots {
         // stats — every read surface (plain SQL over a named table, the
         // TVFs, read()) skips files whose range excludes the predicate,
         // not just readWhere (the Delta-Lake log-backed-index design).
-        // partition columns surface at the end of the scan schema — restore
-        // the table's declared column order
-        scanRelation(m, schema).select(schema.fieldNames.map(col): _*)
+        // The scan runs under PHYSICAL column names; this projection both
+        // restores the declared column order and aliases each column back
+        // to its logical name (a rename later in the plan would block
+        // pushdown; an alias does not — Catalyst substitutes through it).
+        scanRelation(m, schema).select(
+          schema.fieldNames.map(n => col(m.physical(n)).as(n)): _*)
       else
         applyDeletes(readFilesMeta(m), m).select(schema.fieldNames.map(col): _*)
     }
@@ -460,19 +485,28 @@ object Snapshots {
       // pruned from the base scan can hold no matching rows; its delete
       // entries then match nothing — correctness never depends on stats)
       scanRelation(m, schema)
-        .select(schema.fieldNames.map(col) :+
+        .select(schema.fieldNames.map(n => col(m.physical(n)).as(n)) :+
           expr(s"substring(_metadata.file_path, ${prefix.length + 2})")
             .as("__file") :+
           col("_metadata.row_index").as("__pos"): _*)
     }
 
-    /** Scan over the manifest's files through [[SnapshotFileIndex]]. */
+    /** Scan over the manifest's files through [[SnapshotFileIndex]]. The
+      * relation's columns are the PHYSICAL parquet names (identical to the
+      * logical ones unless a RENAME COLUMN committed a mapping); callers
+      * alias them back to logical. Filters pushed through the alias arrive
+      * here named physically — matching both the file-level stats (recorded
+      * under physical names at write time) and the parquet footers.
+      * Partition columns never rename, so the partition schema is shared.
+      */
     private def scanRelation(m: Manifest,
         schema: org.apache.spark.sql.types.StructType): DataFrame = {
       import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      val physSchema = org.apache.spark.sql.types.StructType(
+        schema.fields.map(f => f.copy(name = m.physical(f.name))))
       val dataSchema = org.apache.spark.sql.types.StructType(
-        schema.fields.filterNot(f => m.partitionCols.contains(f.name)))
-      val index = new SnapshotFileIndex(fs.makeQualified(rootPath), fs, m, schema)
+        physSchema.fields.filterNot(f => m.partitionCols.contains(f.name)))
+      val index = new SnapshotFileIndex(fs.makeQualified(rootPath), fs, m, physSchema)
       val rel = HadoopFsRelation(index, index.partitionSchema, dataSchema,
         None,
         new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
@@ -586,8 +620,19 @@ object Snapshots {
       }
       resolved match {
         case Some(c) =>
+          // stats and path segments are keyed by PHYSICAL names — rewrite
+          // the predicate's attributes through the mapping before pruning
+          val physC =
+            if (m.colMapping.isEmpty) c
+            else c.transform {
+              case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+                  if m.colMapping.contains(a.name) =>
+                a.withName(m.colMapping(a.name))
+            }
+          val physSchema = org.apache.spark.sql.types.StructType(
+            schema.fields.map(f => f.copy(name = m.physical(f.name))))
           m.files.filter(f => Pruning.mayMatch(f, m.stats.get(f),
-            m.partitionCols, schema, c))
+            m.partitionCols, physSchema, physC))
         case None => m.files
       }
     }
@@ -658,7 +703,9 @@ object Snapshots {
           case Some((files, stats)) =>
             val m = Manifest(head.version + 1, head.version,
               System.currentTimeMillis(), action, head.partitionCols,
-              head.schemaJson, files, stats, meta, deletesOf(head))
+              head.schemaJson, files, stats, meta, deletesOf(head),
+              colMapping = head.colMapping,
+              droppedPhysical = head.droppedPhysical)
             if (publish(head, m)) return m
         }
         attempt += 1
@@ -699,9 +746,15 @@ object Snapshots {
         schemaOf(head0.schemaJson).fieldNames.sorted),
         "append schema must match table schema")
       val (staged, stagedStats) = stage(
-        conform(df, schemaOf(head0.schemaJson)), head0.partitionCols)
+        conform(df, schemaOf(head0.schemaJson)), head0.partitionCols,
+        head0.colMapping)
       commit("append", maxRetries, meta)(head =>
         if (skip(head)) None // duplicate landed concurrently — no-op
+        else if (head.colMapping != head0.colMapping)
+          // a rename committed between staging and publication: the staged
+          // files carry stale physical names — restage rather than corrupt
+          throw new ConcurrentModificationException(
+            s"append at $root raced a column rename — retry the append")
         else Some((head.files ++ staged, head.stats ++ stagedStats)))
     }
 
@@ -749,7 +802,7 @@ object Snapshots {
     def overwrite(df: DataFrame, maxRetries: Int = 10): Manifest = {
       val head0 = latest()
       val staged = stage(conform(df, schemaOf(head0.schemaJson)),
-        head0.partitionCols)
+        head0.partitionCols, head0.colMapping)
       commit("overwrite", maxRetries, deletesOf = _ => Nil)(_ => Some(staged))
     }
 
@@ -776,12 +829,15 @@ object Snapshots {
         val affectedDf = applyDeletes(
           readFilesMeta(head.copy(files = head.files.filter(affected))), head)
           .select(schema.fieldNames.map(col): _*)
-        val (staged, stagedStats) = stage(postImage(affectedDf), head.partitionCols)
+        val (staged, stagedStats) = stage(postImage(affectedDf),
+          head.partitionCols, head.colMapping)
         val files = head.files.filterNot(affected) ++ staged
         val m = Manifest(head.version + 1, head.version,
           System.currentTimeMillis(), action, head.partitionCols,
           head.schemaJson, files, (head.stats -- affected) ++ stagedStats,
-          Map.empty, head.deletes)
+          Map.empty, head.deletes,
+          colMapping = head.colMapping,
+          droppedPhysical = head.droppedPhysical)
         // CAS can only succeed if head is still the latest version, and the
         // affected files were taken FROM head — so a successful publish
         // proves no concurrent commit removed them (write-serializable).
@@ -826,7 +882,9 @@ object Snapshots {
         val m = Manifest(head.version + 1, head.version,
           System.currentTimeMillis(), "delete-mor", head.partitionCols,
           head.schemaJson, head.files, head.stats, Map.empty,
-          head.deletes ++ sidecars)
+          head.deletes ++ sidecars,
+          colMapping = head.colMapping,
+          droppedPhysical = head.droppedPhysical)
         if (publish(head, m)) return m
         attempt += 1
         if (attempt > maxRetries)
@@ -852,11 +910,28 @@ object Snapshots {
         val existing = schemaOf(head.schemaJson)
         val dup = cols.fieldNames.toSet.intersect(existing.fieldNames.toSet)
         require(dup.isEmpty, s"columns already exist: ${dup.mkString(", ")}")
+        // a new column's physical name must be UNUSED across the table's
+        // whole file history: colliding with a live physical (some column
+        // renamed away from this name) or a dropped one would read stale
+        // values out of pre-evolution files instead of NULL
+        val taken = scala.collection.mutable.Set[String]()
+        taken ++= existing.fieldNames.map(head.physical)
+        taken ++= head.droppedPhysical
+        val mappingAdds = cols.fieldNames.flatMap { logical =>
+          val phys =
+            if (!taken(logical)) logical
+            else Iterator.from(2).map(i => s"${logical}__v$i")
+              .find(!taken(_)).get
+          taken += phys
+          if (phys == logical) None else Some(logical -> phys)
+        }
         val newSchema = org.apache.spark.sql.types.StructType(
           existing.fields ++ cols.fields.map(_.copy(nullable = true)))
         val m = Manifest(head.version + 1, head.version,
           System.currentTimeMillis(), "add-columns", head.partitionCols,
-          newSchema.json, head.files, head.stats, Map.empty, head.deletes)
+          newSchema.json, head.files, head.stats, Map.empty, head.deletes,
+          colMapping = head.colMapping ++ mappingAdds,
+          droppedPhysical = head.droppedPhysical)
         if (publish(head, m)) return m
         attempt += 1
         if (attempt > maxRetries)
@@ -865,6 +940,91 @@ object Snapshots {
       }
       sys.error("unreachable")
     }
+
+    /** Schema evolution — ALTER TABLE RENAME COLUMN (Hive's CHANGE COLUMN
+      * rename, ref ql/ddl/table/column/ AlterTableRenameColDesc class of
+      * operations): a metadata-only commit. The column's PHYSICAL parquet
+      * name is fixed at birth; renaming just rebinds the logical name in
+      * the manifest's column mapping, so no data file rewrites and every
+      * old file keeps serving the column under its new name. Partition
+      * columns cannot rename (their values live in directory paths).
+      */
+    def renameColumn(oldName: String, newName: String,
+        maxRetries: Int = 10): Manifest = {
+      require(oldName != newName, "rename to the same name is a no-op")
+      var attempt = 0
+      while (true) {
+        val head = latest()
+        val existing = schemaOf(head.schemaJson)
+        require(existing.fieldNames.contains(oldName),
+          s"no such column: $oldName")
+        require(!existing.fieldNames.contains(newName),
+          s"column already exists: $newName")
+        require(!head.partitionCols.contains(oldName),
+          s"cannot rename partition column $oldName")
+        val phys = head.physical(oldName)
+        val newSchema = org.apache.spark.sql.types.StructType(
+          existing.fields.map(f =>
+            if (f.name == oldName) f.copy(name = newName) else f))
+        val newMapping = (head.colMapping - oldName) ++
+          (if (phys == newName) Map.empty[String, String]
+           else Map(newName -> phys))
+        val m = Manifest(head.version + 1, head.version,
+          System.currentTimeMillis(), "rename-column", head.partitionCols,
+          newSchema.json, head.files, head.stats, Map.empty, head.deletes,
+          colMapping = newMapping,
+          droppedPhysical = head.droppedPhysical)
+        if (publish(head, m)) return m
+        attempt += 1
+        if (attempt > maxRetries)
+          throw new ConcurrentModificationException(
+            s"rename-column at $root lost the commit race $attempt times — giving up")
+      }
+      sys.error("unreachable")
+    }
+
+    /** Schema evolution — ALTER TABLE DROP COLUMN (the reference's REPLACE
+      * COLUMNS narrowing): a metadata-only commit that removes the field
+      * from the stored schema. Old files keep the physical column; readers
+      * never project it. The physical name is tombstoned so a later ADD
+      * COLUMNS of the same logical name reads NULL from pre-drop files
+      * instead of resurrecting the dropped values.
+      */
+    def dropColumn(name: String, maxRetries: Int = 10): Manifest = {
+      var attempt = 0
+      while (true) {
+        val head = latest()
+        val existing = schemaOf(head.schemaJson)
+        require(existing.fieldNames.contains(name), s"no such column: $name")
+        require(!head.partitionCols.contains(name),
+          s"cannot drop partition column $name")
+        require(existing.fields.length > 1,
+          s"cannot drop the only column of $root")
+        val phys = head.physical(name)
+        val newSchema = org.apache.spark.sql.types.StructType(
+          existing.fields.filterNot(_.name == name))
+        val m = Manifest(head.version + 1, head.version,
+          System.currentTimeMillis(), "drop-column", head.partitionCols,
+          newSchema.json, head.files, head.stats, Map.empty, head.deletes,
+          colMapping = head.colMapping - name,
+          droppedPhysical = (head.droppedPhysical :+ phys).distinct)
+        if (publish(head, m)) return m
+        attempt += 1
+        if (attempt > maxRetries)
+          throw new ConcurrentModificationException(
+            s"drop-column at $root lost the commit race $attempt times — giving up")
+      }
+      sys.error("unreachable")
+    }
+
+    /** TRUNCATE TABLE: one metadata commit that empties the file list (and
+      * resets pending MOR deletes — every row they referenced is gone).
+      * Data files stay on disk for time travel until [[vacuum]].
+      */
+    def truncate(maxRetries: Int = 10): Manifest =
+      commit("truncate", maxRetries, deletesOf = _ => Nil)(head =>
+        if (head.files.isEmpty && head.deletes.isEmpty) None
+        else Some((Nil, Map.empty)))
 
     /** Merge-on-read UPDATE: the matched rows' old positions go into a
       * delete sidecar and their updated images append as new files — the
@@ -902,11 +1062,14 @@ object Snapshots {
         val updated = conform(
           matches.select(schema.fieldNames.map(c =>
             set.getOrElse(c, col(c)).as(c)): _*), schema)
-        val (staged, stagedStats) = stage(updated, head.partitionCols)
+        val (staged, stagedStats) = stage(updated, head.partitionCols,
+          head.colMapping)
         val m = Manifest(head.version + 1, head.version,
           System.currentTimeMillis(), "update-mor", head.partitionCols,
           head.schemaJson, head.files ++ staged, head.stats ++ stagedStats,
-          Map.empty, head.deletes ++ sidecars)
+          Map.empty, head.deletes ++ sidecars,
+          colMapping = head.colMapping,
+          droppedPhysical = head.droppedPhysical)
         if (publish(head, m)) return m
         attempt += 1
         if (attempt > maxRetries)
@@ -1074,13 +1237,16 @@ object Snapshots {
             whenMatchedSet.getOrElse(c, tc(c)).as(c)): _*))
         val appended = (images.toSeq ++ inserts.toSeq)
           .reduceOption(_ unionByName _)
-          .map(df => stage(conform(df, schema), head.partitionCols))
+          .map(df => stage(conform(df, schema), head.partitionCols,
+            head.colMapping))
         val (staged, stagedStats) =
           appended.getOrElse((Seq.empty[String], Map.empty[String, FileStat]))
         val m = Manifest(head.version + 1, head.version,
           System.currentTimeMillis(), "merge-mor", head.partitionCols,
           head.schemaJson, head.files ++ staged, head.stats ++ stagedStats,
-          Map.empty, head.deletes ++ sidecars)
+          Map.empty, head.deletes ++ sidecars,
+          colMapping = head.colMapping,
+          droppedPhysical = head.droppedPhysical)
         if (publish(head, m)) return m
         attempt += 1
         if (attempt > maxRetries)
@@ -1148,11 +1314,14 @@ object Snapshots {
           } else postOf(applyDeletes(
             readFilesMeta(head.copy(files = head.files.filter(affected))), head)
             .select(schema.fieldNames.map(col): _*))
-        val (staged, stagedStats) = stage(post, head.partitionCols)
+        val (staged, stagedStats) = stage(post, head.partitionCols,
+          head.colMapping)
         val m = Manifest(head.version + 1, head.version,
           System.currentTimeMillis(), "merge", head.partitionCols,
           head.schemaJson, head.files.filterNot(affected) ++ staged,
-          (head.stats -- affected) ++ stagedStats, Map.empty, head.deletes)
+          (head.stats -- affected) ++ stagedStats, Map.empty, head.deletes,
+          colMapping = head.colMapping,
+          droppedPhysical = head.droppedPhysical)
         if (publish(head, m)) return m
         attempt += 1
         if (attempt > maxRetries)
@@ -1196,7 +1365,8 @@ object Snapshots {
             // (input task x partition)
             input.repartition(nOut, head.partitionCols.map(col): _*)
           else input.repartition(nOut)
-        val (staged, stagedStats) = stage(packed, head.partitionCols)
+        val (staged, stagedStats) = stage(packed, head.partitionCols,
+          head.colMapping)
         // consolidate the delete list: entries for compacted-away files are
         // stale; if none survive, readers return to the join-free fast path
         val keptFiles = head.files.filterNot(smallSet)
@@ -1228,7 +1398,9 @@ object Snapshots {
         val m = Manifest(head.version + 1, head.version,
           System.currentTimeMillis(), "compact", head.partitionCols,
           head.schemaJson, keptFiles ++ staged,
-          (head.stats -- smallSet) ++ stagedStats, Map.empty, newDeletes)
+          (head.stats -- smallSet) ++ stagedStats, Map.empty, newDeletes,
+          colMapping = head.colMapping,
+          droppedPhysical = head.droppedPhysical)
         if (publish(head, m)) return m
         attempt += 1
         if (attempt > maxRetries)
@@ -1267,10 +1439,13 @@ object Snapshots {
         val clustered = input
           .repartitionByRange(nOut, cols.map(col): _*)
           .sortWithinPartitions(cols.map(col): _*)
-        val (staged, stagedStats) = stage(clustered, head.partitionCols)
+        val (staged, stagedStats) = stage(clustered, head.partitionCols,
+          head.colMapping)
         val m = Manifest(head.version + 1, head.version,
           System.currentTimeMillis(), "cluster", head.partitionCols,
-          head.schemaJson, staged, stagedStats, Map.empty, Nil)
+          head.schemaJson, staged, stagedStats, Map.empty, Nil,
+          colMapping = head.colMapping,
+          droppedPhysical = head.droppedPhysical)
         if (publish(head, m)) return m
         attempt += 1
         if (attempt > maxRetries)

@@ -92,6 +92,68 @@ object SqlDml {
           case r: NamedTables.SnapshotRef =>
             runAddColumns(spark, r.root, cols); done(spark)
         }
+      case rc: RenameColumn => rc.table match {
+        case tbl: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+          NamedTables.refOf(tbl.multipartIdentifier).collect {
+            case r: NamedTables.SnapshotRef =>
+              if (rc.column.name.size != 1)
+                throw new UnsupportedOperationException(
+                  s"nested RENAME COLUMN is not supported: ${rc.column.name.mkString(".")}")
+              Snapshots.table(spark, r.root)
+                .renameColumn(rc.column.name.head, rc.newName)
+              done(spark)
+          }
+        case _ => None
+      }
+      case dc: DropColumns => dc.table match {
+        case tbl: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+          NamedTables.refOf(tbl.multipartIdentifier).collect {
+            case r: NamedTables.SnapshotRef =>
+              val t = Snapshots.table(spark, r.root)
+              val have = t.latest()
+              val names = dc.columnsToDrop.map { f =>
+                if (f.name.size != 1) throw new UnsupportedOperationException(
+                  s"nested DROP COLUMN is not supported: ${f.name.mkString(".")}")
+                f.name.head
+              }
+              val schema = org.apache.spark.sql.types.DataType
+                .fromJson(have.schemaJson)
+                .asInstanceOf[org.apache.spark.sql.types.StructType]
+              names.foreach { n =>
+                if (!schema.fieldNames.contains(n) && !dc.ifExists)
+                  throw new IllegalArgumentException(s"no such column: $n")
+              }
+              names.filter(schema.fieldNames.contains)
+                .foreach(n => t.dropColumn(n))
+              done(spark)
+          }
+        case _ => None
+      }
+      case tt: TruncateTable => tt.table match {
+        case tbl: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+          NamedTables.refOf(tbl.multipartIdentifier).map {
+            case r: NamedTables.SnapshotRef =>
+              Snapshots.table(spark, r.root).truncate(); done(spark)
+            case NamedTables.PathRef(path) =>
+              Dml.deleteWhere(spark, path, lit(true)); done(spark)
+          }
+        case _ => None
+      }
+      case rt: RenameTable if !rt.isView => rt.child match {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView
+            if u.multipartIdentifier.size == 1 && rt.newName.size == 1 &&
+              NamedTables.get(u.multipartIdentifier.head).isDefined =>
+          Some { NamedTables.rename(u.multipartIdentifier.head,
+            rt.newName.head); done(spark) }
+        case _ => None
+      }
+      case sp: ShowPartitions if sp.pattern.isEmpty => sp.table match {
+        case tbl: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+          NamedTables.refOf(tbl.multipartIdentifier).collect {
+            case r: NamedTables.SnapshotRef => runShowPartitions(spark, r)
+          }
+        case _ => None
+      }
       case ShowTables(ns, pattern, _) if (ns match {
         case org.apache.spark.sql.catalyst.analysis.CurrentNamespace => true
         case org.apache.spark.sql.catalyst.analysis.UnresolvedNamespace(parts, _) =>
@@ -127,6 +189,28 @@ object SqlDml {
       .filter(n => matches(n) && !taken.contains(n))
       .map(n => ("", n, false))
     native.unionByName(mine.toDF(native.columns.toIndexedSeq: _*))
+  }
+
+  /** SHOW PARTITIONS <registered-snapshot-name>: the distinct `k=v/...`
+    * partition specs present in the CURRENT manifest's file list — pure
+    * metadata (no data scan), like the reference's metastore-backed listing
+    * (ref ql/ddl/table/partition ShowPartitions operations).
+    */
+  private def runShowPartitions(spark: SparkSession,
+      r: NamedTables.SnapshotRef): DataFrame = {
+    import spark.implicits._
+    val m = Snapshots.table(spark, r.root).latest()
+    if (m.partitionCols.isEmpty)
+      throw new IllegalArgumentException(
+        s"SHOW PARTITIONS: table at ${r.root} is not partitioned")
+    m.files
+      .map { f =>
+        // partition dirs are the k=v segments between the data/<uuid>
+        // commit dir and the part file name
+        f.split("/").filter(_.contains("=")).mkString("/")
+      }
+      .filter(_.nonEmpty).distinct.sorted
+      .toDF("partition")
   }
 
   /** DESCRIBE [TABLE] <registered-name>: schema rows plus partition and

@@ -690,6 +690,104 @@ class SnapshotsSpec extends SparkSpec {
     assert(ch.columns.contains("score"))
   }
 
+  test("renameColumn is metadata-only: old files serve the new name") {
+    import spark.implicits._
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 50))
+    val before = t.latest()
+    val m = t.renameColumn("s", "label")
+    assert(m.action === "rename-column")
+    assert(m.files === before.files, "rename is metadata-only")
+    assert(m.colMapping === Map("label" -> "s"))
+    val got = t.read()
+    assert(got.columns.toSeq === Seq("id", "label", "k"))
+    assert(got.filter($"label" === "row7").count() === 1)
+    // appends under the new logical name land in the same physical column
+    t.append((100 until 110).map(i => (i.toLong, s"row$i", i % 4))
+      .toDF("id", "label", "k"))
+    assert(t.read().filter($"label" === "row105").count() === 1)
+    assert(t.read().filter($"label".startsWith("row")).count() === 60)
+    // COW DML addresses the new name; time travel keeps the old schema
+    t.updateWhere($"label" === "row3", Map("label" -> lit("renamedrow")))
+    assert(t.read().filter($"label" === "renamedrow").count() === 1)
+    assert(t.readVersion(0).columns.toSeq === Seq("id", "s", "k"))
+    // rename back: the mapping collapses to identity, reads still correct
+    val back = t.renameColumn("label", "s")
+    assert(back.colMapping.isEmpty)
+    assert(t.read().filter($"s" === "row42").count() === 1)
+    intercept[IllegalArgumentException](t.renameColumn("nope", "x"))
+    intercept[IllegalArgumentException](t.renameColumn("s", "k"))
+  }
+
+  test("stats pruning still prunes through a renamed column") {
+    import spark.implicits._
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root,
+      (0 until 1000).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+        .repartitionByRange(4, $"id"))
+    t.renameColumn("id", "ident")
+    val m = t.latest()
+    // the predicate names the LOGICAL column; the stats are keyed by the
+    // physical one — pruning must translate, not give up
+    val planned = t.planFiles(m, $"ident" >= 900L)
+    assert(planned.size < m.files.size,
+      s"rename broke stats pruning: ${planned.size} of ${m.files.size} files")
+    assert(t.readWhere($"ident" >= 900L).count() === 100)
+  }
+
+  test("dropColumn narrows the schema; re-adding the name reads NULL, not stale data") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 50))
+    val m = t.dropColumn("s")
+    assert(m.action === "drop-column")
+    assert(m.droppedPhysical === Seq("s"))
+    assert(t.read().columns.toSeq === Seq("id", "k"))
+    // re-add the same logical name: old files must NOT resurrect old values
+    val m2 = t.addColumns(StructType(Seq(StructField("s", StringType))))
+    assert(m2.colMapping.nonEmpty, "re-added column needs a fresh physical name")
+    val got = t.read()
+    assert(got.columns.toSeq === Seq("id", "k", "s"))
+    assert(got.filter($"s".isNotNull).count() === 0,
+      "dropped values resurrected through a re-added column")
+    // new writes land in the fresh physical column and read back
+    t.append(Seq((1000L, 9, "fresh")).toDF("id", "k", "s"))
+    assert(t.read().filter($"s" === "fresh").count() === 1)
+    intercept[IllegalArgumentException](t.dropColumn("nope"))
+  }
+
+  test("truncate empties the table in one metadata commit; time travel survives") {
+    import spark.implicits._
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 50))
+    t.append(nums(50, 80))
+    val m = t.truncate()
+    assert(m.action === "truncate" && m.files.isEmpty)
+    assert(t.read().count() === 0)
+    assert(t.readVersion(1).count() === 80)
+    // appends keep working after a truncate
+    t.append(nums(0, 5))
+    assert(t.read().count() === 5)
+  }
+
+  test("rename survives COW rewrites, MOR deletes, and compaction") {
+    import spark.implicits._
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 60))
+    t.renameColumn("s", "label")
+    t.deleteWhereMergeOnRead($"label" === "row10")
+    t.deleteWhere($"id" >= 55)
+    t.compact(minInputFiles = 2)
+    val got = t.read()
+    assert(got.columns.toSeq === Seq("id", "label", "k"))
+    assert(got.count() === 54)
+    assert(got.filter($"label" === "row10").count() === 0)
+    assert(got.filter($"label" === "row11").count() === 1)
+    assert(t.latest().colMapping === Map("label" -> "s"),
+      "mapping must carry through every commit kind")
+  }
+
   test("concurrent appends stay correct with delta manifests on") {
     val root = freshRoot()
     val t = Snapshots.create(spark, root, nums(0, 10), checkpointInterval = 3)

@@ -478,6 +478,49 @@ class SqlDmlSpec extends SparkSpec {
     assert(t.latest().version === 2L)
   }
 
+  test("ALTER TABLE RENAME/DROP COLUMN + TRUNCATE on a named snapshot table") {
+    val root = scratch("graft_sqldml_snap_")
+    Snapshots.create(spark, root, items(0, 20))
+    NamedTables.registerSnapshot("sqldml_evo2", root)
+    sql("ALTER TABLE sqldml_evo2 RENAME COLUMN name TO title")
+    val got = sql("SELECT * FROM sqldml_evo2")
+    assert(got.columns.toSeq === Seq("id", "title", "price", "k"))
+    assert(sql("SELECT count(*) AS n FROM sqldml_evo2 WHERE title = 'name7'")
+      .head.getLong(0) === 1, "old files must serve the renamed column")
+    sql("ALTER TABLE sqldml_evo2 DROP COLUMN price")
+    assert(sql("SELECT * FROM sqldml_evo2").columns.toSeq === Seq("id", "title", "k"))
+    // statements keep addressing the evolved schema
+    sql("UPDATE sqldml_evo2 SET title = 'gone' WHERE id = 3")
+    assert(sql("SELECT count(*) AS n FROM sqldml_evo2 WHERE title = 'gone'")
+      .head.getLong(0) === 1)
+    sql("TRUNCATE TABLE sqldml_evo2")
+    assert(sql("SELECT count(*) AS n FROM sqldml_evo2").head.getLong(0) === 0)
+  }
+
+  test("ALTER TABLE RENAME TO moves a registered name; data stays put") {
+    val root = scratch("graft_sqldml_snap_")
+    Snapshots.create(spark, root, items(0, 10))
+    NamedTables.registerSnapshot("sqldml_oldname", root)
+    sql("ALTER TABLE sqldml_oldname RENAME TO sqldml_newname")
+    assert(NamedTables.get("sqldml_oldname").isEmpty)
+    assert(sql("SELECT count(*) AS n FROM sqldml_newname").head.getLong(0) === 10)
+    NamedTables.drop("sqldml_newname")
+  }
+
+  test("SHOW PARTITIONS lists a partitioned snapshot table's specs from the manifest") {
+    val root = scratch("graft_sqldml_snap_")
+    Snapshots.create(spark, root, items(0, 40), partitionBy = Seq("k"))
+    NamedTables.registerSnapshot("sqldml_parts", root)
+    val parts = sql("SHOW PARTITIONS sqldml_parts")
+    assert(parts.columns.toSeq === Seq("partition"))
+    assert(parts.collect().map(_.getString(0)).toSeq === Seq("k=0", "k=1", "k=2", "k=3"))
+    // non-partitioned tables refuse, like the reference
+    val root2 = scratch("graft_sqldml_snap_")
+    Snapshots.create(spark, root2, items(0, 5))
+    NamedTables.registerSnapshot("sqldml_noparts", root2)
+    intercept[IllegalArgumentException](sql("SHOW PARTITIONS sqldml_noparts"))
+  }
+
   test("UPDATE assignments are simultaneous: SET a = b, b = a swaps") {
     import spark.implicits._
     // snapshot COW
