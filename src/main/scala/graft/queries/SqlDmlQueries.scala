@@ -341,5 +341,45 @@ object SqlDmlQueries {
         """SELECT o_orderstatus, count(*) AS n, count(o_totalprice) AS n_price,
           |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
           |FROM s18_t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    },
+
+    // Schema evolution as SQL statements: RENAME COLUMN (metadata-only —
+    // old files must serve the new name), UPDATE through the renamed
+    // column, ADD COLUMNS (pre-evolution rows read NULL), INSERT into the
+    // evolved schema, DROP COLUMN. The oracle replays the surviving
+    // logical content as a SELECT over the original table.
+    q("s19_sql_schema_evolution",
+      """SELECT o_orderstatus, count(*) AS n, count(tag) AS n_tag,
+        |  CAST(sum(CAST(CASE WHEN o_orderstatus = 'O' THEN 0.5
+        |                     ELSE o_totalprice END AS DECIMAL(25,2)))
+        |    AS DOUBLE) AS price_sum
+        |FROM (
+        |  SELECT o_orderstatus, o_totalprice, NULL AS tag
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT 'Z', 9.25, 'new' FROM orders WHERE o_orderkey % 97 = 0
+        |) GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val orders = Engine.table(spark, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      NamedTables.drop("s19_t")
+      NamedTables.registerSnapshot("s19_t",
+        Snapshots.create(spark, scratch(),
+          orders.filter($"o_orderkey" % 7 === 0)).root)
+      Engine.sql(spark, dir,
+        "ALTER TABLE s19_t RENAME COLUMN o_totalprice TO price")
+      // the renamed column must be addressable by statements AND stats
+      Engine.sql(spark, dir,
+        "UPDATE s19_t SET price = 0.5 WHERE o_orderstatus = 'O'")
+      Engine.sql(spark, dir, "ALTER TABLE s19_t ADD COLUMNS (tag STRING)")
+      Engine.sql(spark, dir,
+        """INSERT INTO s19_t (o_orderkey, o_orderstatus, price, tag)
+          |SELECT o_orderkey + 970000000, 'Z', 9.25, 'new'
+          |FROM orders WHERE o_orderkey % 97 = 0""".stripMargin)
+      Engine.sql(spark, dir, "ALTER TABLE s19_t DROP COLUMN o_orderkey")
+      Engine.sql(spark, dir,
+        """SELECT o_orderstatus, count(*) AS n, count(tag) AS n_tag,
+          |  CAST(sum(CAST(price AS DECIMAL(25,2))) AS DOUBLE) AS price_sum
+          |FROM s19_t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     })
 }
