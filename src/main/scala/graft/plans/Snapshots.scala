@@ -500,7 +500,8 @@ object Snapshots {
       * Partition columns never rename, so the partition schema is shared.
       */
     private def scanRelation(m: Manifest,
-        schema: org.apache.spark.sql.types.StructType): DataFrame = {
+        schema: org.apache.spark.sql.types.StructType,
+        isStreaming: Boolean = false): DataFrame = {
       import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
       val physSchema = org.apache.spark.sql.types.StructType(
         schema.fields.map(f => f.copy(name = m.physical(f.name))))
@@ -512,7 +513,7 @@ object Snapshots {
         new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
         Map.empty[String, String])(spark)
       org.apache.spark.sql.GraftShims
-        .ofRows(spark, LogicalRelation(rel, isStreaming = false))
+        .ofRows(spark, LogicalRelation(rel, isStreaming = isStreaming))
     }
 
     /** How the parquet reader renders this table's root in
@@ -673,6 +674,99 @@ object Snapshots {
           .withColumn("_commit_action", lit(""))
           .limit(0)
       }
+    }
+
+    /** One micro-batch for the streaming source ([[graft.streaming.
+      * SnapshotSourceProvider]]): the rows the stream owes for the version
+      * range, as STREAMING relations (MicroBatchExecution requires
+      * `isStreaming=true` leaves).
+      *
+      *   - `sinceVersion = None` (first batch of a fresh query): the full
+      *     snapshot at `untilVersion` — file list + pending MOR deletes of
+      *     that manifest, exactly what a batch read of the version returns.
+      *   - `Some(s)`: per-version replay of files ADDED by each commit in
+      *     `(s, untilVersion]` — append order, exactly once per version.
+      *     Data-identical reorganizations (compact/cluster) and
+      *     metadata-only commits emit nothing. Commits that REMOVE data
+      *     (delete/truncate) fail the stream unless `ignoreDeletes`;
+      *     commits that rewrite rows (update/merge/overwrite, and their
+      *     MOR twins) fail unless `ignoreChanges` — then their added files
+      *     re-emit the rewritten rows (the Delta streaming-source
+      *     contract: downstream must tolerate duplicates under
+      *     ignoreChanges).
+      *
+      * Columns bind by PHYSICAL identity captured at stream start
+      * (`streamSchema` logical names + `streamMapping`), so a column
+      * renamed mid-stream keeps flowing under the stream's name and a
+      * column added mid-stream is ignored — the stream's schema is fixed
+      * for the query's lifetime, like every Spark source.
+      */
+    private[graft] def streamBatch(sinceVersion: Option[Long],
+        untilVersion: Long,
+        streamSchema: org.apache.spark.sql.types.StructType,
+        streamMapping: Map[String, String],
+        ignoreDeletes: Boolean, ignoreChanges: Boolean): DataFrame = {
+      def emit(m: Manifest, files: Seq[String], withDeletes: Boolean)
+          : DataFrame = {
+        val vSchema = schemaOf(m.schemaJson)
+        val physPresent = vSchema.fieldNames.map(m.physical).toSet
+        val scan = scanRelation(m.copy(files = files), vSchema,
+          isStreaming = true)
+        val base =
+          if (!withDeletes || m.deletes.isEmpty) scan
+          else {
+            val prefix = metaPathPrefix(m)
+            applyDeletes(scan.withColumn("__file",
+                expr(s"substring(_metadata.file_path, ${prefix.length + 2})"))
+              .withColumn("__pos", col("_metadata.row_index")), m)
+          }
+        base.select(streamSchema.fields.map { f =>
+          val phys = streamMapping.getOrElse(f.name, f.name)
+          (if (physPresent.contains(phys)) col(phys).cast(f.dataType)
+           else lit(null).cast(f.dataType)).as(f.name)
+        }.toIndexedSeq: _*)
+      }
+      val frames = sinceVersion match {
+        case None =>
+          val m = resolve(readManifest(manifestPath(untilVersion)))
+          if (m.files.isEmpty) Nil else Seq(emit(m, m.files, withDeletes = true))
+        case Some(s) =>
+          versions().filter(v => v > s && v <= untilVersion).flatMap { v =>
+            val m = resolve(readManifest(manifestPath(v)))
+            val parentFiles =
+              if (m.parent < 0 || !fs.exists(manifestPath(m.parent)))
+                Set.empty[String]
+              else resolve(readManifest(manifestPath(m.parent))).files.toSet
+            val added = m.files.filterNot(parentFiles)
+            val appendLike = Set("create", "append")
+            val reorg = Set("compact", "cluster")
+            val metadataOnly =
+              Set("add-columns", "rename-column", "drop-column")
+            m.action match {
+              case a if reorg(a) || metadataOnly(a) => None
+              case a if appendLike(a) =>
+                if (added.isEmpty) None
+                else Some(emit(m, added, withDeletes = false))
+              case a if added.isEmpty => // delete/truncate/delete-mor shape
+                if (!ignoreDeletes && !ignoreChanges)
+                  throw new UnsupportedOperationException(
+                    s"streaming source at $root: version $v is a data-" +
+                      s"removing '$a' commit; restart from fresh or set " +
+                      "ignoreDeletes=true to skip removals")
+                None
+              case a => // update/merge/overwrite (+MOR): rows rewritten
+                if (!ignoreChanges)
+                  throw new UnsupportedOperationException(
+                    s"streaming source at $root: version $v is a row-" +
+                      s"rewriting '$a' commit; set ignoreChanges=true to " +
+                      "re-emit rewritten files (downstream must tolerate " +
+                      "duplicates)")
+                Some(emit(m, added, withDeletes = false))
+            }
+          }
+      }
+      frames.reduceOption(_.unionByName(_)).getOrElse(
+        emit(latest().copy(deletes = Nil), Nil, withDeletes = false))
     }
 
     // --------------------------------------------------------------- writes
@@ -1347,8 +1441,13 @@ object Snapshots {
       var attempt = 0
       while (true) {
         val head = latest()
+        // byte sizes from the manifest when recorded (zero filesystem
+        // calls — at 100 TB a per-file getFileStatus sweep is the
+        // bottleneck); pre-recording manifests fall back to the listing
         val sized = head.files.map { f =>
-          f -> fs.getFileStatus(new Path(rootPath, f)).getLen
+          val rec = head.stats.get(f).map(_.bytes).getOrElse(0L)
+          f -> (if (rec > 0L) rec
+                else fs.getFileStatus(new Path(rootPath, f)).getLen)
         }
         val small = sized.filter(_._2 < targetBytes)
         if (small.size < minInputFiles) return head
@@ -1432,8 +1531,11 @@ object Snapshots {
       while (true) {
         val head = latest()
         if (head.files.isEmpty) return head
-        val totalBytes = head.files.map(f =>
-          fs.getFileStatus(new Path(rootPath, f)).getLen).sum
+        val totalBytes = head.files.map { f =>
+          val rec = head.stats.get(f).map(_.bytes).getOrElse(0L)
+          if (rec > 0L) rec
+          else fs.getFileStatus(new Path(rootPath, f)).getLen
+        }.sum
         val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
         val input = readFiles(head) // MOR deletes fold in
         val clustered = input
