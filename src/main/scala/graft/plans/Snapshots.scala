@@ -132,6 +132,12 @@ object Snapshots {
   final class ConcurrentModificationException(msg: String)
     extends RuntimeException(msg)
 
+  /** Bloom file-skipping index config (`_bloom_config.json` at the table
+    * root): `cols` are PHYSICAL column names (rename-proof), `bits` is the
+    * per-file filter size. See [[SnapshotTable.setBloomColumns]].
+    */
+  final case class BloomConfig(cols: Seq[String], bits: Long)
+
   private implicit val jsonFormats: org.json4s.Formats = org.json4s.DefaultFormats
 
   /** Opens an existing snapshot table rooted at `root`.
@@ -337,6 +343,8 @@ object Snapshots {
         val sizes = listed.map(s => relativize(s.getPath) -> s.getLen).toMap
         val stats = collectStats(dir, physDf.schema, partitionCols)
           .map { case (rel, st) => rel -> st.copy(bytes = sizes.getOrElse(rel, 0L)) }
+        writeBloomSidecar(dir, org.apache.spark.sql.types.StructType(
+          physDf.schema.fields.filterNot(f => partitionCols.contains(f.name))))
         // a 0-row part file produces no stats group but still needs a size
         val empties = files.filterNot(stats.contains)
           .map(rel => rel -> FileStat(0L, Map.empty, sizes.getOrElse(rel, 0L)))
@@ -507,7 +515,8 @@ object Snapshots {
         schema.fields.map(f => f.copy(name = m.physical(f.name))))
       val dataSchema = org.apache.spark.sql.types.StructType(
         physSchema.fields.filterNot(f => m.partitionCols.contains(f.name)))
-      val index = new SnapshotFileIndex(fs.makeQualified(rootPath), fs, m, physSchema)
+      val index = new SnapshotFileIndex(fs.makeQualified(rootPath), fs, m,
+        physSchema, bloomPrune)
       val rel = HadoopFsRelation(index, index.partitionSchema, dataSchema,
         None,
         new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
@@ -632,8 +641,8 @@ object Snapshots {
             }
           val physSchema = org.apache.spark.sql.types.StructType(
             schema.fields.map(f => f.copy(name = m.physical(f.name))))
-          m.files.filter(f => Pruning.mayMatch(f, m.stats.get(f),
-            m.partitionCols, physSchema, physC))
+          bloomPrune(m.files.filter(f => Pruning.mayMatch(f, m.stats.get(f),
+            m.partitionCols, physSchema, physC)), Seq(physC))
         case None => m.files
       }
     }
@@ -654,7 +663,8 @@ object Snapshots {
         .map(v => resolve(readManifest(manifestPath(v))))
         // compact and cluster are data-identical reorganizations — their
         // rewritten files are not changes
-        .filter(m => m.action != "compact" && m.action != "cluster")
+        .filter(m => m.action != "compact" && m.action != "cluster" &&
+          m.action != "zorder")
         .flatMap { m =>
           val parentFiles =
             if (m.parent < 0 || !fs.exists(manifestPath(m.parent)))
@@ -739,7 +749,7 @@ object Snapshots {
               else resolve(readManifest(manifestPath(m.parent))).files.toSet
             val added = m.files.filterNot(parentFiles)
             val appendLike = Set("create", "append")
-            val reorg = Set("compact", "cluster")
+            val reorg = Set("compact", "cluster", "zorder")
             val metadataOnly =
               Set("add-columns", "rename-column", "drop-column")
             m.action match {
@@ -1557,6 +1567,235 @@ object Snapshots {
       sys.error("unreachable")
     }
 
+    /** Multi-dimensional clustering — the OPTIMIZE ... ZORDER BY analog
+      * (public design: Delta Z-ordering; the Morton-curve literature).
+      * [[clusterBy]] gives ONE column partition-elimination pruning but
+      * leaves every other column's min/max spanning the full range;
+      * Z-ordering interleaves the bits of each key's QUANTILE RANK so
+      * files hold small hyper-rectangles of the key space and stats
+      * pruning stays selective on EVERY z-column — the layout for the
+      * "filter big fact tables by several independent columns" shape.
+      *
+      * Ranks come from one `approxQuantile` pass per call (driver holds
+      * only 2^bits boundaries per column); bucket assignment is a single
+      * codegen'd `aggregate` over the broadcast boundary array, so the
+      * rewrite itself is two jobs (quantiles + write) with no per-row
+      * driver work. NULLs rank lowest. Commits as a data-identical
+      * "zorder" action — incremental and streaming readers skip it like
+      * compaction.
+      */
+    def zOrderBy(cols: Seq[String], targetBytes: Long = 128L * 1024 * 1024,
+        bits: Int = 8, maxRetries: Int = 10): Manifest = {
+      require(cols.size >= 2,
+        "zOrderBy needs >= 2 columns (use clusterBy for one)")
+      require(cols.size * bits <= 62, s"${cols.size} cols x $bits bits overflows")
+      val head0 = latest()
+      val bad = cols.toSet.intersect(head0.partitionCols.toSet)
+      require(bad.isEmpty,
+        s"z-order keys cannot be partition columns: ${bad.mkString(", ")}")
+      val schema = schemaOf(head0.schemaJson)
+      val missing = cols.filterNot(schema.fieldNames.contains)
+      require(missing.isEmpty, s"unknown z-order columns: ${missing.mkString(", ")}")
+      val nBuckets = 1 << bits
+      var attempt = 0
+      while (true) {
+        val head = latest()
+        if (head.files.isEmpty) return head
+        val totalBytes = head.files.map { f =>
+          val rec = head.stats.get(f).map(_.bytes).getOrElse(0L)
+          if (rec > 0L) rec
+          else fs.getFileStatus(new Path(rootPath, f)).getLen
+        }.sum
+        val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+        val input = readFiles(head) // MOR deletes fold in
+        // per-column quantile boundaries (2^bits - 1 cuts); constant
+        // columns degenerate to bucket 0, which is still a valid curve
+        val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+        val numeric = cols.map(c => col(c).cast("double").as(c))
+        val bounds = input.select(numeric: _*).stat
+          .approxQuantile(cols.toArray, probs, 0.01)
+        def bucketOf(c: String, bs: Array[Double]): Column = {
+          val arr = array(bs.distinct.sorted.map(lit(_)).toIndexedSeq: _*)
+          // count boundaries strictly below the value: one pass over the
+          // broadcast literal array, fully codegen'd; NULL -> bucket 0
+          aggregate(arr, lit(0),
+            (acc, b) => acc + when(col(c).cast("double") > b, 1).otherwise(0))
+        }
+        val zcol = cols.zipWithIndex.map { case (c, ci) =>
+          val bucket = bucketOf(c, bounds(ci))
+          (0 until bits).map { bit =>
+            // bit `bit` of this column lands at interleaved position
+            // bit * ncols + ci of the z-value
+            shiftleft(shiftright(bucket, bit).bitwiseAND(lit(1)),
+              bit * cols.size + ci).cast("long")
+          }.reduce(_.bitwiseOR(_))
+        }.reduce(_.bitwiseOR(_))
+        val ordered = input.withColumn("__z", zcol)
+          .repartitionByRange(nOut, col("__z"))
+          .sortWithinPartitions("__z")
+          .drop("__z")
+        val (staged, stagedStats) = stage(ordered, head.partitionCols,
+          head.colMapping)
+        val m = Manifest(head.version + 1, head.version,
+          System.currentTimeMillis(), "zorder", head.partitionCols,
+          head.schemaJson, staged, stagedStats, Map.empty, Nil,
+          colMapping = head.colMapping,
+          droppedPhysical = head.droppedPhysical)
+        if (publish(head, m)) return m
+        attempt += 1
+        if (attempt > maxRetries)
+          throw new ConcurrentModificationException(
+            s"zorder at $root lost the commit race $attempt times — giving up")
+      }
+      sys.error("unreachable")
+    }
+
+    // ---------------------------------------------------------- bloom index
+
+    /** Configures per-file BLOOM FILTERS for point-lookup file skipping
+      * (the Delta/Iceberg bloom-index design; the reference's ORC row-group
+      * bloom filters, ref ql/.../orc OrcFile.bloomFilterColumns, play the
+      * same role inside files). Min/max stats cannot skip a point predicate
+      * on a HIGH-CARDINALITY UNSORTED key — every file's range spans the
+      * probe — but a per-file bloom answers "definitely not here" in O(1):
+      * at 100 TB that turns `WHERE user_id = X` from a full scan into a
+      * handful of files.
+      *
+      * Every commit AFTER this call writes a `_blooms` parquet sidecar
+      * inside its own `data/<uuid>/` dir (underscore-prefixed: invisible
+      * to data reads, vacuumed with its dir) holding one serialized filter
+      * per (file, column). Pruning loads sidecars lazily — only when an
+      * equality/IN conjunct names an indexed column — and only skips;
+      * unindexed files (pre-config commits) always survive, so correctness
+      * never depends on the index. Run [[compact]] or [[zOrderBy]] after
+      * configuring to index existing data. Columns are recorded by
+      * PHYSICAL name, so RENAME COLUMN keeps the index live.
+      */
+    def setBloomColumns(cols: Seq[String], numBits: Long = 1L << 20): Unit = {
+      val head = latest()
+      val schema = schemaOf(head.schemaJson)
+      val missing = cols.filterNot(schema.fieldNames.contains)
+      require(missing.isEmpty, s"unknown bloom columns: ${missing.mkString(", ")}")
+      val part = cols.filter(head.partitionCols.contains)
+      require(part.isEmpty,
+        s"partition columns prune by path, not blooms: ${part.mkString(", ")}")
+      require(numBits >= 64, "numBits too small to be a filter")
+      val cfg = BloomConfig(cols.map(head.physical), numBits)
+      val out = fs.create(new Path(rootPath, "_bloom_config.json"), true)
+      try out.write(org.json4s.jackson.Serialization.write(cfg).getBytes("UTF-8"))
+      finally out.close()
+    }
+
+    private[Snapshots] def bloomConfig(): Option[BloomConfig] = {
+      val p = new Path(rootPath, "_bloom_config.json")
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(org.json4s.jackson.Serialization.read[BloomConfig](
+          new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")))
+        finally in.close()
+      }
+    }
+
+    /** One bloom aggregation job over the just-staged dir, written as the
+      * dir's `_blooms` sidecar. Same page-cache-warm read as the stats job.
+      */
+    private def writeBloomSidecar(dir: Path,
+        dataSchema: org.apache.spark.sql.types.StructType): Unit = {
+      val cfg = bloomConfig().getOrElse(return)
+      val cols = cfg.cols.filter(dataSchema.fieldNames.contains)
+      if (cols.isEmpty) return
+      import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+      val staged = spark.read.schema(dataSchema).parquet(dir.toString)
+      val items = math.max(cfg.bits / 16, 64L)
+      val aggs = cols.map { cn =>
+        org.apache.spark.sql.GraftShims.column(
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(
+              new XxHash64(Seq(
+                org.apache.spark.sql.GraftShims.expression(col(cn)))),
+              Literal(items), Literal(cfg.bits))
+            .toAggregateExpression()).as(s"__bloom_$cn")
+      }
+      val rootQ = fs.makeQualified(rootPath).toUri.getPath + "/"
+      val rows = staged.groupBy(input_file_name().as("__f"))
+        .agg(aggs.head, aggs.tail: _*).collect()
+      if (rows.isEmpty) return
+      val out = rows.toSeq.flatMap { r =>
+        val rel = new Path(r.getString(0)).toUri.getPath.stripPrefix(rootQ)
+        cols.map(cn => (rel, cn, r.getAs[Array[Byte]](s"__bloom_$cn")))
+      }.filter(_._3 != null)
+      import spark.implicits._
+      out.toDF("file", "col", "bloom").coalesce(1)
+        .write.mode("overwrite").parquet(new Path(dir, "_blooms").toString)
+    }
+
+    // sidecars are immutable once their commit publishes — cache per
+    // commit dir, deserialized, shared by every plan through this handle
+    private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
+      String, Map[(String, String), org.apache.spark.util.sketch.BloomFilter]]()
+
+    private def bloomsOf(commitDir: String)
+        : Map[(String, String), org.apache.spark.util.sketch.BloomFilter] =
+      bloomCache.computeIfAbsent(commitDir, { _ =>
+        val p = new Path(rootPath, s"$commitDir/_blooms")
+        if (!fs.exists(p)) Map.empty
+        else spark.read.parquet(p.toString).collect().map { r =>
+          (r.getString(0), r.getString(1)) ->
+            org.apache.spark.util.sketch.BloomFilter.readFrom(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](2)))
+        }.toMap
+      })
+
+    /** Drops `files` whose bloom PROVES an equality/IN conjunct cannot
+      * match (attribute names arrive PHYSICAL, matching sidecar keys).
+      * Absent sidecar/filter → keep; blooms only skip, never decide.
+      */
+    private def bloomPrune(files: Seq[String],
+        conds: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+        : Seq[String] = {
+      if (files.isEmpty || conds.isEmpty) return files
+      val cfg = bloomConfig().getOrElse(return files)
+      if (cfg.cols.isEmpty) return files
+      val bcols = cfg.cols.toSet
+      import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, In, Literal, XxHash64}
+      def hashOf(l: Literal): Long =
+        new XxHash64(Seq(l)).eval(null).asInstanceOf[Long]
+      def split(e: Expression): Seq[Expression] = e match {
+        case And(l, r) => split(l) ++ split(r)
+        case o => Seq(o)
+      }
+      val probes: Seq[(String, Seq[Long])] = conds.flatMap(split).flatMap {
+        case EqualTo(a: AttributeReference, l: Literal)
+            if bcols(a.name) && l.value != null && l.dataType == a.dataType =>
+          Some(a.name -> Seq(hashOf(l)))
+        case EqualTo(l: Literal, a: AttributeReference)
+            if bcols(a.name) && l.value != null && l.dataType == a.dataType =>
+          Some(a.name -> Seq(hashOf(l)))
+        case In(a: AttributeReference, ls)
+            if bcols(a.name) && ls.nonEmpty && ls.forall {
+              case l: Literal => l.value != null && l.dataType == a.dataType
+              case _ => false
+            } =>
+          Some(a.name -> ls.map { case l: Literal => hashOf(l) })
+        case _ => None
+      }
+      if (probes.isEmpty) return files
+      files.filter { f =>
+        val segs = f.split('/')
+        if (segs.length < 2) true
+        else {
+          val blooms = bloomsOf(segs.take(2).mkString("/"))
+          probes.forall { case (c, hashes) =>
+            blooms.get((f, c)) match {
+              case None => true // unindexed: cannot skip
+              case Some(bf) => hashes.exists(bf.mightContainLong)
+            }
+          }
+        }
+      }
+    }
+
     // --------------------------------------------------------------- vacuum
 
     /** Deletes data files referenced by no retained manifest and drops the
@@ -1627,7 +1866,10 @@ object Snapshots {
     */
   private[plans] class SnapshotFileIndex(qualifiedRoot: org.apache.hadoop.fs.Path,
       fs: org.apache.hadoop.fs.FileSystem, m: Manifest,
-      schema: org.apache.spark.sql.types.StructType)
+      schema: org.apache.spark.sql.types.StructType,
+      bloomPrune: (Seq[String],
+        Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => Seq[String]
+        = (fls, _) => fls)
     extends org.apache.spark.sql.execution.datasources.FileIndex {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
@@ -1659,8 +1901,9 @@ object Snapshots {
       // are EXACT — Spark never re-evaluates them after partition pruning —
       // so they must be bound and evaluated against the partition values,
       // not approximated (the standard PartitioningAwareFileIndex binding)
-      val kept = m.files.filter(f => dataFilters.forall(c =>
-        Pruning.mayMatch(f, m.stats.get(f), m.partitionCols, schema, c)))
+      val kept = bloomPrune(m.files.filter(f => dataFilters.forall(c =>
+        Pruning.mayMatch(f, m.stats.get(f), m.partitionCols, schema, c))),
+        dataFilters)
       if (m.partitionCols.isEmpty)
         Seq(PartitionDirectory(InternalRow.empty, kept.map(statuses).toArray))
       else {

@@ -788,6 +788,99 @@ class SnapshotsSpec extends SparkSpec {
       "mapping must carry through every commit kind")
   }
 
+  test("zOrderBy prunes on EVERY z-column; clusterBy only on its sort key") {
+    import spark.implicits._
+    val root = freshRoot()
+    // two independent uniform keys: an unclustered layout gives every file
+    // the full range of both, so nothing prunes
+    val df = (0 until 4096).map { i =>
+      (i.toLong, (i % 64).toLong, ((i * 37) % 64).toLong)
+    }.toDF("id", "a", "b").repartition(8)
+    val t = Snapshots.create(spark, root, df)
+    assert(t.planFiles(t.latest(), $"a" === 5L).size === t.latest().files.size,
+      "precondition: unclustered layout must not prune")
+    val m = t.zOrderBy(Seq("a", "b"), targetBytes = 3 * 1024)
+    assert(m.action === "zorder")
+    val n = m.files.size
+    assert(n >= 8, s"want many small files to measure pruning, got $n")
+    // data identical
+    assert(t.read().count() === 4096)
+    assert(t.read().select(sum($"id")).head.getLong(0) ===
+      (0 until 4096).map(_.toLong).sum)
+    // point predicates on EACH dimension prune to a minority of files
+    val pa = t.planFiles(m, $"a" === 5L).size
+    val pb = t.planFiles(m, $"b" === 9L).size
+    assert(pa <= n / 2, s"a-predicate kept $pa of $n files")
+    assert(pb <= n / 2, s"b-predicate kept $pb of $n files")
+    assert(t.readWhere($"a" === 5L).count() === 64)
+    assert(t.readWhere($"b" === 9L).count() === 64)
+    // zorder is a data-identical reorganization: invisible to CDC readers
+    assert(t.readChanges(m.parent).count() === 0)
+  }
+
+  test("bloom index skips files min/max cannot, and only ever skips") {
+    import spark.implicits._
+    val root = freshRoot()
+    // high-cardinality UNSORTED key interleaved across files: every file's
+    // (min, max) spans the probe, so stats pruning keeps all of them
+    def batch(off: Int) = // all-EVEN keys: odd probes are in-range absent
+      (0 until 512).map(i => (((i * 997 + off) % 50000L) * 2, s"v$i"))
+        .toDF("key", "v").coalesce(1)
+    val t = Snapshots.create(spark, root, batch(0))
+    t.setBloomColumns(Seq("key"), numBits = 1 << 16)
+    // pre-config files are unindexed: probes must keep them (never skip)
+    t.append(batch(1)); t.append(batch(2)); t.append(batch(3))
+    val m = t.latest()
+    assert(m.files.size === 4)
+    // the probe value lives only in the off=2 batch (997*13+2)
+    val probe = ((997L * 13 + 2) % 50000L) * 2
+    val planned = t.planFiles(m, $"key" === probe)
+    assert(planned.size < m.files.size,
+      s"bloom should skip indexed files without the key: kept ${planned.size}/4")
+    assert(planned.size >= 2, "the unindexed v0 file must always survive")
+    assert(t.readWhere($"key" === probe).count() === 1)
+    // a value in the UNINDEXED batch: correctness unaffected
+    val probe0 = ((997L * 40) % 50000L) * 2
+    assert(t.readWhere($"key" === probe0).count() === 1)
+    // IN-lists probe per literal; absent values skip every indexed file
+    assert(t.planFiles(m, $"key".isin(probe, probe0)).size >= 2)
+    // odd -> absent everywhere, yet inside every file's (min, max) range,
+    // so ONLY the bloom can skip; the unindexed v0 file must survive
+    val absent = t.planFiles(m, $"key" === 33333L)
+    assert(absent.size === 1, s"only the unindexed file may survive: $absent")
+    assert(t.readWhere($"key" === 33333L).count() === 0)
+    // compaction re-stages everything -> previously unindexed data indexed
+    t.compact(minInputFiles = 2)
+    val m2 = t.latest()
+    val absent2 = t.planFiles(m2, $"key" === 33333L)
+    assert(absent2.isEmpty, s"all files indexed after compact: $absent2")
+    // the SQL read path prunes through the FileIndex too
+    val rel = Snapshots.table(spark, root).read().filter($"key" === probe)
+    val scanned = rel.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.listFiles(Nil,
+          s.dataFilters).map(_.files.length).sum
+    }.sum
+    assert(scanned <= 2, s"SQL path scanned $scanned files")
+    assert(rel.count() === 1)
+  }
+
+  test("bloom index follows a renamed column (physical identity)") {
+    import spark.implicits._
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root,
+      (0 until 256).map(i => (i * 31L % 7919, i)).toDF("key", "n").coalesce(1))
+    t.setBloomColumns(Seq("key"), numBits = 1 << 16)
+    t.renameColumn("key", "ident")
+    t.append((0 until 256).map(i => (100000L + i, i)).toDF("ident", "n").coalesce(1))
+    val m = t.latest()
+    val planned = t.planFiles(m, $"ident" === (31L * 10 % 7919))
+    // v0 is unindexed (created pre-config); the post-rename append IS
+    // indexed under the original physical name and must skip
+    assert(planned.size === 1, s"renamed-column probe kept $planned")
+    assert(t.readWhere($"ident" === (31L * 10 % 7919)).count() === 1)
+  }
+
   test("concurrent appends stay correct with delta manifests on") {
     val root = freshRoot()
     val t = Snapshots.create(spark, root, nums(0, 10), checkpointInterval = 3)
