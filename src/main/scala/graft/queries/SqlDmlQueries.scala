@@ -381,5 +381,33 @@ object SqlDmlQueries {
         """SELECT o_orderstatus, count(*) AS n, count(tag) AS n_tag,
           |  CAST(sum(CAST(price AS DECIMAL(25,2))) AS DOUBLE) AS price_sum
           |FROM s19_t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    },
+
+    // Z-ordered, bloom-indexed layout under the gate: the snapshot is
+    // rewritten on a two-column Morton curve with bloom filters on the
+    // high-cardinality key, then point-filtered through the pruned read
+    // path (plan-time stats + bloom skipping) — DuckDB replays the reads
+    // as plain WHEREs over the original table, so the exotic layout must
+    // change NOTHING about the answers.
+    q("s20_sql_zorder_bloom",
+      """SELECT count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS qty,
+        |  CAST(sum(CASE WHEN l_orderkey = 1 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+        |  CAST(sum(CASE WHEN l_partkey = 25 THEN 1 ELSE 0 END) AS BIGINT) AS p25
+        |FROM lineitem WHERE l_orderkey % 5 = 1""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val li = Engine.table(spark, dir, "lineitem")
+        .filter($"l_orderkey" % 5 === 1)
+        .select($"l_orderkey", $"l_partkey", $"l_quantity")
+      val root = scratch()
+      val t = Snapshots.create(spark, root, li.repartition(8))
+      t.setBloomColumns(Seq("l_orderkey"), numBits = 1 << 18)
+      t.zOrderBy(Seq("l_orderkey", "l_partkey"), targetBytes = 64 * 1024)
+      val all = t.read()
+      val k1 = t.readWhere($"l_orderkey" === 1L).count()
+      val p25 = t.readWhere($"l_partkey" === 25L).count()
+      all.agg(count(lit(1)).as("n"),
+        Exact.dsum($"l_quantity").as("qty"),
+        lit(k1).as("k1"), lit(p25).as("p25"))
     })
 }
