@@ -136,7 +136,7 @@ object Snapshots {
     * root): `cols` are PHYSICAL column names (rename-proof), `bits` is the
     * per-file filter size. See [[SnapshotTable.setBloomColumns]].
     */
-  final case class BloomConfig(cols: Seq[String], bits: Long)
+  final case class BloomConfig(cols: Seq[String], bits: Long, gen: Long = 0L)
 
   private implicit val jsonFormats: org.json4s.Formats = org.json4s.DefaultFormats
 
@@ -1121,6 +1121,64 @@ object Snapshots {
       sys.error("unreachable")
     }
 
+    /** Schema evolution — ALTER TABLE ... ALTER COLUMN c TYPE t (Hive's
+      * CHANGE COLUMN type change): a metadata-only commit, restricted to
+      * the WIDENINGS Spark's parquet readers promote losslessly at scan
+      * time (SPARK-40876 type widening: integral chain byte→short→int→
+      * long, float→double, and integral→double) — old files keep their
+      * narrow physical type and read back widened; appends conform to the
+      * wide type. Anything else would need a table rewrite and is refused.
+      * Bloom filters hash the VALUE AS TYPED, so a widened column's
+      * existing filters are invalidated (config generation bump — see
+      * [[setBloomColumns]]); re-set bloom columns to re-index.
+      */
+    def alterColumnType(name: String,
+        to: org.apache.spark.sql.types.DataType,
+        maxRetries: Int = 10): Manifest = {
+      import org.apache.spark.sql.types._
+      def widens(from: DataType, t: DataType): Boolean = (from, t) match {
+        case (a, b) if a == b => true
+        case (ByteType, ShortType | IntegerType | LongType) => true
+        case (ShortType, IntegerType | LongType) => true
+        case (IntegerType, LongType) => true
+        case (FloatType, DoubleType) => true
+        case (ByteType | ShortType | IntegerType, DoubleType) => true
+        case _ => false
+      }
+      var attempt = 0
+      while (true) {
+        val head = latest()
+        val existing = schemaOf(head.schemaJson)
+        val f = existing.fields.find(_.name == name).getOrElse(
+          throw new IllegalArgumentException(s"no such column: $name"))
+        require(!head.partitionCols.contains(name),
+          s"cannot change the type of partition column $name")
+        require(widens(f.dataType, to),
+          s"only lossless widenings are metadata-only: " +
+            s"${f.dataType.simpleString} -> ${to.simpleString} is not")
+        if (f.dataType == to) return head // no-op
+        // existing blooms hashed the narrow type — invalidate them
+        bloomConfig().foreach { cfg =>
+          val phys = head.physical(name)
+          writeBloomConfig(BloomConfig(cfg.cols.filterNot(_ == phys),
+            cfg.bits, cfg.gen + 1))
+        }
+        val newSchema = StructType(existing.fields.map(x =>
+          if (x.name == name) x.copy(dataType = to) else x))
+        val m = Manifest(head.version + 1, head.version,
+          System.currentTimeMillis(), "alter-column-type", head.partitionCols,
+          newSchema.json, head.files, head.stats, Map.empty, head.deletes,
+          colMapping = head.colMapping,
+          droppedPhysical = head.droppedPhysical)
+        if (publish(head, m)) return m
+        attempt += 1
+        if (attempt > maxRetries)
+          throw new ConcurrentModificationException(
+            s"alter-column-type at $root lost the commit race $attempt times — giving up")
+      }
+      sys.error("unreachable")
+    }
+
     /** TRUNCATE TABLE: one metadata commit that empties the file list (and
       * resets pending MOR deletes — every row they referenced is gone).
       * Data files stay on disk for time travel until [[vacuum]].
@@ -1680,7 +1738,15 @@ object Snapshots {
       require(part.isEmpty,
         s"partition columns prune by path, not blooms: ${part.mkString(", ")}")
       require(numBits >= 64, "numBits too small to be a filter")
-      val cfg = BloomConfig(cols.map(head.physical), numBits)
+      // generation bump invalidates every earlier sidecar (their filters
+      // may cover different columns, sizes, or — after a type widening —
+      // differently-hashed values); sidecars are generation-named, so old
+      // ones simply stop being read
+      val gen = bloomConfig().map(_.gen + 1).getOrElse(0L)
+      writeBloomConfig(BloomConfig(cols.map(head.physical), numBits, gen))
+    }
+
+    private def writeBloomConfig(cfg: BloomConfig): Unit = {
       val out = fs.create(new Path(rootPath, "_bloom_config.json"), true)
       try out.write(org.json4s.jackson.Serialization.write(cfg).getBytes("UTF-8"))
       finally out.close()
@@ -1727,7 +1793,8 @@ object Snapshots {
       }.filter(_._3 != null)
       import spark.implicits._
       out.toDF("file", "col", "bloom").coalesce(1)
-        .write.mode("overwrite").parquet(new Path(dir, "_blooms").toString)
+        .write.mode("overwrite")
+        .parquet(new Path(dir, s"_blooms_g${cfg.gen}").toString)
     }
 
     // sidecars are immutable once their commit publishes — cache per
@@ -1735,10 +1802,10 @@ object Snapshots {
     private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
       String, Map[(String, String), org.apache.spark.util.sketch.BloomFilter]]()
 
-    private def bloomsOf(commitDir: String)
+    private def bloomsOf(commitDir: String, gen: Long)
         : Map[(String, String), org.apache.spark.util.sketch.BloomFilter] =
-      bloomCache.computeIfAbsent(commitDir, { _ =>
-        val p = new Path(rootPath, s"$commitDir/_blooms")
+      bloomCache.computeIfAbsent(s"$commitDir#g$gen", { _ =>
+        val p = new Path(rootPath, s"$commitDir/_blooms_g$gen")
         if (!fs.exists(p)) Map.empty
         else spark.read.parquet(p.toString).collect().map { r =>
           (r.getString(0), r.getString(1)) ->
@@ -1785,7 +1852,7 @@ object Snapshots {
         val segs = f.split('/')
         if (segs.length < 2) true
         else {
-          val blooms = bloomsOf(segs.take(2).mkString("/"))
+          val blooms = bloomsOf(segs.take(2).mkString("/"), cfg.gen)
           probes.forall { case (c, hashes) =>
             blooms.get((f, c)) match {
               case None => true // unindexed: cannot skip

@@ -92,6 +92,27 @@ object SqlDml {
           case r: NamedTables.SnapshotRef =>
             runAddColumns(spark, r.root, cols); done(spark)
         }
+      case ac: AlterColumns => ac.table match {
+        case tbl: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+          NamedTables.refOf(tbl.multipartIdentifier).collect {
+            case r: NamedTables.SnapshotRef =>
+              val t = Snapshots.table(spark, r.root)
+              ac.specs.foreach { sp =>
+                if (sp.column.name.size != 1)
+                  throw new UnsupportedOperationException(
+                    s"nested ALTER COLUMN is not supported: ${sp.column.name.mkString(".")}")
+                val extras = sp.newNullability.isDefined ||
+                  sp.newComment.isDefined || sp.newPosition.isDefined ||
+                  sp.newDefaultExpression.isDefined || sp.dropDefault
+                if (sp.newDataType.isEmpty || extras)
+                  throw new UnsupportedOperationException(
+                    "only ALTER COLUMN ... TYPE <widening> is supported")
+                t.alterColumnType(sp.column.name.head, sp.newDataType.get)
+              }
+              done(spark)
+          }
+        case _ => None
+      }
       case rc: RenameColumn => rc.table match {
         case tbl: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
           NamedTables.refOf(tbl.multipartIdentifier).collect {

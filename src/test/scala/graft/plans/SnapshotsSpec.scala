@@ -881,6 +881,50 @@ class SnapshotsSpec extends SparkSpec {
     assert(t.readWhere($"ident" === (31L * 10 % 7919)).count() === 1)
   }
 
+  test("alterColumnType widens metadata-only; old narrow files read widened") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root,
+      (0 until 50).map(i => (i, i.toFloat / 2)).toDF("n", "x"))
+    val before = t.latest()
+    val m = t.alterColumnType("n", LongType)
+    t.alterColumnType("x", DoubleType)
+    assert(m.action === "alter-column-type")
+    assert(m.files === before.files, "widening is metadata-only")
+    val got = t.read()
+    assert(got.schema("n").dataType === LongType)
+    assert(got.schema("x").dataType === DoubleType)
+    assert(got.select(sum($"n")).head.getLong(0) === (0 until 50).sum.toLong)
+    assert(got.filter($"x" === 2.5d).count() === 1)
+    // appends carry the wide type; stats pruning still works across the
+    // mixed narrow/wide file population
+    t.append(Seq((5000000000L, 9.25d)).toDF("n", "x"))
+    assert(t.read().filter($"n" > Int.MaxValue.toLong).count() === 1)
+    assert(t.readWhere($"n" === 7L).count() === 1)
+    // non-widening changes are refused loudly
+    intercept[IllegalArgumentException](t.alterColumnType("x", FloatType))
+    intercept[IllegalArgumentException](t.alterColumnType("n", StringType))
+  }
+
+  test("widening a bloom-indexed column invalidates its filters (no wrong skips)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root,
+      (0 until 256).map(i => (i * 2, i)).toDF("key", "n").coalesce(1))
+    t.setBloomColumns(Seq("key"), numBits = 1 << 16)
+    t.append((256 until 512).map(i => (i * 2, i)).toDF("key", "n").coalesce(1))
+    // int-typed probes skip via the index...
+    assert(t.planFiles(t.latest(), $"key" === 33).size < t.latest().files.size)
+    t.alterColumnType("key", LongType)
+    // ...but after widening the old filters hashed INT values — they must
+    // not be consulted for LONG probes (a wrong skip would lose rows)
+    val probe = t.readWhere($"key" === 600L)
+    assert(probe.count() === 1, "widened-column point lookup lost a row")
+    assert(t.planFiles(t.latest(), $"key" === 600L).nonEmpty)
+  }
+
   test("concurrent appends stay correct with delta manifests on") {
     val root = freshRoot()
     val t = Snapshots.create(spark, root, nums(0, 10), checkpointInterval = 3)

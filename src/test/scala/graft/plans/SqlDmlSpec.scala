@@ -489,6 +489,14 @@ class SqlDmlSpec extends SparkSpec {
       .head.getLong(0) === 1, "old files must serve the renamed column")
     sql("ALTER TABLE sqldml_evo2 DROP COLUMN price")
     assert(sql("SELECT * FROM sqldml_evo2").columns.toSeq === Seq("id", "title", "k"))
+    // lossless type widening is metadata-only; old int files read as long
+    sql("ALTER TABLE sqldml_evo2 ALTER COLUMN k TYPE BIGINT")
+    val widened = sql("SELECT * FROM sqldml_evo2")
+    assert(widened.schema("k").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(widened.filter(col("k") === 3L).count() === 5)
+    intercept[IllegalArgumentException](
+      sql("ALTER TABLE sqldml_evo2 ALTER COLUMN title TYPE INT"))
     // statements keep addressing the evolved schema
     sql("UPDATE sqldml_evo2 SET title = 'gone' WHERE id = 3")
     assert(sql("SELECT count(*) AS n FROM sqldml_evo2 WHERE title = 'gone'")
