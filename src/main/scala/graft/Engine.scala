@@ -126,7 +126,10 @@ object Engine {
     *     ([[graft.plans.SqlDml]]);
     *   - names registered in [[graft.plans.NamedTables]] resolve to fresh
     *     snapshot reads pre-analysis (extensions-bootstrapped sessions get
-    *     the same via an injected analyzer rule).
+    *     the same via an injected analyzer rule);
+    *   - table-maintenance verbs (RESTORE TABLE / OPTIMIZE / VACUUM) that
+    *     are parse errors to Spark dispatch to the snapshot lifecycle API
+    *     ([[graft.plans.SqlMaintenance]]).
     */
   def sql(spark: SparkSession, sfDir: String, query: String): DataFrame = {
     register(spark, sfDir)
@@ -134,7 +137,11 @@ object Engine {
       try Some(spark.sessionState.sqlParser.parsePlan(query))
       catch { case scala.util.control.NonFatal(_) => None }
     parsed match {
-      case None => spark.sql(query) // surface the canonical parse error
+      case None =>
+        // maintenance verbs (RESTORE/OPTIMIZE/VACUUM) are parse errors to
+        // Spark — they can only ever arrive here, so nothing is shadowed
+        graft.plans.SqlMaintenance.maybeRun(spark, query)
+          .getOrElse(spark.sql(query)) // surface the canonical parse error
       case Some(plan) =>
         graft.plans.SqlDml.maybeRun(spark, plan).getOrElse {
           val substituted = graft.plans.NamedTables.substitute(spark, plan)

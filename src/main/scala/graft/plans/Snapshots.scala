@@ -1179,6 +1179,51 @@ object Snapshots {
       sys.error("unreachable")
     }
 
+    /** RESTORE TABLE ... TO VERSION AS OF `v`: roll the table back to a
+      * prior version as a NEW commit — history is append-only, so nothing
+      * is erased and the restore itself can be time-traveled past or
+      * re-restored. The full logical state comes back wholesale (file list,
+      * stats, MOR delete sidecars, schema, column mapping, drop
+      * tombstones): a version's manifest is internally consistent, so
+      * mixing any piece of it with the current head's would not be.
+      * Requires the target manifest to still be retained — retention is
+      * also exactly what guarantees the restored data files still exist
+      * ([[vacuum]] keeps every file referenced by a retained manifest).
+      */
+    def restore(v: Long, maxRetries: Int = 10): Manifest = {
+      val p = manifestPath(v)
+      require(fs.exists(p),
+        s"version $v does not exist (vacuumed or never committed)")
+      val old = resolve(readManifest(p))
+      var attempt = 0
+      while (true) {
+        val head = latest()
+        require(v <= head.version, s"cannot restore to future version $v")
+        if (v == head.version) return head // no-op
+        val m = Manifest(head.version + 1, head.version,
+          System.currentTimeMillis(), "restore", old.partitionCols,
+          old.schemaJson, old.files, old.stats,
+          Map("restored_version" -> v.toString), old.deletes,
+          colMapping = old.colMapping,
+          droppedPhysical = old.droppedPhysical)
+        if (publish(head, m)) return m
+        attempt += 1
+        if (attempt > maxRetries)
+          throw new ConcurrentModificationException(
+            s"restore at $root lost the commit race $attempt times — giving up")
+      }
+      sys.error("unreachable")
+    }
+
+    /** RESTORE ... TO TIMESTAMP AS OF: the last version committed at or
+      * before `tsMs` (the read-path [[readAsOf]] resolution), restored.
+      */
+    def restoreAsOf(tsMs: Long, maxRetries: Int = 10): Manifest = {
+      val h = history().filter(_.timestampMs <= tsMs)
+      require(h.nonEmpty, s"no version committed at or before $tsMs")
+      restore(h.last.version, maxRetries)
+    }
+
     /** TRUNCATE TABLE: one metadata commit that empties the file list (and
       * resets pending MOR deletes — every row they referenced is gone).
       * Data files stay on disk for time travel until [[vacuum]].
@@ -1872,7 +1917,7 @@ object Snapshots {
       * production would add an age threshold, the standard table-format
       * mitigation.
       */
-    def vacuum(retainLast: Int = 1, minAgeHours: Double = 24.0): Unit = {
+    def vacuum(retainLast: Int = 1, minAgeHours: Double = 24.0): Long = {
       val vs = versions()
       val keep = vs.takeRight(math.max(retainLast, 1)).toSet
       // the oldest retained manifest must be self-contained AFTER its
@@ -1902,13 +1947,16 @@ object Snapshots {
       // Delta/Iceberg retention-check design); maintenance that knows no
       // writer is active may pass 0.
       val cutoff = System.currentTimeMillis() - (minAgeHours * 3600 * 1000).toLong
+      var reclaimed = 0L
       Seq("data", "deletes").foreach { sub =>
         val dir = new Path(rootPath, sub)
         if (fs.exists(dir)) {
           listParquet(dir).foreach { p =>
             if (!referenced.contains(relativize(p)) &&
-                fs.getFileStatus(p).getModificationTime <= cutoff)
+                fs.getFileStatus(p).getModificationTime <= cutoff) {
               fs.delete(p, false)
+              reclaimed += 1
+            }
           }
           // drop now-empty, aged-out commit dirs
           fs.listStatus(dir).foreach { d =>
@@ -1919,6 +1967,7 @@ object Snapshots {
         }
       }
       vs.filterNot(keep).foreach(v => fs.delete(manifestPath(v), false))
+      reclaimed
     }
   }
 

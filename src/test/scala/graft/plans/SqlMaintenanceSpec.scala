@@ -1,0 +1,128 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import graft.{Engine, SparkSpec}
+
+/** Maintenance SQL verbs (RESTORE / OPTIMIZE / VACUUM) and the restore
+  * primitive they lower to.
+  */
+class SqlMaintenanceSpec extends SparkSpec {
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft_maint_").toString + "/t"
+
+  private def nums(lo: Int, hi: Int) = {
+    import spark.implicits._
+    (lo until hi).map(i => (i.toLong, s"row$i", i % 4)).toDF("id", "s", "k")
+  }
+
+  private def sql(q: String) = Engine.sql(spark, sfDir, q)
+
+  test("restore rolls back data as a new commit; history stays append-only") {
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 100))
+    t.append(nums(100, 150))
+    t.deleteWhere(col("id") < 20)
+    assert(t.read().count() === 130)
+
+    val m = t.restore(0)
+    assert(m.action === "restore")
+    assert(m.meta("restored_version") === "0")
+    assert(t.read().count() === 100, "restored state must match version 0")
+    // nothing was erased: the pre-restore head is still time-travelable
+    assert(t.readVersion(2).count() === 130)
+    // and the restore can itself be undone by restoring forward
+    t.restore(2)
+    assert(t.read().count() === 130)
+    // restoring to the current head is a no-op, not a new version
+    val head = t.latest()
+    assert(t.restore(head.version).version === head.version)
+  }
+
+  test("restore brings back the old schema across evolution") {
+    import org.apache.spark.sql.types._
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 10))
+    t.addColumns(StructType(Seq(StructField("extra", StringType))))
+    t.renameColumn("s", "label")
+    assert(t.read().columns.toSeq === Seq("id", "label", "k", "extra"))
+    t.restore(0)
+    val got = t.read()
+    assert(got.columns.toSeq === Seq("id", "s", "k"))
+    assert(got.count() === 10)
+    // evolution after a restore starts from the restored schema
+    t.append(nums(10, 12))
+    assert(t.read().count() === 12)
+  }
+
+  test("restore to a vacuumed version fails loudly") {
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 10))
+    t.append(nums(10, 20))
+    t.append(nums(20, 30))
+    t.vacuum(retainLast = 1, minAgeHours = 0)
+    intercept[IllegalArgumentException](t.restore(0))
+  }
+
+  test("SQL: RESTORE TABLE ... TO VERSION AS OF / TO TIMESTAMP AS OF") {
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 50))
+    NamedTables.registerSnapshot("maint_restore", root)
+    sql("UPDATE maint_restore SET s = 'x' WHERE id < 25")
+    assert(sql("SELECT count(*) AS n FROM maint_restore WHERE s = 'x'")
+      .head.getLong(0) === 25)
+
+    val res = sql("RESTORE TABLE maint_restore TO VERSION AS OF 0")
+    assert(res.columns.toSeq ===
+      Seq("table", "restored_version", "new_version", "n_files"))
+    assert(res.head.getLong(1) === 0L)
+    assert(sql("SELECT count(*) AS n FROM maint_restore WHERE s = 'x'")
+      .head.getLong(0) === 0)
+
+    // timestamp form: restore to the post-update state by its commit time
+    val updTs = new java.sql.Timestamp(t.history()(1).timestampMs)
+    sql(s"RESTORE TABLE maint_restore TO TIMESTAMP AS OF '$updTs'")
+    assert(sql("SELECT count(*) AS n FROM maint_restore WHERE s = 'x'")
+      .head.getLong(0) === 25)
+  }
+
+  test("SQL: OPTIMIZE compacts small files; ZORDER BY clusters") {
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 100).coalesce(1))
+    (1 to 4).foreach(i => t.append(nums(i * 100, i * 100 + 100).coalesce(1)))
+    NamedTables.registerSnapshot("maint_opt", root)
+    val before = t.latest().files.size
+
+    val res = sql("OPTIMIZE maint_opt")
+    assert(res.head.getLong(3) === before.toLong)
+    assert(res.head.getLong(4) < before.toLong, "compaction must shrink the file count")
+    assert(sql("SELECT count(*) AS n FROM maint_opt").head.getLong(0) === 500)
+
+    val z = sql("OPTIMIZE maint_opt ZORDER BY (id, k)")
+    assert(z.head.getString(1) === "zorder")
+    assert(sql("SELECT sum(id) AS s FROM maint_opt").head.getLong(0) ===
+      (0L until 500L).sum)
+  }
+
+  test("SQL: VACUUM RETAIN 0 HOURS reclaims unreferenced files") {
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 100).coalesce(1))
+    (1 to 3).foreach(i => t.append(nums(i * 100, i * 100 + 100).coalesce(1)))
+    t.compact(minInputFiles = 2)
+    NamedTables.registerSnapshot("maint_vac", root)
+
+    val res = sql("VACUUM maint_vac RETAIN 0 HOURS")
+    assert(res.head.getLong(1) > 0L, "pre-compaction files must be reclaimed")
+    assert(sql("SELECT count(*) AS n FROM maint_vac").head.getLong(0) === 400)
+    // a second vacuum has nothing left to do
+    assert(sql("VACUUM maint_vac RETAIN 0 HOURS").head.getLong(1) === 0L)
+  }
+
+  test("maintenance verbs reject unknown and non-snapshot tables") {
+    intercept[IllegalArgumentException](sql("OPTIMIZE maint_no_such_table"))
+    val path = freshRoot()
+    nums(0, 5).write.parquet(path)
+    NamedTables.registerPath("maint_plain", path)
+    intercept[IllegalArgumentException](sql("VACUUM maint_plain"))
+  }
+}
