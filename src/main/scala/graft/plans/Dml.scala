@@ -389,7 +389,7 @@ object Dml {
       sourceKeysUnique: Boolean): Unit = {
     val target0 = readTable(spark, table)
     val cols = target0.columns
-    val insertUnmatched = spec.insert.isDefined
+    val insertUnmatched = spec.inserts.nonEmpty
 
     def postOf(target: DataFrame): DataFrame =
       MergeEngine.postImage(target, source, keys, cols.toSeq, spec,

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * {{{
   * MERGE INTO t USING s ON t.k1 = s.k1 [AND t.k2 = s.k2 ...]
   *   WHEN MATCHED [AND c1] THEN UPDATE SET ... | DELETE      (ordered arms)
-  *   WHEN NOT MATCHED [AND ci] THEN INSERT ...               (one arm)
+  *   WHEN NOT MATCHED [AND ci] THEN INSERT ...               (ordered arms)
   *   WHEN NOT MATCHED BY SOURCE [AND cj] THEN UPDATE | DELETE (ordered arms)
   * }}}
   *
@@ -49,14 +49,16 @@ private[plans] object MergeEngine {
   /** WHEN NOT MATCHED [AND cond] THEN INSERT. With `values = None` the
     * whole source row inserts by name (source must carry every target
     * column); with explicit values, each target column takes its expression
-    * (evaluated over the source row).
+    * (evaluated over the source row). Several ordered arms are allowed —
+    * first-matching-arm-wins, like the matched arms; a source row no arm
+    * accepts is dropped.
     */
   final case class Insert(condition: Option[Column],
       values: Option[Map[String, Column]] = None)
 
   final case class Spec(
       matched: Seq[MatchedArm] = Nil,
-      insert: Option[Insert] = None,
+      inserts: Seq[Insert] = Nil,
       notMatchedBySource: Seq[MatchedArm] = Nil) {
     def touchesUnmatchedTargets: Boolean = notMatchedBySource.nonEmpty
   }
@@ -68,7 +70,7 @@ private[plans] object MergeEngine {
       if (whenMatchedDelete) Seq(Delete(None))
       else if (whenMatchedSet.nonEmpty) Seq(Update(None, whenMatchedSet))
       else Nil,
-    insert = if (insertUnmatched) Some(Insert(None)) else None)
+    inserts = if (insertUnmatched) Seq(Insert(None)) else Nil)
 
   /** Post-image of `target ⟗ source`: every surviving row of the merged
     * target. `keys` are the ON-clause equi-pairs (targetCol, sourceCol) —
@@ -89,7 +91,7 @@ private[plans] object MergeEngine {
     val missingKeys = keys.map(_._2).filterNot(srcCols)
     require(missingKeys.isEmpty,
       s"source must carry the merge key(s) ${missingKeys.mkString(", ")}")
-    spec.insert.foreach { ins =>
+    spec.inserts.foreach { ins =>
       if (ins.values.isEmpty) {
         val missing = cols.filterNot(srcCols)
         require(missing.isEmpty,
@@ -156,14 +158,17 @@ private[plans] object MergeEngine {
         case del => !idx.isin(del.map(Integer.valueOf): _*)
       }
 
-    val insertCond = spec.insert match {
-      case None => lit(false)
-      case Some(Insert(c, _)) => c.getOrElse(lit(true))
-    }
+    // ordered insert arms, first-matching-arm-wins (0 = no arm accepts —
+    // the source row is dropped, standard multi-arm NOT MATCHED semantics)
+    val iIdx = spec.inserts.zipWithIndex.foldLeft(Option.empty[Column]) {
+      case (acc, (Insert(cond, _), i)) =>
+        val c = cond.getOrElse(lit(true))
+        Some(acc.map(_.when(c, i + 1)).getOrElse(when(c, i + 1)))
+    }.map(_.otherwise(0)).getOrElse(lit(0))
     val matchedSurvives =
       if (dedupMatched) surviving(mIdx, spec.matched) && col(SrcRn) === 1
       else surviving(mIdx, spec.matched)
-    val alive = when(sourceOnly, insertCond)
+    val alive = when(sourceOnly, iIdx =!= 0)
       .when(matched, matchedSurvives)
       .otherwise(surviving(nIdx, spec.notMatchedBySource))
 
@@ -173,12 +178,17 @@ private[plans] object MergeEngine {
           when(idx === (i + 1), set(c)).otherwise(acc)
         case (acc, _) => acc
       }
-    val insertValues = spec.insert.flatMap(_.values)
     val projection = cols.map { c =>
-      val insVal = insertValues match {
-        case Some(vs) => vs.getOrElse(c, lit(null))
-        case None => if (srcCols(c)) col(c) else tc(c) // tc: unreachable filler
-      }
+      // per-arm insert value for column c, selected by the winning arm
+      // index (base case unreachable: iIdx==0 rows are filtered by `alive`)
+      val insVal = spec.inserts.zipWithIndex
+        .foldLeft(lit(null): Column) { case (acc, (Insert(_, values), i)) =>
+          val v = values match {
+            case Some(vs) => vs.getOrElse(c, lit(null))
+            case None => if (srcCols(c)) col(c) else tc(c) // tc: unreachable filler
+          }
+          when(iIdx === (i + 1), v).otherwise(acc)
+        }
       when(sourceOnly, insVal)
         .when(matched, armValue(mIdx, spec.matched, c))
         .otherwise(armValue(nIdx, spec.notMatchedBySource, c))

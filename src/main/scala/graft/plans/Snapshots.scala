@@ -1515,7 +1515,7 @@ object Snapshots {
         val schema = schemaOf(head.schemaJson)
         val post =
           if (affected.isEmpty) {
-            if (spec.insert.isEmpty) return head // nothing matched, no inserts
+            if (spec.inserts.isEmpty) return head // nothing matched, no inserts
             // no target row matches any source key — every source row inserts
             postOf(readFiles(head.copy(files = Nil)))
           } else postOf(applyDeletes(

@@ -31,10 +31,11 @@ import org.apache.spark.sql.functions.{col, lit}
   *   - `MERGE INTO t [AS a] USING src [AS b] ON a.k1 = b.k1 [AND ...]`
   *     (an AND-chain of equi-conditions — composite business keys) with any
   *     number of ordered, optionally-conditional WHEN MATCHED THEN UPDATE
-  *     SET / DELETE arms, one optionally-conditional WHEN NOT MATCHED THEN
-  *     INSERT (explicit column list — unassigned columns fill with NULL —
-  *     or `INSERT *`), and WHEN NOT MATCHED BY SOURCE THEN UPDATE / DELETE
-  *     arms (first-matching-arm-wins, lowered via [[MergeEngine]]).
+  *     SET / DELETE arms, ordered optionally-conditional WHEN NOT MATCHED
+  *     THEN INSERT arms (explicit column list — unassigned columns fill
+  *     with NULL — or `INSERT *`; a source row no arm accepts is dropped),
+  *     and WHEN NOT MATCHED BY SOURCE THEN UPDATE / DELETE arms
+  *     (first-matching-arm-wins throughout, lowered via [[MergeEngine]]).
   *   - `INSERT INTO/OVERWRITE t [(col, ...)] [PARTITION (k='v'[, d])]
   *     SELECT ...` against registered/snapshot targets (positional over the
   *     listed columns, unlisted fill NULL; static PARTITION values become
@@ -558,16 +559,14 @@ object SqlDml {
     }
     val source = sourceDf0
 
-    // WHEN NOT MATCHED (at most one arm, condition allowed). The source
-    // frame keeps ALL its original columns — insert expressions travel as
-    // explicit per-column values in the spec, so matched-arm references
-    // always bind to the real source columns (a projection that replaced
-    // them could silently re-bind same-named columns). Insert values are
-    // arbitrary expressions over the SOURCE row (literals, functions,
-    // source columns); unassigned target columns fill with NULL; target
-    // references are meaningless in an insert and error.
-    if (m.notMatchedActions.size > 1)
-      unsupported("at most one WHEN NOT MATCHED clause is supported")
+    // WHEN NOT MATCHED (ordered arms, first-matching-arm-wins; conditions
+    // allowed). The source frame keeps ALL its original columns — insert
+    // expressions travel as explicit per-column values in the spec, so
+    // matched-arm references always bind to the real source columns (a
+    // projection that replaced them could silently re-bind same-named
+    // columns). Insert values are arbitrary expressions over the SOURCE row
+    // (literals, functions, source columns); unassigned target columns fill
+    // with NULL; target references are meaningless in an insert and error.
 
     // action expressions in the joined scope: target-qualified refs -> __t_
     // columns, source refs -> source columns by their plain names;
@@ -582,28 +581,28 @@ object SqlDml {
         else a
     })
 
-    val insertValues: Option[Map[String, Column]] =
-      m.notMatchedActions.headOption match {
-        case None => None
-        case Some(_: InsertStarAction) =>
-          val missing = targetCols.filterNot(srcCols0)
-          if (missing.nonEmpty) unsupported(
-            s"INSERT * needs source columns ${missing.mkString(", ")}")
-          None // whole source row by name
-        case Some(InsertAction(_, assigns)) =>
-          Some(assigns.map { a =>
-            val tgt = assignName(a.key, t.qualifiers)
-            val e = strip(a.value, srcQuals)
-            e.foreach {
-              case attr: UnresolvedAttribute if attr.nameParts.size > 1 &&
-                  t.qualifiers.contains(norm(attr.nameParts.head)) =>
-                unsupported(s"INSERT values cannot reference the target: ${attr.sql}")
-              case _ => ()
-            }
-            tgt -> GraftShims.column(e)
-          }.toMap)
-        case Some(other) => unsupported(s"unsupported WHEN NOT MATCHED action: $other")
-      }
+    def insertArm(a: MergeAction): MergeEngine.Insert = a match {
+      case s: InsertStarAction =>
+        val missing = targetCols.filterNot(srcCols0)
+        if (missing.nonEmpty) unsupported(
+          s"INSERT * needs source columns ${missing.mkString(", ")}")
+        MergeEngine.Insert(s.condition.map(actionColumn),
+          None) // whole source row by name
+      case InsertAction(cond, assigns) =>
+        val values = assigns.map { x =>
+          val tgt = assignName(x.key, t.qualifiers)
+          val e = strip(x.value, srcQuals)
+          e.foreach {
+            case attr: UnresolvedAttribute if attr.nameParts.size > 1 &&
+                t.qualifiers.contains(norm(attr.nameParts.head)) =>
+              unsupported(s"INSERT values cannot reference the target: ${attr.sql}")
+            case _ => ()
+          }
+          tgt -> GraftShims.column(e)
+        }.toMap
+        MergeEngine.Insert(cond.map(actionColumn), Some(values))
+      case other => unsupported(s"unsupported WHEN NOT MATCHED action: $other")
+    }
     // WHEN NOT MATCHED BY SOURCE expressions see only the target row —
     // unqualified names resolve target-side; source references are an error
     def targetOnlyColumn(e: Expression): Column = GraftShims.column(e.transformUp {
@@ -638,11 +637,10 @@ object SqlDml {
 
     val spec = MergeEngine.Spec(
       matched = m.matchedActions.map(matchedArm(_, actionColumn, allowStar = true)),
-      insert = m.notMatchedActions.headOption.map(a =>
-        MergeEngine.Insert(a.condition.map(actionColumn), insertValues)),
+      inserts = m.notMatchedActions.map(insertArm),
       notMatchedBySource = m.notMatchedBySourceActions.map(
         matchedArm(_, targetOnlyColumn, allowStar = false)))
-    if (spec.matched.isEmpty && spec.insert.isEmpty &&
+    if (spec.matched.isEmpty && spec.inserts.isEmpty &&
         spec.notMatchedBySource.isEmpty)
       unsupported("statement has no effect: no WHEN clause was given")
 
@@ -652,19 +650,19 @@ object SqlDml {
         // merge-on-read table + single-unconditional-arm statement: retire
         // matched positions via sidecar instead of rewriting files
         val st = Snapshots.table(spark, r.root)
-        val insVals = spec.insert.flatMap(_.values)
+        val insVals = spec.inserts.headOption.flatMap(_.values)
         spec.matched.headOption match {
           case Some(MergeEngine.Delete(_)) =>
             st.mergeMergeOnReadKeys(source, mergeKeys,
-              whenMatchedDelete = true, insertUnmatched = spec.insert.isDefined,
+              whenMatchedDelete = true, insertUnmatched = spec.inserts.nonEmpty,
               insertValues = insVals)
           case Some(MergeEngine.Update(_, set)) =>
             st.mergeMergeOnReadKeys(source, mergeKeys,
-              whenMatchedSet = set, insertUnmatched = spec.insert.isDefined,
+              whenMatchedSet = set, insertUnmatched = spec.inserts.nonEmpty,
               insertValues = insVals)
           case None =>
             st.mergeMergeOnReadKeys(source, mergeKeys,
-              insertUnmatched = spec.insert.isDefined,
+              insertUnmatched = spec.inserts.nonEmpty,
               insertValues = insVals)
         }
       case r: NamedTables.SnapshotRef =>
@@ -685,5 +683,5 @@ object SqlDml {
   private def morShape(spec: MergeEngine.Spec): Boolean =
     spec.notMatchedBySource.isEmpty &&
       spec.matched.size <= 1 && spec.matched.forall(_.condition.isEmpty) &&
-      spec.insert.forall(_.condition.isEmpty)
+      spec.inserts.size <= 1 && spec.inserts.forall(_.condition.isEmpty)
 }

@@ -383,6 +383,51 @@ object SqlDmlQueries {
           |FROM s19_t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     },
 
+    // Multiple ordered WHEN NOT MATCHED arms: an unmatched source row takes
+    // the FIRST arm whose condition holds ('O'-status rows with a large
+    // price overlap both arms — arm order decides), and a row no arm
+    // accepts is dropped. The oracle replays the arm selection as a CASE
+    // with the same ordering.
+    q("s21_sql_merge_multi_insert",
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS total
+        |FROM (
+        |  SELECT o_orderstatus,
+        |    CASE WHEN o_orderkey % 12 = 0 THEN 3.0 ELSE o_totalprice END
+        |      AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 4 = 0
+        |  UNION ALL
+        |  SELECT o_orderstatus,
+        |    CASE WHEN o_orderstatus = 'O' THEN 1.0 ELSE 2.0 END
+        |  FROM orders WHERE o_orderkey % 6 = 0 AND o_orderkey % 12 <> 0
+        |    AND (o_orderstatus = 'O' OR o_totalprice > 150000)
+        |) GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val orders = Engine.table(spark, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      NamedTables.drop("s21_t")
+      NamedTables.registerSnapshot("s21_t",
+        Snapshots.create(spark, scratch(),
+          orders.filter($"o_orderkey" % 4 === 0)).root)
+      orders.filter($"o_orderkey" % 6 === 0)
+        .select($"o_orderkey".as("k"), $"o_orderstatus".as("st"),
+          $"o_totalprice".as("p"))
+        .createOrReplaceTempView("s21_src")
+      Engine.sql(spark, dir,
+        """MERGE INTO s21_t t USING s21_src s ON t.o_orderkey = s.k
+          |WHEN MATCHED THEN UPDATE SET o_totalprice = 3.0
+          |WHEN NOT MATCHED AND s.st = 'O'
+          |  THEN INSERT (o_orderkey, o_orderstatus, o_totalprice)
+          |  VALUES (s.k, s.st, 1.0)
+          |WHEN NOT MATCHED AND s.p > 150000
+          |  THEN INSERT (o_orderkey, o_orderstatus, o_totalprice)
+          |  VALUES (s.k, s.st, 2.0)""".stripMargin)
+      Engine.sql(spark, dir,
+        """SELECT o_orderstatus, count(*) AS n,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS total
+          |FROM s21_t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    },
+
     // Z-ordered, bloom-indexed layout under the gate: the snapshot is
     // rewritten on a two-column Morton curve with bloom filters on the
     // high-cardinality key, then point-filtered through the pruned read

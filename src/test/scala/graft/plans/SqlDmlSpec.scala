@@ -352,6 +352,29 @@ class SqlDmlSpec extends SparkSpec {
     assert(got.filter($"id" >= 10).select("k").distinct().head.getInt(0) === 2)
   }
 
+  test("MERGE with multiple ordered WHEN NOT MATCHED arms: first arm wins") {
+    val root = scratch("graft_sqldml_snap_")
+    val t = Snapshots.create(spark, root, items(0, 10))
+    NamedTables.registerSnapshot("sqldml_mins", root)
+    import spark.implicits._
+    items(5, 25).createOrReplaceTempView("sqldml_minsrc")
+    sql(
+      """MERGE INTO sqldml_mins t USING sqldml_minsrc s ON t.id = s.id
+        |WHEN NOT MATCHED AND s.k = 2 THEN INSERT (id, name, price, k)
+        |  VALUES (s.id, 'bucket2', s.price, s.k)
+        |WHEN NOT MATCHED AND s.k IN (2, 3) THEN INSERT (id, name, price, k)
+        |  VALUES (s.id, 'bucket3', s.price, s.k)""".stripMargin)
+    val got = t.read()
+    // unmatched ids 10..24: k=2 -> 10,14,18,22 (arm 1); k=3 -> 11,15,19,23
+    // (arm 2 — arm 1's condition also overlaps k IN (2,3) but arm ORDER
+    // decides); k=0,1 rows match no arm and drop
+    assert(got.count() === 10 + 8)
+    assert(got.filter($"name" === "bucket2").count() === 4)
+    assert(got.filter($"name" === "bucket3").count() === 4)
+    assert(got.filter($"name" === "bucket3" && $"k" === 2).count() === 0,
+      "a k=2 row must take the FIRST matching arm")
+  }
+
   test("VERSION AS OF / TIMESTAMP AS OF time travel on a named snapshot table") {
     val root = scratch("graft_sqldml_snap_")
     val t = Snapshots.create(spark, root, items(0, 40))
