@@ -47,6 +47,12 @@ object Bench {
 
   /** Context the numbers need to be read correctly (emitted in the JSON). */
   val notes: Map[String, String] = Map(
+    "r8_bench_validity" -> ("r8 numbers for e01/e03/e04/e07, q28, and " +
+      "t07/t13/t21 are invalid: a testdata regeneration between r7 and r8 " +
+      "changed events.ts from TIMESTAMP(NANOS) to TIMESTAMP_NTZ, those " +
+      "queries failed instantly in the r8 bench (fixed in r9 by " +
+      "type-adaptive ts normalization), so r8's headline total is " +
+      "artificially low -- compare r9 to r7, not r8"),
     "p11_ann_lsh" -> ("multi-probe LSH since r3 (probeFlips=1, 13 probe " +
       "buckets/query for ~6x recall) -- r2 and earlier benched single-probe"),
     "dml_pruned_roundtrip" -> ("partition-pruned COW on a partitioned copy " +
@@ -183,11 +189,15 @@ object Bench {
     // (retained loser-id checkpoints etc.), clear cached relations, and GC so
     // the timed pass starts from a clean heap instead of under
     // storage-memory pressure from warmup residue
-    def cleanStorage(gc: Boolean): Unit = {
+    def cleanStorage(gc: Boolean): Unit = try {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       spark.catalog.clearCache()
       if (gc) { System.gc(); Thread.sleep(200) }
+    } catch { case e: Throwable =>
+      // hygiene must never kill the measurement pass (r8: an exception
+      // escaping here aborted a whole bench attempt through measurePass)
+      System.err.println(s"[bench] cleanStorage failed: ${e.getMessage}")
     }
     cleanStorage(gc = true)
 

@@ -88,13 +88,26 @@ object Engine {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     configure(spark)
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
-      // ns-precision column arrives as long (nanosAsLong); truncate to the
-      // engine-wide µs precision. Integer DIV avoids double rounding.
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts DIV 1000")))
-    else df
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /** Engine-wide `ts` type: session-zoned TIMESTAMP at µs precision,
+    * whatever physical type the file stored. Testdata generations have
+    * shipped `ts` as TIMESTAMP(NANOS) (arrives as long under nanosAsLong)
+    * and as TIMESTAMP_NTZ(µs); both normalize to the same UTC instants.
+    */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        // ns-precision epoch long; integer DIV to µs avoids double rounding
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case Some(TimestampNTZType) =>
+        // wall-clock µs; session TZ is UTC, so the instant is unchanged
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 
   // Current registered dir per live session (views are session-global, so

@@ -18,18 +18,18 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object Streams {
 
-  /** File-source stream over an events-shaped parquet directory. The driver
-    * testdata stores ts as TIMESTAMP(NANOS); read as long + convert, same as
-    * Engine.table.
+  /** File-source stream over an events-shaped parquet directory. `ts`
+    * normalizes to session-zoned TIMESTAMP whatever the stored type, same as
+    * Engine.table (testdata generations vary: ns-long vs TIMESTAMP_NTZ).
     */
   def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
     graft.Engine.configure(spark)
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    graft.Engine.normalizeEventTs(
+      spark.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
   }
 
   /** Tumbling-window counts with a watermark for late data. */
