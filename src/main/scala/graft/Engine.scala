@@ -63,6 +63,16 @@ object Engine {
     // broadcast decisions) — the Catalyst analog of Hive's CBO+StatsOptimizer.
     spark.conf.set("spark.sql.cbo.enabled", "true")
     spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    // Runtime bloom-filter join pruning — the Catalyst analog of Hive's
+    // dynamic semijoin reduction (ref ql/.../DynamicPartitionPruningOptimization
+    // + hive.tez.dynamic.semijoin.reduction): a selective filter on the dim
+    // side of a shuffle join injects a bloom might_contain() onto the fact
+    // scan, cutting the shuffled fact rows before the exchange. On by default
+    // in Spark 4; set explicitly so the engine contract doesn't silently
+    // change with Spark defaults. Size thresholds stay at Spark defaults
+    // (creation side ≤10MB builds the filter; fact scans ≥10GB apply it) —
+    // sized for the 100 TB target, not for local toy data.
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     graft.functions.HiveFunctions.registerAll(spark)
     graft.plans.MaterializedViews.install(spark)
     graft.plans.SnapshotSql.register(spark)

@@ -15,13 +15,6 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -34,9 +27,24 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Oracle SQL FIRST: if this JVM is killed mid-dump (driver timeout, OOM),
+    // the driver can still adjudicate every query that did get written.
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Deterministic catalog order, so a partial run loses a contiguous tail
+    // (easy to diagnose) rather than a HashMap-random subset.
+    SparkEntry.allDefs.foreach { d =>
+      val t0 = System.nanoTime()
+      try {
+        d.fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/${d.name}")
+        System.err.println(
+          f"[verify] ${d.name} ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] ${d.name} failed: ${e.getMessage}")
+      }
+    }
     spark.stop()
   }
 }

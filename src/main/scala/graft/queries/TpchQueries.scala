@@ -203,6 +203,24 @@ object TpchQueries {
         |    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) custsale
         |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin),
 
+    // Q15: top supplier(s) by quarterly revenue — the revenue CTE is
+    // referenced twice (join + scalar max); revenue stays DECIMAL through
+    // the equality so both engines compare exactly, cast to DOUBLE only in
+    // the projection. Completes the 22-query TPC-H set (Q1/Q3/Q5/Q6 live as
+    // q01-q04).
+    both("t15_top_supplier",
+      s"""WITH revenue AS (
+         |  SELECT l_suppkey AS supplier_no, sum($rev) AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-07-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name,
+         |  CAST(total_revenue AS DOUBLE) AS total_revenue
+         |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+         |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+         |ORDER BY s_suppkey""".stripMargin),
+
     // Q2 shape (no partsupp: lineitem is the part-supplier bridge): cheapest
     // source per part via a correlated scalar min subquery.
     both("t02_min_cost_supplier",
