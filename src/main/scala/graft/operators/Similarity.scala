@@ -142,14 +142,32 @@ object Similarity {
       df.select(col("__cent").cast("long"),
         col("__centv").cast("array<double>")).collect()
         .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
-    // orderBy+limit is TakeOrderedAndProject: one sorted nLists-row
-    // partition, so the seed index is the row position
-    // (monotonically_increasing_id of partition 0) — no global WindowExec
-    var cents = collectCents(
-      c.withColumn("__h", xxhash64(col("item_id")))
-        .orderBy(col("__h")).limit(nLists)
-        .withColumn("__cent", monotonically_increasing_id())
-        .select(col("__cent"), col("__cv").as("__centv")))
+    // orderBy+limit is TakeOrderedAndProject: one sorted small partition, so
+    // the seed index is the row position (monotonically_increasing_id of
+    // partition 0) — no global WindowExec. Seeds hash vector CONTENT (not
+    // id): duplicate vectors share a hash, and the 4x oversample is deduped
+    // by hash driver-side, so a duplicate-heavy corpus (the dedup use case!)
+    // still gets nLists DISTINCT seed points — identical seeds could never
+    // be split apart by Lloyd refinement.
+    val hashed = c.select(xxhash64(col("__cv")).as("__h"),
+      col("__cv").cast("array<double>").as("__centv"))
+    // escalate the oversample (8x per round) until nLists DISTINCT vectors
+    // appear or the take covers the corpus — a duplicate-heavy corpus (the
+    // dedup use case) may have its entire small-hash prefix be copies of one
+    // point. Each round is one TakeOrderedAndProject pass; typical corpora
+    // finish in the first.
+    var take = 4 * nLists
+    var seeds = Array.empty[(Long, Array[Double])]
+    var exhausted = false
+    while (seeds.length < nLists && !exhausted) {
+      val sample = hashed.orderBy(col("__h")).limit(take).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      seeds = sample.distinctBy(_._1).take(nLists)
+      exhausted = sample.length < take
+      take *= 8
+    }
+    var cents: Array[(Long, Array[Double])] =
+      seeds.zipWithIndex.map { case ((_, v), i) => i.toLong -> v }
     // one vector-avg Aggregator per group — a single aggregate expression
     // regardless of dimensionality (dims x avg(element_at) would bloat
     // codegen at 768+), with map-side partial aggregation intact
@@ -436,5 +454,56 @@ object Similarity {
     corpus.join(broadcast(sums), labelCol)
       .withColumn("cos_to_centroid", round(cosine(v, col("centroid")), 5))
       .select(col(idCol), col(labelCol), col("cos_to_centroid"))
+  }
+
+  /** Deterministic distributed k-means clustering: IVF's trainer (seeds = k
+    * smallest xxhash64(id), Lloyd passes as one aggregation each, centroids
+    * driver-side between passes at metadata scale) exposed as a standalone
+    * clustering operator. Returns (id, cluster_id, cos_to_centroid) — the
+    * assignment is a map-side codegen'd argmax over a literal centroid
+    * matrix, ZERO shuffle, so at 100 TB the clustering pass costs one corpus
+    * scan per iteration plus one for the final assignment.
+    */
+  def kMeansClusters(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 2): DataFrame = {
+    val c = corpus.select(col(idCol).as("item_id"), col(vecCol).as("__cv"))
+    val cents = trainIvfCentroids(c, k, iters)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centDf = cents.toSeq.map { case (id, v) => (id, v.toSeq) }
+      .toDF("cluster_id", "__centv")
+    assignToCentroids(c, cents, "cluster_id")
+      .join(broadcast(centDf), Seq("cluster_id"))
+      .select(col("item_id").as(idCol), col("cluster_id"),
+        round(cosine(col("__cv"), col("__centv")), 5).as("cos_to_centroid"))
+  }
+
+  /** Semantic deduplication (SemDeDup; Abbas et al. 2023, arXiv:2303.09540):
+    * k-means-cluster the embeddings, then within each cluster drop any item
+    * whose cosine to a LOWER-id cluster member is ≥ `tau` (keep-the-first,
+    * deterministic, single pass — no iterative grouping). The pair join is an
+    * equi-join on cluster_id, so the quadratic term is bounded by the largest
+    * cluster, not the corpus: at 100 TB, k is sized so clusters stay
+    * partition-sized (corpus/k rows each), and nothing all-pairs ever runs.
+    * Returns every corpus row flagged: (id, cluster_id, is_dup, dup_of —
+    * lowest-id retained witness for dropped rows, NULL for kept).
+    */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, tau: Double, iters: Int = 2): DataFrame = {
+    val assigned = kMeansClusters(corpus, idCol, vecCol, k, iters)
+      .select(col(idCol).as("__id"), col("cluster_id"))
+      .join(corpus.select(col(idCol).as("__id"), col(vecCol).as("__v")), "__id")
+    val left = assigned.select(col("cluster_id"), col("__id").as("__i"),
+      col("__v").as("__vi"))
+    val right = assigned.select(col("cluster_id"), col("__id").as("__j"),
+      col("__v").as("__vj"))
+    val dups = left.join(right, Seq("cluster_id"))
+      .filter(col("__i") < col("__j"))
+      .filter(cosine(col("__vi"), col("__vj")) >= tau)
+      .groupBy(col("cluster_id"), col("__j").as("__id"))
+      .agg(min(col("__i")).as("dup_of"))
+    assigned.join(dups.drop("cluster_id"), Seq("__id"), "left_outer")
+      .select(col("__id").as(idCol), col("cluster_id"),
+        col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
   }
 }

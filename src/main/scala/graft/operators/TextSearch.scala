@@ -71,6 +71,41 @@ object TextSearch {
       .withColumn("rnk", (monotonically_increasing_id() + 1).cast("int"))
   }
 
+  /** Top-`k` characteristic terms per document by TF-IDF:
+    * `(idCol, term, tfidf, rnk)` with tfidf = tf · ln(N/df), ranked per doc
+    * (score desc, term asc). `minLen` drops short function words map-side
+    * before anything shuffles.
+    *
+    * Scale: one explode→groupBy(doc,term) for tf (map-side partial agg), a
+    * groupBy(term) for df whose result is vocabulary-sized (re-joined on the
+    * term key — at 100 TB the df side is still ≪ corpus and hash-joins on
+    * term), and the per-doc top-k plans as WindowGroupLimit, so only k rows
+    * per doc survive each partition before the rank shuffle.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int, minLen: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = docs.select(col(idCol),
+      TextAnalysis.tokens(col(textCol)).as("__ws"))
+    val n = toks.agg(count(lit(1)).cast("double").as("__n_docs"))
+    val tf = toks
+      .select(col(idCol), explode(col("__ws")).as("term"))
+      .filter(length(col("term")) >= minLen)
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).cast("double").as("__tf"))
+    val dft = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("__df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__score").desc, col("term"))
+    tf.join(dft, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("__score", col("__tf") * log(col("__n_docs") / col("__df")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("term"), round(col("__score"), 4).as("tfidf"),
+        col("rnk").cast("int").as("rnk"))
+  }
+
   /** Per-term corpus statistics for the supplied vocabulary:
     * `(term, df, idf)` — df = documents containing the term, idf as in
     * [[bm25TopK]]. Useful for vocabulary pruning / stopword induction.

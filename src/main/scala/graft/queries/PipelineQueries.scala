@@ -648,5 +648,53 @@ object PipelineQueries {
           sum($"n_samples").as("total_samples"))
         .orderBy($"sample_rate")
     },
+
+    // Deterministic distributed k-means over the embedding corpus
+    // (xxhash64-seeded Lloyd; assignment is a map-side codegen'd argmax —
+    // zero shuffle per pass). Seed hashes aren't reproducible relationally,
+    // so rows-only here; SimilaritySpec pins convergence + determinism.
+    rowsOnly("p36_kmeans_clusters") { (spark, dir) =>
+      import spark.implicits._
+      Similarity.kMeansClusters(t(spark, dir, "embeddings"),
+        "vec_id", "embedding", k = 8, iters = 2)
+        .orderBy($"vec_id")
+    },
+
+    // Semantic dedup (SemDeDup, arXiv:2303.09540): cluster then drop items
+    // cosine-close to a lower-id cluster member. tau=0.35 sits at this
+    // corpus's 99.9th pairwise-cosine percentile (no true near-dups in the
+    // synthetic embeddings), so a stable fraction flags as dups.
+    rowsOnly("p37_semantic_dedup") { (spark, dir) =>
+      import spark.implicits._
+      Similarity.semanticDedup(t(spark, dir, "embeddings"),
+        "vec_id", "embedding", k = 8, tau = 0.35, iters = 2)
+        .orderBy($"vec_id")
+    },
+
+    // TF-IDF characteristic terms per document (top-3, >=4-char terms).
+    q("p38_tfidf_topterms",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w <> '') AS ws
+        |  FROM documents),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM toks),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, unnest(ws) AS term FROM toks)
+        |  WHERE length(term) >= 4 GROUP BY 1, 2),
+        |dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf * ln(n.n_docs / dft.df) AS score
+        |  FROM tf JOIN dft USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, round(score, 4) AS tfidf, CAST(rnk AS INT) AS rnk
+        |FROM (SELECT doc_id, term, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      graft.operators.TextSearch.tfidfTopTerms(
+        t(spark, dir, "documents"), k = 3, minLen = 4)
+        .orderBy($"doc_id", $"rnk")
+    },
   )
 }

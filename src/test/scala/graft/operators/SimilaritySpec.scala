@@ -288,4 +288,60 @@ class SimilaritySpec extends SparkSpec {
     val mm = d.agg(min($"cos_to_centroid"), max($"cos_to_centroid")).head()
     assert(mm.getDouble(0) >= -1.0 && mm.getDouble(1) <= 1.0)
   }
+
+  test("kMeansClusters assigns every vector to one of k clusters, deterministically") {
+    import spark.implicits._
+    val a = Similarity.kMeansClusters(emb, "vec_id", "embedding", k = 8, iters = 2)
+    assert(a.count() === emb.count())
+    assert(a.select($"cluster_id").distinct().count() <= 8)
+    // assignment is the argmax over the same trained centroids -> re-running
+    // the whole operator reproduces it exactly
+    val b = Similarity.kMeansClusters(emb, "vec_id", "embedding", k = 8, iters = 2)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("kMeansClusters separates well-separated planted clusters") {
+    import spark.implicits._
+    // three orthogonal directions, 30 identical points each — identical
+    // inputs must share an assignment (deterministic argmax), so each
+    // ground-truth group maps to exactly one learned cluster
+    val pts = spark.range(90).select($"id".as("vec_id"),
+      transform(sequence(lit(0), lit(15)), i =>
+        when(($"id" % 3) === i % 3, lit(10.0)).otherwise(lit(0.0))).as("embedding"))
+    val a = Similarity.kMeansClusters(pts, "vec_id", "embedding", k = 3, iters = 3)
+    val purity = a.withColumn("truth", $"vec_id" % 3)
+      .groupBy($"truth").agg(countDistinct($"cluster_id").as("n"))
+      .agg(max($"n")).head().getLong(0)
+    assert(purity === 1L, "a ground-truth group was split across clusters")
+    // orthogonal groups with multi-group seeds separate fully
+    assert(a.select($"cluster_id").distinct().count() === 3)
+    // members of a group sit ON their centroid after refinement
+    assert(a.agg(min($"cos_to_centroid")).head().getDouble(0) > 0.999)
+  }
+
+  test("semanticDedup flags planted near-identical vectors, keeps the lowest id") {
+    import spark.implicits._
+    val clones = emb.filter($"vec_id" < 5)
+      .withColumn("vec_id", $"vec_id" + 900000L)
+    val corpus = emb.unionByName(clones)
+    val d = Similarity.semanticDedup(corpus, "vec_id", "embedding",
+      k = 8, tau = 0.999, iters = 2)
+    assert(d.count() === corpus.count())
+    // each clone is cosine-1 to its source -> flagged, with the source as
+    // witness; the source itself (lower id) stays kept
+    val dups = d.filter($"is_dup").select($"vec_id", $"dup_of").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 5L).foreach { i =>
+      assert(dups.get(900000L + i).contains(i), s"clone of $i not flagged")
+      assert(!dups.contains(i), s"source $i wrongly flagged")
+    }
+  }
+
+  test("semanticDedup with an impossible threshold flags nothing") {
+    import spark.implicits._
+    val d = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      k = 8, tau = 1.5, iters = 1)
+    assert(d.filter($"is_dup").count() === 0)
+    assert(d.filter($"dup_of".isNotNull).count() === 0)
+  }
 }

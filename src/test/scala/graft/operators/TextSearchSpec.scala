@@ -57,6 +57,33 @@ class TextSearchSpec extends SparkSpec {
     assert(st.values.forall(_._2 >= 0.0))
   }
 
+  test("tfidfTopTerms matches the closed form and ranks per doc") {
+    // minLen=1 keeps the short fixture vocabulary; 5 docs
+    val out = TextSearch.tfidfTopTerms(docs, k = 2, minLen = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) ->
+        (r.getString(1), r.getDouble(2))).toMap
+    // doc 1: spark tf=3 df=3 -> 3*ln(5/3); join tf=1 df=3 -> ln(5/3)
+    val lnFiveThirds = math.log(5.0 / 3.0)
+    assert(out((1L, 1))._1 == "spark")
+    assert(math.abs(out((1L, 1))._2 - 3 * lnFiveThirds) < 1e-4)
+    assert(out((1L, 2)) == ("join",
+      BigDecimal(lnFiveThirds).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble))
+    // doc 5's rarest terms (merge/sort/hash, df=1) outrank common ones;
+    // the tie among equal scores breaks alphabetically
+    assert(out((5L, 1))._1 == "hash" && out((5L, 2))._1 == "merge")
+    // every doc yields at most k rows, ranks contiguous from 1
+    val perDoc = out.keys.groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted)
+    perDoc.foreach { case (_, rs) => assert(rs == (1 to rs.length)) }
+  }
+
+  test("plan shape: tfidf per-doc top-k plans a WindowGroupLimit") {
+    val plan = TextSearch.tfidfTopTerms(docs, k = 2, minLen = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-doc top-k should prune before the rank shuffle:\n$plan")
+  }
+
   test("plan shape: top-k is TakeOrderedAndProject, stats/df broadcast") {
     val plan = TextSearch.bm25TopK(docs, Seq("spark"), k = 5)
       .queryExecution.executedPlan.toString
