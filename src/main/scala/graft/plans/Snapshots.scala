@@ -132,6 +132,34 @@ object Snapshots {
   final class ConcurrentModificationException(msg: String)
     extends RuntimeException(msg)
 
+  final class ConstraintViolationException(msg: String)
+    extends RuntimeException(msg)
+
+  /** Table integrity constraints (`_constraints.json` at the table root) —
+    * the engine analog of Hive's enforced NOT NULL / CHECK / DEFAULT and
+    * informational PRIMARY KEY / FOREIGN KEY / UNIQUE constraint surface
+    * (ref standalone-metastore/.../hive_metastore.thrift: SQLNotNullConstraint,
+    * SQLCheckConstraint, SQLDefaultConstraint; enforcement in
+    * ql/.../GenericUDFEnforceConstraint.java).
+    *
+    *  - `notNull`: LOGICAL column names that must be non-null on every write.
+    *  - `checks`: name → SQL boolean expression over the row; a row violates
+    *    only when the expression is FALSE (NULL passes — SQL standard).
+    *  - `defaults`: column → SQL expression filled in for columns omitted
+    *    from an INSERT column list (explicit NULLs stay NULL — Hive/ANSI
+    *    DEFAULT semantics).
+    *  - `informational`: rendered PRIMARY KEY / FOREIGN KEY / UNIQUE
+    *    declarations — documented, surfaced in DESCRIBE, never enforced
+    *    (the reference's RELY NOVALIDATE contract for optimizer hints).
+    */
+  final case class TableConstraints(
+      notNull: Seq[String] = Nil,
+      checks: Map[String, String] = Map.empty,
+      defaults: Map[String, String] = Map.empty,
+      informational: Map[String, String] = Map.empty) {
+    def isEmpty: Boolean = notNull.isEmpty && checks.isEmpty
+  }
+
   /** Bloom file-skipping index config (`_bloom_config.json` at the table
     * root): `cols` are PHYSICAL column names (rename-proof), `bits` is the
     * per-file filter size. See [[SnapshotTable.setBloomColumns]].
@@ -850,8 +878,8 @@ object Snapshots {
         schemaOf(head0.schemaJson).fieldNames.sorted),
         "append schema must match table schema")
       val (staged, stagedStats) = stage(
-        conform(df, schemaOf(head0.schemaJson)), head0.partitionCols,
-        head0.colMapping)
+        validateConstraints(conform(df, schemaOf(head0.schemaJson)), "append"),
+        head0.partitionCols, head0.colMapping)
       commit("append", maxRetries, meta)(head =>
         if (skip(head)) None // duplicate landed concurrently — no-op
         else if (head.colMapping != head0.colMapping)
@@ -905,7 +933,8 @@ object Snapshots {
       */
     def overwrite(df: DataFrame, maxRetries: Int = 10): Manifest = {
       val head0 = latest()
-      val staged = stage(conform(df, schemaOf(head0.schemaJson)),
+      val staged = stage(
+        validateConstraints(conform(df, schemaOf(head0.schemaJson)), "overwrite"),
         head0.partitionCols, head0.colMapping)
       commit("overwrite", maxRetries, deletesOf = _ => Nil)(_ => Some(staged))
     }
@@ -933,7 +962,10 @@ object Snapshots {
         val affectedDf = applyDeletes(
           readFilesMeta(head.copy(files = head.files.filter(affected))), head)
           .select(schema.fieldNames.map(col): _*)
-        val (staged, stagedStats) = stage(postImage(affectedDf),
+        val post =
+          if (action == "delete") postImage(affectedDf)
+          else validateConstraints(postImage(affectedDf), action)
+        val (staged, stagedStats) = stage(post,
           head.partitionCols, head.colMapping)
         val files = head.files.filterNot(affected) ++ staged
         val m = Manifest(head.version + 1, head.version,
@@ -1269,7 +1301,8 @@ object Snapshots {
         val updated = conform(
           matches.select(schema.fieldNames.map(c =>
             set.getOrElse(c, col(c)).as(c)): _*), schema)
-        val (staged, stagedStats) = stage(updated, head.partitionCols,
+        val (staged, stagedStats) = stage(
+          validateConstraints(updated, "update-mor"), head.partitionCols,
           head.colMapping)
         val m = Manifest(head.version + 1, head.version,
           System.currentTimeMillis(), "update-mor", head.partitionCols,
@@ -1444,8 +1477,9 @@ object Snapshots {
             whenMatchedSet.getOrElse(c, tc(c)).as(c)): _*))
         val appended = (images.toSeq ++ inserts.toSeq)
           .reduceOption(_ unionByName _)
-          .map(df => stage(conform(df, schema), head.partitionCols,
-            head.colMapping))
+          .map(df => stage(
+            validateConstraints(conform(df, schema), "merge-mor"),
+            head.partitionCols, head.colMapping))
         val (staged, stagedStats) =
           appended.getOrElse((Seq.empty[String], Map.empty[String, FileStat]))
         val m = Manifest(head.version + 1, head.version,
@@ -1521,7 +1555,8 @@ object Snapshots {
           } else postOf(applyDeletes(
             readFilesMeta(head.copy(files = head.files.filter(affected))), head)
             .select(schema.fieldNames.map(col): _*))
-        val (staged, stagedStats) = stage(post, head.partitionCols,
+        val (staged, stagedStats) = stage(
+          validateConstraints(post, "merge"), head.partitionCols,
           head.colMapping)
         val m = Manifest(head.version + 1, head.version,
           System.currentTimeMillis(), "merge", head.partitionCols,
@@ -1806,6 +1841,148 @@ object Snapshots {
           new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")))
         finally in.close()
       }
+    }
+
+    // ------------------------------------------------------------------
+    // Constraints (see [[TableConstraints]])
+
+    /** Current constraint set (empty if none declared). */
+    def constraints(): TableConstraints = {
+      val p = new Path(rootPath, "_constraints.json")
+      if (!fs.exists(p)) TableConstraints()
+      else {
+        val in = fs.open(p)
+        try org.json4s.jackson.Serialization.read[TableConstraints](
+          new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8"))
+        finally in.close()
+      }
+    }
+
+    private def writeConstraints(c: TableConstraints): Unit = {
+      val out = fs.create(new Path(rootPath, "_constraints.json"), true)
+      try out.write(org.json4s.jackson.Serialization.write(c).getBytes("UTF-8"))
+      finally out.close()
+    }
+
+    /** Violation predicates for the ENFORCED constraints: (description,
+      * referenced columns, row-is-violating condition). NOT NULL trips on
+      * null; CHECK trips only when the expression is FALSE (NULL passes,
+      * per SQL). Referenced columns come from parsing the stored SQL, so a
+      * constraint over a since-dropped column can be skipped instead of
+      * failing analysis.
+      */
+    private def violationConds(
+        c: TableConstraints): Seq[(String, Seq[String], Column)] =
+      c.notNull.sorted.map(n =>
+        (s"NOT NULL constraint on column $n", Seq(n), col(n).isNull)) ++
+      c.checks.toSeq.sortBy(_._1).map { case (name, sql) =>
+        val refs = spark.sessionState.sqlParser.parseExpression(sql).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.nameParts.head
+        }
+        (s"CHECK constraint $name ($sql)", refs,
+          coalesce(expr(sql).cast("boolean"), lit(true)) === lit(false))
+      }
+
+    /** Validate `df` against the enforced constraints: ONE aggregate pass
+      * over the incoming frame computing every constraint's violation count,
+      * before anything stages. A deliberate extra evaluation of the incoming
+      * batch (the small side at 100 TB — the table itself is never
+      * rescanned) rather than an in-write raise_error guard: a side-effecting
+      * predicate can be reordered or pushed past other filters by the
+      * optimizer and fire on rows the plan would later discard; a plain
+      * aggregate cannot.
+      */
+    private def validateConstraints(df: DataFrame, action: String): DataFrame = {
+      val c = constraints()
+      val conds = violationConds(c).filter {
+        // a constraint can reference columns this frame doesn't carry
+        // (schema evolution mid-flight): skip rather than fail analysis
+        case (_, refs, _) => refs.forall(df.columns.contains)
+      }
+      if (conds.isEmpty) return df
+      val counts = df.agg(
+        sum(when(conds.head._3, 1L).otherwise(0L)).as("c0"),
+        conds.tail.zipWithIndex.map { case ((_, _, cond), i) =>
+          sum(when(cond, 1L).otherwise(0L)).as(s"c${i + 1}") }: _*).head()
+      val violated = conds.zipWithIndex.collect {
+        case ((desc, _, _), i) if counts.getLong(i) > 0 =>
+          s"$desc: ${counts.getLong(i)} row(s)"
+      }
+      if (violated.nonEmpty)
+        throw new ConstraintViolationException(
+          s"$action at $root rejected: ${violated.mkString("; ")}")
+      df
+    }
+
+    /** Declare a CHECK constraint. Existing table data is validated first
+      * (one stats-free scan) — the constraint is only published if current
+      * rows all satisfy it, so "constraints hold" is a table invariant, not
+      * an aspiration (Hive's ENABLE semantics; there is no NOVALIDATE mode
+      * here).
+      */
+    def addCheck(name: String, conditionSql: String): Unit = {
+      require(name.nonEmpty, "constraint needs a name")
+      val c = constraints()
+      require(!c.checks.contains(name), s"constraint $name already exists")
+      // surface malformed expressions now, not at first write
+      val cond = expr(conditionSql).cast("boolean")
+      val bad = read().filter(coalesce(cond, lit(true)) === lit(false)).limit(1)
+      if (bad.collect().nonEmpty)
+        throw new ConstraintViolationException(
+          s"cannot add CHECK $name ($conditionSql): existing rows violate it")
+      writeConstraints(c.copy(checks = c.checks + (name -> conditionSql)))
+    }
+
+    def dropCheck(name: String): Unit = {
+      val c = constraints()
+      require(c.checks.contains(name) || c.informational.contains(name),
+        s"no such constraint: $name")
+      writeConstraints(c.copy(checks = c.checks - name,
+        informational = c.informational - name))
+    }
+
+    /** Declare a column NOT NULL (validates existing data first). */
+    def setNotNull(column: String): Unit = {
+      val schema = schemaOf(latest().schemaJson)
+      require(schema.fieldNames.contains(column), s"no such column: $column")
+      val c = constraints()
+      if (c.notNull.contains(column)) return
+      if (read().filter(col(column).isNull).limit(1).collect().nonEmpty)
+        throw new ConstraintViolationException(
+          s"cannot set $column NOT NULL: existing rows hold null")
+      writeConstraints(c.copy(notNull = c.notNull :+ column))
+    }
+
+    def dropNotNull(column: String): Unit = {
+      val c = constraints()
+      writeConstraints(c.copy(notNull = c.notNull.filterNot(_ == column)))
+    }
+
+    /** Declare a DEFAULT expression for a column — filled in when an INSERT
+      * column list omits the column (never rewrites existing rows).
+      */
+    def setDefault(column: String, exprSql: String): Unit = {
+      val schema = schemaOf(latest().schemaJson)
+      require(schema.fieldNames.contains(column), s"no such column: $column")
+      expr(exprSql) // malformed default fails now
+      val c = constraints()
+      writeConstraints(c.copy(defaults = c.defaults + (column -> exprSql)))
+    }
+
+    def dropDefault(column: String): Unit = {
+      val c = constraints()
+      writeConstraints(c.copy(defaults = c.defaults - column))
+    }
+
+    /** Record an informational (never enforced) PRIMARY KEY / FOREIGN KEY /
+      * UNIQUE declaration — the reference's RELY NOVALIDATE surface.
+      */
+    def addInformational(name: String, rendered: String): Unit = {
+      val c = constraints()
+      require(!c.informational.contains(name) && !c.checks.contains(name),
+        s"constraint $name already exists")
+      writeConstraints(c.copy(informational = c.informational + (name -> rendered)))
     }
 
     /** One bloom aggregation job over the just-staged dir, written as the

@@ -102,14 +102,77 @@ object SqlDml {
                 if (sp.column.name.size != 1)
                   throw new UnsupportedOperationException(
                     s"nested ALTER COLUMN is not supported: ${sp.column.name.mkString(".")}")
-                val extras = sp.newNullability.isDefined ||
-                  sp.newComment.isDefined || sp.newPosition.isDefined ||
-                  sp.newDefaultExpression.isDefined || sp.dropDefault
-                if (sp.newDataType.isEmpty || extras)
+                val c = sp.column.name.head
+                if (sp.newComment.isDefined || sp.newPosition.isDefined)
                   throw new UnsupportedOperationException(
-                    "only ALTER COLUMN ... TYPE <widening> is supported")
-                t.alterColumnType(sp.column.name.head, sp.newDataType.get)
+                    "ALTER COLUMN supports TYPE <widening>, SET/DROP NOT " +
+                      "NULL, and SET/DROP DEFAULT")
+                var handled = false
+                sp.newDataType.foreach { dt => t.alterColumnType(c, dt); handled = true }
+                sp.newNullability.foreach { nullable =>
+                  if (nullable) t.dropNotNull(c) else t.setNotNull(c)
+                  handled = true
+                }
+                sp.newDefaultExpression.foreach { d =>
+                  t.setDefault(c, d.originalSQL); handled = true }
+                if (sp.dropDefault) { t.dropDefault(c); handled = true }
+                if (!handled)
+                  throw new UnsupportedOperationException(
+                    "ALTER COLUMN supports TYPE <widening>, SET/DROP NOT " +
+                      "NULL, and SET/DROP DEFAULT")
               }
+              done(spark)
+          }
+        case _ => None
+      }
+      // CHECK gets its own parse node whose child is Spark's validation scan
+      // shape, Filter(NOT cond, relation) — the table is dug out of it
+      case acc: AddCheckConstraint =>
+        acc.child.collectFirst { case r: UnresolvedRelation =>
+          r.multipartIdentifier
+        }.flatMap(NamedTables.refOf).collect {
+          case r: NamedTables.SnapshotRef =>
+            val cc = acc.checkConstraint
+            Snapshots.table(spark, r.root).addCheck(cc.name, cc.condition)
+            done(spark)
+        }
+      case addc: AddConstraint => addc.table match {
+        case tbl: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+          NamedTables.refOf(tbl.multipartIdentifier).collect {
+            case r: NamedTables.SnapshotRef =>
+              val t = Snapshots.table(spark, r.root)
+              addc.tableConstraint match {
+                case cc: org.apache.spark.sql.catalyst.expressions.CheckConstraint =>
+                  t.addCheck(cc.name, cc.condition)
+                case pk: org.apache.spark.sql.catalyst.expressions.PrimaryKeyConstraint =>
+                  t.addInformational(pk.name,
+                    s"PRIMARY KEY (${pk.columns.mkString(", ")})")
+                case u: org.apache.spark.sql.catalyst.expressions.UniqueConstraint =>
+                  t.addInformational(u.name,
+                    s"UNIQUE (${u.columns.mkString(", ")})")
+                case fk: org.apache.spark.sql.catalyst.expressions.ForeignKeyConstraint =>
+                  t.addInformational(fk.name,
+                    s"FOREIGN KEY (${fk.childColumns.mkString(", ")}) " +
+                      s"REFERENCES ${fk.parentTableId.mkString(".")} " +
+                      s"(${fk.parentColumns.mkString(", ")})")
+                case other => throw new UnsupportedOperationException(
+                  s"unsupported constraint: $other")
+              }
+              done(spark)
+          }
+        case _ => None
+      }
+      case dropc: DropConstraint => dropc.table match {
+        case tbl: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+          NamedTables.refOf(tbl.multipartIdentifier).collect {
+            case r: NamedTables.SnapshotRef =>
+              val t = Snapshots.table(spark, r.root)
+              val c = t.constraints()
+              if (c.checks.contains(dropc.name) ||
+                  c.informational.contains(dropc.name)) t.dropCheck(dropc.name)
+              else if (!dropc.ifExists)
+                throw new IllegalArgumentException(
+                  s"no such constraint: ${dropc.name}")
               done(spark)
           }
         case _ => None
@@ -188,6 +251,12 @@ object SqlDml {
             .map(runDescribe(spark, u.multipartIdentifier.mkString("."), _))
         case _ => None
       }
+      case sc: ShowCreateTable => sc.child match {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
+          NamedTables.refOf(u.multipartIdentifier)
+            .map(runShowCreate(spark, u.multipartIdentifier.mkString("."), _))
+        case _ => None
+      }
       case _ => None
     }
 
@@ -245,7 +314,20 @@ object SqlDml {
       case r: NamedTables.SnapshotRef =>
         val t = Snapshots.table(spark, r.root)
         val m = t.latest()
+        val c = t.constraints()
+        val constraintRows =
+          (if (c.notNull.isEmpty && c.checks.isEmpty && c.defaults.isEmpty &&
+               c.informational.isEmpty) Nil
+           else Seq(("# Constraints", "", ""))) ++
+            c.notNull.sorted.map(n => (n, "NOT NULL", "enforced")) ++
+            c.checks.toSeq.sortBy(_._1).map { case (n, e) =>
+              (n, s"CHECK ($e)", "enforced") } ++
+            c.defaults.toSeq.sortBy(_._1).map { case (n, e) =>
+              (n, s"DEFAULT $e", "") } ++
+            c.informational.toSeq.sortBy(_._1).map { case (n, e) =>
+              (n, e, "informational") }
         (t.read().schema, m.partitionCols,
+          constraintRows ++
           Seq(("# Detail", "", ""), ("Format", "snapshot", ""),
             ("Location", r.root, ""), ("Write Mode", r.writeMode, ""),
             ("Version", m.version.toString, "")))
@@ -260,6 +342,44 @@ object SqlDml {
       if (partCols.isEmpty) Nil
       else ("# Partition Information", "", "") +: partCols.map(c => (c, "", ""))
     (cols ++ parts ++ extras).toDF("col_name", "data_type", "comment")
+  }
+
+  /** SHOW CREATE TABLE for a registered name: a re-runnable CREATE statement
+    * (column types from the live schema, enforced NOT NULL inline, CHECK /
+    * informational constraints as CONSTRAINT clauses, DEFAULTs inline,
+    * partitioning and location as written) in Spark's native single-column
+    * `createtab_stmt` shape.
+    */
+  private def runShowCreate(spark: SparkSession, name: String,
+      ref: NamedTables.Ref): DataFrame = {
+    import spark.implicits._
+    val stmt = ref match {
+      case r: NamedTables.SnapshotRef =>
+        val t = Snapshots.table(spark, r.root)
+        val m = t.latest()
+        val c = t.constraints()
+        val colLines = t.read().schema.fields.map { f =>
+          val nn = if (c.notNull.contains(f.name)) " NOT NULL" else ""
+          val dflt = c.defaults.get(f.name).map(d => s" DEFAULT $d").getOrElse("")
+          s"  ${f.name} ${f.dataType.sql}$nn$dflt"
+        }
+        val constraintLines =
+          c.checks.toSeq.sortBy(_._1).map { case (n, e) =>
+            s"  CONSTRAINT $n CHECK ($e)" } ++
+          c.informational.toSeq.sortBy(_._1).map { case (n, e) =>
+            s"  CONSTRAINT $n $e" }
+        val partBy =
+          if (m.partitionCols.isEmpty) ""
+          else s"\nPARTITIONED BY (${m.partitionCols.mkString(", ")})"
+        s"CREATE TABLE $name (\n${(colLines ++ constraintLines).mkString(",\n")})\n" +
+          s"USING snapshot$partBy\nLOCATION '${r.root}'"
+      case p: NamedTables.PathRef =>
+        val colLines = spark.read.parquet(p.root).schema.fields
+          .map(f => s"  ${f.name} ${f.dataType.sql}")
+        s"CREATE TABLE $name (\n${colLines.mkString(",\n")})\n" +
+          s"USING parquet\nLOCATION '${p.root}'"
+    }
+    Seq(stmt).toDF("createtab_stmt")
   }
 
   /** DML statements return an empty frame, like Spark's own commands. */
@@ -387,14 +507,23 @@ object SqlDml {
       }
     // Full target row: assigned columns cast to the column types (a decimal
     // literal into a double column must not stage a decimal-typed file),
-    // static PARTITION values as constants, anything else NULL — SQL
-    // INSERT's unlisted-column fill.
+    // static PARTITION values as constants, anything else the column's
+    // declared DEFAULT if one exists, else NULL — SQL INSERT's
+    // unlisted-column fill (explicitly-inserted NULLs stay NULL; defaults
+    // apply only to OMITTED columns, the ANSI/Hive contract).
+    val defaults: Map[String, String] = t.ref match {
+      case r: NamedTables.SnapshotRef =>
+        Snapshots.table(spark, r.root).constraints().defaults
+      case _ => Map.empty
+    }
     val assigned = named.columns.toSet
     val aligned = named.select(
       fields.map { f =>
         val c =
           if (assigned.contains(f.name)) col(f.name)
-          else static.get(f.name).map(lit(_)).getOrElse(lit(null))
+          else static.get(f.name).map(lit(_))
+            .orElse(defaults.get(f.name).map(org.apache.spark.sql.functions.expr))
+            .getOrElse(lit(null))
         c.cast(f.dataType).as(f.name)
       }.toIndexedSeq: _*)
     t.ref match {
@@ -474,8 +603,33 @@ object SqlDml {
           c.name, c.dataType, c.nullable)))
       val empty = spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-      Snapshots.create(spark, root, empty.coalesce(1),
+      val t = Snapshots.create(spark, root, empty.coalesce(1),
         partitionBy = partitionColsOf(partitioning))
+      // column-level NOT NULL / DEFAULT and table-level CONSTRAINT clauses
+      // become the engine's enforced/declared constraints (the table is
+      // empty, so existence validation is trivially clean)
+      columns.filterNot(_.nullable).foreach(c => t.setNotNull(c.name))
+      columns.foreach(c => c.defaultValue.foreach(d =>
+        t.setDefault(c.name, d.originalSQL)))
+      spec match {
+        case u: UnresolvedTableSpec => u.constraints.foreach {
+          case cc: org.apache.spark.sql.catalyst.expressions.CheckConstraint =>
+            t.addCheck(cc.name, cc.condition)
+          case pk: org.apache.spark.sql.catalyst.expressions.PrimaryKeyConstraint =>
+            t.addInformational(pk.name,
+              s"PRIMARY KEY (${pk.columns.mkString(", ")})")
+          case uc: org.apache.spark.sql.catalyst.expressions.UniqueConstraint =>
+            t.addInformational(uc.name, s"UNIQUE (${uc.columns.mkString(", ")})")
+          case fk: org.apache.spark.sql.catalyst.expressions.ForeignKeyConstraint =>
+            t.addInformational(fk.name,
+              s"FOREIGN KEY (${fk.childColumns.mkString(", ")}) " +
+                s"REFERENCES ${fk.parentTableId.mkString(".")} " +
+                s"(${fk.parentColumns.mkString(", ")})")
+          case other => throw new UnsupportedOperationException(
+            s"unsupported constraint: $other")
+        }
+        case _ => ()
+      }
     }
     NamedTables.registerSnapshot(name, root, writeModeOf(spec))
   }

@@ -454,5 +454,45 @@ object SqlDmlQueries {
       all.agg(count(lit(1)).as("n"),
         Exact.dsum($"l_quantity").as("qty"),
         lit(k1).as("k1"), lit(p25).as("p25"))
+    },
+
+    // Constraints under the gate: a table created with NOT NULL + CHECK +
+    // DEFAULT, a bulk INSERT, a column-list INSERT exercising the DEFAULT
+    // fill, and a violating INSERT that MUST be rejected atomically — if
+    // enforcement broke, the bad row (or a missing default) would land in
+    // the final state and hash-mismatch the oracle's plain-SQL replay
+    // (ref ql/.../GenericUDFEnforceConstraint.java — Hive's enforced
+    // NOT NULL/CHECK/DEFAULT surface).
+    q("s22_sql_constraints",
+      """SELECT id, name, CAST(amount AS DOUBLE) AS amount FROM (
+        |  SELECT o_orderkey AS id, o_orderstatus AS name, o_totalprice AS amount
+        |  FROM orders WHERE o_orderkey <= 200
+        |  UNION ALL SELECT 900000001, 'D1', 7.5
+        |  UNION ALL SELECT 900000002, 'D2', 7.5
+        |) ORDER BY id""".stripMargin) { (spark, dir) =>
+      if (NamedTables.get("s22_t").isDefined) NamedTables.drop("s22_t")
+      val loc = scratch()
+      Engine.sql(spark, dir,
+        s"""CREATE TABLE s22_t (
+           |  id BIGINT NOT NULL,
+           |  name STRING,
+           |  amount DOUBLE DEFAULT 7.5,
+           |  CONSTRAINT amt_nonneg CHECK (amount >= 0))
+           |USING snapshot LOCATION '$loc'""".stripMargin)
+      Engine.sql(spark, dir,
+        """INSERT INTO s22_t
+          |SELECT o_orderkey, o_orderstatus, o_totalprice
+          |FROM orders WHERE o_orderkey <= 200""".stripMargin)
+      Engine.sql(spark, dir,
+        "INSERT INTO s22_t (id, name) VALUES (900000001, 'D1'), (900000002, 'D2')")
+      val rejected =
+        try {
+          Engine.sql(spark, dir,
+            "INSERT INTO s22_t (id, name, amount) VALUES (900000003, 'BAD', -1.0)")
+          false
+        } catch { case _: Snapshots.ConstraintViolationException => true }
+      require(rejected, "CHECK constraint did not reject the violating INSERT")
+      Engine.sql(spark, dir,
+        "SELECT id, name, CAST(amount AS DOUBLE) AS amount FROM s22_t ORDER BY id")
     })
 }
