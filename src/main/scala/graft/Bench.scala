@@ -43,10 +43,16 @@ object Bench {
     "p34_document_chunks",  // context-window chunking (sequence+explode fan-out)
     "t07_volume_shipping",  // 6-way join
     "t13_customer_distribution", // outer join + double aggregation
-    "t21_waiting_supplier") // double-correlated EXISTS/NOT EXISTS
+    "t21_waiting_supplier", // double-correlated EXISTS/NOT EXISTS
+    "t15_top_supplier",     // CTE used twice + scalar-max filter (new r10)
+    "p37_semantic_dedup",   // k-means + in-cluster pair prune (new r10)
+    "p38_tfidf_topterms")   // tf/df relational + per-doc top-k (new r10)
 
   /** Context the numbers need to be read correctly (emitted in the JSON). */
   val notes: Map[String, String] = Map(
+    "r10_new_queries" -> ("t15_top_supplier, p37_semantic_dedup, and " +
+      "p38_tfidf_topterms are benched from r10 on -- headline totals are " +
+      "not comparable across rounds; matched22_sec is the drift metric"),
     "r8_bench_validity" -> ("r8 numbers for e01/e03/e04/e07, q28, and " +
       "t07/t13/t21 are invalid: a testdata regeneration between r7 and r8 " +
       "changed events.ts from TIMESTAMP(NANOS) to TIMESTAMP_NTZ, those " +

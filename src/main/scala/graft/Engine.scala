@@ -168,9 +168,24 @@ object Engine {
       case Some(plan) =>
         graft.plans.SqlDml.maybeRun(spark, plan).getOrElse {
           val substituted = graft.plans.NamedTables.substitute(spark, plan)
-          if (substituted eq plan) spark.sql(query)
-          else org.apache.spark.sql.GraftShims.ofRows(spark, substituted)
+          val df =
+            if (substituted eq plan) spark.sql(query)
+            else org.apache.spark.sql.GraftShims.ofRows(spark, substituted)
+          maybeCacheResult(spark, df)
         }
     }
   }
+
+  /** Query-results caching (Hive's QueryResultsCache analog, see
+    * [[graft.plans.ResultsCache]]): opt-in per session via
+    * `spark.graft.resultsCache.dir`. Commands pass through — only
+    * row-producing deterministic queries are cacheable.
+    */
+  private def maybeCacheResult(spark: SparkSession, df: DataFrame): DataFrame =
+    spark.conf.getOption("spark.graft.resultsCache.dir") match {
+      case Some(dir) if !df.queryExecution.analyzed
+          .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Command] =>
+        graft.plans.ResultsCache.cachedOrRun(spark, df, dir)._1
+      case _ => df
+    }
 }
