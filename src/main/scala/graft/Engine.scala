@@ -63,6 +63,11 @@ object Engine {
     // broadcast decisions) — the Catalyst analog of Hive's CBO+StatsOptimizer.
     spark.conf.set("spark.sql.cbo.enabled", "true")
     spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    // ANALYZE ... FOR COLUMNS also collects equi-height histograms — the
+    // CBO's selectivity estimates for skewed columns (the analog of Hive's
+    // column histogram stats, ref ql/.../ColStatsProcessor.java). Costs one
+    // extra aggregation per ANALYZE'd column, nothing on the query path.
+    spark.conf.set("spark.sql.statistics.histogram.enabled", "true")
     // Runtime bloom-filter join pruning — the Catalyst analog of Hive's
     // dynamic semijoin reduction (ref ql/.../DynamicPartitionPruningOptimization
     // + hive.tez.dynamic.semijoin.reduction): a selective filter on the dim

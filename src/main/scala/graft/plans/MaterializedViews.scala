@@ -44,7 +44,12 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   */
 object MaterializedViews {
 
-  final case class Mv(name: String, plan: LogicalPlan, path: String, sources: Set[String])
+  /** `sql` is kept when the MV was declared via SQL text — REBUILD re-parses
+    * it so the refresh sees the sources' CURRENT file listing (a stored plan
+    * pins the listing captured at creation).
+    */
+  final case class Mv(name: String, plan: LogicalPlan, path: String,
+      sources: Set[String], sql: Option[String] = None)
 
   private val liveRules =
     java.util.Collections.synchronizedMap(
@@ -90,11 +95,12 @@ object MaterializedViews {
   def install(spark: SparkSession): Unit = { ruleFor(spark); () }
 
   /** CREATE MATERIALIZED VIEW name AS <df>, stored at `path`. */
-  def create(spark: SparkSession, name: String, df: DataFrame, path: String): Unit = {
+  def create(spark: SparkSession, name: String, df: DataFrame, path: String,
+      sql: Option[String] = None): Unit = {
     df.write.mode("overwrite").parquet(path)
     val plan = df.queryExecution.optimizedPlan
     ruleFor(spark).registry.put(name,
-      Mv(name, plan, qualify(spark, path), sourcePaths(plan)))
+      Mv(name, plan, qualify(spark, path), sourcePaths(plan), sql))
   }
 
   def drop(spark: SparkSession, name: String): Unit =

@@ -219,6 +219,19 @@ object Snapshots {
         .sorted
 
     /** Latest committed manifest (resolved to full form). */
+    /** Committed version numbers, ascending ([[Replication]] walks them). */
+    private[plans] def committedVersions(): Seq[Long] = versions()
+
+    /** Fully-resolved manifest of one version ([[Replication]]). */
+    private[plans] def resolvedManifest(v: Long): Manifest =
+      resolve(readManifest(manifestPath(v)))
+
+    /** Rows held by `files` of manifest `m` ([[Replication]] applies the
+      * per-version added files as incremental appends).
+      */
+    private[plans] def rowsOf(m: Manifest, files: Seq[String]): DataFrame =
+      readFiles(m.copy(files = files))
+
     def latest(): Manifest = {
       val vs = versions()
       require(vs.nonEmpty, s"not a snapshot table (no _graft_log): $root")

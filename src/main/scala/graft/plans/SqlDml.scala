@@ -87,6 +87,28 @@ object SqlDml {
       case DropTable(UnresolvedIdentifier(Seq(name), _), ifExists, _)
           if NamedTables.get(name).isDefined =>
         Some { NamedTables.drop(name); done(spark) }
+      // Spark 4 parses LOCATION-less CREATE MATERIALIZED VIEW as a pipeline
+      // dataset it refuses to execute directly — route it to the engine's MV
+      // registry instead (the LOCATION'd form is a parse error and lands in
+      // SqlMaintenance's token matcher)
+      case cmv: CreateMaterializedViewAsSelect => cmv.name match {
+        case UnresolvedIdentifier(Seq(name), _) => Some {
+          require(!MaterializedViews.registered(spark).exists(_.name == name),
+            s"materialized view $name already exists")
+          val df = GraftShims.ofRows(spark,
+            NamedTables.substitute(spark, cmv.query))
+          val path = cmv.tableSpec match {
+            case s: TableSpecBase if s.location.isDefined => s.location.get
+            case _ =>
+              spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
+                s"/graft_mv/$name"
+          }
+          MaterializedViews.create(spark, name, df, path,
+            Some(cmv.originalText))
+          done(spark)
+        }
+        case _ => None
+      }
       case AddColumns(tbl: org.apache.spark.sql.catalyst.analysis.UnresolvedTable,
           cols) =>
         NamedTables.refOf(tbl.multipartIdentifier).collect {

@@ -44,6 +44,20 @@ object SqlMaintenance {
       """\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS\s*;?\s*""").r
   private val Vacuum =
     ("""(?is)\s*VACUUM\s+""" + Ident + """\s*;?\s*""").r
+  private val CreateMv =
+    ("""(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+""" + Ident +
+      """(?:\s+LOCATION\s+'([^']+)')?\s+AS\s+(.+?)\s*;?\s*""").r
+  private val RebuildMv =
+    ("""(?is)\s*ALTER\s+MATERIALIZED\s+VIEW\s+""" + Ident +
+      """\s+REBUILD\s*;?\s*""").r
+  private val DropMv =
+    ("""(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+""" + Ident + """\s*;?\s*""").r
+  private val ShowMv = """(?is)\s*SHOW\s+MATERIALIZED\s+VIEWS\s*;?\s*""".r
+  private val Replicate =
+    ("""(?is)\s*REPLICATE\s+TABLE\s+""" + Ident +
+      """\s+TO\s+'([^']+)'\s*;?\s*""").r
+  private val ExplainAnalyze =
+    """(?is)\s*EXPLAIN\s+ANALYZE\s+(.+?)\s*;?\s*""".r
 
   /** Execute `sqlText` if it is a maintenance statement; None otherwise
     * (caller surfaces the canonical parse error).
@@ -64,8 +78,112 @@ object SqlMaintenance {
         Some(runVacuum(spark, ident, hours.toDouble))
       case Vacuum(ident) =>
         Some(runVacuum(spark, ident, minAgeHours = 24.0))
+      case CreateMv(ident, loc, query) =>
+        Some(runCreateMv(spark, nameOf(ident), Option(loc), query))
+      case RebuildMv(ident) =>
+        Some(runRebuildMv(spark, nameOf(ident)))
+      case DropMv(ident) =>
+        MaterializedViews.drop(spark, nameOf(ident))
+        Some(spark.emptyDataFrame)
+      case ShowMv() =>
+        import spark.implicits._
+        Some(MaterializedViews.registered(spark)
+          .map(mv => (mv.name, mv.path, mv.sources.size.toLong))
+          .sortBy(_._1).toDF("name", "location", "n_sources"))
+      case Replicate(ident, target) =>
+        import spark.implicits._
+        val r = Replication.sync(spark, tableOf(spark, ident).root, target)
+        Some(Seq((nameOf(ident), target, r.mode, r.fromVersion, r.toVersion,
+          r.commitsApplied))
+          .toDF("table", "target", "mode", "from_version", "to_version",
+            "commits_applied"))
+      case ExplainAnalyze(query) =>
+        Some(runExplainAnalyze(spark, query))
       case _ => None
     }
+
+  /** EXPLAIN ANALYZE <query> — Hive's post-execution plan report (ref ql/
+    * .../ExplainTask.java, hive.explain.user with actual row counts): runs
+    * the query to completion, then renders the FINAL physical plan (AQE
+    * re-planned stages included) one node per row with its actual runtime
+    * metrics. Spark's native EXPLAIN modes are estimates-only; this is the
+    * measured twin.
+    */
+  private def runExplainAnalyze(spark: SparkSession,
+      query: String): DataFrame = {
+    import spark.implicits._
+    val df = org.apache.spark.sql.GraftShims.ofRows(spark,
+      NamedTables.substitute(spark,
+        spark.sessionState.sqlParser.parsePlan(query)))
+    val qe = df.queryExecution
+    qe.toRdd.foreach(_ => ()) // execute THIS plan object so metrics populate
+    val shown = Set("numOutputRows", "numFiles", "filesSize", "spillSize",
+      "numPartitions", "dataSize", "shuffleBytesWritten", "shuffleRecordsWritten",
+      "recordsRead", "peakMemory", "time", "scanTime", "aggTime", "sortTime")
+    def walk(p: org.apache.spark.sql.execution.SparkPlan,
+        depth: Int): Seq[String] = {
+      val ms = p.metrics.collect {
+        case (k, m) if shown.contains(k) && m.value > 0 => s"$k=${m.value}"
+      }.toSeq.sorted.mkString(", ")
+      val line = s"${"  " * depth}${p.nodeName}" +
+        (if (ms.nonEmpty) s"  [$ms]" else "")
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          Seq(r.child)
+        case other => other.children
+      }
+      line +: kids.flatMap(walk(_, depth + 1))
+    }
+    walk(qe.executedPlan, 0).toDF("plan")
+  }
+
+  /** CREATE MATERIALIZED VIEW name [LOCATION '<dir>'] AS <query> — Hive's
+    * declarative MV surface (ref ql/.../CreateMaterializedViewDesc.java);
+    * the registered MV then answers matching queries via the rewrite rule
+    * (exact subtree + aggregate rollup). The defining SQL is stored so
+    * REBUILD re-parses it against the sources' CURRENT state.
+    */
+  private def runCreateMv(spark: SparkSession, name: String,
+      loc: Option[String], query: String): DataFrame = {
+    import spark.implicits._
+    require(!MaterializedViews.registered(spark).exists(_.name == name),
+      s"materialized view $name already exists")
+    val path = loc.getOrElse(
+      spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
+        s"/graft_mv/$name")
+    val df = org.apache.spark.sql.GraftShims.ofRows(spark,
+      NamedTables.substitute(spark,
+        spark.sessionState.sqlParser.parsePlan(query)))
+    MaterializedViews.create(spark, name, df, path, Some(query))
+    val rows = spark.read.parquet(path).count()
+    Seq((name, path, rows)).toDF("name", "location", "rows")
+  }
+
+  /** ALTER MATERIALIZED VIEW name REBUILD (ref ql/.../
+    * AlterMaterializedViewRebuildAnalyzer.java): recompute from the stored
+    * SQL when available (fresh source listing); plan-declared MVs re-execute
+    * their stored plan.
+    */
+  private def runRebuildMv(spark: SparkSession, name: String): DataFrame = {
+    import spark.implicits._
+    val mv = MaterializedViews.registered(spark).find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no such materialized view: $name"))
+    MaterializedViews.drop(spark, name) // no rewrite against the mid-rebuild dir
+    val df = mv.sql match {
+      case Some(q) => org.apache.spark.sql.GraftShims.ofRows(spark,
+        NamedTables.substitute(spark,
+          spark.sessionState.sqlParser.parsePlan(q)))
+      case None => org.apache.spark.sql.GraftShims.ofRows(spark, mv.plan)
+    }
+    MaterializedViews.create(spark, name, df, mv.path, mv.sql)
+    val rows = spark.read.parquet(mv.path).count()
+    Seq((name, mv.path, rows)).toDF("name", "location", "rows")
+  }
 
   private def runRestore(spark: SparkSession, ident: String,
       op: Snapshots.SnapshotTable => Snapshots.Manifest): DataFrame = {

@@ -58,6 +58,10 @@ class DdlSpec extends SparkSpec {
     val desc = spark.sql("DESCRIBE EXTENDED customer_t c_custkey").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(desc("distinct_count").toLong > 100)
+    // equi-height histograms ride along (histogram.enabled in configure) —
+    // the CBO's skew-aware selectivity input, Hive column-histogram analog
+    assert(desc.get("histogram").exists(_ != "NULL"),
+      s"expected a histogram in column stats, got: $desc")
   }
 
   test("dynamic partition insert appends new partitions") {

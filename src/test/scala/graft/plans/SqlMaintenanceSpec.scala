@@ -125,4 +125,69 @@ class SqlMaintenanceSpec extends SparkSpec {
     NamedTables.registerPath("maint_plain", path)
     intercept[IllegalArgumentException](sql("VACUUM maint_plain"))
   }
+
+  test("CREATE / SHOW / REBUILD / DROP MATERIALIZED VIEW as SQL verbs") {
+    import spark.implicits._
+    val data = java.nio.file.Files.createTempDirectory("graft_mvsql_").toString
+    nums(0, 100).write.parquet(s"$data/t")
+    NamedTables.registerPath("mvsql_src", s"$data/t")
+
+    val created = sql(
+      s"""CREATE MATERIALIZED VIEW mvsql_agg LOCATION '$data/mv' AS
+         |SELECT k, count(*) AS n, sum(id) AS s FROM mvsql_src GROUP BY k""".stripMargin)
+    assert(created.head.getLong(2) === 4) // 4 groups materialized
+
+    val listed = sql("SHOW MATERIALIZED VIEWS").collect()
+    assert(listed.exists(_.getString(0) == "mvsql_agg"))
+
+    // the rewrite rule answers a matching aggregate from the MV store
+    val q = spark.read.parquet(s"$data/t").groupBy($"k")
+      .agg(count(lit(1)).as("n"), sum($"id").as("s"))
+    val scanned = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.rootPaths.mkString(",")
+    }
+    assert(scanned.exists(_.contains("/mv")),
+      s"rewrite did not target the MV store: $scanned")
+
+    // source grows OUTSIDE the engine's DML (external write) -> REBUILD
+    // re-parses the stored SQL and sees the new files
+    nums(100, 120).write.mode("append").parquet(s"$data/t")
+    val rebuilt = sql("ALTER MATERIALIZED VIEW mvsql_agg REBUILD")
+    assert(rebuilt.head.getLong(2) === 4)
+    val fresh = spark.read.parquet(s"$data/mv")
+      .agg(sum($"n")).head.getLong(0)
+    assert(fresh === 120, "rebuild must reflect the appended source rows")
+
+    sql("DROP MATERIALIZED VIEW mvsql_agg")
+    assert(!sql("SHOW MATERIALIZED VIEWS").collect()
+      .exists(_.getString(0) == "mvsql_agg"))
+    NamedTables.drop("mvsql_src")
+  }
+
+  test("EXPLAIN ANALYZE reports the executed plan with actual row counts") {
+    val out = sql(
+      "EXPLAIN ANALYZE SELECT o_orderstatus, count(*) FROM orders GROUP BY 1")
+      .collect().map(_.getString(0))
+    assert(out.exists(_.contains("HashAggregate")), out.mkString("\n"))
+    // actual (not estimated) output rows appear on at least one node
+    assert(out.exists(_.matches(".*numOutputRows=\\d+.*")), out.mkString("\n"))
+    // and the scan reports real files read
+    assert(out.exists(l => l.contains("Scan") && l.contains("numFiles=")),
+      out.mkString("\n"))
+  }
+
+  test("CREATE MATERIALIZED VIEW without LOCATION lands under the warehouse dir") {
+    import spark.implicits._
+    val data = java.nio.file.Files.createTempDirectory("graft_mvsql_").toString
+    nums(0, 10).write.parquet(s"$data/t")
+    sql(s"CREATE MATERIALIZED VIEW mvsql_wh AS " +
+      s"SELECT k, count(*) AS n FROM parquet.`$data/t` GROUP BY k")
+    val mv = MaterializedViews.registered(spark).find(_.name == "mvsql_wh").get
+    assert(mv.path.contains("graft_mv/mvsql_wh"))
+    intercept[IllegalArgumentException](
+      sql(s"CREATE MATERIALIZED VIEW mvsql_wh AS SELECT 1 AS one"))
+    sql("DROP MATERIALIZED VIEW mvsql_wh")
+  }
 }
