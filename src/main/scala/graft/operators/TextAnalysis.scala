@@ -259,4 +259,48 @@ object TextAnalysis {
         col("__text").substr(
           (col("chunk_idx") * step + 1).cast("int"), lit(size)).as("chunk"))
   }
+
+  /** Exact-substring duplicate spans (the ExactSubstr dedup of Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499 — suffix-array formulation replaced by a relational
+    * k-gram one): every maximal run of word positions whose k-word gram
+    * occurs MORE THAN ONCE in the corpus, as
+    * `(idCol, start_word, end_word, n_grams)` (1-based inclusive word
+    * positions). A span is text shared verbatim with another document (or
+    * repeated within one) for at least `k` consecutive words — the unit the
+    * paper cuts from training data.
+    *
+    * Scale: one row per word position flows into ONE gram-keyed aggregation
+    * with map-side partial counts (O(corpus words) — the same asymptotics
+    * as the paper's suffix array), duplicated grams join back position-wise
+    * (dup-gram side is aggregated and usually small), and the
+    * islands-and-gaps merge is a per-doc window. Nothing is all-pairs.
+    */
+  def repeatedSpans(df: DataFrame, k: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k >= 2, s"need k >= 2, got $k")
+    val pos = df
+      .select(col(idCol), tokens(col(textCol)).as("__ws"))
+      .filter(size(col("__ws")) >= k)
+      .select(col(idCol),
+        explode(sequence(lit(1), size(col("__ws")) - (k - 1))).as("pos"),
+        col("__ws"))
+      .select(col(idCol), col("pos"),
+        md5(array_join(slice(col("__ws"), col("pos"), lit(k)), " ")
+          .cast("binary")).as("__h"))
+    val dup = pos.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .select(col("__h"))
+    val hits = pos.join(dup, "__h").select(col(idCol), col("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    hits
+      .withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min(col("pos")).as("start_word"),
+        (max(col("pos")) + (k - 1)).as("end_word"),
+        count(lit(1)).as("n_grams"))
+      .drop("__grp")
+  }
 }

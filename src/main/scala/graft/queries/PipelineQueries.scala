@@ -671,6 +671,35 @@ object PipelineQueries {
         .orderBy($"vec_id")
     },
 
+    // Exact-substring duplicate spans (ExactSubstr dedup, arXiv:2107.06499):
+    // maximal runs of word positions whose 8-word gram repeats in the
+    // corpus. Pure integer+md5 math, so the oracle replays it cell-exactly.
+    q("p39_repeated_spans",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w <> '') AS ws
+        |  FROM documents),
+        |pg AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(ws) - 7)) AS pos, ws
+        |  FROM toks WHERE len(ws) >= 8),
+        |ph AS (SELECT doc_id, pos, md5(array_to_string(ws[pos:pos+7], ' ')) AS h FROM pg),
+        |dup AS (SELECT h FROM ph GROUP BY h HAVING count(*) > 1),
+        |hits AS (SELECT doc_id, pos FROM ph JOIN dup USING (h)),
+        |isl AS (SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM hits)
+        |SELECT doc_id, start_word, end_word, n_grams FROM (
+        |  SELECT doc_id, grp, min(pos) AS start_word,
+        |    max(pos) + 7 AS end_word, CAST(count(*) AS BIGINT) AS n_grams
+        |  FROM isl GROUP BY doc_id, grp)
+        |ORDER BY doc_id, start_word""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      graft.operators.TextAnalysis.repeatedSpans(
+        t(spark, dir, "documents"), k = 8)
+        .select($"doc_id", $"start_word".cast("long").as("start_word"),
+          $"end_word".cast("long").as("end_word"), $"n_grams")
+        .orderBy($"doc_id", $"start_word")
+    },
+
     // TF-IDF characteristic terms per document (top-3, >=4-char terms).
     q("p38_tfidf_topterms",
       """WITH toks AS (

@@ -166,4 +166,34 @@ class TextAnalysisSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TextAnalysis.chunkDocuments(df, "id", "text", size = 50, overlap = 50))
   }
+
+  test("repeatedSpans finds planted verbatim overlap, merged maximally") {
+    import spark.implicits._
+    def words(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val shared = words("dup", 10) // 10 shared words -> positions of 3-grams
+    val docs = Seq(
+      (1L, s"${words("a", 5)} $shared ${words("b", 5)}"),
+      (2L, s"${words("c", 3)} $shared"),
+      (3L, words("unique", 20))).toDF("doc_id", "text")
+    val spans = TextAnalysis.repeatedSpans(docs, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    // doc 1: shared block occupies words 6..15 -> 3-gram hits 6..13, one span
+    assert(spans.filter(_._1 == 1L).toSeq === Seq((1L, 6, 15, 8)))
+    // doc 2: words 4..13 -> positions 4..11
+    assert(spans.filter(_._1 == 2L).toSeq === Seq((2L, 4, 13, 8)))
+    // unique doc: no spans
+    assert(!spans.exists(_._1 == 3L))
+  }
+
+  test("repeatedSpans reports within-doc repetition and separate islands") {
+    import spark.implicits._
+    val docs = Seq(
+      // "x1 x2 x3" appears twice in the same doc, separated by unique words
+      (1L, "x1 x2 x3 gap1 gap2 gap3 gap4 x1 x2 x3")).toDF("doc_id", "text")
+    val spans = TextAnalysis.repeatedSpans(docs, k = 3)
+      .orderBy($"start_word")
+      .collect().map(r => (r.getInt(1), r.getInt(2)))
+    assert(spans.toSeq === Seq((1, 3), (8, 10)))
+  }
 }
