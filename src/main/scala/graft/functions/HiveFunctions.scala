@@ -38,6 +38,12 @@ object HiveFunctions {
     alias("ucase", "upper")
     alias("mid", "substring")
 
+    // Hive's INPUT__FILE__NAME virtual column (ref ql/.../VirtualColumn.java)
+    // as a function — Spark's input_file_name under the Hive spelling.
+    // (BLOCK__OFFSET__INSIDE__FILE / ROW__ID are storage-format-specific and
+    // have no faithful Spark analog; deliberately not faked.)
+    alias("input__file__name", "input_file_name")
+
     // field(x, a, b, ...) -> 1-based index of x in the list, 0 if absent
     // (ref udf/generic/GenericUDFField.java).
     fn("field") { args =>

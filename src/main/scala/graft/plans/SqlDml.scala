@@ -273,6 +273,22 @@ object SqlDml {
             .map(runDescribe(spark, u.multipartIdentifier.mkString("."), _))
         case _ => None
       }
+      // `DESCRIBE HISTORY t` parses as DescribeColumn(table=HISTORY,
+      // column=t) — reinterpret that shape when the "table" is literally
+      // HISTORY and the "column" is a registered snapshot name (Delta's
+      // DESCRIBE HISTORY surface; the snapshot_history() TVF is the
+      // composable twin)
+      case dc: DescribeColumn => (dc.relation, dc.column) match {
+        case (u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView,
+            a: UnresolvedAttribute)
+            if u.multipartIdentifier.map(norm) == Seq("history") &&
+              a.nameParts.size == 1 =>
+          NamedTables.refOf(a.nameParts).collect {
+            case r: NamedTables.SnapshotRef =>
+              Snapshots.table(spark, r.root).describeHistory()
+          }
+        case _ => None
+      }
       case sc: ShowCreateTable => sc.child match {
         case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
           NamedTables.refOf(u.multipartIdentifier)

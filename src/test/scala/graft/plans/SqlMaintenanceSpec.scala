@@ -166,6 +166,23 @@ class SqlMaintenanceSpec extends SparkSpec {
     NamedTables.drop("mvsql_src")
   }
 
+  test("DESCRIBE HISTORY returns the commit log for a registered name") {
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 10))
+    t.append(nums(10, 20))
+    NamedTables.registerSnapshot("maint_hist", root)
+    val h = sql("DESCRIBE HISTORY maint_hist").collect()
+    assert(h.length === 2)
+    assert(h.map(_.getAs[String]("action")).toSet === Set("create", "append"))
+    NamedTables.drop("maint_hist")
+  }
+
+  test("input__file__name resolves as the Hive virtual-column spelling") {
+    val n = sql("SELECT input__file__name() AS f FROM lineitem")
+      .distinct().count()
+    assert(n >= 1)
+  }
+
   test("EXPLAIN ANALYZE reports the executed plan with actual row counts") {
     val out = sql(
       "EXPLAIN ANALYZE SELECT o_orderstatus, count(*) FROM orders GROUP BY 1")
