@@ -303,4 +303,38 @@ object TextAnalysis {
         count(lit(1)).as("n_grams"))
       .drop("__grp")
   }
+
+  /** Cut every [[repeatedSpans]] span out of the text (ExactSubstr's removal
+    * step — all occurrences drop, arXiv:2107.06499 §4.1): returns one row
+    * per input document with `text_deduped` (surviving words joined by a
+    * single space) and `n_words_kept`. Documents shorter than `k` words or
+    * with no duplicated span pass through whitespace-normalized; a fully
+    * duplicated document survives as an empty string (the downstream length
+    * filter's job, not silent row loss).
+    *
+    * Scale: spans explode into their covered positions (O(duplicated
+    * words)), survivors are a position-keyed anti-join (all equi), and the
+    * rebuild is one per-doc aggregation of (pos, word) structs.
+    */
+  def dropRepeatedSpans(df: DataFrame, k: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spans = repeatedSpans(df, k, idCol, textCol)
+    val words = df
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("__p0", "__w")))
+      .select(col(idCol), (col("__p0") + 1).as("__pos"), col("__w"))
+    val covered = spans.select(col(idCol),
+      explode(sequence(col("start_word"), col("end_word"))).as("__pos"))
+    val rebuilt = words.join(covered, Seq(idCol, "__pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("__pos"), col("__w")))),
+            x => x("__w")), " ").as("text_deduped"),
+        count(lit(1)).as("n_words_kept"))
+    df.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("text_deduped"), lit("")).as("text_deduped"),
+        coalesce(col("n_words_kept"), lit(0L)).as("n_words_kept"))
+  }
 }

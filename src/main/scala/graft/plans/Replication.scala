@@ -77,6 +77,11 @@ object Replication {
 
     val targetExists = fs.exists(new Path(tPath, "_graft_log"))
     if (!targetExists) {
+      // intent marker FIRST: a bootstrap that dies between create and the
+      // final state write must leave a target a later sync can adopt
+      // (lastApplied = -1 → "bootstrapped at an unknown version" → the
+      // resume below takes the full-overwrite path), not one it refuses
+      writeState(-1L)
       Snapshots.create(spark, targetRoot,
         src.rowsOf(srcHead, srcHead.files),
         partitionBy = srcHead.partitionCols)
@@ -95,6 +100,22 @@ object Replication {
     }
     require(state.sourceRoot == sourceRoot,
       s"$targetRoot replicates ${state.sourceRoot}, not $sourceRoot")
+
+    if (state.lastApplied < 0) {
+      // interrupted bootstrap: version unknown — re-sync to the pinned head
+      val tgt0 = Snapshots.table(spark, targetRoot)
+      if (sameShape(srcHead.schemaJson, tgt0.latest().schemaJson))
+        tgt0.overwrite(src.rowsOf(srcHead, srcHead.files))
+      else {
+        fs.delete(tPath, true)
+        writeState(-1L)
+        Snapshots.create(spark, targetRoot,
+          src.rowsOf(srcHead, srcHead.files),
+          partitionBy = srcHead.partitionCols)
+      }
+      writeState(srcHead.version)
+      return SyncResult("full", -1L, srcHead.version, 1L)
+    }
 
     if (state.lastApplied >= srcHead.version)
       return SyncResult("noop", state.lastApplied, state.lastApplied, 0L)

@@ -700,6 +700,43 @@ object PipelineQueries {
         .orderBy($"doc_id", $"start_word")
     },
 
+    // The removal step of ExactSubstr dedup: every duplicated >=8-word span
+    // cut from the text, whitespace-normalized survivors re-joined. String
+    // output hash-compares cell-exactly.
+    q("p40_drop_repeated_spans",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w <> '') AS ws
+        |  FROM documents),
+        |pg AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(ws) - 7)) AS pos, ws
+        |  FROM toks WHERE len(ws) >= 8),
+        |ph AS (SELECT doc_id, pos, md5(array_to_string(ws[pos:pos+7], ' ')) AS h FROM pg),
+        |dup AS (SELECT h FROM ph GROUP BY h HAVING count(*) > 1),
+        |hits AS (SELECT doc_id, pos FROM ph JOIN dup USING (h)),
+        |isl AS (SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM hits),
+        |spans AS (
+        |  SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e FROM isl GROUP BY doc_id, grp),
+        |cov AS (SELECT doc_id, unnest(generate_series(s, e)) AS pos FROM spans),
+        |w AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS pos FROM toks),
+        |kept AS (
+        |  SELECT w.doc_id, w.pos, ws[w.pos] AS word FROM w
+        |  WHERE NOT EXISTS (SELECT 1 FROM cov WHERE cov.doc_id = w.doc_id AND cov.pos = w.pos)),
+        |rebuilt AS (
+        |  SELECT doc_id, array_to_string(list(word ORDER BY pos), ' ') AS text_deduped,
+        |    CAST(count(*) AS BIGINT) AS n_words_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(r.text_deduped, '') AS text_deduped,
+        |  coalesce(r.n_words_kept, 0) AS n_words_kept
+        |FROM toks t LEFT JOIN rebuilt r USING (doc_id) ORDER BY t.doc_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      graft.operators.TextAnalysis.dropRepeatedSpans(
+        t(spark, dir, "documents"), k = 8)
+        .select($"doc_id", $"text_deduped", $"n_words_kept")
+        .orderBy($"doc_id")
+    },
+
     // TF-IDF characteristic terms per document (top-3, >=4-char terms).
     q("p38_tfidf_topterms",
       """WITH toks AS (

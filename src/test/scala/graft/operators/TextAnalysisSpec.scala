@@ -186,6 +186,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!spans.exists(_._1 == 3L))
   }
 
+  test("dropRepeatedSpans cuts all occurrences, keeps the rest in order") {
+    import spark.implicits._
+    def words(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val shared = words("dup", 6)
+    val docs = Seq(
+      (1L, s"${words("a", 4)} $shared ${words("b", 4)}"),
+      (2L, shared),                    // fully duplicated -> empty survivor
+      (3L, words("solo", 10))).toDF("doc_id", "text")
+    val out = TextAnalysis.dropRepeatedSpans(docs, k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) === (s"${words("a", 4)} ${words("b", 4)}", 8L))
+    assert(out(2L) === ("", 0L))
+    assert(out(3L) === (words("solo", 10), 10L))
+  }
+
   test("repeatedSpans reports within-doc repetition and separate islands") {
     import spark.implicits._
     val docs = Seq(

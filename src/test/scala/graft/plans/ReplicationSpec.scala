@@ -114,6 +114,27 @@ class ReplicationSpec extends SparkSpec {
     }
   }
 
+  test("an interrupted bootstrap is adopted, not refused") {
+    val srcRoot = tmp("graft_repl_src_")
+    val tgtRoot = tmp("graft_repl_tgt_")
+    val src = Snapshots.create(spark, srcRoot, rows(0, 30))
+    // simulate the crash window: table created, final state write lost
+    // (the intent marker with lastApplied = -1 is what survives)
+    Snapshots.create(spark, tgtRoot, rows(0, 10)) // partial/stale bootstrap
+    val fs = new org.apache.hadoop.fs.Path(tgtRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(tgtRoot, "_repl_state.json"), true)
+    out.write(s"""{"sourceRoot":"$srcRoot","lastApplied":-1}"""
+      .getBytes("UTF-8"))
+    out.close()
+    val r = Replication.sync(spark, srcRoot, tgtRoot)
+    assert(r.mode === "full")
+    assert(sorted(Snapshots.table(spark, tgtRoot)) === sorted(src))
+    // and the next sync is a clean no-op
+    assert(Replication.sync(spark, srcRoot, tgtRoot).mode === "noop")
+  }
+
   test("SQL verb: REPLICATE TABLE name TO '<root>'") {
     val srcRoot = tmp("graft_repl_src_")
     val tgtRoot = tmp("graft_repl_tgt_")
