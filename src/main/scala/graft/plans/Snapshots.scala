@@ -1845,7 +1845,7 @@ object Snapshots {
       finally out.close()
     }
 
-    private[Snapshots] def bloomConfig(): Option[BloomConfig] = {
+    private[plans] def bloomConfig(): Option[BloomConfig] = {
       val p = new Path(rootPath, "_bloom_config.json")
       if (!fs.exists(p)) None
       else {

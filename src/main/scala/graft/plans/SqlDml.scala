@@ -236,6 +236,57 @@ object SqlDml {
           }
         case _ => None
       }
+      // ALTER TABLE ... SET TBLPROPERTIES: write.mode switches the DML
+      // strategy (registration update), bloom.columns[/bloom.bits]
+      // (re)configures the file-skipping index; other keys are rejected
+      // loudly rather than silently dropped
+      case sp: SetTableProperties => sp.table match {
+        case tbl: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+          NamedTables.refOf(tbl.multipartIdentifier).collect {
+            case r: NamedTables.SnapshotRef =>
+              val name = tbl.multipartIdentifier.mkString(".")
+              sp.properties.foreach {
+                case ("write.mode", m) =>
+                  NamedTables.registerSnapshot(name, r.root, m match {
+                    case NamedTables.WriteCow | NamedTables.WriteMor => m
+                    case "cow" => NamedTables.WriteCow
+                    case "mor" => NamedTables.WriteMor
+                    case other => throw new IllegalArgumentException(
+                      s"unknown write.mode: $other")
+                  })
+                case ("bloom.columns", cols) =>
+                  val bits = sp.properties.get("bloom.bits")
+                    .map(_.toLong).getOrElse(1L << 20)
+                  Snapshots.table(spark, r.root).setBloomColumns(
+                    cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq, bits)
+                case ("bloom.bits", _) => () // consumed with bloom.columns
+                case (k, _) => throw new UnsupportedOperationException(
+                  s"unsupported table property: $k (write.mode, " +
+                    "bloom.columns, bloom.bits)")
+              }
+              done(spark)
+          }
+        case _ => None
+      }
+      case st: ShowTableProperties if st.propertyKey.isEmpty => st.table match {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
+          NamedTables.refOf(u.multipartIdentifier).map { ref =>
+            import spark.implicits._
+            val rows = ref match {
+              case r: NamedTables.SnapshotRef =>
+                val t = Snapshots.table(spark, r.root)
+                Seq("write.mode" -> r.writeMode, "location" -> r.root,
+                  "format" -> "snapshot",
+                  "version" -> t.latest().version.toString) ++
+                  t.bloomConfig().map(c =>
+                    "bloom.columns" -> c.cols.mkString(",")).toSeq
+              case p: NamedTables.PathRef =>
+                Seq("location" -> p.root, "format" -> "parquet")
+            }
+            rows.toDF("key", "value")
+          }
+        case _ => None
+      }
       case tt: TruncateTable => tt.table match {
         case tbl: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
           NamedTables.refOf(tbl.multipartIdentifier).map {

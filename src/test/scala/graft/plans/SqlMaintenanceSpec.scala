@@ -166,6 +166,31 @@ class SqlMaintenanceSpec extends SparkSpec {
     NamedTables.drop("mvsql_src")
   }
 
+  test("ALTER TABLE SET TBLPROPERTIES switches write.mode and blooms; SHOW lists them") {
+    import spark.implicits._
+    val root = freshRoot()
+    Snapshots.create(spark, root, nums(0, 50))
+    NamedTables.registerSnapshot("maint_props", root)
+    sql("ALTER TABLE maint_props SET TBLPROPERTIES ('write.mode'='merge-on-read')")
+    // MOR now: a SQL DELETE must not rewrite data files
+    val before = Snapshots.table(spark, root).latest().files.toSet
+    sql("DELETE FROM maint_props WHERE id < 5")
+    val after = Snapshots.table(spark, root).latest()
+    assert(before.subsetOf(after.files.toSet), "MOR delete must keep data files")
+    assert(after.deletes.nonEmpty)
+    sql("ALTER TABLE maint_props SET TBLPROPERTIES " +
+      "('bloom.columns'='id', 'bloom.bits'='65536')")
+    val props = sql("SHOW TBLPROPERTIES maint_props").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("write.mode") === "merge-on-read")
+    assert(props("bloom.columns") === "id")
+    assert(props("format") === "snapshot")
+    intercept[UnsupportedOperationException] {
+      sql("ALTER TABLE maint_props SET TBLPROPERTIES ('nonsense'='x')")
+    }
+    NamedTables.drop("maint_props")
+  }
+
   test("DESCRIBE HISTORY returns the commit log for a registered name") {
     val root = freshRoot()
     val t = Snapshots.create(spark, root, nums(0, 10))
