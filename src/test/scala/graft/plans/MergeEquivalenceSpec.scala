@@ -85,4 +85,63 @@ class MergeEquivalenceSpec extends SparkSpec {
       assert(morGot === expected, s"MOR diverges from SQL semantics (seed $seed)")
     }
   }
+
+  for (seed <- 13 to 18) {
+    test(s"UPDATE/DELETE: COW == MOR == model (seed $seed)") {
+      val rng = new scala.util.Random(seed)
+      val target = randomRows(rng, (0L until 40L)
+        .filter(_ => rng.nextDouble() < 0.6), nNullKeys = rng.nextInt(3), "t")
+      val lo = rng.nextInt(40).toLong
+      val hi = lo + rng.nextInt(20).toLong
+      // predicate over a nullable key: NULL id must match nothing
+      val cond = col("id") >= lo && col("id") < hi
+      val tDf = target.toDF("id", "v", "tag")
+      val doDelete = rng.nextBoolean()
+
+      val expected = (if (doDelete)
+        target.filterNot(t => t.id != null && t.id >= lo && t.id < hi)
+      else target.map(t =>
+        if (t.id != null && t.id >= lo && t.id < hi) t.copy(v = -1) else t))
+        .map(t => (t.id: Any, t.v: Any, t.tag: Any))
+        .groupBy(identity).view.mapValues(_.size).toMap
+
+      val cow = Snapshots.create(spark, scratch(), tDf)
+      val mor = Snapshots.create(spark, scratch(), tDf)
+      if (doDelete) { cow.deleteWhere(cond); mor.deleteWhereMergeOnRead(cond) }
+      else {
+        cow.updateWhere(cond, Map("v" -> lit(-1)))
+        mor.updateWhereMergeOnRead(cond, Map("v" -> lit(-1)))
+      }
+      assert(asSet(cow.read().collect().toSeq) === expected,
+        s"COW ${if (doDelete) "DELETE" else "UPDATE"} diverges (seed $seed)")
+      assert(asSet(mor.read().collect().toSeq) === expected,
+        s"MOR ${if (doDelete) "DELETE" else "UPDATE"} diverges (seed $seed)")
+    }
+  }
+
+  for (seed <- 19 to 22) {
+    test(s"SQL MERGE statement == model (seed $seed)") {
+      val rng = new scala.util.Random(seed)
+      val target = randomRows(rng, (0L until 30L)
+        .filter(_ => rng.nextDouble() < 0.6), nNullKeys = 1, "t")
+      val source = randomRows(rng, (0L until 40L)
+        .filter(_ => rng.nextDouble() < 0.4), nNullKeys = 2, "s")
+      val expected = model(target, source, delete = false, insert = true)
+        .map { case (a, b, c) => (a: Any, b: Any, c: Any) }
+        .groupBy(identity).view.mapValues(_.size).toMap
+
+      val root = scratch()
+      Snapshots.create(spark, root, target.toDF("id", "v", "tag"))
+      val name = s"meq_sql_$seed"
+      NamedTables.registerSnapshot(name, root)
+      source.toDF("id", "v", "tag").createOrReplaceTempView("meq_src")
+      graft.Engine.sql(spark, sfDir,
+        s"""MERGE INTO $name t USING meq_src s ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET v = s.v
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val got = asSet(Snapshots.table(spark, root).read().collect().toSeq)
+      assert(got === expected, s"SQL MERGE diverges from model (seed $seed)")
+      NamedTables.drop(name)
+    }
+  }
 }
