@@ -486,7 +486,11 @@ object Similarity {
     * cluster, not the corpus: at 100 TB, k is sized so clusters stay
     * partition-sized (corpus/k rows each), and nothing all-pairs ever runs.
     * Returns every corpus row flagged: (id, cluster_id, is_dup, dup_of —
-    * lowest-id retained witness for dropped rows, NULL for kept).
+    * the lowest-id LOWER member the row is tau-similar to, NULL for kept
+    * rows). The witness may itself be flagged (a~b, b~c, a!~c drops both b
+    * and c with witnesses a and b): chase the chain if a canonical kept
+    * representative is needed — the keep/drop decision itself needs no
+    * chasing, exactly one lowest-id row per similarity chain survives.
     */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, tau: Double, iters: Int = 2): DataFrame = {

@@ -1,7 +1,5 @@
 package graft.plans
 
-import java.nio.charset.StandardCharsets.UTF_8
-
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 
@@ -43,7 +41,6 @@ object Replication {
       toVersion: Long, commitsApplied: Long)
 
   private final case class ReplState(sourceRoot: String, lastApplied: Long)
-  private implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
 
   /** Same (name, type) sequence — nullability intentionally ignored: the
     * replica's schema comes from a parquet read-back, which widens
@@ -68,12 +65,8 @@ object Replication {
     val fs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val statePath = new Path(tPath, "_repl_state.json")
 
-    def writeState(v: Long): Unit = {
-      val out = fs.create(statePath, true)
-      try out.write(org.json4s.jackson.Serialization.write(
-        ReplState(sourceRoot, v)).getBytes(UTF_8))
-      finally out.close()
-    }
+    def writeState(v: Long): Unit =
+      SidecarJson.write(fs, statePath, ReplState(sourceRoot, v))
 
     val targetExists = fs.exists(new Path(tPath, "_graft_log"))
     if (!targetExists) {
@@ -89,15 +82,10 @@ object Replication {
       return SyncResult("bootstrap", -1L, srcHead.version, 1L)
     }
 
-    require(fs.exists(statePath),
-      s"$targetRoot exists but carries no _repl_state.json — refusing to " +
-        "overwrite a table that is not this source's replica")
-    val state = {
-      val in = fs.open(statePath)
-      try org.json4s.jackson.Serialization.read[ReplState](
-        new String(org.apache.commons.io.IOUtils.toByteArray(in), UTF_8))
-      finally in.close()
-    }
+    val state = SidecarJson.read[ReplState](fs, statePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"$targetRoot exists but carries no _repl_state.json — refusing to " +
+          "overwrite a table that is not this source's replica"))
     require(state.sourceRoot == sourceRoot,
       s"$targetRoot replicates ${state.sourceRoot}, not $sourceRoot")
 
@@ -136,9 +124,23 @@ object Replication {
         m.schemaJson == p.schemaJson && m.colMapping == p.colMapping)
 
     val tgt = Snapshots.table(spark, targetRoot)
-    if (withParents.forall { case (m, p) => isReorg(m) || isAdditive(m, p) }) {
+    // Crash-idempotence: the replica's own log is the authority on what
+    // actually landed (each incremental append is stamped with its source
+    // version in manifest meta). A crash between an append and its state
+    // write would otherwise double-apply that commit on resume — so the
+    // resume point is max(sidecar, newest stamp in the target log), the
+    // same dedup contract appendBatch uses for streaming replays.
+    val lastStamped = tgt.committedVersions().reverseIterator
+      .map(v => tgt.resolvedManifest(v))
+      .collectFirst {
+        case m if m.meta.contains("repl_source_version") =>
+          m.meta("repl_source_version").toLong
+      }.getOrElse(-1L)
+    val resumeFrom = math.max(state.lastApplied, lastStamped)
+    val toApply = withParents.filter(_._1.version > resumeFrom)
+    if (toApply.forall { case (m, p) => isReorg(m) || isAdditive(m, p) }) {
       var applied = 0L
-      withParents.foreach { case (m, p) =>
+      toApply.foreach { case (m, p) =>
         if (!isReorg(m)) {
           val added = m.files.filterNot(p.get.files.toSet)
           if (added.nonEmpty) {
@@ -149,14 +151,18 @@ object Replication {
         }
         writeState(m.version) // per-commit progress: a crash resumes here
       }
-      SyncResult("incremental", state.lastApplied, srcHead.version, applied)
+      if (toApply.isEmpty) writeState(srcHead.version)
+      SyncResult("incremental", resumeFrom, srcHead.version, applied)
     } else if (sameShape(srcHead.schemaJson, tgt.latest().schemaJson)) {
       tgt.overwrite(src.rowsOf(srcHead, srcHead.files))
       writeState(srcHead.version)
       SyncResult("full", state.lastApplied, srcHead.version, 1L)
     } else {
-      // schema evolved: recreate the replica at the new schema
+      // schema evolved: recreate the replica at the new schema. Intent
+      // marker FIRST (the delete removed the old one) — a crash during the
+      // re-create must leave a target the next sync adopts, not refuses.
       fs.delete(tPath, true)
+      writeState(-1L)
       Snapshots.create(spark, targetRoot,
         src.rowsOf(srcHead, srcHead.files),
         partitionBy = srcHead.partitionCols)

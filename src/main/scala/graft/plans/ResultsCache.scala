@@ -35,7 +35,6 @@ object ResultsCache {
 
   private final case class Entry(sub: String, lastUsedMs: Long)
   private final case class Index(entries: Map[String, Entry])
-  private implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
 
   @volatile private var hits = 0L
   @volatile private var misses = 0L
@@ -49,6 +48,16 @@ object ResultsCache {
     */
   private[plans] def fingerprint(df: DataFrame): Option[String] = {
     if (df.isStreaming) return None
+    // a NullType column cannot round-trip through parquet — caching such a
+    // result would FAIL a query that runs fine uncached
+    def hasVoid(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case org.apache.spark.sql.types.NullType => true
+      case st: org.apache.spark.sql.types.StructType => st.fields.exists(f => hasVoid(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasVoid(a.elementType)
+      case m: org.apache.spark.sql.types.MapType => hasVoid(m.keyType) || hasVoid(m.valueType)
+      case _ => false
+    }
+    if (df.schema.fields.exists(f => hasVoid(f.dataType))) return None
     val plan = df.queryExecution.optimizedPlan
     val nodes = plan.collectWithSubqueries { case p => p }
     val deterministic = nodes.forall(_.expressions.forall(_.deterministic))
@@ -75,48 +84,53 @@ object ResultsCache {
 
   /** Return `df`'s result from the cache at `dir`, materializing it on a
     * miss. Boolean = was it a hit. Uncacheable plans pass through untouched.
+    *
+    * Locking: only the `_index.json` read-modify-write is serialized — the
+    * expensive part (executing the query and writing its parquet) runs
+    * OUTSIDE the lock, so concurrent cached queries don't queue behind one
+    * another's scans. Two threads missing on the same fingerprint both
+    * materialize (to the same deterministic path, last write wins) — wasted
+    * work, never a wrong answer.
     */
   def cachedOrRun(spark: SparkSession, df: DataFrame, dir: String,
-      maxEntries: Int = 64): (DataFrame, Boolean) = synchronized {
+      maxEntries: Int = 64): (DataFrame, Boolean) =
     fingerprint(df) match {
-      case None => skipped += 1; (df, false)
+      case None => synchronized { skipped += 1 }; (df, false)
       case Some(fp) =>
         val root = new Path(dir)
         val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val idxPath = new Path(root, "_index.json")
-        val idx = if (fs.exists(idxPath)) {
-          val in = fs.open(idxPath)
-          try org.json4s.jackson.Serialization.read[Index](
-            new String(org.apache.commons.io.IOUtils.toByteArray(in), UTF_8))
-          finally in.close()
-        } else Index(Map.empty)
         val now = System.currentTimeMillis()
-        idx.entries.get(fp) match {
-          case Some(e) if fs.exists(new Path(root, e.sub)) =>
-            hits += 1
-            writeIndex(fs, idxPath, Index(idx.entries +
-              (fp -> e.copy(lastUsedMs = now))))
-            (spark.read.parquet(new Path(root, e.sub).toString), true)
-          case _ =>
-            misses += 1
+        val hit = synchronized {
+          val idx = SidecarJson.read[Index](fs, idxPath).getOrElse(Index(Map.empty))
+          idx.entries.get(fp).filter(e => fs.exists(new Path(root, e.sub)))
+            .map { e =>
+              hits += 1
+              SidecarJson.write(fs, idxPath, Index(idx.entries +
+                (fp -> e.copy(lastUsedMs = now))))
+              e.sub
+            }
+        }
+        hit match {
+          case Some(sub) =>
+            (spark.read.parquet(new Path(root, sub).toString), true)
+          case None =>
             val sub = s"r_$fp"
             df.coalesce(1).write.mode("overwrite")
-              .parquet(new Path(root, sub).toString)
-            // LRU eviction beyond maxEntries (the new entry always stays)
-            val entries = idx.entries + (fp -> Entry(sub, now))
-            val evict = entries.toSeq.sortBy(_._2.lastUsedMs).dropRight(maxEntries)
-            evict.foreach { case (_, e) =>
-              fs.delete(new Path(root, e.sub), true) }
-            writeIndex(fs, idxPath, Index(entries -- evict.map(_._1)))
+              .parquet(new Path(root, sub).toString) // outside the lock
+            synchronized {
+              misses += 1
+              val idx = SidecarJson.read[Index](fs, idxPath)
+                .getOrElse(Index(Map.empty))
+              // LRU eviction beyond maxEntries (the new entry always stays)
+              val entries = idx.entries + (fp -> Entry(sub, now))
+              val evict = entries.toSeq.sortBy(_._2.lastUsedMs)
+                .dropRight(maxEntries)
+              evict.foreach { case (_, e) =>
+                fs.delete(new Path(root, e.sub), true) }
+              SidecarJson.write(fs, idxPath, Index(entries -- evict.map(_._1)))
+            }
             (spark.read.parquet(new Path(root, sub).toString), false)
         }
     }
-  }
-
-  private def writeIndex(fs: org.apache.hadoop.fs.FileSystem, p: Path,
-      idx: Index): Unit = {
-    val out = fs.create(p, true)
-    try out.write(org.json4s.jackson.Serialization.write(idx).getBytes(UTF_8))
-    finally out.close()
-  }
 }

@@ -156,9 +156,7 @@ object Snapshots {
       notNull: Seq[String] = Nil,
       checks: Map[String, String] = Map.empty,
       defaults: Map[String, String] = Map.empty,
-      informational: Map[String, String] = Map.empty) {
-    def isEmpty: Boolean = notNull.isEmpty && checks.isEmpty
-  }
+      informational: Map[String, String] = Map.empty)
 
   /** Bloom file-skipping index config (`_bloom_config.json` at the table
     * root): `cols` are PHYSICAL column names (rename-proof), `bits` is the
@@ -1123,7 +1121,10 @@ object Snapshots {
           newSchema.json, head.files, head.stats, Map.empty, head.deletes,
           colMapping = newMapping,
           droppedPhysical = head.droppedPhysical)
-        if (publish(head, m)) return m
+        if (publish(head, m)) {
+          renameInConstraints(oldName, newName)
+          return m
+        }
         attempt += 1
         if (attempt > maxRetries)
           throw new ConcurrentModificationException(
@@ -1157,7 +1158,10 @@ object Snapshots {
           newSchema.json, head.files, head.stats, Map.empty, head.deletes,
           colMapping = head.colMapping - name,
           droppedPhysical = (head.droppedPhysical :+ phys).distinct)
-        if (publish(head, m)) return m
+        if (publish(head, m)) {
+          dropFromConstraints(name)
+          return m
+        }
         attempt += 1
         if (attempt > maxRetries)
           throw new ConcurrentModificationException(
@@ -1839,43 +1843,22 @@ object Snapshots {
       writeBloomConfig(BloomConfig(cols.map(head.physical), numBits, gen))
     }
 
-    private def writeBloomConfig(cfg: BloomConfig): Unit = {
-      val out = fs.create(new Path(rootPath, "_bloom_config.json"), true)
-      try out.write(org.json4s.jackson.Serialization.write(cfg).getBytes("UTF-8"))
-      finally out.close()
-    }
+    private def writeBloomConfig(cfg: BloomConfig): Unit =
+      SidecarJson.write(fs, new Path(rootPath, "_bloom_config.json"), cfg)
 
-    private[plans] def bloomConfig(): Option[BloomConfig] = {
-      val p = new Path(rootPath, "_bloom_config.json")
-      if (!fs.exists(p)) None
-      else {
-        val in = fs.open(p)
-        try Some(org.json4s.jackson.Serialization.read[BloomConfig](
-          new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")))
-        finally in.close()
-      }
-    }
+    private[plans] def bloomConfig(): Option[BloomConfig] =
+      SidecarJson.read[BloomConfig](fs, new Path(rootPath, "_bloom_config.json"))
 
     // ------------------------------------------------------------------
     // Constraints (see [[TableConstraints]])
 
     /** Current constraint set (empty if none declared). */
-    def constraints(): TableConstraints = {
-      val p = new Path(rootPath, "_constraints.json")
-      if (!fs.exists(p)) TableConstraints()
-      else {
-        val in = fs.open(p)
-        try org.json4s.jackson.Serialization.read[TableConstraints](
-          new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8"))
-        finally in.close()
-      }
-    }
+    def constraints(): TableConstraints =
+      SidecarJson.read[TableConstraints](fs,
+        new Path(rootPath, "_constraints.json")).getOrElse(TableConstraints())
 
-    private def writeConstraints(c: TableConstraints): Unit = {
-      val out = fs.create(new Path(rootPath, "_constraints.json"), true)
-      try out.write(org.json4s.jackson.Serialization.write(c).getBytes("UTF-8"))
-      finally out.close()
-    }
+    private def writeConstraints(c: TableConstraints): Unit =
+      SidecarJson.write(fs, new Path(rootPath, "_constraints.json"), c)
 
     /** Violation predicates for the ENFORCED constraints: (description,
       * referenced columns, row-is-violating condition). NOT NULL trips on
@@ -1889,12 +1872,17 @@ object Snapshots {
       c.notNull.sorted.map(n =>
         (s"NOT NULL constraint on column $n", Seq(n), col(n).isNull)) ++
       c.checks.toSeq.sortBy(_._1).map { case (name, sql) =>
-        val refs = spark.sessionState.sqlParser.parseExpression(sql).collect {
-          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-            a.nameParts.head
-        }
-        (s"CHECK constraint $name ($sql)", refs,
+        (s"CHECK constraint $name ($sql)", checkRefs(sql),
           coalesce(expr(sql).cast("boolean"), lit(true)) === lit(false))
+      }
+
+    /** Column names a CHECK expression references: the LAST name part (so a
+      * qualified `t.amount` resolves by its column name, not its qualifier).
+      */
+    private def checkRefs(sql: String): Seq[String] =
+      spark.sessionState.sqlParser.parseExpression(sql).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.last
       }
 
     /** Validate `df` against the enforced constraints: ONE aggregate pass
@@ -1908,16 +1896,22 @@ object Snapshots {
       */
     private def validateConstraints(df: DataFrame, action: String): DataFrame = {
       val c = constraints()
+      // resolution is CASE-INSENSITIVE (matching expr() resolution) so a
+      // differently-cased spelling can never silently disable enforcement;
+      // a genuinely absent column (dropped after declaration) skips its
+      // constraint rather than failing analysis
+      val have = df.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
       val conds = violationConds(c).filter {
-        // a constraint can reference columns this frame doesn't carry
-        // (schema evolution mid-flight): skip rather than fail analysis
-        case (_, refs, _) => refs.forall(df.columns.contains)
+        case (_, refs, _) =>
+          refs.forall(r => have.contains(r.toLowerCase(java.util.Locale.ROOT)))
       }
       if (conds.isEmpty) return df
+      // count(when(...)) is 0 on an empty batch — sum() would be NULL and
+      // NPE the getLong below on a legal zero-row write
       val counts = df.agg(
-        sum(when(conds.head._3, 1L).otherwise(0L)).as("c0"),
+        count(when(conds.head._3, lit(1))).as("c0"),
         conds.tail.zipWithIndex.map { case ((_, _, cond), i) =>
-          sum(when(cond, 1L).otherwise(0L)).as(s"c${i + 1}") }: _*).head()
+          count(when(cond, lit(1))).as(s"c${i + 1}") }: _*).head()
       val violated = conds.zipWithIndex.collect {
         case ((desc, _, _), i) if counts.getLong(i) > 0 =>
           s"$desc: ${counts.getLong(i)} row(s)"
@@ -1970,6 +1964,49 @@ object Snapshots {
     def dropNotNull(column: String): Unit = {
       val c = constraints()
       writeConstraints(c.copy(notNull = c.notNull.filterNot(_ == column)))
+    }
+
+    /** Follow a RENAME COLUMN: NOT NULL / DEFAULT entries re-key, CHECK
+      * expressions rewrite their column references (parse → substitute →
+      * re-render), so enforcement survives the rename instead of silently
+      * lapsing into the dropped-column skip.
+      */
+    private def renameInConstraints(oldName: String, newName: String): Unit = {
+      val c = constraints()
+      def eq(a: String) = a.equalsIgnoreCase(oldName)
+      val rewritten = c.checks.map { case (n, sql) =>
+        val e = spark.sessionState.sqlParser.parseExpression(sql).transform {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+              if eq(a.nameParts.last) =>
+            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+              a.nameParts.init :+ newName)
+        }
+        n -> e.sql
+      }
+      val changed = rewritten != c.checks ||
+        c.notNull.exists(eq) || c.defaults.keys.exists(eq)
+      if (changed) writeConstraints(c.copy(
+        notNull = c.notNull.map(n => if (eq(n)) newName else n),
+        checks = rewritten,
+        defaults = c.defaults.map { case (k, v) =>
+          (if (eq(k)) newName else k) -> v }))
+    }
+
+    /** Follow a DROP COLUMN: NOT NULL / DEFAULT entries on the column drop,
+      * CHECK constraints referencing it drop entirely (the SQL-standard
+      * CASCADE behavior — a check over a gone column is unenforceable).
+      */
+    private def dropFromConstraints(column: String): Unit = {
+      val c = constraints()
+      def eq(a: String) = a.equalsIgnoreCase(column)
+      val keptChecks = c.checks.filterNot { case (_, sql) =>
+        checkRefs(sql).exists(eq) }
+      val changed = keptChecks != c.checks ||
+        c.notNull.exists(eq) || c.defaults.keys.exists(eq)
+      if (changed) writeConstraints(c.copy(
+        notNull = c.notNull.filterNot(eq),
+        checks = keptChecks,
+        defaults = c.defaults.filterNot { case (k, _) => eq(k) }))
     }
 
     /** Declare a DEFAULT expression for a column — filled in when an INSERT

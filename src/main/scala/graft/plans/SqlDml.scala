@@ -259,7 +259,22 @@ object SqlDml {
                     .map(_.toLong).getOrElse(1L << 20)
                   Snapshots.table(spark, r.root).setBloomColumns(
                     cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq, bits)
-                case ("bloom.bits", _) => () // consumed with bloom.columns
+                case ("bloom.bits", bits) =>
+                  // alone = resize the EXISTING index (with bloom.columns in
+                  // the same statement it is consumed there)
+                  if (!sp.properties.contains("bloom.columns")) {
+                    val t = Snapshots.table(spark, r.root)
+                    val cfg = t.bloomConfig().getOrElse(
+                      throw new IllegalArgumentException(
+                        "bloom.bits without bloom.columns needs an existing " +
+                          "bloom index to resize"))
+                    // cols are stored physically; map back to logical names
+                    val m = t.latest()
+                    val phys2log = m.colMapping.map(_.swap)
+                    t.setBloomColumns(
+                      cfg.cols.map(c => phys2log.getOrElse(c, c)),
+                      bits.toLong)
+                  }
                 case (k, _) => throw new UnsupportedOperationException(
                   s"unsupported table property: $k (write.mode, " +
                     "bloom.columns, bloom.bits)")

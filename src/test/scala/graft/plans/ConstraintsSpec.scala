@@ -158,5 +158,49 @@ class ConstraintsSpec extends SparkSpec {
     t.dropColumn("amount")
     t.append(Seq((7L, "g")).toDF("id", "name")) // no amount column anymore
     assert(t.read().count() === 6)
+    // DROP COLUMN cascaded: the unenforceable check is gone from the sidecar
+    assert(t.constraints().checks.isEmpty)
+  }
+
+  test("differently-cased and qualified CHECK spellings still enforce") {
+    val root = scratch("graft_cons_")
+    val t = Snapshots.create(spark, root, rows(0, 5))
+    t.addCheck("upper_spelling", "AMOUNT >= 0") // column is 'amount'
+    intercept[Snapshots.ConstraintViolationException] {
+      t.append(Seq((9L, "bad", -1.0)).toDF("id", "name", "amount"))
+    }
+    t.dropCheck("upper_spelling")
+    // a qualified spelling cannot resolve against the table frame — it is
+    // rejected LOUDLY at declaration, never stored as a silent no-op
+    intercept[Exception] { t.addCheck("qualified", "t.amount >= 0") }
+    assert(t.constraints().checks.isEmpty)
+  }
+
+  test("a zero-row write to a constrained table is a clean no-op") {
+    val root = scratch("graft_cons_")
+    val t = Snapshots.create(spark, root, rows(0, 5))
+    t.addCheck("amount_nonneg", "amount >= 0")
+    t.setNotNull("id")
+    t.append(rows(0, 5).filter(lit(false))) // empty batch: no NPE, no reject
+    assert(t.read().count() === 5)
+  }
+
+  test("RENAME COLUMN carries NOT NULL, CHECK, and DEFAULT along") {
+    val root = scratch("graft_cons_")
+    val t = Snapshots.create(spark, root, rows(0, 5))
+    t.setNotNull("amount")
+    t.addCheck("amount_nonneg", "amount >= 0")
+    t.setDefault("amount", "1.5")
+    t.renameColumn("amount", "price")
+    val c = t.constraints()
+    assert(c.notNull === Seq("price"))
+    assert(c.defaults.keySet === Set("price"))
+    assert(c.checks("amount_nonneg").toLowerCase.contains("price"))
+    // and the rewritten check still ENFORCES on the new name
+    intercept[Snapshots.ConstraintViolationException] {
+      t.append(Seq((9L, "bad", -1.0)).toDF("id", "name", "price"))
+    }
+    t.append(Seq((9L, "ok", 2.0)).toDF("id", "name", "price"))
+    assert(t.read().count() === 6)
   }
 }

@@ -114,6 +114,28 @@ class ReplicationSpec extends SparkSpec {
     }
   }
 
+  test("a crash between target append and state write never double-applies") {
+    val srcRoot = tmp("graft_repl_src_")
+    val tgtRoot = tmp("graft_repl_tgt_")
+    val src = Snapshots.create(spark, srcRoot, rows(0, 20))
+    Replication.sync(spark, srcRoot, tgtRoot)
+    src.append(rows(20, 30))
+    Replication.sync(spark, srcRoot, tgtRoot)
+    assert(Snapshots.table(spark, tgtRoot).read().count() === 30)
+    // simulate the crash window: the append landed (stamped in the target
+    // log) but the sidecar still says the OLD version
+    val fs = new org.apache.hadoop.fs.Path(tgtRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(tgtRoot, "_repl_state.json"), true)
+    out.write(s"""{"sourceRoot":"$srcRoot","lastApplied":0}""".getBytes("UTF-8"))
+    out.close()
+    val r = Replication.sync(spark, srcRoot, tgtRoot)
+    assert(Snapshots.table(spark, tgtRoot).read().count() === 30,
+      "rewound sidecar must not re-apply the already-stamped commit")
+    assert(r.commitsApplied === 0)
+  }
+
   test("an interrupted bootstrap is adopted, not refused") {
     val srcRoot = tmp("graft_repl_src_")
     val tgtRoot = tmp("graft_repl_tgt_")

@@ -68,6 +68,16 @@ class ResultsCacheSpec extends SparkSpec {
     assert(!hit2)
   }
 
+  test("a NullType column declines caching instead of crashing the query") {
+    val data = tmp("graft_rc_data_")
+    val cache = tmp("graft_rc_")
+    (0 until 10).map(i => i.toLong).toDF("id").write.parquet(s"$data/t")
+    val q = spark.read.parquet(s"$data/t").selectExpr("id", "NULL AS note")
+    assert(ResultsCache.fingerprint(q).isEmpty)
+    val (r, hit) = ResultsCache.cachedOrRun(spark, q, cache) // must not throw
+    assert(!hit && r.count() === 10)
+  }
+
   test("LRU eviction keeps the cache bounded") {
     val data = tmp("graft_rc_data_")
     val cache = tmp("graft_rc_")

@@ -188,6 +188,9 @@ class SqlMaintenanceSpec extends SparkSpec {
     intercept[UnsupportedOperationException] {
       sql("ALTER TABLE maint_props SET TBLPROPERTIES ('nonsense'='x')")
     }
+    // bloom.bits ALONE resizes the existing index (never silently ignored)
+    sql("ALTER TABLE maint_props SET TBLPROPERTIES ('bloom.bits'='131072')")
+    assert(Snapshots.table(spark, root).bloomConfig().get.bits === 131072L)
     NamedTables.drop("maint_props")
   }
 
