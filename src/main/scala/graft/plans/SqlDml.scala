@@ -302,6 +302,37 @@ object SqlDml {
           }
         case _ => None
       }
+      // ALTER TABLE ... DROP PARTITION (k='v'[, ...]): lowered to a
+      // partition-predicate DELETE — on a snapshot table that is a
+      // metadata-cheap file-drop commit (every file in the partition matches
+      // wholly), the reference's drop-partition semantics without a
+      // metastore (ref ql/.../DDLSemanticAnalyzer.java dropPartitions)
+      case dp: DropPartitions => dp.table match {
+        case tbl: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+          NamedTables.refOf(tbl.multipartIdentifier).collect {
+            case r: NamedTables.SnapshotRef =>
+              val t = Snapshots.table(spark, r.root)
+              val partCols = t.latest().partitionCols.toSet
+              dp.parts.foreach {
+                case u: org.apache.spark.sql.catalyst.analysis.UnresolvedPartitionSpec =>
+                  val unknown = u.spec.keySet.diff(partCols)
+                  if (unknown.nonEmpty) throw new IllegalArgumentException(
+                    s"not partition column(s): ${unknown.mkString(", ")} " +
+                      s"(table partitions: ${partCols.mkString(", ")})")
+                  val cond = u.spec.map { case (k, v) =>
+                    col(k) === lit(v) }.reduce(_ && _)
+                  val head = t.latest()
+                  val m = t.deleteWhere(cond)
+                  if (m.version == head.version && !dp.ifExists)
+                    throw new IllegalArgumentException(
+                      s"no such partition: ${u.spec.mkString(", ")}")
+                case other => throw new UnsupportedOperationException(
+                  s"unsupported partition spec: $other")
+              }
+              done(spark)
+          }
+        case _ => None
+      }
       case tt: TruncateTable => tt.table match {
         case tbl: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
           NamedTables.refOf(tbl.multipartIdentifier).map {

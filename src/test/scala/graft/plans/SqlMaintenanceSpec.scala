@@ -194,6 +194,27 @@ class SqlMaintenanceSpec extends SparkSpec {
     NamedTables.drop("maint_props")
   }
 
+  test("ALTER TABLE DROP PARTITION drops exactly that partition") {
+    import spark.implicits._
+    val root = freshRoot()
+    Snapshots.create(spark, root, nums(0, 100), partitionBy = Seq("k"))
+    NamedTables.registerSnapshot("maint_part", root)
+    sql("ALTER TABLE maint_part DROP PARTITION (k=2)")
+    val left = sql("SELECT DISTINCT k FROM maint_part").as[Int].collect().toSet
+    assert(left === Set(0, 1, 3))
+    assert(sql("SELECT count(*) AS n FROM maint_part").head.getLong(0) === 75)
+    // absent partition: loud without IF EXISTS, silent with
+    intercept[IllegalArgumentException] {
+      sql("ALTER TABLE maint_part DROP PARTITION (k=9)")
+    }
+    sql("ALTER TABLE maint_part DROP IF EXISTS PARTITION (k=9)")
+    // non-partition column refused
+    intercept[IllegalArgumentException] {
+      sql("ALTER TABLE maint_part DROP PARTITION (id=1)")
+    }
+    NamedTables.drop("maint_part")
+  }
+
   test("DESCRIBE HISTORY returns the commit log for a registered name") {
     val root = freshRoot()
     val t = Snapshots.create(spark, root, nums(0, 10))
