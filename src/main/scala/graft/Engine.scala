@@ -79,6 +79,7 @@ object Engine {
     // sized for the 100 TB target, not for local toy data.
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     graft.functions.HiveFunctions.registerAll(spark)
+    graft.functions.GeoFunctions.registerAll(spark)
     graft.plans.MaterializedViews.install(spark)
     graft.plans.SnapshotSql.register(spark)
     graft.plans.NamedTables.bootstrap(spark)

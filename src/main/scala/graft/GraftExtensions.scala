@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // is idempotent, making the registry available to plain spark.sql users.
     ext.injectCheckRule { session =>
       graft.functions.HiveFunctions.registerAll(session)
+      graft.functions.GeoFunctions.registerAll(session)
       graft.plans.SnapshotSql.register(session)
       // durable name registry (spark.graft.catalog) loads before any query
       // can reference a registered name

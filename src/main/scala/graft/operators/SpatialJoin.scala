@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Geo
+
+/** Distributed spatial join without a spatial index (SURVEY §2.5 geospatial;
+  * the scale companion to [[graft.functions.GeoFunctions]]).
+  *
+  * Strategy — grid-cell bucketing, the reference's ST_Bin idiom (ref
+  * ql/src/java/org/apache/hadoop/hive/ql/udf/esri/ST_Bin.java, BinUtils.java)
+  * promoted from a manual query pattern to an operator:
+  *
+  *   1. every polygon registers on each grid cell its envelope covers
+  *      (explode over the cell-id range — O(envelope area / binSize²) rows);
+  *   2. every point keys to exactly its own cell (map-side, no fan-out);
+  *   3. candidates meet in ONE equi-join on the cell id — the shuffle is
+  *      keyed and AQE-balanced, never an all-pairs product;
+  *   4. the exact kernel predicate (contains / intersects) refines.
+  *
+  * Because a point maps to a single cell, a (point, polygon) pair meets at
+  * most once — no post-join dedup. At 100 TB the join cost is driven by the
+  * candidate count, tuned by `binSize`: pick it near the median polygon
+  * diameter so most polygons register on O(1) cells while cells stay small.
+  */
+object SpatialJoin {
+
+  /** Join `points` (x/y columns) to `polys` (WKT polygon column) on spatial
+    * membership. `predicate` is "contains" (OGC: boundary excluded) or
+    * "intersects" (boundary included). Output: all columns of both inputs.
+    */
+  def pointsInPolygons(
+      points: DataFrame,
+      xCol: String,
+      yCol: String,
+      polys: DataFrame,
+      wktCol: String,
+      binSize: Double,
+      predicate: String = "contains"): DataFrame = {
+    val bins = new Geo.Bins(binSize)
+    val extentMin = bins.extentMin
+    val extentMax = bins.extentMax
+    val numCols = bins.numCols
+
+    // envelope corners of each polygon, via the kernel (null for bad WKT)
+    val envUdf = udf((wkt: String) =>
+      Geo.parseWkt(wkt).flatMap(Geo.envelope)
+        .map { case (x0, y0, x1, y1) => Seq(x0, y0, x1, y1) }.orNull)
+
+    val polyCells = polys
+      .withColumn("__env", envUdf(col(wktCol)))
+      .where(col("__env").isNotNull)
+      // row (down) and column (over) ranges of the covered cells — pure
+      // Catalyst arithmetic, codegen'd; only the envelope needed the kernel
+      .withColumn("__down0", floor((lit(extentMax) - col("__env")(3)) / binSize).cast("long"))
+      .withColumn("__down1", floor((lit(extentMax) - col("__env")(1)) / binSize).cast("long"))
+      .withColumn("__over0", floor((col("__env")(0) - lit(extentMin)) / binSize).cast("long"))
+      .withColumn("__over1", floor((col("__env")(2) - lit(extentMin)) / binSize).cast("long"))
+      .withColumn("__down", explode(sequence(col("__down0"), col("__down1"))))
+      .withColumn("__over", explode(sequence(col("__over0"), col("__over1"))))
+      .withColumn("__cell", col("__down") * numCols + col("__over"))
+      .drop("__env", "__down0", "__down1", "__over0", "__over1", "__down", "__over")
+
+    val pointCells = points.withColumn("__cell",
+      (floor((lit(extentMax) - col(yCol)) / binSize).cast("long") * numCols) +
+        floor((col(xCol) - lit(extentMin)) / binSize).cast("long"))
+
+    val refine = predicate match {
+      case "contains" => udf((wkt: String, x: Double, y: Double) =>
+        Geo.parseWkt(wkt).exists(g => Geo.contains(g, Geo.GPoint(Some(Geo.Pt(x, y))))))
+      case "intersects" => udf((wkt: String, x: Double, y: Double) =>
+        Geo.parseWkt(wkt).exists(g => Geo.intersects(g, Geo.GPoint(Some(Geo.Pt(x, y))))))
+      case other => throw new IllegalArgumentException(
+        s"predicate must be contains|intersects, got $other")
+    }
+
+    pointCells
+      .join(polyCells, "__cell")
+      .where(refine(col(wktCol), col(xCol), col(yCol)))
+      .drop("__cell")
+  }
+}

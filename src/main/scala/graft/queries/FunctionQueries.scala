@@ -757,5 +757,107 @@ object FunctionQueries {
         |  parse_json(props) IS NOT NULL AS is_obj,
         |  to_json(parse_json(props)) AS rt
         |FROM events WHERE event_id < 300 ORDER BY event_id""".stripMargin)),
+
+    // Geospatial ST_* surface (graft.functions.GeoFunctions; ref ql/.../udf/
+    // esri/). Coordinates derive arithmetically from c_custkey so the DuckDB
+    // oracle can mirror every function in closed-form SQL: WKT text, point
+    // accessors, euclidean + haversine distance, OGC containment, envelope
+    // area, convex-hull area, bbox intersection, and the reference's
+    // BinUtils cell addressing (esri/BinUtils.java:28-55 — half-integer
+    // cell boundaries, sqrt(Long.MaxValue)-per-axis extent). Trig-dependent
+    // values are rounded (1-3dp) so last-ulp libm differences between
+    // engines cannot flip the hash.
+    q("f30_geospatial",
+      """SELECT c_custkey,
+        |  'POINT (' ||
+        |    (CASE WHEN px = floor(px) THEN CAST(CAST(px AS BIGINT) AS VARCHAR)
+        |          ELSE CAST(px AS VARCHAR) END) || ' ' ||
+        |    (CASE WHEN py = floor(py) THEN CAST(CAST(py AS BIGINT) AS VARCHAR)
+        |          ELSE CAST(py AS VARCHAR) END) || ')' AS pt_wkt,
+        |  px AS px_rt,
+        |  round(sqrt((px - 10.0)*(px - 10.0) + (py - 20.0)*(py - 20.0)), 4) AS dist_fixed,
+        |  (px > 0 AND px < 30 AND py > 0 AND py < 30) AS in_box,
+        |  round(abs(qx - px) * abs(qy - py), 3) AS env_area,
+        |  CAST(floor(1518500249.5 - py) AS BIGINT) * 3037000499
+        |    + CAST(floor(px + 1518500249.5) AS BIGINT) AS bin_id,
+        |  round(6371008.0 * 2 * atan2(
+        |    sqrt(power(sin(radians(qy/10.0 - py/10.0)/2), 2)
+        |      + cos(radians(py/10.0)) * cos(radians(qy/10.0))
+        |        * power(sin(radians(qx/10.0 - px/10.0)/2), 2)),
+        |    sqrt(1 - (power(sin(radians(qy/10.0 - py/10.0)/2), 2)
+        |      + cos(radians(py/10.0)) * cos(radians(qy/10.0))
+        |        * power(sin(radians(qx/10.0 - px/10.0)/2), 2)))), 1) AS dsphere,
+        |  round(abs((qx - px)*(5.0 - py) - (qy - py)*(10.0 - px)) / 2, 3) AS hull_area,
+        |  (least(px, qx) <= 20 AND greatest(px, qx) >= 10 AND
+        |   least(py, qy) <= 20 AND greatest(py, qy) >= 10) AS env_ix
+        |FROM (SELECT c_custkey,
+        |        CAST(c_custkey % 100 AS DOUBLE) * 0.5 AS px,
+        |        CAST((c_custkey * 7) % 100 AS DOUBLE) * 0.5 AS py,
+        |        CAST(c_custkey % 37 AS DOUBLE) * 0.7 AS qx,
+        |        CAST((c_custkey * 3) % 41 AS DOUBLE) * 0.7 AS qy
+        |      FROM customer WHERE c_custkey <= 300) d
+        |ORDER BY c_custkey""".stripMargin
+    )(sqlQ(
+      """SELECT c_custkey,
+        |  st_astext(st_point(px, py)) AS pt_wkt,
+        |  st_x(st_point(px, py)) AS px_rt,
+        |  round(st_distance(st_point(px, py), st_point(10.0, 20.0)), 4) AS dist_fixed,
+        |  st_contains(st_geomfromtext('POLYGON ((0 0, 30 0, 30 30, 0 30, 0 0))'),
+        |              st_point(px, py)) AS in_box,
+        |  round(st_area(st_envelope(st_linestring(array(px, qx), array(py, qy)))), 3) AS env_area,
+        |  st_bin(1.0, st_point(px, py)) AS bin_id,
+        |  round(st_distancesphere(st_point(px/10.0, py/10.0),
+        |                          st_point(qx/10.0, qy/10.0)), 1) AS dsphere,
+        |  round(st_area(st_convexhull(st_multipoint(array(px, qx, 10.0),
+        |                                            array(py, qy, 5.0)))), 3) AS hull_area,
+        |  st_envintersects(st_linestring(array(px, qx), array(py, qy)),
+        |    st_geomfromtext('POLYGON ((10 10, 20 10, 20 20, 10 20, 10 10))')) AS env_ix
+        |FROM (SELECT c_custkey,
+        |        CAST(c_custkey % 100 AS DOUBLE) * 0.5 AS px,
+        |        CAST((c_custkey * 7) % 100 AS DOUBLE) * 0.5 AS py,
+        |        CAST(c_custkey % 37 AS DOUBLE) * 0.7 AS qx,
+        |        CAST((c_custkey * 3) % 41 AS DOUBLE) * 0.7 AS qy
+        |      FROM customer WHERE c_custkey <= 300) d
+        |ORDER BY c_custkey""".stripMargin)),
+
+    // Bin-bucketed spatial join (operators.SpatialJoin): every customer point
+    // against a 5x5 grid of nation rectangles, joined through grid-cell ids
+    // (one equi-join, no cartesian) and refined with exact OGC contains
+    // (boundary excluded). The oracle is the closed-form strict-inequality
+    // join DuckDB can run directly.
+    q("f31_spatial_join",
+      """SELECT n_nationkey, count(*) AS cnt, CAST(sum(c_custkey) AS BIGINT) AS sk
+        |FROM (SELECT c_custkey,
+        |        CAST(c_custkey % 100 AS DOUBLE) * 0.5 AS px,
+        |        CAST((c_custkey * 7) % 100 AS DOUBLE) * 0.5 AS py
+        |      FROM customer) p
+        |JOIN (SELECT n_nationkey,
+        |        CAST(n_nationkey % 5 AS DOUBLE) * 12 AS x0,
+        |        CAST(floor(n_nationkey / 5) AS DOUBLE) * 10 AS y0
+        |      FROM nation) r
+        |  ON p.px > r.x0 AND p.px < r.x0 + 9
+        | AND p.py > r.y0 AND p.py < r.y0 + 7.5
+        |GROUP BY n_nationkey ORDER BY n_nationkey""".stripMargin
+    ) { (spark, dir) =>
+      Engine.register(spark, dir)
+      val pts = spark.sql(
+        """SELECT c_custkey,
+          |  CAST(c_custkey % 100 AS DOUBLE) * 0.5 AS px,
+          |  CAST((c_custkey * 7) % 100 AS DOUBLE) * 0.5 AS py
+          |FROM customer""".stripMargin)
+      val polys = spark.sql(
+        """SELECT n_nationkey,
+          |  st_polygon(array(x0, x0 + 9, x0 + 9, x0),
+          |             array(y0, y0, y0 + 7.5, y0 + 7.5)) AS wkt
+          |FROM (SELECT n_nationkey,
+          |        CAST(n_nationkey % 5 AS DOUBLE) * 12 AS x0,
+          |        CAST(floor(n_nationkey / 5) AS DOUBLE) * 10 AS y0
+          |      FROM nation)""".stripMargin)
+      graft.operators.SpatialJoin
+        .pointsInPolygons(pts, "px", "py", polys, "wkt", binSize = 8.0)
+        .groupBy("n_nationkey")
+        .agg(count(lit(1)).as("cnt"), sum("c_custkey").as("sk"))
+        .orderBy("n_nationkey")
+    },
   )
 }

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.scalatest.matchers.should.Matchers
+import graft.SparkSpec
+
+/** Bin-bucketed spatial join: equals brute force, never a cartesian plan. */
+class SpatialJoinSpec extends SparkSpec with Matchers {
+  import org.apache.spark.sql.functions._
+
+  lazy val points = {
+    import spark.implicits._
+    (0 until 400).map { i =>
+      (i.toLong, (i % 40) * 0.7, ((i * 13) % 37) * 0.9)
+    }.toDF("pid", "x", "y")
+  }
+
+  lazy val polys = {
+    import spark.implicits._
+    // axis-aligned rects + one triangle + one concave + one with a hole
+    (Seq(
+      (0L, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"),
+      (1L, "POLYGON ((5 5, 20 5, 20 20, 5 20, 5 5))"),
+      (2L, "POLYGON ((15 0, 27 0, 21 30, 15 0))"),
+      (3L, "POLYGON ((0 20, 28 20, 28 33, 0 33, 0 20), (10 22, 20 22, 20 30, 10 30, 10 22))"),
+      (4L, "POLYGON ((30 30, 40 30, 40 40, 30 40, 30 30))")) // empty region
+      ).toDF("polyid", "wkt")
+  }
+
+  def bruteForce(predicate: String): Set[(Long, Long)] = {
+    import graft.functions.Geo
+    val ps = points.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val gs = polys.collect().map(r => (r.getLong(r.fieldIndex("polyid")),
+      Geo.parseWkt(r.getAs[String]("wkt")).get))
+    (for {
+      (pid, x, y) <- ps
+      (gid, g) <- gs
+      pt = Geo.GPoint(Some(Geo.Pt(x, y)))
+      hit = if (predicate == "contains") Geo.contains(g, pt) else Geo.intersects(g, pt)
+      if hit
+    } yield (pid, gid)).toSet
+  }
+
+  test("contains join matches brute force across bin sizes") {
+    for (binSize <- Seq(1.0, 4.0, 50.0)) {
+      val got = SpatialJoin.pointsInPolygons(points, "x", "y", polys, "wkt", binSize)
+        .select("pid", "polyid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got shouldBe bruteForce("contains")
+    }
+  }
+
+  test("intersects join includes boundary points") {
+    val got = SpatialJoin.pointsInPolygons(points, "x", "y", polys, "wkt", 5.0, "intersects")
+      .select("pid", "polyid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = bruteForce("intersects")
+    got shouldBe brute
+    // boundary-only pairs exist in intersects but not contains (x=7.0,y=0 style)
+    (brute -- bruteForce("contains")) should not be empty
+  }
+
+  test("the plan is an equi-join on the cell id, not a cartesian product") {
+    val plan = SpatialJoin.pointsInPolygons(points, "x", "y", polys, "wkt", 5.0)
+      .queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("a point in a polygon hole is excluded") {
+    import spark.implicits._
+    val pt = Seq((99L, 15.0, 25.0)).toDF("pid", "x", "y") // inside polyid=3's hole
+    val got = SpatialJoin.pointsInPolygons(pt, "x", "y", polys, "wkt", 5.0)
+      .select("polyid").collect().map(_.getLong(0)).toSet
+    got shouldBe Set.empty
+  }
+}
