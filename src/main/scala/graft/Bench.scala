@@ -46,7 +46,8 @@ object Bench {
     "t21_waiting_supplier", // double-correlated EXISTS/NOT EXISTS
     "t15_top_supplier",     // CTE used twice + scalar-max filter (new r10)
     "p37_semantic_dedup",   // k-means + in-cluster pair prune (new r10)
-    "p38_tfidf_topterms")   // tf/df relational + per-doc top-k (new r10)
+    "p38_tfidf_topterms",   // tf/df relational + per-doc top-k (new r10)
+    "f31_spatial_join")     // bin-bucketed point-in-polygon join (new r11)
 
   /** Context the numbers need to be read correctly (emitted in the JSON). */
   val notes: Map[String, String] = Map(

@@ -494,5 +494,37 @@ object SqlDmlQueries {
       require(rejected, "CHECK constraint did not reject the violating INSERT")
       Engine.sql(spark, dir,
         "SELECT id, name, CAST(amount AS DOUBLE) AS amount FROM s22_t ORDER BY id")
+    },
+
+    // HPL/SQL procedural script (graft.hplsql.Hplsql; ref hplsql/.../
+    // Hplsql.g4): declares variables, iterates a cursor FOR loop over a
+    // grouped query (variable substitution feeding the predicate), folds
+    // per-segment counts into scalars, and materializes the final state via
+    // a raw-SQL statement through the engine front door. The oracle replays
+    // the whole script as one closed-form DuckDB query.
+    q("s23_hplsql_script",
+      """SELECT string_agg(seg, ';' ORDER BY seg) || ';' AS seg_list,
+        |  CAST(sum(n) AS BIGINT) AS total_cnt,
+        |  CAST(5000.0 AS DOUBLE) AS cutoff_used
+        |FROM (SELECT c_mktsegment AS seg, count(*) AS n
+        |      FROM customer WHERE c_acctbal > 5000.0
+        |      GROUP BY c_mktsegment)""".stripMargin) { (spark, dir) =>
+      graft.hplsql.Hplsql.run(spark,
+        """DECLARE cutoff DOUBLE DEFAULT 5000.0;
+          |DECLARE segs STRING DEFAULT '';
+          |DECLARE total BIGINT DEFAULT 0;
+          |FOR rec IN (SELECT c_mktsegment AS seg, count(*) AS n
+          |            FROM customer
+          |            WHERE c_acctbal > cutoff
+          |            GROUP BY c_mktsegment
+          |            ORDER BY c_mktsegment) LOOP
+          |  SET segs = segs || rec.seg || ';';
+          |  SET total = total + rec.n;
+          |END LOOP;
+          |CREATE OR REPLACE TEMP VIEW hpl_result AS
+          |  SELECT segs AS seg_list, CAST(total AS BIGINT) AS total_cnt,
+          |         CAST(cutoff AS DOUBLE) AS cutoff_used;
+          |""".stripMargin)(q => Engine.sql(spark, dir, q))
+      spark.sql("SELECT * FROM hpl_result")
     })
 }

@@ -1,0 +1,182 @@
+package graft.plans
+
+import org.scalatest.matchers.should.Matchers
+import graft.SparkSpec
+import graft.hplsql.Hplsql
+
+/** HPL/SQL procedural interpreter (ref hplsql/.../Hplsql.g4). */
+class HplsqlSpec extends SparkSpec with Matchers {
+
+  def run(script: String): Hplsql.Result = Hplsql.run(spark, script)
+
+  test("declare, assign, arithmetic, print") {
+    val r = run("""
+      DECLARE x INT DEFAULT 3;
+      DECLARE y INT;
+      SET y = x * 4;
+      x := x + 1;
+      PRINT 'x=' || x || ' y=' || y;
+    """)
+    r.printed shouldBe Seq("x=4 y=12")
+    r.variables("x") shouldBe 4
+    r.variables("y") shouldBe 12
+  }
+
+  test("if / elsif / else") {
+    val r = run("""
+      DECLARE v INT DEFAULT 7;
+      IF v > 10 THEN PRINT 'big';
+      ELSIF v > 5 THEN PRINT 'mid';
+      ELSE PRINT 'small';
+      END IF;
+    """)
+    r.printed shouldBe Seq("mid")
+  }
+
+  test("while loop with exit when") {
+    val r = run("""
+      DECLARE i INT DEFAULT 0;
+      DECLARE acc INT DEFAULT 0;
+      WHILE true LOOP
+        SET i = i + 1;
+        SET acc = acc + i;
+        EXIT WHEN i >= 5;
+      END LOOP;
+      PRINT acc;
+    """)
+    r.printed shouldBe Seq("15")
+  }
+
+  test("for range loop, reverse, by step") {
+    val r = run("""
+      DECLARE s STRING DEFAULT '';
+      FOR i IN 1..5 LOOP SET s = s || i; END LOOP;
+      PRINT s;
+      SET s = '';
+      FOR i IN REVERSE 1..5 LOOP SET s = s || i; END LOOP;
+      PRINT s;
+      SET s = '';
+      FOR i IN 0..10 BY 5 LOOP SET s = s || i || ','; END LOOP;
+      PRINT s;
+    """)
+    r.printed shouldBe Seq("12345", "54321", "0,5,10,")
+  }
+
+  test("cursor for loop binds rec.col fields") {
+    val r = run("""
+      DECLARE total DOUBLE DEFAULT 0;
+      DECLARE names STRING DEFAULT '';
+      FOR rec IN (SELECT 'a' AS nm, 1.5 AS v UNION ALL SELECT 'b', 2.5 ORDER BY nm) LOOP
+        SET total = total + rec.v;
+        SET names = names || rec.nm;
+      END LOOP;
+      PRINT names || ':' || total;
+    """)
+    r.printed shouldBe Seq("ab:4.0")
+  }
+
+  test("select into and execute immediate into") {
+    val r = run("""
+      DECLARE c BIGINT;
+      DECLARE m STRING;
+      SELECT count(*), max(x) INTO c, m FROM (SELECT 'q' AS x UNION ALL SELECT 'z');
+      EXECUTE IMMEDIATE 'SELECT ' || c * 10 INTO c;
+      PRINT c || '/' || m;
+    """)
+    r.printed shouldBe Seq("20/z")
+  }
+
+  test("procedures with parameters and call") {
+    val r = run("""
+      CREATE PROCEDURE greet(who STRING, n INT)
+      BEGIN
+        FOR i IN 1..n LOOP PRINT 'hello ' || who; END LOOP;
+      END;
+      CALL greet('world', 2);
+    """)
+    r.printed shouldBe Seq("hello world", "hello world")
+  }
+
+  test("functions are callable inside expressions") {
+    val r = run("""
+      CREATE FUNCTION double_it(v INT) RETURNS INT
+      BEGIN
+        RETURN v * 2;
+      END;
+      DECLARE z INT;
+      SET z = double_it(21);
+      PRINT z;
+    """)
+    r.printed shouldBe Seq("42")
+  }
+
+  test("begin/exception block catches SQL errors; sqlerrm is bound") {
+    val r = run("""
+      DECLARE msg STRING DEFAULT 'none';
+      BEGIN
+        SELECT 1 INTO msg FROM table_that_does_not_exist_xyz;
+      EXCEPTION WHEN OTHERS THEN
+        PRINT 'caught';
+      END;
+      PRINT msg;
+    """)
+    r.printed shouldBe Seq("caught", "none")
+  }
+
+  test("return ends the script with a value") {
+    val r = run("""
+      DECLARE x INT DEFAULT 1;
+      IF x = 1 THEN RETURN 'early'; END IF;
+      PRINT 'unreachable';
+    """)
+    r.printed shouldBe empty
+    r.returned shouldBe Some("early")
+  }
+
+  test("raw SQL passes through with variable substitution") {
+    val tmp = java.nio.file.Files.createTempDirectory("hpl_").toString
+    val r = run(s"""
+      DECLARE lim INT DEFAULT 2;
+      DECLARE marker STRING DEFAULT 'tagged';
+      CREATE OR REPLACE TEMP VIEW hpl_v AS
+        SELECT id, marker AS tag FROM range(10) WHERE id < lim;
+      SELECT count(*) INTO lim FROM hpl_v;
+      PRINT lim;
+      FOR rec IN (SELECT tag FROM hpl_v LIMIT 1) LOOP PRINT rec.tag; END LOOP;
+    """)
+    r.printed shouldBe Seq("2", "tagged")
+  }
+
+  test("variable names inside string literals are NOT substituted") {
+    val r = run("""
+      DECLARE x INT DEFAULT 5;
+      PRINT 'x is untouched: x';
+      PRINT x;
+    """)
+    r.printed shouldBe Seq("x is untouched: x", "5")
+  }
+
+  test("nested blocks scope their declarations") {
+    val r = run("""
+      DECLARE x INT DEFAULT 1;
+      BEGIN
+        DECLARE x INT DEFAULT 99;
+        PRINT x;
+      END;
+      PRINT x;
+    """)
+    r.printed shouldBe Seq("99", "1")
+  }
+
+  test("scripts drive engine tables end-to-end") {
+    val r = run(s"""
+      DECLARE seg STRING DEFAULT 'BUILDING';
+      DECLARE cnt BIGINT;
+      SELECT count(*) INTO cnt
+      FROM parquet.`$sfDir/customer.parquet` WHERE c_mktsegment = seg;
+      IF cnt > 0 THEN PRINT 'seg ' || seg || ' -> ' || cnt;
+      ELSE PRINT 'empty'; END IF;
+    """)
+    r.printed.head should startWith("seg BUILDING -> ")
+  }
+}
