@@ -565,14 +565,19 @@ object Hplsql {
     }
 
     /** Evaluate a scalar expression: user-function calls are interpreted
-      * first, then variables substitute as literals, then Spark evaluates
-      * `SELECT (expr)`.
+      * first; then a local fast path handles the scripting core (literals,
+      * variables, arithmetic, ||, comparisons, AND/OR/NOT) without a Spark
+      * round-trip — loop-control expressions cost nanoseconds, not a plan.
+      * Anything beyond it (SQL functions, subqueries, mixed coercions)
+      * falls back to Spark `SELECT (expr)` for exact engine semantics.
       */
     private def eval(expr: String): Any = {
       val withFns = evalFunctionCalls(expr)
-      val sub = substitute(withFns)
-      val row = sqlRunner(s"SELECT (${sub}) AS __v").collect()(0)
-      if (row.isNullAt(0)) null else row.get(0)
+      FastEval.tryEval(withFns, name => lookup(name)).getOrElse {
+        val sub = substitute(withFns)
+        val row = sqlRunner(s"SELECT (${sub}) AS __v").collect()(0)
+        if (row.isNullAt(0)) null else row.get(0)
+      }
     }
 
     private def evalBool(expr: String): Boolean = eval(expr) match {
@@ -733,6 +738,222 @@ object Hplsql {
       case RawSql(sql) =>
         val df = sqlRunner(substitute(sql))
         lastDf = Some(df)
+    }
+  }
+
+  // ==================================================== local fast eval
+  /** Local evaluator for the scripting-expression core. Mirrors the engine's
+    * (non-ANSI) SQL semantics for the cases it accepts — `/` is always
+    * double, `||` concatenates stringified operands, three-valued NULL
+    * propagation — and REFUSES (returns None) anything it cannot reproduce
+    * bit-for-bit: SQL function calls, subqueries, BigDecimal operands,
+    * string-to-number coercions. Refusal falls back to a real Spark plan.
+    */
+  private object FastEval {
+    private case class Unsupported() extends RuntimeException
+
+    def tryEval(expr: String, vars: String => Option[Any]): Option[Any] =
+      try {
+        val toks = tokenize(expr).map(_._1)
+        val p = new P(toks, vars)
+        val v = p.parseOr()
+        if (!p.atEnd) throw Unsupported()
+        Some(v)
+      } catch {
+        // overflow (addExact) must also fall back: Spark's non-ANSI
+        // semantics wrap, and the fallback reproduces that exactly
+        case _: Unsupported | _: NumberFormatException | _: ArithmeticException => None
+      }
+
+    private final class P(toks: Vector[String], vars: String => Option[Any]) {
+      private var pos = 0
+      def atEnd: Boolean = pos >= toks.length
+      private def peek: String = if (atEnd) "" else toks(pos)
+      private def peekUpper: String = peek.toUpperCase
+      private def next(): String = { val t = peek; pos += 1; t }
+
+      private def norm(v: Any): Any = v match {
+        case i: Int => i.toLong
+        case s: Short => s.toLong
+        case b: Byte => b.toLong
+        case f: Float => f.toDouble
+        case _: java.math.BigDecimal | _: BigDecimal => throw Unsupported()
+        case other => other
+      }
+
+      def parseOr(): Any = {
+        var l = parseAnd()
+        while (peekUpper == "OR") {
+          pos += 1; val r = parseAnd()
+          l = bool3(l, r, (a, b) => a || b, anyTrue = true)
+        }
+        l
+      }
+      private def parseAnd(): Any = {
+        var l = parseNot()
+        while (peekUpper == "AND") {
+          pos += 1; val r = parseNot()
+          l = bool3(l, r, (a, b) => a && b, anyTrue = false)
+        }
+        l
+      }
+      // SQL three-valued logic: true OR null = true, false AND null = false
+      private def bool3(l: Any, r: Any, op: (Boolean, Boolean) => Boolean,
+          anyTrue: Boolean): Any = (l, r) match {
+        case (a: Boolean, b: Boolean) => op(a, b)
+        case (null, b: Boolean) => if (b == anyTrue) b else null
+        case (a: Boolean, null) => if (a == anyTrue) a else null
+        case (null, null) => null
+        case _ => throw Unsupported()
+      }
+      private def parseNot(): Any = {
+        if (peekUpper == "NOT") {
+          pos += 1
+          parseNot() match {
+            case b: Boolean => !b
+            case null => null
+            case _ => throw Unsupported()
+          }
+        } else parseCmp()
+      }
+      private def parseCmp(): Any = {
+        val l = parseConcat()
+        val op = peek match {
+          case "=" | "<" | ">" | "!" => buildCmpOp()
+          case _ => return l
+        }
+        val r = parseConcat()
+        if (l == null || r == null) return null
+        (l, r) match {
+          case (a: Long, b: Long) => cmpResult(java.lang.Long.compare(a, b), op)
+          case (a: Double, b: Double) => cmpResult(java.lang.Double.compare(a, b), op)
+          case (a: Long, b: Double) => cmpResult(java.lang.Double.compare(a.toDouble, b), op)
+          case (a: Double, b: Long) => cmpResult(java.lang.Double.compare(a, b.toDouble), op)
+          case (a: String, b: String) => cmpResult(a.compareTo(b), op)
+          case (a: Boolean, b: Boolean) => cmpResult(java.lang.Boolean.compare(a, b), op)
+          case _ => throw Unsupported()
+        }
+      }
+      private def buildCmpOp(): String = {
+        val a = next()
+        (a, peek) match {
+          case ("<", "=") => pos += 1; "<="
+          case ("<", ">") => pos += 1; "<>"
+          case (">", "=") => pos += 1; ">="
+          case ("!", "=") => pos += 1; "<>"
+          case ("<", _) => "<"
+          case (">", _) => ">"
+          case ("=", _) => "="
+          case _ => throw Unsupported()
+        }
+      }
+      private def cmpResult(c: Int, op: String): Boolean = op match {
+        case "=" => c == 0
+        case "<>" => c != 0
+        case "<" => c < 0
+        case "<=" => c <= 0
+        case ">" => c > 0
+        case ">=" => c >= 0
+      }
+      private def parseConcat(): Any = {
+        var l = parseAdd()
+        while (peek == "|" && pos + 1 < toks.length && toks(pos + 1) == "|") {
+          pos += 2
+          val r = parseAdd()
+          l = if (l == null || r == null) null else str(l) + str(r)
+        }
+        l
+      }
+      private def str(v: Any): String = v match {
+        case s: String => s
+        case other => other.toString // Long/Double/Boolean render as Spark casts them
+      }
+      private def parseAdd(): Any = {
+        var l = parseMul()
+        while (peek == "+" || (peek == "-" && !atEnd)) {
+          val op = next()
+          val r = parseMul()
+          l = arith(l, r, op)
+        }
+        l
+      }
+      private def parseMul(): Any = {
+        var l = parseUnary()
+        while (peek == "*" || peek == "/" || peek == "%") {
+          val op = next()
+          val r = parseUnary()
+          l = arith(l, r, op)
+        }
+        l
+      }
+      private def arith(l: Any, r: Any, op: String): Any = {
+        if (l == null || r == null) return null
+        (l, r) match {
+          case (a: Long, b: Long) => op match {
+            case "+" => math.addExact(a, b)
+            case "-" => math.subtractExact(a, b)
+            case "*" => math.multiplyExact(a, b)
+            case "/" => if (b == 0) null else a.toDouble / b // non-ANSI: int/int -> double
+            case "%" => if (b == 0) null else a % b
+          }
+          case _ =>
+            val (a, b) = (toD(l), toD(r))
+            op match {
+              case "+" => a + b
+              case "-" => a - b
+              case "*" => a * b
+              case "/" => if (b == 0) null else a / b
+              case "%" => if (b == 0) null else a % b
+            }
+        }
+      }
+      private def toD(v: Any): Double = v match {
+        case a: Long => a.toDouble
+        case a: Double => a
+        case _ => throw Unsupported()
+      }
+      private def parseUnary(): Any = peek match {
+        case "-" => pos += 1
+          parseUnary() match {
+            case a: Long => -a
+            case a: Double => -a
+            case null => null
+            case _ => throw Unsupported()
+          }
+        case "+" => pos += 1; parseUnary()
+        case _ => parsePrimary()
+      }
+      private def parsePrimary(): Any = {
+        val t = next()
+        if (t.isEmpty) throw Unsupported()
+        if (t == "(") {
+          val v = parseOr()
+          if (next() != ")") throw Unsupported()
+          return v
+        }
+        if (t.head == '\'') {
+          if (t.length < 2 || t.last != '\'') throw Unsupported()
+          return t.substring(1, t.length - 1).replace("''", "'")
+        }
+        if (t.head.isDigit) {
+          return if (t.contains('.')) t.toDouble else t.toLong
+        }
+        t.toUpperCase match {
+          case "TRUE" => return true
+          case "FALSE" => return false
+          case "NULL" => return null
+          case _ =>
+        }
+        if (t.head.isLetter || t.head == '_') {
+          if (peek == "(") throw Unsupported() // SQL function call
+          // rec.col compound name
+          val name =
+            if (peek == "." && pos + 1 < toks.length) { val f = toks(pos + 1); pos += 2; s"$t.$f" }
+            else t
+          return vars(name).map(norm).getOrElse(throw Unsupported())
+        }
+        throw Unsupported()
+      }
     }
   }
 }

@@ -86,6 +86,32 @@ class FunctionSurfaceSpec extends SparkSpec {
     assert(missing.isEmpty, s"unresolved functions: ${missing.mkString(", ")}")
   }
 
+  test("every geospatial ST_* surface name resolves") {
+    GeoFunctions.registerAll(spark)
+    val stNames = Seq(
+      "st_point", "st_geomfromtext", "st_astext", "st_linestring",
+      "st_polygon", "st_multipoint", "st_asbinary", "st_geomfromwkb",
+      "st_asgeojson", "st_geometrytype", "st_x", "st_y", "st_minx",
+      "st_miny", "st_maxx", "st_maxy", "st_numpoints", "st_pointn",
+      "st_startpoint", "st_endpoint", "st_numgeometries", "st_geometryn",
+      "st_exteriorring", "st_numinteriorring", "st_interiorringn",
+      "st_isempty", "st_isclosed", "st_isring", "st_dimension",
+      "st_coorddim", "st_is3d", "st_ismeasured", "st_srid", "st_setsrid",
+      "st_envelope", "st_centroid", "st_boundary", "st_area", "st_length",
+      "st_distance", "st_distancesphere", "st_geodesiclengthwgs84",
+      "st_equals", "st_intersects", "st_disjoint", "st_contains",
+      "st_within", "st_touches", "st_crosses", "st_overlaps",
+      "st_envintersects", "st_convexhull", "st_buffer", "st_intersection",
+      "st_bin", "st_binenvelope", "st_aggr_convexhull")
+    val missing = stNames.filterNot { n =>
+      try {
+        spark.sessionState.catalog.lookupFunctionInfo(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(n)) != null
+      } catch { case _: Exception => false }
+    }
+    assert(missing.isEmpty, s"unresolved ST functions: ${missing.mkString(", ")}")
+  }
+
   test("parameterized queries (prepared-statement analog)") {
     graft.Engine.register(spark, sfDir)
     val named = spark.sql(

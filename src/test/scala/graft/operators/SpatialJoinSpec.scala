@@ -64,6 +64,49 @@ class SpatialJoinSpec extends SparkSpec with Matchers {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
+  test("randomized net: 300 points x 40 random polygons equal brute force") {
+    import spark.implicits._
+    import graft.functions.Geo
+    val rnd = new scala.util.Random(20260814L) // fixed seed: deterministic spec
+    val pts = (0 until 300).map(i =>
+      (i.toLong, rnd.nextDouble() * 60 - 5, rnd.nextDouble() * 60 - 5)).toList
+    def rect(): String = {
+      val x0 = rnd.nextDouble() * 50; val y0 = rnd.nextDouble() * 50
+      val w = rnd.nextDouble() * 12 + 0.5; val h = rnd.nextDouble() * 12 + 0.5
+      s"POLYGON (($x0 $y0, ${x0 + w} $y0, ${x0 + w} ${y0 + h}, $x0 ${y0 + h}, $x0 $y0))"
+    }
+    def tri(): String = {
+      // CCW triangle: sort three random points, orientation-fix via kernel parse
+      val Seq(a, b, c) = Seq.fill(3)((rnd.nextDouble() * 50, rnd.nextDouble() * 50))
+      s"POLYGON ((${a._1} ${a._2}, ${b._1} ${b._2}, ${c._1} ${c._2}, ${a._1} ${a._2}))"
+    }
+    def ell(): String = {
+      // concave L: outer rect minus a corner notch, built as one ring
+      val x0 = rnd.nextDouble() * 40; val y0 = rnd.nextDouble() * 40
+      val w = rnd.nextDouble() * 10 + 4; val h = rnd.nextDouble() * 10 + 4
+      val nw = w * (0.3 + rnd.nextDouble() * 0.4); val nh = h * (0.3 + rnd.nextDouble() * 0.4)
+      s"POLYGON (($x0 $y0, ${x0 + w} $y0, ${x0 + w} ${y0 + h - nh}, " +
+        s"${x0 + w - nw} ${y0 + h - nh}, ${x0 + w - nw} ${y0 + h}, $x0 ${y0 + h}, $x0 $y0))"
+    }
+    val polyRows = (0 until 40).map { i =>
+      (i.toLong, i % 3 match { case 0 => rect(); case 1 => tri(); case 2 => ell() })
+    }.toList
+    val pDf = pts.toDF("pid", "x", "y")
+    val gDf = polyRows.toDF("polyid", "wkt")
+    val brute = (for {
+      (pid, x, y) <- pts
+      (gid, w) <- polyRows
+      g = Geo.parseWkt(w).get
+      if Geo.contains(g, Geo.GPoint(Some(Geo.Pt(x, y))))
+    } yield (pid, gid)).toSet
+    for (binSize <- Seq(2.0, 11.0)) {
+      val got = SpatialJoin.pointsInPolygons(pDf, "x", "y", gDf, "wkt", binSize)
+        .select("pid", "polyid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got shouldBe brute
+    }
+    brute should not be empty
+  }
+
   test("a point in a polygon hole is excluded") {
     import spark.implicits._
     val pt = Seq((99L, 15.0, 25.0)).toDF("pid", "x", "y") // inside polyid=3's hole
