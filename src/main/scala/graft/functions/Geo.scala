@@ -271,6 +271,91 @@ object Geo {
     }
   }
 
+  /** Parse GeoJSON geometry (the inverse of [[toGeoJson]]; ref
+    * esri/ST_GeomFromGeoJson.java). Tolerates whitespace and either member
+    * order; None on malformed input.
+    */
+  def fromGeoJson(json: String): Option[Geom] = {
+    if (json == null) return None
+    try {
+      val typeRx = """"type"\s*:\s*"([A-Za-z]+)"""".r
+      val coordRx = """"coordinates"\s*:\s*(\[.*\])""".r
+      val typ = typeRx.findFirstMatchIn(json).map(_.group(1)).getOrElse(return None)
+      val coordsRaw = coordRx.findFirstMatchIn(json).map(_.group(1)).getOrElse(return None)
+      // trim trailing object junk after the coordinates array (bracket-balance)
+      var depth = 0; var end = -1
+      var i = 0
+      while (i < coordsRaw.length && end < 0) {
+        coordsRaw.charAt(i) match {
+          case '[' => depth += 1
+          case ']' => depth -= 1; if (depth == 0) end = i
+          case _ =>
+        }
+        i += 1
+      }
+      if (end < 0) return None
+      val coords = coordsRaw.substring(0, end + 1)
+
+      sealed trait J
+      case class JNum(v: Double) extends J
+      case class JArr(xs: List[J]) extends J
+      def parse(s: String, from: Int): (J, Int) = {
+        var i = from
+        while (s.charAt(i).isWhitespace) i += 1
+        if (s.charAt(i) == '[') {
+          i += 1
+          val items = List.newBuilder[J]
+          var done = false
+          while (!done) {
+            while (s.charAt(i).isWhitespace) i += 1
+            if (s.charAt(i) == ']') { i += 1; done = true }
+            else {
+              val (v, ni) = parse(s, i)
+              items += v
+              i = ni
+              while (s.charAt(i).isWhitespace) i += 1
+              if (s.charAt(i) == ',') i += 1
+            }
+          }
+          (JArr(items.result()), i)
+        } else {
+          val start = i
+          while (i < s.length && "+-.eE0123456789".indexOf(s.charAt(i)) >= 0) i += 1
+          (JNum(s.substring(start, i).toDouble), i)
+        }
+      }
+      val ast = parse(coords, 0)._1
+      def pt(j: J): Pt = j match {
+        case JArr(JNum(x) :: JNum(y) :: _) => Pt(x, y)
+        case _ => throw new IllegalArgumentException("bad point")
+      }
+      def pts(j: J): Vector[Pt] = j match {
+        case JArr(xs) => xs.map(pt).toVector
+        case _ => throw new IllegalArgumentException("bad ring")
+      }
+      def rings(j: J): Vector[Vector[Pt]] = j match {
+        case JArr(xs) => xs.map(pts).toVector
+        case _ => throw new IllegalArgumentException("bad rings")
+      }
+      typ match {
+        case "Point" => ast match {
+          case JArr(Nil) => Some(GPoint(None))
+          case j => Some(GPoint(Some(pt(j))))
+        }
+        case "MultiPoint" => Some(GMultiPoint(pts(ast)))
+        case "LineString" => Some(GLine(pts(ast)))
+        case "MultiLineString" => Some(GMultiLine(rings(ast)))
+        case "Polygon" => Some(GPolygon(rings(ast).map(r => closeRing(r).toVector)))
+        case "MultiPolygon" => ast match {
+          case JArr(xs) => Some(GMultiPolygon(
+            xs.map(p => rings(p).map(r => closeRing(r).toVector)).toVector))
+          case _ => None
+        }
+        case _ => None
+      }
+    } catch { case _: Exception => None }
+  }
+
   // ------------------------------------------------------------ primitives
   private val Eps = 1e-9
 

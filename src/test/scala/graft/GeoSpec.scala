@@ -53,6 +53,26 @@ class GeoSpec extends AnyFunSuite with Matchers with SparkSpec {
     toWkb(parseWkt("POINT (1 2)").get).length shouldBe 21
   }
 
+  test("GeoJSON round-trips through fromGeoJson for every kind") {
+    val wkts = Seq(
+      "POINT (1.5 2.5)",
+      "MULTIPOINT ((10 40), (40 30))",
+      "LINESTRING (0 0, 10 10, 20 5)",
+      "MULTILINESTRING ((2 4, 10 10), (20 20, 7 8))",
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))",
+      "MULTIPOLYGON (((0 0, 0 1, 1 0, 0 0)), ((2 2, 2 3, 3 2, 2 2)))")
+    wkts.foreach { w =>
+      val g = parseWkt(w).get
+      fromGeoJson(toGeoJson(g)).map(toWkt) shouldBe Some(w)
+    }
+    // member order + whitespace tolerated; garbage rejected
+    fromGeoJson("""{ "coordinates": [3, 4], "type": "Point" }""")
+      .map(toWkt) shouldBe Some("POINT (3 4)")
+    fromGeoJson("""{"type":"Banana","coordinates":[1,2]}""") shouldBe None
+    fromGeoJson("not json") shouldBe None
+    fromGeoJson(null) shouldBe None
+  }
+
   // ------------------------------------------------------ kernel: measures
   test("area: shoelace with holes subtracted; multipolygon sums") {
     area(parseWkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))").get) shouldBe 100.0

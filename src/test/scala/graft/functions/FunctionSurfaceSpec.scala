@@ -91,7 +91,8 @@ class FunctionSurfaceSpec extends SparkSpec {
     val stNames = Seq(
       "st_point", "st_geomfromtext", "st_astext", "st_linestring",
       "st_polygon", "st_multipoint", "st_asbinary", "st_geomfromwkb",
-      "st_asgeojson", "st_geometrytype", "st_x", "st_y", "st_minx",
+      "st_asgeojson", "st_asjson", "st_geomfromgeojson", "st_geomfromjson",
+      "st_geometrytype", "st_x", "st_y", "st_minx",
       "st_miny", "st_maxx", "st_maxy", "st_numpoints", "st_pointn",
       "st_startpoint", "st_endpoint", "st_numgeometries", "st_geometryn",
       "st_exteriorring", "st_numinteriorring", "st_interiorringn",

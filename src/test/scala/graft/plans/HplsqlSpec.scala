@@ -197,6 +197,28 @@ class HplsqlSpec extends SparkSpec with Matchers {
     r.printed shouldBe Seq("2.5/OK/-1/1.5|true|true")
   }
 
+  test("procedural MERGE loop against a named snapshot table") {
+    val loc = java.nio.file.Files.createTempDirectory("hpl_snap_").toString + "/t"
+    val r = Hplsql.run(spark,
+      s"""CREATE TABLE hpl_kv (k BIGINT, v STRING) USING snapshot LOCATION '$loc';
+        |INSERT INTO hpl_kv VALUES (1, 'a'), (2, 'b');
+        |FOR i IN 3..5 LOOP
+        |  MERGE INTO hpl_kv t USING (SELECT i AS k, 'x' || i AS v) s
+        |  ON t.k = s.k
+        |  WHEN MATCHED THEN UPDATE SET v = s.v
+        |  WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v);
+        |END LOOP;
+        |DECLARE n BIGINT;
+        |SELECT count(*) INTO n FROM hpl_kv;
+        |PRINT 'rows=' || n;
+        |""".stripMargin)(q => graft.Engine.sql(spark, sfDir, q))
+    r.printed shouldBe Seq("rows=5")
+    val vs = graft.Engine.sql(spark, sfDir, "SELECT v FROM hpl_kv ORDER BY k")
+      .collect().map(_.getString(0))
+    vs shouldBe Array("a", "b", "x3", "x4", "x5")
+    graft.plans.NamedTables.drop("hpl_kv")
+  }
+
   test("scripts drive engine tables end-to-end") {
     val r = run(s"""
       DECLARE seg STRING DEFAULT 'BUILDING';
