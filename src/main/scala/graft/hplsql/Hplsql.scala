@@ -749,7 +749,7 @@ object Hplsql {
     * bit-for-bit: SQL function calls, subqueries, BigDecimal operands,
     * string-to-number coercions. Refusal falls back to a real Spark plan.
     */
-  private object FastEval {
+  private[graft] object FastEval {
     private case class Unsupported() extends RuntimeException
 
     def tryEval(expr: String, vars: String => Option[Any]): Option[Any] =
@@ -936,7 +936,12 @@ object Hplsql {
           return t.substring(1, t.length - 1).replace("''", "'")
         }
         if (t.head.isDigit) {
-          return if (t.contains('.')) t.toDouble else t.toLong
+          // non-integer literals are DECIMAL in Spark SQL (scale-bearing
+          // division/modulo semantics a double cannot reproduce — caught by
+          // the randomized net) — refuse and fall back; integer literals
+          // and already-Double VARIABLES are exact on the fast path
+          if (t.contains('.')) throw Unsupported()
+          return t.toLong
         }
         t.toUpperCase match {
           case "TRUE" => return true

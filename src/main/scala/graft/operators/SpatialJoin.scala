@@ -79,4 +79,55 @@ object SpatialJoin {
       .where(refine(col(wktCol), col(xCol), col(yCol)))
       .drop("__cell")
   }
+
+  /** General geometry-geometry intersection join: both sides register on the
+    * grid cells their envelopes cover, candidates meet on the cell id, and
+    * the exact kernel `intersects` refines. A pair whose envelopes share k
+    * cells would surface k times; instead of a `distinct` (a second full
+    * shuffle of the result), each pair reports ONLY in its canonical cell —
+    * the one holding the top-left corner of the envelope intersection (the
+    * PBSM reference-point trick, Patel & DeWitt SIGMOD'96) — pure map-side
+    * arithmetic, so output dedup costs nothing at any scale.
+    */
+  def geometriesIntersecting(
+      a: DataFrame,
+      wktA: String,
+      b: DataFrame,
+      wktB: String,
+      binSize: Double): DataFrame = {
+    val bins = new Geo.Bins(binSize)
+    val extentMin = bins.extentMin
+    val extentMax = bins.extentMax
+    val numCols = bins.numCols
+
+    val envUdf = udf((wkt: String) =>
+      Geo.parseWkt(wkt).flatMap(Geo.envelope)
+        .map { case (x0, y0, x1, y1) => Seq(x0, y0, x1, y1) }.orNull)
+
+    def withCells(df: DataFrame, wktCol: String, tag: String): DataFrame = df
+      .withColumn(s"__env$tag", envUdf(col(wktCol)))
+      .where(col(s"__env$tag").isNotNull)
+      .withColumn("__d0", floor((lit(extentMax) - col(s"__env$tag")(3)) / binSize).cast("long"))
+      .withColumn("__d1", floor((lit(extentMax) - col(s"__env$tag")(1)) / binSize).cast("long"))
+      .withColumn("__o0", floor((col(s"__env$tag")(0) - lit(extentMin)) / binSize).cast("long"))
+      .withColumn("__o1", floor((col(s"__env$tag")(2) - lit(extentMin)) / binSize).cast("long"))
+      .withColumn("__down", explode(sequence(col("__d0"), col("__d1"))))
+      .withColumn("__over", explode(sequence(col("__o0"), col("__o1"))))
+      .withColumn("__cell", col("__down") * numCols + col("__over"))
+      .drop("__d0", "__d1", "__o0", "__o1", "__down", "__over")
+
+    val refine = udf((wa: String, wb: String) =>
+      (for (ga <- Geo.parseWkt(wa); gb <- Geo.parseWkt(wb))
+        yield Geo.intersects(ga, gb)).getOrElse(false))
+
+    val left = withCells(a, wktA, "A")
+    val right = withCells(b, wktB, "B")
+    // canonical reporting cell: top-left corner of the envelope overlap
+    val repOver = floor((greatest(col("__envA")(0), col("__envB")(0)) - lit(extentMin)) / binSize).cast("long")
+    val repDown = floor((lit(extentMax) - least(col("__envA")(3), col("__envB")(3))) / binSize).cast("long")
+    left.join(right, "__cell")
+      .where(col("__cell") === repDown * numCols + repOver)
+      .where(refine(col(wktA), col(wktB)))
+      .drop("__cell", "__envA", "__envB")
+  }
 }

@@ -107,6 +107,35 @@ class SpatialJoinSpec extends SparkSpec with Matchers {
     brute should not be empty
   }
 
+  test("geometry-geometry join: exact pairs, no duplicates across bin sizes") {
+    import spark.implicits._
+    import graft.functions.Geo
+    val rnd = new scala.util.Random(77L)
+    def rect(): String = {
+      val x0 = rnd.nextDouble() * 40; val y0 = rnd.nextDouble() * 40
+      val w = rnd.nextDouble() * 15 + 1; val h = rnd.nextDouble() * 15 + 1
+      s"POLYGON (($x0 $y0, ${x0 + w} $y0, ${x0 + w} ${y0 + h}, $x0 ${y0 + h}, $x0 $y0))"
+    }
+    def line(): String = {
+      val x0 = rnd.nextDouble() * 50; val y0 = rnd.nextDouble() * 50
+      s"LINESTRING ($x0 $y0, ${x0 + rnd.nextDouble() * 20 - 10} ${y0 + rnd.nextDouble() * 20 - 10})"
+    }
+    val as = (0 until 30).map(i => (i.toLong, if (i % 2 == 0) rect() else line())).toList
+    val bs = (0 until 30).map(i => (i.toLong, rect())).toList
+    val brute = (for {
+      (ia, wa) <- as; (ib, wb) <- bs
+      if Geo.intersects(Geo.parseWkt(wa).get, Geo.parseWkt(wb).get)
+    } yield (ia, ib)).toSet
+    brute should not be empty
+    for (binSize <- Seq(3.0, 10.0)) {
+      val rows = SpatialJoin.geometriesIntersecting(
+        as.toDF("ida", "wa"), "wa", bs.toDF("idb", "wb"), "wb", binSize)
+        .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1)))
+      rows.length shouldBe rows.toSet.size // reporting-cell dedup: exactly once
+      rows.toSet shouldBe brute
+    }
+  }
+
   test("a point in a polygon hole is excluded") {
     import spark.implicits._
     val pt = Seq((99L, 15.0, 25.0)).toDF("pid", "x", "y") // inside polyid=3's hole

@@ -219,6 +219,75 @@ class HplsqlSpec extends SparkSpec with Matchers {
     graft.plans.NamedTables.drop("hpl_kv")
   }
 
+  test("randomized net: fast-path expression results equal Spark's") {
+    val rnd = new scala.util.Random(0x5EED5EEDL)
+    def lit(): String = rnd.nextInt(4) match {
+      case 0 => rnd.nextInt(200).toString
+      case 1 => (rnd.nextInt(400) - 200).toString
+      case 2 => "'" + ("abcde".charAt(rnd.nextInt(5)).toString * (1 + rnd.nextInt(3))) + "'"
+      case 3 => Seq("true", "false", "NULL")(rnd.nextInt(3))
+    }
+    def numExpr(depth: Int): String =
+      if (depth == 0 || rnd.nextInt(3) == 0) {
+        rnd.nextInt(4) match {
+          case 0 => rnd.nextInt(200).toString
+          case 1 => (rnd.nextInt(400) - 200).toString
+          case 2 => f"${rnd.nextDouble() * 50}%.3f"
+          case 3 => "NULL"
+        }
+      } else {
+        val op = Seq("+", "-", "*", "/", "%")(rnd.nextInt(5))
+        s"(${numExpr(depth - 1)} $op ${numExpr(depth - 1)})"
+      }
+    def boolExpr(depth: Int): String =
+      if (depth == 0) {
+        val op = Seq("=", "<>", "<", "<=", ">", ">=")(rnd.nextInt(6))
+        s"(${numExpr(1)} $op ${numExpr(1)})"
+      } else {
+        rnd.nextInt(3) match {
+          case 0 => s"(${boolExpr(depth - 1)} AND ${boolExpr(depth - 1)})"
+          case 1 => s"(${boolExpr(depth - 1)} OR ${boolExpr(depth - 1)})"
+          case 2 => s"(NOT ${boolExpr(depth - 1)})"
+        }
+      }
+    // concat operands stay integer-only: Spark renders DECIMAL literals with
+    // their declared scale ("12.300"), doubles without — a display-format
+    // difference, not a value one, so keep it out of the string-compare net
+    def intExpr(depth: Int): String =
+      if (depth == 0) (rnd.nextInt(40) + 1).toString
+      else s"(${intExpr(depth - 1)} ${Seq("+", "-", "*", "/", "%")(rnd.nextInt(5))} ${intExpr(depth - 1)})"
+    def concatExpr(): String = s"(${lit()} || ${lit()} || ${intExpr(1)})"
+
+    val exprs =
+      (1 to 60).map(_ => numExpr(2)) ++
+        (1 to 40).map(_ => boolExpr(2)) ++
+        (1 to 20).map(_ => concatExpr())
+    var fastHits = 0
+    exprs.foreach { e =>
+      Hplsql.FastEval.tryEval(e, _ => None).foreach { fast =>
+        fastHits += 1
+        val row = spark.sql(s"SELECT ($e) AS v").collect()(0)
+        val sparkV = if (row.isNullAt(0)) null else row.get(0)
+        val norm: Any => Any = {
+          case i: Int => i.toLong
+          case d: java.math.BigDecimal => d.doubleValue
+          case x => x
+        }
+        withClue(s"expr: $e  fast=$fast spark=$sparkV\n") {
+          (norm(fast), norm(sparkV)) match {
+            case (a: Double, b: Double) =>
+              if (a.isNaN || b.isNaN) assert(a.isNaN === b.isNaN)
+              else assert(math.abs(a - b) <= math.max(1e-9, math.abs(b) * 1e-12))
+            case (a, b) => assert(a === b)
+          }
+        }
+      }
+    }
+    // decimal-literal expressions deliberately fall back (DECIMAL scale
+    // semantics); everything else must take the fast path
+    assert(fastHits > exprs.length / 4, s"fast path hit only $fastHits/${exprs.length}")
+  }
+
   test("scripts drive engine tables end-to-end") {
     val r = run(s"""
       DECLARE seg STRING DEFAULT 'BUILDING';
