@@ -1,0 +1,333 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.OptionalLong
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Key-value storage handler — the engine's extension contract for the
+  * reference's pluggable storage-handler class (HBaseStorageHandler /
+  * Kudu / Accumulo, ref hbase-handler/src/java/org/apache/hadoop/hive/
+  * hbase/HBaseStorageHandler.java), expressed the Spark-native way: a
+  * DataSource V2 `TableProvider`. Where Hive's contract is
+  * InputFormat/OutputFormat/SerDe + predicate-pushdown decomposition,
+  * the DSv2 contract is Scan/Write builders + `SupportsPushDownFilters`
+  * — this file is the worked example a real connector would follow.
+  *
+  * The backing store is log-structured over plain files (the same model an
+  * external KV system exposes): hash-bucketed sorted base files plus
+  * commit-ordered delta files of puts, last-put-wins on read, folded by
+  * `KvStore.compact`. Semantics mirror an HBase-style table:
+  *
+  *   - schema is fixed `(key STRING, value STRING)`; append = put (upsert
+  *     by key), exactly the handler write path
+  *   - point/IN key predicates push down and prune to the owning buckets
+  *     (the scan prints `buckets=k/n` — plan-visible pruning, like the
+  *     reference's key-range decomposition)
+  *   - each read task merges one bucket's base + deltas — parallelism is
+  *     the bucket count, shuffles never happen on the source side
+  *   - task writers land `_tmp` files; job commit renames them visible —
+  *     the standard two-phase DSv2 commit, no torn reads
+  *
+  * At 100 TB this maps 1:1 onto a real remote KV system: buckets become
+  * region/tablet assignments, deltas become the memstore flush log, and
+  * compact is the minor compaction — the contract shape is what matters.
+  */
+class KvSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-kv"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = KvSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val path = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-kv requires a 'path' option"))
+    val buckets = Option(properties.get("buckets")).map(_.toInt).getOrElse(8)
+    new KvTable(path, buckets)
+  }
+}
+
+object KvSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("key", StringType, nullable = false),
+    StructField("value", StringType, nullable = true)))
+}
+
+final class KvTable(path: String, buckets: Int) extends Table
+    with SupportsRead with SupportsWrite {
+  override def name(): String = s"graft-kv:$path"
+  override def schema(): StructType = KvSource.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new KvScanBuilder(path, buckets)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new KvWriteBuilder(path, buckets, info)
+}
+
+// ------------------------------------------------------------------- read
+final class KvScanBuilder(path: String, buckets: Int)
+    extends ScanBuilder with SupportsPushDownFilters {
+  private var pushedKeys: Option[Set[String]] = None
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rest) = filters.partition {
+      case EqualTo("key", _: String) => true
+      case In("key", vs) if vs.forall(_.isInstanceOf[String]) => true
+      case _ => false
+    }
+    val keys = accepted.flatMap {
+      case EqualTo("key", v: String) => Seq(v)
+      case In("key", vs) => vs.toSeq.map(_.asInstanceOf[String])
+      case _ => Seq.empty[String]
+    }.toSet
+    if (accepted.nonEmpty) pushedKeys = Some(keys)
+    pushed = accepted
+    // Spark still evaluates the residual — returning `rest` only would also
+    // be correct, but re-checking pushed filters costs nothing and keeps the
+    // source honest if a bucket file was edited out-of-band
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new KvScan(path, buckets, pushedKeys)
+}
+
+final class KvScan(path: String, buckets: Int, pushedKeys: Option[Set[String]])
+    extends Scan with Batch with SupportsReportStatistics {
+  override def readSchema(): StructType = KvSource.Schema
+  override def toBatch: Batch = this
+
+  private val selected: Seq[Int] = pushedKeys match {
+    case Some(keys) => keys.map(k => KvStore.bucketOf(k, buckets)).toSeq.sorted
+    case None => 0 until buckets
+  }
+
+  override def description(): String =
+    s"graft-kv $path buckets=${selected.length}/$buckets" +
+      pushedKeys.map(k => s" keys=${k.size}").getOrElse("")
+
+  override def planInputPartitions(): Array[InputPartition] =
+    selected.map(b => KvInputPartition(path, b, buckets,
+      pushedKeys.map(_.toArray.sorted)): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KvReaderFactory
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    // bytes from the file layout only — no data read at plan time
+    override def sizeInBytes(): OptionalLong = OptionalLong.of(
+      selected.map(b => KvStore.bucketBytes(path, b)).sum)
+    override def numRows(): OptionalLong = OptionalLong.empty()
+  }
+}
+
+final case class KvInputPartition(path: String, bucket: Int, buckets: Int,
+    keys: Option[Array[String]]) extends InputPartition
+
+final class KvReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val kp = p.asInstanceOf[KvInputPartition]
+    val state = KvStore.readBucket(kp.path, kp.bucket, kp.buckets)
+    val wanted = kp.keys.map(_.toSet)
+    val it = state.iterator.filter(kv => wanted.forall(_.contains(kv._1)))
+    new PartitionReader[InternalRow] {
+      private var cur: (String, String) = _
+      override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
+      override def get(): InternalRow = InternalRow(
+        UTF8String.fromString(cur._1),
+        if (cur._2 == null) null else UTF8String.fromString(cur._2))
+      override def close(): Unit = ()
+    }
+  }
+}
+
+// ------------------------------------------------------------------ write
+final class KvWriteBuilder(path: String, buckets: Int, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new KvBatchWrite(path, buckets, doTruncate)
+  }
+}
+
+final class KvBatchWrite(path: String, buckets: Int, truncate: Boolean)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new KvWriterFactory(path, buckets)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    if (truncate) KvStore.truncate(path)
+    // two-phase: every task staged a _tmp file; commit renames them into the
+    // deltas dir in task order — a failed job leaves only _tmp litter,
+    // readers never see a partial batch's files as mixed visible/invisible
+    val seq = KvStore.nextCommitSeq(path)
+    messages.toSeq.collect { case m: KvCommitMessage if m.tmpPath != null =>
+      m.tmpPath
+    }.sorted.zipWithIndex.foreach { case (tmp, i) =>
+      KvStore.publishDelta(path, Paths.get(tmp), seq, i)
+    }
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: KvCommitMessage if m.tmpPath != null =>
+      Files.deleteIfExists(Paths.get(m.tmpPath))
+    }
+}
+
+final case class KvCommitMessage(tmpPath: String) extends WriterCommitMessage
+
+final class KvWriterFactory(path: String, buckets: Int) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val puts = mutable.LinkedHashMap.empty[String, String]
+      override def write(row: InternalRow): Unit = {
+        val k = row.getUTF8String(0).toString
+        val v = if (row.isNullAt(1)) null else row.getUTF8String(1).toString
+        puts.put(k, v) // last write in a task wins, KV put semantics
+      }
+      override def commit(): WriterCommitMessage = {
+        if (puts.isEmpty) return KvCommitMessage(null)
+        val tmp = KvStore.stageDelta(path, puts.toSeq, partitionId, taskId)
+        KvCommitMessage(tmp.toString)
+      }
+      override def abort(): Unit = ()
+      override def close(): Unit = ()
+    }
+}
+
+// ------------------------------------------------------------------ store
+/** The file layout + merge logic shared by reader tasks, the commit
+  * coordinator, and the maintenance entry points.
+  */
+object KvStore {
+
+  def bucketOf(key: String, buckets: Int): Int =
+    math.floorMod(scala.util.hashing.MurmurHash3.stringHash(key, 0x9747b28c), buckets)
+
+  private def baseFile(root: String, bucket: Int): Path =
+    Paths.get(root, f"base-$bucket%05d.tsv")
+  private def deltasDir(root: String): Path = Paths.get(root, "deltas")
+
+  private def enc(s: String): String =
+    if (s == null) "\u0000null"
+    else s.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
+  private def dec(s: String): String =
+    if (s == "\u0000null") null
+    else {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) {
+          s.charAt(i + 1) match {
+            case '\\' => sb.append('\\'); i += 2
+            case 't' => sb.append('\t'); i += 2
+            case 'n' => sb.append('\n'); i += 2
+            case other => sb.append(c); i += 1
+          }
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+
+  private def readKvFile(p: Path): Seq[(String, String)] =
+    if (!Files.exists(p)) Nil
+    else Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq
+      .filter(_.nonEmpty).map { line =>
+        val t = line.indexOf('\t')
+        (dec(line.substring(0, t)), dec(line.substring(t + 1)))
+      }
+
+  private def writeKvFile(p: Path, kvs: Seq[(String, String)]): Unit = {
+    Files.createDirectories(p.getParent)
+    val tmp = p.resolveSibling(p.getFileName.toString + "._tmp")
+    Files.write(tmp, kvs.map { case (k, v) => enc(k) + "\t" + enc(v) }
+      .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Delta files in commit order (seq, then intra-commit index). */
+  private def deltaFiles(root: String): Seq[Path] = {
+    val d = deltasDir(root)
+    if (!Files.exists(d)) Nil
+    else Files.list(d).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.matches("delta-\\d+-\\d+\\.tsv"))
+      .sortBy { p =>
+        val parts = p.getFileName.toString.stripPrefix("delta-")
+          .stripSuffix(".tsv").split("-")
+        (parts(0).toLong, parts(1).toLong)
+      }
+  }
+
+  /** Bucket state: base merged with deltas, last put wins, sorted by key. */
+  def readBucket(root: String, bucket: Int, buckets: Int): Seq[(String, String)] = {
+    val m = mutable.LinkedHashMap.empty[String, String]
+    readKvFile(baseFile(root, bucket)).foreach { case (k, v) => m.put(k, v) }
+    deltaFiles(root).foreach { p =>
+      readKvFile(p).foreach { case (k, v) =>
+        if (bucketOf(k, buckets) == bucket) m.put(k, v)
+      }
+    }
+    m.toSeq.sortBy(_._1)
+  }
+
+  def bucketBytes(root: String, bucket: Int): Long = {
+    val b = baseFile(root, bucket)
+    if (Files.exists(b)) Files.size(b) else 0L
+  }
+
+  def stageDelta(root: String, kvs: Seq[(String, String)],
+      partitionId: Int, taskId: Long): Path = {
+    val d = deltasDir(root)
+    Files.createDirectories(d)
+    val tmp = d.resolve(s"_tmp-$partitionId-$taskId-${System.nanoTime()}")
+    Files.write(tmp, kvs.map { case (k, v) => enc(k) + "\t" + enc(v) }
+      .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    tmp
+  }
+
+  def nextCommitSeq(root: String): Long =
+    deltaFiles(root).lastOption.map { p =>
+      p.getFileName.toString.stripPrefix("delta-").stripSuffix(".tsv")
+        .split("-")(0).toLong + 1
+    }.getOrElse(0L)
+
+  def publishDelta(root: String, tmp: Path, seq: Long, idx: Int): Unit =
+    Files.move(tmp, deltasDir(root).resolve(s"delta-$seq-$idx.tsv"),
+      StandardCopyOption.ATOMIC_MOVE)
+
+  def truncate(root: String): Unit = {
+    val r = Paths.get(root)
+    if (!Files.exists(r)) return
+    Files.walk(r).iterator().asScala.toSeq.reverse
+      .filter(p => p != r && (p.getFileName.toString.startsWith("base-") ||
+        p.getFileName.toString.startsWith("delta") ||
+        p.getFileName.toString == "deltas"))
+      .foreach(p => try Files.deleteIfExists(p) catch { case _: Exception => () })
+  }
+
+  /** Fold all deltas into the per-bucket base files (the minor compaction of
+    * the handler's storage model) — per-bucket work, parallelizable, and
+    * atomic per file.
+    */
+  def compact(root: String, buckets: Int): Unit = {
+    (0 until buckets).foreach { b =>
+      val merged = readBucket(root, b, buckets)
+      if (merged.nonEmpty) writeKvFile(baseFile(root, b), merged)
+    }
+    deltaFiles(root).foreach(Files.deleteIfExists)
+  }
+}
