@@ -173,11 +173,13 @@ final class KvBatchWrite(path: String, buckets: Int, truncate: Boolean)
     // two-phase: every task staged a _tmp file; commit renames them into the
     // deltas dir in task order — a failed job leaves only _tmp litter,
     // readers never see a partial batch's files as mixed visible/invisible
-    val seq = KvStore.nextCommitSeq(path)
+    var seq = KvStore.nextCommitSeq(path)
     messages.toSeq.collect { case m: KvCommitMessage if m.tmpPath != null =>
       m.tmpPath
     }.sorted.zipWithIndex.foreach { case (tmp, i) =>
-      KvStore.publishDelta(path, Paths.get(tmp), seq, i)
+      // carry the last successfully-used seq forward so one batch's files
+      // stay commit-ordered even when racing another committer
+      seq = KvStore.publishDelta(path, Paths.get(tmp), seq, i)
     }
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -305,9 +307,25 @@ object KvStore {
         .split("-")(0).toLong + 1
     }.getOrElse(0L)
 
-  def publishDelta(root: String, tmp: Path, seq: Long, idx: Int): Unit =
-    Files.move(tmp, deltasDir(root).resolve(s"delta-$seq-$idx.tsv"),
-      StandardCopyOption.ATOMIC_MOVE)
+  /** Publish one staged delta. Concurrent committers race on the sequence
+    * number; ATOMIC_MOVE to an existing name fails, and the loser retries
+    * under the next free sequence — the rename IS the commit CAS (same
+    * pattern as the snapshot-table manifest log). Returns the seq used.
+    */
+  def publishDelta(root: String, tmp: Path, seq: Long, idx: Int): Long = {
+    var s = seq
+    while (true) {
+      try {
+        Files.move(tmp, deltasDir(root).resolve(s"delta-$s-$idx.tsv"),
+          StandardCopyOption.ATOMIC_MOVE)
+        return s
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          s = math.max(s + 1, nextCommitSeq(root))
+      }
+    }
+    s
+  }
 
   def truncate(root: String): Unit = {
     val r = Paths.get(root)

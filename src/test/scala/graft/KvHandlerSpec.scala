@@ -83,6 +83,24 @@ class KvHandlerSpec extends SparkSpec with Matchers {
     after("k2") shouldBe "v0"
   }
 
+  test("concurrent writers both land; no lost puts under the rename race") {
+    val path = newTable()
+    write(path, Seq("seed" -> "0"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val jobs = (0 until 4).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit =
+            write(path, (1 to 25).map(i => s"w$w-k$i" -> s"v$w"))
+        })
+      }
+      jobs.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    val got = read(path).collect().map(_.getString(0)).toSet
+    got.size shouldBe 101 // seed + 4 x 25, nothing lost
+    (0 until 4).foreach { w => got.count(_.startsWith(s"w$w-")) shouldBe 25 }
+  }
+
   test("joins against engine tables federate through the handler") {
     val path = newTable()
     // status dimension stored in the KV system, facts in parquet
