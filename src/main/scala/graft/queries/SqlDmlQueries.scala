@@ -526,5 +526,36 @@ object SqlDmlQueries {
           |         CAST(cutoff AS DOUBLE) AS cutoff_used;
           |""".stripMargin)(q => Engine.sql(spark, dir, q))
       spark.sql("SELECT * FROM hpl_result")
+    },
+
+    // KV storage handler (sources.KvSource, the DSv2 HBase-handler-class
+    // contract): a status dimension written through the handler (two
+    // batches — the second upserts, exercising last-put-wins), read back
+    // and joined to orders. The oracle replays the final KV state as a
+    // VALUES dim, so the handler's put/merge/read path sits under the
+    // cell-exact gate.
+    q("s24_kv_storage_handler",
+      """SELECT d.status_name, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS total
+        |FROM orders o
+        |JOIN (VALUES ('O', 'open'), ('F', 'finalized'), ('P', 'pending'))
+        |  AS d(status_key, status_name)
+        |  ON o.o_orderstatus = d.status_key
+        |GROUP BY d.status_name ORDER BY d.status_name""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      Engine.register(spark, dir)
+      val path = scratch()
+      Seq(("O", "open"), ("F", "finished"), ("P", "pending"))
+        .toDF("key", "value").write.format("graft-kv")
+        .option("path", path).mode("append").save()
+      // second batch upserts F — the read must see last-put-wins
+      Seq(("F", "finalized")).toDF("key", "value").write.format("graft-kv")
+        .option("path", path).mode("append").save()
+      val dim = spark.read.format("graft-kv").option("path", path).load()
+      Engine.table(spark, dir, "orders")
+        .join(dim, col("o_orderstatus") === col("key"))
+        .groupBy(col("value").as("status_name"))
+        .agg(count(lit(1)).as("n"), Exact.dsum(col("o_totalprice")).as("total"))
+        .orderBy("status_name")
     })
 }
