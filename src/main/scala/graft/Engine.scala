@@ -170,6 +170,7 @@ object Engine {
         // maintenance verbs (RESTORE/OPTIMIZE/VACUUM) are parse errors to
         // Spark — they can only ever arrive here, so nothing is shadowed
         graft.plans.SqlMaintenance.maybeRun(spark, query)
+          .orElse(maybeRunHplsql(spark, sfDir, query))
           .getOrElse(spark.sql(query)) // surface the canonical parse error
       case Some(plan) =>
         graft.plans.SqlDml.maybeRun(spark, plan).getOrElse {
@@ -179,6 +180,29 @@ object Engine {
             else org.apache.spark.sql.GraftShims.ofRows(spark, substituted)
           maybeCacheResult(spark, df)
         }
+    }
+  }
+
+  /** Procedural scripts through the same front door (the reference's
+    * `hplsql -e` entry, folded into the SQL surface): an input Spark can't
+    * parse that LEADS with a procedural construct runs as an HPL/SQL script
+    * (see [[graft.hplsql.Hplsql]]); its raw statements re-enter this method.
+    * Result: the script's last row-producing statement, else its PRINT
+    * output as a one-column frame. Plain SQL typos don't start with these
+    * keywords, so the canonical parse error still surfaces for them.
+    */
+  private val HplsqlHead =
+    "(?is)^\\s*(DECLARE|PRINT|WHILE|LOOP|BEGIN|EXIT|CALL|RETURN|" +
+      "FOR\\s+\\w+\\s+IN|IF\\b|EXECUTE\\s+IMMEDIATE|" +
+      "CREATE\\s+(OR\\s+REPLACE\\s+)?(PROCEDURE|FUNCTION|PROC)\\b).*"
+  private def maybeRunHplsql(spark: SparkSession, sfDir: String,
+      query: String): Option[DataFrame] = {
+    if (!query.matches(HplsqlHead)) return None
+    val result = graft.hplsql.Hplsql.run(spark, query)(q => sql(spark, sfDir, q))
+    result.lastResult.orElse {
+      import spark.implicits._
+      if (result.printed.nonEmpty) Some(result.printed.toDF("printed"))
+      else Some(Seq.empty[String].toDF("printed"))
     }
   }
 

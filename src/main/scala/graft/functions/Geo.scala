@@ -63,6 +63,36 @@ object Geo {
     def kind = "MULTIPOLYGON"
   }
 
+  /** Per-thread LRU over parsed WKT. Join refinements and predicate UDFs
+    * evaluate the SAME geometry text against millions of rows (a dim-side
+    * polygon meets every candidate point); memoizing the parse turns the
+    * per-row cost into a hash probe. Thread-local so no locks; bounded so a
+    * high-cardinality geometry column can't hold the heap.
+    */
+  private val parseCache =
+    new ThreadLocal[java.util.LinkedHashMap[String, Option[Geom]]] {
+      override def initialValue() =
+        new java.util.LinkedHashMap[String, Option[Geom]](256, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[String, Option[Geom]]): Boolean = size() > 1024
+        }
+    }
+
+  /** Memoized [[parseWkt]] — use in per-row predicates over repeated
+    * geometries (join refines); semantics identical.
+    */
+  def parseWktCached(wkt: String): Option[Geom] = {
+    if (wkt == null) return None
+    val c = parseCache.get()
+    val hit = c.get(wkt)
+    if (hit != null) hit
+    else {
+      val parsed = parseWkt(wkt)
+      c.put(wkt, parsed)
+      parsed
+    }
+  }
+
   // ----------------------------------------------------------------- WKT
   /** Parse WKT (case-insensitive, EMPTY forms, nested-paren MULTIPOINT).
     * Returns None on malformed input — callers surface SQL NULL, the

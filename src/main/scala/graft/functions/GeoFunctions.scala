@@ -25,11 +25,13 @@ object GeoFunctions {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
-  // -- WKT-level helpers (null-safe: null/invalid input -> SQL NULL) --------
+  // -- WKT-level helpers (null-safe: null/invalid input -> SQL NULL).
+  // Parses are memoized per-thread (Geo.parseWktCached): predicates evaluate
+  // repeated geometry text per row, so the parse cost must not be per-row.
   private def g1[T](f: Geom => Option[T]): String => T =
-    wkt => parseWkt(wkt).flatMap(f).getOrElse(null.asInstanceOf[T])
+    wkt => parseWktCached(wkt).flatMap(f).getOrElse(null.asInstanceOf[T])
   private def g2[T](f: (Geom, Geom) => Option[T]): (String, String) => T =
-    (a, b) => (for (ga <- parseWkt(a); gb <- parseWkt(b); r <- f(ga, gb)) yield r)
+    (a, b) => (for (ga <- parseWktCached(a); gb <- parseWktCached(b); r <- f(ga, gb)) yield r)
       .getOrElse(null.asInstanceOf[T])
 
   def registerAll(spark: SparkSession): Unit = {

@@ -67,9 +67,9 @@ object SpatialJoin {
 
     val refine = predicate match {
       case "contains" => udf((wkt: String, x: Double, y: Double) =>
-        Geo.parseWkt(wkt).exists(g => Geo.contains(g, Geo.GPoint(Some(Geo.Pt(x, y))))))
+        Geo.parseWktCached(wkt).exists(g => Geo.contains(g, Geo.GPoint(Some(Geo.Pt(x, y))))))
       case "intersects" => udf((wkt: String, x: Double, y: Double) =>
-        Geo.parseWkt(wkt).exists(g => Geo.intersects(g, Geo.GPoint(Some(Geo.Pt(x, y))))))
+        Geo.parseWktCached(wkt).exists(g => Geo.intersects(g, Geo.GPoint(Some(Geo.Pt(x, y))))))
       case other => throw new IllegalArgumentException(
         s"predicate must be contains|intersects, got $other")
     }
@@ -117,7 +117,7 @@ object SpatialJoin {
       .drop("__d0", "__d1", "__o0", "__o1", "__down", "__over")
 
     val refine = udf((wa: String, wb: String) =>
-      (for (ga <- Geo.parseWkt(wa); gb <- Geo.parseWkt(wb))
+      (for (ga <- Geo.parseWktCached(wa); gb <- Geo.parseWktCached(wb))
         yield Geo.intersects(ga, gb)).getOrElse(false))
 
     val left = withCells(a, wktA, "A")

@@ -288,6 +288,26 @@ class HplsqlSpec extends SparkSpec with Matchers {
     assert(fastHits > exprs.length / 4, s"fast path hit only $fastHits/${exprs.length}")
   }
 
+  test("the SQL front door runs procedural scripts directly") {
+    val df = graft.Engine.sql(spark, sfDir,
+      """DECLARE n BIGINT;
+        |SELECT count(*) INTO n FROM customer;
+        |PRINT 'customers: ' || n;
+        |SELECT c_mktsegment, count(*) AS cnt FROM customer
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment;
+        |""".stripMargin)
+    // last row-producing statement is the script's result
+    df.columns.toSeq shouldBe Seq("c_mktsegment", "cnt")
+    df.collect().map(_.getLong(1)).sum should be > 0L
+    // print-only scripts return the printed lines
+    val printed = graft.Engine.sql(spark, sfDir,
+      "DECLARE x INT DEFAULT 6; PRINT 'val ' || x * 7;")
+    printed.collect().map(_.getString(0)).toSeq shouldBe Seq("val 42")
+    // plain SQL typos still surface the canonical parse error
+    an[Exception] should be thrownBy
+      graft.Engine.sql(spark, sfDir, "SELEC 1")
+  }
+
   test("scripts drive engine tables end-to-end") {
     val r = run(s"""
       DECLARE seg STRING DEFAULT 'BUILDING';
