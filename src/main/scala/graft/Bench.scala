@@ -54,6 +54,8 @@ object Bench {
     "r10_new_queries" -> ("t15_top_supplier, p37_semantic_dedup, and " +
       "p38_tfidf_topterms are benched from r10 on -- headline totals are " +
       "not comparable across rounds; matched22_sec is the drift metric"),
+    "r11_new_queries" -> ("f31_spatial_join (bin-bucketed point-in-polygon " +
+      "join, 1.5M points x 25 polygons at sf0.1) benched from r11 on"),
     "r8_bench_validity" -> ("r8 numbers for e01/e03/e04/e07, q28, and " +
       "t07/t13/t21 are invalid: a testdata regeneration between r7 and r8 " +
       "changed events.ts from TIMESTAMP(NANOS) to TIMESTAMP_NTZ, those " +

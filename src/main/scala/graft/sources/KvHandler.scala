@@ -222,11 +222,15 @@ object KvStore {
     Paths.get(root, f"base-$bucket%05d.tsv")
   private def deltasDir(root: String): Path = Paths.get(root, "deltas")
 
+  // injective escape: backslash first, then separators and NUL — so the
+  // single-char NUL null marker can never collide with real data (a value
+  // CONTAINING \u0000 escapes to "\\0", never a bare marker)
   private def enc(s: String): String =
-    if (s == null) "\u0000null"
+    if (s == null) "\u0000"
     else s.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
+      .replace("\u0000", "\\0")
   private def dec(s: String): String =
-    if (s == "\u0000null") null
+    if (s == "\u0000") null
     else {
       val sb = new StringBuilder
       var i = 0
@@ -237,6 +241,7 @@ object KvStore {
             case '\\' => sb.append('\\'); i += 2
             case 't' => sb.append('\t'); i += 2
             case 'n' => sb.append('\n'); i += 2
+            case '0' => sb.append('\u0000'); i += 2
             case other => sb.append(c); i += 1
           }
         } else { sb.append(c); i += 1 }
