@@ -127,9 +127,12 @@ final class KvScan(path: String, buckets: Int, pushedKeys: Option[Set[String]])
     new KvReaderFactory
 
   override def estimateStatistics(): Statistics = new Statistics {
-    // bytes from the file layout only — no data read at plan time
+    // bytes from the file layout only — no data read at plan time. Delta
+    // bytes count in full even for pruned scans: a delta-only table must
+    // never report 0 bytes (that invites a wrong broadcast decision).
     override def sizeInBytes(): OptionalLong = OptionalLong.of(
-      selected.map(b => KvStore.bucketBytes(path, b)).sum)
+      selected.map(b => KvStore.bucketBytes(path, b)).sum +
+        KvStore.deltaBytes(path))
     override def numRows(): OptionalLong = OptionalLong.empty()
   }
 }
@@ -295,6 +298,9 @@ object KvStore {
     val b = baseFile(root, bucket)
     if (Files.exists(b)) Files.size(b) else 0L
   }
+
+  def deltaBytes(root: String): Long =
+    deltaFiles(root).map(p => try Files.size(p) catch { case _: Exception => 0L }).sum
 
   def stageDelta(root: String, kvs: Seq[(String, String)],
       partitionId: Int, taskId: Long): Path = {
