@@ -319,21 +319,34 @@ object KvStore {
     }.getOrElse(0L)
 
   /** Publish one staged delta. Concurrent committers race on the sequence
-    * number; ATOMIC_MOVE to an existing name fails, and the loser retries
-    * under the next free sequence — the rename IS the commit CAS (same
-    * pattern as the snapshot-table manifest log). Returns the seq used.
+    * number; the winner is decided by an atomic create-exclusive hard link
+    * (same pattern as the snapshot-table manifest log), and the loser
+    * retries under the next free sequence. A plain ATOMIC_MOVE is NOT a
+    * CAS here: POSIX rename(2) silently replaces an existing target, so a
+    * racing committer would overwrite — not detect — the winner's file.
+    * Returns the seq used.
     */
   def publishDelta(root: String, tmp: Path, seq: Long, idx: Int): Long = {
     var s = seq
     while (true) {
-      try {
-        Files.move(tmp, deltasDir(root).resolve(s"delta-$s-$idx.tsv"),
-          StandardCopyOption.ATOMIC_MOVE)
-        return s
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          s = math.max(s + 1, nextCommitSeq(root))
-      }
+      val target = deltasDir(root).resolve(s"delta-$s-$idx.tsv")
+      val won =
+        try { Files.createLink(target, tmp); true }
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: UnsupportedOperationException =>
+            // FS without hard links: create-exclusive copy is still atomic
+            // on visibility of the NAME (CREATE_NEW fails if present);
+            // readers tolerate a mid-copy file only because deltas are
+            // line-framed and a torn tail parses as fewer puts — acceptable
+            // for the degraded-FS path, exact for the primary one
+            try {
+              Files.copy(tmp, target)
+              true
+            } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        }
+      if (won) { Files.deleteIfExists(tmp); return s }
+      s = math.max(s + 1, nextCommitSeq(root))
     }
     s
   }
