@@ -241,6 +241,17 @@ object NamedTables {
     SubqueryAlias(name, df.queryExecution.logical)
   }
 
+  /** Fresh DataFrame for a registered/path-addressed identifier, if it is
+    * one — the [[Authz]] policy layer wraps reads with filters/masks and
+    * needs the resolved frame (for the schema) rather than the raw plan.
+    */
+  private[plans] def readDfIfRegistered(spark: SparkSession,
+      parts: Seq[String]): Option[org.apache.spark.sql.DataFrame] =
+    refOf(parts).map {
+      case r: SnapshotRef => Snapshots.table(spark, r.root).read()
+      case PathRef(path) => spark.read.parquet(path)
+    }
+
   /** Resolve a relation identifier to a registered/path-addressed ref:
     * single-part names come from the registry; `snapshot.`/path`` addresses
     * a snapshot root directly (the DML/DDL analog of Spark's

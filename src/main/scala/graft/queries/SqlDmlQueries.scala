@@ -557,5 +557,52 @@ object SqlDmlQueries {
         .groupBy(col("value").as("status_name"))
         .agg(count(lit(1)).as("n"), Exact.dsum(col("o_totalprice")).as("total"))
         .orderBy("status_name")
+    },
+
+    // Authorization (plans.Authz; ref ql/.../sqlstd/
+    // SQLStdHiveAuthorizationValidator.java + plugin/HiveAuthorizer.java's
+    // row-filter/column-mask contract): deny-by-default is proven inside
+    // the query (an ungranted read MUST throw), then a granted analyst
+    // reads customer through a row filter + an md5 column mask. The oracle
+    // replays the filtered, masked read as plain SQL — so the policy
+    // rewrite itself sits under the cell-exact gate.
+    q("s25_sql_authz",
+      """SELECT c_custkey, md5(c_name) AS c_name,
+        |  CAST(c_acctbal AS DOUBLE) AS c_acctbal
+        |FROM customer
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey <= 400
+        |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+      import graft.plans.Authz
+      Authz.dropRowFilter("customer", Authz.Role("s25_analyst"))
+      Authz.dropColumnMask("customer", "c_name", Authz.Role("s25_analyst"))
+      try {
+        spark.conf.set("spark.graft.authz.enabled", "true")
+        spark.conf.set("spark.graft.user", "s25_nobody")
+        val denied =
+          try { Engine.sql(spark, dir, "SELECT count(*) FROM customer"); false }
+          catch { case _: Authz.AccessDenied => true }
+        require(denied, "authz did not deny the ungranted read")
+        Engine.sql(spark, dir, "CREATE ROLE s25_analyst")
+        Engine.sql(spark, dir, "GRANT ROLE s25_analyst TO USER s25_reader")
+        Engine.sql(spark, dir, "GRANT SELECT ON TABLE customer TO ROLE s25_analyst")
+        Engine.sql(spark, dir,
+          "ALTER TABLE customer SET ROW FILTER 'c_mktsegment = ''BUILDING''' " +
+            "FOR ROLE s25_analyst")
+        Engine.sql(spark, dir,
+          "ALTER TABLE customer SET COLUMN MASK c_name AS 'md5(c_name)' " +
+            "FOR ROLE s25_analyst")
+        spark.conf.set("spark.graft.user", "s25_reader")
+        Engine.sql(spark, dir,
+          """SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+            |FROM customer WHERE c_custkey <= 400
+            |ORDER BY c_custkey""".stripMargin)
+      } finally {
+        // policies bake into the returned plan at build time, so resetting
+        // session/auth state here cannot un-filter the lazy evaluation
+        spark.conf.unset("spark.graft.authz.enabled")
+        spark.conf.unset("spark.graft.user")
+        Authz.dropRowFilter("customer", Authz.Role("s25_analyst"))
+        Authz.dropColumnMask("customer", "c_name", Authz.Role("s25_analyst"))
+      }
     })
 }

@@ -1,0 +1,169 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterEach
+import graft.{Engine, SparkSpec}
+
+/** Authorization: GRANT/REVOKE privileges, roles, row filters, column
+  * masks, and their SQL verbs — enforced at the Engine.sql front door.
+  */
+class AuthzSpec extends SparkSpec with BeforeAndAfterEach {
+
+  private def sql(q: String) = Engine.sql(spark, sfDir, q)
+
+  override def beforeEach(): Unit = { reset(); super.beforeEach() }
+  override def afterEach(): Unit = { reset(); super.afterEach() }
+  private def reset(): Unit = {
+    Authz.clearAll()
+    spark.conf.unset("spark.graft.authz.enabled")
+    spark.conf.unset("spark.graft.user")
+    spark.conf.unset("spark.graft.authz.admins")
+  }
+
+  private def asUser(user: String): Unit = {
+    spark.conf.set("spark.graft.authz.enabled", "true")
+    spark.conf.set("spark.graft.user", user)
+  }
+
+  private def scratchTable(prefix: String, n: Int): String = {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+    (0 until n).map(i => (i.toLong, s"name$i", i % 4)).toDF("id", "name", "k")
+      .write.parquet(path)
+    val name = prefix + "tab"
+    NamedTables.registerPath(name, path)
+    name
+  }
+
+  test("deny-by-default when enabled; GRANT SELECT opens the table; REVOKE closes it") {
+    asUser("alice")
+    val denied = intercept[Authz.AccessDenied] {
+      sql("SELECT count(*) FROM customer").collect()
+    }
+    assert(denied.getMessage.contains("alice"))
+    sql("GRANT SELECT ON TABLE customer TO USER alice")
+    assert(sql("SELECT count(*) AS n FROM customer").head.getLong(0) > 0)
+    sql("REVOKE SELECT ON TABLE customer FROM USER alice")
+    intercept[Authz.AccessDenied] { sql("SELECT count(*) FROM customer").collect() }
+  }
+
+  test("disabled sessions are permissive and policies stay dormant") {
+    Authz.setRowFilter("customer", Authz.AllUsers, "c_custkey < 0")
+    // not enabled: no filter applies, no grant required
+    assert(sql("SELECT count(*) AS n FROM customer").head.getLong(0) > 0)
+  }
+
+  test("roles bundle privileges; SHOW CURRENT ROLES reflects membership") {
+    asUser("bob")
+    sql("CREATE ROLE analyst")
+    sql("GRANT ROLE analyst TO USER bob")
+    sql("GRANT SELECT ON TABLE nation TO ROLE analyst")
+    assert(sql("SELECT count(*) AS n FROM nation").head.getLong(0) === 25)
+    val cur = sql("SHOW CURRENT ROLES").collect().map(_.getString(0))
+    assert(cur.toSeq === Seq("analyst"))
+    sql("REVOKE ROLE analyst FROM USER bob")
+    intercept[Authz.AccessDenied] { sql("SELECT count(*) FROM nation").collect() }
+  }
+
+  test("admins bypass checks and policies") {
+    asUser("root")
+    spark.conf.set("spark.graft.authz.admins", "root,ops")
+    Authz.setRowFilter("nation", Authz.AllUsers, "n_nationkey < 0")
+    assert(sql("SELECT count(*) AS n FROM nation").head.getLong(0) === 25)
+  }
+
+  test("row filters restrict per principal; unfiltered principals see all rows") {
+    val t = scratchTable("authz_rf_", 40)
+    sql(s"GRANT SELECT ON TABLE $t TO ALL")
+    sql(s"ALTER TABLE $t SET ROW FILTER 'k = 0' FOR USER carol")
+    asUser("carol")
+    assert(sql(s"SELECT count(*) AS n FROM $t").head.getLong(0) === 10)
+    asUser("dave")
+    assert(sql(s"SELECT count(*) AS n FROM $t").head.getLong(0) === 40)
+  }
+
+  test("applicable filters AND together (user + role + all)") {
+    val t = scratchTable("authz_and_", 40)
+    sql(s"GRANT SELECT ON TABLE $t TO ALL")
+    sql("CREATE ROLE readers")
+    sql("GRANT ROLE readers TO USER erin")
+    sql(s"ALTER TABLE $t SET ROW FILTER 'id < 20' FOR USER erin")
+    sql(s"ALTER TABLE $t SET ROW FILTER 'k = 1' FOR ROLE readers")
+    asUser("erin")
+    // id < 20 AND k = 1 -> ids 1,5,9,13,17
+    assert(sql(s"SELECT count(*) AS n FROM $t").head.getLong(0) === 5)
+  }
+
+  test("column masks transform values, keep the schema, and pick the most specific principal") {
+    val t = scratchTable("authz_cm_", 8)
+    sql(s"GRANT SELECT ON TABLE $t TO ALL")
+    sql(s"ALTER TABLE $t SET COLUMN MASK name AS 'md5(name)' FOR ALL")
+    sql(s"ALTER TABLE $t SET COLUMN MASK name AS '''[redacted]''' FOR USER frank")
+    asUser("gina")
+    val forAll = sql(s"SELECT name FROM $t WHERE id = 1").head.getString(0)
+    assert(forAll === org.apache.commons.codec.digest.DigestUtils.md5Hex("name1"))
+    asUser("frank")
+    val forFrank = sql(s"SELECT name FROM $t WHERE id = 1").head.getString(0)
+    assert(forFrank === "[redacted]")
+    // schema is unchanged: same columns, same types
+    assert(sql(s"SELECT * FROM $t").schema.map(f => f.name -> f.dataType) ===
+      spark.read.parquet(NamedTables.get(t).get.root)
+        .schema.map(f => f.name -> f.dataType))
+  }
+
+  test("row filters evaluate over unmasked values (filter before mask)") {
+    val t = scratchTable("authz_fm_", 10)
+    sql(s"GRANT SELECT ON TABLE $t TO ALL")
+    sql(s"ALTER TABLE $t SET ROW FILTER 'name = ''name3''' FOR USER henry")
+    sql(s"ALTER TABLE $t SET COLUMN MASK name AS '''x''' FOR USER henry")
+    asUser("henry")
+    val rows = sql(s"SELECT id, name FROM $t").collect()
+    assert(rows.length === 1)
+    assert(rows.head.getLong(0) === 3)   // selected by the REAL name value
+    assert(rows.head.getString(1) === "x") // but served masked
+  }
+
+  test("DML verbs require their own privilege") {
+    val t = scratchTable("authz_dml_", 20)
+    sql(s"GRANT SELECT ON TABLE $t TO USER ivy")
+    asUser("ivy")
+    val denied = intercept[Authz.AccessDenied] {
+      sql(s"DELETE FROM $t WHERE id >= 10")
+    }
+    assert(denied.getMessage.contains("delete"))
+    sql(s"GRANT DELETE ON TABLE $t TO USER ivy")
+    sql(s"DELETE FROM $t WHERE id >= 10")
+    assert(sql(s"SELECT count(*) AS n FROM $t").head.getLong(0) === 10)
+    // UPDATE still denied: delete grant does not imply it
+    intercept[Authz.AccessDenied] { sql(s"UPDATE $t SET k = 0 WHERE id = 1") }
+  }
+
+  test("SHOW GRANT lists principals and privileges; DROP verbs remove policies") {
+    val t = scratchTable("authz_show_", 10)
+    sql(s"GRANT SELECT, DELETE ON TABLE $t TO USER jo")
+    val g = sql(s"SHOW GRANT ON TABLE $t").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(g === Set("user:jo" -> "select", "user:jo" -> "delete"))
+    sql(s"ALTER TABLE $t SET ROW FILTER 'id < 5' FOR USER jo")
+    asUser("jo")
+    assert(sql(s"SELECT count(*) AS n FROM $t").head.getLong(0) === 5)
+    sql(s"ALTER TABLE $t DROP ROW FILTER FOR USER jo")
+    assert(sql(s"SELECT count(*) AS n FROM $t").head.getLong(0) === 10)
+  }
+
+  test("policies apply to snapshot-backed named tables and joins") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("authz_snap_").toString + "/t"
+    Snapshots.create(spark, root,
+      (0 until 30).map(i => (i.toLong, s"c${i % 3}")).toDF("id", "cat"))
+    NamedTables.registerSnapshot("authz_snap", root)
+    sql("GRANT SELECT ON TABLE authz_snap TO ALL")
+    sql("ALTER TABLE authz_snap SET ROW FILTER 'cat = ''c1''' FOR ALL")
+    asUser("kay")
+    // joins against the filtered relation compose like any subquery
+    val n = sql(
+      """SELECT count(*) AS n FROM authz_snap a JOIN authz_snap b ON a.id = b.id""")
+      .head.getLong(0)
+    assert(n === 10)
+  }
+}
