@@ -162,19 +162,33 @@ object Engine {
     */
   def sql(spark: SparkSession, sfDir: String, query: String): DataFrame = {
     register(spark, sfDir)
+    // SET ROLE is the one verb that must intercept pre-parse: Spark's
+    // parser accepts it as a conf-set of the meaningless key "role <x>"
+    graft.plans.Authz.maybeSetRole(spark, query) match {
+      case Some(df) => return df
+      case None => ()
+    }
     val parsed =
       try Some(spark.sessionState.sqlParser.parsePlan(query))
       catch { case scala.util.control.NonFatal(_) => None }
     parsed match {
       case None =>
-        // maintenance verbs (RESTORE/OPTIMIZE/VACUUM) are parse errors to
-        // Spark — they can only ever arrive here, so nothing is shadowed
+        // maintenance + authz verbs (RESTORE/OPTIMIZE/VACUUM, GRANT/REVOKE/
+        // policies) are parse errors to Spark — they can only ever arrive
+        // here, so nothing is shadowed
         graft.plans.SqlMaintenance.maybeRun(spark, query)
+          .orElse(graft.plans.Authz.maybeSql(spark, query))
+          .orElse(graft.plans.Workload.maybeSql(spark, query))
+          .orElse(graft.plans.Macros.maybeSql(spark, query))
           .orElse(maybeRunHplsql(spark, sfDir, query))
           .getOrElse(spark.sql(query)) // surface the canonical parse error
       case Some(plan) =>
+        // privilege check first (deny-by-default when authz is enabled),
+        // then row-filter/column-mask substitution on the read path
+        graft.plans.Authz.checkStatement(spark, plan)
         graft.plans.SqlDml.maybeRun(spark, plan).getOrElse {
-          val substituted = graft.plans.NamedTables.substitute(spark, plan)
+          val secured = graft.plans.Authz.applyPolicies(spark, plan)
+          val substituted = graft.plans.NamedTables.substitute(spark, secured)
           val df =
             if (substituted eq plan) spark.sql(query)
             else org.apache.spark.sql.GraftShims.ofRows(spark, substituted)

@@ -128,6 +128,7 @@ object Authz {
   /** Test/maintenance reset — authz state is JVM-global. */
   def clearAll(): Unit = {
     roleMembers.clear(); grants.clear(); rowFilters.clear(); columnMasks.clear()
+    activeRoles.clear()
   }
 
   // ------------------------------------------------------- session context
@@ -140,9 +141,35 @@ object Authz {
     spark.conf.getOption("spark.graft.authz.admins").toSeq
       .flatMap(_.split(',')).map(norm).contains(currentUser(spark))
 
+  // SET ROLE narrowing: user -> active role subset (None = all granted,
+  // the reference's default)
+  private val activeRoles =
+    scala.collection.concurrent.TrieMap.empty[String, Option[Set[String]]]
+
+  /** Active roles for a user: all granted roles unless SET ROLE narrowed
+    * them (ref ql/.../SessionState.java setCurrentRoleNames).
+    */
+  def currentRoles(user: String): Seq[String] = {
+    val granted = rolesOf(user)
+    activeRoles.getOrElse(norm(user), None) match {
+      case Some(sel) => granted.filter(sel)
+      case None => granted
+    }
+  }
+
+  def setRole(user: String, role: String): Unit = {
+    val r = norm(role)
+    require(rolesOf(user).contains(r),
+      s"user $user has not been granted role $role")
+    activeRoles.put(norm(user), Some(Set(r)))
+  }
+  def setRoleAll(user: String): Unit = activeRoles.remove(norm(user))
+  def setRoleNone(user: String): Unit =
+    activeRoles.put(norm(user), Some(Set.empty))
+
   /** Principal keys that match the current user, most specific first. */
   private def principalKeys(user: String): Seq[String] =
-    (User(user).key +: rolesOf(user).map(Role(_).key)) :+ AllUsers.key
+    (User(user).key +: currentRoles(user).map(Role(_).key)) :+ AllUsers.key
 
   // ---------------------------------------------------------- enforcement
 
@@ -260,6 +287,9 @@ object Authz {
   private val ShowGrantR =
     ("""(?is)\s*SHOW\s+GRANT\s+ON\s+(?:TABLE\s+)?""" + Ident + """\s*;?\s*""").r
   private val ShowRolesR = """(?is)\s*SHOW\s+ROLES\s*;?\s*""".r
+  private val SetRoleAllR = """(?is)\s*SET\s+ROLE\s+ALL\s*;?\s*""".r
+  private val SetRoleNoneR = """(?is)\s*SET\s+ROLE\s+NONE\s*;?\s*""".r
+  private val SetRoleR = """(?is)\s*SET\s+ROLE\s+(\w+)\s*;?\s*""".r
   private val ShowCurrentRolesR = """(?is)\s*SHOW\s+CURRENT\s+ROLES\s*;?\s*""".r
   private val SetRowFilterR =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
@@ -274,6 +304,26 @@ object Authz {
   private val DropMaskR =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
       """\s+DROP\s+COLUMN\s+MASK\s+(\w+)\s+FOR\s+""" + Pcpl + """\s*;?\s*""").r
+
+  /** SET ROLE intercepts BEFORE Spark's parser ([[graft.Engine.sql]] calls
+    * this first): Spark parses `SET ROLE x` as a conf assignment of the
+    * meaningless key "role x", so the reference's verb (HiveParser.g
+    * setRole) supersedes it here. `ALL` restores all granted roles, `NONE`
+    * deactivates all, a name narrows to that one granted role.
+    */
+  def maybeSetRole(spark: SparkSession, sqlText: String): Option[DataFrame] = {
+    import spark.implicits._
+    def done(what: String): DataFrame = Seq(what).toDF("result")
+    sqlText match {
+      case SetRoleAllR() =>
+        setRoleAll(currentUser(spark)); Some(done("set role all"))
+      case SetRoleNoneR() =>
+        setRoleNone(currentUser(spark)); Some(done("set role none"))
+      case SetRoleR(r) =>
+        setRole(currentUser(spark), r); Some(done(s"set role $r"))
+      case _ => None
+    }
+  }
 
   private def principal(u: String, r: String, all: String): Principal =
     if (u != null) User(u) else if (r != null) Role(r) else AllUsers
@@ -305,7 +355,7 @@ object Authz {
         Some(grantsOn(unquoteIdent(t)).toDF("principal", "privilege"))
       case ShowRolesR() => Some(roles.toDF("role"))
       case ShowCurrentRolesR() =>
-        Some(rolesOf(currentUser(spark)).toDF("role"))
+        Some(currentRoles(currentUser(spark)).toDF("role"))
       case SetRowFilterR(t, pred, u, r, all) =>
         setRowFilter(unquoteIdent(t), principal(u, r, all), unquoteSql(pred))
         Some(done(s"row filter set on ${unquoteIdent(t)}"))

@@ -859,5 +859,29 @@ object FunctionQueries {
         .agg(count(lit(1)).as("cnt"), sum("c_custkey").as("sk"))
         .orderBy("n_nationkey")
     },
+
+    // CREATE TEMPORARY MACRO (plans.Macros; ref ql/.../ddl/function/macro/
+    // CreateMacroAnalyzer.java): inline-expanded, type-inferred SQL macros.
+    // One macro nests inside another, both expand before optimization, and
+    // the whole statement runs through the engine front door; the oracle
+    // replays the expansion by hand — integer arithmetic, cell-exact.
+    q("f32_sql_macro",
+      """SELECT CAST(o_orderkey % 7 + CASE WHEN o_orderkey % 2 = 0
+        |         THEN 100 ELSE 0 END AS INT) AS bucket,
+        |  count(*) AS n, sum(o_orderkey) AS sk
+        |FROM orders WHERE o_orderkey <= 2000
+        |GROUP BY 1 ORDER BY bucket""".stripMargin) { (spark, dir) =>
+      Engine.sql(spark, dir,
+        "CREATE TEMPORARY MACRO graft_even_boost(x BIGINT) " +
+          "CASE WHEN x % 2 = 0 THEN 100 ELSE 0 END")
+      Engine.sql(spark, dir,
+        "CREATE TEMPORARY MACRO graft_bucketize(x BIGINT) " +
+          "CAST(x % 7 + graft_even_boost(x) AS INT)")
+      Engine.sql(spark, dir,
+        """SELECT graft_bucketize(o_orderkey) AS bucket,
+          |  count(*) AS n, sum(o_orderkey) AS sk
+          |FROM orders WHERE o_orderkey <= 2000
+          |GROUP BY 1 ORDER BY bucket""".stripMargin)
+    },
   )
 }

@@ -151,6 +151,26 @@ class AuthzSpec extends SparkSpec with BeforeAndAfterEach {
     assert(sql(s"SELECT count(*) AS n FROM $t").head.getLong(0) === 10)
   }
 
+  test("SET ROLE narrows active roles; ALL restores, NONE deactivates") {
+    asUser("lee")
+    sql("CREATE ROLE r_read")
+    sql("CREATE ROLE r_other")
+    sql("GRANT ROLE r_read TO USER lee")
+    sql("GRANT ROLE r_other TO USER lee")
+    sql("GRANT SELECT ON TABLE region TO ROLE r_read")
+    assert(sql("SELECT count(*) AS n FROM region").head.getLong(0) === 5)
+    sql("SET ROLE r_other") // active roles exclude r_read now
+    intercept[Authz.AccessDenied] { sql("SELECT count(*) FROM region").collect() }
+    assert(sql("SHOW CURRENT ROLES").collect().map(_.getString(0)).toSeq ===
+      Seq("r_other"))
+    sql("SET ROLE ALL")
+    assert(sql("SELECT count(*) AS n FROM region").head.getLong(0) === 5)
+    sql("SET ROLE NONE")
+    intercept[Authz.AccessDenied] { sql("SELECT count(*) FROM region").collect() }
+    // a role the user was never granted is rejected
+    intercept[IllegalArgumentException] { sql("SET ROLE r_secret") }
+  }
+
   test("policies apply to snapshot-backed named tables and joins") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("authz_snap_").toString + "/t"
