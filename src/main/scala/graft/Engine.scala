@@ -83,6 +83,7 @@ object Engine {
     graft.plans.MaterializedViews.install(spark)
     graft.plans.SnapshotSql.register(spark)
     graft.plans.NamedTables.bootstrap(spark)
+    graft.plans.Authz.bootstrap(spark)
     spark
   }
 

@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       // durable name registry (spark.graft.catalog) loads before any query
       // can reference a registered name
       graft.plans.NamedTables.bootstrap(session)
+      graft.plans.Authz.bootstrap(session)
       _ => ()
     }
     ext.injectOptimizerRule(session =>

@@ -55,80 +55,110 @@ object Authz {
 
   val Actions = Set("select", "insert", "update", "delete", "all")
 
-  private val roleMembers =
-    scala.collection.concurrent.TrieMap.empty[String, Set[String]] // role -> users
-  private val grants =
-    scala.collection.concurrent.TrieMap.empty[String, Set[(String, String)]] // table -> (principalKey, action)
-  private val rowFilters =
-    scala.collection.concurrent.TrieMap.empty[String, Map[String, String]] // table -> principalKey -> predicate
-  private val columnMasks =
-    scala.collection.concurrent.TrieMap.empty[String, Map[String, Map[String, String]]] // table -> column -> principalKey -> expr
+  /** The whole authorization database as one immutable value — every
+    * mutation is a pure `State => State` applied identically to the
+    * in-memory copy and (when [[bootstrap]]ed) the durable store, so a
+    * JVM restart reloads exactly what admin statements built (the
+    * metastore's SQL*Privilege/Role tables, ref standalone-metastore/
+    * src/main/thrift/hive_metastore.thrift RolePrincipalGrant /
+    * HiveObjectPrivilege).
+    */
+  final case class State(
+      roles: Map[String, Set[String]] = Map.empty, // role -> members
+      grants: Map[String, Set[(String, String)]] = Map.empty, // table -> (principalKey, action)
+      rowFilters: Map[String, Map[String, String]] = Map.empty, // table -> principalKey -> predicate
+      columnMasks: Map[String, Map[String, Map[String, String]]] = Map.empty) // table -> column -> principalKey -> expr
+
+  @volatile private var state: State = State()
+
+  private def mutate(op: State => State): Unit = synchronized {
+    state = op(state)
+    store.foreach(_.mutate(op))
+  }
 
   private def norm(s: String): String = s.toLowerCase(Locale.ROOT)
 
   // ------------------------------------------------------------ admin API
 
-  def createRole(role: String): Unit = roleMembers.putIfAbsent(norm(role), Set.empty)
-  def dropRole(role: String): Unit = roleMembers.remove(norm(role))
-  def roles: Seq[String] = roleMembers.keys.toSeq.sorted
+  def createRole(role: String): Unit = mutate { s =>
+    if (s.roles.contains(norm(role))) s
+    else s.copy(roles = s.roles + (norm(role) -> Set.empty))
+  }
+  def dropRole(role: String): Unit = mutate(s => s.copy(roles = s.roles - norm(role)))
+  def roles: Seq[String] = state.roles.keys.toSeq.sorted
 
   def grantRole(role: String, user: String): Unit = {
     val r = norm(role)
-    require(roleMembers.contains(r), s"role not found: $role (CREATE ROLE first)")
-    roleMembers.put(r, roleMembers(r) + norm(user))
+    require(state.roles.contains(r), s"role not found: $role (CREATE ROLE first)")
+    mutate(s => s.copy(roles = s.roles +
+      (r -> (s.roles.getOrElse(r, Set.empty) + norm(user)))))
   }
   def revokeRole(role: String, user: String): Unit = {
     val r = norm(role)
-    roleMembers.get(r).foreach(m => roleMembers.put(r, m - norm(user)))
+    mutate(s => s.roles.get(r) match {
+      case Some(m) => s.copy(roles = s.roles + (r -> (m - norm(user))))
+      case None => s
+    })
   }
   def rolesOf(user: String): Seq[String] =
-    roleMembers.collect { case (r, m) if m.contains(norm(user)) => r }.toSeq.sorted
+    state.roles.collect { case (r, m) if m.contains(norm(user)) => r }.toSeq.sorted
 
   def grant(table: String, principal: Principal, actions: Seq[String]): Unit = {
     val bad = actions.map(norm).filterNot(Actions)
     require(bad.isEmpty, s"unknown privilege(s): ${bad.mkString(", ")}")
     val t = norm(table)
-    grants.put(t, grants.getOrElse(t, Set.empty) ++
-      actions.map(a => principal.key -> norm(a)))
+    val add = actions.map(a => principal.key -> norm(a))
+    mutate(s => s.copy(grants = s.grants +
+      (t -> (s.grants.getOrElse(t, Set.empty) ++ add))))
   }
   def revoke(table: String, principal: Principal, actions: Seq[String]): Unit = {
     val t = norm(table)
     val drop = actions.map(norm).toSet
-    grants.get(t).foreach { g =>
-      grants.put(t, g.filterNot { case (p, a) =>
-        p == principal.key && (drop.contains(a) || drop.contains("all")) })
-    }
+    mutate(s => s.grants.get(t) match {
+      case Some(g) => s.copy(grants = s.grants + (t -> g.filterNot { case (p, a) =>
+        p == principal.key && (drop.contains(a) || drop.contains("all")) }))
+      case None => s
+    })
   }
   def grantsOn(table: String): Seq[(String, String)] =
-    grants.getOrElse(norm(table), Set.empty).toSeq.sorted
+    state.grants.getOrElse(norm(table), Set.empty).toSeq.sorted
 
   def setRowFilter(table: String, principal: Principal, predicate: String): Unit = {
     val t = norm(table)
-    rowFilters.put(t, rowFilters.getOrElse(t, Map.empty) + (principal.key -> predicate))
+    mutate(s => s.copy(rowFilters = s.rowFilters +
+      (t -> (s.rowFilters.getOrElse(t, Map.empty) + (principal.key -> predicate)))))
   }
   def dropRowFilter(table: String, principal: Principal): Unit = {
     val t = norm(table)
-    rowFilters.get(t).foreach(m => rowFilters.put(t, m - principal.key))
+    mutate(s => s.rowFilters.get(t) match {
+      case Some(m) => s.copy(rowFilters = s.rowFilters + (t -> (m - principal.key)))
+      case None => s
+    })
   }
   def setColumnMask(table: String, column: String, principal: Principal,
       maskExpr: String): Unit = {
     val t = norm(table); val c = norm(column)
-    val perCol = columnMasks.getOrElse(t, Map.empty)
-    columnMasks.put(t,
-      perCol + (c -> (perCol.getOrElse(c, Map.empty) + (principal.key -> maskExpr))))
+    mutate { s =>
+      val perCol = s.columnMasks.getOrElse(t, Map.empty)
+      s.copy(columnMasks = s.columnMasks + (t -> (perCol +
+        (c -> (perCol.getOrElse(c, Map.empty) + (principal.key -> maskExpr))))))
+    }
   }
   def dropColumnMask(table: String, column: String, principal: Principal): Unit = {
     val t = norm(table); val c = norm(column)
-    columnMasks.get(t).foreach { perCol =>
-      perCol.get(c).foreach(m =>
-        columnMasks.put(t, perCol + (c -> (m - principal.key))))
+    mutate { s =>
+      (for { perCol <- s.columnMasks.get(t); m <- perCol.get(c) } yield
+        s.copy(columnMasks = s.columnMasks +
+          (t -> (perCol + (c -> (m - principal.key)))))).getOrElse(s)
     }
   }
 
-  /** Test/maintenance reset — authz state is JVM-global. */
-  def clearAll(): Unit = {
-    roleMembers.clear(); grants.clear(); rowFilters.clear(); columnMasks.clear()
-    activeRoles.clear()
+  /** Test/maintenance reset — authz state is JVM-global. The durable store
+    * (if bootstrapped) is detached, NOT wiped: clearAll models a session
+    * teardown, not a metastore drop.
+    */
+  def clearAll(): Unit = synchronized {
+    state = State(); activeRoles.clear(); store = None; storeDir = ""
   }
 
   // ------------------------------------------------------- session context
@@ -177,7 +207,7 @@ object Authz {
 
   private def requirePrivilege(spark: SparkSession, table: String, action: String): Unit = {
     val user = currentUser(spark)
-    val held = grants.getOrElse(norm(table), Set.empty)
+    val held = state.grants.getOrElse(norm(table), Set.empty)
     val keys = principalKeys(user).toSet
     val ok = held.exists { case (p, a) =>
       keys.contains(p) && (a == norm(action) || a == "all") }
@@ -233,8 +263,9 @@ object Authz {
   private def hasPolicy(parts: Seq[String], keys: Seq[String]): Boolean = {
     val t = norm(parts.mkString("."))
     val keySet = keys.toSet
-    rowFilters.getOrElse(t, Map.empty).keys.exists(keySet) ||
-      columnMasks.getOrElse(t, Map.empty).values.exists(_.keys.exists(keySet))
+    state.rowFilters.getOrElse(t, Map.empty).keys.exists(keySet) ||
+      state.columnMasks.getOrElse(t, Map.empty).values
+        .exists(_.keys.exists(keySet))
   }
 
   private def securedRead(spark: SparkSession, parts: Seq[String],
@@ -246,12 +277,12 @@ object Authz {
     // every applicable filter ANDs (user + each role + all): the effective
     // row set is the intersection — the conservative composition Ranger uses
     // when several policies match one table
-    val filtered = rowFilters.getOrElse(t, Map.empty)
+    val filtered = state.rowFilters.getOrElse(t, Map.empty)
       .collect { case (p, pred) if keySet(p) => pred }
       .foldLeft(base)((df, pred) => df.where(expr(pred)))
     // one mask per column: the most specific matching principal wins
     // (user > role > all — `keys` is ordered most-specific-first)
-    val masks = columnMasks.getOrElse(t, Map.empty).flatMap { case (c, byP) =>
+    val masks = state.columnMasks.getOrElse(t, Map.empty).flatMap { case (c, byP) =>
       keys.collectFirst { case k if byP.contains(k) => c -> byP(k) }
     }
     val projected =
@@ -369,6 +400,136 @@ object Authz {
         dropColumnMask(unquoteIdent(t), c, principal(u, r, all))
         Some(done(s"column mask dropped on ${unquoteIdent(t)}.$c"))
       case _ => None
+    }
+  }
+
+  // ------------------------------------------------------- durable store
+
+  // serializable document shape (json4s-friendly flat lists)
+  private case class GrantE(table: String, principal: String, action: String)
+  private case class RoleE(role: String, members: List[String])
+  private case class FilterE(table: String, principal: String, predicate: String)
+  private case class MaskE(table: String, column: String, principal: String,
+      expr: String)
+  private case class Doc(roles: List[RoleE], grants: List[GrantE],
+      filters: List[FilterE], masks: List[MaskE])
+
+  private def toDoc(s: State): Doc = Doc(
+    s.roles.toList.sortBy(_._1).map { case (r, m) => RoleE(r, m.toList.sorted) },
+    s.grants.toList.sortBy(_._1).flatMap { case (t, g) =>
+      g.toList.sorted.map { case (p, a) => GrantE(t, p, a) } },
+    s.rowFilters.toList.sortBy(_._1).flatMap { case (t, m) =>
+      m.toList.sorted.map { case (p, pred) => FilterE(t, p, pred) } },
+    s.columnMasks.toList.sortBy(_._1).flatMap { case (t, perCol) =>
+      perCol.toList.sortBy(_._1).flatMap { case (c, m) =>
+        m.toList.sorted.map { case (p, e) => MaskE(t, c, p, e) } } })
+
+  private def ofDoc(d: Doc): State = State(
+    d.roles.map(r => r.role -> r.members.toSet).toMap,
+    d.grants.groupBy(_.table).map { case (t, gs) =>
+      t -> gs.map(g => (g.principal, g.action)).toSet },
+    d.filters.groupBy(_.table).map { case (t, fs) =>
+      t -> fs.map(f => f.principal -> f.predicate).toMap },
+    d.masks.groupBy(_.table).map { case (t, ms) =>
+      t -> ms.groupBy(_.column).map { case (c, cm) =>
+        c -> cm.map(m => m.principal -> m.expr).toMap } })
+
+  /** Versioned CAS store under `<catalog>/_authz/` — the same
+    * create-exclusive publish discipline as the [[NamedTables]] catalog
+    * and the snapshot manifest log, so concurrent admin JVMs serialize
+    * instead of overwriting each other's grants.
+    */
+  private final class AuthzStore(dir: org.apache.hadoop.fs.Path,
+      conf: org.apache.hadoop.conf.Configuration) {
+    import org.apache.hadoop.fs.Path
+    private val fs = dir.getFileSystem(conf)
+    private implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+
+    private def versionPath(v: Long) = new Path(dir, f"v$v%08d.json")
+    private def versions(): Seq[Long] =
+      if (!fs.exists(dir)) Nil
+      else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .filter(n => n.startsWith("v") && n.endsWith(".json"))
+        .map(_.stripPrefix("v").stripSuffix(".json").toLong).sorted
+
+    def load(): (Long, State) = versions().lastOption match {
+      case None => (-1L, State())
+      case Some(v) =>
+        val in = fs.open(versionPath(v))
+        val txt = try {
+          val bs = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, bs, 8192, false)
+          bs.toString("UTF-8")
+        } finally in.close()
+        (v, ofDoc(org.json4s.jackson.Serialization.read[Doc](txt)))
+    }
+
+    private def publish(v: Long, s: State): Boolean = {
+      fs.mkdirs(dir)
+      val dst = versionPath(v)
+      if (fs.exists(dst)) return false
+      val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID().toString}")
+      val out = fs.create(tmp, false)
+      try out.write(org.json4s.jackson.Serialization.write(toDoc(s))
+        .getBytes("UTF-8")) finally out.close()
+      val ok =
+        if (dst.toUri.getScheme == null || dst.toUri.getScheme == "file") {
+          val lp = java.nio.file.Paths.get(dst.toUri.getPath)
+          val tp = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath)
+          try { java.nio.file.Files.createLink(lp, tp); true }
+          catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        } else {
+          try {
+            org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
+              .rename(fs.makeQualified(tmp), fs.makeQualified(dst))
+            true
+          } catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          }
+        }
+      fs.delete(tmp, false)
+      ok
+    }
+
+    def mutate(op: State => State): Unit = {
+      var done = false
+      var tries = 0
+      while (!done) {
+        val (v, cur) = load()
+        val next = op(cur)
+        done = (next == cur) || publish(v + 1, next)
+        tries += 1
+        require(tries <= 50, s"authz CAS did not converge at $dir")
+      }
+    }
+  }
+
+  @volatile private var store: Option[AuthzStore] = None
+  @volatile private var storeDir: String = ""
+
+  /** Install the persisted authz database when `spark.graft.catalog` is
+    * set (the same conf that makes [[NamedTables]] durable): durable state
+    * loads under the in-memory state (memory wins per table/role — it is
+    * newer), and every mutation from here on writes through. Idempotent
+    * per path; called from [[graft.Engine.configure]] alongside the
+    * catalog bootstrap.
+    */
+  def bootstrap(spark: SparkSession): Unit = {
+    val dir = spark.conf.getOption(NamedTables.CatalogConfKey).getOrElse("")
+    if (dir.isEmpty || dir == storeDir) return
+    synchronized {
+      if (dir == storeDir) return
+      val s = new AuthzStore(
+        new org.apache.hadoop.fs.Path(dir, "_authz"),
+        spark.sparkContext.hadoopConfiguration)
+      val durable = s.load()._2
+      state = State(
+        durable.roles ++ state.roles,
+        durable.grants ++ state.grants,
+        durable.rowFilters ++ state.rowFilters,
+        durable.columnMasks ++ state.columnMasks)
+      store = Some(s)
+      storeDir = dir
     }
   }
 }

@@ -58,6 +58,7 @@ object SqlMaintenance {
       """\s+TO\s+'([^']+)'\s*;?\s*""").r
   private val ExplainAnalyze =
     """(?is)\s*EXPLAIN\s+ANALYZE\s+(.+?)\s*;?\s*""".r
+  private val ShowCompactions = """(?is)\s*SHOW\s+COMPACTIONS\s*;?\s*""".r
 
   /** Execute `sqlText` if it is a maintenance statement; None otherwise
     * (caller surfaces the canonical parse error).
@@ -99,8 +100,32 @@ object SqlMaintenance {
             "commits_applied"))
       case ExplainAnalyze(query) =>
         Some(runExplainAnalyze(spark, query))
+      case ShowCompactions() =>
+        Some(runShowCompactions(spark))
       case _ => None
     }
+
+  /** SHOW COMPACTIONS — the reference's compactor-visibility verb (ref
+    * ql/.../ddl/process/ShowCompactionsDesc.java). This engine's compactor
+    * analog is the versioned reorganization commit (compact / cluster /
+    * zorder actions in the manifest log), which either publishes or
+    * doesn't — so every listed row is terminal (`succeeded`), there is no
+    * queue to report. Lists all registered snapshot tables.
+    */
+  private def runShowCompactions(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val reorg = Set("compact", "cluster", "zorder")
+    NamedTables.all().collect {
+      case (name, r: NamedTables.SnapshotRef) =>
+        Snapshots.table(spark, r.root).history()
+          .filter(m => reorg(m.action))
+          .map(m => (name, m.version, m.action,
+            new java.sql.Timestamp(m.timestampMs), m.files.size.toLong,
+            "succeeded"))
+    }.flatten
+      .sortBy(t => (t._1, t._2))
+      .toDF("table", "version", "type", "commit_ts", "n_files", "state")
+  }
 
   /** EXPLAIN ANALYZE <query> — Hive's post-execution plan report (ref ql/
     * .../ExplainTask.java, hive.explain.user with actual row counts): runs

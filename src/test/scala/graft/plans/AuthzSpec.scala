@@ -151,6 +151,41 @@ class AuthzSpec extends SparkSpec with BeforeAndAfterEach {
     assert(sql(s"SELECT count(*) AS n FROM $t").head.getLong(0) === 10)
   }
 
+  test("row-filter predicates push down to the scan (policy cost = user WHERE)") {
+    val t = scratchTable("authz_push_", 100)
+    sql(s"GRANT SELECT ON TABLE $t TO ALL")
+    sql(s"ALTER TABLE $t SET ROW FILTER 'id < 7' FOR ALL")
+    asUser("mallory")
+    val plan = sql(s"SELECT name FROM $t").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), LessThan(id,7)]"),
+      s"policy filter must reach the parquet scan:\n$plan")
+  }
+
+  test("authz database persists across JVM restarts via spark.graft.catalog") {
+    val dir = java.nio.file.Files.createTempDirectory("authz_store_").toString
+    spark.conf.set(NamedTables.CatalogConfKey, dir)
+    try {
+      Authz.bootstrap(spark)
+      sql("CREATE ROLE durable_r")
+      sql("GRANT ROLE durable_r TO USER pat")
+      sql("GRANT SELECT ON TABLE region TO ROLE durable_r")
+      sql("ALTER TABLE region SET ROW FILTER 'r_regionkey < 2' FOR ROLE durable_r")
+      // simulated JVM restart: memory forgotten, store detached
+      Authz.clearAll()
+      assert(Authz.roles.isEmpty)
+      Authz.bootstrap(spark) // fresh boot reloads the durable database
+      assert(Authz.roles === Seq("durable_r"))
+      asUser("pat")
+      assert(sql("SELECT count(*) AS n FROM region").head.getLong(0) === 2)
+      val g = sql("SHOW GRANT ON TABLE region").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(g === Set("role:durable_r" -> "select"))
+    } finally {
+      spark.conf.unset(NamedTables.CatalogConfKey)
+      NamedTables.resetForTest()
+    }
+  }
+
   test("SET ROLE narrows active roles; ALL restores, NONE deactivates") {
     asUser("lee")
     sql("CREATE ROLE r_read")
@@ -169,6 +204,76 @@ class AuthzSpec extends SparkSpec with BeforeAndAfterEach {
     intercept[Authz.AccessDenied] { sql("SELECT count(*) FROM region").collect() }
     // a role the user was never granted is rejected
     intercept[IllegalArgumentException] { sql("SET ROLE r_secret") }
+  }
+
+  test("randomized policy net: front-door reads equal the direct DataFrame model") {
+    // seeded random (filter, mask, principal) combinations; the SQL path
+    // (substitution + analyzer + SubqueryAlias) must equal a hand-built
+    // DataFrame applying the DECLARED semantics: applicable filters AND
+    // (user + member roles + ALL), one mask per column by most-specific
+    // principal (user > role > all), filter before mask.
+    import org.apache.spark.sql.DataFrame
+    val t = scratchTable("authz_net_", 60)
+    val root = NamedTables.get(t).get.root
+    val rnd = new scala.util.Random(20260814L)
+    val predPool = Seq("id < 30", "k = 1", "id % 3 = 0", "name > 'name3'")
+    val maskPool = Seq( // (column, mask expr)
+      "name" -> "md5(name)", "name" -> "'***'", "id" -> "id % 10", "k" -> "k + 100")
+    val user = "netuser"
+    for (i <- 1 to 12) {
+      Authz.clearAll()
+      spark.conf.set("spark.graft.authz.enabled", "true")
+      spark.conf.set("spark.graft.user", user)
+      Authz.grant(t, Authz.AllUsers, Seq("select"))
+      Authz.createRole("net_role")
+      val isMember = rnd.nextBoolean()
+      if (isMember) Authz.grantRole("net_role", user)
+      val principals = Seq(
+        Authz.User(user), Authz.Role("net_role"), Authz.AllUsers)
+      def applies(p: Authz.Principal): Boolean = p match {
+        case Authz.Role(_) => isMember
+        case _ => true
+      }
+      // declared-semantics specificity order for mask selection
+      def rank(p: Authz.Principal): Int = p match {
+        case Authz.User(_) => 0
+        case Authz.Role(_) => 1
+        case Authz.AllUsers => 2
+      }
+      val filters = principals.filter(_ => rnd.nextBoolean()).map { p =>
+        p -> predPool(rnd.nextInt(predPool.length)) }
+      val masks = maskPool.filter(_ => rnd.nextBoolean()).map { case (c, m) =>
+        (principals(rnd.nextInt(3)), c, m) }
+      filters.foreach { case (p, pred) => Authz.setRowFilter(t, p, pred) }
+      masks.foreach { case (p, c, m) => Authz.setColumnMask(t, c, p, m) }
+
+      val base = spark.read.parquet(root)
+      val expectedF = filters.collect { case (p, pred) if applies(p) => pred }
+        .foldLeft(base)((d, pred) => d.where(expr(pred)))
+      // a repeated SET COLUMN MASK for the same (column, principal)
+      // overwrites (set semantics) — keep the last registration, then pick
+      // the most specific applicable principal per column
+      val effective = masks.foldLeft(
+        scala.collection.immutable.ListMap.empty[(String, String), (Authz.Principal, String, String)]) {
+        case (acc, reg @ (p, c, _)) => acc + ((p.key, c) -> reg)
+      }.values.toSeq
+      val chosen = effective.filter(m => applies(m._1))
+        .groupBy(_._2).map { case (c, ms) => c -> ms.minBy(m => rank(m._1))._3 }
+      val expected: DataFrame =
+        if (chosen.isEmpty) expectedF
+        else expectedF.select(base.schema.map { f =>
+          chosen.get(f.name)
+            .map(m => expr(m).cast(f.dataType).as(f.name))
+            .getOrElse(col(f.name))
+        }: _*)
+
+      val render = (df: DataFrame) =>
+        df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+      val got = render(sql(s"SELECT * FROM $t"))
+      val want = render(expected)
+      assert(got === want,
+        s"case $i diverged (member=$isMember filters=$filters masks=$masks)")
+    }
   }
 
   test("policies apply to snapshot-backed named tables and joins") {

@@ -104,6 +104,22 @@ class SqlMaintenanceSpec extends SparkSpec {
       (0L until 500L).sum)
   }
 
+  test("SHOW COMPACTIONS lists reorganization commits across registered tables") {
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 50).coalesce(1))
+    t.append(nums(50, 100).coalesce(1))
+    NamedTables.registerSnapshot("maint_showc", root)
+    val none = sql("SHOW COMPACTIONS")
+      .filter(col("table") === "maint_showc").collect()
+    assert(none.isEmpty, "no reorg commits yet")
+    sql("OPTIMIZE maint_showc")
+    sql("OPTIMIZE maint_showc ZORDER BY (id, k)")
+    val rows = sql("SHOW COMPACTIONS")
+      .filter(col("table") === "maint_showc").collect()
+      .map(r => (r.getString(2), r.getString(5)))
+    assert(rows.toSeq === Seq("compact" -> "succeeded", "zorder" -> "succeeded"))
+  }
+
   test("SQL: VACUUM RETAIN 0 HOURS reclaims unreferenced files") {
     val root = freshRoot()
     val t = Snapshots.create(spark, root, nums(0, 100).coalesce(1))
