@@ -219,6 +219,21 @@ object Authz {
     * verb's privilege, every other referenced relation needs SELECT.
     * No-op unless enforcement is enabled (or the user is an admin).
     */
+  /** Names defined by the statement itself (CTE aliases): these resolve to
+    * their defining subquery, never to a catalog table, so they are
+    * excluded from privilege checks and policy rewrites — a CTE named like
+    * a protected table shadows it, matching the analyzer's precedence.
+    */
+  private def cteNames(plan: LogicalPlan): Set[String] = {
+    val names = scala.collection.mutable.Set.empty[String]
+    plan.foreachWithSubqueries {
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        w.cteRelations.foreach { case (n, _, _) => names += norm(n) }
+      case _ => ()
+    }
+    names.toSet
+  }
+
   def checkStatement(spark: SparkSession, plan: LogicalPlan): Unit = {
     if (!enabled(spark) || isAdmin(spark)) return
     def nameOf(p: LogicalPlan): Option[String] = p match {
@@ -235,11 +250,13 @@ object Authz {
     }
     targets.foreach(t => requirePrivilege(spark, t, actions))
     val targetSet = targets.map(norm).toSet
+    val defined = cteNames(plan)
     val reads = scala.collection.mutable.LinkedHashSet.empty[String]
     plan.foreachWithSubqueries {
       case u: UnresolvedRelation =>
         val n = u.multipartIdentifier.mkString(".")
-        if (!targetSet.contains(norm(n))) reads += n
+        if (!targetSet.contains(norm(n)) && !defined.contains(norm(n)))
+          reads += n
       case _ => ()
     }
     reads.foreach(t => requirePrivilege(spark, t, "select"))
@@ -254,8 +271,11 @@ object Authz {
     if (!enabled(spark) || isAdmin(spark)) return plan
     val user = currentUser(spark)
     val keys = principalKeys(user)
+    val defined = cteNames(plan)
     plan.transformDownWithSubqueries {
-      case u: UnresolvedRelation if hasPolicy(u.multipartIdentifier, keys) =>
+      case u: UnresolvedRelation
+          if !defined.contains(norm(u.multipartIdentifier.mkString("."))) &&
+            hasPolicy(u.multipartIdentifier, keys) =>
         securedRead(spark, u.multipartIdentifier, keys)
     }
   }

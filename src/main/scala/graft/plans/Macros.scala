@@ -27,31 +27,65 @@ object Macros {
 
   private def norm(s: String): String = s.toLowerCase(java.util.Locale.ROOT)
 
-  /** Define (or replace) a temporary macro in the session registry. */
+  // macro name -> (params, fully-inlined body). Bodies stored here never
+  // contain macro calls (see create), so expansion terminates by
+  // construction.
+  private val defs = scala.collection.concurrent.TrieMap
+    .empty[String, (Seq[(String, DataType)], Expression)]
+
+  /** One macro expansion: parameter references become the call's arguments
+    * cast to the declared types (Hive's coercion rule).
+    */
+  private def expand(name: String, params: Seq[(String, DataType)],
+      body: Expression, args: Seq[Expression]): Expression = {
+    if (args.length != params.length)
+      throw new IllegalArgumentException(
+        s"macro $name expects ${params.length} argument(s), got ${args.length}")
+    val sub = params.map(p => norm(p._1)).zip(args.zip(params.map(_._2))).toMap
+    body.transformUp {
+      case a: UnresolvedAttribute if a.nameParts.size == 1 &&
+          sub.contains(norm(a.nameParts.head)) =>
+        val (arg, dt) = sub(norm(a.nameParts.head))
+        Cast(arg, dt)
+    }
+  }
+
+  /** Define (or replace) a temporary macro in the session registry.
+    *
+    * Referenced macros inline at CREATE time — the reference resolves a
+    * macro's body once, at definition (CreateMacroAnalyzer semantic
+    * analysis), so a macro captures the definitions visible when it was
+    * created and redefinition cycles cannot form. A direct self-reference
+    * is rejected (Hive: the name does not exist yet during its own
+    * analysis).
+    */
   def create(spark: SparkSession, name: String,
       params: Seq[(String, DataType)], bodySql: String): Unit = {
-    val body = spark.sessionState.sqlParser.parseExpression(bodySql)
+    val parsed = spark.sessionState.sqlParser.parseExpression(bodySql)
     val paramNames = params.map(p => norm(p._1))
     require(paramNames.distinct.size == paramNames.size,
       s"duplicate macro parameter in $name")
-    val types = params.map(_._2)
-    val builder: Seq[Expression] => Expression = { args =>
-      if (args.length != params.length)
-        throw new IllegalArgumentException(
-          s"macro $name expects ${params.length} argument(s), got ${args.length}")
-      val sub = paramNames.zip(args.zip(types)).toMap
-      body.transformUp {
-        case a: UnresolvedAttribute if a.nameParts.size == 1 &&
-            sub.contains(norm(a.nameParts.head)) =>
-          val (arg, dt) = sub(norm(a.nameParts.head))
-          Cast(arg, dt)
-      }
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+    val inlined = parsed.transformUp {
+      case f: UnresolvedFunction if f.nameParts.size == 1 &&
+          defs.contains(norm(f.nameParts.head)) =>
+        val (p, b) = defs(norm(f.nameParts.head))
+        expand(f.nameParts.head, p, b, f.arguments)
     }
+    val selfRef = inlined.collectFirst {
+      case f: UnresolvedFunction if f.nameParts.size == 1 &&
+          norm(f.nameParts.head) == norm(name) => f
+    }
+    require(selfRef.isEmpty, s"recursive macro definition: $name references itself")
+    defs.put(norm(name), (params, inlined))
+    val builder: Seq[Expression] => Expression =
+      args => expand(name, params, inlined, args)
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
   }
 
   def drop(spark: SparkSession, name: String, ifExists: Boolean): Unit = {
+    defs.remove(norm(name))
     val dropped = spark.sessionState.functionRegistry
       .dropFunction(FunctionIdentifier(name))
     if (!dropped && !ifExists)

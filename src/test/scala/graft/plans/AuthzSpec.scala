@@ -151,6 +151,25 @@ class AuthzSpec extends SparkSpec with BeforeAndAfterEach {
     assert(sql(s"SELECT count(*) AS n FROM $t").head.getLong(0) === 10)
   }
 
+  test("CTE aliases are statement-local: no grant required, and they shadow policies") {
+    asUser("noa")
+    sql("GRANT SELECT ON TABLE nation TO USER noa")
+    // the CTE name needs no grant of its own
+    val n = sql(
+      """WITH tiny AS (SELECT n_nationkey FROM nation WHERE n_nationkey < 3)
+        |SELECT count(*) AS n FROM tiny""".stripMargin).head.getLong(0)
+    assert(n === 3)
+    // a CTE named like a policied table shadows it (analyzer precedence):
+    // the policy must NOT rewrite the alias
+    Authz.setRowFilter("nation", Authz.AllUsers, "n_nationkey < 0")
+    val shadowed = sql(
+      """WITH nation AS (SELECT 1 AS one)
+        |SELECT count(*) AS n FROM nation""".stripMargin).head.getLong(0)
+    assert(shadowed === 1)
+    // while a direct read of the real table still gets the filter
+    assert(sql("SELECT count(*) AS n FROM nation").head.getLong(0) === 0)
+  }
+
   test("row-filter predicates push down to the scan (policy cost = user WHERE)") {
     val t = scratchTable("authz_push_", 100)
     sql(s"GRANT SELECT ON TABLE $t TO ALL")

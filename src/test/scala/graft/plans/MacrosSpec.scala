@@ -48,6 +48,21 @@ class MacrosSpec extends SparkSpec {
     sql("DROP TEMPORARY MACRO IF EXISTS m_one") // no-op, no throw
   }
 
+  test("macros capture definitions at CREATE; redefinition cycles cannot form") {
+    sql("CREATE TEMPORARY MACRO m_a(x INT) x + 1")
+    sql("CREATE TEMPORARY MACRO m_b(x INT) m_a(x) * 10")
+    // redefine m_a THROUGH m_b: the reference's capture semantics mean
+    // m_b keeps the OLD m_a (+1), and the new m_a gets old-m_b inlined —
+    // no cycle, both stay callable
+    sql("CREATE TEMPORARY MACRO m_a(x INT) m_b(x) + 100")
+    assert(sql("SELECT m_b(5) AS v").head.getInt(0) === 60) // (5+1)*10
+    assert(sql("SELECT m_a(5) AS v").head.getInt(0) === 160) // 60+100
+    // direct self-reference is rejected at definition
+    intercept[IllegalArgumentException] {
+      sql("CREATE TEMPORARY MACRO m_self(x INT) m_self(x) + 1")
+    }
+  }
+
   test("typed parens in the parameter list parse (DECIMAL(10,2) stays whole)") {
     sql("CREATE TEMPORARY MACRO m_net(amount DECIMAL(10,2), rate DECIMAL(4,2)) " +
       "CAST(amount * (1 - rate) AS DECIMAL(12,2))")
