@@ -273,6 +273,17 @@ object Authz {
     val keys = principalKeys(user)
     val defined = cteNames(plan)
     plan.transformDownWithSubqueries {
+      // time travel resolves FIRST (to the requested version), then the
+      // policy wraps the resolved read — otherwise the inner relation
+      // would rewrite to a current-version read under the wrapper
+      case tt @ org.apache.spark.sql.catalyst.analysis.RelationTimeTravel(
+          u: UnresolvedRelation, _, _)
+          if !defined.contains(norm(u.multipartIdentifier.mkString("."))) &&
+            hasPolicy(u.multipartIdentifier, keys) =>
+        val resolved = NamedTables.substitute(spark, tt)
+        if (resolved eq tt) tt // not a registered table: nothing to wrap
+        else securePlan(spark, u.multipartIdentifier,
+          org.apache.spark.sql.GraftShims.ofRows(spark, resolved), keys)
       case u: UnresolvedRelation
           if !defined.contains(norm(u.multipartIdentifier.mkString("."))) &&
             hasPolicy(u.multipartIdentifier, keys) =>
@@ -290,9 +301,14 @@ object Authz {
 
   private def securedRead(spark: SparkSession, parts: Seq[String],
       keys: Seq[String]): LogicalPlan = {
-    val t = norm(parts.mkString("."))
     val base: DataFrame = NamedTables.readDfIfRegistered(spark, parts)
       .getOrElse(spark.table(parts.mkString(".")))
+    securePlan(spark, parts, base, keys)
+  }
+
+  private def securePlan(spark: SparkSession, parts: Seq[String],
+      base: DataFrame, keys: Seq[String]): LogicalPlan = {
+    val t = norm(parts.mkString("."))
     val keySet = keys.toSet
     // every applicable filter ANDs (user + each role + all): the effective
     // row set is the intersection — the conservative composition Ranger uses

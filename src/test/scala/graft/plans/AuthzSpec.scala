@@ -309,5 +309,12 @@ class AuthzSpec extends SparkSpec with BeforeAndAfterEach {
       """SELECT count(*) AS n FROM authz_snap a JOIN authz_snap b ON a.id = b.id""")
       .head.getLong(0)
     assert(n === 10)
+    // time travel resolves to the requested version FIRST, then the policy
+    // wraps it: v0 has 10 'c1' rows; the appended v1 adds 20 more
+    Snapshots.table(spark, root).append(
+      (100 until 120).map(i => (i.toLong, "c1")).toDF("id", "cat"))
+    assert(sql("SELECT count(*) AS n FROM authz_snap").head.getLong(0) === 30)
+    assert(sql("SELECT count(*) AS n FROM authz_snap VERSION AS OF 0")
+      .head.getLong(0) === 10)
   }
 }
