@@ -185,9 +185,12 @@ object Engine {
           .getOrElse(spark.sql(query)) // surface the canonical parse error
       case Some(plan) =>
         // privilege check first (deny-by-default when authz is enabled),
-        // then row-filter/column-mask substitution on the read path
+        // then row-filter/column-mask substitution on the read path —
+        // including the source subtrees of DML statements, which SqlDml
+        // compiles itself
         graft.plans.Authz.checkStatement(spark, plan)
-        graft.plans.SqlDml.maybeRun(spark, plan).getOrElse {
+        val gated = graft.plans.Authz.applyPoliciesToDmlSources(spark, plan)
+        graft.plans.SqlDml.maybeRun(spark, gated).getOrElse {
           val secured = graft.plans.Authz.applyPolicies(spark, plan)
           val substituted = graft.plans.NamedTables.substitute(spark, secured)
           val df =

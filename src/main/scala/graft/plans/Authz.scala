@@ -291,6 +291,26 @@ object Authz {
     }
   }
 
+  /** Policies on the READ side of engine-managed DML: the source subtrees
+    * of INSERT ... SELECT and MERGE ... USING rewrite exactly like a
+    * SELECT would — without this, a user with INSERT on their own table
+    * could copy a masked table's raw values into it ([[SqlDml]] compiles
+    * sources itself, after [[graft.Engine.sql]] dispatches to it, so the
+    * wrap must happen before dispatch). The DML TARGET is deliberately not
+    * wrapped: the post-image computation must see stored rows, and the
+    * verb's own privilege gates it.
+    */
+  def applyPoliciesToDmlSources(spark: SparkSession,
+      plan: LogicalPlan): LogicalPlan =
+    if (!enabled(spark) || isAdmin(spark)) plan
+    else plan match {
+      case i: InsertIntoStatement =>
+        i.copy(query = applyPolicies(spark, i.query))
+      case m: MergeIntoTable =>
+        m.copy(sourceTable = applyPolicies(spark, m.sourceTable))
+      case other => other
+    }
+
   private def hasPolicy(parts: Seq[String], keys: Seq[String]): Boolean = {
     val t = norm(parts.mkString("."))
     val keySet = keys.toSet

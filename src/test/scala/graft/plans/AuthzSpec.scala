@@ -225,6 +225,40 @@ class AuthzSpec extends SparkSpec with BeforeAndAfterEach {
     intercept[IllegalArgumentException] { sql("SET ROLE r_secret") }
   }
 
+  test("DML sources are policied: INSERT ... SELECT cannot exfiltrate masked values") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("authz_exfil_").toString + "/t"
+    Snapshots.create(spark, root, Seq.empty[(Long, String)].toDF("id", "secret"))
+    NamedTables.registerSnapshot("authz_mine", root)
+    val src = scratchTable("authz_exfil_src_", 10)
+    sql(s"GRANT SELECT ON TABLE $src TO USER eve")
+    sql("GRANT ALL ON TABLE authz_mine TO USER eve")
+    sql(s"ALTER TABLE $src SET COLUMN MASK name AS '''[masked]''' FOR USER eve")
+    asUser("eve")
+    sql(s"INSERT INTO authz_mine SELECT id, name AS secret FROM $src WHERE id < 3")
+    // read back as admin: only masked values may have landed
+    spark.conf.set("spark.graft.authz.admins", "root")
+    spark.conf.set("spark.graft.user", "root")
+    val landed = sql("SELECT secret FROM authz_mine").collect().map(_.getString(0))
+    assert(landed.length === 3)
+    assert(landed.forall(_ === "[masked]"),
+      s"raw values escaped through INSERT..SELECT: ${landed.toSeq}")
+    // MERGE sources are wrapped the same way
+    spark.conf.set("spark.graft.user", "eve")
+    spark.conf.unset("spark.graft.authz.admins")
+    sql(s"""MERGE INTO authz_mine t USING
+           |  (SELECT id + 100 AS id, name FROM $src WHERE id < 2) s
+           |ON t.id = s.id
+           |WHEN NOT MATCHED THEN INSERT (id, secret) VALUES (s.id, s.name)"""
+      .stripMargin)
+    spark.conf.set("spark.graft.authz.admins", "root")
+    spark.conf.set("spark.graft.user", "root")
+    val merged = sql("SELECT secret FROM authz_mine WHERE id >= 100")
+      .collect().map(_.getString(0))
+    assert(merged.length === 2)
+    assert(merged.forall(_ === "[masked]"))
+  }
+
   test("randomized policy net: front-door reads equal the direct DataFrame model") {
     // seeded random (filter, mask, principal) combinations; the SQL path
     // (substitution + analyzer + SubqueryAlias) must equal a hand-built
