@@ -253,12 +253,18 @@ object KvStore {
     }
 
   private def readKvFile(p: Path): Seq[(String, String)] =
-    if (!Files.exists(p)) Nil
-    else Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq
+    try Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq
       .filter(_.nonEmpty).map { line =>
         val t = line.indexOf('\t')
         (dec(line.substring(0, t)), dec(line.substring(t + 1)))
       }
+    catch {
+      // a delta listed by a reader can be deleted by a racing compact
+      // before it is opened — its puts are already folded into the base
+      // that same reader will (or did) see, so skipping it is consistent
+      case _: java.nio.file.NoSuchFileException => Nil
+      case _: java.io.FileNotFoundException => Nil
+    }
 
   private def writeKvFile(p: Path, kvs: Seq[(String, String)]): Unit = {
     Files.createDirectories(p.getParent)
@@ -283,10 +289,14 @@ object KvStore {
   }
 
   /** Bucket state: base merged with deltas, last put wins, sorted by key. */
-  def readBucket(root: String, bucket: Int, buckets: Int): Seq[(String, String)] = {
+  def readBucket(root: String, bucket: Int, buckets: Int): Seq[(String, String)] =
+    readBucketFrom(root, bucket, buckets, deltaFiles(root))
+
+  private def readBucketFrom(root: String, bucket: Int, buckets: Int,
+      deltas: Seq[Path]): Seq[(String, String)] = {
     val m = mutable.LinkedHashMap.empty[String, String]
     readKvFile(baseFile(root, bucket)).foreach { case (k, v) => m.put(k, v) }
-    deltaFiles(root).foreach { p =>
+    deltas.foreach { p =>
       readKvFile(p).foreach { case (k, v) =>
         if (bucketOf(k, buckets) == bucket) m.put(k, v)
       }
@@ -361,15 +371,21 @@ object KvStore {
       .foreach(p => try Files.deleteIfExists(p) catch { case _: Exception => () })
   }
 
-  /** Fold all deltas into the per-bucket base files (the minor compaction of
+  /** Fold deltas into the per-bucket base files (the minor compaction of
     * the handler's storage model) — per-bucket work, parallelizable, and
-    * atomic per file.
+    * atomic per file. The delta list is SNAPSHOTTED first and only those
+    * files fold and delete: a delta published while compaction runs stays
+    * in the log (re-listing at delete time would drop puts the fold never
+    * saw). Readers racing the delete see either (old base + delta) or
+    * (folded base [+ already-applied delta]) — identical by last-put-wins
+    * idempotence.
     */
   def compact(root: String, buckets: Int): Unit = {
+    val snapshot = deltaFiles(root)
     (0 until buckets).foreach { b =>
-      val merged = readBucket(root, b, buckets)
+      val merged = readBucketFrom(root, b, buckets, snapshot)
       if (merged.nonEmpty) writeKvFile(baseFile(root, b), merged)
     }
-    deltaFiles(root).foreach(Files.deleteIfExists)
+    snapshot.foreach(Files.deleteIfExists)
   }
 }
