@@ -62,6 +62,18 @@ object ResultsCache {
     val nodes = plan.collectWithSubqueries { case p => p }
     val deterministic = nodes.forall(_.expressions.forall(_.deterministic))
     if (!deterministic) return None
+    // every leaf must be fingerprintable, or caching is refused outright:
+    // a plan mixing parquet with a non-file source (KV handler, JDBC)
+    // would otherwise key on the parquet side only — a write to the other
+    // source could not shift the key, and a stale result would serve
+    val fingerprintableLeaves = nodes.filter(_.children.isEmpty).forall {
+      case LogicalRelation(_: HadoopFsRelation, _, _, _, _) => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.OneRowRelation => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.Range => true
+      case _ => false
+    }
+    if (!fingerprintableLeaves) return None
     val inputs = nodes.flatMap {
       case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
         fs.location match {

@@ -56,6 +56,30 @@ class ResultsCacheSpec extends SparkSpec {
     assert(r3.head.getDouble(0) === r1.head.getDouble(0) + 1000.0)
   }
 
+  test("plans with non-file sources decline caching (no stale KV serve)") {
+    val cache = tmp("graft_rc_")
+    val data = tmp("graft_rc_data_")
+    val kv = tmp("graft_rc_kv_") + "/t"
+    (0 until 20).map(i => (i.toLong, (i % 3).toString)).toDF("id", "sk")
+      .write.parquet(s"$data/t")
+    Seq(("0", "zero"), ("1", "one"), ("2", "two")).toDF("key", "value")
+      .write.format("graft-kv").option("path", kv).mode("overwrite").save()
+    def q = spark.read.parquet(s"$data/t")
+      .join(spark.read.format("graft-kv").option("path", kv).load(),
+        col("sk") === col("key"))
+      .groupBy("value").agg(count(lit(1)).as("n"))
+    // a KV put can't shift a parquet-file key, so such plans never cache
+    val (_, hit1) = ResultsCache.cachedOrRun(spark, q, cache)
+    val (r2, hit2) = ResultsCache.cachedOrRun(spark, q, cache)
+    assert(!hit1 && !hit2)
+    // and the result reflects KV writes immediately
+    Seq(("1", "ONE")).toDF("key", "value")
+      .write.format("graft-kv").option("path", kv).mode("append").save()
+    val (r3, hit3) = ResultsCache.cachedOrRun(spark, q, cache)
+    assert(!hit3)
+    assert(r3.collect().map(_.getString(0)).toSet === Set("zero", "ONE", "two"))
+  }
+
   test("non-deterministic plans are never cached") {
     val data = tmp("graft_rc_data_")
     val cache = tmp("graft_rc_")
