@@ -85,11 +85,15 @@ object Macros {
   }
 
   def drop(spark: SparkSession, name: String, ifExists: Boolean): Unit = {
-    defs.remove(norm(name))
-    val dropped = spark.sessionState.functionRegistry
-      .dropFunction(FunctionIdentifier(name))
-    if (!dropped && !ifExists)
-      throw new IllegalArgumentException(s"temporary macro not found: $name")
+    // only names this module defined are droppable — a bare dropFunction
+    // would happily remove a BUILTIN sharing the name (DROP TEMPORARY
+    // MACRO lower must not delete lower())
+    if (defs.remove(norm(name)).isEmpty) {
+      if (!ifExists)
+        throw new IllegalArgumentException(s"temporary macro not found: $name")
+      return
+    }
+    spark.sessionState.functionRegistry.dropFunction(FunctionIdentifier(name))
   }
 
   // ------------------------------------------------------------ SQL verbs

@@ -46,6 +46,10 @@ class MacrosSpec extends SparkSpec {
     intercept[Exception] { sql("SELECT m_one(1)").collect() }
     intercept[IllegalArgumentException] { sql("DROP TEMPORARY MACRO m_one") }
     sql("DROP TEMPORARY MACRO IF EXISTS m_one") // no-op, no throw
+    // DROP TEMPORARY MACRO must not delete a builtin sharing the name
+    intercept[IllegalArgumentException] { sql("DROP TEMPORARY MACRO lower") }
+    sql("DROP TEMPORARY MACRO IF EXISTS lower")
+    assert(sql("SELECT lower('AB') AS v").head.getString(0) === "ab")
   }
 
   test("macros capture definitions at CREATE; redefinition cycles cannot form") {
