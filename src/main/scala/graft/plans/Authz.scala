@@ -241,22 +241,28 @@ object Authz {
       case SubqueryAlias(_, child) => nameOf(child)
       case _ => None
     }
-    val (targets, actions) = plan match {
-      case d: DeleteFromTable => (nameOf(d.table).toSeq, "delete")
-      case u: UpdateTable => (nameOf(u.table).toSeq, "update")
-      case m: MergeIntoTable => (nameOf(m.targetTable).toSeq, "update")
-      case i: InsertIntoStatement => (nameOf(i.table).toSeq, "insert")
-      case _ => (Seq.empty, "select")
+    // (target node, required action): only the target RELATION NODE is
+    // exempt from the SELECT check — `INSERT INTO t SELECT FROM t` still
+    // reads t and still needs SELECT on it
+    val (targetNode, action) = plan match {
+      case d: DeleteFromTable => (Some(d.table), "delete")
+      case u: UpdateTable => (Some(u.table), "update")
+      case m: MergeIntoTable => (Some(m.targetTable), "update")
+      case i: InsertIntoStatement => (Some(i.table), "insert")
+      case _ => (None, "select")
     }
-    targets.foreach(t => requirePrivilege(spark, t, actions))
-    val targetSet = targets.map(norm).toSet
+    targetNode.foreach(t => nameOf(t).foreach(n =>
+      requirePrivilege(spark, n, action)))
+    val exempt: Set[LogicalPlan] = targetNode match {
+      case Some(t) => t.collect { case u: UnresolvedRelation => u }.toSet
+      case None => Set.empty
+    }
     val defined = cteNames(plan)
     val reads = scala.collection.mutable.LinkedHashSet.empty[String]
     plan.foreachWithSubqueries {
-      case u: UnresolvedRelation =>
+      case u: UnresolvedRelation if !exempt.exists(_ eq u) =>
         val n = u.multipartIdentifier.mkString(".")
-        if (!targetSet.contains(norm(n)) && !defined.contains(norm(n)))
-          reads += n
+        if (!defined.contains(norm(n))) reads += n
       case _ => ()
     }
     reads.foreach(t => requirePrivilege(spark, t, "select"))

@@ -225,6 +225,25 @@ class AuthzSpec extends SparkSpec with BeforeAndAfterEach {
     intercept[IllegalArgumentException] { sql("SET ROLE r_secret") }
   }
 
+  test("INSERT INTO t SELECT FROM t still requires SELECT on t") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("authz_selfins_").toString + "/t"
+    Snapshots.create(spark, root, (0 until 5).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
+    NamedTables.registerSnapshot("authz_selfins", root)
+    sql("GRANT INSERT ON TABLE authz_selfins TO USER wes")
+    asUser("wes")
+    // pure VALUES insert: INSERT privilege suffices
+    sql("INSERT INTO authz_selfins VALUES (100, 'x')")
+    // but reading the table back — even as the insert source — needs SELECT
+    val denied = intercept[Authz.AccessDenied] {
+      sql("INSERT INTO authz_selfins SELECT id + 200, v FROM authz_selfins")
+    }
+    assert(denied.getMessage.contains("select"))
+    sql("GRANT SELECT ON TABLE authz_selfins TO USER wes")
+    sql("INSERT INTO authz_selfins SELECT id + 200, v FROM authz_selfins WHERE id < 2")
+    assert(sql("SELECT count(*) AS n FROM authz_selfins").head.getLong(0) === 8)
+  }
+
   test("DML sources are policied: INSERT ... SELECT cannot exfiltrate masked values") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("authz_exfil_").toString + "/t"
