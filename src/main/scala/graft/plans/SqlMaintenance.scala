@@ -59,6 +59,13 @@ object SqlMaintenance {
   private val ExplainAnalyze =
     """(?is)\s*EXPLAIN\s+ANALYZE\s+(.+?)\s*;?\s*""".r
   private val ShowCompactions = """(?is)\s*SHOW\s+COMPACTIONS\s*;?\s*""".r
+  // the reference's EXPLAIN options (ref ql/.../parse/ExplainConfiguration
+  // .java): CBO shows the cost-annotated plan -> Spark's EXPLAIN COST;
+  // VECTORIZATION reports the vectorized-execution view -> EXPLAIN CODEGEN
+  // (whole-stage codegen IS this engine's vectorization runtime)
+  private val ExplainCbo = """(?is)\s*EXPLAIN\s+CBO\s+(.+?)\s*;?\s*""".r
+  private val ExplainVec =
+    """(?is)\s*EXPLAIN\s+VECTORIZATION\s+(?:ONLY\s+|SUMMARY\s+|DETAIL\s+)?(.+?)\s*;?\s*""".r
 
   /** Execute `sqlText` if it is a maintenance statement; None otherwise
     * (caller surfaces the canonical parse error).
@@ -102,6 +109,8 @@ object SqlMaintenance {
         Some(runExplainAnalyze(spark, query))
       case ShowCompactions() =>
         Some(runShowCompactions(spark))
+      case ExplainCbo(query) => Some(spark.sql(s"EXPLAIN COST $query"))
+      case ExplainVec(query) => Some(spark.sql(s"EXPLAIN CODEGEN $query"))
       case _ => None
     }
 

@@ -120,6 +120,17 @@ class SqlMaintenanceSpec extends SparkSpec {
     assert(rows.toSeq === Seq("compact" -> "succeeded", "zorder" -> "succeeded"))
   }
 
+  test("EXPLAIN CBO / EXPLAIN VECTORIZATION map to cost and codegen reports") {
+    val cbo = sql("EXPLAIN CBO SELECT count(*) FROM nation")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(cbo.contains("Statistics") || cbo.contains("sizeInBytes"),
+      s"EXPLAIN CBO must show the cost-annotated plan:\n$cbo")
+    val vec = sql("EXPLAIN VECTORIZATION SELECT n_nationkey + 1 FROM nation")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(vec.contains("WholeStageCodegen"),
+      s"EXPLAIN VECTORIZATION must show codegen spans:\n$vec")
+  }
+
   test("SQL: VACUUM RETAIN 0 HOURS reclaims unreferenced files") {
     val root = freshRoot()
     val t = Snapshots.create(spark, root, nums(0, 100).coalesce(1))

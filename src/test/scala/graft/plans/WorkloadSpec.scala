@@ -95,6 +95,27 @@ class WorkloadSpec extends SparkSpec with BeforeAndAfterEach {
     }
   }
 
+  test("HDFS_BYTES_READ trigger fires on scan volume") {
+    Workload.createPlan("wm")
+    // parquet scans of the testdata cross 1 KB immediately; a pure
+    // range-based query reads no files and never fires
+    Workload.createTrigger("wm", "t_read", "HDFS_BYTES_READ", 1024, Workload.Kill)
+    Workload.addTriggerToPool("wm", "t_read", "default")
+    Workload.activate("wm")
+    val ok = Workload.run(spark, "u")(_ => spark.range(100000).count())
+    assert(ok === 100000L)
+    intercept[Workload.QueryKilledException] {
+      Workload.run(spark, "u") { _ =>
+        // scan stage ends fast (recording its bytesRead), then the slow
+        // post-shuffle stage gives the watchdog a window to fire
+        val slow = udf((x: Long) => { Thread.sleep(5); x }).asNondeterministic()
+        graft.Engine.table(spark, sfDir, "lineitem")
+          .repartition(32, col("l_orderkey"))
+          .select(slow(col("l_orderkey")).as("v")).agg(sum("v")).head.getLong(0)
+      }
+    }
+  }
+
   test("QUERY_PARALLELISM admits at most N concurrent queries per pool") {
     Workload.createPlan("wm")
     Workload.createPool("wm", "serial", 1.0, 1)
