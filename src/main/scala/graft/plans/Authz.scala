@@ -234,10 +234,43 @@ object Authz {
     names.toSet
   }
 
+  /** Formats whose two-part identifiers address data by PATH. Governance
+    * key for such reads: the registered name owning the path when one
+    * exists (path access to a governed table enforces that table's grants
+    * and policies — no side door), else the literal `fmt.path` (grantable
+    * explicitly; deny-by-default otherwise).
+    */
+  private val PathFormats =
+    Set("parquet", "snapshot", "orc", "csv", "json", "text", "avro")
+  private def enforcementKey(parts: Seq[String]): String = parts match {
+    case Seq(fmt, path) if PathFormats(norm(fmt)) =>
+      NamedTables.nameOfRoot(path).map(norm)
+        .getOrElse(norm(parts.mkString(".")))
+    case _ => norm(parts.mkString("."))
+  }
+
+  /** The snapshot TVFs read table data by path — same governance as a
+    * path-addressed relation. Returns the enforcement key when `p` is one
+    * of them with a literal path argument.
+    */
+  private def tvfKey(p: LogicalPlan): Option[(String, String)] = p match {
+    case tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
+        if tvf.name.size == 1 &&
+          Set("snapshot_table", "snapshot_changes", "snapshot_history")
+            .contains(norm(tvf.name.head)) =>
+      tvf.functionArgs.headOption.collect {
+        case org.apache.spark.sql.catalyst.expressions.Literal(s, _)
+            if s != null =>
+          (norm(tvf.name.head), enforcementKey(Seq("snapshot", s.toString)))
+      }
+    case _ => None
+  }
+
   def checkStatement(spark: SparkSession, plan: LogicalPlan): Unit = {
     if (!enabled(spark) || isAdmin(spark)) return
     def nameOf(p: LogicalPlan): Option[String] = p match {
-      case u: UnresolvedRelation => Some(u.multipartIdentifier.mkString("."))
+      case u: UnresolvedRelation =>
+        Some(enforcementKey(u.multipartIdentifier))
       case SubqueryAlias(_, child) => nameOf(child)
       case _ => None
     }
@@ -259,11 +292,14 @@ object Authz {
     }
     val defined = cteNames(plan)
     val reads = scala.collection.mutable.LinkedHashSet.empty[String]
-    plan.foreachWithSubqueries {
-      case u: UnresolvedRelation if !exempt.exists(_ eq u) =>
-        val n = u.multipartIdentifier.mkString(".")
-        if (!defined.contains(norm(n))) reads += n
-      case _ => ()
+    plan.foreachWithSubqueries { node =>
+      node match {
+        case u: UnresolvedRelation if !exempt.exists(_ eq u) =>
+          if (!(u.multipartIdentifier.size == 1 &&
+              defined.contains(norm(u.multipartIdentifier.head))))
+            reads += enforcementKey(u.multipartIdentifier)
+        case other => tvfKey(other).foreach { case (_, key) => reads += key }
+      }
     }
     reads.foreach(t => requirePrivilege(spark, t, "select"))
   }
@@ -294,6 +330,15 @@ object Authz {
           if !defined.contains(norm(u.multipartIdentifier.mkString("."))) &&
             hasPolicy(u.multipartIdentifier, keys) =>
         securedRead(spark, u.multipartIdentifier, keys)
+      // the snapshot TVFs read table DATA by path — a policied table's
+      // rows get the same wrap whether addressed by name, by path, or
+      // through snapshot_table/snapshot_changes (history is metadata
+      // only, gated by the SELECT check, not masked)
+      case tvf if tvfKey(tvf).exists { case (fn, key) =>
+          fn != "snapshot_history" && hasPolicyKey(key, keys) } =>
+        val (_, key) = tvfKey(tvf).get
+        securePlanKey(spark, key, key,
+          org.apache.spark.sql.GraftShims.ofRows(spark, tvf), keys)
     }
   }
 
@@ -317,8 +362,10 @@ object Authz {
       case other => other
     }
 
-  private def hasPolicy(parts: Seq[String], keys: Seq[String]): Boolean = {
-    val t = norm(parts.mkString("."))
+  private def hasPolicy(parts: Seq[String], keys: Seq[String]): Boolean =
+    hasPolicyKey(enforcementKey(parts), keys)
+
+  private def hasPolicyKey(t: String, keys: Seq[String]): Boolean = {
     val keySet = keys.toSet
     state.rowFilters.getOrElse(t, Map.empty).keys.exists(keySet) ||
       state.columnMasks.getOrElse(t, Map.empty).values
@@ -328,13 +375,21 @@ object Authz {
   private def securedRead(spark: SparkSession, parts: Seq[String],
       keys: Seq[String]): LogicalPlan = {
     val base: DataFrame = NamedTables.readDfIfRegistered(spark, parts)
-      .getOrElse(spark.table(parts.mkString(".")))
+      .getOrElse(parts match {
+        // path-addressed non-snapshot formats (parquet.`/p` etc.)
+        case Seq(fmt, path) if PathFormats(norm(fmt)) =>
+          spark.read.format(norm(fmt)).load(path)
+        case _ => spark.table(parts.mkString("."))
+      })
     securePlan(spark, parts, base, keys)
   }
 
   private def securePlan(spark: SparkSession, parts: Seq[String],
+      base: DataFrame, keys: Seq[String]): LogicalPlan =
+    securePlanKey(spark, enforcementKey(parts), parts.last, base, keys)
+
+  private def securePlanKey(spark: SparkSession, t: String, alias: String,
       base: DataFrame, keys: Seq[String]): LogicalPlan = {
-    val t = norm(parts.mkString("."))
     val keySet = keys.toSet
     // every applicable filter ANDs (user + each role + all): the effective
     // row set is the intersection — the conservative composition Ranger uses
@@ -358,7 +413,7 @@ object Authz {
           }
         }: _*)
       }
-    SubqueryAlias(parts.last, projected.queryExecution.logical)
+    SubqueryAlias(alias, projected.queryExecution.logical)
   }
 
   // ------------------------------------------------------------ SQL verbs

@@ -263,6 +263,19 @@ object NamedTables {
     case _ => None
   }
 
+  /** Reverse lookup: the registered name owning `root`, if any — the
+    * [[Authz]] layer uses it so path-addressed access to a governed
+    * table's data enforces that table's grants and policies.
+    */
+  private[plans] def nameOfRoot(root: String): Option[String] = {
+    val norm = new org.apache.hadoop.fs.Path(root).toUri.getPath
+    registry.collectFirst {
+      case (name, ref)
+          if new org.apache.hadoop.fs.Path(ref.root).toUri.getPath == norm =>
+        name
+    }
+  }
+
   private def tempViewExists(spark: SparkSession, name: String): Boolean =
     spark.sessionState.catalog.getTempView(name).isDefined ||
       spark.sessionState.catalog.getGlobalTempView(name).isDefined

@@ -278,6 +278,34 @@ class AuthzSpec extends SparkSpec with BeforeAndAfterEach {
     assert(merged.forall(_ === "[masked]"))
   }
 
+  test("path-addressed reads and snapshot TVFs enforce the owning table's governance") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("authz_path_").toString + "/t"
+    Snapshots.create(spark, root,
+      (0 until 20).map(i => (i.toLong, s"c${i % 4}")).toDF("id", "cat"))
+    NamedTables.registerSnapshot("authz_gov", root)
+    sql("ALTER TABLE authz_gov SET ROW FILTER 'cat = ''c1''' FOR ALL")
+    asUser("pia")
+    // no grant anywhere: name, path, and TVF forms all deny
+    intercept[Authz.AccessDenied] { sql("SELECT count(*) FROM authz_gov").collect() }
+    intercept[Authz.AccessDenied] {
+      sql(s"SELECT count(*) FROM snapshot.`$root`").collect() }
+    intercept[Authz.AccessDenied] {
+      sql(s"SELECT count(*) FROM snapshot_table('$root')").collect() }
+    // one grant on the NAME governs every address of the same data
+    sql("GRANT SELECT ON TABLE authz_gov TO USER pia")
+    assert(sql("SELECT count(*) AS n FROM authz_gov").head.getLong(0) === 5)
+    assert(sql(s"SELECT count(*) AS n FROM snapshot.`$root`").head.getLong(0) === 5,
+      "path address must apply the owning table's row filter")
+    assert(sql(s"SELECT count(*) AS n FROM snapshot_table('$root')")
+      .head.getLong(0) === 5, "TVF address must apply the row filter")
+    // an unregistered path stays deny-by-default (no side door)
+    val loose = java.nio.file.Files.createTempDirectory("authz_loose_").toString + "/p"
+    (0 until 3).map(i => (i, i)).toDF("a", "b").write.parquet(loose)
+    intercept[Authz.AccessDenied] {
+      sql(s"SELECT count(*) FROM parquet.`$loose`").collect() }
+  }
+
   test("randomized policy net: front-door reads equal the direct DataFrame model") {
     // seeded random (filter, mask, principal) combinations; the SQL path
     // (substitution + analyzer + SubqueryAlias) must equal a hand-built
