@@ -57,6 +57,10 @@ object Hplsql {
   private case class ForRange(v: String, from: String, to: String, step: Option[String],
       reverse: Boolean, body: Seq[Stmt]) extends Stmt
   private case class ForCursor(v: String, query: String, body: Seq[Stmt]) extends Stmt
+  private case class DeclareCursor(name: String, query: String) extends Stmt
+  private case class OpenCur(name: String) extends Stmt
+  private case class FetchCur(name: String, into: Seq[String]) extends Stmt
+  private case class CloseCur(name: String) extends Stmt
   private case class Exit(when: Option[String]) extends Stmt
   private case class Block(body: Seq[Stmt], handler: Option[Seq[Stmt]]) extends Stmt
   private case class Print(expr: String) extends Stmt
@@ -182,6 +186,17 @@ object Hplsql {
         pos += 1
         if (peek() == ";" || atEnd) { endSemi(); Return(None) }
         else Return(Some(exprUntilSemi()))
+      case "OPEN" => pos += 1; val n = next(); endSemi(); OpenCur(n)
+      case "FETCH" =>
+        pos += 1
+        if (peekUpper() == "FROM") pos += 1
+        val n = next()
+        expect("INTO")
+        val vars = mutable.Buffer(next())
+        while (peek() == ",") { pos += 1; vars += next() }
+        endSemi()
+        FetchCur(n, vars.toSeq)
+      case "CLOSE" => pos += 1; val n = next(); endSemi(); CloseCur(n)
       case "EXEC" | "EXECUTE" => parseExecute()
       case "CALL" => parseCall()
       case "CREATE" if isRoutineHead() => parseCreateRoutine()
@@ -203,6 +218,13 @@ object Hplsql {
     private def parseDeclare(): Stmt = {
       expect("DECLARE")
       val names = mutable.Buffer(next())
+      // DECLARE c CURSOR FOR|IS <query> — explicit-cursor declaration
+      // (ref hplsql/src/main/antlr4/.../Hplsql.g4 declare_cursor_item)
+      if (peekUpper() == "CURSOR") {
+        pos += 1
+        if (!accept("FOR")) expect("IS")
+        return DeclareCursor(names.head, exprUntilSemi())
+      }
       while (peek() == ",") { pos += 1; names += next() }
       // optional type: keep tokens until := / DEFAULT / ; (type itself unused
       // beyond documentation — values are dynamically typed, as in HPL/SQL)
@@ -488,6 +510,17 @@ object Hplsql {
     private val routines = mutable.Map.empty[String, CreateRoutine]
     private val printed = mutable.Buffer.empty[String]
     private var lastDf: Option[DataFrame] = None
+    // explicit cursors (OPEN/FETCH/CLOSE): driver-side row iterators by
+    // the HPL/SQL cursor contract; FETCH maintains SQLCODE (0 = row
+    // fetched, 100 = exhausted — the reference's convention)
+    private final class CursorState(val query: String) {
+      var it: Iterator[org.apache.spark.sql.Row] = Iterator.empty
+      var open = false
+    }
+    private val cursors = mutable.Map.empty[String, CursorState]
+    private def cursorOf(name: String): CursorState =
+      cursors.getOrElse(name.toLowerCase,
+        throw new IllegalArgumentException(s"unknown cursor $name"))
 
     def runScript(script: String): Result = {
       val prog = new Parser(script).parseProgram()
@@ -685,6 +718,32 @@ object Hplsql {
           }
         } catch { case BreakSignal() => }
         finally scopes.pop()
+
+      case DeclareCursor(n, q) =>
+        cursors.put(n.toLowerCase, new CursorState(q))
+
+      case OpenCur(n) =>
+        val c = cursorOf(n)
+        val df = sqlRunner(substitute(c.query))
+        lastDf = Some(df)
+        c.it = df.collect().iterator // cursor loops are driver-side by definition
+        c.open = true
+
+      case FetchCur(n, into) =>
+        val c = cursorOf(n)
+        if (!c.open) throw new IllegalArgumentException(s"cursor $n is not open")
+        if (c.it.hasNext) {
+          val row = c.it.next()
+          into.zipWithIndex.foreach { case (v, i) =>
+            assign(v, if (i < row.length && !row.isNullAt(i)) row.get(i) else null)
+          }
+          assign("sqlcode", 0L)
+        } else assign("sqlcode", 100L) // into-vars keep their last values
+
+      case CloseCur(n) =>
+        val c = cursorOf(n)
+        c.open = false
+        c.it = Iterator.empty
 
       case Exit(when) =>
         if (when.forall(evalBool)) throw BreakSignal()

@@ -288,6 +288,60 @@ class HplsqlSpec extends SparkSpec with Matchers {
     assert(fastHits > exprs.length / 4, s"fast path hit only $fastHits/${exprs.length}")
   }
 
+  test("explicit cursors: DECLARE CURSOR / OPEN / FETCH / CLOSE with SQLCODE") {
+    val r = run("""
+      DECLARE c CURSOR FOR
+        SELECT v, v * 10 AS w FROM VALUES (1), (2), (3) AS t(v) ORDER BY v;
+      DECLARE total INT DEFAULT 0;
+      DECLARE a INT; DECLARE b INT;
+      OPEN c;
+      FETCH c INTO a, b;
+      WHILE sqlcode = 0 LOOP
+        SET total = total + a + b;
+        FETCH c INTO a, b;
+      END LOOP;
+      CLOSE c;
+      PRINT 'total=' || total || ' code=' || sqlcode;
+    """)
+    r.printed shouldBe Seq("total=66 code=100") // (1+10)+(2+20)+(3+30)
+  }
+
+  test("cursor errors are loud: FETCH before OPEN, unknown cursor") {
+    val e1 = intercept[IllegalArgumentException] {
+      run("""
+        DECLARE c CURSOR FOR SELECT 1;
+        DECLARE x INT;
+        FETCH c INTO x;
+      """)
+    }
+    e1.getMessage should include("not open")
+    val e2 = intercept[IllegalArgumentException] {
+      run("OPEN nope;")
+    }
+    e2.getMessage should include("unknown cursor")
+  }
+
+  test("cursor queries see script variables; IS form and reopen both work") {
+    val r = run("""
+      DECLARE lim INT DEFAULT 2;
+      DECLARE c CURSOR IS SELECT v FROM VALUES (1), (2), (3) AS t(v)
+        WHERE v <= lim ORDER BY v DESC;
+      DECLARE x INT; DECLARE seen STRING DEFAULT '';
+      OPEN c;
+      FETCH c INTO x;
+      WHILE sqlcode = 0 LOOP
+        SET seen = seen || x || ',';
+        FETCH c INTO x;
+      END LOOP;
+      CLOSE c;
+      OPEN c; -- reopen re-runs the query
+      FETCH c INTO x;
+      CLOSE c;
+      PRINT seen || 'reopened=' || x;
+    """)
+    r.printed shouldBe Seq("2,1,reopened=2")
+  }
+
   test("the SQL front door runs procedural scripts directly") {
     val df = graft.Engine.sql(spark, sfDir,
       """DECLARE n BIGINT;
