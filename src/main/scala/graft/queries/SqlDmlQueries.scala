@@ -604,5 +604,52 @@ object SqlDmlQueries {
         Authz.dropRowFilter("customer", Authz.Role("s25_analyst"))
         Authz.dropColumnMask("customer", "c_name", Authz.Role("s25_analyst"))
       }
+    },
+
+    // Workload management (plans.Workload; ref ql/ddl/workloadmanagement/
+    // + exec/tez/WorkloadManager.java): the resource plan is built and
+    // activated through SQL verbs, a KILL trigger is proven to cancel an
+    // over-limit query mid-flight (required inside the query, like s25's
+    // deny proof), and the returned result is computed UNDER management —
+    // admitted through the mapped pool's semaphore with the trigger
+    // armed. The oracle replays the data query as plain SQL.
+    q("s26_wlm_managed_query",
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey <= 5000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+      import graft.plans.Workload
+      import org.apache.spark.sql.functions.udf
+      Engine.register(spark, dir)
+      Workload.clearAll()
+      try {
+        Engine.sql(spark, dir, "CREATE RESOURCE PLAN s26_plan")
+        Engine.sql(spark, dir,
+          "CREATE POOL s26_plan.etl WITH ALLOC_FRACTION=0.8, QUERY_PARALLELISM=2")
+        Engine.sql(spark, dir,
+          "CREATE TRIGGER s26_plan.slow_kill WHEN ELAPSED_TIME > 500 DO KILL")
+        Engine.sql(spark, dir, "ALTER POOL s26_plan.etl ADD TRIGGER slow_kill")
+        Engine.sql(spark, dir, "CREATE USER MAPPING 's26_etl' IN s26_plan TO etl")
+        Engine.sql(spark, dir, "ALTER RESOURCE PLAN s26_plan ACTIVATE")
+        val killed =
+          try {
+            Workload.run(spark, "s26_etl") { _ =>
+              val slow = udf((x: Long) => { Thread.sleep(8); x })
+                .asNondeterministic()
+              spark.range(0, 4000, 1, 8).select(slow(col("id")).as("v"))
+                .agg(sum("v")).head.getLong(0)
+            }
+            false
+          } catch { case _: Workload.QueryKilledException => true }
+        require(killed, "WLM kill trigger did not cancel the over-limit query")
+        Workload.run(spark, "s26_etl") { pool =>
+          require(pool == "etl", s"mapping routed to $pool, expected etl")
+          Engine.sql(spark, dir,
+            """SELECT o_orderpriority, count(*) AS n,
+              |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS total
+              |FROM orders WHERE o_orderkey <= 5000
+              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+        }
+      } finally Workload.clearAll()
     })
 }
