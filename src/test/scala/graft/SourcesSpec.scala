@@ -105,6 +105,52 @@ class SourcesSpec extends SparkSpec {
     assert(parsed.agg(sum($"v")).head().getLong(0) === 150L)
   }
 
+  test("RegexSerDe analog: capture groups become columns, non-matches go NULL") {
+    import spark.implicits._
+    val dir = tmp("regexserde")
+    Seq("alice 30 12.50", "bob 41 7.25", "not a valid line")
+      .toDF("value").coalesce(1).write.text(dir)
+    val df = graft.sources.TextFormats.readRegex(spark, dir,
+      "^(\\w+) (\\d+) (\\d+\\.\\d+)$", Seq("name", "age", "rate"))
+    assert(df.columns.toSeq === Seq("name", "age", "rate"))
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows.contains(("alice", "30")))
+    assert(rows.contains((null, null))) // RegexSerDe NULLs non-matching rows
+    assert(df.filter($"name".isNull).count() === 1)
+  }
+
+  test("MultiDelimitSerDe analog: multi-char delimiter, lazy missing fields") {
+    import spark.implicits._
+    val dir = tmp("multidelim")
+    Seq("a||1||x", "b||2", "c||3||y||extra").toDF("value")
+      .coalesce(1).write.text(dir)
+    val df = graft.sources.TextFormats.readMultiDelim(spark, dir, "||",
+      Seq("k", "n", "tag"))
+    val byK = df.collect().map(r =>
+      r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(byK("a") === ("1", "x"))
+    assert(byK("b") === ("2", null)) // missing trailing field reads NULL
+    assert(byK("c") === ("3", "y")) // extra field ignored
+  }
+
+  test("per-file header/footer skipping (SkippingTextInputFormat analog)") {
+    import spark.implicits._
+    val dir = tmp("skiptext")
+    // two files, each with its own 2-line header and 1-line footer
+    Seq(Seq("h1", "h2", "f1-data1", "f1-data2", "trailer"),
+      Seq("h1", "h2", "f2-data1", "trailer")).zipWithIndex.foreach {
+      case (ls, i) => ls.toDF("value").coalesce(1).write.text(s"$dir/part$i")
+    }
+    val df = graft.sources.TextFormats.readSkipping(
+      spark, s"$dir/part*", skipHeader = 2, skipFooter = 1)
+    assert(df.collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("f1-data1", "f1-data2", "f2-data1"))
+    // footer bigger than the file yields nothing rather than wrapping
+    val none = graft.sources.TextFormats.readSkipping(
+      spark, s"$dir/part1", skipHeader = 2, skipFooter = 5)
+    assert(none.count() === 0)
+  }
+
   test("sequencefile round-trip via the RDD bridge (HiveSequenceFileInputFormat analog)") {
     import spark.implicits._
     val dir = tmp("seq")
