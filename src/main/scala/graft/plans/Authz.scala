@@ -419,7 +419,7 @@ object Authz {
   // ------------------------------------------------------------ SQL verbs
 
   private val Ident = """(`[^`]+`|[\w.]+)"""
-  private val Pcpl = """(?:USER\s+(\w+)|ROLE\s+(\w+)|(ALL)\b)"""
+  private val Pcpl = """(?:USER\s+(\w+)|ROLE\s+(\w+)|(ALL|PUBLIC)\b)"""
   private val CreateRoleR = ("""(?is)\s*CREATE\s+ROLE\s+(\w+)\s*;?\s*""").r
   private val DropRoleR = ("""(?is)\s*DROP\s+ROLE\s+(\w+)\s*;?\s*""").r
   private val GrantRoleR =

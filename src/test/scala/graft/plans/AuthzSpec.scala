@@ -53,6 +53,14 @@ class AuthzSpec extends SparkSpec with BeforeAndAfterEach {
     assert(sql("SELECT count(*) AS n FROM customer").head.getLong(0) > 0)
   }
 
+  test("PUBLIC is the everyone-principal (Hive's spelling of ALL)") {
+    asUser("quinn")
+    sql("GRANT SELECT ON TABLE region TO PUBLIC")
+    assert(sql("SELECT count(*) AS n FROM region").head.getLong(0) === 5)
+    sql("REVOKE SELECT ON TABLE region FROM PUBLIC")
+    intercept[Authz.AccessDenied] { sql("SELECT count(*) FROM region").collect() }
+  }
+
   test("roles bundle privileges; SHOW CURRENT ROLES reflects membership") {
     asUser("bob")
     sql("CREATE ROLE analyst")
