@@ -651,5 +651,35 @@ object SqlDmlQueries {
               |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
         }
       } finally Workload.clearAll()
+    },
+
+    // SerDe-class text readers (sources.TextFormats; ref serde2/
+    // RegexSerDe.java + MultiDelimitSerDe.java): orders rows round-trip
+    // through a `||`-delimited text file, read back by BOTH the regex
+    // reader (capture groups -> columns) and the multi-delimiter reader,
+    // inner-joined so a single mis-parsed row would break the counts.
+    // The oracle replays the aggregate straight from the parquet table —
+    // if either reader dropped, duplicated, or corrupted a row, the
+    // hash mismatches.
+    q("s27_text_serde",
+      """SELECT o_orderstatus, count(*) AS n, sum(o_orderkey) AS sk
+        |FROM orders WHERE o_orderkey <= 3000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+      val path = scratch()
+      Engine.table(spark, dir, "orders")
+        .filter(col("o_orderkey") <= 3000)
+        .select(concat_ws("||",
+          col("o_orderkey"), col("o_orderstatus")).as("value"))
+        .write.text(path)
+      val viaRegex = graft.sources.TextFormats.readRegex(spark, path,
+        "^(\\d+)\\|\\|(\\w)$", Seq("k", "status"))
+      val viaDelim = graft.sources.TextFormats.readMultiDelim(spark, path,
+        "||", Seq("k2", "status2"))
+      viaRegex.join(viaDelim,
+          viaRegex("k") === viaDelim("k2") &&
+            viaRegex("status") === viaDelim("status2"))
+        .groupBy(col("status").as("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("k").cast("long")).as("sk"))
+        .orderBy("o_orderstatus")
     })
 }
