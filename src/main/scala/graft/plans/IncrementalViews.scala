@@ -140,8 +140,12 @@ object IncrementalViews {
       if (head.version == since) return RefreshResult("noop", since, 0L)
       // only the commits after `since` matter — never list the whole log
       val newCommits = t.historySince(since)
+      // reorganizations (compact/cluster/zorder) are data-identical —
+      // readChanges skips them, so they fold as empty deltas; anything
+      // else (COW DML, truncate, restore, schema) forces a full rebuild
       val insertOnly = newCommits.forall(m =>
-        m.action == "append" || m.action == "compact" || m.action == "cluster")
+        m.action == "append" || m.action == "compact" ||
+          m.action == "cluster" || m.action == "zorder")
       if (!insertOnly) return rebuildFull()
       // fold the appended rows into the stored partials. The delta must be
       // pinned to `head` (not a racing later commit): readChanges caps at

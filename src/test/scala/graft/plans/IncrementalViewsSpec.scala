@@ -74,6 +74,20 @@ class IncrementalViewsSpec extends SparkSpec {
     assertMatches(mv, t)
   }
 
+  test("z-ordering between appends stays on the incremental path") {
+    val t = Snapshots.create(spark, fresh("graft_imv_"), rows(0, 30).coalesce(1))
+    val mv = IncrementalViews.create(spark, t.root, fresh("graft_imvd_"),
+      Seq("grp"), specs)
+    t.append(rows(30, 60).coalesce(1))
+    t.zOrderBy(Seq("id", "grp"))
+    t.append(rows(60, 90).coalesce(1))
+    val r = mv.refresh()
+    assert(r.mode === "incremental",
+      "a data-identical zorder commit must not force a full rebuild")
+    assert(r.deltaRows === 60)
+    assertMatches(mv, t)
+  }
+
   test("COW commits (delete/update/merge) force a full rebuild") {
     val t = Snapshots.create(spark, fresh("graft_imv_"), rows(0, 90))
     val mv = IncrementalViews.create(spark, t.root, fresh("graft_imvd_"),
