@@ -181,6 +181,8 @@ object Engine {
           .orElse(graft.plans.Authz.maybeSql(spark, query))
           .orElse(graft.plans.Workload.maybeSql(spark, query))
           .orElse(graft.plans.Macros.maybeSql(spark, query))
+          .orElse(graft.plans.ScheduledQueries.maybeSql(spark, query,
+            q => sql(spark, sfDir, q)))
           .orElse(maybeRunHplsql(spark, sfDir, query))
           .getOrElse(spark.sql(query)) // surface the canonical parse error
       case Some(plan) =>

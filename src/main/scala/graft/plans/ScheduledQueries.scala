@@ -73,4 +73,83 @@ object ScheduledQueries {
       s.name
     }
   }
+
+  // ------------------------------------------------------------ SQL verbs
+  // the reference's DDL (parse/ScheduledQueryAnalyzer: CREATE SCHEDULED
+  // QUERY q EVERY n MINUTES AS <statement>, ALTER ... ENABLE/DISABLE/
+  // EXECUTE, DROP, SHOW) — the EVERY form; CRON expressions are the
+  // deployment scheduler's job here (runDue is clock-driven by design)
+
+  // statement text per (session, name), for SHOW and re-execution
+  private val statements =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[String, String]]())
+  private def stmtsFor(spark: SparkSession) = statements.synchronized {
+    var r = statements.get(spark)
+    if (r == null) {
+      r = new java.util.concurrent.ConcurrentHashMap[String, String]()
+      statements.put(spark, r)
+    }
+    r
+  }
+
+  private val CreateR =
+    ("""(?is)\s*CREATE\s+SCHEDULED\s+QUERY\s+(\w+)\s+EVERY\s+(\d+)\s+""" +
+      """(SECOND|MINUTE|HOUR)S?\s+AS\s+(.+?)\s*;?\s*""").r
+  private val AlterToggleR =
+    """(?is)\s*ALTER\s+SCHEDULED\s+QUERY\s+(\w+)\s+(ENABLE|DISABLE)\s*;?\s*""".r
+  private val AlterExecR =
+    """(?is)\s*ALTER\s+SCHEDULED\s+QUERY\s+(\w+)\s+EXECUTE\s*;?\s*""".r
+  private val DropR =
+    """(?is)\s*DROP\s+SCHEDULED\s+QUERY\s+(\w+)\s*;?\s*""".r
+  private val ShowR = """(?is)\s*SHOW\s+SCHEDULED\s+QUERIES\s*;?\s*""".r
+  private val ExecDueR = """(?is)\s*EXECUTE\s+SCHEDULED\s+QUERIES\s*;?\s*""".r
+
+  /** Execute `sqlText` if it is a scheduled-query verb (all parse errors
+    * to Spark); `runner` is the engine front door the stored statement
+    * re-enters (so scheduled DML/INSERT statements execute with full
+    * engine semantics). None otherwise.
+    */
+  def maybeSql(spark: SparkSession, sqlText: String,
+      runner: String => DataFrame): Option[DataFrame] = {
+    import spark.implicits._
+    def done(what: String): DataFrame = Seq(what).toDF("result")
+    sqlText match {
+      case CreateR(name, n, unit, stmt) =>
+        val ms = n.toLong * (unit.toUpperCase match {
+          case "SECOND" => 1000L
+          case "MINUTE" => 60L * 1000
+          case _ => 3600L * 1000
+        })
+        create(spark, name, ms)(_ => runner(stmt))(_.collect())
+        stmtsFor(spark).put(name, stmt.trim)
+        Some(done(s"created scheduled query $name"))
+      case AlterToggleR(name, toggle) =>
+        setEnabled(spark, name, toggle.equalsIgnoreCase("ENABLE"))
+        Some(done(s"${toggle.toLowerCase}d scheduled query $name"))
+      case AlterExecR(name) =>
+        // run-now, unconditionally (the reference's ALTER ... EXECUTE)
+        val r = regFor(spark)
+        val s = Option(r.get(name)).getOrElse(
+          throw new IllegalArgumentException(s"scheduled query not found: $name"))
+        s.sink(s.query(spark))
+        r.put(name, s.copy(lastRunAt = System.currentTimeMillis()))
+        Some(done(s"executed scheduled query $name"))
+      case DropR(name) =>
+        drop(spark, name)
+        stmtsFor(spark).remove(name)
+        Some(done(s"dropped scheduled query $name"))
+      case ShowR() =>
+        val stmts = stmtsFor(spark)
+        Some(list(spark).map(s => (s.name, s.everyMillis, s.enabled,
+            if (s.lastRunAt == Long.MinValue) null
+            else new java.sql.Timestamp(s.lastRunAt),
+            stmts.getOrDefault(s.name, "<programmatic>")))
+          .toDF("name", "every_ms", "enabled", "last_run", "statement"))
+      case ExecDueR() =>
+        Some(runDue(spark, System.currentTimeMillis()).toDF("executed"))
+      case _ => None
+    }
+  }
 }

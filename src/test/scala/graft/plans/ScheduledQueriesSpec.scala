@@ -46,4 +46,35 @@ class ScheduledQueriesSpec extends SparkSpec {
       assert(spark.read.parquet(target).count() === 3L)
     } finally ScheduledQueries.drop(spark, "daily_rollup")
   }
+
+  test("SQL verbs: CREATE/SHOW/ALTER EXECUTE/DISABLE/DROP SCHEDULED QUERY") {
+    import spark.implicits._
+    def sql(q: String) = Engine.sql(spark, sfDir, q)
+    val root = java.nio.file.Files.createTempDirectory("graft_sq_").toString + "/t"
+    Snapshots.create(spark, root, Seq.empty[(Long, String)].toDF("id", "tag"))
+    NamedTables.registerSnapshot("sq_target", root)
+    try {
+      sql("""CREATE SCHEDULED QUERY sq_ingest EVERY 10 MINUTES AS
+            |INSERT INTO sq_target SELECT r_regionkey, r_name FROM region""".stripMargin)
+      val row = sql("SHOW SCHEDULED QUERIES")
+        .filter(col("name") === "sq_ingest").head
+      assert(row.getLong(1) === 600000L)
+      assert(row.getBoolean(2) === true)
+      assert(row.getString(4).startsWith("INSERT INTO sq_target"))
+      // run-now executes the stored statement through the engine front door
+      sql("ALTER SCHEDULED QUERY sq_ingest EXECUTE")
+      assert(sql("SELECT count(*) AS n FROM sq_target").head.getLong(0) === 5)
+      // disabled queries are skipped by the due tick
+      sql("ALTER SCHEDULED QUERY sq_ingest DISABLE")
+      val ran = sql("EXECUTE SCHEDULED QUERIES").collect().map(_.getString(0))
+      assert(!ran.contains("sq_ingest"))
+      assert(sql("SELECT count(*) AS n FROM sq_target").head.getLong(0) === 5)
+      sql("DROP SCHEDULED QUERY sq_ingest")
+      assert(sql("SHOW SCHEDULED QUERIES")
+        .filter(col("name") === "sq_ingest").count() === 0)
+    } finally {
+      ScheduledQueries.drop(spark, "sq_ingest")
+      NamedTables.drop("sq_target")
+    }
+  }
 }
