@@ -868,7 +868,7 @@ object FunctionQueries {
     q("f32_sql_macro",
       """SELECT CAST(o_orderkey % 7 + CASE WHEN o_orderkey % 2 = 0
         |         THEN 100 ELSE 0 END AS INT) AS bucket,
-        |  count(*) AS n, sum(o_orderkey) AS sk
+        |  count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sk
         |FROM orders WHERE o_orderkey <= 2000
         |GROUP BY 1 ORDER BY bucket""".stripMargin) { (spark, dir) =>
       Engine.sql(spark, dir,

@@ -582,6 +582,17 @@ object SqlDmlQueries {
           try { Engine.sql(spark, dir, "SELECT count(*) FROM customer"); false }
           catch { case _: Authz.AccessDenied => true }
         require(denied, "authz did not deny the ungranted read")
+        // a non-admin may not administer grants for themselves — the same
+        // deny-by-default covers the admin verbs
+        val grantDenied =
+          try {
+            Engine.sql(spark, dir,
+              "GRANT SELECT ON TABLE customer TO USER s25_nobody"); false
+          } catch { case _: Authz.AccessDenied => true }
+        require(grantDenied, "authz let a non-admin GRANT to themselves")
+        // administration happens as an admin
+        spark.conf.set("spark.graft.authz.admins", "s25_admin")
+        spark.conf.set("spark.graft.user", "s25_admin")
         Engine.sql(spark, dir, "CREATE ROLE s25_analyst")
         Engine.sql(spark, dir, "GRANT ROLE s25_analyst TO USER s25_reader")
         Engine.sql(spark, dir, "GRANT SELECT ON TABLE customer TO ROLE s25_analyst")
@@ -601,6 +612,7 @@ object SqlDmlQueries {
         // session/auth state here cannot un-filter the lazy evaluation
         spark.conf.unset("spark.graft.authz.enabled")
         spark.conf.unset("spark.graft.user")
+        spark.conf.unset("spark.graft.authz.admins")
         Authz.dropRowFilter("customer", Authz.Role("s25_analyst"))
         Authz.dropColumnMask("customer", "c_name", Authz.Role("s25_analyst"))
       }
@@ -662,7 +674,7 @@ object SqlDmlQueries {
     // if either reader dropped, duplicated, or corrupted a row, the
     // hash mismatches.
     q("s27_text_serde",
-      """SELECT o_orderstatus, count(*) AS n, sum(o_orderkey) AS sk
+      """SELECT o_orderstatus, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sk
         |FROM orders WHERE o_orderkey <= 3000
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
       val path = scratch()
