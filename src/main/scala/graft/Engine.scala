@@ -84,6 +84,7 @@ object Engine {
     graft.plans.SnapshotSql.register(spark)
     graft.plans.NamedTables.bootstrap(spark)
     graft.plans.Authz.bootstrap(spark)
+    graft.plans.Workload.bootstrap(spark)
     spark
   }
 
@@ -163,11 +164,18 @@ object Engine {
     */
   def sql(spark: SparkSession, sfDir: String, query: String): DataFrame = {
     register(spark, sfDir)
+    // the security context itself is not settable through the SQL front
+    // door by non-admins (the reference's restricted-conf list)
+    graft.plans.Authz.guardSetStatement(spark, query)
     // SET ROLE is the one verb that must intercept pre-parse: Spark's
-    // parser accepts it as a conf-set of the meaningless key "role <x>"
-    graft.plans.Authz.maybeSetRole(spark, query) match {
-      case Some(df) => return df
-      case None => ()
+    // parser accepts it as a conf-set of the meaningless key "role <x>".
+    // Only sessions that opted into authz get the verb — elsewhere the
+    // statement stays the harmless Spark conf assignment it always was.
+    if (graft.plans.Authz.enabled(spark)) {
+      graft.plans.Authz.maybeSetRole(spark, query) match {
+        case Some(df) => return df
+        case None => ()
+      }
     }
     val parsed =
       try Some(spark.sessionState.sqlParser.parsePlan(query))

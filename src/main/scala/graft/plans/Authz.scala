@@ -36,7 +36,10 @@ import org.apache.spark.sql.functions.{col, expr}
   *     permissive, policies dormant — existing sessions unaffected);
   *   - `spark.graft.user` names the current user (default `anonymous`);
   *   - `spark.graft.authz.admins` (csv) bypass checks and policies —
-  *     the superuser list.
+  *     the superuser list. With enforcement on, ONLY admins may run the
+  *     mutating admin verbs (GRANT/REVOKE, roles, policies) or SET the
+  *     security confs above through the SQL front door; with enforcement
+  *     off the verbs are permissive (the bootstrap phase).
   *
   * State is JVM-global like [[NamedTables]] (the metastore stand-in this
   * library uses throughout); active roles are all granted roles (the
@@ -215,24 +218,22 @@ object Authz {
       s"user $user lacks $action privilege on table $table")
   }
 
-  /** Validate the statement's required privileges: DML targets need their
-    * verb's privilege, every other referenced relation needs SELECT.
-    * No-op unless enforcement is enabled (or the user is an admin).
+  // CTE-scope-aware traversal (defs visited, positional shadowing) is
+  // shared with NamedTables — see [[CteScope]] for why the stock
+  // transformDownWithSubqueries cannot be used on pre-analysis plans here.
+  private def walkScoped(plan: LogicalPlan, scope: Set[String])(
+      f: (LogicalPlan, Set[String]) => Unit): Unit =
+    CteScope.walk(plan, scope)(f)
+
+  private def transformScoped(plan: LogicalPlan, scope: Set[String])(
+      rule: (LogicalPlan, Set[String]) => Option[LogicalPlan]): LogicalPlan =
+    CteScope.transform(plan, scope)(rule)
+
+  /** A CTE name in scope shadows the catalog table: such a reference is
+    * excluded from privilege checks and policy rewrites.
     */
-  /** Names defined by the statement itself (CTE aliases): these resolve to
-    * their defining subquery, never to a catalog table, so they are
-    * excluded from privilege checks and policy rewrites — a CTE named like
-    * a protected table shadows it, matching the analyzer's precedence.
-    */
-  private def cteNames(plan: LogicalPlan): Set[String] = {
-    val names = scala.collection.mutable.Set.empty[String]
-    plan.foreachWithSubqueries {
-      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
-        w.cteRelations.foreach { case (n, _, _) => names += norm(n) }
-      case _ => ()
-    }
-    names.toSet
-  }
+  private def shadowedByCte(parts: Seq[String], scope: Set[String]): Boolean =
+    CteScope.shadowed(parts, scope)
 
   /** Formats whose two-part identifiers address data by PATH. Governance
     * key for such reads: the registered name owning the path when one
@@ -290,13 +291,11 @@ object Authz {
       case Some(t) => t.collect { case u: UnresolvedRelation => u }.toSet
       case None => Set.empty
     }
-    val defined = cteNames(plan)
     val reads = scala.collection.mutable.LinkedHashSet.empty[String]
-    plan.foreachWithSubqueries { node =>
+    walkScoped(plan, Set.empty) { (node, scope) =>
       node match {
         case u: UnresolvedRelation if !exempt.exists(_ eq u) =>
-          if (!(u.multipartIdentifier.size == 1 &&
-              defined.contains(norm(u.multipartIdentifier.head))))
+          if (!shadowedByCte(u.multipartIdentifier, scope))
             reads += enforcementKey(u.multipartIdentifier)
         case other => tvfKey(other).foreach { case (_, key) => reads += key }
       }
@@ -313,32 +312,36 @@ object Authz {
     if (!enabled(spark) || isAdmin(spark)) return plan
     val user = currentUser(spark)
     val keys = principalKeys(user)
-    val defined = cteNames(plan)
-    plan.transformDownWithSubqueries {
-      // time travel resolves FIRST (to the requested version), then the
-      // policy wraps the resolved read — otherwise the inner relation
-      // would rewrite to a current-version read under the wrapper
-      case tt @ org.apache.spark.sql.catalyst.analysis.RelationTimeTravel(
-          u: UnresolvedRelation, _, _)
-          if !defined.contains(norm(u.multipartIdentifier.mkString("."))) &&
-            hasPolicy(u.multipartIdentifier, keys) =>
-        val resolved = NamedTables.substitute(spark, tt)
-        if (resolved eq tt) tt // not a registered table: nothing to wrap
-        else securePlan(spark, u.multipartIdentifier,
-          org.apache.spark.sql.GraftShims.ofRows(spark, resolved), keys)
-      case u: UnresolvedRelation
-          if !defined.contains(norm(u.multipartIdentifier.mkString("."))) &&
-            hasPolicy(u.multipartIdentifier, keys) =>
-        securedRead(spark, u.multipartIdentifier, keys)
-      // the snapshot TVFs read table DATA by path — a policied table's
-      // rows get the same wrap whether addressed by name, by path, or
-      // through snapshot_table/snapshot_changes (history is metadata
-      // only, gated by the SELECT check, not masked)
-      case tvf if tvfKey(tvf).exists { case (fn, key) =>
-          fn != "snapshot_history" && hasPolicyKey(key, keys) } =>
-        val (_, key) = tvfKey(tvf).get
-        securePlanKey(spark, key, key,
-          org.apache.spark.sql.GraftShims.ofRows(spark, tvf), keys)
+    transformScoped(plan, Set.empty) { (node, scope) =>
+      node match {
+        // time travel resolves FIRST (to the requested version), then the
+        // policy wraps the resolved read — otherwise the inner relation
+        // would rewrite to a current-version read under the wrapper
+        case tt @ org.apache.spark.sql.catalyst.analysis.RelationTimeTravel(
+            u: UnresolvedRelation, _, _)
+            if !shadowedByCte(u.multipartIdentifier, scope) &&
+              hasPolicy(u.multipartIdentifier, keys) =>
+          val resolved = NamedTables.substitute(spark, tt)
+          // not a registered table: leave the node intact (terminal — the
+          // inner relation must NOT rewrite to a current-version read)
+          if (resolved eq tt) Some(tt)
+          else Some(securePlan(spark, u.multipartIdentifier,
+            org.apache.spark.sql.GraftShims.ofRows(spark, resolved), keys))
+        case u: UnresolvedRelation
+            if !shadowedByCte(u.multipartIdentifier, scope) &&
+              hasPolicy(u.multipartIdentifier, keys) =>
+          Some(securedRead(spark, u.multipartIdentifier, keys))
+        // the snapshot TVFs read table DATA by path — a policied table's
+        // rows get the same wrap whether addressed by name, by path, or
+        // through snapshot_table/snapshot_changes (history is metadata
+        // only, gated by the SELECT check, not masked)
+        case tvf if tvfKey(tvf).exists { case (fn, key) =>
+            fn != "snapshot_history" && hasPolicyKey(key, keys) } =>
+          val (_, key) = tvfKey(tvf).get
+          Some(securePlanKey(spark, key, key,
+            org.apache.spark.sql.GraftShims.ofRows(spark, tvf), keys))
+        case _ => None
+      }
     }
   }
 
@@ -479,23 +482,75 @@ object Authz {
     if (s.startsWith("`")) s.substring(1, s.length - 1) else s
   private def unquoteSql(s: String): String = s.replace("''", "'")
 
+  /** Administration of the authz database is itself authorized (ref
+    * ql/.../sqlstd/SQLStdHiveAccessControllerWrapper — only the admin role
+    * may GRANT/REVOKE/administer policies): with enforcement ON, these
+    * verbs require the session user to be in `spark.graft.authz.admins`.
+    * With enforcement OFF the verbs are permissive — that is the setup
+    * phase, where the admin builds the database before flipping it on
+    * (deny-by-default would otherwise make bootstrap impossible). Without
+    * this gate deny-by-default is self-defeating: any denied user could
+    * run `GRANT SELECT ... TO USER me` through the same front door.
+    */
+  private def requireAdmin(spark: SparkSession, verb: String): Unit =
+    if (enabled(spark) && !isAdmin(spark))
+      throw new AccessDenied(s"user ${currentUser(spark)} is not an authz " +
+        s"admin: $verb requires membership in spark.graft.authz.admins")
+
+  /** Confs that define the security context itself — the analog of the
+    * reference's `hive.conf.restricted.list` (ref common/.../HiveConf.java
+    * hive.security.* entries are restricted by default): letting a session
+    * SET its own user or admin list through the SQL front door would undo
+    * every check. Enforced in [[graft.Engine.sql]] pre-parse; in-process
+    * `spark.conf.set` remains library access, like every other Authz
+    * bypass line.
+    */
+  val RestrictedConfs: Set[String] =
+    Set("spark.graft.user", "spark.graft.authz.enabled",
+      "spark.graft.authz.admins")
+  private val SetConfR = """(?is)\s*SET\s+([\w.]+)\s*=.*""".r
+
+  /** Deny `SET <restricted conf> = ...` for non-admin sessions while
+    * enforcement is on. Everything else falls through untouched.
+    */
+  def guardSetStatement(spark: SparkSession, sqlText: String): Unit =
+    sqlText match {
+      case SetConfR(k) if RestrictedConfs.contains(norm(k)) &&
+          enabled(spark) && !isAdmin(spark) =>
+        throw new AccessDenied(s"user ${currentUser(spark)} may not SET " +
+          s"restricted configuration $k (authz security context)")
+      case _ => ()
+    }
+
   /** Execute `sqlText` if it is an authz verb (all are parse errors to
     * Spark, so nothing the session parser understands can be shadowed);
-    * None otherwise.
+    * None otherwise. Mutating verbs are admin-gated via [[requireAdmin]];
+    * the SHOW verbs stay open (grants are not secrets in the reference's
+    * model either — SHOW GRANT is how a user learns why they were denied).
     */
   def maybeSql(spark: SparkSession, sqlText: String): Option[DataFrame] = {
     import spark.implicits._
     def done(what: String): DataFrame = Seq(what).toDF("result")
     sqlText match {
-      case CreateRoleR(r) => createRole(r); Some(done(s"created role $r"))
-      case DropRoleR(r) => dropRole(r); Some(done(s"dropped role $r"))
-      case GrantRoleR(r, u) => grantRole(r, u); Some(done(s"granted role $r to $u"))
-      case RevokeRoleR(r, u) => revokeRole(r, u); Some(done(s"revoked role $r from $u"))
+      case CreateRoleR(r) =>
+        requireAdmin(spark, "CREATE ROLE")
+        createRole(r); Some(done(s"created role $r"))
+      case DropRoleR(r) =>
+        requireAdmin(spark, "DROP ROLE")
+        dropRole(r); Some(done(s"dropped role $r"))
+      case GrantRoleR(r, u) =>
+        requireAdmin(spark, "GRANT ROLE")
+        grantRole(r, u); Some(done(s"granted role $r to $u"))
+      case RevokeRoleR(r, u) =>
+        requireAdmin(spark, "REVOKE ROLE")
+        revokeRole(r, u); Some(done(s"revoked role $r from $u"))
       case GrantR(acts, t, u, r, all) =>
+        requireAdmin(spark, "GRANT")
         grant(unquoteIdent(t), principal(u, r, all),
           acts.split(',').map(_.trim).toSeq)
         Some(done(s"granted on ${unquoteIdent(t)}"))
       case RevokeR(acts, t, u, r, all) =>
+        requireAdmin(spark, "REVOKE")
         revoke(unquoteIdent(t), principal(u, r, all),
           acts.split(',').map(_.trim).toSeq)
         Some(done(s"revoked on ${unquoteIdent(t)}"))
@@ -505,15 +560,19 @@ object Authz {
       case ShowCurrentRolesR() =>
         Some(currentRoles(currentUser(spark)).toDF("role"))
       case SetRowFilterR(t, pred, u, r, all) =>
+        requireAdmin(spark, "ALTER TABLE ... SET ROW FILTER")
         setRowFilter(unquoteIdent(t), principal(u, r, all), unquoteSql(pred))
         Some(done(s"row filter set on ${unquoteIdent(t)}"))
       case DropRowFilterR(t, u, r, all) =>
+        requireAdmin(spark, "ALTER TABLE ... DROP ROW FILTER")
         dropRowFilter(unquoteIdent(t), principal(u, r, all))
         Some(done(s"row filter dropped on ${unquoteIdent(t)}"))
       case SetMaskR(t, c, m, u, r, all) =>
+        requireAdmin(spark, "ALTER TABLE ... SET COLUMN MASK")
         setColumnMask(unquoteIdent(t), c, principal(u, r, all), unquoteSql(m))
         Some(done(s"column mask set on ${unquoteIdent(t)}.$c"))
       case DropMaskR(t, c, u, r, all) =>
+        requireAdmin(spark, "ALTER TABLE ... DROP COLUMN MASK")
         dropColumnMask(unquoteIdent(t), c, principal(u, r, all))
         Some(done(s"column mask dropped on ${unquoteIdent(t)}.$c"))
       case _ => None

@@ -311,23 +311,31 @@ object NamedTables {
 
   /** Pre-analysis substitution of registered names (and `snapshot.`/path``
     * relations) with fresh read plans — the front-door path for sessions
-    * built without the extensions hook. Temp views win over registered
-    * names, matching the analyzer-rule precedence. Top-down so a
+    * built without the extensions hook. Temp views and in-scope CTE
+    * aliases win over registered names, matching the analyzer-rule
+    * precedence ([[CteScope]] carries the positional CTE scope and — unlike
+    * `transformDownWithSubqueries` — reaches references INSIDE CTE
+    * definitions, which are not plan children). Top-down so a
     * RelationTimeTravel wrapper is seen before its child relation.
     */
   def substitute(spark: SparkSession, plan: LogicalPlan): LogicalPlan =
-    plan.transformDownWithSubqueries {
-      case RelationTimeTravel(u: UnresolvedRelation, ts, v)
-          if resolvable(spark, u) =>
-        timeTravelPlan(spark, u.multipartIdentifier.last,
-          refOf(u.multipartIdentifier).get, ts, v)
-      case u: UnresolvedRelation if resolvable(spark, u) =>
-        readPlan(spark, u.multipartIdentifier.last,
-          refOf(u.multipartIdentifier).get)
+    CteScope.transform(plan) { (node, scope) =>
+      node match {
+        case RelationTimeTravel(u: UnresolvedRelation, ts, v)
+            if resolvable(spark, u, scope) =>
+          Some(timeTravelPlan(spark, u.multipartIdentifier.last,
+            refOf(u.multipartIdentifier).get, ts, v))
+        case u: UnresolvedRelation if resolvable(spark, u, scope) =>
+          Some(readPlan(spark, u.multipartIdentifier.last,
+            refOf(u.multipartIdentifier).get))
+        case _ => None
+      }
     }
 
-  private def resolvable(spark: SparkSession, u: UnresolvedRelation): Boolean =
+  private def resolvable(spark: SparkSession, u: UnresolvedRelation,
+      cteScope: Set[String]): Boolean =
     refOf(u.multipartIdentifier).isDefined &&
+      !CteScope.shadowed(u.multipartIdentifier, cteScope) &&
       !(u.multipartIdentifier.size == 1 &&
         tempViewExists(spark, u.multipartIdentifier.head))
 

@@ -25,6 +25,15 @@ class AuthzSpec extends SparkSpec with BeforeAndAfterEach {
     spark.conf.set("spark.graft.user", user)
   }
 
+  /** Become the admin user with enforcement on: mutating admin verbs
+    * (GRANT/REVOKE/roles/policies) are admin-gated once enabled.
+    */
+  private def asAdmin(): Unit = {
+    spark.conf.set("spark.graft.authz.enabled", "true")
+    spark.conf.set("spark.graft.authz.admins", "admin")
+    spark.conf.set("spark.graft.user", "admin")
+  }
+
   private def scratchTable(prefix: String, n: Int): String = {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
@@ -41,10 +50,52 @@ class AuthzSpec extends SparkSpec with BeforeAndAfterEach {
       sql("SELECT count(*) FROM customer").collect()
     }
     assert(denied.getMessage.contains("alice"))
+    asAdmin()
     sql("GRANT SELECT ON TABLE customer TO USER alice")
+    asUser("alice")
     assert(sql("SELECT count(*) AS n FROM customer").head.getLong(0) > 0)
+    asAdmin()
     sql("REVOKE SELECT ON TABLE customer FROM USER alice")
+    asUser("alice")
     intercept[Authz.AccessDenied] { sql("SELECT count(*) FROM customer").collect() }
+  }
+
+  test("admin verbs are themselves gated: no self-grant, no policy-drop by non-admins") {
+    val t = scratchTable("authz_gate_", 10)
+    sql(s"ALTER TABLE $t SET ROW FILTER 'id < 3' FOR ALL") // permissive: not enabled yet
+    asUser("zoe")
+    // a denied user can neither grant themselves access ...
+    val g = intercept[Authz.AccessDenied] {
+      sql(s"GRANT SELECT ON TABLE $t TO USER zoe")
+    }
+    assert(g.getMessage.contains("admin"))
+    // ... nor drop the filter protecting the table, nor mint roles
+    intercept[Authz.AccessDenied] { sql(s"ALTER TABLE $t DROP ROW FILTER FOR ALL") }
+    intercept[Authz.AccessDenied] { sql("CREATE ROLE sneaky") }
+    intercept[Authz.AccessDenied] { sql("GRANT ROLE sneaky TO USER zoe") }
+    assert(Authz.roles.isEmpty)
+    assert(Authz.grantsOn(t).isEmpty)
+    // admins administer; the filter applies to the now-granted user
+    asAdmin()
+    sql(s"GRANT SELECT ON TABLE $t TO USER zoe")
+    asUser("zoe")
+    assert(sql(s"SELECT count(*) AS n FROM $t").head.getLong(0) === 3)
+  }
+
+  test("restricted security confs cannot be SET through the SQL front door") {
+    asUser("mal")
+    intercept[Authz.AccessDenied] { sql("SET spark.graft.user=admin") }
+    intercept[Authz.AccessDenied] { sql("SET spark.graft.authz.enabled=false") }
+    intercept[Authz.AccessDenied] { sql("SET spark.graft.authz.admins=mal") }
+    // the security context is unchanged
+    assert(Authz.currentUser(spark) === "mal")
+    assert(Authz.enabled(spark))
+    // admins may manage the context; unrelated confs stay settable by anyone
+    asAdmin()
+    sql("SET spark.graft.authz.admins=admin,ops")
+    assert(spark.conf.get("spark.graft.authz.admins") === "admin,ops")
+    asUser("mal")
+    sql("SET spark.sql.shuffle.partitions=32")
   }
 
   test("disabled sessions are permissive and policies stay dormant") {
@@ -54,22 +105,28 @@ class AuthzSpec extends SparkSpec with BeforeAndAfterEach {
   }
 
   test("PUBLIC is the everyone-principal (Hive's spelling of ALL)") {
-    asUser("quinn")
+    asAdmin()
     sql("GRANT SELECT ON TABLE region TO PUBLIC")
+    asUser("quinn")
     assert(sql("SELECT count(*) AS n FROM region").head.getLong(0) === 5)
+    asAdmin()
     sql("REVOKE SELECT ON TABLE region FROM PUBLIC")
+    asUser("quinn")
     intercept[Authz.AccessDenied] { sql("SELECT count(*) FROM region").collect() }
   }
 
   test("roles bundle privileges; SHOW CURRENT ROLES reflects membership") {
-    asUser("bob")
+    asAdmin()
     sql("CREATE ROLE analyst")
     sql("GRANT ROLE analyst TO USER bob")
     sql("GRANT SELECT ON TABLE nation TO ROLE analyst")
+    asUser("bob")
     assert(sql("SELECT count(*) AS n FROM nation").head.getLong(0) === 25)
     val cur = sql("SHOW CURRENT ROLES").collect().map(_.getString(0))
     assert(cur.toSeq === Seq("analyst"))
+    asAdmin()
     sql("REVOKE ROLE analyst FROM USER bob")
+    asUser("bob")
     intercept[Authz.AccessDenied] { sql("SELECT count(*) FROM nation").collect() }
   }
 
@@ -139,7 +196,9 @@ class AuthzSpec extends SparkSpec with BeforeAndAfterEach {
       sql(s"DELETE FROM $t WHERE id >= 10")
     }
     assert(denied.getMessage.contains("delete"))
+    asAdmin()
     sql(s"GRANT DELETE ON TABLE $t TO USER ivy")
+    asUser("ivy")
     sql(s"DELETE FROM $t WHERE id >= 10")
     assert(sql(s"SELECT count(*) AS n FROM $t").head.getLong(0) === 10)
     // UPDATE still denied: delete grant does not imply it
@@ -155,13 +214,16 @@ class AuthzSpec extends SparkSpec with BeforeAndAfterEach {
     sql(s"ALTER TABLE $t SET ROW FILTER 'id < 5' FOR USER jo")
     asUser("jo")
     assert(sql(s"SELECT count(*) AS n FROM $t").head.getLong(0) === 5)
+    asAdmin()
     sql(s"ALTER TABLE $t DROP ROW FILTER FOR USER jo")
+    asUser("jo")
     assert(sql(s"SELECT count(*) AS n FROM $t").head.getLong(0) === 10)
   }
 
   test("CTE aliases are statement-local: no grant required, and they shadow policies") {
-    asUser("noa")
+    asAdmin()
     sql("GRANT SELECT ON TABLE nation TO USER noa")
+    asUser("noa")
     // the CTE name needs no grant of its own
     val n = sql(
       """WITH tiny AS (SELECT n_nationkey FROM nation WHERE n_nationkey < 3)
@@ -176,6 +238,74 @@ class AuthzSpec extends SparkSpec with BeforeAndAfterEach {
     assert(shadowed === 1)
     // while a direct read of the real table still gets the filter
     assert(sql("SELECT count(*) AS n FROM nation").head.getLong(0) === 0)
+  }
+
+  test("CTE scope is positional: a nested CTE alias exempts nothing outside its scope") {
+    val t = scratchTable("authz_ctescope_", 20)
+    asUser("oli")
+    // a CTE named like the protected table, nested inside one branch, must
+    // not exempt the OUTER reference to the real table from the check
+    intercept[Authz.AccessDenied] {
+      sql(
+        s"""SELECT id FROM $t
+           |UNION ALL
+           |SELECT c FROM (WITH $t AS (SELECT 1 AS c) SELECT c FROM $t)"""
+          .stripMargin).collect()
+    }
+    // ... nor from the policy rewrite once SELECT is granted
+    asAdmin()
+    sql(s"GRANT SELECT ON TABLE $t TO USER oli")
+    sql(s"ALTER TABLE $t SET ROW FILTER 'id < 2' FOR USER oli")
+    asUser("oli")
+    val n = sql(
+      s"""SELECT count(*) AS n FROM (
+         |  SELECT id FROM $t
+         |  UNION ALL
+         |  SELECT c FROM (WITH $t AS (SELECT 1 AS c) SELECT c FROM $t))"""
+        .stripMargin).head.getLong(0)
+    assert(n === 3, "outer read must be filtered (2 rows) + 1 CTE row")
+  }
+
+  test("reads INSIDE a CTE definition are checked and policied") {
+    val t = scratchTable("authz_ctedef_", 20)
+    asUser("uma")
+    // the read of the real table lives inside the CTE definition — it must
+    // still require SELECT (cteRelations are not plan children; a naive
+    // traversal never sees this read)
+    intercept[Authz.AccessDenied] {
+      sql(s"WITH x AS (SELECT id FROM $t) SELECT count(*) FROM x").collect()
+    }
+    asAdmin()
+    sql(s"GRANT SELECT ON TABLE $t TO USER uma")
+    sql(s"ALTER TABLE $t SET ROW FILTER 'id < 5' FOR USER uma")
+    sql(s"ALTER TABLE $t SET COLUMN MASK name AS '''[hidden]''' FOR USER uma")
+    asUser("uma")
+    // filter applies through the CTE definition
+    assert(sql(s"WITH x AS (SELECT id FROM $t) SELECT count(*) AS n FROM x")
+      .head.getLong(0) === 5)
+    // mask applies through the CTE definition
+    val names = sql(s"WITH x AS (SELECT name FROM $t) SELECT name FROM x")
+      .collect().map(_.getString(0))
+    assert(names.length === 5 && names.forall(_ === "[hidden]"),
+      s"masked values must flow through the CTE definition: ${names.toSeq}")
+    // and through subquery-expression plans referencing a CTE body
+    assert(sql(
+      s"""SELECT count(*) AS n FROM (SELECT 1)
+         |WHERE EXISTS (WITH y AS (SELECT id FROM $t WHERE id >= 5)
+         |              SELECT * FROM y)""".stripMargin).head.getLong(0) === 0,
+      "row filter must apply inside an EXISTS subquery's CTE definition")
+  }
+
+  test("SET ROLE without authz enabled falls through to Spark's own error") {
+    // no enforcement: the verb is not intercepted — the session gets
+    // Spark's canonical SET ROLE rejection, not a confusing
+    // "user anonymous has not been granted role x" from a subsystem it
+    // never opted into
+    val e = intercept[Exception] { Engine.sql(spark, sfDir, "SET ROLE anything") }
+    assert(!e.isInstanceOf[IllegalArgumentException] &&
+      !e.getMessage.contains("has not been granted"),
+      s"authz intercepted SET ROLE while disabled: $e")
+    assert(!Authz.enabled(spark))
   }
 
   test("row-filter predicates push down to the scan (policy cost = user WHERE)") {
@@ -214,12 +344,13 @@ class AuthzSpec extends SparkSpec with BeforeAndAfterEach {
   }
 
   test("SET ROLE narrows active roles; ALL restores, NONE deactivates") {
-    asUser("lee")
+    asAdmin()
     sql("CREATE ROLE r_read")
     sql("CREATE ROLE r_other")
     sql("GRANT ROLE r_read TO USER lee")
     sql("GRANT ROLE r_other TO USER lee")
     sql("GRANT SELECT ON TABLE region TO ROLE r_read")
+    asUser("lee")
     assert(sql("SELECT count(*) AS n FROM region").head.getLong(0) === 5)
     sql("SET ROLE r_other") // active roles exclude r_read now
     intercept[Authz.AccessDenied] { sql("SELECT count(*) FROM region").collect() }
@@ -247,7 +378,9 @@ class AuthzSpec extends SparkSpec with BeforeAndAfterEach {
       sql("INSERT INTO authz_selfins SELECT id + 200, v FROM authz_selfins")
     }
     assert(denied.getMessage.contains("select"))
+    asAdmin()
     sql("GRANT SELECT ON TABLE authz_selfins TO USER wes")
+    asUser("wes")
     sql("INSERT INTO authz_selfins SELECT id + 200, v FROM authz_selfins WHERE id < 2")
     assert(sql("SELECT count(*) AS n FROM authz_selfins").head.getLong(0) === 8)
   }
@@ -301,7 +434,9 @@ class AuthzSpec extends SparkSpec with BeforeAndAfterEach {
     intercept[Authz.AccessDenied] {
       sql(s"SELECT count(*) FROM snapshot_table('$root')").collect() }
     // one grant on the NAME governs every address of the same data
+    asAdmin()
     sql("GRANT SELECT ON TABLE authz_gov TO USER pia")
+    asUser("pia")
     assert(sql("SELECT count(*) AS n FROM authz_gov").head.getLong(0) === 5)
     assert(sql(s"SELECT count(*) AS n FROM snapshot.`$root`").head.getLong(0) === 5,
       "path address must apply the owning table's row filter")

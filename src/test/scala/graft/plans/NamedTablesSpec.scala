@@ -61,6 +61,37 @@ class NamedTablesSpec extends SparkSpec {
     }
   }
 
+  test("substitution reaches CTE definitions, and in-scope CTE aliases shadow registered names") {
+    import spark.implicits._
+    val root = tmp("graft_cte_tbl_") + "/t"
+    Snapshots.create(spark, root,
+      (0 until 8).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
+    NamedTables.registerSnapshot("cte_sub_t", root)
+    try {
+      // the registered name appears ONLY inside the CTE definition —
+      // cteRelations are not plan children, so a naive transform never
+      // substitutes it and analysis fails with TABLE_OR_VIEW_NOT_FOUND
+      assert(graft.Engine.sql(spark, sfDir,
+        """WITH x AS (SELECT id FROM cte_sub_t WHERE id < 3)
+          |SELECT count(*) AS n FROM x""".stripMargin).head.getLong(0) === 3)
+      // a CTE named like the registered table shadows it where visible
+      // (analyzer precedence) ...
+      assert(graft.Engine.sql(spark, sfDir,
+        """WITH cte_sub_t AS (SELECT 1 AS one)
+          |SELECT count(*) AS n FROM cte_sub_t""".stripMargin)
+        .head.getLong(0) === 1)
+      // ... but a nested CTE of that name exempts nothing outside its
+      // scope: the outer reference still reads the real 8-row table
+      assert(graft.Engine.sql(spark, sfDir,
+        """SELECT count(*) AS n FROM (
+          |  SELECT id FROM cte_sub_t
+          |  UNION ALL
+          |  SELECT c FROM (WITH cte_sub_t AS (SELECT 1 AS c)
+          |                 SELECT c FROM cte_sub_t))""".stripMargin)
+        .head.getLong(0) === 9)
+    } finally NamedTables.drop("cte_sub_t")
+  }
+
   test("concurrent registrations CAS without losing either") {
     withCatalog { dir =>
       val t1 = new Thread(() =>
