@@ -64,45 +64,80 @@ object Workload {
     extends RuntimeException(
       s"query killed by resource-plan trigger $trigger: $counter=$value exceeded $limit")
 
-  private val plans =
-    scala.collection.concurrent.TrieMap.empty[String, ResourcePlan]
-  @volatile private var activeName: Option[String] = None
+  /** The whole WLM database as one immutable value — every mutation is a
+    * pure `WState => WState` applied identically to the in-memory copy and
+    * (when [[bootstrap]]ed) the durable store, so a JVM restart reloads
+    * exactly what admin statements built (the reference stores resource
+    * plans in the metastore: standalone-metastore thrift WMResourcePlan/
+    * WMPool/WMTrigger/WMMapping tables — a plan that forgets itself on
+    * restart defeats its purpose).
+    */
+  final case class WState(
+      plans: Map[String, ResourcePlan] = Map.empty,
+      active: Option[String] = None)
+
+  @volatile private var state: WState = WState()
   // session pool overrides written by MOVE triggers: user -> pool
+  // (runtime session state, deliberately NOT persisted)
   private val movedTo = new ConcurrentHashMap[String, String]()
+
+  private def mutate(op: WState => WState): Unit = synchronized {
+    state = op(state)
+    store.foreach(_.mutate(op))
+  }
 
   private def norm(s: String): String = s.toLowerCase(Locale.ROOT)
 
   // ------------------------------------------------------------- plan DDL
 
   def createPlan(name: String): Unit = {
-    require(!plans.contains(norm(name)), s"resource plan exists: $name")
-    plans.put(norm(name), ResourcePlan(norm(name)))
+    require(!state.plans.contains(norm(name)), s"resource plan exists: $name")
+    val n = norm(name)
+    mutate(s => if (s.plans.contains(n)) s
+      else s.copy(plans = s.plans + (n -> ResourcePlan(n))))
   }
   def dropPlan(name: String): Unit = {
-    require(!activeName.contains(norm(name)), s"cannot drop the active plan: $name")
-    plans.remove(norm(name))
+    require(!state.active.contains(norm(name)), s"cannot drop the active plan: $name")
+    val n = norm(name)
+    mutate(s => s.copy(plans = s.plans - n))
   }
   def activate(name: String): Unit = {
-    require(plans.contains(norm(name)), s"resource plan not found: $name")
-    activeName = Some(norm(name)); movedTo.clear()
+    require(state.plans.contains(norm(name)), s"resource plan not found: $name")
+    val n = norm(name)
+    mutate(s => if (s.plans.contains(n)) s.copy(active = Some(n)) else s)
+    movedTo.clear(); admission.clear()
   }
-  def disable(): Unit = { activeName = None; movedTo.clear() }
-  def activePlan: Option[ResourcePlan] = activeName.flatMap(plans.get)
-  def planNames: Seq[String] = plans.keys.toSeq.sorted
-  def plan(name: String): Option[ResourcePlan] = plans.get(norm(name))
+  def disable(): Unit = {
+    mutate(_.copy(active = None)); movedTo.clear(); admission.clear()
+  }
+  def activePlan: Option[ResourcePlan] = {
+    val s = state; s.active.flatMap(s.plans.get)
+  }
+  def planNames: Seq[String] = state.plans.keys.toSeq.sorted
+  def plan(name: String): Option[ResourcePlan] = state.plans.get(norm(name))
 
   private def update(name: String)(f: ResourcePlan => ResourcePlan): Unit = {
-    val p = plans.getOrElse(norm(name),
-      throw new IllegalArgumentException(s"resource plan not found: $name"))
-    plans.put(norm(name), f(p))
+    val n = norm(name)
+    if (!state.plans.contains(n))
+      throw new IllegalArgumentException(s"resource plan not found: $name")
+    mutate(s => s.plans.get(n) match {
+      case Some(p) => s.copy(plans = s.plans + (n -> f(p)))
+      case None => s
+    })
   }
 
   def createPool(planName: String, pool: String, allocFraction: Double,
-      queryParallelism: Int): Unit =
+      queryParallelism: Int): Unit = {
     update(planName)(p => p.copy(pools = p.pools +
       (norm(pool) -> Pool(norm(pool), allocFraction, queryParallelism))))
-  def dropPool(planName: String, pool: String): Unit =
+    // re-defining a pool re-sizes its admission semaphore: drop the cached
+    // one so the next acquire builds from the CURRENT parallelism
+    admission.remove(s"${norm(planName)}/${norm(pool)}")
+  }
+  def dropPool(planName: String, pool: String): Unit = {
     update(planName)(p => p.copy(pools = p.pools - norm(pool)))
+    admission.remove(s"${norm(planName)}/${norm(pool)}")
+  }
 
   def createTrigger(planName: String, trigger: String, counter: String,
       limit: Long, action: Action): Unit = {
@@ -131,8 +166,87 @@ object Workload {
   def dropMapping(planName: String, user: String): Unit =
     update(planName)(p => p.copy(mappings = p.mappings.filterNot(_._1 == norm(user))))
 
-  /** Test/maintenance reset. */
-  def clearAll(): Unit = { plans.clear(); activeName = None; movedTo.clear() }
+  /** Test/maintenance reset — WLM state is JVM-global. The durable store
+    * (if bootstrapped) is detached, NOT wiped: clearAll models a session
+    * teardown, not a metastore drop.
+    */
+  def clearAll(): Unit = synchronized {
+    state = WState(); movedTo.clear(); admission.clear()
+    store = None; storeDir = ""
+  }
+
+  // ------------------------------------------------------- durable store
+
+  // serializable document shape (json4s-friendly flat lists; the Action
+  // ADT flattens to "kill" | "move:<pool>")
+  private case class TriggerE(name: String, counter: String, limit: Long,
+      action: String)
+  private case class PoolE(name: String, allocFraction: Double,
+      queryParallelism: Int, triggers: List[String])
+  private case class MappingE(user: String, pool: String)
+  private case class PlanE(name: String, pools: List[PoolE],
+      triggers: List[TriggerE], mappings: List[MappingE])
+  private case class WDoc(plans: List[PlanE], active: Option[String])
+
+  private implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+
+  private def encAction(a: Action): String = a match {
+    case Kill => "kill"
+    case MoveTo(p) => s"move:$p"
+  }
+  private def decAction(s: String): Action =
+    if (s == "kill") Kill else MoveTo(s.stripPrefix("move:"))
+
+  private def toDoc(s: WState): WDoc = WDoc(
+    s.plans.toList.sortBy(_._1).map { case (_, p) =>
+      PlanE(p.name,
+        p.pools.toList.sortBy(_._1).map { case (_, pl) =>
+          PoolE(pl.name, pl.allocFraction, pl.queryParallelism,
+            pl.triggers.toList.sorted) },
+        p.triggers.toList.sortBy(_._1).map { case (_, t) =>
+          TriggerE(t.name, t.counter, t.limit, encAction(t.action)) },
+        p.mappings.toList.map { case (u, pool) => MappingE(u, pool) })
+    },
+    s.active)
+
+  private def ofDoc(d: WDoc): WState = WState(
+    d.plans.map { pe =>
+      pe.name -> ResourcePlan(pe.name,
+        pe.pools.map(pl => pl.name -> Pool(pl.name, pl.allocFraction,
+          pl.queryParallelism, pl.triggers.toSet)).toMap,
+        pe.triggers.map(t => t.name -> Trigger(t.name, t.counter, t.limit,
+          decAction(t.action))).toMap,
+        pe.mappings.map(m => m.user -> m.pool))
+    }.toMap,
+    d.active)
+
+  @volatile private var store: Option[CasJsonStore[WState]] = None
+  @volatile private var storeDir: String = ""
+
+  /** Install the persisted WLM database when `spark.graft.catalog` is set
+    * (the same conf that makes [[NamedTables]] and [[Authz]] durable):
+    * durable state loads under the in-memory state (memory wins per plan —
+    * it is newer), and every mutation from here on writes through.
+    * Idempotent per path; called from [[graft.Engine.configure]].
+    */
+  def bootstrap(spark: SparkSession): Unit = {
+    val dir = spark.conf.getOption(NamedTables.CatalogConfKey).getOrElse("")
+    if (dir.isEmpty || dir == storeDir) return
+    synchronized {
+      if (dir == storeDir) return
+      val s = new CasJsonStore[WState](
+        new org.apache.hadoop.fs.Path(dir, "_workload"),
+        spark.sparkContext.hadoopConfiguration,
+        WState(),
+        st => org.json4s.jackson.Serialization.write(toDoc(st)),
+        txt => ofDoc(org.json4s.jackson.Serialization.read[WDoc](txt)))
+      val durable = s.load()._2
+      state = WState(durable.plans ++ state.plans,
+        state.active.orElse(durable.active))
+      store = Some(s)
+      storeDir = dir
+    }
+  }
 
   /** Compile a plan to the fair-scheduler allocation file a real cluster
     * deployment points `spark.scheduler.allocation.file` at —
@@ -316,14 +430,16 @@ object Workload {
       case DropPlanR(p) => dropPlan(p); Some(done(s"dropped resource plan $p"))
       case ActivateR(p) => activate(p); Some(done(s"activated resource plan $p"))
       case DisableR(p) =>
-        if (activeName.contains(norm(p))) disable()
+        if (state.active.contains(norm(p))) disable()
         Some(done(s"disabled resource plan $p"))
       case ShowPlansR() =>
+        val s = state
         Some(planNames.map(n =>
-          (n, activeName.contains(n), plans(n).pools.size, plans(n).triggers.size))
+          (n, s.active.contains(n), s.plans(n).pools.size,
+            s.plans(n).triggers.size))
           .toDF("plan", "active", "pools", "triggers"))
       case ShowPlanR(p) =>
-        val rp = plans.getOrElse(norm(p),
+        val rp = state.plans.getOrElse(norm(p),
           throw new IllegalArgumentException(s"resource plan not found: $p"))
         Some(rp.pools.values.toSeq.sortBy(_.name).map(pl =>
           (pl.name, pl.allocFraction, pl.queryParallelism,

@@ -162,6 +162,75 @@ class WorkloadSpec extends SparkSpec with BeforeAndAfterEach {
     Workload.run(spark, "analyst")(pool => assert(pool === "batch"))
   }
 
+  test("re-defining a pool re-sizes its admission control (no stale semaphore)") {
+    Workload.createPlan("wm")
+    Workload.createPool("wm", "grow", 1.0, 1)
+    Workload.addMapping("wm", "worker", "grow")
+    Workload.activate("wm")
+    // first run caches the parallelism-1 semaphore for wm/grow
+    Workload.run(spark, "worker")(_ => spark.range(10).count())
+    // re-defining the pool with parallelism 3 must take effect — the
+    // first-ever value may not keep enforcing forever
+    Workload.createPool("wm", "grow", 1.0, 3)
+    val active = new AtomicInteger(0)
+    val maxSeen = new AtomicInteger(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    try {
+      (0 until 3).map { _ =>
+        pool.submit(new Runnable {
+          override def run(): Unit = Workload.run(spark, "worker") { _ =>
+            val now = active.incrementAndGet()
+            maxSeen.updateAndGet(m => math.max(m, now))
+            Thread.sleep(300)
+            active.decrementAndGet()
+            spark.range(10).count()
+          }
+        })
+      }.foreach(_.get())
+    } finally pool.shutdown()
+    assert(maxSeen.get() >= 2,
+      s"stale parallelism-1 semaphore still enforced (maxSeen=${maxSeen.get()})")
+  }
+
+  test("resource plans persist across JVM restarts via spark.graft.catalog") {
+    val dir = java.nio.file.Files.createTempDirectory("wlm_store_").toString
+    spark.conf.set(NamedTables.CatalogConfKey, dir)
+    try {
+      Workload.bootstrap(spark)
+      sql("CREATE RESOURCE PLAN nightly")
+      sql("CREATE POOL nightly.compact WITH ALLOC_FRACTION=0.6, QUERY_PARALLELISM=2")
+      sql("CREATE TRIGGER nightly.t_kill WHEN ELAPSED_TIME > 30000 DO KILL")
+      sql("ALTER POOL nightly.compact ADD TRIGGER t_kill")
+      sql("CREATE USER MAPPING 'compactor' IN nightly TO compact")
+      sql("ALTER RESOURCE PLAN nightly ACTIVATE")
+      // simulated JVM restart: memory forgotten, store detached
+      Workload.clearAll()
+      assert(Workload.planNames.isEmpty)
+      Workload.bootstrap(spark) // fresh boot reloads the durable database
+      assert(Workload.planNames === Seq("nightly"))
+      assert(Workload.activePlan.map(_.name) === Some("nightly"),
+        "the ACTIVE plan must survive restart (a plan that forgets it was " +
+          "active defeats its purpose)")
+      val p = Workload.plan("nightly").get
+      assert(p.pools("compact").queryParallelism === 2)
+      assert(p.pools("compact").triggers === Set("t_kill"))
+      assert(p.triggers("t_kill").limit === 30000L)
+      assert(Workload.poolFor("compactor") === "compact")
+      val shown = sql("SHOW RESOURCE PLANS").collect()
+        .map(r => (r.getString(0), r.getBoolean(1)))
+      assert(shown.toSeq === Seq(("nightly", true)))
+      // durable drop: deactivate + drop survives restart too
+      sql("ALTER RESOURCE PLAN nightly DISABLE")
+      sql("DROP RESOURCE PLAN nightly")
+      Workload.clearAll()
+      Workload.bootstrap(spark)
+      assert(Workload.planNames.isEmpty)
+    } finally {
+      spark.conf.unset(NamedTables.CatalogConfKey)
+      Workload.clearAll()
+    }
+  }
+
   test("the active plan compiles to a real fair-scheduler allocation file") {
     Workload.createPlan("wm")
     Workload.createPool("wm", "etl", 0.75, 3)
