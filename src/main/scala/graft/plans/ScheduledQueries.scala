@@ -13,6 +13,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * tests drive it. Hive's executor-pool/metastore-lease machinery is
   * infrastructure Spark deployments already have (SURVEY §7 non-goals); the
   * capability kept here is the schedule registry + due-query execution.
+  *
+  * SQL-defined schedules are DURABLE when `spark.graft.catalog` is set (the
+  * same conf that makes [[NamedTables]]/[[Authz]]/[[Workload]] durable): the
+  * statement text, interval, enabled flag, and last-run time persist through
+  * the shared [[CasJsonStore]] discipline and re-hydrate into any session
+  * that touches a scheduled-query verb — the reference stores exactly these
+  * fields in the metastore ScheduledQuery table (a nightly-compaction
+  * schedule that forgets itself on restart defeats its purpose).
+  * Programmatic schedules ([[create]] with an arbitrary closure) are
+  * session-only, like the reference's in-process executors.
   */
 object ScheduledQueries {
 
@@ -50,10 +60,16 @@ object ScheduledQueries {
   def setEnabled(spark: SparkSession, name: String, enabled: Boolean): Unit = {
     val r = regFor(spark)
     Option(r.get(name)).foreach(s => r.put(name, s.copy(enabled = enabled)))
+    if (stmtsFor(spark).containsKey(name))
+      persist(_.map(e => if (e.name == name) e.copy(enabled = enabled) else e))
   }
 
   /** DROP SCHEDULED QUERY name. */
-  def drop(spark: SparkSession, name: String): Unit = regFor(spark).remove(name)
+  def drop(spark: SparkSession, name: String): Unit = {
+    regFor(spark).remove(name)
+    if (stmtsFor(spark).remove(name) != null)
+      persist(_.filterNot(_.name == name))
+  }
 
   def list(spark: SparkSession): Seq[Scheduled] = {
     import scala.jdk.CollectionConverters._
@@ -70,6 +86,8 @@ object ScheduledQueries {
         (s.lastRunAt == Long.MinValue || now - s.lastRunAt >= s.everyMillis)).map { s =>
       s.sink(s.query(spark))
       r.put(s.name, s.copy(lastRunAt = now))
+      if (stmtsFor(spark).containsKey(s.name))
+        persist(_.map(e => if (e.name == s.name) e.copy(lastRunAt = now) else e))
       s.name
     }
   }
@@ -80,7 +98,8 @@ object ScheduledQueries {
   // EXECUTE, DROP, SHOW) — the EVERY form; CRON expressions are the
   // deployment scheduler's job here (runDue is clock-driven by design)
 
-  // statement text per (session, name), for SHOW and re-execution
+  // statement text per (session, name), for SHOW, re-execution, and
+  // durability (only statement-backed schedules can persist)
   private val statements =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession,
@@ -94,6 +113,16 @@ object ScheduledQueries {
     r
   }
 
+  /** A scheduled statement's result is forced WITHOUT copying rows to the
+    * driver: `foreach` runs the plan distributed and discards rows in the
+    * executors, where `collect()` would materialize a full driver copy per
+    * tick (a scheduled plain SELECT over a large table must not be a
+    * driver OOM). Commands (INSERT/MERGE/...) execute eagerly at build
+    * time; this forces the lazy SELECT shapes too.
+    */
+  private[graft] def force(df: DataFrame): Unit =
+    df.foreach((_: org.apache.spark.sql.Row) => ())
+
   private val CreateR =
     ("""(?is)\s*CREATE\s+SCHEDULED\s+QUERY\s+(\w+)\s+EVERY\s+(\d+)\s+""" +
       """(SECOND|MINUTE|HOUR)S?\s+AS\s+(.+?)\s*;?\s*""").r
@@ -105,6 +134,8 @@ object ScheduledQueries {
     """(?is)\s*DROP\s+SCHEDULED\s+QUERY\s+(\w+)\s*;?\s*""".r
   private val ShowR = """(?is)\s*SHOW\s+SCHEDULED\s+QUERIES\s*;?\s*""".r
   private val ExecDueR = """(?is)\s*EXECUTE\s+SCHEDULED\s+QUERIES\s*;?\s*""".r
+  // every verb above contains this token — the cheap gate for hydration
+  private val TouchR = """(?is).*\bSCHEDULED\s+QUER.*""".r
 
   /** Execute `sqlText` if it is a scheduled-query verb (all parse errors
     * to Spark); `runner` is the engine front door the stored statement
@@ -115,6 +146,9 @@ object ScheduledQueries {
       runner: String => DataFrame): Option[DataFrame] = {
     import spark.implicits._
     def done(what: String): DataFrame = Seq(what).toDF("result")
+    // a scheduled-query verb touches the durable registry first, so a
+    // fresh session (or JVM) sees every persisted schedule
+    if (TouchR.matches(sqlText)) { bootstrap(spark); hydrate(spark, runner) }
     sqlText match {
       case CreateR(name, n, unit, stmt) =>
         val ms = n.toLong * (unit.toUpperCase match {
@@ -122,8 +156,10 @@ object ScheduledQueries {
           case "MINUTE" => 60L * 1000
           case _ => 3600L * 1000
         })
-        create(spark, name, ms)(_ => runner(stmt))(_.collect())
+        create(spark, name, ms)(_ => runner(stmt))(force)
         stmtsFor(spark).put(name, stmt.trim)
+        persist(_.filterNot(_.name == name) :+
+          SchedE(name, ms, stmt.trim, enabled = true, Long.MinValue))
         Some(done(s"created scheduled query $name"))
       case AlterToggleR(name, toggle) =>
         setEnabled(spark, name, toggle.equalsIgnoreCase("ENABLE"))
@@ -134,11 +170,13 @@ object ScheduledQueries {
         val s = Option(r.get(name)).getOrElse(
           throw new IllegalArgumentException(s"scheduled query not found: $name"))
         s.sink(s.query(spark))
-        r.put(name, s.copy(lastRunAt = System.currentTimeMillis()))
+        val now = System.currentTimeMillis()
+        r.put(name, s.copy(lastRunAt = now))
+        if (stmtsFor(spark).containsKey(name))
+          persist(_.map(e => if (e.name == name) e.copy(lastRunAt = now) else e))
         Some(done(s"executed scheduled query $name"))
       case DropR(name) =>
         drop(spark, name)
-        stmtsFor(spark).remove(name)
         Some(done(s"dropped scheduled query $name"))
       case ShowR() =>
         val stmts = stmtsFor(spark)
@@ -151,5 +189,70 @@ object ScheduledQueries {
         Some(runDue(spark, System.currentTimeMillis()).toDF("executed"))
       case _ => None
     }
+  }
+
+  // ------------------------------------------------------- durable store
+
+  /** Serialization row — exactly the reference's metastore ScheduledQuery
+    * columns that matter here (schedule_name, schedule, query, enabled,
+    * next_execution). Top-level-ish so json4s reflection can construct it.
+    */
+  private case class SchedE(name: String, everyMillis: Long,
+      statement: String, enabled: Boolean, lastRunAt: Long)
+
+  private implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+
+  @volatile private var store: Option[CasJsonStore[List[SchedE]]] = None
+  @volatile private var storeDir: String = ""
+
+  private def persist(op: List[SchedE] => List[SchedE]): Unit =
+    store.foreach(_.mutate(op))
+
+  /** Install the persisted registry when `spark.graft.catalog` is set.
+    * Idempotent per path.
+    */
+  def bootstrap(spark: SparkSession): Unit = {
+    val dir = spark.conf.getOption(NamedTables.CatalogConfKey).getOrElse("")
+    if (dir.isEmpty || dir == storeDir) return
+    synchronized {
+      if (dir == storeDir) return
+      store = Some(new CasJsonStore[List[SchedE]](
+        new org.apache.hadoop.fs.Path(dir, "_scheduled"),
+        spark.sparkContext.hadoopConfiguration,
+        Nil,
+        l => org.json4s.jackson.Serialization.write(l),
+        txt => org.json4s.jackson.Serialization.read[List[SchedE]](txt)))
+      storeDir = dir
+    }
+  }
+
+  /** Rebuild this session's registry entries from the durable store
+    * (statement text re-binds to the session's front-door `runner`).
+    * In-memory entries win per name — they are newer.
+    */
+  private def hydrate(spark: SparkSession, runner: String => DataFrame): Unit =
+    store.foreach { s =>
+      val r = regFor(spark)
+      val stmts = stmtsFor(spark)
+      s.load()._2.foreach { e =>
+        if (!r.containsKey(e.name)) {
+          r.put(e.name, Scheduled(e.name, e.everyMillis,
+            _ => runner(e.statement), force, e.lastRunAt, e.enabled))
+          stmts.put(e.name, e.statement)
+        }
+      }
+    }
+
+  /** Test hook: detach the durable store, as a JVM restart would. */
+  private[graft] def resetStoreForTest(): Unit = synchronized {
+    store = None; storeDir = ""
+  }
+
+  /** Test hook: forget one session's in-memory registry (hydration then
+    * rebuilds it from the durable store), as a fresh session would see.
+    */
+  private[graft] def forgetSessionForTest(spark: SparkSession): Unit = {
+    registry.synchronized(registry.remove(spark))
+    statements.synchronized(statements.remove(spark))
   }
 }
