@@ -2,6 +2,7 @@ package graft.hplsql
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import scala.collection.mutable
+import scala.jdk.CollectionConverters._
 import scala.util.control.NonFatal
 
 /** Procedural SQL interpreter — the engine's analog of the reference's
@@ -29,9 +30,9 @@ import scala.util.control.NonFatal
   * plan, so scale behavior of the data path is unchanged.
   *
   * Deliberately out of scope (grammar rows that are client/dialect shims):
-  * explicit OPEN/FETCH/CLOSE cursors (cursor-FOR covers the pattern),
   * packages, condition handlers beyond WHEN OTHERS, COPY/CMP/TD-specific
-  * statements.
+  * statements. Explicit OPEN/FETCH/CLOSE cursors ARE implemented (with
+  * SQLCODE maintenance), streaming one partition at a time.
   */
 object Hplsql {
 
@@ -706,7 +707,10 @@ object Hplsql {
       case ForCursor(v, query, body) =>
         val df = sqlRunner(substitute(query))
         lastDf = Some(df)
-        val rows = df.collect() // cursor loops are driver-side by definition
+        // cursor loops are driver-side by definition, but STREAMED: one
+        // partition's rows at a time, so a loop that exits early never
+        // materializes the full result on the driver
+        val rows = df.toLocalIterator().asScala
         val cols = df.columns
         scopes.push(mutable.LinkedHashMap.empty)
         try {
@@ -726,7 +730,9 @@ object Hplsql {
         val c = cursorOf(n)
         val df = sqlRunner(substitute(c.query))
         lastDf = Some(df)
-        c.it = df.collect().iterator // cursor loops are driver-side by definition
+        // streamed, not collect()ed: FETCH-ing 3 rows from a billion-row
+        // cursor pulls one partition, not a full driver materialization
+        c.it = df.toLocalIterator().asScala
         c.open = true
 
       case FetchCur(n, into) =>

@@ -306,6 +306,41 @@ class HplsqlSpec extends SparkSpec with Matchers {
     r.printed shouldBe Seq("total=66 code=100") // (1+10)+(2+20)+(3+30)
   }
 
+  test("cursors stream: FETCH-ing a few rows never materializes the full result") {
+    import java.util.concurrent.atomic.AtomicLong
+    val resultBytes = new AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          resultBytes.addAndGet(te.taskMetrics.resultSize)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // 4M bigints over 16 partitions: collect() would pull 32+ MB to the
+      // driver at OPEN; toLocalIterator pulls ONE partition (~2 MB)
+      val r = run("""
+        DECLARE c CURSOR FOR SELECT id FROM range(0, 4000000, 1, 16);
+        DECLARE x BIGINT;
+        OPEN c;
+        FETCH c INTO x;
+        FETCH c INTO x;
+        FETCH c INTO x;
+        CLOSE c;
+        PRINT 'got=' || x || ' code=' || sqlcode;
+      """)
+      r.printed shouldBe Seq("got=2 code=0")
+      val deadline = System.currentTimeMillis() + 5000
+      var last = -1L
+      while (System.currentTimeMillis() < deadline && last != resultBytes.get()) {
+        last = resultBytes.get(); Thread.sleep(200)
+      }
+      assert(resultBytes.get() < 8L * 1024 * 1024,
+        s"cursor OPEN moved ${resultBytes.get()} bytes to the driver — " +
+          "it must stream partitions, not collect()")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("cursor errors are loud: FETCH before OPEN, unknown cursor") {
     val e1 = intercept[IllegalArgumentException] {
       run("""
