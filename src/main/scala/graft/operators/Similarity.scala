@@ -485,28 +485,69 @@ object Similarity {
     * equi-join on cluster_id, so the quadratic term is bounded by the largest
     * cluster, not the corpus: at 100 TB, k is sized so clusters stay
     * partition-sized (corpus/k rows each), and nothing all-pairs ever runs.
+    *
+    * `maxClusterSize` makes that bound un-footgunnable: a degenerate
+    * embedding set (or k too small) can dump the corpus into ONE cluster,
+    * and k-means cannot split what it cannot separate (identical vectors
+    * are equidistant from every centroid). Clusters above the cap are split
+    * deterministically by id-hash into ceil(n/cap) sub-clusters; the pair
+    * join runs within sub-clusters (≤ cap²/2 pairs each), then ONE
+    * refinement pass pair-joins each split cluster's surviving
+    * representatives (guarded by the same cap), so the all-identical case
+    * still converges to a single kept row. Within-cap clusters are
+    * untouched — the exact SemDeDup answer. Recall loss exists only for a
+    * cluster whose pairwise-distinct survivor count exceeds the cap, where
+    * exactness would be quadratic by definition.
+    *
     * Returns every corpus row flagged: (id, cluster_id, is_dup, dup_of —
-    * the lowest-id LOWER member the row is tau-similar to, NULL for kept
-    * rows). The witness may itself be flagged (a~b, b~c, a!~c drops both b
+    * the lowest-id witness the row is tau-similar to, NULL for kept rows).
+    * The witness may itself be flagged (a~b, b~c, a!~c drops both b
     * and c with witnesses a and b): chase the chain if a canonical kept
     * representative is needed — the keep/drop decision itself needs no
-    * chasing, exactly one lowest-id row per similarity chain survives.
+    * chasing.
     */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, tau: Double, iters: Int = 2): DataFrame = {
+      k: Int, tau: Double, iters: Int = 2,
+      maxClusterSize: Int = 10000): DataFrame = {
+    require(maxClusterSize > 1, s"maxClusterSize must be > 1: $maxClusterSize")
     val assigned = kMeansClusters(corpus, idCol, vecCol, k, iters)
       .select(col(idCol).as("__id"), col("cluster_id"))
       .join(corpus.select(col(idCol).as("__id"), col(vecCol).as("__v")), "__id")
-    val left = assigned.select(col("cluster_id"), col("__id").as("__i"),
-      col("__v").as("__vi"))
-    val right = assigned.select(col("cluster_id"), col("__id").as("__j"),
-      col("__v").as("__vj"))
-    val dups = left.join(right, Seq("cluster_id"))
-      .filter(col("__i") < col("__j"))
-      .filter(cosine(col("__vi"), col("__vj")) >= tau)
-      .groupBy(col("cluster_id"), col("__j").as("__id"))
-      .agg(min(col("__i")).as("dup_of"))
-    assigned.join(dups.drop("cluster_id"), Seq("__id"), "left_outer")
+    // cluster sizes are k rows — broadcast; a cluster over the cap splits
+    // into ceil(n/cap) hash sub-clusters (within-cap: __sub = 0, the plan
+    // and answer are exactly the uncapped SemDeDup)
+    val sizes = assigned.groupBy("cluster_id").agg(count(lit(1)).as("__n"))
+    val salted = assigned.join(broadcast(sizes), Seq("cluster_id"))
+      .withColumn("__splits",
+        greatest(lit(1L), ceil(col("__n") / lit(maxClusterSize))).cast("int"))
+      .withColumn("__sub",
+        pmod(xxhash64(col("__id")), col("__splits")).cast("int"))
+    def pairDups(df: DataFrame, keys: Seq[String]): DataFrame = {
+      val left = df.select((keys.map(col) :+ col("__id").as("__i")
+        :+ col("__v").as("__vi")): _*)
+      val right = df.select((keys.map(col) :+ col("__id").as("__j")
+        :+ col("__v").as("__vj")): _*)
+      left.join(right, keys)
+        .filter(col("__i") < col("__j"))
+        .filter(cosine(col("__vi"), col("__vj")) >= tau)
+        .groupBy(col("__j").as("__id"))
+        .agg(min(col("__i")).as("dup_of"))
+    }
+    val within = pairDups(salted, Seq("cluster_id", "__sub"))
+    // refinement: each SPLIT cluster's sub-cluster survivors pair-join once
+    // within the original cluster (bounded by the same cap) — catches the
+    // cross-sub-cluster duplicates the salt hid; e.g. all-identical vectors
+    // leave one survivor per sub-cluster, and this pass keeps exactly one
+    val splitRows = salted.filter(col("__splits") > lit(1))
+    val survivors = splitRows.join(within, Seq("__id"), "left_anti")
+    val survSizes = survivors.groupBy("cluster_id").agg(count(lit(1)).as("__sn"))
+    val refinable = survivors.join(
+      broadcast(survSizes.filter(col("__sn") <= maxClusterSize)),
+      Seq("cluster_id"))
+    val refined = pairDups(refinable, Seq("cluster_id"))
+    val dups = within.union(refined)
+      .groupBy("__id").agg(min(col("dup_of")).as("dup_of"))
+    assigned.join(dups, Seq("__id"), "left_outer")
       .select(col("__id").as(idCol), col("cluster_id"),
         col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
   }

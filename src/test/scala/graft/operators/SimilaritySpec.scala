@@ -344,4 +344,38 @@ class SimilaritySpec extends SparkSpec {
     assert(d.filter($"is_dup").count() === 0)
     assert(d.filter($"dup_of".isNotNull).count() === 0)
   }
+
+  test("semanticDedup cluster cap bounds a degenerate corpus and still converges") {
+    import spark.implicits._
+    // 5000 IDENTICAL vectors: k-means cannot separate them, so without a
+    // cap every pair lands in one cluster — 12.5M comparisons here,
+    // corpus²/2 at scale. With cap=100 the cluster splits into 50 hash
+    // sub-clusters (≤100²/2 pairs each) + one 50-survivor refinement pass.
+    val degenerate = spark.range(5000)
+      .select($"id".as("vec_id"),
+        array(lit(1.0f), lit(0.0f), lit(0.5f), lit(0.25f)).as("embedding"))
+    val d = Similarity.semanticDedup(degenerate, "vec_id", "embedding",
+      k = 8, tau = 0.999, iters = 1, maxClusterSize = 100).cache()
+    try {
+      assert(d.count() === 5000)
+      // the refinement pass collapses sub-cluster survivors: exactly the
+      // global lowest id survives, everything else is flagged
+      val kept = d.filter(!$"is_dup").select($"vec_id").collect().map(_.getLong(0))
+      assert(kept.toSeq === Seq(0L),
+        s"expected only id 0 kept, got ${kept.sorted.take(10).toSeq}...")
+      assert(d.filter($"is_dup").count() === 4999)
+      // witnesses are always lower ids (keep-the-first is preserved)
+      assert(d.filter($"is_dup" && $"dup_of" >= $"vec_id").count() === 0)
+    } finally d.unpersist()
+    // a mixed corpus: the cap leaves within-cap clusters byte-identical to
+    // the uncapped answer
+    val mixed = emb.limit(200)
+    val uncapped = Similarity.semanticDedup(mixed, "vec_id", "embedding",
+      k = 8, tau = 0.98, iters = 2)
+    val capped = Similarity.semanticDedup(mixed, "vec_id", "embedding",
+      k = 8, tau = 0.98, iters = 2, maxClusterSize = 10000)
+    val render = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(render(capped) === render(uncapped))
+  }
 }
