@@ -253,18 +253,33 @@ object KvStore {
     }
 
   private def readKvFile(p: Path): Seq[(String, String)] =
-    try Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq
+    readKvFileOpt(p).getOrElse(Nil)
+
+  /** None when the file does not exist — a MEANINGFUL signal for deltas: a
+    * delta listed by a reader and then deleted by a racing compact has its
+    * puts folded into the NEW base, but this reader may have opened the OLD
+    * base before the fold, in which case silently skipping the delta loses
+    * its committed puts. Readers must detect the vanish and retry the whole
+    * bucket read against fresh state (see [[DeltaVanished]]); only a
+    * missing BASE file legitimately reads as empty (a bucket nothing was
+    * ever folded into).
+    */
+  private def readKvFileOpt(p: Path): Option[Seq[(String, String)]] =
+    try Some(Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq
       .filter(_.nonEmpty).map { line =>
         val t = line.indexOf('\t')
         (dec(line.substring(0, t)), dec(line.substring(t + 1)))
-      }
+      })
     catch {
-      // a delta listed by a reader can be deleted by a racing compact
-      // before it is opened — its puts are already folded into the base
-      // that same reader will (or did) see, so skipping it is consistent
-      case _: java.nio.file.NoSuchFileException => Nil
-      case _: java.io.FileNotFoundException => Nil
+      case _: java.nio.file.NoSuchFileException => None
+      case _: java.io.FileNotFoundException => None
     }
+
+  /** A snapshotted delta vanished mid-read (racing compact folded and
+    * deleted it): the reader's base/delta view is torn — retry.
+    */
+  private final case class DeltaVanished(p: Path)
+    extends Exception(s"delta vanished mid-read: $p", null, false, false)
 
   private def writeKvFile(p: Path, kvs: Seq[(String, String)]): Unit = {
     Files.createDirectories(p.getParent)
@@ -288,16 +303,31 @@ object KvStore {
       }
   }
 
-  /** Bucket state: base merged with deltas, last put wins, sorted by key. */
-  def readBucket(root: String, bucket: Int, buckets: Int): Seq[(String, String)] =
-    readBucketFrom(root, bucket, buckets, deltaFiles(root))
+  /** Bucket state: base merged with deltas, last put wins, sorted by key.
+    * A delta deleted by a racing compact between the listing and the open
+    * tears the view (the base may predate the fold) — detected via
+    * [[DeltaVanished]] and retried against a fresh listing, where the
+    * folded base carries the vanished delta's puts.
+    */
+  def readBucket(root: String, bucket: Int, buckets: Int): Seq[(String, String)] = {
+    var tries = 0
+    while (true) {
+      try return readBucketFrom(root, bucket, buckets, deltaFiles(root))
+      catch {
+        case DeltaVanished(_) if tries < 50 => tries += 1
+      }
+    }
+    Nil // unreachable
+  }
 
   private def readBucketFrom(root: String, bucket: Int, buckets: Int,
       deltas: Seq[Path]): Seq[(String, String)] = {
     val m = mutable.LinkedHashMap.empty[String, String]
+    // base FIRST, deltas in commit order on top (last put wins); a missing
+    // base is an empty bucket, a missing delta is a torn view
     readKvFile(baseFile(root, bucket)).foreach { case (k, v) => m.put(k, v) }
     deltas.foreach { p =>
-      readKvFile(p).foreach { case (k, v) =>
+      readKvFileOpt(p).getOrElse(throw DeltaVanished(p)).foreach { case (k, v) =>
         if (bucketOf(k, buckets) == bucket) m.put(k, v)
       }
     }
@@ -381,11 +411,23 @@ object KvStore {
     * idempotence.
     */
   def compact(root: String, buckets: Int): Unit = {
-    val snapshot = deltaFiles(root)
-    (0 until buckets).foreach { b =>
-      val merged = readBucketFrom(root, b, buckets, snapshot)
-      if (merged.nonEmpty) writeKvFile(baseFile(root, b), merged)
+    var tries = 0
+    var done = false
+    while (!done) {
+      val snapshot = deltaFiles(root)
+      try {
+        (0 until buckets).foreach { b =>
+          val merged = readBucketFrom(root, b, buckets, snapshot)
+          if (merged.nonEmpty) writeKvFile(baseFile(root, b), merged)
+        }
+        snapshot.foreach(Files.deleteIfExists)
+        done = true
+      } catch {
+        // a CONCURRENT compactor folded+deleted part of this snapshot: our
+        // fold would rewrite bases from a torn view (possibly missing the
+        // other's folded puts) — restart against fresh state
+        case DeltaVanished(_) if tries < 50 => tries += 1
+      }
     }
-    snapshot.foreach(Files.deleteIfExists)
   }
 }
