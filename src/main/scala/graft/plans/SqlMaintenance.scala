@@ -59,6 +59,9 @@ object SqlMaintenance {
   private val ExplainAnalyze =
     """(?is)\s*EXPLAIN\s+ANALYZE\s+(.+?)\s*;?\s*""".r
   private val ShowCompactions = """(?is)\s*SHOW\s+COMPACTIONS\s*;?\s*""".r
+  private val ShowLocks =
+    ("""(?is)\s*SHOW\s+LOCKS(?:\s+""" + Ident + """)?(?:\s+EXTENDED)?\s*;?\s*""").r
+  private val ShowTransactions = """(?is)\s*SHOW\s+TRANSACTIONS\s*;?\s*""".r
   // the reference's EXPLAIN options (ref ql/.../parse/ExplainConfiguration
   // .java): CBO shows the cost-annotated plan -> Spark's EXPLAIN COST;
   // VECTORIZATION reports the vectorized-execution view -> EXPLAIN CODEGEN
@@ -109,6 +112,10 @@ object SqlMaintenance {
         Some(runExplainAnalyze(spark, query))
       case ShowCompactions() =>
         Some(runShowCompactions(spark))
+      case ShowLocks(_) =>
+        Some(runShowLocks(spark))
+      case ShowTransactions() =>
+        Some(runShowTransactions(spark))
       case ExplainCbo(query) => Some(spark.sql(s"EXPLAIN COST $query"))
       case ExplainVec(query) => Some(spark.sql(s"EXPLAIN CODEGEN $query"))
       case _ => None
@@ -134,6 +141,36 @@ object SqlMaintenance {
     }.flatten
       .sortBy(t => (t._1, t._2))
       .toDF("table", "version", "type", "commit_ts", "n_files", "state")
+  }
+
+  /** SHOW LOCKS [table] — the reference's lock-manager visibility verb
+    * (ref ql/.../ddl/process/ShowLocksDesc.java, column shape from
+    * ShowLocksOperation). This engine's concurrency model is lock-free
+    * optimistic (snapshot CAS commits — a writer either publishes its
+    * version or retries; nothing ever WAITS on a lock), so the well-formed
+    * answer is always zero rows: there are no locks to hold, matching the
+    * operability contract the way SHOW COMPACTIONS' terminal rows do.
+    */
+  private def runShowLocks(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, String, String, String, String, String, String, Long,
+        java.sql.Timestamp, java.sql.Timestamp, String, String)]
+      .toDF("lockid", "database", "table", "partition", "lock_state",
+        "blocked_by", "lock_type", "transaction_id", "last_heartbeat",
+        "acquired_at", "user", "hostname")
+  }
+
+  /** SHOW TRANSACTIONS — the reference's txn-manager visibility verb (ref
+    * ql/.../ddl/process/ShowTransactionsDesc.java). Snapshot commits are
+    * atomic CAS publishes with no open-transaction state between
+    * statements, so the open-txn list is always empty — zero rows, the
+    * reference's column shape.
+    */
+  private def runShowTransactions(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, String, java.sql.Timestamp, java.sql.Timestamp,
+        String, String)]
+      .toDF("txnid", "state", "started", "last_heartbeat", "user", "host")
   }
 
   /** EXPLAIN ANALYZE <query> — Hive's post-execution plan report (ref ql/

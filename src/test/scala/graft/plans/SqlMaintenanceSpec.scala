@@ -120,6 +120,24 @@ class SqlMaintenanceSpec extends SparkSpec {
     assert(rows.toSeq === Seq("compact" -> "succeeded", "zorder" -> "succeeded"))
   }
 
+  test("SHOW LOCKS / SHOW TRANSACTIONS answer well-formed for the lock-free model") {
+    // snapshot commits are CAS publishes: nothing ever holds a lock or an
+    // open transaction between statements, so the operability verbs answer
+    // zero rows with the reference's column shape
+    val locks = sql("SHOW LOCKS")
+    assert(locks.columns.toSeq === Seq("lockid", "database", "table",
+      "partition", "lock_state", "blocked_by", "lock_type", "transaction_id",
+      "last_heartbeat", "acquired_at", "user", "hostname"))
+    assert(locks.count() === 0)
+    // table-scoped and EXTENDED forms parse too
+    assert(sql("SHOW LOCKS orders").count() === 0)
+    assert(sql("SHOW LOCKS orders EXTENDED").count() === 0)
+    val txns = sql("SHOW TRANSACTIONS")
+    assert(txns.columns.toSeq ===
+      Seq("txnid", "state", "started", "last_heartbeat", "user", "host"))
+    assert(txns.count() === 0)
+  }
+
   test("EXPLAIN CBO / EXPLAIN VECTORIZATION map to cost and codegen reports") {
     val cbo = sql("EXPLAIN CBO SELECT count(*) FROM nation")
       .collect().map(_.getString(0)).mkString("\n")
