@@ -102,6 +102,20 @@ object HiveFunctions {
     // nvl2(a, b, c) = if a is not null then b else c.
     fn("nvl2")(args => If(IsNotNull(args.head), args(1), args(2)))
 
+    // reflect/java_method (ref FunctionRegistry.java:584-586) are a REAL
+    // public Hive surface, but arbitrary-JVM-reflection-from-SQL is an
+    // injection hazard this engine refuses BY POLICY — and Spark ships its
+    // own live `reflect` builtin, so the refusal must be an explicit
+    // override (silent absence would leave Spark's reflection reachable).
+    // The names resolve; USING them yields this documented error.
+    Seq("reflect", "java_method").foreach { name =>
+      fn(name)(_ => throw new UnsupportedOperationException(
+        s"$name is disabled in this engine: arbitrary JVM reflection from " +
+          "SQL is an injection hazard (the reference exposes it via " +
+          "GenericUDFReflect; here the policy is refusal — register a " +
+          "function or use a Catalyst expression instead)"))
+    }
+
     // --- mask family (ref GenericUDFMaskFirstN.java etc). The charCount
     // default of 4 applies only when the argument is ABSENT; an explicit
     // negative count clamps to 0 (GenericUDFMaskFirstN: `if (charCount < 0)

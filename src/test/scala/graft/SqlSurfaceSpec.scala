@@ -110,8 +110,15 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(inl.map(_.getInt(0)).toSeq === Seq(1, 2))
   }
 
-  test("reflect/java_method and assert_true/raise_error surface") {
-    assert(sql1[String]("reflect('java.lang.String', 'valueOf', 42)") === "42")
+  test("reflect/java_method refuse by policy; assert_true/raise_error surface") {
+    // reflect/java_method resolve but REFUSE: arbitrary JVM reflection from
+    // SQL is excluded by policy (an explicit override of Spark's live
+    // builtin — see HiveFunctions), not silently absent
+    val e = intercept[Exception] {
+      spark.sql("SELECT reflect('java.lang.String', 'valueOf', 42)").collect()
+    }
+    assert((e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+      .contains("disabled"))
     assert(sql1[String]("typeof(1.5)") === "decimal(2,1)")
     // assert_true returns null on success
     assert(spark.sql("SELECT assert_true(1 < 2) AS v").head().isNullAt(0))

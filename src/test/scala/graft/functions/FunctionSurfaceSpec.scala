@@ -86,6 +86,21 @@ class FunctionSurfaceSpec extends SparkSpec {
     assert(missing.isEmpty, s"unresolved functions: ${missing.mkString(", ")}")
   }
 
+  test("reflect/java_method resolve but refuse with the documented error") {
+    HiveFunctions.registerAll(spark)
+    Seq("reflect", "java_method").foreach { name =>
+      val e = intercept[Exception] {
+        spark.sql(
+          s"SELECT $name('java.lang.System', 'getProperty', 'user.dir')")
+          .collect()
+      }
+      val msg = Option(e.getMessage).getOrElse("") +
+        Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("disabled") && msg.contains("reflection"),
+        s"$name must fail with the documented refusal, got: $e")
+    }
+  }
+
   test("every geospatial ST_* surface name resolves") {
     GeoFunctions.registerAll(spark)
     val stNames = Seq(
