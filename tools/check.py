@@ -17,6 +17,37 @@ import os
 import duckdb
 
 
+# Normalized dtype classes for Spark-result vs DuckDB-oracle parity. The
+# driver hashes values AFTER a round-trip that preserves dtype class, so a
+# value-equal result can still hash-FAIL on representation: DuckDB types a
+# bare sum(BIGINT) as HUGEINT which round-trips as float64 while Spark emits
+# int64 (the f32/s27 class of round-9 red). Width differences inside a class
+# (INT vs BIGINT, FLOAT vs DOUBLE) round-trip identically and are NOT
+# flagged; HUGEINT is its own class, so it can never match a Spark output.
+def dtype_class(t):
+    t = t.upper()
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    if t.startswith(("STRUCT", "MAP")) or t.endswith("[]"):
+        return "nested"
+    return {
+        "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int", "BIGINT": "int",
+        "UTINYINT": "int", "USMALLINT": "int", "UINTEGER": "int",
+        "UBIGINT": "int", "HUGEINT": "hugeint", "UHUGEINT": "hugeint",
+        # JSON is DuckDB's logical alias of VARCHAR — round-trips as str
+        "FLOAT": "float", "DOUBLE": "float", "VARCHAR": "str", "JSON": "str",
+        "BLOB": "bytes",
+        "BOOLEAN": "bool", "DATE": "date", "INTERVAL": "interval",
+    }.get(t, t)
+
+
+def dtypes_of(con, query):
+    rows = con.execute(f"DESCRIBE {query}").fetchall()
+    return {r[0]: r[1] for r in rows}
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -63,6 +94,23 @@ def main():
             continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rowcount {len(got)} vs {len(exp)}")
+            n_fail += 1
+            continue
+        # dtype parity per column (the driver's hash is representation-
+        # sensitive; python == is not — without this, int64 vs HUGEINT
+        # passes here and fails the driver)
+        try:
+            gt = dtypes_of(con, f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            et = dtypes_of(con, f"({oracles[name]})")
+            mism = [(c, gt[c], et[c]) for c in gt
+                    if c in et and dtype_class(gt[c]) != dtype_class(et[c])]
+        except Exception as e:
+            mism = []
+            print(f"WARN {name}: dtype check skipped: {str(e)[:120]}")
+        if mism:
+            c, g, e = mism[0]
+            print(f"FAIL {name}: dtype col {c}: spark {g} vs oracle {e} "
+                  f"(oracle needs a CAST — driver hash will diverge)")
             n_fail += 1
             continue
         bad = None
