@@ -272,7 +272,13 @@ object Bench {
     val bd = breakdown.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // the driver records only the LAST ~2 KB of stdout: a single long line
+    // loses its HEAD (where the totals live) to the capture window. Emit
+    // the bulky context first on its own line, then a compact headline
+    // line LAST — rounded to ms so the whole headline (totals + per-query
+    // seconds) fits inside the tail window and parses as one JSON object.
+    def r3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val ns = notes.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
@@ -280,7 +286,8 @@ object Bench {
     val m22 = results.filter { case (k, v) => r1Matched(k) && v >= 0 }
       .map(_._2).sum
     val m22Ratio = m22 / r1MatchedTotalSec
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_runs":$nRuns,"agg":"min","matched22_sec":$m22,"matched22_vs_r1":$m22Ratio,"queries":$qs,"breakdown":$bd,"notes":$ns,"sf":"$sfDir"}""")
+    println(s"""{"metric":"detail","breakdown":$bd,"notes":$ns}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_runs":$nRuns,"agg":"min","matched22_sec":${r3(m22)},"matched22_vs_r1":${r3(m22Ratio)},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
