@@ -513,15 +513,13 @@ object Similarity {
     val assigned = kMeansClusters(corpus, idCol, vecCol, k, iters)
       .select(col(idCol).as("__id"), col("cluster_id"))
       .join(corpus.select(col(idCol).as("__id"), col(vecCol).as("__v")), "__id")
-    // cluster sizes are k rows — broadcast; a cluster over the cap splits
-    // into ceil(n/cap) hash sub-clusters (within-cap: __sub = 0, the plan
-    // and answer are exactly the uncapped SemDeDup)
-    val sizes = assigned.groupBy("cluster_id").agg(count(lit(1)).as("__n"))
-    val salted = assigned.join(broadcast(sizes), Seq("cluster_id"))
-      .withColumn("__splits",
-        greatest(lit(1L), ceil(col("__n") / lit(maxClusterSize))).cast("int"))
-      .withColumn("__sub",
-        pmod(xxhash64(col("__id")), col("__splits")).cast("int"))
+    // cluster sizes are k rows (metadata-bounded, like the centroids the
+    // trainer already holds): the NORMAL case — every cluster within cap —
+    // runs the exact uncapped plan with zero overhead beyond this one
+    // size-check scan; the rescue path below engages only on degeneracy
+    val oversized = assigned.groupBy("cluster_id")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxClusterSize).count() > 0
     def pairDups(df: DataFrame, keys: Seq[String]): DataFrame = {
       val left = df.select((keys.map(col) :+ col("__id").as("__i")
         :+ col("__v").as("__vi")): _*)
@@ -533,20 +531,37 @@ object Similarity {
         .groupBy(col("__j").as("__id"))
         .agg(min(col("__i")).as("dup_of"))
     }
-    val within = pairDups(salted, Seq("cluster_id", "__sub"))
-    // refinement: each SPLIT cluster's sub-cluster survivors pair-join once
-    // within the original cluster (bounded by the same cap) — catches the
-    // cross-sub-cluster duplicates the salt hid; e.g. all-identical vectors
-    // leave one survivor per sub-cluster, and this pass keeps exactly one
-    val splitRows = salted.filter(col("__splits") > lit(1))
-    val survivors = splitRows.join(within, Seq("__id"), "left_anti")
-    val survSizes = survivors.groupBy("cluster_id").agg(count(lit(1)).as("__sn"))
-    val refinable = survivors.join(
-      broadcast(survSizes.filter(col("__sn") <= maxClusterSize)),
-      Seq("cluster_id"))
-    val refined = pairDups(refinable, Seq("cluster_id"))
-    val dups = within.union(refined)
-      .groupBy("__id").agg(min(col("dup_of")).as("dup_of"))
+    val dups =
+      if (!oversized) pairDups(assigned, Seq("cluster_id"))
+      else {
+        // rescue path: split over-cap clusters into ceil(n/cap) hash
+        // sub-clusters. The frame self-joins several times below, so pin
+        // it once (localCheckpoint) instead of recomputing k-means per
+        // reference — bounded at corpus width, the SemDeDup working set.
+        val sizes = assigned.groupBy("cluster_id").agg(count(lit(1)).as("__n"))
+        val salted = assigned.join(broadcast(sizes), Seq("cluster_id"))
+          .withColumn("__splits",
+            greatest(lit(1L), ceil(col("__n") / lit(maxClusterSize))).cast("int"))
+          .withColumn("__sub",
+            pmod(xxhash64(col("__id")), col("__splits")).cast("int"))
+          .localCheckpoint()
+        val within = pairDups(salted, Seq("cluster_id", "__sub"))
+        // refinement: each SPLIT cluster's sub-cluster survivors pair-join
+        // once within the original cluster (bounded by the same cap) —
+        // catches the cross-sub-cluster duplicates the salt hid; e.g.
+        // all-identical vectors leave one survivor per sub-cluster, and
+        // this pass keeps exactly one
+        val splitRows = salted.filter(col("__splits") > lit(1))
+        val survivors = splitRows.join(within, Seq("__id"), "left_anti")
+        val survSizes = survivors.groupBy("cluster_id")
+          .agg(count(lit(1)).as("__sn"))
+        val refinable = survivors.join(
+          broadcast(survSizes.filter(col("__sn") <= maxClusterSize)),
+          Seq("cluster_id"))
+        val refined = pairDups(refinable, Seq("cluster_id"))
+        within.union(refined)
+          .groupBy("__id").agg(min(col("dup_of")).as("dup_of"))
+      }
     assigned.join(dups, Seq("__id"), "left_outer")
       .select(col("__id").as(idCol), col("cluster_id"),
         col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
