@@ -693,5 +693,73 @@ object SqlDmlQueries {
         .groupBy(col("status").as("o_orderstatus"))
         .agg(count(lit(1)).as("n"), sum(col("k").cast("long")).as("sk"))
         .orderBy("o_orderstatus")
+    },
+
+    // Teradata-binary SerDe (sources.BinaryFormats; ref serde2/teradata/
+    // TeradataBinarySerde.java + io/TeradataBinaryRecordReader.java):
+    // orders rows round-trip through the FastExport "binary indicators"
+    // layout — 2-byte LE record length, null bitmap, typed fields
+    // (bigint/varchar/date/decimal on this path), 0x0A terminator —
+    // written and decoded by the from-scratch wire codec. The oracle
+    // replays the aggregate from parquet: one mis-framed record, flipped
+    // byte order, or broken decimal scaling breaks the hash.
+    q("s28_teradata_binary",
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sk,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS total,
+        |  CAST(min(o_orderdate) AS DATE) AS first_day
+        |FROM orders WHERE o_orderkey <= 4000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+      val path = scratch()
+      val fields = Seq("o_orderkey" -> "bigint", "o_orderstatus" -> "varchar",
+        "o_totalprice" -> "decimal(15,2)", "o_orderdate" -> "date")
+      val src = Engine.table(spark, dir, "orders")
+        .filter(col("o_orderkey") <= 4000)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(15,2)"),
+          col("o_orderdate").cast("date"))
+      graft.sources.BinaryFormats.writeTeradataBinary(src, fields, path)
+      graft.sources.BinaryFormats.readTeradataBinary(spark, path, fields)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum("o_orderkey").as("sk"),
+          Exact.dsum(col("o_totalprice").cast("double")).as("total"),
+          min("o_orderdate").as("first_day"))
+        .orderBy("o_orderstatus")
+    },
+
+    // Protobuf SerDe (sources.BinaryFormats; ref ql/io/protobuf/
+    // ProtobufSerDe.java + the public protobuf wire spec): orders rows
+    // round-trip as size-delimited wire messages (varint tags, zigzag,
+    // length-delimited strings) through the from-scratch codec, with an
+    // EXTRA field written that the read spec does not declare — the
+    // decode must skip it by wire type (forward compatibility) and still
+    // produce cell-exact aggregates vs the parquet replay.
+    q("s29_protobuf_serde",
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sk,
+        |  CAST(sum(CAST(-o_custkey AS BIGINT)) AS BIGINT) AS neg_cust
+        |FROM orders WHERE o_orderkey <= 4000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+      import graft.sources.BinaryFormats.ProtoField
+      val path = scratch()
+      val writeSpec = Seq(
+        ProtoField(1, "o_orderkey", "int64"),
+        ProtoField(2, "o_orderstatus", "string"),
+        ProtoField(3, "neg_cust", "sint64"), // negative: exercises zigzag
+        ProtoField(4, "o_orderpriority", "string")) // extra: reader skips it
+      val readSpec = writeSpec.filterNot(_.number == 4)
+      val src = Engine.table(spark, dir, "orders")
+        .filter(col("o_orderkey") <= 4000)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (-col("o_custkey")).cast("long").as("neg_cust"),
+          col("o_orderpriority"))
+      graft.sources.BinaryFormats.writeProtobuf(src, writeSpec, path)
+      graft.sources.BinaryFormats.readProtobuf(spark, path, readSpec)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum("o_orderkey").as("sk"),
+          sum("neg_cust").as("neg_cust"))
+        .orderBy("o_orderstatus")
     })
 }

@@ -1,0 +1,485 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Binary-format readers closing the reference's two binary SerDe rows with
+  * from-scratch decoders of PUBLIC wire formats (no external codec):
+  *
+  *   - Teradata binary (ref serde2/teradata/TeradataBinarySerde.java +
+  *     io/TeradataBinaryRecordReader.java — the FastExport/TPT "binary
+  *     indicators" layout): each record is a 2-byte little-endian length,
+  *     a payload of [null-indicator bitmap, fields in declared order], and
+  *     a 0x0A terminator. Nulls are bitmap-driven; null fields still
+  *     occupy their fixed width (zero/space padded).
+  *   - Protobuf (ref ql/io/protobuf/ProtobufSerDe.java + the protobuf wire
+  *     spec): tag = field_number << 3 | wire_type; varint / fixed64 /
+  *     length-delimited / fixed32 payloads; messages framed by protobuf's
+  *     own size-delimited stream layout (`writeDelimitedTo`). The
+  *     reference nests messages in SequenceFiles because MapReduce needs a
+  *     splittable container; the decode kernel here is container-agnostic
+  *     (bytes in, rows out) and the delimited stream is the public
+  *     equivalent.
+  *
+  * Scale stance mirrors [[TextFormats.readSkipping]]: whole files are the
+  * unit of parallelism (`binaryFile` source → decode per file), exactly the
+  * reference's non-splittable binary readers. Decode is genuinely
+  * imperative byte-walking — the `mapPartitions`-class exception SURVEY §4
+  * reserves for codecs.
+  */
+object BinaryFormats {
+
+  // ===================================================== Teradata binary
+
+  /** Spark type for a Teradata field spec: byteint | smallint | int |
+    * bigint | double | date | timestamp(p) | varchar | char(n) |
+    * decimal(p,s).
+    */
+  private val CharN = """char\((\d+)\)""".r
+  private val TimestampP = """timestamp\((\d+)\)""".r
+  private val DecimalPS = """decimal\((\d+),(\d+)\)""".r
+
+  private def tdSparkType(t: String): DataType = t.toLowerCase match {
+    case "byteint" => ByteType
+    case "smallint" => ShortType
+    case "int" | "integer" => IntegerType
+    case "bigint" => LongType
+    case "double" | "float" => DoubleType
+    case "date" => DateType
+    case "timestamp" => TimestampType
+    case TimestampP(_) => TimestampType
+    case "varchar" => StringType
+    case CharN(_) => StringType
+    case DecimalPS(p, s) => DecimalType(p.toInt, s.toInt)
+    case other => throw new IllegalArgumentException(s"teradata type: $other")
+  }
+
+  /** DECIMAL(P,_) byte width (TeradataBinarySerde: 1/2/4/8/16 by precision). */
+  private def decimalBytes(p: Int): Int =
+    if (p <= 2) 1 else if (p <= 4) 2 else if (p <= 9) 4
+    else if (p <= 18) 8 else 16
+
+  private def tsWidth(p: Int): Int = 19 + (if (p > 0) 1 + p else 0)
+
+  def teradataSchema(fields: Seq[(String, String)]): StructType =
+    StructType(fields.map { case (n, t) => StructField(n, tdSparkType(t)) })
+
+  /** Decode one file's records. Torn tails raise (the reference treats a
+    * short record as corruption, not data).
+    */
+  private[sources] def decodeTeradata(bytes: Array[Byte],
+      fields: Seq[(String, String)]): Iterator[Row] = {
+    val n = fields.length
+    val bitmapLen = (n + 7) / 8
+    val out = Seq.newBuilder[Row]
+    var pos = 0
+    while (pos < bytes.length) {
+      require(pos + 2 <= bytes.length, "torn record length")
+      val len = ((bytes(pos) & 0xff) | ((bytes(pos + 1) & 0xff) << 8))
+      require(pos + 2 + len + 1 <= bytes.length, "torn record payload")
+      require(bytes(pos + 2 + len) == 0x0a,
+        "record not terminated by 0x0a — not Teradata binary")
+      val buf = ByteBuffer.wrap(bytes, pos + 2, len).order(ByteOrder.LITTLE_ENDIAN)
+      val bitmap = new Array[Byte](bitmapLen)
+      buf.get(bitmap)
+      val vals = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        val isNull = (bitmap(i / 8) & (128 >> (i % 8))) != 0
+        val v: Any = fields(i)._2.toLowerCase match {
+          case "byteint" => buf.get()
+          case "smallint" => buf.getShort()
+          case "int" | "integer" => buf.getInt()
+          case "bigint" => buf.getLong()
+          case "double" | "float" => buf.getDouble()
+          case "date" =>
+            val d = buf.getInt()
+            if (d == 0) null
+            else {
+              val s = (d + 19000000).toString.reverse.padTo(8, '0').reverse
+              java.sql.Date.valueOf(
+                s"${s.substring(0, 4)}-${s.substring(4, 6)}-${s.substring(6, 8)}")
+            }
+          case "timestamp" | TimestampP(_) =>
+            val p = fields(i)._2.toLowerCase match {
+              case TimestampP(pp) => pp.toInt; case _ => 0
+            }
+            val b = new Array[Byte](tsWidth(p)); buf.get(b)
+            val s = new String(b, StandardCharsets.UTF_8).trim
+            if (s.isEmpty) null else java.sql.Timestamp.valueOf(s)
+          case "varchar" =>
+            val l = buf.getShort() & 0xffff
+            val b = new Array[Byte](l); buf.get(b)
+            new String(b, StandardCharsets.UTF_8)
+          case CharN(w) =>
+            val b = new Array[Byte](w.toInt); buf.get(b)
+            new String(b, StandardCharsets.UTF_8)
+          case DecimalPS(p, s) =>
+            val w = decimalBytes(p.toInt)
+            val b = new Array[Byte](w); buf.get(b)
+            // little-endian signed scaled integer -> BigDecimal(unscaled, s)
+            val be = b.reverse
+            new java.math.BigDecimal(new java.math.BigInteger(be), s.toInt)
+          case other => throw new IllegalArgumentException(other)
+        }
+        vals(i) = if (isNull) null else v
+        i += 1
+      }
+      require(!buf.hasRemaining,
+        "payload has bytes after the last field — schema does not match file")
+      out += Row.fromSeq(vals.toSeq)
+      pos += 2 + len + 1
+    }
+    out.result().iterator
+  }
+
+  /** Encode rows to the record layout (the OutputFormat twin — used by the
+    * distributed writer and as the round-trip fixture generator).
+    */
+  private[sources] def encodeTeradata(rows: Iterator[Row],
+      fields: Seq[(String, String)]): Array[Byte] = {
+    val n = fields.length
+    val bitmapLen = (n + 7) / 8
+    val out = new java.io.ByteArrayOutputStream()
+    rows.foreach { row =>
+      val bitmap = new Array[Byte](bitmapLen)
+      val body = new java.io.ByteArrayOutputStream()
+      val w = new java.io.DataOutputStream(body)
+      def le(bytes: Array[Byte]): Unit = w.write(bytes)
+      def le16(v: Int): Unit = { w.write(v & 0xff); w.write((v >> 8) & 0xff) }
+      def le32(v: Int): Unit =
+        le(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(v).array())
+      def le64(v: Long): Unit =
+        le(ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putLong(v).array())
+      fields.zipWithIndex.foreach { case ((_, t), i) =>
+        val v = row.get(i)
+        if (v == null) bitmap(i / 8) = (bitmap(i / 8) | (128 >> (i % 8))).toByte
+        t.toLowerCase match {
+          case "byteint" => w.write(if (v == null) 0 else v.asInstanceOf[Byte].toInt)
+          case "smallint" =>
+            le16(if (v == null) 0 else v.asInstanceOf[Short].toInt)
+          case "int" | "integer" => le32(if (v == null) 0 else v.asInstanceOf[Int])
+          case "bigint" => le64(if (v == null) 0L else v.asInstanceOf[Long])
+          case "double" | "float" =>
+            le(ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+              .putDouble(if (v == null) 0.0 else v.asInstanceOf[Double]).array())
+          case "date" =>
+            if (v == null) le32(0)
+            else {
+              val d = v.asInstanceOf[java.sql.Date].toLocalDate
+              le32(d.getYear * 10000 + d.getMonthValue * 100 +
+                d.getDayOfMonth - 19000000)
+            }
+          case "timestamp" | TimestampP(_) =>
+            val p = t.toLowerCase match {
+              case TimestampP(pp) => pp.toInt; case _ => 0
+            }
+            val width = tsWidth(p)
+            val s =
+              if (v == null) " " * width
+              else {
+                val ts = v.asInstanceOf[java.sql.Timestamp]
+                val base = ts.toString // yyyy-mm-dd hh:mm:ss[.f...]
+                val (whole, frac) = base.indexOf('.') match {
+                  case -1 => (base, "")
+                  case d => (base.substring(0, d), base.substring(d + 1))
+                }
+                if (p == 0) whole
+                else whole + "." + frac.padTo(p, '0').substring(0, p)
+              }
+            w.write(s.getBytes(StandardCharsets.UTF_8))
+          case "varchar" =>
+            val b = if (v == null) Array.empty[Byte]
+              else v.toString.getBytes(StandardCharsets.UTF_8)
+            le16(b.length); w.write(b)
+          case CharN(cw) =>
+            val s = (if (v == null) "" else v.toString).padTo(cw.toInt, ' ')
+            w.write(s.substring(0, cw.toInt).getBytes(StandardCharsets.UTF_8))
+          case DecimalPS(p, s) =>
+            val width = decimalBytes(p.toInt)
+            val unscaled =
+              if (v == null) java.math.BigInteger.ZERO
+              else v.asInstanceOf[java.math.BigDecimal]
+                .setScale(s.toInt).unscaledValue()
+            val be = unscaled.toByteArray // big-endian two's complement
+            val sign: Byte = if (unscaled.signum() < 0) -1 else 0
+            val full = Array.fill[Byte](width)(sign)
+            val src = be.takeRight(width)
+            System.arraycopy(src, 0, full, width - src.length, src.length)
+            w.write(full.reverse) // little-endian on the wire
+          case other => throw new IllegalArgumentException(other)
+        }
+      }
+      w.flush()
+      val payload = body.toByteArray
+      val rec = bitmap ++ payload
+      out.write(rec.length & 0xff); out.write((rec.length >> 8) & 0xff)
+      out.write(rec); out.write(0x0a)
+    }
+    out.toByteArray
+  }
+
+  /** Read a directory of Teradata-binary files: whole files are the unit
+    * of parallelism (the reference's reader is non-splittable for the same
+    * framing reason).
+    */
+  def readTeradataBinary(spark: SparkSession, path: String,
+      fields: Seq[(String, String)]): DataFrame = {
+    val schema = teradataSchema(fields)
+    val rdd = spark.read.format("binaryFile").load(path)
+      .select("content").rdd
+      .flatMap(r => decodeTeradata(r.getAs[Array[Byte]](0), fields))
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Distributed write: one file per partition through the Hadoop FS API
+    * (works on any defaultFS, not just local disk).
+    */
+  def writeTeradataBinary(df: DataFrame, fields: Seq[(String, String)],
+      path: String): Unit =
+    writePartitions(df, path, "td", rows => encodeTeradata(rows, fields))
+
+  // =========================================================== protobuf
+
+  /** Field spec: (field number, column name, dtype). Scalar dtypes:
+    * int32 | int64 | sint32 | sint64 | bool | double | float | string |
+    * bytes; `array<dtype>` reads a repeated field (packed or unpacked).
+    * Unknown field numbers are skipped by wire type (the protobuf
+    * forward-compat contract); absent fields read as NULL. Nested message
+    * types are out of this worked example's scope — the reference's
+    * descriptor-driven SerDe generalizes the same wire walk.
+    */
+  final case class ProtoField(number: Int, name: String, dtype: String)
+
+  private val ArrayT = """array<(\w+)>""".r
+
+  private def pbSparkType(t: String): DataType = t.toLowerCase match {
+    case "int32" | "sint32" => IntegerType
+    case "int64" | "sint64" => LongType
+    case "bool" => BooleanType
+    case "double" => DoubleType
+    case "float" => FloatType
+    case "string" => StringType
+    case "bytes" => BinaryType
+    case ArrayT(inner) => ArrayType(pbSparkType(inner))
+    case other => throw new IllegalArgumentException(s"proto type: $other")
+  }
+
+  def protoSchema(fields: Seq[ProtoField]): StructType =
+    StructType(fields.map(f => StructField(f.name, pbSparkType(f.dtype))))
+
+  private def readVarint(b: Array[Byte], pos: Int): (Long, Int) = {
+    var v = 0L; var shift = 0; var p = pos
+    while ({
+      val x = b(p); p += 1
+      v |= (x & 0x7fL) << shift; shift += 7
+      (x & 0x80) != 0
+    }) ()
+    (v, p)
+  }
+  private def zigzag(v: Long): Long = (v >>> 1) ^ -(v & 1)
+
+  /** Decode ONE message's bytes into column values per the spec. */
+  private[sources] def decodeProtoMessage(b: Array[Byte],
+      fields: Seq[ProtoField]): Row = {
+    val byNumber = fields.zipWithIndex.map { case (f, i) => f.number -> i }.toMap
+    val vals = new Array[Any](fields.length)
+    val lists = new Array[scala.collection.mutable.ArrayBuffer[Any]](fields.length)
+    def scalar(t: String, wire: Int, b: Array[Byte], pos: Int): (Any, Int) =
+      (t.toLowerCase, wire) match {
+        case ("int32", 0) => val (v, p) = readVarint(b, pos); (v.toInt, p)
+        case ("int64", 0) => val (v, p) = readVarint(b, pos); (v, p)
+        case ("sint32", 0) => val (v, p) = readVarint(b, pos); (zigzag(v).toInt, p)
+        case ("sint64", 0) => val (v, p) = readVarint(b, pos); (zigzag(v), p)
+        case ("bool", 0) => val (v, p) = readVarint(b, pos); (v != 0, p)
+        case ("double", 1) =>
+          (ByteBuffer.wrap(b, pos, 8).order(ByteOrder.LITTLE_ENDIAN).getDouble,
+            pos + 8)
+        case ("float", 5) =>
+          (ByteBuffer.wrap(b, pos, 4).order(ByteOrder.LITTLE_ENDIAN).getFloat,
+            pos + 4)
+        case ("string", 2) =>
+          val (l, p) = readVarint(b, pos)
+          (new String(b, p, l.toInt, StandardCharsets.UTF_8), p + l.toInt)
+        case ("bytes", 2) =>
+          val (l, p) = readVarint(b, pos)
+          (java.util.Arrays.copyOfRange(b, p, p + l.toInt), p + l.toInt)
+        case (t, w) => throw new IllegalArgumentException(
+          s"field type $t does not match wire type $w")
+      }
+    var pos = 0
+    while (pos < b.length) {
+      val (tag, p1) = readVarint(b, pos)
+      val number = (tag >>> 3).toInt
+      val wire = (tag & 7).toInt
+      byNumber.get(number) match {
+        case Some(i) =>
+          fields(i).dtype.toLowerCase match {
+            case ArrayT(inner) =>
+              if (lists(i) == null)
+                lists(i) = scala.collection.mutable.ArrayBuffer.empty[Any]
+              val numericPacked = wire == 2 &&
+                !Set("string", "bytes").contains(inner)
+              if (numericPacked) {
+                // packed encoding: one length-delimited run of values
+                val (l, p2) = readVarint(b, p1)
+                val end = p2 + l.toInt
+                var q = p2
+                val ew = inner match {
+                  case "double" => 1; case "float" => 5; case _ => 0
+                }
+                while (q < end) {
+                  val (v, qn) = scalar(inner, ew, b, q)
+                  lists(i) += v; q = qn
+                }
+                pos = end
+              } else {
+                val (v, p2) = scalar(inner, wire, b, p1)
+                lists(i) += v; pos = p2
+              }
+            case t =>
+              val (v, p2) = scalar(t, wire, b, p1)
+              vals(i) = v; pos = p2
+          }
+        case None =>
+          // unknown field: skip by wire type (forward compatibility)
+          pos = wire match {
+            case 0 => readVarint(b, p1)._2
+            case 1 => p1 + 8
+            case 2 => val (l, p2) = readVarint(b, p1); p2 + l.toInt
+            case 5 => p1 + 4
+            case w => throw new IllegalArgumentException(s"wire type $w")
+          }
+      }
+    }
+    fields.indices.foreach { i =>
+      if (lists(i) != null) vals(i) = lists(i).toSeq
+    }
+    Row.fromSeq(vals.toSeq)
+  }
+
+  /** Decode a size-delimited message stream (protobuf's own
+    * `writeDelimitedTo` framing): varint message length, message bytes,
+    * repeat.
+    */
+  private[sources] def decodeProtoDelimited(bytes: Array[Byte],
+      fields: Seq[ProtoField]): Iterator[Row] = {
+    val out = Seq.newBuilder[Row]
+    var pos = 0
+    while (pos < bytes.length) {
+      val (len, p) = readVarint(bytes, pos)
+      val msg = java.util.Arrays.copyOfRange(bytes, p, p + len.toInt)
+      out += decodeProtoMessage(msg, fields)
+      pos = p + len.toInt
+    }
+    out.result().iterator
+  }
+
+  private def writeVarint(out: java.io.OutputStream, value: Long): Unit = {
+    var v = value
+    while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+    out.write(v.toInt)
+  }
+
+  /** Encode rows as a size-delimited message stream (the fixture/writer
+    * twin; numeric repeated fields use packed encoding like protobuf 3).
+    */
+  private[sources] def encodeProtoDelimited(rows: Iterator[Row],
+      fields: Seq[ProtoField]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def scalarBytes(t: String, v: Any, msg: java.io.ByteArrayOutputStream): Unit =
+      t.toLowerCase match {
+        case "int32" => writeVarint(msg, v.asInstanceOf[Int].toLong)
+        case "int64" => writeVarint(msg, v.asInstanceOf[Long])
+        case "sint32" =>
+          val x = v.asInstanceOf[Int].toLong; writeVarint(msg, (x << 1) ^ (x >> 63))
+        case "sint64" =>
+          val x = v.asInstanceOf[Long]; writeVarint(msg, (x << 1) ^ (x >> 63))
+        case "bool" => msg.write(if (v.asInstanceOf[Boolean]) 1 else 0)
+        case "double" => msg.write(ByteBuffer.allocate(8)
+          .order(ByteOrder.LITTLE_ENDIAN).putDouble(v.asInstanceOf[Double]).array())
+        case "float" => msg.write(ByteBuffer.allocate(4)
+          .order(ByteOrder.LITTLE_ENDIAN).putFloat(v.asInstanceOf[Float]).array())
+        case "string" =>
+          val b = v.toString.getBytes(StandardCharsets.UTF_8)
+          writeVarint(msg, b.length.toLong); msg.write(b)
+        case "bytes" =>
+          val b = v.asInstanceOf[Array[Byte]]
+          writeVarint(msg, b.length.toLong); msg.write(b)
+        case other => throw new IllegalArgumentException(other)
+      }
+    def wireOf(t: String): Int = t.toLowerCase match {
+      case "double" => 1
+      case "float" => 5
+      case "string" | "bytes" => 2
+      case _ => 0
+    }
+    rows.foreach { row =>
+      val msg = new java.io.ByteArrayOutputStream()
+      fields.zipWithIndex.foreach { case (f, i) =>
+        val v = row.get(i)
+        if (v != null) f.dtype.toLowerCase match {
+          case ArrayT(inner) =>
+            val items = v.asInstanceOf[scala.collection.Seq[Any]]
+            if (Set("string", "bytes").contains(inner)) {
+              items.foreach { item =>
+                writeVarint(msg, (f.number.toLong << 3) | 2)
+                scalarBytes(inner, item, msg)
+              }
+            } else if (items.nonEmpty) {
+              // packed: one length-delimited run
+              val run = new java.io.ByteArrayOutputStream()
+              items.foreach(scalarBytes(inner, _, run))
+              writeVarint(msg, (f.number.toLong << 3) | 2)
+              writeVarint(msg, run.size().toLong)
+              run.writeTo(msg)
+            }
+          case t =>
+            writeVarint(msg, (f.number.toLong << 3) | wireOf(t))
+            scalarBytes(t, v, msg)
+        }
+      }
+      writeVarint(out, msg.size().toLong)
+      msg.writeTo(out)
+    }
+    out.toByteArray
+  }
+
+  /** Read a directory of size-delimited protobuf files; whole files are
+    * the unit of parallelism.
+    */
+  def readProtobuf(spark: SparkSession, path: String,
+      fields: Seq[ProtoField]): DataFrame = {
+    val schema = protoSchema(fields)
+    val rdd = spark.read.format("binaryFile").load(path)
+      .select("content").rdd
+      .flatMap(r => decodeProtoDelimited(r.getAs[Array[Byte]](0), fields))
+    spark.createDataFrame(rdd, schema)
+  }
+
+  def writeProtobuf(df: DataFrame, fields: Seq[ProtoField],
+      path: String): Unit =
+    writePartitions(df, path, "pb", rows => encodeProtoDelimited(rows, fields))
+
+  // ------------------------------------------------------------- shared
+
+  /** One encoded file per partition through the Hadoop FS API (honest on
+    * any defaultFS; empty partitions write nothing).
+    */
+  private def writePartitions(df: DataFrame, path: String, prefix: String,
+      encode: Iterator[Row] => Array[Byte]): Unit = {
+    df.rdd.mapPartitionsWithIndex { (i, rows) =>
+      if (rows.hasNext) {
+        val bytes = encode(rows)
+        val p = new org.apache.hadoop.fs.Path(path, f"part-$prefix-$i%05d.bin")
+        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val out = fs.create(p, true)
+        try out.write(bytes) finally out.close()
+      }
+      Iterator.single(i)
+    }.count(): Unit
+  }
+}
