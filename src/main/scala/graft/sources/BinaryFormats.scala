@@ -246,17 +246,20 @@ object BinaryFormats {
 
   /** Field spec: (field number, column name, dtype). Scalar dtypes:
     * int32 | int64 | sint32 | sint64 | bool | double | float | string |
-    * bytes; `array<dtype>` reads a repeated field (packed or unpacked).
-    * Unknown field numbers are skipped by wire type (the protobuf
-    * forward-compat contract); absent fields read as NULL. Nested message
-    * types are out of this worked example's scope — the reference's
-    * descriptor-driven SerDe generalizes the same wire walk.
+    * bytes; `array<dtype>` reads a repeated field (packed or unpacked);
+    * `message` with a `nested` sub-spec reads an embedded message as a
+    * struct column (`array<message>` for repeated messages) — the
+    * reference SerDe's central case (ProtobufSerDe converts nested
+    * Descriptors to Hive structs the same way). Unknown field numbers are
+    * skipped by wire type (the protobuf forward-compat contract); absent
+    * fields read as NULL.
     */
-  final case class ProtoField(number: Int, name: String, dtype: String)
+  final case class ProtoField(number: Int, name: String, dtype: String,
+      nested: Seq[ProtoField] = Nil)
 
-  private val ArrayT = """array<(\w+)>""".r
+  private val ArrayT = """array<([\w<>]+)>""".r
 
-  private def pbSparkType(t: String): DataType = t.toLowerCase match {
+  private def pbSparkType(f: ProtoField): DataType = f.dtype.toLowerCase match {
     case "int32" | "sint32" => IntegerType
     case "int64" | "sint64" => LongType
     case "bool" => BooleanType
@@ -264,12 +267,13 @@ object BinaryFormats {
     case "float" => FloatType
     case "string" => StringType
     case "bytes" => BinaryType
-    case ArrayT(inner) => ArrayType(pbSparkType(inner))
+    case "message" => protoSchema(f.nested)
+    case ArrayT(inner) => ArrayType(pbSparkType(f.copy(dtype = inner)))
     case other => throw new IllegalArgumentException(s"proto type: $other")
   }
 
   def protoSchema(fields: Seq[ProtoField]): StructType =
-    StructType(fields.map(f => StructField(f.name, pbSparkType(f.dtype))))
+    StructType(fields.map(f => StructField(f.name, pbSparkType(f))))
 
   private def readVarint(b: Array[Byte], pos: Int): (Long, Int) = {
     var v = 0L; var shift = 0; var p = pos
@@ -288,7 +292,8 @@ object BinaryFormats {
     val byNumber = fields.zipWithIndex.map { case (f, i) => f.number -> i }.toMap
     val vals = new Array[Any](fields.length)
     val lists = new Array[scala.collection.mutable.ArrayBuffer[Any]](fields.length)
-    def scalar(t: String, wire: Int, b: Array[Byte], pos: Int): (Any, Int) =
+    def value(f: ProtoField, t: String, wire: Int, b: Array[Byte],
+        pos: Int): (Any, Int) =
       (t.toLowerCase, wire) match {
         case ("int32", 0) => val (v, p) = readVarint(b, pos); (v.toInt, p)
         case ("int64", 0) => val (v, p) = readVarint(b, pos); (v, p)
@@ -307,6 +312,13 @@ object BinaryFormats {
         case ("bytes", 2) =>
           val (l, p) = readVarint(b, pos)
           (java.util.Arrays.copyOfRange(b, p, p + l.toInt), p + l.toInt)
+        case ("message", 2) =>
+          // embedded message: length-delimited bytes decode recursively
+          // with the field's nested spec (the descriptor-walk analog)
+          val (l, p) = readVarint(b, pos)
+          (decodeProtoMessage(
+            java.util.Arrays.copyOfRange(b, p, p + l.toInt), f.nested),
+            p + l.toInt)
         case (t, w) => throw new IllegalArgumentException(
           s"field type $t does not match wire type $w")
       }
@@ -317,12 +329,13 @@ object BinaryFormats {
       val wire = (tag & 7).toInt
       byNumber.get(number) match {
         case Some(i) =>
-          fields(i).dtype.toLowerCase match {
+          val f = fields(i)
+          f.dtype.toLowerCase match {
             case ArrayT(inner) =>
               if (lists(i) == null)
                 lists(i) = scala.collection.mutable.ArrayBuffer.empty[Any]
               val numericPacked = wire == 2 &&
-                !Set("string", "bytes").contains(inner)
+                !Set("string", "bytes", "message").contains(inner)
               if (numericPacked) {
                 // packed encoding: one length-delimited run of values
                 val (l, p2) = readVarint(b, p1)
@@ -332,16 +345,16 @@ object BinaryFormats {
                   case "double" => 1; case "float" => 5; case _ => 0
                 }
                 while (q < end) {
-                  val (v, qn) = scalar(inner, ew, b, q)
+                  val (v, qn) = value(f, inner, ew, b, q)
                   lists(i) += v; q = qn
                 }
                 pos = end
               } else {
-                val (v, p2) = scalar(inner, wire, b, p1)
+                val (v, p2) = value(f, inner, wire, b, p1)
                 lists(i) += v; pos = p2
               }
             case t =>
-              val (v, p2) = scalar(t, wire, b, p1)
+              val (v, p2) = value(f, t, wire, b, p1)
               vals(i) = v; pos = p2
           }
         case None =>
@@ -384,64 +397,75 @@ object BinaryFormats {
     out.write(v.toInt)
   }
 
+  /** Encode one message body (recursive for nested messages). */
+  private def encodeMessageBody(row: Row,
+      fields: Seq[ProtoField]): java.io.ByteArrayOutputStream = {
+    val msg = new java.io.ByteArrayOutputStream()
+    def valueBytes(f: ProtoField, t: String, v: Any,
+        out: java.io.ByteArrayOutputStream): Unit =
+      t.toLowerCase match {
+        case "int32" => writeVarint(out, v.asInstanceOf[Int].toLong)
+        case "int64" => writeVarint(out, v.asInstanceOf[Long])
+        case "sint32" =>
+          val x = v.asInstanceOf[Int].toLong; writeVarint(out, (x << 1) ^ (x >> 63))
+        case "sint64" =>
+          val x = v.asInstanceOf[Long]; writeVarint(out, (x << 1) ^ (x >> 63))
+        case "bool" => out.write(if (v.asInstanceOf[Boolean]) 1 else 0)
+        case "double" => out.write(ByteBuffer.allocate(8)
+          .order(ByteOrder.LITTLE_ENDIAN).putDouble(v.asInstanceOf[Double]).array())
+        case "float" => out.write(ByteBuffer.allocate(4)
+          .order(ByteOrder.LITTLE_ENDIAN).putFloat(v.asInstanceOf[Float]).array())
+        case "string" =>
+          val b = v.toString.getBytes(StandardCharsets.UTF_8)
+          writeVarint(out, b.length.toLong); out.write(b)
+        case "bytes" =>
+          val b = v.asInstanceOf[Array[Byte]]
+          writeVarint(out, b.length.toLong); out.write(b)
+        case "message" =>
+          val sub = encodeMessageBody(v.asInstanceOf[Row], f.nested)
+          writeVarint(out, sub.size().toLong); sub.writeTo(out)
+        case other => throw new IllegalArgumentException(other)
+      }
+    def wireOf(t: String): Int = t.toLowerCase match {
+      case "double" => 1
+      case "float" => 5
+      case "string" | "bytes" | "message" => 2
+      case _ => 0
+    }
+    fields.zipWithIndex.foreach { case (f, i) =>
+      val v = row.get(i)
+      if (v != null) f.dtype.toLowerCase match {
+        case ArrayT(inner) =>
+          val items = v.asInstanceOf[scala.collection.Seq[Any]]
+          if (Set("string", "bytes", "message").contains(inner)) {
+            items.foreach { item =>
+              writeVarint(msg, (f.number.toLong << 3) | 2)
+              valueBytes(f, inner, item, msg)
+            }
+          } else if (items.nonEmpty) {
+            // packed: one length-delimited run
+            val run = new java.io.ByteArrayOutputStream()
+            items.foreach(valueBytes(f, inner, _, run))
+            writeVarint(msg, (f.number.toLong << 3) | 2)
+            writeVarint(msg, run.size().toLong)
+            run.writeTo(msg)
+          }
+        case t =>
+          writeVarint(msg, (f.number.toLong << 3) | wireOf(t))
+          valueBytes(f, t, v, msg)
+      }
+    }
+    msg
+  }
+
   /** Encode rows as a size-delimited message stream (the fixture/writer
     * twin; numeric repeated fields use packed encoding like protobuf 3).
     */
   private[sources] def encodeProtoDelimited(rows: Iterator[Row],
       fields: Seq[ProtoField]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
-    def scalarBytes(t: String, v: Any, msg: java.io.ByteArrayOutputStream): Unit =
-      t.toLowerCase match {
-        case "int32" => writeVarint(msg, v.asInstanceOf[Int].toLong)
-        case "int64" => writeVarint(msg, v.asInstanceOf[Long])
-        case "sint32" =>
-          val x = v.asInstanceOf[Int].toLong; writeVarint(msg, (x << 1) ^ (x >> 63))
-        case "sint64" =>
-          val x = v.asInstanceOf[Long]; writeVarint(msg, (x << 1) ^ (x >> 63))
-        case "bool" => msg.write(if (v.asInstanceOf[Boolean]) 1 else 0)
-        case "double" => msg.write(ByteBuffer.allocate(8)
-          .order(ByteOrder.LITTLE_ENDIAN).putDouble(v.asInstanceOf[Double]).array())
-        case "float" => msg.write(ByteBuffer.allocate(4)
-          .order(ByteOrder.LITTLE_ENDIAN).putFloat(v.asInstanceOf[Float]).array())
-        case "string" =>
-          val b = v.toString.getBytes(StandardCharsets.UTF_8)
-          writeVarint(msg, b.length.toLong); msg.write(b)
-        case "bytes" =>
-          val b = v.asInstanceOf[Array[Byte]]
-          writeVarint(msg, b.length.toLong); msg.write(b)
-        case other => throw new IllegalArgumentException(other)
-      }
-    def wireOf(t: String): Int = t.toLowerCase match {
-      case "double" => 1
-      case "float" => 5
-      case "string" | "bytes" => 2
-      case _ => 0
-    }
     rows.foreach { row =>
-      val msg = new java.io.ByteArrayOutputStream()
-      fields.zipWithIndex.foreach { case (f, i) =>
-        val v = row.get(i)
-        if (v != null) f.dtype.toLowerCase match {
-          case ArrayT(inner) =>
-            val items = v.asInstanceOf[scala.collection.Seq[Any]]
-            if (Set("string", "bytes").contains(inner)) {
-              items.foreach { item =>
-                writeVarint(msg, (f.number.toLong << 3) | 2)
-                scalarBytes(inner, item, msg)
-              }
-            } else if (items.nonEmpty) {
-              // packed: one length-delimited run
-              val run = new java.io.ByteArrayOutputStream()
-              items.foreach(scalarBytes(inner, _, run))
-              writeVarint(msg, (f.number.toLong << 3) | 2)
-              writeVarint(msg, run.size().toLong)
-              run.writeTo(msg)
-            }
-          case t =>
-            writeVarint(msg, (f.number.toLong << 3) | wireOf(t))
-            scalarBytes(t, v, msg)
-        }
-      }
+      val msg = encodeMessageBody(row, fields)
       writeVarint(out, msg.size().toLong)
       msg.writeTo(out)
     }

@@ -116,6 +116,40 @@ class BinaryFormatsSpec extends SparkSpec with Matchers {
     assert(w.forall(_.get(7) == null))
   }
 
+  test("protobuf: nested messages decode as structs, repeated messages as arrays") {
+    import BinaryFormats.ProtoField
+    val addr = Seq(
+      ProtoField(1, "city", "string"),
+      ProtoField(2, "zip", "int32"))
+    val spec = Seq(
+      ProtoField(1, "id", "int64"),
+      ProtoField(2, "home", "message", nested = addr),
+      ProtoField(3, "offices", "array<message>", nested = addr))
+    val rows = Seq(
+      Row(1L, Row("berlin", 10115),
+        Seq(Row("nyc", 10001), Row("sf", 94103))),
+      Row(2L, null, null))
+    val bytes = BinaryFormats.encodeProtoDelimited(rows.iterator, spec)
+    val got = BinaryFormats.decodeProtoDelimited(bytes, spec).toSeq
+    assert(got(0).getLong(0) === 1L)
+    assert(got(0).getStruct(1).getString(0) === "berlin")
+    assert(got(0).getStruct(1).getInt(1) === 10115)
+    assert(got(0).getSeq[Row](2).map(r => (r.getString(0), r.getInt(1))) ===
+      Seq(("nyc", 10001), ("sf", 94103)))
+    assert(got(1).get(1) == null && got(1).get(2) == null)
+    // and through the Spark read path with a real nested schema
+    val dir = tmp("pb_nested_")
+    val p = new java.io.FileOutputStream(dir + "/one.bin")
+    try p.write(bytes) finally p.close()
+    val df = BinaryFormats.readProtobuf(spark, dir, spec)
+    assert(df.schema.fields(1).dataType.typeName === "struct")
+    assert(df.schema.fields(2).dataType.typeName === "array")
+    assert(df.selectExpr("home.city").collect().map(_.getString(0)).toSet ===
+      Set("berlin", null))
+    assert(df.selectExpr("size(offices)").where("id = 1")
+      .head.getInt(0) === 2)
+  }
+
   test("protobuf: distributed write + read through Spark") {
     import spark.implicits._
     val dir = tmp("pb_rt_")
