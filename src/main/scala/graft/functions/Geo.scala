@@ -386,6 +386,94 @@ object Geo {
     } catch { case _: Exception => None }
   }
 
+  /** Emit Esri REST JSON geometry (ref esri/EsriJsonConverter.java /
+    * ST_AsJson.java — the reference's `ST_AsJson` speaks THIS dialect,
+    * distinct from GeoJSON): points are {"x","y"}, multipoints "points",
+    * polylines "paths", polygons "rings" (an Esri polygon carries all its
+    * rings flat — a multipolygon flattens, per the REST spec).
+    */
+  def toEsriJson(g: Geom): String = {
+    def arr(p: Pt) = s"[${fmt(p.x)},${fmt(p.y)}]"
+    def coords(ps: Seq[Pt]) = ps.map(arr).mkString("[", ",", "]")
+    g match {
+      case GPoint(None, _) => """{"x":null,"y":null}"""
+      case GPoint(Some(p), _) => s"""{"x":${fmt(p.x)},"y":${fmt(p.y)}}"""
+      case GMultiPoint(ps, _) => s"""{"points":${coords(ps)}}"""
+      case GLine(ps, _) => s"""{"paths":[${coords(ps)}]}"""
+      case GMultiLine(ls, _) =>
+        s"""{"paths":${ls.map(coords).mkString("[", ",", "]")}}"""
+      case GPolygon(rs, _) =>
+        s"""{"rings":${rs.map(coords).mkString("[", ",", "]")}}"""
+      case GMultiPolygon(ps, _) =>
+        s"""{"rings":${ps.flatten.map(coords).mkString("[", ",", "]")}}"""
+    }
+  }
+
+  /** Parse Esri REST JSON geometry (the inverse of [[toEsriJson]]; ref
+    * esri/ST_GeomFromJson.java). Keys decide the kind: "rings" → polygon,
+    * "paths" → polyline, "points" → multipoint, "x"/"y" → point (null or
+    * "NaN" coordinates = empty point). None on malformed input.
+    */
+  def fromEsriJson(json: String): Option[Geom] = {
+    if (json == null) return None
+    try {
+      def member(key: String): Option[String] = {
+        val rx = ("(?s)\"" + key + "\"\\s*:\\s*(\\[.*)").r
+        rx.findFirstMatchIn(json).map(_.group(1)).flatMap { raw =>
+          var depth = 0; var end = -1; var i = 0
+          while (i < raw.length && end < 0) {
+            raw.charAt(i) match {
+              case '[' => depth += 1
+              case ']' => depth -= 1; if (depth == 0) end = i
+              case _ =>
+            }
+            i += 1
+          }
+          if (end < 0) None else Some(raw.substring(0, end + 1))
+        }
+      }
+      def nums(arrayJson: String): Vector[Vector[Vector[Double]]] = {
+        // parse up to 3 levels of nested numeric arrays (rings/paths)
+        val g = fromGeoJson(
+          s"""{"type":"MultiLineString","coordinates":$arrayJson}""")
+        g match {
+          case Some(GMultiLine(ls, _)) =>
+            ls.toVector.map(_.toVector.map(p => Vector(p.x, p.y)))
+          case _ => Vector.empty
+        }
+      }
+      member("rings") match {
+        case Some(r) =>
+          val rs = nums(r).map(_.map(v => Pt(v(0), v(1))))
+          return Some(GPolygon(rs.map(closeRing(_).toVector)))
+        case None => ()
+      }
+      member("paths") match {
+        case Some(p) =>
+          val ls = nums(p).map(_.map(v => Pt(v(0), v(1))))
+          return Some(if (ls.length == 1) GLine(ls.head) else GMultiLine(ls))
+        case None => ()
+      }
+      member("points") match {
+        case Some(p) =>
+          // one level shallower: reuse the LineString shape
+          val g = fromGeoJson(s"""{"type":"LineString","coordinates":$p}""")
+          return g.collect { case GLine(ps, _) => GMultiPoint(ps) }
+        case None => ()
+      }
+      val numRx = """(?s)"x"\s*:\s*(null|"NaN"|[-+0-9.eE]+)""".r
+      val numRyRx = """(?s)"y"\s*:\s*(null|"NaN"|[-+0-9.eE]+)""".r
+      (numRx.findFirstMatchIn(json).map(_.group(1)),
+        numRyRx.findFirstMatchIn(json).map(_.group(1))) match {
+        case (Some(x), Some(y))
+            if x != "null" && x != "\"NaN\"" && y != "null" && y != "\"NaN\"" =>
+          Some(GPoint(Some(Pt(x.toDouble, y.toDouble))))
+        case (Some(_), _) => Some(GPoint(None))
+        case _ => None
+      }
+    } catch { case _: Exception => None }
+  }
+
   // ------------------------------------------------------------ primitives
   private val Eps = 1e-9
 

@@ -57,9 +57,12 @@ object GeoFunctions {
     u.register("st_asbinary", (wkt: String) => parseWkt(wkt).map(toWkb).orNull)
     u.register("st_geomfromwkb", (b: Array[Byte]) => fromWkb(b).map(toWkt).orNull)
     u.register("st_asgeojson", (wkt: String) => parseWkt(wkt).map(toGeoJson).orNull)
-    u.register("st_asjson", (wkt: String) => parseWkt(wkt).map(toGeoJson).orNull)
     u.register("st_geomfromgeojson", (js: String) => fromGeoJson(js).map(toWkt).orNull)
-    u.register("st_geomfromjson", (js: String) => fromGeoJson(js).map(toWkt).orNull)
+    // ST_AsJson / ST_GeomFromJson speak ESRI REST JSON, not GeoJSON — the
+    // reference keeps the two dialects on separate names (ref esri/
+    // ST_AsJson.java vs ST_AsGeoJson.java); mirrored here
+    u.register("st_asjson", (wkt: String) => parseWkt(wkt).map(toEsriJson).orNull)
+    u.register("st_geomfromjson", (js: String) => fromEsriJson(js).map(toWkt).orNull)
 
     // ---------------------------------------------------------- accessors
     u.register("st_geometrytype", (wkt: String) =>
