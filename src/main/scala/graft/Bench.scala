@@ -64,6 +64,9 @@ object Bench {
       "artificially low -- compare r9 to r7, not r8"),
     "p11_ann_lsh" -> ("multi-probe LSH since r3 (probeFlips=1, 13 probe " +
       "buckets/query for ~6x recall) -- r2 and earlier benched single-probe"),
+    "p37_semantic_dedup" -> ("r10 on includes the cluster-size degeneracy " +
+      "guard (one extra assignment aggregation, ~+0.4s here) -- " +
+      "maxClusterSize=0 skips it for trusted corpora; r9 benched unguarded"),
     "dml_pruned_roundtrip" -> ("partition-pruned COW on a partitioned copy " +
       "of orders: 1-partition UPDATE + partition-predicate DELETE + keyed " +
       "MERGE (5 updates + 2 inserts); table copy untimed"),

@@ -509,15 +509,19 @@ object Similarity {
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, tau: Double, iters: Int = 2,
       maxClusterSize: Int = 10000): DataFrame = {
-    require(maxClusterSize > 1, s"maxClusterSize must be > 1: $maxClusterSize")
+    require(maxClusterSize == 0 || maxClusterSize > 1,
+      s"maxClusterSize must be 0 (unguarded) or > 1: $maxClusterSize")
     val assigned = kMeansClusters(corpus, idCol, vecCol, k, iters)
       .select(col(idCol).as("__id"), col("cluster_id"))
       .join(corpus.select(col(idCol).as("__id"), col(vecCol).as("__v")), "__id")
     // cluster sizes are k rows (metadata-bounded, like the centroids the
     // trainer already holds): the NORMAL case — every cluster within cap —
-    // runs the exact uncapped plan with zero overhead beyond this one
-    // size-check scan; the rescue path below engages only on degeneracy
-    val oversized = assigned.groupBy("cluster_id")
+    // runs the exact uncapped plan, paying only this size-check scan (one
+    // assignment aggregation, ~one Lloyd iteration); the rescue path below
+    // engages only on degeneracy. maxClusterSize = 0 skips the gate for a
+    // TRUSTED corpus — zero overhead, and unbounded quadratic risk back on
+    // the caller.
+    val oversized = maxClusterSize > 0 && assigned.groupBy("cluster_id")
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxClusterSize).count() > 0
     def pairDups(df: DataFrame, keys: Seq[String]): DataFrame = {
