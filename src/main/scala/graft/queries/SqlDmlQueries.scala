@@ -761,5 +761,37 @@ object SqlDmlQueries {
           sum("o_orderkey").as("sk"),
           sum("neg_cust").as("neg_cust"))
         .orderBy("o_orderstatus")
+    },
+
+    // Enclosed Esri-JSON features (sources.EnclosedJson; ref ql/io/esriJson/
+    // EnclosedEsriJsonInputFormat.java + udf/esri/serde/EsriJsonSerDe.java):
+    // nation rows become feature-per-line Esri JSON (typed attributes +
+    // point geometry), read back through the enclosed reader, with the
+    // geometry consumed via st_x — so the attribute extraction, the Esri
+    // geometry dialect parse, AND the ST accessor all sit under the
+    // cell-exact gate; the oracle replays the arithmetic from parquet.
+    q("s30_enclosed_esri_json",
+      """SELECT n_regionkey, count(*) AS n,
+        |  CAST(sum(n_nationkey) AS BIGINT) AS sk,
+        |  CAST(sum(CAST((n_nationkey % 5) * 10 AS BIGINT)) AS DOUBLE) AS sx
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) {
+      (spark, dir) =>
+      val path = scratch()
+      Engine.table(spark, dir, "nation")
+        .select(concat(
+          lit("""{"attributes":{"nkey":"""), col("n_nationkey"),
+          lit(""","name":""""), col("n_name"),
+          lit("""","rkey":"""), col("n_regionkey"),
+          lit("""},"geometry":{"x":"""), (col("n_nationkey") % 5) * 10,
+          lit(""","y":"""), floor(col("n_nationkey") / 5),
+          lit("}}")).as("value"))
+        .write.text(path)
+      val feats = graft.sources.EnclosedJson.readEsriJson(spark, path,
+        Seq("nkey" -> "bigint", "name" -> "string", "rkey" -> "bigint"))
+      feats.select(col("rkey").as("n_regionkey"), col("nkey"),
+          expr("st_x(shape)").as("x"))
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n"), sum("nkey").as("sk"), sum("x").as("sx"))
+        .orderBy("n_regionkey")
     })
 }

@@ -484,6 +484,36 @@ object BinaryFormats {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Read protobuf messages from SequenceFiles (one message per
+    * BytesWritable value — the reference's actual container:
+    * ProtobufMessageInputFormat extends SequenceFileInputFormat). Unlike
+    * the whole-file path, SequenceFiles carry sync markers, so Hadoop
+    * SPLITS them — parallelism follows HDFS blocks, not file count.
+    */
+  def readProtobufSequenceFile(spark: SparkSession, path: String,
+      fields: Seq[ProtoField]): DataFrame = {
+    val schema = protoSchema(fields)
+    val rdd = spark.sparkContext.sequenceFile(path,
+        classOf[org.apache.hadoop.io.NullWritable],
+        classOf[org.apache.hadoop.io.BytesWritable])
+      .map { case (_, v) =>
+        // BytesWritable buffers over-allocate: copy the valid slice
+        decodeProtoMessage(
+          java.util.Arrays.copyOfRange(v.getBytes, 0, v.getLength), fields)
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** SequenceFile writer twin (NullWritable key, message-per-value). */
+  def writeProtobufSequenceFile(df: DataFrame, fields: Seq[ProtoField],
+      path: String): Unit = {
+    import org.apache.hadoop.io.{BytesWritable, NullWritable}
+    df.rdd.map { row =>
+      val msg = encodeMessageBody(row, fields).toByteArray
+      (NullWritable.get(), new BytesWritable(msg))
+    }.saveAsSequenceFile(path)
+  }
+
   def writeProtobuf(df: DataFrame, fields: Seq[ProtoField],
       path: String): Unit =
     writePartitions(df, path, "pb", rows => encodeProtoDelimited(rows, fields))

@@ -3,6 +3,7 @@ package graft.sources
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.scalatest.matchers.should.Matchers
+import scala.jdk.CollectionConverters._
 import graft.SparkSpec
 
 /** From-scratch binary SerDe decoders: Teradata "binary indicators" layout
@@ -148,6 +149,25 @@ class BinaryFormatsSpec extends SparkSpec with Matchers {
       Set("berlin", null))
     assert(df.selectExpr("size(offices)").where("id = 1")
       .head.getInt(0) === 2)
+  }
+
+  test("protobuf: SequenceFile container round trip (the reference's framing)") {
+    import spark.implicits._
+    val dir = tmp("pb_seq_") + "/data"
+    val f = Seq(
+      BinaryFormats.ProtoField(1, "id", "int64"),
+      BinaryFormats.ProtoField(2, "name", "string"))
+    val df = spark.range(0, 300, 1, 3)
+      .select($"id", concat(lit("m"), $"id").as("name"))
+    BinaryFormats.writeProtobufSequenceFile(df, f, dir)
+    val back = BinaryFormats.readProtobufSequenceFile(spark, dir, f)
+    assert(back.count() === 300)
+    assert(back.filter($"name" === "m42").head.getLong(0) === 42L)
+    // it is a REAL SequenceFile (magic header), not a private framing
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.find(_.getFileName.toString.startsWith("part-")).get
+    val head = java.nio.file.Files.readAllBytes(part).take(3)
+    assert(new String(head, "US-ASCII") === "SEQ")
   }
 
   test("protobuf: distributed write + read through Spark") {
