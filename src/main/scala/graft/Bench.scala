@@ -280,7 +280,10 @@ object Bench {
     // the bulky context first on its own line, then a compact headline
     // line LAST — rounded to ms so the whole headline (totals + per-query
     // seconds) fits inside the tail window and parses as one JSON object.
-    def r3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: an `f`-interpolation uses the JVM default locale, and a
+    // comma decimal separator would make the headline line invalid JSON
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val ns = notes.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }

@@ -211,6 +211,19 @@ object Engine {
     }
   }
 
+  /** The deployment's scheduled-query tick (cron / Airflow / streaming
+    * trigger): hydrates persisted schedules through this front door, then
+    * runs everything due — a restarted JVM's first tick executes the
+    * durable nightly schedules (ref ql/.../scheduled/
+    * ScheduledQueryExecutionService.java's poll loop, minus the timer
+    * thread the deployment already owns).
+    */
+  def scheduledTick(spark: SparkSession, sfDir: String,
+      now: Long = System.currentTimeMillis()): Seq[String] = {
+    register(spark, sfDir)
+    graft.plans.ScheduledQueries.runDue(spark, now, q => sql(spark, sfDir, q))
+  }
+
   /** Procedural scripts through the same front door (the reference's
     * `hplsql -e` entry, folded into the SQL surface): an input Spark can't
     * parse that LEADS with a procedural construct runs as an HPL/SQL script

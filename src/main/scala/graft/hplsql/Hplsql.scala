@@ -709,7 +709,12 @@ object Hplsql {
         lastDf = Some(df)
         // cursor loops are driver-side by definition, but STREAMED: one
         // partition's rows at a time, so a loop that exits early never
-        // materializes the full result on the driver
+        // materializes the full result on the driver. Visibility contract:
+        // iteration observes storage as partitions are FETCHED (like a
+        // paging JDBC cursor) — a body that rewrites the cursor's own
+        // table's files (plain-parquet COW + VACUUM RETAIN 0) should
+        // materialize first (CREATE TEMP VIEW ... or snapshot tables,
+        // whose superseded files survive until vacuum)
         val rows = df.toLocalIterator().asScala
         val cols = df.columns
         scopes.push(mutable.LinkedHashMap.empty)

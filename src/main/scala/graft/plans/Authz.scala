@@ -322,9 +322,16 @@ object Authz {
             if !shadowedByCte(u.multipartIdentifier, scope) &&
               hasPolicy(u.multipartIdentifier, keys) =>
           val resolved = NamedTables.substitute(spark, tt)
-          // not a registered table: leave the node intact (terminal — the
-          // inner relation must NOT rewrite to a current-version read)
-          if (resolved eq tt) Some(tt)
+          // an UNREGISTERED policied relation under time travel has no
+          // plan this layer can secure: rewriting the inner relation would
+          // serve the CURRENT version under a time-travel label, and
+          // leaving it could let a downstream resolver serve unmasked
+          // rows. Fail closed — policied time travel requires the
+          // registered (snapshot) form.
+          if (resolved eq tt) throw new AccessDenied(
+            s"time travel on ${u.multipartIdentifier.mkString(".")} cannot " +
+              "be secured: the relation has row-filter/mask policies but " +
+              "is not a registered snapshot table")
           else Some(securePlan(spark, u.multipartIdentifier,
             org.apache.spark.sql.GraftShims.ofRows(spark, resolved), keys))
         case u: UnresolvedRelation
@@ -492,7 +499,13 @@ object Authz {
     * this gate deny-by-default is self-defeating: any denied user could
     * run `GRANT SELECT ... TO USER me` through the same front door.
     */
-  private def requireAdmin(spark: SparkSession, verb: String): Unit =
+  /** Shared by the other admin-verb surfaces too ([[Workload]] resource
+    * plans, [[ScheduledQueries]]) — sabotaging enforcement infrastructure
+    * (DROP RESOURCE PLAN, DROP SCHEDULED QUERY) is administration exactly
+    * like GRANT is, and the reference gates all of them behind the admin
+    * role.
+    */
+  private[plans] def requireAdmin(spark: SparkSession, verb: String): Unit =
     if (enabled(spark) && !isAdmin(spark))
       throw new AccessDenied(s"user ${currentUser(spark)} is not an authz " +
         s"admin: $verb requires membership in spark.graft.authz.admins")
@@ -509,18 +522,30 @@ object Authz {
     Set("spark.graft.user", "spark.graft.authz.enabled",
       "spark.graft.authz.admins")
   private val SetConfR = """(?is)\s*SET\s+([\w.]+)\s*=.*""".r
+  private val ResetConfR = """(?is)\s*RESET\s+([\w.]+)\s*;?\s*""".r
+  private val ResetAllR = """(?is)\s*RESET\s*;?\s*""".r
 
-  /** Deny `SET <restricted conf> = ...` for non-admin sessions while
-    * enforcement is on. Everything else falls through untouched.
+  /** Deny `SET <restricted conf> = ...` — and its evil twin `RESET`, which
+    * UNSETS a conf and would turn enforcement off just as effectively
+    * (`RESET spark.graft.authz.enabled`, or bare `RESET` wiping the whole
+    * session conf) — for non-admin sessions while enforcement is on.
+    * Everything else falls through untouched.
     */
-  def guardSetStatement(spark: SparkSession, sqlText: String): Unit =
+  def guardSetStatement(spark: SparkSession, sqlText: String): Unit = {
+    if (!enabled(spark) || isAdmin(spark)) return
+    def deny(what: String): Nothing =
+      throw new AccessDenied(s"user ${currentUser(spark)} may not $what " +
+        "(authz security context)")
     sqlText match {
-      case SetConfR(k) if RestrictedConfs.contains(norm(k)) &&
-          enabled(spark) && !isAdmin(spark) =>
-        throw new AccessDenied(s"user ${currentUser(spark)} may not SET " +
-          s"restricted configuration $k (authz security context)")
+      case SetConfR(k) if RestrictedConfs.contains(norm(k)) =>
+        deny(s"SET restricted configuration $k")
+      case ResetConfR(k) if RestrictedConfs.contains(norm(k)) =>
+        deny(s"RESET restricted configuration $k")
+      case ResetAllR() =>
+        deny("RESET the session configuration (it clears the security context)")
       case _ => ()
     }
+  }
 
   /** Execute `sqlText` if it is an authz verb (all are parse errors to
     * Spark, so nothing the session parser understands can be shadowed);

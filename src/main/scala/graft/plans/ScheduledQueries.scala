@@ -79,6 +79,12 @@ object ScheduledQueries {
   /** Execute every enabled query whose interval has elapsed at `now`; returns
     * the names run. Failures propagate (the caller's scheduler owns retry
     * policy, as Hive's executor service does).
+    *
+    * A fresh session (or restarted JVM) only sees PERSISTED schedules after
+    * hydration, which needs the SQL front door to re-bind statement text —
+    * deployments driving the tick programmatically should use the
+    * `runner`-taking overload (or [[graft.Engine.scheduledTick]]); this
+    * overload ticks whatever the session already holds.
     */
   def runDue(spark: SparkSession, now: Long): Seq[String] = {
     val r = regFor(spark)
@@ -90,6 +96,18 @@ object ScheduledQueries {
         persist(_.map(e => if (e.name == s.name) e.copy(lastRunAt = now) else e))
       s.name
     }
+  }
+
+  /** The deployment-tick entry: hydrates persisted schedules through
+    * `runner` (the SQL front door) first, so a cron/Airflow tick on a
+    * fresh JVM executes every durable schedule — the whole point of
+    * persisting them.
+    */
+  def runDue(spark: SparkSession, now: Long,
+      runner: String => DataFrame): Seq[String] = {
+    bootstrap(spark)
+    hydrate(spark, runner)
+    runDue(spark, now)
   }
 
   // ------------------------------------------------------------ SQL verbs
@@ -149,8 +167,13 @@ object ScheduledQueries {
     // a scheduled-query verb touches the durable registry first, so a
     // fresh session (or JVM) sees every persisted schedule
     if (TouchR.matches(sqlText)) { bootstrap(spark); hydrate(spark, runner) }
+    // mutating schedule verbs are admin-gated when authz enforcement is on
+    // (dropping the nightly compaction is sabotage exactly like dropping a
+    // resource plan); SHOW + the due tick stay open
+    def admin(verb: String): Unit = Authz.requireAdmin(spark, verb)
     sqlText match {
       case CreateR(name, n, unit, stmt) =>
+        admin("CREATE SCHEDULED QUERY")
         val ms = n.toLong * (unit.toUpperCase match {
           case "SECOND" => 1000L
           case "MINUTE" => 60L * 1000
@@ -162,9 +185,11 @@ object ScheduledQueries {
           SchedE(name, ms, stmt.trim, enabled = true, Long.MinValue))
         Some(done(s"created scheduled query $name"))
       case AlterToggleR(name, toggle) =>
+        admin("ALTER SCHEDULED QUERY")
         setEnabled(spark, name, toggle.equalsIgnoreCase("ENABLE"))
         Some(done(s"${toggle.toLowerCase}d scheduled query $name"))
       case AlterExecR(name) =>
+        admin("ALTER SCHEDULED QUERY ... EXECUTE")
         // run-now, unconditionally (the reference's ALTER ... EXECUTE)
         val r = regFor(spark)
         val s = Option(r.get(name)).getOrElse(
@@ -176,6 +201,7 @@ object ScheduledQueries {
           persist(_.map(e => if (e.name == name) e.copy(lastRunAt = now) else e))
         Some(done(s"executed scheduled query $name"))
       case DropR(name) =>
+        admin("DROP SCHEDULED QUERY")
         drop(spark, name)
         Some(done(s"dropped scheduled query $name"))
       case ShowR() =>

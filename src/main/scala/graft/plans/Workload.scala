@@ -131,7 +131,12 @@ object Workload {
     update(planName)(p => p.copy(pools = p.pools +
       (norm(pool) -> Pool(norm(pool), allocFraction, queryParallelism))))
     // re-defining a pool re-sizes its admission semaphore: drop the cached
-    // one so the next acquire builds from the CURRENT parallelism
+    // one so the next acquire builds from the CURRENT parallelism.
+    // Transition semantics: queries already admitted finish under the
+    // admission they hold (they release into the orphaned semaphore); the
+    // new limit governs admissions from here on — the reference's plan-swap
+    // behaves the same way (running Tez sessions drain, they are not
+    // killed by a resize).
     admission.remove(s"${norm(planName)}/${norm(pool)}")
   }
   def dropPool(planName: String, pool: String): Unit = {
@@ -425,11 +430,22 @@ object Workload {
   def maybeSql(spark: SparkSession, sqlText: String): Option[DataFrame] = {
     import spark.implicits._
     def done(what: String): DataFrame = Seq(what).toDF("result")
+    // mutating WLM verbs are admin-gated when authz enforcement is on
+    // (a denied user must not escape KILL triggers by disabling the plan);
+    // the SHOW verbs stay open
+    def admin(verb: String): Unit = Authz.requireAdmin(spark, verb)
     sqlText match {
-      case CreatePlanR(p) => createPlan(p); Some(done(s"created resource plan $p"))
-      case DropPlanR(p) => dropPlan(p); Some(done(s"dropped resource plan $p"))
-      case ActivateR(p) => activate(p); Some(done(s"activated resource plan $p"))
+      case CreatePlanR(p) =>
+        admin("CREATE RESOURCE PLAN")
+        createPlan(p); Some(done(s"created resource plan $p"))
+      case DropPlanR(p) =>
+        admin("DROP RESOURCE PLAN")
+        dropPlan(p); Some(done(s"dropped resource plan $p"))
+      case ActivateR(p) =>
+        admin("ALTER RESOURCE PLAN ... ACTIVATE")
+        activate(p); Some(done(s"activated resource plan $p"))
       case DisableR(p) =>
+        admin("ALTER RESOURCE PLAN ... DISABLE")
         if (state.active.contains(norm(p))) disable()
         Some(done(s"disabled resource plan $p"))
       case ShowPlansR() =>
@@ -446,19 +462,29 @@ object Workload {
             pl.triggers.toSeq.sorted.mkString(",")))
           .toDF("pool", "alloc_fraction", "query_parallelism", "triggers"))
       case CreatePoolR(p, pool, frac, par) =>
+        admin("CREATE POOL")
         createPool(p, pool, frac.toDouble, par.toInt)
         Some(done(s"created pool $p.$pool"))
-      case DropPoolR(p, pool) => dropPool(p, pool); Some(done(s"dropped pool $p.$pool"))
+      case DropPoolR(p, pool) =>
+        admin("DROP POOL")
+        dropPool(p, pool); Some(done(s"dropped pool $p.$pool"))
       case CreateTriggerR(p, t, counter, limit, kill, movePool) =>
+        admin("CREATE TRIGGER")
         val action = if (kill != null) Kill else MoveTo(movePool)
         createTrigger(p, t, counter, limit.toLong, action)
         Some(done(s"created trigger $p.$t"))
-      case DropTriggerR(p, t) => dropTrigger(p, t); Some(done(s"dropped trigger $p.$t"))
+      case DropTriggerR(p, t) =>
+        admin("DROP TRIGGER")
+        dropTrigger(p, t); Some(done(s"dropped trigger $p.$t"))
       case AddTriggerR(p, pool, t) =>
+        admin("ALTER POOL ... ADD TRIGGER")
         addTriggerToPool(p, t, pool); Some(done(s"added trigger $t to $p.$pool"))
       case AddMappingR(u, p, pool) =>
+        admin("CREATE USER MAPPING")
         addMapping(p, u, pool); Some(done(s"mapped $u to $p.$pool"))
-      case DropMappingR(u, p) => dropMapping(p, u); Some(done(s"unmapped $u in $p"))
+      case DropMappingR(u, p) =>
+        admin("DROP USER MAPPING")
+        dropMapping(p, u); Some(done(s"unmapped $u in $p"))
       case _ => None
     }
   }

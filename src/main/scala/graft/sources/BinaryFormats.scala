@@ -308,14 +308,17 @@ object BinaryFormats {
             pos + 4)
         case ("string", 2) =>
           val (l, p) = readVarint(b, pos)
+          require(p + l <= b.length, "torn string field — truncated message")
           (new String(b, p, l.toInt, StandardCharsets.UTF_8), p + l.toInt)
         case ("bytes", 2) =>
           val (l, p) = readVarint(b, pos)
+          require(p + l <= b.length, "torn bytes field — truncated message")
           (java.util.Arrays.copyOfRange(b, p, p + l.toInt), p + l.toInt)
         case ("message", 2) =>
           // embedded message: length-delimited bytes decode recursively
           // with the field's nested spec (the descriptor-walk analog)
           val (l, p) = readVarint(b, pos)
+          require(p + l <= b.length, "torn embedded message — truncated")
           (decodeProtoMessage(
             java.util.Arrays.copyOfRange(b, p, p + l.toInt), f.nested),
             p + l.toInt)
@@ -384,6 +387,12 @@ object BinaryFormats {
     var pos = 0
     while (pos < bytes.length) {
       val (len, p) = readVarint(bytes, pos)
+      // a truncated final message must RAISE, not zero-pad into a
+      // fabricated row (copyOfRange would silently pad) — same corruption
+      // stance as decodeTeradata's torn-record requires
+      require(p + len <= bytes.length,
+        s"torn protobuf stream: message of $len bytes at offset $p " +
+          s"exceeds file length ${bytes.length}")
       val msg = java.util.Arrays.copyOfRange(bytes, p, p + len.toInt)
       out += decodeProtoMessage(msg, fields)
       pos = p + len.toInt
@@ -521,15 +530,23 @@ object BinaryFormats {
   // ------------------------------------------------------------- shared
 
   /** One encoded file per partition through the Hadoop FS API (honest on
-    * any defaultFS; empty partitions write nothing).
+    * any defaultFS; empty partitions write nothing). The SESSION's Hadoop
+    * configuration ships to the tasks as a plain key/value list — a bare
+    * `new Configuration()` on an executor would drop credentials,
+    * defaultFS, and every `spark.hadoop.*` setting.
     */
   private def writePartitions(df: DataFrame, path: String, prefix: String,
       encode: Iterator[Row] => Array[Byte]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val confEntries = df.sparkSession.sparkContext.hadoopConfiguration
+      .iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
     df.rdd.mapPartitionsWithIndex { (i, rows) =>
       if (rows.hasNext) {
         val bytes = encode(rows)
+        val conf = new org.apache.hadoop.conf.Configuration()
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
         val p = new org.apache.hadoop.fs.Path(path, f"part-$prefix-$i%05d.bin")
-        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fs = p.getFileSystem(conf)
         val out = fs.create(p, true)
         try out.write(bytes) finally out.close()
       }

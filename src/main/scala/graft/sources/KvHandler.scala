@@ -221,8 +221,23 @@ object KvStore {
   def bucketOf(key: String, buckets: Int): Int =
     math.floorMod(scala.util.hashing.MurmurHash3.stringHash(key, 0x9747b28c), buckets)
 
-  private def baseFile(root: String, bucket: Int): Path =
-    Paths.get(root, f"base-$bucket%05d.tsv")
+  // Bases are GENERATIONAL: `base-<bucket>-g<gen>.tsv`, published
+  // create-exclusive like deltas. A compactor's base write is thereby a
+  // CAS against the generation it read — the classic lost update (compactor
+  // A reads gen N, compactor B folds delta D into gen N+1 and deletes D,
+  // A overwrites with its stale N-based view, D's puts gone) cannot
+  // happen: A's publish of N+1 LOSES and A retries against fresh state.
+  private val BaseRx = """base-(\d{5})-g(\d+)\.tsv""".r
+  private def basePath(root: String, bucket: Int, gen: Long): Path =
+    Paths.get(root, f"base-$bucket%05d-g$gen%08d.tsv")
+  private def baseGens(root: String, bucket: Int): Seq[Long] = {
+    val r = Paths.get(root)
+    if (!Files.exists(r)) Nil
+    else Files.list(r).iterator().asScala.toSeq
+      .map(_.getFileName.toString)
+      .collect { case BaseRx(b, g) if b.toInt == bucket => g.toLong }
+      .sorted
+  }
   private def deltasDir(root: String): Path = Paths.get(root, "deltas")
 
   // injective escape: backslash first, then separators and NUL — so the
@@ -255,14 +270,13 @@ object KvStore {
   private def readKvFile(p: Path): Seq[(String, String)] =
     readKvFileOpt(p).getOrElse(Nil)
 
-  /** None when the file does not exist — a MEANINGFUL signal for deltas: a
-    * delta listed by a reader and then deleted by a racing compact has its
-    * puts folded into the NEW base, but this reader may have opened the OLD
-    * base before the fold, in which case silently skipping the delta loses
-    * its committed puts. Readers must detect the vanish and retry the whole
-    * bucket read against fresh state (see [[DeltaVanished]]); only a
-    * missing BASE file legitimately reads as empty (a bucket nothing was
-    * ever folded into).
+  /** None when the file does not exist — a MEANINGFUL signal: a delta (or
+    * a listed base generation) deleted by a racing compact between the
+    * listing and the open means this reader's view is torn — its puts were
+    * folded into a NEWER base this reader did not pick up. Readers must
+    * detect the vanish and retry the whole bucket read against fresh state
+    * (see [[TornRead]]); only a bucket with NO base generations at all
+    * legitimately reads as empty.
     */
   private def readKvFileOpt(p: Path): Option[Seq[(String, String)]] =
     try Some(Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq
@@ -275,19 +289,40 @@ object KvStore {
       case _: java.io.FileNotFoundException => None
     }
 
-  /** A snapshotted delta vanished mid-read (racing compact folded and
-    * deleted it): the reader's base/delta view is torn — retry.
+  /** A snapshotted delta or listed base generation vanished mid-read
+    * (racing compact folded/retired it): the reader's view is torn — retry.
     */
-  private final case class DeltaVanished(p: Path)
-    extends Exception(s"delta vanished mid-read: $p", null, false, false)
+  private final case class TornRead(p: Path)
+    extends Exception(s"file vanished mid-read: $p", null, false, false)
 
-  private def writeKvFile(p: Path, kvs: Seq[(String, String)]): Unit = {
-    Files.createDirectories(p.getParent)
-    val tmp = p.resolveSibling(p.getFileName.toString + "._tmp")
+  /** A compactor's base publish lost the generation CAS to a concurrent
+    * compactor — restart the fold against fresh state.
+    */
+  private final case class LostBaseRace(p: Path)
+    extends Exception(s"base generation already published: $p",
+      null, false, false)
+
+  /** Create-exclusive publish of one base generation (same discipline as
+    * [[publishDelta]]); false = a concurrent compactor won this gen.
+    */
+  private def publishBase(root: String, bucket: Int, gen: Long,
+      kvs: Seq[(String, String)]): Boolean = {
+    val dst = basePath(root, bucket, gen)
+    Files.createDirectories(dst.getParent)
+    val tmp = dst.resolveSibling(
+      dst.getFileName.toString + s"._tmp-${System.nanoTime()}")
     Files.write(tmp, kvs.map { case (k, v) => enc(k) + "\t" + enc(v) }
       .mkString("\n").getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    val won =
+      try { Files.createLink(dst, tmp); true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: UnsupportedOperationException =>
+          try { Files.copy(tmp, dst); true }
+          catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      }
+    Files.deleteIfExists(tmp)
+    won
   }
 
   /** Delta files in commit order (seq, then intra-commit index). */
@@ -304,17 +339,23 @@ object KvStore {
   }
 
   /** Bucket state: base merged with deltas, last put wins, sorted by key.
-    * A delta deleted by a racing compact between the listing and the open
-    * tears the view (the base may predate the fold) — detected via
-    * [[DeltaVanished]] and retried against a fresh listing, where the
-    * folded base carries the vanished delta's puts.
+    * A delta or listed base deleted by a racing compact between the
+    * listing and the open tears the view — detected via [[TornRead]] and
+    * retried against a fresh listing, where the newer base generation
+    * carries the vanished delta's puts. IMPORTANT: the delta list is
+    * snapshotted BEFORE the base generation is chosen — with that order a
+    * concurrent fold either leaves the old delta readable (consistent old
+    * view), or deletes it (torn → retry), or the newer base double-applies
+    * a still-listed delta (idempotent under last-put-wins). Listing bases
+    * first would open a window where a fresh fold's base is missed AND its
+    * folded delta is already gone.
     */
   def readBucket(root: String, bucket: Int, buckets: Int): Seq[(String, String)] = {
     var tries = 0
     while (true) {
       try return readBucketFrom(root, bucket, buckets, deltaFiles(root))
       catch {
-        case DeltaVanished(_) if tries < 50 => tries += 1
+        case TornRead(_) if tries < 50 => tries += 1
       }
     }
     Nil // unreachable
@@ -323,21 +364,26 @@ object KvStore {
   private def readBucketFrom(root: String, bucket: Int, buckets: Int,
       deltas: Seq[Path]): Seq[(String, String)] = {
     val m = mutable.LinkedHashMap.empty[String, String]
-    // base FIRST, deltas in commit order on top (last put wins); a missing
-    // base is an empty bucket, a missing delta is a torn view
-    readKvFile(baseFile(root, bucket)).foreach { case (k, v) => m.put(k, v) }
+    // latest base generation FIRST, deltas in commit order on top (last
+    // put wins); a bucket with no base generations is empty, a LISTED
+    // base/delta that vanished is a torn view
+    baseGens(root, bucket).lastOption.foreach { g =>
+      readKvFileOpt(basePath(root, bucket, g))
+        .getOrElse(throw TornRead(basePath(root, bucket, g)))
+        .foreach { case (k, v) => m.put(k, v) }
+    }
     deltas.foreach { p =>
-      readKvFileOpt(p).getOrElse(throw DeltaVanished(p)).foreach { case (k, v) =>
+      readKvFileOpt(p).getOrElse(throw TornRead(p)).foreach { case (k, v) =>
         if (bucketOf(k, buckets) == bucket) m.put(k, v)
       }
     }
     m.toSeq.sortBy(_._1)
   }
 
-  def bucketBytes(root: String, bucket: Int): Long = {
-    val b = baseFile(root, bucket)
-    if (Files.exists(b)) Files.size(b) else 0L
-  }
+  def bucketBytes(root: String, bucket: Int): Long =
+    baseGens(root, bucket).lastOption.map { g =>
+      try Files.size(basePath(root, bucket, g)) catch { case _: Exception => 0L }
+    }.getOrElse(0L)
 
   def deltaBytes(root: String): Long =
     deltaFiles(root).map(p => try Files.size(p) catch { case _: Exception => 0L }).sum
@@ -415,18 +461,34 @@ object KvStore {
     var done = false
     while (!done) {
       val snapshot = deltaFiles(root)
+      if (snapshot.isEmpty) return // nothing to fold — and crucially, no
+                                   // stale base rewrite from an empty view
       try {
-        (0 until buckets).foreach { b =>
+        // every base publish is a generation CAS: losing means a
+        // concurrent compactor already folded a fresher view — restart
+        val published = (0 until buckets).flatMap { b =>
+          val prevGens = baseGens(root, b)
           val merged = readBucketFrom(root, b, buckets, snapshot)
-          if (merged.nonEmpty) writeKvFile(baseFile(root, b), merged)
+          if (merged.isEmpty) Nil
+          else {
+            val next = prevGens.lastOption.getOrElse(-1L) + 1
+            if (!publishBase(root, b, next, merged))
+              throw LostBaseRace(basePath(root, b, next))
+            Seq((b, prevGens))
+          }
         }
+        // only after EVERY bucket's fold is durable do the folded deltas
+        // retire; readers racing these deletes hit the torn-read retry
         snapshot.foreach(Files.deleteIfExists)
+        published.foreach { case (b, prevGens) =>
+          prevGens.foreach(g => Files.deleteIfExists(basePath(root, b, g)))
+        }
         done = true
       } catch {
-        // a CONCURRENT compactor folded+deleted part of this snapshot: our
-        // fold would rewrite bases from a torn view (possibly missing the
-        // other's folded puts) — restart against fresh state
-        case DeltaVanished(_) if tries < 50 => tries += 1
+        // a CONCURRENT compactor folded+deleted part of this snapshot, or
+        // won a base generation: our view is stale — restart fresh
+        case TornRead(_) if tries < 50 => tries += 1
+        case LostBaseRace(_) if tries < 50 => tries += 1
       }
     }
   }

@@ -87,6 +87,11 @@ class AuthzSpec extends SparkSpec with BeforeAndAfterEach {
     intercept[Authz.AccessDenied] { sql("SET spark.graft.user=admin") }
     intercept[Authz.AccessDenied] { sql("SET spark.graft.authz.enabled=false") }
     intercept[Authz.AccessDenied] { sql("SET spark.graft.authz.admins=mal") }
+    // RESET is SET's evil twin: unsetting the enforcement conf (or wiping
+    // the whole session conf) would disable authz just as effectively
+    intercept[Authz.AccessDenied] { sql("RESET spark.graft.authz.enabled") }
+    intercept[Authz.AccessDenied] { sql("RESET spark.graft.user") }
+    intercept[Authz.AccessDenied] { sql("RESET") }
     // the security context is unchanged
     assert(Authz.currentUser(spark) === "mal")
     assert(Authz.enabled(spark))

@@ -88,6 +88,60 @@ class ScheduledQueriesSpec extends SparkSpec {
     }
   }
 
+  test("the programmatic tick hydrates durable schedules on a fresh JVM") {
+    import spark.implicits._
+    def sql(q: String) = Engine.sql(spark, sfDir, q)
+    val dir = java.nio.file.Files.createTempDirectory("sched_tick_").toString
+    val root = java.nio.file.Files.createTempDirectory("sched_tick_t_").toString + "/t"
+    Snapshots.create(spark, root, Seq.empty[(Long, String)].toDF("id", "tag"))
+    NamedTables.registerSnapshot("sched_tick_t", root)
+    spark.conf.set(NamedTables.CatalogConfKey, dir)
+    try {
+      sql("""CREATE SCHEDULED QUERY st_ingest EVERY 10 MINUTES AS
+            |INSERT INTO sched_tick_t SELECT r_regionkey, r_name FROM region"""
+        .stripMargin)
+      // simulated JVM restart, then the DEPLOYMENT's tick — no SQL verb has
+      // touched the session, so hydration must ride the tick itself
+      ScheduledQueries.forgetSessionForTest(spark)
+      ScheduledQueries.resetStoreForTest()
+      assert(ScheduledQueries.list(spark).isEmpty)
+      val ran = Engine.scheduledTick(spark, sfDir)
+      assert(ran === Seq("st_ingest"),
+        "a restarted JVM's first tick must execute the durable schedule")
+      assert(sql("SELECT count(*) AS n FROM sched_tick_t").head.getLong(0) === 5)
+      // next tick inside the interval: nothing due (lastRunAt persisted)
+      assert(Engine.scheduledTick(spark, sfDir).isEmpty)
+    } finally {
+      spark.conf.unset(NamedTables.CatalogConfKey)
+      ScheduledQueries.resetStoreForTest()
+      ScheduledQueries.drop(spark, "st_ingest")
+      NamedTables.drop("sched_tick_t")
+    }
+  }
+
+  test("schedule admin verbs are authz-gated") {
+    def sql(q: String) = Engine.sql(spark, sfDir, q)
+    sql("CREATE SCHEDULED QUERY sg_job EVERY 1 HOURS AS SELECT 1")
+    spark.conf.set("spark.graft.authz.enabled", "true")
+    spark.conf.set("spark.graft.user", "sneaky")
+    try {
+      intercept[graft.plans.Authz.AccessDenied] {
+        sql("DROP SCHEDULED QUERY sg_job") }
+      intercept[graft.plans.Authz.AccessDenied] {
+        sql("ALTER SCHEDULED QUERY sg_job DISABLE") }
+      intercept[graft.plans.Authz.AccessDenied] {
+        sql("CREATE SCHEDULED QUERY sg_mine EVERY 1 HOURS AS SELECT 1") }
+      // SHOW stays open
+      assert(sql("SHOW SCHEDULED QUERIES")
+        .filter(org.apache.spark.sql.functions.col("name") === "sg_job")
+        .count() === 1)
+    } finally {
+      spark.conf.unset("spark.graft.authz.enabled")
+      spark.conf.unset("spark.graft.user")
+      ScheduledQueries.drop(spark, "sg_job")
+    }
+  }
+
   test("a scheduled SELECT tick forces the plan without a driver-side copy") {
     import java.util.concurrent.atomic.AtomicLong
     def sql(q: String) = Engine.sql(spark, sfDir, q)

@@ -231,6 +231,34 @@ class WorkloadSpec extends SparkSpec with BeforeAndAfterEach {
     }
   }
 
+  test("WLM admin verbs are authz-gated: a denied user cannot sabotage the plan") {
+    Workload.createPlan("prod")
+    Workload.createTrigger("prod", "t_kill", "ELAPSED_TIME", 30000, Workload.Kill)
+    Workload.addTriggerToPool("prod", "t_kill", "default")
+    Workload.activate("prod")
+    spark.conf.set("spark.graft.authz.enabled", "true")
+    spark.conf.set("spark.graft.user", "sneaky")
+    try {
+      intercept[Authz.AccessDenied] { sql("ALTER RESOURCE PLAN prod DISABLE") }
+      intercept[Authz.AccessDenied] { sql("DROP TRIGGER prod.t_kill") }
+      intercept[Authz.AccessDenied] { sql("CREATE RESOURCE PLAN mine") }
+      intercept[Authz.AccessDenied] {
+        sql("CREATE USER MAPPING 'sneaky' IN prod TO default") }
+      assert(Workload.activePlan.map(_.name) === Some("prod"),
+        "the plan must survive a non-admin's sabotage attempts")
+      // SHOW stays open; admins administer
+      assert(sql("SHOW RESOURCE PLANS").count() === 1)
+      spark.conf.set("spark.graft.authz.admins", "ops")
+      spark.conf.set("spark.graft.user", "ops")
+      sql("ALTER RESOURCE PLAN prod DISABLE")
+      assert(Workload.activePlan.isEmpty)
+    } finally {
+      spark.conf.unset("spark.graft.authz.enabled")
+      spark.conf.unset("spark.graft.user")
+      spark.conf.unset("spark.graft.authz.admins")
+    }
+  }
+
   test("the active plan compiles to a real fair-scheduler allocation file") {
     Workload.createPlan("wm")
     Workload.createPool("wm", "etl", 0.75, 3)

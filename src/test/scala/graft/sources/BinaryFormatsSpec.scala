@@ -101,6 +101,17 @@ class BinaryFormatsSpec extends SparkSpec with Matchers {
     assert(got(2).getSeq[String](6) === Seq("solo"))
   }
 
+  test("protobuf: a truncated stream raises — never a zero-padded fabricated row") {
+    val bytes = BinaryFormats.encodeProtoDelimited(pbRows.iterator, pbFields)
+    // chop mid-final-message: decode must fail loud (same corruption stance
+    // as the Teradata torn-record requires), not emit a partial row
+    val torn = java.util.Arrays.copyOfRange(bytes, 0, bytes.length - 3)
+    val e = intercept[IllegalArgumentException] {
+      BinaryFormats.decodeProtoDelimited(torn, pbFields).toSeq
+    }
+    assert(e.getMessage.contains("torn"))
+  }
+
   test("protobuf: absent fields read NULL; unknown fields skip by wire type") {
     // encode with the FULL spec, decode with a NARROWER one (unknown
     // numbers 3,4,5,6,7 must skip cleanly — forward compatibility), and a
