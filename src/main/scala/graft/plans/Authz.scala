@@ -520,7 +520,11 @@ object Authz {
     */
   val RestrictedConfs: Set[String] =
     Set("spark.graft.user", "spark.graft.authz.enabled",
-      "spark.graft.authz.admins")
+      "spark.graft.authz.admins",
+      // the catalog dir decides WHICH durable authz/WLM/schedule database
+      // bootstraps — pointing it at an attacker-prepared directory would
+      // merge a poisoned grant set under the session
+      NamedTables.CatalogConfKey)
   private val SetConfR = """(?is)\s*SET\s+([\w.]+)\s*=.*""".r
   private val ResetConfR = """(?is)\s*RESET\s+([\w.]+)\s*;?\s*""".r
   private val ResetAllR = """(?is)\s*RESET\s*;?\s*""".r

@@ -92,6 +92,9 @@ class AuthzSpec extends SparkSpec with BeforeAndAfterEach {
     intercept[Authz.AccessDenied] { sql("RESET spark.graft.authz.enabled") }
     intercept[Authz.AccessDenied] { sql("RESET spark.graft.user") }
     intercept[Authz.AccessDenied] { sql("RESET") }
+    // the catalog dir selects the durable authz database — redirecting it
+    // would bootstrap an attacker-prepared grant set
+    intercept[Authz.AccessDenied] { sql("SET spark.graft.catalog=/tmp/evil") }
     // the security context is unchanged
     assert(Authz.currentUser(spark) === "mal")
     assert(Authz.enabled(spark))
