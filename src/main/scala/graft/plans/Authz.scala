@@ -267,8 +267,13 @@ object Authz {
     case _ => None
   }
 
-  def checkStatement(spark: SparkSession, plan: LogicalPlan): Unit = {
-    if (!enabled(spark) || isAdmin(spark)) return
+  /** The statement's access profile: (input tables needing SELECT, output
+    * tables needing `operation`, the operation verb) — exactly what
+    * [[checkStatement]] enforces, exposed for EXPLAIN AUTHORIZATION /
+    * EXPLAIN DEPENDENCY (ref ql/.../ExplainTask.java outputs the same
+    * inputs/outputs/operation triple).
+    */
+  def statementAccess(plan: LogicalPlan): (Seq[String], Seq[String], String) = {
     def nameOf(p: LogicalPlan): Option[String] = p match {
       case u: UnresolvedRelation =>
         Some(enforcementKey(u.multipartIdentifier))
@@ -285,8 +290,7 @@ object Authz {
       case i: InsertIntoStatement => (Some(i.table), "insert")
       case _ => (None, "select")
     }
-    targetNode.foreach(t => nameOf(t).foreach(n =>
-      requirePrivilege(spark, n, action)))
+    val outputs = targetNode.flatMap(nameOf).toSeq
     val exempt: Set[LogicalPlan] = targetNode match {
       case Some(t) => t.collect { case u: UnresolvedRelation => u }.toSet
       case None => Set.empty
@@ -300,7 +304,14 @@ object Authz {
         case other => tvfKey(other).foreach { case (_, key) => reads += key }
       }
     }
-    reads.foreach(t => requirePrivilege(spark, t, "select"))
+    (reads.toSeq, outputs, action)
+  }
+
+  def checkStatement(spark: SparkSession, plan: LogicalPlan): Unit = {
+    if (!enabled(spark) || isAdmin(spark)) return
+    val (inputs, outputs, action) = statementAccess(plan)
+    outputs.foreach(t => requirePrivilege(spark, t, action))
+    inputs.foreach(t => requirePrivilege(spark, t, "select"))
   }
 
   /** Rewrite reads under the active row-filter/column-mask policies.

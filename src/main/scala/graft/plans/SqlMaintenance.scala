@@ -67,6 +67,10 @@ object SqlMaintenance {
   // VECTORIZATION reports the vectorized-execution view -> EXPLAIN CODEGEN
   // (whole-stage codegen IS this engine's vectorization runtime)
   private val ExplainCbo = """(?is)\s*EXPLAIN\s+CBO\s+(.+?)\s*;?\s*""".r
+  private val ExplainAuth =
+    """(?is)\s*EXPLAIN\s+AUTHORIZATION\s+(.+?)\s*;?\s*""".r
+  private val ExplainDep =
+    """(?is)\s*EXPLAIN\s+DEPENDENCY\s+(.+?)\s*;?\s*""".r
   private val ExplainVec =
     """(?is)\s*EXPLAIN\s+VECTORIZATION\s+(?:ONLY\s+|SUMMARY\s+|DETAIL\s+)?(.+?)\s*;?\s*""".r
 
@@ -118,8 +122,49 @@ object SqlMaintenance {
         Some(runShowTransactions(spark))
       case ExplainCbo(query) => Some(spark.sql(s"EXPLAIN COST $query"))
       case ExplainVec(query) => Some(spark.sql(s"EXPLAIN CODEGEN $query"))
+      case ExplainAuth(query) => Some(runExplainAuthorization(spark, query))
+      case ExplainDep(query) => Some(runExplainDependency(spark, query))
       case _ => None
     }
+
+  /** EXPLAIN AUTHORIZATION <statement> — the reference's authorization
+    * report (ref ql/.../ExplainTask.java `outputDependencies` under the
+    * AUTHORIZATION explain option: INPUTS / OUTPUTS / CURRENT_USER /
+    * OPERATION). The access profile is EXACTLY what [[Authz]] enforces
+    * (same resolution, same CTE scoping), so the report is the enforcement
+    * contract, not a parallel guess.
+    */
+  private def runExplainAuthorization(spark: SparkSession,
+      query: String): DataFrame = {
+    import spark.implicits._
+    val plan = spark.sessionState.sqlParser.parsePlan(query)
+    val (inputs, outputs, op) = Authz.statementAccess(plan)
+    val lines =
+      Seq("INPUTS:") ++ inputs.map("  " + _) ++
+        Seq("OUTPUTS:") ++ outputs.map("  " + _) ++
+        Seq("CURRENT_USER:", "  " + Authz.currentUser(spark),
+          "OPERATION:", "  " + op.toUpperCase(java.util.Locale.ROOT))
+    lines.toDF("authorization")
+  }
+
+  /** EXPLAIN DEPENDENCY <statement> — the reference's input-table report
+    * (ref ql/.../ExplainTask.java getJSONDependencies: one JSON document
+    * listing input_tables/input_partitions). Partition granularity is the
+    * scan's pruning concern here (partition columns live in the path
+    * layout), so input_partitions reports empty, as Hive does for
+    * unpartitioned inputs.
+    */
+  private def runExplainDependency(spark: SparkSession,
+      query: String): DataFrame = {
+    import spark.implicits._
+    val plan = spark.sessionState.sqlParser.parsePlan(query)
+    val (inputs, outputs, _) = Authz.statementAccess(plan)
+    val tables = (inputs ++ outputs).distinct.sorted
+      .map(t => s"""{"tablename":"$t","tabletype":"MANAGED_TABLE"}""")
+      .mkString(",")
+    Seq(s"""{"input_tables":[$tables],"input_partitions":[]}""")
+      .toDF("dependency")
+  }
 
   /** SHOW COMPACTIONS — the reference's compactor-visibility verb (ref
     * ql/.../ddl/process/ShowCompactionsDesc.java). This engine's compactor

@@ -138,6 +138,35 @@ class SqlMaintenanceSpec extends SparkSpec {
     assert(txns.count() === 0)
   }
 
+  test("EXPLAIN AUTHORIZATION / EXPLAIN DEPENDENCY report the enforced access profile") {
+    val auth = sql(
+      "EXPLAIN AUTHORIZATION SELECT c_name FROM customer " +
+        "JOIN nation ON c_nationkey = n_nationkey").collect()
+      .map(_.getString(0))
+    assert(auth.contains("INPUTS:"))
+    assert(auth.contains("  customer") && auth.contains("  nation"))
+    assert(auth.contains("OPERATION:") && auth.contains("  SELECT"))
+    assert(auth.contains("CURRENT_USER:"))
+    // a DML statement reports its target under OUTPUTS with its verb
+    val dml = sql(
+      "EXPLAIN AUTHORIZATION INSERT INTO customer SELECT * FROM nation")
+      .collect().map(_.getString(0))
+    val outIdx = dml.indexOf("OUTPUTS:")
+    assert(outIdx >= 0 && dml(outIdx + 1) === "  customer")
+    assert(dml.contains("  INSERT"))
+    // reads inside CTE definitions are reported (same walk enforcement uses)
+    val cte = sql(
+      "EXPLAIN AUTHORIZATION WITH x AS (SELECT * FROM orders) " +
+        "SELECT count(*) FROM x").collect().map(_.getString(0))
+    assert(cte.contains("  orders") && !cte.contains("  x"))
+    val dep = sql(
+      "EXPLAIN DEPENDENCY SELECT * FROM lineitem JOIN part ON l_partkey = p_partkey")
+      .head.getString(0)
+    assert(dep.contains(""""tablename":"lineitem"""") &&
+      dep.contains(""""tablename":"part""""))
+    assert(dep.startsWith("""{"input_tables":["""))
+  }
+
   test("EXPLAIN CBO / EXPLAIN VECTORIZATION map to cost and codegen reports") {
     val cbo = sql("EXPLAIN CBO SELECT count(*) FROM nation")
       .collect().map(_.getString(0)).mkString("\n")
