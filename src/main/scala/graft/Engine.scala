@@ -197,7 +197,9 @@ object Engine {
         // privilege check first (deny-by-default when authz is enabled),
         // then row-filter/column-mask substitution on the read path —
         // including the source subtrees of DML statements, which SqlDml
-        // compiles itself
+        // compiles itself. The parsed-command guard catches SET/RESET
+        // forms comments hid from the pre-parse regex.
+        graft.plans.Authz.guardSetPlan(spark, plan)
         graft.plans.Authz.checkStatement(spark, plan)
         val gated = graft.plans.Authz.applyPoliciesToDmlSources(spark, plan)
         graft.plans.SqlDml.maybeRun(spark, gated).getOrElse {

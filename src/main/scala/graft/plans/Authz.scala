@@ -544,20 +544,49 @@ object Authz {
     * UNSETS a conf and would turn enforcement off just as effectively
     * (`RESET spark.graft.authz.enabled`, or bare `RESET` wiping the whole
     * session conf) — for non-admin sessions while enforcement is on.
-    * Everything else falls through untouched.
+    * Everything else falls through untouched. This is the pre-parse net;
+    * [[guardSetPlan]] is the authoritative check on the PARSED command
+    * (comments and odd whitespace defeat regexes, never the parser).
     */
   def guardSetStatement(spark: SparkSession, sqlText: String): Unit = {
     if (!enabled(spark) || isAdmin(spark)) return
-    def deny(what: String): Nothing =
-      throw new AccessDenied(s"user ${currentUser(spark)} may not $what " +
-        "(authz security context)")
     sqlText match {
       case SetConfR(k) if RestrictedConfs.contains(norm(k)) =>
-        deny(s"SET restricted configuration $k")
+        denyConf(spark, s"SET restricted configuration $k")
       case ResetConfR(k) if RestrictedConfs.contains(norm(k)) =>
-        deny(s"RESET restricted configuration $k")
+        denyConf(spark, s"RESET restricted configuration $k")
       case ResetAllR() =>
-        deny("RESET the session configuration (it clears the security context)")
+        denyConf(spark,
+          "RESET the session configuration (it clears the security context)")
+      case _ => ()
+    }
+  }
+
+  private def denyConf(spark: SparkSession, what: String): Nothing =
+    throw new AccessDenied(
+      s"user ${currentUser(spark)} may not $what (authz security context)")
+
+  /** The parsed-plan twin of [[guardSetStatement]]: a `SET`/`RESET` that
+    * reaches the parser through comments or formatting the regex net does
+    * not cover (`RESET -- x`) still surfaces here as a SetCommand /
+    * ResetCommand node — the parser cannot be fooled by lexical tricks.
+    */
+  def guardSetPlan(spark: SparkSession, plan: LogicalPlan): Unit = {
+    if (!enabled(spark) || isAdmin(spark)) return
+    plan match {
+      case org.apache.spark.sql.execution.command.SetCommand(kv) =>
+        kv.foreach { case (k, _) =>
+          if (RestrictedConfs.contains(norm(k)))
+            denyConf(spark, s"SET restricted configuration $k")
+        }
+      case org.apache.spark.sql.execution.command.ResetCommand(cfg) =>
+        cfg match {
+          case Some(k) if RestrictedConfs.contains(norm(k)) =>
+            denyConf(spark, s"RESET restricted configuration $k")
+          case None => denyConf(spark,
+            "RESET the session configuration (it clears the security context)")
+          case _ => ()
+        }
       case _ => ()
     }
   }

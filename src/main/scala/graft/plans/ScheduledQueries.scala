@@ -32,7 +32,29 @@ object ScheduledQueries {
       query: SparkSession => DataFrame,
       sink: DataFrame => Unit,
       lastRunAt: Long,
-      enabled: Boolean)
+      enabled: Boolean,
+      owner: Option[String] = None)
+
+  /** SQL-defined schedules execute AS THEIR OWNER (the user who created
+    * them — the reference's ScheduledQueryExecutionService runs the stored
+    * statement as the schedule's owner, not the ticker): without this, an
+    * arbitrary invoker of the due tick would run the statement under THEIR
+    * identity, so their row filters/masks would silently corrupt an
+    * admin's materialization (and a cron tick under the default anonymous
+    * user would fail every statement once enforcement is on). Programmatic
+    * schedules (closures) run as the invoker — library access.
+    */
+  private def runAs[T](spark: SparkSession, owner: Option[String])(
+      body: => T): T = owner match {
+    case None => body
+    case Some(u) =>
+      val prev = spark.conf.getOption("spark.graft.user")
+      spark.conf.set("spark.graft.user", u)
+      try body finally prev match {
+        case Some(p) => spark.conf.set("spark.graft.user", p)
+        case None => spark.conf.unset("spark.graft.user")
+      }
+  }
 
   private val registry =
     java.util.Collections.synchronizedMap(
@@ -90,7 +112,7 @@ object ScheduledQueries {
     val r = regFor(spark)
     list(spark).filter(s => s.enabled &&
         (s.lastRunAt == Long.MinValue || now - s.lastRunAt >= s.everyMillis)).map { s =>
-      s.sink(s.query(spark))
+      runAs(spark, s.owner) { s.sink(s.query(spark)) }
       r.put(s.name, s.copy(lastRunAt = now))
       if (stmtsFor(spark).containsKey(s.name))
         persist(_.map(e => if (e.name == s.name) e.copy(lastRunAt = now) else e))
@@ -179,10 +201,13 @@ object ScheduledQueries {
           case "MINUTE" => 60L * 1000
           case _ => 3600L * 1000
         })
-        create(spark, name, ms)(_ => runner(stmt))(force)
+        val owner = Authz.currentUser(spark)
+        regFor(spark).put(name, Scheduled(name, ms, _ => runner(stmt), force,
+          lastRunAt = Long.MinValue, enabled = true, owner = Some(owner)))
         stmtsFor(spark).put(name, stmt.trim)
         persist(_.filterNot(_.name == name) :+
-          SchedE(name, ms, stmt.trim, enabled = true, Long.MinValue))
+          SchedE(name, ms, stmt.trim, enabled = true, Long.MinValue,
+            Some(owner)))
         Some(done(s"created scheduled query $name"))
       case AlterToggleR(name, toggle) =>
         admin("ALTER SCHEDULED QUERY")
@@ -194,7 +219,7 @@ object ScheduledQueries {
         val r = regFor(spark)
         val s = Option(r.get(name)).getOrElse(
           throw new IllegalArgumentException(s"scheduled query not found: $name"))
-        s.sink(s.query(spark))
+        runAs(spark, s.owner) { s.sink(s.query(spark)) }
         val now = System.currentTimeMillis()
         r.put(name, s.copy(lastRunAt = now))
         if (stmtsFor(spark).containsKey(name))
@@ -224,7 +249,8 @@ object ScheduledQueries {
     * next_execution). Top-level-ish so json4s reflection can construct it.
     */
   private case class SchedE(name: String, everyMillis: Long,
-      statement: String, enabled: Boolean, lastRunAt: Long)
+      statement: String, enabled: Boolean, lastRunAt: Long,
+      owner: Option[String])
 
   private implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
 
@@ -263,7 +289,7 @@ object ScheduledQueries {
       s.load()._2.foreach { e =>
         if (!r.containsKey(e.name)) {
           r.put(e.name, Scheduled(e.name, e.everyMillis,
-            _ => runner(e.statement), force, e.lastRunAt, e.enabled))
+            _ => runner(e.statement), force, e.lastRunAt, e.enabled, e.owner))
           stmts.put(e.name, e.statement)
         }
       }

@@ -158,9 +158,14 @@ object SqlMaintenance {
       query: String): DataFrame = {
     import spark.implicits._
     val plan = spark.sessionState.sqlParser.parsePlan(query)
-    val (inputs, outputs, _) = Authz.statementAccess(plan)
-    val tables = (inputs ++ outputs).distinct.sorted
-      .map(t => s"""{"tablename":"$t","tabletype":"MANAGED_TABLE"}""")
+    // READ dependencies only — a DML target is written, not depended on
+    // (Hive's getJSONDependencies likewise lists inputs; reporting the
+    // target would make lineage tools record a table upstream of itself)
+    val (inputs, _, _) = Authz.statementAccess(plan)
+    def esc(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val tables = inputs.distinct.sorted
+      .map(t => s"""{"tablename":"${esc(t)}","tabletype":"MANAGED_TABLE"}""")
       .mkString(",")
     Seq(s"""{"input_tables":[$tables],"input_partitions":[]}""")
       .toDF("dependency")

@@ -228,16 +228,31 @@ object KvStore {
   // A overwrites with its stale N-based view, D's puts gone) cannot
   // happen: A's publish of N+1 LOSES and A retries against fresh state.
   private val BaseRx = """base-(\d{5})-g(\d+)\.tsv""".r
+  private val LegacyBaseRx = """base-(\d{5})\.tsv""".r
   private def basePath(root: String, bucket: Int, gen: Long): Path =
-    Paths.get(root, f"base-$bucket%05d-g$gen%08d.tsv")
-  private def baseGens(root: String, bucket: Int): Seq[Long] = {
-    val r = Paths.get(root)
-    if (!Files.exists(r)) Nil
-    else Files.list(r).iterator().asScala.toSeq
-      .map(_.getFileName.toString)
-      .collect { case BaseRx(b, g) if b.toInt == bucket => g.toLong }
-      .sorted
+    if (gen < 0) Paths.get(root, f"base-$bucket%05d.tsv") // pre-generation name
+    else Paths.get(root, f"base-$bucket%05d-g$gen%08d.tsv")
+
+  /** Files.list streams hold an OS directory fd until closed — this runs
+    * per bucket per read, so close deterministically.
+    */
+  private def listNames(dir: Path): Seq[String] = {
+    if (!Files.exists(dir)) return Nil
+    val s = Files.list(dir)
+    try s.iterator().asScala.map(_.getFileName.toString).toList
+    finally s.close()
   }
+
+  /** Base generations for a bucket, oldest first; a pre-generation
+    * `base-<bucket>.tsv` (written by an earlier release) reads as
+    * generation -1 so upgraded stores keep their folded history — the
+    * first post-upgrade compact publishes g0 and retires it.
+    */
+  private def baseGens(root: String, bucket: Int): Seq[Long] =
+    listNames(Paths.get(root)).collect {
+      case BaseRx(b, g) if b.toInt == bucket => g.toLong
+      case LegacyBaseRx(b) if b.toInt == bucket => -1L
+    }.sorted
   private def deltasDir(root: String): Path = Paths.get(root, "deltas")
 
   // injective escape: backslash first, then separators and NUL — so the
@@ -318,8 +333,16 @@ object KvStore {
       catch {
         case _: java.nio.file.FileAlreadyExistsException => false
         case _: UnsupportedOperationException =>
-          try { Files.copy(tmp, dst); true }
-          catch { case _: java.nio.file.FileAlreadyExistsException => false }
+          // FS without hard links: ATOMIC_MOVE keeps base VISIBILITY
+          // atomic — a reader can never adopt a half-written generation
+          // (a torn base would silently drop folded history; deltas
+          // tolerate torn tails, bases must not). The exists-check CAS is
+          // best-effort on this degraded path (two movers could both pass
+          // it); the primary hard-link path is the real CAS.
+          try {
+            if (Files.exists(dst)) false
+            else { Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE); true }
+          } catch { case _: java.nio.file.FileAlreadyExistsException => false }
       }
     Files.deleteIfExists(tmp)
     won
@@ -328,9 +351,9 @@ object KvStore {
   /** Delta files in commit order (seq, then intra-commit index). */
   private def deltaFiles(root: String): Seq[Path] = {
     val d = deltasDir(root)
-    if (!Files.exists(d)) Nil
-    else Files.list(d).iterator().asScala.toSeq
-      .filter(_.getFileName.toString.matches("delta-\\d+-\\d+\\.tsv"))
+    listNames(d)
+      .filter(_.matches("delta-\\d+-\\d+\\.tsv"))
+      .map(d.resolve)
       .sortBy { p =>
         val parts = p.getFileName.toString.stripPrefix("delta-")
           .stripSuffix(".tsv").split("-")
@@ -440,7 +463,11 @@ object KvStore {
   def truncate(root: String): Unit = {
     val r = Paths.get(root)
     if (!Files.exists(r)) return
-    Files.walk(r).iterator().asScala.toSeq.reverse
+    val walk = Files.walk(r)
+    val targets =
+      try walk.iterator().asScala.toList.reverse
+      finally walk.close()
+    targets
       .filter(p => p != r && (p.getFileName.toString.startsWith("base-") ||
         p.getFileName.toString.startsWith("delta") ||
         p.getFileName.toString == "deltas"))

@@ -95,6 +95,24 @@ class AuthzSpec extends SparkSpec with BeforeAndAfterEach {
     // the catalog dir selects the durable authz database — redirecting it
     // would bootstrap an attacker-prepared grant set
     intercept[Authz.AccessDenied] { sql("SET spark.graft.catalog=/tmp/evil") }
+    // comment/whitespace-obfuscated forms defeat the pre-parse regex, so
+    // the PARSED-command guard (or Spark's own raw-text SET/RESET lexing)
+    // must stop them — the invariant is that none of these can ever
+    // succeed in altering the security context
+    Seq(
+      "RESET -- nothing to see",
+      "/* hi */ RESET",
+      "/* hi */ RESET spark.graft.authz.enabled",
+      "RESET\n\t spark.graft.authz.enabled",
+      "SET /* sneaky */ spark.graft.user = admin",
+      "/* x */ SET spark.graft.user = admin").foreach { stmt =>
+      val denied =
+        try { sql(stmt); false }
+        catch { case _: Exception => true }
+      assert(denied, s"obfuscated statement succeeded: $stmt")
+      assert(Authz.enabled(spark) && Authz.currentUser(spark) === "mal",
+        s"security context changed by: $stmt")
+    }
     // the security context is unchanged
     assert(Authz.currentUser(spark) === "mal")
     assert(Authz.enabled(spark))

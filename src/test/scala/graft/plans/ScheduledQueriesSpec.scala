@@ -142,6 +142,47 @@ class ScheduledQueriesSpec extends SparkSpec {
     }
   }
 
+  test("SQL schedules execute as their OWNER, not as the tick's invoker") {
+    import spark.implicits._
+    def sql(q: String) = Engine.sql(spark, sfDir, q)
+    val root = java.nio.file.Files.createTempDirectory("sched_own_").toString + "/t"
+    Snapshots.create(spark, root, Seq.empty[(Long, String)].toDF("id", "tag"))
+    NamedTables.registerSnapshot("sched_own_t", root)
+    try {
+      // the owner (an admin) schedules an ingest from region; a row filter
+      // hides most of region from user 'ticker'
+      spark.conf.set("spark.graft.authz.enabled", "true")
+      spark.conf.set("spark.graft.authz.admins", "owner_admin")
+      spark.conf.set("spark.graft.user", "owner_admin")
+      sql("GRANT SELECT ON TABLE region TO ALL")
+      sql("GRANT ALL ON TABLE sched_own_t TO ALL")
+      sql("ALTER TABLE region SET ROW FILTER 'r_regionkey = 0' FOR USER ticker")
+      sql("""CREATE SCHEDULED QUERY so_ingest EVERY 1 HOURS AS
+            |INSERT INTO sched_own_t
+            |SELECT r_regionkey, r_name FROM region""".stripMargin)
+      // the TICK runs as a filtered user — but the statement must execute
+      // under the OWNER's identity, or the filter silently corrupts the
+      // materialization (1 row instead of 5)
+      spark.conf.set("spark.graft.user", "ticker")
+      val ran = sql("EXECUTE SCHEDULED QUERIES").collect().map(_.getString(0))
+      assert(ran.contains("so_ingest"))
+      spark.conf.set("spark.graft.user", "owner_admin")
+      assert(sql("SELECT count(*) AS n FROM sched_own_t").head.getLong(0) === 5,
+        "the schedule must run as its owner — the invoker's row filter " +
+          "leaked into the materialization")
+      // and the invoker's own identity is restored after the tick
+      spark.conf.set("spark.graft.user", "ticker")
+      assert(Authz.currentUser(spark) === "ticker")
+    } finally {
+      spark.conf.unset("spark.graft.authz.enabled")
+      spark.conf.unset("spark.graft.user")
+      spark.conf.unset("spark.graft.authz.admins")
+      Authz.clearAll()
+      ScheduledQueries.drop(spark, "so_ingest")
+      NamedTables.drop("sched_own_t")
+    }
+  }
+
   test("a scheduled SELECT tick forces the plan without a driver-side copy") {
     import java.util.concurrent.atomic.AtomicLong
     def sql(q: String) = Engine.sql(spark, sfDir, q)
