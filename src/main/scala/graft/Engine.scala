@@ -223,7 +223,22 @@ object Engine {
   def scheduledTick(spark: SparkSession, sfDir: String,
       now: Long = System.currentTimeMillis()): Seq[String] = {
     register(spark, sfDir)
-    graft.plans.ScheduledQueries.runDue(spark, now, q => sql(spark, sfDir, q))
+    // durable deployments tick in a CLONED session: owner-identity swaps
+    // mutate the clone's conf, so concurrent statements on the caller's
+    // session are never authorized as a schedule's owner (the reference
+    // runs scheduled queries in their own session for the same reason).
+    // Without a durable catalog there is nothing to hydrate into a clone —
+    // session-local schedules tick in place.
+    val session =
+      if (spark.conf.getOption(graft.plans.NamedTables.CatalogConfKey)
+          .exists(_.nonEmpty)) {
+        // Spark 4 keeps cloneSession private[sql] — bridged via GraftShims
+        val t = org.apache.spark.sql.GraftShims.cloneSession(spark)
+        configure(t)
+        t
+      } else spark
+    graft.plans.ScheduledQueries.runDue(session, now,
+      q => sql(session, sfDir, q))
   }
 
   /** Procedural scripts through the same front door (the reference's

@@ -575,8 +575,10 @@ object Authz {
     if (!enabled(spark) || isAdmin(spark)) return
     plan match {
       case org.apache.spark.sql.execution.command.SetCommand(kv) =>
-        kv.foreach { case (k, _) =>
-          if (RestrictedConfs.contains(norm(k)))
+        // value-less `SET key` is a read (Spark prints the value) — only a
+        // MUTATION of a restricted conf is denied
+        kv.foreach { case (k, v) =>
+          if (v.isDefined && RestrictedConfs.contains(norm(k)))
             denyConf(spark, s"SET restricted configuration $k")
         }
       case org.apache.spark.sql.execution.command.ResetCommand(cfg) =>

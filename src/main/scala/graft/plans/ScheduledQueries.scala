@@ -43,6 +43,15 @@ object ScheduledQueries {
     * admin's materialization (and a cron tick under the default anonymous
     * user would fail every statement once enforcement is on). Programmatic
     * schedules (closures) run as the invoker — library access.
+    *
+    * Trust model: the owner is pinned at CREATE from the session user.
+    * With enforcement ON, CREATE is admin-gated, so only admins mint
+    * owned schedules; the pre-enforcement phase is the trusted setup
+    * window, exactly as with the authz admin verbs themselves (anything
+    * created then — grants, admins, schedules — is the bootstrap state).
+    * A schedule created pre-enforcement carries that phase's user (often
+    * `anonymous`); once enforcement is on it will be denied like any
+    * anonymous session — recreate it as a real owner.
     */
   private def runAs[T](spark: SparkSession, owner: Option[String])(
       body: => T): T = owner match {
@@ -71,12 +80,15 @@ object ScheduledQueries {
   }
 
   /** CREATE SCHEDULED QUERY name EVERY interval AS query (+ a sink: Hive's
-    * scheduled queries are INSERT/materialization statements).
+    * scheduled queries are INSERT/materialization statements). `owner`
+    * (SQL-verb path) pins the execution identity; None = run as invoker.
     */
-  def create(spark: SparkSession, name: String, everyMillis: Long)(
+  def create(spark: SparkSession, name: String, everyMillis: Long,
+      owner: Option[String] = None)(
       query: SparkSession => DataFrame)(sink: DataFrame => Unit): Unit =
     regFor(spark).put(name,
-      Scheduled(name, everyMillis, query, sink, lastRunAt = Long.MinValue, enabled = true))
+      Scheduled(name, everyMillis, query, sink, lastRunAt = Long.MinValue,
+        enabled = true, owner = owner))
 
   /** ALTER SCHEDULED QUERY name ENABLE/DISABLE. */
   def setEnabled(spark: SparkSession, name: String, enabled: Boolean): Unit = {
@@ -110,14 +122,30 @@ object ScheduledQueries {
     */
   def runDue(spark: SparkSession, now: Long): Seq[String] = {
     val r = regFor(spark)
-    list(spark).filter(s => s.enabled &&
-        (s.lastRunAt == Long.MinValue || now - s.lastRunAt >= s.everyMillis)).map { s =>
-      runAs(spark, s.owner) { s.sink(s.query(spark)) }
-      r.put(s.name, s.copy(lastRunAt = now))
-      if (stmtsFor(spark).containsKey(s.name))
-        persist(_.map(e => if (e.name == s.name) e.copy(lastRunAt = now) else e))
-      s.name
+    val due = list(spark).filter(s => s.enabled &&
+      (s.lastRunAt == Long.MinValue || now - s.lastRunAt >= s.everyMillis))
+    // per-schedule failure ISOLATION (the reference's executor service
+    // likewise fails one schedule without starving the rest): every due
+    // schedule gets its attempt; the first failure then propagates with
+    // the others suppressed. A failed schedule keeps its old lastRunAt —
+    // the next tick retries it.
+    val failures = scala.collection.mutable.ArrayBuffer.empty[Throwable]
+    val ran = due.flatMap { s =>
+      try {
+        runAs(spark, s.owner) { s.sink(s.query(spark)) }
+        r.put(s.name, s.copy(lastRunAt = now))
+        if (stmtsFor(spark).containsKey(s.name))
+          persist(_.map(e => if (e.name == s.name) e.copy(lastRunAt = now) else e))
+        Some(s.name)
+      } catch {
+        case scala.util.control.NonFatal(e) => failures += e; None
+      }
     }
+    failures.headOption.foreach { first =>
+      failures.drop(1).foreach(first.addSuppressed)
+      throw first
+    }
+    ran
   }
 
   /** The deployment-tick entry: hydrates persisted schedules through
@@ -202,8 +230,7 @@ object ScheduledQueries {
           case _ => 3600L * 1000
         })
         val owner = Authz.currentUser(spark)
-        regFor(spark).put(name, Scheduled(name, ms, _ => runner(stmt), force,
-          lastRunAt = Long.MinValue, enabled = true, owner = Some(owner)))
+        create(spark, name, ms, Some(owner))(_ => runner(stmt))(force)
         stmtsFor(spark).put(name, stmt.trim)
         persist(_.filterNot(_.name == name) :+
           SchedE(name, ms, stmt.trim, enabled = true, Long.MinValue,

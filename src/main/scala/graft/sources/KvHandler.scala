@@ -333,20 +333,34 @@ object KvStore {
       catch {
         case _: java.nio.file.FileAlreadyExistsException => false
         case _: UnsupportedOperationException =>
-          // FS without hard links: ATOMIC_MOVE keeps base VISIBILITY
-          // atomic — a reader can never adopt a half-written generation
-          // (a torn base would silently drop folded history; deltas
-          // tolerate torn tails, bases must not). The exists-check CAS is
-          // best-effort on this degraded path (two movers could both pass
-          // it); the primary hard-link path is the real CAS.
-          try {
-            if (Files.exists(dst)) false
-            else { Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE); true }
-          } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+          // FS without hard links: no single primitive gives BOTH
+          // create-exclusive (the CAS) and atomic content visibility
+          // (rename(2) silently replaces; O_EXCL writes are torn-visible).
+          // Split them: the CAS is decided on a tiny exclusive CLAIM file,
+          // then the winner publishes content with an atomic rename — a
+          // reader can never adopt a half-written base, and two movers can
+          // never both win a generation.
+          val claim = dst.resolveSibling(dst.getFileName.toString + ".claim")
+          val claimed =
+            try { Files.createFile(claim); true }
+            catch { case _: java.nio.file.FileAlreadyExistsException => false }
+          if (claimed) {
+            try Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+            catch {
+              case _: java.nio.file.AtomicMoveNotSupportedException =>
+                // last-resort provider: plain move (same-directory rename
+                // in practice); the claim still guarantees one winner
+                Files.move(tmp, dst, StandardCopyOption.REPLACE_EXISTING)
+            }
+          }
+          claimed
       }
     Files.deleteIfExists(tmp)
     won
   }
+
+  private def claimOf(base: Path): Path =
+    base.resolveSibling(base.getFileName.toString + ".claim")
 
   /** Delta files in commit order (seq, then intra-commit index). */
   private def deltaFiles(root: String): Seq[Path] = {
@@ -508,14 +522,20 @@ object KvStore {
         // retire; readers racing these deletes hit the torn-read retry
         snapshot.foreach(Files.deleteIfExists)
         published.foreach { case (b, prevGens) =>
-          prevGens.foreach(g => Files.deleteIfExists(basePath(root, b, g)))
+          prevGens.foreach { g =>
+            Files.deleteIfExists(basePath(root, b, g))
+            Files.deleteIfExists(claimOf(basePath(root, b, g)))
+          }
         }
         done = true
       } catch {
         // a CONCURRENT compactor folded+deleted part of this snapshot, or
-        // won a base generation: our view is stale — restart fresh
-        case TornRead(_) if tries < 50 => tries += 1
-        case LostBaseRace(_) if tries < 50 => tries += 1
+        // won a base generation: our view is stale — restart fresh (brief
+        // backoff: on the claim-file path the winner may still be
+        // publishing its generation's content)
+        case TornRead(_) if tries < 50 => tries += 1; Thread.sleep(5L * tries)
+        case LostBaseRace(_) if tries < 50 =>
+          tries += 1; Thread.sleep(5L * tries)
       }
     }
   }

@@ -16,4 +16,11 @@ object GraftShims {
   def ofRows(spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Fork the session with a COPY of its state (conf, temp views, function
+    * registry) — Spark 4 keeps cloneSession private[sql]. Used to isolate
+    * the scheduled-query tick's identity swaps from the caller's session.
+    */
+  def cloneSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[classic.SparkSession].cloneSession()
 }

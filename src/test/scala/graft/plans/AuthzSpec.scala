@@ -116,6 +116,8 @@ class AuthzSpec extends SparkSpec with BeforeAndAfterEach {
     // the security context is unchanged
     assert(Authz.currentUser(spark) === "mal")
     assert(Authz.enabled(spark))
+    // value-less SET <key> is a READ (Spark prints the value) — allowed
+    sql("SET spark.graft.user")
     // admins may manage the context; unrelated confs stay settable by anyone
     asAdmin()
     sql("SET spark.graft.authz.admins=admin,ops")
