@@ -196,8 +196,17 @@ object BinaryFormats {
               else v.toString.getBytes(StandardCharsets.UTF_8)
             le16(b.length); w.write(b)
           case CharN(cw) =>
-            val s = (if (v == null) "" else v.toString).padTo(cw.toInt, ' ')
-            w.write(s.substring(0, cw.toInt).getBytes(StandardCharsets.UTF_8))
+            // CHAR(N) is a fixed BYTE width on the wire (the reference
+            // reads charSetWidth*N bytes) — pad/truncate at the byte
+            // level, not the character level, or a multi-byte UTF-8 value
+            // shifts every later field in the record
+            val width = cw.toInt
+            val raw = (if (v == null) "" else v.toString)
+              .getBytes(StandardCharsets.UTF_8)
+            val fixed = java.util.Arrays.copyOf(raw, width)
+            var i = raw.length
+            while (i < width) { fixed(i) = ' '.toByte; i += 1 }
+            w.write(fixed)
           case DecimalPS(p, s) =>
             val width = decimalBytes(p.toInt)
             val unscaled =

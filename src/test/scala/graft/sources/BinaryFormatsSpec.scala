@@ -162,6 +162,84 @@ class BinaryFormatsSpec extends SparkSpec with Matchers {
       .head.getInt(0) === 2)
   }
 
+  test("randomized codec net: seeded fuzz round trips for both wire formats") {
+    val rnd = new scala.util.Random(20260814L)
+    def randString(): String = {
+      // whole codepoints only (indexing a String would split the emoji's
+      // surrogate pair — a lone surrogate is not UTF-8-encodable)
+      val pool = Seq("a", "b", "\t", "\n", "|", "\\", "\"", "'", " ",
+        "\u0000", "é", "✓", "😀", "x", "0")
+      (0 until rnd.nextInt(12)).map(_ => pool(rnd.nextInt(pool.length))).mkString
+    }
+    // --- Teradata: every type, adversarial values, random nulls ---------
+    val tdF = Seq("b" -> "byteint", "s" -> "smallint", "i" -> "int",
+      "l" -> "bigint", "d" -> "double", "dt" -> "date", "ts" -> "timestamp(3)",
+      "v" -> "varchar", "c" -> "char(6)", "dec" -> "decimal(18,4)")
+    val tdRows = (0 until 200).map { _ =>
+      def n[T](v: => T): Any = if (rnd.nextInt(5) == 0) null else v
+      Row(
+        n(rnd.nextInt().toByte), n(rnd.nextInt().toShort), n(rnd.nextInt()),
+        n(rnd.nextLong()),
+        n(java.lang.Double.longBitsToDouble(rnd.nextLong()) match {
+          case x if x.isNaN || x.isInfinite => rnd.nextDouble() * 1e12
+          case x => x
+        }),
+        n(java.sql.Date.valueOf(s"${1970 + rnd.nextInt(100)}-" +
+          f"${1 + rnd.nextInt(12)}%02d-${1 + rnd.nextInt(28)}%02d")),
+        n(java.sql.Timestamp.valueOf(
+          f"${1970 + rnd.nextInt(80)}-${1 + rnd.nextInt(12)}%02d-" +
+            f"${1 + rnd.nextInt(28)}%02d ${rnd.nextInt(24)}%02d:" +
+            f"${rnd.nextInt(60)}%02d:${rnd.nextInt(60)}%02d.${rnd.nextInt(1000)}%03d")),
+        n(randString()),
+        // char(6) is a fixed BYTE width: ASCII values round-trip exactly
+        // (multi-byte values truncate at the byte boundary by contract)
+        n((0 until rnd.nextInt(7)).map(_ =>
+          ('a' + rnd.nextInt(26)).toChar).mkString),
+        n(new java.math.BigDecimal(BigInt(rnd.nextLong() % 1000000000L)
+          .bigInteger, 4)))
+    }
+    val tdBytes = BinaryFormats.encodeTeradata(tdRows.iterator, tdF)
+    val tdBack = BinaryFormats.decodeTeradata(tdBytes, tdF).toSeq
+    tdBack.zip(tdRows).zipWithIndex.foreach { case ((g, e), r) =>
+      tdF.indices.foreach { i =>
+        val (gv, ev) = (g.get(i), e.get(i))
+        val expected = (tdF(i)._2, ev) match {
+          // char(N) round-trips space-padded to width (CHAR semantics)
+          case ("char(6)", s: String) => s.padTo(6, ' ')
+          case _ => ev
+        }
+        assert(gv === expected, s"row $r col ${tdF(i)._1}")
+      }
+    }
+    // --- protobuf: scalars + repeated, adversarial strings, nulls -------
+    import BinaryFormats.ProtoField
+    val pbF = Seq(ProtoField(1, "a", "int64"), ProtoField(2, "b", "sint64"),
+      ProtoField(3, "c", "string"), ProtoField(4, "d", "double"),
+      ProtoField(5, "e", "bool"), ProtoField(6, "f", "array<sint32>"),
+      ProtoField(7, "g", "array<string>"))
+    val pbRows2 = (0 until 200).map { _ =>
+      def n[T](v: => T): Any = if (rnd.nextInt(5) == 0) null else v
+      Row(n(rnd.nextLong()), n(rnd.nextLong()), n(randString()),
+        n(rnd.nextDouble() * math.pow(10, rnd.nextInt(20) - 10)),
+        n(rnd.nextBoolean()),
+        n((0 until rnd.nextInt(5)).map(_ => rnd.nextInt())),
+        n((0 until rnd.nextInt(4)).map(_ => randString())))
+    }
+    val pbBytes = BinaryFormats.encodeProtoDelimited(pbRows2.iterator, pbF)
+    val pbBack = BinaryFormats.decodeProtoDelimited(pbBytes, pbF).toSeq
+    pbBack.zip(pbRows2).zipWithIndex.foreach { case ((g, e), r) =>
+      pbF.indices.foreach { i =>
+        val ev = e.get(i) match {
+          // proto3 semantics: an EMPTY repeated field is indistinguishable
+          // from an absent one on the wire — decodes as null
+          case s: scala.collection.Seq[_] if s.isEmpty => null
+          case v => v
+        }
+        assert(g.get(i) === ev, s"row $r col ${pbF(i).name}")
+      }
+    }
+  }
+
   test("protobuf: SequenceFile container round trip (the reference's framing)") {
     import spark.implicits._
     val dir = tmp("pb_seq_") + "/data"
