@@ -190,7 +190,7 @@ object Engine {
           .orElse(graft.plans.Workload.maybeSql(spark, query))
           .orElse(graft.plans.Macros.maybeSql(spark, query))
           .orElse(graft.plans.ScheduledQueries.maybeSql(spark, query,
-            q => sql(spark, sfDir, q)))
+            (s, q) => sql(s, sfDir, q)))
           .orElse(maybeRunHplsql(spark, sfDir, query))
           .getOrElse(spark.sql(query)) // surface the canonical parse error
       case Some(plan) =>
@@ -238,7 +238,7 @@ object Engine {
         t
       } else spark
     graft.plans.ScheduledQueries.runDue(session, now,
-      q => sql(session, sfDir, q))
+      (s, q) => sql(s, sfDir, q))
   }
 
   /** Procedural scripts through the same front door (the reference's

@@ -314,6 +314,38 @@ object Authz {
     inputs.foreach(t => requirePrivilege(spark, t, "select"))
   }
 
+  /** Parse + privilege-check a query EMBEDDED in a maintenance verb
+    * (EXPLAIN family, CREATE/REBUILD MATERIALIZED VIEW): a verb that
+    * executes or reveals a query must enforce exactly like the query
+    * itself would — otherwise the verb is a side door around
+    * deny-by-default. Returns the parsed plan for further use.
+    */
+  def checkQueryText(spark: SparkSession, sqlText: String): LogicalPlan = {
+    val plan = spark.sessionState.sqlParser.parsePlan(sqlText)
+    checkStatement(spark, plan)
+    plan
+  }
+
+  /** Enforce `action` on one relation, for maintenance verbs that act on a
+    * TABLE rather than a query (RESTORE/OPTIMIZE/VACUUM rewrite table
+    * state — that is an update). No-op when enforcement is off or the
+    * user is an admin.
+    */
+  def requireRelationPrivilege(spark: SparkSession, parts: Seq[String],
+      action: String): Unit =
+    if (enabled(spark) && !isAdmin(spark))
+      requirePrivilege(spark, enforcementKey(parts), action)
+
+  /** True when a row filter or column mask would rewrite this plan for the
+    * CURRENT user. Verbs that materialize shared table state (CREATE /
+    * REBUILD MATERIALIZED VIEW — one artifact served to every user by the
+    * rewrite) must fail closed for policied users: materializing their
+    * filtered view would corrupt the MV for everyone else, materializing
+    * the raw view would leak to them.
+    */
+  def policiedFor(spark: SparkSession, plan: LogicalPlan): Boolean =
+    enabled(spark) && !isAdmin(spark) && (applyPolicies(spark, plan) ne plan)
+
   /** Rewrite reads under the active row-filter/column-mask policies.
     * Applies only to SELECT-shaped plans (DML statements route through
     * [[SqlDml]] before this runs). Returns the plan unchanged when no

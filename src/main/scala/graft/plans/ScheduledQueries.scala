@@ -54,15 +54,17 @@ object ScheduledQueries {
     * anonymous session — recreate it as a real owner.
     */
   private def runAs[T](spark: SparkSession, owner: Option[String])(
-      body: => T): T = owner match {
-    case None => body
+      body: SparkSession => T): T = owner match {
+    case None => body(spark)
     case Some(u) =>
-      val prev = spark.conf.getOption("spark.graft.user")
-      spark.conf.set("spark.graft.user", u)
-      try body finally prev match {
-        case Some(p) => spark.conf.set("spark.graft.user", p)
-        case None => spark.conf.unset("spark.graft.user")
-      }
+      // execute in a CLONED session owned by `u` — never by mutating the
+      // caller's conf, which would grant the owner's identity to every
+      // CONCURRENT statement on a shared session for the duration of the
+      // run (the reference executes scheduled queries in their own session
+      // for the same reason)
+      val s = org.apache.spark.sql.GraftShims.cloneSession(spark)
+      s.conf.set("spark.graft.user", u)
+      body(s)
   }
 
   private val registry =
@@ -132,7 +134,7 @@ object ScheduledQueries {
     val failures = scala.collection.mutable.ArrayBuffer.empty[Throwable]
     val ran = due.flatMap { s =>
       try {
-        runAs(spark, s.owner) { s.sink(s.query(spark)) }
+        runAs(spark, s.owner)(sess => s.sink(s.query(sess)))
         r.put(s.name, s.copy(lastRunAt = now))
         if (stmtsFor(spark).containsKey(s.name))
           persist(_.map(e => if (e.name == s.name) e.copy(lastRunAt = now) else e))
@@ -154,7 +156,7 @@ object ScheduledQueries {
     * persisting them.
     */
   def runDue(spark: SparkSession, now: Long,
-      runner: String => DataFrame): Seq[String] = {
+      runner: (SparkSession, String) => DataFrame): Seq[String] = {
     bootstrap(spark)
     hydrate(spark, runner)
     runDue(spark, now)
@@ -211,7 +213,7 @@ object ScheduledQueries {
     * engine semantics). None otherwise.
     */
   def maybeSql(spark: SparkSession, sqlText: String,
-      runner: String => DataFrame): Option[DataFrame] = {
+      runner: (SparkSession, String) => DataFrame): Option[DataFrame] = {
     import spark.implicits._
     def done(what: String): DataFrame = Seq(what).toDF("result")
     // a scheduled-query verb touches the durable registry first, so a
@@ -230,7 +232,7 @@ object ScheduledQueries {
           case _ => 3600L * 1000
         })
         val owner = Authz.currentUser(spark)
-        create(spark, name, ms, Some(owner))(_ => runner(stmt))(force)
+        create(spark, name, ms, Some(owner))(s => runner(s, stmt))(force)
         stmtsFor(spark).put(name, stmt.trim)
         persist(_.filterNot(_.name == name) :+
           SchedE(name, ms, stmt.trim, enabled = true, Long.MinValue,
@@ -246,7 +248,7 @@ object ScheduledQueries {
         val r = regFor(spark)
         val s = Option(r.get(name)).getOrElse(
           throw new IllegalArgumentException(s"scheduled query not found: $name"))
-        runAs(spark, s.owner) { s.sink(s.query(spark)) }
+        runAs(spark, s.owner)(sess => s.sink(s.query(sess)))
         val now = System.currentTimeMillis()
         r.put(name, s.copy(lastRunAt = now))
         if (stmtsFor(spark).containsKey(name))
@@ -309,14 +311,16 @@ object ScheduledQueries {
     * (statement text re-binds to the session's front-door `runner`).
     * In-memory entries win per name — they are newer.
     */
-  private def hydrate(spark: SparkSession, runner: String => DataFrame): Unit =
+  private def hydrate(spark: SparkSession,
+      runner: (SparkSession, String) => DataFrame): Unit =
     store.foreach { s =>
       val r = regFor(spark)
       val stmts = stmtsFor(spark)
       s.load()._2.foreach { e =>
         if (!r.containsKey(e.name)) {
           r.put(e.name, Scheduled(e.name, e.everyMillis,
-            _ => runner(e.statement), force, e.lastRunAt, e.enabled, e.owner))
+            sess => runner(sess, e.statement), force, e.lastRunAt, e.enabled,
+            e.owner))
           stmts.put(e.name, e.statement)
         }
       }

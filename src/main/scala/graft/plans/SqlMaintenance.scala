@@ -77,27 +77,65 @@ object SqlMaintenance {
   /** Execute `sqlText` if it is a maintenance statement; None otherwise
     * (caller surfaces the canonical parse error).
     */
+  /** Enforcement parts for a maintenance ident: plain names check as
+    * themselves; backtick-quoted snapshot roots check under the `snapshot`
+    * path form so [[Authz]]'s owning-name reverse resolution applies (no
+    * path side door).
+    */
+  private def privParts(ident: String): Seq[String] =
+    if (ident.startsWith("`")) Seq("snapshot", nameOf(ident))
+    else Seq(nameOf(ident))
+
   def maybeRun(spark: SparkSession, sqlText: String): Option[DataFrame] =
     sqlText match {
+      // state-rewriting table verbs require the table's UPDATE privilege
+      // (RESTORE rolls state back, OPTIMIZE rewrites layout, VACUUM
+      // destroys time travel) — without this, they are ungated sabotage
+      // while the DML verbs they bypass are privilege-checked
       case RestoreV(ident, v) =>
+        Authz.requireRelationPrivilege(spark, privParts(ident), "update")
         Some(runRestore(spark, ident, _.restore(v.toLong)))
       case RestoreTs(ident, ts) =>
+        Authz.requireRelationPrivilege(spark, privParts(ident), "update")
         Some(runRestore(spark, ident,
           _.restoreAsOf(java.sql.Timestamp.valueOf(ts).getTime)))
       case OptimizeZ(ident, cols) =>
+        Authz.requireRelationPrivilege(spark, privParts(ident), "update")
         val zCols = cols.split(',').map(stripQuotes).map(_.trim).toSeq
         Some(runOptimize(spark, ident, _.zOrderBy(zCols)))
       case Optimize(ident) =>
+        Authz.requireRelationPrivilege(spark, privParts(ident), "update")
         Some(runOptimize(spark, ident, _.compact()))
       case VacuumRetain(ident, hours) =>
+        Authz.requireRelationPrivilege(spark, privParts(ident), "update")
         Some(runVacuum(spark, ident, hours.toDouble))
       case Vacuum(ident) =>
+        Authz.requireRelationPrivilege(spark, privParts(ident), "update")
         Some(runVacuum(spark, ident, minAgeHours = 24.0))
       case CreateMv(ident, loc, query) =>
+        // materializing a query = reading it: same SELECT checks, and
+        // fail closed for policied users (one MV serves EVERY user via the
+        // rewrite — a filtered materialization corrupts it for others, an
+        // unfiltered one leaks to the policied user)
+        val planned = Authz.checkQueryText(spark, query)
+        if (Authz.policiedFor(spark, planned))
+          throw new Authz.AccessDenied(
+            "CREATE MATERIALIZED VIEW over a row-filtered/masked source " +
+              "is not allowed for this user — the materialization is " +
+              "shared by all users")
         Some(runCreateMv(spark, nameOf(ident), Option(loc), query))
       case RebuildMv(ident) =>
+        MaterializedViews.registered(spark)
+          .find(_.name == nameOf(ident)).flatMap(_.sql).foreach { q =>
+            val planned = Authz.checkQueryText(spark, q)
+            if (Authz.policiedFor(spark, planned))
+              throw new Authz.AccessDenied(
+                "ALTER MATERIALIZED VIEW REBUILD would materialize this " +
+                  "user's filtered/masked view into the shared MV")
+          }
         Some(runRebuildMv(spark, nameOf(ident)))
       case DropMv(ident) =>
+        Authz.requireAdmin(spark, "DROP MATERIALIZED VIEW")
         MaterializedViews.drop(spark, nameOf(ident))
         Some(spark.emptyDataFrame)
       case ShowMv() =>
@@ -106,6 +144,9 @@ object SqlMaintenance {
           .map(mv => (mv.name, mv.path, mv.sources.size.toLong))
           .sortBy(_._1).toDF("name", "location", "n_sources"))
       case Replicate(ident, target) =>
+        // raw FILE copy to a caller-chosen path: masked/filtered content
+        // leaves in cleartext regardless of policies — admin only
+        Authz.requireAdmin(spark, "REPLICATE TABLE")
         import spark.implicits._
         val r = Replication.sync(spark, tableOf(spark, ident).root, target)
         Some(Seq((nameOf(ident), target, r.mode, r.fromVersion, r.toVersion,
@@ -120,8 +161,16 @@ object SqlMaintenance {
         Some(runShowLocks(spark))
       case ShowTransactions() =>
         Some(runShowTransactions(spark))
-      case ExplainCbo(query) => Some(spark.sql(s"EXPLAIN COST $query"))
-      case ExplainVec(query) => Some(spark.sql(s"EXPLAIN CODEGEN $query"))
+      // the EXPLAIN family reveals plans/stats of the inner query — it
+      // requires the query's own privileges (Hive likewise authorizes
+      // EXPLAIN as the statement); ANALYZE additionally EXECUTES, so it
+      // runs the policied plan (see runExplainAnalyze)
+      case ExplainCbo(query) =>
+        Authz.checkQueryText(spark, query)
+        Some(spark.sql(s"EXPLAIN COST $query"))
+      case ExplainVec(query) =>
+        Authz.checkQueryText(spark, query)
+        Some(spark.sql(s"EXPLAIN CODEGEN $query"))
       case ExplainAuth(query) => Some(runExplainAuthorization(spark, query))
       case ExplainDep(query) => Some(runExplainDependency(spark, query))
       case _ => None
@@ -233,9 +282,13 @@ object SqlMaintenance {
   private def runExplainAnalyze(spark: SparkSession,
       query: String): DataFrame = {
     import spark.implicits._
+    // EXPLAIN ANALYZE EXECUTES the statement: enforce its privileges and
+    // run the POLICIED plan — the reported row counts are then the
+    // invoker's own view, not a probe oracle over filtered/masked data
+    val checked = Authz.checkQueryText(spark, query)
     val df = org.apache.spark.sql.GraftShims.ofRows(spark,
       NamedTables.substitute(spark,
-        spark.sessionState.sqlParser.parsePlan(query)))
+        Authz.applyPolicies(spark, checked)))
     val qe = df.queryExecution
     qe.toRdd.foreach(_ => ()) // execute THIS plan object so metrics populate
     val shown = Set("numOutputRows", "numFiles", "filesSize", "spillSize",

@@ -248,6 +248,56 @@ class AuthzSpec extends SparkSpec with BeforeAndAfterEach {
     assert(sql(s"SELECT count(*) AS n FROM $t").head.getLong(0) === 10)
   }
 
+  test("maintenance verbs are not a side door: MV/EXPLAIN/RESTORE/REPLICATE enforce") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("authz_maint_").toString + "/t"
+    Snapshots.create(spark, root,
+      (0 until 20).map(i => (i.toLong, s"c${i % 4}")).toDF("id", "cat"))
+    NamedTables.registerSnapshot("authz_maint", root)
+    try {
+      asUser("moe")
+      // CREATE MV would materialize an ungranted table — denied by the
+      // query's own SELECT check
+      intercept[Authz.AccessDenied] {
+        sql("CREATE MATERIALIZED VIEW mv_moe LOCATION '/tmp/mv_moe' AS " +
+          "SELECT cat, count(*) AS n FROM authz_maint GROUP BY cat")
+      }
+      // EXPLAIN ANALYZE executes: denied the same way
+      intercept[Authz.AccessDenied] {
+        sql("EXPLAIN ANALYZE SELECT count(*) FROM authz_maint") }
+      intercept[Authz.AccessDenied] {
+        sql("EXPLAIN CBO SELECT count(*) FROM authz_maint") }
+      // state-rewriting verbs need UPDATE, not nothing
+      intercept[Authz.AccessDenied] {
+        sql("RESTORE TABLE authz_maint TO VERSION AS OF 0") }
+      intercept[Authz.AccessDenied] { sql("OPTIMIZE authz_maint") }
+      intercept[Authz.AccessDenied] { sql("VACUUM authz_maint RETAIN 0 HOURS") }
+      // raw-file replication is admin-only (policies cannot follow files)
+      intercept[Authz.AccessDenied] {
+        sql("REPLICATE TABLE authz_maint TO '/tmp/authz_maint_copy'") }
+      // a GRANTED but row-FILTERED user cannot materialize the shared MV
+      asAdmin()
+      sql("GRANT SELECT ON TABLE authz_maint TO USER moe")
+      sql("ALTER TABLE authz_maint SET ROW FILTER 'cat = ''c1''' FOR USER moe")
+      asUser("moe")
+      val e = intercept[Authz.AccessDenied] {
+        sql("CREATE MATERIALIZED VIEW mv_moe LOCATION '/tmp/mv_moe' AS " +
+          "SELECT cat, count(*) AS n FROM authz_maint GROUP BY cat")
+      }
+      assert(e.getMessage.contains("shared by all users"))
+      // ... but EXPLAIN ANALYZE now runs THEIR policied view (5 rows of c1)
+      val analyzed = sql("EXPLAIN ANALYZE SELECT id FROM authz_maint")
+        .collect().map(_.getString(0)).mkString("\n")
+      assert(analyzed.contains("numOutputRows=5"),
+        s"EXPLAIN ANALYZE must measure the invoker's filtered view:\n$analyzed")
+      // UPDATE privilege opens the state-rewriting verbs
+      asAdmin()
+      sql("GRANT UPDATE ON TABLE authz_maint TO USER moe")
+      asUser("moe")
+      sql("OPTIMIZE authz_maint")
+    } finally NamedTables.drop("authz_maint")
+  }
+
   test("CTE aliases are statement-local: no grant required, and they shadow policies") {
     asAdmin()
     sql("GRANT SELECT ON TABLE nation TO USER noa")
