@@ -14,6 +14,13 @@ import org.apache.hadoop.fs.Path
   * mutation against the fresh state, so no change is lost. Documents are
   * tiny (rows of names/grants/plans), so whole-doc-per-version costs
   * nothing and keeps recovery a single-file read.
+  *
+  * Scope: ONE catalog per JVM, like the metastore connection it stands in
+  * for — every registry ([[NamedTables]], [[Authz]], [[Workload]],
+  * [[ScheduledQueries]]) bootstraps its store from the first session's
+  * `spark.graft.catalog` and is JVM-global thereafter. Hosting sessions
+  * with DIFFERENT catalog dirs in one JVM is out of scope (they would
+  * share registries), exactly as two metastores in one HiveServer2 are.
   */
 private[plans] final class CasJsonStore[T](
     dir: Path,
@@ -81,8 +88,21 @@ private[plans] final class CasJsonStore[T](
       val (v, cur) = load()
       val next = op(cur)
       done = (next == cur) || publish(v + 1, next)
+      if (done && next != cur) prune(v + 1)
       tries += 1
       require(tries <= 50, s"CAS did not converge at $dir")
     }
   }
+
+  /** Retire old versions after a successful publish — a hot mutation path
+    * (scheduled-query lastRunAt per tick) would otherwise grow the
+    * directory one file per change forever, and every load() lists it
+    * all. Readers always pick the LATEST version, so keeping a window of
+    * trailing versions covers any in-flight load; best-effort deletes.
+    */
+  private val keepVersions = 20
+  private def prune(latest: Long): Unit =
+    versions().filter(_ <= latest - keepVersions).foreach { v =>
+      try fs.delete(versionPath(v), false) catch { case _: Exception => () }
+    }
 }

@@ -42,19 +42,48 @@ object BinaryFormats {
   private val TimestampP = """timestamp\((\d+)\)""".r
   private val DecimalPS = """decimal\((\d+),(\d+)\)""".r
 
-  private def tdSparkType(t: String): DataType = t.toLowerCase match {
-    case "byteint" => ByteType
-    case "smallint" => ShortType
-    case "int" | "integer" => IntegerType
-    case "bigint" => LongType
-    case "double" | "float" => DoubleType
-    case "date" => DateType
-    case "timestamp" => TimestampType
-    case TimestampP(_) => TimestampType
-    case "varchar" => StringType
-    case CharN(_) => StringType
-    case DecimalPS(p, s) => DecimalType(p.toInt, s.toInt)
+  /** Parsed field type — resolved ONCE per schema, so the per-cell decode/
+    * encode loops dispatch on a case object instead of re-running
+    * lowercase + regex extraction per value (the hot path of a
+    * multi-million-row decode).
+    */
+  private sealed trait TdType
+  private case object TByte extends TdType
+  private case object TShort extends TdType
+  private case object TInt extends TdType
+  private case object TLong extends TdType
+  private case object TDouble extends TdType
+  private case object TDate extends TdType
+  private case class TTimestamp(p: Int) extends TdType
+  private case object TVarchar extends TdType
+  private case class TChar(n: Int) extends TdType
+  private case class TDecimal(p: Int, s: Int) extends TdType
+
+  private def tdType(t: String): TdType = t.toLowerCase match {
+    case "byteint" => TByte
+    case "smallint" => TShort
+    case "int" | "integer" => TInt
+    case "bigint" => TLong
+    case "double" | "float" => TDouble
+    case "date" => TDate
+    case "timestamp" => TTimestamp(0)
+    case TimestampP(p) => TTimestamp(p.toInt)
+    case "varchar" => TVarchar
+    case CharN(n) => TChar(n.toInt)
+    case DecimalPS(p, s) => TDecimal(p.toInt, s.toInt)
     case other => throw new IllegalArgumentException(s"teradata type: $other")
+  }
+
+  private def tdSparkType(t: String): DataType = tdType(t) match {
+    case TByte => ByteType
+    case TShort => ShortType
+    case TInt => IntegerType
+    case TLong => LongType
+    case TDouble => DoubleType
+    case TDate => DateType
+    case TTimestamp(_) => TimestampType
+    case TVarchar | TChar(_) => StringType
+    case TDecimal(p, s) => DecimalType(p, s)
   }
 
   /** DECIMAL(P,_) byte width (TeradataBinarySerde: 1/2/4/8/16 by precision). */
@@ -73,6 +102,7 @@ object BinaryFormats {
   private[sources] def decodeTeradata(bytes: Array[Byte],
       fields: Seq[(String, String)]): Iterator[Row] = {
     val n = fields.length
+    val types: Array[TdType] = fields.map(f => tdType(f._2)).toArray
     val bitmapLen = (n + 7) / 8
     val out = Seq.newBuilder[Row]
     var pos = 0
@@ -89,13 +119,13 @@ object BinaryFormats {
       var i = 0
       while (i < n) {
         val isNull = (bitmap(i / 8) & (128 >> (i % 8))) != 0
-        val v: Any = fields(i)._2.toLowerCase match {
-          case "byteint" => buf.get()
-          case "smallint" => buf.getShort()
-          case "int" | "integer" => buf.getInt()
-          case "bigint" => buf.getLong()
-          case "double" | "float" => buf.getDouble()
-          case "date" =>
+        val v: Any = types(i) match {
+          case TByte => buf.get()
+          case TShort => buf.getShort()
+          case TInt => buf.getInt()
+          case TLong => buf.getLong()
+          case TDouble => buf.getDouble()
+          case TDate =>
             val d = buf.getInt()
             if (d == 0) null
             else {
@@ -103,27 +133,23 @@ object BinaryFormats {
               java.sql.Date.valueOf(
                 s"${s.substring(0, 4)}-${s.substring(4, 6)}-${s.substring(6, 8)}")
             }
-          case "timestamp" | TimestampP(_) =>
-            val p = fields(i)._2.toLowerCase match {
-              case TimestampP(pp) => pp.toInt; case _ => 0
-            }
+          case TTimestamp(p) =>
             val b = new Array[Byte](tsWidth(p)); buf.get(b)
             val s = new String(b, StandardCharsets.UTF_8).trim
             if (s.isEmpty) null else java.sql.Timestamp.valueOf(s)
-          case "varchar" =>
+          case TVarchar =>
             val l = buf.getShort() & 0xffff
             val b = new Array[Byte](l); buf.get(b)
             new String(b, StandardCharsets.UTF_8)
-          case CharN(w) =>
-            val b = new Array[Byte](w.toInt); buf.get(b)
+          case TChar(w) =>
+            val b = new Array[Byte](w); buf.get(b)
             new String(b, StandardCharsets.UTF_8)
-          case DecimalPS(p, s) =>
-            val w = decimalBytes(p.toInt)
+          case TDecimal(p, s) =>
+            val w = decimalBytes(p)
             val b = new Array[Byte](w); buf.get(b)
             // little-endian signed scaled integer -> BigDecimal(unscaled, s)
             val be = b.reverse
-            new java.math.BigDecimal(new java.math.BigInteger(be), s.toInt)
-          case other => throw new IllegalArgumentException(other)
+            new java.math.BigDecimal(new java.math.BigInteger(be), s)
         }
         vals(i) = if (isNull) null else v
         i += 1
@@ -142,6 +168,7 @@ object BinaryFormats {
   private[sources] def encodeTeradata(rows: Iterator[Row],
       fields: Seq[(String, String)]): Array[Byte] = {
     val n = fields.length
+    val types: Array[TdType] = fields.map(f => tdType(f._2)).toArray
     val bitmapLen = (n + 7) / 8
     val out = new java.io.ByteArrayOutputStream()
     rows.foreach { row =>
@@ -154,29 +181,27 @@ object BinaryFormats {
         le(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(v).array())
       def le64(v: Long): Unit =
         le(ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putLong(v).array())
-      fields.zipWithIndex.foreach { case ((_, t), i) =>
+      var i = 0
+      while (i < n) {
         val v = row.get(i)
         if (v == null) bitmap(i / 8) = (bitmap(i / 8) | (128 >> (i % 8))).toByte
-        t.toLowerCase match {
-          case "byteint" => w.write(if (v == null) 0 else v.asInstanceOf[Byte].toInt)
-          case "smallint" =>
+        types(i) match {
+          case TByte => w.write(if (v == null) 0 else v.asInstanceOf[Byte].toInt)
+          case TShort =>
             le16(if (v == null) 0 else v.asInstanceOf[Short].toInt)
-          case "int" | "integer" => le32(if (v == null) 0 else v.asInstanceOf[Int])
-          case "bigint" => le64(if (v == null) 0L else v.asInstanceOf[Long])
-          case "double" | "float" =>
+          case TInt => le32(if (v == null) 0 else v.asInstanceOf[Int])
+          case TLong => le64(if (v == null) 0L else v.asInstanceOf[Long])
+          case TDouble =>
             le(ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
               .putDouble(if (v == null) 0.0 else v.asInstanceOf[Double]).array())
-          case "date" =>
+          case TDate =>
             if (v == null) le32(0)
             else {
               val d = v.asInstanceOf[java.sql.Date].toLocalDate
               le32(d.getYear * 10000 + d.getMonthValue * 100 +
                 d.getDayOfMonth - 19000000)
             }
-          case "timestamp" | TimestampP(_) =>
-            val p = t.toLowerCase match {
-              case TimestampP(pp) => pp.toInt; case _ => 0
-            }
+          case TTimestamp(p) =>
             val width = tsWidth(p)
             val s =
               if (v == null) " " * width
@@ -191,40 +216,44 @@ object BinaryFormats {
                 else whole + "." + frac.padTo(p, '0').substring(0, p)
               }
             w.write(s.getBytes(StandardCharsets.UTF_8))
-          case "varchar" =>
+          case TVarchar =>
             val b = if (v == null) Array.empty[Byte]
               else v.toString.getBytes(StandardCharsets.UTF_8)
             le16(b.length); w.write(b)
-          case CharN(cw) =>
+          case TChar(width) =>
             // CHAR(N) is a fixed BYTE width on the wire (the reference
             // reads charSetWidth*N bytes) — pad/truncate at the byte
             // level, not the character level, or a multi-byte UTF-8 value
             // shifts every later field in the record
-            val width = cw.toInt
             val raw = (if (v == null) "" else v.toString)
               .getBytes(StandardCharsets.UTF_8)
             val fixed = java.util.Arrays.copyOf(raw, width)
-            var i = raw.length
-            while (i < width) { fixed(i) = ' '.toByte; i += 1 }
+            var j = raw.length
+            while (j < width) { fixed(j) = ' '.toByte; j += 1 }
             w.write(fixed)
-          case DecimalPS(p, s) =>
-            val width = decimalBytes(p.toInt)
+          case TDecimal(p, s) =>
+            val width = decimalBytes(p)
             val unscaled =
               if (v == null) java.math.BigInteger.ZERO
               else v.asInstanceOf[java.math.BigDecimal]
-                .setScale(s.toInt).unscaledValue()
+                .setScale(s).unscaledValue()
             val be = unscaled.toByteArray // big-endian two's complement
             val sign: Byte = if (unscaled.signum() < 0) -1 else 0
             val full = Array.fill[Byte](width)(sign)
             val src = be.takeRight(width)
             System.arraycopy(src, 0, full, width - src.length, src.length)
             w.write(full.reverse) // little-endian on the wire
-          case other => throw new IllegalArgumentException(other)
         }
+        i += 1
       }
       w.flush()
       val payload = body.toByteArray
       val rec = bitmap ++ payload
+      // the record length field is 2 bytes: silently wrapping a >64 KB
+      // record would mis-frame the stream this writer itself produced
+      require(rec.length <= 0xffff,
+        s"record of ${rec.length} bytes exceeds the format's 2-byte length " +
+          "field (64 KB) — shorten varchar content or split columns")
       out.write(rec.length & 0xff); out.write((rec.length >> 8) & 0xff)
       out.write(rec); out.write(0x0a)
     }
@@ -351,6 +380,8 @@ object BinaryFormats {
               if (numericPacked) {
                 // packed encoding: one length-delimited run of values
                 val (l, p2) = readVarint(b, p1)
+                require(l >= 0 && p2 + l <= b.length,
+                  s"torn packed run: $l bytes at offset $p2")
                 val end = p2 + l.toInt
                 var q = p2
                 val ew = inner match {
@@ -370,11 +401,17 @@ object BinaryFormats {
               vals(i) = v; pos = p2
           }
         case None =>
-          // unknown field: skip by wire type (forward compatibility)
+          // unknown field: skip by wire type (forward compatibility) —
+          // with the skip distance bounds-checked, or a corrupt length
+          // silently truncates the row (or, negative, loops backward)
           pos = wire match {
             case 0 => readVarint(b, p1)._2
             case 1 => p1 + 8
-            case 2 => val (l, p2) = readVarint(b, p1); p2 + l.toInt
+            case 2 =>
+              val (l, p2) = readVarint(b, p1)
+              require(l >= 0 && p2 + l <= b.length,
+                s"torn unknown field: skip of $l bytes at offset $p2")
+              p2 + l.toInt
             case 5 => p1 + 4
             case w => throw new IllegalArgumentException(s"wire type $w")
           }

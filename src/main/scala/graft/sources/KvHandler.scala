@@ -341,6 +341,16 @@ object KvStore {
           // reader can never adopt a half-written base, and two movers can
           // never both win a generation.
           val claim = dst.resolveSibling(dst.getFileName.toString + ".claim")
+          // a compactor that crashed between claiming and moving would
+          // wedge this generation forever — a claim older than the
+          // takeover window with NO published content is orphaned and
+          // up for grabs (a healthy winner moves content within ms)
+          try {
+            if (!Files.exists(dst) && Files.exists(claim) &&
+                System.currentTimeMillis() -
+                  Files.getLastModifiedTime(claim).toMillis > 60000L)
+              Files.deleteIfExists(claim)
+          } catch { case _: Exception => () }
           val claimed =
             try { Files.createFile(claim); true }
             catch { case _: java.nio.file.FileAlreadyExistsException => false }
