@@ -392,9 +392,22 @@ object Geo {
     * polylines "paths", polygons "rings" (an Esri polygon carries all its
     * rings flat — a multipolygon flattens, per the REST spec).
     */
+  /** Esri ring-orientation contract (the REST spec's ONLY multipolygon
+    * disambiguator in the flat "rings" array): exterior rings are
+    * CLOCKWISE, holes counterclockwise.
+    */
+  private def oriented(r: IndexedSeq[Pt], clockwise: Boolean): IndexedSeq[Pt] =
+    if ((ringArea(r) < 0) == clockwise) r else r.reverse
+
   def toEsriJson(g: Geom): String = {
     def arr(p: Pt) = s"[${fmt(p.x)},${fmt(p.y)}]"
     def coords(ps: Seq[Pt]) = ps.map(arr).mkString("[", ",", "]")
+    def polyRings(rs: Seq[IndexedSeq[Pt]]): Seq[String] = rs match {
+      case shell +: holes =>
+        coords(oriented(shell, clockwise = true)) +:
+          holes.map(h => coords(oriented(h, clockwise = false)))
+      case _ => Nil
+    }
     g match {
       case GPoint(None, _) => """{"x":null,"y":null}"""
       case GPoint(Some(p), _) => s"""{"x":${fmt(p.x)},"y":${fmt(p.y)}}"""
@@ -403,9 +416,11 @@ object Geo {
       case GMultiLine(ls, _) =>
         s"""{"paths":${ls.map(coords).mkString("[", ",", "]")}}"""
       case GPolygon(rs, _) =>
-        s"""{"rings":${rs.map(coords).mkString("[", ",", "]")}}"""
+        s"""{"rings":${polyRings(rs).mkString("[", ",", "]")}}"""
       case GMultiPolygon(ps, _) =>
-        s"""{"rings":${ps.flatten.map(coords).mkString("[", ",", "]")}}"""
+        // the flat rings array: each polygon's CW shell, then its CCW
+        // holes — orientation is what lets a reader regroup them
+        s"""{"rings":${ps.flatMap(polyRings).mkString("[", ",", "]")}}"""
     }
   }
 
@@ -445,7 +460,22 @@ object Geo {
       member("rings") match {
         case Some(r) =>
           val rs = nums(r).map(_.map(v => Pt(v(0), v(1))))
-          return Some(GPolygon(rs.map(closeRing(_).toVector)))
+            .map(closeRing(_).toVector)
+          // regroup by the spec's orientation: each CLOCKWISE ring starts
+          // a polygon, counterclockwise rings are its holes. One shell (or
+          // non-conforming orientation) stays a single polygon with the
+          // rings as given — without this, two disjoint polygons would
+          // rebuild as shell+hole and flip area/contains
+          val shells = rs.count(ringArea(_) < 0)
+          if (shells <= 1) return Some(GPolygon(rs))
+          val groups = scala.collection.mutable.ArrayBuffer
+            .empty[scala.collection.mutable.ArrayBuffer[Vector[Pt]]]
+          rs.foreach { ring =>
+            if (ringArea(ring) < 0 || groups.isEmpty)
+              groups += scala.collection.mutable.ArrayBuffer(ring)
+            else groups.last += ring
+          }
+          return Some(GMultiPolygon(groups.map(_.toVector).toVector))
         case None => ()
       }
       member("paths") match {

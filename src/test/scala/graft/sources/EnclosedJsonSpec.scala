@@ -37,6 +37,23 @@ class EnclosedJsonSpec extends SparkSpec with Matchers {
     val geo = spark.sql("SELECT st_asgeojson('POINT (1 2)') AS j").head.getString(0)
     assert(esri.contains("\"x\"") && !esri.contains("coordinates"))
     assert(geo.contains("\"coordinates\"") && !geo.contains("\"x\""))
+    // MULTIPOLYGON survives the flat rings array via the spec's ring
+    // orientation (CW shells, CCW holes) — two disjoint squares must NOT
+    // rebuild as shell+hole (which would subtract areas)
+    val mp = "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), " +
+      "((5 5, 6 5, 6 6, 5 6, 5 5)))"
+    val mpBack = spark.sql(
+      s"SELECT st_area(st_geomfromjson(st_asjson('$mp'))) AS a, " +
+        s"st_area('$mp') AS e").head
+    assert(mpBack.getDouble(0) === mpBack.getDouble(1),
+      "multipolygon area changed through the Esri rings round trip")
+    assert(mpBack.getDouble(0) === 2.0)
+    // a polygon WITH a hole keeps subtracting
+    val holed = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), " +
+      "(2 2, 4 2, 4 4, 2 4, 2 2))"
+    val hb = spark.sql(
+      s"SELECT st_area(st_geomfromjson(st_asjson('$holed'))) AS a").head
+    assert(hb.getDouble(0) === 96.0)
     // empty point and polyline parse too
     assert(spark.sql("""SELECT st_geomfromjson('{"x":null,"y":null}') AS g""")
       .head.getString(0) === "POINT EMPTY")
