@@ -461,19 +461,28 @@ object Geo {
         case Some(r) =>
           val rs = nums(r).map(_.map(v => Pt(v(0), v(1))))
             .map(closeRing(_).toVector)
-          // regroup by the spec's orientation: each CLOCKWISE ring starts
-          // a polygon, counterclockwise rings are its holes. One shell (or
-          // non-conforming orientation) stays a single polygon with the
-          // rings as given — without this, two disjoint polygons would
-          // rebuild as shell+hole and flip area/contains
+          // regroup by the spec's orientation: CLOCKWISE rings are shells,
+          // counterclockwise rings are holes — assigned to the shell that
+          // CONTAINS them (the spec constrains orientation, not ordering,
+          // so "hole follows its shell" cannot be assumed), falling back
+          // to the last preceding shell for degenerate input. One shell
+          // (or non-conforming orientation) stays a single polygon with
+          // the rings as given — without any of this, two disjoint
+          // polygons would rebuild as shell+hole and flip area/contains
           val shells = rs.count(ringArea(_) < 0)
           if (shells <= 1) return Some(GPolygon(rs))
           val groups = scala.collection.mutable.ArrayBuffer
             .empty[scala.collection.mutable.ArrayBuffer[Vector[Pt]]]
+          val shellRings = scala.collection.mutable.ArrayBuffer.empty[Vector[Pt]]
           rs.foreach { ring =>
-            if (ringArea(ring) < 0 || groups.isEmpty)
+            if (ringArea(ring) < 0 || groups.isEmpty) {
               groups += scala.collection.mutable.ArrayBuffer(ring)
-            else groups.last += ring
+              shellRings += ring
+            } else {
+              val owner = shellRings.indexWhere(sh =>
+                ring.headOption.exists(p => pipRing(p, sh) > 0))
+              groups(if (owner >= 0) owner else groups.length - 1) += ring
+            }
           }
           return Some(GMultiPolygon(groups.map(_.toVector).toVector))
         case None => ()

@@ -322,6 +322,11 @@ object Authz {
     */
   def checkQueryText(spark: SparkSession, sqlText: String): LogicalPlan = {
     val plan = spark.sessionState.sqlParser.parsePlan(sqlText)
+    // the embedded text gets the SAME guards as a front-door statement —
+    // without this, `EXPLAIN ANALYZE SET spark.graft.user=admin` would
+    // execute the SetCommand eagerly (ofRows runs commands) with no
+    // restricted-conf check
+    guardSetPlan(spark, plan)
     checkStatement(spark, plan)
     plan
   }

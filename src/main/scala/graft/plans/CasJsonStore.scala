@@ -52,9 +52,17 @@ private[plans] final class CasJsonStore[T](
       (v, decode(txt))
   }
 
-  /** CAS publish of version `v` — create-exclusive, false on conflict. */
+  /** CAS publish of version `v` — create-exclusive, false on conflict.
+    * Versions must be strictly increasing over the CURRENT listing: a
+    * writer stalled long enough for its target version to be published
+    * AND pruned by others would otherwise re-create the deleted file,
+    * "win", and have its mutation silently shadowed by the newer latest
+    * (readers take lastOption). The newest version is never pruned, so
+    * the listing always witnesses any number that was ever taken.
+    */
   private def publish(v: Long, doc: T): Boolean = {
     fs.mkdirs(dir)
+    if (versions().lastOption.exists(_ >= v)) return false
     val dst = versionPath(v)
     if (fs.exists(dst)) return false
     val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID().toString}")
@@ -98,7 +106,9 @@ private[plans] final class CasJsonStore[T](
     * (scheduled-query lastRunAt per tick) would otherwise grow the
     * directory one file per change forever, and every load() lists it
     * all. Readers always pick the LATEST version, so keeping a window of
-    * trailing versions covers any in-flight load; best-effort deletes.
+    * trailing versions covers any in-flight load, and [[publish]]'s
+    * strictly-increasing check keeps pruned numbers from ever being
+    * recycled; deletes are best-effort.
     */
   private val keepVersions = 20
   private def prune(latest: Long): Unit =

@@ -118,21 +118,31 @@ object SqlMaintenance {
         // rewrite — a filtered materialization corrupts it for others, an
         // unfiltered one leaks to the policied user)
         val planned = Authz.checkQueryText(spark, query)
+        require(!planned.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.logical.Command],
+          "CREATE MATERIALIZED VIEW needs a query, not a command")
         if (Authz.policiedFor(spark, planned))
           throw new Authz.AccessDenied(
             "CREATE MATERIALIZED VIEW over a row-filtered/masked source " +
               "is not allowed for this user — the materialization is " +
               "shared by all users")
-        Some(runCreateMv(spark, nameOf(ident), Option(loc), query))
+        Some(runCreateMv(spark, nameOf(ident), Option(loc), query, planned))
       case RebuildMv(ident) =>
         MaterializedViews.registered(spark)
-          .find(_.name == nameOf(ident)).flatMap(_.sql).foreach { q =>
+          .find(_.name == nameOf(ident)).map(_.sql) match {
+          case Some(Some(q)) =>
             val planned = Authz.checkQueryText(spark, q)
             if (Authz.policiedFor(spark, planned))
               throw new Authz.AccessDenied(
                 "ALTER MATERIALIZED VIEW REBUILD would materialize this " +
                   "user's filtered/masked view into the shared MV")
-          }
+          case Some(None) =>
+            // a plan-declared MV (no stored SQL) cannot be privilege- or
+            // policy-checked against its sources — admin only
+            Authz.requireAdmin(spark,
+              "ALTER MATERIALIZED VIEW REBUILD (plan-declared MV)")
+          case None => () // no such MV: runRebuildMv raises the clear error
+        }
         Some(runRebuildMv(spark, nameOf(ident)))
       case DropMv(ident) =>
         Authz.requireAdmin(spark, "DROP MATERIALIZED VIEW")
@@ -171,8 +181,15 @@ object SqlMaintenance {
       case ExplainVec(query) =>
         Authz.checkQueryText(spark, query)
         Some(spark.sql(s"EXPLAIN CODEGEN $query"))
+      // EXPLAIN AUTHORIZATION stays open by PURPOSE: it is the "what would
+      // I need" diagnostic (it reveals only names derived from the text
+      // the user typed). DEPENDENCY is lineage tooling — it additionally
+      // reverse-resolves paths to owning tables, so it requires the
+      // query's privileges like the rest of the EXPLAIN family.
       case ExplainAuth(query) => Some(runExplainAuthorization(spark, query))
-      case ExplainDep(query) => Some(runExplainDependency(spark, query))
+      case ExplainDep(query) =>
+        Authz.checkQueryText(spark, query)
+        Some(runExplainDependency(spark, query))
       case _ => None
     }
 
@@ -322,7 +339,9 @@ object SqlMaintenance {
     * REBUILD re-parses it against the sources' CURRENT state.
     */
   private def runCreateMv(spark: SparkSession, name: String,
-      loc: Option[String], query: String): DataFrame = {
+      loc: Option[String], query: String,
+      planned: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame = {
     import spark.implicits._
     require(!MaterializedViews.registered(spark).exists(_.name == name),
       s"materialized view $name already exists")
@@ -330,8 +349,7 @@ object SqlMaintenance {
       spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
         s"/graft_mv/$name")
     val df = org.apache.spark.sql.GraftShims.ofRows(spark,
-      NamedTables.substitute(spark,
-        spark.sessionState.sqlParser.parsePlan(query)))
+      NamedTables.substitute(spark, planned))
     MaterializedViews.create(spark, name, df, path, Some(query))
     val rows = spark.read.parquet(path).count()
     Seq((name, path, rows)).toDF("name", "location", "rows")

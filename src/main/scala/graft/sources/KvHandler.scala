@@ -351,19 +351,34 @@ object KvStore {
                   Files.getLastModifiedTime(claim).toMillis > 60000L)
               Files.deleteIfExists(claim)
           } catch { case _: Exception => () }
+          val token = java.util.UUID.randomUUID().toString
+            .getBytes(StandardCharsets.UTF_8)
           val claimed =
             try { Files.createFile(claim); true }
             catch { case _: java.nio.file.FileAlreadyExistsException => false }
-          if (claimed) {
+          // the takeover delete above is check-then-act: a slow contender
+          // could delete OUR fresh claim after its stale check. Writing a
+          // unique token and re-reading it makes ownership verifiable —
+          // whoever does NOT see their own token abandons, so two movers
+          // can never both publish this generation
+          val owned = claimed && {
+            try {
+              Files.write(claim, token,
+                java.nio.file.StandardOpenOption.WRITE,
+                java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+              java.util.Arrays.equals(Files.readAllBytes(claim), token)
+            } catch { case _: Exception => false }
+          }
+          if (owned) {
             try Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
             catch {
               case _: java.nio.file.AtomicMoveNotSupportedException =>
                 // last-resort provider: plain move (same-directory rename
-                // in practice); the claim still guarantees one winner
+                // in practice); the verified claim still picks one winner
                 Files.move(tmp, dst, StandardCopyOption.REPLACE_EXISTING)
             }
           }
-          claimed
+          owned
       }
     Files.deleteIfExists(tmp)
     won

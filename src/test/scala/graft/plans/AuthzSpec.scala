@@ -295,6 +295,19 @@ class AuthzSpec extends SparkSpec with BeforeAndAfterEach {
       sql("GRANT UPDATE ON TABLE authz_maint TO USER moe")
       asUser("moe")
       sql("OPTIMIZE authz_maint")
+      // embedded statements get the SAME guards: a command smuggled into
+      // EXPLAIN ANALYZE / CREATE MV cannot touch the security context
+      intercept[Authz.AccessDenied] {
+        sql("EXPLAIN ANALYZE SET spark.graft.user=admin") }
+      intercept[Authz.AccessDenied] { sql("EXPLAIN ANALYZE RESET") }
+      intercept[Exception] {
+        sql("CREATE MATERIALIZED VIEW mv_cmd LOCATION '/tmp/mv_cmd' AS " +
+          "SET spark.graft.authz.enabled=false") }
+      assert(Authz.enabled(spark) && Authz.currentUser(spark) === "moe",
+        "an embedded command altered the security context")
+      // EXPLAIN DEPENDENCY requires the query's privileges too
+      intercept[Authz.AccessDenied] {
+        sql("EXPLAIN DEPENDENCY SELECT * FROM region") }
     } finally NamedTables.drop("authz_maint")
   }
 

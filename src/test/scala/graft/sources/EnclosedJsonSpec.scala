@@ -54,6 +54,17 @@ class EnclosedJsonSpec extends SparkSpec with Matchers {
     val hb = spark.sql(
       s"SELECT st_area(st_geomfromjson(st_asjson('$holed'))) AS a").head
     assert(hb.getDouble(0) === 96.0)
+    // the spec constrains ORIENTATION, not ordering: a writer emitting all
+    // shells first (shellA CW, shellB CW, holeInA CCW) must still attach
+    // the hole to the CONTAINING shell — area = (100-4) + 1 = 97
+    val outOfOrder =
+      """{"rings":[[[0,0],[0,10],[10,10],[10,0],[0,0]],
+        |[[20,20],[20,21],[21,21],[21,20],[20,20]],
+        |[[2,2],[4,2],[4,4],[2,4],[2,2]]]}""".stripMargin.replace("\n", "")
+    val ooArea = spark.sql(
+      s"SELECT st_area(st_geomfromjson('$outOfOrder')) AS a").head.getDouble(0)
+    assert(ooArea === 97.0,
+      s"hole must attach to its CONTAINING shell, got area $ooArea")
     // empty point and polyline parse too
     assert(spark.sql("""SELECT st_geomfromjson('{"x":null,"y":null}') AS g""")
       .head.getString(0) === "POINT EMPTY")
