@@ -167,11 +167,13 @@ object Engine {
     // the security context itself is not settable through the SQL front
     // door by non-admins (the reference's restricted-conf list)
     graft.plans.Authz.guardSetStatement(spark, query)
-    // SET ROLE is the one verb that must intercept pre-parse: Spark's
-    // parser accepts it as a conf-set of the meaningless key "role <x>".
-    // Only sessions that opted into authz get the verb — elsewhere the
-    // statement stays the harmless Spark conf assignment it always was.
-    if (graft.plans.Authz.enabled(spark)) {
+    // SET ROLE is the one verb that must intercept pre-parse (Spark 4's
+    // parser rejects `SET ROLE x` outright). It intercepts whenever ANY
+    // authz state exists — not only under enforcement — so a bootstrap
+    // script's `SET ROLE NONE/ALL` issued before flipping enforcement on
+    // updates the active-role selection instead of silently no-opping; a
+    // session that never touched authz still gets Spark's canonical error.
+    if (graft.plans.Authz.enabled(spark) || graft.plans.Authz.hasState) {
       graft.plans.Authz.maybeSetRole(spark, query) match {
         case Some(df) => return df
         case None => ()

@@ -168,6 +168,19 @@ object Authz {
 
   def enabled(spark: SparkSession): Boolean =
     spark.conf.getOption("spark.graft.authz.enabled").contains("true")
+  /** Any authorization state at all — roles, grants, policies, or an
+    * attached durable store. SET ROLE intercepts when this is true even
+    * with enforcement OFF, so a bootstrap script's `SET ROLE NONE/ALL`
+    * issued before flipping enforcement updates the active-role selection
+    * instead of silently no-opping (authz verbs stay available
+    * pre-enforcement for the same reason); a session that never touched
+    * authz still falls through to Spark's canonical SET ROLE error.
+    */
+  def hasState: Boolean = store.nonEmpty || {
+    val s = state
+    s.roles.nonEmpty || s.grants.nonEmpty || s.rowFilters.nonEmpty ||
+      s.columnMasks.nonEmpty
+  }
   def currentUser(spark: SparkSession): String =
     norm(spark.conf.getOption("spark.graft.user").getOrElse("anonymous"))
   private def isAdmin(spark: SparkSession): Boolean =

@@ -266,6 +266,12 @@ object ScheduledQueries {
             stmts.getOrDefault(s.name, "<programmatic>")))
           .toDF("name", "every_ms", "enabled", "last_run", "statement"))
       case ExecDueR() =>
+        // the due tick executes each stored statement under its OWNER's
+        // identity (often an admin) — an open front door would let any
+        // user trigger owner-privileged side effects on demand. Gate it
+        // like ALTER ... EXECUTE; deployment schedulers drive ticks via
+        // [[graft.Engine.scheduledTick]], which is not a SQL surface.
+        admin("EXECUTE SCHEDULED QUERIES")
         Some(runDue(spark, System.currentTimeMillis()).toDF("executed"))
       case _ => None
     }

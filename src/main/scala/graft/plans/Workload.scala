@@ -246,8 +246,18 @@ object Workload {
         st => org.json4s.jackson.Serialization.write(toDoc(st)),
         txt => ofDoc(org.json4s.jackson.Serialization.read[WDoc](txt)))
       val durable = s.load()._2
-      state = WState(durable.plans ++ state.plans,
-        state.active.orElse(durable.active))
+      val memPlans = state.plans
+      val memActive = state.active
+      state = WState(durable.plans ++ memPlans,
+        memActive.orElse(durable.active))
+      // persist pre-bootstrap (memory-only) plans immediately: [[mutate]]
+      // replays each later op against the DURABLE state, where a plan that
+      // never reached the store would make activate/createPool/createTrigger
+      // hit the op's None-guard and silently persist nothing — the plan
+      // (and all its edits) would then vanish on restart.
+      if (memPlans.nonEmpty || memActive.nonEmpty)
+        s.mutate(st => WState(st.plans ++ memPlans,
+          memActive.orElse(st.active)))
       store = Some(s)
       storeDir = dir
     }

@@ -136,7 +136,13 @@ object BinaryFormats {
           case TTimestamp(p) =>
             val b = new Array[Byte](tsWidth(p)); buf.get(b)
             val s = new String(b, StandardCharsets.UTF_8).trim
-            if (s.isEmpty) null else java.sql.Timestamp.valueOf(s)
+            // a writer-clamped out-of-range value (see encode: >4-digit
+            // years truncate to the fixed field width) reads as NULL
+            // rather than aborting the stream — the framing is intact and
+            // every other field of the record is recoverable
+            if (s.isEmpty) null
+            else try java.sql.Timestamp.valueOf(s)
+            catch { case _: IllegalArgumentException => null }
           case TVarchar =>
             val l = buf.getShort() & 0xffff
             val b = new Array[Byte](l); buf.get(b)
@@ -215,7 +221,17 @@ object BinaryFormats {
                 if (p == 0) whole
                 else whole + "." + frac.padTo(p, '0').substring(0, p)
               }
-            w.write(s.getBytes(StandardCharsets.UTF_8))
+            // the field is a FIXED width on the wire: a 5-digit year
+            // (Timestamp.toString past 9999) would otherwise emit an
+            // oversized field and silently shift every later field in the
+            // record — truncate/pad to exactly tsWidth(p), as the
+            // reference's writeTimestamp clamps to byteNum
+            // (ref serde TeradataBinaryDataOutputStream.java writeTimestamp)
+            val clamped =
+              if (s.length > width) s.substring(0, width)
+              else if (s.length < width) s + (" " * (width - s.length))
+              else s
+            w.write(clamped.getBytes(StandardCharsets.UTF_8))
           case TVarchar =>
             val b = if (v == null) Array.empty[Byte]
               else v.toString.getBytes(StandardCharsets.UTF_8)

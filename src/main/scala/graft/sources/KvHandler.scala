@@ -369,7 +369,18 @@ object KvStore {
               java.util.Arrays.equals(Files.readAllBytes(claim), token)
             } catch { case _: Exception => false }
           }
-          if (owned) {
+          // a mover stalled longer than the takeover window between the
+          // verify above and the move below could have its claim taken
+          // over (the orphan sweep sees no dst yet) — and rename(2) would
+          // silently replace the usurper's published base, losing its
+          // folded deltas. Re-verify ownership at the last instant and
+          // never move onto an existing dst: the loser abandons instead
+          // of replacing.
+          val ownedNow = owned && !Files.exists(dst) && {
+            try java.util.Arrays.equals(Files.readAllBytes(claim), token)
+            catch { case _: Exception => false }
+          }
+          if (ownedNow) {
             try Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
             catch {
               case _: java.nio.file.AtomicMoveNotSupportedException =>
@@ -378,7 +389,7 @@ object KvStore {
                 Files.move(tmp, dst, StandardCopyOption.REPLACE_EXISTING)
             }
           }
-          owned
+          ownedNow
       }
     Files.deleteIfExists(tmp)
     won

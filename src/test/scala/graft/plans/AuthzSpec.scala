@@ -399,6 +399,27 @@ class AuthzSpec extends SparkSpec with BeforeAndAfterEach {
     assert(!Authz.enabled(spark))
   }
 
+  test("SET ROLE issued BEFORE enforcement updates the active-role selection") {
+    // bootstrap scripts grant roles and narrow SET ROLE while enforcement
+    // is still off, THEN flip it on — the pre-enforcement SET ROLE must
+    // not silently degrade to a Spark no-op (any authz state activates
+    // the verb; only a virgin session falls through)
+    sql("CREATE ROLE boot_r")
+    sql("CREATE ROLE boot_other")
+    sql("GRANT ROLE boot_r TO USER kai")
+    sql("GRANT ROLE boot_other TO USER kai")
+    sql("GRANT SELECT ON TABLE region TO ROLE boot_r")
+    spark.conf.set("spark.graft.user", "kai")
+    sql("SET ROLE boot_other") // enforcement still OFF
+    spark.conf.set("spark.graft.authz.enabled", "true")
+    // the pre-enforcement narrowing is live: boot_r's grant is inactive
+    intercept[Authz.AccessDenied] { sql("SELECT count(*) FROM region").collect() }
+    assert(sql("SHOW CURRENT ROLES").collect().map(_.getString(0)).toSeq ===
+      Seq("boot_other"))
+    sql("SET ROLE ALL")
+    assert(sql("SELECT count(*) AS n FROM region").head.getLong(0) === 5)
+  }
+
   test("row-filter predicates push down to the scan (policy cost = user WHERE)") {
     val t = scratchTable("authz_push_", 100)
     sql(s"GRANT SELECT ON TABLE $t TO ALL")

@@ -160,11 +160,17 @@ class ScheduledQueriesSpec extends SparkSpec {
       sql("""CREATE SCHEDULED QUERY so_ingest EVERY 1 HOURS AS
             |INSERT INTO sched_own_t
             |SELECT r_regionkey, r_name FROM region""".stripMargin)
-      // the TICK runs as a filtered user — but the statement must execute
-      // under the OWNER's identity, or the filter silently corrupts the
-      // materialization (1 row instead of 5)
+      // the SQL front-door tick is admin-gated (it executes statements
+      // under OWNER identity — an open door would let any user trigger
+      // owner-privileged side effects on demand)
       spark.conf.set("spark.graft.user", "ticker")
-      val ran = sql("EXECUTE SCHEDULED QUERIES").collect().map(_.getString(0))
+      intercept[graft.plans.Authz.AccessDenied] {
+        sql("EXECUTE SCHEDULED QUERIES") }
+      // the deployment scheduler's tick (not a SQL surface) runs while the
+      // session user is a filtered non-admin — but the statement must
+      // execute under the OWNER's identity, or the invoker's filter
+      // silently corrupts the materialization (1 row instead of 5)
+      val ran = ScheduledQueries.runDue(spark, System.currentTimeMillis())
       assert(ran.contains("so_ingest"))
       spark.conf.set("spark.graft.user", "owner_admin")
       assert(sql("SELECT count(*) AS n FROM sched_own_t").head.getLong(0) === 5,

@@ -231,6 +231,30 @@ class WorkloadSpec extends SparkSpec with BeforeAndAfterEach {
     }
   }
 
+  test("plans created BEFORE bootstrap persist, including their later edits") {
+    val dir = java.nio.file.Files.createTempDirectory("wlm_pre_").toString
+    try {
+      // programmatic plan minted while no durable catalog exists yet
+      Workload.createPlan("preboot")
+      spark.conf.set(NamedTables.CatalogConfKey, dir)
+      Workload.bootstrap(spark)
+      // edits AFTER bootstrap replay against durable state — they must
+      // find the pre-bootstrap plan there, not silently no-op
+      sql("CREATE POOL preboot.etl WITH ALLOC_FRACTION=0.5, QUERY_PARALLELISM=3")
+      sql("ALTER RESOURCE PLAN preboot ACTIVATE")
+      Workload.clearAll()
+      Workload.bootstrap(spark)
+      assert(Workload.planNames === Seq("preboot"),
+        "a pre-bootstrap plan vanished on restart — bootstrap must write " +
+          "memory-only plans through to the store")
+      assert(Workload.activePlan.map(_.name) === Some("preboot"))
+      assert(Workload.plan("preboot").get.pools("etl").queryParallelism === 3)
+    } finally {
+      spark.conf.unset(NamedTables.CatalogConfKey)
+      Workload.clearAll()
+    }
+  }
+
   test("WLM admin verbs are authz-gated: a denied user cannot sabotage the plan") {
     Workload.createPlan("prod")
     Workload.createTrigger("prod", "t_kill", "ELAPSED_TIME", 30000, Workload.Kill)

@@ -52,6 +52,24 @@ class BinaryFormatsSpec extends SparkSpec with Matchers {
     assert(got.get(0) === null && got.get(1) === null && got.getInt(2) === 9)
   }
 
+  test("teradata binary: an overflowing timestamp cannot shift later fields") {
+    // Timestamp.toString emits a 5-digit year past 9999 — the field is a
+    // FIXED width on the wire, so the writer must clamp to tsWidth or
+    // every later field in the record (and the records after it) shifts
+    val f = Seq("ts" -> "timestamp", "tail" -> "int")
+    val far = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(10000, 1, 2, 3, 4, 5))
+    val ok = java.sql.Timestamp.valueOf("2024-05-06 07:08:09")
+    val bytes = BinaryFormats.encodeTeradata(
+      Iterator(Row(far, 11), Row(ok, 22)), f)
+    val got = BinaryFormats.decodeTeradata(bytes, f).toSeq
+    got should have size 2
+    // framing survived: the trailing int of BOTH records reads intact,
+    // and the well-formed second record round-trips exactly
+    assert(got(0).getInt(1) === 11)
+    assert(got(1).get(0) === ok && got(1).getInt(1) === 22)
+  }
+
   test("teradata binary: distributed write + read through Spark") {
     import spark.implicits._
     val dir = tmp("td_rt_")
