@@ -153,6 +153,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // local-iteration filter: comma-separated query names to bench alone
+    // (also names the two roundtrips). Unset/empty = the full headline set.
+    val only: Set[String] = sys.env.getOrElse("SPARK_GRAFT_BENCH_ONLY", "")
+      .split(',').map(_.trim).filter(_.nonEmpty).toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -183,19 +187,24 @@ object Bench {
     // untimed warmup: one full pass over the headline set, so the timed pass
     // measures steady state (codegen compiled, JIT warm, file listings
     // cached) rather than first-run compilation latency
-    headline.foreach { n =>
+    val picked = if (only.isEmpty) headline else headline.filter(only)
+    val doDml = only.isEmpty || only("dml_pruned_roundtrip")
+    val doSnap = only.isEmpty || only("snapshot_versioned_roundtrip")
+    picked.foreach { n =>
       try run(n) catch { case _: Throwable => () }
     }
 
     // DML warmup (separate scratch copy; compiles the COW write paths)
-    try dmlPrunedRoundTrip(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] dml warmup FAILED: ${e.getMessage}") }
+    if (doDml)
+      try dmlPrunedRoundTrip(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] dml warmup FAILED: ${e.getMessage}") }
 
     // snapshot warmup (separate scratch table; compiles the manifest-log paths)
-    try snapshotRoundTrip(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] snapshot warmup FAILED: ${e.getMessage}") }
+    if (doSnap)
+      try snapshotRoundTrip(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] snapshot warmup FAILED: ${e.getMessage}") }
 
     // measurement hygiene: drop every block the warmup pass left behind
     // (retained loser-id checkpoints etc.), clear cached relations, and GC so
@@ -220,7 +229,7 @@ object Bench {
     val nRuns = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
     def measurePass(): Seq[(String, Double)] =
-      headline.map { name =>
+      picked.map { name =>
         val t0 = System.nanoTime()
         try run(name) catch { case _: Throwable => () }
         val sec = (System.nanoTime() - t0) / 1e9
@@ -229,15 +238,15 @@ object Bench {
         // less predictably than the blocks do)
         cleanStorage(gc = false)
         name -> sec
-      } :+ ("dml_pruned_roundtrip" -> {
+      } ++ (if (!doDml) Seq.empty else Seq("dml_pruned_roundtrip" -> {
         try dmlPrunedRoundTrip(spark, sfDir)
         catch { case e: Throwable =>
           System.err.println(s"[bench] dml_pruned_roundtrip FAILED: ${e.getMessage}"); -1.0 }
-      }) :+ ("snapshot_versioned_roundtrip" -> {
+      })) ++ (if (!doSnap) Seq.empty else Seq("snapshot_versioned_roundtrip" -> {
         try { cleanStorage(gc = false); snapshotRoundTrip(spark, sfDir) }
         catch { case e: Throwable =>
           System.err.println(s"[bench] snapshot_versioned_roundtrip FAILED: ${e.getMessage}"); -1.0 }
-      })
+      }))
     val passes = (1 to nRuns).map(_ => measurePass())
     val names = passes.head.map(_._1)
     val results = names.map { name =>
@@ -252,12 +261,14 @@ object Bench {
     // NOTE: frames are built INSIDE the timer — the dedup stage runs its
     // checkpoint/CC jobs eagerly at construction, so constructing outside
     // would attribute its cost to nothing.
-    val p22Stages: Seq[(String, () => org.apache.spark.sql.DataFrame)] = {
-      val cp = graft.queries.PipelineQueries.CleanPipeline
-      Seq("p22_stage1_score_filter" -> (() => cp.scored(spark, sfDir)),
-        "p22_stage2_neardup_keepbest" -> (() => cp.deduped(spark, sfDir)),
-        "p22_stage3_scrub_full" -> (() => cp.full(spark, sfDir)))
-    }
+    val p22Stages: Seq[(String, () => org.apache.spark.sql.DataFrame)] =
+      if (!(only.isEmpty || only("p22_clean_pipeline"))) Seq.empty
+      else {
+        val cp = graft.queries.PipelineQueries.CleanPipeline
+        Seq("p22_stage1_score_filter" -> (() => cp.scored(spark, sfDir)),
+          "p22_stage2_neardup_keepbest" -> (() => cp.deduped(spark, sfDir)),
+          "p22_stage3_scrub_full" -> (() => cp.full(spark, sfDir)))
+      }
     val breakdown = p22Stages.map { case (name, build) =>
       def once(): Double = {
         val t0 = System.nanoTime()
