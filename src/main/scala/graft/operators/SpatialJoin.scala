@@ -47,9 +47,37 @@ object SpatialJoin {
       Geo.parseWkt(wkt).flatMap(Geo.envelope)
         .map { case (x0, y0, x1, y1) => Seq(x0, y0, x1, y1) }.orNull)
 
+    val minLocate = predicate match {
+      case "contains" => 2 // OGC: boundary excluded
+      case "intersects" => 1
+      case other => throw new IllegalArgumentException(
+        s"predicate must be contains|intersects, got $other")
+    }
+    // refine kernel: (multi)polygons are packed to a flat coordinate array
+    // ONCE per polygon (before the cell fan-out), so the per-candidate
+    // test is a codegen'd primitive loop — no per-pair WKT parse, no memo
+    // lookup, no UDF boxing. Non-polygon geometries (null __packed) fall
+    // back to the general WKT kernel for those rows only.
+    val packUdf = udf((wkt: String) =>
+      Geo.parseWkt(wkt).map(graft.functions.GeoPack.pack).orNull)
+    val generalRefine = udf((wkt: String, x: Double, y: Double) =>
+      Geo.parseWktCached(wkt).exists { g =>
+        val pt = Geo.GPoint(Some(Geo.Pt(x, y)))
+        if (minLocate == 2) Geo.contains(g, pt) else Geo.intersects(g, pt)
+      })
+    def packedRefine(packed: Column, x: Column, y: Column): Column =
+      org.apache.spark.sql.GraftShims.column(
+        graft.functions.PackedPointInGeom(
+          org.apache.spark.sql.GraftShims.expression(packed),
+          org.apache.spark.sql.GraftShims.expression(x),
+          org.apache.spark.sql.GraftShims.expression(y), minLocate))
+
+
     val polyCells = polys
       .withColumn("__env", envUdf(col(wktCol)))
       .where(col("__env").isNotNull)
+      // parse-once packed coordinates, carried through the cell fan-out
+      .withColumn("__packed", packUdf(col(wktCol)))
       // row (down) and column (over) ranges of the covered cells — pure
       // Catalyst arithmetic, codegen'd; only the envelope needed the kernel
       .withColumn("__down0", floor((lit(extentMax) - col("__env")(3)) / binSize).cast("long"))
@@ -65,19 +93,12 @@ object SpatialJoin {
       (floor((lit(extentMax) - col(yCol)) / binSize).cast("long") * numCols) +
         floor((col(xCol) - lit(extentMin)) / binSize).cast("long"))
 
-    val refine = predicate match {
-      case "contains" => udf((wkt: String, x: Double, y: Double) =>
-        Geo.parseWktCached(wkt).exists(g => Geo.contains(g, Geo.GPoint(Some(Geo.Pt(x, y))))))
-      case "intersects" => udf((wkt: String, x: Double, y: Double) =>
-        Geo.parseWktCached(wkt).exists(g => Geo.intersects(g, Geo.GPoint(Some(Geo.Pt(x, y))))))
-      case other => throw new IllegalArgumentException(
-        s"predicate must be contains|intersects, got $other")
-    }
-
     pointCells
       .join(polyCells, "__cell")
-      .where(refine(col(wktCol), col(xCol), col(yCol)))
-      .drop("__cell")
+      .where(when(col("__packed").isNotNull,
+          packedRefine(col("__packed"), col(xCol), col(yCol)))
+        .otherwise(generalRefine(col(wktCol), col(xCol), col(yCol))))
+      .drop("__cell", "__packed")
   }
 
   /** General geometry-geometry intersection join: both sides register on the

@@ -136,6 +136,74 @@ class SpatialJoinSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("packed refine kernel is bit-identical to the WKT kernel") {
+    import graft.functions.{Geo, GeoPack}
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val rnd = new scala.util.Random(4242L)
+    // random polygons incl. holes + multipolygons; probe a dense grid PLUS
+    // exact vertices/edge midpoints (the boundary cases where an epsilon
+    // mismatch between the two kernels would hide)
+    val wkts = Seq(
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+      "POLYGON ((0 20, 28 20, 28 33, 0 33, 0 20), (10 22, 20 22, 20 30, 10 30, 10 22))",
+      "POLYGON ((15 0, 27 0, 21 30, 15 0))",
+      "MULTIPOLYGON (((0 0, 5 0, 5 5, 0 5, 0 0)), ((20 20, 30 20, 30 30, 20 30, 20 20), (22 22, 28 22, 28 28, 22 28, 22 22)))"
+    ) ++ (0 until 20).map { _ =>
+      val x0 = rnd.nextDouble() * 30; val y0 = rnd.nextDouble() * 30
+      val w = rnd.nextDouble() * 12 + 0.5; val h = rnd.nextDouble() * 12 + 0.5
+      s"POLYGON (($x0 $y0, ${x0 + w} $y0, ${x0 + w} ${y0 + h}, $x0 ${y0 + h}, $x0 $y0))"
+    }
+    var checked = 0
+    wkts.foreach { w =>
+      val g = Geo.parseWkt(w).get
+      val packed = GeoPack.pack(g)
+      packed should not be null
+      val ad = ArrayData.toArrayData(packed)
+      val vertexProbes = w.replaceAll("[A-Z()]", "").split(",").toSeq
+        .map(_.trim.split("\\s+")).collect { case Array(a, b) =>
+          (a.toDouble, b.toDouble) }
+      val probes = (for (i <- 0 until 30; j <- 0 until 30)
+        yield (i * 1.2 - 2.0, j * 1.2 - 2.0)) ++ vertexProbes ++
+        vertexProbes.sliding(2).collect { case Seq((ax, ay), (bx, by)) =>
+          ((ax + bx) / 2, (ay + by) / 2) }.toSeq
+      probes.foreach { case (x, y) =>
+        val pt = Geo.GPoint(Some(Geo.Pt(x, y)))
+        val wktContains = Geo.contains(g, pt)
+        val wktIntersects = Geo.intersects(g, pt)
+        val loc = GeoPack.locate(ad, x, y)
+        assert((loc >= 2) === wktContains, s"contains mismatch at ($x,$y) on $w")
+        assert((loc >= 1) === wktIntersects, s"intersects mismatch at ($x,$y) on $w")
+        checked += 1
+      }
+    }
+    assert(checked > 20000)
+    // non-polygon geometries decline packing (join falls back to WKT kernel)
+    assert(GeoPack.pack(Geo.parseWkt("LINESTRING (0 0, 5 5)").get) == null)
+    assert(GeoPack.pack(Geo.parseWkt("POINT (1 2)").get) == null)
+  }
+
+  test("a join over mixed polygon/non-polygon geometries still matches brute force") {
+    import spark.implicits._
+    import graft.functions.Geo
+    // a LINESTRING in the polys column exercises the fallback branch
+    val mixed = (Seq(
+      (0L, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"),
+      (1L, "LINESTRING (0 0, 20 20)"),
+      (2L, "POLYGON ((5 5, 20 5, 20 20, 5 20, 5 5))"))).toDF("polyid", "wkt")
+    val pts = Seq((0L, 5.0, 5.0), (1L, 3.0, 3.0), (2L, 15.0, 15.0),
+      (3L, 25.0, 25.0)).toDF("pid", "x", "y")
+    val brute = (for {
+      r <- pts.collect(); s <- mixed.collect()
+      g = Geo.parseWkt(s.getString(1)).get
+      if Geo.intersects(g, Geo.GPoint(Some(Geo.Pt(r.getDouble(1), r.getDouble(2)))))
+    } yield (r.getLong(0), s.getLong(0))).toSet
+    val got = SpatialJoin.pointsInPolygons(pts, "x", "y", mixed, "wkt", 5.0,
+        "intersects")
+      .select("pid", "polyid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got shouldBe brute
+    assert(brute.contains((1L, 1L)), "the line fallback row must match")
+  }
+
   test("a point in a polygon hole is excluded") {
     import spark.implicits._
     val pt = Seq((99L, 15.0, 25.0)).toDF("pid", "x", "y") // inside polyid=3's hole
