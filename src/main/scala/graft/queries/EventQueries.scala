@@ -179,5 +179,31 @@ object EventQueries {
           min($"start_ord").as("first_start"))
         .orderBy($"pk")
     },
+
+    // Stream-stream event-time range join (click attribution): the batch
+    // twin of Streams.clickAttribution — same helper, same plan shape (one
+    // shuffle keyed on user_id, range predicate as a sort-merge residual).
+    // StreamsSpec pins stream == batch on this exact frame; the DuckDB
+    // oracle pins batch == SQL semantics, so the streaming operator is
+    // transitively under the cell-level gate.
+    q("e08_stream_stream_join",
+      """SELECT c.user_id AS user_id, c.event_id AS click_id,
+        |  p.event_id AS purchase_id,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
+        |ORDER BY user_id, click_id, purchase_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val ev = t(spark, dir, "events")
+      graft.streaming.Streams.clickAttribution(
+          ev.filter($"event_type" === "click"),
+          ev.filter($"event_type" === "purchase"))
+        .select($"user_id", $"click_id", $"purchase_id",
+          date_format($"click_ts", "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+          date_format($"purchase_ts", "yyyy-MM-dd HH:mm:ss").as("purchase_ts"))
+        .orderBy($"user_id", $"click_id", $"purchase_id")
+    },
   )
 }

@@ -105,6 +105,37 @@ object Streams {
       .filter(col("n_overlap") >= minOverlap)
   }
 
+  /** Stream-stream event-time range join (click attribution): each `click`
+    * joins the same user's `purchase` events inside `[click_ts, click_ts +
+    * horizon]`. On streams, BOTH sides carry a watermark and the join
+    * condition bounds event time on both inputs — exactly what Structured
+    * Streaming needs to age out join state, so per-key buffered state is
+    * bounded by `watermark + horizon` of input, never the whole stream.
+    * At 100 TB/day the join is one shuffle keyed on user_id; the range
+    * predicate is a residual on the sorted match, not a second shuffle.
+    * Works identically on batch frames (watermarks are streaming-only
+    * physical hints; the batch twin is the e08 oracle query).
+    */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame,
+      horizon: String = "6 hours", watermark: String = "12 hours"): DataFrame = {
+    // watermark AFTER the rename so it tags the attribute the join
+    // condition actually references
+    def wm(df: DataFrame, tsCol: String) =
+      if (df.isStreaming) df.withWatermark(tsCol, watermark) else df
+    val c = wm(clicks
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts")), "click_ts")
+    val p = wm(purchases
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts")),
+      "purchase_ts")
+    c.join(p,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"))
+      .drop("p_user_id")
+  }
+
   /** Stream-static enrichment join (static side broadcast by Catalyst). */
   def enrich(events: DataFrame, dim: DataFrame, eventKey: String,
       dimKey: String): DataFrame =

@@ -45,6 +45,30 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream range join equals the batch computation") {
+    import spark.implicits._
+    // both sides read from the SAME file stream (a self stream-stream
+    // join), watermarked per side; append mode emits a match once both
+    // watermarks pass it
+    val clicks = Streams.eventStream(spark, sfDir)
+      .filter($"event_type" === "click")
+    val purchases = Streams.eventStream(spark, sfDir)
+      .filter($"event_type" === "purchase")
+    val joined = Streams.clickAttribution(clicks, purchases)
+    assert(joined.isStreaming)
+    val q = Streams.drainToMemory(joined, "t_ssj")
+    try {
+      val got = spark.table("t_ssj")
+        .select($"user_id", $"click_id", $"purchase_id")
+      val want = Streams.clickAttribution(
+          batchEvents.filter($"event_type" === "click"),
+          batchEvents.filter($"event_type" === "purchase"))
+        .select($"user_id", $"click_id", $"purchase_id")
+      assert(got.count() > 0)
+      assert(got.except(want).count() === 0 && want.except(got).count() === 0)
+    } finally q.stop()
+  }
+
   test("streaming near-duplicate suppression keys on the MinHash signature") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
