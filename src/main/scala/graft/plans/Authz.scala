@@ -260,6 +260,11 @@ object Authz {
     case Seq(fmt, path) if PathFormats(norm(fmt)) =>
       NamedTables.nameOfRoot(path).map(norm)
         .getOrElse(norm(parts.mkString(".")))
+    // branch/tag/refs reads (`t.branch_x`, `t.tag_x`, `t.refs`) govern
+    // under the OWNING table — a branch is the same governed data, so a
+    // grant or row filter on `t` must cover every ref of it (no side door)
+    case _ if NamedTables.refReadOf(parts).isDefined =>
+      norm(NamedTables.refReadOf(parts).get._1)
     case _ => norm(parts.mkString("."))
   }
 

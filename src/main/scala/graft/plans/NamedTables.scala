@@ -247,10 +247,12 @@ object NamedTables {
     */
   private[plans] def readDfIfRegistered(spark: SparkSession,
       parts: Seq[String]): Option[org.apache.spark.sql.DataFrame] =
-    refOf(parts).map {
-      case r: SnapshotRef => Snapshots.table(spark, r.root).read()
-      case PathRef(path) => spark.read.parquet(path)
-    }
+    refReadOf(parts)
+      .map { case (n, sub, root) => refReadDf(spark, n, sub, root) }
+      .orElse(refOf(parts).map {
+        case r: SnapshotRef => Snapshots.table(spark, r.root).read()
+        case PathRef(path) => spark.read.parquet(path)
+      })
 
   /** Resolve a relation identifier to a registered/path-addressed ref:
     * single-part names come from the registry; `snapshot.`/path`` addresses
@@ -262,6 +264,52 @@ object NamedTables {
     case Seq(fmt, path) if norm(fmt) == "snapshot" => Some(SnapshotRef(path))
     case _ => None
   }
+
+  /** Branch/tag/refs read parts over a registered snapshot table —
+    * Hive-Iceberg's metadata-read spelling (ref iceberg-handler
+    * TestHiveIcebergBranchOperation.java:296 `SELECT * FROM
+    * default.customers.branch_<name>`): `t.branch_x` and `t.tag_x` read
+    * the ref's pinned state, `t.refs` lists the refs. Returns
+    * (tableName, subIdentifier, snapshotRoot).
+    */
+  private[plans] def refReadOf(parts: Seq[String])
+      : Option[(String, String, String)] = parts match {
+    case Seq(name, sub)
+        if norm(sub).startsWith("branch_") || norm(sub).startsWith("tag_") ||
+          norm(sub) == "refs" =>
+      get(name) match {
+        case Some(r: SnapshotRef) => Some((name, sub, r.root))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** Fresh DataFrame for a branch/tag/refs read (the [[Authz]] layer
+    * policies it under the OWNING table's key — a branch is the same
+    * governed data).
+    */
+  private[plans] def refReadDf(spark: SparkSession, name: String,
+      sub: String, root: String): org.apache.spark.sql.DataFrame = {
+    val t = Snapshots.table(spark, root)
+    if (norm(sub) == "refs") {
+      import spark.implicits._
+      t.refs().toList.sortBy(_._1)
+        .map { case (n, r) => (n, r.kind, r.version) }
+        .toDF("name", "type", "version")
+    } else {
+      val kind = if (norm(sub).startsWith("branch_")) "branch" else "tag"
+      val refName = sub.substring(kind.length + 1)
+      val r = t.refs().getOrElse(refName,
+        throw new IllegalArgumentException(s"no $kind $refName on table $name"))
+      require(r.kind == kind,
+        s"$refName on table $name is a ${r.kind}, not a $kind")
+      t.readRef(refName)
+    }
+  }
+
+  private def refReadPlan(spark: SparkSession, name: String, sub: String,
+      root: String): LogicalPlan =
+    SubqueryAlias(sub, refReadDf(spark, name, sub, root).queryExecution.logical)
 
   /** Reverse lookup: the registered name owning `root`, if any — the
     * [[Authz]] layer uses it so path-addressed access to a governed
@@ -325,6 +373,11 @@ object NamedTables {
             if resolvable(spark, u, scope) =>
           Some(timeTravelPlan(spark, u.multipartIdentifier.last,
             refOf(u.multipartIdentifier).get, ts, v))
+        case u: UnresolvedRelation
+            if refReadOf(u.multipartIdentifier).isDefined &&
+              !CteScope.shadowed(u.multipartIdentifier, scope) =>
+          val (n, sub, root) = refReadOf(u.multipartIdentifier).get
+          Some(refReadPlan(spark, n, sub, root))
         case u: UnresolvedRelation if resolvable(spark, u, scope) =>
           Some(readPlan(spark, u.multipartIdentifier.last,
             refOf(u.multipartIdentifier).get))
@@ -349,6 +402,9 @@ object NamedTables {
           if refOf(u.multipartIdentifier).isDefined =>
         timeTravelPlan(session, u.multipartIdentifier.last,
           refOf(u.multipartIdentifier).get, ts, v)
+      case u: UnresolvedRelation if refReadOf(u.multipartIdentifier).isDefined =>
+        val (n, sub, root) = refReadOf(u.multipartIdentifier).get
+        refReadPlan(session, n, sub, root)
       case u: UnresolvedRelation if refOf(u.multipartIdentifier).isDefined =>
         readPlan(session, u.multipartIdentifier.last,
           refOf(u.multipartIdentifier).get)

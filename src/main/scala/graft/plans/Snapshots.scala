@@ -164,6 +164,23 @@ object Snapshots {
     */
   final case class BloomConfig(cols: Seq[String], bits: Long, gen: Long = 0L)
 
+  /** A named snapshot ref — `kind` is "branch" (mutable head, writable)
+    * or "tag" (immutable marker), pointing at a committed version (ref
+    * iceberg SnapshotRef / ql/ddl/table/snapshotref/; Hive 4's
+    * `ALTER TABLE ... CREATE BRANCH/TAG` surface).
+    */
+  final case class SnapshotRef(kind: String, version: Long)
+
+  /** Serialization row for the refs CAS document (top-level so json4s
+    * reflection can construct it).
+    */
+  private case class RefRow(name: String, kind: String, version: Long)
+
+  /** Manifest-meta marker of a branch commit: its value is the branch
+    * name, and its presence takes the commit OFF the mainline.
+    */
+  private val RefMetaKey = "graft.ref"
+
   private implicit val jsonFormats: org.json4s.Formats = org.json4s.DefaultFormats
 
   /** Opens an existing snapshot table rooted at `root`.
@@ -216,9 +233,49 @@ object Snapshots {
         .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
         .sorted
 
+    /** Branch commits publish into the SAME version-slot sequence (one CAS
+      * namespace — no cross-prefix collisions) but carry [[RefMetaKey]] in
+      * their meta; the MAINLINE (what `latest()`/CDC/streams/replication
+      * see) is every version without it. Slot numbers are allocated past
+      * the global max so a branch commit can never steal the mainline
+      * head's next slot and wedge its retry loop.
+      */
+    private def isMainline(m: Manifest): Boolean = !m.meta.contains(RefMetaKey)
+
+    /** Slot for the next MAINLINE commit after `head`: the smallest slot
+      * past head whose occupants (if any) are all BRANCH commits. Skipping
+      * only ref-marked slots preserves the optimistic-concurrency
+      * contract: a slot occupied by a mainline manifest forces the writer
+      * back through `latest()` (rebase or fail loud) — allocating past it
+      * would let a stale writer publish OVER a winner and shadow its
+      * commit (a lost update).
+      */
+    private def nextSlot(head: Manifest): Long = {
+      val existing = versions().toSet
+      var c = head.version + 1
+      while (existing.contains(c) &&
+          !isMainline(readManifest(manifestPath(c)))) c += 1
+      c
+    }
+
+    /** Slot for a BRANCH commit: past the global max. Branch serialization
+      * is the ref CAS, not slot contiguity — a lost slot race just retries
+      * with a fresh listing, and a branch manifest published but beaten at
+      * the ref bump is simply unreachable.
+      */
+    private def nextBranchSlot(): Long =
+      versions().lastOption.getOrElse(-1L) + 1
+
+    /** Mainline version numbers, ascending. */
+    private def mainlineVersions(): Seq[Long] =
+      versions().filter(v => isMainline(readManifest(manifestPath(v))))
+
     /** Latest committed manifest (resolved to full form). */
-    /** Committed version numbers, ascending ([[Replication]] walks them). */
-    private[plans] def committedVersions(): Seq[Long] = versions()
+    /** Committed MAINLINE version numbers, ascending ([[Replication]]
+      * walks them; branch commits are not part of the replicated lineage
+      * until fast-forwarded into the mainline).
+      */
+    private[plans] def committedVersions(): Seq[Long] = mainlineVersions()
 
     /** Fully-resolved manifest of one version ([[Replication]]). */
     private[plans] def resolvedManifest(v: Long): Manifest =
@@ -233,20 +290,33 @@ object Snapshots {
     def latest(): Manifest = {
       val vs = versions()
       require(vs.nonEmpty, s"not a snapshot table (no _graft_log): $root")
-      resolve(readManifest(manifestPath(vs.last)))
+      // mainline head: walk back past any branch commits at the tail
+      // (usually zero — one manifest read, same as before refs existed)
+      vs.reverseIterator
+        .map(v => readManifest(manifestPath(v)))
+        .find(isMainline)
+        .map(resolve)
+        .getOrElse(throw new IllegalStateException(
+          s"no mainline manifest at $root — log holds only branch commits"))
     }
 
-    /** All manifests, oldest first (each resolved to full form). */
+    /** MAINLINE manifests, oldest first (each resolved to full form).
+      * Branch commits are excluded — time travel, restore-as-of, CDC, and
+      * replication all walk the mainline; branch state is reached through
+      * [[refs]]/[[readRef]].
+      */
     def history(): Seq[Manifest] =
-      versions().map(v => resolve(readManifest(manifestPath(v))))
+      mainlineVersions().map(v => resolve(readManifest(manifestPath(v))))
 
-    /** Manifests with version > `sinceVersion`, oldest first — the
+    /** Mainline manifests with version > `sinceVersion`, oldest first — the
       * incremental consumers' entry point (reads O(newer versions), not the
       * whole log).
       */
     def historySince(sinceVersion: Long): Seq[Manifest] =
       versions().filter(_ > sinceVersion)
-        .map(v => resolve(readManifest(manifestPath(v))))
+        .map(v => readManifest(manifestPath(v)))
+        .filter(isMainline)
+        .map(resolve)
 
     /** The commit log as a relation — DESCRIBE HISTORY: one row per
       * retained version with its action, file/delete counts, row count
@@ -698,17 +768,27 @@ object Snapshots {
       // read only the manifests after `sinceVersion` plus each one's parent
       // (for the added-files diff) — O(changed versions), not O(log length)
       val newer = versions().filter(_ > sinceVersion)
+      // each mainline commit diffs against the PREVIOUS MAINLINE manifest,
+      // not its parent pointer: a fast-forward's parent is the branch head
+      // (whose files it already carries — zero diff), while the change the
+      // mainline consumer owes is everything the publish surfaced
+      var prevMainline: Option[Manifest] =
+        versions().filter(_ <= sinceVersion).reverseIterator
+          .map(v => readManifest(manifestPath(v)))
+          .find(isMainline)
+          .map(resolve)
       val changes = newer
-        .map(v => resolve(readManifest(manifestPath(v))))
-        // compact and cluster are data-identical reorganizations — their
-        // rewritten files are not changes
-        .filter(m => m.action != "compact" && m.action != "cluster" &&
-          m.action != "zorder")
-        .flatMap { m =>
-          val parentFiles =
-            if (m.parent < 0 || !fs.exists(manifestPath(m.parent)))
-              Set.empty[String]
-            else resolve(readManifest(manifestPath(m.parent))).files.toSet
+        .map(v => readManifest(manifestPath(v)))
+        // branch commits are not mainline changes (they surface via
+        // fast-forward); compact and cluster are data-identical
+        // reorganizations — their rewritten files are not changes
+        .filter(isMainline)
+        .map(resolve)
+        .map { m => val prev = prevMainline; prevMainline = Some(m); (m, prev) }
+        .filter { case (m, _) => m.action != "compact" &&
+          m.action != "cluster" && m.action != "zorder" }
+        .flatMap { case (m, prev) =>
+          val parentFiles = prev.map(_.files.toSet).getOrElse(Set.empty[String])
           val added = m.files.filterNot(parentFiles)
           if (added.isEmpty) None
           else Some(readFiles(m.copy(files = added))
@@ -780,14 +860,26 @@ object Snapshots {
           val m = resolve(readManifest(manifestPath(untilVersion)))
           if (m.files.isEmpty) Nil else Seq(emit(m, m.files, withDeletes = true))
         case Some(s) =>
+          var prevMainline: Option[Manifest] =
+            versions().filter(_ <= s).reverseIterator
+              .map(v => readManifest(manifestPath(v)))
+              .find(isMainline)
+              .map(resolve)
           versions().filter(v => v > s && v <= untilVersion).flatMap { v =>
-            val m = resolve(readManifest(manifestPath(v)))
+            val raw = readManifest(manifestPath(v))
+            if (!isMainline(raw)) Nil else {
+            val m = resolve(raw)
+            // diff vs the previous MAINLINE (a fast-forward's parent is the
+            // branch head it already equals — see readChanges)
             val parentFiles =
-              if (m.parent < 0 || !fs.exists(manifestPath(m.parent)))
-                Set.empty[String]
-              else resolve(readManifest(manifestPath(m.parent))).files.toSet
+              prevMainline.map(_.files.toSet).getOrElse(Set.empty[String])
+            prevMainline = Some(m)
             val added = m.files.filterNot(parentFiles)
-            val appendLike = Set("create", "append")
+            // fast-forward and cherry-pick publish APPEND-ONLY branch work
+            // (the only branch write is appendToBranch), so the stream
+            // replays their added files exactly once like any append
+            val appendLike = Set("create", "append", "fast-forward",
+              "cherry-pick")
             val reorg = Set("compact", "cluster", "zorder")
             val metadataOnly =
               Set("add-columns", "rename-column", "drop-column")
@@ -811,6 +903,7 @@ object Snapshots {
                       "re-emit rewritten files (downstream must tolerate " +
                       "duplicates)")
                 Some(emit(m, added, withDeletes = false))
+            }
             }
           }
       }
@@ -844,7 +937,7 @@ object Snapshots {
         validate(head) match {
           case None => return head // no-op (nothing matched)
           case Some((files, stats)) =>
-            val m = Manifest(head.version + 1, head.version,
+            val m = Manifest(nextSlot(head), head.version,
               System.currentTimeMillis(), action, head.partitionCols,
               head.schemaJson, files, stats, meta, deletesOf(head),
               colMapping = head.colMapping,
@@ -979,7 +1072,7 @@ object Snapshots {
         val (staged, stagedStats) = stage(post,
           head.partitionCols, head.colMapping)
         val files = head.files.filterNot(affected) ++ staged
-        val m = Manifest(head.version + 1, head.version,
+        val m = Manifest(nextSlot(head), head.version,
           System.currentTimeMillis(), action, head.partitionCols,
           head.schemaJson, files, (head.stats -- affected) ++ stagedStats,
           Map.empty, head.deletes,
@@ -1026,7 +1119,7 @@ object Snapshots {
           .parquet(new Path(rootPath, delDir).toString)
         val sidecars = listParquet(new Path(rootPath, delDir)).map(relativize)
         if (sidecars.isEmpty) return head // nothing matched — no-op
-        val m = Manifest(head.version + 1, head.version,
+        val m = Manifest(nextSlot(head), head.version,
           System.currentTimeMillis(), "delete-mor", head.partitionCols,
           head.schemaJson, head.files, head.stats, Map.empty,
           head.deletes ++ sidecars,
@@ -1074,7 +1167,7 @@ object Snapshots {
         }
         val newSchema = org.apache.spark.sql.types.StructType(
           existing.fields ++ cols.fields.map(_.copy(nullable = true)))
-        val m = Manifest(head.version + 1, head.version,
+        val m = Manifest(nextSlot(head), head.version,
           System.currentTimeMillis(), "add-columns", head.partitionCols,
           newSchema.json, head.files, head.stats, Map.empty, head.deletes,
           colMapping = head.colMapping ++ mappingAdds,
@@ -1116,7 +1209,7 @@ object Snapshots {
         val newMapping = (head.colMapping - oldName) ++
           (if (phys == newName) Map.empty[String, String]
            else Map(newName -> phys))
-        val m = Manifest(head.version + 1, head.version,
+        val m = Manifest(nextSlot(head), head.version,
           System.currentTimeMillis(), "rename-column", head.partitionCols,
           newSchema.json, head.files, head.stats, Map.empty, head.deletes,
           colMapping = newMapping,
@@ -1153,7 +1246,7 @@ object Snapshots {
         val phys = head.physical(name)
         val newSchema = org.apache.spark.sql.types.StructType(
           existing.fields.filterNot(_.name == name))
-        val m = Manifest(head.version + 1, head.version,
+        val m = Manifest(nextSlot(head), head.version,
           System.currentTimeMillis(), "drop-column", head.partitionCols,
           newSchema.json, head.files, head.stats, Map.empty, head.deletes,
           colMapping = head.colMapping - name,
@@ -1214,7 +1307,7 @@ object Snapshots {
         }
         val newSchema = StructType(existing.fields.map(x =>
           if (x.name == name) x.copy(dataType = to) else x))
-        val m = Manifest(head.version + 1, head.version,
+        val m = Manifest(nextSlot(head), head.version,
           System.currentTimeMillis(), "alter-column-type", head.partitionCols,
           newSchema.json, head.files, head.stats, Map.empty, head.deletes,
           colMapping = head.colMapping,
@@ -1249,7 +1342,7 @@ object Snapshots {
         val head = latest()
         require(v <= head.version, s"cannot restore to future version $v")
         if (v == head.version) return head // no-op
-        val m = Manifest(head.version + 1, head.version,
+        val m = Manifest(nextSlot(head), head.version,
           System.currentTimeMillis(), "restore", old.partitionCols,
           old.schemaJson, old.files, old.stats,
           Map("restored_version" -> v.toString), old.deletes,
@@ -1271,6 +1364,280 @@ object Snapshots {
       val h = history().filter(_.timestampMs <= tsMs)
       require(h.nonEmpty, s"no version committed at or before $tsMs")
       restore(h.last.version, maxRetries)
+    }
+
+    // ------------------------------------------------- refs (branches/tags)
+    //
+    // Branches give the table WAP (write-audit-publish): stage commits on
+    // a branch, audit the branch head, then FAST-FORWARD the mainline to
+    // it — production readers never see unaudited data (ref iceberg
+    // ManageSnapshots / mr/hive/IcebergSnapshotRefExec.java; the Hive 4
+    // branch DDL). Tags are immutable named versions for reproducible
+    // reads (a training run pinned to `tag_v1` re-reads byte-identical
+    // data regardless of later commits).
+
+    private lazy val refsStore = new CasJsonStore[Map[String, SnapshotRef]](
+      new Path(logPath, "_refs"),
+      spark.sparkContext.hadoopConfiguration,
+      Map.empty,
+      m => org.json4s.jackson.Serialization.write(
+        m.toList.sortBy(_._1).map { case (n, r) => RefRow(n, r.kind, r.version) }),
+      txt => org.json4s.jackson.Serialization.read[List[RefRow]](txt)
+        .map(r => r.name -> SnapshotRef(r.kind, r.version)).toMap)
+
+    /** All refs (name -> kind/version). */
+    def refs(): Map[String, SnapshotRef] = refsStore.load()._2
+
+    def createBranch(name: String, fromVersion: Option[Long] = None,
+        ifNotExists: Boolean = false): Unit =
+      createRef(name, "branch", fromVersion, ifNotExists)
+
+    def createTag(name: String, fromVersion: Option[Long] = None,
+        ifNotExists: Boolean = false): Unit =
+      createRef(name, "tag", fromVersion, ifNotExists)
+
+    private def createRef(name: String, kind: String,
+        fromVersion: Option[Long], ifNotExists: Boolean): Unit = {
+      val v = fromVersion.getOrElse(latest().version)
+      require(fs.exists(manifestPath(v)),
+        s"version $v does not exist (vacuumed or never committed)")
+      var outcome = ""
+      refsStore.mutate { m =>
+        m.get(name) match {
+          case Some(r) if r.kind != kind => outcome = r.kind; m
+          case Some(_) => outcome = if (ifNotExists) "kept" else kind; m
+          case None => outcome = "created"; m + (name -> SnapshotRef(kind, v))
+        }
+      }
+      // mirror the reference's errors (ref IcebergSnapshotRefExec.java:
+      // "Cannot complete create <kind> operation on <name>, as it exists
+      // as <other kind>")
+      outcome match {
+        case "created" | "kept" => ()
+        case other if other != kind => throw new IllegalArgumentException(
+          s"cannot create $kind $name on $root: it exists as $other")
+        case _ => throw new IllegalArgumentException(
+          s"$kind $name already exists on $root")
+      }
+    }
+
+    def dropBranch(name: String, ifExists: Boolean = false): Unit =
+      dropRef(name, "branch", ifExists)
+    def dropTag(name: String, ifExists: Boolean = false): Unit =
+      dropRef(name, "tag", ifExists)
+
+    private def dropRef(name: String, kind: String, ifExists: Boolean): Unit = {
+      var outcome = ""
+      refsStore.mutate { m =>
+        m.get(name) match {
+          case Some(r) if r.kind == kind => outcome = "dropped"; m - name
+          case Some(r) => outcome = r.kind; m
+          case None => outcome = "absent"; m
+        }
+      }
+      outcome match {
+        case "dropped" => ()
+        case "absent" if ifExists => ()
+        case "absent" => throw new IllegalArgumentException(
+          s"no $kind $name on $root")
+        case other => throw new IllegalArgumentException(
+          s"cannot drop $kind $name on $root: it exists as $other")
+      }
+    }
+
+    def renameBranch(from: String, to: String): Unit = {
+      var outcome = ""
+      refsStore.mutate { m =>
+        (m.get(from), m.get(to)) match {
+          case (Some(r), None) if r.kind == "branch" =>
+            outcome = "renamed"; m - from + (to -> r)
+          case (Some(r), None) => outcome = s"${r.kind} $from"; m
+          case (None, _) => outcome = s"missing $from"; m
+          case (_, Some(_)) => outcome = s"taken $to"; m
+        }
+      }
+      require(outcome == "renamed",
+        s"cannot rename branch $from to $to on $root: $outcome")
+    }
+
+    private def refHead(name: String): Manifest = {
+      val r = refs().getOrElse(name,
+        throw new IllegalArgumentException(s"no branch or tag $name on $root"))
+      resolve(readManifest(manifestPath(r.version)))
+    }
+
+    /** Read the state a branch or tag points at (time travel by name). */
+    def readRef(name: String): DataFrame = readFiles(refHead(name))
+
+    /** Append onto a BRANCH head: publishes into the shared slot sequence
+      * marked with [[RefMetaKey]] (invisible to the mainline), then CAS-
+      * bumps the ref. Concurrent branch appends serialize on the ref: a
+      * loser's published manifest is simply unreachable (vacuum reclaims
+      * it) and the append retries on the fresh branch head.
+      */
+    def appendToBranch(branch: String, df: DataFrame,
+        maxRetries: Int = 10): Manifest = {
+      val r0 = refs().getOrElse(branch,
+        throw new IllegalArgumentException(s"no branch $branch on $root"))
+      require(r0.kind == "branch",
+        s"$branch on $root is a tag — tags are immutable")
+      val head0 = resolve(readManifest(manifestPath(r0.version)))
+      require(df.schema.fieldNames.sorted.sameElements(
+        schemaOf(head0.schemaJson).fieldNames.sorted),
+        "append schema must match table schema")
+      val (staged, stagedStats) = stage(
+        validateConstraints(conform(df, schemaOf(head0.schemaJson)), "append"),
+        head0.partitionCols, head0.colMapping)
+      var attempt = 0
+      while (true) {
+        val r = refs().get(branch) match {
+          case Some(cur) if cur.kind == "branch" => cur
+          case _ => throw new ConcurrentModificationException(
+            s"branch $branch on $root vanished mid-append")
+        }
+        val head = resolve(readManifest(manifestPath(r.version)))
+        if (head.colMapping != head0.colMapping)
+          throw new ConcurrentModificationException(
+            s"append to branch $branch at $root raced a column rename — " +
+              "retry the append")
+        val m = Manifest(nextBranchSlot(), head.version,
+          System.currentTimeMillis(), "append", head.partitionCols,
+          head.schemaJson, head.files ++ staged, head.stats ++ stagedStats,
+          Map(RefMetaKey -> branch), head.deletes,
+          colMapping = head.colMapping,
+          droppedPhysical = head.droppedPhysical)
+        if (publish(head, m)) {
+          var took = false
+          refsStore.mutate { rm =>
+            rm.get(branch) match {
+              case Some(cur) if cur.kind == "branch" &&
+                  cur.version == r.version =>
+                took = true; rm + (branch -> SnapshotRef("branch", m.version))
+              case _ => took = false; rm
+            }
+          }
+          if (took) return m
+          // ref moved between our head read and bump: the manifest just
+          // published is unreachable — retry against the fresh head
+        }
+        attempt += 1
+        if (attempt > maxRetries)
+          throw new ConcurrentModificationException(
+            s"append to branch $branch at $root lost the commit race " +
+              s"$attempt times — giving up")
+      }
+      sys.error("unreachable")
+    }
+
+    /** ALTER TABLE ... EXECUTE FAST-FORWARD: advance the MAINLINE to the
+      * branch head — the publish step of WAP. Requires the current
+      * mainline head to be an ancestor of the branch head (nothing
+      * committed to main since the fork), else refuses: a fast-forward
+      * never merges or discards mainline commits.
+      */
+    def fastForward(branch: String, maxRetries: Int = 10): Manifest = {
+      val r = refs().getOrElse(branch,
+        throw new IllegalArgumentException(s"no branch $branch on $root"))
+      require(r.kind == "branch", s"$branch on $root is a tag")
+      val b = resolve(readManifest(manifestPath(r.version)))
+      var attempt = 0
+      while (true) {
+        val head = latest()
+        if (head.version == b.version) return head // already there
+        // ancestor walk along parent pointers (bounded by log length)
+        var v = b.version
+        var found = false
+        while (v >= 0 && !found) {
+          if (v == head.version) found = true
+          else v = readManifest(manifestPath(v)).parent
+        }
+        require(found,
+          s"cannot fast-forward $root to branch $branch: mainline head " +
+            s"${head.version} is not an ancestor of branch head " +
+            s"${b.version} — commits landed on main since the fork")
+        val m = Manifest(nextSlot(head), b.version,
+          System.currentTimeMillis(), "fast-forward", b.partitionCols,
+          b.schemaJson, b.files, b.stats,
+          Map("ff_branch" -> branch, "ff_version" -> b.version.toString),
+          b.deletes, colMapping = b.colMapping,
+          droppedPhysical = b.droppedPhysical)
+        if (publish(b, m)) return m
+        attempt += 1
+        if (attempt > maxRetries)
+          throw new ConcurrentModificationException(
+            s"fast-forward at $root lost the commit race $attempt times — " +
+              "giving up")
+      }
+      sys.error("unreachable")
+    }
+
+    /** ALTER TABLE ... EXECUTE CHERRY-PICK: re-apply one APPEND-ONLY
+      * commit's added files onto the current mainline head. Commits that
+      * remove or retire files refuse (the reference likewise limits
+      * cherry-picks to append/dynamic-overwrite snapshots).
+      */
+    def cherryPick(v: Long, maxRetries: Int = 10): Manifest = {
+      val p = manifestPath(v)
+      require(fs.exists(p),
+        s"version $v does not exist (vacuumed or never committed)")
+      val raw = readManifest(p)
+      val (adds, addStats, removed) =
+        if (raw.kind == "delta")
+          (raw.adds, raw.addStats, raw.removes ++ raw.deleteAdds)
+        else {
+          val parent =
+            if (raw.parent < 0 || !fs.exists(manifestPath(raw.parent))) None
+            else Some(resolve(readManifest(manifestPath(raw.parent))))
+          val pf = parent.map(_.files.toSet).getOrElse(Set.empty[String])
+          val adds = raw.files.filterNot(pf)
+          val removes =
+            parent.map(_.files.filterNot(raw.files.toSet)).getOrElse(Nil)
+          val dAdds = raw.deletes.filterNot(
+            parent.map(_.deletes.toSet).getOrElse(Set.empty[String]))
+          (adds, raw.stats.view.filterKeys(adds.toSet).toMap, removes ++ dAdds)
+        }
+      require(removed.isEmpty,
+        s"cherry-pick of version $v at $root unsupported: only append-only " +
+          "commits can be cherry-picked (this one removes or retires files)")
+      commit("cherry-pick", maxRetries,
+          Map("cherry_picked" -> v.toString)) { head =>
+        require(schemaOf(head.schemaJson).fieldNames.sorted.sameElements(
+          schemaOf(raw.schemaJson).fieldNames.sorted),
+          s"cherry-pick of version $v across schema evolution is not supported")
+        val fresh = adds.filterNot(head.files.toSet)
+        if (fresh.isEmpty) None
+        else Some((head.files ++ fresh,
+          head.stats ++ addStats.view.filterKeys(fresh.toSet).toMap))
+      }
+    }
+
+    /** ALTER TABLE ... EXECUTE SET_CURRENT_SNAPSHOT: point the mainline at
+      * ANY committed version's state (incl. a branch commit) — [[restore]]
+      * without the backwards-only restriction.
+      */
+    def setCurrentSnapshot(v: Long, maxRetries: Int = 10): Manifest = {
+      val p = manifestPath(v)
+      require(fs.exists(p),
+        s"version $v does not exist (vacuumed or never committed)")
+      val old = resolve(readManifest(p))
+      var attempt = 0
+      while (true) {
+        val head = latest()
+        if (v == head.version) return head
+        val m = Manifest(nextSlot(head), head.version,
+          System.currentTimeMillis(), "set-current-snapshot",
+          old.partitionCols, old.schemaJson, old.files, old.stats,
+          Map("set_version" -> v.toString), old.deletes,
+          colMapping = old.colMapping,
+          droppedPhysical = old.droppedPhysical)
+        if (publish(head, m)) return m
+        attempt += 1
+        if (attempt > maxRetries)
+          throw new ConcurrentModificationException(
+            s"set-current-snapshot at $root lost the commit race " +
+              s"$attempt times — giving up")
+      }
+      sys.error("unreachable")
     }
 
     /** TRUNCATE TABLE: one metadata commit that empties the file list (and
@@ -1321,7 +1688,7 @@ object Snapshots {
         val (staged, stagedStats) = stage(
           validateConstraints(updated, "update-mor"), head.partitionCols,
           head.colMapping)
-        val m = Manifest(head.version + 1, head.version,
+        val m = Manifest(nextSlot(head), head.version,
           System.currentTimeMillis(), "update-mor", head.partitionCols,
           head.schemaJson, head.files ++ staged, head.stats ++ stagedStats,
           Map.empty, head.deletes ++ sidecars,
@@ -1499,7 +1866,7 @@ object Snapshots {
             head.partitionCols, head.colMapping))
         val (staged, stagedStats) =
           appended.getOrElse((Seq.empty[String], Map.empty[String, FileStat]))
-        val m = Manifest(head.version + 1, head.version,
+        val m = Manifest(nextSlot(head), head.version,
           System.currentTimeMillis(), "merge-mor", head.partitionCols,
           head.schemaJson, head.files ++ staged, head.stats ++ stagedStats,
           Map.empty, head.deletes ++ sidecars,
@@ -1575,7 +1942,7 @@ object Snapshots {
         val (staged, stagedStats) = stage(
           validateConstraints(post, "merge"), head.partitionCols,
           head.colMapping)
-        val m = Manifest(head.version + 1, head.version,
+        val m = Manifest(nextSlot(head), head.version,
           System.currentTimeMillis(), "merge", head.partitionCols,
           head.schemaJson, head.files.filterNot(affected) ++ staged,
           (head.stats -- affected) ++ stagedStats, Map.empty, head.deletes,
@@ -1659,7 +2026,7 @@ object Snapshots {
               listParquet(new Path(rootPath, delDir)).map(relativize)
             }
           }
-        val m = Manifest(head.version + 1, head.version,
+        val m = Manifest(nextSlot(head), head.version,
           System.currentTimeMillis(), "compact", head.partitionCols,
           head.schemaJson, keptFiles ++ staged,
           (head.stats -- smallSet) ++ stagedStats, Map.empty, newDeletes,
@@ -1708,7 +2075,7 @@ object Snapshots {
           .sortWithinPartitions(cols.map(col): _*)
         val (staged, stagedStats) = stage(clustered, head.partitionCols,
           head.colMapping)
-        val m = Manifest(head.version + 1, head.version,
+        val m = Manifest(nextSlot(head), head.version,
           System.currentTimeMillis(), "cluster", head.partitionCols,
           head.schemaJson, staged, stagedStats, Map.empty, Nil,
           colMapping = head.colMapping,
@@ -1791,7 +2158,7 @@ object Snapshots {
           .drop("__z")
         val (staged, stagedStats) = stage(ordered, head.partitionCols,
           head.colMapping)
-        val m = Manifest(head.version + 1, head.version,
+        val m = Manifest(nextSlot(head), head.version,
           System.currentTimeMillis(), "zorder", head.partitionCols,
           head.schemaJson, staged, stagedStats, Map.empty, Nil,
           colMapping = head.colMapping,
@@ -2146,25 +2513,35 @@ object Snapshots {
       */
     def vacuum(retainLast: Int = 1, minAgeHours: Double = 24.0): Long = {
       val vs = versions()
-      val keep = vs.takeRight(math.max(retainLast, 1)).toSet
-      // the oldest retained manifest must be self-contained AFTER its
-      // ancestors are pruned: if it's a delta, rewrite it in place as its
-      // resolved full form (atomic replace; logical content identical).
-      // Staged through the table's own FileSystem + FileContext rename so
-      // HDFS/S3A-rooted tables vacuum the same way local ones do.
-      val oldest = keep.min
-      val om = readManifest(manifestPath(oldest))
-      if (om.kind == "delta") {
-        val full = resolve(om)
-        // tmp in the log dir itself so the replace is same-filesystem atomic
-        val tmp = new Path(logPath, s".ckpt-${UUID.randomUUID().toString}")
-        val out = fs.create(tmp, false)
-        try out.write(writeManifestJson(full).getBytes("UTF-8")) finally out.close()
-        org.apache.hadoop.fs.FileContext
-          .getFileContext(manifestPath(oldest).toUri,
-            spark.sparkContext.hadoopConfiguration)
-          .rename(fs.makeQualified(tmp), fs.makeQualified(manifestPath(oldest)),
-            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      // refs pin their manifests: a branch/tag head must survive vacuum
+      // (and keep its files referenced) or the ref dangles and branch
+      // data is destroyed under the reader
+      val refVersions = refs().values.map(_.version).toSet
+        .filter(v => fs.exists(manifestPath(v)))
+      // the mainline head is pinned explicitly: the raw version tail can
+      // be all branch commits, and a vacuum that pruned every mainline
+      // manifest would destroy the table under its readers
+      val keep = vs.takeRight(math.max(retainLast, 1)).toSet ++
+        refVersions + latest().version
+      // every retained manifest must be self-contained AFTER its ancestors
+      // are pruned: any kept delta whose parent is NOT kept rewrites in
+      // place as its resolved full form (atomic replace; logical content
+      // identical). Staged through the table's own FileSystem + FileContext
+      // rename so HDFS/S3A-rooted tables vacuum the same way local ones do.
+      keep.toSeq.sorted.foreach { kv =>
+        val km = readManifest(manifestPath(kv))
+        if (km.kind == "delta" && !keep.contains(km.parent)) {
+          val full = resolve(km)
+          // tmp in the log dir itself so the replace is same-filesystem atomic
+          val tmp = new Path(logPath, s".ckpt-${UUID.randomUUID().toString}")
+          val out = fs.create(tmp, false)
+          try out.write(writeManifestJson(full).getBytes("UTF-8")) finally out.close()
+          org.apache.hadoop.fs.FileContext
+            .getFileContext(manifestPath(kv).toUri,
+              spark.sparkContext.hadoopConfiguration)
+            .rename(fs.makeQualified(tmp), fs.makeQualified(manifestPath(kv)),
+              org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        }
       }
       val kept = keep.map(v => resolve(readManifest(manifestPath(v))))
       val referenced = kept.flatMap(_.files) ++ kept.flatMap(_.deletes)

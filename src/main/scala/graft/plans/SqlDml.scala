@@ -62,11 +62,17 @@ object SqlDml {
   def maybeRun(spark: SparkSession, plan: LogicalPlan): Option[DataFrame] =
     plan match {
       case DeleteFromTable(t, cond) =>
-        targetOf(t).map { tgt => runDelete(spark, tgt, cond); done(spark) }
+        targetOf(t).map { tgt =>
+          requireNoBranch(tgt, "DELETE"); runDelete(spark, tgt, cond)
+          done(spark) }
       case UpdateTable(t, assigns, cond) =>
-        targetOf(t).map { tgt => runUpdate(spark, tgt, assigns, cond); done(spark) }
+        targetOf(t).map { tgt =>
+          requireNoBranch(tgt, "UPDATE"); runUpdate(spark, tgt, assigns, cond)
+          done(spark) }
       case m: MergeIntoTable =>
-        targetOf(m.targetTable).map { tgt => runMerge(spark, tgt, m); done(spark) }
+        targetOf(m.targetTable).map { tgt =>
+          requireNoBranch(tgt, "MERGE"); runMerge(spark, tgt, m)
+          done(spark) }
       case i: InsertIntoStatement =>
         targetOf(i.table).map { tgt => runInsert(spark, tgt, i); done(spark) }
       case CreateTable(UnresolvedIdentifier(Seq(name), _), columns, partitioning,
@@ -524,12 +530,26 @@ object SqlDml {
     * name) its columns may carry in statement expressions.
     */
   private final case class Target(display: String, qualifiers: Set[String],
-      ref: NamedTables.Ref) {
+      ref: NamedTables.Ref, branch: Option[String] = None) {
     def read(spark: SparkSession): DataFrame = ref match {
-      case r: NamedTables.SnapshotRef => Snapshots.table(spark, r.root).read()
+      case r: NamedTables.SnapshotRef => branch match {
+        // a branch target reads (and so aligns/validates against) the
+        // BRANCH head, not the mainline
+        case Some(b) => Snapshots.table(spark, r.root).readRef(b)
+        case None => Snapshots.table(spark, r.root).read()
+      }
       case NamedTables.PathRef(path) => spark.read.parquet(path)
     }
   }
+
+  /** Branch targets accept INSERT (append) only — a COW UPDATE/DELETE/
+    * MERGE would read the branch but commit to the mainline, silently
+    * corrupting both. Refuse loudly until branch-addressed COW exists.
+    */
+  private def requireNoBranch(t: Target, verb: String): Unit =
+    require(t.branch.isEmpty, s"$verb on a branch target (${t.display}) is " +
+      "not supported — INSERT appends to the branch; run other DML on the " +
+      "mainline and FAST-FORWARD, or recreate the branch")
 
   private def norm(s: String): String = s.toLowerCase(Locale.ROOT)
 
@@ -542,12 +562,21 @@ object SqlDml {
       targetOf(child).map(t => t.copy(qualifiers = t.qualifiers + norm(id.name)))
     case u: UnresolvedRelation =>
       val parts = u.multipartIdentifier
-      val ref = NamedTables.refOf(parts).orElse(parts match {
-        case Seq(fmt, path) if norm(fmt) == "parquet" =>
-          Some(NamedTables.PathRef(path))
-        case _ => None
-      })
-      ref.map(r => Target(parts.mkString("."), Set(norm(parts.last)), r))
+      // `t.branch_b` / `t.tag_g` as a DML target: the ref name routes the
+      // write onto the branch head (tags refuse downstream — immutable)
+      NamedTables.refReadOf(parts) match {
+        case Some((name, sub, root)) if norm(sub) != "refs" =>
+          val refName = sub.substring(sub.indexOf('_') + 1)
+          Some(Target(parts.mkString("."), Set(norm(parts.last)),
+            NamedTables.SnapshotRef(root), Some(refName)))
+        case _ =>
+          val ref = NamedTables.refOf(parts).orElse(parts match {
+            case Seq(fmt, path) if norm(fmt) == "parquet" =>
+              Some(NamedTables.PathRef(path))
+            case _ => None
+          })
+          ref.map(r => Target(parts.mkString("."), Set(norm(parts.last)), r))
+      }
     case _ => None
   }
 
@@ -664,7 +693,14 @@ object SqlDml {
     t.ref match {
       case r: NamedTables.SnapshotRef =>
         val st = Snapshots.table(spark, r.root)
-        if (i.overwrite) st.overwrite(aligned) else st.append(aligned)
+        t.branch match {
+          case Some(b) =>
+            require(!i.overwrite, "INSERT OVERWRITE onto a branch is not " +
+              "supported — append to the branch, audit, then FAST-FORWARD")
+            st.appendToBranch(b, aligned)
+          case None =>
+            if (i.overwrite) st.overwrite(aligned) else st.append(aligned)
+        }
       case NamedTables.PathRef(path) =>
         if (i.overwrite) Dml.insertOverwrite(spark, path, aligned)
         else Dml.insertInto(spark, path, aligned)

@@ -62,6 +62,37 @@ object SqlMaintenance {
   private val ShowLocks =
     ("""(?is)\s*SHOW\s+LOCKS(?:\s+""" + Ident + """)?(?:\s+EXTENDED)?\s*;?\s*""").r
   private val ShowTransactions = """(?is)\s*SHOW\s+TRANSACTIONS\s*;?\s*""".r
+  // snapshot refs — Hive 4's branch/tag DDL (ref ql/ddl/table/snapshotref/
+  // + iceberg-handler IcebergSnapshotRefExec.java). FOR SYSTEM_VERSION AS
+  // OF pins the fork point; FAST-FORWARD / CHERRY-PICK / SET_CURRENT_
+  // SNAPSHOT are the ALTER TABLE ... EXECUTE family (ref parse/
+  // AlterTableExecuteSpec.java ExecuteOperationType).
+  private val CreateBranch =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
+      """\s+CREATE\s+BRANCH\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(\w+)""" +
+      """(?:\s+FOR\s+SYSTEM_VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""").r
+  private val CreateTag =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
+      """\s+CREATE\s+TAG\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(\w+)""" +
+      """(?:\s+FOR\s+SYSTEM_VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""").r
+  private val DropBranch =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
+      """\s+DROP\s+BRANCH\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s*;?\s*""").r
+  private val DropTag =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
+      """\s+DROP\s+TAG\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s*;?\s*""").r
+  private val RenameBranch =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
+      """\s+RENAME\s+BRANCH\s+(\w+)\s+TO\s+(\w+)\s*;?\s*""").r
+  private val ExecFastForward =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
+      """\s+EXECUTE\s+FAST-FORWARD\s+'?(\w+)'?\s*;?\s*""").r
+  private val ExecCherryPick =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
+      """\s+EXECUTE\s+CHERRY-PICK\s+(\d+)\s*;?\s*""").r
+  private val ExecSetCurrent =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
+      """\s+EXECUTE\s+SET_CURRENT_SNAPSHOT\s+(\d+)\s*;?\s*""").r
   // the reference's EXPLAIN options (ref ql/.../parse/ExplainConfiguration
   // .java): CBO shows the cost-annotated plan -> Spark's EXPLAIN COST;
   // VECTORIZATION reports the vectorized-execution view -> EXPLAIN CODEGEN
@@ -112,6 +143,43 @@ object SqlMaintenance {
       case Vacuum(ident) =>
         Authz.requireRelationPrivilege(spark, privParts(ident), "update")
         Some(runVacuum(spark, ident, minAgeHours = 24.0))
+      // snapshot refs: branch/tag DDL + the EXECUTE family. Creating or
+      // moving refs rewrites what readers of the ref (or, for EXECUTE,
+      // the MAINLINE) see — same UPDATE gate as RESTORE/OPTIMIZE.
+      case CreateBranch(ident, ifNot, name, v) =>
+        Authz.requireRelationPrivilege(spark, privParts(ident), "update")
+        tableOf(spark, ident).createBranch(name,
+          Option(v).map(_.toLong), ifNotExists = ifNot != null)
+        Some(okDf(spark, s"created branch $name"))
+      case CreateTag(ident, ifNot, name, v) =>
+        Authz.requireRelationPrivilege(spark, privParts(ident), "update")
+        tableOf(spark, ident).createTag(name,
+          Option(v).map(_.toLong), ifNotExists = ifNot != null)
+        Some(okDf(spark, s"created tag $name"))
+      case DropBranch(ident, ifEx, name) =>
+        Authz.requireRelationPrivilege(spark, privParts(ident), "update")
+        tableOf(spark, ident).dropBranch(name, ifExists = ifEx != null)
+        Some(okDf(spark, s"dropped branch $name"))
+      case DropTag(ident, ifEx, name) =>
+        Authz.requireRelationPrivilege(spark, privParts(ident), "update")
+        tableOf(spark, ident).dropTag(name, ifExists = ifEx != null)
+        Some(okDf(spark, s"dropped tag $name"))
+      case RenameBranch(ident, from, to) =>
+        Authz.requireRelationPrivilege(spark, privParts(ident), "update")
+        tableOf(spark, ident).renameBranch(from, to)
+        Some(okDf(spark, s"renamed branch $from to $to"))
+      case ExecFastForward(ident, branch) =>
+        Authz.requireRelationPrivilege(spark, privParts(ident), "update")
+        val m = tableOf(spark, ident).fastForward(branch)
+        Some(okDf(spark, s"fast-forwarded to branch $branch at version ${m.version}"))
+      case ExecCherryPick(ident, v) =>
+        Authz.requireRelationPrivilege(spark, privParts(ident), "update")
+        val m = tableOf(spark, ident).cherryPick(v.toLong)
+        Some(okDf(spark, s"cherry-picked version $v as version ${m.version}"))
+      case ExecSetCurrent(ident, v) =>
+        Authz.requireRelationPrivilege(spark, privParts(ident), "update")
+        val m = tableOf(spark, ident).setCurrentSnapshot(v.toLong)
+        Some(okDf(spark, s"set current snapshot to $v at version ${m.version}"))
       case CreateMv(ident, loc, query) =>
         // materializing a query = reading it: same SELECT checks, and
         // fail closed for policied users (one MV serves EVERY user via the
@@ -405,6 +473,12 @@ object SqlMaintenance {
     val reclaimed = t.vacuum(retainLast = 1, minAgeHours = minAgeHours)
     Seq((nameOf(ident), reclaimed))
       .toDF("table", "n_files_reclaimed")
+  }
+
+  private def okDf(spark: SparkSession, msg: String)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    Seq(msg).toDF("result")
   }
 
   private def stripQuotes(s: String): String = {

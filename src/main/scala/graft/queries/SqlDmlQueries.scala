@@ -793,5 +793,46 @@ object SqlDmlQueries {
         .groupBy("n_regionkey")
         .agg(count(lit(1)).as("n"), sum("nkey").as("sk"), sum("x").as("sx"))
         .orderBy("n_regionkey")
+    },
+
+    // Snapshot refs: the WAP (write-audit-publish) lifecycle through the
+    // SQL verbs (ref ql/ddl/table/snapshotref/ + iceberg-handler
+    // IcebergSnapshotRefExec.java — Hive 4's ALTER TABLE CREATE BRANCH /
+    // EXECUTE FAST-FORWARD): stage rows on a branch via the
+    // `t.branch_<name>` insert spelling, PROVE in-query that the mainline
+    // stayed at its pre-publish count while the branch carried the staged
+    // rows, then fast-forward and emit the published state. The oracle
+    // replays the end state; the intermediate invariants are require()d.
+    q("s31_branch_wap",
+      """SELECT CAST(id AS BIGINT) AS id, name,
+        |  CAST(5 AS BIGINT) AS n_before_publish,
+        |  CAST(7 AS BIGINT) AS n_branch_staged
+        |FROM (
+        |  SELECT r_regionkey AS id, r_name AS name FROM region
+        |  UNION ALL SELECT 900000001, 'W1'
+        |  UNION ALL SELECT 900000002, 'W2'
+        |) ORDER BY id""".stripMargin) { (spark, dir) =>
+      if (NamedTables.get("s31_t").isDefined) NamedTables.drop("s31_t")
+      val loc = scratch()
+      def sql(q: String) = Engine.sql(spark, dir, q)
+      sql(s"CREATE TABLE s31_t (id BIGINT, name STRING) " +
+        s"USING snapshot LOCATION '$loc'")
+      sql("INSERT INTO s31_t SELECT r_regionkey, r_name FROM region")
+      sql("ALTER TABLE s31_t CREATE TAG ingested")
+      sql("ALTER TABLE s31_t CREATE BRANCH wap")
+      sql("INSERT INTO s31_t.branch_wap VALUES (900000001, 'W1'), (900000002, 'W2')")
+      // audit phase: mainline untouched, branch carries the staged rows
+      val mainN = sql("SELECT count(*) AS n FROM s31_t").head.getLong(0)
+      val branchN = sql("SELECT count(*) AS n FROM s31_t.branch_wap").head.getLong(0)
+      require(mainN == 5, s"branch insert leaked into the mainline: $mainN")
+      require(branchN == 7, s"branch head lost staged rows: $branchN")
+      // publish
+      sql("ALTER TABLE s31_t EXECUTE FAST-FORWARD 'wap'")
+      val tagN = sql("SELECT count(*) AS n FROM s31_t.tag_ingested").head.getLong(0)
+      require(tagN == 5, s"tag must still pin the pre-publish state: $tagN")
+      sql("ALTER TABLE s31_t DROP BRANCH wap")
+      sql(s"""SELECT id, name, CAST($mainN AS BIGINT) AS n_before_publish,
+             |  CAST($branchN AS BIGINT) AS n_branch_staged
+             |FROM s31_t ORDER BY id""".stripMargin)
     })
 }

@@ -1,0 +1,231 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import graft.{Engine, SparkSpec}
+
+/** Snapshot refs — branches and tags (Hive 4's ALTER TABLE CREATE
+  * BRANCH/TAG surface, ref ql/ddl/table/snapshotref/ + iceberg-handler
+  * IcebergSnapshotRefExec.java): WAP lifecycle, mainline isolation,
+  * fast-forward/cherry-pick, vacuum safety, SQL verbs, governance.
+  */
+class SnapshotRefsSpec extends SparkSpec {
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft_refs_").toString + "/t"
+
+  private def nums(lo: Int, hi: Int) = {
+    import spark.implicits._
+    (lo until hi).map(i => (i.toLong, s"row$i")).toDF("id", "s")
+  }
+
+  test("WAP lifecycle: branch commits are invisible until fast-forward") {
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 100))
+    t.createBranch("audit")
+    t.appendToBranch("audit", nums(100, 150))
+    t.appendToBranch("audit", nums(150, 160))
+    // write: staged on the branch, mainline untouched
+    assert(t.read().count() === 100, "branch commits leaked into mainline")
+    assert(t.latest().version === 0L)
+    // audit: the branch head carries everything
+    assert(t.readRef("audit").count() === 160)
+    // CDC / history / streams never see branch commits
+    assert(t.readChanges(0L).count() === 0)
+    assert(t.history().map(_.action) === Seq("create"))
+    // publish: fast-forward moves the mainline to the audited head
+    val m = t.fastForward("audit")
+    assert(m.action === "fast-forward")
+    assert(t.read().count() === 160)
+    assert(t.readChanges(0L).count() === 60,
+      "the fast-forward must surface the published rows as one change set")
+  }
+
+  test("tags pin immutable versions; branches reject tag writes") {
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 50))
+    t.createTag("v1")
+    t.append(nums(50, 80))
+    t.createTag("v2")
+    assert(t.readRef("v1").count() === 50)
+    assert(t.readRef("v2").count() === 80)
+    val e = intercept[IllegalArgumentException] {
+      t.appendToBranch("v1", nums(0, 1)) }
+    assert(e.getMessage.contains("tags are immutable"))
+    // kind collisions mirror the reference's errors
+    val e2 = intercept[IllegalArgumentException] { t.createBranch("v1") }
+    assert(e2.getMessage.contains("exists as tag"))
+    val e3 = intercept[IllegalArgumentException] { t.dropBranch("v1") }
+    assert(e3.getMessage.contains("exists as tag"))
+    t.dropTag("v1")
+    intercept[IllegalArgumentException] { t.readRef("v1") }
+    t.dropTag("v1", ifExists = true) // idempotent under IF EXISTS
+  }
+
+  test("fast-forward refuses when the mainline advanced past the fork") {
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 10))
+    t.createBranch("dev")
+    t.appendToBranch("dev", nums(10, 20))
+    t.append(nums(90, 95)) // mainline moves — fork diverged
+    val e = intercept[IllegalArgumentException] { t.fastForward("dev") }
+    assert(e.getMessage.contains("not an ancestor"))
+    // the mainline is untouched by the refused fast-forward
+    assert(t.read().count() === 15)
+  }
+
+  test("cherry-pick re-applies an append-only commit; refuses rewrites") {
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 10))
+    t.createBranch("dev")
+    val bm = t.appendToBranch("dev", nums(10, 25))
+    t.append(nums(100, 105)) // mainline diverges — FF impossible
+    val m = t.cherryPick(bm.version)
+    assert(m.action === "cherry-pick")
+    assert(t.read().count() === 30) // 10 + 5 + 15
+    // a row-rewriting commit refuses
+    val del = t.deleteWhere(col("id") < 5)
+    val e = intercept[IllegalArgumentException] { t.cherryPick(del.version) }
+    assert(e.getMessage.contains("append-only"))
+  }
+
+  test("set-current-snapshot points the mainline at any commit, even a branch's") {
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 10))
+    t.createBranch("dev")
+    val bm = t.appendToBranch("dev", nums(10, 30))
+    t.setCurrentSnapshot(bm.version)
+    assert(t.read().count() === 30)
+    t.setCurrentSnapshot(0L) // and back
+    assert(t.read().count() === 10)
+  }
+
+  test("vacuum preserves ref heads and their data files") {
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 10))
+    t.createBranch("keepme")
+    t.appendToBranch("keepme", nums(10, 40))
+    t.createTag("pin") // tags version 0
+    (0 until 6).foreach(i => t.append(nums(100 + i, 101 + i)))
+    t.vacuum(retainLast = 1, minAgeHours = 0.0)
+    // the branch and tag still read in full after an aggressive vacuum
+    assert(t.readRef("keepme").count() === 40,
+      "vacuum destroyed branch data")
+    assert(t.readRef("pin").count() === 10, "vacuum destroyed the tag")
+    assert(t.read().count() === 16)
+  }
+
+  test("concurrent branch appends serialize on the ref — none lost") {
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 1))
+    t.createBranch("hot")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = (0 until 8).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            val tt = Snapshots.table(spark, root)
+            tt.appendToBranch("hot", nums(10 + i * 10, 15 + i * 10),
+              maxRetries = 30)
+          }
+        })
+      }
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+    assert(t.readRef("hot").count() === 1 + 8 * 5,
+      "a concurrent branch append was lost")
+    assert(t.read().count() === 1)
+  }
+
+  test("SQL verbs: CREATE/DROP/RENAME BRANCH, TAG, EXECUTE family, branch reads") {
+    import spark.implicits._
+    def sql(q: String) = Engine.sql(spark, sfDir, q)
+    val root = freshRoot()
+    Snapshots.create(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "tag"))
+    NamedTables.registerSnapshot("refs_t", root)
+    try {
+      sql("ALTER TABLE refs_t CREATE BRANCH wap")
+      sql("ALTER TABLE refs_t CREATE TAG genesis FOR SYSTEM_VERSION AS OF 0")
+      sql("ALTER TABLE refs_t CREATE BRANCH IF NOT EXISTS wap") // no-op
+      // INSERT INTO the branch (Hive-Iceberg's t.branch_<name> spelling)
+      sql("INSERT INTO refs_t.branch_wap VALUES (3, 'c'), (4, 'd')")
+      assert(sql("SELECT count(*) AS n FROM refs_t").head.getLong(0) === 2)
+      assert(sql("SELECT count(*) AS n FROM refs_t.branch_wap")
+        .head.getLong(0) === 4)
+      assert(sql("SELECT count(*) AS n FROM refs_t.tag_genesis")
+        .head.getLong(0) === 2)
+      // refs metadata listing
+      val refs = sql("SELECT * FROM refs_t.refs").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(refs === Set("wap" -> "branch", "genesis" -> "tag"))
+      // publish
+      sql("ALTER TABLE refs_t EXECUTE FAST-FORWARD 'wap'")
+      assert(sql("SELECT count(*) AS n FROM refs_t").head.getLong(0) === 4)
+      // rename + drop
+      sql("ALTER TABLE refs_t RENAME BRANCH wap TO shipped")
+      assert(sql("SELECT count(*) AS n FROM refs_t.branch_shipped")
+        .head.getLong(0) === 4)
+      sql("ALTER TABLE refs_t DROP BRANCH shipped")
+      sql("ALTER TABLE refs_t DROP TAG genesis")
+      assert(sql("SELECT count(*) AS n FROM refs_t.refs").head.getLong(0) === 0)
+      // UPDATE on a branch target refuses loudly
+      sql("ALTER TABLE refs_t CREATE BRANCH b2")
+      val e = intercept[IllegalArgumentException] {
+        sql("UPDATE refs_t.branch_b2 SET tag = 'x' WHERE id = 1") }
+      assert(e.getMessage.contains("not supported"))
+    } finally {
+      NamedTables.drop("refs_t")
+    }
+  }
+
+  test("branch reads and writes govern under the owning table's authz") {
+    import spark.implicits._
+    def sql(q: String) = Engine.sql(spark, sfDir, q)
+    val root = freshRoot()
+    Snapshots.create(spark, root,
+      (0 until 10).map(i => (i.toLong, s"n$i")).toDF("id", "name"))
+    NamedTables.registerSnapshot("authz_refs_t", root)
+    val t = Snapshots.table(spark, root)
+    t.createBranch("dev")
+    try {
+      spark.conf.set("spark.graft.authz.enabled", "true")
+      spark.conf.set("spark.graft.authz.admins", "admin")
+      spark.conf.set("spark.graft.user", "admin")
+      sql("GRANT SELECT ON TABLE authz_refs_t TO USER reader")
+      spark.conf.set("spark.graft.user", "intruder")
+      // no grant: the branch is not a side door around deny-by-default
+      intercept[Authz.AccessDenied] {
+        sql("SELECT * FROM authz_refs_t.branch_dev").collect() }
+      // no UPDATE grant: refs DDL and branch INSERT are gated too
+      intercept[Authz.AccessDenied] {
+        sql("ALTER TABLE authz_refs_t CREATE BRANCH sneaky") }
+      intercept[Authz.AccessDenied] {
+        sql("INSERT INTO authz_refs_t.branch_dev VALUES (99, 'x')") }
+      // SELECT-granted user reads the branch under the table's grant
+      spark.conf.set("spark.graft.user", "reader")
+      assert(sql("SELECT count(*) AS n FROM authz_refs_t.branch_dev")
+        .head.getLong(0) === 10)
+    } finally {
+      spark.conf.unset("spark.graft.authz.enabled")
+      spark.conf.unset("spark.graft.user")
+      spark.conf.unset("spark.graft.authz.admins")
+      Authz.clearAll()
+      NamedTables.drop("authz_refs_t")
+    }
+  }
+
+  test("streaming source and replication ignore branch commits") {
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 5))
+    t.createBranch("side")
+    t.appendToBranch("side", nums(5, 50))
+    t.append(nums(100, 103))
+    // replication walks the mainline only
+    val target = java.nio.file.Files
+      .createTempDirectory("graft_refs_repl_").toString + "/t"
+    val r = Replication.sync(spark, root, target)
+    assert(Snapshots.table(spark, target).read().count() === 8,
+      "replication copied branch commits")
+    assert(r.toVersion === t.latest().version)
+  }
+}
