@@ -90,6 +90,19 @@ object SqlMaintenance {
   private val ExecCherryPick =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
       """\s+EXECUTE\s+CHERRY-PICK\s+(\d+)\s*;?\s*""").r
+  private val ExecRollback =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
+      """\s+EXECUTE\s+ROLLBACK\s*\(\s*'?([^')]+?)'?\s*\)\s*;?\s*""").r
+  private val ExecExpireTs =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
+      """\s+EXECUTE\s+EXPIRE_SNAPSHOTS\s*\(\s*'([^']+)'\s*\)\s*;?\s*""").r
+  private val ExecExpireRetain =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
+      """\s+EXECUTE\s+EXPIRE_SNAPSHOTS\s+RETAIN\s+LAST\s+(\d+)\s*;?\s*""").r
+  private val ExecOrphanFiles =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
+      """\s+EXECUTE\s+(?:DELETE\s+)?ORPHAN-FILES""" +
+      """(?:\s+OLDER\s+THAN\s+'([^']+)')?\s*;?\s*""").r
   private val ExecSetCurrent =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
       """\s+EXECUTE\s+SET_CURRENT_SNAPSHOT\s+(\d+)\s*;?\s*""").r
@@ -176,6 +189,46 @@ object SqlMaintenance {
         Authz.requireRelationPrivilege(spark, privParts(ident), "update")
         val m = tableOf(spark, ident).cherryPick(v.toLong)
         Some(okDf(spark, s"cherry-picked version $v as version ${m.version}"))
+      case ExecRollback(ident, arg) =>
+        // ALTER TABLE t EXECUTE ROLLBACK(<version> | '<timestamp>') — the
+        // reference's rollback spelling over [[Snapshots]] restore (ref
+        // ddl/table/execute/AlterTableExecuteAnalyzer.java getRollbackDesc)
+        Authz.requireRelationPrivilege(spark, privParts(ident), "update")
+        val t = tableOf(spark, ident)
+        val m =
+          if (arg.trim.matches("\\d+")) t.restore(arg.trim.toLong)
+          else t.restoreAsOf(java.sql.Timestamp.valueOf(arg.trim).getTime)
+        Some(okDf(spark, s"rolled back to version ${m.meta.getOrElse("restored_version", "?")} as version ${m.version}"))
+      case ExecExpireTs(ident, ts) =>
+        // EXPIRE_SNAPSHOTS('<timestamp>'): retire versions committed at or
+        // before the cut, keeping at least the head (vacuum's retain count
+        // computed from the mainline history)
+        Authz.requireRelationPrivilege(spark, privParts(ident), "update")
+        val t = tableOf(spark, ident)
+        val cutMs = java.sql.Timestamp.valueOf(ts.trim).getTime
+        val newer = t.history().count(_.timestampMs > cutMs)
+        val reclaimed = t.vacuum(retainLast = math.max(newer, 1),
+          minAgeHours = 0.0)
+        Some(okDf(spark, s"expired snapshots at or before $ts ($reclaimed files reclaimed)"))
+      case ExecExpireRetain(ident, n) =>
+        Authz.requireRelationPrivilege(spark, privParts(ident), "update")
+        val reclaimed = tableOf(spark, ident)
+          .vacuum(retainLast = n.toInt, minAgeHours = 0.0)
+        Some(okDf(spark, s"expired snapshots beyond the last $n ($reclaimed files reclaimed)"))
+      case ExecOrphanFiles(ident, olderThan) =>
+        // DELETE ORPHAN-FILES [OLDER THAN '<ts>']: reclaim files no
+        // manifest references WITHOUT pruning any history (retain
+        // everything; the reference defaults the cut to now-3d)
+        Authz.requireRelationPrivilege(spark, privParts(ident), "update")
+        val hours = Option(olderThan) match {
+          case Some(ts) =>
+            math.max(0.0, (System.currentTimeMillis() -
+              java.sql.Timestamp.valueOf(ts.trim).getTime) / 3600000.0)
+          case None => 72.0 // the reference's 3-day default
+        }
+        val reclaimed = tableOf(spark, ident)
+          .vacuum(retainLast = Int.MaxValue, minAgeHours = hours)
+        Some(okDf(spark, s"deleted $reclaimed orphan files"))
       case ExecSetCurrent(ident, v) =>
         Authz.requireRelationPrivilege(spark, privParts(ident), "update")
         val m = tableOf(spark, ident).setCurrentSnapshot(v.toLong)

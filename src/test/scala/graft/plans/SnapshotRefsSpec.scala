@@ -178,6 +178,33 @@ class SnapshotRefsSpec extends SparkSpec {
     }
   }
 
+  test("EXECUTE ROLLBACK / EXPIRE_SNAPSHOTS / ORPHAN-FILES spellings") {
+    import spark.implicits._
+    def sql(q: String) = Engine.sql(spark, sfDir, q)
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 10))
+    t.append(nums(10, 20))
+    t.append(nums(20, 30))
+    NamedTables.registerSnapshot("exec_t", root)
+    try {
+      // rollback by version, then by timestamp (to the rolled-back commit)
+      sql("ALTER TABLE exec_t EXECUTE ROLLBACK(1)")
+      assert(sql("SELECT count(*) AS n FROM exec_t").head.getLong(0) === 20)
+      val ts = new java.sql.Timestamp(t.latest().timestampMs + 1).toString
+      sql(s"ALTER TABLE exec_t EXECUTE ROLLBACK('$ts')")
+      assert(sql("SELECT count(*) AS n FROM exec_t").head.getLong(0) === 20)
+      // orphan-files with no orphans reclaims nothing and keeps history
+      val before = t.history().size
+      sql("ALTER TABLE exec_t EXECUTE ORPHAN-FILES OLDER THAN '1970-01-02 00:00:00'")
+      assert(t.history().size === before, "orphan-files must not prune history")
+      assert(sql("SELECT count(*) AS n FROM exec_t").head.getLong(0) === 20)
+      // expire to the last 1 version: older versions gone, state intact
+      sql("ALTER TABLE exec_t EXECUTE EXPIRE_SNAPSHOTS RETAIN LAST 1")
+      assert(t.history().size === 1)
+      assert(sql("SELECT count(*) AS n FROM exec_t").head.getLong(0) === 20)
+    } finally NamedTables.drop("exec_t")
+  }
+
   test("branch reads and writes govern under the owning table's authz") {
     import spark.implicits._
     def sql(q: String) = Engine.sql(spark, sfDir, q)
