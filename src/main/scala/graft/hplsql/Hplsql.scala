@@ -17,6 +17,7 @@ import scala.util.control.NonFatal
   *   - FOR i IN [REVERSE] a .. b [BY step] LOOP ... END LOOP
   *   - FOR rec IN (SELECT ...) LOOP ... END LOOP   (cursor-for; rec.col vars)
   *   - BEGIN ... [EXCEPTION WHEN OTHERS THEN ...] END
+  *   - DECLARE CONTINUE|EXIT HANDLER FOR SQLEXCEPTION|NOT FOUND <stmt>
   *   - PRINT expr, RETURN [expr], EXECUTE [IMMEDIATE] expr [INTO v, ...]
   *   - SELECT ... INTO v, ... FROM ...
   *   - CREATE [OR REPLACE] PROCEDURE|FUNCTION ... BEGIN ... END; CALL p(...)
@@ -30,9 +31,12 @@ import scala.util.control.NonFatal
   * plan, so scale behavior of the data path is unchanged.
   *
   * Deliberately out of scope (grammar rows that are client/dialect shims):
-  * packages, condition handlers beyond WHEN OTHERS, COPY/CMP/TD-specific
-  * statements. Explicit OPEN/FETCH/CLOSE cursors ARE implemented (with
-  * SQLCODE maintenance), streaming one partition at a time.
+  * packages, COPY/CMP/TD-specific statements. Explicit OPEN/FETCH/CLOSE
+  * cursors ARE implemented (with SQLCODE maintenance), streaming one
+  * partition at a time, and so are condition handlers: DECLARE
+  * CONTINUE|EXIT HANDLER FOR SQLEXCEPTION|SQLWARNING|NOT FOUND <stmt>
+  * (block-scoped, innermost-first; NOT FOUND fires on row-less
+  * FETCH/SELECT INTO) alongside the block-level EXCEPTION WHEN OTHERS.
   */
 object Hplsql {
 
@@ -63,6 +67,8 @@ object Hplsql {
   private case class FetchCur(name: String, into: Seq[String]) extends Stmt
   private case class CloseCur(name: String) extends Stmt
   private case class Exit(when: Option[String]) extends Stmt
+  private case class DeclareHandler(mode: String, cond: String,
+      body: Seq[Stmt]) extends Stmt
   private case class Block(body: Seq[Stmt], handler: Option[Seq[Stmt]]) extends Stmt
   private case class Print(expr: String) extends Stmt
   private case class Return(expr: Option[String]) extends Stmt
@@ -75,6 +81,8 @@ object Hplsql {
 
   private case class BreakSignal() extends RuntimeException
   private case class ReturnSignal(value: Option[Any]) extends RuntimeException
+  /** Thrown by an EXIT handler to seal the block that DECLAREd it. */
+  private final class ExitBlockSignal(val frame: AnyRef) extends RuntimeException
 
   // ============================================================ tokenizer
   /** Token: (text, startOffset). Strings keep their quotes; comments are
@@ -218,6 +226,23 @@ object Hplsql {
 
     private def parseDeclare(): Stmt = {
       expect("DECLARE")
+      // DECLARE CONTINUE|EXIT HANDLER FOR SQLEXCEPTION|SQLWARNING|NOT FOUND
+      // <stmt> (ref hplsql/src/main/antlr4/.../Hplsql.g4
+      // declare_handler_item) — the condition-handler surface beyond the
+      // block-level EXCEPTION WHEN OTHERS
+      if ((peekUpper() == "CONTINUE" || peekUpper() == "EXIT") &&
+          peekUpper(1) == "HANDLER") {
+        val mode = next().toUpperCase
+        expect("HANDLER"); expect("FOR")
+        val cond = peekUpper() match {
+          case "SQLEXCEPTION" => pos += 1; "SQLEXCEPTION"
+          case "SQLWARNING" => pos += 1; "SQLWARNING"
+          case "NOT" => pos += 1; expect("FOUND"); "NOT_FOUND"
+          case other => fail(s"unsupported handler condition: $other")
+        }
+        val body = parseStmt()
+        return DeclareHandler(mode, cond, Seq(body))
+      }
       val names = mutable.Buffer(next())
       // DECLARE c CURSOR FOR|IS <query> — explicit-cursor declaration
       // (ref hplsql/src/main/antlr4/.../Hplsql.g4 declare_cursor_item)
@@ -525,9 +550,15 @@ object Hplsql {
 
     def runScript(script: String): Result = {
       val prog = new Parser(script).parseProgram()
+      val frame = mutable.Buffer.empty[DeclareHandler]
+      handlerFrames.push(frame)
       val returned =
-        try { prog.foreach(exec); None }
-        catch { case ReturnSignal(v) => v }
+        try { execSeq(prog, frame); None }
+        catch {
+          case ReturnSignal(v) => v
+          case e: ExitBlockSignal if e.frame eq frame => None
+        }
+        finally handlerFrames.pop()
       Result(printed.toSeq, returned, lastDf,
         scopes.toSeq.reverse.flatMap(_.toSeq).toMap)
     }
@@ -666,6 +697,54 @@ object Hplsql {
     }
 
     // --------------------------------------------------------- execution
+    /** Handler frames: one per block (innermost on top). DECLAREd
+      * handlers attach to the frame of the block that declared them and
+      * cover its remaining statements plus nested blocks without their
+      * own matching handler — the HPL/SQL handler-scope contract.
+      */
+    private val handlerFrames =
+      mutable.Stack[mutable.Buffer[DeclareHandler]]()
+
+    private def findHandler(cond: String)
+        : Option[(AnyRef, DeclareHandler)] =
+      handlerFrames.iterator.flatMap(f =>
+        f.findLast(_.cond == cond).map(h => (f: AnyRef, h))).nextOption()
+
+    private def runHandler(frame: AnyRef, h: DeclareHandler): Unit = {
+      h.body.foreach(exec)
+      if (h.mode == "EXIT") throw new ExitBlockSignal(frame)
+    }
+
+    /** NOT FOUND fires after a FETCH/SELECT INTO that found no row (the
+      * statement itself stays non-throwing: SQLCODE 100 is the normal
+      * signal, the handler is opt-in).
+      */
+    private def fireNotFound(): Unit =
+      findHandler("NOT_FOUND").foreach { case (f, h) => runHandler(f, h) }
+
+    /** One block's statement list with per-statement handler dispatch:
+      * a raising statement consults the innermost SQLEXCEPTION handler —
+      * CONTINUE resumes at the next statement, EXIT seals the declaring
+      * block; with no handler the exception propagates (to an enclosing
+      * block's handlers, a legacy WHEN OTHERS, or the caller).
+      */
+    private def execSeq(stmts: Seq[Stmt], frame: AnyRef): Unit =
+      stmts.foreach { st =>
+        try exec(st)
+        catch {
+          case s @ (BreakSignal() | ReturnSignal(_)) => throw s
+          case s: ExitBlockSignal => throw s
+          case NonFatal(e) =>
+            findHandler("SQLEXCEPTION") match {
+              case Some((f, h)) =>
+                assign("sqlerrm", e.getMessage)
+                assign("sqlcode", -1L)
+                runHandler(f, h)
+              case None => throw e
+            }
+        }
+      }
+
     private def exec(stmt: Stmt): Unit = stmt match {
       case Declare(names, _, init) =>
         val v = init.map(eval).orNull
@@ -749,7 +828,10 @@ object Hplsql {
             assign(v, if (i < row.length && !row.isNullAt(i)) row.get(i) else null)
           }
           assign("sqlcode", 0L)
-        } else assign("sqlcode", 100L) // into-vars keep their last values
+        } else {
+          assign("sqlcode", 100L) // into-vars keep their last values
+          fireNotFound()
+        }
 
       case CloseCur(n) =>
         val c = cursorOf(n)
@@ -759,16 +841,23 @@ object Hplsql {
       case Exit(when) =>
         if (when.forall(evalBool)) throw BreakSignal()
 
+      case h: DeclareHandler => handlerFrames.top += h
+
       case Block(body, handler) =>
         scopes.push(mutable.LinkedHashMap.empty)
-        try body.foreach(exec)
+        val frame = mutable.Buffer.empty[DeclareHandler]
+        handlerFrames.push(frame)
+        try execSeq(body, frame)
         catch {
+          case e: ExitBlockSignal if e.frame eq frame => ()
           case s @ (BreakSignal() | ReturnSignal(_)) => throw s
+          // block-level EXCEPTION WHEN OTHERS: catches whatever the
+          // declared handlers (if any) did not
           case NonFatal(e) if handler.isDefined =>
             declare("sqlerrm", e.getMessage)
             handler.get.foreach(exec)
         }
-        finally scopes.pop()
+        finally { handlerFrames.pop(); scopes.pop() }
 
       case Print(expr) =>
         val v = eval(expr)
@@ -794,6 +883,8 @@ object Hplsql {
         into.zipWithIndex.foreach { case (v, i) =>
           assign(v, row.flatMap(r => if (r.isNullAt(i)) None else Some(r.get(i))).orNull)
         }
+        assign("sqlcode", if (row.isDefined) 0L else 100L)
+        if (row.isEmpty) fireNotFound()
 
       case r @ CreateRoutine(name, _, _, _, replace) =>
         if (!replace && routines.contains(name.toLowerCase))

@@ -377,6 +377,91 @@ class HplsqlSpec extends SparkSpec with Matchers {
     r.printed shouldBe Seq("2,1,reopened=2")
   }
 
+  test("CONTINUE HANDLER FOR SQLEXCEPTION resumes after a failing statement") {
+    val r = run("""
+      DECLARE errs INT DEFAULT 0;
+      DECLARE CONTINUE HANDLER FOR SQLEXCEPTION
+      BEGIN
+        SET errs = errs + 1;
+        PRINT 'caught: ' || sqlerrm;
+      END;
+      SELECT no_such_column FROM region;
+      PRINT 'still running';
+      SELECT another_bad FROM region;
+      PRINT 'done errs=' || errs;
+    """)
+    assert(r.printed.count(_.startsWith("caught:")) === 2)
+    assert(r.printed.contains("still running"))
+    assert(r.printed.contains("done errs=2"))
+    r.variables("errs") shouldBe 2
+  }
+
+  test("EXIT HANDLER seals the block that declared it, not the program") {
+    val r = run("""
+      PRINT 'before';
+      BEGIN
+        DECLARE EXIT HANDLER FOR SQLEXCEPTION PRINT 'handled';
+        SELECT boom FROM region;
+        PRINT 'unreachable';
+      END;
+      PRINT 'after';
+    """)
+    r.printed shouldBe Seq("before", "handled", "after")
+  }
+
+  test("CONTINUE HANDLER FOR NOT FOUND drives the classic fetch-until loop") {
+    val r = run("""
+      DECLARE done INT DEFAULT 0;
+      DECLARE n INT DEFAULT 0;
+      DECLARE nm STRING;
+      DECLARE CONTINUE HANDLER FOR NOT FOUND SET done = 1;
+      DECLARE c CURSOR FOR SELECT r_name FROM region ORDER BY r_name;
+      OPEN c;
+      WHILE done = 0 LOOP
+        FETCH c INTO nm;
+        IF done = 0 THEN SET n = n + 1; END IF;
+      END LOOP;
+      CLOSE c;
+      PRINT 'rows=' || n;
+    """)
+    r.printed shouldBe Seq("rows=5")
+    r.variables("done") shouldBe 1
+  }
+
+  test("NOT FOUND also fires on a row-less SELECT INTO; sqlcode tracks it") {
+    val r = run("""
+      DECLARE flag INT DEFAULT 0;
+      DECLARE v STRING DEFAULT 'unset';
+      DECLARE CONTINUE HANDLER FOR NOT FOUND SET flag = 1;
+      SELECT r_name INTO v FROM region WHERE r_regionkey = 999;
+      PRINT 'flag=' || flag || ' sqlcode=' || sqlcode;
+      SELECT r_name INTO v FROM region WHERE r_regionkey = 0;
+      PRINT 'sqlcode=' || sqlcode || ' v=' || v;
+    """)
+    r.printed shouldBe Seq("flag=1 sqlcode=100", "sqlcode=0 v=AFRICA")
+  }
+
+  test("without a handler the exception still propagates") {
+    intercept[Exception] {
+      run("SELECT boom FROM region; PRINT 'nope';")
+    }
+  }
+
+  test("inner handler wins; outer handler covers blocks without one") {
+    val r = run("""
+      DECLARE CONTINUE HANDLER FOR SQLEXCEPTION PRINT 'outer';
+      BEGIN
+        DECLARE CONTINUE HANDLER FOR SQLEXCEPTION PRINT 'inner';
+        SELECT bad1 FROM region;
+      END;
+      BEGIN
+        SELECT bad2 FROM region;
+      END;
+      PRINT 'end';
+    """)
+    r.printed shouldBe Seq("inner", "outer", "end")
+  }
+
   test("the SQL front door runs procedural scripts directly") {
     val df = graft.Engine.sql(spark, sfDir,
       """DECLARE n BIGINT;
