@@ -272,11 +272,14 @@ object NamedTables {
     * the ref's pinned state, `t.refs` lists the refs. Returns
     * (tableName, subIdentifier, snapshotRoot).
     */
+  private val MetaTables =
+    Set("refs", "history", "snapshots", "files", "partitions")
+
   private[plans] def refReadOf(parts: Seq[String])
       : Option[(String, String, String)] = parts match {
     case Seq(name, sub)
         if norm(sub).startsWith("branch_") || norm(sub).startsWith("tag_") ||
-          norm(sub) == "refs" =>
+          MetaTables(norm(sub)) =>
       get(name) match {
         case Some(r: SnapshotRef) => Some((name, sub, r.root))
         case _ => None
@@ -290,12 +293,50 @@ object NamedTables {
     */
   private[plans] def refReadDf(spark: SparkSession, name: String,
       sub: String, root: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
     val t = Snapshots.table(spark, root)
     if (norm(sub) == "refs") {
-      import spark.implicits._
       t.refs().toList.sortBy(_._1)
         .map { case (n, r) => (n, r.kind, r.version) }
         .toDF("name", "type", "version")
+    } else if (norm(sub) == "history") {
+      // the reference's history metadata table (ref iceberg-handler
+      // TestHiveIcebergSelects.java testHistory: SELECT snapshot_id FROM
+      // default.source.history) — our versions ARE the snapshot ids
+      val h = t.history()
+      val parentOf = h.map(m => m.version -> m.parent).toMap
+      val ancestors = Iterator.iterate(h.last.version)(parentOf.getOrElse(_, -1L))
+        .takeWhile(_ >= 0).toSet
+      h.map(m => (new java.sql.Timestamp(m.timestampMs), m.version,
+          if (m.parent < 0) null else java.lang.Long.valueOf(m.parent),
+          ancestors.contains(m.version)))
+        .toDF("made_current_at", "snapshot_id", "parent_id",
+          "is_current_ancestor")
+    } else if (norm(sub) == "snapshots") {
+      t.history().map(m => (new java.sql.Timestamp(m.timestampMs), m.version,
+          if (m.parent < 0) null else java.lang.Long.valueOf(m.parent),
+          m.action,
+          m.meta ++ Map(
+            "total-files" -> m.files.size.toString,
+            "total-records" -> m.stats.values.map(_.rows).sum.toString)))
+        .toDF("committed_at", "snapshot_id", "parent_id", "operation",
+          "summary")
+    } else if (norm(sub) == "files") {
+      val m = t.latest()
+      m.files.sorted.map { f =>
+        val st = m.stats.get(f)
+        (f, st.map(_.rows).getOrElse(-1L), st.map(_.bytes).getOrElse(-1L))
+      }.toDF("file_path", "record_count", "file_size_in_bytes")
+    } else if (norm(sub) == "partitions") {
+      val m = t.latest()
+      m.files.map { f =>
+        val part = f.split('/').filter(_.contains("=")).mkString("/")
+        val st = m.stats.get(f)
+        (part, st.map(_.rows).getOrElse(0L))
+      }.groupBy(_._1).toList.sortBy(_._1)
+        .map { case (pt, fs) =>
+          (pt, fs.map(_._2).sum, fs.size.toLong) }
+        .toDF("partition", "record_count", "file_count")
     } else {
       val kind = if (norm(sub).startsWith("branch_")) "branch" else "tag"
       val refName = sub.substring(kind.length + 1)

@@ -178,6 +178,44 @@ class SnapshotRefsSpec extends SparkSpec {
     }
   }
 
+  test("metadata tables: t.history, t.snapshots, t.files, t.partitions") {
+    import spark.implicits._
+    def sql(q: String) = Engine.sql(spark, sfDir, q)
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root,
+      (0 until 20).map(i => (i.toLong, s"r$i", i % 2)).toDF("id", "s", "k"),
+      partitionBy = Seq("k"))
+    t.append((20 until 30).map(i => (i.toLong, s"r$i", i % 2)).toDF("id", "s", "k"))
+    NamedTables.registerSnapshot("meta_t", root)
+    try {
+      // history: one row per mainline commit, versions are the snapshot ids
+      // (ref TestHiveIcebergSelects.java testHistory)
+      val hist = sql("SELECT snapshot_id FROM meta_t.history")
+        .collect().map(_.getLong(0)).toSeq
+      assert(hist === Seq(0L, 1L))
+      assert(sql("SELECT * FROM meta_t.history").columns.toSeq ===
+        Seq("made_current_at", "snapshot_id", "parent_id",
+          "is_current_ancestor"))
+      // snapshots: operation + summary counts
+      val snaps = sql(
+        "SELECT snapshot_id, operation, summary['total-records'] FROM meta_t.snapshots")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      assert(snaps.map(_._2).toSeq === Seq("create", "append"))
+      assert(snaps.last._3 === "30")
+      // files: every live file with its recorded rows and bytes
+      val files = sql(
+        "SELECT file_path, record_count, file_size_in_bytes FROM meta_t.files")
+        .collect()
+      assert(files.map(_.getLong(1)).sum === 30)
+      assert(files.forall(_.getLong(2) > 0))
+      // partitions: per-partition rollup from the manifest alone
+      val parts = sql(
+        "SELECT partition, record_count, file_count FROM meta_t.partitions")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(parts === Map("k=0" -> 15L, "k=1" -> 15L))
+    } finally NamedTables.drop("meta_t")
+  }
+
   test("EXECUTE ROLLBACK / EXPIRE_SNAPSHOTS / ORPHAN-FILES spellings") {
     import spark.implicits._
     def sql(q: String) = Engine.sql(spark, sfDir, q)
