@@ -218,11 +218,23 @@ object Snapshots {
     private def writeManifestJson(m: Manifest): String =
       org.json4s.jackson.Serialization.write(m)
 
+    // published manifests are immutable (vacuum's in-place checkpoint
+    // rewrite is logically identical), so raw reads cache per path — the
+    // mainline-head walk and mainlineVersions() filter then cost one file
+    // read per NEW manifest, not per call
+    private val rawCache =
+      new java.util.concurrent.ConcurrentHashMap[String, Manifest]()
     private def readManifest(p: Path): Manifest = {
+      val key = p.toString
+      val cached = rawCache.get(key)
+      if (cached != null) return cached
       val in = fs.open(p)
-      try org.json4s.jackson.Serialization.read[Manifest](
-        new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8"))
-      finally in.close()
+      val m =
+        try org.json4s.jackson.Serialization.read[Manifest](
+          new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8"))
+        finally in.close()
+      rawCache.putIfAbsent(key, m)
+      m
     }
 
     private def versions(): Seq[Long] =
@@ -348,7 +360,20 @@ object Snapshots {
       // harmless — resolution is deterministic.
       val cached = resolvedCache.get(m.version)
       if (cached != null) return cached
-      val parent = resolve(readManifest(manifestPath(m.parent)))
+      val parent =
+        try resolve(readManifest(manifestPath(m.parent)))
+        catch {
+          case e @ (_: java.io.FileNotFoundException |
+              _: java.nio.file.NoSuchFileException) =>
+            // a concurrent vacuum pruned the parent — but it only does so
+            // AFTER rewriting the kept child as a full checkpoint in
+            // place. Our cached raw copy predates the rewrite: drop it,
+            // re-read from disk, and resolve the fresh (full) form.
+            rawCache.remove(manifestPath(m.version).toString)
+            val fresh = readManifest(manifestPath(m.version))
+            if (fresh.kind != "delta") return fresh
+            throw e // genuinely broken chain: fail loud, never wrong data
+        }
       val rm = m.removes.toSet
       val drm = m.deleteRemoves.toSet
       val full = m.copy(kind = "full",
@@ -1544,17 +1569,20 @@ object Snapshots {
       while (true) {
         val head = latest()
         if (head.version == b.version) return head // already there
-        // ancestor walk along parent pointers (bounded by log length)
+        // ancestor walk along parent pointers (bounded by log length); a
+        // pruned intermediate manifest (vacuum) breaks the chain — refuse
+        // with the clear error rather than crash on the missing file
         var v = b.version
         var found = false
-        while (v >= 0 && !found) {
+        while (v >= 0 && !found && fs.exists(manifestPath(v))) {
           if (v == head.version) found = true
           else v = readManifest(manifestPath(v)).parent
         }
         require(found,
           s"cannot fast-forward $root to branch $branch: mainline head " +
             s"${head.version} is not an ancestor of branch head " +
-            s"${b.version} — commits landed on main since the fork")
+            s"${b.version} — commits landed on main since the fork (or " +
+            "the fork lineage was vacuumed)")
         val m = Manifest(nextSlot(head), b.version,
           System.currentTimeMillis(), "fast-forward", b.partitionCols,
           b.schemaJson, b.files, b.stats,
@@ -1585,8 +1613,15 @@ object Snapshots {
         if (raw.kind == "delta")
           (raw.adds, raw.addStats, raw.removes ++ raw.deleteAdds)
         else {
+          // a checkpoint whose parent was vacuumed has no computable diff —
+          // treating the full listing as "adds" would silently re-append
+          // the entire table
+          require(raw.parent < 0 || fs.exists(manifestPath(raw.parent)),
+            s"cherry-pick of version $v at $root: its parent manifest " +
+              s"${raw.parent} was vacuumed — the commit's own changes can " +
+              "no longer be isolated")
           val parent =
-            if (raw.parent < 0 || !fs.exists(manifestPath(raw.parent))) None
+            if (raw.parent < 0) None
             else Some(resolve(readManifest(manifestPath(raw.parent))))
           val pf = parent.map(_.files.toSet).getOrElse(Set.empty[String])
           val adds = raw.files.filterNot(pf)

@@ -565,7 +565,8 @@ object SqlDml {
       // `t.branch_b` / `t.tag_g` as a DML target: the ref name routes the
       // write onto the branch head (tags refuse downstream — immutable)
       NamedTables.refReadOf(parts) match {
-        case Some((name, sub, root)) if norm(sub) != "refs" =>
+        case Some((name, sub, root))
+            if norm(sub).startsWith("branch_") || norm(sub).startsWith("tag_") =>
           val refName = sub.substring(sub.indexOf('_') + 1)
           Some(Target(parts.mkString("."), Set(norm(parts.last)),
             NamedTables.SnapshotRef(root), Some(refName)))
