@@ -47,7 +47,8 @@ object Bench {
     "t15_top_supplier",     // CTE used twice + scalar-max filter (new r10)
     "p37_semantic_dedup",   // k-means + in-cluster pair prune (new r10)
     "p38_tfidf_topterms",   // tf/df relational + per-doc top-k (new r10)
-    "f31_spatial_join")     // bin-bucketed point-in-polygon join (new r11)
+    "f31_spatial_join",     // bin-bucketed point-in-polygon join (new r11)
+    "e08_stream_stream_join") // user-keyed event-time range self-join (new r11)
 
   /** Context the numbers need to be read correctly (emitted in the JSON). */
   val notes: Map[String, String] = Map(
@@ -55,7 +56,8 @@ object Bench {
       "p38_tfidf_topterms are benched from r10 on -- headline totals are " +
       "not comparable across rounds; matched22_sec is the drift metric"),
     "r11_new_queries" -> ("f31_spatial_join (bin-bucketed point-in-polygon " +
-      "join, 1.5M points x 25 polygons at sf0.1) benched from r11 on"),
+      "join, 1.5M points x 25 polygons at sf0.1) and e08_stream_stream_join " +
+      "(click-attribution event-time range self-join) benched from r11 on"),
     "r8_bench_validity" -> ("r8 numbers for e01/e03/e04/e07, q28, and " +
       "t07/t13/t21 are invalid: a testdata regeneration between r7 and r8 " +
       "changed events.ts from TIMESTAMP(NANOS) to TIMESTAMP_NTZ, those " +
