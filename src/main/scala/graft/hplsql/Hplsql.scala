@@ -754,16 +754,16 @@ object Hplsql {
 
       case If(arms, otherwise) =>
         arms.find(a => evalBool(a._1)) match {
-          case Some((_, body)) => body.foreach(exec)
-          case None => otherwise.foreach(exec)
+          case Some((_, body)) => execSeq(body, handlerFrames.top)
+          case None => execSeq(otherwise, handlerFrames.top)
         }
 
       case While(cond, body) =>
-        try while (evalBool(cond)) body.foreach(exec)
+        try while (evalBool(cond)) execSeq(body, handlerFrames.top)
         catch { case BreakSignal() => }
 
       case Loop(body) =>
-        try while (true) body.foreach(exec)
+        try while (true) execSeq(body, handlerFrames.top)
         catch { case BreakSignal() => }
 
       case ForRange(v, fromE, toE, stepE, reverse, body) =>
@@ -777,7 +777,7 @@ object Hplsql {
         try {
           while (cont) {
             declare(v, if (isWhole) i.longValue else i)
-            body.foreach(exec)
+            execSeq(body, handlerFrames.top)
             i = if (reverse) i - step else i + step
           }
         } catch { case BreakSignal() => }
@@ -802,7 +802,7 @@ object Hplsql {
             cols.zipWithIndex.foreach { case (c, i) =>
               declare(s"$v.$c", if (row.isNullAt(i)) null else row.get(i))
             }
-            body.foreach(exec)
+            execSeq(body, handlerFrames.top)
           }
         } catch { case BreakSignal() => }
         finally scopes.pop()
@@ -846,16 +846,17 @@ object Hplsql {
       case Block(body, handler) =>
         scopes.push(mutable.LinkedHashMap.empty)
         val frame = mutable.Buffer.empty[DeclareHandler]
+        // EXCEPTION WHEN OTHERS is the block's own innermost handler: it
+        // seeds the frame as an EXIT-mode SQLEXCEPTION handler, so it (a)
+        // wins over OUTER declared handlers for failures in THIS block and
+        // (b) can never swallow an outer EXIT handler's seal signal
+        handler.foreach(h => frame += DeclareHandler("EXIT", "SQLEXCEPTION", h))
         handlerFrames.push(frame)
         try execSeq(body, frame)
         catch {
           case e: ExitBlockSignal if e.frame eq frame => ()
+          case e: ExitBlockSignal => throw e
           case s @ (BreakSignal() | ReturnSignal(_)) => throw s
-          // block-level EXCEPTION WHEN OTHERS: catches whatever the
-          // declared handlers (if any) did not
-          case NonFatal(e) if handler.isDefined =>
-            declare("sqlerrm", e.getMessage)
-            handler.get.foreach(exec)
         }
         finally { handlerFrames.pop(); scopes.pop() }
 

@@ -57,7 +57,12 @@ object SpatialJoin {
     // ONCE per polygon (before the cell fan-out), so the per-candidate
     // test is a codegen'd primitive loop — no per-pair WKT parse, no memo
     // lookup, no UDF boxing. Non-polygon geometries (null __packed) fall
-    // back to the general WKT kernel for those rows only.
+    // back to the general WKT kernel for those rows only. The packed array
+    // duplicates per covered cell (like the WKT text already did) — with
+    // binSize chosen near the polygon diameter (the operator's tuning
+    // contract) that is O(1) copies per polygon, a constant-factor payload
+    // increase bought against zero per-candidate parsing; candidates
+    // almost always outnumber covered cells.
     val packUdf = udf((wkt: String) =>
       Geo.parseWkt(wkt).map(graft.functions.GeoPack.pack).orNull)
     val generalRefine = udf((wkt: String, x: Double, y: Double) =>

@@ -402,7 +402,14 @@ object Authz {
             org.apache.spark.sql.GraftShims.ofRows(spark, resolved), keys))
         case u: UnresolvedRelation
             if !shadowedByCte(u.multipartIdentifier, scope) &&
-              hasPolicy(u.multipartIdentifier, keys) =>
+              hasPolicy(u.multipartIdentifier, keys) &&
+              !isMetaListing(u.multipartIdentifier) =>
+          // metadata listings (t.refs/t.history/t.snapshots/t.files/
+          // t.partitions) carry no data columns — they stay gated by the
+          // SELECT check (enforcementKey maps them to the owning table)
+          // but are NOT filter/mask-wrapped, like the snapshot_history
+          // TVF; wrapping would apply a data predicate to a schema
+          // without those columns and fail every policied metadata read
           Some(securedRead(spark, u.multipartIdentifier, keys))
         // the snapshot TVFs read table DATA by path — a policied table's
         // rows get the same wrap whether addressed by name, by path, or
@@ -437,6 +444,16 @@ object Authz {
         m.copy(sourceTable = applyPolicies(spark, m.sourceTable))
       case other => other
     }
+
+  /** Metadata-only multipart reads: no row data, so policies don't wrap
+    * (branch_/tag_ reads DO carry table data and keep the full wrap).
+    */
+  private def isMetaListing(parts: Seq[String]): Boolean = parts match {
+    case Seq(_, sub) =>
+      Set("refs", "history", "snapshots", "files", "partitions")
+        .contains(norm(sub)) && NamedTables.refReadOf(parts).isDefined
+    case _ => false
+  }
 
   private def hasPolicy(parts: Seq[String], keys: Seq[String]): Boolean =
     hasPolicyKey(enforcementKey(parts), keys)

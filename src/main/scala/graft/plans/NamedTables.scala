@@ -304,7 +304,10 @@ object NamedTables {
       // TestHiveIcebergSelects.java testHistory: SELECT snapshot_id FROM
       // default.source.history) — our versions ARE the snapshot ids
       val h = t.history()
-      val parentOf = h.map(m => m.version -> m.parent).toMap
+      // ancestor walk over the FULL lineage (branch slots included): a
+      // fast-forward's parent chain crosses branch commits, and a
+      // mainline-only map would mark every pre-fork commit non-ancestor
+      val parentOf = t.lineage()
       val ancestors = Iterator.iterate(h.last.version)(parentOf.getOrElse(_, -1L))
         .takeWhile(_ >= 0).toSet
       h.map(m => (new java.sql.Timestamp(m.timestampMs), m.version,

@@ -111,11 +111,15 @@ object Replication {
     val pending = src.committedVersions()
       .filter(v => v > state.lastApplied && v <= srcHead.version)
       .map(src.resolvedManifest)
-    // a vacuumed parent manifest makes the diff unknowable — treat the
-    // commit as non-additive and take the full path
-    val withParents = pending.map { m =>
-      (m, scala.util.Try(src.resolvedManifest(m.parent)).toOption)
-    }
+    // each commit diffs against the PREVIOUS MAINLINE manifest, not its
+    // parent pointer: a fast-forward's parent is the branch head it
+    // already equals (zero diff there), while the replica is owed
+    // everything the publish surfaced. A vacuumed base manifest makes the
+    // diff unknowable — None routes to the full-overwrite path.
+    val base: Option[Snapshots.Manifest] = src.committedVersions()
+      .filter(_ <= state.lastApplied).lastOption
+      .flatMap(v => scala.util.Try(src.resolvedManifest(v)).toOption)
+    val withParents = pending.zip(base +: pending.map(Option(_)).init)
     def isReorg(m: Snapshots.Manifest): Boolean =
       m.action == "compact" || m.action == "cluster" || m.action == "zorder"
     def isAdditive(m: Snapshots.Manifest,

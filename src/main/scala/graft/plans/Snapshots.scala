@@ -282,6 +282,14 @@ object Snapshots {
     private def mainlineVersions(): Seq[Long] =
       versions().filter(v => isMainline(readManifest(manifestPath(v))))
 
+    /** (version -> parent) over EVERY retained manifest, branch slots
+      * included — metadata tables walk true lineage THROUGH forks (a
+      * fast-forward's parent chain crosses branch commits a mainline-only
+      * map would dead-end on).
+      */
+    private[plans] def lineage(): Map[Long, Long] =
+      versions().map(v => v -> readManifest(manifestPath(v)).parent).toMap
+
     /** Latest committed manifest (resolved to full form). */
     /** Committed MAINLINE version numbers, ascending ([[Replication]]
       * walks them; branch commits are not part of the replicated lineage
@@ -2553,11 +2561,12 @@ object Snapshots {
       // data is destroyed under the reader
       val refVersions = refs().values.map(_.version).toSet
         .filter(v => fs.exists(manifestPath(v)))
-      // the mainline head is pinned explicitly: the raw version tail can
-      // be all branch commits, and a vacuum that pruned every mainline
-      // manifest would destroy the table under its readers
-      val keep = vs.takeRight(math.max(retainLast, 1)).toSet ++
-        refVersions + latest().version
+      // retainLast counts MAINLINE snapshots — branch commits must not
+      // consume retention slots (EXPIRE_SNAPSHOTS RETAIN LAST n promises n
+      // table versions, and a raw-slot tail of branch commits would prune
+      // mainline history the caller asked to keep, incl. the head itself)
+      val keep = mainlineVersions().takeRight(math.max(retainLast, 1)).toSet ++
+        refVersions
       // every retained manifest must be self-contained AFTER its ancestors
       // are pruned: any kept delta whose parent is NOT kept rewrites in
       // place as its resolved full form (atomic replace; logical content

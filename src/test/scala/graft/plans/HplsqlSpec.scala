@@ -447,6 +447,44 @@ class HplsqlSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("an inner WHEN OTHERS cannot swallow an outer EXIT handler's seal") {
+    val r = run("""
+      BEGIN
+        DECLARE EXIT HANDLER FOR SQLEXCEPTION PRINT 'sealed';
+        BEGIN
+          SELECT bad FROM region;
+        EXCEPTION WHEN OTHERS THEN PRINT 'when_others';
+        END;
+        PRINT 'mid';
+        SELECT bad2 FROM region;
+        PRINT 'unreachable';
+      END;
+      PRINT 'after';
+    """)
+    // the inner failure is the inner block's (WHEN OTHERS); the second
+    // failure reaches the outer EXIT handler, whose seal must NOT be
+    // consumed by anything on the way out
+    r.printed shouldBe Seq("when_others", "mid", "sealed", "after")
+  }
+
+  test("CONTINUE handler resumes the NEXT statement inside a loop body") {
+    val r = run("""
+      DECLARE errs INT DEFAULT 0;
+      DECLARE done INT DEFAULT 0;
+      DECLARE i INT DEFAULT 0;
+      DECLARE CONTINUE HANDLER FOR SQLEXCEPTION SET errs = errs + 1;
+      WHILE i < 4 LOOP
+        IF i = 2 THEN SELECT boom FROM region; END IF;
+        SET done = done + 1;
+        SET i = i + 1;
+      END LOOP;
+      PRINT 'done=' || done || ' errs=' || errs;
+    """)
+    // the i=2 failure skips only ITS statement; the iteration and the
+    // remaining iterations still run
+    r.printed shouldBe Seq("done=4 errs=1")
+  }
+
   test("inner handler wins; outer handler covers blocks without one") {
     val r = run("""
       DECLARE CONTINUE HANDLER FOR SQLEXCEPTION PRINT 'outer';

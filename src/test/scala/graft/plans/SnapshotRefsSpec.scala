@@ -213,6 +213,18 @@ class SnapshotRefsSpec extends SparkSpec {
         "SELECT partition, record_count, file_count FROM meta_t.partitions")
         .collect().map(r => (r.getString(0), r.getLong(1))).toMap
       assert(parts === Map("k=0" -> 15L, "k=1" -> 15L))
+      // is_current_ancestor survives a fast-forward: the ancestor chain
+      // crosses the branch commit, and every pre-fork mainline commit is
+      // still an ancestor of the published head
+      t.createBranch("anc")
+      t.appendToBranch("anc",
+        (30 until 35).map(i => (i.toLong, s"r$i", i % 2)).toDF("id", "s", "k"))
+      t.fastForward("anc")
+      val anc = sql(
+        "SELECT snapshot_id, is_current_ancestor FROM meta_t.history")
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+      assert(anc.values.forall(identity),
+        s"pre-fork mainline commits must stay ancestors through the fork: $anc")
     } finally NamedTables.drop("meta_t")
   }
 
@@ -292,5 +304,32 @@ class SnapshotRefsSpec extends SparkSpec {
     assert(Snapshots.table(spark, target).read().count() === 8,
       "replication copied branch commits")
     assert(r.toVersion === t.latest().version)
+    // a fast-forward's data MUST replicate: the diff runs against the
+    // previous MAINLINE manifest, not the branch-head parent it equals
+    // (fresh branch forked from the CURRENT head so FF is legal)
+    t.createBranch("pub")
+    t.appendToBranch("pub", nums(200, 245))
+    t.fastForward("pub")
+    val r2 = Replication.sync(spark, root, target)
+    assert(r2.mode === "incremental", s"expected incremental, got ${r2.mode}")
+    assert(Snapshots.table(spark, target).read().count() === 53,
+      "replication silently dropped the fast-forwarded rows")
+    assert(Snapshots.table(spark, target).read()
+      .filter(col("id") >= 200).count() === 45)
+  }
+
+  test("vacuum retention counts mainline snapshots, not raw slots") {
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 5))
+    t.append(nums(5, 10)) // v1 mainline
+    t.createBranch("busy")
+    // branch commits take the raw tail — they must not consume retention
+    (0 until 4).foreach(i => t.appendToBranch("busy", nums(20 + i, 21 + i)))
+    t.vacuum(retainLast = 2, minAgeHours = 0.0)
+    // both mainline versions survive (RETAIN LAST 2 = 2 table snapshots)
+    assert(t.history().map(_.version) === Seq(0L, 1L),
+      "branch commits consumed mainline retention slots")
+    assert(t.read().count() === 10)
+    assert(t.readRef("busy").count() === 14) // branch head pinned too
   }
 }
