@@ -169,12 +169,14 @@ object Snapshots {
     * iceberg SnapshotRef / ql/ddl/table/snapshotref/; Hive 4's
     * `ALTER TABLE ... CREATE BRANCH/TAG` surface).
     */
-  final case class SnapshotRef(kind: String, version: Long)
+  final case class SnapshotRef(kind: String, version: Long,
+      createdAtMs: Long = 0L, maxRefAgeMs: Option[Long] = None)
 
   /** Serialization row for the refs CAS document (top-level so json4s
     * reflection can construct it).
     */
-  private case class RefRow(name: String, kind: String, version: Long)
+  private case class RefRow(name: String, kind: String, version: Long,
+      createdAtMs: Long = 0L, maxRefAgeMs: Option[Long] = None)
 
   /** Manifest-meta marker of a branch commit: its value is the branch
     * name, and its presence takes the commit OFF the mainline.
@@ -1414,23 +1416,28 @@ object Snapshots {
       spark.sparkContext.hadoopConfiguration,
       Map.empty,
       m => org.json4s.jackson.Serialization.write(
-        m.toList.sortBy(_._1).map { case (n, r) => RefRow(n, r.kind, r.version) }),
+        m.toList.sortBy(_._1).map { case (n, r) =>
+          RefRow(n, r.kind, r.version, r.createdAtMs, r.maxRefAgeMs) }),
       txt => org.json4s.jackson.Serialization.read[List[RefRow]](txt)
-        .map(r => r.name -> SnapshotRef(r.kind, r.version)).toMap)
+        .map(r => r.name ->
+          SnapshotRef(r.kind, r.version, r.createdAtMs, r.maxRefAgeMs)).toMap)
 
     /** All refs (name -> kind/version). */
     def refs(): Map[String, SnapshotRef] = refsStore.load()._2
 
     def createBranch(name: String, fromVersion: Option[Long] = None,
-        ifNotExists: Boolean = false): Unit =
-      createRef(name, "branch", fromVersion, ifNotExists)
+        ifNotExists: Boolean = false,
+        maxRefAgeMs: Option[Long] = None): Unit =
+      createRef(name, "branch", fromVersion, ifNotExists, maxRefAgeMs)
 
     def createTag(name: String, fromVersion: Option[Long] = None,
-        ifNotExists: Boolean = false): Unit =
-      createRef(name, "tag", fromVersion, ifNotExists)
+        ifNotExists: Boolean = false,
+        maxRefAgeMs: Option[Long] = None): Unit =
+      createRef(name, "tag", fromVersion, ifNotExists, maxRefAgeMs)
 
     private def createRef(name: String, kind: String,
-        fromVersion: Option[Long], ifNotExists: Boolean): Unit = {
+        fromVersion: Option[Long], ifNotExists: Boolean,
+        maxRefAgeMs: Option[Long] = None): Unit = {
       val v = fromVersion.getOrElse(latest().version)
       require(fs.exists(manifestPath(v)),
         s"version $v does not exist (vacuumed or never committed)")
@@ -1439,7 +1446,8 @@ object Snapshots {
         m.get(name) match {
           case Some(r) if r.kind != kind => outcome = r.kind; m
           case Some(_) => outcome = if (ifNotExists) "kept" else kind; m
-          case None => outcome = "created"; m + (name -> SnapshotRef(kind, v))
+          case None => outcome = "created"; m + (name ->
+            SnapshotRef(kind, v, System.currentTimeMillis(), maxRefAgeMs))
         }
       }
       // mirror the reference's errors (ref IcebergSnapshotRefExec.java:
@@ -1545,7 +1553,8 @@ object Snapshots {
             rm.get(branch) match {
               case Some(cur) if cur.kind == "branch" &&
                   cur.version == r.version =>
-                took = true; rm + (branch -> SnapshotRef("branch", m.version))
+                took = true; rm + (branch ->
+                  cur.copy(version = m.version))
               case _ => took = false; rm
             }
           }
@@ -2559,6 +2568,16 @@ object Snapshots {
       // refs pin their manifests: a branch/tag head must survive vacuum
       // (and keep its files referenced) or the ref dangles and branch
       // data is destroyed under the reader
+      // aged-out refs (CREATE BRANCH/TAG ... RETAIN n DAYS — the
+      // reference's maxRefAgeMs) expire HERE, the snapshot-expiry point,
+      // so a forgotten WAP branch stops pinning manifests forever
+      val nowMs = System.currentTimeMillis()
+      val expired = refs().collect {
+        case (n, r) if r.maxRefAgeMs.exists(a =>
+            r.createdAtMs > 0 && nowMs - r.createdAtMs > a) => n
+      }.toSet
+      if (expired.nonEmpty)
+        refsStore.mutate(m => m.filterNot { case (n, _) => expired(n) })
       val refVersions = refs().values.map(_.version).toSet
         .filter(v => fs.exists(manifestPath(v)))
       // retainLast counts MAINLINE snapshots — branch commits must not

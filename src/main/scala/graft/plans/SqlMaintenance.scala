@@ -70,11 +70,13 @@ object SqlMaintenance {
   private val CreateBranch =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
       """\s+CREATE\s+BRANCH\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(\w+)""" +
-      """(?:\s+FOR\s+SYSTEM_VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""").r
+      """(?:\s+FOR\s+SYSTEM_VERSION\s+AS\s+OF\s+(\d+))?""" +
+      """(?:\s+RETAIN\s+(\d+)\s+(DAYS|HOURS))?\s*;?\s*""").r
   private val CreateTag =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
       """\s+CREATE\s+TAG\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(\w+)""" +
-      """(?:\s+FOR\s+SYSTEM_VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""").r
+      """(?:\s+FOR\s+SYSTEM_VERSION\s+AS\s+OF\s+(\d+))?""" +
+      """(?:\s+RETAIN\s+(\d+)\s+(DAYS|HOURS))?\s*;?\s*""").r
   private val DropBranch =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
       """\s+DROP\s+BRANCH\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s*;?\s*""").r
@@ -159,15 +161,17 @@ object SqlMaintenance {
       // snapshot refs: branch/tag DDL + the EXECUTE family. Creating or
       // moving refs rewrites what readers of the ref (or, for EXECUTE,
       // the MAINLINE) see — same UPDATE gate as RESTORE/OPTIMIZE.
-      case CreateBranch(ident, ifNot, name, v) =>
+      case CreateBranch(ident, ifNot, name, v, n, unit) =>
         Authz.requireRelationPrivilege(spark, privParts(ident), "update")
         tableOf(spark, ident).createBranch(name,
-          Option(v).map(_.toLong), ifNotExists = ifNot != null)
+          Option(v).map(_.toLong), ifNotExists = ifNot != null,
+          maxRefAgeMs = retainMs(n, unit))
         Some(okDf(spark, s"created branch $name"))
-      case CreateTag(ident, ifNot, name, v) =>
+      case CreateTag(ident, ifNot, name, v, n, unit) =>
         Authz.requireRelationPrivilege(spark, privParts(ident), "update")
         tableOf(spark, ident).createTag(name,
-          Option(v).map(_.toLong), ifNotExists = ifNot != null)
+          Option(v).map(_.toLong), ifNotExists = ifNot != null,
+          maxRefAgeMs = retainMs(n, unit))
         Some(okDf(spark, s"created tag $name"))
       case DropBranch(ident, ifEx, name) =>
         Authz.requireRelationPrivilege(spark, privParts(ident), "update")
@@ -527,6 +531,13 @@ object SqlMaintenance {
     Seq((nameOf(ident), reclaimed))
       .toDF("table", "n_files_reclaimed")
   }
+
+  /** RETAIN n DAYS|HOURS -> maxRefAgeMs (ref AlterTableSnapshotRefSpec
+    * getMaxRefAgeMs).
+    */
+  private def retainMs(n: String, unit: String): Option[Long] =
+    Option(n).map(_.toLong * (if (unit.equalsIgnoreCase("DAYS"))
+      86400000L else 3600000L))
 
   private def okDf(spark: SparkSession, msg: String)
       : org.apache.spark.sql.DataFrame = {

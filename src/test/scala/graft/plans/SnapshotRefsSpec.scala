@@ -291,6 +291,65 @@ class SnapshotRefsSpec extends SparkSpec {
     }
   }
 
+  test("RETAIN n DAYS: aged-out refs expire at vacuum and release their pins") {
+    import spark.implicits._
+    def sql(q: String) = Engine.sql(spark, sfDir, q)
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 5))
+    NamedTables.registerSnapshot("retain_t", root)
+    try {
+      sql("ALTER TABLE retain_t CREATE BRANCH ephemeral RETAIN 1 HOURS")
+      sql("ALTER TABLE retain_t CREATE TAG keeper")
+      assert(t.refs()("ephemeral").maxRefAgeMs === Some(3600000L))
+      // an un-aged retained ref survives vacuum
+      t.vacuum(retainLast = 10, minAgeHours = 24.0)
+      assert(t.refs().contains("ephemeral"))
+      // recreate with an already-elapsed window: the next vacuum expires it
+      t.dropBranch("ephemeral")
+      t.createBranch("ephemeral", maxRefAgeMs = Some(1L))
+      Thread.sleep(5)
+      t.vacuum(retainLast = 10, minAgeHours = 24.0)
+      assert(!t.refs().contains("ephemeral"),
+        "an aged-out ref must expire at vacuum")
+      assert(t.refs().contains("keeper"), "unaged refs must survive")
+    } finally NamedTables.drop("retain_t")
+  }
+
+  test("policied users can read metadata listings (SELECT-gated, unwrapped)") {
+    import spark.implicits._
+    def sql(q: String) = Engine.sql(spark, sfDir, q)
+    val root = freshRoot()
+    Snapshots.create(spark, root,
+      (0 until 10).map(i => (i.toLong, s"n$i")).toDF("id", "name"))
+    NamedTables.registerSnapshot("meta_gov_t", root)
+    try {
+      spark.conf.set("spark.graft.authz.enabled", "true")
+      spark.conf.set("spark.graft.authz.admins", "admin")
+      spark.conf.set("spark.graft.user", "admin")
+      sql("GRANT SELECT ON TABLE meta_gov_t TO USER analyst")
+      sql("ALTER TABLE meta_gov_t SET ROW FILTER 'id < 3' FOR USER analyst")
+      spark.conf.set("spark.graft.user", "analyst")
+      // data read: filtered
+      assert(sql("SELECT count(*) AS n FROM meta_gov_t").head.getLong(0) === 3)
+      // metadata listings: readable (no data columns to filter), not an
+      // AnalysisException from applying 'id < 3' to (name, type, version)
+      assert(sql("SELECT count(*) AS n FROM meta_gov_t.history")
+        .head.getLong(0) === 1)
+      assert(sql("SELECT count(*) AS n FROM meta_gov_t.refs")
+        .head.getLong(0) === 0)
+      // but SELECT is still required: an unknown user is denied
+      spark.conf.set("spark.graft.user", "stranger")
+      intercept[Authz.AccessDenied] {
+        sql("SELECT * FROM meta_gov_t.history").collect() }
+    } finally {
+      spark.conf.unset("spark.graft.authz.enabled")
+      spark.conf.unset("spark.graft.user")
+      spark.conf.unset("spark.graft.authz.admins")
+      Authz.clearAll()
+      NamedTables.drop("meta_gov_t")
+    }
+  }
+
   test("streaming source and replication ignore branch commits") {
     val root = freshRoot()
     val t = Snapshots.create(spark, root, nums(0, 5))
