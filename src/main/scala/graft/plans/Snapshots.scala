@@ -164,6 +164,24 @@ object Snapshots {
     */
   final case class BloomConfig(cols: Seq[String], bits: Long, gen: Long = 0L)
 
+  /** Bucketed-layout config (`_bucket.json` at the table root), fixed at
+    * CREATE: every data file holds only rows whose
+    * `pmod(murmur3_hash(col), n)` equals the bucket id tagged in the file
+    * NAME (Spark's own bucketed-file naming), so scans report
+    * `HashPartitioning(col, n)` and co-bucketed joins / aggregations on
+    * the bucket key plan with ZERO shuffle — the engine analog of the
+    * reference's CLUSTERED BY ... INTO n BUCKETS tables and their
+    * sort-merge-bucket map joins (ref ql/.../optimizer/AbstractSMBJoinProc
+    * .java, metastore StorageDescriptor.bucketCols). `col` is the PHYSICAL
+    * column name (rename-proof, like [[BloomConfig]]).
+    *
+    * The hash is Spark's `HashPartitioning.partitionIdExpression`
+    * (murmur3 seed 42, pmod) — byte-identical to what `FileSourceScanExec`
+    * assumes for bucketed relations and to warehouse tables written with
+    * `bucketBy`, so snapshot tables co-join shuffle-free with THOSE too.
+    */
+  final case class BucketConfig(col: String, n: Int)
+
   /** A named snapshot ref — `kind` is "branch" (mutable head, writable)
     * or "tag" (immutable marker), pointing at a committed version (ref
     * iceberg SnapshotRef / ql/ddl/table/snapshotref/; Hive 4's
@@ -183,6 +201,16 @@ object Snapshots {
     */
   private val RefMetaKey = "graft.ref"
 
+  /** Staging-only dynamic-partition dir splitting rows by bucket id
+    * (`graftbucket=<i>/`). Deliberately NOT underscore-prefixed — Spark's
+    * file listings treat `_`/`.`-led path segments as hidden and stats
+    * collection would see no files — and NOT a declared partition column,
+    * so [[SnapshotFileIndex]] and stats collection ignore the segment.
+    * Data files never contain the column (partitionBy drops it); CREATE
+    * refuses a bucketed table with a real column of this name.
+    */
+  private val GbCol = "graftbucket"
+
   private implicit val jsonFormats: org.json4s.Formats = org.json4s.DefaultFormats
 
   /** Opens an existing snapshot table rooted at `root`.
@@ -193,12 +221,17 @@ object Snapshots {
       checkpointInterval: Int = 8): SnapshotTable =
     new SnapshotTable(spark, root, checkpointInterval)
 
-  /** Creates version 0 from `df` (fails if a log already exists). */
+  /** Creates version 0 from `df` (fails if a log already exists).
+    * `bucketBy = Some((col, n))` fixes a bucketed layout at birth (see
+    * [[BucketConfig]]); it cannot be added or changed later — the hash
+    * placement of every existing file would be unverifiable.
+    */
   def create(spark: SparkSession, root: String, df: DataFrame,
       partitionBy: Seq[String] = Nil,
-      checkpointInterval: Int = 8): SnapshotTable = {
+      checkpointInterval: Int = 8,
+      bucketBy: Option[(String, Int)] = None): SnapshotTable = {
     val t = new SnapshotTable(spark, root, checkpointInterval)
-    t.initialize(df, partitionBy)
+    t.initialize(df, partitionBy, bucketBy)
     t
   }
 
@@ -464,7 +497,8 @@ object Snapshots {
       * footers the write already produced.
       */
     private def stage(df: DataFrame, partitionCols: Seq[String],
-        mapping: Map[String, String] = Map.empty)
+        mapping: Map[String, String] = Map.empty,
+        preserveLayout: Boolean = false)
         : (Seq[String], Map[String, FileStat]) = {
       // data files always hold PHYSICAL column names: post-rename commits
       // keep writing the birth name, so every file in the table agrees and
@@ -475,9 +509,28 @@ object Snapshots {
           col(c).as(mapping.getOrElse(c, c))): _*)
       val commitDir = s"data/${UUID.randomUUID().toString.take(8)}"
       val dir = new Path(rootPath, commitDir)
-      val w = physDf.write.mode("errorifexists")
-      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      // Bucketed layout: a [[GbCol]] dynamic-partition dir splits every task's
+      // rows by their OWN hash, so file->bucket assignment is correct by
+      // construction (never inferred from task ids — an AQE re-plan or a
+      // caller-supplied layout cannot misplace a row). The default path
+      // additionally repartitions ON the bucket column — Spark's
+      // HashPartitioning placement IS the bucket hash, so each task holds
+      // exactly one bucket and a commit writes n files per partition dir,
+      // not tasks x n. `preserveLayout` (clusterBy/zOrderBy) keeps the
+      // caller's range layout instead; their files still split per bucket.
+      val bCfg = bucketConfig()
+      val toWrite = bCfg match {
+        case Some(b) =>
+          val base = physDf.withColumn(GbCol,
+            pmod(hash(col(b.col)), lit(b.n)))
+          if (preserveLayout) base else base.repartition(b.n, col(b.col))
+        case None => physDf
+      }
+      val writePartCols = partitionCols ++ (if (bCfg.isDefined) Seq(GbCol) else Nil)
+      val w = toWrite.write.mode("errorifexists")
+      (if (writePartCols.nonEmpty) w.partitionBy(writePartCols: _*) else w)
         .parquet(dir.toString)
+      if (bCfg.isDefined) tagBucketFiles(dir)
       val listed = listParquetStatus(dir)
       val files = listed.map(s => relativize(s.getPath))
       if (files.isEmpty) (files, Map.empty)
@@ -493,6 +546,41 @@ object Snapshots {
         val empties = files.filterNot(stats.contains)
           .map(rel => rel -> FileStat(0L, Map.empty, sizes.getOrElse(rel, 0L)))
         (files, stats ++ empties)
+      }
+    }
+
+    /** Renames every staged data file to carry Spark's bucketed-file tag
+      * (`_00003` before the extension chain) derived from its
+      * `graftbucket=<i>` path segment. The marker dir itself stays in the
+      * path (harmless: not a declared partition column) and the manifest
+      * records the full relative path.
+      * `FileSourceScanExec` groups a bucketed relation's files by parsing
+      * this tag ([[org.apache.spark.sql.execution.datasources
+      * .BucketingUtils.getBucketId]]), so each rename is verified against
+      * that exact parser — a naming drift fails the commit loudly instead
+      * of silently degrading joins.
+      */
+    private def tagBucketFiles(dir: Path): Unit = {
+      import org.apache.spark.sql.execution.datasources.BucketingUtils
+      val it = fs.listFiles(dir, true)
+      while (it.hasNext) {
+        val s = it.next()
+        val name = s.getPath.getName
+        if (s.isFile && !name.startsWith("_") && !name.startsWith(".")) {
+          val seg = s.getPath.getParent.getName
+          require(seg.startsWith(GbCol + "="),
+            s"staged bucketed file not under a $GbCol dir: ${s.getPath}")
+          val b = seg.substring(GbCol.length + 1).toInt
+          val dot = name.indexOf('.')
+          val tagged =
+            if (dot < 0) name + BucketingUtils.bucketIdToString(b)
+            else name.substring(0, dot) + BucketingUtils.bucketIdToString(b) +
+              name.substring(dot)
+          require(BucketingUtils.getBucketId(tagged).contains(b),
+            s"bucket tag failed to parse back: $tagged")
+          require(fs.rename(s.getPath, new Path(s.getPath.getParent, tagged)),
+            s"could not rename staged file ${s.getPath}")
+        }
       }
     }
 
@@ -661,8 +749,15 @@ object Snapshots {
         physSchema.fields.filterNot(f => m.partitionCols.contains(f.name)))
       val index = new SnapshotFileIndex(fs.makeQualified(rootPath), fs, m,
         physSchema, bloomPrune)
+      // bucketed tables surface their layout to the planner: the scan
+      // reports HashPartitioning(col, n) (plus per-bucket file grouping and
+      // bucket pruning on point predicates), so co-bucketed joins and
+      // bucket-key aggregations plan with no Exchange. The config stores
+      // the physical name — exactly the name this relation's schema uses.
+      val bSpec = bucketConfig().map(b =>
+        org.apache.spark.sql.catalyst.catalog.BucketSpec(b.n, Seq(b.col), Nil))
       val rel = HadoopFsRelation(index, index.partitionSchema, dataSchema,
-        None,
+        bSpec,
         new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
         Map.empty[String, String])(spark)
       org.apache.spark.sql.GraftShims
@@ -948,14 +1043,44 @@ object Snapshots {
 
     // --------------------------------------------------------------- writes
 
-    private[Snapshots] def initialize(df: DataFrame, partitionBy: Seq[String]): Unit = {
+    private[Snapshots] def initialize(df: DataFrame, partitionBy: Seq[String],
+        bucketBy: Option[(String, Int)] = None): Unit = {
       require(versions().isEmpty, s"snapshot table already exists at $root")
+      bucketBy.foreach { case (c, n) =>
+        val f = df.schema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(s"no such bucket column: $c"))
+        require(!partitionBy.contains(c),
+          s"bucket column $c cannot also be a partition column")
+        require(org.apache.spark.sql.execution.datasources.BucketingUtils
+            .canBucketOn(f.dataType),
+          s"cannot bucket on ${f.dataType.simpleString} column $c")
+        require(n >= 2 && n <= 100000, s"bucket count must be in [2, 100000]: $n")
+        require(!df.schema.fieldNames.contains(GbCol),
+          s"bucketed tables reserve the column name $GbCol")
+        // written before v0 stages so the very first files lay out bucketed;
+        // physical == logical at birth (no mapping exists yet)
+        writeBucketConfig(BucketConfig(c, n))
+      }
       val (files, stats) = stage(df, partitionBy)
       val m = Manifest(0L, -1L, System.currentTimeMillis(), "create",
         partitionBy, df.schema.json, files, stats)
       if (!casPublish(m))
         throw new ConcurrentModificationException(
           s"concurrent create of snapshot table at $root")
+    }
+
+    private def writeBucketConfig(cfg: BucketConfig): Unit =
+      SidecarJson.write(fs, new Path(rootPath, "_bucket.json"), cfg)
+
+    /** The table's bucketed layout, if created with one. Immutable after
+      * CREATE, so cached per handle (one filesystem probe, ever).
+      */
+    @volatile private var cachedBucket: Option[Option[BucketConfig]] = None
+    def bucketConfig(): Option[BucketConfig] = {
+      if (cachedBucket == null || cachedBucket.isEmpty)
+        cachedBucket = Some(
+          SidecarJson.read[BucketConfig](fs, new Path(rootPath, "_bucket.json")))
+      cachedBucket.get
     }
 
     /** Commit loop: stage once, then CAS against the moving head. `validate`
@@ -1279,6 +1404,8 @@ object Snapshots {
         require(existing.fields.length > 1,
           s"cannot drop the only column of $root")
         val phys = head.physical(name)
+        bucketConfig().foreach(b => require(b.col != phys,
+          s"cannot drop bucket column $name"))
         val newSchema = org.apache.spark.sql.types.StructType(
           existing.fields.filterNot(_.name == name))
         val m = Manifest(nextSlot(head), head.version,
@@ -1330,6 +1457,11 @@ object Snapshots {
           throw new IllegalArgumentException(s"no such column: $name"))
         require(!head.partitionCols.contains(name),
           s"cannot change the type of partition column $name")
+        // the murmur3 bucket hash is type-dependent (an int and the long it
+        // widens to hash differently) — a widened bucket column would strand
+        // every existing file in the wrong bucket
+        bucketConfig().foreach(b => require(b.col != head.physical(name),
+          s"cannot change the type of bucket column $name"))
         require(widens(f.dataType, to),
           s"only lossless widenings are metadata-only: " +
             s"${f.dataType.simpleString} -> ${to.simpleString} is not")
@@ -2042,7 +2174,12 @@ object Snapshots {
         // into the rewritten files — the compactor's second job
         val input = readFiles(head.copy(files = head.files.filter(smallSet)))
         val packed =
-          if (head.partitionCols.nonEmpty)
+          if (bucketConfig().isDefined)
+            // bucketed tables: stage() itself regroups rows onto their
+            // buckets (one task per bucket) — a repartition here would
+            // just add a second shuffle for stage to undo
+            input
+          else if (head.partitionCols.nonEmpty)
             // co-locate each partition's rows so partitionBy emits one
             // file per (partition, output-slot) instead of a file per
             // (input task x partition)
@@ -2125,8 +2262,11 @@ object Snapshots {
         val clustered = input
           .repartitionByRange(nOut, cols.map(col): _*)
           .sortWithinPartitions(cols.map(col): _*)
+        // preserveLayout: on a bucketed table the range layout survives and
+        // each range-task's file splits per bucket dir — files then hold a
+        // (cluster-key range x bucket) cell, prunable on both axes
         val (staged, stagedStats) = stage(clustered, head.partitionCols,
-          head.colMapping)
+          head.colMapping, preserveLayout = true)
         val m = Manifest(nextSlot(head), head.version,
           System.currentTimeMillis(), "cluster", head.partitionCols,
           head.schemaJson, staged, stagedStats, Map.empty, Nil,
@@ -2209,7 +2349,7 @@ object Snapshots {
           .sortWithinPartitions("__z")
           .drop("__z")
         val (staged, stagedStats) = stage(ordered, head.partitionCols,
-          head.colMapping)
+          head.colMapping, preserveLayout = true)
         val m = Manifest(nextSlot(head), head.version,
           System.currentTimeMillis(), "zorder", head.partitionCols,
           head.schemaJson, staged, stagedStats, Map.empty, Nil,

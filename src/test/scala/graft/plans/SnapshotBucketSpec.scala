@@ -1,0 +1,208 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Bucketed snapshot tables (the reference's CLUSTERED BY ... INTO n
+  * BUCKETS layout + sort-merge-bucket map join, ref ql/.../optimizer/
+  * AbstractSMBJoinProc.java, metastore StorageDescriptor.bucketCols):
+  * file placement correctness, zero-shuffle co-bucketed joins and
+  * aggregations, bucket pruning, and layout survival through every
+  * write path (append / COW merge / compact).
+  */
+class SnapshotBucketSpec extends SparkSpec {
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft_bucket_").toString + "/t"
+
+  private def rows(lo: Int, hi: Int) = {
+    import spark.implicits._
+    (lo until hi).map(i => (i.toLong, s"name$i", i % 7)).toDF("k", "s", "grp")
+  }
+
+  private def shuffles(df: DataFrame): Int = {
+    df.write.format("noop").mode("overwrite").save() // force final plan (AQE)
+    df.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }.size
+  }
+
+  /** Every manifest file must carry a parseable bucket tag that matches its
+    * graftbucket= path segment, and every ROW in it must hash to that
+    * bucket — the invariant zero-shuffle joins are correct BY.
+    */
+  private def assertPlacement(t: Snapshots.SnapshotTable, n: Int,
+      keyCol: String): Unit = {
+    import org.apache.spark.sql.execution.datasources.BucketingUtils
+    val files = t.latest().files
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val name = f.split('/').last
+      val tag = BucketingUtils.getBucketId(name)
+      assert(tag.isDefined, s"untagged file in bucketed table: $f")
+      val seg = f.split('/').find(_.startsWith("graftbucket=")).get
+      assert(tag.get === seg.stripPrefix("graftbucket=").toInt)
+      val bad = spark.read.parquet(t.root + "/" + f)
+        .filter(pmod(hash(col(keyCol)), lit(n)) =!= lit(tag.get))
+        .limit(1).count()
+      assert(bad === 0L, s"rows in $f hash outside bucket ${tag.get}")
+    }
+  }
+
+  test("create lays out buckets; reads round-trip; placement verified") {
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, rows(0, 5000),
+      bucketBy = Some(("k", 8)))
+    assert(t.bucketConfig() === Some(Snapshots.BucketConfig("k", 8)))
+    assert(t.read().count() === 5000)
+    assert(t.read().agg(sum("k")).head.getLong(0) === (0L until 5000L).sum)
+    assertPlacement(t, 8, "k")
+    // one file per bucket on a fresh create (stage repartitions onto n)
+    assert(t.latest().files.size === 8)
+  }
+
+  test("co-bucketed join and bucket-key aggregation plan with zero shuffles") {
+    val rootA = freshRoot(); val rootB = freshRoot()
+    val a = Snapshots.create(spark, rootA, rows(0, 4000),
+      bucketBy = Some(("k", 8)))
+    val b = Snapshots.create(spark, rootB,
+      rows(0, 3000).withColumnRenamed("s", "s2").withColumnRenamed("grp", "g2"),
+      bucketBy = Some(("k", 8)))
+    val joined = a.read().join(b.read(), "k")
+    assert(shuffles(joined) === 0,
+      "co-bucketed equi-join must not exchange either side")
+    assert(joined.count() === 3000)
+    // result equality against a plain (shuffling) recompute
+    val plain = rows(0, 4000).join(
+      rows(0, 3000).withColumnRenamed("s", "s2").withColumnRenamed("grp", "g2"),
+      "k")
+    assert(joined.orderBy("k").collect().toSeq ===
+      plain.select(joined.columns.map(col).toIndexedSeq: _*)
+        .orderBy("k").collect().toSeq)
+    // aggregation keyed on the bucket column: partial+final, no exchange
+    val agg = a.read().groupBy("k").agg(count(lit(1)).as("c"))
+    assert(shuffles(agg) === 0,
+      "bucket-key aggregation must not exchange")
+    assert(agg.count() === 4000)
+  }
+
+  test("mismatched bucket counts still join correctly (with a shuffle)") {
+    val rootA = freshRoot(); val rootB = freshRoot()
+    val a = Snapshots.create(spark, rootA, rows(0, 1000),
+      bucketBy = Some(("k", 8)))
+    val b = Snapshots.create(spark, rootB,
+      rows(0, 500).select(col("k"), col("s").as("s2")),
+      bucketBy = Some(("k", 4)))
+    val joined = a.read().join(b.read(), "k")
+    assert(joined.count() === 500)
+  }
+
+  test("bucket pruning: a point predicate reads one bucket") {
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, rows(0, 4000),
+      bucketBy = Some(("k", 8)))
+    // the planner may demote the bucketed SCAN (no join/agg wants the
+    // partitioning — DisableUnnecessaryBucketedScan), but bucket-set FILE
+    // pruning applies on the demoted path too: of the 8 per-bucket files,
+    // a point predicate must read exactly the one the key hashes to
+    val q = t.read().filter(col("k") === 1234L)
+    assert(q.collect().map(_.getLong(0)).toSeq === Seq(1234L))
+    val scan = q.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scan.nonEmpty, "expected a FileSourceScanExec")
+    // numFiles is recorded pre-bucket-pruning; the actual read set is the
+    // scan RDD's FilePartitions
+    val readFiles = scan.head.inputRDDs().head.partitions.toSeq.flatMap {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+        fp.files.map(_.filePath.toString).toSeq
+      case _ => Seq.empty[String]
+    }.distinct
+    assert(readFiles.length === 1,
+      s"bucket pruning must reduce an 8-file scan to the key's one bucket, " +
+        s"read: ${readFiles.length}")
+  }
+
+  test("append, COW merge, and compact all preserve the bucket layout") {
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, rows(0, 2000),
+      bucketBy = Some(("k", 8)))
+    t.append(rows(2000, 2500))
+    assertPlacement(t, 8, "k")
+    // keyed MERGE (COW rewrite of matched files + inserts)
+    t.merge(rows(2400, 2600).withColumn("s", lit("merged")),
+      "k", "k", whenMatchedSet = Map("s" -> col("s")),
+      sourceKeysUnique = true)
+    assertPlacement(t, 8, "k")
+    assert(t.read().count() === 2600)
+    assert(t.read().filter(col("s") === "merged").count() === 200)
+    t.compact(targetBytes = 1L << 30)
+    assertPlacement(t, 8, "k")
+    assert(t.read().count() === 2600)
+    // layout survived three write paths: the join is still shuffle-free
+    val rootB = freshRoot()
+    val b = Snapshots.create(spark, rootB,
+      rows(0, 100).select(col("k"), col("grp").as("g2")),
+      bucketBy = Some(("k", 8)))
+    assert(shuffles(t.read().join(b.read(), "k")) === 0)
+  }
+
+  test("partitioned + bucketed: partition pruning and bucket join co-exist") {
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, rows(0, 2000),
+      partitionBy = Seq("grp"), bucketBy = Some(("k", 4)))
+    assert(t.read().count() === 2000)
+    assert(t.read().filter(col("grp") === 3).count() ===
+      (0 until 2000).count(_ % 7 == 3))
+    assertPlacement(t, 4, "k")
+    val rootB = freshRoot()
+    val b = Snapshots.create(spark, rootB,
+      rows(0, 300).select(col("k"), col("s").as("s2")),
+      bucketBy = Some(("k", 4)))
+    val joined = t.read().filter(col("grp") === 1).join(b.read(), "k")
+    assert(shuffles(joined) === 0)
+    assert(joined.count() === rows(0, 300).filter(col("grp") === 1).count())
+  }
+
+  test("guards: bad create specs and bucket-column evolution refuse") {
+    val root = freshRoot()
+    intercept[IllegalArgumentException] {
+      Snapshots.create(spark, root, rows(0, 10), bucketBy = Some(("nope", 8))) }
+    intercept[IllegalArgumentException] {
+      Snapshots.create(spark, root, rows(0, 10), bucketBy = Some(("k", 1))) }
+    intercept[IllegalArgumentException] {
+      Snapshots.create(spark, root, rows(0, 10),
+        partitionBy = Seq("k"), bucketBy = Some(("k", 8))) }
+    val t = Snapshots.create(spark, freshRoot() , rows(0, 10),
+      bucketBy = Some(("k", 4)))
+    val e1 = intercept[IllegalArgumentException] { t.dropColumn("k") }
+    assert(e1.getMessage.contains("bucket column"))
+    val e2 = intercept[IllegalArgumentException] {
+      t.alterColumnType("k", org.apache.spark.sql.types.DoubleType) }
+    assert(e2.getMessage.contains("bucket column"))
+    // rename is metadata-only (physical name anchors the config): allowed,
+    // and the renamed table still joins shuffle-free
+    t.renameColumn("k", "key")
+    val b = Snapshots.create(spark, freshRoot(), rows(0, 10)
+      .select(col("k"), col("s").as("s2")), bucketBy = Some(("k", 4)))
+    val lhs = t.read(); val rhs = b.read()
+    val joined = lhs.join(rhs, lhs("key") === rhs("k"))
+    assert(joined.count() === 10)
+  }
+
+  test("MOR delete on a bucketed table: correct rows, layout intact") {
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, rows(0, 1000),
+      bucketBy = Some(("k", 4)))
+    t.deleteWhereMergeOnRead(col("k") < 100)
+    assert(t.read().count() === 900)
+    assert(t.read().agg(min("k")).head.getLong(0) === 100L)
+    // compaction folds the MOR deletes and re-buckets
+    t.compact(targetBytes = 1L << 30, minInputFiles = 1)
+    assert(t.latest().deletes.isEmpty)
+    assert(t.read().count() === 900)
+    assertPlacement(t, 4, "k")
+  }
+}
