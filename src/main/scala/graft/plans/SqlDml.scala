@@ -512,8 +512,15 @@ object SqlDml {
         val partBy =
           if (m.partitionCols.isEmpty) ""
           else s"\nPARTITIONED BY (${m.partitionCols.mkString(", ")})"
+        // render the bucket column by its LOGICAL name (the config stores
+        // the rename-proof physical one) so the statement re-runs
+        val clusterBy = t.bucketConfig().map { b =>
+          val logical = m.colMapping.collectFirst {
+            case (log, phys) if phys == b.col => log }.getOrElse(b.col)
+          s"\nCLUSTERED BY ($logical) INTO ${b.n} BUCKETS"
+        }.getOrElse("")
         s"CREATE TABLE $name (\n${(colLines ++ constraintLines).mkString(",\n")})\n" +
-          s"USING snapshot$partBy\nLOCATION '${r.root}'"
+          s"USING snapshot$partBy$clusterBy\nLOCATION '${r.root}'"
       case p: NamedTables.PathRef =>
         val colLines = spark.read.parquet(p.root).schema.fields
           .map(f => s"  ${f.name} ${f.dataType.sql}")
@@ -745,14 +752,40 @@ object SqlDml {
       .addColumns(org.apache.spark.sql.types.StructType(fields))
   }
 
+  /** Splits a v2 partitioning spec into identity partition columns and an
+    * optional bucket spec: `PARTITIONED BY (col, ...)` plus the reference's
+    * `CLUSTERED BY (col) INTO n BUCKETS` (ref ql/ddl CreateTableDesc
+    * bucketing spec; metastore StorageDescriptor.bucketCols), which Spark
+    * parses as a bucket transform.
+    */
   private def partitionColsOf(partitioning: Seq[
-      org.apache.spark.sql.connector.expressions.Transform]): Seq[String] =
-    partitioning.map { t =>
+      org.apache.spark.sql.connector.expressions.Transform])
+      : (Seq[String], Option[(String, Int)]) = {
+    val (buckets, rest) = partitioning.partition(_.name == "bucket")
+    val parts = rest.map { t =>
       if (t.name == "identity" && t.references.length == 1)
         t.references.head.fieldNames.mkString(".")
       else throw new UnsupportedOperationException(
-        s"only PARTITIONED BY (col, ...) is supported, got: $t")
+        s"only PARTITIONED BY (col, ...) and CLUSTERED BY (col) INTO n " +
+          s"BUCKETS are supported, got: $t")
     }
+    val bucketBy = buckets match {
+      case Nil => None
+      case Seq(b) =>
+        val refs = b.references
+        require(refs.length == 1 && refs.head.fieldNames.length == 1,
+          s"CLUSTERED BY supports exactly one top-level column, got: $b")
+        val n = b.arguments.collectFirst {
+          case lit: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            lit.value.toString.toInt
+        }.getOrElse(throw new UnsupportedOperationException(
+          s"bucket transform without a bucket count: $b"))
+        Some((refs.head.fieldNames.head, n))
+      case _ => throw new UnsupportedOperationException(
+        "at most one CLUSTERED BY ... INTO n BUCKETS clause is supported")
+    }
+    (parts, bucketBy)
+  }
 
   /** CREATE TABLE name USING snapshot LOCATION '<root>' — attaches an
     * existing snapshot table to the name, or creates an empty one when a
@@ -775,8 +808,9 @@ object SqlDml {
           c.name, c.dataType, c.nullable)))
       val empty = spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      val (partCols, bucketBy) = partitionColsOf(partitioning)
       val t = Snapshots.create(spark, root, empty.coalesce(1),
-        partitionBy = partitionColsOf(partitioning))
+        partitionBy = partCols, bucketBy = bucketBy)
       // column-level NOT NULL / DEFAULT and table-level CONSTRAINT clauses
       // become the engine's enforced/declared constraints (the table is
       // empty, so existence validation is trivially clean)
@@ -825,8 +859,9 @@ object SqlDml {
     val root = locationOf(name, spec)
     if (!snapshotExists(spark, root)) {
       val rows = GraftShims.ofRows(spark, NamedTables.substitute(spark, query))
+      val (partCols, bucketBy) = partitionColsOf(partitioning)
       Snapshots.create(spark, root, rows,
-        partitionBy = partitionColsOf(partitioning))
+        partitionBy = partCols, bucketBy = bucketBy)
     }
     NamedTables.registerSnapshot(name, root, writeModeOf(spec))
   }

@@ -803,6 +803,41 @@ object SqlDmlQueries {
     // stayed at its pre-publish count while the branch carried the staged
     // rows, then fast-forward and emit the published state. The oracle
     // replays the end state; the intermediate invariants are require()d.
+    // Bucketed snapshot tables + storage-partitioned join: two CTAS with
+    // CLUSTERED BY (custkey) INTO 8 BUCKETS, joined on the bucket key.
+    // The in-query invariant proves the join planned with ZERO shuffle
+    // exchanges (the reference's sort-merge-bucket map join, ref
+    // ql/.../optimizer/AbstractSMBJoinProc.java); the oracle replays the
+    // same join-aggregate over the raw tables.
+    q("s32_bucketed_spj",
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (spark, dir) =>
+      Seq("s32_o", "s32_c").foreach(n =>
+        if (NamedTables.get(n).isDefined) NamedTables.drop(n))
+      def sql(q: String) = Engine.sql(spark, dir, q)
+      sql(s"""CREATE TABLE s32_o USING snapshot
+             |CLUSTERED BY (o_custkey) INTO 8 BUCKETS LOCATION '${scratch()}'
+             |AS SELECT o_orderkey, o_custkey FROM orders""".stripMargin)
+      sql(s"""CREATE TABLE s32_c USING snapshot
+             |CLUSTERED BY (c_custkey) INTO 8 BUCKETS LOCATION '${scratch()}'
+             |AS SELECT c_custkey, c_mktsegment FROM customer""".stripMargin)
+      val joined = sql(
+        "SELECT c_mktsegment, o_orderkey FROM s32_c JOIN s32_o " +
+          "ON c_custkey = o_custkey")
+      joined.write.format("noop").mode("overwrite").save()
+      val nShuffles = joined.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.size
+      require(nShuffles == 0,
+        s"co-bucketed join must plan without exchanges, got $nShuffles")
+      sql("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+            |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+            |FROM s32_c JOIN s32_o ON c_custkey = o_custkey
+            |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    },
+
     q("s31_branch_wap",
       """SELECT CAST(id AS BIGINT) AS id, name,
         |  CAST(5 AS BIGINT) AS n_before_publish,

@@ -192,6 +192,30 @@ class SnapshotBucketSpec extends SparkSpec {
     assert(joined.count() === 10)
   }
 
+  test("SQL: CREATE ... CLUSTERED BY INTO BUCKETS, INSERT, SPJ, SHOW CREATE") {
+    def sql(q: String) = graft.Engine.sql(spark, sfDir, q)
+    val rootA = freshRoot(); val rootB = freshRoot()
+    try {
+      sql(s"""CREATE TABLE bkt_a (k BIGINT, s STRING) USING snapshot
+              CLUSTERED BY (k) INTO 4 BUCKETS LOCATION '$rootA'""")
+      sql(s"""CREATE TABLE bkt_b (k BIGINT, v DOUBLE) USING snapshot
+              CLUSTERED BY (k) INTO 4 BUCKETS LOCATION '$rootB'""")
+      sql("INSERT INTO bkt_a SELECT id AS k, concat('s', id) AS s " +
+        "FROM range(0, 1000)")
+      sql("INSERT INTO bkt_b SELECT id AS k, id * 1.5 AS v FROM range(0, 600)")
+      assertPlacement(Snapshots.table(spark, rootA), 4, "k")
+      val joined = sql(
+        "SELECT a.k, a.s, b.v FROM bkt_a a JOIN bkt_b b ON a.k = b.k")
+      assert(shuffles(joined) === 0,
+        "SQL-created co-bucketed tables must join with zero shuffles")
+      assert(joined.count() === 600)
+      val stmt = sql("SHOW CREATE TABLE bkt_a").head.getString(0)
+      assert(stmt.contains("CLUSTERED BY (k) INTO 4 BUCKETS"), stmt)
+    } finally {
+      NamedTables.drop("bkt_a"); NamedTables.drop("bkt_b")
+    }
+  }
+
   test("MOR delete on a bucketed table: correct rows, layout intact") {
     val root = freshRoot()
     val t = Snapshots.create(spark, root, rows(0, 1000),
