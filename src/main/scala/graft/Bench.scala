@@ -75,7 +75,17 @@ object Bench {
     "snapshot_versioned_roundtrip" -> ("snapshot-table (manifest log) DML " +
       "over orders: 3 appends + keyed MERGE + stats-pruned readWhere + " +
       "compact; v0 create untimed; every commit collects per-file min/max " +
-      "stats"))
+      "stats"),
+    "bucketed_spj_join" -> ("benched from r11 on: orders x lineitem " +
+      "join-aggregate over CO-BUCKETED snapshot tables (16 buckets on the " +
+      "order key, table build untimed) -- the join plans with ZERO " +
+      "exchanges (plan-asserted in SnapshotBucketSpec + s32); breakdown's " +
+      "bucketed_join_shuffle_baseline is the identical plan over raw " +
+      "parquet WITH the exchange. At sf0.1 both sides fit in page cache " +
+      "so the spread is near zero HERE; the exchanged bytes scale " +
+      "linearly with the fact tables, the bucketed plan's network cost " +
+      "stays zero -- the metric exists to pin the plan shape, not to " +
+      "manufacture a local speedup"))
 
   /** The 22 queries benched since round 1 and their r1 (sf0.1, local[32],
     * single-run) totals — emitted as `matched22_sec`/`matched22_vs_r1` so
@@ -92,6 +102,65 @@ object Bench {
     "p13_minhash_pairs", "t07_volume_shipping", "t13_customer_distribution",
     "t21_waiting_supplier")
   val r1MatchedTotalSec: Double = 17.7487
+
+  /** Bucketed snapshot tables for the SPJ measurement, built once per JVM
+    * (untimed — it's ingest): orders and lineitem bucketed 16 ways on the
+    * order key.
+    */
+  @volatile private var spjRoots: Option[(String, String)] = None
+  private def spjTables(spark: SparkSession, sfDir: String): (String, String) =
+    spjRoots.getOrElse {
+      import org.apache.spark.sql.functions._
+      val d = java.nio.file.Files.createTempDirectory("graft_bench_spj_")
+        .toString
+      graft.plans.Snapshots.create(spark, d + "/o",
+        Engine.table(spark, sfDir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        bucketBy = Some(("o_orderkey", 16)))
+      graft.plans.Snapshots.create(spark, d + "/l",
+        Engine.table(spark, sfDir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice")),
+        bucketBy = Some(("l_orderkey", 16)))
+      spjRoots = Some((d + "/o", d + "/l"))
+      spjRoots.get
+    }
+
+  /** Co-bucketed orders x lineitem join-aggregate over the bucketed
+    * snapshot tables — the fact-fact join with the shuffle planned AWAY
+    * (storage-partitioned join). Compare to
+    * `bucketed_join_shuffle_baseline` in the breakdown: the identical
+    * join-aggregate over plain parquet reads, exchanges and all. At 100 TB
+    * the delta IS the fact-join shuffle cost.
+    */
+  private def bucketedSpjJoin(spark: SparkSession, sfDir: String): Double = {
+    import org.apache.spark.sql.functions._
+    val (rootO, rootL) = spjTables(spark, sfDir)
+    val o = graft.plans.Snapshots.table(spark, rootO).read()
+    val l = graft.plans.Snapshots.table(spark, rootL).read()
+    val t0 = System.nanoTime()
+    o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("l_extendedprice")).as("rev"),
+        sum(col("l_quantity")).as("qty"))
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** The same join-aggregate over the raw parquet tables (shuffle join). */
+  private def shuffleJoinBaseline(spark: SparkSession, sfDir: String): Double = {
+    import org.apache.spark.sql.functions._
+    val o = Engine.table(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val l = Engine.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+    val t0 = System.nanoTime()
+    o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("l_extendedprice")).as("rev"),
+        sum(col("l_quantity")).as("qty"))
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
 
   /** Pruned-DML round-trip: builds an UNTIMED partitioned scratch copy of
     * orders, then times UPDATE (one partition) + DELETE (partition
@@ -192,6 +261,7 @@ object Bench {
     val picked = if (only.isEmpty) headline else headline.filter(only)
     val doDml = only.isEmpty || only("dml_pruned_roundtrip")
     val doSnap = only.isEmpty || only("snapshot_versioned_roundtrip")
+    val doSpj = only.isEmpty || only("bucketed_spj_join")
     picked.foreach { n =>
       try run(n) catch { case _: Throwable => () }
     }
@@ -207,6 +277,12 @@ object Bench {
       try snapshotRoundTrip(spark, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"[bench] snapshot warmup FAILED: ${e.getMessage}") }
+
+    // SPJ warmup (builds the bucketed tables + compiles both join plans)
+    if (doSpj)
+      try { bucketedSpjJoin(spark, sfDir); shuffleJoinBaseline(spark, sfDir) }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] spj warmup FAILED: ${e.getMessage}") }
 
     // measurement hygiene: drop every block the warmup pass left behind
     // (retained loser-id checkpoints etc.), clear cached relations, and GC so
@@ -248,6 +324,10 @@ object Bench {
         try { cleanStorage(gc = false); snapshotRoundTrip(spark, sfDir) }
         catch { case e: Throwable =>
           System.err.println(s"[bench] snapshot_versioned_roundtrip FAILED: ${e.getMessage}"); -1.0 }
+      })) ++ (if (!doSpj) Seq.empty else Seq("bucketed_spj_join" -> {
+        try { cleanStorage(gc = false); bucketedSpjJoin(spark, sfDir) }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] bucketed_spj_join FAILED: ${e.getMessage}"); -1.0 }
       }))
     val passes = (1 to nRuns).map(_ => measurePass())
     val names = passes.head.map(_._1)
@@ -285,7 +365,21 @@ object Bench {
              // warmup never compiled; without it attribution is jitter-bound
       name -> once()
     }
-    val bd = breakdown.map { case (k, v) => "\"" + k + "\":" + v }
+    // SPJ context: the identical join-aggregate with the shuffle still in
+    // the plan (min over the same number of runs; the warmup already
+    // compiled it) — the spread vs `bucketed_spj_join` is the fact-join
+    // exchange cost the bucketed layout removes.
+    val shuffleBaseline: Seq[(String, Double)] =
+      if (!doSpj) Seq.empty
+      else Seq("bucketed_join_shuffle_baseline" ->
+        (1 to nRuns).map { _ =>
+          try { cleanStorage(gc = false); shuffleJoinBaseline(spark, sfDir) }
+          catch { case e: Throwable =>
+            System.err.println(
+              s"[bench] shuffle baseline FAILED: ${e.getMessage}"); -1.0 }
+        }.filter(_ >= 0).minOption.getOrElse(-1.0))
+    val bd = (breakdown ++ shuffleBaseline)
+      .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
 
     // the driver records only the LAST ~2 KB of stdout: a single long line
