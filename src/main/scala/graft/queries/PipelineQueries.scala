@@ -762,5 +762,24 @@ object PipelineQueries {
         t(spark, dir, "documents"), k = 3, minLen = 4)
         .orderBy($"doc_id", $"rnk")
     },
+
+    // Corpus-trained BPE tokenizer (Sennrich et al. 2016): train 300
+    // merges from the word-frequency table (one shuffle at any corpus
+    // scale, driver state capped at maxWords), then encode every doc.
+    // Deterministic tie-breaks make the model — and this output —
+    // golden-stable; no other engine reproduces BPE, so rows-only +
+    // BpeSpec (hand-computed merges, losslessness, monotone compression).
+    rowsOnly("p41_bpe_tokens") { (spark, dir) =>
+      import spark.implicits._
+      val docs = t(spark, dir, "documents")
+      val model = graft.operators.Bpe.train(docs, "text",
+        numMerges = 300, maxWords = 20000)
+      graft.operators.Bpe.encode(docs, "text", model)
+        .select($"doc_id", $"n_bpe_tokens",
+          round($"n_chars".cast("double") / greatest($"n_bpe_tokens", lit(1)),
+            2).as("chars_per_token"),
+          concat_ws(" ", slice($"bpe_tokens", 1, 5)).as("head_tokens"))
+        .orderBy($"doc_id")
+    },
   )
 }
