@@ -78,6 +78,14 @@ object Engine {
     // (creation side ≤10MB builds the filter; fact scans ≥10GB apply it) —
     // sized for the 100 TB target, not for local toy data.
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    // Joins between tables bucketed at DIFFERENT counts (ratio ≤ the
+    // default 4) coalesce the finer side's buckets instead of shuffling
+    // both — the Hive contract where 8-bucket and 4-bucket tables SMB-join
+    // because one hash refines the other (ref ql/.../AbstractSMBJoinProc
+    // .java checkConvertBucketMapJoin bucket-count divisibility). Off by
+    // default in Spark; on here because bucketed snapshot tables make the
+    // case common.
+    spark.conf.set("spark.sql.bucketing.coalesceBucketsInJoin.enabled", "true")
     graft.functions.HiveFunctions.registerAll(spark)
     graft.functions.GeoFunctions.registerAll(spark)
     graft.plans.MaterializedViews.install(spark)

@@ -827,9 +827,19 @@ object SqlDmlQueries {
         "SELECT c_mktsegment, o_orderkey FROM s32_c JOIN s32_o " +
           "ON c_custkey = o_custkey")
       joined.write.format("noop").mode("overwrite").save()
-      val nShuffles = joined.queryExecution.executedPlan.collect {
-        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
-      }.size
+      // recursive traversal: AQE wrappers (AdaptiveSparkPlanExec /
+      // QueryStageExec) hide realized subtrees from plain collect, which
+      // would make this invariant vacuously true on a shuffling plan
+      def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          p +: nodes(a.executedPlan)
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          p +: nodes(qs.plan)
+        case other => other +: other.children.flatMap(nodes)
+      }
+      val nShuffles = nodes(joined.queryExecution.executedPlan).count(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
       require(nShuffles == 0,
         s"co-bucketed join must plan without exchanges, got $nShuffles")
       sql("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,

@@ -22,11 +22,23 @@ class SnapshotBucketSpec extends SparkSpec {
     (lo until hi).map(i => (i.toLong, s"name$i", i % 7)).toDF("k", "s", "grp")
   }
 
+  /** Every node of the FINAL physical plan: AdaptiveSparkPlanExec and
+    * QueryStageExec publish their realized subtrees via fields, not
+    * `children`, so a plain `collect` sees an empty shell on any
+    * AQE-wrapped query.
+    */
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      p +: allNodes(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      p +: allNodes(q.plan)
+    case other => other +: other.children.flatMap(allNodes)
+  }
+
   private def shuffles(df: DataFrame): Int = {
     df.write.format("noop").mode("overwrite").save() // force final plan (AQE)
-    df.queryExecution.executedPlan.collect {
-      case e: ShuffleExchangeExec => e
-    }.size
+    allNodes(df.queryExecution.executedPlan).count(_.isInstanceOf[ShuffleExchangeExec])
   }
 
   /** Every manifest file must carry a parseable bucket tag that matches its
@@ -88,15 +100,41 @@ class SnapshotBucketSpec extends SparkSpec {
     assert(agg.count() === 4000)
   }
 
-  test("mismatched bucket counts still join correctly (with a shuffle)") {
-    val rootA = freshRoot(); val rootB = freshRoot()
+  test("divisible bucket counts coalesce and join shuffle-free; coprime fall back") {
+    val rootA = freshRoot(); val rootB = freshRoot(); val rootC = freshRoot()
     val a = Snapshots.create(spark, rootA, rows(0, 1000),
       bucketBy = Some(("k", 8)))
     val b = Snapshots.create(spark, rootB,
       rows(0, 500).select(col("k"), col("s").as("s2")),
       bucketBy = Some(("k", 4)))
+    // 8 refines 4: CoalesceBucketsInJoin folds a's buckets pairwise —
+    // the Hive divisible-bucket SMB contract, no exchange on either side
     val joined = a.read().join(b.read(), "k")
+    assert(shuffles(joined) === 0,
+      "8-bucket x 4-bucket join must coalesce, not shuffle")
     assert(joined.count() === 500)
+    // non-divisible counts cannot co-locate: plans (with shuffles), correct
+    val c = Snapshots.create(spark, rootC,
+      rows(0, 300).select(col("k"), col("grp").as("g2")),
+      bucketBy = Some(("k", 3)))
+    val j2 = a.read().join(c.read(), "k")
+    assert(j2.count() === 300)
+  }
+
+  test("bucketed snapshot x warehouse bucketBy table: hash-compatible SMB join") {
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, rows(0, 800),
+      bucketBy = Some(("k", 4)))
+    Ddl.createBucketedTable(
+      rows(0, 400).select(col("k"), col("s").as("ws")),
+      "bkt_warehouse_t", buckets = 4, bucketCols = Seq("k"))
+    try {
+      val joined = t.read().join(spark.table("bkt_warehouse_t"), "k")
+      assert(shuffles(joined) === 0,
+        "snapshot and warehouse bucketing share the murmur3 hash — " +
+          "the join must not exchange")
+      assert(joined.count() === 400)
+    } finally spark.sql("DROP TABLE IF EXISTS bkt_warehouse_t")
   }
 
   test("bucket pruning: a point predicate reads one bucket") {
@@ -214,6 +252,57 @@ class SnapshotBucketSpec extends SparkSpec {
     } finally {
       NamedTables.drop("bkt_a"); NamedTables.drop("bkt_b")
     }
+  }
+
+  test("exactly-once streaming appendBatch preserves the bucket layout") {
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, rows(0, 500),
+      bucketBy = Some(("k", 4)))
+    t.appendBatch(rows(500, 700), streamId = "s1", batchId = 0L)
+    // replay is a no-op (the exactly-once contract), layout still holds
+    t.appendBatch(rows(500, 700), streamId = "s1", batchId = 0L)
+    assert(t.read().count() === 700)
+    assertPlacement(t, 4, "k")
+  }
+
+  test("dynamic partition pruning reaches the snapshot FileIndex") {
+    import spark.implicits._
+    val root = freshRoot()
+    // partitioned by grp (7 values) AND bucketed: DPP must prune the fact
+    // side's partitions from the dim filter at runtime, through the
+    // manifest-backed index, while the bucket layout rides along
+    val t = Snapshots.create(spark, root, rows(0, 2000),
+      partitionBy = Seq("grp"), bucketBy = Some(("k", 4)))
+    val totalFiles = t.latest().files.size
+    // DPP plans only when the dim side carries a SELECTIVE predicate (a
+    // Filter node) — and it must survive to the optimized plan, so the
+    // dim is file-backed (a filtered in-memory relation constant-folds
+    // away before the pruning rule runs)
+    val dimPath = java.nio.file.Files
+      .createTempDirectory("graft_dpp_dim_").toString + "/dim"
+    Seq((3, "three"), (5, "five"), (6, "six")).toDF("g", "gname")
+      .write.parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("gname") === "three")
+    val joined = t.read().join(dim, col("grp") === col("g"))
+    // execute THIS QueryExecution (a write would plan a separate one and
+    // the inspected scan's DPP subquery would never run)
+    val nRows = joined.collect().length
+    assert(nRows === (0 until 2000).count(_ % 7 == 3))
+    val scans = allNodes(joined.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.isInstanceOf[Snapshots.SnapshotFileIndex] => f
+    }
+    assert(scans.nonEmpty, "expected the snapshot-side scan")
+    val readFiles = scans.head.inputRDDs().head.partitions.toSeq.flatMap {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+        fp.files.map(_.filePath.toString).toSeq
+      case _ => Seq.empty[String]
+    }.distinct
+    assert(readFiles.size < totalFiles,
+      s"runtime pruning must cut the file set: read ${readFiles.size} " +
+        s"of $totalFiles")
+    assert(readFiles.forall(_.contains("grp=3")),
+      "every surviving file must be in the joined partition")
   }
 
   test("MOR delete on a bucketed table: correct rows, layout intact") {
