@@ -132,18 +132,31 @@ object Bench {
     * join-aggregate over plain parquet reads, exchanges and all. At 100 TB
     * the delta IS the fact-join shuffle cost.
     */
+  /** Both SPJ measurements run with auto-broadcast OFF: at bench SF the
+    * orders side would broadcast and both variants would measure the same
+    * broadcast join — at 100 TB neither fact side broadcasts, and the
+    * contrast being measured is merge-join-with-exchange vs
+    * merge-join-co-located.
+    */
+  private def noBroadcast(spark: SparkSession)(f: => Unit): Double = {
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try { val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   private def bucketedSpjJoin(spark: SparkSession, sfDir: String): Double = {
     import org.apache.spark.sql.functions._
     val (rootO, rootL) = spjTables(spark, sfDir)
     val o = graft.plans.Snapshots.table(spark, rootO).read()
     val l = graft.plans.Snapshots.table(spark, rootL).read()
-    val t0 = System.nanoTime()
-    o.join(l, col("o_orderkey") === col("l_orderkey"))
-      .groupBy(col("o_custkey"))
-      .agg(sum(col("l_extendedprice")).as("rev"),
-        sum(col("l_quantity")).as("qty"))
-      .write.format("noop").mode("overwrite").save()
-    (System.nanoTime() - t0) / 1e9
+    noBroadcast(spark) {
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("l_extendedprice")).as("rev"),
+          sum(col("l_quantity")).as("qty"))
+        .write.format("noop").mode("overwrite").save()
+    }
   }
 
   /** The same join-aggregate over the raw parquet tables (shuffle join). */
@@ -153,13 +166,13 @@ object Bench {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
     val l = Engine.table(spark, sfDir, "lineitem")
       .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
-    val t0 = System.nanoTime()
-    o.join(l, col("o_orderkey") === col("l_orderkey"))
-      .groupBy(col("o_custkey"))
-      .agg(sum(col("l_extendedprice")).as("rev"),
-        sum(col("l_quantity")).as("qty"))
-      .write.format("noop").mode("overwrite").save()
-    (System.nanoTime() - t0) / 1e9
+    noBroadcast(spark) {
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("l_extendedprice")).as("rev"),
+          sum(col("l_quantity")).as("qty"))
+        .write.format("noop").mode("overwrite").save()
+    }
   }
 
   /** Pruned-DML round-trip: builds an UNTIMED partitioned scratch copy of

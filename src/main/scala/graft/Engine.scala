@@ -86,6 +86,14 @@ object Engine {
     // default in Spark; on here because bucketed snapshot tables make the
     // case common.
     spark.conf.set("spark.sql.bucketing.coalesceBucketsInJoin.enabled", "true")
+    // Bucketed scans report their SORTED BY ordering (single-file buckets
+    // only — Spark still verifies that). Spark turned this off by default
+    // because externally-written bucketed files may lie about their sort
+    // (SPARK-28595); THIS engine owns every bucketed write path and sorts
+    // with the writer's required prefix, so the declared ordering is a
+    // guarantee — and it is what makes SMB merge joins sort-free, the
+    // whole point of the reference's SORTED BY contract.
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     graft.functions.HiveFunctions.registerAll(spark)
     graft.functions.GeoFunctions.registerAll(spark)
     graft.plans.MaterializedViews.install(spark)

@@ -180,7 +180,8 @@ object Snapshots {
     * assumes for bucketed relations and to warehouse tables written with
     * `bucketBy`, so snapshot tables co-join shuffle-free with THOSE too.
     */
-  final case class BucketConfig(col: String, n: Int)
+  final case class BucketConfig(col: String, n: Int,
+      sortCols: Seq[String] = Nil)
 
   /** A named snapshot ref — `kind` is "branch" (mutable head, writable)
     * or "tag" (immutable marker), pointing at a committed version (ref
@@ -229,9 +230,10 @@ object Snapshots {
   def create(spark: SparkSession, root: String, df: DataFrame,
       partitionBy: Seq[String] = Nil,
       checkpointInterval: Int = 8,
-      bucketBy: Option[(String, Int)] = None): SnapshotTable = {
+      bucketBy: Option[(String, Int)] = None,
+      bucketSortBy: Seq[String] = Nil): SnapshotTable = {
     val t = new SnapshotTable(spark, root, checkpointInterval)
-    t.initialize(df, partitionBy, bucketBy)
+    t.initialize(df, partitionBy, bucketBy, bucketSortBy)
     t
   }
 
@@ -523,13 +525,40 @@ object Snapshots {
         case Some(b) =>
           val base = physDf.withColumn(GbCol,
             pmod(hash(col(b.col)), lit(b.n)))
-          if (preserveLayout) base else base.repartition(b.n, col(b.col))
+          if (preserveLayout) base
+          else {
+            val rep = base.repartition(b.n, col(b.col))
+            // SORTED BY buckets: sort with the writer's required prefix
+            // (partition dirs first, bucket dir next) so FileFormatWriter
+            // keeps THIS order instead of re-sorting on its own prefix —
+            // each file then holds its sort columns in order and the scan
+            // reports the ordering (sort-free SMB merge joins)
+            if (b.sortCols.isEmpty) rep
+            else rep.sortWithinPartitions(
+              (partitionCols :+ GbCol) ++ b.sortCols map col: _*)
+          }
         case None => physDf
       }
       val writePartCols = partitionCols ++ (if (bCfg.isDefined) Seq(GbCol) else Nil)
       val w = toWrite.write.mode("errorifexists")
-      (if (writePartCols.nonEmpty) w.partitionBy(writePartCols: _*) else w)
-        .parquet(dir.toString)
+      def runWrite(): Unit =
+        (if (writePartCols.nonEmpty) w.partitionBy(writePartCols: _*) else w)
+          .parquet(dir.toString)
+      if (bCfg.isEmpty) runWrite()
+      else {
+        // When the input is THIS table (compact / COW rewrite), keep its
+        // bucketed scan ON for the duration of the write: the planner
+        // elides our repartition against the scan's HashPartitioning, and
+        // the auto-bucketed-scan demotion would then un-group the rows
+        // AFTER the shuffle is gone (split-based read tasks mixing
+        // buckets -> files-per-bucket multiply and the SORTED BY contract
+        // decays on every compaction). With the demotion off, the elision
+        // is sound — a self-rewrite re-buckets with ZERO shuffles.
+        val k = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+        val old = spark.conf.get(k)
+        spark.conf.set(k, "false")
+        try runWrite() finally spark.conf.set(k, old)
+      }
       if (bCfg.isDefined) tagBucketFiles(dir)
       val listed = listParquetStatus(dir)
       val files = listed.map(s => relativize(s.getPath))
@@ -755,7 +784,8 @@ object Snapshots {
       // bucket-key aggregations plan with no Exchange. The config stores
       // the physical name — exactly the name this relation's schema uses.
       val bSpec = bucketConfig().map(b =>
-        org.apache.spark.sql.catalyst.catalog.BucketSpec(b.n, Seq(b.col), Nil))
+        org.apache.spark.sql.catalyst.catalog.BucketSpec(b.n, Seq(b.col),
+          b.sortCols))
       val rel = HadoopFsRelation(index, index.partitionSchema, dataSchema,
         bSpec,
         new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
@@ -1044,8 +1074,11 @@ object Snapshots {
     // --------------------------------------------------------------- writes
 
     private[Snapshots] def initialize(df: DataFrame, partitionBy: Seq[String],
-        bucketBy: Option[(String, Int)] = None): Unit = {
+        bucketBy: Option[(String, Int)] = None,
+        bucketSortBy: Seq[String] = Nil): Unit = {
       require(versions().isEmpty, s"snapshot table already exists at $root")
+      require(bucketSortBy.isEmpty || bucketBy.isDefined,
+        "SORTED BY requires CLUSTERED BY ... INTO n BUCKETS")
       bucketBy.foreach { case (c, n) =>
         val f = df.schema.fields.find(_.name == c).getOrElse(
           throw new IllegalArgumentException(s"no such bucket column: $c"))
@@ -1057,9 +1090,15 @@ object Snapshots {
         require(n >= 2 && n <= 100000, s"bucket count must be in [2, 100000]: $n")
         require(!df.schema.fieldNames.contains(GbCol),
           s"bucketed tables reserve the column name $GbCol")
+        bucketSortBy.foreach { s =>
+          require(df.schema.fieldNames.contains(s),
+            s"no such SORTED BY column: $s")
+          require(!partitionBy.contains(s),
+            s"SORTED BY column $s is a partition column (constant per file)")
+        }
         // written before v0 stages so the very first files lay out bucketed;
         // physical == logical at birth (no mapping exists yet)
-        writeBucketConfig(BucketConfig(c, n))
+        writeBucketConfig(BucketConfig(c, n, bucketSortBy))
       }
       val (files, stats) = stage(df, partitionBy)
       val m = Manifest(0L, -1L, System.currentTimeMillis(), "create",
@@ -1404,8 +1443,9 @@ object Snapshots {
         require(existing.fields.length > 1,
           s"cannot drop the only column of $root")
         val phys = head.physical(name)
-        bucketConfig().foreach(b => require(b.col != phys,
-          s"cannot drop bucket column $name"))
+        bucketConfig().foreach(b => require(
+          b.col != phys && !b.sortCols.contains(phys),
+          s"cannot drop bucket/sort column $name"))
         val newSchema = org.apache.spark.sql.types.StructType(
           existing.fields.filterNot(_.name == name))
         val m = Manifest(nextSlot(head), head.version,
@@ -1462,6 +1502,12 @@ object Snapshots {
         // every existing file in the wrong bucket
         bucketConfig().foreach(b => require(b.col != head.physical(name),
           s"cannot change the type of bucket column $name"))
+        // a widened sort column would leave old files sorted by the narrow
+        // type's order — fine for numerics, but refuse for uniformity with
+        // the scan's declared ordering contract
+        bucketConfig().foreach(b => require(
+          !b.sortCols.contains(head.physical(name)),
+          s"cannot change the type of SORTED BY column $name"))
         require(widens(f.dataType, to),
           s"only lossless widenings are metadata-only: " +
             s"${f.dataType.simpleString} -> ${to.simpleString} is not")

@@ -515,9 +515,12 @@ object SqlDml {
         // render the bucket column by its LOGICAL name (the config stores
         // the rename-proof physical one) so the statement re-runs
         val clusterBy = t.bucketConfig().map { b =>
-          val logical = m.colMapping.collectFirst {
-            case (log, phys) if phys == b.col => log }.getOrElse(b.col)
-          s"\nCLUSTERED BY ($logical) INTO ${b.n} BUCKETS"
+          def logicalOf(phys: String): String = m.colMapping.collectFirst {
+            case (log, p) if p == phys => log }.getOrElse(phys)
+          val sorted =
+            if (b.sortCols.isEmpty) ""
+            else s" SORTED BY (${b.sortCols.map(logicalOf).mkString(", ")})"
+          s"\nCLUSTERED BY (${logicalOf(b.col)})$sorted INTO ${b.n} BUCKETS"
         }.getOrElse("")
         s"CREATE TABLE $name (\n${(colLines ++ constraintLines).mkString(",\n")})\n" +
           s"USING snapshot$partBy$clusterBy\nLOCATION '${r.root}'"
@@ -760,31 +763,42 @@ object SqlDml {
     */
   private def partitionColsOf(partitioning: Seq[
       org.apache.spark.sql.connector.expressions.Transform])
-      : (Seq[String], Option[(String, Int)]) = {
-    val (buckets, rest) = partitioning.partition(_.name == "bucket")
+      : (Seq[String], Option[(String, Int)], Seq[String]) = {
+    import org.apache.spark.sql.connector.expressions.{Literal => VLit, NamedReference}
+    val (buckets, rest) = partitioning.partition(t =>
+      t.name == "bucket" || t.name == "sorted_bucket")
     val parts = rest.map { t =>
       if (t.name == "identity" && t.references.length == 1)
         t.references.head.fieldNames.mkString(".")
       else throw new UnsupportedOperationException(
-        s"only PARTITIONED BY (col, ...) and CLUSTERED BY (col) INTO n " +
-          s"BUCKETS are supported, got: $t")
+        s"only PARTITIONED BY (col, ...) and CLUSTERED BY (col) " +
+          s"[SORTED BY (cols)] INTO n BUCKETS are supported, got: $t")
     }
+    // the transform companions are sql-private, so read the public
+    // Transform shape. Argument layouts (probed against Spark's parser):
+    //   bucket:        count-literal, bucketCols...
+    //   sorted_bucket: bucketCols..., count-literal, sortCols...
     val bucketBy = buckets match {
-      case Nil => None
+      case Nil => (None, Seq.empty[String])
       case Seq(b) =>
-        val refs = b.references
-        require(refs.length == 1 && refs.head.fieldNames.length == 1,
-          s"CLUSTERED BY supports exactly one top-level column, got: $b")
-        val n = b.arguments.collectFirst {
-          case lit: org.apache.spark.sql.connector.expressions.Literal[_] =>
-            lit.value.toString.toInt
-        }.getOrElse(throw new UnsupportedOperationException(
-          s"bucket transform without a bucket count: $b"))
-        Some((refs.head.fieldNames.head, n))
+        val args = b.arguments.toSeq
+        val litIdx = args.indexWhere(_.isInstanceOf[VLit[_]])
+        require(litIdx >= 0, s"bucket transform without a count: $b")
+        val n = args(litIdx).asInstanceOf[VLit[_]].value.toString.toInt
+        def refs(xs: Seq[org.apache.spark.sql.connector.expressions.Expression]) =
+          xs.collect { case r: NamedReference => r.fieldNames.mkString(".") }
+        val (cols, sortCols) =
+          if (b.name == "sorted_bucket")
+            (refs(args.take(litIdx)), refs(args.drop(litIdx + 1)))
+          else (refs(args), Seq.empty[String])
+        require(cols.length == 1,
+          s"CLUSTERED BY supports exactly one top-level column, " +
+            s"got: ${cols.mkString(", ")}")
+        (Some((cols.head, n)), sortCols)
       case _ => throw new UnsupportedOperationException(
         "at most one CLUSTERED BY ... INTO n BUCKETS clause is supported")
     }
-    (parts, bucketBy)
+    (parts, bucketBy._1, bucketBy._2)
   }
 
   /** CREATE TABLE name USING snapshot LOCATION '<root>' — attaches an
@@ -808,9 +822,9 @@ object SqlDml {
           c.name, c.dataType, c.nullable)))
       val empty = spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-      val (partCols, bucketBy) = partitionColsOf(partitioning)
+      val (partCols, bucketBy, sortBy) = partitionColsOf(partitioning)
       val t = Snapshots.create(spark, root, empty.coalesce(1),
-        partitionBy = partCols, bucketBy = bucketBy)
+        partitionBy = partCols, bucketBy = bucketBy, bucketSortBy = sortBy)
       // column-level NOT NULL / DEFAULT and table-level CONSTRAINT clauses
       // become the engine's enforced/declared constraints (the table is
       // empty, so existence validation is trivially clean)
@@ -859,9 +873,9 @@ object SqlDml {
     val root = locationOf(name, spec)
     if (!snapshotExists(spark, root)) {
       val rows = GraftShims.ofRows(spark, NamedTables.substitute(spark, query))
-      val (partCols, bucketBy) = partitionColsOf(partitioning)
+      val (partCols, bucketBy, sortBy) = partitionColsOf(partitioning)
       Snapshots.create(spark, root, rows,
-        partitionBy = partCols, bucketBy = bucketBy)
+        partitionBy = partCols, bucketBy = bucketBy, bucketSortBy = sortBy)
     }
     NamedTables.registerSnapshot(name, root, writeModeOf(spec))
   }

@@ -823,25 +823,38 @@ object SqlDmlQueries {
       sql(s"""CREATE TABLE s32_c USING snapshot
              |CLUSTERED BY (c_custkey) INTO 8 BUCKETS LOCATION '${scratch()}'
              |AS SELECT c_custkey, c_mktsegment FROM customer""".stripMargin)
-      val joined = sql(
-        "SELECT c_mktsegment, o_orderkey FROM s32_c JOIN s32_o " +
-          "ON c_custkey = o_custkey")
-      joined.write.format("noop").mode("overwrite").save()
-      // recursive traversal: AQE wrappers (AdaptiveSparkPlanExec /
-      // QueryStageExec) hide realized subtrees from plain collect, which
-      // would make this invariant vacuously true on a shuffling plan
-      def nodes(p: org.apache.spark.sql.execution.SparkPlan)
-          : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          p +: nodes(a.executedPlan)
-        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          p +: nodes(qs.plan)
-        case other => other +: other.children.flatMap(nodes)
-      }
-      val nShuffles = nodes(joined.queryExecution.executedPlan).count(
-        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
-      require(nShuffles == 0,
-        s"co-bucketed join must plan without exchanges, got $nShuffles")
+      // the invariant join runs with auto-broadcast OFF: at oracle scale
+      // customer would broadcast and zero-shuffle would be vacuously true
+      // of any layout — forcing the sort-merge path proves the BUCKETS
+      // carried the co-partitioning (the two-fact-tables shape at 100 TB)
+      val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = sql(
+          "SELECT c_mktsegment, o_orderkey FROM s32_c JOIN s32_o " +
+            "ON c_custkey = o_custkey")
+        joined.write.format("noop").mode("overwrite").save()
+        // recursive traversal: AQE wrappers (AdaptiveSparkPlanExec /
+        // QueryStageExec) hide realized subtrees from plain collect, which
+        // would make this invariant vacuously true on a shuffling plan
+        def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            p +: nodes(a.executedPlan)
+          case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            p +: nodes(qs.plan)
+          case other => other +: other.children.flatMap(nodes)
+        }
+        val all = nodes(joined.queryExecution.executedPlan)
+        val nShuffles = all.count(_.isInstanceOf[
+          org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+        require(nShuffles == 0,
+          s"co-bucketed join must plan without exchanges, got $nShuffles")
+        require(all.exists(_.isInstanceOf[
+            org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+          "expected a sort-merge join with broadcast disabled")
+      } finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
       sql("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
             |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
             |FROM s32_c JOIN s32_o ON c_custkey = o_custkey

@@ -41,6 +41,22 @@ class SnapshotBucketSpec extends SparkSpec {
     allNodes(df.queryExecution.executedPlan).count(_.isInstanceOf[ShuffleExchangeExec])
   }
 
+  /** Runs `f` with auto-broadcast OFF: these tables are toy-sized, so
+    * without this every equi-join broadcasts and a zero-shuffle assertion
+    * would be vacuously true of ANY layout. With SMJ forced, zero
+    * exchanges is provable only by the reported bucket partitioning — the
+    * 100 TB plan shape, where neither fact side broadcasts.
+    */
+  private def noBroadcast[T](f: => T): T = {
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try f finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  private def smjCount(df: DataFrame): Int =
+    allNodes(df.queryExecution.executedPlan).count(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec])
+
   /** Every manifest file must carry a parseable bucket tag that matches its
     * graftbucket= path segment, and every ROW in it must hash to that
     * bucket — the invariant zero-shuffle joins are correct BY.
@@ -83,8 +99,13 @@ class SnapshotBucketSpec extends SparkSpec {
       rows(0, 3000).withColumnRenamed("s", "s2").withColumnRenamed("grp", "g2"),
       bucketBy = Some(("k", 8)))
     val joined = a.read().join(b.read(), "k")
-    assert(shuffles(joined) === 0,
-      "co-bucketed equi-join must not exchange either side")
+    noBroadcast {
+      assert(shuffles(joined) === 0,
+        "co-bucketed equi-join must not exchange either side")
+      assert(smjCount(joined) === 1,
+        "with broadcast off this must be a sort-merge join — the shape " +
+          "two 100 TB fact tables get")
+    }
     assert(joined.count() === 3000)
     // result equality against a plain (shuffling) recompute
     val plain = rows(0, 4000).join(
@@ -110,8 +131,11 @@ class SnapshotBucketSpec extends SparkSpec {
     // 8 refines 4: CoalesceBucketsInJoin folds a's buckets pairwise —
     // the Hive divisible-bucket SMB contract, no exchange on either side
     val joined = a.read().join(b.read(), "k")
-    assert(shuffles(joined) === 0,
-      "8-bucket x 4-bucket join must coalesce, not shuffle")
+    noBroadcast {
+      assert(shuffles(joined) === 0,
+        "8-bucket x 4-bucket join must coalesce, not shuffle")
+      assert(smjCount(joined) === 1)
+    }
     assert(joined.count() === 500)
     // non-divisible counts cannot co-locate: plans (with shuffles), correct
     val c = Snapshots.create(spark, rootC,
@@ -130,9 +154,12 @@ class SnapshotBucketSpec extends SparkSpec {
       "bkt_warehouse_t", buckets = 4, bucketCols = Seq("k"))
     try {
       val joined = t.read().join(spark.table("bkt_warehouse_t"), "k")
-      assert(shuffles(joined) === 0,
-        "snapshot and warehouse bucketing share the murmur3 hash — " +
-          "the join must not exchange")
+      noBroadcast {
+        assert(shuffles(joined) === 0,
+          "snapshot and warehouse bucketing share the murmur3 hash — " +
+            "the join must not exchange")
+        assert(smjCount(joined) === 1)
+      }
       assert(joined.count() === 400)
     } finally spark.sql("DROP TABLE IF EXISTS bkt_warehouse_t")
   }
@@ -184,7 +211,7 @@ class SnapshotBucketSpec extends SparkSpec {
     val b = Snapshots.create(spark, rootB,
       rows(0, 100).select(col("k"), col("grp").as("g2")),
       bucketBy = Some(("k", 8)))
-    assert(shuffles(t.read().join(b.read(), "k")) === 0)
+    noBroadcast { assert(shuffles(t.read().join(b.read(), "k")) === 0) }
   }
 
   test("partitioned + bucketed: partition pruning and bucket join co-exist") {
@@ -200,7 +227,7 @@ class SnapshotBucketSpec extends SparkSpec {
       rows(0, 300).select(col("k"), col("s").as("s2")),
       bucketBy = Some(("k", 4)))
     val joined = t.read().filter(col("grp") === 1).join(b.read(), "k")
-    assert(shuffles(joined) === 0)
+    noBroadcast { assert(shuffles(joined) === 0) }
     assert(joined.count() === rows(0, 300).filter(col("grp") === 1).count())
   }
 
@@ -216,7 +243,7 @@ class SnapshotBucketSpec extends SparkSpec {
     val t = Snapshots.create(spark, freshRoot() , rows(0, 10),
       bucketBy = Some(("k", 4)))
     val e1 = intercept[IllegalArgumentException] { t.dropColumn("k") }
-    assert(e1.getMessage.contains("bucket column"))
+    assert(e1.getMessage.contains("bucket/sort column"))
     val e2 = intercept[IllegalArgumentException] {
       t.alterColumnType("k", org.apache.spark.sql.types.DoubleType) }
     assert(e2.getMessage.contains("bucket column"))
@@ -244,14 +271,77 @@ class SnapshotBucketSpec extends SparkSpec {
       assertPlacement(Snapshots.table(spark, rootA), 4, "k")
       val joined = sql(
         "SELECT a.k, a.s, b.v FROM bkt_a a JOIN bkt_b b ON a.k = b.k")
-      assert(shuffles(joined) === 0,
-        "SQL-created co-bucketed tables must join with zero shuffles")
+      noBroadcast {
+        assert(shuffles(joined) === 0,
+          "SQL-created co-bucketed tables must join with zero shuffles")
+        assert(smjCount(joined) === 1)
+      }
       assert(joined.count() === 600)
       val stmt = sql("SHOW CREATE TABLE bkt_a").head.getString(0)
       assert(stmt.contains("CLUSTERED BY (k) INTO 4 BUCKETS"), stmt)
     } finally {
       NamedTables.drop("bkt_a"); NamedTables.drop("bkt_b")
     }
+  }
+
+  test("SORTED BY buckets: sort-free merge join, graceful decay, compact restore") {
+    def sorts(df: DataFrame): Int = {
+      df.write.format("noop").mode("overwrite").save()
+      allNodes(df.queryExecution.executedPlan)
+        .count(_.isInstanceOf[org.apache.spark.sql.execution.SortExec])
+    }
+    val rootA = freshRoot(); val rootB = freshRoot()
+    val a = Snapshots.create(spark, rootA, rows(0, 2000),
+      bucketBy = Some(("k", 4)), bucketSortBy = Seq("k"))
+    val b = Snapshots.create(spark, rootB,
+      rows(0, 1200).select(col("k"), col("s").as("s2")),
+      bucketBy = Some(("k", 4)), bucketSortBy = Seq("k"))
+    // every file is internally sorted on k
+    a.latest().files.foreach { f =>
+      val ks = spark.read.parquet(rootA + "/" + f)
+        .select("k").collect().map(_.getLong(0)).toSeq
+      assert(ks === ks.sorted, s"file $f not sorted on k")
+    }
+    noBroadcast {
+      // the full SMB contract: a merge join with no exchange AND no sort
+      val j1 = a.read().join(b.read(), "k")
+      assert(shuffles(j1) === 0)
+      assert(smjCount(j1) === 1)
+      assert(sorts(j1) === 0,
+        "sorted co-bucketed merge join must not re-sort either side")
+      assert(j1.count() === 1200)
+      // an append makes 2 files per bucket: ordering can no longer be
+      // declared (two sorted runs are not one), joins stay correct and
+      // shuffle-free, sorts reappear
+      a.append(rows(2000, 2100))
+      val j2 = a.read().join(b.read(), "k")
+      assert(shuffles(j2) === 0)
+      assert(sorts(j2) > 0, "multi-file buckets cannot claim sortedness")
+      assert(j2.count() === 1200)
+      // compaction restores one sorted file per bucket -> sort-free again
+      a.compact(targetBytes = 1L << 30)
+      val j3 = a.read().join(b.read(), "k")
+      assert(shuffles(j3) === 0)
+      assert(sorts(j3) === 0, "compact must restore the sorted contract")
+      assert(j3.count() === 1200)
+    }
+  }
+
+  test("SQL: SORTED BY round-trips through CREATE and SHOW CREATE TABLE") {
+    def sql(q: String) = graft.Engine.sql(spark, sfDir, q)
+    val root = freshRoot()
+    try {
+      sql(s"""CREATE TABLE bkt_sorted (k BIGINT, v DOUBLE) USING snapshot
+              CLUSTERED BY (k) SORTED BY (k) INTO 4 BUCKETS
+              LOCATION '$root'""")
+      sql("INSERT INTO bkt_sorted SELECT id AS k, id * 0.5 AS v " +
+        "FROM range(0, 500)")
+      assert(Snapshots.table(spark, root).bucketConfig() ===
+        Some(Snapshots.BucketConfig("k", 4, Seq("k"))))
+      val stmt = sql("SHOW CREATE TABLE bkt_sorted").head.getString(0)
+      assert(stmt.contains("CLUSTERED BY (k) SORTED BY (k) INTO 4 BUCKETS"),
+        stmt)
+    } finally NamedTables.drop("bkt_sorted")
   }
 
   test("exactly-once streaming appendBatch preserves the bucket layout") {
