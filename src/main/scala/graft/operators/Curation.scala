@@ -97,4 +97,67 @@ object Curation {
         (col("epoch") === wFloor && draw < thr))
       .withColumn("epoch", col("epoch").cast("int"))
   }
+
+  /** DSIR-style importance resampling (the public data-selection design:
+    * Xie et al. 2023, arXiv:2302.03169 — importance weights from n-gram
+    * models + Gumbel-top-k): every document scores
+    * `log w = Σ_bigrams (ln p_target(bg) − ln p_raw(bg))` under add-k
+    * multinomials over the corpus bigram universe (target model trained on
+    * the `isTarget` rows, raw on everything), deterministic Gumbel noise
+    * (from md5 of the id — reproducible across runs/engines/partitionings
+    * like every Curation op) is added, and the `k` highest keys are
+    * selected — importance-weighted sampling without replacement toward
+    * the target domain.
+    *
+    * Output: one row per input doc — id, n_bigrams, log_weight (4dp),
+    * sample_key (4dp), selected.
+    *
+    * Scale: two bigram-keyed count aggregations, one keyed join back to
+    * doc bigrams, a per-doc aggregation, and a distributed top-k
+    * (TakeOrderedAndProject — k ids to the driver, broadcast back as the
+    * selection flag); never a global window, never an RNG.
+    */
+  def dsirResample(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, k: Int, addK: Double = 0.5): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val docBg = df.select(col(idCol),
+      explode(TextAnalysis.bigrams(col(textCol))).as("bg"))
+    val rawC = docBg.groupBy(col("bg"))
+      .agg(count(lit(1)).cast("double").as("c_raw"))
+    val tgtC = df.filter(isTarget)
+      .select(col(idCol), explode(TextAnalysis.bigrams(col(textCol))).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).cast("double").as("c_tgt"))
+    // model totals + bigram-universe size (broadcast scalars)
+    val totals = rawC.agg(sum(col("c_raw")).as("n_raw"),
+      count(lit(1)).cast("double").as("n_distinct"))
+    val tgtTotal = tgtC.agg(sum(col("c_tgt")).as("n_tgt"))
+    // per-bigram log ratio under add-k smoothing over the SHARED universe
+    // (every corpus bigram has c_raw >= 1; absent-in-target coalesces to 0)
+    val ratios = rawC.join(tgtC, Seq("bg"), "left")
+      .crossJoin(broadcast(totals)).crossJoin(broadcast(tgtTotal))
+      .select(col("bg"),
+        (log((coalesce(col("c_tgt"), lit(0.0)) + addK) /
+            (coalesce(col("n_tgt"), lit(0.0)) + lit(addK) * col("n_distinct"))) -
+          log((col("c_raw") + addK) /
+            (col("n_raw") + lit(addK) * col("n_distinct")))).as("lr"))
+    val scored0 = docBg.join(ratios, "bg")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lr")).as("logw"))
+    // deterministic Gumbel: u in (0,1) from the first 8 md5 hex chars of
+    // the id; g = -ln(-ln u). Keys round to 4dp BEFORE ranking so the
+    // selection is stable across engines' last-bit log differences.
+    val u = (conv(hashKey(col(idCol)), 16, 10).cast("double") + 0.5) /
+      4294967296.0
+    val scored = df.select(col(idCol)).join(scored0, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(coalesce(col("logw"), lit(0.0)), 4).as("log_weight"),
+        round(coalesce(col("logw"), lit(0.0)) - log(-log(u)), 4)
+          .as("sample_key"))
+    val chosen = scored.orderBy(col("sample_key").desc, col(idCol))
+      .limit(k).select(col(idCol).as("__sel"))
+    scored.join(broadcast(chosen), col(idCol) === col("__sel"), "left")
+      .select(col(idCol), col("n_bigrams"), col("log_weight"),
+        col("sample_key"), col("__sel").isNotNull.as("selected"))
+  }
 }

@@ -763,6 +763,52 @@ object PipelineQueries {
         .orderBy($"doc_id", $"rnk")
     },
 
+    // DSIR-style importance resampling (Xie et al. 2023): bigram-multinomial
+    // importance weights toward the English subset + deterministic
+    // md5-Gumbel top-k selection; the oracle retrains both models and
+    // replays the whole selection in DuckDB.
+    q("p42_dsir_resample",
+      """WITH w AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |bgidx AS (
+        |  SELECT doc_id, lang, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM w),
+        |bg AS (SELECT doc_id, lang, ws[i] || ' ' || ws[i+1] AS bg FROM bgidx),
+        |rawc AS (SELECT bg, CAST(count(*) AS DOUBLE) AS c_raw FROM bg GROUP BY bg),
+        |tgtc AS (SELECT bg, CAST(count(*) AS DOUBLE) AS c_tgt
+        |         FROM bg WHERE lang = 'en' GROUP BY bg),
+        |tot AS (SELECT sum(c_raw) AS n_raw, CAST(count(*) AS DOUBLE) AS n_distinct
+        |        FROM rawc),
+        |ttot AS (SELECT sum(c_tgt) AS n_tgt FROM tgtc),
+        |ratios AS (
+        |  SELECT rawc.bg,
+        |    ln((coalesce(c_tgt, 0) + 0.5) / (coalesce(n_tgt, 0) + 0.5 * n_distinct))
+        |      - ln((c_raw + 0.5) / (n_raw + 0.5 * n_distinct)) AS lr
+        |  FROM rawc LEFT JOIN tgtc USING (bg) CROSS JOIN tot CROSS JOIN ttot),
+        |sc0 AS (
+        |  SELECT bg.doc_id, count(*) AS n_bigrams, sum(lr) AS logw
+        |  FROM bg JOIN ratios USING (bg) GROUP BY 1),
+        |scored AS (
+        |  SELECT w.doc_id,
+        |    coalesce(n_bigrams, 0) AS n_bigrams,
+        |    round(coalesce(logw, 0), 4) AS log_weight,
+        |    round(coalesce(logw, 0) - ln(-ln(
+        |      (CAST('0x' || substr(md5(CAST(w.doc_id AS VARCHAR)), 1, 8) AS UBIGINT)
+        |        + 0.5) / 4294967296.0)), 4) AS sample_key
+        |  FROM w LEFT JOIN sc0 USING (doc_id)),
+        |chosen AS (
+        |  SELECT doc_id FROM scored ORDER BY sample_key DESC, doc_id LIMIT 100)
+        |SELECT s.doc_id, s.n_bigrams, s.log_weight, s.sample_key,
+        |  s.doc_id IN (SELECT doc_id FROM chosen) AS selected
+        |FROM scored s ORDER BY s.doc_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      graft.operators.Curation.dsirResample(
+        t(spark, dir, "documents"), "doc_id", "text",
+        isTarget = $"lang" === "en", k = 100)
+        .orderBy($"doc_id")
+    },
+
     // Corpus-trained BPE tokenizer (Sennrich et al. 2016): train 300
     // merges from the word-frequency table (one shuffle at any corpus
     // scale, driver state capped at maxWords), then encode every doc.

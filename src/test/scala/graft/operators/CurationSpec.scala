@@ -86,4 +86,38 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(r.length - 1)).toMap
     assert(grown === first)
   }
+
+  test("dsirResample: target enrichment, exact-k, determinism, coverage") {
+    val full = Engine.table(spark, sfDir, "documents")
+    val r1 = Curation.dsirResample(full, "doc_id", "text",
+      isTarget = col("lang") === "en", k = 100)
+    val rows = r1.collect()
+    // one output row per input doc; exactly k selected
+    assert(rows.length === full.count())
+    val selected = rows.filter(_.getAs[Boolean]("selected"))
+    assert(selected.length === 100)
+    // importance weights pull toward the target: the selected set must be
+    // enriched in the target language vs the corpus base rate (193/500)
+    val selIds = selected.map(_.getLong(0)).toSet
+    val enRate = full.filter(col("doc_id").isin(selIds.toSeq: _*))
+      .filter(col("lang") === "en").count().toDouble / selIds.size
+    assert(enRate > 0.55,
+      f"selected set must be target-enriched, got en rate $enRate%.2f " +
+        "(base rate 0.39)")
+    // deterministic: a repartitioned rerun selects the identical set
+    val r2 = Curation.dsirResample(full.repartition(7), "doc_id", "text",
+      isTarget = col("lang") === "en", k = 100)
+    val sel2 = r2.filter(col("selected")).collect().map(_.getLong(0)).toSet
+    assert(sel2 === selIds)
+    // a pure-target doc outranks (in expectation) a pure-non-target one:
+    // spot-check that log weights order sensibly
+    val byLang = full.select(col("doc_id"), col("lang"))
+      .join(r1.select(col("doc_id"), col("log_weight")), "doc_id")
+    val avgEn = byLang.filter(col("lang") === "en")
+      .agg(avg("log_weight")).head.getDouble(0)
+    val avgZh = byLang.filter(col("lang") === "zh")
+      .agg(avg("log_weight")).head.getDouble(0)
+    assert(avgEn > avgZh,
+      s"target docs must average higher log weight ($avgEn vs $avgZh)")
+  }
 }
