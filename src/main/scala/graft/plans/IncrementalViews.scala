@@ -53,6 +53,40 @@ object IncrementalViews {
       keys: Seq[String], aggs: Seq[AggSpec]): IncrementalAggView =
     new IncrementalAggView(spark, tableRoot, mvPath, keys, aggs)
 
+  /** Incrementally maintained aggregate over an INNER equi-join of TWO
+    * snapshot tables — the join case of the reference's incremental
+    * rebuild (ref ql/optimizer/calcite/rules/views/
+    * HiveJoinInsertIncrementalRewritingRule.java: insert-only joins
+    * maintain as a union of delta joins). With `A_new = A_old ∪ ΔA` and
+    * `B_new = B_old ∪ ΔB` (insert-only on both sides):
+    *
+    * {{{ Δ(A ⋈ B) = (ΔA ⋈ B_new) ∪ (A_old ⋈ ΔB) }}}
+    *
+    * — ΔA⋈ΔB lands exactly once (inside the first term), so folding the
+    * partial-aggregated delta into the stored state is exact. A_old comes
+    * from TIME TRAVEL to the version the MV reflects — the capability that
+    * makes join maintenance possible on this table format at all.
+    *
+    * Scale: a refresh joins the DELTAS against one full side each — at
+    * 100 TB with daily appends that is O(day ⋈ dim/fact), never
+    * O(history ⋈ history), and when both tables are bucketed on the join
+    * key the delta joins are shuffle-free on the big side.
+    */
+  def createJoin(spark: SparkSession, leftRoot: String, rightRoot: String,
+      mvPath: String, joinOn: Seq[(String, String)], keys: Seq[String],
+      aggs: Seq[AggSpec]): IncrementalJoinAggView = {
+    val v = new IncrementalJoinAggView(spark, leftRoot, rightRoot, mvPath,
+      joinOn, keys, aggs)
+    v.rebuildFull()
+    v
+  }
+
+  def openJoin(spark: SparkSession, leftRoot: String, rightRoot: String,
+      mvPath: String, joinOn: Seq[(String, String)], keys: Seq[String],
+      aggs: Seq[AggSpec]): IncrementalJoinAggView =
+    new IncrementalJoinAggView(spark, leftRoot, rightRoot, mvPath,
+      joinOn, keys, aggs)
+
   final class IncrementalAggView private[IncrementalViews] (
       spark: SparkSession, tableRoot: String, mvPath: String,
       keys: Seq[String], aggs: Seq[AggSpec]) {
@@ -174,6 +208,136 @@ object IncrementalViews {
         case a => col(a.name)
       }
       base.select(outCols: _*)
+    }
+  }
+
+  /** See [[createJoin]]. State carries one reflected version PER SIDE. */
+  final class IncrementalJoinAggView private[IncrementalViews] (
+      spark: SparkSession, leftRoot: String, rightRoot: String,
+      mvPath: String, joinOn: Seq[(String, String)], keys: Seq[String],
+      aggs: Seq[AggSpec]) {
+    require(joinOn.nonEmpty, "joinOn must name at least one key pair")
+
+    private def left = Snapshots.table(spark, leftRoot)
+    private def right = Snapshots.table(spark, rightRoot)
+    private val statePath = java.nio.file.Paths.get(mvPath, "_mv_state.json")
+    private def dataDir = s"$mvPath/data"
+
+    private def joined(l: DataFrame, r: DataFrame): DataFrame =
+      if (joinOn.forall(p => p._1 == p._2)) l.join(r, joinOn.map(_._1))
+      else l.join(r, joinOn.map { case (a, b) => l(a) === r(b) }.reduce(_ && _))
+
+    private def storageAggs: Seq[org.apache.spark.sql.Column] = aggs.flatMap {
+      case AggSpec("sum", in, name) => Seq(sum(col(in)).as(name))
+      case AggSpec("count", _, name) => Seq(count(lit(1)).as(name))
+      case AggSpec("min", in, name) => Seq(min(col(in)).as(name))
+      case AggSpec("max", in, name) => Seq(max(col(in)).as(name))
+      case AggSpec("avg", in, name) => Seq(
+        sum(col(in)).as(s"${name}__sum"), count(col(in)).as(s"${name}__cnt"))
+      case other => sys.error(s"unreachable: $other")
+    }
+
+    private def partialAgg(rows: DataFrame): DataFrame = {
+      val as = storageAggs
+      rows.groupBy(keys.map(col): _*).agg(as.head, as.tail: _*)
+    }
+
+    private def merge(parts: DataFrame): DataFrame = {
+      val folds = aggs.flatMap {
+        case AggSpec("sum", _, name) => Seq(sum(col(name)).as(name))
+        case AggSpec("count", _, name) => Seq(sum(col(name)).as(name))
+        case AggSpec("min", _, name) => Seq(min(col(name)).as(name))
+        case AggSpec("max", _, name) => Seq(max(col(name)).as(name))
+        case AggSpec("avg", _, name) => Seq(
+          sum(col(s"${name}__sum")).as(s"${name}__sum"),
+          sum(col(s"${name}__cnt")).as(s"${name}__cnt"))
+        case other => sys.error(s"unreachable: $other")
+      }
+      parts.groupBy(keys.map(col): _*).agg(folds.head, folds.tail: _*)
+    }
+
+    private def writeState(df: DataFrame, vLeft: Long, vRight: Long): Unit = {
+      val staged = s"$mvPath/data-${java.util.UUID.randomUUID().toString.take(8)}"
+      df.write.mode("errorifexists").parquet(staged)
+      val old = java.nio.file.Paths.get(dataDir)
+      if (java.nio.file.Files.exists(old)) {
+        val bak = java.nio.file.Paths.get(s"$mvPath/data-old")
+        java.nio.file.Files.move(old, bak)
+        java.nio.file.Files.move(java.nio.file.Paths.get(staged), old)
+        org.apache.commons.io.FileUtils.deleteDirectory(bak.toFile)
+      } else {
+        java.nio.file.Files.createDirectories(old.getParent)
+        java.nio.file.Files.move(java.nio.file.Paths.get(staged), old)
+      }
+      writeVersions(vLeft, vRight)
+    }
+
+    private def writeVersions(vLeft: Long, vRight: Long): Unit =
+      java.nio.file.Files.writeString(statePath,
+        s"""{"left":$vLeft,"right":$vRight}""")
+
+    /** (left version, right version) this materialization reflects. */
+    def versions(): (Long, Long) = {
+      require(java.nio.file.Files.exists(statePath),
+        s"not an incremental join MV (no _mv_state.json): $mvPath")
+      val s = java.nio.file.Files.readString(statePath)
+      def f(k: String) =
+        s"""(?s).*"$k":(-?\\d+).*""".r.findFirstMatchIn(s) match {
+          case Some(m) => m.group(1).toLong
+          case None => sys.error(s"malformed MV state: $s")
+        }
+      (f("left"), f("right"))
+    }
+
+    def rebuildFull(): RefreshResult = {
+      val hl = left.latest(); val hr = right.latest()
+      writeState(partialAgg(joined(
+        left.readVersion(hl.version), right.readVersion(hr.version))),
+        hl.version, hr.version)
+      RefreshResult("full", math.max(hl.version, hr.version), -1L)
+    }
+
+    /** Incremental when BOTH logs since the reflected versions hold only
+      * insert/reorganization commits; full rebuild otherwise.
+      */
+    def refresh(): RefreshResult = {
+      val (vl, vr) = versions()
+      val l = left; val r = right
+      val hl = l.latest(); val hr = r.latest()
+      if (hl.version == vl && hr.version == vr)
+        return RefreshResult("noop", math.max(vl, vr), 0L)
+      def insertOnly(ms: Seq[Snapshots.Manifest]) = ms.forall(m =>
+        m.action == "append" || m.action == "compact" ||
+          m.action == "cluster" || m.action == "zorder")
+      if (!insertOnly(l.historySince(vl)) || !insertOnly(r.historySince(vr)))
+        return rebuildFull()
+      def deltaOf(t: Snapshots.SnapshotTable, since: Long, cap: Long) =
+        t.readChanges(sinceVersion = since)
+          .filter(col("_commit_version") <= cap)
+          .drop("_commit_version", "_commit_action")
+      val dl = deltaOf(l, vl, hl.version)
+      val dr = deltaOf(r, vr, hr.version)
+      // Δ(A⋈B) = ΔA⋈B_new ∪ A_old⋈ΔB — ΔA⋈ΔB appears exactly once
+      val delta = joined(dl, r.readVersion(hr.version))
+        .unionByName(joined(l.readVersion(vl), dr))
+      val deltaRows = delta.count()
+      if (deltaRows > 0)
+        writeState(merge(partialAgg(delta).unionByName(storedPartials())),
+          hl.version, hr.version)
+      else writeVersions(hl.version, hr.version)
+      RefreshResult("incremental", math.max(hl.version, hr.version), deltaRows)
+    }
+
+    private def storedPartials(): DataFrame = spark.read.parquet(dataDir)
+
+    /** The materialized join aggregate, avg derived from sum+count. */
+    def read(): DataFrame = {
+      val outCols = keys.map(col) ++ aggs.map {
+        case AggSpec("avg", _, name) =>
+          (col(s"${name}__sum") / col(s"${name}__cnt")).as(name)
+        case a => col(a.name)
+      }
+      storedPartials().select(outCols: _*)
     }
   }
 }

@@ -165,6 +165,41 @@ object SnapshotQueries {
         .orderBy($"o_orderstatus")
     },
 
+    // Incremental JOIN-MV maintenance: an aggregate over orders ⋈ customer
+    // with BOTH sides appended after materialization — the delta-join
+    // refresh (ΔA⋈B_new ∪ A_old⋈ΔB, A_old via time travel) must equal the
+    // from-scratch join-aggregate DuckDB computes over the final state.
+    // The incremental mode is proven in-query.
+    q("s33_incremental_join_mv",
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import graft.plans.IncrementalViews
+      import IncrementalViews.AggSpec
+      val orders = Engine.table(spark, dir, "orders")
+        .select($"o_orderkey", $"o_custkey")
+      val custs = Engine.table(spark, dir, "customer")
+        .select($"c_custkey", $"c_mktsegment")
+      val lt = Snapshots.create(spark, scratch(),
+        orders.filter($"o_orderkey" % 2 === 0))
+      val rt = Snapshots.create(spark, scratch(),
+        custs.filter($"c_custkey" % 2 === 0))
+      val mv = IncrementalViews.createJoin(spark, lt.root, rt.root, scratch(),
+        Seq(("o_custkey", "c_custkey")), Seq("c_mktsegment"),
+        Seq(AggSpec("count", "*", "n"),
+          AggSpec("sum", "o_orderkey", "key_sum_raw")))
+      lt.append(orders.filter($"o_orderkey" % 2 === 1))
+      rt.append(custs.filter($"c_custkey" % 2 === 1))
+      val r = mv.refresh()
+      require(r.mode == "incremental", s"expected incremental refresh, got $r")
+      mv.read()
+        .select($"c_mktsegment", $"n",
+          $"key_sum_raw".cast("long").as("key_sum"))
+        .orderBy($"c_mktsegment")
+    },
+
     // Merge-on-read DELETE (delete-sidecar, no data-file rewrites), then a
     // compaction that folds the sidecar into rewritten base files — the
     // visible result must equal the plain relational delete throughout.

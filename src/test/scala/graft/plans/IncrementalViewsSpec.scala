@@ -123,4 +123,79 @@ class IncrementalViewsSpec extends SparkSpec {
     assert(r.deltaRows === 10, "delta must be the appended rows, not a rescan")
     assertMatches(mv, t)
   }
+
+  // ---- join MVs: Δ(A⋈B) = ΔA⋈B_new ∪ A_old⋈ΔB ------------------------
+
+  private def orders(lo: Int, hi: Int) = {
+    import spark.implicits._
+    (lo until hi).map(i => (i.toLong, (i % 20).toLong, i * 2.0))
+      .toDF("oid", "cid", "price")
+  }
+  private def custs(lo: Int, hi: Int) = {
+    import spark.implicits._
+    (lo until hi).map(i => (i.toLong, s"seg${i % 4}")).toDF("cid", "seg")
+  }
+
+  private def expectedJoin(l: Snapshots.SnapshotTable,
+      r: Snapshots.SnapshotTable): DataFrame =
+    l.read().join(r.read(), "cid").groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"), sum(col("price")).as("rev"),
+        avg(col("price")).as("ap"))
+
+  private def assertJoinMatches(mv: IncrementalViews.IncrementalJoinAggView,
+      l: Snapshots.SnapshotTable, r: Snapshots.SnapshotTable): Unit = {
+    val got = mv.read().orderBy("seg").collect().map(_.toSeq).toSeq
+    val want = expectedJoin(l, r).orderBy("seg").collect().map(_.toSeq).toSeq
+    assert(got === want)
+  }
+
+  private val joinSpecs = Seq(AggSpec("count", "*", "n"),
+    AggSpec("sum", "price", "rev"), AggSpec("avg", "price", "ap"))
+
+  test("join MV: appends to either or both sides fold incrementally") {
+    val l = Snapshots.create(spark, fresh("ivj_l"), orders(0, 200))
+    val r = Snapshots.create(spark, fresh("ivj_r"), custs(0, 12))
+    val mv = IncrementalViews.createJoin(spark, l.root, r.root,
+      fresh("ivj_mv"), Seq(("cid", "cid")), Seq("seg"), joinSpecs)
+    assertJoinMatches(mv, l, r)
+    // left-only append
+    l.append(orders(200, 260))
+    assert(mv.refresh().mode === "incremental")
+    assertJoinMatches(mv, l, r)
+    // right-only append: rows 12..19 now gain their customer — all their
+    // accumulated orders must fold in via A_old ⋈ ΔB
+    r.append(custs(12, 20))
+    assert(mv.refresh().mode === "incremental")
+    assertJoinMatches(mv, l, r)
+    // BOTH sides appended since the last refresh: ΔA⋈ΔB must land exactly
+    // once (new orders of cid 12..19 joined against just-added customers)
+    l.append(orders(260, 300))
+    r.append(custs(20, 20)) // empty right delta commit is fine too
+    val res = mv.refresh()
+    assert(res.mode === "incremental")
+    assertJoinMatches(mv, l, r)
+    // noop when current
+    assert(mv.refresh().mode === "noop")
+  }
+
+  test("join MV: a COW commit on either side forces a full rebuild") {
+    val l = Snapshots.create(spark, fresh("ivj_l2"), orders(0, 100))
+    val r = Snapshots.create(spark, fresh("ivj_r2"), custs(0, 20))
+    val mvp = fresh("ivj_mv2")
+    val mv = IncrementalViews.createJoin(spark, l.root, r.root,
+      mvp, Seq(("cid", "cid")), Seq("seg"), joinSpecs)
+    l.deleteWhere(col("oid") < 10)
+    assert(mv.refresh().mode === "full",
+      "a delete can retire joined rows — insert-only maintenance must bail")
+    assertJoinMatches(mv, l, r)
+    r.updateWhere(col("cid") === 3, Map("seg" -> lit("segX")))
+    assert(mv.refresh().mode === "full")
+    assertJoinMatches(mv, l, r)
+    // reopened view (fresh JVM analog) resumes from persisted two-sided state
+    val mv2 = IncrementalViews.openJoin(spark, l.root, r.root,
+      mvp, Seq(("cid", "cid")), Seq("seg"), joinSpecs)
+    l.append(orders(100, 120))
+    assert(mv2.refresh().mode === "incremental")
+    assertJoinMatches(mv2, l, r)
+  }
 }
