@@ -119,6 +119,13 @@ class SnapshotBucketSpec extends SparkSpec {
     assert(shuffles(agg) === 0,
       "bucket-key aggregation must not exchange")
     assert(agg.count() === 4000)
+    // window functions partitioned by the bucket column: no exchange either
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy("grp")
+    val win = a.read().withColumn("rn", row_number().over(w))
+    assert(shuffles(win) === 0,
+      "bucket-key window must not exchange")
+    assert(win.count() === 4000)
   }
 
   test("divisible bucket counts coalesce and join shuffle-free; coprime fall back") {
