@@ -180,8 +180,17 @@ object Snapshots {
     * assumes for bucketed relations and to warehouse tables written with
     * `bucketBy`, so snapshot tables co-join shuffle-free with THOSE too.
     */
-  final case class BucketConfig(col: String, n: Int,
+  final case class BucketConfig(cols: Seq[String], n: Int,
       sortCols: Seq[String] = Nil)
+
+  /** CREATE-time bucket spec: `CLUSTERED BY (cols) [SORTED BY (sortBy)]
+    * INTO n BUCKETS`.
+    */
+  final case class BucketBy(cols: Seq[String], n: Int,
+      sortBy: Seq[String] = Nil)
+  object BucketBy {
+    def apply(col: String, n: Int): BucketBy = BucketBy(Seq(col), n)
+  }
 
   /** A named snapshot ref — `kind` is "branch" (mutable head, writable)
     * or "tag" (immutable marker), pointing at a committed version (ref
@@ -231,9 +240,16 @@ object Snapshots {
       partitionBy: Seq[String] = Nil,
       checkpointInterval: Int = 8,
       bucketBy: Option[(String, Int)] = None,
-      bucketSortBy: Seq[String] = Nil): SnapshotTable = {
+      bucketSortBy: Seq[String] = Nil): SnapshotTable =
+    create(spark, root, df, partitionBy, checkpointInterval,
+      bucketBy.map { case (c, n) => BucketBy(Seq(c), n, bucketSortBy) })
+
+  /** As above with the full (multi-column) bucket spec. */
+  def create(spark: SparkSession, root: String, df: DataFrame,
+      partitionBy: Seq[String], checkpointInterval: Int,
+      bucket: Option[BucketBy]): SnapshotTable = {
     val t = new SnapshotTable(spark, root, checkpointInterval)
-    t.initialize(df, partitionBy, bucketBy, bucketSortBy)
+    t.initialize(df, partitionBy, bucket)
     t
   }
 
@@ -524,10 +540,10 @@ object Snapshots {
       val toWrite = bCfg match {
         case Some(b) =>
           val base = physDf.withColumn(GbCol,
-            pmod(hash(col(b.col)), lit(b.n)))
+            pmod(hash(b.cols.map(col): _*), lit(b.n)))
           if (preserveLayout) base
           else {
-            val rep = base.repartition(b.n, col(b.col))
+            val rep = base.repartition(b.n, b.cols.map(col): _*)
             // SORTED BY buckets: sort with the writer's required prefix
             // (partition dirs first, bucket dir next) so FileFormatWriter
             // keeps THIS order instead of re-sorting on its own prefix —
@@ -784,7 +800,7 @@ object Snapshots {
       // bucket-key aggregations plan with no Exchange. The config stores
       // the physical name — exactly the name this relation's schema uses.
       val bSpec = bucketConfig().map(b =>
-        org.apache.spark.sql.catalyst.catalog.BucketSpec(b.n, Seq(b.col),
+        org.apache.spark.sql.catalyst.catalog.BucketSpec(b.n, b.cols,
           b.sortCols))
       val rel = HadoopFsRelation(index, index.partitionSchema, dataSchema,
         bSpec,
@@ -1074,23 +1090,23 @@ object Snapshots {
     // --------------------------------------------------------------- writes
 
     private[Snapshots] def initialize(df: DataFrame, partitionBy: Seq[String],
-        bucketBy: Option[(String, Int)] = None,
-        bucketSortBy: Seq[String] = Nil): Unit = {
+        bucket: Option[BucketBy] = None): Unit = {
       require(versions().isEmpty, s"snapshot table already exists at $root")
-      require(bucketSortBy.isEmpty || bucketBy.isDefined,
-        "SORTED BY requires CLUSTERED BY ... INTO n BUCKETS")
-      bucketBy.foreach { case (c, n) =>
-        val f = df.schema.fields.find(_.name == c).getOrElse(
-          throw new IllegalArgumentException(s"no such bucket column: $c"))
-        require(!partitionBy.contains(c),
-          s"bucket column $c cannot also be a partition column")
-        require(org.apache.spark.sql.execution.datasources.BucketingUtils
-            .canBucketOn(f.dataType),
-          s"cannot bucket on ${f.dataType.simpleString} column $c")
+      bucket.foreach { case BucketBy(cols, n, sortBy) =>
+        require(cols.nonEmpty, "CLUSTERED BY needs at least one column")
+        cols.foreach { c =>
+          val f = df.schema.fields.find(_.name == c).getOrElse(
+            throw new IllegalArgumentException(s"no such bucket column: $c"))
+          require(!partitionBy.contains(c),
+            s"bucket column $c cannot also be a partition column")
+          require(org.apache.spark.sql.execution.datasources.BucketingUtils
+              .canBucketOn(f.dataType),
+            s"cannot bucket on ${f.dataType.simpleString} column $c")
+        }
         require(n >= 2 && n <= 100000, s"bucket count must be in [2, 100000]: $n")
         require(!df.schema.fieldNames.contains(GbCol),
           s"bucketed tables reserve the column name $GbCol")
-        bucketSortBy.foreach { s =>
+        sortBy.foreach { s =>
           require(df.schema.fieldNames.contains(s),
             s"no such SORTED BY column: $s")
           require(!partitionBy.contains(s),
@@ -1098,7 +1114,7 @@ object Snapshots {
         }
         // written before v0 stages so the very first files lay out bucketed;
         // physical == logical at birth (no mapping exists yet)
-        writeBucketConfig(BucketConfig(c, n, bucketSortBy))
+        writeBucketConfig(BucketConfig(cols, n, sortBy))
       }
       val (files, stats) = stage(df, partitionBy)
       val m = Manifest(0L, -1L, System.currentTimeMillis(), "create",
@@ -1444,7 +1460,7 @@ object Snapshots {
           s"cannot drop the only column of $root")
         val phys = head.physical(name)
         bucketConfig().foreach(b => require(
-          b.col != phys && !b.sortCols.contains(phys),
+          !b.cols.contains(phys) && !b.sortCols.contains(phys),
           s"cannot drop bucket/sort column $name"))
         val newSchema = org.apache.spark.sql.types.StructType(
           existing.fields.filterNot(_.name == name))
@@ -1500,7 +1516,8 @@ object Snapshots {
         // the murmur3 bucket hash is type-dependent (an int and the long it
         // widens to hash differently) — a widened bucket column would strand
         // every existing file in the wrong bucket
-        bucketConfig().foreach(b => require(b.col != head.physical(name),
+        bucketConfig().foreach(b => require(
+          !b.cols.contains(head.physical(name)),
           s"cannot change the type of bucket column $name"))
         // a widened sort column would leave old files sorted by the narrow
         // type's order — fine for numerics, but refuse for uniformity with

@@ -520,7 +520,8 @@ object SqlDml {
           val sorted =
             if (b.sortCols.isEmpty) ""
             else s" SORTED BY (${b.sortCols.map(logicalOf).mkString(", ")})"
-          s"\nCLUSTERED BY (${logicalOf(b.col)})$sorted INTO ${b.n} BUCKETS"
+          s"\nCLUSTERED BY (${b.cols.map(logicalOf).mkString(", ")})" +
+            s"$sorted INTO ${b.n} BUCKETS"
         }.getOrElse("")
         s"CREATE TABLE $name (\n${(colLines ++ constraintLines).mkString(",\n")})\n" +
           s"USING snapshot$partBy$clusterBy\nLOCATION '${r.root}'"
@@ -763,7 +764,7 @@ object SqlDml {
     */
   private def partitionColsOf(partitioning: Seq[
       org.apache.spark.sql.connector.expressions.Transform])
-      : (Seq[String], Option[(String, Int)], Seq[String]) = {
+      : (Seq[String], Option[Snapshots.BucketBy]) = {
     import org.apache.spark.sql.connector.expressions.{Literal => VLit, NamedReference}
     val (buckets, rest) = partitioning.partition(t =>
       t.name == "bucket" || t.name == "sorted_bucket")
@@ -771,7 +772,7 @@ object SqlDml {
       if (t.name == "identity" && t.references.length == 1)
         t.references.head.fieldNames.mkString(".")
       else throw new UnsupportedOperationException(
-        s"only PARTITIONED BY (col, ...) and CLUSTERED BY (col) " +
+        s"only PARTITIONED BY (col, ...) and CLUSTERED BY (cols) " +
           s"[SORTED BY (cols)] INTO n BUCKETS are supported, got: $t")
     }
     // the transform companions are sql-private, so read the public
@@ -779,7 +780,7 @@ object SqlDml {
     //   bucket:        count-literal, bucketCols...
     //   sorted_bucket: bucketCols..., count-literal, sortCols...
     val bucketBy = buckets match {
-      case Nil => (None, Seq.empty[String])
+      case Nil => None
       case Seq(b) =>
         val args = b.arguments.toSeq
         val litIdx = args.indexWhere(_.isInstanceOf[VLit[_]])
@@ -791,14 +792,13 @@ object SqlDml {
           if (b.name == "sorted_bucket")
             (refs(args.take(litIdx)), refs(args.drop(litIdx + 1)))
           else (refs(args), Seq.empty[String])
-        require(cols.length == 1,
-          s"CLUSTERED BY supports exactly one top-level column, " +
-            s"got: ${cols.mkString(", ")}")
-        (Some((cols.head, n)), sortCols)
+        require(cols.nonEmpty && cols.forall(!_.contains(".")),
+          s"CLUSTERED BY needs top-level columns, got: ${cols.mkString(", ")}")
+        Some(Snapshots.BucketBy(cols, n, sortCols))
       case _ => throw new UnsupportedOperationException(
         "at most one CLUSTERED BY ... INTO n BUCKETS clause is supported")
     }
-    (parts, bucketBy._1, bucketBy._2)
+    (parts, bucketBy)
   }
 
   /** CREATE TABLE name USING snapshot LOCATION '<root>' — attaches an
@@ -822,9 +822,9 @@ object SqlDml {
           c.name, c.dataType, c.nullable)))
       val empty = spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-      val (partCols, bucketBy, sortBy) = partitionColsOf(partitioning)
+      val (partCols, bucketBy) = partitionColsOf(partitioning)
       val t = Snapshots.create(spark, root, empty.coalesce(1),
-        partitionBy = partCols, bucketBy = bucketBy, bucketSortBy = sortBy)
+        partCols, 8, bucketBy)
       // column-level NOT NULL / DEFAULT and table-level CONSTRAINT clauses
       // become the engine's enforced/declared constraints (the table is
       // empty, so existence validation is trivially clean)
@@ -873,9 +873,8 @@ object SqlDml {
     val root = locationOf(name, spec)
     if (!snapshotExists(spark, root)) {
       val rows = GraftShims.ofRows(spark, NamedTables.substitute(spark, query))
-      val (partCols, bucketBy, sortBy) = partitionColsOf(partitioning)
-      Snapshots.create(spark, root, rows,
-        partitionBy = partCols, bucketBy = bucketBy, bucketSortBy = sortBy)
+      val (partCols, bucketBy) = partitionColsOf(partitioning)
+      Snapshots.create(spark, root, rows, partCols, 8, bucketBy)
     }
     NamedTables.registerSnapshot(name, root, writeModeOf(spec))
   }

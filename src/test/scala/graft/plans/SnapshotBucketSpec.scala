@@ -83,7 +83,7 @@ class SnapshotBucketSpec extends SparkSpec {
     val root = freshRoot()
     val t = Snapshots.create(spark, root, rows(0, 5000),
       bucketBy = Some(("k", 8)))
-    assert(t.bucketConfig() === Some(Snapshots.BucketConfig("k", 8)))
+    assert(t.bucketConfig() === Some(Snapshots.BucketConfig(Seq("k"), 8)))
     assert(t.read().count() === 5000)
     assert(t.read().agg(sum("k")).head.getLong(0) === (0L until 5000L).sum)
     assertPlacement(t, 8, "k")
@@ -344,11 +344,52 @@ class SnapshotBucketSpec extends SparkSpec {
       sql("INSERT INTO bkt_sorted SELECT id AS k, id * 0.5 AS v " +
         "FROM range(0, 500)")
       assert(Snapshots.table(spark, root).bucketConfig() ===
-        Some(Snapshots.BucketConfig("k", 4, Seq("k"))))
+        Some(Snapshots.BucketConfig(Seq("k"), 4, Seq("k"))))
       val stmt = sql("SHOW CREATE TABLE bkt_sorted").head.getString(0)
       assert(stmt.contains("CLUSTERED BY (k) SORTED BY (k) INTO 4 BUCKETS"),
         stmt)
     } finally NamedTables.drop("bkt_sorted")
+  }
+
+  test("multi-column CLUSTERED BY (k, grp): composite-key join shuffle-free") {
+    def sql(q: String) = graft.Engine.sql(spark, sfDir, q)
+    val rootA = freshRoot(); val rootB = freshRoot()
+    val a = Snapshots.create(spark, rootA, rows(0, 2000), Nil, 8,
+      Some(Snapshots.BucketBy(Seq("k", "grp"), 4)))
+    val b = Snapshots.create(spark, rootB,
+      rows(0, 800).select(col("k"), col("grp"), col("s").as("s2")),
+      Nil, 8, Some(Snapshots.BucketBy(Seq("k", "grp"), 4)))
+    // per-file placement on the COMPOSITE hash
+    import org.apache.spark.sql.execution.datasources.BucketingUtils
+    a.latest().files.foreach { f =>
+      val tag = BucketingUtils.getBucketId(f.split('/').last).get
+      val bad = spark.read.parquet(rootA + "/" + f)
+        .filter(pmod(hash(col("k"), col("grp")), lit(4)) =!= lit(tag))
+        .limit(1).count()
+      assert(bad === 0L, s"rows in $f hash outside composite bucket $tag")
+    }
+    noBroadcast {
+      val j = a.read().join(b.read(), Seq("k", "grp"))
+      assert(shuffles(j) === 0,
+        "composite-key co-bucketed join must not exchange")
+      assert(smjCount(j) === 1)
+      assert(j.count() === 800)
+      // joining on a PREFIX of the bucket keys cannot co-locate: the plan
+      // shuffles (correctly) instead of claiming false partitioning
+      val jk = a.read().join(
+        b.read().select(col("k"), col("s2")), Seq("k"))
+      assert(shuffles(jk) > 0)
+      assert(jk.count() === 800)
+    }
+    // SQL spelling round-trips
+    val rootC = freshRoot()
+    try {
+      sql(s"""CREATE TABLE bkt_mc (k BIGINT, grp INT, v DOUBLE)
+              USING snapshot CLUSTERED BY (k, grp) INTO 4 BUCKETS
+              LOCATION '$rootC'""")
+      val stmt = sql("SHOW CREATE TABLE bkt_mc").head.getString(0)
+      assert(stmt.contains("CLUSTERED BY (k, grp) INTO 4 BUCKETS"), stmt)
+    } finally NamedTables.drop("bkt_mc")
   }
 
   test("exactly-once streaming appendBatch preserves the bucket layout") {
