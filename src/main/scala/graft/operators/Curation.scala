@@ -98,6 +98,19 @@ object Curation {
       .withColumn("epoch", col("epoch").cast("int"))
   }
 
+  /** Deterministic per-epoch corpus shuffle: every row gets a
+    * `shuffle_key` = md5(id ":" epoch) and training order IS the key's
+    * sort order — reproducible across runs/engines/partitionings, and a
+    * different (but equally reproducible) permutation per epoch. No global
+    * rank is materialized (a global row_number is a single-partition
+    * bottleneck at 100 TB); consumers `orderBy(shuffle_key)` — a
+    * range-partitioned distributed sort — or write files in key order.
+    */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int): DataFrame =
+    df.withColumn("shuffle_key",
+      md5(concat(col(idCol).cast("string"), lit(":"), lit(epoch.toString))
+        .cast("binary")))
+
   /** DSIR-style importance resampling (the public data-selection design:
     * Xie et al. 2023, arXiv:2302.03169 — importance weights from n-gram
     * models + Gumbel-top-k): every document scores

@@ -467,8 +467,15 @@ object SqlDml {
               (n, s"DEFAULT $e", "") } ++
             c.informational.toSeq.sortBy(_._1).map { case (n, e) =>
               (n, e, "informational") }
+        val bucketRows = t.bucketConfig().toSeq.flatMap { b =>
+          Seq(("# Bucketing", "", ""),
+            ("Bucket Columns", b.cols.mkString(", "), ""),
+            ("Num Buckets", b.n.toString, "")) ++
+            (if (b.sortCols.isEmpty) Nil
+             else Seq(("Sort Columns", b.sortCols.mkString(", "), "")))
+        }
         (t.read().schema, m.partitionCols,
-          constraintRows ++
+          constraintRows ++ bucketRows ++
           Seq(("# Detail", "", ""), ("Format", "snapshot", ""),
             ("Location", r.root, ""), ("Write Mode", r.writeMode, ""),
             ("Version", m.version.toString, "")))
@@ -814,6 +821,23 @@ object SqlDml {
       throw new IllegalStateException(s"table $name already exists")
     }
     val root = locationOf(name, spec)
+    if (snapshotExists(spark, root)) {
+      // attach path: a declared CLUSTERED BY must MATCH the durable layout —
+      // silently ignoring bucket DDL would let a user believe a table is
+      // bucketed (and trust shuffle-free joins) when it is not
+      val (_, declared) = partitionColsOf(partitioning)
+      val actual = Snapshots.table(spark, root).bucketConfig()
+      declared.foreach { d =>
+        val matches = actual.exists(a =>
+          a.cols == d.cols && a.n == d.n && a.sortCols == d.sortBy)
+        require(matches,
+          s"CLUSTERED BY (${d.cols.mkString(", ")}) INTO ${d.n} BUCKETS " +
+            s"does not match the existing table at $root " +
+            s"(${actual.fold("not bucketed")(a =>
+              s"CLUSTERED BY (${a.cols.mkString(", ")}) INTO ${a.n} BUCKETS")}); " +
+            "bucketing is fixed at CREATE and cannot be changed by re-attach")
+      }
+    }
     if (!snapshotExists(spark, root)) {
       if (columns.isEmpty) throw new IllegalArgumentException(
         s"no snapshot table at $root and no column list to create one from")

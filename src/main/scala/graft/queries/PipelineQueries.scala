@@ -763,6 +763,17 @@ object PipelineQueries {
         .orderBy($"doc_id", $"rnk")
     },
 
+    // Deterministic epoch shuffle: the training-order permutation for epoch
+    // 3, reproduced cell-exactly by DuckDB (md5-keyed, rank-free).
+    q("p43_epoch_shuffle",
+      """SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':3') AS shuffle_key
+        |FROM documents ORDER BY shuffle_key""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      graft.operators.Curation.epochShuffle(
+        t(spark, dir, "documents").select($"doc_id"), "doc_id", epoch = 3)
+        .orderBy($"shuffle_key")
+    },
+
     // DSIR-style importance resampling (Xie et al. 2023): bigram-multinomial
     // importance weights toward the English subset + deterministic
     // md5-Gumbel top-k selection; the oracle retrains both models and

@@ -87,6 +87,20 @@ class CurationSpec extends SparkSpec {
     assert(grown === first)
   }
 
+  test("epochShuffle: reproducible permutation, distinct per epoch") {
+    val base = docs.select(col("doc_id"))
+    def order(epoch: Int) = Curation.epochShuffle(base, "doc_id", epoch)
+      .orderBy(col("shuffle_key")).collect().map(_.getLong(0)).toSeq
+    val e1 = order(1)
+    assert(e1 === order(1), "same epoch must reproduce the same order")
+    assert(e1.toSet === order(2).toSet, "a shuffle is a permutation")
+    assert(e1 !== order(2), "different epochs must permute differently")
+    // no global window in the plan (scale: the order is the sort, not a rank)
+    val plan = Curation.epochShuffle(base, "doc_id", 1)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("dsirResample: target enrichment, exact-k, determinism, coverage") {
     val full = Engine.table(spark, sfDir, "documents")
     val r1 = Curation.dsirResample(full, "doc_id", "text",

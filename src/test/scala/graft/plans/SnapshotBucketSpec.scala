@@ -381,7 +381,8 @@ class SnapshotBucketSpec extends SparkSpec {
       assert(shuffles(jk) > 0)
       assert(jk.count() === 800)
     }
-    // SQL spelling round-trips
+    // SQL spelling round-trips; DESCRIBE surfaces the layout; an attach
+    // with a MISMATCHED clause refuses instead of silently ignoring it
     val rootC = freshRoot()
     try {
       sql(s"""CREATE TABLE bkt_mc (k BIGINT, grp INT, v DOUBLE)
@@ -389,6 +390,20 @@ class SnapshotBucketSpec extends SparkSpec {
               LOCATION '$rootC'""")
       val stmt = sql("SHOW CREATE TABLE bkt_mc").head.getString(0)
       assert(stmt.contains("CLUSTERED BY (k, grp) INTO 4 BUCKETS"), stmt)
+      val desc = sql("DESCRIBE bkt_mc").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(desc.get("Bucket Columns") === Some("k, grp"))
+      assert(desc.get("Num Buckets") === Some("4"))
+      NamedTables.drop("bkt_mc")
+      val e = intercept[IllegalArgumentException] {
+        sql(s"""CREATE TABLE bkt_mc (k BIGINT, grp INT, v DOUBLE)
+                USING snapshot CLUSTERED BY (k) INTO 8 BUCKETS
+                LOCATION '$rootC'""") }
+      assert(e.getMessage.contains("does not match the existing table"))
+      // the MATCHING clause re-attaches cleanly
+      sql(s"""CREATE TABLE bkt_mc (k BIGINT, grp INT, v DOUBLE)
+              USING snapshot CLUSTERED BY (k, grp) INTO 4 BUCKETS
+              LOCATION '$rootC'""")
     } finally NamedTables.drop("bkt_mc")
   }
 
