@@ -88,6 +88,35 @@ object Bpe {
     BpeModel(merges.result())
   }
 
+  /** Persist a trained model as one JSON file (Hadoop FS — HDFS/S3 roots
+    * work like local paths). A 100 TB pipeline trains ONCE on the corpus
+    * word table and ships the model to every later encode stage by path.
+    */
+  def save(spark: org.apache.spark.sql.SparkSession, model: BpeModel,
+      path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(org.json4s.jackson.Serialization.write(
+      model.merges.map(m => Seq(m._1, m._2)))(org.json4s.DefaultFormats)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): BpeModel = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val txt = try new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+      java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val pairs = org.json4s.jackson.Serialization.read[List[List[String]]](txt)
+    BpeModel(pairs.map { case List(a, b) => (a, b)
+      case other => sys.error(s"malformed merge entry: $other") })
+  }
+
   /** One left-to-right non-overlapping replacement pass of `pair`. */
   private def mergePair(syms: Vector[String],
       pair: (String, String)): Vector[String] = {

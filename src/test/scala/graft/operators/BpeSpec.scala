@@ -58,6 +58,18 @@ class BpeSpec extends SparkSpec {
     assert(nulls === Seq(0, 0))
   }
 
+  test("save/load round-trips the model and its encodings") {
+    val m = Bpe.train(corpus("aaab aaab ab"), "text", numMerges = 3)
+    val path = java.nio.file.Files.createTempDirectory("bpe_")
+      .toString + "/model.json"
+    Bpe.save(spark, m, path)
+    val m2 = Bpe.load(spark, path)
+    assert(m2.merges === m.merges)
+    val enc = (x: Bpe.BpeModel) => Bpe.encode(corpus("aaab abab"), "text", x)
+      .select("bpe_tokens").head.getSeq[String](0).toList
+    assert(enc(m2) === enc(m))
+  }
+
   test("more merges never increase the token count (training corpus)") {
     val docs = graft.Engine.table(spark, sfDir, "documents")
     val small = Bpe.train(docs, "text", numMerges = 50, maxWords = 5000)
