@@ -180,7 +180,11 @@ object Bpe {
     override def apply(text: String): Array[String] = {
       if (text == null) return Array.empty
       if (cache.size > 100000) cache.clear()
-      text.toLowerCase.split("[^\\p{L}\\p{N}]+").iterator
+      // Locale.ROOT: a tr_TR-default executor would fold I to dotless ı,
+      // producing words the trained merge table never saw (train uses
+      // Spark's locale-independent lower())
+      text.toLowerCase(java.util.Locale.ROOT)
+        .split("[^\\p{L}\\p{N}]+").iterator
         .filter(_.nonEmpty)
         .flatMap(w => cache.getOrElseUpdate(w, encodeWord(w, ranks)))
         .toArray

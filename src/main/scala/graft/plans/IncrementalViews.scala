@@ -87,16 +87,21 @@ object IncrementalViews {
     new IncrementalJoinAggView(spark, leftRoot, rightRoot, mvPath,
       joinOn, keys, aggs)
 
-  final class IncrementalAggView private[IncrementalViews] (
-      spark: SparkSession, tableRoot: String, mvPath: String,
+  /** Shared partial-aggregate machinery of the single-table and join MVs:
+    * storage columns (avg carried as __sum/__cnt), the partial→fold split,
+    * the stage-and-swap data write, and the finalized read. Subclasses own
+    * only their state payload and refresh logic — a fix to the swap dance
+    * or a new aggregate function lands once.
+    */
+  sealed abstract class PartialAggMv private[IncrementalViews] (
+      spark: SparkSession, mvPath: String,
       keys: Seq[String], aggs: Seq[AggSpec]) {
 
-    private def table = Snapshots.table(spark, tableRoot)
-    private val statePath = java.nio.file.Paths.get(mvPath, "_mv_state.json")
-    private def dataDir = s"$mvPath/data"
+    protected val statePath = java.nio.file.Paths.get(mvPath, "_mv_state.json")
+    protected def dataDir = s"$mvPath/data"
 
     /** Internal storage columns: avg is carried as (__sum, __cnt). */
-    private def storageAggs: Seq[org.apache.spark.sql.Column] = aggs.flatMap {
+    protected def storageAggs: Seq[org.apache.spark.sql.Column] = aggs.flatMap {
       case AggSpec("sum", in, name) => Seq(sum(col(in)).as(name))
       case AggSpec("count", _, name) => Seq(count(lit(1)).as(name))
       case AggSpec("min", in, name) => Seq(min(col(in)).as(name))
@@ -111,7 +116,7 @@ object IncrementalViews {
       * itself uses for these aggregates, which is what makes them
       * incrementally maintainable under insert-only changes.
       */
-    private def merge(parts: DataFrame): DataFrame = {
+    protected def merge(parts: DataFrame): DataFrame = {
       val folds = aggs.flatMap {
         case AggSpec("sum", _, name) => Seq(sum(col(name)).as(name))
         case AggSpec("count", _, name) => Seq(sum(col(name)).as(name))
@@ -125,19 +130,20 @@ object IncrementalViews {
       parts.groupBy(keys.map(col): _*).agg(folds.head, folds.tail: _*)
     }
 
-    private def partialAgg(rows: DataFrame): DataFrame = {
+    protected def partialAgg(rows: DataFrame): DataFrame = {
       val as = storageAggs
       rows.groupBy(keys.map(col): _*).agg(as.head, as.tail: _*)
     }
 
-    private def writeState(df: DataFrame, version: Long): Unit = {
-      // stage-and-swap so a crashed refresh leaves the previous
-      // materialization readable (the state file still names it)
+    /** Stage-and-swap so a crashed refresh leaves the previous
+      * materialization readable (the state file still names it); the
+      * caller-provided `stateJson` publishes the new reflected version(s).
+      */
+    protected def swapData(df: DataFrame, stateJson: String): Unit = {
       val staged = s"$mvPath/data-${java.util.UUID.randomUUID().toString.take(8)}"
       df.write.mode("errorifexists").parquet(staged)
       val old = java.nio.file.Paths.get(dataDir)
-      val hadOld = java.nio.file.Files.exists(old)
-      if (hadOld) {
+      if (java.nio.file.Files.exists(old)) {
         val bak = java.nio.file.Paths.get(s"$mvPath/data-old")
         java.nio.file.Files.move(old, bak)
         java.nio.file.Files.move(java.nio.file.Paths.get(staged), old)
@@ -146,8 +152,31 @@ object IncrementalViews {
         java.nio.file.Files.createDirectories(old.getParent)
         java.nio.file.Files.move(java.nio.file.Paths.get(staged), old)
       }
-      java.nio.file.Files.writeString(statePath, s"""{"version":$version}""")
+      java.nio.file.Files.writeString(statePath, stateJson)
     }
+
+    protected def storedPartials(): DataFrame = spark.read.parquet(dataDir)
+
+    /** The materialized aggregate, with avg derived from its sum+count. */
+    def read(): DataFrame = {
+      val outCols = keys.map(col) ++ aggs.map {
+        case AggSpec("avg", _, name) =>
+          (col(s"${name}__sum") / col(s"${name}__cnt")).as(name)
+        case a => col(a.name)
+      }
+      storedPartials().select(outCols: _*)
+    }
+  }
+
+  final class IncrementalAggView private[IncrementalViews] (
+      spark: SparkSession, tableRoot: String, mvPath: String,
+      keys: Seq[String], aggs: Seq[AggSpec])
+    extends PartialAggMv(spark, mvPath, keys, aggs) {
+
+    private def table = Snapshots.table(spark, tableRoot)
+
+    private def writeState(df: DataFrame, version: Long): Unit =
+      swapData(df, s"""{"version":$version}""")
 
     /** The snapshot-table version this materialization reflects. */
     def version(): Long = {
@@ -196,81 +225,25 @@ object IncrementalViews {
           s"""{"version":${head.version}}""")
       RefreshResult("incremental", head.version, deltaRows)
     }
-
-    private def storedPartials(): DataFrame = spark.read.parquet(dataDir)
-
-    /** The materialized aggregate, with avg derived from its sum+count. */
-    def read(): DataFrame = {
-      val base = storedPartials()
-      val outCols = keys.map(col) ++ aggs.map {
-        case AggSpec("avg", _, name) =>
-          (col(s"${name}__sum") / col(s"${name}__cnt")).as(name)
-        case a => col(a.name)
-      }
-      base.select(outCols: _*)
-    }
   }
 
   /** See [[createJoin]]. State carries one reflected version PER SIDE. */
   final class IncrementalJoinAggView private[IncrementalViews] (
       spark: SparkSession, leftRoot: String, rightRoot: String,
       mvPath: String, joinOn: Seq[(String, String)], keys: Seq[String],
-      aggs: Seq[AggSpec]) {
+      aggs: Seq[AggSpec])
+    extends PartialAggMv(spark, mvPath, keys, aggs) {
     require(joinOn.nonEmpty, "joinOn must name at least one key pair")
 
     private def left = Snapshots.table(spark, leftRoot)
     private def right = Snapshots.table(spark, rightRoot)
-    private val statePath = java.nio.file.Paths.get(mvPath, "_mv_state.json")
-    private def dataDir = s"$mvPath/data"
 
     private def joined(l: DataFrame, r: DataFrame): DataFrame =
       if (joinOn.forall(p => p._1 == p._2)) l.join(r, joinOn.map(_._1))
       else l.join(r, joinOn.map { case (a, b) => l(a) === r(b) }.reduce(_ && _))
 
-    private def storageAggs: Seq[org.apache.spark.sql.Column] = aggs.flatMap {
-      case AggSpec("sum", in, name) => Seq(sum(col(in)).as(name))
-      case AggSpec("count", _, name) => Seq(count(lit(1)).as(name))
-      case AggSpec("min", in, name) => Seq(min(col(in)).as(name))
-      case AggSpec("max", in, name) => Seq(max(col(in)).as(name))
-      case AggSpec("avg", in, name) => Seq(
-        sum(col(in)).as(s"${name}__sum"), count(col(in)).as(s"${name}__cnt"))
-      case other => sys.error(s"unreachable: $other")
-    }
-
-    private def partialAgg(rows: DataFrame): DataFrame = {
-      val as = storageAggs
-      rows.groupBy(keys.map(col): _*).agg(as.head, as.tail: _*)
-    }
-
-    private def merge(parts: DataFrame): DataFrame = {
-      val folds = aggs.flatMap {
-        case AggSpec("sum", _, name) => Seq(sum(col(name)).as(name))
-        case AggSpec("count", _, name) => Seq(sum(col(name)).as(name))
-        case AggSpec("min", _, name) => Seq(min(col(name)).as(name))
-        case AggSpec("max", _, name) => Seq(max(col(name)).as(name))
-        case AggSpec("avg", _, name) => Seq(
-          sum(col(s"${name}__sum")).as(s"${name}__sum"),
-          sum(col(s"${name}__cnt")).as(s"${name}__cnt"))
-        case other => sys.error(s"unreachable: $other")
-      }
-      parts.groupBy(keys.map(col): _*).agg(folds.head, folds.tail: _*)
-    }
-
-    private def writeState(df: DataFrame, vLeft: Long, vRight: Long): Unit = {
-      val staged = s"$mvPath/data-${java.util.UUID.randomUUID().toString.take(8)}"
-      df.write.mode("errorifexists").parquet(staged)
-      val old = java.nio.file.Paths.get(dataDir)
-      if (java.nio.file.Files.exists(old)) {
-        val bak = java.nio.file.Paths.get(s"$mvPath/data-old")
-        java.nio.file.Files.move(old, bak)
-        java.nio.file.Files.move(java.nio.file.Paths.get(staged), old)
-        org.apache.commons.io.FileUtils.deleteDirectory(bak.toFile)
-      } else {
-        java.nio.file.Files.createDirectories(old.getParent)
-        java.nio.file.Files.move(java.nio.file.Paths.get(staged), old)
-      }
-      writeVersions(vLeft, vRight)
-    }
+    private def writeState(df: DataFrame, vLeft: Long, vRight: Long): Unit =
+      swapData(df, s"""{"left":$vLeft,"right":$vRight}""")
 
     private def writeVersions(vLeft: Long, vRight: Long): Unit =
       java.nio.file.Files.writeString(statePath,
@@ -326,18 +299,6 @@ object IncrementalViews {
           hl.version, hr.version)
       else writeVersions(hl.version, hr.version)
       RefreshResult("incremental", math.max(hl.version, hr.version), deltaRows)
-    }
-
-    private def storedPartials(): DataFrame = spark.read.parquet(dataDir)
-
-    /** The materialized join aggregate, avg derived from sum+count. */
-    def read(): DataFrame = {
-      val outCols = keys.map(col) ++ aggs.map {
-        case AggSpec("avg", _, name) =>
-          (col(s"${name}__sum") / col(s"${name}__cnt")).as(name)
-        case a => col(a.name)
-      }
-      storedPartials().select(outCols: _*)
     }
   }
 }

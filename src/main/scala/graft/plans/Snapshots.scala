@@ -541,7 +541,17 @@ object Snapshots {
         case Some(b) =>
           val base = physDf.withColumn(GbCol,
             pmod(hash(b.cols.map(col): _*), lit(b.n)))
-          if (preserveLayout) base
+          if (preserveLayout)
+            // the caller (clusterBy/zOrderBy) owns the PARTITION layout,
+            // but intra-file order is free — sortWithinPartitions never
+            // moves a row across partitions, so the range layout survives
+            // AND each written file still honors the SORTED BY contract
+            // the scan declares (skipping this would let a z-ordered
+            // single-file bucket claim a sort it doesn't have — silent
+            // wrong merge-join results)
+            (if (b.sortCols.isEmpty) base
+             else base.sortWithinPartitions(
+               (partitionCols :+ GbCol) ++ b.sortCols map col: _*))
           else {
             val rep = base.repartition(b.n, b.cols.map(col): _*)
             // SORTED BY buckets: sort with the writer's required prefix
@@ -1124,8 +1134,34 @@ object Snapshots {
           s"concurrent create of snapshot table at $root")
     }
 
-    private def writeBucketConfig(cfg: BucketConfig): Unit =
-      SidecarJson.write(fs, new Path(rootPath, "_bucket.json"), cfg)
+    /** CREATE-exclusive: the config is written BEFORE the v0 manifest CAS
+      * (stage needs it), so a concurrent-create loser must never clobber
+      * the winner's layout — an overwrite here would leave the surviving
+      * table's files placed for one spec under another spec's config
+      * (scans would then claim a partitioning the files don't satisfy).
+      * An identical existing config is accepted (crash-retry of the same
+      * CREATE); a different one fails loudly.
+      */
+    private def writeBucketConfig(cfg: BucketConfig): Unit = {
+      val p = new Path(rootPath, "_bucket.json")
+      fs.mkdirs(p.getParent)
+      val bytes = org.json4s.jackson.Serialization.write(cfg)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      try {
+        val out = fs.create(p, false)
+        try out.write(bytes) finally out.close()
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+            _: java.io.IOException
+            if fs.exists(p) =>
+          val existing = SidecarJson.read[BucketConfig](fs, p)
+          if (!existing.contains(cfg))
+            throw new ConcurrentModificationException(
+              s"concurrent create at $root declared a different bucket " +
+                s"layout: existing=$existing, attempted=$cfg")
+      }
+      cachedBucket = None // invalidate: the handle may have cached pre-write
+    }
 
     /** The table's bucketed layout, if created with one. Immutable after
       * CREATE, so cached per handle (one filesystem probe, ever).
@@ -2773,14 +2809,21 @@ object Snapshots {
       // data is destroyed under the reader
       // aged-out refs (CREATE BRANCH/TAG ... RETAIN n DAYS — the
       // reference's maxRefAgeMs) expire HERE, the snapshot-expiry point,
-      // so a forgotten WAP branch stops pinning manifests forever
+      // so a forgotten WAP branch stops pinning manifests forever. Age is
+      // measured from the ref's HEAD COMMIT timestamp (the Iceberg
+      // maxRefAgeMs semantics): an actively-written branch keeps renewing
+      // itself, only an ABANDONED one ages out — createdAtMs would destroy
+      // a live branch under its writer. The decision runs INSIDE the CAS
+      // mutate against each ref's own fields, so a ref re-created under
+      // the same name while vacuum runs is never deleted by stale name.
       val nowMs = System.currentTimeMillis()
-      val expired = refs().collect {
-        case (n, r) if r.maxRefAgeMs.exists(a =>
-            r.createdAtMs > 0 && nowMs - r.createdAtMs > a) => n
-      }.toSet
-      if (expired.nonEmpty)
-        refsStore.mutate(m => m.filterNot { case (n, _) => expired(n) })
+      val tsMemo = scala.collection.mutable.HashMap.empty[Long, Long]
+      def headTs(v: Long): Long = tsMemo.getOrElseUpdate(v,
+        try resolvedManifest(v).timestampMs
+        catch { case _: Exception => Long.MaxValue }) // unreadable = keep
+      if (refs().values.exists(_.maxRefAgeMs.isDefined))
+        refsStore.mutate(m => m.filterNot { case (_, r) =>
+          r.maxRefAgeMs.exists(a => nowMs - headTs(r.version) > a) })
       val refVersions = refs().values.map(_.version).toSet
         .filter(v => fs.exists(manifestPath(v)))
       // retainLast counts MAINLINE snapshots — branch commits must not

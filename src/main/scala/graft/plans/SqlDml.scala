@@ -467,12 +467,17 @@ object SqlDml {
               (n, s"DEFAULT $e", "") } ++
             c.informational.toSeq.sortBy(_._1).map { case (n, e) =>
               (n, e, "informational") }
+        // bucket config stores PHYSICAL names (rename-proof); render the
+        // logical ones the displayed schema uses
+        def logicalOf(phys: String): String = m.colMapping.collectFirst {
+          case (log, p) if p == phys => log }.getOrElse(phys)
         val bucketRows = t.bucketConfig().toSeq.flatMap { b =>
           Seq(("# Bucketing", "", ""),
-            ("Bucket Columns", b.cols.mkString(", "), ""),
+            ("Bucket Columns", b.cols.map(logicalOf).mkString(", "), ""),
             ("Num Buckets", b.n.toString, "")) ++
             (if (b.sortCols.isEmpty) Nil
-             else Seq(("Sort Columns", b.sortCols.mkString(", "), "")))
+             else Seq(("Sort Columns",
+               b.sortCols.map(logicalOf).mkString(", "), "")))
         }
         (t.read().schema, m.partitionCols,
           constraintRows ++ bucketRows ++
@@ -763,6 +768,34 @@ object SqlDml {
       .addColumns(org.apache.spark.sql.types.StructType(fields))
   }
 
+  /** Attach path: a declared CLUSTERED BY must MATCH the durable layout —
+    * silently ignoring bucket DDL would let a user believe a table is
+    * bucketed (and trust shuffle-free joins) when it is not. Declared names
+    * are LOGICAL; the config stores rename-proof physical names, so compare
+    * through the manifest's column mapping (this is what keeps the SHOW
+    * CREATE TABLE output re-runnable after a bucket-column RENAME).
+    */
+  private def requireBucketSpecMatches(spark: SparkSession, root: String,
+      partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform])
+      : Unit = {
+    val (_, declared) = partitionColsOf(partitioning)
+    declared.foreach { d =>
+      val t = Snapshots.table(spark, root)
+      val m = t.latest()
+      val actual = t.bucketConfig()
+      val declPhys = d.cols.map(m.physical)
+      val declSortPhys = d.sortBy.map(m.physical)
+      val matches = actual.exists(a =>
+        a.cols == declPhys && a.n == d.n && a.sortCols == declSortPhys)
+      require(matches,
+        s"CLUSTERED BY (${d.cols.mkString(", ")}) INTO ${d.n} BUCKETS " +
+          s"does not match the existing table at $root " +
+          s"(${actual.fold("not bucketed")(a =>
+            s"CLUSTERED BY (${a.cols.mkString(", ")}) INTO ${a.n} BUCKETS")}); " +
+          "bucketing is fixed at CREATE and cannot be changed by re-attach")
+    }
+  }
+
   /** Splits a v2 partitioning spec into identity partition columns and an
     * optional bucket spec: `PARTITIONED BY (col, ...)` plus the reference's
     * `CLUSTERED BY (col) INTO n BUCKETS` (ref ql/ddl CreateTableDesc
@@ -821,23 +854,8 @@ object SqlDml {
       throw new IllegalStateException(s"table $name already exists")
     }
     val root = locationOf(name, spec)
-    if (snapshotExists(spark, root)) {
-      // attach path: a declared CLUSTERED BY must MATCH the durable layout —
-      // silently ignoring bucket DDL would let a user believe a table is
-      // bucketed (and trust shuffle-free joins) when it is not
-      val (_, declared) = partitionColsOf(partitioning)
-      val actual = Snapshots.table(spark, root).bucketConfig()
-      declared.foreach { d =>
-        val matches = actual.exists(a =>
-          a.cols == d.cols && a.n == d.n && a.sortCols == d.sortBy)
-        require(matches,
-          s"CLUSTERED BY (${d.cols.mkString(", ")}) INTO ${d.n} BUCKETS " +
-            s"does not match the existing table at $root " +
-            s"(${actual.fold("not bucketed")(a =>
-              s"CLUSTERED BY (${a.cols.mkString(", ")}) INTO ${a.n} BUCKETS")}); " +
-            "bucketing is fixed at CREATE and cannot be changed by re-attach")
-      }
-    }
+    if (snapshotExists(spark, root))
+      requireBucketSpecMatches(spark, root, partitioning)
     if (!snapshotExists(spark, root)) {
       if (columns.isEmpty) throw new IllegalArgumentException(
         s"no snapshot table at $root and no column list to create one from")
@@ -895,7 +913,9 @@ object SqlDml {
       throw new IllegalStateException(s"table $name already exists")
     }
     val root = locationOf(name, spec)
-    if (!snapshotExists(spark, root)) {
+    if (snapshotExists(spark, root))
+      requireBucketSpecMatches(spark, root, partitioning)
+    else {
       val rows = GraftShims.ofRows(spark, NamedTables.substitute(spark, query))
       val (partCols, bucketBy) = partitionColsOf(partitioning)
       Snapshots.create(spark, root, rows, partCols, 8, bucketBy)

@@ -304,7 +304,8 @@ class SnapshotRefsSpec extends SparkSpec {
       // an un-aged retained ref survives vacuum
       t.vacuum(retainLast = 10, minAgeHours = 24.0)
       assert(t.refs().contains("ephemeral"))
-      // recreate with an already-elapsed window: the next vacuum expires it
+      // recreate with an already-elapsed window: the branch's HEAD COMMIT
+      // (v0, committed above) is older than 1ms — the next vacuum expires it
       t.dropBranch("ephemeral")
       t.createBranch("ephemeral", maxRefAgeMs = Some(1L))
       Thread.sleep(5)
@@ -312,6 +313,15 @@ class SnapshotRefsSpec extends SparkSpec {
       assert(!t.refs().contains("ephemeral"),
         "an aged-out ref must expire at vacuum")
       assert(t.refs().contains("keeper"), "unaged refs must survive")
+      // age is measured from the HEAD COMMIT, not creation: an actively
+      // written branch renews itself and must NOT be destroyed under its
+      // writer (the Iceberg maxRefAgeMs contract)
+      t.createBranch("active", maxRefAgeMs = Some(60000L))
+      t.appendToBranch("active", nums(100, 105)) // fresh head commit NOW
+      t.vacuum(retainLast = 10, minAgeHours = 24.0)
+      assert(t.refs().contains("active"),
+        "a branch with a fresh head commit must survive its retention window")
+      assert(t.readRef("active").count() === 10)
     } finally NamedTables.drop("retain_t")
   }
 
