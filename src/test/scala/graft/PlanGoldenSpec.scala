@@ -80,6 +80,46 @@ class PlanGoldenSpec extends SparkSpec {
     }
   }
 
+  test("plan golden: bucketed_spj_join (storage-partitioned fact join)") {
+    // the bench's SPJ metric isn't a SparkEntry query, so pin its plan
+    // here: SortMergeJoin over two bucketed snapshot scans with NO
+    // Exchange below the join (broadcast off — the 100 TB fact⋈fact
+    // shape). Tables are scratch-built per run; paths normalize away.
+    import org.apache.spark.sql.functions._
+    val d = java.nio.file.Files.createTempDirectory("plan_spj_").toString
+    graft.plans.Snapshots.create(spark, d + "/o",
+      Engine.table(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      bucketBy = Some(("o_orderkey", 16)))
+    graft.plans.Snapshots.create(spark, d + "/l",
+      Engine.table(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice")),
+      bucketBy = Some(("l_orderkey", 16)))
+    val conf = spark.conf
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = conf.get(key)
+    try {
+      conf.set(key, "-1")
+      val df = graft.plans.Snapshots.table(spark, d + "/o").read()
+        .join(graft.plans.Snapshots.table(spark, d + "/l").read(),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("l_extendedprice")).as("rev"),
+          sum(col("l_quantity")).as("qty"))
+      val got = normalize(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      val path = planDir.resolve("bucketed_spj_join.plan")
+      if (regen) { Files.createDirectories(planDir)
+        Files.write(path, got.getBytes("UTF-8")) }
+      else {
+        assert(Files.exists(path), s"missing plan golden $path — regenerate")
+        assert(got === new String(Files.readAllBytes(path), "UTF-8"),
+          "the SPJ plan diverged — if deliberate, regenerate with " +
+            "GRAFT_REGEN_PLANS=1")
+      }
+    } finally conf.set(key, prev)
+  }
+
   test("plan goldens are sensitive: disabling auto-broadcast flips t07's plan") {
     // t07's broadcasts are optimizer-chosen (no hints anywhere in
     // TpchQueries), so the threshold knob must flip its transcript — proving
