@@ -211,6 +211,31 @@ object Snapshots {
     */
   private val RefMetaKey = "graft.ref"
 
+  /** Per-session reentrant pin of
+    * `spark.sql.sources.bucketing.autoBucketedScan.enabled=false` for the
+    * duration of bucketed staged writes. A naive save/set/restore races
+    * when appends run concurrently in one session (writer A can restore
+    * the "false" writer B set, leaving the demotion off for the session's
+    * lifetime — a parallelism leak on every later plain scan). The FIRST
+    * entrant saves the user's value, the LAST exiter restores it; only
+    * the bookkeeping synchronizes — the writes themselves stay parallel.
+    */
+  private object AutoBucketedScanPin {
+    private val Key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    private val state =
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, (Int, String)]
+    def withPinned[T](spark: SparkSession)(f: => T): T = {
+      state.compute(spark, (_, cur) =>
+        if (cur == null) { val saved = spark.conf.get(Key)
+          spark.conf.set(Key, "false"); (1, saved) }
+        else (cur._1 + 1, cur._2))
+      try f finally
+        state.compute(spark, (_, cur) =>
+          if (cur._1 == 1) { spark.conf.set(Key, cur._2); null }
+          else (cur._1 - 1, cur._2))
+    }
+  }
+
   /** Staging-only dynamic-partition dir splitting rows by bucket id
     * (`graftbucket=<i>/`). Deliberately NOT underscore-prefixed — Spark's
     * file listings treat `_`/`.`-led path segments as hidden and stats
@@ -571,7 +596,7 @@ object Snapshots {
         (if (writePartCols.nonEmpty) w.partitionBy(writePartCols: _*) else w)
           .parquet(dir.toString)
       if (bCfg.isEmpty) runWrite()
-      else {
+      else
         // When the input is THIS table (compact / COW rewrite), keep its
         // bucketed scan ON for the duration of the write: the planner
         // elides our repartition against the scan's HashPartitioning, and
@@ -580,11 +605,7 @@ object Snapshots {
         // buckets -> files-per-bucket multiply and the SORTED BY contract
         // decays on every compaction). With the demotion off, the elision
         // is sound — a self-rewrite re-buckets with ZERO shuffles.
-        val k = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-        val old = spark.conf.get(k)
-        spark.conf.set(k, "false")
-        try runWrite() finally spark.conf.set(k, old)
-      }
+        AutoBucketedScanPin.withPinned(spark)(runWrite())
       if (bCfg.isDefined) tagBucketFiles(dir)
       val listed = listParquetStatus(dir)
       val files = listed.map(s => relativize(s.getPath))

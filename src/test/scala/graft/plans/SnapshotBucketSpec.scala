@@ -458,6 +458,39 @@ class SnapshotBucketSpec extends SparkSpec {
       "every surviving file must be in the joined partition")
   }
 
+  test("8 concurrent appends: none lost, every file still bucket-placed") {
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, rows(0, 100),
+      bucketBy = Some(("k", 4)))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = (0 until 8).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            val tt = Snapshots.table(spark, root)
+            tt.append(rows(100 + i * 50, 150 + i * 50), maxRetries = 30)
+          }
+        })
+      }
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+    assert(t.read().count() === 100 + 8 * 50, "a concurrent append was lost")
+    assertPlacement(t, 4, "k")
+    // the staged-write conf pin must fully unwind after concurrent writers
+    assert(spark.conf.get(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled") === "true",
+      "a racing writer leaked the auto-bucketed-scan pin")
+    // and the layout still carries the join contract
+    val b = Snapshots.create(spark, freshRoot(),
+      rows(0, 50).select(col("k"), col("s").as("s2")),
+      bucketBy = Some(("k", 4)))
+    noBroadcast {
+      val j = t.read().join(b.read(), "k")
+      assert(shuffles(j) === 0)
+      assert(j.count() === 50)
+    }
+  }
+
   test("MOR delete on a bucketed table: correct rows, layout intact") {
     val root = freshRoot()
     val t = Snapshots.create(spark, root, rows(0, 1000),
