@@ -89,11 +89,22 @@ object Engine {
     // Bucketed scans report their SORTED BY ordering (single-file buckets
     // only — Spark still verifies that). Spark turned this off by default
     // because externally-written bucketed files may lie about their sort
-    // (SPARK-28595); THIS engine owns every bucketed write path and sorts
-    // with the writer's required prefix, so the declared ordering is a
-    // guarantee — and it is what makes SMB merge joins sort-free, the
-    // whole point of the reference's SORTED BY contract.
-    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    // (SPARK-28595); THIS engine owns every snapshot-table bucketed write
+    // path and sorts with the writer's required prefix, so the declared
+    // ordering is a guarantee — and it is what makes SMB merge joins
+    // sort-free, the whole point of the reference's SORTED BY contract.
+    //
+    // CONTRACT (session-wide, documented): the flag is plan-time and also
+    // covers external `bucketBy` catalog tables the engine never wrote.
+    // This session adopts the Hive SORTED BY semantics — a bucketed table
+    // declaring a sort PROMISES its files honor it (that is what SORTED BY
+    // means in the reference; a lying writer is corrupt there too). If you
+    // must query an external bucketed+sorted table whose files may violate
+    // their declared sort, opt out BEFORE Engine.configure with
+    // `graft.trustBucketedSortOrdering=false` (sort-free SMB on engine
+    // tables is then lost; correctness everywhere else is unaffected).
+    if (spark.conf.get("graft.trustBucketedSortOrdering", "true").toBoolean)
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     graft.functions.HiveFunctions.registerAll(spark)
     graft.functions.GeoFunctions.registerAll(spark)
     graft.plans.MaterializedViews.install(spark)

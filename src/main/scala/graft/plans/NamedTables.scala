@@ -332,8 +332,16 @@ object NamedTables {
       }.toDF("file_path", "record_count", "file_size_in_bytes")
     } else if (norm(sub) == "partitions") {
       val m = t.latest()
+      // only DECLARED partition columns count: bucketed tables stage files
+      // under graftbucket=N path segments (a layout detail, not a
+      // partition) — reporting those would show an unpartitioned 16-bucket
+      // table as 16 bogus partitions
+      val declared = m.partitionCols.toSet
       m.files.map { f =>
-        val part = f.split('/').filter(_.contains("=")).mkString("/")
+        val part = f.split('/')
+          .filter(s => s.indexOf('=') > 0 &&
+            declared.contains(s.substring(0, s.indexOf('='))))
+          .mkString("/")
         val st = m.stats.get(f)
         (part, st.map(_.rows).getOrElse(0L))
       }.groupBy(_._1).toList.sortBy(_._1)

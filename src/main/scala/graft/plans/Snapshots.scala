@@ -1148,11 +1148,30 @@ object Snapshots {
         writeBucketConfig(BucketConfig(cols, n, sortBy))
       }
       val (files, stats) = stage(df, partitionBy)
+      // the bucket spec is ALSO declared in the v0 manifest meta: the
+      // sidecar is written pre-CAS, so only the manifest says which
+      // CREATE's layout actually won the table
+      val bucketMeta = bucket.map(b => "bucket" ->
+        org.json4s.jackson.Serialization.write(
+          BucketConfig(b.cols, b.n, b.sortBy))).toMap
       val m = Manifest(0L, -1L, System.currentTimeMillis(), "create",
-        partitionBy, df.schema.json, files, stats)
-      if (!casPublish(m))
+        partitionBy, df.schema.json, files, stats, meta = bucketMeta)
+      if (!casPublish(m)) {
+        // lost the v0 race. If this attempt pre-wrote _bucket.json but the
+        // WINNING create didn't declare a bucket layout, the sidecar is a
+        // lie about the surviving table (its untagged files don't satisfy
+        // the spec — every later scan would die with 'Invalid bucket
+        // file'): remove it. A bucketed winner with the same spec keeps it
+        // (different specs can't both reach this point — writeBucketConfig
+        // fails the second one loudly).
+        if (bucket.isDefined &&
+            !readManifest(manifestPath(0L)).meta.contains("bucket")) {
+          fs.delete(new Path(rootPath, "_bucket.json"), false)
+          cachedBucket = None
+        }
         throw new ConcurrentModificationException(
           s"concurrent create of snapshot table at $root")
+      }
     }
 
     /** CREATE-exclusive: the config is written BEFORE the v0 manifest CAS
@@ -2818,12 +2837,21 @@ object Snapshots {
 
     /** Deletes data files referenced by no retained manifest and drops the
       * pruned manifests; time travel older than `retainLast` versions stops
-      * working. Do not run concurrently with an in-flight writer whose
-      * commit is not yet published (its staged files look unreferenced) —
-      * production would add an age threshold, the standard table-format
-      * mitigation.
+      * working. Both data files AND manifests are age-gated by
+      * `minAgeHours`: an in-flight appendToBranch publishes its branch
+      * manifest BEFORE the ref CAS bump, so a freshly written manifest is
+      * invisible to the ref scan here — deleting it would leave the branch
+      * pointing at nothing once the bump lands. The age gate (the standard
+      * Delta/Iceberg retention-check design) makes that window safe;
+      * maintenance that knows no writer is active may pass 0.
+      *
+      * `orphanOnly` (DELETE ORPHAN-FILES) reclaims unreferenced data files
+      * WITHOUT touching history: every manifest is retained (including
+      * branch-slot manifests not pinned by a ref head — intermediate branch
+      * history and cherry-pick sources) and ref aging is skipped.
       */
-    def vacuum(retainLast: Int = 1, minAgeHours: Double = 24.0): Long = {
+    def vacuum(retainLast: Int = 1, minAgeHours: Double = 24.0,
+        orphanOnly: Boolean = false): Long = {
       val vs = versions()
       // refs pin their manifests: a branch/tag head must survive vacuum
       // (and keep its files referenced) or the ref dangles and branch
@@ -2842,7 +2870,7 @@ object Snapshots {
       def headTs(v: Long): Long = tsMemo.getOrElseUpdate(v,
         try resolvedManifest(v).timestampMs
         catch { case _: Exception => Long.MaxValue }) // unreadable = keep
-      if (refs().values.exists(_.maxRefAgeMs.isDefined))
+      if (!orphanOnly && refs().values.exists(_.maxRefAgeMs.isDefined))
         refsStore.mutate(m => m.filterNot { case (_, r) =>
           r.maxRefAgeMs.exists(a => nowMs - headTs(r.version) > a) })
       val refVersions = refs().values.map(_.version).toSet
@@ -2851,8 +2879,10 @@ object Snapshots {
       // consume retention slots (EXPIRE_SNAPSHOTS RETAIN LAST n promises n
       // table versions, and a raw-slot tail of branch commits would prune
       // mainline history the caller asked to keep, incl. the head itself)
-      val keep = mainlineVersions().takeRight(math.max(retainLast, 1)).toSet ++
-        refVersions
+      val keep =
+        if (orphanOnly) vs.toSet ++ refVersions
+        else mainlineVersions().takeRight(math.max(retainLast, 1)).toSet ++
+          refVersions
       // every retained manifest must be self-contained AFTER its ancestors
       // are pruned: any kept delta whose parent is NOT kept rewrites in
       // place as its resolved full form (atomic replace; logical content
@@ -2900,7 +2930,16 @@ object Snapshots {
           }
         }
       }
-      vs.filterNot(keep).foreach(v => fs.delete(manifestPath(v), false))
+      // manifests are age-gated like data files: a branch manifest
+      // published by an in-flight appendToBranch (ref bump not yet CAS'd)
+      // is not in refVersions yet — deleting it would dangle the branch
+      // the moment the bump lands. Younger-than-cutoff manifests survive
+      // to the next vacuum.
+      vs.filterNot(keep).foreach { v =>
+        val p = manifestPath(v)
+        if (fs.exists(p) && fs.getFileStatus(p).getModificationTime <= cutoff)
+          fs.delete(p, false)
+      }
       reclaimed
     }
   }

@@ -231,7 +231,8 @@ object SqlMaintenance {
           case None => 72.0 // the reference's 3-day default
         }
         val reclaimed = tableOf(spark, ident)
-          .vacuum(retainLast = Int.MaxValue, minAgeHours = hours)
+          .vacuum(retainLast = Int.MaxValue, minAgeHours = hours,
+            orphanOnly = true)
         Some(okDf(spark, s"deleted $reclaimed orphan files"))
       case ExecSetCurrent(ident, v) =>
         Authz.requireRelationPrivilege(spark, privParts(ident), "update")

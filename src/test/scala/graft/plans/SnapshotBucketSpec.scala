@@ -504,4 +504,80 @@ class SnapshotBucketSpec extends SparkSpec {
     assert(t.read().count() === 900)
     assertPlacement(t, 4, "k")
   }
+
+  test("t.partitions reports declared partitions only, never bucket dirs") {
+    def sql(q: String) = graft.Engine.sql(spark, sfDir, q)
+    // unpartitioned 4-bucket table: ONE partition row (the table itself),
+    // not one bogus partition per graftbucket=N staging segment
+    val root = freshRoot()
+    Snapshots.create(spark, root, rows(0, 1000), bucketBy = Some(("k", 4)))
+    NamedTables.registerSnapshot("bpart_t", root)
+    try {
+      val parts = sql(
+        "SELECT partition, record_count, file_count FROM bpart_t.partitions")
+        .collect()
+      assert(parts.length === 1,
+        s"bucket staging dirs leaked as partitions: ${parts.mkString(",")}")
+      assert(parts.head.getString(0) === "")
+      assert(parts.head.getLong(1) === 1000L)
+      assert(parts.head.getLong(2) === 4L)
+    } finally NamedTables.drop("bpart_t")
+    // partitioned AND bucketed: exactly the declared partitions, each
+    // aggregating its buckets' files
+    val root2 = freshRoot()
+    Snapshots.create(spark, root2, rows(0, 700), partitionBy = Seq("grp"),
+      checkpointInterval = 8,
+      bucket = Some(Snapshots.BucketBy(Seq("k"), 4, Nil)))
+    NamedTables.registerSnapshot("bpart_t2", root2)
+    try {
+      val parts = sql(
+        "SELECT partition, record_count, file_count FROM bpart_t2.partitions")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(parts.keySet === (0 until 7).map(g => s"grp=$g").toSet,
+        s"expected the 7 declared grp partitions, got ${parts.keySet}")
+      assert(parts.values.sum === 700L)
+    } finally NamedTables.drop("bpart_t2")
+  }
+
+  test("bucketed CREATE losing the v0 race to a plain CREATE drops its sidecar") {
+    // the loser pre-writes _bucket.json before the v0 CAS; if a
+    // NON-bucketed create wins, that sidecar lies about the surviving
+    // table (untagged files under a bucket spec = 'Invalid bucket file' on
+    // every scan) and must be removed. Race both orders repeatedly and
+    // assert the invariant: sidecar present iff the WINNING manifest
+    // declares the layout, and the table always scans.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      (0 until 5).foreach { i =>
+        val root = freshRoot()
+        val gate = new java.util.concurrent.CyclicBarrier(2)
+        def attempt(bucketed: Boolean) = pool.submit(
+          new java.util.concurrent.Callable[Option[Throwable]] {
+            def call(): Option[Throwable] =
+              try {
+                gate.await()
+                if (bucketed)
+                  Snapshots.create(spark, root, rows(0, 400),
+                    bucketBy = Some(("k", 4)))
+                else Snapshots.create(spark, root, rows(0, 300))
+                None
+              } catch { case e: Throwable => Some(e) }
+          })
+        val outcomes = Seq(attempt(bucketed = true),
+          attempt(bucketed = i % 2 == 0)).map(_.get())
+        val t = Snapshots.table(spark, root)
+        val winnerBucketed = t.latest().meta.contains("bucket")
+        assert(outcomes.flatten.size === 1,
+          s"exactly one CREATE must win the v0 race: $outcomes")
+        val sidecar = new java.io.File(root, "_bucket.json")
+        assert(sidecar.exists() === winnerBucketed,
+          s"iter $i: sidecar=${sidecar.exists()} but winner bucketed=" +
+            s"$winnerBucketed — a lost bucketed CREATE left its layout " +
+            "claim on the survivor")
+        assert(t.bucketConfig().isDefined === winnerBucketed)
+        // the survivor scans cleanly under its own (true) layout
+        assert(t.read().count() === (if (winnerBucketed) 400 else 300))
+      }
+    } finally pool.shutdown()
+  }
 }

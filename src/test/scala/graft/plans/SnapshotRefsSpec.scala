@@ -401,4 +401,63 @@ class SnapshotRefsSpec extends SparkSpec {
     assert(t.read().count() === 10)
     assert(t.readRef("busy").count() === 14) // branch head pinned too
   }
+
+  test("vacuum age-gates manifest deletion like data files") {
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 5))
+    t.append(nums(5, 10))
+    t.append(nums(10, 15)) // 3 mainline versions
+    // fresh manifests are younger than the horizon: retainLast=1 must NOT
+    // delete them yet — an in-flight appendToBranch's published-but-not-
+    // yet-CAS'd branch manifest lives in exactly this window, and deleting
+    // it would dangle the branch once the ref bump lands
+    t.vacuum(retainLast = 1, minAgeHours = 24.0)
+    assert(t.history().map(_.version) === Seq(0L, 1L, 2L),
+      "young manifests must survive the retention horizon")
+    assert(t.read().count() === 15)
+    // with the horizon waived (caller asserts no writer is active) the
+    // same vacuum prunes history
+    t.vacuum(retainLast = 1, minAgeHours = 0.0)
+    assert(t.history().map(_.version) === Seq(2L))
+    assert(t.read().count() === 15)
+  }
+
+  test("ORPHAN-FILES reclaims strays only: keeps branch history, refs, aging") {
+    import spark.implicits._
+    def sql(q: String) = Engine.sql(spark, sfDir, q)
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 5))
+    t.createBranch("wip")
+    val mid = t.appendToBranch("wip", nums(5, 10)) // intermediate branch slot
+    t.appendToBranch("wip", nums(10, 15)) // branch head (ref-pinned)
+    t.createBranch("aged", maxRefAgeMs = Some(1L))
+    Thread.sleep(5)
+    // a genuinely orphan data file (no manifest references it)
+    val stray = new java.io.File(root, "data/stray_orphan.parquet")
+    stray.getParentFile.mkdirs()
+    java.nio.file.Files.write(stray.toPath, Array[Byte](1, 2, 3))
+    NamedTables.registerSnapshot("orph_t", root)
+    try {
+      sql("ALTER TABLE orph_t EXECUTE ORPHAN-FILES OLDER THAN " +
+        s"'${new java.sql.Timestamp(System.currentTimeMillis() + 1000)}'")
+      assert(!stray.exists(), "the orphan data file must be reclaimed")
+      // no history pruned: the INTERMEDIATE branch manifest (not mainline,
+      // not a ref head — plain vacuum would drop it) still resolves
+      assert(t.resolvedManifest(mid.version).files.nonEmpty,
+        "ORPHAN-FILES pruned intermediate branch history")
+      // ref aging skipped: the aged-out ref survives ORPHAN-FILES...
+      assert(t.refs().contains("aged"),
+        "ORPHAN-FILES must not expire refs as a side effect")
+      assert(t.readRef("wip").count() === 15)
+      // ...and a plain vacuum (the expiry point) then does expire it and
+      // drops the intermediate branch slot — proving the modes differ
+      t.vacuum(retainLast = Int.MaxValue, minAgeHours = 0.0)
+      assert(!t.refs().contains("aged"))
+      // fresh handle: `t`'s raw-manifest cache would mask the deletion
+      intercept[Exception] {
+        Snapshots.table(spark, root).resolvedManifest(mid.version) }
+      assert(t.readRef("wip").count() === 15,
+        "the branch head must survive plain vacuum via its ref pin")
+    } finally NamedTables.drop("orph_t")
+  }
 }
