@@ -203,13 +203,13 @@ object Snapshots {
   /** Serialization row for the refs CAS document (top-level so json4s
     * reflection can construct it).
     */
-  private case class RefRow(name: String, kind: String, version: Long,
+  private[plans] case class RefRow(name: String, kind: String, version: Long,
       createdAtMs: Long = 0L, maxRefAgeMs: Option[Long] = None)
 
   /** Manifest-meta marker of a branch commit: its value is the branch
     * name, and its presence takes the commit OFF the mainline.
     */
-  private val RefMetaKey = "graft.ref"
+  private[plans] val RefMetaKey = "graft.ref"
 
   /** Per-session reentrant pin of
     * `spark.sql.sources.bucketing.autoBucketedScan.enabled=false` for the
@@ -244,9 +244,9 @@ object Snapshots {
     * Data files never contain the column (partitionBy drops it); CREATE
     * refuses a bucketed table with a real column of this name.
     */
-  private val GbCol = "graftbucket"
+  private[plans] val GbCol = "graftbucket"
 
-  private implicit val jsonFormats: org.json4s.Formats = org.json4s.DefaultFormats
+  private[plans] implicit val jsonFormats: org.json4s.Formats = org.json4s.DefaultFormats
 
   /** Opens an existing snapshot table rooted at `root`.
     * `checkpointInterval` = how often a commit writes a full listing
@@ -280,20 +280,21 @@ object Snapshots {
 
   final class SnapshotTable private[Snapshots] (
       val spark: SparkSession, val root: String,
-      val checkpointInterval: Int = 8) {
+      val checkpointInterval: Int = 8) extends SnapshotRefOps with SnapshotMaintenanceOps
+      with SnapshotBloomIndexOps with SnapshotBucketOps {
     require(checkpointInterval >= 1, "checkpointInterval must be >= 1")
 
-    private val rootPath = new Path(root)
-    private val logPath = new Path(rootPath, "_graft_log")
-    private def fs: FileSystem =
+    private[plans] val rootPath = new Path(root)
+    private[plans] val logPath = new Path(rootPath, "_graft_log")
+    private[plans] def fs: FileSystem =
       rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
     // ------------------------------------------------------------------ log
 
-    private def manifestPath(v: Long): Path =
+    private[plans] def manifestPath(v: Long): Path =
       new Path(logPath, f"v$v%08d.json")
 
-    private def writeManifestJson(m: Manifest): String =
+    private[plans] def writeManifestJson(m: Manifest): String =
       org.json4s.jackson.Serialization.write(m)
 
     // published manifests are immutable (vacuum's in-place checkpoint
@@ -302,7 +303,7 @@ object Snapshots {
     // read per NEW manifest, not per call
     private val rawCache =
       new java.util.concurrent.ConcurrentHashMap[String, Manifest]()
-    private def readManifest(p: Path): Manifest = {
+    private[plans] def readManifest(p: Path): Manifest = {
       val key = p.toString
       val cached = rawCache.get(key)
       if (cached != null) return cached
@@ -315,7 +316,7 @@ object Snapshots {
       m
     }
 
-    private def versions(): Seq[Long] =
+    private[plans] def versions(): Seq[Long] =
       if (!fs.exists(logPath)) Nil
       else fs.listStatus(logPath).toSeq
         .map(_.getPath.getName)
@@ -330,7 +331,7 @@ object Snapshots {
       * the global max so a branch commit can never steal the mainline
       * head's next slot and wedge its retry loop.
       */
-    private def isMainline(m: Manifest): Boolean = !m.meta.contains(RefMetaKey)
+    private[plans] def isMainline(m: Manifest): Boolean = !m.meta.contains(RefMetaKey)
 
     /** Slot for the next MAINLINE commit after `head`: the smallest slot
       * past head whose occupants (if any) are all BRANCH commits. Skipping
@@ -340,7 +341,7 @@ object Snapshots {
       * would let a stale writer publish OVER a winner and shadow its
       * commit (a lost update).
       */
-    private def nextSlot(head: Manifest): Long = {
+    private[plans] def nextSlot(head: Manifest): Long = {
       val existing = versions().toSet
       var c = head.version + 1
       while (existing.contains(c) &&
@@ -353,11 +354,11 @@ object Snapshots {
       * with a fresh listing, and a branch manifest published but beaten at
       * the ref bump is simply unreachable.
       */
-    private def nextBranchSlot(): Long =
+    private[plans] def nextBranchSlot(): Long =
       versions().lastOption.getOrElse(-1L) + 1
 
     /** Mainline version numbers, ascending. */
-    private def mainlineVersions(): Seq[Long] =
+    private[plans] def mainlineVersions(): Seq[Long] =
       versions().filter(v => isMainline(readManifest(manifestPath(v))))
 
     /** (version -> parent) over EVERY retained manifest, branch slots
@@ -438,7 +439,7 @@ object Snapshots {
       */
     private val resolvedCache =
       new java.util.concurrent.ConcurrentHashMap[Long, Manifest]()
-    private def resolve(m: Manifest): Manifest = {
+    private[plans] def resolve(m: Manifest): Manifest = {
       if (m.kind != "delta") return m
       // NOT computeIfAbsent: the parent resolution would nest a map update
       // inside the mapping function, which ConcurrentHashMap forbids
@@ -477,7 +478,7 @@ object Snapshots {
       * listing, every other version persists only the delta. The CAS
       * contract is unchanged — one winner per version slot.
       */
-    private def publish(head: Manifest, target: Manifest): Boolean = {
+    private[plans] def publish(head: Manifest, target: Manifest): Boolean = {
       val toWrite =
         if (target.version % checkpointInterval == 0) target
         else {
@@ -502,7 +503,7 @@ object Snapshots {
       * others use rename-without-overwrite via FileContext, the HDFS-portable
       * equivalent (atomic, fails if the destination exists).
       */
-    private def casPublish(m: Manifest): Boolean = {
+    private[plans] def casPublish(m: Manifest): Boolean = {
       fs.mkdirs(logPath)
       val dst = manifestPath(m.version)
       if (fs.exists(dst)) return false
@@ -539,7 +540,7 @@ object Snapshots {
       * (page-cache warm); the production path reads them from the parquet
       * footers the write already produced.
       */
-    private def stage(df: DataFrame, partitionCols: Seq[String],
+    private[plans] def stage(df: DataFrame, partitionCols: Seq[String],
         mapping: Map[String, String] = Map.empty,
         preserveLayout: Boolean = false)
         : (Seq[String], Map[String, FileStat]) = {
@@ -625,40 +626,6 @@ object Snapshots {
       }
     }
 
-    /** Renames every staged data file to carry Spark's bucketed-file tag
-      * (`_00003` before the extension chain) derived from its
-      * `graftbucket=<i>` path segment. The marker dir itself stays in the
-      * path (harmless: not a declared partition column) and the manifest
-      * records the full relative path.
-      * `FileSourceScanExec` groups a bucketed relation's files by parsing
-      * this tag ([[org.apache.spark.sql.execution.datasources
-      * .BucketingUtils.getBucketId]]), so each rename is verified against
-      * that exact parser — a naming drift fails the commit loudly instead
-      * of silently degrading joins.
-      */
-    private def tagBucketFiles(dir: Path): Unit = {
-      import org.apache.spark.sql.execution.datasources.BucketingUtils
-      val it = fs.listFiles(dir, true)
-      while (it.hasNext) {
-        val s = it.next()
-        val name = s.getPath.getName
-        if (s.isFile && !name.startsWith("_") && !name.startsWith(".")) {
-          val seg = s.getPath.getParent.getName
-          require(seg.startsWith(GbCol + "="),
-            s"staged bucketed file not under a $GbCol dir: ${s.getPath}")
-          val b = seg.substring(GbCol.length + 1).toInt
-          val dot = name.indexOf('.')
-          val tagged =
-            if (dot < 0) name + BucketingUtils.bucketIdToString(b)
-            else name.substring(0, dot) + BucketingUtils.bucketIdToString(b) +
-              name.substring(dot)
-          require(BucketingUtils.getBucketId(tagged).contains(b),
-            s"bucket tag failed to parse back: $tagged")
-          require(fs.rename(s.getPath, new Path(s.getPath.getParent, tagged)),
-            s"could not rename staged file ${s.getPath}")
-        }
-      }
-    }
 
     /** Min/max/null-count per (file, column) for the skippable data columns.
       * Partition columns are excluded — their values live in the path and
@@ -712,7 +679,7 @@ object Snapshots {
       buf.result()
     }
 
-    private def listParquet(dir: Path): Seq[Path] = {
+    private[plans] def listParquet(dir: Path): Seq[Path] = {
       val it = fs.listFiles(dir, true)
       val buf = Seq.newBuilder[Path]
       while (it.hasNext) {
@@ -724,7 +691,7 @@ object Snapshots {
       buf.result()
     }
 
-    private def relativize(p: Path): String = {
+    private[plans] def relativize(p: Path): String = {
       val rootUri = fs.makeQualified(rootPath).toUri.getPath
       val pUri = fs.makeQualified(p).toUri.getPath
       require(pUri.startsWith(rootUri + "/"), s"$p not under $root")
@@ -737,7 +704,7 @@ object Snapshots {
     // parquet NULL through a non-nullable schema would not error — the
     // vectorized reader returns the primitive slot (0/0.0), which is silent
     // corruption.
-    private def schemaOf(json: String): org.apache.spark.sql.types.StructType =
+    private[plans] def schemaOf(json: String): org.apache.spark.sql.types.StructType =
       nullableType(org.apache.spark.sql.types.DataType.fromJson(json))
         .asInstanceOf[org.apache.spark.sql.types.StructType]
 
@@ -763,7 +730,7 @@ object Snapshots {
       * segments are not parsed as partitions). Tables with no pending
       * deletes take the plain-scan fast path — zero overhead.
       */
-    private def readFiles(m: Manifest): DataFrame = {
+    private[plans] def readFiles(m: Manifest): DataFrame = {
       val schema = schemaOf(m.schemaJson)
       if (m.files.isEmpty)
         return spark.createDataFrame(
@@ -1174,51 +1141,12 @@ object Snapshots {
       }
     }
 
-    /** CREATE-exclusive: the config is written BEFORE the v0 manifest CAS
-      * (stage needs it), so a concurrent-create loser must never clobber
-      * the winner's layout — an overwrite here would leave the surviving
-      * table's files placed for one spec under another spec's config
-      * (scans would then claim a partitioning the files don't satisfy).
-      * An identical existing config is accepted (crash-retry of the same
-      * CREATE); a different one fails loudly.
-      */
-    private def writeBucketConfig(cfg: BucketConfig): Unit = {
-      val p = new Path(rootPath, "_bucket.json")
-      fs.mkdirs(p.getParent)
-      val bytes = org.json4s.jackson.Serialization.write(cfg)
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      try {
-        val out = fs.create(p, false)
-        try out.write(bytes) finally out.close()
-      } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-            _: java.io.IOException
-            if fs.exists(p) =>
-          val existing = SidecarJson.read[BucketConfig](fs, p)
-          if (!existing.contains(cfg))
-            throw new ConcurrentModificationException(
-              s"concurrent create at $root declared a different bucket " +
-                s"layout: existing=$existing, attempted=$cfg")
-      }
-      cachedBucket = None // invalidate: the handle may have cached pre-write
-    }
-
-    /** The table's bucketed layout, if created with one. Immutable after
-      * CREATE, so cached per handle (one filesystem probe, ever).
-      */
-    @volatile private var cachedBucket: Option[Option[BucketConfig]] = None
-    def bucketConfig(): Option[BucketConfig] = {
-      if (cachedBucket == null || cachedBucket.isEmpty)
-        cachedBucket = Some(
-          SidecarJson.read[BucketConfig](fs, new Path(rootPath, "_bucket.json")))
-      cachedBucket.get
-    }
 
     /** Commit loop: stage once, then CAS against the moving head. `validate`
       * sees the latest manifest and returns the commit's file list + stats
       * (or throws); appends validate trivially, COW validates replaced files.
       */
-    private def commit(action: String, maxRetries: Int,
+    private[plans] def commit(action: String, maxRetries: Int,
         meta: Map[String, String] = Map.empty,
         deletesOf: Manifest => Seq[String] = _.deletes)(
         validate: Manifest => Option[(Seq[String], Map[String, FileStat])]): Manifest = {
@@ -1261,7 +1189,7 @@ object Snapshots {
       * misinterpret the raw values, which is silent corruption. Uncastable
       * types fail analysis loudly instead.
       */
-    private def conform(df: DataFrame,
+    private[plans] def conform(df: DataFrame,
         schema: org.apache.spark.sql.types.StructType): DataFrame =
       df.select(schema.fields.map(f =>
         col(f.name).cast(f.dataType).as(f.name)): _*)
@@ -1672,296 +1600,6 @@ object Snapshots {
       restore(h.last.version, maxRetries)
     }
 
-    // ------------------------------------------------- refs (branches/tags)
-    //
-    // Branches give the table WAP (write-audit-publish): stage commits on
-    // a branch, audit the branch head, then FAST-FORWARD the mainline to
-    // it — production readers never see unaudited data (ref iceberg
-    // ManageSnapshots / mr/hive/IcebergSnapshotRefExec.java; the Hive 4
-    // branch DDL). Tags are immutable named versions for reproducible
-    // reads (a training run pinned to `tag_v1` re-reads byte-identical
-    // data regardless of later commits).
-
-    private lazy val refsStore = new CasJsonStore[Map[String, SnapshotRef]](
-      new Path(logPath, "_refs"),
-      spark.sparkContext.hadoopConfiguration,
-      Map.empty,
-      m => org.json4s.jackson.Serialization.write(
-        m.toList.sortBy(_._1).map { case (n, r) =>
-          RefRow(n, r.kind, r.version, r.createdAtMs, r.maxRefAgeMs) }),
-      txt => org.json4s.jackson.Serialization.read[List[RefRow]](txt)
-        .map(r => r.name ->
-          SnapshotRef(r.kind, r.version, r.createdAtMs, r.maxRefAgeMs)).toMap)
-
-    /** All refs (name -> kind/version). */
-    def refs(): Map[String, SnapshotRef] = refsStore.load()._2
-
-    def createBranch(name: String, fromVersion: Option[Long] = None,
-        ifNotExists: Boolean = false,
-        maxRefAgeMs: Option[Long] = None): Unit =
-      createRef(name, "branch", fromVersion, ifNotExists, maxRefAgeMs)
-
-    def createTag(name: String, fromVersion: Option[Long] = None,
-        ifNotExists: Boolean = false,
-        maxRefAgeMs: Option[Long] = None): Unit =
-      createRef(name, "tag", fromVersion, ifNotExists, maxRefAgeMs)
-
-    private def createRef(name: String, kind: String,
-        fromVersion: Option[Long], ifNotExists: Boolean,
-        maxRefAgeMs: Option[Long] = None): Unit = {
-      val v = fromVersion.getOrElse(latest().version)
-      require(fs.exists(manifestPath(v)),
-        s"version $v does not exist (vacuumed or never committed)")
-      var outcome = ""
-      refsStore.mutate { m =>
-        m.get(name) match {
-          case Some(r) if r.kind != kind => outcome = r.kind; m
-          case Some(_) => outcome = if (ifNotExists) "kept" else kind; m
-          case None => outcome = "created"; m + (name ->
-            SnapshotRef(kind, v, System.currentTimeMillis(), maxRefAgeMs))
-        }
-      }
-      // mirror the reference's errors (ref IcebergSnapshotRefExec.java:
-      // "Cannot complete create <kind> operation on <name>, as it exists
-      // as <other kind>")
-      outcome match {
-        case "created" | "kept" => ()
-        case other if other != kind => throw new IllegalArgumentException(
-          s"cannot create $kind $name on $root: it exists as $other")
-        case _ => throw new IllegalArgumentException(
-          s"$kind $name already exists on $root")
-      }
-    }
-
-    def dropBranch(name: String, ifExists: Boolean = false): Unit =
-      dropRef(name, "branch", ifExists)
-    def dropTag(name: String, ifExists: Boolean = false): Unit =
-      dropRef(name, "tag", ifExists)
-
-    private def dropRef(name: String, kind: String, ifExists: Boolean): Unit = {
-      var outcome = ""
-      refsStore.mutate { m =>
-        m.get(name) match {
-          case Some(r) if r.kind == kind => outcome = "dropped"; m - name
-          case Some(r) => outcome = r.kind; m
-          case None => outcome = "absent"; m
-        }
-      }
-      outcome match {
-        case "dropped" => ()
-        case "absent" if ifExists => ()
-        case "absent" => throw new IllegalArgumentException(
-          s"no $kind $name on $root")
-        case other => throw new IllegalArgumentException(
-          s"cannot drop $kind $name on $root: it exists as $other")
-      }
-    }
-
-    def renameBranch(from: String, to: String): Unit = {
-      var outcome = ""
-      refsStore.mutate { m =>
-        (m.get(from), m.get(to)) match {
-          case (Some(r), None) if r.kind == "branch" =>
-            outcome = "renamed"; m - from + (to -> r)
-          case (Some(r), None) => outcome = s"${r.kind} $from"; m
-          case (None, _) => outcome = s"missing $from"; m
-          case (_, Some(_)) => outcome = s"taken $to"; m
-        }
-      }
-      require(outcome == "renamed",
-        s"cannot rename branch $from to $to on $root: $outcome")
-    }
-
-    private def refHead(name: String): Manifest = {
-      val r = refs().getOrElse(name,
-        throw new IllegalArgumentException(s"no branch or tag $name on $root"))
-      resolve(readManifest(manifestPath(r.version)))
-    }
-
-    /** Read the state a branch or tag points at (time travel by name). */
-    def readRef(name: String): DataFrame = readFiles(refHead(name))
-
-    /** Append onto a BRANCH head: publishes into the shared slot sequence
-      * marked with [[RefMetaKey]] (invisible to the mainline), then CAS-
-      * bumps the ref. Concurrent branch appends serialize on the ref: a
-      * loser's published manifest is simply unreachable (vacuum reclaims
-      * it) and the append retries on the fresh branch head.
-      */
-    def appendToBranch(branch: String, df: DataFrame,
-        maxRetries: Int = 10): Manifest = {
-      val r0 = refs().getOrElse(branch,
-        throw new IllegalArgumentException(s"no branch $branch on $root"))
-      require(r0.kind == "branch",
-        s"$branch on $root is a tag — tags are immutable")
-      val head0 = resolve(readManifest(manifestPath(r0.version)))
-      require(df.schema.fieldNames.sorted.sameElements(
-        schemaOf(head0.schemaJson).fieldNames.sorted),
-        "append schema must match table schema")
-      val (staged, stagedStats) = stage(
-        validateConstraints(conform(df, schemaOf(head0.schemaJson)), "append"),
-        head0.partitionCols, head0.colMapping)
-      var attempt = 0
-      while (true) {
-        val r = refs().get(branch) match {
-          case Some(cur) if cur.kind == "branch" => cur
-          case _ => throw new ConcurrentModificationException(
-            s"branch $branch on $root vanished mid-append")
-        }
-        val head = resolve(readManifest(manifestPath(r.version)))
-        if (head.colMapping != head0.colMapping)
-          throw new ConcurrentModificationException(
-            s"append to branch $branch at $root raced a column rename — " +
-              "retry the append")
-        val m = Manifest(nextBranchSlot(), head.version,
-          System.currentTimeMillis(), "append", head.partitionCols,
-          head.schemaJson, head.files ++ staged, head.stats ++ stagedStats,
-          Map(RefMetaKey -> branch), head.deletes,
-          colMapping = head.colMapping,
-          droppedPhysical = head.droppedPhysical)
-        if (publish(head, m)) {
-          var took = false
-          refsStore.mutate { rm =>
-            rm.get(branch) match {
-              case Some(cur) if cur.kind == "branch" &&
-                  cur.version == r.version =>
-                took = true; rm + (branch ->
-                  cur.copy(version = m.version))
-              case _ => took = false; rm
-            }
-          }
-          if (took) return m
-          // ref moved between our head read and bump: the manifest just
-          // published is unreachable — retry against the fresh head
-        }
-        attempt += 1
-        if (attempt > maxRetries)
-          throw new ConcurrentModificationException(
-            s"append to branch $branch at $root lost the commit race " +
-              s"$attempt times — giving up")
-      }
-      sys.error("unreachable")
-    }
-
-    /** ALTER TABLE ... EXECUTE FAST-FORWARD: advance the MAINLINE to the
-      * branch head — the publish step of WAP. Requires the current
-      * mainline head to be an ancestor of the branch head (nothing
-      * committed to main since the fork), else refuses: a fast-forward
-      * never merges or discards mainline commits.
-      */
-    def fastForward(branch: String, maxRetries: Int = 10): Manifest = {
-      val r = refs().getOrElse(branch,
-        throw new IllegalArgumentException(s"no branch $branch on $root"))
-      require(r.kind == "branch", s"$branch on $root is a tag")
-      val b = resolve(readManifest(manifestPath(r.version)))
-      var attempt = 0
-      while (true) {
-        val head = latest()
-        if (head.version == b.version) return head // already there
-        // ancestor walk along parent pointers (bounded by log length); a
-        // pruned intermediate manifest (vacuum) breaks the chain — refuse
-        // with the clear error rather than crash on the missing file
-        var v = b.version
-        var found = false
-        while (v >= 0 && !found && fs.exists(manifestPath(v))) {
-          if (v == head.version) found = true
-          else v = readManifest(manifestPath(v)).parent
-        }
-        require(found,
-          s"cannot fast-forward $root to branch $branch: mainline head " +
-            s"${head.version} is not an ancestor of branch head " +
-            s"${b.version} — commits landed on main since the fork (or " +
-            "the fork lineage was vacuumed)")
-        val m = Manifest(nextSlot(head), b.version,
-          System.currentTimeMillis(), "fast-forward", b.partitionCols,
-          b.schemaJson, b.files, b.stats,
-          Map("ff_branch" -> branch, "ff_version" -> b.version.toString),
-          b.deletes, colMapping = b.colMapping,
-          droppedPhysical = b.droppedPhysical)
-        if (publish(b, m)) return m
-        attempt += 1
-        if (attempt > maxRetries)
-          throw new ConcurrentModificationException(
-            s"fast-forward at $root lost the commit race $attempt times — " +
-              "giving up")
-      }
-      sys.error("unreachable")
-    }
-
-    /** ALTER TABLE ... EXECUTE CHERRY-PICK: re-apply one APPEND-ONLY
-      * commit's added files onto the current mainline head. Commits that
-      * remove or retire files refuse (the reference likewise limits
-      * cherry-picks to append/dynamic-overwrite snapshots).
-      */
-    def cherryPick(v: Long, maxRetries: Int = 10): Manifest = {
-      val p = manifestPath(v)
-      require(fs.exists(p),
-        s"version $v does not exist (vacuumed or never committed)")
-      val raw = readManifest(p)
-      val (adds, addStats, removed) =
-        if (raw.kind == "delta")
-          (raw.adds, raw.addStats, raw.removes ++ raw.deleteAdds)
-        else {
-          // a checkpoint whose parent was vacuumed has no computable diff —
-          // treating the full listing as "adds" would silently re-append
-          // the entire table
-          require(raw.parent < 0 || fs.exists(manifestPath(raw.parent)),
-            s"cherry-pick of version $v at $root: its parent manifest " +
-              s"${raw.parent} was vacuumed — the commit's own changes can " +
-              "no longer be isolated")
-          val parent =
-            if (raw.parent < 0) None
-            else Some(resolve(readManifest(manifestPath(raw.parent))))
-          val pf = parent.map(_.files.toSet).getOrElse(Set.empty[String])
-          val adds = raw.files.filterNot(pf)
-          val removes =
-            parent.map(_.files.filterNot(raw.files.toSet)).getOrElse(Nil)
-          val dAdds = raw.deletes.filterNot(
-            parent.map(_.deletes.toSet).getOrElse(Set.empty[String]))
-          (adds, raw.stats.view.filterKeys(adds.toSet).toMap, removes ++ dAdds)
-        }
-      require(removed.isEmpty,
-        s"cherry-pick of version $v at $root unsupported: only append-only " +
-          "commits can be cherry-picked (this one removes or retires files)")
-      commit("cherry-pick", maxRetries,
-          Map("cherry_picked" -> v.toString)) { head =>
-        require(schemaOf(head.schemaJson).fieldNames.sorted.sameElements(
-          schemaOf(raw.schemaJson).fieldNames.sorted),
-          s"cherry-pick of version $v across schema evolution is not supported")
-        val fresh = adds.filterNot(head.files.toSet)
-        if (fresh.isEmpty) None
-        else Some((head.files ++ fresh,
-          head.stats ++ addStats.view.filterKeys(fresh.toSet).toMap))
-      }
-    }
-
-    /** ALTER TABLE ... EXECUTE SET_CURRENT_SNAPSHOT: point the mainline at
-      * ANY committed version's state (incl. a branch commit) — [[restore]]
-      * without the backwards-only restriction.
-      */
-    def setCurrentSnapshot(v: Long, maxRetries: Int = 10): Manifest = {
-      val p = manifestPath(v)
-      require(fs.exists(p),
-        s"version $v does not exist (vacuumed or never committed)")
-      val old = resolve(readManifest(p))
-      var attempt = 0
-      while (true) {
-        val head = latest()
-        if (v == head.version) return head
-        val m = Manifest(nextSlot(head), head.version,
-          System.currentTimeMillis(), "set-current-snapshot",
-          old.partitionCols, old.schemaJson, old.files, old.stats,
-          Map("set_version" -> v.toString), old.deletes,
-          colMapping = old.colMapping,
-          droppedPhysical = old.droppedPhysical)
-        if (publish(head, m)) return m
-        attempt += 1
-        if (attempt > maxRetries)
-          throw new ConcurrentModificationException(
-            s"set-current-snapshot at $root lost the commit race " +
-              s"$attempt times — giving up")
-      }
-      sys.error("unreachable")
-    }
 
     /** TRUNCATE TABLE: one metadata commit that empties the file list (and
       * resets pending MOR deletes — every row they referenced is gone).
@@ -2280,272 +1918,7 @@ object Snapshots {
       sys.error("unreachable")
     }
 
-    /** Compaction: bin-packs files smaller than `targetBytes` into
-      * ~targetBytes outputs, committed as a normal versioned action — data
-      * identical, file count lower, readers never block (the analog of the
-      * reference's background minor compaction: ref
-      * ql/src/java/org/apache/hadoop/hive/ql/txn/compactor/Compactor.java:40,
-      * CompactorMR — there delta files fold into base files under metastore
-      * txns; here small immutable files fold under the same optimistic CAS
-      * as any writer, and a racing DML simply wins or replays). Run it
-      * periodically after streaming appends: micro-batch commits produce
-      * exactly the small-file debris this removes.
-      */
-    def compact(targetBytes: Long = 128L * 1024 * 1024,
-        minInputFiles: Int = 2, maxRetries: Int = 10): Manifest = {
-      var attempt = 0
-      while (true) {
-        val head = latest()
-        // byte sizes from the manifest when recorded (zero filesystem
-        // calls — at 100 TB a per-file getFileStatus sweep is the
-        // bottleneck); pre-recording manifests fall back to the listing
-        val sized = head.files.map { f =>
-          val rec = head.stats.get(f).map(_.bytes).getOrElse(0L)
-          f -> (if (rec > 0L) rec
-                else fs.getFileStatus(new Path(rootPath, f)).getLen)
-        }
-        val small = sized.filter(_._2 < targetBytes)
-        if (small.size < minInputFiles) return head
-        val smallSet = small.map(_._1).toSet
-        val nOut = math.max(1, math.ceil(
-          small.map(_._2).sum.toDouble / targetBytes).toInt)
-        // readFiles applies pending MOR deletes, so compaction FOLDS them
-        // into the rewritten files — the compactor's second job
-        val input = readFiles(head.copy(files = head.files.filter(smallSet)))
-        val packed =
-          if (bucketConfig().isDefined)
-            // bucketed tables: stage() itself regroups rows onto their
-            // buckets (one task per bucket) — a repartition here would
-            // just add a second shuffle for stage to undo
-            input
-          else if (head.partitionCols.nonEmpty)
-            // co-locate each partition's rows so partitionBy emits one
-            // file per (partition, output-slot) instead of a file per
-            // (input task x partition)
-            input.repartition(nOut, head.partitionCols.map(col): _*)
-          else input.repartition(nOut)
-        val (staged, stagedStats) = stage(packed, head.partitionCols,
-          head.colMapping)
-        // consolidate the delete list: entries for compacted-away files are
-        // stale; if none survive, readers return to the join-free fast path
-        val keptFiles = head.files.filterNot(smallSet)
-        val newDeletes =
-          if (head.deletes.isEmpty) head.deletes
-          else {
-            val delSchema = org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("file",
-                org.apache.spark.sql.types.StringType),
-              org.apache.spark.sql.types.StructField("pos",
-                org.apache.spark.sql.types.LongType)))
-            val dels = spark.read.schema(delSchema)
-              .parquet(head.deletes.map(d => new Path(rootPath, d).toString): _*)
-            val keptDf = spark.createDataFrame(
-              keptFiles.map(org.apache.spark.sql.Row(_)).asJava,
-              org.apache.spark.sql.types.StructType(Seq(
-                org.apache.spark.sql.types.StructField("__kept",
-                  org.apache.spark.sql.types.StringType))))
-            val live = dels.join(keptDf, dels("file") === keptDf("__kept"),
-              "left_semi")
-            if (live.isEmpty) Nil
-            else {
-              val delDir = s"deletes/${UUID.randomUUID().toString.take(8)}"
-              live.coalesce(1).write.mode("errorifexists")
-                .parquet(new Path(rootPath, delDir).toString)
-              listParquet(new Path(rootPath, delDir)).map(relativize)
-            }
-          }
-        val m = Manifest(nextSlot(head), head.version,
-          System.currentTimeMillis(), "compact", head.partitionCols,
-          head.schemaJson, keptFiles ++ staged,
-          (head.stats -- smallSet) ++ stagedStats, Map.empty, newDeletes,
-          colMapping = head.colMapping,
-          droppedPhysical = head.droppedPhysical)
-        if (publish(head, m)) return m
-        attempt += 1
-        if (attempt > maxRetries)
-          throw new ConcurrentModificationException(
-            s"compact at $root lost the commit race $attempt times — giving up")
-      }
-      sys.error("unreachable")
-    }
 
-    /** Data clustering: rewrites the table range-partitioned and sorted on
-      * `cols`, so files hold DISJOINT key ranges and [[readWhere]]'s
-      * min/max pruning reaches partition-elimination selectivity on the
-      * clustering key without any physical partitioning (the OPTIMIZE ...
-      * CLUSTER BY role; the reference's CLUSTERED BY ... SORTED BY table
-      * layout, ref ql/ddl CreateTableDesc bucketing/sort spec). Commits as
-      * a data-identical "cluster" action — incremental consumers skip it
-      * like compaction — and folds pending MOR deletes in.
-      */
-    def clusterBy(cols: Seq[String], targetBytes: Long = 128L * 1024 * 1024,
-        maxRetries: Int = 10): Manifest = {
-      val head0 = latest()
-      val bad = cols.toSet.intersect(head0.partitionCols.toSet)
-      require(bad.isEmpty,
-        s"cluster keys cannot be partition columns: ${bad.mkString(", ")}")
-      val schema = schemaOf(head0.schemaJson)
-      val missing = cols.filterNot(schema.fieldNames.contains)
-      require(missing.isEmpty, s"unknown cluster columns: ${missing.mkString(", ")}")
-      var attempt = 0
-      while (true) {
-        val head = latest()
-        if (head.files.isEmpty) return head
-        val totalBytes = head.files.map { f =>
-          val rec = head.stats.get(f).map(_.bytes).getOrElse(0L)
-          if (rec > 0L) rec
-          else fs.getFileStatus(new Path(rootPath, f)).getLen
-        }.sum
-        val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-        val input = readFiles(head) // MOR deletes fold in
-        val clustered = input
-          .repartitionByRange(nOut, cols.map(col): _*)
-          .sortWithinPartitions(cols.map(col): _*)
-        // preserveLayout: on a bucketed table the range layout survives and
-        // each range-task's file splits per bucket dir — files then hold a
-        // (cluster-key range x bucket) cell, prunable on both axes
-        val (staged, stagedStats) = stage(clustered, head.partitionCols,
-          head.colMapping, preserveLayout = true)
-        val m = Manifest(nextSlot(head), head.version,
-          System.currentTimeMillis(), "cluster", head.partitionCols,
-          head.schemaJson, staged, stagedStats, Map.empty, Nil,
-          colMapping = head.colMapping,
-          droppedPhysical = head.droppedPhysical)
-        if (publish(head, m)) return m
-        attempt += 1
-        if (attempt > maxRetries)
-          throw new ConcurrentModificationException(
-            s"cluster at $root lost the commit race $attempt times — giving up")
-      }
-      sys.error("unreachable")
-    }
-
-    /** Multi-dimensional clustering — the OPTIMIZE ... ZORDER BY analog
-      * (public design: Delta Z-ordering; the Morton-curve literature).
-      * [[clusterBy]] gives ONE column partition-elimination pruning but
-      * leaves every other column's min/max spanning the full range;
-      * Z-ordering interleaves the bits of each key's QUANTILE RANK so
-      * files hold small hyper-rectangles of the key space and stats
-      * pruning stays selective on EVERY z-column — the layout for the
-      * "filter big fact tables by several independent columns" shape.
-      *
-      * Ranks come from one `approxQuantile` pass per call (driver holds
-      * only 2^bits boundaries per column); bucket assignment is a single
-      * codegen'd `aggregate` over the broadcast boundary array, so the
-      * rewrite itself is two jobs (quantiles + write) with no per-row
-      * driver work. NULLs rank lowest. Commits as a data-identical
-      * "zorder" action — incremental and streaming readers skip it like
-      * compaction.
-      */
-    def zOrderBy(cols: Seq[String], targetBytes: Long = 128L * 1024 * 1024,
-        bits: Int = 8, maxRetries: Int = 10): Manifest = {
-      require(cols.size >= 2,
-        "zOrderBy needs >= 2 columns (use clusterBy for one)")
-      require(cols.size * bits <= 62, s"${cols.size} cols x $bits bits overflows")
-      val head0 = latest()
-      val bad = cols.toSet.intersect(head0.partitionCols.toSet)
-      require(bad.isEmpty,
-        s"z-order keys cannot be partition columns: ${bad.mkString(", ")}")
-      val schema = schemaOf(head0.schemaJson)
-      val missing = cols.filterNot(schema.fieldNames.contains)
-      require(missing.isEmpty, s"unknown z-order columns: ${missing.mkString(", ")}")
-      val nBuckets = 1 << bits
-      var attempt = 0
-      while (true) {
-        val head = latest()
-        if (head.files.isEmpty) return head
-        val totalBytes = head.files.map { f =>
-          val rec = head.stats.get(f).map(_.bytes).getOrElse(0L)
-          if (rec > 0L) rec
-          else fs.getFileStatus(new Path(rootPath, f)).getLen
-        }.sum
-        val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-        val input = readFiles(head) // MOR deletes fold in
-        // per-column quantile boundaries (2^bits - 1 cuts); constant
-        // columns degenerate to bucket 0, which is still a valid curve
-        val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-        val numeric = cols.map(c => col(c).cast("double").as(c))
-        val bounds = input.select(numeric: _*).stat
-          .approxQuantile(cols.toArray, probs, 0.01)
-        def bucketOf(c: String, bs: Array[Double]): Column = {
-          val arr = array(bs.distinct.sorted.map(lit(_)).toIndexedSeq: _*)
-          // count boundaries strictly below the value: one pass over the
-          // broadcast literal array, fully codegen'd; NULL -> bucket 0
-          aggregate(arr, lit(0),
-            (acc, b) => acc + when(col(c).cast("double") > b, 1).otherwise(0))
-        }
-        val zcol = cols.zipWithIndex.map { case (c, ci) =>
-          val bucket = bucketOf(c, bounds(ci))
-          (0 until bits).map { bit =>
-            // bit `bit` of this column lands at interleaved position
-            // bit * ncols + ci of the z-value
-            shiftleft(shiftright(bucket, bit).bitwiseAND(lit(1)),
-              bit * cols.size + ci).cast("long")
-          }.reduce(_.bitwiseOR(_))
-        }.reduce(_.bitwiseOR(_))
-        val ordered = input.withColumn("__z", zcol)
-          .repartitionByRange(nOut, col("__z"))
-          .sortWithinPartitions("__z")
-          .drop("__z")
-        val (staged, stagedStats) = stage(ordered, head.partitionCols,
-          head.colMapping, preserveLayout = true)
-        val m = Manifest(nextSlot(head), head.version,
-          System.currentTimeMillis(), "zorder", head.partitionCols,
-          head.schemaJson, staged, stagedStats, Map.empty, Nil,
-          colMapping = head.colMapping,
-          droppedPhysical = head.droppedPhysical)
-        if (publish(head, m)) return m
-        attempt += 1
-        if (attempt > maxRetries)
-          throw new ConcurrentModificationException(
-            s"zorder at $root lost the commit race $attempt times — giving up")
-      }
-      sys.error("unreachable")
-    }
-
-    // ---------------------------------------------------------- bloom index
-
-    /** Configures per-file BLOOM FILTERS for point-lookup file skipping
-      * (the Delta/Iceberg bloom-index design; the reference's ORC row-group
-      * bloom filters, ref ql/.../orc OrcFile.bloomFilterColumns, play the
-      * same role inside files). Min/max stats cannot skip a point predicate
-      * on a HIGH-CARDINALITY UNSORTED key — every file's range spans the
-      * probe — but a per-file bloom answers "definitely not here" in O(1):
-      * at 100 TB that turns `WHERE user_id = X` from a full scan into a
-      * handful of files.
-      *
-      * Every commit AFTER this call writes a `_blooms` parquet sidecar
-      * inside its own `data/<uuid>/` dir (underscore-prefixed: invisible
-      * to data reads, vacuumed with its dir) holding one serialized filter
-      * per (file, column). Pruning loads sidecars lazily — only when an
-      * equality/IN conjunct names an indexed column — and only skips;
-      * unindexed files (pre-config commits) always survive, so correctness
-      * never depends on the index. Run [[compact]] or [[zOrderBy]] after
-      * configuring to index existing data. Columns are recorded by
-      * PHYSICAL name, so RENAME COLUMN keeps the index live.
-      */
-    def setBloomColumns(cols: Seq[String], numBits: Long = 1L << 20): Unit = {
-      val head = latest()
-      val schema = schemaOf(head.schemaJson)
-      val missing = cols.filterNot(schema.fieldNames.contains)
-      require(missing.isEmpty, s"unknown bloom columns: ${missing.mkString(", ")}")
-      val part = cols.filter(head.partitionCols.contains)
-      require(part.isEmpty,
-        s"partition columns prune by path, not blooms: ${part.mkString(", ")}")
-      require(numBits >= 64, "numBits too small to be a filter")
-      // generation bump invalidates every earlier sidecar (their filters
-      // may cover different columns, sizes, or — after a type widening —
-      // differently-hashed values); sidecars are generation-named, so old
-      // ones simply stop being read
-      val gen = bloomConfig().map(_.gen + 1).getOrElse(0L)
-      writeBloomConfig(BloomConfig(cols.map(head.physical), numBits, gen))
-    }
-
-    private def writeBloomConfig(cfg: BloomConfig): Unit =
-      SidecarJson.write(fs, new Path(rootPath, "_bloom_config.json"), cfg)
-
-    private[plans] def bloomConfig(): Option[BloomConfig] =
-      SidecarJson.read[BloomConfig](fs, new Path(rootPath, "_bloom_config.json"))
 
     // ------------------------------------------------------------------
     // Constraints (see [[TableConstraints]])
@@ -2592,7 +1965,7 @@ object Snapshots {
       * optimizer and fire on rows the plan would later discard; a plain
       * aggregate cannot.
       */
-    private def validateConstraints(df: DataFrame, action: String): DataFrame = {
+    private[plans] def validateConstraints(df: DataFrame, action: String): DataFrame = {
       val c = constraints()
       // resolution is CASE-INSENSITIVE (matching expr() resolution) so a
       // differently-cased spelling can never silently disable enforcement;
@@ -2733,512 +2106,7 @@ object Snapshots {
       writeConstraints(c.copy(informational = c.informational + (name -> rendered)))
     }
 
-    /** One bloom aggregation job over the just-staged dir, written as the
-      * dir's `_blooms` sidecar. Same page-cache-warm read as the stats job.
-      */
-    private def writeBloomSidecar(dir: Path,
-        dataSchema: org.apache.spark.sql.types.StructType): Unit = {
-      val cfg = bloomConfig().getOrElse(return)
-      val cols = cfg.cols.filter(dataSchema.fieldNames.contains)
-      if (cols.isEmpty) return
-      import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
-      val staged = spark.read.schema(dataSchema).parquet(dir.toString)
-      val items = math.max(cfg.bits / 16, 64L)
-      val aggs = cols.map { cn =>
-        org.apache.spark.sql.GraftShims.column(
-          new org.apache.spark.sql.catalyst.expressions.aggregate
-            .BloomFilterAggregate(
-              new XxHash64(Seq(
-                org.apache.spark.sql.GraftShims.expression(col(cn)))),
-              Literal(items), Literal(cfg.bits))
-            .toAggregateExpression()).as(s"__bloom_$cn")
-      }
-      val rootQ = fs.makeQualified(rootPath).toUri.getPath + "/"
-      val rows = staged.groupBy(input_file_name().as("__f"))
-        .agg(aggs.head, aggs.tail: _*).collect()
-      if (rows.isEmpty) return
-      val out = rows.toSeq.flatMap { r =>
-        val rel = new Path(r.getString(0)).toUri.getPath.stripPrefix(rootQ)
-        cols.map(cn => (rel, cn, r.getAs[Array[Byte]](s"__bloom_$cn")))
-      }.filter(_._3 != null)
-      import spark.implicits._
-      out.toDF("file", "col", "bloom").coalesce(1)
-        .write.mode("overwrite")
-        .parquet(new Path(dir, s"_blooms_g${cfg.gen}").toString)
-    }
 
-    // sidecars are immutable once their commit publishes — cache per
-    // commit dir, deserialized, shared by every plan through this handle
-    private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
-      String, Map[(String, String), org.apache.spark.util.sketch.BloomFilter]]()
-
-    private def bloomsOf(commitDir: String, gen: Long)
-        : Map[(String, String), org.apache.spark.util.sketch.BloomFilter] =
-      bloomCache.computeIfAbsent(s"$commitDir#g$gen", { _ =>
-        val p = new Path(rootPath, s"$commitDir/_blooms_g$gen")
-        if (!fs.exists(p)) Map.empty
-        else spark.read.parquet(p.toString).collect().map { r =>
-          (r.getString(0), r.getString(1)) ->
-            org.apache.spark.util.sketch.BloomFilter.readFrom(
-              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](2)))
-        }.toMap
-      })
-
-    /** Drops `files` whose bloom PROVES an equality/IN conjunct cannot
-      * match (attribute names arrive PHYSICAL, matching sidecar keys).
-      * Absent sidecar/filter → keep; blooms only skip, never decide.
-      */
-    private def bloomPrune(files: Seq[String],
-        conds: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
-        : Seq[String] = {
-      if (files.isEmpty || conds.isEmpty) return files
-      val cfg = bloomConfig().getOrElse(return files)
-      if (cfg.cols.isEmpty) return files
-      val bcols = cfg.cols.toSet
-      import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, In, Literal, XxHash64}
-      def hashOf(l: Literal): Long =
-        new XxHash64(Seq(l)).eval(null).asInstanceOf[Long]
-      def split(e: Expression): Seq[Expression] = e match {
-        case And(l, r) => split(l) ++ split(r)
-        case o => Seq(o)
-      }
-      val probes: Seq[(String, Seq[Long])] = conds.flatMap(split).flatMap {
-        case EqualTo(a: AttributeReference, l: Literal)
-            if bcols(a.name) && l.value != null && l.dataType == a.dataType =>
-          Some(a.name -> Seq(hashOf(l)))
-        case EqualTo(l: Literal, a: AttributeReference)
-            if bcols(a.name) && l.value != null && l.dataType == a.dataType =>
-          Some(a.name -> Seq(hashOf(l)))
-        case In(a: AttributeReference, ls)
-            if bcols(a.name) && ls.nonEmpty && ls.forall {
-              case l: Literal => l.value != null && l.dataType == a.dataType
-              case _ => false
-            } =>
-          Some(a.name -> ls.map { case l: Literal => hashOf(l) })
-        case _ => None
-      }
-      if (probes.isEmpty) return files
-      files.filter { f =>
-        val segs = f.split('/')
-        if (segs.length < 2) true
-        else {
-          val blooms = bloomsOf(segs.take(2).mkString("/"), cfg.gen)
-          probes.forall { case (c, hashes) =>
-            blooms.get((f, c)) match {
-              case None => true // unindexed: cannot skip
-              case Some(bf) => hashes.exists(bf.mightContainLong)
-            }
-          }
-        }
-      }
-    }
-
-    // --------------------------------------------------------------- vacuum
-
-    /** Deletes data files referenced by no retained manifest and drops the
-      * pruned manifests; time travel older than `retainLast` versions stops
-      * working. Both data files AND manifests are age-gated by
-      * `minAgeHours`: an in-flight appendToBranch publishes its branch
-      * manifest BEFORE the ref CAS bump, so a freshly written manifest is
-      * invisible to the ref scan here — deleting it would leave the branch
-      * pointing at nothing once the bump lands. The age gate (the standard
-      * Delta/Iceberg retention-check design) makes that window safe;
-      * maintenance that knows no writer is active may pass 0.
-      *
-      * `orphanOnly` (DELETE ORPHAN-FILES) reclaims unreferenced data files
-      * WITHOUT touching history: every manifest is retained (including
-      * branch-slot manifests not pinned by a ref head — intermediate branch
-      * history and cherry-pick sources) and ref aging is skipped.
-      */
-    def vacuum(retainLast: Int = 1, minAgeHours: Double = 24.0,
-        orphanOnly: Boolean = false): Long = {
-      val vs = versions()
-      // refs pin their manifests: a branch/tag head must survive vacuum
-      // (and keep its files referenced) or the ref dangles and branch
-      // data is destroyed under the reader
-      // aged-out refs (CREATE BRANCH/TAG ... RETAIN n DAYS — the
-      // reference's maxRefAgeMs) expire HERE, the snapshot-expiry point,
-      // so a forgotten WAP branch stops pinning manifests forever. Age is
-      // measured from the ref's HEAD COMMIT timestamp (the Iceberg
-      // maxRefAgeMs semantics): an actively-written branch keeps renewing
-      // itself, only an ABANDONED one ages out — createdAtMs would destroy
-      // a live branch under its writer. The decision runs INSIDE the CAS
-      // mutate against each ref's own fields, so a ref re-created under
-      // the same name while vacuum runs is never deleted by stale name.
-      val nowMs = System.currentTimeMillis()
-      val tsMemo = scala.collection.mutable.HashMap.empty[Long, Long]
-      def headTs(v: Long): Long = tsMemo.getOrElseUpdate(v,
-        try resolvedManifest(v).timestampMs
-        catch { case _: Exception => Long.MaxValue }) // unreadable = keep
-      if (!orphanOnly && refs().values.exists(_.maxRefAgeMs.isDefined))
-        refsStore.mutate(m => m.filterNot { case (_, r) =>
-          r.maxRefAgeMs.exists(a => nowMs - headTs(r.version) > a) })
-      val refVersions = refs().values.map(_.version).toSet
-        .filter(v => fs.exists(manifestPath(v)))
-      // retainLast counts MAINLINE snapshots — branch commits must not
-      // consume retention slots (EXPIRE_SNAPSHOTS RETAIN LAST n promises n
-      // table versions, and a raw-slot tail of branch commits would prune
-      // mainline history the caller asked to keep, incl. the head itself)
-      val keep =
-        if (orphanOnly) vs.toSet ++ refVersions
-        else mainlineVersions().takeRight(math.max(retainLast, 1)).toSet ++
-          refVersions
-      // every retained manifest must be self-contained AFTER its ancestors
-      // are pruned: any kept delta whose parent is NOT kept rewrites in
-      // place as its resolved full form (atomic replace; logical content
-      // identical). Staged through the table's own FileSystem + FileContext
-      // rename so HDFS/S3A-rooted tables vacuum the same way local ones do.
-      keep.toSeq.sorted.foreach { kv =>
-        val km = readManifest(manifestPath(kv))
-        if (km.kind == "delta" && !keep.contains(km.parent)) {
-          val full = resolve(km)
-          // tmp in the log dir itself so the replace is same-filesystem atomic
-          val tmp = new Path(logPath, s".ckpt-${UUID.randomUUID().toString}")
-          val out = fs.create(tmp, false)
-          try out.write(writeManifestJson(full).getBytes("UTF-8")) finally out.close()
-          org.apache.hadoop.fs.FileContext
-            .getFileContext(manifestPath(kv).toUri,
-              spark.sparkContext.hadoopConfiguration)
-            .rename(fs.makeQualified(tmp), fs.makeQualified(manifestPath(kv)),
-              org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-        }
-      }
-      val kept = keep.map(v => resolve(readManifest(manifestPath(v))))
-      val referenced = kept.flatMap(_.files) ++ kept.flatMap(_.deletes)
-      // Age threshold: an in-flight writer's staged-but-uncommitted files
-      // are unreferenced by EVERY manifest — deleting them would fail the
-      // writer's commit. Only reclaim files older than the horizon (the
-      // Delta/Iceberg retention-check design); maintenance that knows no
-      // writer is active may pass 0.
-      val cutoff = System.currentTimeMillis() - (minAgeHours * 3600 * 1000).toLong
-      var reclaimed = 0L
-      Seq("data", "deletes").foreach { sub =>
-        val dir = new Path(rootPath, sub)
-        if (fs.exists(dir)) {
-          listParquet(dir).foreach { p =>
-            if (!referenced.contains(relativize(p)) &&
-                fs.getFileStatus(p).getModificationTime <= cutoff) {
-              fs.delete(p, false)
-              reclaimed += 1
-            }
-          }
-          // drop now-empty, aged-out commit dirs
-          fs.listStatus(dir).foreach { d =>
-            if (d.isDirectory && listParquet(d.getPath).isEmpty &&
-                d.getModificationTime <= cutoff)
-              fs.delete(d.getPath, true)
-          }
-        }
-      }
-      // manifests are age-gated like data files: a branch manifest
-      // published by an in-flight appendToBranch (ref bump not yet CAS'd)
-      // is not in refVersions yet — deleting it would dangle the branch
-      // the moment the bump lands. Younger-than-cutoff manifests survive
-      // to the next vacuum.
-      vs.filterNot(keep).foreach { v =>
-        val p = manifestPath(v)
-        if (fs.exists(p) && fs.getFileStatus(p).getModificationTime <= cutoff)
-          fs.delete(p, false)
-      }
-      reclaimed
-    }
   }
 
-  /** Manifest-backed [[org.apache.spark.sql.execution.datasources.FileIndex]]:
-    * the scan's file listing comes from the manifest (no directory walk),
-    * and the partition/data filters Catalyst pushes into `listFiles` prune
-    * it driver-side with [[Pruning]] over the per-file min/max/null stats —
-    * so ANY read of the table (plain SQL, TVFs, `read()`) plans only the
-    * files whose range can match, at metadata cost. This is the log-backed
-    * index design published by Delta Lake / Iceberg; the reference reaches
-    * the same effect through metastore partition pruning + ORC footers.
-    */
-  private[plans] class SnapshotFileIndex(qualifiedRoot: org.apache.hadoop.fs.Path,
-      fs: org.apache.hadoop.fs.FileSystem, m: Manifest,
-      schema: org.apache.spark.sql.types.StructType,
-      bloomPrune: (Seq[String],
-        Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => Seq[String]
-        = (fls, _) => fls)
-    extends org.apache.spark.sql.execution.datasources.FileIndex {
-    import org.apache.spark.sql.catalyst.InternalRow
-    import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
-    import org.apache.spark.sql.execution.datasources.PartitionDirectory
-
-    // file statuses synthesized from manifest-recorded sizes — the plan
-    // path makes NO filesystem calls; only files whose manifest entry
-    // predates size recording (bytes == 0) fall back to a status probe
-    private val statuses: Map[String, org.apache.hadoop.fs.FileStatus] =
-      m.files.map { f =>
-        val p = new org.apache.hadoop.fs.Path(qualifiedRoot, f)
-        f -> (m.stats.get(f).map(_.bytes).filter(_ > 0L) match {
-          case Some(len) => new org.apache.hadoop.fs.FileStatus(
-            len, false, 1, 128L * 1024 * 1024, m.timestampMs, p)
-          case None => fs.getFileStatus(p)
-        })
-      }.toMap
-
-    override def rootPaths: Seq[org.apache.hadoop.fs.Path] = Seq(qualifiedRoot)
-
-    override val partitionSchema: org.apache.spark.sql.types.StructType =
-      org.apache.spark.sql.types.StructType(
-        m.partitionCols.flatMap(c => schema.fields.find(_.name == c)))
-
-    override def listFiles(partitionFilters: Seq[Expression],
-        dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-      // dataFilters are BEST-EFFORT (Spark re-applies them per row), so the
-      // conservative stats pruning may keep extra files; partitionFilters
-      // are EXACT — Spark never re-evaluates them after partition pruning —
-      // so they must be bound and evaluated against the partition values,
-      // not approximated (the standard PartitioningAwareFileIndex binding)
-      val kept = bloomPrune(m.files.filter(f => dataFilters.forall(c =>
-        Pruning.mayMatch(f, m.stats.get(f), m.partitionCols, schema, c))),
-        dataFilters)
-      if (m.partitionCols.isEmpty)
-        Seq(PartitionDirectory(InternalRow.empty, kept.map(statuses).toArray))
-      else {
-        val groups = kept.groupBy(partTuple).toSeq
-          .map { case (vals, fls) => (partRow(vals), fls) }
-        val pruned =
-          if (partitionFilters.isEmpty) groups
-          else {
-            val bound = org.apache.spark.sql.catalyst.expressions.Predicate
-              .createInterpreted(partitionFilters
-                .reduce(org.apache.spark.sql.catalyst.expressions.And(_, _))
-                .transform {
-                  case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
-                    val i = partitionSchema.fieldIndex(a.name)
-                    org.apache.spark.sql.catalyst.expressions.BoundReference(
-                      i, partitionSchema(i).dataType, nullable = true)
-                })
-            groups.filter { case (row, _) => bound.eval(row) }
-          }
-        pruned.map { case (row, fls) =>
-          PartitionDirectory(row, fls.map(statuses).toArray)
-        }
-      }
-    }
-
-    /** The file's partition values as path-segment strings (null = default
-      * partition), in partitionSchema order.
-      */
-    private def partTuple(file: String): Seq[String] =
-      m.partitionCols.map { c =>
-        file.split('/').find(_.startsWith(c + "=")).map(seg =>
-          Pruning.unescape(seg.substring(c.length + 1))) match {
-          case Some("__HIVE_DEFAULT_PARTITION__") | None => null
-          case Some(v) => v
-        }
-      }
-
-    private def partRow(vals: Seq[String]): InternalRow =
-      InternalRow.fromSeq(vals.zip(partitionSchema.fields).map {
-        case (null, _) => null
-        case (v, f) => Cast(Literal(v), f.dataType, Some("UTC")).eval(null)
-      })
-
-    override def inputFiles: Array[String] =
-      m.files.map(f => new org.apache.hadoop.fs.Path(qualifiedRoot, f).toString)
-        .toArray
-
-    override def refresh(): Unit = () // manifests are immutable
-
-    override def sizeInBytes: Long = statuses.values.map(_.getLen).sum
-  }
-
-  /** Driver-side file pruning against manifest stats + partition paths.
-    * Conservative by construction: any conjunct it cannot reason about
-    * keeps the file. Supported shapes: col op literal for =, <, <=, >, >=,
-    * IN (literals...), IS [NOT] NULL — over numeric/string/date/timestamp/
-    * boolean columns. Absent min/max bounds prove a column all-NULL (and thus
-    * unmatchable by comparison predicates) only when the null count
-    * confirms it (nulls >= rows); a stats writer may also omit bounds it
-    * cannot order, so a file with non-null rows and no bounds is kept.
-    */
-  private[plans] object Pruning {
-    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-    import org.apache.spark.sql.catalyst.expressions._
-    import org.apache.spark.sql.types._
-
-    def mayMatch(file: String, stat: Option[FileStat], partitionCols: Seq[String],
-        schema: StructType, cond: Expression): Boolean =
-      conjuncts(cond).forall(c => conjunctMayMatch(file, stat, partitionCols, schema, c))
-
-    private def conjuncts(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => conjuncts(l) ++ conjuncts(r)
-      case other => Seq(other)
-    }
-
-    private def attrName(e: Expression): Option[String] = e match {
-      case a: UnresolvedAttribute => Some(a.name)
-      case a: AttributeReference => Some(a.name)
-      case _ => None
-    }
-
-    /** Literal, possibly behind the analyzer's inserted (foldable) cast —
-      * folded driver-side so `price > 200000` prunes even though the int
-      * literal arrives as CAST(200000 AS DOUBLE).
-      */
-    private object Lit {
-      def unapply(e: Expression): Option[Literal] = e match {
-        case l: Literal => Some(l)
-        case c: Cast if c.foldable =>
-          try Some(Literal.create(c.eval(null), c.dataType))
-          catch { case _: Exception => None }
-        case _ => None
-      }
-    }
-
-    /** (min, max, nulls, rows) for `name` in this file — from the `k=v`
-      * path segment for partition columns (value is both min and max),
-      * from manifest stats otherwise. None = cannot reason, keep the file.
-      */
-    private def rangeOf(file: String, stat: Option[FileStat],
-        partitionCols: Seq[String], name: String)
-        : Option[(Option[String], Option[String], Long, Long)] =
-      if (partitionCols.contains(name)) {
-        file.split('/').find(_.startsWith(name + "=")).map { seg =>
-          val raw = unescape(seg.substring(name.length + 1))
-          val rows = stat.map(_.rows).getOrElse(Long.MaxValue)
-          if (raw == "__HIVE_DEFAULT_PARTITION__") (None, None, rows, rows)
-          else (Some(raw), Some(raw), 0L, rows)
-        }
-      } else stat.flatMap { s =>
-        s.cols.get(name).map(cs => (cs.min, cs.max, cs.nulls, s.rows))
-      }
-
-    private def conjunctMayMatch(file: String, stat: Option[FileStat],
-        partitionCols: Seq[String], schema: StructType, e: Expression): Boolean = {
-      def dtOf(name: String): Option[DataType] =
-        schema.fields.find(_.name == name).map(_.dataType)
-
-      // evaluate "some row may satisfy (name op lit)" against the range
-      def check(name: String, op: String, l: Literal): Boolean = {
-        val r = for {
-          dt <- dtOf(name)
-          v <- litKey(l, dt)
-          (minS, maxS, nulls, rows) <- rangeOf(file, stat, partitionCols, name)
-        } yield (minS.flatMap(key(dt, _)), maxS.flatMap(key(dt, _))) match {
-          case (Some(mn), Some(mx)) => op match {
-            case "="  => cmp(v, mn) >= 0 && cmp(v, mx) <= 0
-            case "<"  => cmp(mn, v) < 0
-            case "<=" => cmp(mn, v) <= 0
-            case ">"  => cmp(mx, v) > 0
-            case ">=" => cmp(mx, v) >= 0
-          }
-          // min/max STRINGS present but unparseable (e.g. a float column
-          // whose bound rendered as NaN/Infinity) — cannot reason, keep.
-          // Absent min/max proves all-NULL only when the null count says
-          // so; a stats writer may also omit bounds it cannot order.
-          case _ =>
-            if (minS.isDefined || maxS.isDefined) true else nulls < rows
-        }
-        r.getOrElse(true)
-      }
-      def flip(op: String): String = op match {
-        case "<" => ">"; case "<=" => ">="; case ">" => "<"; case ">=" => "<="
-        case o => o
-      }
-
-      e match {
-        case EqualTo(a, Lit(l)) if attrName(a).isDefined =>
-          check(attrName(a).get, "=", l)
-        case EqualTo(Lit(l), a) if attrName(a).isDefined =>
-          check(attrName(a).get, "=", l)
-        case LessThan(a, Lit(l)) if attrName(a).isDefined =>
-          check(attrName(a).get, "<", l)
-        case LessThan(Lit(l), a) if attrName(a).isDefined =>
-          check(attrName(a).get, flip("<"), l)
-        case LessThanOrEqual(a, Lit(l)) if attrName(a).isDefined =>
-          check(attrName(a).get, "<=", l)
-        case LessThanOrEqual(Lit(l), a) if attrName(a).isDefined =>
-          check(attrName(a).get, flip("<="), l)
-        case GreaterThan(a, Lit(l)) if attrName(a).isDefined =>
-          check(attrName(a).get, ">", l)
-        case GreaterThan(Lit(l), a) if attrName(a).isDefined =>
-          check(attrName(a).get, flip(">"), l)
-        case GreaterThanOrEqual(a, Lit(l)) if attrName(a).isDefined =>
-          check(attrName(a).get, ">=", l)
-        case GreaterThanOrEqual(Lit(l), a) if attrName(a).isDefined =>
-          check(attrName(a).get, flip(">="), l)
-        case In(a, vs) if attrName(a).isDefined &&
-            vs.forall(Lit.unapply(_).isDefined) =>
-          vs.exists(v => check(attrName(a).get, "=", Lit.unapply(v).get))
-        case IsNull(a) if attrName(a).isDefined =>
-          rangeOf(file, stat, partitionCols, attrName(a).get)
-            .forall { case (_, _, nulls, _) => nulls > 0 }
-        case IsNotNull(a) if attrName(a).isDefined =>
-          rangeOf(file, stat, partitionCols, attrName(a).get)
-            .forall { case (_, _, nulls, rows) => nulls < rows }
-        case _ => true // unsupported shape — never prune on it
-      }
-    }
-
-    /** Comparable key for a stats string under the column's type. */
-    private def key(dt: DataType, s: String): Option[Any] = dt match {
-      case _: NumericType =>
-        try Some(BigDecimal(s)) catch { case _: NumberFormatException => None }
-      case BooleanType => Some(BigDecimal(if (s == "true") 1 else 0))
-      case DateType =>
-        try Some(BigDecimal(java.time.LocalDate.parse(s).toEpochDay))
-        catch { case _: java.time.format.DateTimeParseException => None }
-      // stats render timestamps in the session time zone (the engine pins
-      // UTC, Engine.configure) — parse the wall-clock rendering back to
-      // epoch micros, the same scale the Catalyst literal carries
-      case TimestampType | TimestampNTZType =>
-        try {
-          val ldt = java.time.LocalDateTime.parse(s.replace(' ', 'T'))
-          Some(BigDecimal(ldt.toEpochSecond(java.time.ZoneOffset.UTC)) *
-            1000000L + ldt.getNano / 1000L)
-        } catch { case _: java.time.format.DateTimeParseException => None }
-      case StringType => Some(s)
-      case _ => None
-    }
-
-    /** Comparable key for a Catalyst literal (internal representation). */
-    private def litKey(l: Literal, dt: DataType): Option[Any] =
-      if (l.value == null) None
-      else (l.dataType, dt) match {
-        case (_: NumericType, _: NumericType) =>
-          try Some(BigDecimal(l.value.toString))
-          catch { case _: NumberFormatException => None }
-        case (BooleanType, BooleanType) =>
-          Some(BigDecimal(if (l.value == true) 1 else 0))
-        case (DateType, DateType) =>
-          Some(BigDecimal(l.value.asInstanceOf[Int].toLong))
-        case (TimestampType, TimestampType) |
-             (TimestampNTZType, TimestampNTZType) => // epoch micros
-          Some(BigDecimal(l.value.asInstanceOf[Long]))
-        case (StringType, StringType) => Some(l.value.toString)
-        case _ => None // type mismatch (would need a cast) — don't prune
-      }
-
-    private def cmp(a: Any, b: Any): Int = (a, b) match {
-      case (x: BigDecimal, y: BigDecimal) => x.compare(y)
-      // Spark orders strings by UTF-8 bytes (code points); String.compareTo
-      // is UTF-16 and misorders supplementary-plane characters against
-      // U+E000..U+FFFF — which would prune files whose true range contains
-      // the literal
-      case (x: String, y: String) =>
-        org.apache.spark.unsafe.types.UTF8String.fromString(x)
-          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
-      case _ => 0
-    }
-
-    /** Hive-style %xx path unescape (URLDecoder would corrupt '+'). */
-    private[plans] def unescape(s: String): String = {
-      if (!s.contains('%')) return s
-      val sb = new StringBuilder(s.length)
-      var i = 0
-      while (i < s.length) {
-        val ch = s.charAt(i)
-        if (ch == '%' && i + 2 < s.length) {
-          try {
-            sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
-            i += 3
-          } catch { case _: NumberFormatException => sb.append(ch); i += 1 }
-        } else { sb.append(ch); i += 1 }
-      }
-      sb.toString
-    }
-  }
 }

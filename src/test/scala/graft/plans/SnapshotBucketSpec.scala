@@ -443,7 +443,7 @@ class SnapshotBucketSpec extends SparkSpec {
     assert(nRows === (0 until 2000).count(_ % 7 == 3))
     val scans = allNodes(joined.queryExecution.executedPlan).collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec
-        if f.relation.location.isInstanceOf[Snapshots.SnapshotFileIndex] => f
+        if f.relation.location.isInstanceOf[SnapshotFileIndex] => f
     }
     assert(scans.nonEmpty, "expected the snapshot-side scan")
     val readFiles = scans.head.inputRDDs().head.partitions.toSeq.flatMap {

@@ -317,14 +317,14 @@ class SnapshotsSpec extends SparkSpec {
     val gtX = GreaterThan(UnresolvedAttribute("x"), Literal(5.0))
     val eqS = EqualTo(UnresolvedAttribute("s"), Literal("v"))
     // bounds present but unparseable (float NaN/Infinity rendering) -> keep
-    assert(Snapshots.Pruning.mayMatch(
+    assert(Pruning.mayMatch(
       "f", stat(Some("NaN"), Some("Infinity"), 0L, 10L), Nil, schema, gtX))
     // bounds absent but non-null rows exist (writer omitted bounds) -> keep
-    assert(Snapshots.Pruning.mayMatch("f", stat(None, None, 0L, 10L), Nil, schema, gtX))
-    assert(Snapshots.Pruning.mayMatch("f", stat(None, None, 9L, 10L), Nil, schema, gtX))
+    assert(Pruning.mayMatch("f", stat(None, None, 0L, 10L), Nil, schema, gtX))
+    assert(Pruning.mayMatch("f", stat(None, None, 9L, 10L), Nil, schema, gtX))
     // provably all-NULL -> comparison predicates prune the file
-    assert(!Snapshots.Pruning.mayMatch("f", stat(None, None, 10L, 10L), Nil, schema, gtX))
-    assert(!Snapshots.Pruning.mayMatch("f", stat(None, None, 10L, 10L), Nil, schema, eqS))
+    assert(!Pruning.mayMatch("f", stat(None, None, 10L, 10L), Nil, schema, gtX))
+    assert(!Pruning.mayMatch("f", stat(None, None, 10L, 10L), Nil, schema, eqS))
   }
 
   test("timestamp stats prune files for time-range predicates") {
@@ -359,11 +359,11 @@ class SnapshotsSpec extends SparkSpec {
     val stat = Some(Snapshots.FileStat(10L, Map(
       "s" -> Snapshots.ColStat(Some("A"), Some("😀"), 0L))))
     val eq = EqualTo(UnresolvedAttribute("s"), Literal(""))
-    assert(Snapshots.Pruning.mayMatch("f", stat, Nil, schema, eq),
+    assert(Pruning.mayMatch("f", stat, Nil, schema, eq),
       "literal inside the UTF-8 range must keep the file")
     // and genuinely out-of-range literals still prune
     val below = EqualTo(UnresolvedAttribute("s"), Literal("0"))
-    assert(!Snapshots.Pruning.mayMatch("f", stat, Nil, schema, below))
+    assert(!Pruning.mayMatch("f", stat, Nil, schema, below))
   }
 
   test("readChanges returns appended rows tagged with version, skips compact") {
