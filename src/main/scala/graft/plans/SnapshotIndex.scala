@@ -148,23 +148,31 @@ private[plans] object Pruning {
     }
   }
 
-  /** (min, max, nulls, rows) for `name` in this file — from the `k=v`
-    * path segment for partition columns (value is both min and max),
-    * from manifest stats otherwise. None = cannot reason, keep the file.
+  /** (min, max, nulls, rows) for `name` in this file — from the file's own
+    * `name=v` path segment when present (value is both min and max), from
+    * manifest stats otherwise. None = cannot reason, keep the file.
+    *
+    * The path probe runs for EVERY column, not just the manifest's declared
+    * partition columns: after `SET PARTITION SPEC` a table holds files born
+    * under different specs, and each file's path records the spec it was
+    * written with — so a predicate on a FORMER partition column still
+    * prunes the old-spec files exactly, and a predicate on a NEW partition
+    * column falls back to stats for them. The only reserved `k=v` segment
+    * not naming a real column is the bucket-staging dir, whose key
+    * (`graftbucket`) is refused as a column name at CREATE.
     */
   private def rangeOf(file: String, stat: Option[FileStat],
       partitionCols: Seq[String], name: String)
       : Option[(Option[String], Option[String], Long, Long)] =
-    if (partitionCols.contains(name)) {
-      file.split('/').find(_.startsWith(name + "=")).map { seg =>
-        val raw = unescape(seg.substring(name.length + 1))
-        val rows = stat.map(_.rows).getOrElse(Long.MaxValue)
-        if (raw == "__HIVE_DEFAULT_PARTITION__") (None, None, rows, rows)
-        else (Some(raw), Some(raw), 0L, rows)
-      }
-    } else stat.flatMap { s =>
+    file.split('/').find(_.startsWith(name + "=")).map { seg =>
+      val raw = unescape(seg.substring(name.length + 1))
+      val rows = stat.map(_.rows).getOrElse(Long.MaxValue)
+      if (raw == "__HIVE_DEFAULT_PARTITION__")
+        (None: Option[String], None: Option[String], rows, rows)
+      else (Some(raw), Some(raw), 0L, rows)
+    }.orElse(stat.flatMap { s =>
       s.cols.get(name).map(cs => (cs.min, cs.max, cs.nulls, s.rows))
-    }
+    })
 
   private def conjunctMayMatch(file: String, stat: Option[FileStat],
       partitionCols: Seq[String], schema: StructType, e: Expression): Boolean = {

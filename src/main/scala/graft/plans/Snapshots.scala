@@ -762,16 +762,13 @@ object Snapshots {
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
           .withColumn("__file", lit(null).cast("string"))
           .withColumn("__pos", lit(null).cast("long"))
-      val prefix = metaPathPrefix(m)
       // same manifest-backed index as readFiles: MOR reads and COW/merge
       // affected-row discovery prune with the pushed filters too (a file
       // pruned from the base scan can hold no matching rows; its delete
       // entries then match nothing — correctness never depends on stats)
-      scanRelation(m, schema)
+      scanRelationMeta(m, schema)
         .select(schema.fieldNames.map(n => col(m.physical(n)).as(n)) :+
-          expr(s"substring(_metadata.file_path, ${prefix.length + 2})")
-            .as("__file") :+
-          col("_metadata.row_index").as("__pos"): _*)
+          col("__file") :+ col("__pos"): _*)
     }
 
     /** Scan over the manifest's files through [[SnapshotFileIndex]]. The
@@ -782,7 +779,87 @@ object Snapshots {
       * under physical names at write time) and the parquet footers.
       * Partition columns never rename, so the partition schema is shared.
       */
+    /** The partition spec `f` was WRITTEN under — the ordered keys of its
+      * own `k=v` path segments (bucket staging dirs excluded). After
+      * `SET PARTITION SPEC` a manifest's files span specs; each file's
+      * path is the durable record of its birth spec (it survives
+      * checkpoint folding and vacuum because it IS the file's location).
+      * Keys are physical column names — partition dirs never rename.
+      */
+    private[plans] def fileSpecOf(f: String): Seq[String] =
+      f.split('/').iterator
+        .filter(s => s.indexOf('=') > 0)
+        .map(s => s.substring(0, s.indexOf('=')))
+        .filterNot(_ == GbCol)
+        .toSeq
+
+    /** `m`'s files grouped by birth partition spec, in first-file order
+      * (commit order: older generations first, so plans and results are
+      * deterministic). One group — every table that never evolved its
+      * spec — means the scan is a single relation, exactly the pre-
+      * evolution plan shape.
+      */
+    private def specGroups(m: Manifest): Seq[(Seq[String], Seq[String])] = {
+      val firstIdx = scala.collection.mutable.LinkedHashMap
+        .empty[Seq[String], scala.collection.mutable.ArrayBuffer[String]]
+      m.files.foreach(f =>
+        firstIdx.getOrElseUpdate(fileSpecOf(f),
+          scala.collection.mutable.ArrayBuffer.empty[String]) += f)
+      firstIdx.toSeq.map { case (spec, fls) => (spec, fls.toSeq) }
+    }
+
+    /** [[scanRelation]] plus row provenance (`__file`, `__pos`) from the
+      * parquet reader's `_metadata` columns. `_metadata` only resolves
+      * DIRECTLY on a file relation — never through a union — so on a
+      * mixed-spec table the provenance projection applies per spec
+      * generation before unioning. Every caller needing `_metadata` must
+      * come through here rather than selecting it off [[scanRelation]].
+      */
+    private def scanRelationMeta(m: Manifest,
+        schema: org.apache.spark.sql.types.StructType,
+        isStreaming: Boolean = false): DataFrame = {
+      val prefix = metaPathPrefix(m)
+      def attach(base: DataFrame): DataFrame =
+        base.withColumn("__file",
+            expr(s"substring(_metadata.file_path, ${prefix.length + 2})"))
+          .withColumn("__pos", col("_metadata.row_index"))
+      val groups = specGroups(m)
+      if (groups.size <= 1 && groups.forall(_._1 == m.partitionCols))
+        attach(scanOne(m, schema, isStreaming))
+      else {
+        val physNames = schema.fields.map(f => m.physical(f.name))
+        groups.map { case (spec, fls) =>
+          attach(scanOne(m.copy(partitionCols = spec, files = fls), schema,
+            isStreaming))
+            .select((physNames.map(col) ++
+              Seq(col("__file"), col("__pos"))).toIndexedSeq: _*)
+        }.reduce(_.union(_))
+      }
+    }
+
     private def scanRelation(m: Manifest,
+        schema: org.apache.spark.sql.types.StructType,
+        isStreaming: Boolean = false): DataFrame = {
+      val groups = specGroups(m)
+      // manifest partitionCols are physical names (partition dirs never
+      // rename), directly comparable to the path-derived keys
+      if (groups.size <= 1 && groups.forall(_._1 == m.partitionCols))
+        scanOne(m, schema, isStreaming)
+      else {
+        // mixed-spec table: one relation per spec generation, each pruning
+        // under ITS OWN spec (path values for its partition columns, stats
+        // for the rest), projected to a common physical column order and
+        // unioned. Spec changes are rare, so the union is 2-3 branches;
+        // Catalyst pushes filters into every branch independently.
+        val physNames = schema.fields.map(f => m.physical(f.name))
+        groups.map { case (spec, fls) =>
+          scanOne(m.copy(partitionCols = spec, files = fls), schema,
+            isStreaming).select(physNames.map(col).toIndexedSeq: _*)
+        }.reduce(_.union(_))
+      }
+    }
+
+    private def scanOne(m: Manifest,
         schema: org.apache.spark.sql.types.StructType,
         isStreaming: Boolean = false): DataFrame = {
       import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -821,10 +898,14 @@ object Snapshots {
         // probe through the SAME relation the reads use — path rendering
         // differs between reader implementations, and the prefix must match
         // what _metadata.file_path yields in the actual scans
-        val sample =
-          if (m.files.isEmpty) Array.empty[org.apache.spark.sql.Row]
-          else scanRelation(m, schemaOf(m.schemaJson))
+        // per spec generation (`_metadata` resolves only on a direct file
+        // relation, not a mixed-spec union), first group with a row wins —
+        // every file shares the one table-root prefix
+        val sample = specGroups(m).iterator.map { case (spec, fls) =>
+          scanOne(m.copy(partitionCols = spec, files = fls),
+              schemaOf(m.schemaJson))
             .select(col("_metadata.file_path")).take(1)
+        }.find(_.nonEmpty).getOrElse(Array.empty[org.apache.spark.sql.Row])
         sample.headOption match {
           case Some(row) =>
             val abs = row.getString(0)
@@ -1013,16 +1094,12 @@ object Snapshots {
           : DataFrame = {
         val vSchema = schemaOf(m.schemaJson)
         val physPresent = vSchema.fieldNames.map(m.physical).toSet
-        val scan = scanRelation(m.copy(files = files), vSchema,
-          isStreaming = true)
         val base =
-          if (!withDeletes || m.deletes.isEmpty) scan
-          else {
-            val prefix = metaPathPrefix(m)
-            applyDeletes(scan.withColumn("__file",
-                expr(s"substring(_metadata.file_path, ${prefix.length + 2})"))
-              .withColumn("__pos", col("_metadata.row_index")), m)
-          }
+          if (!withDeletes || m.deletes.isEmpty)
+            scanRelation(m.copy(files = files), vSchema, isStreaming = true)
+          else
+            applyDeletes(scanRelationMeta(m.copy(files = files), vSchema,
+              isStreaming = true), m)
         base.select(streamSchema.fields.map { f =>
           val phys = streamMapping.getOrElse(f.name, f.name)
           (if (physPresent.contains(phys)) col(phys).cast(f.dataType)
@@ -1598,6 +1675,54 @@ object Snapshots {
       val h = history().filter(_.timestampMs <= tsMs)
       require(h.nonEmpty, s"no version committed at or before $tsMs")
       restore(h.last.version, maxRetries)
+    }
+
+    /** Partition-spec evolution (`ALTER TABLE ... SET PARTITION SPEC`,
+      * the Iceberg spec-evolution contract the reference reaches through
+      * its Iceberg handler — ref ql/ddl/table/partition/set/
+      * AlterTableSetPartitionSpecAnalyzer.java, iceberg-handler
+      * HiveIcebergMetaHook.java:337,519): a METADATA-ONLY commit that
+      * changes the spec for FUTURE writes. No data moves — at 100 TB a
+      * day→hour re-grain must not rewrite history. Existing files remain
+      * readable and prune under their birth spec (recorded by their own
+      * paths); new commits stage under the new spec; the scan unions one
+      * relation per spec generation. Time travel to a pre-evolution
+      * version sees the old spec untouched. [[compact]] / [[clusterBy]] /
+      * [[zOrderBy]] rewrite under the CURRENT spec, so background
+      * maintenance gradually migrates old generations.
+      */
+    def setPartitionSpec(cols: Seq[String], maxRetries: Int = 10): Manifest = {
+      var attempt = 0
+      while (true) {
+        val head = latest()
+        val schema = schemaOf(head.schemaJson)
+        cols.foreach(c => require(schema.fieldNames.contains(c),
+          s"no such column: $c"))
+        require(cols.distinct == cols, "duplicate partition column")
+        // partition dirs are physical names; map once, here
+        val phys = cols.map(head.physical)
+        bucketConfig().foreach { b =>
+          val clash = phys.filter(c => b.cols.contains(c) ||
+            b.sortCols.contains(c))
+          require(clash.isEmpty,
+            s"bucket/sort columns cannot become partition columns: " +
+              clash.mkString(", "))
+        }
+        if (phys == head.partitionCols) return head
+        val m = Manifest(nextSlot(head), head.version,
+          System.currentTimeMillis(), "set-partition-spec", phys,
+          head.schemaJson, head.files, head.stats,
+          Map("previous-spec" -> head.partitionCols.mkString(",")),
+          head.deletes, colMapping = head.colMapping,
+          droppedPhysical = head.droppedPhysical)
+        if (publish(head, m)) return m
+        attempt += 1
+        if (attempt > maxRetries)
+          throw new ConcurrentModificationException(
+            s"set-partition-spec at $root lost the commit race " +
+              s"$attempt times — giving up")
+      }
+      sys.error("unreachable")
     }
 
 

@@ -108,6 +108,12 @@ object SqlMaintenance {
   private val ExecSetCurrent =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
       """\s+EXECUTE\s+SET_CURRENT_SNAPSHOT\s+(\d+)\s*;?\s*""").r
+  // partition-spec evolution (ref ql/ddl/table/partition/set/
+  // AlterTableSetPartitionSpecAnalyzer.java) — metadata-only commit;
+  // see [[Snapshots.SnapshotTable.setPartitionSpec]]
+  private val SetPartSpec =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
+      """\s+SET\s+PARTITION\s+SPEC\s*\(([^)]*)\)\s*;?\s*""").r
   // the reference's EXPLAIN options (ref ql/.../parse/ExplainConfiguration
   // .java): CBO shows the cost-annotated plan -> Spark's EXPLAIN COST;
   // VECTORIZATION reports the vectorized-execution view -> EXPLAIN CODEGEN
@@ -238,6 +244,13 @@ object SqlMaintenance {
         Authz.requireRelationPrivilege(spark, privParts(ident), "update")
         val m = tableOf(spark, ident).setCurrentSnapshot(v.toLong)
         Some(okDf(spark, s"set current snapshot to $v at version ${m.version}"))
+      case SetPartSpec(ident, cols) =>
+        Authz.requireRelationPrivilege(spark, privParts(ident), "update")
+        val cs = cols.split(',').map(stripQuotes).map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        val m = tableOf(spark, ident).setPartitionSpec(cs)
+        Some(okDf(spark, s"set partition spec to (${cs.mkString(", ")}) " +
+          s"at version ${m.version}"))
       case CreateMv(ident, loc, query) =>
         // materializing a query = reading it: same SELECT checks, and
         // fail closed for policied users (one MV serves EVERY user via the

@@ -861,6 +861,66 @@ object SqlDmlQueries {
             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
     },
 
+    // Partition-spec evolution (ref ql/ddl/table/partition/set/
+    // AlterTableSetPartitionSpecAnalyzer.java + iceberg-handler
+    // HiveIcebergMetaHook.java:519): CREATE partitioned by o_orderstatus,
+    // evolve the spec to o_orderpriority with a metadata-only commit,
+    // insert the other half of orders under the NEW spec. In-query
+    // invariants prove the table holds files of BOTH generations, that a
+    // predicate on each generation's partition column prunes that
+    // generation by path, and that time travel keeps the birth spec. The
+    // final aggregate groups by BOTH columns, so every row must
+    // reconstruct its old-spec value (path for gen 1, data for gen 2) and
+    // its new-spec value (data for gen 1, path for gen 2) — the oracle
+    // replays it over raw orders.
+    q("s34_partition_spec_evolution",
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders
+        |GROUP BY o_orderstatus, o_orderpriority
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin) { (spark, dir) =>
+      if (NamedTables.get("s34_t").isDefined) NamedTables.drop("s34_t")
+      def sql(q: String) = Engine.sql(spark, dir, q)
+      val loc = scratch()
+      sql(s"""CREATE TABLE s34_t USING snapshot
+             |PARTITIONED BY (o_orderstatus) LOCATION '$loc'
+             |AS SELECT o_orderkey, o_orderstatus, o_orderpriority
+             |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin)
+      sql("ALTER TABLE s34_t SET PARTITION SPEC (o_orderpriority)")
+      sql("""INSERT INTO s34_t
+            |SELECT o_orderkey, o_orderstatus, o_orderpriority
+            |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin)
+      val t = Snapshots.table(spark, loc)
+      val head = t.latest()
+      val oldGen = head.files.filter(_.contains("o_orderstatus="))
+      val newGen = head.files.filter(_.contains("o_orderpriority="))
+      require(oldGen.nonEmpty && newGen.nonEmpty &&
+          (oldGen ++ newGen).toSet == head.files.toSet,
+        s"expected files under both specs, got ${head.files}")
+      // the evolution commit moved no data: generation 1 is exactly the
+      // pre-evolution file set
+      require(t.history().head.partitionCols == Seq("o_orderstatus"),
+        "time travel must preserve the birth spec")
+      // each generation prunes under its OWN spec (path-exact); the other
+      // generation falls back to stats
+      val onStatus = t.planFiles(head, col("o_orderstatus") === "F")
+      require(onStatus.filter(_.contains("o_orderstatus="))
+          .forall(_.contains("o_orderstatus=F")),
+        "old-generation files must prune by their path value")
+      require(onStatus.nonEmpty && onStatus.size < head.files.size,
+        "the o_orderstatus predicate must prune some files")
+      val onPrio = t.planFiles(head, col("o_orderpriority") === "1-URGENT")
+      require(onPrio.filter(_.contains("o_orderpriority="))
+          .forall(_.contains("o_orderpriority=1-URGENT")),
+        "new-generation files must prune by their path value")
+      sql("""SELECT o_orderstatus, o_orderpriority,
+            |  CAST(count(*) AS BIGINT) AS n,
+            |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+            |FROM s34_t GROUP BY o_orderstatus, o_orderpriority
+            |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
+    },
+
     q("s31_branch_wap",
       """SELECT CAST(id AS BIGINT) AS id, name,
         |  CAST(5 AS BIGINT) AS n_before_publish,
