@@ -100,7 +100,12 @@ object IncrementalViews {
     protected val statePath = java.nio.file.Paths.get(mvPath, "_mv_state.json")
     protected def dataDir = s"$mvPath/data"
 
-    /** Internal storage columns: avg is carried as (__sum, __cnt). */
+    /** Internal storage columns: avg is carried as (__sum, __cnt), plus a
+      * hidden `__rows` group row count — the evidence delete-aware
+      * maintenance needs to DROP a fully-retired group (a full rebuild
+      * would not have it), and the tie-breaker that makes signed folding
+      * exact.
+      */
     protected def storageAggs: Seq[org.apache.spark.sql.Column] = aggs.flatMap {
       case AggSpec("sum", in, name) => Seq(sum(col(in)).as(name))
       case AggSpec("count", _, name) => Seq(count(lit(1)).as(name))
@@ -109,6 +114,26 @@ object IncrementalViews {
       case AggSpec("avg", in, name) => Seq(
         sum(col(in)).as(s"${name}__sum"), count(col(in)).as(s"${name}__cnt"))
       case other => sys.error(s"unreachable: $other")
+    } :+ count(lit(1)).as("__rows")
+
+    /** NEGATED partial aggregates of `rows` — the signed-delta form of
+      * retired rows (ref HiveAggregateInsertDeleteIncrementalRewritingRule
+      * .java): sums fold in with flipped sign, counts as negative counts.
+      * min/max have no signed form (a retired extreme cannot be undone
+      * from the aggregate alone) — callers full-rebuild instead; guarded
+      * in [[IncrementalAggView.refresh]].
+      */
+    protected def negPartialAgg(rows: DataFrame): DataFrame = {
+      val as = aggs.flatMap {
+        case AggSpec("sum", in, name) => Seq(sum(-col(in)).as(name))
+        case AggSpec("count", _, name) => Seq((-count(lit(1))).as(name))
+        case AggSpec("avg", in, name) => Seq(
+          sum(-col(in)).as(s"${name}__sum"),
+          (-count(col(in))).as(s"${name}__cnt"))
+        case AggSpec(f, _, _) =>
+          sys.error(s"$f cannot fold deletes as a signed delta")
+      } :+ (-count(lit(1))).as("__rows")
+      rows.groupBy(keys.map(col): _*).agg(as.head, as.tail: _*)
     }
 
     /** Fold two partial states with the same storage schema: sums and counts
@@ -126,7 +151,7 @@ object IncrementalViews {
           sum(col(s"${name}__sum")).as(s"${name}__sum"),
           sum(col(s"${name}__cnt")).as(s"${name}__cnt"))
         case other => sys.error(s"unreachable: $other")
-      }
+      } :+ sum(col("__rows")).as("__rows")
       parts.groupBy(keys.map(col): _*).agg(folds.head, folds.tail: _*)
     }
 
@@ -193,8 +218,14 @@ object IncrementalViews {
       RefreshResult("full", head.version, -1L)
     }
 
-    /** Incremental when the log since [[version]] holds only append/compact
-      * commits; full rebuild otherwise. No-op when already current.
+    /** Incremental when the log since [[version]] holds only appends and
+      * reorganizations, OR only appends and MERGE-ON-READ DML (then
+      * retired rows fold as signed deltas — the reference's
+      * HiveAggregateInsertDeleteIncrementalRewritingRule); full rebuild
+      * otherwise. min/max cannot fold a delete (the retired extreme is
+      * unrecoverable from the aggregate alone), so their presence forces
+      * the full path under deletes — exactly the reference's split.
+      * No-op when already current.
       */
     def refresh(): RefreshResult = {
       val since = version()
@@ -202,28 +233,40 @@ object IncrementalViews {
       val head = t.latest()
       if (head.version == since) return RefreshResult("noop", since, 0L)
       // only the commits after `since` matter — never list the whole log
-      val newCommits = t.historySince(since)
+      val actions = t.historySince(since).map(_.action).toSet
       // reorganizations (compact/cluster/zorder) are data-identical —
-      // readChanges skips them, so they fold as empty deltas; anything
-      // else (COW DML, truncate, restore, schema) forces a full rebuild
-      val insertOnly = newCommits.forall(m =>
-        m.action == "append" || m.action == "compact" ||
-          m.action == "cluster" || m.action == "zorder")
-      if (!insertOnly) return rebuildFull()
-      // fold the appended rows into the stored partials. The delta must be
-      // pinned to `head` (not a racing later commit): readChanges caps at
-      // the history we already listed.
-      val delta = t.readChanges(sinceVersion = since)
+      // readChanges skips them, so they fold as empty deltas. They may NOT
+      // mix with the MOR path below: compaction consolidates delete
+      // sidecars, destroying the since-vs-head sidecar diff.
+      val insertOnly =
+        actions.subsetOf(Set("append", "compact", "cluster", "zorder"))
+      val morOnly = actions.subsetOf(Set("append", "delete-mor", "update-mor"))
+      val signedCapable = aggs.forall(a => a.func != "min" && a.func != "max")
+      if (!insertOnly && !(morOnly && signedCapable)) return rebuildFull()
+      // storage written before the hidden __rows column cannot fold
+      // signed deltas (or union with new-format partials): one full
+      // rebuild upgrades it in place
+      if (!storedPartials().columns.contains("__rows")) return rebuildFull()
+      // fold the signed change set into the stored partials. The deltas
+      // must be pinned to `head` (not a racing later commit): readChanges
+      // caps at the history we already listed, readRetiredRows at `head`.
+      val pos = t.readChanges(sinceVersion = since)
         .filter(col("_commit_version") <= head.version)
         .drop("_commit_version", "_commit_action")
-      val deltaRows = delta.count()
-      if (deltaRows > 0)
-        writeState(merge(partialAgg(delta).unionByName(storedPartials())),
-          head.version)
-      else
+      val neg =
+        if (insertOnly) None
+        else Some(t.readRetiredRows(since, untilVersion = head.version))
+      val posRows = pos.count()
+      val negRows = neg.map(_.count()).getOrElse(0L)
+      if (posRows + negRows > 0) {
+        val parts = (Seq(partialAgg(pos)) ++ neg.map(negPartialAgg))
+          .reduce(_.unionByName(_)).unionByName(storedPartials())
+        // a fully-retired group must DISAPPEAR, as a rebuild's would
+        writeState(merge(parts).filter(col("__rows") > 0), head.version)
+      } else
         java.nio.file.Files.writeString(statePath,
           s"""{"version":${head.version}}""")
-      RefreshResult("incremental", head.version, deltaRows)
+      RefreshResult("incremental", head.version, posRows + negRows)
     }
   }
 

@@ -1060,6 +1060,51 @@ object Snapshots {
       }
     }
 
+    /** Row images RETIRED by merge-on-read delete entries published after
+      * `sinceVersion` — the negative half of a signed change set (the
+      * reference maintains aggregates under deletes the same way: ref
+      * ql/optimizer/calcite/rules/views/
+      * HiveAggregateInsertDeleteIncrementalRewritingRule.java folds
+      * deleted rows as negative deltas). Valid when the commits in
+      * `(sinceVersion, head]` are only appends and MOR DML: then
+      * `head.deletes \ since.deletes` are exactly the sidecars those
+      * commits published. Reorganizations (compact/cluster/zorder)
+      * CONSOLIDATE sidecars — callers must full-rebuild across those, as
+      * [[graft.plans.IncrementalViews]] does.
+      *
+      * Scale: the sidecars are (file, pos) lists — O(retired rows); the
+      * base scan is restricted to the affected files (collected
+      * driver-side from the sidecars, bounded by the affected-file count,
+      * same bound as the COW planners) and the semi-join keys on exactly
+      * the provenance columns the MOR read path uses.
+      */
+    def readRetiredRows(sinceVersion: Long, untilVersion: Long = -1L)
+        : DataFrame = {
+      val head =
+        if (untilVersion < 0) latest() else resolvedManifest(untilVersion)
+      val schema = schemaOf(head.schemaJson)
+      val sinceDel = resolvedManifest(sinceVersion).deletes.toSet
+      val newDel = head.deletes.filterNot(sinceDel)
+      if (newDel.isEmpty)
+        return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      val delSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("file",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("pos",
+          org.apache.spark.sql.types.LongType)))
+      val dels = spark.read.schema(delSchema)
+        .parquet(newDel.map(d => new Path(rootPath, d).toString): _*)
+      val affected = dels.select("file").distinct()
+        .collect().map(_.getString(0)).toSet // bounded: affected files only
+      val base = readFilesMeta(head.copy(files =
+        head.files.filter(affected), deletes = Nil))
+      base.join(dels,
+          base("__file") === dels("file") && base("__pos") === dels("pos"),
+          "left_semi")
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    }
+
     /** One micro-batch for the streaming source ([[graft.streaming.
       * SnapshotSourceProvider]]): the rows the stream owes for the version
       * range, as STREAMING relations (MicroBatchExecution requires

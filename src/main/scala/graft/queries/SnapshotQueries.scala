@@ -165,6 +165,47 @@ object SnapshotQueries {
         .orderBy($"o_orderstatus")
     },
 
+    // DELETE-AWARE incremental MV maintenance (ref ql/optimizer/calcite/
+    // rules/views/HiveAggregateInsertDeleteIncrementalRewritingRule.java):
+    // after an append AND a merge-on-read DELETE, the refresh stays
+    // incremental — retired rows fold as SIGNED deltas (negative counts,
+    // negated sums) against the stored partials; a fully-retired group
+    // vanishes. Incremental mode and exact delta cost (appended + retired,
+    // never the table) are require()d in-query; the oracle aggregates the
+    // post-delete state directly.
+    q("s35_mv_delete_refresh",
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 7 <> 0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import graft.plans.IncrementalViews
+      import IncrementalViews.AggSpec
+      val orders = Engine.table(spark, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus",
+          $"o_totalprice".cast(org.apache.spark.sql.types.DecimalType(25, 2))
+            .as("price_d"))
+      val t = Snapshots.create(spark, scratch(),
+        orders.filter($"o_orderkey" % 3 === 0))
+      val mv = IncrementalViews.create(spark, t.root, scratch(),
+        Seq("o_orderstatus"),
+        Seq(AggSpec("count", "*", "n"), AggSpec("sum", "price_d", "total_d")))
+      t.append(orders.filter($"o_orderkey" % 3 === 1))
+      t.deleteWhereMergeOnRead($"o_orderkey" % 7 === 0)
+      val appended = orders.filter($"o_orderkey" % 3 === 1).count()
+      val retired = orders
+        .filter($"o_orderkey" % 3 < 2 && $"o_orderkey" % 7 === 0).count()
+      val r = mv.refresh()
+      require(r.mode == "incremental",
+        s"MOR deletes must maintain incrementally, got $r")
+      require(r.deltaRows == appended + retired,
+        s"delta must be appended($appended) + retired($retired) rows, " +
+          s"got ${r.deltaRows}")
+      mv.read()
+        .select($"o_orderstatus", $"n", $"total_d".cast("double").as("total"))
+        .orderBy($"o_orderstatus")
+    },
+
     // Incremental JOIN-MV maintenance: an aggregate over orders ⋈ customer
     // with BOTH sides appended after materialization — the delta-join
     // refresh (ΔA⋈B_new ∪ A_old⋈ΔB, A_old via time travel) must equal the

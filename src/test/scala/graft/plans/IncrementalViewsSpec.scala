@@ -198,4 +198,107 @@ class IncrementalViewsSpec extends SparkSpec {
     assert(mv2.refresh().mode === "incremental")
     assertJoinMatches(mv2, l, r)
   }
+
+  // ------------------------- delete-aware maintenance (signed deltas) ----
+
+  /** sum/count/avg only: the signed-delta form exists for these (ref
+    * HiveAggregateInsertDeleteIncrementalRewritingRule.java); min/max force
+    * the full path under deletes.
+    */
+  private val signedSpecs = Seq(AggSpec("count", "*", "n"),
+    AggSpec("sum", "v", "sv"), AggSpec("avg", "v", "av"))
+
+  private def expectedSigned(t: Snapshots.SnapshotTable): DataFrame =
+    t.read().groupBy(col("grp")).agg(count(lit(1)).as("n"),
+      sum(col("v")).as("sv"), avg(col("v")).as("av"))
+
+  private def assertSignedMatches(mv: IncrementalViews.IncrementalAggView,
+      t: Snapshots.SnapshotTable): Unit = {
+    val got = mv.read(); val want = expectedSigned(t)
+    assert(got.count() === want.count(),
+      s"mv=${got.orderBy("grp").collect().mkString(";")} " +
+        s"want=${want.orderBy("grp").collect().mkString(";")}")
+    assert(got.except(want).count() === 0 && want.except(got).count() === 0,
+      s"mv=${got.orderBy("grp").collect().mkString(";")} " +
+        s"want=${want.orderBy("grp").collect().mkString(";")}")
+  }
+
+  test("MOR delete refresh is incremental: retired rows fold as signed deltas") {
+    val t = Snapshots.create(spark, fresh("graft_imv_"), rows(0, 90))
+    val mv = IncrementalViews.create(spark, t.root, fresh("graft_imvd_"),
+      Seq("grp"), signedSpecs)
+    t.deleteWhereMergeOnRead(col("id") < 30)
+    t.append(rows(90, 110))
+    val r = mv.refresh()
+    assert(r.mode === "incremental",
+      s"MOR deletes must maintain incrementally, got $r")
+    assert(r.deltaRows === 30 + 20,
+      "delta cost must be retired + appended rows, never the table")
+    assertSignedMatches(mv, t)
+    assert(mv.version() === t.latest().version)
+  }
+
+  test("MOR update folds as retire-old + insert-new in one refresh") {
+    val t = Snapshots.create(spark, fresh("graft_imv_"), rows(0, 60))
+    val mv = IncrementalViews.create(spark, t.root, fresh("graft_imvd_"),
+      Seq("grp"), signedSpecs)
+    t.updateWhereMergeOnRead(col("id") % 5 === 0, Map("v" -> lit(100.0)))
+    val r = mv.refresh()
+    assert(r.mode === "incremental", s"got $r")
+    assert(r.deltaRows === 24, "12 retired old images + 12 new images")
+    assertSignedMatches(mv, t)
+  }
+
+  test("a fully-retired group disappears from the MV, like a rebuild's would") {
+    import spark.implicits._
+    val t = Snapshots.create(spark, fresh("graft_imv_"),
+      rows(0, 30).unionByName(
+        Seq((500L, "doomed", 9.0), (501L, "doomed", 1.0))
+          .toDF("id", "grp", "v")))
+    val mv = IncrementalViews.create(spark, t.root, fresh("graft_imvd_"),
+      Seq("grp"), signedSpecs)
+    assert(mv.read().filter(col("grp") === "doomed").count() === 1)
+    t.deleteWhereMergeOnRead(col("grp") === "doomed")
+    assert(mv.refresh().mode === "incremental")
+    assert(mv.read().filter(col("grp") === "doomed").count() === 0,
+      "a group with every row retired must vanish")
+    assertSignedMatches(mv, t)
+  }
+
+  test("rows appended then MOR-deleted within the window net to zero") {
+    val t = Snapshots.create(spark, fresh("graft_imv_"), rows(0, 30))
+    val mv = IncrementalViews.create(spark, t.root, fresh("graft_imvd_"),
+      Seq("grp"), signedSpecs)
+    t.append(rows(30, 60))
+    t.deleteWhereMergeOnRead(col("id") >= 40) // retires 20 just-appended rows
+    val r = mv.refresh()
+    assert(r.mode === "incremental")
+    assertSignedMatches(mv, t)
+    // a second delete-then-refresh keeps folding (sidecar diff is correct
+    // across successive MOR refreshes)
+    t.deleteWhereMergeOnRead(col("id") < 5)
+    assert(mv.refresh().mode === "incremental")
+    assertSignedMatches(mv, t)
+  }
+
+  test("min/max under deletes, and compaction mixed with MOR, full-rebuild") {
+    // min/max present: a retired extreme cannot fold — full path
+    val t = Snapshots.create(spark, fresh("graft_imv_"), rows(0, 60))
+    val mv = IncrementalViews.create(spark, t.root, fresh("graft_imvd_"),
+      Seq("grp"), specs) // includes min/mx
+    t.deleteWhereMergeOnRead(col("id") < 10)
+    assert(mv.refresh().mode === "full",
+      "min/max cannot fold a retired extreme")
+    assertMatches(mv, t)
+    // compact consolidates delete sidecars: mixed with MOR in one window
+    // the sidecar diff is unsound — must take the full path
+    val t2 = Snapshots.create(spark, fresh("graft_imv_"), rows(0, 60))
+    val mv2 = IncrementalViews.create(spark, t2.root, fresh("graft_imvd_"),
+      Seq("grp"), signedSpecs)
+    t2.deleteWhereMergeOnRead(col("id") < 10)
+    t2.compact(targetBytes = 512L * 1024 * 1024, minInputFiles = 1)
+    assert(mv2.refresh().mode === "full",
+      "compaction in a MOR window rewrites sidecars — diff is unsound")
+    assertSignedMatches(mv2, t2)
+  }
 }
