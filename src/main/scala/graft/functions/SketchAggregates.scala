@@ -106,11 +106,293 @@ object SketchAggregates {
     def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
 
+  // ------------------------------------------------------ hll family
+  // ref DataSketchesFunctions.java:316-360 — the ds_hll_* family with
+  // SKETCH-TO-SKETCH union, the shape that matters at 100 TB: partitions
+  // (or days) pre-aggregate to KB-sized sketches, and distinct-count
+  // roll-ups union the SKETCHES — never re-scanning rows.
+
+  /** Mutable HLL holder serialized as compact sketch bytes. */
+  final class HllBuf(var sk: org.apache.datasketches.hll.HllSketch)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      val bytes = if (sk == null) Array.empty[Byte] else sk.toCompactByteArray
+      out.writeInt(bytes.length)
+      out.write(bytes)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      val n = in.readInt()
+      val bytes = new Array[Byte](n)
+      in.readFully(bytes)
+      sk = if (n == 0) null
+        else org.apache.datasketches.hll.HllSketch.heapify(Memory.wrap(bytes))
+    }
+  }
+
+  private val HllLgK = 12 // the library default: ~1.6% RSE, 2.5 KB dense
+
+  /** ds_hll_sketch(x): HLL sketch of the values, as bytes. */
+  class HllSketchAgg extends Aggregator[String, HllBuf, Array[Byte]] {
+    def zero: HllBuf = new HllBuf(null)
+    def reduce(b: HllBuf, x: String): HllBuf = {
+      if (b.sk == null)
+        b.sk = new org.apache.datasketches.hll.HllSketch(HllLgK)
+      if (x != null) b.sk.update(x)
+      b
+    }
+    def merge(a: HllBuf, b: HllBuf): HllBuf = {
+      if (a.sk == null) return b
+      if (b.sk == null) return a
+      val u = new org.apache.datasketches.hll.Union(HllLgK)
+      u.update(a.sk); u.update(b.sk)
+      a.sk = u.getResult
+      a
+    }
+    def finish(b: HllBuf): Array[Byte] =
+      (if (b.sk == null) new org.apache.datasketches.hll.HllSketch(HllLgK)
+       else b.sk).toCompactByteArray
+    def bufferEncoder: Encoder[HllBuf] = Encoders.javaSerialization[HllBuf]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** ds_hll_union(sketch): union of PRE-BUILT hll sketches, as bytes. */
+  class HllUnionAgg extends Aggregator[Array[Byte], HllBuf, Array[Byte]] {
+    private def asUnion(b: HllBuf): org.apache.datasketches.hll.Union = {
+      val u = new org.apache.datasketches.hll.Union(HllLgK)
+      if (b.sk != null) u.update(b.sk)
+      u
+    }
+    def zero: HllBuf = new HllBuf(null)
+    def reduce(b: HllBuf, bytes: Array[Byte]): HllBuf = {
+      if (bytes != null && bytes.nonEmpty) {
+        val u = asUnion(b)
+        u.update(org.apache.datasketches.hll.HllSketch.heapify(
+          Memory.wrap(bytes)))
+        b.sk = u.getResult
+      }
+      b
+    }
+    def merge(a: HllBuf, b: HllBuf): HllBuf = {
+      if (b.sk == null) return a
+      if (a.sk == null) return b
+      val u = asUnion(a); u.update(b.sk); a.sk = u.getResult
+      a
+    }
+    def finish(b: HllBuf): Array[Byte] =
+      (if (b.sk == null) new org.apache.datasketches.hll.HllSketch(HllLgK)
+       else b.sk).toCompactByteArray
+    def bufferEncoder: Encoder[HllBuf] = Encoders.javaSerialization[HllBuf]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  // ------------------------------------------------------ cpc family
+
+  /** Mutable CPC holder serialized as sketch bytes. */
+  final class CpcBuf(var sk: org.apache.datasketches.cpc.CpcSketch)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      val bytes = if (sk == null) Array.empty[Byte] else sk.toByteArray
+      out.writeInt(bytes.length)
+      out.write(bytes)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      val n = in.readInt()
+      val bytes = new Array[Byte](n)
+      in.readFully(bytes)
+      sk = if (n == 0) null
+        else org.apache.datasketches.cpc.CpcSketch.heapify(Memory.wrap(bytes))
+    }
+  }
+
+  private val CpcLgK = 11 // the library default: same accuracy as HLL in
+                          // ~40% less serialized space (the CPC trade)
+
+  private def cpcUnion(a: org.apache.datasketches.cpc.CpcSketch,
+      b: org.apache.datasketches.cpc.CpcSketch)
+      : org.apache.datasketches.cpc.CpcSketch = {
+    val u = new org.apache.datasketches.cpc.CpcUnion(CpcLgK)
+    u.update(a); u.update(b)
+    u.getResult
+  }
+
+  /** ds_cpc_sketch(x): CPC sketch of the values, as bytes. */
+  class CpcSketchAgg extends Aggregator[String, CpcBuf, Array[Byte]] {
+    def zero: CpcBuf = new CpcBuf(null)
+    def reduce(b: CpcBuf, x: String): CpcBuf = {
+      if (b.sk == null)
+        b.sk = new org.apache.datasketches.cpc.CpcSketch(CpcLgK)
+      if (x != null) b.sk.update(x)
+      b
+    }
+    def merge(a: CpcBuf, b: CpcBuf): CpcBuf = {
+      if (a.sk == null) return b
+      if (b.sk == null) return a
+      a.sk = cpcUnion(a.sk, b.sk)
+      a
+    }
+    def finish(b: CpcBuf): Array[Byte] =
+      (if (b.sk == null) new org.apache.datasketches.cpc.CpcSketch(CpcLgK)
+       else b.sk).toByteArray
+    def bufferEncoder: Encoder[CpcBuf] = Encoders.javaSerialization[CpcBuf]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** ds_cpc_union(sketch): union of PRE-BUILT cpc sketches, as bytes. */
+  class CpcUnionAgg extends Aggregator[Array[Byte], CpcBuf, Array[Byte]] {
+    def zero: CpcBuf = new CpcBuf(null)
+    def reduce(b: CpcBuf, bytes: Array[Byte]): CpcBuf = {
+      if (bytes != null && bytes.nonEmpty) {
+        val in = org.apache.datasketches.cpc.CpcSketch.heapify(
+          Memory.wrap(bytes))
+        b.sk = if (b.sk == null) in else cpcUnion(b.sk, in)
+      }
+      b
+    }
+    def merge(a: CpcBuf, b: CpcBuf): CpcBuf = {
+      if (a.sk == null) return b
+      if (b.sk == null) return a
+      a.sk = cpcUnion(a.sk, b.sk)
+      a
+    }
+    def finish(b: CpcBuf): Array[Byte] =
+      (if (b.sk == null) new org.apache.datasketches.cpc.CpcSketch(CpcLgK)
+       else b.sk).toByteArray
+    def bufferEncoder: Encoder[CpcBuf] = Encoders.javaSerialization[CpcBuf]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  // --------------------------------------------- theta as bytes + set ops
+
+  /** ds_theta_sketch(x): theta sketch of the values, as bytes. */
+  class ThetaSketchAgg extends Aggregator[String, ThetaBuf, Array[Byte]] {
+    private val inner = new ThetaDistinct
+    def zero: ThetaBuf = inner.zero
+    def reduce(b: ThetaBuf, x: String): ThetaBuf = inner.reduce(b, x)
+    def merge(a: ThetaBuf, b: ThetaBuf): ThetaBuf = inner.merge(a, b)
+    def finish(b: ThetaBuf): Array[Byte] = b.result.toByteArray
+    def bufferEncoder: Encoder[ThetaBuf] = Encoders.javaSerialization[ThetaBuf]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** ds_theta_union(sketch): union of pre-built theta sketches, as bytes. */
+  class ThetaUnionAgg extends Aggregator[Array[Byte], ThetaBuf, Array[Byte]] {
+    def zero: ThetaBuf = new ThetaBuf(null, null)
+    def reduce(b: ThetaBuf, bytes: Array[Byte]): ThetaBuf = {
+      if (bytes != null && bytes.nonEmpty) {
+        if (b.merged == null) b.merged = SetOperation.builder().buildUnion()
+        b.merged.union(Sketches.wrapCompactSketch(Memory.wrap(bytes)))
+      }
+      b
+    }
+    def merge(a: ThetaBuf, b: ThetaBuf): ThetaBuf = {
+      if (b.merged == null && b.sk == null) return a
+      if (a.merged == null && a.sk == null) return b
+      if (a.merged == null) a.merged = SetOperation.builder().buildUnion()
+      a.merged.union(b.result)
+      a
+    }
+    def finish(b: ThetaBuf): Array[Byte] = b.result.toByteArray
+    def bufferEncoder: Encoder[ThetaBuf] = Encoders.javaSerialization[ThetaBuf]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** ds_theta_intersect(sketch): INTERSECTION of pre-built theta sketches —
+    * the set-operation breadth the theta family exists for (unions alone,
+    * HLL/CPC also give you). NULL when no sketch arrived (an intersection
+    * of zero sets has no value).
+    */
+  final class ThetaInterBuf(
+      var inter: org.apache.datasketches.theta.Intersection,
+      var any: Boolean) extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.writeBoolean(any)
+      val bytes =
+        if (!any) Array.empty[Byte] else inter.getResult.toByteArray
+      out.writeInt(bytes.length)
+      out.write(bytes)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      any = in.readBoolean()
+      val n = in.readInt()
+      val bytes = new Array[Byte](n)
+      in.readFully(bytes)
+      inter = SetOperation.builder().buildIntersection()
+      if (any) inter.intersect(Sketches.wrapCompactSketch(Memory.wrap(bytes)))
+    }
+  }
+
+  class ThetaIntersectAgg
+      extends Aggregator[Array[Byte], ThetaInterBuf, Array[Byte]] {
+    def zero: ThetaInterBuf =
+      new ThetaInterBuf(SetOperation.builder().buildIntersection(), false)
+    def reduce(b: ThetaInterBuf, bytes: Array[Byte]): ThetaInterBuf = {
+      if (bytes != null && bytes.nonEmpty) {
+        b.inter.intersect(Sketches.wrapCompactSketch(Memory.wrap(bytes)))
+        b.any = true
+      }
+      b
+    }
+    def merge(a: ThetaInterBuf, b: ThetaInterBuf): ThetaInterBuf = {
+      if (!b.any) return a
+      if (!a.any) return b
+      a.inter.intersect(b.inter.getResult)
+      a
+    }
+    def finish(b: ThetaInterBuf): Array[Byte] =
+      if (!b.any) null else b.inter.getResult.toByteArray
+    def bufferEncoder: Encoder[ThetaInterBuf] =
+      Encoders.javaSerialization[ThetaInterBuf]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
   def register(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions.udaf
     spark.udf.register("kll_quantile",
-      org.apache.spark.sql.functions.udaf(new KllQuantile,
+      udaf(new KllQuantile,
         Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)))
     spark.udf.register("theta_count_distinct",
-      org.apache.spark.sql.functions.udaf(new ThetaDistinct, Encoders.STRING))
+      udaf(new ThetaDistinct, Encoders.STRING))
+    // the ds_* DataSketches families (ref DataSketchesFunctions.java:316-360)
+    spark.udf.register("ds_hll_sketch", udaf(new HllSketchAgg, Encoders.STRING))
+    spark.udf.register("ds_hll_union", udaf(new HllUnionAgg, Encoders.BINARY))
+    spark.udf.register("ds_cpc_sketch", udaf(new CpcSketchAgg, Encoders.STRING))
+    spark.udf.register("ds_cpc_union", udaf(new CpcUnionAgg, Encoders.BINARY))
+    spark.udf.register("ds_theta_sketch",
+      udaf(new ThetaSketchAgg, Encoders.STRING))
+    spark.udf.register("ds_theta_union",
+      udaf(new ThetaUnionAgg, Encoders.BINARY))
+    spark.udf.register("ds_theta_intersect",
+      udaf(new ThetaIntersectAgg, Encoders.BINARY))
+    // scalar estimates + two-sketch set ops
+    spark.udf.register("ds_hll_estimate", (b: Array[Byte]) =>
+      if (b == null || b.isEmpty) 0.0
+      else org.apache.datasketches.hll.HllSketch.heapify(Memory.wrap(b))
+        .getEstimate)
+    spark.udf.register("ds_cpc_estimate", (b: Array[Byte]) =>
+      if (b == null || b.isEmpty) 0.0
+      else org.apache.datasketches.cpc.CpcSketch.heapify(Memory.wrap(b))
+        .getEstimate)
+    spark.udf.register("ds_theta_estimate", (b: Array[Byte]) =>
+      if (b == null || b.isEmpty) 0.0
+      else Sketches.wrapCompactSketch(Memory.wrap(b)).getEstimate)
+    spark.udf.register("ds_hll_union_f", (a: Array[Byte], b: Array[Byte]) => {
+      val u = new org.apache.datasketches.hll.Union(HllLgK)
+      if (a != null && a.nonEmpty)
+        u.update(org.apache.datasketches.hll.HllSketch.heapify(Memory.wrap(a)))
+      if (b != null && b.nonEmpty)
+        u.update(org.apache.datasketches.hll.HllSketch.heapify(Memory.wrap(b)))
+      u.getResult.toCompactByteArray
+    })
+    // ds_theta_exclude(a, b): A-and-not-B — the retention/churn primitive
+    spark.udf.register("ds_theta_exclude", (a: Array[Byte], b: Array[Byte]) => {
+      val op = SetOperation.builder().buildANotB()
+      val ea = Sketches.wrapCompactSketch(Memory.wrap(
+        if (a == null || a.isEmpty)
+          UpdateSketch.builder().build().compact().toByteArray else a))
+      val eb = Sketches.wrapCompactSketch(Memory.wrap(
+        if (b == null || b.isEmpty)
+          UpdateSketch.builder().build().compact().toByteArray else b))
+      op.aNotB(ea, eb).toByteArray
+    })
   }
 }

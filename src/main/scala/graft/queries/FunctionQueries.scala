@@ -462,6 +462,51 @@ object FunctionQueries {
         .orderBy($"l_returnflag")
     },
 
+    // ds_* DataSketches families (ref DataSketchesFunctions.java:316-360):
+    // per-group hll/cpc/theta sketches of l_partkey, rolled up via
+    // SKETCH-TO-SKETCH union — the pre-aggregated distinct-count shape.
+    // Estimates are approximate (no cross-engine oracle exists) → golden
+    // gate; the in-query requires pin the 5% accuracy envelope against
+    // the exact distinct count, and the mergeability law is spec-asserted
+    // (ApproxSpec).
+    QDef.rowsOnly("f33_ds_sketch_families") { (spark, dir) =>
+      import spark.implicits._
+      t(spark, dir, "lineitem").createOrReplaceTempView("f33_lineitem")
+      val df = spark.sql(
+        """SELECT l_returnflag,
+          |  CAST(round(ds_hll_estimate(
+          |    ds_hll_sketch(CAST(l_partkey AS STRING)))) AS BIGINT) AS hll_d,
+          |  CAST(round(ds_cpc_estimate(
+          |    ds_cpc_sketch(CAST(l_partkey AS STRING)))) AS BIGINT) AS cpc_d,
+          |  CAST(round(ds_theta_estimate(
+          |    ds_theta_sketch(CAST(l_partkey AS STRING)))) AS BIGINT) AS theta_d
+          |FROM f33_lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+          .stripMargin)
+      val exact = spark.sql(
+        """SELECT l_returnflag, count(DISTINCT l_partkey) AS d
+          |FROM f33_lineitem GROUP BY l_returnflag""".stripMargin)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      df.collect().foreach { r =>
+        val ex = exact(r.getString(0)).toDouble
+        Seq(r.getLong(1), r.getLong(2), r.getLong(3)).foreach(est =>
+          require(math.abs(est - ex) / ex < 0.05,
+            s"sketch estimate $est outside 5% of exact $ex " +
+              s"for flag ${r.getString(0)}"))
+      }
+      // the union roll-up estimates the global distinct from the
+      // per-group sketches alone
+      val global = spark.sql(
+        """SELECT CAST(round(ds_hll_estimate(ds_hll_union(sk))) AS BIGINT) AS d
+          |FROM (SELECT ds_hll_sketch(CAST(l_partkey AS STRING)) AS sk
+          |      FROM f33_lineitem GROUP BY l_returnflag)""".stripMargin)
+        .head().getLong(0)
+      val globalExact = spark.sql(
+        "SELECT count(DISTINCT l_partkey) FROM f33_lineitem").head().getLong(0)
+      require(math.abs(global - globalExact).toDouble / globalExact < 0.05,
+        s"union roll-up $global outside 5% of exact $globalExact")
+      df
+    },
+
     // sentences() tokenizer (Hive GenericUDFSentences) + ngrams UDAF,
     // exploded to one row per top bigram. The synthetic documents are
     // single-space-separated ASCII words, so the oracle replays the

@@ -70,4 +70,65 @@ class ApproxSpec extends SparkSpec {
       .head().getDouble(0)
     assert(fpr < 0.05)
   }
+
+  // ds_* sketch families (ref DataSketchesFunctions.java:316-360): the
+  // mergeability law — union of per-group sketches == sketch of the whole —
+  // is what makes pre-aggregated distinct-count roll-ups valid at 100 TB.
+  for (fam <- Seq("hll", "cpc", "theta")) {
+    test(s"ds_${fam}_sketch: estimate accurate; union of partials == whole") {
+      HiveFunctions.registerAll(spark)
+      Engine.register(spark, sfDir)
+      val est = spark.sql(
+        s"""SELECT ds_${fam}_estimate(
+           |  ds_${fam}_sketch(CAST(l_partkey AS STRING))) AS v
+           |FROM lineitem""".stripMargin).head().getDouble(0)
+      val exact = spark.sql("SELECT count(DISTINCT l_partkey) FROM lineitem")
+        .head().getLong(0)
+      assert(math.abs(est - exact) / exact < 0.05,
+        s"$fam estimate $est vs exact $exact")
+      // partials per l_returnflag, then sketch-to-sketch union: the
+      // rolled-up estimate must equal the whole-data sketch's estimate
+      val unioned = spark.sql(
+        s"""SELECT ds_${fam}_estimate(ds_${fam}_union(sk)) AS v FROM (
+           |  SELECT l_returnflag,
+           |    ds_${fam}_sketch(CAST(l_partkey AS STRING)) AS sk
+           |  FROM lineitem GROUP BY l_returnflag)""".stripMargin)
+        .head().getDouble(0)
+      assert(math.abs(unioned - est) / math.max(est, 1.0) < 0.02,
+        s"$fam union-of-partials $unioned drifted from whole-sketch $est")
+    }
+  }
+
+  test("ds_theta set algebra: intersect and exclude against exact sets") {
+    HiveFunctions.registerAll(spark)
+    Engine.register(spark, sfDir)
+    // partkeys seen in F-flagged rows vs O-flagged rows: the sketch
+    // intersection/difference must track the exact set sizes
+    val df = spark.sql(
+      """SELECT
+        |  ds_theta_estimate(ds_theta_intersect(sk)) AS inter,
+        |  ds_theta_estimate(ds_theta_exclude(
+        |    max(CASE WHEN flag = 'A' THEN sk END),
+        |    max(CASE WHEN flag = 'B' THEN sk END))) AS excl
+        |FROM (
+        |  SELECT CASE WHEN l_returnflag = 'N' THEN 'A' ELSE 'B' END AS flag,
+        |    ds_theta_sketch(CAST(l_partkey AS STRING)) AS sk
+        |  FROM lineitem GROUP BY 1)""".stripMargin).head()
+    val exactInter = spark.sql(
+      """SELECT count(*) FROM (
+        |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'N'
+        |  INTERSECT
+        |  SELECT l_partkey FROM lineitem WHERE l_returnflag <> 'N')"""
+        .stripMargin).head().getLong(0)
+    val exactExcl = spark.sql(
+      """SELECT count(*) FROM (
+        |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'N'
+        |  EXCEPT
+        |  SELECT l_partkey FROM lineitem WHERE l_returnflag <> 'N')"""
+        .stripMargin).head().getLong(0)
+    assert(math.abs(df.getDouble(0) - exactInter) / math.max(exactInter, 1L) < 0.1,
+      s"intersect ${df.getDouble(0)} vs exact $exactInter")
+    assert(math.abs(df.getDouble(1) - exactExcl) / math.max(exactExcl, 1L) < 0.1,
+      s"exclude ${df.getDouble(1)} vs exact $exactExcl")
+  }
 }
