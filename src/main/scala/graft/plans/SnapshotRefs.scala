@@ -3,9 +3,10 @@ package graft.plans
 import java.util.ConcurrentModificationException
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{coalesce, col, lit, when}
 
-import graft.plans.Snapshots.{jsonFormats, Manifest, RefMetaKey, RefRow, SnapshotRef}
+import graft.plans.Snapshots.{jsonFormats, FileStat, Manifest, RefMetaKey, RefRow, SnapshotRef}
 
 /** Branch/tag refs for [[Snapshots.SnapshotTable]] — split out of
   * Snapshots.scala purely for file size; every member runs as part of the
@@ -181,6 +182,174 @@ private[plans] trait SnapshotRefOps { self: Snapshots.SnapshotTable =>
             s"$attempt times — giving up")
     }
     sys.error("unreachable")
+  }
+
+  /** The branch's current head manifest, refusing tags — the validation
+    * gate every branch-addressed DML verb passes through.
+    */
+  private def branchHead(branch: String): Manifest = {
+    val r = refs().getOrElse(branch,
+      throw new IllegalArgumentException(s"no branch $branch on $root"))
+    require(r.kind == "branch",
+      s"$branch on $root is a tag — tags are immutable")
+    resolve(readManifest(manifestPath(r.version)))
+  }
+
+  /** Generic BRANCH commit: reads the branch head, lets `body` derive the
+    * next content (files, stats, deletes; None = predicate matched nothing,
+    * no-op), publishes under a branch slot tagged with [[RefMetaKey]]
+    * (invisible to the mainline), then CAS-bumps the ref —
+    * [[appendToBranch]]'s serialization protocol, shared by the branch
+    * UPDATE/DELETE/MERGE verbs. A lost ref race replays `body` against the
+    * fresh branch head, so branch DML is write-serializable exactly like
+    * mainline COW.
+    */
+  private def branchCommit(branch: String, action: String, maxRetries: Int)(
+      body: Manifest => Option[(Seq[String], Map[String, FileStat], Seq[String])])
+      : Manifest = {
+    var attempt = 0
+    while (true) {
+      val r = refs().getOrElse(branch,
+        throw new IllegalArgumentException(s"no branch $branch on $root"))
+      require(r.kind == "branch",
+        s"$branch on $root is a tag — tags are immutable")
+      val head = resolve(readManifest(manifestPath(r.version)))
+      body(head) match {
+        case None => return head // nothing matched — no-op
+        case Some((files, stats, deletes)) =>
+          val m = Manifest(nextBranchSlot(), head.version,
+            System.currentTimeMillis(), action, head.partitionCols,
+            head.schemaJson, files, stats, Map(RefMetaKey -> branch), deletes,
+            colMapping = head.colMapping,
+            droppedPhysical = head.droppedPhysical)
+          if (publish(head, m)) {
+            var took = false
+            refsStore.mutate { rm =>
+              rm.get(branch) match {
+                case Some(cur) if cur.kind == "branch" &&
+                    cur.version == r.version =>
+                  took = true; rm + (branch -> cur.copy(version = m.version))
+                case _ => took = false; rm
+              }
+            }
+            if (took) return m
+            // ref moved between head read and bump: the published manifest
+            // is unreachable (vacuum reclaims it) — replay on the new head
+          }
+      }
+      attempt += 1
+      if (attempt > maxRetries)
+        throw new ConcurrentModificationException(
+          s"$action on branch $branch at $root lost the commit race " +
+            s"$attempt times — giving up")
+    }
+    sys.error("unreachable")
+  }
+
+  /** Copy-on-write rewrite against a BRANCH head — the mainline `cow`
+    * algebra (affected-file discovery over visible rows, post-image
+    * rewrite, untouched files carried over) addressed at the branch.
+    * Branch DML is always COW: the WAP audience is small and short-lived,
+    * so MOR's write-cost trade has nothing to buy here.
+    */
+  private def branchCow(branch: String, action: String, maxRetries: Int)(
+      postImage: DataFrame => DataFrame, predicate: Column): Manifest =
+    branchCommit(branch, action, maxRetries) { head =>
+      val visible = applyDeletes(readFilesMeta(head), head)
+      val affected = visible.filter(predicate)
+        .select(col("__file")).distinct()
+        .collect().map(_.getString(0))
+        .toSet
+      if (affected.isEmpty) None
+      else {
+        val schema = schemaOf(head.schemaJson)
+        val affectedDf = applyDeletes(
+          readFilesMeta(head.copy(files = head.files.filter(affected))), head)
+          .select(schema.fieldNames.map(col): _*)
+        val post =
+          if (action == "delete") postImage(affectedDf)
+          else validateConstraints(postImage(affectedDf), action)
+        val (staged, stagedStats) = stage(post,
+          head.partitionCols, head.colMapping)
+        Some((head.files.filterNot(affected) ++ staged,
+          (head.stats -- affected) ++ stagedStats, head.deletes))
+      }
+    }
+
+  /** DELETE WHERE cond addressed at a BRANCH (`DELETE FROM t.branch_x`). */
+  def deleteWhereOnBranch(branch: String, cond: Column,
+      maxRetries: Int = 10): Manifest =
+    branchCow(branch, "delete", maxRetries)(
+      df => df.filter(!coalesce(cond, lit(false))), cond)
+
+  /** UPDATE ... SET ... WHERE cond addressed at a BRANCH — same
+    * assignment rules as the mainline [[Snapshots.SnapshotTable.updateWhere]]
+    * (partition columns not assignable, all SET expressions read the
+    * pre-update row).
+    */
+  def updateWhereOnBranch(branch: String, cond: Column,
+      set: Map[String, Column], maxRetries: Int = 10): Manifest = {
+    val head0 = branchHead(branch)
+    val bad = set.keySet.intersect(head0.partitionCols.toSet)
+    require(bad.isEmpty,
+      s"cannot assign partition columns: ${bad.mkString(", ")}")
+    val unknown = set.keySet.diff(schemaOf(head0.schemaJson).fieldNames.toSet)
+    require(unknown.isEmpty,
+      s"UPDATE assigns nonexistent column(s): ${unknown.mkString(", ")}")
+    branchCow(branch, "update", maxRetries)({ df =>
+      val c = coalesce(cond, lit(false))
+      df.select(df.columns.map(name =>
+        set.get(name).map(e => when(c, e).otherwise(col(name)))
+          .getOrElse(col(name)).as(name)): _*)
+    }, cond)
+  }
+
+  /** Composite-key multi-arm MERGE addressed at a BRANCH — the mainline
+    * [[Snapshots.SnapshotTable.mergeSpec]] algebra (file-granular rewrite,
+    * cardinality guard in [[MergeEngine.postImage]]) committed onto the
+    * branch head.
+    */
+  def mergeSpecOnBranch(branch: String, source: DataFrame,
+      mergeKeys: Seq[(String, String)], spec: MergeEngine.Spec,
+      sourceKeysUnique: Boolean = false, maxRetries: Int = 10): Manifest = {
+    val head0 = branchHead(branch)
+    val setCols = (spec.matched ++ spec.notMatchedBySource)
+      .collect { case MergeEngine.Update(_, s) => s.keySet }.flatten.toSet
+    val bad = setCols.intersect(head0.partitionCols.toSet)
+    require(bad.isEmpty,
+      s"MERGE cannot assign partition columns: ${bad.mkString(", ")}")
+    branchCommit(branch, "merge", maxRetries) { head =>
+      val cols = schemaOf(head.schemaJson).fieldNames.toSeq
+      def postOf(affectedDf: DataFrame): DataFrame =
+        MergeEngine.postImage(affectedDf, source, mergeKeys,
+          cols, spec, sourceKeysUnique)
+      val keys = source.select(mergeKeys.map { case (tk, sk) =>
+        col(sk).as("__s_" + tk) }: _*).distinct()
+      val visible = applyDeletes(readFilesMeta(head), head)
+      val semiCond = mergeKeys.map { case (tk, _) =>
+        visible(tk) === keys("__s_" + tk) }.reduce(_ && _)
+      val affected =
+        if (spec.touchesUnmatchedTargets) head.files.toSet
+        else visible
+          .join(keys, semiCond, "left_semi")
+          .select(col("__file")).distinct()
+          .collect().map(_.getString(0))
+          .toSet
+      val schema = schemaOf(head.schemaJson)
+      if (affected.isEmpty && spec.inserts.isEmpty) None
+      else {
+        val post =
+          if (affected.isEmpty) postOf(readFiles(head.copy(files = Nil)))
+          else postOf(applyDeletes(
+            readFilesMeta(head.copy(files = head.files.filter(affected))),
+            head).select(schema.fieldNames.map(col): _*))
+        val (staged, stagedStats) = stage(
+          validateConstraints(post, "merge"), head.partitionCols,
+          head.colMapping)
+        Some((head.files.filterNot(affected) ++ staged,
+          (head.stats -- affected) ++ stagedStats, head.deletes))
+      }
+    }
   }
 
   /** ALTER TABLE ... EXECUTE FAST-FORWARD: advance the MAINLINE to the

@@ -755,7 +755,7 @@ object Snapshots {
       * `__pos` (row index within its file) from the parquet reader's
       * `_metadata` columns — the handle merge-on-read deletes key on.
       */
-    private def readFilesMeta(m: Manifest): DataFrame = {
+    private[plans] def readFilesMeta(m: Manifest): DataFrame = {
       val schema = schemaOf(m.schemaJson)
       if (m.files.isEmpty)
         return spark.createDataFrame(
@@ -928,7 +928,7 @@ object Snapshots {
       * match nothing — stale entries are harmless by construction, which is
       * what lets COW and compaction skip sidecar rewrites entirely.
       */
-    private def applyDeletes(withMeta: DataFrame, m: Manifest): DataFrame =
+    private[plans] def applyDeletes(withMeta: DataFrame, m: Manifest): DataFrame =
       if (m.deletes.isEmpty) withMeta
       else {
         val delSchema = org.apache.spark.sql.types.StructType(Seq(

@@ -62,17 +62,13 @@ object SqlDml {
   def maybeRun(spark: SparkSession, plan: LogicalPlan): Option[DataFrame] =
     plan match {
       case DeleteFromTable(t, cond) =>
-        targetOf(t).map { tgt =>
-          requireNoBranch(tgt, "DELETE"); runDelete(spark, tgt, cond)
-          done(spark) }
+        targetOf(t).map { tgt => runDelete(spark, tgt, cond); done(spark) }
       case UpdateTable(t, assigns, cond) =>
         targetOf(t).map { tgt =>
-          requireNoBranch(tgt, "UPDATE"); runUpdate(spark, tgt, assigns, cond)
-          done(spark) }
+          runUpdate(spark, tgt, assigns, cond); done(spark) }
       case m: MergeIntoTable =>
         targetOf(m.targetTable).map { tgt =>
-          requireNoBranch(tgt, "MERGE"); runMerge(spark, tgt, m)
-          done(spark) }
+          runMerge(spark, tgt, m); done(spark) }
       case i: InsertIntoStatement =>
         targetOf(i.table).map { tgt => runInsert(spark, tgt, i); done(spark) }
       case CreateTable(UnresolvedIdentifier(Seq(name), _), columns, partitioning,
@@ -565,15 +561,6 @@ object SqlDml {
     }
   }
 
-  /** Branch targets accept INSERT (append) only — a COW UPDATE/DELETE/
-    * MERGE would read the branch but commit to the mainline, silently
-    * corrupting both. Refuse loudly until branch-addressed COW exists.
-    */
-  private def requireNoBranch(t: Target, verb: String): Unit =
-    require(t.branch.isEmpty, s"$verb on a branch target (${t.display}) is " +
-      "not supported — INSERT appends to the branch; run other DML on the " +
-      "mainline and FAST-FORWARD, or recreate the branch")
-
   private def norm(s: String): String = s.toLowerCase(Locale.ROOT)
 
   /** Unwrap the target relation (through its alias). None when the relation
@@ -626,12 +613,18 @@ object SqlDml {
 
   private def runDelete(spark: SparkSession, t: Target, cond: Expression): Unit = {
     val c = asColumn(cond, t.qualifiers)
-    t.ref match {
-      case r: NamedTables.SnapshotRef if r.writeMode == NamedTables.WriteMor =>
+    (t.ref, t.branch) match {
+      // branch-addressed DELETE commits onto the branch head (always COW —
+      // WAP staging is short-lived, MOR's write trade buys nothing); a tag
+      // target refuses inside deleteWhereOnBranch (tags are immutable)
+      case (r: NamedTables.SnapshotRef, Some(b)) =>
+        Snapshots.table(spark, r.root).deleteWhereOnBranch(b, c)
+      case (r: NamedTables.SnapshotRef, None)
+          if r.writeMode == NamedTables.WriteMor =>
         Snapshots.table(spark, r.root).deleteWhereMergeOnRead(c)
-      case r: NamedTables.SnapshotRef =>
+      case (r: NamedTables.SnapshotRef, None) =>
         Snapshots.table(spark, r.root).deleteWhere(c)
-      case NamedTables.PathRef(path) => Dml.deleteWhere(spark, path, c)
+      case (NamedTables.PathRef(path), _) => Dml.deleteWhere(spark, path, c)
     }
   }
 
@@ -641,12 +634,15 @@ object SqlDml {
       assignName(a.key, t.qualifiers) -> asColumn(a.value, t.qualifiers)).toMap
     val c = cond.map(asColumn(_, t.qualifiers))
       .getOrElse(org.apache.spark.sql.functions.lit(true))
-    t.ref match {
-      case r: NamedTables.SnapshotRef if r.writeMode == NamedTables.WriteMor =>
+    (t.ref, t.branch) match {
+      case (r: NamedTables.SnapshotRef, Some(b)) =>
+        Snapshots.table(spark, r.root).updateWhereOnBranch(b, c, set)
+      case (r: NamedTables.SnapshotRef, None)
+          if r.writeMode == NamedTables.WriteMor =>
         Snapshots.table(spark, r.root).updateWhereMergeOnRead(c, set)
-      case r: NamedTables.SnapshotRef =>
+      case (r: NamedTables.SnapshotRef, None) =>
         Snapshots.table(spark, r.root).updateWhere(c, set)
-      case NamedTables.PathRef(path) => Dml.updateWhere(spark, path, c, set)
+      case (NamedTables.PathRef(path), _) => Dml.updateWhere(spark, path, c, set)
     }
   }
 
@@ -1062,8 +1058,13 @@ object SqlDml {
         spec.notMatchedBySource.isEmpty)
       unsupported("statement has no effect: no WHEN clause was given")
 
-    t.ref match {
-      case r: NamedTables.SnapshotRef
+    (t.ref, t.branch) match {
+      // branch-addressed MERGE: the COW mergeSpec algebra committed onto
+      // the branch head; tags refuse inside mergeSpecOnBranch
+      case (r: NamedTables.SnapshotRef, Some(b)) =>
+        Snapshots.table(spark, r.root).mergeSpecOnBranch(b, source,
+          mergeKeys, spec, sourceKeysUnique = false, maxRetries = 10)
+      case (r: NamedTables.SnapshotRef, None)
           if r.writeMode == NamedTables.WriteMor && morShape(spec) =>
         // merge-on-read table + single-unconditional-arm statement: retire
         // matched positions via sidecar instead of rewriting files
@@ -1083,10 +1084,10 @@ object SqlDml {
               insertUnmatched = spec.inserts.nonEmpty,
               insertValues = insVals)
         }
-      case r: NamedTables.SnapshotRef =>
+      case (r: NamedTables.SnapshotRef, None) =>
         Snapshots.table(spark, r.root).mergeSpec(source, mergeKeys, spec,
           sourceKeysUnique = false, maxRetries = 10)
-      case NamedTables.PathRef(path) =>
+      case (NamedTables.PathRef(path), _) =>
         Dml.mergeSpec(spark, path, source, mergeKeys, spec,
           sourceKeysUnique = false)
     }

@@ -168,14 +168,109 @@ class SnapshotRefsSpec extends SparkSpec {
       sql("ALTER TABLE refs_t DROP BRANCH shipped")
       sql("ALTER TABLE refs_t DROP TAG genesis")
       assert(sql("SELECT count(*) AS n FROM refs_t.refs").head.getLong(0) === 0)
-      // UPDATE on a branch target refuses loudly
+      // UPDATE on a branch target commits to the branch, not the mainline
       sql("ALTER TABLE refs_t CREATE BRANCH b2")
-      val e = intercept[IllegalArgumentException] {
-        sql("UPDATE refs_t.branch_b2 SET tag = 'x' WHERE id = 1") }
-      assert(e.getMessage.contains("not supported"))
+      sql("UPDATE refs_t.branch_b2 SET tag = 'x' WHERE id = 1")
+      assert(sql("SELECT tag FROM refs_t.branch_b2 WHERE id = 1")
+        .head.getString(0) === "x")
+      assert(sql("SELECT tag FROM refs_t WHERE id = 1")
+        .head.getString(0) === "a", "branch UPDATE leaked into mainline")
     } finally {
       NamedTables.drop("refs_t")
     }
+  }
+
+  test("branch-addressed UPDATE/DELETE/MERGE: WAP corrections publish via fast-forward") {
+    import spark.implicits._
+    def sql(q: String) = Engine.sql(spark, sfDir, q)
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root,
+      (0 until 40).map(i => (i.toLong, s"v$i", i % 4)).toDF("id", "s", "grp"))
+    NamedTables.registerSnapshot("bdml_t", root)
+    try {
+      sql("ALTER TABLE bdml_t CREATE BRANCH fix")
+      sql("ALTER TABLE bdml_t CREATE TAG locked")
+
+      // DELETE on the branch: branch shrinks, mainline untouched
+      sql("DELETE FROM bdml_t.branch_fix WHERE grp = 3")
+      assert(sql("SELECT count(*) AS n FROM bdml_t.branch_fix")
+        .head.getLong(0) === 30)
+      assert(sql("SELECT count(*) AS n FROM bdml_t").head.getLong(0) === 40,
+        "branch DELETE leaked into mainline")
+
+      // UPDATE on the branch reads the BRANCH head (the grp=3 rows it
+      // deleted above must not resurrect or match)
+      sql("UPDATE bdml_t.branch_fix SET s = concat('fixed_', id) WHERE grp = 0")
+      assert(sql(
+        "SELECT count(*) AS n FROM bdml_t.branch_fix WHERE s LIKE 'fixed_%'")
+        .head.getLong(0) === 10)
+      assert(sql("SELECT count(*) AS n FROM bdml_t WHERE s LIKE 'fixed_%'")
+        .head.getLong(0) === 0, "branch UPDATE leaked into mainline")
+
+      // MERGE into the branch: update one row, insert a fresh one
+      Seq((1L, "merged", 1), (1000L, "new", 9))
+        .toDF("id", "s", "grp").createOrReplaceTempView("bdml_src")
+      sql("""MERGE INTO bdml_t.branch_fix AS t USING bdml_src AS s
+            |ON t.id = s.id
+            |WHEN MATCHED THEN UPDATE SET s = s.s
+            |WHEN NOT MATCHED THEN INSERT (id, s, grp) VALUES (s.id, s.s, s.grp)
+            |""".stripMargin)
+      assert(sql("SELECT s FROM bdml_t.branch_fix WHERE id = 1")
+        .head.getString(0) === "merged")
+      assert(sql("SELECT count(*) AS n FROM bdml_t.branch_fix")
+        .head.getLong(0) === 31)
+      assert(sql("SELECT count(*) AS n FROM bdml_t WHERE id = 1000")
+        .head.getLong(0) === 0, "branch MERGE leaked into mainline")
+
+      // branch history records each verb; the mainline log is untouched
+      assert(t.latest().version === 0L)
+
+      // publish: the corrected state fast-forwards onto the mainline
+      sql("ALTER TABLE bdml_t EXECUTE FAST-FORWARD 'fix'")
+      assert(sql("SELECT count(*) AS n FROM bdml_t").head.getLong(0) === 31)
+      assert(sql("SELECT s FROM bdml_t WHERE id = 1").head.getString(0)
+        === "merged")
+      assert(sql("SELECT count(*) AS n FROM bdml_t WHERE grp = 3")
+        .head.getLong(0) === 0)
+
+      // the pre-correction tag still reads the original 40 rows
+      assert(sql("SELECT count(*) AS n FROM bdml_t.tag_locked")
+        .head.getLong(0) === 40)
+
+      // tag targets refuse every verb — tags are immutable
+      for (stmt <- Seq(
+          "UPDATE bdml_t.tag_locked SET s = 'x' WHERE id = 1",
+          "DELETE FROM bdml_t.tag_locked WHERE id = 1",
+          """MERGE INTO bdml_t.tag_locked AS t USING bdml_src AS s
+            |ON t.id = s.id WHEN MATCHED THEN DELETE""".stripMargin)) {
+        val e = intercept[IllegalArgumentException] { sql(stmt) }
+        assert(e.getMessage.contains("tags are immutable"), stmt)
+      }
+    } finally {
+      NamedTables.drop("bdml_t")
+    }
+  }
+
+  test("branch DML serializes on the ref: concurrent updates both land") {
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 40))
+    t.createBranch("b")
+    import org.apache.spark.sql.functions.{col, lit, concat}
+    val workers = (0 until 4).map { w =>
+      new Thread {
+        override def run(): Unit =
+          t.updateWhereOnBranch("b", col("id") % 4 === w,
+            Map("s" -> concat(lit(s"w${w}_"), col("s"))))
+      }
+    }
+    workers.foreach(_.start()); workers.foreach(_.join())
+    // every worker's stripe carries its prefix — no lost update
+    val got = t.readRef("b")
+    for (w <- 0 until 4)
+      assert(got.filter(col("s").startsWith(s"w${w}_")).count() === 10,
+        s"worker $w's branch update was lost")
+    assert(t.read().filter(col("s").startsWith("w")).count() === 0,
+      "branch updates leaked into mainline")
   }
 
   test("metadata tables: t.history, t.snapshots, t.files, t.partitions") {
