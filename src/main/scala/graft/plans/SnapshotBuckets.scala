@@ -89,4 +89,46 @@ private[plans] trait SnapshotBucketOps { self: Snapshots.SnapshotTable =>
         SidecarJson.read[BucketConfig](fs, new Path(rootPath, "_bucket.json")))
     cachedBucket.get
   }
+
+  // --------------------------------------------------- skew metadata (DDL)
+  //
+  // SKEWED BY (cols) ON (values) [STORED AS DIRECTORIES] — the reference's
+  // list-bucketing DDL (ref ql/ddl/table/storage/skewed/
+  // AlterTableSkewedByAnalyzer.java, AlterTableNotSkewedAnalyzer.java).
+  // The spec is ACCEPTED and retained as table metadata (DESCRIBE shows
+  // it), but no per-value directory layout is materialized: this engine
+  // handles data skew at runtime —
+  // AQE skew-join splitting plus salted repartition (operators/Skew) —
+  // which covers the hot keys list-bucketing hard-codes at DDL time and
+  // the ones it doesn't know about yet. The metadata keeps the declared
+  // hot-key list available to operators that want a static hint.
+
+  /** Current skew declaration, if any. */
+  def skewSpec(): Option[Snapshots.SkewSpec] =
+    SidecarJson.read[Snapshots.SkewSpec](fs, new Path(rootPath, "_skew.json"))
+
+  /** ALTER TABLE ... SKEWED BY — declare (replace) the skew spec. */
+  def setSkewed(spec: Snapshots.SkewSpec): Unit = {
+    val schema = schemaOf(latest().schemaJson)
+    val missing = spec.cols.filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"SKEWED BY references nonexistent column(s): ${missing.mkString(", ")}")
+    spec.values.foreach(g => require(g.size == spec.cols.size,
+      s"skewed value (${g.mkString(", ")}) arity ${g.size} != " +
+        s"column count ${spec.cols.size}"))
+    SidecarJson.write(fs, new Path(rootPath, "_skew.json"), spec)
+  }
+
+  /** ALTER TABLE ... NOT SKEWED — drop the declaration entirely. */
+  def clearSkewed(): Unit =
+    fs.delete(new Path(rootPath, "_skew.json"), false)
+
+  /** ALTER TABLE ... NOT STORED AS DIRECTORIES — keep the skew columns/
+    * values, drop the directory flag (mirrors the reference's separate
+    * AlterTableNotStoredAsDirsAnalyzer).
+    */
+  def clearSkewDirectories(): Unit =
+    skewSpec().foreach(s =>
+      SidecarJson.write(fs, new Path(rootPath, "_skew.json"),
+        s.copy(storedAsDirectories = false)))
 }

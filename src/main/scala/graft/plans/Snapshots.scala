@@ -183,6 +183,13 @@ object Snapshots {
   final case class BucketConfig(cols: Seq[String], n: Int,
       sortCols: Seq[String] = Nil)
 
+  /** SKEWED BY (cols) ON (values) [STORED AS DIRECTORIES] declaration —
+    * list-bucketing metadata (see [[SnapshotBucketOps.setSkewed]]); values
+    * are stored as strings, one inner Seq per skewed value tuple.
+    */
+  final case class SkewSpec(cols: Seq[String], values: Seq[Seq[String]],
+      storedAsDirectories: Boolean = false)
+
   /** CREATE-time bucket spec: `CLUSTERED BY (cols) [SORTED BY (sortBy)]
     * INTO n BUCKETS`.
     */

@@ -475,8 +475,15 @@ object SqlDml {
              else Seq(("Sort Columns",
                b.sortCols.map(logicalOf).mkString(", "), "")))
         }
+        val skewRows = t.skewSpec().toSeq.flatMap { s =>
+          Seq(("# Skew", "", ""),
+            ("Skewed Columns", s.cols.mkString(", "), ""),
+            ("Skewed Values",
+              s.values.map(_.mkString("(", ", ", ")")).mkString(", "), ""),
+            ("Stored As Directories", s.storedAsDirectories.toString, ""))
+        }
         (t.read().schema, m.partitionCols,
-          constraintRows ++ bucketRows ++
+          constraintRows ++ bucketRows ++ skewRows ++
           Seq(("# Detail", "", ""), ("Format", "snapshot", ""),
             ("Location", r.root, ""), ("Write Mode", r.writeMode, ""),
             ("Version", m.version.toString, "")))

@@ -27,108 +27,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SqlMaintenance {
 
-  private val Ident = """(`[^`]+`|[\w.]+)"""
-  private val RestoreV =
-    ("""(?is)\s*RESTORE\s+TABLE\s+""" + Ident +
-      """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""").r
-  private val RestoreTs =
-    ("""(?is)\s*RESTORE\s+TABLE\s+""" + Ident +
-      """\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""").r
-  private val OptimizeZ =
-    ("""(?is)\s*OPTIMIZE\s+""" + Ident +
-      """\s+ZORDER\s+BY\s*\(([^)]+)\)\s*;?\s*""").r
-  private val Optimize =
-    ("""(?is)\s*OPTIMIZE\s+""" + Ident + """\s*;?\s*""").r
-  private val VacuumRetain =
-    ("""(?is)\s*VACUUM\s+""" + Ident +
-      """\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS\s*;?\s*""").r
-  private val Vacuum =
-    ("""(?is)\s*VACUUM\s+""" + Ident + """\s*;?\s*""").r
-  private val CreateMv =
-    ("""(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+""" + Ident +
-      """(?:\s+LOCATION\s+'([^']+)')?\s+AS\s+(.+?)\s*;?\s*""").r
-  private val RebuildMv =
-    ("""(?is)\s*ALTER\s+MATERIALIZED\s+VIEW\s+""" + Ident +
-      """\s+REBUILD\s*;?\s*""").r
-  private val DropMv =
-    ("""(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+""" + Ident + """\s*;?\s*""").r
-  private val ShowMv = """(?is)\s*SHOW\s+MATERIALIZED\s+VIEWS\s*;?\s*""".r
-  private val Replicate =
-    ("""(?is)\s*REPLICATE\s+TABLE\s+""" + Ident +
-      """\s+TO\s+'([^']+)'\s*;?\s*""").r
-  private val ExplainAnalyze =
-    """(?is)\s*EXPLAIN\s+ANALYZE\s+(.+?)\s*;?\s*""".r
-  private val ShowCompactions = """(?is)\s*SHOW\s+COMPACTIONS\s*;?\s*""".r
-  private val ShowLocks =
-    ("""(?is)\s*SHOW\s+LOCKS(?:\s+""" + Ident + """)?(?:\s+EXTENDED)?\s*;?\s*""").r
-  private val ShowTransactions = """(?is)\s*SHOW\s+TRANSACTIONS\s*;?\s*""".r
-  // snapshot refs — Hive 4's branch/tag DDL (ref ql/ddl/table/snapshotref/
-  // + iceberg-handler IcebergSnapshotRefExec.java). FOR SYSTEM_VERSION AS
-  // OF pins the fork point; FAST-FORWARD / CHERRY-PICK / SET_CURRENT_
-  // SNAPSHOT are the ALTER TABLE ... EXECUTE family (ref parse/
-  // AlterTableExecuteSpec.java ExecuteOperationType).
-  private val CreateBranch =
-    ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
-      """\s+CREATE\s+BRANCH\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(\w+)""" +
-      """(?:\s+FOR\s+SYSTEM_VERSION\s+AS\s+OF\s+(\d+))?""" +
-      """(?:\s+RETAIN\s+(\d+)\s+(DAYS|HOURS))?\s*;?\s*""").r
-  private val CreateTag =
-    ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
-      """\s+CREATE\s+TAG\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(\w+)""" +
-      """(?:\s+FOR\s+SYSTEM_VERSION\s+AS\s+OF\s+(\d+))?""" +
-      """(?:\s+RETAIN\s+(\d+)\s+(DAYS|HOURS))?\s*;?\s*""").r
-  private val DropBranch =
-    ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
-      """\s+DROP\s+BRANCH\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s*;?\s*""").r
-  private val DropTag =
-    ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
-      """\s+DROP\s+TAG\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s*;?\s*""").r
-  private val RenameBranch =
-    ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
-      """\s+RENAME\s+BRANCH\s+(\w+)\s+TO\s+(\w+)\s*;?\s*""").r
-  private val ExecFastForward =
-    ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
-      """\s+EXECUTE\s+FAST-FORWARD\s+'?(\w+)'?\s*;?\s*""").r
-  private val ExecCherryPick =
-    ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
-      """\s+EXECUTE\s+CHERRY-PICK\s+(\d+)\s*;?\s*""").r
-  private val ExecRollback =
-    ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
-      """\s+EXECUTE\s+ROLLBACK\s*\(\s*'?([^')]+?)'?\s*\)\s*;?\s*""").r
-  private val ExecExpireTs =
-    ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
-      """\s+EXECUTE\s+EXPIRE_SNAPSHOTS\s*\(\s*'([^']+)'\s*\)\s*;?\s*""").r
-  private val ExecExpireRetain =
-    ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
-      """\s+EXECUTE\s+EXPIRE_SNAPSHOTS\s+RETAIN\s+LAST\s+(\d+)\s*;?\s*""").r
-  private val ExecOrphanFiles =
-    ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
-      """\s+EXECUTE\s+(?:DELETE\s+)?ORPHAN-FILES""" +
-      """(?:\s+OLDER\s+THAN\s+'([^']+)')?\s*;?\s*""").r
-  private val ExecSetCurrent =
-    ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
-      """\s+EXECUTE\s+SET_CURRENT_SNAPSHOT\s+(\d+)\s*;?\s*""").r
-  // partition-spec evolution (ref ql/ddl/table/partition/set/
-  // AlterTableSetPartitionSpecAnalyzer.java) — metadata-only commit;
-  // see [[Snapshots.SnapshotTable.setPartitionSpec]]
-  private val SetPartSpec =
-    ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
-      """\s+SET\s+PARTITION\s+SPEC\s*\(([^)]*)\)\s*;?\s*""").r
-  // the reference's EXPLAIN options (ref ql/.../parse/ExplainConfiguration
-  // .java): CBO shows the cost-annotated plan -> Spark's EXPLAIN COST;
-  // VECTORIZATION reports the vectorized-execution view -> EXPLAIN CODEGEN
-  // (whole-stage codegen IS this engine's vectorization runtime)
-  private val ExplainCbo = """(?is)\s*EXPLAIN\s+CBO\s+(.+?)\s*;?\s*""".r
-  private val ExplainAuth =
-    """(?is)\s*EXPLAIN\s+AUTHORIZATION\s+(.+?)\s*;?\s*""".r
-  private val ExplainDep =
-    """(?is)\s*EXPLAIN\s+DEPENDENCY\s+(.+?)\s*;?\s*""".r
-  private val ExplainVec =
-    """(?is)\s*EXPLAIN\s+VECTORIZATION\s+(?:ONLY\s+|SUMMARY\s+|DETAIL\s+)?(.+?)\s*;?\s*""".r
-
-  /** Execute `sqlText` if it is a maintenance statement; None otherwise
-    * (caller surfaces the canonical parse error).
-    */
   /** Enforcement parts for a maintenance ident: plain names check as
     * themselves; backtick-quoted snapshot roots check under the `snapshot`
     * path form so [[Authz]]'s owning-name reverse resolution applies (no
@@ -138,120 +36,424 @@ object SqlMaintenance {
     if (ident.startsWith("`")) Seq("snapshot", nameOf(ident))
     else Seq(nameOf(ident))
 
-  def maybeRun(spark: SparkSession, sqlText: String): Option[DataFrame] =
-    sqlText match {
-      // state-rewriting table verbs require the table's UPDATE privilege
-      // (RESTORE rolls state back, OPTIMIZE rewrites layout, VACUUM
-      // destroys time travel) — without this, they are ungated sabotage
-      // while the DML verbs they bypass are privilege-checked
-      case RestoreV(ident, v) =>
-        Authz.requireRelationPrivilege(spark, privParts(ident), "update")
-        Some(runRestore(spark, ident, _.restore(v.toLong)))
-      case RestoreTs(ident, ts) =>
-        Authz.requireRelationPrivilege(spark, privParts(ident), "update")
-        Some(runRestore(spark, ident,
-          _.restoreAsOf(java.sql.Timestamp.valueOf(ts).getTime)))
-      case OptimizeZ(ident, cols) =>
-        Authz.requireRelationPrivilege(spark, privParts(ident), "update")
-        val zCols = cols.split(',').map(stripQuotes).map(_.trim).toSeq
-        Some(runOptimize(spark, ident, _.zOrderBy(zCols)))
-      case Optimize(ident) =>
-        Authz.requireRelationPrivilege(spark, privParts(ident), "update")
-        Some(runOptimize(spark, ident, _.compact()))
-      case VacuumRetain(ident, hours) =>
-        Authz.requireRelationPrivilege(spark, privParts(ident), "update")
-        Some(runVacuum(spark, ident, hours.toDouble))
-      case Vacuum(ident) =>
-        Authz.requireRelationPrivilege(spark, privParts(ident), "update")
-        Some(runVacuum(spark, ident, minAgeHours = 24.0))
-      // snapshot refs: branch/tag DDL + the EXECUTE family. Creating or
-      // moving refs rewrites what readers of the ref (or, for EXECUTE,
-      // the MAINLINE) see — same UPDATE gate as RESTORE/OPTIMIZE.
-      case CreateBranch(ident, ifNot, name, v, n, unit) =>
-        Authz.requireRelationPrivilege(spark, privParts(ident), "update")
-        tableOf(spark, ident).createBranch(name,
-          Option(v).map(_.toLong), ifNotExists = ifNot != null,
-          maxRefAgeMs = retainMs(n, unit))
-        Some(okDf(spark, s"created branch $name"))
-      case CreateTag(ident, ifNot, name, v, n, unit) =>
-        Authz.requireRelationPrivilege(spark, privParts(ident), "update")
-        tableOf(spark, ident).createTag(name,
-          Option(v).map(_.toLong), ifNotExists = ifNot != null,
-          maxRefAgeMs = retainMs(n, unit))
-        Some(okDf(spark, s"created tag $name"))
-      case DropBranch(ident, ifEx, name) =>
-        Authz.requireRelationPrivilege(spark, privParts(ident), "update")
-        tableOf(spark, ident).dropBranch(name, ifExists = ifEx != null)
-        Some(okDf(spark, s"dropped branch $name"))
-      case DropTag(ident, ifEx, name) =>
-        Authz.requireRelationPrivilege(spark, privParts(ident), "update")
-        tableOf(spark, ident).dropTag(name, ifExists = ifEx != null)
-        Some(okDf(spark, s"dropped tag $name"))
-      case RenameBranch(ident, from, to) =>
-        Authz.requireRelationPrivilege(spark, privParts(ident), "update")
-        tableOf(spark, ident).renameBranch(from, to)
-        Some(okDf(spark, s"renamed branch $from to $to"))
-      case ExecFastForward(ident, branch) =>
-        Authz.requireRelationPrivilege(spark, privParts(ident), "update")
-        val m = tableOf(spark, ident).fastForward(branch)
-        Some(okDf(spark, s"fast-forwarded to branch $branch at version ${m.version}"))
-      case ExecCherryPick(ident, v) =>
-        Authz.requireRelationPrivilege(spark, privParts(ident), "update")
-        val m = tableOf(spark, ident).cherryPick(v.toLong)
-        Some(okDf(spark, s"cherry-picked version $v as version ${m.version}"))
-      case ExecRollback(ident, arg) =>
-        // ALTER TABLE t EXECUTE ROLLBACK(<version> | '<timestamp>') — the
-        // reference's rollback spelling over [[Snapshots]] restore (ref
-        // ddl/table/execute/AlterTableExecuteAnalyzer.java getRollbackDesc)
-        Authz.requireRelationPrivilege(spark, privParts(ident), "update")
-        val t = tableOf(spark, ident)
-        val m =
-          if (arg.trim.matches("\\d+")) t.restore(arg.trim.toLong)
-          else t.restoreAsOf(java.sql.Timestamp.valueOf(arg.trim).getTime)
-        Some(okDf(spark, s"rolled back to version ${m.meta.getOrElse("restored_version", "?")} as version ${m.version}"))
-      case ExecExpireTs(ident, ts) =>
-        // EXPIRE_SNAPSHOTS('<timestamp>'): retire versions committed at or
-        // before the cut, keeping at least the head (vacuum's retain count
-        // computed from the mainline history)
-        Authz.requireRelationPrivilege(spark, privParts(ident), "update")
-        val t = tableOf(spark, ident)
-        val cutMs = java.sql.Timestamp.valueOf(ts.trim).getTime
-        val newer = t.history().count(_.timestampMs > cutMs)
-        val reclaimed = t.vacuum(retainLast = math.max(newer, 1),
-          minAgeHours = 0.0)
-        Some(okDf(spark, s"expired snapshots at or before $ts ($reclaimed files reclaimed)"))
-      case ExecExpireRetain(ident, n) =>
-        Authz.requireRelationPrivilege(spark, privParts(ident), "update")
-        val reclaimed = tableOf(spark, ident)
-          .vacuum(retainLast = n.toInt, minAgeHours = 0.0)
-        Some(okDf(spark, s"expired snapshots beyond the last $n ($reclaimed files reclaimed)"))
-      case ExecOrphanFiles(ident, olderThan) =>
-        // DELETE ORPHAN-FILES [OLDER THAN '<ts>']: reclaim files no
-        // manifest references WITHOUT pruning any history (retain
-        // everything; the reference defaults the cut to now-3d)
-        Authz.requireRelationPrivilege(spark, privParts(ident), "update")
-        val hours = Option(olderThan) match {
-          case Some(ts) =>
-            math.max(0.0, (System.currentTimeMillis() -
-              java.sql.Timestamp.valueOf(ts.trim).getTime) / 3600000.0)
-          case None => 72.0 // the reference's 3-day default
+  // ------------------------------------------------------------- tokenizer
+  //
+  // ONE lexer + cursor grammar for the whole maintenance-verb family,
+  // replacing the per-verb regexes that had grown into a hand-rolled
+  // grammar (each individually fine; collectively primed to collide on
+  // identifiers containing keywords). Tokens carry their source offset so
+  // tail captures (CREATE MATERIALIZED VIEW ... AS <query>, the EXPLAIN
+  // family) hand the ORIGINAL text onward. Characters outside the token
+  // alphabet lex as Sym tokens: they can never match a grammar keyword, so
+  // a statement using them structurally falls through to Spark's canonical
+  // parse error. This layer only ever sees text the session parser already
+  // rejected ([[graft.Engine.sql]] tries the real parser first), so no
+  // statement Spark understands can be shadowed — and a verb statement
+  // with trailing junk surfaces Spark's error instead of half-matching.
+
+  private sealed trait Tok
+  private final case class Word(s: String) extends Tok // bare word / number
+  private final case class Quoted(s: String) extends Tok // `...` (content)
+  private final case class Str(s: String) extends Tok // '...' (content)
+  private final case class Sym(s: String) extends Tok // any other character
+
+  // hyphen belongs to words: FAST-FORWARD / CHERRY-PICK / ORPHAN-FILES are
+  // single verbs in the reference's spelling
+  private val TokRe = """(?s)\s+|`[^`]*`|'[^']*'|[\w.$\-]+|.""".r
+  private val WordRe = """[\w.$\-]+"""
+
+  private def lex(src: String): Vector[(Tok, Int)] =
+    TokRe.findAllMatchIn(src).flatMap { m =>
+      val t = m.matched
+      val tok =
+        if (t.trim.isEmpty) None
+        else if (t.length >= 2 && t.startsWith("`") && t.endsWith("`"))
+          Some(Quoted(t.substring(1, t.length - 1)))
+        else if (t.length >= 2 && t.startsWith("'") && t.endsWith("'"))
+          Some(Str(t.substring(1, t.length - 1)))
+        else if (t.matches(WordRe)) Some(Word(t))
+        else Some(Sym(t))
+      tok.map(_ -> m.start)
+    }.toVector
+
+  /** Token cursor. Every matcher either consumes what it matched or (for
+    * the multi-token `kw`) restores the position — a failed verb parse
+    * leaves no partial consumption behind the next handler would trip on.
+    */
+  private final class Cursor(val toks: Vector[(Tok, Int)], val src: String) {
+    var i = 0
+
+    /** Match a keyword sequence case-insensitively; all-or-nothing. */
+    def kw(words: String*): Boolean = {
+      val save = i
+      val ok = words.forall(w => toks.lift(i) match {
+        case Some((Word(s), _)) if s.equalsIgnoreCase(w) => i += 1; true
+        case _ => false
+      })
+      if (!ok) i = save
+      ok
+    }
+
+    def word(): Option[String] = toks.lift(i) match {
+      case Some((Word(s), _)) => i += 1; Some(s)
+      case _ => None
+    }
+
+    /** Identifier; backtick-quoted spellings keep their backticks so the
+      * name-vs-root-path distinction downstream ([[privParts]],
+      * [[tableOf]]) holds.
+      */
+    def ident(): Option[String] = toks.lift(i) match {
+      case Some((Word(s), _)) => i += 1; Some(s)
+      case Some((Quoted(s), _)) => i += 1; Some("`" + s + "`")
+      case _ => None
+    }
+
+    def num(): Option[String] = toks.lift(i) match {
+      case Some((Word(s), _)) if s.matches("""\d+(\.\d+)?""") =>
+        i += 1; Some(s)
+      case _ => None
+    }
+
+    def str(): Option[String] = toks.lift(i) match {
+      case Some((Str(s), _)) => i += 1; Some(s)
+      case _ => None
+    }
+
+    def sym(s: String): Boolean = toks.lift(i) match {
+      case Some((Sym(x), _)) if x == s => i += 1; true
+      case _ => false
+    }
+
+    /** `( ident [, ident]* )`, possibly empty; backticks stripped. */
+    def parenIdents(): Option[Seq[String]] = {
+      val save = i
+      if (!sym("(")) return None
+      val buf = scala.collection.mutable.ArrayBuffer[String]()
+      if (!sym(")")) {
+        var ok = true
+        var more = true
+        while (more && ok) {
+          ident() match {
+            case Some(x) => buf += stripQuotes(x); more = sym(",")
+            case None => ok = false
+          }
         }
-        val reclaimed = tableOf(spark, ident)
-          .vacuum(retainLast = Int.MaxValue, minAgeHours = hours,
-            orphanOnly = true)
-        Some(okDf(spark, s"deleted $reclaimed orphan files"))
-      case ExecSetCurrent(ident, v) =>
-        Authz.requireRelationPrivilege(spark, privParts(ident), "update")
-        val m = tableOf(spark, ident).setCurrentSnapshot(v.toLong)
-        Some(okDf(spark, s"set current snapshot to $v at version ${m.version}"))
-      case SetPartSpec(ident, cols) =>
-        Authz.requireRelationPrivilege(spark, privParts(ident), "update")
-        val cs = cols.split(',').map(stripQuotes).map(_.trim)
-          .filter(_.nonEmpty).toSeq
-        val m = tableOf(spark, ident).setPartitionSpec(cs)
-        Some(okDf(spark, s"set partition spec to (${cs.mkString(", ")}) " +
-          s"at version ${m.version}"))
-      case CreateMv(ident, loc, query) =>
+        if (!ok || !sym(")")) { i = save; return None }
+      }
+      Some(buf.toSeq)
+    }
+
+    /** Remaining ORIGINAL statement text (trailing `;`/space stripped). */
+    def rest(): Option[String] =
+      toks.lift(i).map { case (_, off) =>
+        src.substring(off).trim.stripSuffix(";").trim
+      }.filter(_.nonEmpty)
+
+    /** End of statement, one optional trailing `;` consumed. */
+    def end(): Boolean = { sym(";"); i == toks.length }
+
+    /** End-gate for for-comprehensions: Some(()) iff at end. */
+    def done(): Option[Unit] = if (end()) Some(()) else None
+  }
+
+  /** Optional clause: Some(None) = absent, Some(Some(x)) = present and
+    * well-formed, None = present but malformed (the whole verb then fails
+    * to match and the statement surfaces Spark's parse error).
+    */
+  private def optClause[T](present: Boolean)(parse: => Option[T])
+      : Option[Option[T]] =
+    if (!present) Some(None) else parse.map(Some(_))
+
+  /** Execute `sqlText` if it is a maintenance statement; None otherwise
+    * (caller surfaces the canonical parse error). Handlers are tried in
+    * sequence on a fresh cursor each; a handler only executes (and only
+    * privilege-checks) after its FULL shape parsed through end-of-statement.
+    */
+  def maybeRun(spark: SparkSession, sqlText: String): Option[DataFrame] = {
+    val toks = lex(sqlText)
+    if (toks.isEmpty) None
+    else handlers.view
+      .flatMap(h => h(spark, new Cursor(toks, sqlText)))
+      .headOption
+  }
+
+  private type Handler = (SparkSession, Cursor) => Option[DataFrame]
+  private def handlers: Seq[Handler] = Seq(
+    hRestore, hOptimize, hVacuum, hAlterTable, hMatView, hReplicate,
+    hExplain, hShow)
+
+  // state-rewriting table verbs require the table's UPDATE privilege
+  // (RESTORE rolls state back, OPTIMIZE rewrites layout, VACUUM destroys
+  // time travel, refs/EXECUTE move what readers see) — without this they
+  // are ungated sabotage while the DML verbs they bypass are checked
+  private def gate(spark: SparkSession, ident: String): Unit =
+    Authz.requireRelationPrivilege(spark, privParts(ident), "update")
+
+  private def hRestore(spark: SparkSession, c: Cursor): Option[DataFrame] = {
+    if (!c.kw("RESTORE", "TABLE")) return None
+    for {
+      ident <- c.ident()
+      op <-
+        if (c.kw("TO", "VERSION", "AS", "OF"))
+          c.num().map(v => (t: Snapshots.SnapshotTable) => t.restore(v.toLong))
+        else if (c.kw("TO", "TIMESTAMP", "AS", "OF"))
+          c.str().map(ts => (t: Snapshots.SnapshotTable) =>
+            t.restoreAsOf(java.sql.Timestamp.valueOf(ts).getTime))
+        else None
+      _ <- c.done()
+    } yield { gate(spark, ident); runRestore(spark, ident, op) }
+  }
+
+  private def hOptimize(spark: SparkSession, c: Cursor): Option[DataFrame] = {
+    if (!c.kw("OPTIMIZE")) return None
+    for {
+      ident <- c.ident()
+      zcols <- optClause(c.kw("ZORDER", "BY"))(c.parenIdents())
+      _ <- c.done()
+    } yield {
+      gate(spark, ident)
+      zcols match {
+        case Some(cols) => runOptimize(spark, ident, _.zOrderBy(cols))
+        case None => runOptimize(spark, ident, _.compact())
+      }
+    }
+  }
+
+  private def hVacuum(spark: SparkSession, c: Cursor): Option[DataFrame] = {
+    if (!c.kw("VACUUM")) return None
+    for {
+      ident <- c.ident()
+      hours <- optClause(c.kw("RETAIN")) {
+        for { n <- c.num(); _ <- if (c.kw("HOURS")) Some(()) else None }
+        yield n.toDouble
+      }
+      _ <- c.done()
+    } yield {
+      gate(spark, ident)
+      runVacuum(spark, ident, hours.getOrElse(24.0))
+    }
+  }
+
+  // ALTER TABLE <t> ... : snapshot refs (branch/tag DDL, ref ql/ddl/table/
+  // snapshotref/ + iceberg-handler IcebergSnapshotRefExec.java), the
+  // EXECUTE family (ref parse/AlterTableExecuteSpec.java), partition-spec
+  // evolution, and the SKEWED BY list-bucketing DDL (ref ql/ddl/table/
+  // storage/skewed/AlterTableSkewedByAnalyzer.java)
+  private def hAlterTable(spark: SparkSession, c: Cursor): Option[DataFrame] = {
+    if (!c.kw("ALTER", "TABLE")) return None
+    c.ident().flatMap { ident =>
+      def refCreate(kind: String): Option[DataFrame] = {
+        val ifNot = c.kw("IF", "NOT", "EXISTS")
+        for {
+          name <- c.word()
+          fromV <- optClause(c.kw("FOR", "SYSTEM_VERSION", "AS", "OF"))(c.num())
+          retain <- optClause(c.kw("RETAIN")) {
+            for {
+              n <- c.num()
+              u <- if (c.kw("DAYS")) Some("DAYS")
+                   else if (c.kw("HOURS")) Some("HOURS")
+                   else None
+            } yield (n, u)
+          }
+          _ <- c.done()
+        } yield {
+          gate(spark, ident)
+          val t = tableOf(spark, ident)
+          val age = retain.flatMap { case (n, u) => retainMs(n, u) }
+          if (kind == "branch")
+            t.createBranch(name, fromV.map(_.toLong), ifNot, age)
+          else t.createTag(name, fromV.map(_.toLong), ifNot, age)
+          okDf(spark, s"created $kind $name")
+        }
+      }
+      def refDrop(kind: String): Option[DataFrame] = {
+        val ifEx = c.kw("IF", "EXISTS")
+        for { name <- c.word(); _ <- c.done() } yield {
+          gate(spark, ident)
+          val t = tableOf(spark, ident)
+          if (kind == "branch") t.dropBranch(name, ifEx)
+          else t.dropTag(name, ifEx)
+          okDf(spark, s"dropped $kind $name")
+        }
+      }
+      def execute(): Option[DataFrame] =
+        if (c.kw("FAST-FORWARD"))
+          for { b <- c.str().orElse(c.word()); _ <- c.done() } yield {
+            gate(spark, ident)
+            val m = tableOf(spark, ident).fastForward(b)
+            okDf(spark, s"fast-forwarded to branch $b at version ${m.version}")
+          }
+        else if (c.kw("CHERRY-PICK"))
+          for { v <- c.num(); _ <- c.done() } yield {
+            gate(spark, ident)
+            val m = tableOf(spark, ident).cherryPick(v.toLong)
+            okDf(spark, s"cherry-picked version $v as version ${m.version}")
+          }
+        else if (c.kw("ROLLBACK"))
+          // EXECUTE ROLLBACK(<version> | '<timestamp>') over restore (ref
+          // ddl/table/execute/AlterTableExecuteAnalyzer.java getRollbackDesc)
+          for {
+            _ <- if (c.sym("(")) Some(()) else None
+            arg <- c.num().map(Left(_)).orElse(c.str().map(Right(_)))
+            _ <- if (c.sym(")")) Some(()) else None
+            _ <- c.done()
+          } yield {
+            gate(spark, ident)
+            val t = tableOf(spark, ident)
+            val m = arg match {
+              case Left(v) => t.restore(v.toLong)
+              case Right(ts) =>
+                t.restoreAsOf(java.sql.Timestamp.valueOf(ts.trim).getTime)
+            }
+            okDf(spark, s"rolled back to version " +
+              s"${m.meta.getOrElse("restored_version", "?")} as version ${m.version}")
+          }
+        else if (c.kw("EXPIRE_SNAPSHOTS")) {
+          if (c.sym("(")) // EXPIRE_SNAPSHOTS('<ts>'): retire versions at or
+            // before the cut, keeping at least the head
+            for {
+              ts <- c.str()
+              _ <- if (c.sym(")")) Some(()) else None
+              _ <- c.done()
+            } yield {
+              gate(spark, ident)
+              val t = tableOf(spark, ident)
+              val cutMs = java.sql.Timestamp.valueOf(ts.trim).getTime
+              val newer = t.history().count(_.timestampMs > cutMs)
+              val reclaimed = t.vacuum(retainLast = math.max(newer, 1),
+                minAgeHours = 0.0)
+              okDf(spark, s"expired snapshots at or before $ts " +
+                s"($reclaimed files reclaimed)")
+            }
+          else
+            for {
+              _ <- if (c.kw("RETAIN", "LAST")) Some(()) else None
+              n <- c.num()
+              _ <- c.done()
+            } yield {
+              gate(spark, ident)
+              val reclaimed = tableOf(spark, ident)
+                .vacuum(retainLast = n.toInt, minAgeHours = 0.0)
+              okDf(spark, s"expired snapshots beyond the last $n " +
+                s"($reclaimed files reclaimed)")
+            }
+        } else if ({ c.kw("DELETE"); c.kw("ORPHAN-FILES") })
+          // [DELETE] ORPHAN-FILES [OLDER THAN '<ts>']: reclaim unreferenced
+          // files WITHOUT pruning history (the reference defaults to now-3d)
+          for {
+            older <- optClause(c.kw("OLDER", "THAN"))(c.str())
+            _ <- c.done()
+          } yield {
+            gate(spark, ident)
+            val hours = older match {
+              case Some(ts) => math.max(0.0, (System.currentTimeMillis() -
+                java.sql.Timestamp.valueOf(ts.trim).getTime) / 3600000.0)
+              case None => 72.0
+            }
+            val reclaimed = tableOf(spark, ident)
+              .vacuum(retainLast = Int.MaxValue, minAgeHours = hours,
+                orphanOnly = true)
+            okDf(spark, s"deleted $reclaimed orphan files")
+          }
+        else if (c.kw("SET_CURRENT_SNAPSHOT"))
+          for { v <- c.num(); _ <- c.done() } yield {
+            gate(spark, ident)
+            val m = tableOf(spark, ident).setCurrentSnapshot(v.toLong)
+            okDf(spark, s"set current snapshot to $v at version ${m.version}")
+          }
+        else None
+
+      // SKEWED BY (cols) ON (v | (v, ...), ...) [STORED AS DIRECTORIES]:
+      // one skewed-value tuple is a bare scalar (single column) or a
+      // paren-list matching the column arity
+      def skewedBy(): Option[DataFrame] = {
+        def scalar(): Option[String] = c.str().orElse(c.num())
+        def group(): Option[Seq[String]] =
+          if (c.sym("(")) {
+            val buf = scala.collection.mutable.ArrayBuffer[String]()
+            var ok = true
+            var more = true
+            while (more && ok) scalar() match {
+              case Some(v) => buf += v; more = c.sym(",")
+              case None => ok = false
+            }
+            if (ok && c.sym(")")) Some(buf.toSeq) else None
+          } else scalar().map(Seq(_))
+        for {
+          cols <- c.parenIdents()
+          _ <- if (c.kw("ON") && c.sym("(")) Some(()) else None
+          groups <- {
+            val buf = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+            var ok = true
+            var more = true
+            while (more && ok) group() match {
+              case Some(g) => buf += g; more = c.sym(",")
+              case None => ok = false
+            }
+            if (ok && c.sym(")")) Some(buf.toSeq) else None
+          }
+          dirs <- Some(c.kw("STORED", "AS", "DIRECTORIES"))
+          _ <- c.done()
+        } yield {
+          gate(spark, ident)
+          tableOf(spark, ident).setSkewed(
+            Snapshots.SkewSpec(cols, groups, dirs))
+          okDf(spark, s"declared SKEWED BY (${cols.mkString(", ")}) with " +
+            s"${groups.size} skewed value(s); retained as metadata — " +
+            "runtime skew is handled by AQE skew-join + salting, no " +
+            "per-value directories are materialized")
+        }
+      }
+
+      if (c.kw("CREATE", "BRANCH")) refCreate("branch")
+      else if (c.kw("CREATE", "TAG")) refCreate("tag")
+      else if (c.kw("DROP", "BRANCH")) refDrop("branch")
+      else if (c.kw("DROP", "TAG")) refDrop("tag")
+      else if (c.kw("RENAME", "BRANCH"))
+        for {
+          from <- c.word()
+          _ <- if (c.kw("TO")) Some(()) else None
+          to <- c.word()
+          _ <- c.done()
+        } yield {
+          gate(spark, ident)
+          tableOf(spark, ident).renameBranch(from, to)
+          okDf(spark, s"renamed branch $from to $to")
+        }
+      else if (c.kw("EXECUTE")) execute()
+      else if (c.kw("SET", "PARTITION", "SPEC"))
+        for { cols <- c.parenIdents(); _ <- c.done() } yield {
+          gate(spark, ident)
+          val m = tableOf(spark, ident).setPartitionSpec(cols)
+          okDf(spark, s"set partition spec to (${cols.mkString(", ")}) " +
+            s"at version ${m.version}")
+        }
+      else if (c.kw("SKEWED", "BY")) skewedBy()
+      else if (c.kw("NOT", "SKEWED"))
+        c.done().map { _ =>
+          gate(spark, ident)
+          tableOf(spark, ident).clearSkewed()
+          okDf(spark, "table is no longer declared skewed")
+        }
+      else if (c.kw("NOT", "STORED", "AS", "DIRECTORIES"))
+        c.done().map { _ =>
+          gate(spark, ident)
+          tableOf(spark, ident).clearSkewDirectories()
+          okDf(spark, "skewed values are no longer stored as directories")
+        }
+      else None
+    }
+  }
+
+  private def hMatView(spark: SparkSession, c: Cursor): Option[DataFrame] = {
+    if (c.kw("CREATE", "MATERIALIZED", "VIEW"))
+      for {
+        ident <- c.ident()
+        loc <- optClause(c.kw("LOCATION"))(c.str())
+        _ <- if (c.kw("AS")) Some(()) else None
+        query <- c.rest()
+      } yield {
         // materializing a query = reading it: same SELECT checks, and
         // fail closed for policied users (one MV serves EVERY user via the
         // rewrite — a filtered materialization corrupts it for others, an
@@ -265,8 +467,14 @@ object SqlMaintenance {
             "CREATE MATERIALIZED VIEW over a row-filtered/masked source " +
               "is not allowed for this user — the materialization is " +
               "shared by all users")
-        Some(runCreateMv(spark, nameOf(ident), Option(loc), query, planned))
-      case RebuildMv(ident) =>
+        runCreateMv(spark, nameOf(ident), loc, query, planned)
+      }
+    else if (c.kw("ALTER", "MATERIALIZED", "VIEW"))
+      for {
+        ident <- c.ident()
+        _ <- if (c.kw("REBUILD")) Some(()) else None
+        _ <- c.done()
+      } yield {
         MaterializedViews.registered(spark)
           .find(_.name == nameOf(ident)).map(_.sql) match {
           case Some(Some(q)) =>
@@ -282,55 +490,86 @@ object SqlMaintenance {
               "ALTER MATERIALIZED VIEW REBUILD (plan-declared MV)")
           case None => () // no such MV: runRebuildMv raises the clear error
         }
-        Some(runRebuildMv(spark, nameOf(ident)))
-      case DropMv(ident) =>
+        runRebuildMv(spark, nameOf(ident))
+      }
+    else if (c.kw("DROP", "MATERIALIZED", "VIEW"))
+      for { ident <- c.ident(); _ <- c.done() } yield {
         Authz.requireAdmin(spark, "DROP MATERIALIZED VIEW")
         MaterializedViews.drop(spark, nameOf(ident))
-        Some(spark.emptyDataFrame)
-      case ShowMv() =>
-        import spark.implicits._
-        Some(MaterializedViews.registered(spark)
-          .map(mv => (mv.name, mv.path, mv.sources.size.toLong))
-          .sortBy(_._1).toDF("name", "location", "n_sources"))
-      case Replicate(ident, target) =>
-        // raw FILE copy to a caller-chosen path: masked/filtered content
-        // leaves in cleartext regardless of policies — admin only
-        Authz.requireAdmin(spark, "REPLICATE TABLE")
-        import spark.implicits._
-        val r = Replication.sync(spark, tableOf(spark, ident).root, target)
-        Some(Seq((nameOf(ident), target, r.mode, r.fromVersion, r.toVersion,
-          r.commitsApplied))
-          .toDF("table", "target", "mode", "from_version", "to_version",
-            "commits_applied"))
-      case ExplainAnalyze(query) =>
-        Some(runExplainAnalyze(spark, query))
-      case ShowCompactions() =>
-        Some(runShowCompactions(spark))
-      case ShowLocks(_) =>
-        Some(runShowLocks(spark))
-      case ShowTransactions() =>
-        Some(runShowTransactions(spark))
-      // the EXPLAIN family reveals plans/stats of the inner query — it
-      // requires the query's own privileges (Hive likewise authorizes
-      // EXPLAIN as the statement); ANALYZE additionally EXECUTES, so it
-      // runs the policied plan (see runExplainAnalyze)
-      case ExplainCbo(query) =>
-        Authz.checkQueryText(spark, query)
-        Some(spark.sql(s"EXPLAIN COST $query"))
-      case ExplainVec(query) =>
-        Authz.checkQueryText(spark, query)
-        Some(spark.sql(s"EXPLAIN CODEGEN $query"))
-      // EXPLAIN AUTHORIZATION stays open by PURPOSE: it is the "what would
-      // I need" diagnostic (it reveals only names derived from the text
-      // the user typed). DEPENDENCY is lineage tooling — it additionally
-      // reverse-resolves paths to owning tables, so it requires the
-      // query's privileges like the rest of the EXPLAIN family.
-      case ExplainAuth(query) => Some(runExplainAuthorization(spark, query))
-      case ExplainDep(query) =>
-        Authz.checkQueryText(spark, query)
-        Some(runExplainDependency(spark, query))
-      case _ => None
+        spark.emptyDataFrame
+      }
+    else None
+  }
+
+  private def hReplicate(spark: SparkSession, c: Cursor): Option[DataFrame] = {
+    if (!c.kw("REPLICATE", "TABLE")) return None
+    for {
+      ident <- c.ident()
+      _ <- if (c.kw("TO")) Some(()) else None
+      target <- c.str()
+      _ <- c.done()
+    } yield {
+      // raw FILE copy to a caller-chosen path: masked/filtered content
+      // leaves in cleartext regardless of policies — admin only
+      Authz.requireAdmin(spark, "REPLICATE TABLE")
+      import spark.implicits._
+      val r = Replication.sync(spark, tableOf(spark, ident).root, target)
+      Seq((nameOf(ident), target, r.mode, r.fromVersion, r.toVersion,
+        r.commitsApplied))
+        .toDF("table", "target", "mode", "from_version", "to_version",
+          "commits_applied")
     }
+  }
+
+  // the reference's EXPLAIN options (ref ql/.../parse/ExplainConfiguration
+  // .java): CBO shows the cost-annotated plan -> Spark's EXPLAIN COST;
+  // VECTORIZATION reports the vectorized-execution view -> EXPLAIN CODEGEN
+  // (whole-stage codegen IS this engine's vectorization runtime). The
+  // EXPLAIN family reveals plans/stats of the inner query — it requires
+  // the query's own privileges (Hive likewise authorizes EXPLAIN as the
+  // statement); ANALYZE additionally EXECUTES, so it runs the policied
+  // plan (see runExplainAnalyze). AUTHORIZATION stays open by PURPOSE: it
+  // is the "what would I need" diagnostic (it reveals only names derived
+  // from the text the user typed).
+  private def hExplain(spark: SparkSession, c: Cursor): Option[DataFrame] = {
+    if (!c.kw("EXPLAIN")) return None
+    if (c.kw("ANALYZE")) c.rest().map(runExplainAnalyze(spark, _))
+    else if (c.kw("CBO")) c.rest().map { q =>
+      Authz.checkQueryText(spark, q)
+      spark.sql(s"EXPLAIN COST $q")
+    }
+    else if (c.kw("AUTHORIZATION"))
+      c.rest().map(runExplainAuthorization(spark, _))
+    else if (c.kw("DEPENDENCY")) c.rest().map { q =>
+      Authz.checkQueryText(spark, q)
+      runExplainDependency(spark, q)
+    }
+    else if (c.kw("VECTORIZATION")) {
+      if (!c.kw("ONLY")) { if (!c.kw("SUMMARY")) c.kw("DETAIL") }
+      c.rest().map { q =>
+        Authz.checkQueryText(spark, q)
+        spark.sql(s"EXPLAIN CODEGEN $q")
+      }
+    }
+    else None
+  }
+
+  private def hShow(spark: SparkSession, c: Cursor): Option[DataFrame] = {
+    if (!c.kw("SHOW")) return None
+    if (c.kw("COMPACTIONS")) c.done().map(_ => runShowCompactions(spark))
+    else if (c.kw("LOCKS")) {
+      c.ident(); c.kw("EXTENDED")
+      c.done().map(_ => runShowLocks(spark))
+    }
+    else if (c.kw("TRANSACTIONS")) c.done().map(_ => runShowTransactions(spark))
+    else if (c.kw("MATERIALIZED", "VIEWS")) c.done().map { _ =>
+      import spark.implicits._
+      MaterializedViews.registered(spark)
+        .map(mv => (mv.name, mv.path, mv.sources.size.toLong))
+        .sortBy(_._1).toDF("name", "location", "n_sources")
+    }
+    else None
+  }
 
   /** EXPLAIN AUTHORIZATION <statement> — the reference's authorization
     * report (ref ql/.../ExplainTask.java `outputDependencies` under the

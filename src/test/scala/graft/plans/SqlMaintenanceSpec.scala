@@ -330,4 +330,68 @@ class SqlMaintenanceSpec extends SparkSpec {
       sql(s"CREATE MATERIALIZED VIEW mvsql_wh AS SELECT 1 AS one"))
     sql("DROP MATERIALIZED VIEW mvsql_wh")
   }
+
+  test("keyword-bearing identifiers hit Spark, not the verb layer") {
+    import org.apache.spark.sql.catalyst.parser.ParseException
+    // a table NAMED after a verb is just an identifier to real SQL — the
+    // statement parses and runs on Spark without ever reaching the verb
+    // tokenizer
+    nums(0, 5).createOrReplaceTempView("vacuum_log")
+    assert(sql("SELECT count(*) AS n FROM vacuum_log").head.getLong(0) === 5)
+    nums(0, 3).createOrReplaceTempView("optimize")
+    assert(sql("SELECT count(*) AS n FROM `optimize`").head.getLong(0) === 3)
+    // a verb statement with trailing junk must NOT half-match the verb —
+    // it surfaces Spark's canonical parse error instead (the old per-verb
+    // regexes got this right by anchoring; the tokenizer must too)
+    val root = freshRoot()
+    Snapshots.create(spark, root, nums(0, 10))
+    NamedTables.registerSnapshot("maint_tok", root)
+    try {
+      intercept[ParseException](sql("VACUUM maint_tok RETAIN"))
+      intercept[ParseException](sql("VACUUM maint_tok RETAIN five HOURS"))
+      intercept[ParseException](sql("OPTIMIZE maint_tok SORT BY (id)"))
+      intercept[ParseException](
+        sql("RESTORE TABLE maint_tok TO VERSION AS OF abc"))
+      intercept[ParseException](
+        sql("ALTER TABLE maint_tok EXECUTE EXPIRE_SNAPSHOTS"))
+      // well-formed forms still work right next to the rejected ones
+      sql("VACUUM maint_tok RETAIN 1 HOURS")
+      sql("OPTIMIZE maint_tok")
+    } finally NamedTables.drop("maint_tok")
+  }
+
+  test("SKEWED BY DDL: declared, described, cleared; arity and columns checked") {
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 20))
+    NamedTables.registerSnapshot("maint_skew", root)
+    try {
+      // single-column form with bare scalars
+      sql("ALTER TABLE maint_skew SKEWED BY (k) ON (1, 2) STORED AS DIRECTORIES")
+      val s = t.skewSpec().get
+      assert(s.cols === Seq("k"))
+      assert(s.values === Seq(Seq("1"), Seq("2")))
+      assert(s.storedAsDirectories)
+      // DESCRIBE surfaces the declaration
+      val desc = sql("DESCRIBE maint_skew").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(desc("Skewed Columns") === "k")
+      assert(desc("Skewed Values") === "(1), (2)")
+      // NOT STORED AS DIRECTORIES keeps the values, drops the flag
+      sql("ALTER TABLE maint_skew NOT STORED AS DIRECTORIES")
+      assert(!t.skewSpec().get.storedAsDirectories)
+      // composite form with tuple groups (re-declare replaces)
+      sql("ALTER TABLE maint_skew SKEWED BY (s, k) ON (('row1', 1), ('row2', 2))")
+      assert(t.skewSpec().get.values === Seq(Seq("row1", "1"), Seq("row2", "2")))
+      // NOT SKEWED drops everything
+      sql("ALTER TABLE maint_skew NOT SKEWED")
+      assert(t.skewSpec().isEmpty)
+      // refusals: unknown column; value arity != column arity
+      val e1 = intercept[IllegalArgumentException](
+        sql("ALTER TABLE maint_skew SKEWED BY (nope) ON (1)"))
+      assert(e1.getMessage.contains("nonexistent column"))
+      val e2 = intercept[IllegalArgumentException](
+        sql("ALTER TABLE maint_skew SKEWED BY (s, k) ON (('x'))"))
+      assert(e2.getMessage.contains("arity"))
+    } finally NamedTables.drop("maint_skew")
+  }
 }
