@@ -21,6 +21,10 @@ import scala.util.control.NonFatal
   *   - PRINT expr, RETURN [expr], EXECUTE [IMMEDIATE] expr [INTO v, ...]
   *   - SELECT ... INTO v, ... FROM ...
   *   - CREATE [OR REPLACE] PROCEDURE|FUNCTION ... BEGIN ... END; CALL p(...)
+  *   - CREATE [OR REPLACE] PACKAGE [BODY] pkg AS ... END — package-scoped
+  *     variables shared across member calls; CALL pkg.proc(...), pkg.fn()
+  *     in expressions (ref hplsql/src/main/java/org/apache/hive/hplsql/
+  *     Package.java)
   *   - every other statement passes through verbatim to the engine's SQL
   *     front door (so CTAS / INSERT / UPDATE / MERGE / snapshot verbs all
   *     work inside scripts), with declared variables substituted as literals
@@ -31,7 +35,7 @@ import scala.util.control.NonFatal
   * plan, so scale behavior of the data path is unchanged.
   *
   * Deliberately out of scope (grammar rows that are client/dialect shims):
-  * packages, COPY/CMP/TD-specific statements. Explicit OPEN/FETCH/CLOSE
+  * COPY/CMP/TD-specific statements. Explicit OPEN/FETCH/CLOSE
   * cursors ARE implemented (with SQLCODE maintenance), streaming one
   * partition at a time, and so are condition handlers: DECLARE
   * CONTINUE|EXIT HANDLER FOR SQLEXCEPTION|SQLWARNING|NOT FOUND <stmt>
@@ -74,6 +78,9 @@ object Hplsql {
   private case class Return(expr: Option[String]) extends Stmt
   private case class ExecImmediate(expr: String, into: Seq[String]) extends Stmt
   private case class SelectInto(query: String, into: Seq[String]) extends Stmt
+  private case class CreatePackage(name: String, isBody: Boolean,
+      vars: Seq[Declare], routines: Seq[CreateRoutine],
+      replace: Boolean) extends Stmt
   private case class CreateRoutine(name: String, params: Seq[(String, Option[String])],
       body: Seq[Stmt], isFunction: Boolean, replace: Boolean) extends Stmt
   private case class Call(name: String, args: Seq[String]) extends Stmt
@@ -208,6 +215,7 @@ object Hplsql {
       case "CLOSE" => pos += 1; val n = next(); endSemi(); CloseCur(n)
       case "EXEC" | "EXECUTE" => parseExecute()
       case "CALL" => parseCall()
+      case "CREATE" if isPackageHead() => parsePackage()
       case "CREATE" if isRoutineHead() => parseCreateRoutine()
       case "SELECT" if selectIntoVars().nonEmpty => parseSelectInto()
       case _ if isAssignHead(0) => parseSet(noSetKeyword = true)
@@ -395,7 +403,9 @@ object Hplsql {
 
     private def parseCall(): Stmt = {
       expect("CALL")
-      val name = next()
+      var name = next()
+      // pkg.proc — package-qualified routine names (ref hplsql Package.java)
+      if (peek() == ".") { pos += 1; name += "." + next() }
       val args = mutable.Buffer.empty[String]
       if (accept("(")) {
         while (peek() != ")") {
@@ -422,9 +432,76 @@ object Hplsql {
       w == "PROCEDURE" || w == "FUNCTION" || w == "PROC"
     }
 
+    private def isPackageHead(): Boolean = {
+      var k = 1
+      if (peekUpper(k) == "OR" && peekUpper(k + 1) == "REPLACE") k += 2
+      peekUpper(k) == "PACKAGE"
+    }
+
+    /** CREATE [OR REPLACE] PACKAGE [BODY] name [AS|IS] ... END [name];
+      * (ref hplsql/src/main/java/org/apache/hive/hplsql/Package.java +
+      * Hplsql.g4 create_package_stmt / create_package_body_stmt). The spec
+      * holds package variables (shared state, no DECLARE keyword) and
+      * routine forward declarations; the body holds the implementations.
+      * Both are parsed leniently with the same item loop — a routine with
+      * a body is kept wherever it appears, a forward declaration
+      * (`PROCEDURE p(...);`) is recorded by its later implementation.
+      */
+    private def parsePackage(): Stmt = {
+      expect("CREATE")
+      val replace = if (accept("OR")) { expect("REPLACE"); true } else false
+      expect("PACKAGE")
+      val isBody = accept("BODY")
+      val name = next()
+      if (!accept("AS")) accept("IS")
+      val vars = mutable.Buffer.empty[Declare]
+      val routines = mutable.Buffer.empty[CreateRoutine]
+      while (!atEnd && peekUpper() != "END") {
+        val w = peekUpper()
+        if (w == "PROCEDURE" || w == "FUNCTION" || w == "PROC") {
+          // forward declaration (`;` before any BEGIN) vs implementation
+          var k = pos
+          var decl = false
+          var found = false
+          while (!found && k < toks.length) {
+            val t = toks(k)._1.toUpperCase
+            if (t == ";") { decl = true; found = true }
+            else if (t == "BEGIN") found = true
+            k += 1
+          }
+          if (decl) { while (peek() != ";") pos += 1; endSemi() }
+          else routines += parseRoutine(replace = true)
+        } else {
+          // package variable: name [dtype] [:= init | DEFAULT init];
+          val vname = next()
+          val typeStart = pos
+          while (!atEnd && peek() != ";" && peek() != ":=" &&
+            peekUpper() != "DEFAULT") pos += 1
+          val dtype =
+            if (pos > typeStart) Some(textBetween(typeStart, pos)) else None
+          val init =
+            if (peek() == ":=" || peekUpper() == "DEFAULT") {
+              pos += 1; Some(exprUntilSemi(consumeSemi = false))
+            } else None
+          endSemi()
+          vars += Declare(Seq(vname), dtype, init)
+        }
+      }
+      expect("END")
+      if (!atEnd && peek() != ";" &&
+        peek().headOption.exists(c => c.isLetter || c == '_')) pos += 1
+      endSemi()
+      CreatePackage(name, isBody, vars.toSeq, routines.toSeq, replace)
+    }
+
     private def parseCreateRoutine(): Stmt = {
       expect("CREATE")
       val replace = if (accept("OR")) { expect("REPLACE"); true } else false
+      parseRoutine(replace)
+    }
+
+    /** Routine starting at its PROCEDURE | FUNCTION | PROC keyword. */
+    private def parseRoutine(replace: Boolean): CreateRoutine = {
       val isFunction = peekUpper() == "FUNCTION"
       pos += 1 // PROCEDURE | FUNCTION | PROC
       val name = next()
@@ -534,6 +611,14 @@ object Hplsql {
     private val scopes = mutable.Stack[mutable.LinkedHashMap[String, Any]](
       mutable.LinkedHashMap.empty)
     private val routines = mutable.Map.empty[String, CreateRoutine]
+    // packages: shared variable state + member routines, addressed as
+    // pkg.routine (ref hplsql Package.java — an in-session registry there
+    // too; state lives for the script run, like top-level routines)
+    private final class PackageState {
+      val vars = mutable.LinkedHashMap.empty[String, Any]
+      val members = mutable.Map.empty[String, CreateRoutine]
+    }
+    private val packages = mutable.Map.empty[String, PackageState]
     private val printed = mutable.Buffer.empty[String]
     private var lastDf: Option[DataFrame] = None
     // explicit cursors (OPEN/FETCH/CLOSE): driver-side row iterators by
@@ -656,15 +741,21 @@ object Hplsql {
       * non-nested calls covers the scripting idiom).
       */
     private def evalFunctionCalls(expr: String): String = {
-      if (routines.isEmpty) return expr
+      val fns: Seq[(String, CreateRoutine, Option[PackageState])] =
+        routines.toSeq.collect { case (n, r) if r.isFunction => (n, r, None) } ++
+        packages.toSeq.flatMap { case (pn, ps) =>
+          ps.members.toSeq.collect { case (n, r) if r.isFunction =>
+            (s"$pn.$n", r, Some(ps)) }
+        }
+      if (fns.isEmpty) return expr
       var out = expr
-      routines.filter(_._2.isFunction).foreach { case (name, r) =>
+      fns.foreach { case (name, r, pkg) =>
         val rx = ("(?i)(?<![A-Za-z0-9_.])" + java.util.regex.Pattern.quote(name) +
           "\\s*\\(([^()]*)\\)").r
         out = rx.replaceAllIn(out, m => {
           val args = splitArgs(m.group(1))
           java.util.regex.Matcher.quoteReplacement(
-            literal(invoke(r, args.map(eval))))
+            literal(invoke(r, args.map(eval), pkg)))
         })
       }
       out
@@ -685,7 +776,12 @@ object Hplsql {
       out.toSeq.map(_.trim)
     }
 
-    private def invoke(r: CreateRoutine, argValues: Seq[Any]): Any = {
+    private def invoke(r: CreateRoutine, argValues: Seq[Any],
+        pkg: Option[PackageState] = None): Any = {
+      // a package member sees the package's variable frame UNDER its
+      // locals: assignments to package variables mutate the SHARED map, so
+      // state persists across calls — the package contract
+      pkg.foreach(ps => scopes.push(ps.vars))
       scopes.push(mutable.LinkedHashMap.empty)
       try {
         r.params.zipWithIndex.foreach { case ((pname, _), i) =>
@@ -693,7 +789,10 @@ object Hplsql {
         }
         try { r.body.foreach(exec); null }
         catch { case ReturnSignal(v) => v.orNull }
-      } finally scopes.pop()
+      } finally {
+        scopes.pop()
+        pkg.foreach(_ => scopes.pop())
+      }
     }
 
     // --------------------------------------------------------- execution
@@ -892,10 +991,35 @@ object Hplsql {
           throw new IllegalArgumentException(s"routine $name already exists")
         routines.put(name.toLowerCase, r)
 
+      case CreatePackage(name, isBody, vars, rts, replace) =>
+        val key = name.toLowerCase
+        if (!isBody && !replace && packages.contains(key))
+          throw new IllegalArgumentException(s"package $name already exists")
+        // a fresh spec resets state; a body attaches to the existing spec
+        // (or creates one — lenient, matching the reference's registry)
+        val ps =
+          if (!isBody) { val s = new PackageState; packages.put(key, s); s }
+          else packages.getOrElseUpdate(key, new PackageState)
+        vars.foreach { d =>
+          val v = d.init.map(eval).orNull
+          d.names.foreach(n => ps.vars.put(n.toLowerCase, v))
+        }
+        rts.foreach(r => ps.members.put(r.name.toLowerCase, r))
+
       case Call(name, args) =>
-        val r = routines.getOrElse(name.toLowerCase,
-          throw new IllegalArgumentException(s"unknown procedure $name"))
-        invoke(r, args.map(eval))
+        name.split('.') match {
+          case Array(pn, rn) =>
+            val ps = packages.getOrElse(pn.toLowerCase,
+              throw new IllegalArgumentException(s"unknown package $pn"))
+            val r = ps.members.getOrElse(rn.toLowerCase,
+              throw new IllegalArgumentException(
+                s"unknown procedure $rn in package $pn"))
+            invoke(r, args.map(eval), Some(ps))
+          case _ =>
+            val r = routines.getOrElse(name.toLowerCase,
+              throw new IllegalArgumentException(s"unknown procedure $name"))
+            invoke(r, args.map(eval))
+        }
 
       case RawSql(sql) =>
         val df = sqlRunner(substitute(sql))

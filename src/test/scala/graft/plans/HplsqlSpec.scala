@@ -531,4 +531,78 @@ class HplsqlSpec extends SparkSpec with Matchers {
     """)
     r.printed.head should startWith("seg BUILDING -> ")
   }
+
+  test("packages: state shared across calls, spec + body, member functions") {
+    val r = run("""
+      CREATE PACKAGE Counter AS
+        cnt INT := 0;
+        step INT := 2;
+        PROCEDURE inc(i INT);
+        FUNCTION current() RETURNS INT;
+      END;
+      CREATE PACKAGE BODY Counter AS
+        PROCEDURE inc(i INT)
+        BEGIN
+          cnt := cnt + i * step;
+        END;
+        FUNCTION current() RETURNS INT
+        BEGIN
+          RETURN cnt;
+        END;
+      END;
+      CALL Counter.inc(1);
+      CALL Counter.inc(3);
+      PRINT 'count=' || Counter.current();
+    """)
+    // two calls accumulated into the SAME package variable: 1*2 + 3*2
+    r.printed shouldBe Seq("count=8")
+  }
+
+  test("packages: routines in the spec, replace resets state, unknown members error") {
+    // implementations directly in the spec (no separate body) work too
+    val r = run("""
+      CREATE PACKAGE acc AS
+        total INT := 100;
+        PROCEDURE add(v INT) BEGIN total := total + v; END;
+        FUNCTION get() RETURNS INT BEGIN RETURN total; END;
+      END;
+      CALL acc.add(11);
+      PRINT acc.get();
+      CREATE OR REPLACE PACKAGE acc AS
+        total INT := 0;
+        FUNCTION get() RETURNS INT BEGIN RETURN total; END;
+      END;
+      PRINT acc.get();
+    """)
+    r.printed shouldBe Seq("111", "0")
+    the[IllegalArgumentException] thrownBy run("""
+      CREATE PACKAGE p1 AS x INT := 1; END;
+      CALL p1.nope();
+    """) should have message "unknown procedure nope in package p1"
+    the[IllegalArgumentException] thrownBy run(
+      "CALL ghost.proc();") should have message "unknown package ghost"
+    // duplicate spec without OR REPLACE refuses
+    an[IllegalArgumentException] should be thrownBy run("""
+      CREATE PACKAGE dup AS x INT := 1; END;
+      CREATE PACKAGE dup AS x INT := 2; END;
+    """)
+  }
+
+  test("package member reads script SQL: package vars substitute in queries") {
+    val r = run(s"""
+      CREATE PACKAGE q AS
+        seg STRING := 'BUILDING';
+        FUNCTION segcount() RETURNS BIGINT
+        BEGIN
+          DECLARE n BIGINT;
+          SELECT count(*) INTO n
+          FROM parquet.`$sfDir/customer.parquet` WHERE c_mktsegment = seg;
+          RETURN n;
+        END;
+      END;
+      PRINT 'n=' || q.segcount();
+    """)
+    r.printed.head should startWith("n=")
+    r.printed.head should not be "n="
+  }
 }
