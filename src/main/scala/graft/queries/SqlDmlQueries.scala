@@ -952,5 +952,59 @@ object SqlDmlQueries {
       sql(s"""SELECT id, name, CAST($mainN AS BIGINT) AS n_before_publish,
              |  CAST($branchN AS BIGINT) AS n_branch_staged
              |FROM s31_t ORDER BY id""".stripMargin)
+    },
+
+    // branch-addressed DML: a WAP branch stages CORRECTIONS — UPDATE,
+    // DELETE, and MERGE commit onto the branch head (ref the Hive-Iceberg
+    // t.branch_x write spelling) while the mainline and tags stay pinned;
+    // FAST-FORWARD publishes. The oracle replays the post-publish state
+    // algebraically: +100 on BUILDING balances, drop post-update
+    // negatives, re-segment every 100th customer, one inserted row.
+    q("s36_branch_dml",
+      """SELECT CAST(c_custkey AS BIGINT) AS id,
+        |  CASE WHEN c_custkey % 100 = 0 THEN 'MERGED'
+        |       ELSE c_mktsegment END AS seg,
+        |  c_acctbal + (CASE WHEN c_mktsegment = 'BUILDING'
+        |               THEN 100.0 ELSE 0.0 END) AS bal
+        |FROM customer
+        |WHERE c_acctbal + (CASE WHEN c_mktsegment = 'BUILDING'
+        |      THEN 100.0 ELSE 0.0 END) >= 0
+        |UNION ALL SELECT 900000001, 'NEW', 1.5
+        |ORDER BY id""".stripMargin) { (spark, dir) =>
+      if (NamedTables.get("s36_t").isDefined) NamedTables.drop("s36_t")
+      val loc = scratch()
+      def sql(q: String) = Engine.sql(spark, dir, q)
+      sql(s"""CREATE TABLE s36_t USING snapshot LOCATION '$loc'
+             |AS SELECT c_custkey, c_mktsegment, c_acctbal
+             |FROM customer""".stripMargin)
+      val n0 = sql("SELECT count(*) AS n FROM s36_t").head.getLong(0)
+      sql("ALTER TABLE s36_t CREATE TAG pre")
+      sql("ALTER TABLE s36_t CREATE BRANCH fix")
+      // corrections staged ON THE BRANCH, in sequence: each verb reads the
+      // branch head the previous one produced
+      sql("""UPDATE s36_t.branch_fix SET c_acctbal = c_acctbal + 100.0
+            |WHERE c_mktsegment = 'BUILDING'""".stripMargin)
+      sql("DELETE FROM s36_t.branch_fix WHERE c_acctbal < 0")
+      sql("""MERGE INTO s36_t.branch_fix AS t USING (
+            |  SELECT c_custkey AS id, 'MERGED' AS seg FROM s36_t
+            |  WHERE c_custkey % 100 = 0
+            |  UNION ALL SELECT 900000001, 'NEW'
+            |) AS s ON t.c_custkey = s.id
+            |WHEN MATCHED THEN UPDATE SET c_mktsegment = s.seg
+            |WHEN NOT MATCHED AND s.id = 900000001 THEN
+            |  INSERT (c_custkey, c_mktsegment, c_acctbal)
+            |  VALUES (s.id, s.seg, 1.5)""".stripMargin)
+      // audit: mainline and tag still read the UNCORRECTED state
+      val mainN = sql("SELECT count(*) AS n FROM s36_t").head.getLong(0)
+      require(mainN == n0, s"branch DML leaked into the mainline: $mainN != $n0")
+      val tagN = sql("SELECT count(*) AS n FROM s36_t.tag_pre").head.getLong(0)
+      require(tagN == n0, s"tag must pin the pre-correction state: $tagN")
+      // publish the corrected state
+      sql("ALTER TABLE s36_t EXECUTE FAST-FORWARD 'fix'")
+      val tagAfter = sql("SELECT count(*) AS n FROM s36_t.tag_pre").head.getLong(0)
+      require(tagAfter == n0, "the tag must survive the publish unchanged")
+      sql("""SELECT CAST(c_custkey AS BIGINT) AS id, c_mktsegment AS seg,
+            |  c_acctbal AS bal
+            |FROM s36_t ORDER BY id""".stripMargin)
     })
 }
