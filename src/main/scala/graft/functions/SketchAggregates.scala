@@ -345,6 +345,150 @@ object SketchAggregates {
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
+  // -------------------------------------------- kll family (sketch bytes)
+  // ds_kll_* — mergeable quantiles as transportable bytes (the existing
+  // kll_quantile returns only the final estimate; these let per-partition
+  // or per-day sketches persist and roll up later, the reference's
+  // sketch-object contract in DataSketchesFunctions.java)
+
+  private val KllK = 200 // ~1.65% rank error, matches kll_quantile
+
+  final class KllBytesBuf(var sk: KllDoublesSketch) extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      val bytes = if (sk == null) Array.empty[Byte] else sk.toByteArray
+      out.writeInt(bytes.length)
+      out.write(bytes)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      val n = in.readInt()
+      val bytes = new Array[Byte](n)
+      in.readFully(bytes)
+      sk = if (n == 0) null else KllDoublesSketch.heapify(Memory.wrap(bytes))
+    }
+  }
+
+  /** ds_kll_sketch(x): KLL quantiles sketch of the values, as bytes. */
+  class KllSketchAgg extends Aggregator[Double, KllBytesBuf, Array[Byte]] {
+    def zero: KllBytesBuf = new KllBytesBuf(null)
+    def reduce(b: KllBytesBuf, x: Double): KllBytesBuf = {
+      if (b.sk == null) b.sk = KllDoublesSketch.newHeapInstance(KllK)
+      b.sk.update(x)
+      b
+    }
+    def merge(a: KllBytesBuf, b: KllBytesBuf): KllBytesBuf = {
+      if (a.sk == null) return b
+      if (b.sk != null) a.sk.merge(b.sk)
+      a
+    }
+    def finish(b: KllBytesBuf): Array[Byte] =
+      (if (b.sk == null) KllDoublesSketch.newHeapInstance(KllK) else b.sk)
+        .toByteArray
+    def bufferEncoder: Encoder[KllBytesBuf] =
+      Encoders.javaSerialization[KllBytesBuf]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** ds_kll_union(sketch): union of PRE-BUILT kll sketches, as bytes. */
+  class KllUnionAgg extends Aggregator[Array[Byte], KllBytesBuf, Array[Byte]] {
+    def zero: KllBytesBuf = new KllBytesBuf(null)
+    def reduce(b: KllBytesBuf, bytes: Array[Byte]): KllBytesBuf = {
+      if (bytes != null && bytes.nonEmpty) {
+        val in = KllDoublesSketch.heapify(Memory.wrap(bytes))
+        if (b.sk == null) b.sk = in else b.sk.merge(in)
+      }
+      b
+    }
+    def merge(a: KllBytesBuf, b: KllBytesBuf): KllBytesBuf = {
+      if (a.sk == null) return b
+      if (b.sk != null) a.sk.merge(b.sk)
+      a
+    }
+    def finish(b: KllBytesBuf): Array[Byte] =
+      (if (b.sk == null) KllDoublesSketch.newHeapInstance(KllK) else b.sk)
+        .toByteArray
+    def bufferEncoder: Encoder[KllBytesBuf] =
+      Encoders.javaSerialization[KllBytesBuf]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  // ------------------------------------------------ frequent-items family
+  // ds_freq_* — Misra-Gries frequent items over strings (ref
+  // DataSketchesFunctions.java frequencies family). Estimates are EXACT
+  // while the item cardinality stays under the map size (no eviction);
+  // beyond it, NO_FALSE_POSITIVES listing keeps only provably-frequent
+  // items. maxMapSize 1024 ≈ 32 KB serialized — KB-bounded shuffle.
+
+  private val FreqMapSize = 1024
+  private def freqSerDe = new org.apache.datasketches.common.ArrayOfStringsSerDe
+
+  final class FreqBuf(
+      var sk: org.apache.datasketches.frequencies.ItemsSketch[String])
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      val bytes =
+        if (sk == null) Array.empty[Byte] else sk.toByteArray(freqSerDe)
+      out.writeInt(bytes.length)
+      out.write(bytes)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      val n = in.readInt()
+      val bytes = new Array[Byte](n)
+      in.readFully(bytes)
+      sk = if (n == 0) null
+        else org.apache.datasketches.frequencies.ItemsSketch.getInstance(
+          Memory.wrap(bytes), freqSerDe)
+    }
+  }
+
+  /** ds_freq_sketch(x): frequent-items sketch of the values, as bytes. */
+  class FreqSketchAgg extends Aggregator[String, FreqBuf, Array[Byte]] {
+    def zero: FreqBuf = new FreqBuf(null)
+    def reduce(b: FreqBuf, x: String): FreqBuf = {
+      if (b.sk == null)
+        b.sk = new org.apache.datasketches.frequencies.ItemsSketch[String](
+          FreqMapSize)
+      if (x != null) b.sk.update(x)
+      b
+    }
+    def merge(a: FreqBuf, b: FreqBuf): FreqBuf = {
+      if (a.sk == null) return b
+      if (b.sk != null) a.sk.merge(b.sk)
+      a
+    }
+    def finish(b: FreqBuf): Array[Byte] =
+      (if (b.sk == null)
+         new org.apache.datasketches.frequencies.ItemsSketch[String](
+           FreqMapSize)
+       else b.sk).toByteArray(freqSerDe)
+    def bufferEncoder: Encoder[FreqBuf] = Encoders.javaSerialization[FreqBuf]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** ds_freq_union(sketch): union of pre-built frequency sketches. */
+  class FreqUnionAgg extends Aggregator[Array[Byte], FreqBuf, Array[Byte]] {
+    def zero: FreqBuf = new FreqBuf(null)
+    def reduce(b: FreqBuf, bytes: Array[Byte]): FreqBuf = {
+      if (bytes != null && bytes.nonEmpty) {
+        val in = org.apache.datasketches.frequencies.ItemsSketch.getInstance(
+          Memory.wrap(bytes), freqSerDe)
+        if (b.sk == null) b.sk = in else b.sk.merge(in)
+      }
+      b
+    }
+    def merge(a: FreqBuf, b: FreqBuf): FreqBuf = {
+      if (a.sk == null) return b
+      if (b.sk != null) a.sk.merge(b.sk)
+      a
+    }
+    def finish(b: FreqBuf): Array[Byte] =
+      (if (b.sk == null)
+         new org.apache.datasketches.frequencies.ItemsSketch[String](
+           FreqMapSize)
+       else b.sk).toByteArray(freqSerDe)
+    def bufferEncoder: Encoder[FreqBuf] = Encoders.javaSerialization[FreqBuf]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
   def register(spark: SparkSession): Unit = {
     import org.apache.spark.sql.functions.udaf
     spark.udf.register("kll_quantile",
@@ -383,6 +527,44 @@ object SketchAggregates {
         u.update(org.apache.datasketches.hll.HllSketch.heapify(Memory.wrap(b)))
       u.getResult.toCompactByteArray
     })
+    // kll quantiles family: sketch/union aggregates + scalar extractors
+    spark.udf.register("ds_kll_sketch",
+      udaf(new KllSketchAgg, Encoders.scalaDouble))
+    spark.udf.register("ds_kll_union", udaf(new KllUnionAgg, Encoders.BINARY))
+    spark.udf.register("ds_kll_quantile", (b: Array[Byte], p: Double) =>
+      if (b == null || b.isEmpty) Double.NaN
+      else {
+        val sk = KllDoublesSketch.heapify(Memory.wrap(b))
+        if (sk.isEmpty) Double.NaN
+        else sk.getQuantile(p, QuantileSearchCriteria.INCLUSIVE)
+      })
+    spark.udf.register("ds_kll_rank", (b: Array[Byte], v: Double) =>
+      if (b == null || b.isEmpty) Double.NaN
+      else {
+        val sk = KllDoublesSketch.heapify(Memory.wrap(b))
+        if (sk.isEmpty) Double.NaN
+        else sk.getRank(v, QuantileSearchCriteria.INCLUSIVE)
+      })
+    spark.udf.register("ds_kll_n", (b: Array[Byte]) =>
+      if (b == null || b.isEmpty) 0L
+      else KllDoublesSketch.heapify(Memory.wrap(b)).getN)
+    // frequent-items family
+    spark.udf.register("ds_freq_sketch",
+      udaf(new FreqSketchAgg, Encoders.STRING))
+    spark.udf.register("ds_freq_union",
+      udaf(new FreqUnionAgg, Encoders.BINARY))
+    spark.udf.register("ds_freq_estimate", (b: Array[Byte], item: String) =>
+      if (b == null || b.isEmpty || item == null) 0L
+      else org.apache.datasketches.frequencies.ItemsSketch.getInstance(
+        Memory.wrap(b), freqSerDe).getEstimate(item))
+    // provably-frequent items (NO_FALSE_POSITIVES), most-frequent first
+    spark.udf.register("ds_freq_items", (b: Array[Byte]) =>
+      if (b == null || b.isEmpty) Seq.empty[String]
+      else org.apache.datasketches.frequencies.ItemsSketch.getInstance(
+          Memory.wrap(b), freqSerDe)
+        .getFrequentItems(
+          org.apache.datasketches.frequencies.ErrorType.NO_FALSE_POSITIVES)
+        .map(_.getItem).toSeq)
     // ds_theta_exclude(a, b): A-and-not-B — the retention/churn primitive
     spark.udf.register("ds_theta_exclude", (a: Array[Byte], b: Array[Byte]) => {
       val op = SetOperation.builder().buildANotB()

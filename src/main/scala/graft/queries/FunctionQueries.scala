@@ -507,6 +507,58 @@ object FunctionQueries {
       df
     },
 
+    // ds_kll + ds_freq families (the remaining DataSketchesFunctions.java
+    // rows): the OUTPUT is the frequent-items estimates, which are EXACT
+    // here (3 distinct flags, no map eviction) and so replay in DuckDB as
+    // plain counts — a true oracle over the sketch/union/estimate path.
+    // KLL estimates are randomized (compaction coin flips) so they stay
+    // out of the output; the in-query requires pin their accuracy and the
+    // mergeability law instead.
+    q("f34_ds_kll_freq",
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS freq_est
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      t(spark, dir, "lineitem").createOrReplaceTempView("f34_lineitem")
+      // kll accuracy + mergeability (union of per-group sketches): pinned
+      // in-query, not in the output (randomized compaction)
+      val r = spark.sql(
+        """SELECT
+          |  ds_kll_quantile(ds_kll_sketch(l_quantity), 0.5d) AS whole_med,
+          |  ds_kll_rank(ds_kll_sketch(l_quantity), 25.0d) AS r25,
+          |  ds_kll_n(ds_kll_sketch(l_quantity)) AS n
+          |FROM f34_lineitem""".stripMargin).head()
+      val exactMed = spark.sql(
+        "SELECT percentile(l_quantity, 0.5d) FROM f34_lineitem")
+        .head().getDouble(0)
+      val total = spark.sql("SELECT count(*) FROM f34_lineitem")
+        .head().getLong(0)
+      require(math.abs(r.getDouble(0) - exactMed) / exactMed < 0.10,
+        s"kll median ${r.getDouble(0)} outside 10% of exact $exactMed")
+      require(r.getDouble(1) > 0.0 && r.getDouble(1) < 1.0,
+        s"kll rank of an in-range value must be in (0,1): ${r.getDouble(1)}")
+      require(r.getLong(2) == total,
+        s"kll n ${r.getLong(2)} != row count $total")
+      val unionMed = spark.sql(
+        """SELECT ds_kll_quantile(ds_kll_union(sk), 0.5d) FROM (
+          |  SELECT ds_kll_sketch(l_quantity) AS sk
+          |  FROM f34_lineitem GROUP BY l_returnflag)""".stripMargin)
+        .head().getDouble(0)
+      require(math.abs(unionMed - exactMed) / exactMed < 0.10,
+        s"kll union-of-partials median $unionMed outside 10% of $exactMed")
+      // the OUTPUT: frequency estimates via sketch -> union -> estimate,
+      // exact at this cardinality, replayed by DuckDB as counts
+      spark.sql(
+        """WITH sk AS (
+          |  SELECT ds_freq_union(s) AS s FROM (
+          |    SELECT ds_freq_sketch(l_returnflag) AS s
+          |    FROM f34_lineitem GROUP BY l_linestatus))
+          |SELECT f.l_returnflag,
+          |  ds_freq_estimate(sk.s, f.l_returnflag) AS freq_est
+          |FROM (SELECT DISTINCT l_returnflag FROM f34_lineitem) f
+          |CROSS JOIN sk ORDER BY f.l_returnflag""".stripMargin)
+    },
+
     // sentences() tokenizer (Hive GenericUDFSentences) + ngrams UDAF,
     // exploded to one row per top bigram. The synthetic documents are
     // single-space-separated ASCII words, so the oracle replays the

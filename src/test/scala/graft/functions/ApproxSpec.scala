@@ -99,6 +99,70 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("ds_kll sketch bytes: quantile/rank accuracy and union-of-partials") {
+    HiveFunctions.registerAll(spark)
+    Engine.register(spark, sfDir)
+    val exact = spark.sql(
+      "SELECT percentile(l_extendedprice, 0.9d) FROM lineitem")
+      .head().getDouble(0)
+    val est = spark.sql(
+      """SELECT ds_kll_quantile(ds_kll_sketch(l_extendedprice), 0.9d)
+        |FROM lineitem""".stripMargin).head().getDouble(0)
+    assert(math.abs(est - exact) / exact < 0.05,
+      s"kll p90 $est vs exact $exact")
+    // rank is the quantile inverse: rank(quantile(p)) ≈ p
+    val rank = spark.sql(
+      s"""SELECT ds_kll_rank(ds_kll_sketch(l_extendedprice), $est)
+         |FROM lineitem""".stripMargin).head().getDouble(0)
+    assert(math.abs(rank - 0.9) < 0.05, s"rank($est) = $rank, expected ~0.9")
+    // mergeability: union of per-group sketches tracks the whole
+    val unioned = spark.sql(
+      """SELECT ds_kll_quantile(ds_kll_union(sk), 0.9d) FROM (
+        |  SELECT ds_kll_sketch(l_extendedprice) AS sk
+        |  FROM lineitem GROUP BY l_returnflag)""".stripMargin)
+      .head().getDouble(0)
+    assert(math.abs(unioned - exact) / exact < 0.05,
+      s"kll union-of-partials p90 $unioned vs exact $exact")
+    // ds_kll_n is exact row accounting through the union
+    val n = spark.sql(
+      """SELECT ds_kll_n(ds_kll_union(sk)) FROM (
+        |  SELECT ds_kll_sketch(l_extendedprice) AS sk
+        |  FROM lineitem GROUP BY l_returnflag)""".stripMargin)
+      .head().getLong(0)
+    val total = spark.sql("SELECT count(*) FROM lineitem").head().getLong(0)
+    assert(n === total)
+  }
+
+  test("ds_freq: exact estimates under map capacity; union; items listing") {
+    HiveFunctions.registerAll(spark)
+    Engine.register(spark, sfDir)
+    // l_returnflag has 3 distinct values — far under the map size, so the
+    // sketch never evicts and estimates are EXACT counts
+    val exact = spark.sql(
+      """SELECT l_returnflag, count(*) FROM lineitem
+        |GROUP BY l_returnflag""".stripMargin).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = spark.sql(
+      """WITH sk AS (
+        |  SELECT ds_freq_union(s) AS s FROM (
+        |    SELECT ds_freq_sketch(l_returnflag) AS s
+        |    FROM lineitem GROUP BY l_linestatus))
+        |SELECT f.l_returnflag, ds_freq_estimate(sk.s, f.l_returnflag)
+        |FROM (SELECT DISTINCT l_returnflag FROM lineitem) f
+        |CROSS JOIN sk""".stripMargin).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est === exact, "no-eviction estimates must be exact counts")
+    // absent item estimates 0; items listing surfaces every flag
+    val absent = spark.sql(
+      """SELECT ds_freq_estimate(ds_freq_sketch(l_returnflag), 'ZZZ')
+        |FROM lineitem""".stripMargin).head().getLong(0)
+    assert(absent === 0L)
+    val items = spark.sql(
+      """SELECT ds_freq_items(ds_freq_sketch(l_returnflag))
+        |FROM lineitem""".stripMargin).head().getSeq[String](0).toSet
+    assert(items === exact.keySet)
+  }
+
   test("ds_theta set algebra: intersect and exclude against exact sets") {
     HiveFunctions.registerAll(spark)
     Engine.register(spark, sfDir)
