@@ -65,6 +65,23 @@ object SnapshotSql {
       case other => throw new IllegalArgumentException(
         s"snapshot_history(path): got ${other.size} arguments")
     }
+    registerTvf(spark, "hive_acid",
+      "hive_acid(path[, legacy]) - snapshot read of an ACID ORC table " +
+        "directory (base_N/delta_m_n/delete_delta layout)") {
+      case Seq(path) =>
+        graft.sources.AcidOrc.read(SparkSession.active, asString(path))
+      case Seq(path, legacy) =>
+        graft.sources.AcidOrc.read(SparkSession.active, asString(path),
+          legacyUpdates = asBoolean(legacy))
+      case other => throw new IllegalArgumentException(
+        s"hive_acid(path[, legacy]): got ${other.size} arguments")
+    }
+  }
+
+  private def asBoolean(e: Expression): Boolean = e match {
+    case Literal(v: Boolean, _) => v
+    case other => throw new IllegalArgumentException(
+      s"expected a boolean literal argument, got: $other")
   }
 
   /** TVF arguments accept a registered catalog name as well as a root path

@@ -314,5 +314,40 @@ object SnapshotQueries {
            |FROM snapshot_table('$root') cur
            |JOIN snapshot_table('$root', 0) v0 ON cur.o_orderkey = v0.o_orderkey
            |GROUP BY cur.o_orderstatus ORDER BY cur.o_orderstatus""".stripMargin)
+    },
+
+    // The migration path: a Hive ACID ORC directory tree (base_5 +
+    // delta_6_6 + delete_delta_7_7, the AcidUtils layout) built from the
+    // immutable orders parquet, read back through the hive_acid() TVF.
+    // Deletes target the base rows with o_orderkey % 8 = 0, which the
+    // oracle replays as a plain predicate (% 8 = 0 implies % 4 = 0, so the
+    // delete never touches delta rows).
+    q("s37_hive_acid_read",
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_orderkey % 4 IN (0, 1) AND o_orderkey % 8 <> 0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import graft.sources.AcidOrc
+      graft.plans.SnapshotSql.register(spark)
+      val orders = Engine.table(spark, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      val root = scratch()
+      AcidOrc.appendDelta(spark, root, 5L, orders.where($"o_orderkey" % 4 === 0))
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.rename(new org.apache.hadoop.fs.Path(root, "delta_5_5"),
+        new org.apache.hadoop.fs.Path(root, "base_5"))
+      AcidOrc.appendDelta(spark, root, 6L, orders.where($"o_orderkey" % 4 === 1))
+      val doomed = AcidOrc.rawEvents(spark, s"$root/base_5/bucket_00000")
+        .where($"row.o_orderkey" % 8 === 0)
+        .select($"originalTransaction", $"bucket", $"rowId")
+      AcidOrc.appendDeleteDelta(spark, root, 7L, doomed)
+      spark.sql(
+        s"""SELECT o_orderstatus, count(*) AS n,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS total
+           |FROM hive_acid('$root')
+           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     })
 }

@@ -1,0 +1,193 @@
+package graft.sources
+
+import graft.{Engine, SparkSpec}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** ACID ORC layout reader: snapshot reconstruction over base/delta/
+  * delete_delta trees written by [[AcidOrc]]'s own minimal writer (the
+  * wire format is the public AcidUtils/OrcRecordUpdater contract, so a
+  * table written here is byte-layout what a migrating user's warehouse
+  * holds).
+  */
+class AcidOrcSpec extends SparkSpec {
+
+  private def scratch(): String =
+    java.nio.file.Files.createTempDirectory("graft_acid_").toString + "/t"
+
+  private def orders: DataFrame =
+    Engine.table(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+
+  /** Build base_5 + delta_6_6 + delete-of-part-of-base, return (dir, df of
+    * expected surviving keys).
+    */
+  private def buildTable(dir: String): Unit = {
+    val base = orders.where(col("o_orderkey") % 4 === 0)
+    val delta = orders.where(col("o_orderkey") % 4 === 1)
+    AcidOrc.appendDelta(spark, dir, 5L, base)
+    // rename delta_5_5 -> base_5 to exercise the base path
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(dir, "delta_5_5"),
+      new org.apache.hadoop.fs.Path(dir, "base_5"))
+    AcidOrc.appendDelta(spark, dir, 6L, delta)
+    // delete the base rows divisible by 8: find their ROW__IDs by reading
+    // the raw acid file (the ids the writer assigned)
+    val ids = AcidOrc.rawEvents(spark, s"$dir/base_5/bucket_00000")
+      .where(col("row.o_orderkey") % 8 === 0)
+      .select(col("originalTransaction"), col("bucket"), col("rowId"))
+    AcidOrc.appendDeleteDelta(spark, dir, 7L, ids)
+  }
+
+  test("base + delta + delete_delta reconstruct the live snapshot") {
+    val dir = scratch()
+    buildTable(dir)
+    val got = AcidOrc.read(spark, dir)
+    assert(got.columns.toSeq ===
+      Seq("o_orderkey", "o_orderstatus", "o_totalprice"))
+    val expect = orders.where(
+      (col("o_orderkey") % 4 === 0 || col("o_orderkey") % 4 === 1) &&
+        col("o_orderkey") % 8 =!= 0)
+    assert(got.count() === expect.count())
+    assert(got.join(expect, Seq("o_orderkey"), "left_anti").count() === 0)
+    assert(expect.join(got, Seq("o_orderkey"), "left_anti").count() === 0)
+  }
+
+  test("highest base wins; deltas covered by the base are ignored") {
+    val dir = scratch()
+    // delta_2_2 holds junk that a later base_5 supersedes
+    AcidOrc.appendDelta(spark, dir, 2L,
+      orders.limit(10).withColumn("o_orderkey", lit(-1L)))
+    buildTable(dir)
+    val got = AcidOrc.read(spark, dir)
+    assert(got.where(col("o_orderkey") === -1L).count() === 0)
+  }
+
+  test("widest-wins de-overlap: compacted delta shadows residual raw delta") {
+    val dir = scratch()
+    AcidOrc.appendDelta(spark, dir, 6L, orders.limit(50))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a minor compaction of write ids 6..8 that contains the same 50 rows
+    AcidOrc.appendDelta(spark, dir, 9L, orders.limit(50))
+    fs.rename(new org.apache.hadoop.fs.Path(dir, "delta_9_9"),
+      new org.apache.hadoop.fs.Path(dir, "delta_6_8"))
+    val got = AcidOrc.read(spark, dir)
+    assert(got.count() === 50) // not 100: delta_6_6 is shadowed by delta_6_8
+  }
+
+  test("partitioned layout: k=v dirs surface as string columns and scope " +
+      "ROW__ID identity") {
+    val dir = scratch()
+    val byStatus = orders.where(col("o_orderkey") % 10 === 0)
+    byStatus.select(col("o_orderstatus")).distinct().collect()
+      .map(_.getString(0)).foreach { s =>
+        AcidOrc.appendDelta(spark, s"$dir/o_status=$s", 5L,
+          byStatus.where(col("o_orderstatus") === s)
+            .select(col("o_orderkey"), col("o_totalprice")))
+      }
+    // delete rowId 0 from ONE partition only; identical (otid,bucket,rowId)
+    // in other partitions must survive
+    import spark.implicits._
+    AcidOrc.appendDeleteDelta(spark, s"$dir/o_status=O", 6L,
+      Seq((5L, AcidOrc.encodeBucket(0), 0L))
+        .toDF("originalTransaction", "bucket", "rowId"))
+    val got = AcidOrc.read(spark, dir)
+    assert(got.columns.contains("o_status"))
+    val expected = byStatus.count() - 1
+    assert(got.count() === expected)
+    // every surviving row's partition value matches its status
+    val perPart = got.groupBy(col("o_status")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = byStatus.groupBy(col("o_orderstatus")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perPart("O") === want("O") - 1)
+    (want.keySet - "O").foreach(k => assert(perPart(k) === want(k)))
+  }
+
+  test("legacy mode: op=1 in-place update resolves latest-wins; op=2 " +
+      "inline delete honored") {
+    val dir = scratch()
+    import spark.implicits._
+    val rows = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    AcidOrc.appendDelta(spark, dir, 5L, rows)
+    // hand-write a legacy delta with an op=1 update of k=1's row and an
+    // op=2 delete of k=2's row (both ROW__IDs read from the v5 file)
+    val v5 = AcidOrc.rawEvents(spark, s"$dir/delta_5_5/bucket_00000").cache()
+    val upd = v5.where(col("row.k") === 1L).select(
+      lit(AcidOrc.OpUpdate).as("operation"),
+      col("originalTransaction"), col("bucket"), col("rowId"),
+      lit(6L).as("currentTransaction"),
+      struct(col("row.k").as("k"), col("row.s").as("s"),
+        lit(99.0).as("v")).as("row"))
+    val del = v5.where(col("row.k") === 2L).select(
+      lit(AcidOrc.OpDelete).as("operation"),
+      col("originalTransaction"), col("bucket"), col("rowId"),
+      lit(6L).as("currentTransaction"),
+      struct(col("row.k"), col("row.s"), col("row.v")).as("row"))
+    val staging = java.nio.file.Files.createTempDirectory("acid_leg_")
+      .toString
+    upd.unionByName(del).coalesce(1).write.mode("overwrite").orc(staging)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(staging))
+      .map(_.getPath).find(_.getName.startsWith("part-")).get
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir, "delta_6_6"))
+    fs.rename(part, new org.apache.hadoop.fs.Path(dir,
+      "delta_6_6/bucket_00000"))
+    v5.unpersist()
+
+    val got = AcidOrc.read(spark, dir, legacyUpdates = true)
+      .orderBy(col("k")).collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    assert(got.head.getDouble(2) === 99.0) // updated image won
+    // default (v2) mode ignores inline op=1/op=2 handling by contract:
+    // the op=2 row is dropped but the stale k=1 image remains alongside
+    val v2 = AcidOrc.read(spark, dir).where(col("k") === 1L).count()
+    assert(v2 === 2L)
+  }
+
+  test("deletes against pre-ACID originals are refused, plain originals " +
+      "read fine") {
+    val dir = scratch()
+    import spark.implicits._
+    // originals: a bare ORC file in the table dir (upgraded table)
+    val staging = java.nio.file.Files.createTempDirectory("acid_orig_")
+      .toString
+    Seq((1L, "x"), (2L, "y")).toDF("k", "s")
+      .coalesce(1).write.mode("overwrite").orc(staging)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(staging))
+      .map(_.getPath).find(_.getName.startsWith("part-")).get
+    fs.rename(part, new org.apache.hadoop.fs.Path(dir, "000000_0"))
+    assert(AcidOrc.read(spark, dir).count() === 2)
+    // an insert delta alongside originals unions in
+    AcidOrc.appendDelta(spark, dir, 3L, Seq((3L, "z")).toDF("k", "s"))
+    assert(AcidOrc.read(spark, dir).count() === 3)
+    // a delete event with originalTransaction = 0 targets the originals
+    AcidOrc.appendDeleteDelta(spark, dir, 4L,
+      Seq((0L, AcidOrc.encodeBucket(0), 0L))
+        .toDF("originalTransaction", "bucket", "rowId"))
+    val e = intercept[IllegalArgumentException] {
+      AcidOrc.read(spark, dir).count()
+    }
+    assert(e.getMessage.contains("pre-ACID original"))
+  }
+
+  test("multi-bucket writes round-trip and bucket ids decode") {
+    val dir = scratch()
+    AcidOrc.appendDelta(spark, dir, 5L, orders.limit(1000), buckets = 4)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(dir, "delta_5_5"))
+      .map(_.getPath.getName).sorted
+    assert(files.toSeq ===
+      Seq("bucket_00000", "bucket_00001", "bucket_00002", "bucket_00003"))
+    assert(AcidOrc.read(spark, dir).count() === 1000)
+    assert(AcidOrc.decodeBucketId(AcidOrc.encodeBucket(7)) === 7)
+  }
+}
