@@ -489,6 +489,128 @@ object SketchAggregates {
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
+  // ---------------------------------------------------- tuple family
+  // ds_tuple_* — ArrayOfDoubles tuple sketches (ref
+  // DataSketchesFunctions.java tuple family): theta-style distinct keys,
+  // each retained key carrying a double summary that SUMS across updates
+  // and unions — the mergeable "distinct keys + per-key metric" shape
+  // (e.g. distinct users + revenue per shard, rolled up later).
+
+  import org.apache.datasketches.tuple.arrayofdoubles.{
+    ArrayOfDoublesSketch, ArrayOfDoublesSketches,
+    ArrayOfDoublesSetOperationBuilder, ArrayOfDoublesUpdatableSketch,
+    ArrayOfDoublesUpdatableSketchBuilder}
+
+  /** Live updatable sketch (row updates) + compact union residue (merged
+    * partials — compact images cannot become updatable again, so they
+    * accumulate separately and fold at finish).
+    */
+  final class TupleBuf(var sk: ArrayOfDoublesUpdatableSketch,
+      var merged: Array[Byte]) extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      val bytes = if (sk == null) Array.empty[Byte] else sk.toByteArray
+      out.writeInt(bytes.length)
+      out.write(bytes)
+      out.writeInt(merged.length)
+      out.write(merged)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      val n = in.readInt()
+      val bytes = new Array[Byte](n)
+      in.readFully(bytes)
+      sk = if (n == 0) null
+        else ArrayOfDoublesSketches.heapifyUpdatableSketch(Memory.wrap(bytes))
+      val m = in.readInt()
+      merged = new Array[Byte](m)
+      in.readFully(merged)
+    }
+  }
+
+  private def newTupleSketch(): ArrayOfDoublesUpdatableSketch =
+    new ArrayOfDoublesUpdatableSketchBuilder().setNumberOfValues(1).build()
+
+  private def tupleUnionOf(a: ArrayOfDoublesSketch,
+      b: ArrayOfDoublesSketch): Array[Byte] = {
+    val u = new ArrayOfDoublesSetOperationBuilder().buildUnion()
+    u.union(a); u.union(b)
+    u.getResult.toByteArray
+  }
+
+  /** ds_tuple_sketch(key, value): tuple sketch of distinct keys with
+    * per-key summed values, as bytes.
+    */
+  class TupleSketchAgg
+      extends Aggregator[(String, Double), TupleBuf, Array[Byte]] {
+    def zero: TupleBuf = new TupleBuf(null, Array.empty)
+    def reduce(b: TupleBuf, kv: (String, Double)): TupleBuf = {
+      if (b.sk == null) b.sk = newTupleSketch()
+      if (kv._1 != null) b.sk.update(kv._1, Array(kv._2))
+      b
+    }
+    def merge(a: TupleBuf, b: TupleBuf): TupleBuf = {
+      val parts: Seq[ArrayOfDoublesSketch] =
+        Seq(Option(a.sk), Option(b.sk)).flatten ++
+          Seq(a.merged, b.merged).filter(_.nonEmpty)
+            .map(m => ArrayOfDoublesSketches.heapifySketch(Memory.wrap(m)))
+      a.sk = null
+      a.merged = parts match {
+        case Seq() => Array.empty
+        case Seq(one) => one.compact().toByteArray
+        case many =>
+          val u = new ArrayOfDoublesSetOperationBuilder().buildUnion()
+          many.foreach(u.union)
+          u.getResult.toByteArray
+      }
+      a
+    }
+    def finish(b: TupleBuf): Array[Byte] =
+      if (b.sk == null && b.merged.isEmpty)
+        newTupleSketch().compact().toByteArray
+      else if (b.sk == null) b.merged
+      else if (b.merged.isEmpty) b.sk.compact().toByteArray
+      else tupleUnionOf(b.sk,
+        ArrayOfDoublesSketches.heapifySketch(Memory.wrap(b.merged)))
+    def bufferEncoder: Encoder[TupleBuf] = Encoders.javaSerialization[TupleBuf]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** ds_tuple_union(sketch): union of pre-built tuple sketches (same-key
+    * summaries sum), as bytes.
+    */
+  class TupleUnionAgg
+      extends Aggregator[Array[Byte], TupleUnionBuf, Array[Byte]] {
+    def zero: TupleUnionBuf = new TupleUnionBuf(Array.empty)
+    def reduce(b: TupleUnionBuf, bytes: Array[Byte]): TupleUnionBuf = {
+      if (bytes != null && bytes.nonEmpty) b.add(
+        ArrayOfDoublesSketches.heapifySketch(Memory.wrap(bytes)))
+      b
+    }
+    def merge(a: TupleUnionBuf, b: TupleUnionBuf): TupleUnionBuf = {
+      if (b.bytes.nonEmpty) a.add(
+        ArrayOfDoublesSketches.heapifySketch(Memory.wrap(b.bytes)))
+      a
+    }
+    def finish(b: TupleUnionBuf): Array[Byte] =
+      if (b.bytes.isEmpty) newTupleSketch().compact().toByteArray
+      else b.bytes
+    def bufferEncoder: Encoder[TupleUnionBuf] =
+      Encoders.javaSerialization[TupleUnionBuf]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Union accumulator kept as COMPACT sketch bytes (the union operator
+    * itself is not serializable; compact images are).
+    */
+  final class TupleUnionBuf(var bytes: Array[Byte]) extends Serializable {
+    def add(sk: ArrayOfDoublesSketch): Unit = {
+      if (bytes.isEmpty) bytes = sk.compact().toByteArray
+      else {
+        val cur = ArrayOfDoublesSketches.heapifySketch(Memory.wrap(bytes))
+        bytes = tupleUnionOf(cur, sk)
+      }
+    }
+  }
+
   def register(spark: SparkSession): Unit = {
     import org.apache.spark.sql.functions.udaf
     spark.udf.register("kll_quantile",
@@ -565,6 +687,25 @@ object SketchAggregates {
         .getFrequentItems(
           org.apache.datasketches.frequencies.ErrorType.NO_FALSE_POSITIVES)
         .map(_.getItem).toSeq)
+    // tuple family: distinct keys + per-key summed double summary
+    spark.udf.register("ds_tuple_sketch", udaf(new TupleSketchAgg,
+      Encoders.tuple(Encoders.STRING, Encoders.scalaDouble)))
+    spark.udf.register("ds_tuple_union",
+      udaf(new TupleUnionAgg, Encoders.BINARY))
+    spark.udf.register("ds_tuple_estimate", (b: Array[Byte]) =>
+      if (b == null || b.isEmpty) 0.0
+      else ArrayOfDoublesSketches.heapifySketch(Memory.wrap(b)).getEstimate)
+    // estimated total of the summed values over all distinct keys:
+    // sum(retained summaries) / theta — exact while nothing was sampled
+    spark.udf.register("ds_tuple_sum", (b: Array[Byte]) =>
+      if (b == null || b.isEmpty) 0.0
+      else {
+        val sk = ArrayOfDoublesSketches.heapifySketch(Memory.wrap(b))
+        val it = sk.iterator()
+        var s = 0.0
+        while (it.next()) s += it.getValues()(0)
+        s / sk.getTheta
+      })
     // ds_theta_exclude(a, b): A-and-not-B — the retention/churn primitive
     spark.udf.register("ds_theta_exclude", (a: Array[Byte], b: Array[Byte]) => {
       val op = SetOperation.builder().buildANotB()

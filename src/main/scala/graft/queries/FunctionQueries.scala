@@ -559,6 +559,38 @@ object FunctionQueries {
           |CROSS JOIN sk ORDER BY f.l_returnflag""".stripMargin)
     },
 
+    // ds_tuple family (the ArrayOfDoubles tuple row of
+    // DataSketchesFunctions.java): distinct keys + per-key summed double
+    // summary. At this key cardinality (3 flags << nominal entries) theta
+    // stays 1 — nothing sampled — so the estimate and the summary total
+    // are EXACT and replay in DuckDB as count(DISTINCT)/sum.
+    q("f35_ds_tuple",
+      """SELECT CAST(count(DISTINCT l_returnflag) AS DOUBLE) AS n_keys,
+        |  CAST(sum(l_quantity) AS DOUBLE) AS qty_total
+        |FROM lineitem""".stripMargin) { (spark, dir) =>
+      t(spark, dir, "lineitem").createOrReplaceTempView("f35_lineitem")
+      // mergeability pinned in-query: union of per-group sketches must
+      // estimate identically to one sketch over the whole table
+      val whole = spark.sql(
+        """SELECT ds_tuple_estimate(ds_tuple_sketch(l_returnflag, l_quantity))
+          |FROM f35_lineitem""".stripMargin).head().getDouble(0)
+      val unioned = spark.sql(
+        """SELECT ds_tuple_estimate(ds_tuple_union(s)) FROM (
+          |  SELECT ds_tuple_sketch(l_returnflag, l_quantity) AS s
+          |  FROM f35_lineitem GROUP BY l_linestatus)""".stripMargin)
+        .head().getDouble(0)
+      require(whole == unioned,
+        s"tuple union-of-partials $unioned != whole-table sketch $whole")
+      spark.sql(
+        """WITH sk AS (
+          |  SELECT ds_tuple_union(s) AS s FROM (
+          |    SELECT ds_tuple_sketch(l_returnflag, l_quantity) AS s
+          |    FROM f35_lineitem GROUP BY l_linestatus))
+          |SELECT ds_tuple_estimate(sk.s) AS n_keys,
+          |  ds_tuple_sum(sk.s) AS qty_total
+          |FROM sk""".stripMargin)
+    },
+
     // sentences() tokenizer (Hive GenericUDFSentences) + ngrams UDAF,
     // exploded to one row per top bigram. The synthetic documents are
     // single-space-separated ASCII words, so the oracle replays the

@@ -163,6 +163,39 @@ class ApproxSpec extends SparkSpec {
     assert(items === exact.keySet)
   }
 
+  test("ds_tuple: distinct-key estimate + summed summaries; union merges " +
+      "same-key summaries") {
+    HiveFunctions.registerAll(spark)
+    Engine.register(spark, sfDir)
+    // no sampling at this cardinality: estimate and sum are exact
+    val exactKeys = spark.sql(
+      "SELECT count(DISTINCT l_returnflag) FROM lineitem").head().getLong(0)
+    val exactSum = spark.sql("SELECT sum(l_quantity) FROM lineitem")
+      .head().getDouble(0)
+    val r = spark.sql(
+      """SELECT ds_tuple_estimate(s), ds_tuple_sum(s) FROM (
+        |  SELECT ds_tuple_sketch(l_returnflag, l_quantity) AS s
+        |  FROM lineitem)""".stripMargin).head()
+    assert(r.getDouble(0) === exactKeys.toDouble)
+    assert(r.getDouble(1) === exactSum)
+    // union: the same key's summaries from different partials SUM
+    val u = spark.sql(
+      """SELECT ds_tuple_estimate(ds_tuple_union(s)),
+        |  ds_tuple_sum(ds_tuple_union(s)) FROM (
+        |  SELECT ds_tuple_sketch(l_returnflag, l_quantity) AS s
+        |  FROM lineitem GROUP BY l_linestatus)""".stripMargin).head()
+    assert(u.getDouble(0) === exactKeys.toDouble)
+    assert(u.getDouble(1) === exactSum)
+    // high-cardinality keys: estimate within sketch error of exact
+    val manyExact = spark.sql(
+      "SELECT count(DISTINCT l_orderkey) FROM lineitem").head().getLong(0)
+    val manyEst = spark.sql(
+      """SELECT ds_tuple_estimate(ds_tuple_sketch(CAST(l_orderkey AS STRING),
+        |  1.0d)) FROM lineitem""".stripMargin).head().getDouble(0)
+    assert(math.abs(manyEst - manyExact) / manyExact < 0.05,
+      s"tuple estimate $manyEst vs exact $manyExact")
+  }
+
   test("ds_theta set algebra: intersect and exclude against exact sets") {
     HiveFunctions.registerAll(spark)
     Engine.register(spark, sfDir)
