@@ -181,7 +181,7 @@ object SqlMaintenance {
   private type Handler = (SparkSession, Cursor) => Option[DataFrame]
   private def handlers: Seq[Handler] = Seq(
     hRestore, hOptimize, hVacuum, hAlterTable, hMatView, hReplicate,
-    hExplain, hShow)
+    hConvert, hExplain, hShow)
 
   // state-rewriting table verbs require the table's UPDATE privilege
   // (RESTORE rolls state back, OPTIMIZE rewrites layout, VACUUM destroys
@@ -499,6 +499,37 @@ object SqlMaintenance {
         spark.emptyDataFrame
       }
     else None
+  }
+
+  // CONVERT HIVE ACID '<srcDir>' TO SNAPSHOT '<dstRoot>' [AS <name>]: the
+  // one-statement migration path off a managed ACID warehouse (the role of
+  // the reference's ALTER TABLE ... CONVERT TO ICEBERG, HIVE-26252) — read
+  // the ACID snapshot once through [[graft.sources.AcidOrc]], land it as a
+  // versioned snapshot table preserving the partition layout, optionally
+  // register the catalog name.
+  private def hConvert(spark: SparkSession, c: Cursor): Option[DataFrame] = {
+    if (!c.kw("CONVERT", "HIVE", "ACID")) return None
+    for {
+      src <- c.str()
+      _ <- if (c.kw("TO", "SNAPSHOT")) Some(()) else None
+      dst <- c.str()
+      name <- optClause(c.kw("AS"))(c.ident())
+      _ <- c.done()
+    } yield {
+      // reads raw warehouse files into a brand-new ungoverned location —
+      // admin only, like REPLICATE
+      Authz.requireAdmin(spark, "CONVERT HIVE ACID")
+      val df = graft.sources.AcidOrc.read(spark, src)
+      val partCols = graft.sources.AcidOrc.partitionColumns(spark, src)
+      val t = Snapshots.create(spark, dst, df, partitionBy = partCols)
+      name.foreach(n => NamedTables.registerSnapshot(nameOf(n), dst))
+      val rows = t.read().count()
+      okDf(spark, s"converted $src to snapshot table $dst" +
+        name.map(n => s" (registered as ${nameOf(n)})").getOrElse("") +
+        s": $rows rows" +
+        (if (partCols.nonEmpty)
+           s", partitioned by (${partCols.mkString(", ")})" else ""))
+    }
   }
 
   private def hReplicate(spark: SparkSession, c: Cursor): Option[DataFrame] = {

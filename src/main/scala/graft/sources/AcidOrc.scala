@@ -156,11 +156,38 @@ object AcidOrc {
   }
 
   private def bucketFiles(fs: org.apache.hadoop.fs.FileSystem,
-      dir: Path): Seq[String] =
+      dir: Path): Seq[(String, Long)] =
     fs.listStatus(dir).toSeq.collect {
       case f if f.isFile && BucketFileRe.pattern
-          .matcher(f.getPath.getName).matches() => f.getPath.toString
+          .matcher(f.getPath.getName).matches() =>
+        f.getPath.toString -> f.getLen
     }
+
+  /** One scan task: a byte range of one bucket file. ORC's range contract
+    * (the OrcInputFormat split rule) reads exactly the stripes that START
+    * within [offset, offset+length) — ranges tile a file with no overlap
+    * and no gaps, so a 1 GB bucket file becomes ~8 parallel tasks instead
+    * of one.
+    */
+  private case class AcidSplit(file: String, partSub: String,
+      offset: Long, length: Long)
+
+  /** Split size knob; ORC stripes are ~64 MB by default, so the default
+    * groups a couple of stripes per task.
+    */
+  val SplitBytesKey = "spark.graft.acid.splitBytes"
+
+  private def splitsOf(spark: SparkSession,
+      files: Seq[(String, Long, String)]): Seq[AcidSplit] = {
+    val splitBytes = spark.conf.getOption(SplitBytesKey)
+      .map(_.toLong).getOrElse(128L * 1024 * 1024)
+    files.flatMap { case (f, len, part) =>
+      if (len <= splitBytes) Seq(AcidSplit(f, part, 0L, Long.MaxValue - 1))
+      else (0L until len by splitBytes).map { off =>
+        AcidSplit(f, part, off, math.min(splitBytes, len - off))
+      }
+    }
+  }
 
   // ------------------------------------------------------ orc-core bridge
 
@@ -270,27 +297,28 @@ object AcidOrc {
     inc
   }
 
-  /** Distributed scan of ACID bucket files: one task per file, each an ORC
-    * RecordReader with identity schema + include-columns. Emits `wanted`
-    * top-level columns plus the partition-subpath column.
+  /** Distributed scan of ACID bucket files: one task per split, each an
+    * ORC RecordReader with identity schema + include-columns. Emits
+    * `wanted` top-level columns plus the partition-subpath column.
     */
-  private def scanAcid(spark: SparkSession, files: Seq[(String, String)],
+  private def scanAcid(spark: SparkSession, splits: Seq[AcidSplit],
       wanted: Seq[String]): DataFrame = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val fileTd = {
-      val r = OrcFile.createReader(new Path(files.head._1),
+      val r = OrcFile.createReader(new Path(splits.head.file),
         OrcFile.readerOptions(hconf))
       try r.getSchema finally r.close()
     }
     require(fileTd.getCategory == TypeDescription.Category.STRUCT,
-      s"not a struct-rooted ORC file: ${files.head._1}")
+      s"not a struct-rooted ORC file: ${splits.head.file}")
     val present = {
       val names = fileTd.getFieldNames
       (0 until names.size()).map(names.get)
     }
     val missing = wanted.filterNot(present.contains)
     require(missing.isEmpty,
-      s"ACID file ${files.head._1} lacks columns: ${missing.mkString(", ")}")
+      s"ACID file ${splits.head.file} lacks columns: " +
+        missing.mkString(", "))
     val fieldIdx = wanted.map(present.indexOf)
     val schemaStr = fileTd.toString // TypeDescription is not serializable
     val outSchema = StructType(
@@ -308,8 +336,8 @@ object AcidOrc {
     val bc = spark.sparkContext.broadcast(confBytes)
     val idxArr = fieldIdx.toArray
     val rdd = spark.sparkContext
-      .parallelize(files, files.size)
-      .flatMap { case (file, partSub) =>
+      .parallelize(splits, splits.size)
+      .flatMap { case AcidSplit(file, partSub, offset, length) =>
         val conf = new org.apache.hadoop.conf.Configuration(false)
         conf.readFields(new java.io.DataInputStream(
           new java.io.ByteArrayInputStream(bc.value)))
@@ -321,7 +349,7 @@ object AcidOrc {
           s"ACID files disagree on schema ($file vs first file); " +
             "compact the table before migrating")
         val rows = reader.rows(reader.options.schema(td)
-          .include(includeFlags(td, wanted)))
+          .include(includeFlags(td, wanted)).range(offset, length))
         val batch = td.createRowBatch()
         val kids = td.getChildren
         new Iterator[Row] {
@@ -350,8 +378,25 @@ object AcidOrc {
     * columns as-is, no snapshot reconstruction. The debugging/auditing
     * view (what `SELECT ROW__ID, *` shows in the reference).
     */
-  def rawEvents(spark: SparkSession, files: String*): DataFrame =
-    scanAcid(spark, files.map(_ -> ""), AcidCols).drop(PartColName)
+  def rawEvents(spark: SparkSession, files: String*): DataFrame = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val sized = files.map { f =>
+      val p = new Path(f)
+      (f, p.getFileSystem(hconf).getFileStatus(p).getLen, "")
+    }
+    scanAcid(spark, splitsOf(spark, sized), AcidCols).drop(PartColName)
+  }
+
+  /** Partition column names of an ACID table directory (the `k=v` keys of
+    * its layout), for re-creating the same partitioning on migration.
+    */
+  def partitionColumns(spark: SparkSession, table: String): Seq[String] = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    walk(fs, root, "").map(_.partSub).filter(_.nonEmpty)
+      .map(_.split("/").toSeq.map(_.split("=", 2)(0)))
+      .headOption.getOrElse(Nil)
+  }
 
   // ---------------------------------------------------------------- reader
 
@@ -366,9 +411,9 @@ object AcidOrc {
     val states = walk(fs, root, "")
     require(states.nonEmpty, s"no base_/delta_ directories under $table")
 
-    def paired(pick: StateDir => Seq[Path]): Seq[(String, String)] =
-      states.flatMap(s => pick(s).flatMap(bucketFiles(fs, _))
-        .map(_.toString -> s.partSub))
+    def paired(pick: StateDir => Seq[Path]): Seq[AcidSplit] =
+      splitsOf(spark, states.flatMap(s => pick(s).flatMap(bucketFiles(fs, _))
+        .map { case (f, len) => (f, len, s.partSub) }))
     val rowFiles = paired(_.rowDirs)
     val deleteFiles = paired(_.deleteDirs)
     val originalFiles = states.flatMap(s =>

@@ -178,6 +178,43 @@ class AcidOrcSpec extends SparkSpec {
     assert(e.getMessage.contains("pre-ACID original"))
   }
 
+  test("CONVERT HIVE ACID ... TO SNAPSHOT migrates layout and registers " +
+      "the name") {
+    val dir = scratch()
+    buildTable(dir)
+    val dst = java.nio.file.Files.createTempDirectory("graft_acid_mig_")
+      .toString + "/t"
+    val name = s"acid_migrated_${System.nanoTime()}"
+    val msg = Engine.sql(spark, sfDir,
+      s"CONVERT HIVE ACID '$dir' TO SNAPSHOT '$dst' AS $name")
+      .collect().head.getString(0)
+    assert(msg.contains("converted"))
+    val expect = orders.where(
+      (col("o_orderkey") % 4 === 0 || col("o_orderkey") % 4 === 1) &&
+        col("o_orderkey") % 8 =!= 0)
+    // the snapshot table answers by NAME with the migrated content
+    val got = Engine.sql(spark, sfDir, s"SELECT count(*) AS n FROM $name")
+      .head().getLong(0)
+    assert(got === expect.count())
+    // partitioned source: partition layout carries over
+    val pdir = scratch()
+    import spark.implicits._
+    AcidOrc.appendDelta(spark, s"$pdir/st=A", 5L, Seq((1L, 1.0), (2L, 2.0))
+      .toDF("k", "v"))
+    AcidOrc.appendDelta(spark, s"$pdir/st=B", 5L, Seq((3L, 3.0))
+      .toDF("k", "v"))
+    val pdst = java.nio.file.Files.createTempDirectory("graft_acid_mig_")
+      .toString + "/t"
+    val pmsg = Engine.sql(spark, sfDir,
+      s"CONVERT HIVE ACID '$pdir' TO SNAPSHOT '$pdst'")
+      .collect().head.getString(0)
+    assert(pmsg.contains("partitioned by (st)"))
+    val t = graft.plans.Snapshots.table(spark, pdst)
+    assert(t.read().count() === 3)
+    assert(t.read().where(col("st") === "B").select(col("k"))
+      .head().getLong(0) === 3L)
+  }
+
   test("multi-bucket writes round-trip and bucket ids decode") {
     val dir = scratch()
     AcidOrc.appendDelta(spark, dir, 5L, orders.limit(1000), buckets = 4)
