@@ -205,5 +205,31 @@ object EventQueries {
           date_format($"purchase_ts", "yyyy-MM-dd HH:mm:ss").as("purchase_ts"))
         .orderBy($"user_id", $"click_id", $"purchase_id")
     },
+
+    // Left-outer attribution funnel: every click emits — matched or with
+    // NULL purchase columns (the watermark-driven outer stream join; see
+    // Streams.attributionFunnel). Batch twin == plain LEFT JOIN, which the
+    // oracle replays; NULL sort keys are coalesced on BOTH sides so row
+    // order hashes identically across engines.
+    q("e09_stream_outer_join",
+      """SELECT c.user_id AS user_id, c.event_id AS click_id,
+        |  p.event_id AS purchase_id,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
+        |ORDER BY user_id, click_id, coalesce(purchase_id, -1)""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val ev = t(spark, dir, "events")
+      graft.streaming.Streams.attributionFunnel(
+          ev.filter($"event_type" === "click"),
+          ev.filter($"event_type" === "purchase"))
+        .select($"user_id", $"click_id", $"purchase_id",
+          date_format($"click_ts", "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+          date_format($"purchase_ts", "yyyy-MM-dd HH:mm:ss").as("purchase_ts"))
+        .orderBy($"user_id", $"click_id", coalesce($"purchase_id", lit(-1L)))
+    },
   )
 }

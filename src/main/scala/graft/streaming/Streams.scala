@@ -117,7 +117,8 @@ object Streams {
     * physical hints; the batch twin is the e08 oracle query).
     */
   def clickAttribution(clicks: DataFrame, purchases: DataFrame,
-      horizon: String = "6 hours", watermark: String = "12 hours"): DataFrame = {
+      horizon: String = "6 hours", watermark: String = "12 hours",
+      joinType: String = "inner"): DataFrame = {
     // watermark AFTER the rename so it tags the attribute the join
     // condition actually references
     def wm(df: DataFrame, tsCol: String) =
@@ -132,9 +133,22 @@ object Streams {
     c.join(p,
         col("user_id") === col("p_user_id") &&
           col("purchase_ts") >= col("click_ts") &&
-          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"))
+          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"),
+        joinType)
       .drop("p_user_id")
   }
+
+  /** Left-outer attribution (the funnel view): every click emits, matched
+    * or with NULL purchase columns. On streams this is the watermark-
+    * driven outer join — an unmatched click's NULL row emits once both
+    * watermarks pass its eligibility window (click_ts + horizon), which is
+    * also when its buffered state evicts, so state stays bounded exactly
+    * as in the inner variant. Batch frames evaluate it as a plain left
+    * join (the e09 oracle).
+    */
+  def attributionFunnel(clicks: DataFrame, purchases: DataFrame,
+      horizon: String = "6 hours", watermark: String = "12 hours"): DataFrame =
+    clickAttribution(clicks, purchases, horizon, watermark, "left_outer")
 
   /** Stream-static enrichment join (static side broadcast by Catalyst). */
   def enrich(events: DataFrame, dim: DataFrame, eventKey: String,

@@ -69,6 +69,53 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("outer stream-stream join emits NULL rows for unmatched clicks " +
+      "after the watermark passes") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def at(h: Int) = new java.sql.Timestamp(base.getTime + h * 3600000L)
+    // u1: matched inside horizon; u2: no purchase at all; u3: purchase
+    // outside the 6h horizon — u2/u3 must surface as NULL rows
+    val clickRows = Seq(("u1", "c1", at(0)), ("u2", "c2", at(0)),
+      ("u3", "c3", at(0)))
+    val purchaseRows = Seq(("u1", "p1", at(2)), ("u3", "p3", at(8)))
+    val cs = MemoryStream[(String, String, java.sql.Timestamp)]
+    val ps = MemoryStream[(String, String, java.sql.Timestamp)]
+    def df(m: MemoryStream[(String, String, java.sql.Timestamp)]) =
+      m.toDF().toDF("user_id", "event_id", "ts")
+    val joined = Streams.attributionFunnel(df(cs), df(ps),
+      horizon = "6 hours", watermark = "1 hour")
+    assert(joined.isStreaming)
+    val q = joined.writeStream.format("memory").queryName("t_souter")
+      .outputMode("append").start()
+    try {
+      cs.addData(clickRows: _*)
+      ps.addData(purchaseRows: _*)
+      q.processAllAvailable()
+      // two far-future pushers: the first advances the watermark, the
+      // second triggers the batch that evicts + emits the NULL rows
+      Seq(600, 1200).foreach { h =>
+        cs.addData(("wm", s"cw$h", at(h)))
+        ps.addData(("wm", s"pw$h", at(h)))
+        q.processAllAvailable()
+      }
+      val got = spark.table("t_souter")
+        .where($"user_id" =!= "wm")
+        .select($"user_id", $"click_id", $"purchase_id")
+      val want = Streams.attributionFunnel(
+          clickRows.toDF("user_id", "event_id", "ts"),
+          purchaseRows.toDF("user_id", "event_id", "ts"))
+        .select($"user_id", $"click_id", $"purchase_id")
+      assert(got.count() === 3) // u1 match + u2/u3 NULL rows
+      assert(got.where($"purchase_id".isNull)
+        .select($"user_id").as[String].collect().toSet === Set("u2", "u3"))
+      assert(got.except(want).count() === 0 &&
+        want.except(got).count() === 0)
+    } finally q.stop()
+  }
+
   test("streaming near-duplicate suppression keys on the MinHash signature") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
