@@ -66,9 +66,10 @@ import org.apache.spark.sql.types._
   *   - The listing is assumed clean of uncommitted/aborted write ids
   *     (what the cleaner leaves behind); open-transaction snapshot
   *     isolation needs the metastore's txn list, which has no analog
-  *     here. Schema evolution ACROSS deltas (columns added mid-history)
-  *     also requires a compaction first — files must agree on the row
-  *     schema.
+  *     here. Add-columns schema evolution across deltas IS handled (the
+  *     widest row struct is the table schema; older files' missing
+  *     fields read NULL, adapted by name per task); a same-named column
+  *     changing type refuses loudly — compact first.
   *   - Partition values parse from `k=v` path segments as strings, like a
   *     schema-less `spark.read` of a Hive layout; cast downstream.
   */
@@ -297,20 +298,69 @@ object AcidOrc {
     inc
   }
 
+  /** A value of reference type `ref` read from a possibly older-schema
+    * file: structs adapt by name (fields the file lacks read NULL, extra
+    * file fields are ignored — the reference's add-columns evolution);
+    * anything else must match types exactly, refused loudly otherwise.
+    */
+  private def adapted(cv: vector.ColumnVector, fileTd: TypeDescription,
+      ref: DataType, r: Int): Any = (ref, toCatalyst(fileTd)) match {
+    case (rs: StructType, _: StructType) =>
+      val row0 = if (cv.isRepeating) 0 else r
+      if (!cv.noNulls && cv.isNull(row0)) null
+      else {
+        val s = cv.asInstanceOf[vector.StructColumnVector]
+        val names = fileTd.getFieldNames
+        val idx = (0 until names.size()).map(names.get(_)).zipWithIndex.toMap
+        Row.fromSeq(rs.fields.toSeq.map { f =>
+          idx.get(f.name) match {
+            case Some(i) =>
+              adapted(s.fields(i), fileTd.getChildren.get(i), f.dataType,
+                row0)
+            case None => null
+          }
+        })
+      }
+    case (want, got) if want == got => cell(cv, fileTd, r)
+    case (want, got) => throw new UnsupportedOperationException(
+      s"ACID schema evolution changed a column's type ($got -> $want); " +
+        "only added/removed struct fields adapt — compact the table")
+  }
+
   /** Distributed scan of ACID bucket files: one task per split, each an
-    * ORC RecordReader with identity schema + include-columns. Emits
-    * `wanted` top-level columns plus the partition-subpath column.
+    * ORC RecordReader with IDENTITY schema (orc-core's acid detection
+    * forbids anything else) + include-columns. Emits `wanted` top-level
+    * columns plus the partition-subpath column. Files may carry older
+    * row-struct schemas (add-columns evolution): each task adapts its
+    * file's rows to the reference schema by name, missing fields NULL.
     */
   private def scanAcid(spark: SparkSession, splits: Seq[AcidSplit],
       wanted: Seq[String]): DataFrame = {
     val hconf = spark.sparkContext.hadoopConfiguration
-    val fileTd = {
-      val r = OrcFile.createReader(new Path(splits.head.file),
+    def schemaOf(file: String): TypeDescription = {
+      val r = OrcFile.createReader(new Path(file),
         OrcFile.readerOptions(hconf))
       try r.getSchema finally r.close()
     }
+    // the reference schema is the WIDEST row struct among the scanned
+    // directories (the table's current schema after add-columns
+    // evolution) — one footer read per distinct base/delta dir, the same
+    // driver metadata cost the reference's split generation pays
+    val fileTd = splits.map(_.file).distinct
+      .groupBy(f => new Path(f).getParent.toString)
+      .map { case (_, fs) => schemaOf(fs.head) }
+      .maxBy { td =>
+        if (td.getCategory != TypeDescription.Category.STRUCT) -1
+        else {
+          val names = td.getFieldNames
+          val rowIdx = (0 until names.size()).find(i =>
+            names.get(i) == "row")
+          td.getMaximumId + rowIdx.map(i =>
+            td.getChildren.get(i).getMaximumId).getOrElse(0)
+        }
+      }
     require(fileTd.getCategory == TypeDescription.Category.STRUCT,
-      s"not a struct-rooted ORC file: ${splits.head.file}")
+      s"not a struct-rooted ORC file under: ${splits.head.file}")
     val present = {
       val names = fileTd.getFieldNames
       (0 until names.size()).map(names.get)
@@ -341,13 +391,18 @@ object AcidOrc {
         val conf = new org.apache.hadoop.conf.Configuration(false)
         conf.readFields(new java.io.DataInputStream(
           new java.io.ByteArrayInputStream(bc.value)))
-        val td = TypeDescription.fromString(schemaStr)
+        val refTd = TypeDescription.fromString(schemaStr)
+        val refKids = refTd.getChildren
         val reader = OrcFile.createReader(new Path(file),
           OrcFile.readerOptions(conf))
-        val got = reader.getSchema
-        require(got.toString == schemaStr,
-          s"ACID files disagree on schema ($file vs first file); " +
-            "compact the table before migrating")
+        // IDENTITY reader schema (the file's own): orc-core's acid
+        // detection remaps any other; evolution is adapted row-side
+        val td = reader.getSchema
+        val fileNames = {
+          val ns = td.getFieldNames
+          (0 until ns.size()).map(ns.get)
+        }
+        val fileIdx = idxArr.map(f => fileNames.indexOf(present(f)))
         val rows = reader.rows(reader.options.schema(td)
           .include(includeFlags(td, wanted)).range(offset, length))
         val batch = td.createRowBatch()
@@ -364,8 +419,12 @@ object AcidOrc {
           def hasNext: Boolean = { advance(); !done }
           def next(): Row = {
             advance()
-            val vals = idxArr.map(f =>
-              cell(batch.cols(f), kids.get(f), i)).toSeq
+            val vals = idxArr.indices.map { w =>
+              val fi = fileIdx(w)
+              if (fi < 0) null
+              else adapted(batch.cols(fi), kids.get(fi),
+                toCatalyst(refKids.get(idxArr(w))), i)
+            }
             i += 1
             Row.fromSeq(vals :+ partSub)
           }

@@ -215,6 +215,38 @@ class AcidOrcSpec extends SparkSpec {
       .head().getLong(0) === 3L)
   }
 
+  test("add-columns schema evolution across deltas: old rows read NULL, " +
+      "widest schema wins") {
+    val dir = scratch()
+    import spark.implicits._
+    AcidOrc.appendDelta(spark, dir, 5L, Seq((1L, "a"), (2L, "b"))
+      .toDF("k", "s"))
+    // the table grew a column; newer delta carries it
+    AcidOrc.appendDelta(spark, dir, 6L, Seq((3L, "c", 30.5))
+      .toDF("k", "s", "extra"))
+    val got = AcidOrc.read(spark, dir).orderBy(col("k")).collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(got.take(2).forall(_.isNullAt(2)))
+    assert(got.last.getDouble(2) === 30.5)
+    // deletes keyed by ROW__ID still apply across the schema generations
+    val ids = AcidOrc.rawEvents(spark, s"$dir/delta_5_5/bucket_00000")
+      .where(col("row.k") === 1L)
+      .select(col("originalTransaction"), col("bucket"), col("rowId"))
+    AcidOrc.appendDeleteDelta(spark, dir, 7L, ids)
+    assert(AcidOrc.read(spark, dir).orderBy(col("k"))
+      .select(col("k")).as[Long].collect().toSeq === Seq(2L, 3L))
+    // a same-named column changing TYPE refuses loudly
+    AcidOrc.appendDelta(spark, dir, 8L, Seq(("x", "d", 1.0))
+      .toDF("k", "s", "extra"))
+    val e = intercept[Exception] {
+      AcidOrc.read(spark, dir).collect()
+    }
+    val chain = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("; ")
+    assert(chain.contains("changed a column's type"), chain)
+  }
+
   test("multi-bucket writes round-trip and bucket ids decode") {
     val dir = scratch()
     AcidOrc.appendDelta(spark, dir, 5L, orders.limit(1000), buckets = 4)
