@@ -91,7 +91,14 @@ object Bench {
       "so the spread is near zero HERE; the exchanged bytes scale " +
       "linearly with the fact tables, the bucketed plan's network cost " +
       "stays zero -- the metric exists to pin the plan shape, not to " +
-      "manufacture a local speedup"))
+      "manufacture a local speedup"),
+    "hive_acid_read" -> ("benched from r12 on: ACID migration bridge -- " +
+      "reconstruct base_5 + delta_6_6 + delete_delta_7_7 over the full " +
+      "orders table (4 buckets, fixture build untimed/cached) and " +
+      "aggregate; the timed span is the orc-core RecordReader scan with " +
+      "id-column-pruned deletes + anti-join. A row-at-a-time bridge by " +
+      "design (orc-core's acid detection bars Spark's columnar reader); " +
+      "steady state should CONVERT to a snapshot table, not re-read"))
 
   /** The 22 queries benched since round 1 and their r1 (sf0.1, local[32],
     * single-run) totals — emitted as `matched22_sec`/`matched22_vs_r1` so
@@ -240,6 +247,46 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Hive ACID migration read: reconstruct + aggregate an ACID directory
+    * tree (base + delta + delete_delta over the full orders table). The
+    * fixture build is untimed (it's the legacy warehouse, not the
+    * operator); the timed span is the bridge reader itself — listing,
+    * id-column-pruned delete scan, anti-join, aggregate. A cached fixture
+    * is reused across passes (ACID dirs are immutable by contract).
+    */
+  private val acidFixture = new java.util.concurrent.atomic.AtomicReference[String]()
+  private def hiveAcidRead(spark: SparkSession, sfDir: String): Double = {
+    import org.apache.spark.sql.functions._
+    import graft.sources.AcidOrc
+    val dir = Option(acidFixture.get()).getOrElse {
+      val d = java.nio.file.Files.createTempDirectory("graft_bench_acid_")
+        .toString + "/orders"
+      val orders = Engine.table(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      AcidOrc.appendDelta(spark, d, 5L,
+        orders.where(col("o_orderkey") % 4 === 0), buckets = 4)
+      val fs = new org.apache.hadoop.fs.Path(d)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.rename(new org.apache.hadoop.fs.Path(d, "delta_5_5"),
+        new org.apache.hadoop.fs.Path(d, "base_5"))
+      AcidOrc.appendDelta(spark, d, 6L,
+        orders.where(col("o_orderkey") % 4 === 1), buckets = 4)
+      val doomed = AcidOrc.rawEvents(spark,
+          (0 until 4).map(b => f"$d/base_5/bucket_$b%05d"): _*)
+        .where(col("row.o_orderkey") % 8 === 0)
+        .select(col("originalTransaction"), col("bucket"), col("rowId"))
+      AcidOrc.appendDeleteDelta(spark, d, 7L, doomed, buckets = 4)
+      acidFixture.set(d)
+      d
+    }
+    val t0 = System.nanoTime()
+    AcidOrc.read(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)), sum(col("o_totalprice")))
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -281,6 +328,7 @@ object Bench {
     val doDml = only.isEmpty || only("dml_pruned_roundtrip")
     val doSnap = only.isEmpty || only("snapshot_versioned_roundtrip")
     val doSpj = only.isEmpty || only("bucketed_spj_join")
+    val doAcid = only.isEmpty || only("hive_acid_read")
     picked.foreach { n =>
       try run(n) catch { case _: Throwable => () }
     }
@@ -347,6 +395,10 @@ object Bench {
         try { cleanStorage(gc = false); bucketedSpjJoin(spark, sfDir) }
         catch { case e: Throwable =>
           System.err.println(s"[bench] bucketed_spj_join FAILED: ${e.getMessage}"); -1.0 }
+      })) ++ (if (!doAcid) Seq.empty else Seq("hive_acid_read" -> {
+        try { cleanStorage(gc = false); hiveAcidRead(spark, sfDir) }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] hive_acid_read FAILED: ${e.getMessage}"); -1.0 }
       }))
     val passes = (1 to nRuns).map(_ => measurePass())
     val names = passes.head.map(_._1)
