@@ -125,16 +125,17 @@ object AcidOrc {
     * cost the reference's AcidUtils.getAcidState pays.
     */
   private def walk(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
-      partSub: String): Seq[StateDir] = {
+      partSub: String, maxWid: Long = Long.MaxValue): Seq[StateDir] = {
     val children = fs.listStatus(dir).toSeq
     val (dirs, files) = children.partition(_.isDirectory)
     val named = dirs.map(d => d.getPath.getName -> d.getPath)
 
     val bases = named.collect { case (BaseRe(n), p) => Range(0L, n.toLong, p) }
+      .filter(_.max <= maxWid)
     val deltas = named.collect { case (DeltaRe(m, n), p) =>
-      Range(m.toLong, n.toLong, p) }
+      Range(m.toLong, n.toLong, p) }.filter(_.max <= maxWid)
     val deletes = named.collect { case (DeleteRe(m, n), p) =>
-      Range(m.toLong, n.toLong, p) }
+      Range(m.toLong, n.toLong, p) }.filter(_.max <= maxWid)
     val partDirs = named.filter { case (n, _) =>
       !hidden(n) && n.contains("=") && BaseRe.unapplySeq(n).isEmpty &&
         DeltaRe.unapplySeq(n).isEmpty && DeleteRe.unapplySeq(n).isEmpty }
@@ -153,7 +154,56 @@ object AcidOrc {
       } else Nil
 
     here ++ partDirs.flatMap { case (n, p) =>
-      walk(fs, p, partSub + n + "/") }
+      walk(fs, p, partSub + n + "/", maxWid) }
+  }
+
+  /** RAW delta/delete_delta dirs whose write-id range falls entirely in
+    * (fromW, toW] — the incremental-consumption listing. Dirs straddling
+    * fromW (compaction spans over already-consumed ids) are excluded:
+    * compaction is data-identical and must emit nothing.
+    */
+  private def changedDirs(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
+      partSub: String, fromW: Long,
+      toW: Long): Seq[(String, Seq[Path], Boolean)] = {
+    val children = fs.listStatus(dir).toSeq.filter(_.isDirectory)
+    val named = children.map(d => d.getPath.getName -> d.getPath)
+    def inRange(m: Long, n: Long) = m > fromW && n <= toW
+    val rows = named.collect {
+      case (DeltaRe(m, n), p) if inRange(m.toLong, n.toLong) => p }
+    val dels = named.exists {
+      case (DeleteRe(m, n), _) => inRange(m.toLong, n.toLong)
+      case _ => false }
+    val partDirs = named.filter { case (n, _) =>
+      !hidden(n) && n.contains("=") && BaseRe.unapplySeq(n).isEmpty &&
+        DeltaRe.unapplySeq(n).isEmpty && DeleteRe.unapplySeq(n).isEmpty }
+    val here = if (rows.nonEmpty || dels) Seq((partSub, rows, dels)) else Nil
+    here ++ partDirs.flatMap { case (n, p) =>
+      changedDirs(fs, p, partSub + n + "/", fromW, toW) }
+  }
+
+  /** Highest write id visible in the table's layout (-1 when empty) — the
+    * streaming source's offset.
+    */
+  def maxWriteId(spark: SparkSession, table: String): Long = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return -1L
+    def mx(dir: Path): Long = {
+      val children = fs.listStatus(dir).toSeq.filter(_.isDirectory)
+      val named = children.map(d => d.getPath.getName -> d.getPath)
+      val own = named.collect {
+        case (BaseRe(n), _) => n.toLong
+        case (DeltaRe(_, n), _) => n.toLong
+        case (DeleteRe(_, n), _) => n.toLong
+      }
+      val sub = named.collect {
+        case (n, p) if !hidden(n) && n.contains("=") &&
+          BaseRe.unapplySeq(n).isEmpty && DeltaRe.unapplySeq(n).isEmpty &&
+          DeleteRe.unapplySeq(n).isEmpty => mx(p)
+      }
+      (own ++ sub).foldLeft(-1L)(math.max)
+    }
+    mx(root)
   }
 
   private def bucketFiles(fs: org.apache.hadoop.fs.FileSystem,
@@ -298,30 +348,34 @@ object AcidOrc {
     inc
   }
 
-  /** A value of reference type `ref` read from a possibly older-schema
-    * file: structs adapt by name (fields the file lacks read NULL, extra
-    * file fields are ignored — the reference's add-columns evolution);
-    * anything else must match types exactly, refused loudly otherwise.
+  /** Compile a row-index → value converter for reference type `ref` over
+    * a possibly older-schema file vector: structs adapt by name (fields
+    * the file lacks read NULL, extra file fields are ignored — the
+    * reference's add-columns evolution); anything else must match types
+    * exactly, refused loudly otherwise. Compiled ONCE per task against
+    * the batch's (stable, reused) vectors — no per-row name lookups or
+    * type re-derivation on the bridge's hot path.
     */
-  private def adapted(cv: vector.ColumnVector, fileTd: TypeDescription,
-      ref: DataType, r: Int): Any = (ref, toCatalyst(fileTd)) match {
+  private def adapter(cv: vector.ColumnVector, fileTd: TypeDescription,
+      ref: DataType): Int => Any = (ref, toCatalyst(fileTd)) match {
     case (rs: StructType, _: StructType) =>
-      val row0 = if (cv.isRepeating) 0 else r
-      if (!cv.noNulls && cv.isNull(row0)) null
-      else {
-        val s = cv.asInstanceOf[vector.StructColumnVector]
-        val names = fileTd.getFieldNames
-        val idx = (0 until names.size()).map(names.get(_)).zipWithIndex.toMap
-        Row.fromSeq(rs.fields.toSeq.map { f =>
-          idx.get(f.name) match {
-            case Some(i) =>
-              adapted(s.fields(i), fileTd.getChildren.get(i), f.dataType,
-                row0)
-            case None => null
-          }
-        })
+      val s = cv.asInstanceOf[vector.StructColumnVector]
+      val names = fileTd.getFieldNames
+      val idx = (0 until names.size()).map(names.get(_)).zipWithIndex.toMap
+      val kids: Array[Int => Any] = rs.fields.map { f =>
+        idx.get(f.name) match {
+          case Some(i) =>
+            adapter(s.fields(i), fileTd.getChildren.get(i), f.dataType)
+          case None => (_: Int) => null
+        }
       }
-    case (want, got) if want == got => cell(cv, fileTd, r)
+      (r0: Int) => {
+        val r = if (cv.isRepeating) 0 else r0
+        if (!cv.noNulls && cv.isNull(r)) null
+        else Row.fromSeq(kids.toSeq.map(_(r)))
+      }
+    case (want, got) if want == got =>
+      (r: Int) => cell(cv, fileTd, r)
     case (want, got) => throw new UnsupportedOperationException(
       s"ACID schema evolution changed a column's type ($got -> $want); " +
         "only added/removed struct fields adapt — compact the table")
@@ -405,8 +459,21 @@ object AcidOrc {
         val fileIdx = idxArr.map(f => fileNames.indexOf(present(f)))
         val rows = reader.rows(reader.options.schema(td)
           .include(includeFlags(td, wanted)).range(offset, length))
+        // a downstream limit can abandon the iterator mid-file — close on
+        // task completion, not only on exhaustion
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            try rows.close() catch { case _: Throwable => () }
+            try reader.close() catch { case _: Throwable => () }
+          })
         val batch = td.createRowBatch()
         val kids = td.getChildren
+        val converters: Array[Int => Any] = idxArr.indices.map { w =>
+          val fi = fileIdx(w)
+          if (fi < 0) (_: Int) => null
+          else adapter(batch.cols(fi), kids.get(fi),
+            toCatalyst(refKids.get(idxArr(w))))
+        }.toArray
         new Iterator[Row] {
           private var i = 0
           private var n = 0
@@ -419,12 +486,7 @@ object AcidOrc {
           def hasNext: Boolean = { advance(); !done }
           def next(): Row = {
             advance()
-            val vals = idxArr.indices.map { w =>
-              val fi = fileIdx(w)
-              if (fi < 0) null
-              else adapted(batch.cols(fi), kids.get(fi),
-                toCatalyst(refKids.get(idxArr(w))), i)
-            }
+            val vals = converters.toSeq.map(_(i))
             i += 1
             Row.fromSeq(vals :+ partSub)
           }
@@ -463,11 +525,12 @@ object AcidOrc {
     * for the reconstruction contract and scope.
     */
   def read(spark: SparkSession, table: String,
-      legacyUpdates: Boolean = false): DataFrame = {
+      legacyUpdates: Boolean = false,
+      maxWriteId: Long = Long.MaxValue): DataFrame = {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root), s"ACID table directory not found: $table")
-    val states = walk(fs, root, "")
+    val states = walk(fs, root, "", maxWriteId)
     require(states.nonEmpty, s"no base_/delta_ directories under $table")
 
     def paired(pick: StateDir => Seq[Path]): Seq[AcidSplit] =
@@ -558,6 +621,42 @@ object AcidOrc {
       case (None, Some(o)) => o
       case (None, None) => throw new IllegalStateException("unreachable")
     }
+  }
+
+  /** Rows ADDED by delta commits with write ids in (fromWriteId,
+    * toWriteId] — the incremental-consumption read behind the
+    * `acid-stream` source. Compaction spans straddling fromWriteId emit
+    * nothing (data-identical). Delete events arriving in the range fail
+    * the read unless `ignoreDeletes` (the table-format streaming
+    * contract: a consumer must opt into missing retractions).
+    */
+  def readChanges(spark: SparkSession, table: String, fromWriteId: Long,
+      toWriteId: Long, ignoreDeletes: Boolean = false): DataFrame = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"ACID table directory not found: $table")
+    val changed = changedDirs(fs, root, "", fromWriteId, toWriteId)
+    require(ignoreDeletes || !changed.exists(_._3),
+      s"ACID table $table received delete events in write-id range " +
+        s"($fromWriteId, $toWriteId]; set ignoreDeletes=true to stream " +
+        "inserts only")
+    val rowSplits = splitsOf(spark, changed.flatMap { case (part, dirs, _) =>
+      dirs.flatMap(bucketFiles(fs, _)).map { case (f, len) =>
+        (f, len, part) }
+    })
+    // empty range: a schema-correct empty frame off the current layout
+    if (rowSplits.isEmpty)
+      return read(spark, table, maxWriteId = toWriteId).limit(0)
+    val partCols: Seq[String] = {
+      val keyed = changed.map(_._1).filter(_.nonEmpty)
+        .map(_.split("/").toSeq.map(_.split("=", 2)(0)))
+      keyed.headOption.getOrElse(Nil)
+    }
+    val rows = scanAcid(spark, rowSplits, Seq("row"))
+    partCols.foldLeft(rows.select(col("row.*"), col(PartColName))) {
+      (d, k) => d.withColumn(k, regexp_extract(col(PartColName),
+        java.util.regex.Pattern.quote(k) + "=([^/]+)", 1))
+    }.drop(PartColName)
   }
 
   // ------------------------------------------------- minimal delta writer

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.AcidOrc
+
+/** Structured Streaming SOURCE over a live ACID warehouse directory — tail
+  * the reference's transactional ingest (streaming/HiveStreamingConnection
+  * .java commits whole `delta_w_w` dirs; consumers poll for new write ids,
+  * which is exactly this source's offset model):
+  *
+  * {{{
+  *   spark.readStream.format("acid-stream").load("/warehouse/db/t")
+  * }}}
+  *
+  * Offsets are WRITE IDS (checkpointable longs). The first batch of a
+  * fresh query is the full current snapshot (reconstructed as of the
+  * offset's write id — deletes applied); each later batch is exactly the
+  * rows added by delta dirs committed in the offset range, so a write id
+  * is emitted once. Writers commit delta dirs atomically (staged + rename,
+  * both in the reference and [[AcidOrc.appendDelta]]), which is what makes
+  * the listing-based offset safe. Options:
+  *
+  *   - `ignoreDeletes` (false): skip delete_delta commits instead of
+  *     failing the stream (downstream then misses retractions — the
+  *     standard table-format streaming opt-in).
+  *
+  * Compaction spans straddling consumed ids emit nothing (data-identical).
+  * The schema is fixed at query start; columns added to the table
+  * mid-stream are dropped, columns the stream expects but a batch lacks
+  * read NULL. The migration story composes: tail the live warehouse here
+  * while batch queries move to the CONVERTed snapshot table.
+  */
+class AcidSourceProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "acid-stream"
+
+  private def rootOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", parameters.getOrElse("table",
+      throw new IllegalArgumentException(
+        "acid-stream needs .load(<acid table dir>) or option 'table'")))
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(),
+      AcidOrc.read(sqlContext.sparkSession, rootOf(parameters)).schema)
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new AcidStreamSource(sqlContext.sparkSession, rootOf(parameters),
+      ignoreDeletes = parameters.get("ignoreDeletes").exists(_.toBoolean))
+}
+
+/** See [[AcidSourceProvider]]. Offset N = "write ids up to and including N
+  * have been emitted".
+  */
+class AcidStreamSource(spark: SparkSession, root: String,
+    ignoreDeletes: Boolean) extends Source {
+
+  override val schema: StructType = AcidOrc.read(spark, root).schema
+
+  override def getOffset: Option[V1Offset] = {
+    val w = AcidOrc.maxWriteId(spark, root)
+    if (w < 0) None else Some(LongOffset(w))
+  }
+
+  private def widOf(o: V1Offset): Long = o match {
+    case LongOffset(v) => v
+    case other => other.json.trim.toLong
+  }
+
+  /** Batches bind to the stream's start-time schema by NAME: mid-stream
+    * add-columns evolution widens the batch frame, which must not widen
+    * the stream.
+    */
+  private def align(df: DataFrame): DataFrame =
+    df.select(schema.fields.toSeq.map { f =>
+      if (df.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val batch = start match {
+      case None =>
+        align(AcidOrc.read(spark, root, maxWriteId = widOf(end)))
+      case Some(s) =>
+        align(AcidOrc.readChanges(spark, root, widOf(s), widOf(end),
+          ignoreDeletes))
+    }
+    // V1 Source contract: the returned frame must be streaming-tagged
+    org.apache.spark.sql.GraftShims.asStreamingFrame(spark, batch)
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"AcidStreamSource[$root]"
+}

@@ -23,4 +23,15 @@ object GraftShims {
     */
   def cloneSession(spark: SparkSession): SparkSession =
     spark.asInstanceOf[classic.SparkSession].cloneSession()
+
+  /** Re-tag a finished batch plan as a STREAMING frame (one streaming
+    * LogicalRDD over the plan's own execution) — what a V1 `Source`'s
+    * getBatch must return; internalCreateDataFrame is private[sql].
+    */
+  def asStreamingFrame(spark: SparkSession, df: DataFrame): DataFrame = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val qe = df.asInstanceOf[org.apache.spark.sql.classic.DataFrame]
+      .queryExecution
+    classic.internalCreateDataFrame(qe.toRdd, df.schema, isStreaming = true)
+  }
 }

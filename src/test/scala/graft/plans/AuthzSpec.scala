@@ -561,6 +561,33 @@ class AuthzSpec extends SparkSpec with BeforeAndAfterEach {
       sql(s"SELECT count(*) FROM parquet.`$loose`").collect() }
   }
 
+  test("hive_acid TVF is path-governed: deny-by-default, owning name's " +
+      "grants and row filter apply") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("authz_acid_")
+      .toString + "/t"
+    graft.sources.AcidOrc.appendDelta(spark, dir, 5L,
+      (0 until 20).map(i => (i.toLong, s"c${i % 4}")).toDF("id", "cat"))
+    graft.plans.SnapshotSql.register(spark)
+    // unregistered acid dir: deny-by-default, no raw-file side door
+    asUser("pia")
+    intercept[Authz.AccessDenied] {
+      sql(s"SELECT count(*) FROM hive_acid('$dir')").collect() }
+    // registered under a name: the name's grant + row filter govern the TVF
+    asAdmin()
+    NamedTables.registerPath("authz_acid", dir)
+    sql("ALTER TABLE authz_acid SET ROW FILTER 'cat = ''c1''' FOR ALL")
+    asUser("pia")
+    intercept[Authz.AccessDenied] {
+      sql(s"SELECT count(*) FROM hive_acid('$dir')").collect() }
+    asAdmin()
+    sql("GRANT SELECT ON TABLE authz_acid TO USER pia")
+    asUser("pia")
+    assert(sql(s"SELECT count(*) AS n FROM hive_acid('$dir')")
+      .head.getLong(0) === 5,
+      "hive_acid must apply the owning table's row filter")
+  }
+
   test("randomized policy net: front-door reads equal the direct DataFrame model") {
     // seeded random (filter, mask, principal) combinations; the SQL path
     // (substitution + analyzer + SubqueryAlias) must equal a hand-built

@@ -1,0 +1,120 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.sources.AcidOrc
+
+/** The ACID warehouse streaming SOURCE: write-id-offset micro-batches,
+  * exactly-once emission per delta commit, snapshot-reconstructed first
+  * batch, delete contract, schema pinning.
+  */
+class AcidStreamSpec extends SparkSpec {
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft_acidstream_").toString + "/t"
+
+  private def nums(lo: Int, hi: Int) = {
+    import spark.implicits._
+    (lo until hi).map(i => (i.toLong, s"row$i")).toDF("id", "s")
+  }
+
+  test("first batch is the reconstructed snapshot; new deltas stream " +
+      "exactly once per commit") {
+    val root = freshRoot()
+    AcidOrc.appendDelta(spark, root, 1L, nums(0, 10))
+    // a delete already in the layout is part of the FIRST snapshot batch
+    val doomed = AcidOrc.rawEvents(spark, s"$root/delta_1_1/bucket_00000")
+      .where(col("row.id") < 2)
+      .select(col("originalTransaction"), col("bucket"), col("rowId"))
+    AcidOrc.appendDeleteDelta(spark, root, 2L, doomed)
+    val stream = spark.readStream.format("acid-stream").load(root)
+    assert(stream.isStreaming)
+    assert(stream.schema.fieldNames.toSeq === Seq("id", "s"))
+    val q = Streams.drainToMemory(stream, "acidstream_basic")
+    try {
+      assert(spark.table("acidstream_basic").count() === 8)
+      // two later commits land as micro-batches, once each
+      AcidOrc.appendDelta(spark, root, 3L, nums(10, 15))
+      q.processAllAvailable()
+      AcidOrc.appendDelta(spark, root, 4L, nums(15, 18))
+      q.processAllAvailable()
+      val got = spark.table("acidstream_basic")
+      assert(got.count() === 16)
+      assert(got.select(sum(col("id"))).head.getLong(0) ===
+        (2 until 18).map(_.toLong).sum)
+      // nothing new emits nothing (exactly-once)
+      q.processAllAvailable()
+      assert(spark.table("acidstream_basic").count() === 16)
+    } finally q.stop()
+  }
+
+  test("mid-stream delete_delta fails the stream; ignoreDeletes skips it") {
+    val root = freshRoot()
+    AcidOrc.appendDelta(spark, root, 1L, nums(0, 5))
+    val q = Streams.drainToMemory(
+      spark.readStream.format("acid-stream").load(root), "acidstream_del")
+    try {
+      import spark.implicits._
+      assert(spark.table("acidstream_del").count() === 5)
+      AcidOrc.appendDeleteDelta(spark, root, 2L,
+        Seq((1L, AcidOrc.encodeBucket(0), 0L))
+          .toDF("originalTransaction", "bucket", "rowId"))
+      val e = intercept[Exception] { q.processAllAvailable() }
+      val chain = Iterator.iterate[Throwable](e)(_.getCause)
+        .takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString("; ")
+      assert(chain.contains("delete events"), chain)
+    } finally q.stop()
+    // ignoreDeletes: same layout streams on, inserts only
+    val q2 = Streams.drainToMemory(
+      spark.readStream.format("acid-stream").option("ignoreDeletes", "true")
+        .load(root), "acidstream_del_ok")
+    try {
+      // fresh query: first batch reconstructs WITH the delete applied
+      assert(spark.table("acidstream_del_ok").count() === 4)
+      AcidOrc.appendDelta(spark, root, 3L, nums(5, 7))
+      q2.processAllAvailable()
+      assert(spark.table("acidstream_del_ok").count() === 6)
+    } finally q2.stop()
+  }
+
+  test("mid-stream add-columns evolution: stream schema stays pinned") {
+    import spark.implicits._
+    val root = freshRoot()
+    AcidOrc.appendDelta(spark, root, 1L, nums(0, 3))
+    val q = Streams.drainToMemory(
+      spark.readStream.format("acid-stream").load(root), "acidstream_evo")
+    try {
+      AcidOrc.appendDelta(spark, root, 2L,
+        Seq((100L, "wide", 9.5)).toDF("id", "s", "extra"))
+      q.processAllAvailable()
+      val got = spark.table("acidstream_evo")
+      assert(got.columns.toSeq === Seq("id", "s"))
+      assert(got.count() === 4)
+      assert(got.where($"id" === 100L).select($"s").head.getString(0)
+        === "wide")
+    } finally q.stop()
+  }
+
+  test("compaction spans over consumed ids emit nothing") {
+    val root = freshRoot()
+    AcidOrc.appendDelta(spark, root, 1L, nums(0, 5))
+    AcidOrc.appendDelta(spark, root, 2L, nums(5, 8))
+    val q = Streams.drainToMemory(
+      spark.readStream.format("acid-stream").load(root), "acidstream_cmp")
+    try {
+      assert(spark.table("acidstream_cmp").count() === 8)
+      // a minor compaction rewrites ids 1..3 as one span (same rows +
+      // a new id-3 delta it folded in); only genuinely-new data may emit
+      AcidOrc.appendDelta(spark, root, 3L, nums(8, 10))
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      AcidOrc.appendDelta(spark, root, 4L, nums(0, 10)) // the folded image
+      fs.rename(new org.apache.hadoop.fs.Path(root, "delta_4_4"),
+        new org.apache.hadoop.fs.Path(root, "delta_1_3"))
+      q.processAllAvailable()
+      // delta_3_3 emitted (2 rows); delta_1_3 straddles id 2 -> nothing
+      assert(spark.table("acidstream_cmp").count() === 10)
+    } finally q.stop()
+  }
+}
