@@ -349,5 +349,34 @@ object SnapshotQueries {
            |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS total
            |FROM hive_acid('$root')
            |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    },
+
+    // ACID write verbs + compaction: split-update (delete_delta + delta
+    // under one write id), identity-addressed delete, then a major
+    // compaction folding everything into base_N with ROW__IDs preserved.
+    // The oracle replays the statements relationally over the original
+    // parquet — proving the layout the verbs wrote reconstructs to the
+    // statements' net effect even after the fold.
+    q("s38_hive_acid_dml",
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(CASE WHEN o_orderstatus = 'P' THEN 0.0
+        |                     ELSE o_totalprice END AS DECIMAL(25,2)))
+        |    AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey % 7 <> 0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import graft.sources.AcidOrc
+      val orders = Engine.table(spark, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      val root = scratch()
+      AcidOrc.appendDelta(spark, root, 1L, orders, buckets = 2)
+      AcidOrc.updateWhere(spark, root, $"o_orderstatus" === "P",
+        Map("o_totalprice" -> lit(0.0)))
+      AcidOrc.deleteWhere(spark, root, $"o_orderkey" % 7 === 0)
+      AcidOrc.compact(spark, root)
+      AcidOrc.read(spark, root)
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"), Exact.dsum($"o_totalprice").as("total"))
+        .orderBy($"o_orderstatus")
     })
 }

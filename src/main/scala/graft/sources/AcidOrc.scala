@@ -526,7 +526,21 @@ object AcidOrc {
     */
   def read(spark: SparkSession, table: String,
       legacyUpdates: Boolean = false,
-      maxWriteId: Long = Long.MaxValue): DataFrame = {
+      maxWriteId: Long = Long.MaxValue): DataFrame =
+    readInternal(spark, table, legacyUpdates, maxWriteId, withIds = false)
+
+  /** As [[read]], plus each row's identity: `_acid_otid`, `_acid_bucket`,
+    * `_acid_rowid` (the ROW__ID triple) and `_acid_part` (the partition
+    * subpath) — what the write verbs target deletes by. Refused on tables
+    * with pre-ACID originals (no reconstructible identity).
+    */
+  def readWithIds(spark: SparkSession, table: String,
+      legacyUpdates: Boolean = false): DataFrame =
+    readInternal(spark, table, legacyUpdates, Long.MaxValue, withIds = true)
+
+  private def readInternal(spark: SparkSession, table: String,
+      legacyUpdates: Boolean, maxWriteId: Long,
+      withIds: Boolean): DataFrame = {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root), s"ACID table directory not found: $table")
@@ -594,10 +608,20 @@ object AcidOrc {
           java.util.regex.Pattern.quote(k) + "=([^/]+)", 1))
       }.drop(PartColName)
 
-    val acidSide = acidLive.map(df =>
-      withParts(df.select(col("row.*"), col(PartColName))))
+    val acidSide = acidLive.map { df =>
+      val cols =
+        if (!withIds) Seq(col("row.*"), col(PartColName))
+        else Seq(col("row.*"), col("originalTransaction").as("_acid_otid"),
+          col("bucket").as("_acid_bucket"), col("rowId").as("_acid_rowid"),
+          col(PartColName).as("_acid_part"), col(PartColName))
+      withParts(df.select(cols: _*))
+    }
 
     val originalSide = if (originalFiles.isEmpty) None else {
+      require(!withIds,
+        s"$table holds pre-ACID original files, which have no " +
+          "reconstructible ROW__IDs; compact the table before using the " +
+          "identity-addressed verbs")
       if (deleteFiles.nonEmpty) {
         // deletes against originals are keyed by synthetic positional
         // ROW__IDs (originalTransaction = 0) we do not reconstruct
@@ -657,6 +681,164 @@ object AcidOrc {
       (d, k) => d.withColumn(k, regexp_extract(col(PartColName),
         java.util.regex.Pattern.quote(k) + "=([^/]+)", 1))
     }.drop(PartColName)
+  }
+
+  // --------------------------------------------------------- write verbs
+  // UPDATE/DELETE/compaction against the ACID layout itself — the
+  // reference's split-update semantics (HIVE-14035: an update is a delete
+  // event + an insert delta under one write id), so the warehouse stays
+  // writable from BOTH systems during a migration. Single-writer bridge:
+  // a concurrent reader may observe a statement's two dirs split (the
+  // reference hides uncommitted write ids via the metastore txn list,
+  // which has no analog here) — quiesce writers or CONVERT for
+  // multi-writer semantics.
+
+  private def partDir(table: String, partSub: String): String =
+    if (partSub.isEmpty) table
+    else new Path(table, partSub.stripSuffix("/")).toString
+
+  /** Delete rows matching `cond`: one delete_delta per affected partition
+    * under the next write id. Returns the deleted-row count.
+    */
+  def deleteWhere(spark: SparkSession, table: String,
+      cond: org.apache.spark.sql.Column): Long = {
+    val ids = readWithIds(spark, table).where(cond)
+      .select(col("_acid_otid").as("originalTransaction"),
+        col("_acid_bucket").as("bucket"),
+        col("_acid_rowid").as("rowId"), col("_acid_part"))
+      .cache()
+    try {
+      val n = ids.count()
+      if (n == 0) return 0L
+      val w = maxWriteId(spark, table) + 1
+      val parts = ids.select(col("_acid_part")).distinct()
+        .collect().map(_.getString(0))
+      parts.foreach { p =>
+        appendDeleteDelta(spark, partDir(table, p), w,
+          ids.where(col("_acid_part") === p).drop("_acid_part"))
+      }
+      n
+    } finally ids.unpersist()
+  }
+
+  /** Split-update of rows matching `cond`: per affected partition, a
+    * delete_delta retiring the old images and an insert delta carrying
+    * the new ones, both under one write id. Partition columns cannot be
+    * assigned (row identity is partition-scoped). Returns the updated
+    * count.
+    */
+  def updateWhere(spark: SparkSession, table: String,
+      cond: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): Long = {
+    val partCols = partitionColumns(spark, table)
+    require(set.keys.forall(k => !partCols.contains(k)),
+      s"cannot assign partition columns: ${set.keySet.intersect(partCols.toSet)}")
+    val affected = readWithIds(spark, table).where(cond).cache()
+    try {
+      val n = affected.count()
+      if (n == 0) return 0L
+      val idCols = Seq("_acid_otid", "_acid_bucket", "_acid_rowid",
+        "_acid_part")
+      val stored = affected.columns.toSeq
+        .filterNot(idCols.contains).filterNot(partCols.contains)
+      require(set.keys.forall(stored.contains),
+        s"unknown columns: ${set.keySet -- stored}")
+      val w = maxWriteId(spark, table) + 1
+      val parts = affected.select(col("_acid_part")).distinct()
+        .collect().map(_.getString(0))
+      parts.foreach { p =>
+        val slice = affected.where(col("_acid_part") === p)
+        appendDeleteDelta(spark, partDir(table, p), w,
+          slice.select(col("_acid_otid").as("originalTransaction"),
+            col("_acid_bucket").as("bucket"),
+            col("_acid_rowid").as("rowId")))
+        val newRows = set.foldLeft(slice) { case (d, (k, v)) =>
+          d.withColumn(k, v) }.select(stored.map(col): _*)
+        appendDelta(spark, partDir(table, p), w, newRows)
+      }
+      n
+    } finally affected.unpersist()
+  }
+
+  /** Major compaction: fold every partition's live snapshot into a
+    * `base_<maxWriteId>` preserving each row's ROW__ID (the reference's
+    * compactor contract), then (by default) remove the dirs the new base
+    * covers — the cleaner role. Offsets never move (no new write id), so
+    * an `acid-stream` tailing the table emits nothing.
+    */
+  def compact(spark: SparkSession, table: String,
+      clean: Boolean = true): Unit = {
+    val w = maxWriteId(spark, table)
+    if (w < 0) return
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // no-op when the head base already covers everything
+    val already = walk(fs, root, "").forall(s =>
+      s.deleteDirs.isEmpty && s.originals.isEmpty &&
+        s.rowDirs.map(_.getName).toList == List(s"base_$w"))
+    if (already) return
+    val live = readWithIds(spark, table).cache()
+    try {
+      val partCols = partitionColumns(spark, table)
+      val stored = live.columns.toSeq
+        .filterNot(Seq("_acid_otid", "_acid_bucket", "_acid_rowid",
+          "_acid_part").contains)
+        .filterNot(partCols.contains)
+      val decoded = shiftright(col("_acid_bucket"), 16)
+        .bitwiseAND(lit(0xfff))
+      val nBuckets = live.agg(max(decoded)).head() match {
+        case r if r.isNullAt(0) => 1
+        case r => r.getInt(0) + 1
+      }
+      val parts = live.select(col("_acid_part")).distinct()
+        .collect().map(_.getString(0))
+      parts.foreach { p =>
+        val slice = live.where(col("_acid_part") === p)
+        writeAcidFiles(spark, partDir(table, p), s"base_$w",
+          slice.select(
+            lit(OpInsert).as("operation"),
+            col("_acid_otid").as("originalTransaction"),
+            decoded.as("_graft_bucket_id"),
+            col("_acid_rowid").as("rowId"),
+            col("_acid_otid").as("currentTransaction"),
+            struct(stored.map(col): _*).as("row"),
+            col("_acid_bucket").as("_graft_encoded")),
+          nBuckets, encodedCol = Some("_graft_encoded"))
+      }
+      if (clean) cleanObsolete(spark, table)
+    } finally live.unpersist()
+  }
+
+  /** Cleaner: remove base/delta/delete_delta dirs (and pre-ACID original
+    * files) fully covered by each partition's current head base.
+    */
+  def cleanObsolete(spark: SparkSession, table: String): Unit = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def clean(dir: Path): Unit = {
+      val children = fs.listStatus(dir).toSeq
+      val (dirs, files) = children.partition(_.isDirectory)
+      val named = dirs.map(d => d.getPath.getName -> d.getPath)
+      val bases = named.collect { case (BaseRe(n), p) => (n.toLong, p) }
+      if (bases.nonEmpty) {
+        val headN = bases.map(_._1).max
+        named.foreach {
+          case (BaseRe(n), p) if n.toLong < headN => fs.delete(p, true)
+          case (DeltaRe(_, n), p) if n.toLong <= headN => fs.delete(p, true)
+          case (DeleteRe(_, n), p) if n.toLong <= headN => fs.delete(p, true)
+          case _ => ()
+        }
+        // originals were folded into the first base
+        files.map(_.getPath).filterNot(p => hidden(p.getName))
+          .foreach(fs.delete(_, false))
+      }
+      named.foreach { case (n, p) =>
+        if (!hidden(n) && n.contains("=") && BaseRe.unapplySeq(n).isEmpty &&
+            DeltaRe.unapplySeq(n).isEmpty && DeleteRe.unapplySeq(n).isEmpty)
+          clean(p)
+      }
+    }
+    clean(root)
   }
 
   // ------------------------------------------------- minimal delta writer

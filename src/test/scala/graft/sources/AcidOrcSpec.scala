@@ -247,6 +247,83 @@ class AcidOrcSpec extends SparkSpec {
     assert(chain.contains("changed a column's type"), chain)
   }
 
+  test("deleteWhere / updateWhere: split-update verbs against the ACID " +
+      "layout; compact folds to a base preserving ROW__IDs") {
+    val dir = scratch()
+    import spark.implicits._
+    AcidOrc.appendDelta(spark, dir, 1L,
+      (0 until 20).map(i => (i.toLong, s"v$i", i * 1.0)).toDF("k", "s", "v"),
+      buckets = 2)
+    // DELETE
+    assert(AcidOrc.deleteWhere(spark, dir, col("k") % 5 === 0) === 4L)
+    assert(AcidOrc.read(spark, dir).count() === 16)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "delete_delta_2_2")))
+    // UPDATE (split: delete_delta_3_3 + delta_3_3)
+    assert(AcidOrc.updateWhere(spark, dir, col("k") === 1L,
+      Map("v" -> lit(99.0))) === 1L)
+    val updated = AcidOrc.read(spark, dir)
+    assert(updated.count() === 16)
+    assert(updated.where(col("k") === 1L).select(col("v"))
+      .head().getDouble(0) === 99.0)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "delta_3_3")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "delete_delta_3_3")))
+    // partition columns cannot be assigned; unknown columns refuse
+    intercept[IllegalArgumentException] {
+      AcidOrc.updateWhere(spark, dir, col("k") === 2L,
+        Map("nope" -> lit(1)))
+    }
+    // COMPACT: same content, ROW__IDs preserved, old dirs cleaned
+    val idsBefore = AcidOrc.readWithIds(spark, dir)
+      .select(col("k"), col("_acid_otid"), col("_acid_rowid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    AcidOrc.compact(spark, dir)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).sorted.toSeq
+    assert(names === Seq("base_3"))
+    val after = AcidOrc.read(spark, dir)
+    assert(after.count() === 16)
+    assert(after.where(col("k") === 1L).select(col("v"))
+      .head().getDouble(0) === 99.0)
+    val idsAfter = AcidOrc.readWithIds(spark, dir)
+      .select(col("k"), col("_acid_otid"), col("_acid_rowid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(idsAfter === idsBefore, "compaction must preserve ROW__IDs")
+    // a second compact is a no-op (head base already covers everything)
+    AcidOrc.compact(spark, dir)
+    assert(AcidOrc.read(spark, dir).count() === 16)
+    // deletes after compaction target the preserved ids
+    assert(AcidOrc.deleteWhere(spark, dir, col("k") === 7L) === 1L)
+    assert(AcidOrc.read(spark, dir).count() === 15)
+  }
+
+  test("write verbs scope to partitions; updateWhere refuses partition " +
+      "column assignment") {
+    val dir = scratch()
+    import spark.implicits._
+    Seq("A", "B").foreach { s =>
+      AcidOrc.appendDelta(spark, s"$dir/st=$s", 1L,
+        (0 until 10).map(i => (i.toLong, i * 1.0)).toDF("k", "v"))
+    }
+    assert(AcidOrc.deleteWhere(spark, dir,
+      col("st") === "A" && col("k") < 3) === 3L)
+    val got = AcidOrc.read(spark, dir)
+    assert(got.where(col("st") === "A").count() === 7)
+    assert(got.where(col("st") === "B").count() === 10)
+    intercept[IllegalArgumentException] {
+      AcidOrc.updateWhere(spark, dir, col("k") === 1L,
+        Map("st" -> lit("C")))
+    }
+    assert(AcidOrc.updateWhere(spark, dir, col("st") === "B" && col("k") === 5L,
+      Map("v" -> lit(-1.0))) === 1L)
+    AcidOrc.compact(spark, dir)
+    val after = AcidOrc.read(spark, dir)
+    assert(after.count() === 17)
+    assert(after.where(col("st") === "B" && col("k") === 5L)
+      .select(col("v")).head().getDouble(0) === -1.0)
+  }
+
   test("multi-bucket writes round-trip and bucket ids decode") {
     val dir = scratch()
     AcidOrc.appendDelta(spark, dir, 5L, orders.limit(1000), buckets = 4)
