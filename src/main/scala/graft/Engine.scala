@@ -233,7 +233,8 @@ object Engine {
         val gated = graft.plans.Authz.applyPoliciesToDmlSources(spark, plan)
         graft.plans.SqlDml.maybeRun(spark, gated).getOrElse {
           val secured = graft.plans.Authz.applyPolicies(spark, plan)
-          val substituted = graft.plans.NamedTables.substitute(spark, secured)
+          val substituted = graft.plans.VirtualColumns.maybeSubstitute(
+            graft.plans.NamedTables.substitute(spark, secured), query)
           val df =
             if (substituted eq plan) spark.sql(query)
             else org.apache.spark.sql.GraftShims.ofRows(spark, substituted)

@@ -33,5 +33,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // catalog-name snapshot tables: SELECT ... FROM <registered-name>
     ext.injectResolutionRule(session =>
       new graft.plans.NamedTables.ResolveNamedTables(session))
+    // Hive virtual columns (INPUT__FILE__NAME, GROUPING__ID)
+    ext.injectResolutionRule(session =>
+      new graft.plans.VirtualColumns.ResolveVirtualColumns(session))
   }
 }

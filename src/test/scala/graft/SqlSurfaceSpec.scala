@@ -139,6 +139,42 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(sql1[Int]("CAST(99999999999 AS INT)") === 1215752191) // 2^32 wrap
   }
 
+  test("virtual columns: INPUT__FILE__NAME and GROUPING__ID resolve " +
+      "through the SQL front door (ref ql/metadata/VirtualColumn.java)") {
+    Engine.register(spark, sfDir)
+    // provenance: every region row names the parquet file it came from
+    val files = Engine.sql(spark, sfDir,
+      "SELECT DISTINCT INPUT__FILE__NAME AS f FROM region")
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains("region")))
+    // and it composes inside expressions and CTEs
+    val viaCte = Engine.sql(spark, sfDir,
+      """WITH src AS (SELECT r_name, INPUT__FILE__NAME AS f FROM region)
+        |SELECT count(DISTINCT f) AS n FROM src""".stripMargin)
+      .head().getLong(0)
+    assert(viaCte >= 1L)
+    // GROUPING__ID: the standard bit vector over a rollup (HIVE-16102
+    // semantics == Spark's grouping_id)
+    val gids = Engine.sql(spark, sfDir,
+      """SELECT l_returnflag, l_linestatus, GROUPING__ID AS gid, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus WITH ROLLUP
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin).collect()
+    assert(gids.map(_.getLong(2)).toSet === Set(0L, 1L, 3L))
+    val viaFn = Engine.sql(spark, sfDir,
+      """SELECT l_returnflag, l_linestatus, grouping_id() AS gid, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus WITH ROLLUP
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin).collect()
+    assert(gids.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+      r.getLong(3))).toSeq ===
+      viaFn.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq)
+    // the offsets family stays unresolved with Spark's canonical error
+    intercept[Exception] {
+      Engine.sql(spark, sfDir,
+        "SELECT BLOCK__OFFSET__INSIDE__FILE FROM region").collect()
+    }
+  }
+
   test("grouping filter via HAVING and positional/alias GROUP BY") {
     Engine.register(spark, sfDir)
     val r = spark.sql(
