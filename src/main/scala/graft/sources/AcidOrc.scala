@@ -40,10 +40,11 @@ import org.apache.spark.sql.types._
   * file fails with misaligned vectors (the long-standing reason vanilla
   * Spark cannot read the reference's managed ACID tables). The scan here
   * is the reference's own architecture (ql/io/orc/OrcRawRecordMerger
-  * drives RecordReaders event-by-event): one Spark task per bucket file,
-  * each task an ORC `RecordReader` with an identity reader schema (no
-  * evolution, no remap) and explicit include-columns — so the delete-side
-  * scan really does read only the three ROW__ID columns off disk. The
+  * drives RecordReaders event-by-event): one Spark task per byte-range
+  * split of a bucket file (OrcInputFormat's stripe rule), each task an
+  * ORC `RecordReader` with an identity reader schema (no evolution, no
+  * remap) and explicit include-columns — so the delete-side scan really
+  * does read only the three ROW__ID columns off disk. The
   * anti-join and everything above it is an ordinary Catalyst plan; AQE
   * broadcasts the delete set when it is small. Migration guidance stands:
   * read ACID once, land it in a snapshot table/parquet, and query that —
@@ -772,9 +773,14 @@ object AcidOrc {
     if (w < 0) return
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val states = walk(fs, root, "")
+    require(!states.exists(_.originals.nonEmpty),
+      s"$table holds pre-ACID original files with no ROW__IDs to " +
+        "preserve; rewrite them with CONVERT HIVE ACID (or the " +
+        "reference's compactor) instead")
     // no-op when the head base already covers everything
-    val already = walk(fs, root, "").forall(s =>
-      s.deleteDirs.isEmpty && s.originals.isEmpty &&
+    val already = states.forall(s =>
+      s.deleteDirs.isEmpty &&
         s.rowDirs.map(_.getName).toList == List(s"base_$w"))
     if (already) return
     val live = readWithIds(spark, table).cache()

@@ -176,6 +176,11 @@ class AcidOrcSpec extends SparkSpec {
       AcidOrc.read(spark, dir).count()
     }
     assert(e.getMessage.contains("pre-ACID original"))
+    // compaction cannot preserve ids originals never had — points at CONVERT
+    val c = intercept[IllegalArgumentException] {
+      AcidOrc.compact(spark, dir)
+    }
+    assert(c.getMessage.contains("CONVERT HIVE ACID"))
   }
 
   test("CONVERT HIVE ACID ... TO SNAPSHOT migrates layout and registers " +
