@@ -58,6 +58,11 @@ object Bench {
     "r11_new_queries" -> ("f31_spatial_join (bin-bucketed point-in-polygon " +
       "join, 1.5M points x 25 polygons at sf0.1) and e08_stream_stream_join " +
       "(click-attribution event-time range self-join) benched from r11 on"),
+    "r12_host_variance" -> ("six same-code full passes during r12 measured " +
+      "matched22_vs_r1 oscillating 0.84-0.99 (no monotonic trend, idle " +
+      "host, /tmp cleaned) -- single-run matched-22 readings carry ~15% " +
+      "host-duty-cycle noise on this box; compare rounds by the BAND, " +
+      "not the point value"),
     "r12_bench_validity" -> ("the r11 upticks on q22_count_distinct " +
       "(0.836->1.102) and e03_session_window (1.082->1.407) were host " +
       "jitter, not regressions: re-measured 3x in r12, minimums 0.811 and " +
