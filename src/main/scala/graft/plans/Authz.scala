@@ -276,11 +276,12 @@ object Authz {
     case tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
         if tvf.name.size == 1 &&
           Set("snapshot_table", "snapshot_changes", "snapshot_history",
-            "hive_acid").contains(norm(tvf.name.head)) =>
-      // hive_acid reads a raw ORC directory; the snapshot TVFs a manifest
-      // root — either way the key is the owning registered name when one
-      // exists, else the literal path (deny-by-default)
-      val fmt = if (norm(tvf.name.head) == "hive_acid") "orc" else "snapshot"
+            "hive_acid", "hive_acid_ids").contains(norm(tvf.name.head)) =>
+      // the hive_acid family reads a raw ORC directory; the snapshot TVFs
+      // a manifest root — either way the key is the owning registered name
+      // when one exists, else the literal path (deny-by-default)
+      val fmt = if (norm(tvf.name.head).startsWith("hive_acid")) "orc"
+        else "snapshot"
       tvf.functionArgs.headOption.collect {
         case org.apache.spark.sql.catalyst.expressions.Literal(s, _)
             if s != null =>

@@ -76,6 +76,21 @@ object SnapshotSql {
       case other => throw new IllegalArgumentException(
         s"hive_acid(path[, legacy]): got ${other.size} arguments")
     }
+    registerTvf(spark, "hive_acid_ids",
+      "hive_acid_ids(path) - ACID snapshot read carrying each row's " +
+        "ROW__ID struct<writeid,bucketid,rowid> (the reference's virtual " +
+        "column over transactional tables)") {
+      case Seq(path) =>
+        import org.apache.spark.sql.functions.{col, struct}
+        graft.sources.AcidOrc.readWithIds(SparkSession.active, asString(path))
+          .withColumn("ROW__ID", struct(
+            col("_acid_otid").as("writeid"),
+            col("_acid_bucket").as("bucketid"),
+            col("_acid_rowid").as("rowid")))
+          .drop("_acid_otid", "_acid_bucket", "_acid_rowid", "_acid_part")
+      case other => throw new IllegalArgumentException(
+        s"hive_acid_ids(path): got ${other.size} arguments")
+    }
   }
 
   private def asBoolean(e: Expression): Boolean = e match {

@@ -329,6 +329,30 @@ class AcidOrcSpec extends SparkSpec {
       .select(col("v")).head().getDouble(0) === -1.0)
   }
 
+  test("hive_acid_ids TVF surfaces ROW__ID (writeid, bucketid, rowid)") {
+    val dir = scratch()
+    buildTable(dir)
+    graft.plans.SnapshotSql.register(spark)
+    val rows = spark.sql(
+      s"""SELECT o_orderkey, ROW__ID.writeid, ROW__ID.bucketid,
+         |  ROW__ID.rowid FROM hive_acid_ids('$dir')""".stripMargin)
+      .collect()
+    assert(rows.nonEmpty)
+    // base rows carry writeid 5, delta rows 6; bucket property decodes to 0
+    assert(rows.map(_.getLong(1)).toSet === Set(5L, 6L))
+    assert(rows.map(r => AcidOrc.decodeBucketId(r.getInt(2))).toSet
+      === Set(0))
+    // ROW__ID is a usable delete target: feed it back as a delete
+    val victim = spark.sql(
+      s"""SELECT ROW__ID.writeid AS originalTransaction,
+         |  ROW__ID.bucketid AS bucket, ROW__ID.rowid AS rowId
+         |FROM hive_acid_ids('$dir') ORDER BY o_orderkey LIMIT 1"""
+        .stripMargin)
+    val before = AcidOrc.read(spark, dir).count()
+    AcidOrc.appendDeleteDelta(spark, dir, 99L, victim)
+    assert(AcidOrc.read(spark, dir).count() === before - 1)
+  }
+
   test("multi-bucket writes round-trip and bucket ids decode") {
     val dir = scratch()
     AcidOrc.appendDelta(spark, dir, 5L, orders.limit(1000), buckets = 4)
