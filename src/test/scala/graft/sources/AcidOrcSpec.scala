@@ -353,6 +353,58 @@ class AcidOrcSpec extends SparkSpec {
     assert(AcidOrc.read(spark, dir).count() === before - 1)
   }
 
+  test("randomized op-sequence net: append/delete/update/compact always " +
+      "reconstruct to the in-memory model") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    val dir = scratch()
+    val model = scala.collection.mutable.Map[Long, Double]()
+    var nextKey = 0L
+    def nextW() = AcidOrc.maxWriteId(spark, dir) + 1
+    def randomOp(i: Int): String =
+      if (model.isEmpty || i == 0) "append"
+      else rnd.nextInt(10) match {
+        case 0 | 1 | 2 | 3 => "append"
+        case 4 | 5 => "delete"
+        case 6 | 7 => "update"
+        case _ => "compact"
+      }
+    (0 until 14).foreach { i =>
+      val op = randomOp(i)
+      op match {
+        case "append" =>
+          val m = 1 + rnd.nextInt(8)
+          val rows = (0 until m).map { _ =>
+            nextKey += 1; (nextKey, rnd.nextInt(100).toDouble)
+          }
+          AcidOrc.appendDelta(spark, dir, nextW(),
+            rows.toDF("k", "v"), buckets = 1 + rnd.nextInt(2))
+          rows.foreach { case (k, v) => model(k) = v }
+        case "delete" =>
+          val p = 2 + rnd.nextInt(3)
+          val r = rnd.nextInt(p)
+          val n = AcidOrc.deleteWhere(spark, dir, col("k") % p === r)
+          val doomed = model.keys.filter(_ % p == r).toSeq
+          assert(n === doomed.size.toLong, s"op $i delete count")
+          doomed.foreach(model.remove)
+        case "update" =>
+          val p = 2 + rnd.nextInt(3)
+          val r = rnd.nextInt(p)
+          val nv = rnd.nextInt(1000).toDouble
+          val n = AcidOrc.updateWhere(spark, dir, col("k") % p === r,
+            Map("v" -> lit(nv)))
+          val hit = model.keys.filter(_ % p == r).toSeq
+          assert(n === hit.size.toLong, s"op $i update count")
+          hit.foreach(model(_) = nv)
+        case "compact" =>
+          AcidOrc.compact(spark, dir, clean = rnd.nextBoolean())
+      }
+      val got = AcidOrc.read(spark, dir).collect()
+        .map(row => row.getLong(0) -> row.getDouble(1)).toMap
+      assert(got === model.toMap, s"divergence after op $i ($op)")
+    }
+  }
+
   test("multi-bucket writes round-trip and bucket ids decode") {
     val dir = scratch()
     AcidOrc.appendDelta(spark, dir, 5L, orders.limit(1000), buckets = 4)
