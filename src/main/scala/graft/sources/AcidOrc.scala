@@ -712,6 +712,7 @@ object AcidOrc {
       val n = ids.count()
       if (n == 0) return 0L
       val w = maxWriteId(spark, table) + 1
+      // driver rows bounded by the affected PARTITION count, not data
       val parts = ids.select(col("_acid_part")).distinct()
         .collect().map(_.getString(0))
       parts.foreach { p =>
@@ -745,6 +746,7 @@ object AcidOrc {
       require(set.keys.forall(stored.contains),
         s"unknown columns: ${set.keySet -- stored}")
       val w = maxWriteId(spark, table) + 1
+      // driver rows bounded by the affected PARTITION count, not data
       val parts = affected.select(col("_acid_part")).distinct()
         .collect().map(_.getString(0))
       parts.foreach { p =>
@@ -796,6 +798,7 @@ object AcidOrc {
         case r if r.isNullAt(0) => 1
         case r => r.getInt(0) + 1
       }
+      // driver rows bounded by the PARTITION count, not data
       val parts = live.select(col("_acid_part")).distinct()
         .collect().map(_.getString(0))
       parts.foreach { p =>
