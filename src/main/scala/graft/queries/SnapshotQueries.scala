@@ -378,5 +378,28 @@ object SnapshotQueries {
         .groupBy($"o_orderstatus")
         .agg(count(lit(1)).as("n"), Exact.dsum($"o_totalprice").as("total"))
         .orderBy($"o_orderstatus")
+    },
+
+    // Incremental ACID consumption (the acid-stream source's engine):
+    // rows added by delta commits in a write-id range, exactly once — the
+    // oracle replays the range's append predicates. The first delta is
+    // OUTSIDE the range and must not re-emit.
+    q("s39_hive_acid_changes",
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey % 3 IN (1, 2)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import graft.sources.AcidOrc
+      val orders = Engine.table(spark, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      val root = scratch()
+      AcidOrc.appendDelta(spark, root, 1L, orders.where($"o_orderkey" % 3 === 0))
+      AcidOrc.appendDelta(spark, root, 2L, orders.where($"o_orderkey" % 3 === 1))
+      AcidOrc.appendDelta(spark, root, 3L, orders.where($"o_orderkey" % 3 === 2))
+      AcidOrc.readChanges(spark, root, fromWriteId = 1L, toWriteId = 3L)
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"), Exact.dsum($"o_totalprice").as("total"))
+        .orderBy($"o_orderstatus")
     })
 }
