@@ -316,17 +316,20 @@ object SnapshotQueries {
            |GROUP BY cur.o_orderstatus ORDER BY cur.o_orderstatus""".stripMargin)
     },
 
-    // The migration path: a Hive ACID ORC directory tree (base_5 +
-    // delta_6_6 + delete_delta_7_7, the AcidUtils layout) built from the
-    // immutable orders parquet, read back through the hive_acid() TVF.
-    // Deletes target the base rows with o_orderkey % 8 = 0, which the
-    // oracle replays as a plain predicate (% 8 = 0 implies % 4 = 0, so the
-    // delete never touches delta rows).
+    // The migration path: a Hive ACID ORC directory tree built from the
+    // immutable orders parquet — pre-ACID ORIGINALS (an upgraded-in-place
+    // warehouse: %4=2 rows as 000000_0) + delta_5_5 (%4=0) + delta_6_6
+    // (%4=1) + delete_delta_7_7 against delta rows (%8=0, which implies
+    // %4=0 so only delta_5_5 is hit) + a deleteWhere against the ORIGINALS
+    // (%16=2, which implies %4=2 — addressed by synthetic positional
+    // ROW__IDs with originalTransaction=0), read back through the
+    // hive_acid() TVF. The oracle replays all of it as plain predicates.
     q("s37_hive_acid_read",
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS total
         |FROM orders
-        |WHERE o_orderkey % 4 IN (0, 1) AND o_orderkey % 8 <> 0
+        |WHERE o_orderkey % 4 IN (0, 1, 2) AND o_orderkey % 8 <> 0
+        |  AND o_orderkey % 16 <> 2
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
       import spark.implicits._
       import graft.sources.AcidOrc
@@ -334,16 +337,14 @@ object SnapshotQueries {
       val orders = Engine.table(spark, dir, "orders")
         .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
       val root = scratch()
+      AcidOrc.writeOriginal(spark, root, orders.where($"o_orderkey" % 4 === 2))
       AcidOrc.appendDelta(spark, root, 5L, orders.where($"o_orderkey" % 4 === 0))
-      val fs = new org.apache.hadoop.fs.Path(root)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.rename(new org.apache.hadoop.fs.Path(root, "delta_5_5"),
-        new org.apache.hadoop.fs.Path(root, "base_5"))
       AcidOrc.appendDelta(spark, root, 6L, orders.where($"o_orderkey" % 4 === 1))
-      val doomed = AcidOrc.rawEvents(spark, s"$root/base_5/bucket_00000")
+      val doomed = AcidOrc.rawEvents(spark, s"$root/delta_5_5/bucket_00000")
         .where($"row.o_orderkey" % 8 === 0)
         .select($"originalTransaction", $"bucket", $"rowId")
       AcidOrc.appendDeleteDelta(spark, root, 7L, doomed)
+      AcidOrc.deleteWhere(spark, root, $"o_orderkey" % 16 === 2)
       spark.sql(
         s"""SELECT o_orderstatus, count(*) AS n,
            |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS total

@@ -61,9 +61,15 @@ import org.apache.spark.sql.types._
   *     is opt-in.
   *   - Pre-ACID "original" files are read as live rows (the upgraded-
   *     table case). Deletes that target originals (originalTransaction =
-  *     0 against synthetic, position-assigned ROW__IDs) require the
-  *     reference's positional numbering and are refused loudly rather
-  *     than answered wrong — compact such tables before migrating.
+  *     0) key on the reference's synthetic positional ROW__IDs, which are
+  *     reconstructed here: per (partition, task-id bucket), files sort
+  *     base-then-`_copy_N` and rows number 0..n across them in that order
+  *     (ref ql/io/orc/OrcRawRecordMerger.java:319,342 OriginalReaderPair;
+  *     AcidUtils original-file ordering). The positional scan engages
+  *     only when identity is needed — a plain read of originals keeps the
+  *     pruned columnar path. Originals whose names don't follow the
+  *     `<task>_<attempt>[_copy_N]` contract have no derivable ROW__IDs
+  *     and refuse loudly when identity is asked of them.
   *   - The listing is assumed clean of uncommitted/aborted write ids
   *     (what the cleaner leaves behind); open-transaction snapshot
   *     isolation needs the metastore's txn list, which has no analog
@@ -241,6 +247,22 @@ object AcidOrc {
     }
   }
 
+  /** Driver-side bounded-parallel map for footer metadata fetches (no
+    * scala-parallel-collections dependency). Bound: one wave of ≤16
+    * concurrent reads; total work stays O(inputs), only the latency is
+    * amortized.
+    */
+  private def parallelMap[A, B](in: Seq[A])(f: A => B): Seq[B] = {
+    if (in.size <= 1) return in.map(f)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, in.size))
+    try {
+      val futs = in.map(a => pool.submit(
+        new java.util.concurrent.Callable[B] { def call(): B = f(a) }))
+      futs.map(_.get())
+    } finally pool.shutdown()
+  }
+
   // ------------------------------------------------------ orc-core bridge
 
   /** TypeDescription → Catalyst type (the subset the reference's SerDes
@@ -400,10 +422,13 @@ object AcidOrc {
     // the reference schema is the WIDEST row struct among the scanned
     // directories (the table's current schema after add-columns
     // evolution) — one footer read per distinct base/delta dir, the same
-    // driver metadata cost the reference's split generation pays
-    val fileTd = splits.map(_.file).distinct
+    // driver metadata cost the reference's split generation pays. The
+    // fetches run on a small pool so a thousand-delta uncompacted table
+    // pays max(latency) per 16-dir wave, not sum(latency), at plan time.
+    val dirHeads = splits.map(_.file).distinct
       .groupBy(f => new Path(f).getParent.toString)
-      .map { case (_, fs) => schemaOf(fs.head) }
+      .map { case (_, fs) => fs.head }.toSeq
+    val fileTd = parallelMap(dirHeads)(schemaOf)
       .maxBy { td =>
         if (td.getCategory != TypeDescription.Category.STRUCT) -1
         else {
@@ -496,6 +521,182 @@ object AcidOrc {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  // ------------------------------------------- pre-ACID original files
+
+  /** Original-file name contract (ref ql/io/AcidUtils.java
+    * ORIGINAL_PATTERN / ORIGINAL_PATTERN_COPY): `<task>_<attempt>` with an
+    * optional `_copy_<n>` suffix. The task id IS the logical bucket;
+    * `_copy_N` files continue the same bucket's row numbering after the
+    * base file.
+    */
+  private val OriginalRe = """(\d+)_\d+(?:_copy_(\d+))?""".r
+
+  private case class OrigSplit(file: String, partSub: String, offset: Long,
+      length: Long, encodedBucket: Int, firstRowId: Long)
+
+  /** Positional ROW__ID plan for pre-ACID originals: per (partition,
+    * bucket), files sort base-then-copy_N and rows number 0..n across
+    * them in that order — originalTransaction = 0, bucket = the encoded
+    * task id, rowId = the running offset (ref ql/io/orc/
+    * OrcRawRecordMerger.java:319,342 OriginalReaderPair). Stripe row
+    * counts come from footers read here once per original file (driver
+    * metadata cost bounded by file count, fetched in parallel waves), so
+    * each byte-range split knows its exact first rowId and originals stay
+    * splittable. Returns the splits plus the widest root schema string.
+    */
+  private def originalPlan(spark: SparkSession,
+      files: Seq[(Path, String)]): (Seq[OrigSplit], String) = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val splitBytes = spark.conf.getOption(SplitBytesKey)
+      .map(_.toLong).getOrElse(128L * 1024 * 1024)
+    case class Meta(p: Path, part: String, bucketId: Int, copyN: Int,
+        schema: TypeDescription, stripes: Seq[(Long, Long, Long)])
+    val parsed = files.map { case (p, part) =>
+      p.getName match {
+        case OriginalRe(b, copy) =>
+          (p, part, b.toInt, Option(copy).map(_.toInt).getOrElse(0))
+        case other => throw new IllegalArgumentException(
+          s"pre-ACID original file $other does not follow the " +
+            "<task>_<attempt>[_copy_N] naming positional ROW__IDs derive " +
+            "from; rewrite the table with CONVERT HIVE ACID")
+      }
+    }
+    val metas = parallelMap(parsed) { case (p, part, b, c) =>
+      val reader = OrcFile.createReader(p, OrcFile.readerOptions(hconf))
+      try {
+        import scala.jdk.CollectionConverters._
+        Meta(p, part, b, c, reader.getSchema,
+          reader.getStripes.asScala.toSeq.map(s =>
+            (s.getOffset, s.getLength, s.getNumberOfRows)))
+      } finally reader.close()
+    }
+    val widest = metas.map(_.schema).maxBy(_.getMaximumId)
+    require(widest.getCategory == TypeDescription.Category.STRUCT,
+      s"original file ${metas.head.p} is not struct-rooted ORC")
+    val splits = metas.groupBy(m => (m.part, m.bucketId)).toSeq
+      .sortBy(_._1).flatMap { case ((part, bucketId), group) =>
+        var rowOffset = 0L
+        group.sortBy(m => (m.copyN, m.p.getName)).flatMap { m =>
+          // group stripes into ~splitBytes chunks; ORC's range contract
+          // reads exactly the stripes that START within the range
+          val chunks = scala.collection.mutable.Buffer(
+            scala.collection.mutable.Buffer[(Long, Long, Long)]())
+          var bytes = 0L
+          m.stripes.foreach { s =>
+            if (chunks.last.nonEmpty && bytes + s._2 > splitBytes) {
+              chunks += scala.collection.mutable.Buffer(); bytes = 0L
+            }
+            chunks.last += s; bytes += s._2
+          }
+          chunks.filter(_.nonEmpty).map { ch =>
+            val first = rowOffset
+            rowOffset += ch.map(_._3).sum
+            OrigSplit(m.p.toString, part, ch.head._1,
+              ch.last._1 - ch.head._1 + 1, encodeBucket(bucketId), first)
+          }
+        }
+      }
+    (splits, widest.toString)
+  }
+
+  /** Distributed scan of original files with synthetic ROW__IDs attached:
+    * emits the widest schema's user columns (older files adapt by name,
+    * missing fields NULL) plus `originalTransaction` (always 0), `bucket`,
+    * `rowId` and the partition subpath — the same shape the ACID-side scan
+    * joins deletes against.
+    */
+  private def scanOriginals(spark: SparkSession, splits: Seq[OrigSplit],
+      refSchema: String): DataFrame = {
+    val refTd = TypeDescription.fromString(refSchema)
+    val refStruct = toCatalyst(refTd).asInstanceOf[StructType]
+    val outSchema = StructType(refStruct.fields.toSeq ++ Seq(
+      StructField("originalTransaction", LongType, nullable = false),
+      StructField("bucket", IntegerType, nullable = false),
+      StructField("rowId", LongType, nullable = false),
+      StructField(PartColName, StringType, nullable = false)))
+    val confBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val dos = new java.io.DataOutputStream(bos)
+      spark.sparkContext.hadoopConfiguration.write(dos)
+      dos.close()
+      bos.toByteArray
+    }
+    val bc = spark.sparkContext.broadcast(confBytes)
+    val rdd = spark.sparkContext.parallelize(splits, splits.size).flatMap {
+      case OrigSplit(file, partSub, offset, length, encB, firstRow) =>
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        conf.readFields(new java.io.DataInputStream(
+          new java.io.ByteArrayInputStream(bc.value)))
+        val ref = TypeDescription.fromString(refSchema)
+        val reader = OrcFile.createReader(new Path(file),
+          OrcFile.readerOptions(conf))
+        val td = reader.getSchema
+        val rows = reader.rows(reader.options.schema(td)
+          .range(offset, length))
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            try rows.close() catch { case _: Throwable => () }
+            try reader.close() catch { case _: Throwable => () }
+          })
+        val batch = td.createRowBatch()
+        val names = td.getFieldNames
+        val idx = (0 until names.size()).map(names.get(_)).zipWithIndex.toMap
+        val refNames = ref.getFieldNames
+        val refKids = ref.getChildren
+        val converters: Array[Int => Any] =
+          (0 until refNames.size()).map { i =>
+            idx.get(refNames.get(i)) match {
+              case Some(fi) => adapter(batch.cols(fi), td.getChildren.get(fi),
+                toCatalyst(refKids.get(i)))
+              case None => (_: Int) => null
+            }
+          }.toArray
+        new Iterator[Row] {
+          private var i = 0
+          private var n = 0
+          private var done = false
+          private var rid = firstRow
+          private def advance(): Unit =
+            while (i >= n && !done) {
+              if (rows.nextBatch(batch)) { n = batch.size; i = 0 }
+              else { done = true; rows.close(); reader.close() }
+            }
+          def hasNext: Boolean = { advance(); !done }
+          def next(): Row = {
+            advance()
+            val vals = converters.toSeq.map(_(i))
+            i += 1
+            val out = Row.fromSeq(vals ++ Seq(0L, encB, rid, partSub))
+            rid += 1
+            out
+          }
+        }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Write rows as ONE pre-ACID original file `<task>_0` (or
+    * `<task>_0_copy_<copyN>`) in the table/partition directory — the
+    * upgraded-in-place fixture shape. Same fixture/ingest-scale caveat as
+    * [[appendDelta]]; real originals come from the pre-upgrade warehouse.
+    */
+  def writeOriginal(spark: SparkSession, table: String, df: DataFrame,
+      taskId: Int = 0, copyN: Int = -1): Unit = {
+    val name = f"$taskId%06d_0" +
+      (if (copyN >= 0) s"_copy_$copyN" else "")
+    val target = new Path(table, name)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(target), s"original file collision: $target")
+    val staging = new Path(table, s".graft_staging_orig_$name")
+    df.coalesce(1).write.mode("overwrite").orc(staging.toString)
+    val part = fs.listStatus(staging).map(_.getPath)
+      .find(_.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(
+        s"no part file under $staging"))
+    fs.rename(part, target)
+    fs.delete(staging, true)
+  }
+
   /** The raw event stream of one or more ACID files — the six wrapper
     * columns as-is, no snapshot reconstruction. The debugging/auditing
     * view (what `SELECT ROW__ID, *` shows in the reference).
@@ -568,6 +769,19 @@ object AcidOrc {
       keyed.headOption.getOrElse(Nil)
     }
 
+    // delete events, shared by both sides: delete_delta dirs plus (legacy
+    // mode) op=2 records inline in regular deltas — the re-scan reads only
+    // the id columns off disk (include-columns)
+    val deletes: Option[DataFrame] = {
+      val fromDirs = if (deleteFiles.isEmpty) None
+        else Some(scanAcid(spark, deleteFiles, IdCols))
+      val inline = if (!legacyUpdates || rowFiles.isEmpty) None else Some(
+        scanAcid(spark, rowFiles, "operation" +: IdCols)
+          .where(col("operation") === OpDelete).drop("operation"))
+      val both = fromDirs.toSeq ++ inline
+      if (both.isEmpty) None else Some(both.reduce(_ unionByName _))
+    }
+
     val acidLive: Option[DataFrame] = if (rowFiles.isEmpty) None else {
       val rows = scanAcid(spark, rowFiles,
         if (legacyUpdates) AcidCols
@@ -585,17 +799,6 @@ object AcidOrc {
             .where(col("currentTransaction") === col("_graft_latest"))
             .drop("_graft_latest")
         }
-      val deletes: Option[DataFrame] = {
-        val fromDirs = if (deleteFiles.isEmpty) None
-          else Some(scanAcid(spark, deleteFiles, IdCols))
-        // pre-split layouts put op=2 delete records in regular deltas; the
-        // re-scan reads only the id columns off disk (include-columns)
-        val inline = if (!legacyUpdates) None else Some(
-          scanAcid(spark, rowFiles, "operation" +: IdCols)
-            .where(col("operation") === OpDelete).drop("operation"))
-        val both = fromDirs.toSeq ++ inline
-        if (both.isEmpty) None else Some(both.reduce(_ unionByName _))
-      }
       Some(deletes match {
         case None => live
         case Some(d) => live.join(d,
@@ -619,25 +822,41 @@ object AcidOrc {
     }
 
     val originalSide = if (originalFiles.isEmpty) None else {
-      require(!withIds,
-        s"$table holds pre-ACID original files, which have no " +
-          "reconstructible ROW__IDs; compact the table before using the " +
-          "identity-addressed verbs")
-      if (deleteFiles.nonEmpty) {
-        // deletes against originals are keyed by synthetic positional
-        // ROW__IDs (originalTransaction = 0) we do not reconstruct
-        val zeroTxn = scanAcid(spark, deleteFiles, IdCols)
-          .where(col("originalTransaction") === 0L).limit(1).count()
-        require(zeroTxn == 0L,
-          s"$table has delete events against pre-ACID original files " +
-            "(originalTransaction = 0); compact the table before reading")
+      // deletes against originals key on synthetic positional ROW__IDs
+      // (originalTransaction = 0). Reconstruct them only when identity is
+      // actually needed — identity-addressed verbs, or delete events that
+      // target originals (probed with a 3-column limit-1 scan); a plain
+      // read keeps the pruned columnar path below.
+      val zeroTxnDeletes = deletes.map(
+        _.where(col("originalTransaction") === 0L))
+      val positional = withIds ||
+        zeroTxnDeletes.exists(_.limit(1).count() > 0L)
+      if (positional) {
+        val (osplits, refSchema) = originalPlan(spark,
+          originalFiles.map { case (f, p) => new Path(f) -> p })
+        val scanned = scanOriginals(spark, osplits, refSchema)
+        val lived = zeroTxnDeletes match {
+          case None => scanned
+          case Some(d) => scanned.join(d, IdCols :+ PartColName, "left_anti")
+        }
+        val userCols = scanned.columns.toSeq
+          .filterNot((IdCols :+ PartColName).contains).map(col)
+        val cols =
+          if (!withIds) userCols :+ col(PartColName)
+          else userCols ++ Seq(
+            col("originalTransaction").as("_acid_otid"),
+            col("bucket").as("_acid_bucket"),
+            col("rowId").as("_acid_rowid"),
+            col(PartColName).as("_acid_part"), col(PartColName))
+        Some(withParts(lived.select(cols: _*)))
+      } else {
+        // pre-ACID files lack the wrapper columns, so orc-core's acid
+        // detection never fires — the ordinary pruned columnar read applies
+        Some(withParts(spark.read.orc(originalFiles.map(_._1): _*)
+          .withColumn(PartColName,
+            regexp_extract(input_file_name(),
+              "/((?:[^/=]+=[^/]+/)*)[^/]*$", 1))))
       }
-      // pre-ACID files lack the wrapper columns, so orc-core's acid
-      // detection never fires — the ordinary pruned columnar read applies
-      Some(withParts(spark.read.orc(originalFiles.map(_._1): _*)
-        .withColumn(PartColName,
-          regexp_extract(input_file_name(),
-            "/((?:[^/=]+=[^/]+/)*)[^/]*$", 1))))
     }
 
     (acidSide, originalSide) match {
@@ -711,7 +930,8 @@ object AcidOrc {
     try {
       val n = ids.count()
       if (n == 0) return 0L
-      val w = maxWriteId(spark, table) + 1
+      // floor 1: write id 0 is the originals' reserved transaction
+      val w = math.max(maxWriteId(spark, table) + 1, 1L)
       // driver rows bounded by the affected PARTITION count, not data
       val parts = ids.select(col("_acid_part")).distinct()
         .collect().map(_.getString(0))
@@ -745,7 +965,8 @@ object AcidOrc {
         .filterNot(idCols.contains).filterNot(partCols.contains)
       require(set.keys.forall(stored.contains),
         s"unknown columns: ${set.keySet -- stored}")
-      val w = maxWriteId(spark, table) + 1
+      // floor 1: write id 0 is the originals' reserved transaction
+      val w = math.max(maxWriteId(spark, table) + 1, 1L)
       // driver rows bounded by the affected PARTITION count, not data
       val parts = affected.select(col("_acid_part")).distinct()
         .collect().map(_.getString(0))
@@ -776,10 +997,8 @@ object AcidOrc {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val states = walk(fs, root, "")
-    require(!states.exists(_.originals.nonEmpty),
-      s"$table holds pre-ACID original files with no ROW__IDs to " +
-        "preserve; rewrite them with CONVERT HIVE ACID (or the " +
-        "reference's compactor) instead")
+    // originals fold in too: readWithIds reconstructs their positional
+    // ROW__IDs (originalTransaction = 0), which the base then stores
     // no-op when the head base already covers everything
     val already = states.forall(s =>
       s.deleteDirs.isEmpty &&
@@ -861,6 +1080,8 @@ object AcidOrc {
     */
   def appendDelta(spark: SparkSession, table: String, writeId: Long,
       df: DataFrame, buckets: Int = 1): Unit = {
+    require(writeId >= 1L,
+      "write id 0 is reserved for pre-ACID originals' synthetic ROW__IDs")
     import org.apache.spark.sql.expressions.Window
     val cols = df.columns.map(col)
     val bucketed = df

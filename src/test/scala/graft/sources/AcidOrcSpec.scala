@@ -149,38 +149,74 @@ class AcidOrcSpec extends SparkSpec {
     assert(v2 === 2L)
   }
 
-  test("deletes against pre-ACID originals are refused, plain originals " +
-      "read fine") {
+  test("deletes against pre-ACID originals apply via positional ROW__IDs " +
+      "(copy-file continuation, per-bucket numbering)") {
     val dir = scratch()
     import spark.implicits._
-    // originals: a bare ORC file in the table dir (upgraded table)
-    val staging = java.nio.file.Files.createTempDirectory("acid_orig_")
-      .toString
-    Seq((1L, "x"), (2L, "y")).toDF("k", "s")
-      .coalesce(1).write.mode("overwrite").orc(staging)
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
-    val part = fs.listStatus(new org.apache.hadoop.fs.Path(staging))
-      .map(_.getPath).find(_.getName.startsWith("part-")).get
-    fs.rename(part, new org.apache.hadoop.fs.Path(dir, "000000_0"))
-    assert(AcidOrc.read(spark, dir).count() === 2)
+    // originals: upgraded-in-place table — bucket 0 is a base file plus a
+    // _copy_1 continuation, bucket 1 is its own file
+    AcidOrc.writeOriginal(spark, dir,
+      Seq((1L, "x"), (2L, "y")).toDF("k", "s"))
+    AcidOrc.writeOriginal(spark, dir,
+      Seq((10L, "p"), (11L, "q")).toDF("k", "s"), copyN = 1)
+    AcidOrc.writeOriginal(spark, dir,
+      Seq((20L, "r")).toDF("k", "s"), taskId = 1)
+    assert(AcidOrc.read(spark, dir).count() === 5)
     // an insert delta alongside originals unions in
     AcidOrc.appendDelta(spark, dir, 3L, Seq((3L, "z")).toDF("k", "s"))
-    assert(AcidOrc.read(spark, dir).count() === 3)
-    // a delete event with originalTransaction = 0 targets the originals
+    assert(AcidOrc.read(spark, dir).count() === 6)
+    // identity surface: originals expose otid=0 and the reference's
+    // numbering — bucket 0 rows 0,1 in 000000_0 then 2,3 in _copy_1;
+    // bucket 1 restarts at 0
+    val ids = AcidOrc.readWithIds(spark, dir)
+      .where(col("_acid_otid") === 0L)
+      .select(col("k"), col("_acid_bucket"), col("_acid_rowid")).collect()
+      .map(r => r.getLong(0) ->
+        (AcidOrc.decodeBucketId(r.getInt(1)), r.getLong(2))).toMap
+    assert(ids === Map(1L -> (0, 0L), 2L -> (0, 1L), 10L -> (0, 2L),
+      11L -> (0, 3L), 20L -> (1, 0L)))
+    // delete events with originalTransaction = 0 hit exactly those rows:
+    // bucket 0 rowId 0 (k=1), bucket 0 rowId 3 (k=11, inside the copy
+    // file), bucket 1 rowId 0 (k=20)
     AcidOrc.appendDeleteDelta(spark, dir, 4L,
-      Seq((0L, AcidOrc.encodeBucket(0), 0L))
+      Seq((0L, AcidOrc.encodeBucket(0), 0L),
+        (0L, AcidOrc.encodeBucket(0), 3L),
+        (0L, AcidOrc.encodeBucket(1), 0L))
         .toDF("originalTransaction", "bucket", "rowId"))
+    assert(AcidOrc.read(spark, dir).orderBy(col("k"))
+      .select(col("k")).as[Long].collect().toSeq === Seq(2L, 3L, 10L))
+    // the write verbs work on originals-bearing tables
+    assert(AcidOrc.deleteWhere(spark, dir, col("k") === 10L) === 1L)
+    assert(AcidOrc.updateWhere(spark, dir, col("k") === 2L,
+      Map("s" -> lit("Y"))) === 1L)
+    val afterVerbs = AcidOrc.read(spark, dir).orderBy(col("k")).collect()
+    assert(afterVerbs.map(_.getLong(0)).toSeq === Seq(2L, 3L))
+    assert(afterVerbs.head.getString(1) === "Y")
+    // compaction folds originals + deltas into a base, ROW__IDs preserved
+    AcidOrc.compact(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).sorted.toSeq
+    assert(names.forall(_.startsWith("base_")), names.mkString(","))
+    assert(AcidOrc.read(spark, dir).orderBy(col("k"))
+      .select(col("k")).as[Long].collect().toSeq === Seq(2L, 3L))
+    // a non-conforming original name refuses loudly when identity is
+    // asked, but still reads via the columnar path
+    val dir2 = scratch()
+    val staging = java.nio.file.Files.createTempDirectory("acid_orig_")
+      .toString
+    Seq((1L, "x")).toDF("k", "s").coalesce(1).write.mode("overwrite")
+      .orc(staging)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir2))
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(staging))
+      .map(_.getPath).find(_.getName.startsWith("part-")).get
+    fs.rename(part, new org.apache.hadoop.fs.Path(dir2, "weird.orc"))
+    assert(AcidOrc.read(spark, dir2).count() === 1)
     val e = intercept[IllegalArgumentException] {
-      AcidOrc.read(spark, dir).count()
+      AcidOrc.readWithIds(spark, dir2).count()
     }
-    assert(e.getMessage.contains("pre-ACID original"))
-    // compaction cannot preserve ids originals never had — points at CONVERT
-    val c = intercept[IllegalArgumentException] {
-      AcidOrc.compact(spark, dir)
-    }
-    assert(c.getMessage.contains("CONVERT HIVE ACID"))
+    assert(e.getMessage.contains("CONVERT HIVE ACID"))
   }
 
   test("CONVERT HIVE ACID ... TO SNAPSHOT migrates layout and registers " +
@@ -360,7 +396,19 @@ class AcidOrcSpec extends SparkSpec {
     val dir = scratch()
     val model = scala.collection.mutable.Map[Long, Double]()
     var nextKey = 0L
-    def nextW() = AcidOrc.maxWriteId(spark, dir) + 1
+    def nextW() = math.max(AcidOrc.maxWriteId(spark, dir) + 1, 1L)
+    // seed: an upgraded-in-place warehouse — pre-ACID originals (one a
+    // _copy_ continuation, one a second bucket) that every later delete/
+    // update/compact must address through positional ROW__IDs
+    val seed = (0 until 7).map { _ =>
+      nextKey += 1; (nextKey, rnd.nextInt(100).toDouble)
+    }
+    AcidOrc.writeOriginal(spark, dir, seed.take(3).toDF("k", "v"))
+    AcidOrc.writeOriginal(spark, dir, seed.slice(3, 5).toDF("k", "v"),
+      copyN = 1)
+    AcidOrc.writeOriginal(spark, dir, seed.drop(5).toDF("k", "v"),
+      taskId = 1)
+    seed.foreach { case (k, v) => model(k) = v }
     def randomOp(i: Int): String =
       if (model.isEmpty || i == 0) "append"
       else rnd.nextInt(10) match {
