@@ -402,5 +402,40 @@ object SnapshotQueries {
         .groupBy($"o_orderstatus")
         .agg(count(lit(1)).as("n"), Exact.dsum($"o_totalprice").as("total"))
         .orderBy($"o_orderstatus")
+    },
+
+    // CDC-shaped incremental ACID consumption: delete commits in the
+    // write-id range emit full PRE-IMAGE retraction rows tagged
+    // _change_type='delete' (ids resolved against the deletes-not-applied
+    // snapshot), inserts tag 'insert' — mirroring the snapshot tables'
+    // CDC surface. The delete targets %6=3 rows, which live in delta_1_1
+    // (outside the consumed insert range, %6=3 implies %3=0), so the
+    // oracle replays the change set as two plain predicates.
+    q("s40_hive_acid_cdc",
+      """SELECT o_orderstatus, _change_type, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS total
+        |FROM (
+        |  SELECT o_orderstatus, o_totalprice, 'insert' AS _change_type
+        |  FROM orders WHERE o_orderkey % 3 IN (1, 2)
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice, 'delete' AS _change_type
+        |  FROM orders WHERE o_orderkey % 6 = 3
+        |) changes
+        |GROUP BY o_orderstatus, _change_type
+        |ORDER BY o_orderstatus, _change_type""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import graft.sources.AcidOrc
+      val orders = Engine.table(spark, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      val root = scratch()
+      AcidOrc.appendDelta(spark, root, 1L, orders.where($"o_orderkey" % 3 === 0))
+      AcidOrc.appendDelta(spark, root, 2L, orders.where($"o_orderkey" % 3 === 1))
+      AcidOrc.deleteWhere(spark, root, $"o_orderkey" % 6 === 3) // write id 3
+      AcidOrc.appendDelta(spark, root, 4L, orders.where($"o_orderkey" % 3 === 2))
+      AcidOrc.readChanges(spark, root, fromWriteId = 1L, toWriteId = 4L,
+        withChangeType = true)
+        .groupBy($"o_orderstatus", $"_change_type")
+        .agg(count(lit(1)).as("n"), Exact.dsum($"o_totalprice").as("total"))
+        .orderBy($"o_orderstatus", $"_change_type")
     })
 }

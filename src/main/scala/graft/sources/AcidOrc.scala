@@ -171,19 +171,19 @@ object AcidOrc {
     */
   private def changedDirs(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
       partSub: String, fromW: Long,
-      toW: Long): Seq[(String, Seq[Path], Boolean)] = {
+      toW: Long): Seq[(String, Seq[Path], Seq[Path])] = {
     val children = fs.listStatus(dir).toSeq.filter(_.isDirectory)
     val named = children.map(d => d.getPath.getName -> d.getPath)
     def inRange(m: Long, n: Long) = m > fromW && n <= toW
     val rows = named.collect {
       case (DeltaRe(m, n), p) if inRange(m.toLong, n.toLong) => p }
-    val dels = named.exists {
-      case (DeleteRe(m, n), _) => inRange(m.toLong, n.toLong)
-      case _ => false }
+    val dels = named.collect {
+      case (DeleteRe(m, n), p) if inRange(m.toLong, n.toLong) => p }
     val partDirs = named.filter { case (n, _) =>
       !hidden(n) && n.contains("=") && BaseRe.unapplySeq(n).isEmpty &&
         DeltaRe.unapplySeq(n).isEmpty && DeleteRe.unapplySeq(n).isEmpty }
-    val here = if (rows.nonEmpty || dels) Seq((partSub, rows, dels)) else Nil
+    val here =
+      if (rows.nonEmpty || dels.nonEmpty) Seq((partSub, rows, dels)) else Nil
     here ++ partDirs.flatMap { case (n, p) =>
       changedDirs(fs, p, partSub + n + "/", fromW, toW) }
   }
@@ -737,12 +737,13 @@ object AcidOrc {
     * with pre-ACID originals (no reconstructible identity).
     */
   def readWithIds(spark: SparkSession, table: String,
-      legacyUpdates: Boolean = false): DataFrame =
-    readInternal(spark, table, legacyUpdates, Long.MaxValue, withIds = true)
+      legacyUpdates: Boolean = false,
+      maxWriteId: Long = Long.MaxValue): DataFrame =
+    readInternal(spark, table, legacyUpdates, maxWriteId, withIds = true)
 
   private def readInternal(spark: SparkSession, table: String,
       legacyUpdates: Boolean, maxWriteId: Long,
-      withIds: Boolean): DataFrame = {
+      withIds: Boolean, applyDeletes: Boolean = true): DataFrame = {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root), s"ACID table directory not found: $table")
@@ -801,8 +802,9 @@ object AcidOrc {
         }
       Some(deletes match {
         case None => live
-        case Some(d) => live.join(d,
+        case Some(d) if applyDeletes => live.join(d,
           IdCols :+ PartColName, "left_anti")
+        case Some(_) => live // CDC pre-image read: deletes resolved upstream
       })
     }
 
@@ -836,8 +838,9 @@ object AcidOrc {
           originalFiles.map { case (f, p) => new Path(f) -> p })
         val scanned = scanOriginals(spark, osplits, refSchema)
         val lived = zeroTxnDeletes match {
-          case None => scanned
-          case Some(d) => scanned.join(d, IdCols :+ PartColName, "left_anti")
+          case Some(d) if applyDeletes =>
+            scanned.join(d, IdCols :+ PartColName, "left_anti")
+          case _ => scanned
         }
         val userCols = scanned.columns.toSeq
           .filterNot((IdCols :+ PartColName).contains).map(col)
@@ -872,35 +875,85 @@ object AcidOrc {
     * `acid-stream` source. Compaction spans straddling fromWriteId emit
     * nothing (data-identical). Delete events arriving in the range fail
     * the read unless `ignoreDeletes` (the table-format streaming
-    * contract: a consumer must opt into missing retractions).
+    * contract: a consumer must opt into missing retractions) or
+    * `withChangeType` — then the read is CDC-shaped, mirroring the
+    * snapshot tables' change surface: every row carries `_change_type`
+    * (`insert` | `delete`) and `_commit_writeid`, and delete events
+    * resolve to their full pre-images by joining the in-range ROW__IDs
+    * against the deletes-not-applied snapshot at `toWriteId` (a
+    * distributed equi-join on the id triple + partition; each ROW__ID is
+    * deleted at most once, so the join is 1:1).
     */
   def readChanges(spark: SparkSession, table: String, fromWriteId: Long,
-      toWriteId: Long, ignoreDeletes: Boolean = false): DataFrame = {
+      toWriteId: Long, ignoreDeletes: Boolean = false,
+      withChangeType: Boolean = false): DataFrame = {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root), s"ACID table directory not found: $table")
     val changed = changedDirs(fs, root, "", fromWriteId, toWriteId)
-    require(ignoreDeletes || !changed.exists(_._3),
+    require(withChangeType || ignoreDeletes || changed.forall(_._3.isEmpty),
       s"ACID table $table received delete events in write-id range " +
         s"($fromWriteId, $toWriteId]; set ignoreDeletes=true to stream " +
-        "inserts only")
+        "inserts only, or withChangeType=true for CDC-shaped retractions")
     val rowSplits = splitsOf(spark, changed.flatMap { case (part, dirs, _) =>
       dirs.flatMap(bucketFiles(fs, _)).map { case (f, len) =>
         (f, len, part) }
     })
+    val delSplits = if (!withChangeType) Nil
+      else splitsOf(spark, changed.flatMap { case (part, _, dels) =>
+        dels.flatMap(bucketFiles(fs, _)).map { case (f, len) =>
+          (f, len, part) }
+      })
+    def tagged(df: DataFrame) = df
+      .withColumn("_change_type", lit("insert"))
+      .withColumn("_commit_writeid", lit(-1L))
     // empty range: a schema-correct empty frame off the current layout
-    if (rowSplits.isEmpty)
-      return read(spark, table, maxWriteId = toWriteId).limit(0)
+    if (rowSplits.isEmpty && delSplits.isEmpty) {
+      val empty = read(spark, table, maxWriteId = toWriteId).limit(0)
+      return if (withChangeType) tagged(empty) else empty
+    }
     val partCols: Seq[String] = {
       val keyed = changed.map(_._1).filter(_.nonEmpty)
         .map(_.split("/").toSeq.map(_.split("=", 2)(0)))
       keyed.headOption.getOrElse(Nil)
     }
-    val rows = scanAcid(spark, rowSplits, Seq("row"))
-    partCols.foldLeft(rows.select(col("row.*"), col(PartColName))) {
-      (d, k) => d.withColumn(k, regexp_extract(col(PartColName),
-        java.util.regex.Pattern.quote(k) + "=([^/]+)", 1))
-    }.drop(PartColName)
+    def withParts(df: DataFrame): DataFrame =
+      partCols.foldLeft(df) { (d, k) =>
+        d.withColumn(k, regexp_extract(col(PartColName),
+          java.util.regex.Pattern.quote(k) + "=([^/]+)", 1))
+      }.drop(PartColName)
+    if (!withChangeType) {
+      if (rowSplits.isEmpty)
+        return read(spark, table, maxWriteId = toWriteId).limit(0)
+      val rows = scanAcid(spark, rowSplits, Seq("row"))
+      return withParts(rows.select(col("row.*"), col(PartColName)))
+    }
+    // CDC shape: inserts carry their own write id; deletes resolve ids →
+    // pre-images against the deletes-not-applied snapshot at toWriteId
+    val inserts: Option[DataFrame] = if (rowSplits.isEmpty) None else {
+      val rows = scanAcid(spark, rowSplits,
+        Seq("originalTransaction", "row"))
+      Some(withParts(rows.select(col("row.*"), col(PartColName),
+        lit("insert").as("_change_type"),
+        col("originalTransaction").as("_commit_writeid"))))
+    }
+    val deleted: Option[DataFrame] = if (delSplits.isEmpty) None else {
+      val events = scanAcid(spark, delSplits, IdCols :+ "currentTransaction")
+      val all = readInternal(spark, table, legacyUpdates = false,
+        maxWriteId = toWriteId, withIds = true, applyDeletes = false)
+      val joined = all.join(events,
+        all("_acid_otid") === events("originalTransaction") &&
+          all("_acid_bucket") === events("bucket") &&
+          all("_acid_rowid") === events("rowId") &&
+          all("_acid_part") === events(PartColName))
+      val userCols = all.columns.toSeq.filterNot(Seq("_acid_otid",
+        "_acid_bucket", "_acid_rowid", "_acid_part").contains)
+      Some(joined.select(userCols.map(all(_)) ++ Seq(
+        lit("delete").as("_change_type"),
+        events("currentTransaction").as("_commit_writeid")): _*))
+    }
+    (inserts.toSeq ++ deleted)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   // --------------------------------------------------------- write verbs
@@ -1035,6 +1088,58 @@ object AcidOrc {
       }
       if (clean) cleanObsolete(spark, table)
     } finally live.unpersist()
+  }
+
+  /** Minor compaction: per partition, fold the raw insert deltas above
+    * the head base into ONE `delta_min_max` (and the delete_deltas into
+    * one `delete_delta_min_max`) WITHOUT rewriting the base — the
+    * reference's delta-only fold (ref ql/txn/compactor/
+    * CompactionQueryBuilderForMinor.java). Delta files STORE their
+    * ROW__IDs (they are positional only for originals), so the fold
+    * preserves identity by construction; events copy verbatim, including
+    * legacy op=1/op=2 records. On a table with a fat base and trickle
+    * deltas this is O(deltas), where major compaction is a full rewrite.
+    * The fold is data-identical, so `acid-stream` offsets never move, and
+    * a fold left uncleaned is shadowed by widest-range-wins anyway.
+    */
+  def compactMinor(spark: SparkSession, table: String,
+      clean: Boolean = true): Unit = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    def foldSide(partSub: String, dirs: Seq[Path], isDelete: Boolean): Unit = {
+      val ranged = dirs.flatMap(p => p.getName match {
+        case DeltaRe(m, n) if !isDelete => Some(Range(m.toLong, n.toLong, p))
+        case DeleteRe(m, n) if isDelete => Some(Range(m.toLong, n.toLong, p))
+        case _ => None
+      })
+      if (ranged.size < 2) return // nothing to fold on this side
+      val (mn, mx) = (ranged.map(_.min).min, ranged.map(_.max).max)
+      val splits = splitsOf(spark,
+        ranged.flatMap(r => bucketFiles(fs, r.dir))
+          .map { case (f, len) => (f, len, partSub) })
+      // delete_delta files carry no `row` payload
+      val cols = if (isDelete) AcidCols.filterNot(_ == "row") else AcidCols
+      val events = scanAcid(spark, splits, cols).drop(PartColName)
+        .orderBy(col("originalTransaction"), col("bucket"), col("rowId"))
+      val decoded = shiftright(col("bucket"), 16).bitwiseAND(lit(0xfff))
+      val nBuckets = events.agg(max(decoded)).head() match {
+        case r if r.isNullAt(0) => 1
+        case r => r.getInt(0) + 1
+      }
+      val prefix = if (isDelete) "delete_delta" else "delta"
+      writeAcidFiles(spark, partDir(table, partSub), s"${prefix}_${mn}_$mx",
+        events.withColumn("_graft_bucket_id", decoded)
+          .withColumn("_graft_encoded", col("bucket")).drop("bucket"),
+        nBuckets, encodedCol = Some("_graft_encoded"))
+      if (clean) ranged.foreach(r => fs.delete(r.dir, true))
+    }
+    walk(fs, root, "").foreach { s =>
+      foldSide(s.partSub,
+        s.rowDirs.filter(p => DeltaRe.unapplySeq(p.getName).isDefined),
+        isDelete = false)
+      foldSide(s.partSub, s.deleteDirs, isDelete = true)
+    }
   }
 
   /** Cleaner: remove base/delta/delete_delta dirs (and pre-ACID original

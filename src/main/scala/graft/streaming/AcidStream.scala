@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.sources.AcidOrc
 
@@ -29,6 +29,11 @@ import graft.sources.AcidOrc
   *   - `ignoreDeletes` (false): skip delete_delta commits instead of
   *     failing the stream (downstream then misses retractions — the
   *     standard table-format streaming opt-in).
+  *   - `withChangeType` (false): CDC shape mirroring the snapshot CDC
+  *     surface — every row carries `_change_type` (`insert` | `delete`)
+  *     and `_commit_writeid`; delete commits arrive as full pre-image
+  *     retraction rows instead of failing the stream. The first batch is
+  *     the snapshot, all `insert`, with each row's inserting write id.
   *
   * Compaction spans straddling consumed ids emit nothing (data-identical).
   * The schema is fixed at query start; columns added to the table
@@ -45,26 +50,42 @@ class AcidSourceProvider extends StreamSourceProvider with DataSourceRegister {
       throw new IllegalArgumentException(
         "acid-stream needs .load(<acid table dir>) or option 'table'")))
 
+  private def cdcOf(parameters: Map[String, String]): Boolean =
+    parameters.get("withChangeType").exists(_.toBoolean)
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): (String, StructType) =
+      parameters: Map[String, String]): (String, StructType) = {
+    val base =
+      AcidOrc.read(sqlContext.sparkSession, rootOf(parameters)).schema
     (shortName(),
-      AcidOrc.read(sqlContext.sparkSession, rootOf(parameters)).schema)
+      if (!cdcOf(parameters)) base
+      else StructType(base.fields.toSeq ++ Seq(
+        StructField("_change_type", StringType, nullable = false),
+        StructField("_commit_writeid", LongType, nullable = false))))
+  }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new AcidStreamSource(sqlContext.sparkSession, rootOf(parameters),
-      ignoreDeletes = parameters.get("ignoreDeletes").exists(_.toBoolean))
+      ignoreDeletes = parameters.get("ignoreDeletes").exists(_.toBoolean),
+      withChangeType = cdcOf(parameters))
 }
 
 /** See [[AcidSourceProvider]]. Offset N = "write ids up to and including N
   * have been emitted".
   */
 class AcidStreamSource(spark: SparkSession, root: String,
-    ignoreDeletes: Boolean) extends Source {
+    ignoreDeletes: Boolean, withChangeType: Boolean = false) extends Source {
 
-  override val schema: StructType = AcidOrc.read(spark, root).schema
+  override val schema: StructType = {
+    val base = AcidOrc.read(spark, root).schema
+    if (!withChangeType) base
+    else StructType(base.fields.toSeq ++ Seq(
+      StructField("_change_type", StringType, nullable = false),
+      StructField("_commit_writeid", LongType, nullable = false)))
+  }
 
   override def getOffset: Option[V1Offset] = {
     val w = AcidOrc.maxWriteId(spark, root)
@@ -88,11 +109,20 @@ class AcidStreamSource(spark: SparkSession, root: String,
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val batch = start match {
+      case None if withChangeType =>
+        // CDC first batch: the snapshot, all inserts, each row carrying
+        // the write id that inserted it (originals: the reserved id 0)
+        val ids = AcidOrc.readWithIds(spark, root,
+          maxWriteId = widOf(end))
+        align(ids
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_writeid", col("_acid_otid"))
+          .drop("_acid_otid", "_acid_bucket", "_acid_rowid", "_acid_part"))
       case None =>
         align(AcidOrc.read(spark, root, maxWriteId = widOf(end)))
       case Some(s) =>
         align(AcidOrc.readChanges(spark, root, widOf(s), widOf(end),
-          ignoreDeletes))
+          ignoreDeletes, withChangeType))
     }
     // V1 Source contract: the returned frame must be streaming-tagged
     org.apache.spark.sql.GraftShims.asStreamingFrame(spark, batch)

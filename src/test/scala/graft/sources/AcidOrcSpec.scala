@@ -365,6 +365,49 @@ class AcidOrcSpec extends SparkSpec {
       .select(col("v")).head().getDouble(0) === -1.0)
   }
 
+  test("minor compaction folds deltas (and delete_deltas) without " +
+      "touching the base; reconstruction and ROW__IDs identical") {
+    val dir = scratch()
+    import spark.implicits._
+    // base_2 + five trickle deltas + two delete_deltas
+    AcidOrc.appendDelta(spark, dir, 2L,
+      (0 until 40).map(i => (i.toLong, i * 1.0)).toDF("k", "v"), buckets = 2)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(dir, "delta_2_2"),
+      new org.apache.hadoop.fs.Path(dir, "base_2"))
+    (3L to 7L).foreach { w =>
+      AcidOrc.appendDelta(spark, dir, w,
+        Seq((100 + w, w * 10.0)).toDF("k", "v"), buckets = 2)
+    }
+    AcidOrc.deleteWhere(spark, dir, col("k") % 10 === 3) // delete_delta_8_8
+    AcidOrc.deleteWhere(spark, dir, col("k") === 104L)   // delete_delta_9_9
+    val before = AcidOrc.readWithIds(spark, dir)
+      .select(col("k"), col("v"), col("_acid_otid"), col("_acid_bucket"),
+        col("_acid_rowid")).collect().map(_.toSeq).toSet
+    val baseFile = new org.apache.hadoop.fs.Path(dir, "base_2/bucket_00000")
+    val baseStamp = (fs.getFileStatus(baseFile).getLen,
+      fs.getFileStatus(baseFile).getModificationTime)
+    AcidOrc.compactMinor(spark, dir)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).sorted.toSeq
+    assert(names === Seq("base_2", "delete_delta_8_9", "delta_3_7"), names)
+    // base untouched byte-for-byte (same length, same mtime — never rewritten)
+    assert((fs.getFileStatus(baseFile).getLen,
+      fs.getFileStatus(baseFile).getModificationTime) === baseStamp)
+    val after = AcidOrc.readWithIds(spark, dir)
+      .select(col("k"), col("v"), col("_acid_otid"), col("_acid_bucket"),
+        col("_acid_rowid")).collect().map(_.toSeq).toSet
+    assert(after === before, "minor compaction must be data-identical")
+    // the folded delta still answers incremental consumption for a range
+    // fully inside it, and straddling folds stay silent
+    assert(AcidOrc.readChanges(spark, dir, 2L, 7L).count() === 5)
+    assert(AcidOrc.readChanges(spark, dir, 5L, 7L).count() === 0)
+    // a second minor compact is a no-op (one dir per side)
+    AcidOrc.compactMinor(spark, dir)
+    assert(AcidOrc.read(spark, dir).collect().length === after.size)
+  }
+
   test("hive_acid_ids TVF surfaces ROW__ID (writeid, bucketid, rowid)") {
     val dir = scratch()
     buildTable(dir)
@@ -415,6 +458,7 @@ class AcidOrcSpec extends SparkSpec {
         case 0 | 1 | 2 | 3 => "append"
         case 4 | 5 => "delete"
         case 6 | 7 => "update"
+        case 8 => "minor"
         case _ => "compact"
       }
     (0 until 14).foreach { i =>
@@ -444,6 +488,8 @@ class AcidOrcSpec extends SparkSpec {
           val hit = model.keys.filter(_ % p == r).toSeq
           assert(n === hit.size.toLong, s"op $i update count")
           hit.foreach(model(_) = nv)
+        case "minor" =>
+          AcidOrc.compactMinor(spark, dir, clean = rnd.nextBoolean())
         case "compact" =>
           AcidOrc.compact(spark, dir, clean = rnd.nextBoolean())
       }

@@ -96,6 +96,42 @@ class AcidStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("withChangeType: delete commits arrive as full pre-image " +
+      "retraction rows; inserts carry their write id") {
+    import spark.implicits._
+    val root = freshRoot()
+    AcidOrc.appendDelta(spark, root, 1L, nums(0, 5))
+    val q = Streams.drainToMemory(
+      spark.readStream.format("acid-stream")
+        .option("withChangeType", "true").load(root), "acidstream_cdc")
+    try {
+      // first batch: the snapshot, all inserts, tagged with write id 1
+      val first = spark.table("acidstream_cdc")
+      assert(first.columns.toSeq ===
+        Seq("id", "s", "_change_type", "_commit_writeid"))
+      assert(first.count() === 5)
+      assert(first.where($"_change_type" === "insert" &&
+        $"_commit_writeid" === 1L).count() === 5)
+      // a delete commit arrives as retraction rows WITH the row images
+      assert(AcidOrc.deleteWhere(spark, root, $"id" < 2) === 2L)
+      q.processAllAvailable()
+      val dels = spark.table("acidstream_cdc")
+        .where($"_change_type" === "delete").orderBy($"id").collect()
+      assert(dels.map(_.getLong(0)).toSeq === Seq(0L, 1L))
+      assert(dels.map(_.getString(1)).toSeq === Seq("row0", "row1"))
+      assert(dels.forall(_.getLong(3) === 2L)) // the deleting write id
+      // a mixed batch: one insert commit + one delete commit
+      AcidOrc.appendDelta(spark, root, 3L, nums(5, 7))
+      assert(AcidOrc.deleteWhere(spark, root, $"id" === 3L) === 1L)
+      q.processAllAvailable()
+      val all = spark.table("acidstream_cdc")
+      assert(all.where($"_change_type" === "insert").count() === 7)
+      assert(all.where($"_change_type" === "delete").count() === 3)
+      assert(all.where($"_change_type" === "delete" && $"id" === 3L)
+        .select($"_commit_writeid").head.getLong(0) === 4L)
+    } finally q.stop()
+  }
+
   test("compaction spans over consumed ids emit nothing") {
     val root = freshRoot()
     AcidOrc.appendDelta(spark, root, 1L, nums(0, 5))
