@@ -39,9 +39,15 @@ private[plans] class SnapshotFileIndex(qualifiedRoot: org.apache.hadoop.fs.Path,
 
   override def rootPaths: Seq[org.apache.hadoop.fs.Path] = Seq(qualifiedRoot)
 
+  // identity partition columns only: transform fields (day(ts) → ts_day)
+  // are not table columns — their dirs prune through Pruning's transform
+  // mapping on the SOURCE column, not via partition-row binding
+  private val idPartCols: Seq[String] =
+    m.partitionCols.filter(c => schema.fields.exists(_.name == c))
+
   override val partitionSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(
-      m.partitionCols.flatMap(c => schema.fields.find(_.name == c)))
+      idPartCols.flatMap(c => schema.fields.find(_.name == c)))
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
@@ -53,7 +59,7 @@ private[plans] class SnapshotFileIndex(qualifiedRoot: org.apache.hadoop.fs.Path,
     val kept = bloomPrune(m.files.filter(f => dataFilters.forall(c =>
       Pruning.mayMatch(f, m.stats.get(f), m.partitionCols, schema, c))),
       dataFilters)
-    if (m.partitionCols.isEmpty)
+    if (idPartCols.isEmpty)
       Seq(PartitionDirectory(InternalRow.empty, kept.map(statuses).toArray))
     else {
       val groups = kept.groupBy(partTuple).toSeq
@@ -82,7 +88,7 @@ private[plans] class SnapshotFileIndex(qualifiedRoot: org.apache.hadoop.fs.Path,
     * partition), in partitionSchema order.
     */
   private def partTuple(file: String): Seq[String] =
-    m.partitionCols.map { c =>
+    idPartCols.map { c =>
       file.split('/').find(_.startsWith(c + "=")).map(seg =>
         Pruning.unescape(seg.substring(c.length + 1))) match {
         case Some("__HIVE_DEFAULT_PARTITION__") | None => null
@@ -131,8 +137,19 @@ private[plans] object Pruning {
   private def attrName(e: Expression): Option[String] = e match {
     case a: UnresolvedAttribute => Some(a.name)
     case a: AttributeReference => Some(a.name)
+    // the engine pins the session to UTC (Engine.configure), where
+    // TIMESTAMP <-> TIMESTAMP_NTZ casts are value-identity on the shared
+    // epoch-micros representation — the analyzer wraps the ATTRIBUTE in
+    // such a cast when a TIMESTAMP literal meets an NTZ column, and
+    // pruning may safely see through it
+    case c: Cast if tsPair(c.dataType, c.child.dataType) =>
+      attrName(c.child)
     case _ => None
   }
+
+  private def tsPair(a: DataType, b: DataType): Boolean =
+    (a == TimestampType || a == TimestampNTZType) &&
+      (b == TimestampType || b == TimestampNTZType)
 
   /** Literal, possibly behind the analyzer's inserted (foldable) cast —
     * folded driver-side so `price > 200000` prunes even though the int
@@ -207,30 +224,70 @@ private[plans] object Pruning {
       case o => o
     }
 
+    // transform-partitioned dirs (day(ts) → ts_day=...): a predicate on
+    // the SOURCE column additionally prunes through the dir value's
+    // implied source range (time/trunc) or a replayed hash (bucket =).
+    // Composes with the direct/stats check above — per-dir bounds AND
+    // per-file stats must both admit the file.
+    def transformCheck(name: String, op: String, l: Literal): Boolean =
+      dtOf(name) match {
+        case None => true
+        case Some(dt) =>
+          file.split('/').filter(_.indexOf('=') > 0).forall { seg =>
+            val k = seg.substring(0, seg.indexOf('='))
+            val raw = unescape(seg.substring(seg.indexOf('=') + 1))
+            if (raw == "__HIVE_DEFAULT_PARTITION__") true
+            else PartitionTransforms.fromDirName(k,
+                c => schema.fields.exists(_.name == c)) match {
+              case Some(sp) if sp.src == name && sp.kind == "bucket" =>
+                op != "=" || PartitionTransforms.bucketMayMatch(sp, raw, l, dt)
+              case Some(sp) if sp.src == name =>
+                PartitionTransforms.sourceRange(sp, raw, dt) match {
+                  case Some((mnS, mxS)) =>
+                    (for {
+                      v <- litKey(l, dt)
+                      mn <- key(dt, mnS)
+                      mx <- key(dt, mxS)
+                    } yield op match {
+                      case "="  => cmp(v, mn) >= 0 && cmp(v, mx) <= 0
+                      case "<"  => cmp(mn, v) < 0
+                      case "<=" => cmp(mn, v) <= 0
+                      case ">"  => cmp(mx, v) > 0
+                      case ">=" => cmp(mx, v) >= 0
+                    }).getOrElse(true)
+                  case None => true
+                }
+              case _ => true
+            }
+          }
+      }
+    def checkAll(name: String, op: String, l: Literal): Boolean =
+      check(name, op, l) && transformCheck(name, op, l)
+
     e match {
       case EqualTo(a, Lit(l)) if attrName(a).isDefined =>
-        check(attrName(a).get, "=", l)
+        checkAll(attrName(a).get, "=", l)
       case EqualTo(Lit(l), a) if attrName(a).isDefined =>
-        check(attrName(a).get, "=", l)
+        checkAll(attrName(a).get, "=", l)
       case LessThan(a, Lit(l)) if attrName(a).isDefined =>
-        check(attrName(a).get, "<", l)
+        checkAll(attrName(a).get, "<", l)
       case LessThan(Lit(l), a) if attrName(a).isDefined =>
-        check(attrName(a).get, flip("<"), l)
+        checkAll(attrName(a).get, flip("<"), l)
       case LessThanOrEqual(a, Lit(l)) if attrName(a).isDefined =>
-        check(attrName(a).get, "<=", l)
+        checkAll(attrName(a).get, "<=", l)
       case LessThanOrEqual(Lit(l), a) if attrName(a).isDefined =>
-        check(attrName(a).get, flip("<="), l)
+        checkAll(attrName(a).get, flip("<="), l)
       case GreaterThan(a, Lit(l)) if attrName(a).isDefined =>
-        check(attrName(a).get, ">", l)
+        checkAll(attrName(a).get, ">", l)
       case GreaterThan(Lit(l), a) if attrName(a).isDefined =>
-        check(attrName(a).get, flip(">"), l)
+        checkAll(attrName(a).get, flip(">"), l)
       case GreaterThanOrEqual(a, Lit(l)) if attrName(a).isDefined =>
-        check(attrName(a).get, ">=", l)
+        checkAll(attrName(a).get, ">=", l)
       case GreaterThanOrEqual(Lit(l), a) if attrName(a).isDefined =>
-        check(attrName(a).get, flip(">="), l)
+        checkAll(attrName(a).get, flip(">="), l)
       case In(a, vs) if attrName(a).isDefined &&
           vs.forall(Lit.unapply(_).isDefined) =>
-        vs.exists(v => check(attrName(a).get, "=", Lit.unapply(v).get))
+        vs.exists(v => checkAll(attrName(a).get, "=", Lit.unapply(v).get))
       case IsNull(a) if attrName(a).isDefined =>
         rangeOf(file, stat, partitionCols, attrName(a).get)
           .forall { case (_, _, nulls, _) => nulls > 0 }
@@ -273,8 +330,9 @@ private[plans] object Pruning {
         Some(BigDecimal(if (l.value == true) 1 else 0))
       case (DateType, DateType) =>
         Some(BigDecimal(l.value.asInstanceOf[Int].toLong))
-      case (TimestampType, TimestampType) |
-           (TimestampNTZType, TimestampNTZType) => // epoch micros
+      // epoch micros; the mixed TZ/NTZ pairs are value-identity under the
+      // engine's pinned-UTC session (see attrName's cast unwrapping)
+      case (a, b) if tsPair(a, b) =>
         Some(BigDecimal(l.value.asInstanceOf[Long]))
       case (StringType, StringType) => Some(l.value.toString)
       case _ => None // type mismatch (would need a cast) — don't prune

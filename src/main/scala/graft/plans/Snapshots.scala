@@ -558,6 +558,24 @@ object Snapshots {
         if (mapping.isEmpty) df
         else df.select(df.columns.map(c =>
           col(c).as(mapping.getOrElse(c, c))): _*)
+      // transform partition fields (day(ts) → ts_day dirs, ...) exist only
+      // as WRITE-TIME derived columns: files keep storing the source
+      // column, stats/bloom cover the source (physDf.schema below), and
+      // the dir value is recomputed here on every write — so compaction
+      // and COW rewrites migrate old generations to the current spec
+      val stagedDf = {
+        val physCols = physDf.columns.toSet
+        partitionCols.filterNot(physCols.contains).foldLeft(physDf) {
+          (d, name) =>
+            PartitionTransforms.fromDirName(name, physCols.contains) match {
+              case Some(sp) => d.withColumn(name,
+                PartitionTransforms.valueColumn(sp, d.schema(sp.src).dataType))
+              case None => throw new IllegalArgumentException(
+                s"partition column $name is neither a data column nor a " +
+                  "recognizable transform field")
+            }
+        }
+      }
       val commitDir = s"data/${UUID.randomUUID().toString.take(8)}"
       val dir = new Path(rootPath, commitDir)
       // Bucketed layout: a [[GbCol]] dynamic-partition dir splits every task's
@@ -572,7 +590,7 @@ object Snapshots {
       val bCfg = bucketConfig()
       val toWrite = bCfg match {
         case Some(b) =>
-          val base = physDf.withColumn(GbCol,
+          val base = stagedDf.withColumn(GbCol,
             pmod(hash(b.cols.map(col): _*), lit(b.n)))
           if (preserveLayout)
             // the caller (clusterBy/zOrderBy) owns the PARTITION layout,
@@ -596,7 +614,7 @@ object Snapshots {
             else rep.sortWithinPartitions(
               (partitionCols :+ GbCol) ++ b.sortCols map col: _*)
           }
-        case None => physDf
+        case None => stagedDf
       }
       val writePartCols = partitionCols ++ (if (bCfg.isDefined) Seq(GbCol) else Nil)
       val w = toWrite.write.mode("errorifexists")
@@ -1748,11 +1766,26 @@ object Snapshots {
       while (true) {
         val head = latest()
         val schema = schemaOf(head.schemaJson)
-        cols.foreach(c => require(schema.fieldNames.contains(c),
-          s"no such column: $c"))
-        require(cols.distinct == cols, "duplicate partition column")
-        // partition dirs are physical names; map once, here
-        val phys = cols.map(head.physical)
+        // entries may be TRANSFORMS — day(ts), month(ts), year(ts),
+        // hour(ts), bucket(N, c), truncate(W, c) — encoded as derived
+        // dir-key names (ts_day, c_bucket16, ...; see
+        // [[PartitionTransforms]]); identity entries stay plain columns.
+        // Partition dirs are physical names; map once, here.
+        val phys = cols.map(PartitionTransforms.parseEntry(_) match {
+          case Left(c) =>
+            require(schema.fieldNames.contains(c), s"no such column: $c")
+            head.physical(c)
+          case Right(sp) =>
+            require(schema.fieldNames.contains(sp.src),
+              s"no such column: ${sp.src}")
+            PartitionTransforms.validate(sp, schema(sp.src).dataType)
+            val derived = sp.copy(src = head.physical(sp.src)).dirName
+            require(!schema.fieldNames.contains(derived) &&
+                !head.colMapping.valuesIterator.contains(derived),
+              s"transform field name $derived collides with a column")
+            derived
+        })
+        require(phys.distinct == phys, "duplicate partition column")
         bucketConfig().foreach { b =>
           val clash = phys.filter(c => b.cols.contains(c) ||
             b.sortCols.contains(c))

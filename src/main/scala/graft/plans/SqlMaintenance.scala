@@ -157,6 +157,35 @@ object SqlMaintenance {
     def done(): Option[Unit] = if (end()) Some(()) else None
   }
 
+  /** `(entry [, entry]*)` for SET PARTITION SPEC, where each entry is an
+    * identifier or a transform call (`day(ts)`, `bucket(16, id)`,
+    * `truncate(10, c)`). Top-level comma split, paren-balanced; None on
+    * any malformed entry (the statement then surfaces Spark's parse
+    * error, the maintenance-verb fall-through invariant).
+    */
+  private def splitSpecEntries(raw: String): Option[Seq[String]] = {
+    val t = raw.trim.stripSuffix(";").trim
+    if (!t.startsWith("(") || !t.endsWith(")")) return None
+    val inner = t.substring(1, t.length - 1)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var depth = 0
+    inner.foreach {
+      case '(' => depth += 1; cur.append('(')
+      case ')' =>
+        depth -= 1; if (depth < 0) return None; cur.append(')')
+      case ',' if depth == 0 => out += cur.toString.trim; cur.clear()
+      case ch => cur.append(ch)
+    }
+    if (depth != 0) return None
+    out += cur.toString.trim
+    val entries = out.toSeq.map(_.replace("`", ""))
+    val wellFormed = entries.nonEmpty && entries.forall(e =>
+      e.matches("""[A-Za-z_][A-Za-z0-9_]*""") ||
+        PartitionTransforms.parseEntry(e).isRight)
+    if (wellFormed) Some(entries) else None
+  }
+
   /** Optional clause: Some(None) = absent, Some(Some(x)) = present and
     * well-formed, None = present but malformed (the whole verb then fails
     * to match and the statement surfaces Spark's parse error).
@@ -423,7 +452,10 @@ object SqlMaintenance {
         }
       else if (c.kw("EXECUTE")) execute()
       else if (c.kw("SET", "PARTITION", "SPEC"))
-        for { cols <- c.parenIdents(); _ <- c.done() } yield {
+        // entries may be transforms — day(ts), bucket(16, id),
+        // truncate(10, c) — so the clause parses textually (top-level
+        // comma split, paren-balanced), not as a plain identifier list
+        for { raw <- c.rest(); cols <- splitSpecEntries(raw) } yield {
           gate(spark, ident)
           val m = tableOf(spark, ident).setPartitionSpec(cols)
           okDf(spark, s"set partition spec to (${cols.mkString(", ")}) " +

@@ -863,16 +863,21 @@ object SqlDmlQueries {
 
     // Partition-spec evolution (ref ql/ddl/table/partition/set/
     // AlterTableSetPartitionSpecAnalyzer.java + iceberg-handler
-    // HiveIcebergMetaHook.java:519): CREATE partitioned by o_orderstatus,
-    // evolve the spec to o_orderpriority with a metadata-only commit,
-    // insert the other half of orders under the NEW spec. In-query
-    // invariants prove the table holds files of BOTH generations, that a
-    // predicate on each generation's partition column prunes that
-    // generation by path, and that time travel keeps the birth spec. The
-    // final aggregate groups by BOTH columns, so every row must
-    // reconstruct its old-spec value (path for gen 1, data for gen 2) and
-    // its new-spec value (data for gen 1, path for gen 2) — the oracle
-    // replays it over raw orders.
+    // HiveIcebergMetaHook.java:519 + PartitionTransform.java:33-38):
+    // CREATE partitioned by o_orderstatus, evolve to o_orderpriority,
+    // then evolve again to a TRANSFORM spec — month(o_orderdate) — each a
+    // metadata-only commit, one third of orders inserted under each
+    // generation. (month, not day: the fixture spans ~84 months, so
+    // month-grain dirs match the data density where day-grain would be
+    // the classic over-partitioning anti-pattern — thousands of
+    // handful-of-row files.) In-query invariants prove the table holds
+    // files of all THREE generations, that a predicate on each
+    // generation's partition source prunes that generation by path —
+    // including a date RANGE predicate pruning month(o_orderdate) dirs
+    // with stats stripped, so only the transform mapping can be doing the
+    // work — and that time travel keeps the birth spec. The final
+    // aggregate groups over everything; the oracle replays it over raw
+    // orders.
     q("s34_partition_spec_evolution",
       """SELECT o_orderstatus, o_orderpriority,
         |  CAST(count(*) AS BIGINT) AS n,
@@ -885,35 +890,57 @@ object SqlDmlQueries {
       val loc = scratch()
       sql(s"""CREATE TABLE s34_t USING snapshot
              |PARTITIONED BY (o_orderstatus) LOCATION '$loc'
-             |AS SELECT o_orderkey, o_orderstatus, o_orderpriority
-             |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin)
+             |AS SELECT o_orderkey, o_orderstatus, o_orderpriority, o_orderdate
+             |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin)
       sql("ALTER TABLE s34_t SET PARTITION SPEC (o_orderpriority)")
       sql("""INSERT INTO s34_t
-            |SELECT o_orderkey, o_orderstatus, o_orderpriority
-            |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin)
+            |SELECT o_orderkey, o_orderstatus, o_orderpriority, o_orderdate
+            |FROM orders WHERE o_orderkey % 3 = 1""".stripMargin)
+      sql("ALTER TABLE s34_t SET PARTITION SPEC (month(o_orderdate))")
+      sql("""INSERT INTO s34_t
+            |SELECT o_orderkey, o_orderstatus, o_orderpriority, o_orderdate
+            |FROM orders WHERE o_orderkey % 3 = 2""".stripMargin)
       val t = Snapshots.table(spark, loc)
       val head = t.latest()
-      val oldGen = head.files.filter(_.contains("o_orderstatus="))
-      val newGen = head.files.filter(_.contains("o_orderpriority="))
-      require(oldGen.nonEmpty && newGen.nonEmpty &&
-          (oldGen ++ newGen).toSet == head.files.toSet,
-        s"expected files under both specs, got ${head.files}")
-      // the evolution commit moved no data: generation 1 is exactly the
-      // pre-evolution file set
+      val gen1 = head.files.filter(_.contains("o_orderstatus="))
+      val gen2 = head.files.filter(_.contains("o_orderpriority="))
+      val gen3 = head.files.filter(_.contains("o_orderdate_month="))
+      require(gen1.nonEmpty && gen2.nonEmpty && gen3.nonEmpty &&
+          (gen1 ++ gen2 ++ gen3).toSet == head.files.toSet,
+        s"expected files under all three specs, got ${head.files}")
+      // the evolution commits moved no data; time travel keeps each spec
       require(t.history().head.partitionCols == Seq("o_orderstatus"),
         "time travel must preserve the birth spec")
+      require(t.latest().partitionCols == Seq("o_orderdate_month"),
+        "head must carry the transform spec")
       // each generation prunes under its OWN spec (path-exact); the other
-      // generation falls back to stats
+      // generations fall back to stats
       val onStatus = t.planFiles(head, col("o_orderstatus") === "F")
       require(onStatus.filter(_.contains("o_orderstatus="))
           .forall(_.contains("o_orderstatus=F")),
-        "old-generation files must prune by their path value")
+        "gen-1 files must prune by their path value")
       require(onStatus.nonEmpty && onStatus.size < head.files.size,
         "the o_orderstatus predicate must prune some files")
       val onPrio = t.planFiles(head, col("o_orderpriority") === "1-URGENT")
       require(onPrio.filter(_.contains("o_orderpriority="))
           .forall(_.contains("o_orderpriority=1-URGENT")),
-        "new-generation files must prune by their path value")
+        "gen-2 files must prune by their path value")
+      // the transform generation: a RANGE predicate on the SOURCE column
+      // prunes month dirs with stats stripped — only the transform's
+      // dir-value→source-range mapping can be responsible
+      val lo = java.sql.Timestamp.valueOf("1995-06-10 00:00:00")
+      val hi = java.sql.Timestamp.valueOf("1995-08-20 00:00:00")
+      val onDate = t.planFiles(head.copy(stats = Map.empty),
+        col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      val keptMonths = onDate.filter(_.contains("o_orderdate_month="))
+        .flatMap(_.split('/').find(_.startsWith("o_orderdate_month=")))
+        .distinct.sorted
+      require(keptMonths.nonEmpty && keptMonths.forall(
+          Set("o_orderdate_month=1995-06", "o_orderdate_month=1995-07",
+            "o_orderdate_month=1995-08")),
+        s"month dirs must prune to the predicate's range, got $keptMonths")
+      require(onDate.size < head.files.size,
+        "the date range must prune the transform generation")
       sql("""SELECT o_orderstatus, o_orderpriority,
             |  CAST(count(*) AS BIGINT) AS n,
             |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum

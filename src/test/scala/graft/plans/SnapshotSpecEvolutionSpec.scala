@@ -140,6 +140,149 @@ class SnapshotSpecEvolutionSpec extends SparkSpec {
       (0L until 300L).filterNot(_ % 10 == 0).sum)
   }
 
+  /** (id, ts, s): ts = 2026-01-01 00:00 UTC + id hours — 24 rows per day. */
+  private def tsRows(lo: Int, hi: Int) = {
+    import spark.implicits._
+    val base = java.time.LocalDateTime.of(2026, 1, 1, 0, 0)
+    (lo until hi).map { i =>
+      (i.toLong,
+        java.sql.Timestamp.valueOf(base.plusHours(i.toLong)),
+        s"r${i % 7}_$i")
+    }.toDF("id", "ts", "s")
+  }
+
+  test("transform spec day(ts): a ts range predicate prunes day dirs " +
+      "even without stats; re-grain to hour(ts) composes") {
+    val root = freshRoot()
+    // gen 1: identity-partitioned by a column; gen 2: day(ts)
+    val t = Snapshots.create(spark, root, tsRows(0, 48)
+      .withColumn("g", lit("old")), partitionBy = Seq("g"))
+    val m = t.setPartitionSpec(Seq("day(ts)"))
+    assert(m.partitionCols === Seq("ts_day"))
+    t.append(tsRows(48, 144).withColumn("g", lit("new"))) // days 3,4,5,6
+    val head = t.latest()
+    val dayGen = head.files.filter(_.contains("ts_day="))
+    assert(dayGen.nonEmpty, head.files.mkString(","))
+    assert(dayGen.map(_.split('/').find(_.startsWith("ts_day=")).get).toSet
+      === Set("ts_day=2026-01-03", "ts_day=2026-01-04", "ts_day=2026-01-05",
+        "ts_day=2026-01-06"))
+    // stats STRIPPED: only the transform mapping can prune — a ts range
+    // inside day 4 must keep exactly that day's dirs of the new
+    // generation (old-gen files have no ts dirs and survive)
+    val noStats = head.copy(stats = Map.empty)
+    val v1 = java.sql.Timestamp.valueOf("2026-01-04 06:00:00")
+    val v2 = java.sql.Timestamp.valueOf("2026-01-04 18:00:00")
+    val pruned = t.planFiles(noStats, col("ts") >= v1 && col("ts") < v2)
+    assert(pruned.filter(_.contains("ts_day="))
+      .forall(_.contains("ts_day=2026-01-04")), pruned.mkString(","))
+    assert(pruned.exists(_.contains("ts_day=2026-01-04")))
+    // WITH stats both generations prune (old gen by per-file ts min/max)
+    val withStats = t.planFiles(head, col("ts") >= v1 && col("ts") < v2)
+    assert(withStats.size < head.files.size)
+    assert(t.readWhere(col("ts") >= v1 && col("ts") < v2).count() === 12)
+    // the aggregate over both generations is exact
+    assert(t.read().agg(sum("id")).head.getLong(0) === (0L until 144L).sum)
+    // day -> hour re-grain: one more metadata commit
+    val m2 = t.setPartitionSpec(Seq("hour(ts)"))
+    assert(m2.partitionCols === Seq("ts_hour"))
+    t.append(tsRows(144, 168).withColumn("g", lit("hourly")))
+    val head2 = t.latest()
+    assert(head2.files.exists(_.contains("ts_hour=2026-01-07-")),
+      head2.files.mkString(","))
+    val hv = java.sql.Timestamp.valueOf("2026-01-07 05:30:00")
+    val hp = t.planFiles(head2.copy(stats = Map.empty), col("ts") === hv)
+    assert(hp.filter(_.contains("ts_hour="))
+      .forall(_.contains("ts_hour=2026-01-07-05")), hp.mkString(","))
+    assert(t.read().count() === 168)
+    // time travel preserves every generation's spec
+    assert(t.resolvedManifest(0L).partitionCols === Seq("g"))
+    assert(t.history().map(_.partitionCols).distinct ===
+      Seq(Seq("g"), Seq("ts_day"), Seq("ts_hour")))
+  }
+
+  test("bucket(N, c) and truncate(W, c) transforms: hash-replay and " +
+      "prefix-range pruning") {
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, tsRows(0, 10)) // unpartitioned
+    t.setPartitionSpec(Seq("bucket(8, id)"))
+    assert(t.latest().partitionCols === Seq("id_bucket8"))
+    t.append(tsRows(10, 90))
+    val head = t.latest()
+    val bucketGen = head.files.filter(_.contains("id_bucket8="))
+    assert(bucketGen.map(_.split('/').find(_.startsWith("id_bucket8=")).get)
+      .distinct.size > 1, "rows must spread across bucket dirs")
+    // equality on the source hashes the literal: exactly ONE bucket value
+    // survives (stats stripped so only the hash replay can prune)
+    val p = t.planFiles(head.copy(stats = Map.empty), col("id") === 42L)
+    val survivors = p.filter(_.contains("id_bucket8="))
+      .map(_.split('/').find(_.startsWith("id_bucket8=")).get).distinct
+    assert(survivors.size === 1, s"expected one bucket dir, got $survivors")
+    assert(t.readWhere(col("id") === 42L).count() === 1)
+    // range predicates do NOT prune on bucket (hash is order-destroying)
+    val r = t.planFiles(head.copy(stats = Map.empty), col("id") > 80L)
+    assert(r.filter(_.contains("id_bucket8=")).toSet === bucketGen.toSet)
+    // truncate on a string column: prefix dirs, prefix-range pruning
+    t.setPartitionSpec(Seq("truncate(2, s)"))
+    t.append(tsRows(90, 132))
+    val head2 = t.latest()
+    val truncGen = head2.files.filter(_.contains("s_trunc2="))
+    assert(truncGen.nonEmpty)
+    val tp = t.planFiles(head2.copy(stats = Map.empty), col("s") === "r3_94")
+    assert(tp.filter(_.contains("s_trunc2="))
+      .forall(_.contains("s_trunc2=r3")), tp.mkString(","))
+    assert(t.readWhere(col("s") === "r3_94").count() === 1)
+    assert(t.read().count() === 132)
+  }
+
+  test("transform guards: type checks, name collisions, identity wins") {
+    import spark.implicits._
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, tsRows(0, 5))
+    val e1 = intercept[IllegalArgumentException] {
+      t.setPartitionSpec(Seq("day(s)")) }
+    assert(e1.getMessage.contains("date/timestamp"))
+    val e2 = intercept[IllegalArgumentException] {
+      t.setPartitionSpec(Seq("truncate(3, ts)")) }
+    assert(e2.getMessage.contains("string or integral"))
+    val e3 = intercept[IllegalArgumentException] {
+      t.setPartitionSpec(Seq("day(nope)")) }
+    assert(e3.getMessage.contains("no such column"))
+    val e4 = intercept[IllegalArgumentException] {
+      t.setPartitionSpec(Seq("bucket(0, id)")) }
+    assert(e4.getMessage.contains("positive"))
+    // derived-name collision with a real column refuses
+    val root2 = freshRoot()
+    val t2 = Snapshots.create(spark, root2,
+      tsRows(0, 5).withColumn("ts_day", lit("x")))
+    val e5 = intercept[IllegalArgumentException] {
+      t2.setPartitionSpec(Seq("day(ts)")) }
+    assert(e5.getMessage.contains("collides"))
+    // ...but the column ts_day itself is a perfectly fine IDENTITY field
+    t2.setPartitionSpec(Seq("ts_day"))
+    t2.append(Seq((99L, java.sql.Timestamp.valueOf("2026-02-01 00:00:00"),
+      "s", "idy")).toDF("id", "ts", "s", "ts_day"))
+    assert(t2.latest().files.exists(_.contains("ts_day=idy")))
+    assert(t2.read().where(col("ts_day") === "idy").count() === 1)
+  }
+
+  test("SQL verb accepts transforms; writes land under the transform spec") {
+    def sql(q: String) = Engine.sql(spark, sfDir, q)
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, tsRows(0, 24))
+    NamedTables.registerSnapshot("evo_tr", root)
+    try {
+      sql("ALTER TABLE evo_tr SET PARTITION SPEC (day(ts), bucket(4, id))")
+      assert(t.latest().partitionCols === Seq("ts_day", "id_bucket4"))
+      sql("""INSERT INTO evo_tr VALUES
+            |(500, TIMESTAMP '2026-03-05 10:00:00', 'sqlrow')""".stripMargin)
+      val f = t.latest().files.filter(_.contains("ts_day=2026-03-05"))
+      assert(f.nonEmpty && f.forall(_.contains("id_bucket4=")),
+        t.latest().files.mkString(","))
+      assert(sql("SELECT count(*) AS n FROM evo_tr WHERE id = 500")
+        .head.getLong(0) === 1)
+    } finally NamedTables.drop("evo_tr")
+  }
+
   test("SQL verb + guards") {
     import spark.implicits._
     def sql(q: String) = Engine.sql(spark, sfDir, q)
