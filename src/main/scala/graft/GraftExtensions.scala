@@ -30,6 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectOptimizerRule(session =>
       new graft.plans.MaterializedViews.MvRewriteRule(session))
+    // opt-in count(DISTINCT x) -> ds_hll estimate rewrite
+    // (spark.graft.rewrite.countDistinctToSketch=true)
+    ext.injectOptimizerRule(session =>
+      new graft.plans.SketchRewrite.CountDistinctToSketch(session))
     // catalog-name snapshot tables: SELECT ... FROM <registered-name>
     ext.injectResolutionRule(session =>
       new graft.plans.NamedTables.ResolveNamedTables(session))

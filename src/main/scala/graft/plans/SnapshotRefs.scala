@@ -75,6 +75,49 @@ private[plans] trait SnapshotRefOps { self: Snapshots.SnapshotTable =>
     }
   }
 
+  /** ALTER TABLE ... [CREATE OR] REPLACE BRANCH/TAG (ref iceberg-handler
+    * AlterTableSetSnapshotRefSpec replace-branch/replace-tag): repoint an
+    * EXISTING ref at another version (same-kind only), atomically via the
+    * ref-store CAS. `orCreate` = the CREATE OR REPLACE spelling — creates
+    * the ref when absent instead of refusing.
+    */
+  def replaceBranch(name: String, toVersion: Option[Long] = None,
+      orCreate: Boolean = false, maxRefAgeMs: Option[Long] = None): Unit =
+    replaceRef(name, "branch", toVersion, orCreate, maxRefAgeMs)
+
+  def replaceTag(name: String, toVersion: Option[Long] = None,
+      orCreate: Boolean = false, maxRefAgeMs: Option[Long] = None): Unit =
+    replaceRef(name, "tag", toVersion, orCreate, maxRefAgeMs)
+
+  private def replaceRef(name: String, kind: String, toVersion: Option[Long],
+      orCreate: Boolean, maxRefAgeMs: Option[Long]): Unit = {
+    val v = toVersion.getOrElse(latest().version)
+    require(fs.exists(manifestPath(v)),
+      s"version $v does not exist (vacuumed or never committed)")
+    var outcome = ""
+    refsStore.mutate { m =>
+      m.get(name) match {
+        case Some(r) if r.kind == kind =>
+          outcome = "replaced"
+          m + (name -> r.copy(version = v,
+            maxRefAgeMs = maxRefAgeMs.orElse(r.maxRefAgeMs)))
+        case Some(r) => outcome = r.kind; m
+        case None if orCreate =>
+          outcome = "created"
+          m + (name ->
+            SnapshotRef(kind, v, System.currentTimeMillis(), maxRefAgeMs))
+        case None => outcome = "absent"; m
+      }
+    }
+    outcome match {
+      case "replaced" | "created" => ()
+      case "absent" => throw new IllegalArgumentException(
+        s"no $kind $name on $root to replace; use CREATE OR REPLACE")
+      case other => throw new IllegalArgumentException(
+        s"cannot replace $kind $name on $root: it exists as $other")
+    }
+  }
+
   def dropBranch(name: String, ifExists: Boolean = false): Unit =
     dropRef(name, "branch", ifExists)
   def dropTag(name: String, ifExists: Boolean = false): Unit =

@@ -435,7 +435,36 @@ object SqlMaintenance {
         }
       }
 
-      if (c.kw("CREATE", "BRANCH")) refCreate("branch")
+      def refReplace(kind: String, orCreate: Boolean): Option[DataFrame] =
+        for {
+          name <- c.word()
+          toV <- optClause(c.kw("FOR", "SYSTEM_VERSION", "AS", "OF"))(c.num())
+          retain <- optClause(c.kw("RETAIN")) {
+            for {
+              n <- c.num()
+              u <- if (c.kw("DAYS")) Some("DAYS")
+                   else if (c.kw("HOURS")) Some("HOURS")
+                   else None
+            } yield (n, u)
+          }
+          _ <- c.done()
+        } yield {
+          gate(spark, ident)
+          val t = tableOf(spark, ident)
+          val age = retain.flatMap { case (n, u) => retainMs(n, u) }
+          if (kind == "branch")
+            t.replaceBranch(name, toV.map(_.toLong), orCreate, age)
+          else t.replaceTag(name, toV.map(_.toLong), orCreate, age)
+          okDf(spark, s"replaced $kind $name")
+        }
+
+      if (c.kw("CREATE", "OR", "REPLACE", "BRANCH"))
+        refReplace("branch", orCreate = true)
+      else if (c.kw("CREATE", "OR", "REPLACE", "TAG"))
+        refReplace("tag", orCreate = true)
+      else if (c.kw("REPLACE", "BRANCH")) refReplace("branch", orCreate = false)
+      else if (c.kw("REPLACE", "TAG")) refReplace("tag", orCreate = false)
+      else if (c.kw("CREATE", "BRANCH")) refCreate("branch")
       else if (c.kw("CREATE", "TAG")) refCreate("tag")
       else if (c.kw("DROP", "BRANCH")) refDrop("branch")
       else if (c.kw("DROP", "TAG")) refDrop("tag")

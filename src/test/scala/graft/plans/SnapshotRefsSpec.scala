@@ -61,6 +61,52 @@ class SnapshotRefsSpec extends SparkSpec {
     t.dropTag("v1", ifExists = true) // idempotent under IF EXISTS
   }
 
+  test("REPLACE BRANCH/TAG repoints an existing ref; CREATE OR REPLACE " +
+      "creates when absent; kind and existence guards hold") {
+    val root = freshRoot()
+    val t = Snapshots.create(spark, root, nums(0, 40)) // v0
+    t.append(nums(40, 70)) // v1
+    t.append(nums(70, 90)) // v2
+    t.createBranch("dev", fromVersion = Some(0L))
+    assert(t.readRef("dev").count() === 40)
+    // repoint at v1 explicitly; then at the head by default
+    t.replaceBranch("dev", Some(1L))
+    assert(t.readRef("dev").count() === 70)
+    t.replaceBranch("dev")
+    assert(t.readRef("dev").count() === 90)
+    // tags replace too
+    t.createTag("rel", fromVersion = Some(0L))
+    t.replaceTag("rel", Some(2L))
+    assert(t.readRef("rel").count() === 90)
+    // guards: missing ref refuses and points at CREATE OR REPLACE;
+    // cross-kind replace refuses; nonexistent target version refuses
+    val e1 = intercept[IllegalArgumentException] {
+      t.replaceBranch("nope") }
+    assert(e1.getMessage.contains("CREATE OR REPLACE"))
+    val e2 = intercept[IllegalArgumentException] {
+      t.replaceBranch("rel") }
+    assert(e2.getMessage.contains("exists as tag"))
+    val e3 = intercept[IllegalArgumentException] {
+      t.replaceBranch("dev", Some(99L)) }
+    assert(e3.getMessage.contains("does not exist"))
+    // CREATE OR REPLACE creates when absent
+    t.replaceBranch("hotfix", Some(1L), orCreate = true)
+    assert(t.readRef("hotfix").count() === 70)
+    // SQL verbs
+    NamedTables.registerSnapshot("refs_rep", root)
+    try {
+      def sql(q: String) = Engine.sql(spark, sfDir, q)
+      sql("ALTER TABLE refs_rep REPLACE BRANCH dev FOR SYSTEM_VERSION AS OF 0")
+      assert(t.readRef("dev").count() === 40)
+      sql("ALTER TABLE refs_rep CREATE OR REPLACE BRANCH fresh " +
+        "FOR SYSTEM_VERSION AS OF 1 RETAIN 7 DAYS")
+      assert(t.readRef("fresh").count() === 70)
+      assert(t.refs()("fresh").maxRefAgeMs.exists(_ > 0))
+      sql("ALTER TABLE refs_rep REPLACE TAG rel FOR SYSTEM_VERSION AS OF 0")
+      assert(t.readRef("rel").count() === 40)
+    } finally NamedTables.drop("refs_rep")
+  }
+
   test("fast-forward refuses when the mainline advanced past the fork") {
     val root = freshRoot()
     val t = Snapshots.create(spark, root, nums(0, 10))
