@@ -234,7 +234,8 @@ object Engine {
         graft.plans.SqlDml.maybeRun(spark, gated).getOrElse {
           val secured = graft.plans.Authz.applyPolicies(spark, plan)
           val substituted = graft.plans.VirtualColumns.maybeSubstitute(
-            graft.plans.NamedTables.substitute(spark, secured), query)
+            graft.plans.GroupingSetsDedup(
+              graft.plans.NamedTables.substitute(spark, secured)), query)
           val df =
             if (substituted eq plan) spark.sql(query)
             else org.apache.spark.sql.GraftShims.ofRows(spark, substituted)

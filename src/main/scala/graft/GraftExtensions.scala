@@ -40,5 +40,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Hive virtual columns (INPUT__FILE__NAME, GROUPING__ID)
     ext.injectResolutionRule(session =>
       new graft.plans.VirtualColumns.ResolveVirtualColumns(session))
+    // Hive semantics: identical grouping sets dedup (GROUPING SETS
+    // ((a), (a)) answers once)
+    ext.injectResolutionRule(_ =>
+      new graft.plans.GroupingSetsDedup.DedupRule)
   }
 }

@@ -37,6 +37,15 @@ object HiveFunctions {
     alias("lcase", "lower")
     alias("ucase", "upper")
     alias("mid", "substring")
+    // Hive's std/stddev/variance are the POPULATION forms (ref
+    // FunctionRegistry.java registers them on GenericUDAFStd /
+    // GenericUDAFVariance, i.e. stddev_pop/var_pop semantics), where
+    // Spark's bare stddev/variance are SAMPLE — a silent wrong-number
+    // divergence surfaced by the qtest conformance sweep (groupby3.q).
+    // The explicit *_samp/*_pop names keep their standard meanings.
+    alias("std", "stddev_pop")
+    alias("stddev", "stddev_pop")
+    alias("variance", "var_pop")
 
     // Hive's INPUT__FILE__NAME virtual column (ref ql/.../VirtualColumn.java)
     // as a function — Spark's input_file_name under the Hive spelling.

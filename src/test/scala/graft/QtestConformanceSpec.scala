@@ -1,0 +1,573 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Conformance sweep over the reference's OWN qtest corpus (ref
+  * ql/src/test/queries/clientpositive — SURVEY §5 called the .q files
+  * "the backbone" of the reference's verification): curated files whose core
+  * SELECTs exercise shipped surface, run through the engine's SQL front
+  * door (`Engine.sql`) over the reference's own canonical datasets
+  * (kv1.txt `src`, kv3.txt `src1`, `srcpart` = src × 4 partitions,
+  * T1.txt, grouping_sets.txt, the tiny TPC-H `part` table, sales/things)
+  * and gated cell-by-cell against DuckDB running the same — or a
+  * DuckDB-dialect twin of the same — statement over the same data.
+  *
+  * Porting rules, applied uniformly (per-case notes where they matter):
+  *  - `FROM t INSERT OVERWRITE TABLE d SELECT ...; SELECT * FROM d`
+  *    scaffolding ports to the bare SELECT (INSERT has its own gates:
+  *    q32/q33/s12/s18), and Hive's inverted `FROM x SELECT ...` subquery
+  *    form ports to standard subqueries.
+  *  - Hive's implicit string→numeric coercions are spelled as explicit
+  *    CASTs so the same text runs on the DuckDB oracle.
+  *  - result sets compare SORTED (the corpus' own SORT_QUERY_RESULTS).
+  *  - the `duck` twin respells Hive-only syntax (LATERAL VIEW → UNNEST,
+  *    WITH ROLLUP/CUBE → ROLLUP()/CUBE(), DISTRIBUTE/SORT BY window
+  *    specs → PARTITION/ORDER BY, std/variance → *_pop).
+  *
+  * The included/excluded-file inventory with reasons lives in
+  * COVERAGE.md (qtest conformance row). First finding of the sweep:
+  * Hive's std/stddev/variance are POPULATION forms — now registered so
+  * (HiveFunctions), where bare Spark silently answers the SAMPLE form.
+  */
+class QtestConformanceSpec extends SparkSpec {
+
+  private val refData = "/root/reference/data/files"
+
+  private case class QCase(file: String, name: String, spark: String,
+      duck: Option[String] = None, note: String = "")
+
+  // ------------------------------------------------------------ fixtures
+
+  private lazy val python: Option[String] =
+    Seq("python3", "/root/.pyenv/shims/python3", "/usr/bin/python3")
+      .find { p =>
+        try new ProcessBuilder(p, "-c", "import duckdb").start()
+          .waitFor() == 0
+        catch { case _: Exception => false }
+      }
+
+  private lazy val haveRef: Boolean =
+    new java.io.File(s"$refData/kv1.txt").isFile
+
+  /** Loads every fixture as a qt_-prefixed temp view AND a parquet dir
+    * for the DuckDB side; returns the table→dir map.
+    */
+  private lazy val fixtures: Map[String, String] = {
+    graft.functions.HiveFunctions.registerAll(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_qtest_")
+      .toString
+    def kv(path: String, sep: String, cols: Seq[String]): DataFrame =
+      spark.read
+        .option("sep", sep).option("emptyValue", "").option("nullValue", "\\N")
+        .csv(path)
+        .toDF(cols: _*)
+        .select(cols.map(c => coalesce(col(c), lit("")).as(c)): _*)
+    val src = kv(s"$refData/kv1.txt", "", Seq("key", "value"))
+    val src1 = kv(s"$refData/kv3.txt", "", Seq("key", "value"))
+    val srcpart = Seq(("2008-04-08", "11"), ("2008-04-08", "12"),
+      ("2008-04-09", "11"), ("2008-04-09", "12"))
+      .map { case (ds, hr) => src.withColumn("ds", lit(ds))
+        .withColumn("hr", lit(hr)) }
+      .reduce(_ unionByName _)
+    val t1 = kv(s"$refData/T1.txt", "", Seq("key", "val"))
+    val gsets = kv(s"$refData/grouping_sets.txt", " ", Seq("a", "b", "c"))
+    val part = spark.read.option("sep", "")
+      .csv(s"$refData/tpch/tiny/part.tbl.bz2")
+      .toDF("p_partkey", "p_name", "p_mfgr", "p_brand", "p_type",
+        "p_size", "p_container", "p_retailprice", "p_comment")
+      .select(col("p_partkey").cast("int"), col("p_name"), col("p_mfgr"),
+        col("p_brand"), col("p_type"), col("p_size").cast("int"),
+        col("p_container"), col("p_retailprice").cast("double"),
+        col("p_comment"))
+    val sales = spark.read.option("sep", "\t")
+      .csv(s"$refData/sales.txt").toDF("name", "id")
+      .select(col("name"), col("id").cast("int"))
+    val things = Seq(("things.txt", "2011-10-23"), ("things2.txt", "2011-10-24"))
+      .map { case (f, ds) => spark.read.option("sep", "\t")
+        .csv(s"$refData/$f").toDF("id", "name")
+        .select(col("id").cast("int"), col("name"))
+        .withColumn("ds", lit(ds)) }
+      .reduce(_ unionByName _)
+    // semijoin.q derives its tables from src by CTAS
+    val t1sj = src.where(col("key").cast("int") <= 10)
+      .select(col("key").cast("int").as("key"), col("value"))
+    val t2sj = t1sj.select((col("key") * 2).cast("int").as("key"),
+      col("value"))
+    val t3sj = t1sj.unionByName(t2sj)
+    val t4sj = t1sj.limit(0)
+    // join_filters_overlap.q's table: (100, 40), (100, 50), (100, 60)
+    val a4 = spark.range(1).select(lit(100).as("key"),
+        explode(array(lit(40), lit(50), lit(60))).as("value"))
+    // lateral_view.q / lateral_view_outer.q array-valued tables
+    val lvarr = src.orderBy(col("key")).limit(20)
+      .select(col("key"), array(col("value")).as("vals"))
+    val avalued = src.select(col("key"),
+      when(col("key").cast("int") > 300,
+        array(col("value"), col("value"))).as("vals"))
+    val all = Map(
+      "qt_src" -> src, "qt_src1" -> src1, "qt_srcpart" -> srcpart,
+      "qt_t1" -> t1, "qt_gsets" -> gsets, "qt_part" -> part,
+      "qt_sales" -> sales, "qt_things" -> things,
+      "qt_t1sj" -> t1sj, "qt_t2sj" -> t2sj, "qt_t3sj" -> t3sj,
+      "qt_t4sj" -> t4sj, "qt_lvarr" -> lvarr, "qt_avalued" -> avalued,
+      "qt_a4" -> a4)
+    all.map { case (name, df) =>
+      df.createOrReplaceTempView(name)
+      val d = s"$dir/$name"
+      df.write.parquet(d)
+      name -> d
+    }
+  }
+
+  // ------------------------------------------------------- curated cases
+
+  private val V5 = "CAST(substr(value, 5) AS DOUBLE)"
+  private val cases = Seq(
+    QCase("groupby1.q", "g1",
+      s"SELECT key, sum($V5) AS s FROM qt_src GROUP BY key"),
+    QCase("groupby2.q", "g2",
+      s"""SELECT substr(key, 1, 1) AS k1,
+         |  count(DISTINCT substr(value, 5)) AS c1, sum($V5) AS s1
+         |FROM qt_src GROUP BY substr(key, 1, 1)""".stripMargin,
+      note = "concat(key, sum) column dropped: double→string RENDERING " +
+        "is engine formatting, not query semantics"),
+    QCase("groupby3.q", "g3",
+      s"""SELECT sum($V5) AS c1, avg($V5) AS c2, avg(DISTINCT $V5) AS c3,
+         |  max($V5) AS c4, min($V5) AS c5, std($V5) AS c6,
+         |  stddev_samp($V5) AS c7, variance($V5) AS c8, var_samp($V5) AS c9
+         |FROM qt_src""".stripMargin,
+      duck = Some(
+        s"""SELECT sum($V5) AS c1, avg($V5) AS c2, avg(DISTINCT $V5) AS c3,
+           |  max($V5) AS c4, min($V5) AS c5, stddev_pop($V5) AS c6,
+           |  stddev_samp($V5) AS c7, var_pop($V5) AS c8, var_samp($V5) AS c9
+           |FROM qt_src""".stripMargin),
+      note = "Hive std/variance = POPULATION forms (the sweep's first " +
+        "finding; now registered so)"),
+    QCase("groupby4.q", "g4",
+      "SELECT substr(key, 1, 1) AS c1 FROM qt_src GROUP BY substr(key, 1, 1)"),
+    QCase("groupby6.q", "g6",
+      "SELECT DISTINCT substr(value, 5, 1) AS c1 FROM qt_src"),
+    QCase("having.q", "h1",
+      "SELECT count(value) AS c FROM qt_src GROUP BY key HAVING c > 3"),
+    QCase("having.q", "h2",
+      "SELECT key, max(value) AS m FROM qt_src GROUP BY key " +
+        "HAVING CAST(key AS INT) <> 302"),
+    QCase("having.q", "h3",
+      "SELECT key FROM qt_src GROUP BY key HAVING max(value) > 'val_255'"),
+    QCase("having.q", "h4",
+      "SELECT key FROM qt_src WHERE CAST(key AS INT) > 300 GROUP BY key " +
+        "HAVING max(value) > 'val_255'"),
+    QCase("having.q", "h5",
+      "SELECT count(value) AS c, max(CAST(key AS INT)) AS m FROM qt_src " +
+        "GROUP BY key HAVING c > 3 AND m > 400"),
+    QCase("groupby_ppr.q", "g8",
+      "SELECT substr(key, 1, 1) AS k1, " +
+        "count(DISTINCT substr(value, 5)) AS c1, count(*) AS n " +
+        "FROM qt_srcpart WHERE ds = '2008-04-08' " +
+        "GROUP BY substr(key, 1, 1)",
+      note = "partition-pruned groupby over srcpart"),
+
+    QCase("groupby_rollup1.q", "r1",
+      "SELECT key, val, count(1) AS c FROM qt_t1 GROUP BY key, val " +
+        "WITH ROLLUP",
+      duck = Some("SELECT key, val, count(1) AS c FROM qt_t1 " +
+        "GROUP BY ROLLUP(key, val)")),
+    QCase("groupby_rollup1.q", "r2",
+      "SELECT key, count(DISTINCT val) AS c FROM qt_t1 GROUP BY key " +
+        "WITH ROLLUP",
+      duck = Some("SELECT key, count(DISTINCT val) AS c FROM qt_t1 " +
+        "GROUP BY ROLLUP(key)")),
+    QCase("groupby_cube1.q", "c1",
+      "SELECT key, val, count(1) AS c FROM qt_t1 GROUP BY key, val " +
+        "WITH CUBE",
+      duck = Some("SELECT key, val, count(1) AS c FROM qt_t1 " +
+        "GROUP BY CUBE(key, val)")),
+    QCase("groupby_cube1.q", "c2",
+      "SELECT key, val, GROUPING__ID AS gid, count(1) AS c FROM qt_t1 " +
+        "GROUP BY key, val WITH CUBE",
+      duck = Some("SELECT key, val, (CASE WHEN key IS NULL THEN 2 ELSE 0 " +
+        "END + CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS gid, " +
+        "count(1) AS c FROM qt_t1 GROUP BY CUBE(key, val)"),
+      note = "GROUPING__ID virtual column; T1 has no NULL data values, " +
+        "so the twin computes the bitmask from NULL-ness"),
+    QCase("groupby_cube1.q", "c3",
+      "SELECT key, count(DISTINCT val) AS c FROM qt_t1 GROUP BY key " +
+        "WITH CUBE",
+      duck = Some("SELECT key, count(DISTINCT val) AS c FROM qt_t1 " +
+        "GROUP BY CUBE(key)")),
+    QCase("groupby_grouping_sets1.q", "gs1",
+      "SELECT a, b, count(*) AS c FROM qt_gsets GROUP BY a, b " +
+        "GROUPING SETS (a, (a, b), b, ())",
+      duck = Some("SELECT a, b, count(*) AS c FROM qt_gsets " +
+        "GROUP BY GROUPING SETS ((a), (a, b), (b), ())")),
+    QCase("groupby_grouping_sets1.q", "gs2",
+      "SELECT a, b, count(*) AS c FROM qt_gsets GROUP BY a, b " +
+        "GROUPING SETS (a, (a, b))",
+      duck = Some("SELECT a, b, count(*) AS c FROM qt_gsets " +
+        "GROUP BY GROUPING SETS ((a), (a, b))")),
+    QCase("groupby_grouping_sets1.q", "gs3",
+      "SELECT a FROM qt_gsets GROUP BY a, b, c GROUPING SETS (a, b, c)",
+      duck = Some("SELECT a FROM qt_gsets " +
+        "GROUP BY GROUPING SETS ((a), (b), (c))")),
+    QCase("groupby_grouping_sets1.q", "gs4",
+      "SELECT a FROM qt_gsets GROUP BY a GROUPING SETS ((a), (a))",
+      duck = Some("SELECT a FROM qt_gsets GROUP BY GROUPING SETS ((a))"),
+      note = "Hive DEDUPS identical grouping sets (q.out emits each a " +
+        "once); the twin is pre-deduped"),
+    QCase("groupby_grouping_sets1.q", "gs5",
+      "SELECT CAST(a AS INT) + CAST(b AS INT) AS ab, count(*) AS c " +
+        "FROM qt_gsets GROUP BY CAST(a AS INT) + CAST(b AS INT) " +
+        "GROUPING SETS (CAST(a AS INT) + CAST(b AS INT))",
+      duck = Some("SELECT CAST(a AS INT) + CAST(b AS INT) AS ab, " +
+        "count(*) AS c FROM qt_gsets " +
+        "GROUP BY GROUPING SETS ((CAST(a AS INT) + CAST(b AS INT)))")),
+
+    QCase("join1.q", "j1",
+      "SELECT src1.key, src2.value FROM qt_src src1 JOIN qt_src src2 " +
+        "ON (src1.key = src2.key)",
+      note = "innerjoin.q's INNER JOIN spelling is the same core"),
+    QCase("join2.q", "j2",
+      "SELECT src1.key, src3.value FROM qt_src src1 JOIN qt_src src2 " +
+        "ON (src1.key = src2.key) JOIN qt_src src3 " +
+        "ON (CAST(src1.key AS INT) + CAST(src2.key AS INT) = " +
+        "CAST(src3.key AS INT))"),
+    QCase("join3.q", "j3",
+      "SELECT src1.key, src3.value FROM qt_src src1 JOIN qt_src src2 " +
+        "ON (src1.key = src2.key) JOIN qt_src src3 " +
+        "ON (src1.key = src3.key)"),
+    QCase("join4.q", "j4",
+      "SELECT a.c1, a.c2, b.c3, b.c4 FROM (SELECT key AS c1, value AS c2 " +
+        "FROM qt_src WHERE CAST(key AS INT) > 10 AND CAST(key AS INT) < 20" +
+        ") a LEFT OUTER JOIN (SELECT key AS c3, value AS c4 FROM qt_src " +
+        "WHERE CAST(key AS INT) > 15 AND CAST(key AS INT) < 25) b " +
+        "ON (a.c1 = b.c3)"),
+    QCase("join5.q", "j5",
+      "SELECT a.c1, a.c2, b.c3, b.c4 FROM (SELECT key AS c1, value AS c2 " +
+        "FROM qt_src WHERE CAST(key AS INT) > 10 AND CAST(key AS INT) < 20" +
+        ") a RIGHT OUTER JOIN (SELECT key AS c3, value AS c4 FROM qt_src " +
+        "WHERE CAST(key AS INT) > 15 AND CAST(key AS INT) < 25) b " +
+        "ON (a.c1 = b.c3)"),
+    QCase("join6.q", "j6",
+      "SELECT a.c1, a.c2, b.c3, b.c4 FROM (SELECT key AS c1, value AS c2 " +
+        "FROM qt_src WHERE CAST(key AS INT) > 10 AND CAST(key AS INT) < 20" +
+        ") a FULL OUTER JOIN (SELECT key AS c3, value AS c4 FROM qt_src " +
+        "WHERE CAST(key AS INT) > 15 AND CAST(key AS INT) < 25) b " +
+        "ON (a.c1 = b.c3)"),
+    QCase("join8.q", "j8",
+      "SELECT * FROM (SELECT a.c1 AS c1, a.c2 AS c2, b.c3 AS c3, " +
+        "b.c4 AS c4 FROM (SELECT key AS c1, value AS c2 FROM qt_src " +
+        "WHERE CAST(key AS INT) > 10 AND CAST(key AS INT) < 20) a " +
+        "LEFT OUTER JOIN (SELECT key AS c3, value AS c4 FROM qt_src " +
+        "WHERE CAST(key AS INT) > 15 AND CAST(key AS INT) < 25) b " +
+        "ON (a.c1 = b.c3)) c WHERE c.c3 IS NULL AND c.c1 IS NOT NULL"),
+    QCase("join9.q", "j9",
+      "SELECT src1.key, src2.value FROM qt_srcpart src1 JOIN qt_src src2 " +
+        "ON (src1.key = src2.key) WHERE src1.ds = '2008-04-08' AND " +
+        "src1.hr = '12'"),
+
+    QCase("join10.q", "j10",
+      "SELECT Y.* FROM (SELECT * FROM qt_src) x JOIN " +
+        "(SELECT * FROM qt_src) Y ON (x.key = Y.key)"),
+    QCase("join11.q", "j11",
+      "SELECT src1.c1, src2.c4 FROM (SELECT key AS c1, value AS c2 FROM " +
+        "qt_src) src1 JOIN (SELECT key AS c3, value AS c4 FROM qt_src) " +
+        "src2 ON src1.c1 = src2.c3 AND CAST(src1.c1 AS INT) < 100"),
+    QCase("join12.q", "j12",
+      "SELECT src1.c1, src2.c4 FROM (SELECT key AS c1, value AS c2 FROM " +
+        "qt_src) src1 JOIN (SELECT key AS c3, value AS c4 FROM qt_src) " +
+        "src2 ON src1.c1 = src2.c3 AND CAST(src1.c1 AS INT) < 100 JOIN " +
+        "(SELECT key AS c5, value AS c6 FROM qt_src) src3 ON " +
+        "src1.c1 = src3.c5 AND CAST(src3.c5 AS INT) < 80"),
+    QCase("join13.q", "j13",
+      "SELECT src1.c1, src2.c4 FROM (SELECT key AS c1, value AS c2 FROM " +
+        "qt_src) src1 JOIN (SELECT key AS c3, value AS c4 FROM qt_src) " +
+        "src2 ON src1.c1 = src2.c3 AND CAST(src1.c1 AS INT) < 100 JOIN " +
+        "(SELECT key AS c5, value AS c6 FROM qt_src) src3 ON " +
+        "CAST(src1.c1 AS INT) + CAST(src2.c3 AS INT) = " +
+        "CAST(src3.c5 AS INT) AND CAST(src3.c5 AS INT) < 200",
+      note = "sum-of-keys join condition across two earlier relations"),
+    QCase("join_filters_overlap.q", "jf1",
+      "SELECT * FROM qt_a4 a LEFT OUTER JOIN qt_a4 b ON (a.key = b.key " +
+        "AND a.value = 50 AND b.value = 50) LEFT OUTER JOIN qt_a4 c ON " +
+        "(a.key = c.key AND a.value = 60 AND c.value = 60)",
+      note = "non-equi predicates INSIDE outer-join ON clauses must stay " +
+        "join conditions, never WHERE filters"),
+    QCase("join_filters_overlap.q", "jf2",
+      "SELECT * FROM qt_a4 a RIGHT OUTER JOIN qt_a4 b ON (a.key = b.key " +
+        "AND a.value = 50 AND b.value = 50) LEFT OUTER JOIN qt_a4 c ON " +
+        "(b.key = c.key AND b.value = 60 AND c.value = 60)"),
+    QCase("join_filters_overlap.q", "jf3",
+      "SELECT * FROM qt_a4 a FULL OUTER JOIN qt_a4 b ON (a.key = b.key " +
+        "AND a.value = 50 AND b.value = 50) LEFT OUTER JOIN qt_a4 c ON " +
+        "(b.key = c.key AND b.value = 60 AND c.value = 60) LEFT OUTER " +
+        "JOIN qt_a4 d ON (a.key = d.key AND a.value = 40 AND d.value = 40)"),
+
+    QCase("semijoin.q", "sj1",
+      "SELECT * FROM qt_t1sj a LEFT SEMI JOIN qt_t2sj b ON a.key = b.key",
+      duck = Some("SELECT * FROM qt_t1sj a SEMI JOIN qt_t2sj b " +
+        "ON a.key = b.key")),
+    QCase("semijoin.q", "sj2",
+      "SELECT * FROM qt_t2sj a LEFT SEMI JOIN qt_t1sj b ON b.key = a.key",
+      duck = Some("SELECT * FROM qt_t2sj a SEMI JOIN qt_t1sj b " +
+        "ON b.key = a.key")),
+    QCase("semijoin.q", "sj3",
+      "SELECT * FROM qt_t1sj a LEFT SEMI JOIN qt_t4sj b ON b.key = a.key",
+      duck = Some("SELECT * FROM qt_t1sj a SEMI JOIN qt_t4sj b " +
+        "ON b.key = a.key")),
+    QCase("semijoin.q", "sj4",
+      "SELECT a.value FROM qt_t1sj a LEFT SEMI JOIN qt_t3sj b " +
+        "ON (b.key = a.key AND b.key < 15)",
+      duck = Some("SELECT a.value FROM qt_t1sj a SEMI JOIN qt_t3sj b " +
+        "ON (b.key = a.key AND b.key < 15)")),
+    QCase("leftsemijoin.q", "sj5",
+      "SELECT name, id FROM qt_sales LEFT SEMI JOIN qt_things " +
+        "ON (qt_sales.id = qt_things.id)",
+      duck = Some("SELECT name, id FROM qt_sales SEMI JOIN qt_things " +
+        "ON (qt_sales.id = qt_things.id)")),
+
+    QCase("lateral_view.q", "lv1",
+      "SELECT * FROM qt_src LATERAL VIEW explode(array(1, 2, 3)) " +
+        "myTable AS myCol ORDER BY key, myCol LIMIT 1",
+      duck = Some("SELECT key, value, c AS myCol FROM qt_src, " +
+        "(SELECT UNNEST([1, 2, 3]) AS c) t ORDER BY key, c LIMIT 1"),
+      note = "SORT BY → ORDER BY for a deterministic LIMIT 1"),
+    QCase("lateral_view.q", "lv2",
+      "SELECT DISTINCT myCol, myCol2 FROM qt_src LATERAL VIEW " +
+        "explode(array(1, 2, 3)) t1 AS myCol LATERAL VIEW " +
+        "explode(array('a', 'b', 'c')) t2 AS myCol2",
+      duck = Some("SELECT DISTINCT t1.c1 AS myCol, t2.c2 AS myCol2 FROM " +
+        "qt_src, (SELECT UNNEST([1, 2, 3]) AS c1) t1, " +
+        "(SELECT UNNEST(['a', 'b', 'c']) AS c2) t2"),
+      note = "LIMIT 9 over the cartesian → DISTINCT (the 9 combos), " +
+        "order-independent"),
+    QCase("lateral_view.q", "lv3",
+      "SELECT DISTINCT myCol2 FROM qt_src LATERAL VIEW " +
+        "explode(array(array(1, 2, 3))) t1 AS myCol LATERAL VIEW " +
+        "explode(myCol) t2 AS myCol2",
+      duck = Some("SELECT DISTINCT c2 AS myCol2 FROM " +
+        "(SELECT UNNEST([1, 2, 3]) AS c2)"),
+      note = "nested explode of [[1,2,3]] = the inner list per row; " +
+        "DISTINCT collapses src multiplicity, twin hand-equivalent"),
+    QCase("lateral_view.q", "lv4",
+      "SELECT key, myCol FROM qt_lvarr LATERAL VIEW explode(vals) t " +
+        "AS myCol",
+      duck = Some("SELECT key, UNNEST(vals) AS myCol FROM qt_lvarr")),
+    QCase("lateral_view_outer.q", "lv5",
+      "SELECT key, a FROM qt_src LATERAL VIEW OUTER explode(array()) " +
+        "C AS a",
+      duck = Some("SELECT key, NULL AS a FROM qt_src"),
+      note = "OUTER of an empty array keeps every row with NULL — twin " +
+        "hand-equivalent"),
+    QCase("lateral_view_outer.q", "lv6",
+      "SELECT key, a FROM qt_src LATERAL VIEW OUTER " +
+        "explode(array(4, 5)) C AS a",
+      duck = Some("SELECT key, c AS a FROM qt_src, " +
+        "(SELECT UNNEST([4, 5]) AS c) t")),
+    QCase("lateral_view_outer.q", "lv7",
+      "SELECT key, a FROM qt_avalued LATERAL VIEW OUTER explode(vals) " +
+        "C AS a",
+      duck = Some("SELECT t.key, u.a FROM qt_avalued t LEFT JOIN LATERAL " +
+        "(SELECT UNNEST(t.vals) AS a) u ON true"),
+      note = "NULL-valued arrays keep their row (OUTER); twin is a " +
+        "LATERAL left join"),
+
+    QCase("windowing.q", "w1",
+      "SELECT p_mfgr, p_name, p_size, rank() OVER (DISTRIBUTE BY p_mfgr " +
+        "SORT BY p_name) AS r, dense_rank() OVER (DISTRIBUTE BY p_mfgr " +
+        "SORT BY p_name) AS dr, round(sum(p_retailprice) OVER " +
+        "(DISTRIBUTE BY p_mfgr SORT BY p_name ROWS BETWEEN UNBOUNDED " +
+        "PRECEDING AND CURRENT ROW), 2) AS s1 FROM qt_part",
+      duck = Some("SELECT p_mfgr, p_name, p_size, rank() OVER " +
+        "(PARTITION BY p_mfgr ORDER BY p_name) AS r, dense_rank() OVER " +
+        "(PARTITION BY p_mfgr ORDER BY p_name) AS dr, " +
+        "round(sum(p_retailprice) OVER (PARTITION BY p_mfgr ORDER BY " +
+        "p_name ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) " +
+        "AS s1 FROM qt_part"),
+      note = "Hive's DISTRIBUTE/SORT BY window-spec spelling kept on the " +
+        "engine side; p_name ties in part_tiny are identical full rows, " +
+        "so the ROWS running sum is order-invariant"),
+    QCase("windowing.q", "w2",
+      "SELECT p_mfgr, p_name, p_size, min(p_retailprice) AS mn, rank() " +
+        "OVER (DISTRIBUTE BY p_mfgr SORT BY p_name) AS r, dense_rank() " +
+        "OVER (DISTRIBUTE BY p_mfgr SORT BY p_name) AS dr, p_size - " +
+        "lag(p_size, 1, p_size) OVER (DISTRIBUTE BY p_mfgr SORT BY " +
+        "p_name) AS deltaSz FROM qt_part GROUP BY p_mfgr, p_name, p_size",
+      duck = Some("SELECT p_mfgr, p_name, p_size, min(p_retailprice) AS " +
+        "mn, rank() OVER (PARTITION BY p_mfgr ORDER BY p_name) AS r, " +
+        "dense_rank() OVER (PARTITION BY p_mfgr ORDER BY p_name) AS dr, " +
+        "p_size - lag(p_size, 1, p_size) OVER (PARTITION BY p_mfgr " +
+        "ORDER BY p_name) AS deltaSz FROM qt_part " +
+        "GROUP BY p_mfgr, p_name, p_size")),
+    QCase("windowing.q", "w3",
+      "SELECT p_mfgr, p_name, count(p_size) OVER (DISTRIBUTE BY p_mfgr " +
+        "SORT BY p_name) AS cd FROM qt_part",
+      duck = Some("SELECT p_mfgr, p_name, count(p_size) OVER " +
+        "(PARTITION BY p_mfgr ORDER BY p_name) AS cd FROM qt_part"),
+      note = "default RANGE frame: tie groups count together in both"),
+    QCase("windowing.q", "w4",
+      "SELECT p_mfgr, p_name, p_size, sum(p_size) OVER (DISTRIBUTE BY " +
+        "p_mfgr SORT BY p_name RANGE BETWEEN UNBOUNDED PRECEDING AND " +
+        "CURRENT ROW) AS s1, sum(p_size) OVER (DISTRIBUTE BY p_mfgr " +
+        "SORT BY p_size RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS s2 " +
+        "FROM qt_part",
+      duck = Some("SELECT p_mfgr, p_name, p_size, sum(p_size) OVER " +
+        "(PARTITION BY p_mfgr ORDER BY p_name RANGE BETWEEN UNBOUNDED " +
+        "PRECEDING AND CURRENT ROW) AS s1, sum(p_size) OVER (PARTITION " +
+        "BY p_mfgr ORDER BY p_size RANGE BETWEEN 5 PRECEDING AND " +
+        "CURRENT ROW) AS s2 FROM qt_part")),
+
+    QCase("groupby_position.q", "gp1",
+      "SELECT key, count(DISTINCT substr(value, 5)) AS c FROM qt_src " +
+        "WHERE CAST(key AS INT) < 20 GROUP BY 1",
+      note = "ordinal GROUP BY"),
+    QCase("groupby_position.q", "gp2",
+      "SELECT key, value, count(DISTINCT substr(value, 5)) AS c FROM " +
+        "qt_src WHERE CAST(key AS INT) < 20 GROUP BY 2, 1",
+      note = "ordinals out of select order"),
+    QCase("order.q", "o1",
+      "SELECT x.* FROM qt_src x ORDER BY key LIMIT 10",
+      note = "string-ordered keys; tied keys carry identical rows, so " +
+        "the LIMIT multiset is deterministic"),
+    QCase("order.q", "o2",
+      "SELECT x.* FROM qt_src x ORDER BY key DESC LIMIT 10"),
+    QCase("order2.q", "o3",
+      "SELECT subq.key, subq.value FROM (SELECT x.* FROM qt_src x ORDER " +
+        "BY key LIMIT 10) subq WHERE CAST(subq.key AS INT) < 10",
+      note = "LIMIT-then-filter subquery: the outer filter must apply " +
+        "AFTER the inner top-10"),
+    QCase("union5.q", "u4",
+      "SELECT unionsrc.key AS key, count(1) AS c FROM (SELECT 'tst1' AS " +
+        "key, count(1) AS value FROM qt_src s1 UNION ALL SELECT 'tst2' " +
+        "AS key, count(1) AS value FROM qt_src s2) unionsrc " +
+        "GROUP BY unionsrc.key"),
+
+    QCase("union2.q", "u1",
+      "SELECT count(1) AS c FROM (SELECT s1.key AS key, s1.value AS " +
+        "value FROM qt_src s1 UNION ALL SELECT s2.key AS key, s2.value " +
+        "AS value FROM qt_src s2) unionsrc"),
+    QCase("union3.q", "u2",
+      "SELECT * FROM (SELECT 1 AS id FROM (SELECT * FROM qt_src LIMIT 1)" +
+        " s1 UNION ALL SELECT 2 AS id FROM (SELECT * FROM qt_src LIMIT 1" +
+        ") s2 UNION ALL SELECT 3 AS id FROM (SELECT * FROM qt_src LIMIT " +
+        "1) s3 UNION ALL SELECT 4 AS id FROM (SELECT * FROM qt_src " +
+        "LIMIT 1) s4 CLUSTER BY id) a",
+      duck = Some("SELECT * FROM (SELECT 1 AS id FROM (SELECT * FROM " +
+        "qt_src LIMIT 1) s1 UNION ALL SELECT 2 AS id FROM (SELECT * " +
+        "FROM qt_src LIMIT 1) s2 UNION ALL SELECT 3 AS id FROM (SELECT " +
+        "* FROM qt_src LIMIT 1) s3 UNION ALL SELECT 4 AS id FROM " +
+        "(SELECT * FROM qt_src LIMIT 1) s4) a"),
+      note = "CLUSTER BY kept on the engine side; results compare sorted"),
+    QCase("union7.q", "u3",
+      "SELECT unionsrc.key AS key, count(1) AS c FROM (SELECT 'tst1' AS " +
+        "key, CAST(count(1) AS STRING) AS value FROM qt_src s1 UNION ALL " +
+        "SELECT s2.key AS key, s2.value AS value FROM qt_src1 s2) " +
+        "unionsrc GROUP BY unionsrc.key",
+      duck = Some("SELECT unionsrc.key AS key, count(1) AS c FROM " +
+        "(SELECT 'tst1' AS key, CAST(count(1) AS VARCHAR) AS value FROM " +
+        "qt_src s1 UNION ALL SELECT s2.key AS key, s2.value AS value " +
+        "FROM qt_src1 s2) unionsrc GROUP BY unionsrc.key")))
+
+  // --------------------------------------------------------- machinery
+
+  /** Canonical cell: numerics via BigDecimal (strips rendering noise),
+    * booleans lowercased, NULL marker passed through.
+    */
+  private def canon(s: String): String =
+    if (s == "NULL") s
+    else if (s == "True" || s == "False") s.toLowerCase
+    else try BigDecimal(s).underlying.stripTrailingZeros.toPlainString
+    catch { case _: NumberFormatException => s }
+
+  private def cellEq(a: String, b: String): Boolean =
+    a == b || {
+      try {
+        val (x, y) = (BigDecimal(a), BigDecimal(b))
+        (x - y).abs <= BigDecimal(1e-6) * (x.abs.max(y.abs).max(1))
+      } catch { case _: NumberFormatException => false }
+    }
+
+  private def sparkRows(sql: String): Seq[Seq[String]] =
+    Engine.sql(spark, sfDir, sql).collect().toSeq.map(_.toSeq.map {
+      case null => "NULL"
+      case v => canon(v.toString)
+    })
+
+  private lazy val duckResults: Map[String, Either[String, Seq[Seq[String]]]] = {
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    val spec = jackson.Serialization.write(Map(
+      "tables" -> fixtures,
+      "queries" -> cases.map(c => c.name -> c.duck.getOrElse(c.spark)).toMap))
+    val proc = new ProcessBuilder(python.get, "tools/qtest_oracle.py").start()
+    proc.getOutputStream.write(spec.getBytes("UTF-8"))
+    proc.getOutputStream.close()
+    val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+    val err = new String(proc.getErrorStream.readAllBytes(), "UTF-8")
+    require(proc.waitFor() == 0, s"qtest_oracle.py failed: $err")
+    jackson.JsonMethods.parse(out) match {
+      case JObject(fields) => fields.map {
+        case (name, JArray(rows)) => name -> Right(rows.map {
+          case JArray(cells) => cells.map {
+            case JString(s) => canon(s)
+            case other => canon(other.values.toString)
+          }
+          case other => sys.error(s"unexpected row shape: $other")
+        })
+        case (name, obj) => name ->
+          Left((obj \ "error").extractOpt[String].getOrElse(obj.toString))
+      }.toMap
+      case other => sys.error(s"unexpected oracle output: $other")
+    }
+  }
+
+  private def run(family: String*): Unit = {
+    assume(haveRef, "/root/reference fixture data not present")
+    assume(python.isDefined, "python3 + duckdb not available")
+    fixtures // force
+    cases.filter(c => family.exists(c.file.startsWith)).foreach { c =>
+      withClue(s"[${c.file} ${c.name}] ${c.note}\n  spark: ${c.spark}\n") {
+        val got = sparkRows(c.spark).sortBy(_.mkString(""))
+        val want = duckResults(c.name) match {
+          case Left(err) => fail(s"DuckDB rejected the twin: $err")
+          case Right(rows) => rows.sortBy(_.mkString(""))
+        }
+        assert(got.size === want.size,
+          s"row count: spark=${got.size} duck=${want.size}")
+        got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+          assert(g.size === w.size, s"row $i arity")
+          g.zip(w).foreach { case (a, b) =>
+            assert(cellEq(a, b), s"row $i: spark=$g duck=$w")
+          }
+        }
+      }
+    }
+  }
+
+  test("qtest conformance: groupby family (incl. having, srcpart ppr, " +
+      "ordinal GROUP BY)") {
+    run("groupby1", "groupby2", "groupby3", "groupby4", "groupby6",
+      "having", "groupby_ppr", "groupby_position")
+  }
+  test("qtest conformance: order-by family") {
+    run("order")
+  }
+  test("qtest conformance: rollup / cube / grouping sets (GROUPING__ID)") {
+    run("groupby_rollup", "groupby_cube", "groupby_grouping_sets")
+  }
+  test("qtest conformance: join family (inner, 3-way, outer, srcpart)") {
+    run("join")
+  }
+  test("qtest conformance: semijoin family") {
+    run("semijoin", "leftsemijoin")
+  }
+  test("qtest conformance: lateral view family (incl. OUTER)") {
+    run("lateral_view")
+  }
+  test("qtest conformance: windowing family") {
+    run("windowing")
+  }
+  test("qtest conformance: union family") {
+    run("union")
+  }
+}
