@@ -46,6 +46,19 @@ object HiveFunctions {
     alias("std", "stddev_pop")
     alias("stddev", "stddev_pop")
     alias("variance", "var_pop")
+    // Hive's GREATEST/LEAST return NULL when ANY argument is NULL (ref
+    // udf/generic/GenericUDFGreatest.java, HIVE-12082 — pinned by
+    // udf_greatest.q's expected output), where Spark's builtins SKIP
+    // nulls — a silent wrong-value divergence surfaced by the qtest
+    // conformance sweep. DataFrame-API functions.greatest is untouched.
+    fn("greatest") { args =>
+      CaseWhen(Seq((args.map(IsNull(_): Expression).reduce(Or(_, _)),
+        Literal(null))), Some(Greatest(args)))
+    }
+    fn("least") { args =>
+      CaseWhen(Seq((args.map(IsNull(_): Expression).reduce(Or(_, _)),
+        Literal(null))), Some(Least(args)))
+    }
 
     // Hive's INPUT__FILE__NAME virtual column (ref ql/.../VirtualColumn.java)
     // as a function — Spark's input_file_name under the Hive spelling.

@@ -34,8 +34,14 @@ class QtestConformanceSpec extends SparkSpec {
 
   private val refData = "/root/reference/data/files"
 
+  /** `hive`: the expected row TRANSCRIBED from the reference's own
+    * committed .q.out (a third leg for cases where Spark and DuckDB could
+    * agree with each other yet both diverge from Hive — e.g. GREATEST
+    * null semantics).
+    */
   private case class QCase(file: String, name: String, spark: String,
-      duck: Option[String] = None, note: String = "")
+      duck: Option[String] = None, note: String = "",
+      hive: Option[Seq[String]] = None)
 
   // ------------------------------------------------------------ fixtures
 
@@ -417,6 +423,146 @@ class QtestConformanceSpec extends SparkSpec {
         "BY p_mfgr ORDER BY p_size RANGE BETWEEN 5 PRECEDING AND " +
         "CURRENT ROW) AS s2 FROM qt_part")),
 
+    QCase("subquery_in.q", "sq1",
+      "SELECT * FROM qt_src WHERE key IN (SELECT key FROM qt_src s1 " +
+        "WHERE s1.key > '9')"),
+    QCase("subquery_in.q", "sq2",
+      "SELECT * FROM qt_src b WHERE b.key IN (SELECT a.key FROM qt_src " +
+        "a WHERE b.value = a.value AND a.key > '9')",
+      note = "correlated IN"),
+    QCase("subquery_in.q", "sq3",
+      "SELECT p_name, p_size FROM qt_part WHERE p_size IN (SELECT " +
+        "avg(p_size) FROM (SELECT p_size, rank() OVER (PARTITION BY " +
+        "p_mfgr ORDER BY p_size) AS r FROM qt_part) a WHERE r <= 2)",
+      note = "int IN double-subquery coercion"),
+    QCase("subquery_in.q", "sq4",
+      "SELECT p_mfgr, p_name, p_size FROM qt_part b WHERE b.p_size IN " +
+        "(SELECT min(p_size) FROM (SELECT p_mfgr, p_size, rank() OVER " +
+        "(PARTITION BY p_mfgr ORDER BY p_size) AS r FROM qt_part) a " +
+        "WHERE r <= 2 AND b.p_mfgr = a.p_mfgr)",
+      note = "correlated agg-of-window subquery"),
+    QCase("subquery_exists.q", "se1",
+      "SELECT * FROM qt_src b WHERE EXISTS (SELECT a.key FROM qt_src a " +
+        "WHERE b.value = a.value AND a.key = b.key AND a.value > 'val_9')"),
+    QCase("subquery_exists.q", "se2",
+      "SELECT * FROM (SELECT * FROM qt_src b WHERE EXISTS (SELECT a.key " +
+        "FROM qt_src a WHERE b.value = a.value AND a.key = b.key AND " +
+        "a.value > 'val_9')) a"),
+    QCase("subquery_notin.q", "sn1",
+      "SELECT * FROM qt_src WHERE key NOT IN (SELECT key FROM qt_src " +
+        "s1 WHERE s1.key > '2')"),
+    QCase("subquery_notin.q", "sn2",
+      "SELECT p_mfgr, b.p_name, p_size FROM qt_part b WHERE b.p_name " +
+        "NOT IN (SELECT p_name FROM (SELECT p_mfgr, p_name, p_size, " +
+        "rank() OVER (PARTITION BY p_mfgr ORDER BY p_size) AS r FROM " +
+        "qt_part) a WHERE r <= 2 AND b.p_mfgr = a.p_mfgr)",
+      note = "correlated NOT IN over a windowed subquery"),
+
+    QCase("udf_case.q", "uf1",
+      "SELECT CASE 1 WHEN 1 THEN 2 WHEN 3 THEN 4 ELSE 5 END AS c1, " +
+        "CASE 2 WHEN 1 THEN 2 ELSE 5 END AS c2, " +
+        "CASE 14 WHEN 12 THEN 13 WHEN 14 THEN 15 END AS c3, " +
+        "CASE 16 WHEN 12 THEN 13 WHEN 14 THEN 15 END AS c4, " +
+        "CASE 17 WHEN 18 THEN NULL WHEN 17 THEN 20 END AS c5, " +
+        "CASE 21 WHEN 22 THEN 23 WHEN 21 THEN 24 END AS c6",
+      hive = Some(Seq("2", "5", "15", "NULL", "20", "24"))),
+    QCase("udf_when.q", "uf2",
+      "SELECT CASE WHEN 1=1 THEN 2 WHEN 1=3 THEN 4 ELSE 5 END AS c1, " +
+        "CASE WHEN 6=7 THEN 8 ELSE 9 END AS c2, " +
+        "CASE WHEN 10=11 THEN 12 WHEN 13=13 THEN 14 END AS c3, " +
+        "CASE WHEN 15=16 THEN 17 WHEN 18=19 THEN 20 END AS c4"),
+    QCase("udf_coalesce.q", "uf3",
+      "SELECT COALESCE(1) AS c1, COALESCE(1, 2) AS c2, " +
+        "COALESCE(NULL, 2) AS c3, COALESCE(1, NULL) AS c4, " +
+        "COALESCE(NULL, NULL, 3) AS c5, COALESCE(4, NULL, NULL, NULL) " +
+        "AS c6, COALESCE('1', NULL) AS c7, COALESCE(NULL, NULL, '3') " +
+        "AS c8, COALESCE(NULL, 2.0, 3.0) AS c9, COALESCE(2.0, NULL, " +
+        "3.0) AS c10"),
+    QCase("udf_if.q", "uf4",
+      "SELECT IF(TRUE, 1, 2) AS c1, IF(FALSE, 1, 2) AS c2, " +
+        "IF(NULL, 1, 2) AS c3, IF(TRUE, 'a', 'b') AS c4",
+      duck = Some("SELECT CASE WHEN TRUE THEN 1 ELSE 2 END AS c1, " +
+        "CASE WHEN FALSE THEN 1 ELSE 2 END AS c2, " +
+        "CASE WHEN NULL THEN 1 ELSE 2 END AS c3, " +
+        "CASE WHEN TRUE THEN 'a' ELSE 'b' END AS c4")),
+    QCase("udf_nvl.q", "uf5",
+      "SELECT NVL(1, 2) AS c1, NVL(NULL, 5) AS c2, NVL('x', 'y') AS c3, " +
+        "NVL(NULL, 'z') AS c4",
+      duck = Some("SELECT COALESCE(1, 2) AS c1, COALESCE(NULL, 5) AS " +
+        "c2, COALESCE('x', 'y') AS c3, COALESCE(NULL, 'z') AS c4")),
+    QCase("udf_instr.q", "uf6",
+      "SELECT instr('abcd', 'abc') AS c1, instr('abcabc', 'ccc') AS c2, " +
+        "instr(NULL, 'abc') AS c3, instr('abcd', NULL) AS c4, " +
+        "instr('abcabc', 'bc') AS c5",
+      note = "2-arg core; the numeric/boolean implicit-coercion columns " +
+        "are Hive-coercion cases covered by TypeSystemSpec"),
+    QCase("udf_concat.q", "uf7",
+      "SELECT concat('a', 'b') AS c1, concat('a', 'b', 'c') AS c2, " +
+        "concat('a', NULL) AS c3, concat('', '') AS c4",
+      duck = Some("SELECT 'a' || 'b' AS c1, 'a' || 'b' || 'c' AS c2, " +
+        "'a' || NULL AS c3, '' || '' AS c4"),
+      note = "Hive concat is NULL-propagating, like || (DuckDB's " +
+        "concat() is NULL-skipping — the twin uses ||)"),
+    QCase("udf_lpad.q", "uf8",
+      "SELECT lpad('hi', 5, '??') AS c1, lpad('hi', 1, '??') AS c2, " +
+        "rpad('hi', 5, '??') AS c3, rpad('hi', 1, '??') AS c4",
+      note = "udf_rpad.q folded in"),
+    QCase("udf_trim.q", "uf9",
+      "SELECT trim('   tech   ') AS c1, ltrim('   tech   ') AS c2, " +
+        "rtrim('   tech   ') AS c3",
+      note = "udf_ltrim.q/udf_rtrim.q folded in"),
+    QCase("udf_substr.q", "uf10",
+      "SELECT substr('ABCDEFG', 3, 4) AS c1, substr('ABCDEFG', 3) AS " +
+        "c2, substr('ABC', 1, 2) AS c3, substr('ABC', 14) AS c4, " +
+        "substr('ABC', 1, 100) AS c5, substr(NULL, 1) AS c6",
+      note = "positive-position core; negative positions are " +
+        "Hive-specific from-the-end semantics covered by f01"),
+    QCase("udf_round.q", "uf11",
+      "SELECT round(55555) AS c1, round(55555, 1) AS c2, " +
+        "round(55555, -1) AS c3, round(55555, -2) AS c4, " +
+        "round(55555, -6) AS c5, round(NULL) AS c6",
+      hive = Some(Seq("55555", "55555", "55560", "55600", "0", "NULL"))),
+    QCase("udf_round.q", "uf12",
+      "SELECT round(125.315) AS c1, round(125.315, 1) AS c2, " +
+        "round(125.315, 2) AS c3, round(125.315, -1) AS c4, " +
+        "round(-125.315, 2) AS c5, round(3.141592653589793, 4) AS c6",
+      hive = Some(Seq("125", "125.3", "125.32", "130", "-125.32",
+        "3.1416"))),
+    QCase("udf_greatest.q", "uf13",
+      "SELECT GREATEST('a', 'b', 'c') AS c1, GREATEST('C', 'a', 'B') " +
+        "AS c2, GREATEST('11', '2', '12') AS c3, GREATEST(NULL, 'b', " +
+        "'c') AS c4, GREATEST('a', NULL, 'c') AS c5, " +
+        "GREATEST(CAST(NULL AS STRING), NULL, NULL) AS c6",
+      duck = Some("SELECT greatest('a', 'b', 'c') AS c1, greatest('C', " +
+        "'a', 'B') AS c2, greatest('11', '2', '12') AS c3, CASE WHEN " +
+        "NULL IS NULL THEN NULL ELSE greatest(NULL, 'b', 'c') END AS " +
+        "c4, CASE WHEN NULL IS NULL THEN NULL ELSE greatest('a', NULL, " +
+        "'c') END AS c5, CAST(NULL AS VARCHAR) AS c6"),
+      note = "Hive GREATEST is NULL when ANY argument is NULL " +
+        "(HIVE-12082) — Spark's builtin skips nulls; re-registered. " +
+        "Third leg = the .q.out row",
+      hive = Some(Seq("c", "a", "2", "NULL", "NULL", "NULL"))),
+    QCase("udf_greatest.q", "uf14",
+      "SELECT GREATEST(11, 13, 12) AS c1, GREATEST(1, -13, 2) AS c2, " +
+        "GREATEST(NULL, 1, 2) AS c3, GREATEST(1, NULL, 2) AS c4",
+      duck = Some("SELECT greatest(11, 13, 12) AS c1, greatest(1, -13, " +
+        "2) AS c2, CAST(NULL AS INT) AS c3, CAST(NULL AS INT) AS c4"),
+      hive = Some(Seq("13", "2", "NULL", "NULL"))),
+    QCase("udf_least.q", "uf15",
+      "SELECT LEAST('a', 'b', 'c') AS c1, LEAST('C', 'a', 'B') AS c2, " +
+        "LEAST('11', '2', '12') AS c3, LEAST(NULL, 'b', 'c') AS c4, " +
+        "LEAST('a', 'b', NULL) AS c5",
+      duck = Some("SELECT least('a', 'b', 'c') AS c1, least('C', 'a', " +
+        "'B') AS c2, least('11', '2', '12') AS c3, CAST(NULL AS " +
+        "VARCHAR) AS c4, CAST(NULL AS VARCHAR) AS c5"),
+      hive = Some(Seq("a", "B", "11", "NULL", "NULL"))),
+    QCase("udf_least.q", "uf16",
+      "SELECT LEAST(11, 13, 12) AS c1, LEAST(1, -13, 2) AS c2, " +
+        "LEAST(NULL, 1, 2) AS c3",
+      duck = Some("SELECT least(11, 13, 12) AS c1, least(1, -13, 2) AS " +
+        "c2, CAST(NULL AS INT) AS c3"),
+      hive = Some(Seq("11", "-13", "NULL"))),
+
     QCase("groupby_position.q", "gp1",
       "SELECT key, count(DISTINCT substr(value, 5)) AS c FROM qt_src " +
         "WHERE CAST(key AS INT) < 20 GROUP BY 1",
@@ -540,6 +686,15 @@ class QtestConformanceSpec extends SparkSpec {
             assert(cellEq(a, b), s"row $i: spark=$g duck=$w")
           }
         }
+        c.hive.foreach { exp =>
+          val h = exp.map(canon)
+          assert(got.size === 1 && got.head.size === h.size,
+            s"hive-expected shape: got=$got")
+          got.head.zip(h).foreach { case (a, b) =>
+            assert(cellEq(a, b), s"vs reference .q.out: spark=${got.head} " +
+              s"hive=$h")
+          }
+        }
       }
     }
   }
@@ -569,5 +724,12 @@ class QtestConformanceSpec extends SparkSpec {
   }
   test("qtest conformance: union family") {
     run("union")
+  }
+  test("qtest conformance: subquery family (IN/EXISTS/NOT IN, correlated)") {
+    run("subquery")
+  }
+  test("qtest conformance: scalar function family (udf_*.q, with .q.out " +
+      "third leg where Spark+DuckDB could jointly diverge)") {
+    run("udf_")
   }
 }
