@@ -59,6 +59,16 @@ object HiveFunctions {
       CaseWhen(Seq((args.map(IsNull(_): Expression).reduce(Or(_, _)),
         Literal(null))), Some(Least(args)))
     }
+    // Hive's pmod is ((a % b) + b) % b (ref udf/generic/
+    // GenericUDFOPMod lineage, UDFPosMod): with a NEGATIVE divisor the
+    // result carries the divisor's sign (pmod(7, -3) = -2), where
+    // Spark's pmod clamps non-negative (= 1) — surfaced by the qtest
+    // sweep (udf_pmod.q). DataFrame-API functions.pmod is untouched
+    // (the engine's bucket layouts use it with positive counts only).
+    fn("pmod") { args =>
+      require(args.size == 2, "pmod(a, b) takes two arguments")
+      Remainder(Add(Remainder(args.head, args(1)), args(1)), args(1))
+    }
 
     // Hive's INPUT__FILE__NAME virtual column (ref ql/.../VirtualColumn.java)
     // as a function — Spark's input_file_name under the Hive spelling.

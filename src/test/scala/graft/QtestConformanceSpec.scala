@@ -37,11 +37,17 @@ class QtestConformanceSpec extends SparkSpec {
   /** `hive`: the expected row TRANSCRIBED from the reference's own
     * committed .q.out (a third leg for cases where Spark and DuckDB could
     * agree with each other yet both diverge from Hive — e.g. GREATEST
-    * null semantics).
+    * null semantics). `duck = Some("")` means the statement has no
+    * DuckDB analog (elt/field/translate/...) — the .q.out leg is then
+    * the whole gate and must be present.
     */
   private case class QCase(file: String, name: String, spark: String,
       duck: Option[String] = None, note: String = "",
-      hive: Option[Seq[String]] = None)
+      hive: Option[Seq[String]] = None) {
+    def hiveOnly: Boolean = duck.contains("")
+    require(!hiveOnly || hive.isDefined,
+      s"$name: a DuckDB-less case needs the .q.out leg")
+  }
 
   // ------------------------------------------------------------ fixtures
 
@@ -562,6 +568,72 @@ class QtestConformanceSpec extends SparkSpec {
       duck = Some("SELECT least(11, 13, 12) AS c1, least(1, -13, 2) AS " +
         "c2, CAST(NULL AS INT) AS c3"),
       hive = Some(Seq("11", "-13", "NULL"))),
+    QCase("udf_elt.q", "uf17",
+      "SELECT elt(2, 'abc', 'defg') AS c1, elt(3, 'aa', 'bb', 'cc', " +
+        "'dd', 'ee', 'ff', 'gg') AS c2, elt('1', 'abc', 'defg') AS c3, " +
+        "elt(NULL, 'abc', 'defg') AS c4, elt(0, 'abc', 'defg') AS c5, " +
+        "elt(3, 'abc', 'defg') AS c6",
+      duck = Some(""),
+      note = "string-index coercion, NULL/out-of-range → NULL",
+      hive = Some(Seq("defg", "cc", "abc", "NULL", "NULL", "NULL"))),
+    QCase("udf_field.q", "uf18",
+      "SELECT field('x', 'a', 'b', 'c', 'd') AS c1, field(NULL, 'a', " +
+        "'b', 'c', 'd') AS c2, field(0, 1, 2, 3, 4) AS c3, field('a', " +
+        "'a', 'b', 'c', 'd') AS c4, field('d', 'a', 'b', NULL, 'd') AS c5",
+      duck = Some(""),
+      hive = Some(Seq("0", "0", "0", "1", "4"))),
+    QCase("udf_find_in_set.q", "uf19",
+      "SELECT find_in_set('ab', 'ab,abc,abcde') AS c1, find_in_set(" +
+        "'ab', 'abc,ab,bbb') AS c2, find_in_set('ab', 'def,abc,ab') AS " +
+        "c3, find_in_set('ab', 'abc,abd,abf') AS c4, find_in_set(NULL, " +
+        "'a,b,c') AS c5, find_in_set('a', NULL) AS c6, find_in_set('', " +
+        "',') AS c7, find_in_set('', 'a,,b') AS c8, find_in_set('a', " +
+        "'') AS c9",
+      duck = Some(""),
+      hive = Some(Seq("1", "2", "3", "0", "NULL", "NULL", "1", "2", "0"))),
+    QCase("udf_format_number.q", "uf20",
+      "SELECT format_number(12332.123456, 4) AS c1, " +
+        "format_number(12332.1, 4) AS c2, format_number(12332.2, 0) AS c3",
+      duck = Some(""),
+      note = "grouped-thousands rendering per the reference's .q.out",
+      hive = Some(Seq("12,332.1235", "12,332.1000", "12,332"))),
+    QCase("udf_translate.q", "uf21",
+      "SELECT translate('abcd', 'ab', '12') AS c1, translate('abcd', " +
+        "'abc', '12') AS c2, translate(NULL, 'ab', '12') AS c3, " +
+        "translate('abcd', NULL, '12') AS c4, translate('abcd', 'ab', " +
+        "NULL) AS c5, translate('abcd', 'aba', '123') AS c6",
+      duck = Some(""),
+      note = "unmatched from-chars delete; FIRST mapping wins on " +
+        "duplicate from-chars",
+      hive = Some(Seq("12cd", "12d", "NULL", "NULL", "NULL", "12cd"))),
+    QCase("udf_date_add.q", "uf22",
+      "SELECT date_add('1900-01-01', 10) AS c1, date_sub('1900-01-01', " +
+        "10) AS c2, datediff('2009-07-30', '2009-07-28') AS c3",
+      duck = Some("SELECT DATE '1900-01-01' + 10 AS c1, DATE " +
+        "'1900-01-01' - 10 AS c2, datediff('day', DATE '2009-07-28', " +
+        "DATE '2009-07-30') AS c3"),
+      note = "udf_date_sub.q/udf_datediff.q folded in",
+      hive = Some(Seq("1900-01-11", "1899-12-22", "2"))),
+    QCase("udf_pmod.q", "uf23",
+      "SELECT pmod(3, 2) AS c1, pmod(-7, 3) AS c2, pmod(7, -3) AS c3",
+      duck = Some("SELECT ((3 % 2) + 2) % 2 AS c1, ((-7 % 3) + 3) % 3 " +
+        "AS c2, ((7 % -3) + -3) % -3 AS c3"),
+      note = "the twin is pmod's definition"),
+    QCase("udf_regexp_extract.q", "uf24",
+      "SELECT regexp_extract('100-200', '([0-9]+)-([0-9]+)', 1) AS c1, " +
+        "regexp_extract('100-200', '([0-9]+)-([0-9]+)', 2) AS c2, " +
+        "regexp_extract('foo', '([0-9]+)', 1) AS c3",
+      note = "no-match → empty string in both engines"),
+    QCase("udf_regexp_replace.q", "uf25",
+      "SELECT regexp_replace('100-200', '([0-9]+)', 'z') AS c1, " +
+        "regexp_replace('abc', 'b', '') AS c2",
+      duck = Some("SELECT regexp_replace('100-200', '([0-9]+)', 'z', " +
+        "'g') AS c1, regexp_replace('abc', 'b', '', 'g') AS c2"),
+      note = "Hive/Spark replace ALL matches; DuckDB needs the g flag"),
+    QCase("udf_repeat.q", "uf26",
+      "SELECT repeat('abc', 2) AS c1, repeat('abc', 0) AS c2, " +
+        "reverse('abc') AS c3, ascii('0') AS c4, ascii('A') AS c5",
+      note = "udf_reverse.q/udf_ascii.q folded in"),
 
     QCase("groupby_position.q", "gp1",
       "SELECT key, count(DISTINCT substr(value, 5)) AS c FROM qt_src " +
@@ -644,7 +716,8 @@ class QtestConformanceSpec extends SparkSpec {
     implicit val fmts: Formats = DefaultFormats
     val spec = jackson.Serialization.write(Map(
       "tables" -> fixtures,
-      "queries" -> cases.map(c => c.name -> c.duck.getOrElse(c.spark)).toMap))
+      "queries" -> cases.filterNot(_.hiveOnly)
+        .map(c => c.name -> c.duck.getOrElse(c.spark)).toMap))
     val proc = new ProcessBuilder(python.get, "tools/qtest_oracle.py").start()
     proc.getOutputStream.write(spec.getBytes("UTF-8"))
     proc.getOutputStream.close()
@@ -674,16 +747,18 @@ class QtestConformanceSpec extends SparkSpec {
     cases.filter(c => family.exists(c.file.startsWith)).foreach { c =>
       withClue(s"[${c.file} ${c.name}] ${c.note}\n  spark: ${c.spark}\n") {
         val got = sparkRows(c.spark).sortBy(_.mkString(""))
-        val want = duckResults(c.name) match {
-          case Left(err) => fail(s"DuckDB rejected the twin: $err")
-          case Right(rows) => rows.sortBy(_.mkString(""))
-        }
-        assert(got.size === want.size,
-          s"row count: spark=${got.size} duck=${want.size}")
-        got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
-          assert(g.size === w.size, s"row $i arity")
-          g.zip(w).foreach { case (a, b) =>
-            assert(cellEq(a, b), s"row $i: spark=$g duck=$w")
+        if (!c.hiveOnly) {
+          val want = duckResults(c.name) match {
+            case Left(err) => fail(s"DuckDB rejected the twin: $err")
+            case Right(rows) => rows.sortBy(_.mkString(""))
+          }
+          assert(got.size === want.size,
+            s"row count: spark=${got.size} duck=${want.size}")
+          got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+            assert(g.size === w.size, s"row $i arity")
+            g.zip(w).foreach { case (a, b) =>
+              assert(cellEq(a, b), s"row $i: spark=$g duck=$w")
+            }
           }
         }
         c.hive.foreach { exp =>
