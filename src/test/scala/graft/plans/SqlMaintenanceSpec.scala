@@ -357,6 +357,29 @@ class SqlMaintenanceSpec extends SparkSpec {
       // well-formed forms still work right next to the rejected ones
       sql("VACUUM maint_tok RETAIN 1 HOURS")
       sql("OPTIMIZE maint_tok")
+      // r13 verbs: malformed spellings fall through to Spark's canonical
+      // error, never a half-matched verb
+      intercept[ParseException](
+        sql("ALTER TABLE maint_tok SET PARTITION SPEC (day(ts")) // unbalanced
+      intercept[ParseException](
+        sql("ALTER TABLE maint_tok SET PARTITION SPEC day(ts)")) // no parens
+      intercept[ParseException](
+        sql("ALTER TABLE maint_tok SET PARTITION SPEC ()")) // empty entry
+      intercept[ParseException](
+        sql("ALTER TABLE maint_tok SET PARTITION SPEC (not a call(x))"))
+      intercept[ParseException](
+        sql("ALTER TABLE maint_tok REPLACE BRANCH")) // missing name
+      intercept[ParseException](
+        sql("ALTER TABLE maint_tok REPLACE BRANCH b FOR SYSTEM_VERSION " +
+          "AS OF abc")) // non-numeric version
+      intercept[ParseException](
+        sql("ALTER TABLE maint_tok CREATE OR REPLACE BRANCH b RETAIN 7"))
+      // ...while ALTER TABLE t REPLACE COLUMNS stays Spark's own statement
+      // (the verb layer only ever sees text Spark rejected)
+      val e = intercept[Exception](
+        sql("ALTER TABLE maint_tok REPLACE COLUMNS (k INT)"))
+      assert(!Option(e.getMessage).exists(_.toLowerCase.contains("branch")),
+        s"REPLACE COLUMNS must surface Spark's error, got: ${e.getMessage}")
     } finally NamedTables.drop("maint_tok")
   }
 
