@@ -108,6 +108,25 @@ class QtestConformanceSpec extends SparkSpec {
       col("value"))
     val t3sj = t1sj.unionByName(t2sj)
     val t4sj = t1sj.limit(0)
+    // subquery_scalar.q fixtures: part with NULLs, an all-NULL pair, an
+    // empty table
+    val pnull = spark.read.option("sep", ",")
+      .csv(s"$refData/part_tiny_nulls.txt")
+      .toDF("p_partkey", "p_name", "p_mfgr", "p_brand", "p_type",
+        "p_size", "p_container", "p_retailprice", "p_comment")
+      .select(col("p_partkey").cast("int"), col("p_name"), col("p_mfgr"),
+        col("p_brand"), col("p_type"), col("p_size").cast("int"),
+        col("p_container"), col("p_retailprice").cast("double"),
+        col("p_comment"))
+      .unionByName(spark.range(1).select(lit(78487).as("p_partkey"),
+        lit(null).cast("string").as("p_name"),
+        lit("Manufacturer#6").as("p_mfgr"), lit("Brand#52").as("p_brand"),
+        lit("LARGE BRUSHED BRASS").as("p_type"), lit(23).as("p_size"),
+        lit("MED BAG").as("p_container"),
+        lit(1464.48).as("p_retailprice"), lit("hely blith").as("p_comment")))
+    val tnull = spark.range(2).select(lit(null).cast("int").as("i"),
+      lit(null).cast("string").as("c"))
+    val tempty = tnull.select(col("c")).limit(0)
     // join_filters_overlap.q's table: (100, 40), (100, 50), (100, 60)
     val a4 = spark.range(1).select(lit(100).as("key"),
         explode(array(lit(40), lit(50), lit(60))).as("value"))
@@ -123,7 +142,8 @@ class QtestConformanceSpec extends SparkSpec {
       "qt_sales" -> sales, "qt_things" -> things,
       "qt_t1sj" -> t1sj, "qt_t2sj" -> t2sj, "qt_t3sj" -> t3sj,
       "qt_t4sj" -> t4sj, "qt_lvarr" -> lvarr, "qt_avalued" -> avalued,
-      "qt_a4" -> a4)
+      "qt_a4" -> a4, "qt_pnull" -> pnull, "qt_tnull" -> tnull,
+      "qt_tempty" -> tempty)
     all.map { case (name, df) =>
       df.createOrReplaceTempView(name)
       val d = s"$dir/$name"
@@ -463,6 +483,50 @@ class QtestConformanceSpec extends SparkSpec {
         "rank() OVER (PARTITION BY p_mfgr ORDER BY p_size) AS r FROM " +
         "qt_part) a WHERE r <= 2 AND b.p_mfgr = a.p_mfgr)",
       note = "correlated NOT IN over a windowed subquery"),
+
+    QCase("subquery_scalar.q", "sc1",
+      "SELECT p_partkey, p_size FROM qt_part WHERE p_size > (SELECT " +
+        "avg(p_size) FROM qt_pnull)"),
+    QCase("subquery_scalar.q", "sc2",
+      "SELECT p_partkey FROM qt_part WHERE p_size > (SELECT * FROM " +
+        "qt_tempty)",
+      duck = Some("SELECT p_partkey FROM qt_part WHERE p_size > CAST(" +
+        "(SELECT * FROM qt_tempty) AS INT)"),
+      note = "scalar subquery over an EMPTY table is NULL → zero rows; " +
+        "the int>string coercion is Hive's, the twin casts"),
+    QCase("subquery_scalar.q", "sc3",
+      "SELECT p_partkey FROM qt_part WHERE p_name = (SELECT p_name " +
+        "FROM qt_pnull WHERE p_name IS NULL)",
+      note = "= NULL-valued scalar → zero rows"),
+    QCase("subquery_scalar.q", "sc4",
+      "SELECT p_partkey FROM qt_part WHERE (SELECT i FROM qt_tnull " +
+        "LIMIT 1) IS NULL",
+      note = "NULL scalar under IS NULL keeps every row"),
+    QCase("subquery_scalar.q", "sc5",
+      "SELECT count(*) AS n FROM qt_part WHERE (SELECT max(p_name) " +
+        "FROM qt_pnull) IS NOT NULL"),
+    QCase("subquery_scalar.q", "sc6",
+      "SELECT p_partkey, p_size FROM qt_part WHERE p_size BETWEEN " +
+        "(SELECT min(p_size) FROM qt_part) AND (SELECT avg(p_size) " +
+        "FROM qt_part)"),
+    QCase("subquery_scalar.q", "sc7",
+      "SELECT count(*) AS c FROM qt_part e WHERE p_size + 100 < " +
+        "(SELECT max(p_partkey) FROM qt_part WHERE p_name = e.p_name)",
+      note = "correlated scalar in a comparison"),
+    QCase("subquery_scalar.q", "sc8",
+      "SELECT p_partkey, p_size FROM qt_part WHERE p_size > (SELECT " +
+        "avg(p_size) FROM qt_pnull WHERE qt_pnull.p_type = qt_part.p_type)",
+      note = "empty correlated group → NULL → row dropped"),
+    QCase("subquery_scalar.q", "sc9",
+      "SELECT CAST(sum(p_retailprice) AS DECIMAL(20, 2)) AS s FROM " +
+        "qt_part GROUP BY p_type HAVING sum(p_retailprice) > (SELECT " +
+        "max(pp.p_retailprice) FROM qt_part pp)",
+      note = "scalar subquery in HAVING"),
+    QCase("subquery_scalar.q", "sc10",
+      "SELECT key, count(*) AS c FROM qt_src WHERE value <> (SELECT " +
+        "max(value) FROM qt_src) GROUP BY key HAVING count(*) > " +
+        "(SELECT count(*) FROM qt_src s1 WHERE s1.key = '90' GROUP BY " +
+        "s1.key)"),
 
     QCase("udf_case.q", "uf1",
       "SELECT CASE 1 WHEN 1 THEN 2 WHEN 3 THEN 4 ELSE 5 END AS c1, " +
