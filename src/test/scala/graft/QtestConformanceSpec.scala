@@ -43,7 +43,7 @@ class QtestConformanceSpec extends SparkSpec {
     */
   private case class QCase(file: String, name: String, spark: String,
       duck: Option[String] = None, note: String = "",
-      hive: Option[Seq[String]] = None) {
+      hive: Option[Seq[String]] = None, ordered: Boolean = false) {
     def hiveOnly: Boolean = duck.contains("")
     require(!hiveOnly || hive.isDefined,
       s"$name: a DuckDB-less case needs the .q.out leg")
@@ -127,6 +127,17 @@ class QtestConformanceSpec extends SparkSpec {
     val tnull = spark.range(2).select(lit(null).cast("int").as("i"),
       lit(null).cast("string").as("c"))
     val tempty = tnull.select(col("c")).limit(0)
+    // order_null.q's table; count.q's abcd (in4.txt: empty field = NULL)
+    val srcnull = {
+      import spark.implicits._
+      Seq((Option(1), Option("A")), (None, None), (Option(3), None),
+        (Option(2), None), (Option(2), Option("A")),
+        (Option(2), Option("B"))).toDF("a", "b")
+    }
+    val abcd = spark.read.option("sep", "\u0001")
+      .csv(s"$refData/in4.txt").toDF("a", "b", "c", "d")
+      .select(col("a").cast("int"), col("b").cast("int"),
+        col("c").cast("int"), col("d").cast("int"))
     // join_filters_overlap.q's table: (100, 40), (100, 50), (100, 60)
     val a4 = spark.range(1).select(lit(100).as("key"),
         explode(array(lit(40), lit(50), lit(60))).as("value"))
@@ -143,7 +154,7 @@ class QtestConformanceSpec extends SparkSpec {
       "qt_t1sj" -> t1sj, "qt_t2sj" -> t2sj, "qt_t3sj" -> t3sj,
       "qt_t4sj" -> t4sj, "qt_lvarr" -> lvarr, "qt_avalued" -> avalued,
       "qt_a4" -> a4, "qt_pnull" -> pnull, "qt_tnull" -> tnull,
-      "qt_tempty" -> tempty)
+      "qt_tempty" -> tempty, "qt_srcnull" -> srcnull, "qt_abcd" -> abcd)
     all.map { case (name, df) =>
       df.createOrReplaceTempView(name)
       val d = s"$dir/$name"
@@ -484,6 +495,63 @@ class QtestConformanceSpec extends SparkSpec {
         "qt_part) a WHERE r <= 2 AND b.p_mfgr = a.p_mfgr)",
       note = "correlated NOT IN over a windowed subquery"),
 
+    QCase("order_null.q", "n1",
+      "SELECT a, b FROM qt_srcnull ORDER BY a ASC, b ASC",
+      duck = Some("SELECT a, b FROM qt_srcnull ORDER BY a ASC NULLS " +
+        "FIRST, b ASC NULLS FIRST"),
+      note = "Hive/engine default: NULLS FIRST on ASC — the twin " +
+        "spells DuckDB's opposite default explicitly; compared IN ORDER",
+      ordered = true),
+    QCase("order_null.q", "n2",
+      "SELECT a, b FROM qt_srcnull ORDER BY a DESC, b DESC",
+      duck = Some("SELECT a, b FROM qt_srcnull ORDER BY a DESC NULLS " +
+        "LAST, b DESC NULLS LAST"),
+      note = "default NULLS LAST on DESC", ordered = true),
+    QCase("order_null.q", "n3",
+      "SELECT a, b FROM qt_srcnull ORDER BY b ASC NULLS LAST, a ASC",
+      duck = Some("SELECT a, b FROM qt_srcnull ORDER BY b ASC NULLS " +
+        "LAST, a ASC NULLS FIRST"),
+      ordered = true),
+    QCase("order_null.q", "n4",
+      "SELECT a, b FROM qt_srcnull ORDER BY a DESC NULLS FIRST, " +
+        "b DESC NULLS FIRST",
+      ordered = true),
+    QCase("cte_1.q", "ct1",
+      "WITH q1 AS (SELECT key FROM qt_src WHERE key = '5') SELECT * " +
+        "FROM q1"),
+    QCase("cte_1.q", "ct2",
+      "WITH q1 AS (SELECT key FROM qt_src WHERE key = '5') SELECT * " +
+        "FROM (SELECT key FROM q1) a"),
+    QCase("cte_1.q", "ct3",
+      "WITH q1 AS (SELECT key FROM qt_src WHERE key = '5'), q2 AS " +
+        "(SELECT key FROM q1) SELECT * FROM q2",
+      note = "chained CTEs (the corpus' forward-reference variant is a " +
+        "grammar Hive alone accepts — excluded with reason)"),
+    QCase("nullgroup.q", "ng1",
+      "SELECT count(1) AS n FROM qt_src x WHERE CAST(x.key AS INT) > 9999",
+      note = "empty input, ungrouped count → one row of 0"),
+    QCase("nullgroup.q", "ng2",
+      "SELECT count(1) AS n FROM qt_src x WHERE CAST(x.key AS INT) > " +
+        "9999 GROUP BY x.key",
+      note = "empty input, grouped count → zero rows"),
+    QCase("count.q", "cnt1",
+      "SELECT a, count(DISTINCT b) AS db, count(DISTINCT c) AS dc, " +
+        "sum(d) AS sd FROM qt_abcd GROUP BY a"),
+    QCase("count.q", "cnt2",
+      "SELECT count(1) AS c1, count(*) AS c2, count(a) AS c3, " +
+        "count(DISTINCT a) AS c4, count(DISTINCT b) AS c5, " +
+        "count(DISTINCT a, b) AS c6, count(DISTINCT a, b, c, d) AS c7 " +
+        "FROM qt_abcd",
+      duck = Some("SELECT count(1) AS c1, count(*) AS c2, count(a) AS " +
+        "c3, count(DISTINCT a) AS c4, count(DISTINCT b) AS c5, (SELECT " +
+        "count(*) FROM (SELECT DISTINCT a, b FROM qt_abcd WHERE a IS " +
+        "NOT NULL AND b IS NOT NULL) t) AS c6, (SELECT count(*) FROM " +
+        "(SELECT DISTINCT a, b, c, d FROM qt_abcd WHERE a IS NOT NULL " +
+        "AND b IS NOT NULL AND c IS NOT NULL AND d IS NOT NULL) t) AS " +
+        "c7 FROM qt_abcd"),
+      note = "multi-column count(DISTINCT ...) skips any-null tuples; " +
+        "DuckDB has no multi-arg form — the twin spells the definition"),
+
     QCase("subquery_scalar.q", "sc1",
       "SELECT p_partkey, p_size FROM qt_part WHERE p_size > (SELECT " +
         "avg(p_size) FROM qt_pnull)"),
@@ -810,11 +878,14 @@ class QtestConformanceSpec extends SparkSpec {
     fixtures // force
     cases.filter(c => family.exists(c.file.startsWith)).foreach { c =>
       withClue(s"[${c.file} ${c.name}] ${c.note}\n  spark: ${c.spark}\n") {
-        val got = sparkRows(c.spark).sortBy(_.mkString(""))
+        // ORDER BY cases compare in sequence; everything else sorted
+        def arrange(rows: Seq[Seq[String]]): Seq[Seq[String]] =
+          if (c.ordered) rows else rows.sortBy(_.mkString(""))
+        val got = arrange(sparkRows(c.spark))
         if (!c.hiveOnly) {
           val want = duckResults(c.name) match {
             case Left(err) => fail(s"DuckDB rejected the twin: $err")
-            case Right(rows) => rows.sortBy(_.mkString(""))
+            case Right(rows) => arrange(rows)
           }
           assert(got.size === want.size,
             s"row count: spark=${got.size} duck=${want.size}")
@@ -843,8 +914,12 @@ class QtestConformanceSpec extends SparkSpec {
     run("groupby1", "groupby2", "groupby3", "groupby4", "groupby6",
       "having", "groupby_ppr", "groupby_position")
   }
-  test("qtest conformance: order-by family") {
+  test("qtest conformance: order-by family (incl. NULL ordering)") {
     run("order")
+  }
+  test("qtest conformance: CTEs, empty-group counts, multi-distinct " +
+      "counts") {
+    run("cte_", "nullgroup", "count.q")
   }
   test("qtest conformance: rollup / cube / grouping sets (GROUPING__ID)") {
     run("groupby_rollup", "groupby_cube", "groupby_grouping_sets")
