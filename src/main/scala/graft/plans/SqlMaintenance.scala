@@ -210,7 +210,7 @@ object SqlMaintenance {
   private type Handler = (SparkSession, Cursor) => Option[DataFrame]
   private def handlers: Seq[Handler] = Seq(
     hRestore, hOptimize, hVacuum, hAlterTable, hMatView, hReplicate,
-    hConvert, hExplain, hShow)
+    hConvert, hAcidCompact, hExplain, hShow)
 
   // state-rewriting table verbs require the table's UPDATE privilege
   // (RESTORE rolls state back, OPTIMIZE rewrites layout, VACUUM destroys
@@ -590,6 +590,29 @@ object SqlMaintenance {
         s": $rows rows" +
         (if (partCols.nonEmpty)
            s", partitioned by (${partCols.mkString(", ")})" else ""))
+    }
+  }
+
+  // COMPACT HIVE ACID '<dir>' ['major'|'minor']: the reference's
+  // ALTER TABLE ... COMPACT 'major'/'minor' verb (ref ql/ddl/table/misc/
+  // compact/AlterTableCompactDesc.java) addressed at a raw ACID warehouse
+  // directory — the bridge has no metastore table to ALTER. major folds
+  // every partition to base_<maxWid> with ROW__IDs preserved; minor folds
+  // the deltas above the base into one span without rewriting it.
+  // Rewrites raw warehouse files — admin-gated like CONVERT.
+  private def hAcidCompact(spark: SparkSession, c: Cursor): Option[DataFrame] = {
+    if (!c.kw("COMPACT", "HIVE", "ACID")) return None
+    for {
+      dir <- c.str()
+      kind = c.str()
+      _ <- c.done()
+      k = kind.getOrElse("major").toLowerCase
+      _ <- if (k == "major" || k == "minor") Some(()) else None
+    } yield {
+      Authz.requireAdmin(spark, "COMPACT HIVE ACID")
+      if (k == "minor") graft.sources.AcidOrc.compactMinor(spark, dir)
+      else graft.sources.AcidOrc.compact(spark, dir)
+      okDf(spark, s"$k compaction of $dir complete")
     }
   }
 

@@ -408,6 +408,33 @@ class AcidOrcSpec extends SparkSpec {
     assert(AcidOrc.read(spark, dir).collect().length === after.size)
   }
 
+  test("COMPACT HIVE ACID SQL verb: minor then major; unknown kind " +
+      "falls through to Spark's canonical error") {
+    val dir = scratch()
+    import spark.implicits._
+    AcidOrc.appendDelta(spark, dir, 1L,
+      (0 until 10).map(i => (i.toLong, i * 1.0)).toDF("k", "v"))
+    AcidOrc.appendDelta(spark, dir, 2L, Seq((100L, 1.0)).toDF("k", "v"))
+    AcidOrc.appendDelta(spark, dir, 3L, Seq((101L, 2.0)).toDF("k", "v"))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def names = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).sorted.toSeq
+    val m1 = Engine.sql(spark, sfDir, s"COMPACT HIVE ACID '$dir' 'minor'")
+      .head.getString(0)
+    assert(m1.contains("minor compaction"))
+    assert(names === Seq("delta_1_3"), names.mkString(","))
+    assert(AcidOrc.read(spark, dir).count() === 12)
+    val m2 = Engine.sql(spark, sfDir, s"COMPACT HIVE ACID '$dir'")
+      .head.getString(0)
+    assert(m2.contains("major compaction"))
+    assert(names === Seq("base_3"), names.mkString(","))
+    assert(AcidOrc.read(spark, dir).count() === 12)
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      Engine.sql(spark, sfDir, s"COMPACT HIVE ACID '$dir' 'rebalance'")
+    }
+  }
+
   test("hive_acid_ids TVF surfaces ROW__ID (writeid, bucketid, rowid)") {
     val dir = scratch()
     buildTable(dir)
