@@ -127,6 +127,10 @@ class QtestConformanceSpec extends SparkSpec {
     val tnull = spark.range(2).select(lit(null).cast("int").as("i"),
       lit(null).cast("string").as("c"))
     val tempty = tnull.select(col("c")).limit(0)
+    // join_nullsafe.q's table (in8.txt: NULL-bearing int pairs)
+    val null8 = spark.read.option("sep", "")
+      .csv(s"$refData/in8.txt").toDF("key", "value")
+      .select(col("key").cast("int"), col("value").cast("int"))
     // order_null.q's table; count.q's abcd (in4.txt: empty field = NULL)
     val srcnull = {
       import spark.implicits._
@@ -154,7 +158,8 @@ class QtestConformanceSpec extends SparkSpec {
       "qt_t1sj" -> t1sj, "qt_t2sj" -> t2sj, "qt_t3sj" -> t3sj,
       "qt_t4sj" -> t4sj, "qt_lvarr" -> lvarr, "qt_avalued" -> avalued,
       "qt_a4" -> a4, "qt_pnull" -> pnull, "qt_tnull" -> tnull,
-      "qt_tempty" -> tempty, "qt_srcnull" -> srcnull, "qt_abcd" -> abcd)
+      "qt_tempty" -> tempty, "qt_srcnull" -> srcnull, "qt_abcd" -> abcd,
+      "qt_null8" -> null8)
     all.map { case (name, df) =>
       df.createOrReplaceTempView(name)
       val d = s"$dir/$name"
@@ -494,6 +499,33 @@ class QtestConformanceSpec extends SparkSpec {
         "rank() OVER (PARTITION BY p_mfgr ORDER BY p_size) AS r FROM " +
         "qt_part) a WHERE r <= 2 AND b.p_mfgr = a.p_mfgr)",
       note = "correlated NOT IN over a windowed subquery"),
+
+    QCase("join_nullsafe.q", "nsj1",
+      "SELECT * FROM qt_null8 a JOIN qt_null8 b ON a.key <=> b.value",
+      duck = Some("SELECT * FROM qt_null8 a JOIN qt_null8 b ON a.key " +
+        "IS NOT DISTINCT FROM b.value"),
+      note = "null-safe equality joins NULL keys to NULL values"),
+    QCase("join_nullsafe.q", "nsj2",
+      "SELECT * FROM qt_null8 a JOIN qt_null8 b ON a.key <=> b.value " +
+        "JOIN qt_null8 c ON a.key = c.key",
+      duck = Some("SELECT * FROM qt_null8 a JOIN qt_null8 b ON a.key " +
+        "IS NOT DISTINCT FROM b.value JOIN qt_null8 c ON a.key = c.key"),
+      note = "null-safe and plain equality mixed across a 3-way join"),
+    QCase("join_nullsafe.q", "nsj3",
+      "SELECT * FROM qt_null8 a LEFT OUTER JOIN qt_null8 b ON a.key " +
+        "<=> b.value",
+      duck = Some("SELECT * FROM qt_null8 a LEFT OUTER JOIN qt_null8 b " +
+        "ON a.key IS NOT DISTINCT FROM b.value")),
+    QCase("join_nullsafe.q", "nsj4",
+      "SELECT * FROM qt_null8 a RIGHT OUTER JOIN qt_null8 b ON a.key " +
+        "<=> b.value",
+      duck = Some("SELECT * FROM qt_null8 a RIGHT OUTER JOIN qt_null8 " +
+        "b ON a.key IS NOT DISTINCT FROM b.value")),
+    QCase("join_nullsafe.q", "nsj5",
+      "SELECT * FROM qt_null8 a FULL OUTER JOIN qt_null8 b ON a.key " +
+        "<=> b.value",
+      duck = Some("SELECT * FROM qt_null8 a FULL OUTER JOIN qt_null8 b " +
+        "ON a.key IS NOT DISTINCT FROM b.value")),
 
     QCase("order_null.q", "n1",
       "SELECT a, b FROM qt_srcnull ORDER BY a ASC, b ASC",
