@@ -91,6 +91,16 @@ object SnapshotSql {
       case other => throw new IllegalArgumentException(
         s"hive_acid_ids(path): got ${other.size} arguments")
     }
+    registerTvf(spark, "hive_acid_state",
+      "hive_acid_state(path) - the live directory state the ACID " +
+        "snapshot reconstruction selected (base/delta/delete_delta/" +
+        "original rows with write-id ranges and sizes) — the " +
+        "pre-CONVERT / pre-compaction inspection surface") {
+      case Seq(path) =>
+        graft.sources.AcidOrc.state(SparkSession.active, asString(path))
+      case other => throw new IllegalArgumentException(
+        s"hive_acid_state(path): got ${other.size} arguments")
+    }
   }
 
   private def asBoolean(e: Expression): Boolean = e match {

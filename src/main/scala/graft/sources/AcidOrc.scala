@@ -710,6 +710,48 @@ object AcidOrc {
     scanAcid(spark, splitsOf(spark, sized), AcidCols).drop(PartColName)
   }
 
+  /** Operability view of the directory state the snapshot reconstruction
+    * SELECTED (what AcidUtils.getAcidState's Directory holds — the state
+    * the reference's compactor logs and acid tooling print): one row per
+    * live base/delta/delete_delta dir or pre-ACID original file, with
+    * write-id ranges and sizes — the pre-CONVERT / pre-compaction
+    * inspection surface. Driver cost is the same listing the read path
+    * pays (bounded by directory count).
+    */
+  def state(spark: SparkSession, table: String): DataFrame = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"ACID table directory not found: $table")
+    import spark.implicits._
+    val rows = walk(fs, root, "").flatMap { s =>
+      def widsOf(name: String): (Long, Long) = name match {
+        case BaseRe(n) => (0L, n.toLong)
+        case DeltaRe(m, n) => (m.toLong, n.toLong)
+        case DeleteRe(m, n) => (m.toLong, n.toLong)
+        case _ => (0L, 0L)
+      }
+      def kindOf(name: String): String = name match {
+        case BaseRe(_) => "base"
+        case DeleteRe(_, _) => "delete_delta"
+        case DeltaRe(_, _) => "delta"
+        case _ => "original"
+      }
+      val dirs = (s.rowDirs ++ s.deleteDirs).map { d =>
+        val files = bucketFiles(fs, d)
+        val (mn, mx) = widsOf(d.getName)
+        (s.partSub.stripSuffix("/"), kindOf(d.getName), d.getName, mn, mx,
+          files.size.toLong, files.map(_._2).sum)
+      }
+      val origs = s.originals.map { p =>
+        (s.partSub.stripSuffix("/"), "original", p.getName, 0L, 0L, 1L,
+          fs.getFileStatus(p).getLen)
+      }
+      dirs ++ origs
+    }
+    rows.toDF("partition", "kind", "dir", "min_writeid", "max_writeid",
+      "files", "bytes")
+  }
+
   /** Partition column names of an ACID table directory (the `k=v` keys of
     * its layout), for re-creating the same partitioning on migration.
     */

@@ -408,6 +408,30 @@ class AcidOrcSpec extends SparkSpec {
     assert(AcidOrc.read(spark, dir).collect().length === after.size)
   }
 
+  test("hive_acid_state TVF: the selected live layout with write-id " +
+      "ranges; shadowed dirs and covered originals excluded") {
+    val dir = scratch()
+    import spark.implicits._
+    AcidOrc.writeOriginal(spark, dir, Seq((1L, "x")).toDF("k", "s"))
+    AcidOrc.appendDelta(spark, dir, 2L, Seq((2L, "y")).toDF("k", "s"))
+    AcidOrc.deleteWhere(spark, dir, col("k") === 2L) // delete_delta_3_3
+    graft.plans.SnapshotSql.register(spark)
+    val rows = spark.sql(s"SELECT kind, dir, min_writeid, max_writeid, " +
+      s"files FROM hive_acid_state('$dir') ORDER BY kind, dir").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq === Seq(
+      ("delete_delta", "delete_delta_3_3", 3L, 3L, 1L),
+      ("delta", "delta_2_2", 2L, 2L, 1L),
+      ("original", "000000_0", 0L, 0L, 1L)))
+    // after major compaction only the base remains visible
+    AcidOrc.compact(spark, dir)
+    val after = spark.sql(s"SELECT kind, min_writeid, max_writeid FROM " +
+      s"hive_acid_state('$dir')").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(after.toSeq === Seq(("base", 0L, 3L)))
+  }
+
   test("COMPACT HIVE ACID SQL verb: minor then major; unknown kind " +
       "falls through to Spark's canonical error") {
     val dir = scratch()
