@@ -127,6 +127,9 @@ class QtestConformanceSpec extends SparkSpec {
     val tnull = spark.range(2).select(lit(null).cast("int").as("i"),
       lit(null).cast("string").as("c"))
     val tempty = tnull.select(col("c")).limit(0)
+    // udf_get_json_object.q's one-row json document table
+    val srcjson = spark.read.text(s"$refData/json.txt")
+      .withColumnRenamed("value", "json")
     // join_nullsafe.q's table (in8.txt: NULL-bearing int pairs)
     val null8 = spark.read.option("sep", "")
       .csv(s"$refData/in8.txt").toDF("key", "value")
@@ -159,7 +162,7 @@ class QtestConformanceSpec extends SparkSpec {
       "qt_t4sj" -> t4sj, "qt_lvarr" -> lvarr, "qt_avalued" -> avalued,
       "qt_a4" -> a4, "qt_pnull" -> pnull, "qt_tnull" -> tnull,
       "qt_tempty" -> tempty, "qt_srcnull" -> srcnull, "qt_abcd" -> abcd,
-      "qt_null8" -> null8)
+      "qt_null8" -> null8, "qt_json" -> srcjson)
     all.map { case (name, df) =>
       df.createOrReplaceTempView(name)
       val d = s"$dir/$name"
@@ -794,6 +797,45 @@ class QtestConformanceSpec extends SparkSpec {
       duck = Some("SELECT regexp_replace('100-200', '([0-9]+)', 'z', " +
         "'g') AS c1, regexp_replace('abc', 'b', '', 'g') AS c2"),
       note = "Hive/Spark replace ALL matches; DuckDB needs the g flag"),
+    QCase("udf_get_json_object.q", "gj1",
+      "SELECT get_json_object(json, '$.store.book[0].category') AS c1, " +
+        "get_json_object(json, '$.store.book[*].category') AS c2, " +
+        "get_json_object(json, '$.store.book[*].isbn') AS c3, " +
+        "get_json_object(json, '$.store.book[*].reader') AS c4 " +
+        "FROM qt_json",
+      duck = Some(""),
+      note = "[*] wildcard paths — Hive JSON-path dialect, gated purely " +
+        "on the committed .q.out",
+      hive = Some(Seq("reference", "[\"reference\",\"fiction\",\"fiction\"]",
+        "[\"0-553-21311-3\",\"0-395-19395-8\"]",
+        "[{\"age\":25,\"name\":\"bob\"},{\"age\":26,\"name\":\"jack\"}]"))),
+    QCase("udf_get_json_object.q", "gj2",
+      "SELECT get_json_object(json, '$.store.book[*].reader[0].age') AS " +
+        "c1, get_json_object(json, '$.store.book[*].reader[*].age') AS " +
+        "c2 FROM qt_json",
+      duck = Some(""),
+      hive = Some(Seq("25", "[25,26]"))),
+    QCase("udf_get_json_object.q", "gj3",
+      "SELECT get_json_object(json, '$.store.basket[0][1]') AS c1, " +
+        "get_json_object(json, '$.store.basket[*][0]') AS c2, " +
+        "get_json_object(json, '$.store.basket[0][*]') AS c3, " +
+        "get_json_object(json, '$.store.basket[0][2].b') AS c4, " +
+        "get_json_object(json, '$.store.basket[0][*].b') AS c5 " +
+        "FROM qt_json",
+      duck = Some(""),
+      note = "nested-array indexing and wildcards",
+      hive = Some(Seq("2", "[1,3,5]",
+        "[1,2,{\"b\":\"y\",\"a\":\"x\"}]", "y", "[\"y\"]"))),
+    QCase("udf_get_json_object.q", "gj4",
+      "SELECT get_json_object(json, '$.non_exist_key') AS c1, " +
+        "get_json_object(json, '$.store.book[10]') AS c2, " +
+        "get_json_object(json, '$.store.book[0].non_exist_key') AS c3, " +
+        "get_json_object(json, '$.zip code') AS c4, " +
+        "get_json_object(json, '$.fb:testid') AS c5 FROM qt_json",
+      duck = Some(""),
+      note = "missing keys/indexes → NULL; keys with spaces and colons",
+      hive = Some(Seq("NULL", "NULL", "NULL", "94025", "1234"))),
+
     QCase("udf_repeat.q", "uf26",
       "SELECT repeat('abc', 2) AS c1, repeat('abc', 0) AS c2, " +
         "reverse('abc') AS c3, ascii('0') AS c4, ascii('A') AS c5",
