@@ -228,11 +228,15 @@ object Engine {
         // including the source subtrees of DML statements, which SqlDml
         // compiles itself. The parsed-command guard catches SET/RESET
         // forms comments hid from the pre-parse regex.
-        graft.plans.Authz.guardSetPlan(spark, plan)
-        graft.plans.Authz.checkStatement(spark, plan)
-        val gated = graft.plans.Authz.applyPoliciesToDmlSources(spark, plan)
+        // Hive resolves CTE names non-positionally — reorder forward
+        // references FIRST so authz's positional CTE scope, the DML
+        // compiler, and Spark's substitution all see dependency order
+        val plan0 = graft.plans.CteForwardRefs(plan)
+        graft.plans.Authz.guardSetPlan(spark, plan0)
+        graft.plans.Authz.checkStatement(spark, plan0)
+        val gated = graft.plans.Authz.applyPoliciesToDmlSources(spark, plan0)
         graft.plans.SqlDml.maybeRun(spark, gated).getOrElse {
-          val secured = graft.plans.Authz.applyPolicies(spark, plan)
+          val secured = graft.plans.Authz.applyPolicies(spark, plan0)
           val substituted = graft.plans.VirtualColumns.maybeSubstitute(
             graft.plans.GroupingSetsDedup(
               graft.plans.NamedTables.substitute(spark, secured)), query)

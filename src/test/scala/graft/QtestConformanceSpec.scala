@@ -560,8 +560,17 @@ class QtestConformanceSpec extends SparkSpec {
     QCase("cte_1.q", "ct3",
       "WITH q1 AS (SELECT key FROM qt_src WHERE key = '5'), q2 AS " +
         "(SELECT key FROM q1) SELECT * FROM q2",
-      note = "chained CTEs (the corpus' forward-reference variant is a " +
-        "grammar Hive alone accepts — excluded with reason)"),
+      note = "chained CTEs, backward reference"),
+    QCase("cte_1.q", "ct4",
+      "WITH q1 AS (SELECT key FROM q2 WHERE key = '5'), q2 AS (SELECT " +
+        "key FROM qt_src WHERE key = '5') SELECT * FROM (SELECT key " +
+        "FROM q1) a",
+      duck = Some("WITH q2 AS (SELECT key FROM qt_src WHERE key = '5')" +
+        ", q1 AS (SELECT key FROM q2 WHERE key = '5') SELECT * FROM " +
+        "(SELECT key FROM q1) a"),
+      note = "FORWARD CTE reference — Hive resolves WITH names " +
+        "non-positionally (CteForwardRefs reorders at the front door); " +
+        "the twin is pre-ordered"),
     QCase("nullgroup.q", "ng1",
       "SELECT count(1) AS n FROM qt_src x WHERE CAST(x.key AS INT) > 9999",
       note = "empty input, ungrouped count → one row of 0"),
