@@ -1160,6 +1160,7 @@ object AcidOrc {
       val splits = splitsOf(spark,
         ranged.flatMap(r => bucketFiles(fs, r.dir))
           .map { case (f, len) => (f, len, partSub) })
+      if (splits.isEmpty) return // all-empty dirs — nothing to write
       // delete_delta files carry no `row` payload
       val cols = if (isDelete) AcidCols.filterNot(_ == "row") else AcidCols
       val events = scanAcid(spark, splits, cols).drop(PartColName)
