@@ -35,15 +35,26 @@ object CteForwardRefs {
       case w: UnresolvedWith => reorder(w)
       case other => other
     }
+    // identity-preserving descent: an untouched tree returns the SAME
+    // instance, so Engine.sql's `substituted eq plan` fast path (run the
+    // original text through spark.sql) stays live for WITH-free and
+    // already-positional queries
     here match {
       case w: UnresolvedWith =>
-        w.copy(child = apply(w.child),
-          cteRelations = w.cteRelations.map { case (n, d, cols) =>
-            (n, apply(d).asInstanceOf[SubqueryAlias], cols)
-          })
+        val newChild = apply(w.child)
+        val newRels = w.cteRelations.map { case rel @ (n, d, cols) =>
+          val nd = apply(d)
+          if (nd eq d) rel else (n, nd.asInstanceOf[SubqueryAlias], cols)
+        }
+        val unchanged = (newChild eq w.child) &&
+          newRels.zip(w.cteRelations).forall { case (a, b) => a eq b }
+        if (unchanged) here
+        else w.copy(child = newChild, cteRelations = newRels)
       case other =>
         other.mapChildren(apply).transformExpressions {
-          case sq: SubqueryExpression => sq.withNewPlan(apply(sq.plan))
+          case sq: SubqueryExpression =>
+            val np = apply(sq.plan)
+            if (np eq sq.plan) sq else sq.withNewPlan(np)
         }
     }
   }

@@ -14,8 +14,12 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 object GroupingSetsDedup {
 
+  // the separator is load-bearing: unquoted attribute renderings
+  // concatenated bare would make (a, bc) and (ab, c) collide and the
+  // dedup silently DROP a distinct set; U+0001 cannot appear in an
+  // identifier rendering, so the join is injective per set
   private def render(set: Seq[Expression]): String =
-    set.map(_.sql).mkString("")
+    set.map(_.sql).mkString("\u0001")
 
   def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {

@@ -126,8 +126,24 @@ private[plans] object Pruning {
   import org.apache.spark.sql.types._
 
   def mayMatch(file: String, stat: Option[FileStat], partitionCols: Seq[String],
-      schema: StructType, cond: Expression): Boolean =
-    conjuncts(cond).forall(c => conjunctMayMatch(file, stat, partitionCols, schema, c))
+      schema: StructType, cond: Expression): Boolean = {
+    // transform dir segments parse ONCE per file, lazily (zero work for
+    // paths without k=v segments, and at most one split + regex pass per
+    // FILE, not per conjunct — on a 100k-file manifest with several
+    // predicates that difference is real plan-time work)
+    lazy val transformSegs: Seq[(PartitionTransforms.Spec, String)] =
+      if (file.indexOf('=') < 0) Nil
+      else file.split('/').toSeq.filter(_.indexOf('=') > 0).flatMap { seg =>
+        val k = seg.substring(0, seg.indexOf('='))
+        val raw = unescape(seg.substring(seg.indexOf('=') + 1))
+        if (raw == "__HIVE_DEFAULT_PARTITION__") None
+        else PartitionTransforms.fromDirName(k,
+          c => schema.fields.exists(_.name == c)).map(_ -> raw)
+      }
+    conjuncts(cond).forall(c =>
+      conjunctMayMatch(file, stat, partitionCols, schema, c,
+        () => transformSegs))
+  }
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => conjuncts(l) ++ conjuncts(r)
@@ -192,7 +208,9 @@ private[plans] object Pruning {
     })
 
   private def conjunctMayMatch(file: String, stat: Option[FileStat],
-      partitionCols: Seq[String], schema: StructType, e: Expression): Boolean = {
+      partitionCols: Seq[String], schema: StructType, e: Expression,
+      transformSegs: () => Seq[(PartitionTransforms.Spec, String)])
+      : Boolean = {
     def dtOf(name: String): Option[DataType] =
       schema.fields.find(_.name == name).map(_.dataType)
 
@@ -229,38 +247,35 @@ private[plans] object Pruning {
     // implied source range (time/trunc) or a replayed hash (bucket =).
     // Composes with the direct/stats check above — per-dir bounds AND
     // per-file stats must both admit the file.
-    def transformCheck(name: String, op: String, l: Literal): Boolean =
-      dtOf(name) match {
+    def transformCheck(name: String, op: String, l: Literal): Boolean = {
+      val segs = transformSegs()
+      if (segs.isEmpty) true
+      else dtOf(name) match {
         case None => true
         case Some(dt) =>
-          file.split('/').filter(_.indexOf('=') > 0).forall { seg =>
-            val k = seg.substring(0, seg.indexOf('='))
-            val raw = unescape(seg.substring(seg.indexOf('=') + 1))
-            if (raw == "__HIVE_DEFAULT_PARTITION__") true
-            else PartitionTransforms.fromDirName(k,
-                c => schema.fields.exists(_.name == c)) match {
-              case Some(sp) if sp.src == name && sp.kind == "bucket" =>
-                op != "=" || PartitionTransforms.bucketMayMatch(sp, raw, l, dt)
-              case Some(sp) if sp.src == name =>
-                PartitionTransforms.sourceRange(sp, raw, dt) match {
-                  case Some((mnS, mxS)) =>
-                    (for {
-                      v <- litKey(l, dt)
-                      mn <- key(dt, mnS)
-                      mx <- key(dt, mxS)
-                    } yield op match {
-                      case "="  => cmp(v, mn) >= 0 && cmp(v, mx) <= 0
-                      case "<"  => cmp(mn, v) < 0
-                      case "<=" => cmp(mn, v) <= 0
-                      case ">"  => cmp(mx, v) > 0
-                      case ">=" => cmp(mx, v) >= 0
-                    }).getOrElse(true)
-                  case None => true
-                }
-              case _ => true
-            }
+          segs.forall {
+            case (sp, raw) if sp.src == name && sp.kind == "bucket" =>
+              op != "=" || PartitionTransforms.bucketMayMatch(sp, raw, l, dt)
+            case (sp, raw) if sp.src == name =>
+              PartitionTransforms.sourceRange(sp, raw, dt) match {
+                case Some((mnS, mxS)) =>
+                  (for {
+                    v <- litKey(l, dt)
+                    mn <- key(dt, mnS)
+                    mx <- key(dt, mxS)
+                  } yield op match {
+                    case "="  => cmp(v, mn) >= 0 && cmp(v, mx) <= 0
+                    case "<"  => cmp(mn, v) < 0
+                    case "<=" => cmp(mn, v) <= 0
+                    case ">"  => cmp(mx, v) > 0
+                    case ">=" => cmp(mx, v) >= 0
+                  }).getOrElse(true)
+                case None => true
+              }
+            case _ => true
           }
       }
+    }
     def checkAll(name: String, op: String, l: Literal): Boolean =
       check(name, op, l) && transformCheck(name, op, l)
 

@@ -1516,6 +1516,22 @@ object Snapshots {
         val existing = schemaOf(head.schemaJson)
         val dup = cols.fieldNames.toSet.intersect(existing.fieldNames.toSet)
         require(dup.isEmpty, s"columns already exist: ${dup.mkString(", ")}")
+        // transform partition fields live in the DIRECTORY-KEY namespace
+        // (ts_day, id_bucket16, ...): a new column taking such a name
+        // would make the scan bind old generations' dir VALUES as the new
+        // column's data and the path-probe pruning read them as ranges —
+        // silent wrong results, so the whole derivable namespace is
+        // reserved (current spec, former specs, and any future transform
+        // of an existing column)
+        val reserved = cols.fieldNames.filter(n =>
+          head.partitionCols.contains(n) ||
+            PartitionTransforms.fromDirName(n, c =>
+              existing.fieldNames.contains(c) ||
+                existing.fieldNames.exists(f => head.physical(f) == c))
+              .isDefined)
+        require(reserved.isEmpty,
+          s"column name(s) collide with the partition/transform-field " +
+            s"namespace: ${reserved.mkString(", ")}")
         // a new column's physical name must be UNUSED across the table's
         // whole file history: colliding with a live physical (some column
         // renamed away from this name) or a dropped one would read stale
@@ -1568,6 +1584,14 @@ object Snapshots {
           s"column already exists: $newName")
         require(!head.partitionCols.contains(oldName),
           s"cannot rename partition column $oldName")
+        // same reserved namespace as addColumns (see there)
+        require(!head.partitionCols.contains(newName) &&
+            PartitionTransforms.fromDirName(newName, c =>
+              existing.fieldNames.contains(c) ||
+                existing.fieldNames.exists(f => head.physical(f) == c))
+              .isEmpty,
+          s"column name collides with the partition/transform-field " +
+            s"namespace: $newName")
         val phys = head.physical(oldName)
         val newSchema = org.apache.spark.sql.types.StructType(
           existing.fields.map(f =>

@@ -260,7 +260,7 @@ object AcidOrc {
       val futs = in.map(a => pool.submit(
         new java.util.concurrent.Callable[B] { def call(): B = f(a) }))
       futs.map(_.get())
-    } finally pool.shutdown()
+    } finally pool.shutdownNow() // on failure, queued fetches are cancelled
   }
 
   // ------------------------------------------------------ orc-core bridge
@@ -576,7 +576,12 @@ object AcidOrc {
     val splits = metas.groupBy(m => (m.part, m.bucketId)).toSeq
       .sortBy(_._1).flatMap { case ((part, bucketId), group) =>
         var rowOffset = 0L
-        group.sortBy(m => (m.copyN, m.p.getName)).flatMap { m =>
+        // files order LEXICOGRAPHICALLY by path within the bucket — the
+        // reference's fixed sort (ref AcidUtils.java getChildState:
+        // "Path.uri.compareTo", with its data-loss warning against ever
+        // changing it). NOT numeric: copy_10 sorts BEFORE copy_2, and the
+        // stored ROW__IDs of any delete ever written depend on that.
+        group.sortBy(_.p.getName).flatMap { m =>
           // group stripes into ~splitBytes chunks; ORC's range contract
           // reads exactly the stripes that START within the range
           val chunks = scala.collection.mutable.Buffer(
@@ -965,8 +970,8 @@ object AcidOrc {
           java.util.regex.Pattern.quote(k) + "=([^/]+)", 1))
       }.drop(PartColName)
     if (!withChangeType) {
-      if (rowSplits.isEmpty)
-        return read(spark, table, maxWriteId = toWriteId).limit(0)
+      // rowSplits is non-empty here: delSplits is Nil in this mode, so an
+      // empty range already returned above
       val rows = scanAcid(spark, rowSplits, Seq("row"))
       return withParts(rows.select(col("row.*"), col(PartColName)))
     }
@@ -1141,20 +1146,38 @@ object AcidOrc {
     * preserves identity by construction; events copy verbatim, including
     * legacy op=1/op=2 records. On a table with a fat base and trickle
     * deltas this is O(deltas), where major compaction is a full rewrite.
-    * The fold is data-identical, so `acid-stream` offsets never move, and
-    * a fold left uncleaned is shadowed by widest-range-wins anyway.
+    *
+    * Snapshot reads are unaffected (data-identical; an uncleaned fold is
+    * shadowed by widest-range-wins). INCREMENTAL consumers are the same
+    * hazard the reference's compactor has: a folded span that STRADDLES a
+    * lagging consumer's offset is excluded from its next range
+    * (compaction spans emit nothing), permanently hiding the unconsumed
+    * ids. Pass `consumerFloor` = the lowest live `acid-stream` offset and
+    * the fold splits there — fully-consumed deltas fold separately from
+    * not-yet-consumed ones, so no span ever straddles the floor. The
+    * default (-1) folds everything, the reference compactor's behavior —
+    * correct once cleaner retention outlives consumer lag.
     */
   def compactMinor(spark: SparkSession, table: String,
-      clean: Boolean = true): Unit = {
+      clean: Boolean = true, consumerFloor: Long = -1L): Unit = {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
     def foldSide(partSub: String, dirs: Seq[Path], isDelete: Boolean): Unit = {
-      val ranged = dirs.flatMap(p => p.getName match {
+      val all = dirs.flatMap(p => p.getName match {
         case DeltaRe(m, n) if !isDelete => Some(Range(m.toLong, n.toLong, p))
         case DeleteRe(m, n) if isDelete => Some(Range(m.toLong, n.toLong, p))
         case _ => None
       })
+      // fold each side of the consumer floor separately (see scaladoc);
+      // a dir already straddling the floor is left alone
+      (if (consumerFloor < 0) Seq(all)
+       else Seq(all.filter(_.max <= consumerFloor),
+         all.filter(_.min > consumerFloor)))
+        .foreach(foldGroup(partSub, _, isDelete))
+    }
+    def foldGroup(partSub: String, ranged: Seq[Range],
+        isDelete: Boolean): Unit = {
       if (ranged.size < 2) return // nothing to fold on this side
       val (mn, mx) = (ranged.map(_.min).min, ranged.map(_.max).max)
       val splits = splitsOf(spark,

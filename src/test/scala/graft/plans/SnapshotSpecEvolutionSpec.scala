@@ -257,6 +257,22 @@ class SnapshotSpecEvolutionSpec extends SparkSpec {
     val e5 = intercept[IllegalArgumentException] {
       t2.setPartitionSpec(Seq("day(ts)")) }
     assert(e5.getMessage.contains("collides"))
+    // the derivable transform namespace is reserved against schema
+    // evolution too: a column ADDED (or renamed to) ts_day on a table
+    // whose ts column could have day dirs would bind dir values as data
+    val root3 = freshRoot()
+    val t3 = Snapshots.create(spark, root3, tsRows(0, 5))
+    t3.setPartitionSpec(Seq("day(ts)"))
+    val e6 = intercept[IllegalArgumentException] {
+      t3.addColumns(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ts_day",
+          org.apache.spark.sql.types.StringType))))
+    }
+    assert(e6.getMessage.contains("namespace"))
+    val e7 = intercept[IllegalArgumentException] {
+      t3.renameColumn("s", "ts_hour")
+    }
+    assert(e7.getMessage.contains("namespace"))
     // ...but the column ts_day itself is a perfectly fine IDENTITY field
     t2.setPartitionSpec(Seq("ts_day"))
     t2.append(Seq((99L, java.sql.Timestamp.valueOf("2026-02-01 00:00:00"),

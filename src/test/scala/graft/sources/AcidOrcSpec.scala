@@ -201,6 +201,20 @@ class AcidOrcSpec extends SparkSpec {
     assert(names.forall(_.startsWith("base_")), names.mkString(","))
     assert(AcidOrc.read(spark, dir).orderBy(col("k"))
       .select(col("k")).as[Long].collect().toSeq === Seq(2L, 3L))
+    // copy-file ordering is LEXICOGRAPHIC by path (the reference's fixed
+    // sort, AcidUtils "Path.uri.compareTo"): copy_10 numbers BEFORE
+    // copy_2 — stored delete ROW__IDs depend on it
+    val dirLex = scratch()
+    AcidOrc.writeOriginal(spark, dirLex, Seq((1L, "base")).toDF("k", "s"))
+    AcidOrc.writeOriginal(spark, dirLex,
+      Seq((10L, "c10")).toDF("k", "s"), copyN = 10)
+    AcidOrc.writeOriginal(spark, dirLex,
+      Seq((2L, "c2")).toDF("k", "s"), copyN = 2)
+    val lexIds = AcidOrc.readWithIds(spark, dirLex)
+      .select(col("k"), col("_acid_rowid")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lexIds === Map(1L -> 0L, 10L -> 1L, 2L -> 2L),
+      s"copy_10 must number before copy_2 (lexicographic): $lexIds")
     // a non-conforming original name refuses loudly when identity is
     // asked, but still reads via the columnar path
     val dir2 = scratch()
@@ -403,6 +417,19 @@ class AcidOrcSpec extends SparkSpec {
     // fully inside it, and straddling folds stay silent
     assert(AcidOrc.readChanges(spark, dir, 2L, 7L).count() === 5)
     assert(AcidOrc.readChanges(spark, dir, 5L, 7L).count() === 0)
+    // consumerFloor: folding around a lagging consumer's offset keeps its
+    // unconsumed write ids reachable — the floor splits the fold
+    val dir2 = scratch()
+    (1L to 4L).foreach { w =>
+      AcidOrc.appendDelta(spark, dir2, w, Seq((w, w * 1.0)).toDF("k", "v"))
+    }
+    AcidOrc.compactMinor(spark, dir2, consumerFloor = 2L)
+    val names2 = fs.listStatus(new org.apache.hadoop.fs.Path(dir2))
+      .map(_.getPath.getName).sorted.toSeq
+    assert(names2 === Seq("delta_1_2", "delta_3_4"), names2.mkString(","))
+    // a consumer at offset 2 still receives write ids 3..4 exactly once
+    assert(AcidOrc.readChanges(spark, dir2, 2L, 4L).count() === 2)
+    assert(AcidOrc.read(spark, dir2).count() === 4)
     // a second minor compact is a no-op (one dir per side)
     AcidOrc.compactMinor(spark, dir)
     assert(AcidOrc.read(spark, dir).collect().length === after.size)
