@@ -240,9 +240,12 @@ object Engine {
           val substituted = graft.plans.VirtualColumns.maybeSubstitute(
             graft.plans.GroupingSetsDedup(
               graft.plans.NamedTables.substitute(spark, secured)), query)
+          // LAST: materialization EXECUTES CTE definitions, which must
+          // only happen after authz adjudicated and policies substituted
+          val materialized = graft.plans.CteMaterialize(spark, substituted)
           val df =
-            if (substituted eq plan) spark.sql(query)
-            else org.apache.spark.sql.GraftShims.ofRows(spark, substituted)
+            if (materialized eq plan) spark.sql(query)
+            else org.apache.spark.sql.GraftShims.ofRows(spark, materialized)
           maybeCacheResult(spark, df)
         }
     }

@@ -66,10 +66,15 @@ object SnapshotSql {
         s"snapshot_history(path): got ${other.size} arguments")
     }
     registerTvf(spark, "hive_acid",
-      "hive_acid(path[, legacy]) - snapshot read of an ACID ORC table " +
-        "directory (base_N/delta_m_n/delete_delta layout)") {
+      "hive_acid(path[, legacy]) - snapshot read of a transactional " +
+        "table directory (base_N/delta_m_n layout): full-ACID ORC and " +
+        "insert-only (MM) trees are auto-detected") {
       case Seq(path) =>
-        graft.sources.AcidOrc.read(SparkSession.active, asString(path))
+        val s = SparkSession.active
+        val dir = asString(path)
+        if (graft.sources.AcidMm.detectKind(s, dir) == "insert_only")
+          graft.sources.AcidMm.read(s, dir)
+        else graft.sources.AcidOrc.read(s, dir)
       case Seq(path, legacy) =>
         graft.sources.AcidOrc.read(SparkSession.active, asString(path),
           legacyUpdates = asBoolean(legacy))

@@ -593,25 +593,49 @@ object SqlMaintenance {
     }
   }
 
-  // COMPACT HIVE ACID '<dir>' ['major'|'minor']: the reference's
-  // ALTER TABLE ... COMPACT 'major'/'minor' verb (ref ql/ddl/table/misc/
+  // COMPACT HIVE ACID '<dir>' ['major'|'minor'|'rebalance' [N]]: the
+  // reference's ALTER TABLE ... COMPACT verb (ref ql/ddl/table/misc/
   // compact/AlterTableCompactDesc.java) addressed at a raw ACID warehouse
   // directory — the bridge has no metastore table to ALTER. major folds
   // every partition to base_<maxWid> with ROW__IDs preserved; minor folds
-  // the deltas above the base into one span without rewriting it.
-  // Rewrites raw warehouse files — admin-gated like CONVERT.
+  // the deltas above the base into one span without rewriting it, with
+  // the lowest live acid-stream consumer offset wired in as the fold
+  // floor automatically (a lagging consumer survives the fold);
+  // rebalance rewrites into N evenly-sized buckets, ROW__IDs reassigned.
+  // Insert-only (MM) trees are auto-detected and routed to the MM
+  // compactors. Rewrites raw warehouse files — admin-gated like CONVERT.
   private def hAcidCompact(spark: SparkSession, c: Cursor): Option[DataFrame] = {
     if (!c.kw("COMPACT", "HIVE", "ACID")) return None
     for {
       dir <- c.str()
       kind = c.str()
+      n = c.num()
       _ <- c.done()
       k = kind.getOrElse("major").toLowerCase
-      _ <- if (k == "major" || k == "minor") Some(()) else None
+      _ <- if (k == "major" || k == "minor" || k == "rebalance") Some(())
+           else None
+      _ <- if (n.isEmpty || k == "rebalance") Some(()) else None
     } yield {
       Authz.requireAdmin(spark, "COMPACT HIVE ACID")
-      if (k == "minor") graft.sources.AcidOrc.compactMinor(spark, dir)
-      else graft.sources.AcidOrc.compact(spark, dir)
+      val mm = graft.sources.AcidMm.detectKind(spark, dir) == "insert_only"
+      k match {
+        case "minor" =>
+          val floor =
+            graft.streaming.AcidStreamRegistry.lowestFloor(spark, dir)
+          if (mm) graft.sources.AcidMm.compactMinor(spark, dir,
+            consumerFloor = floor)
+          else graft.sources.AcidOrc.compactMinor(spark, dir,
+            consumerFloor = floor)
+        case "rebalance" =>
+          if (mm) throw new IllegalArgumentException(
+            "rebalance compaction applies to full-ACID tables; " +
+              s"$dir is insert-only (no buckets to rebalance)")
+          graft.sources.AcidOrc.rebalance(spark, dir,
+            n.map(_.toInt).getOrElse(4))
+        case _ =>
+          if (mm) graft.sources.AcidMm.compactMajor(spark, dir)
+          else graft.sources.AcidOrc.compact(spark, dir)
+      }
       okDf(spark, s"$k compaction of $dir complete")
     }
   }

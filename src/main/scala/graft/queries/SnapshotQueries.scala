@@ -437,5 +437,47 @@ object SnapshotQueries {
         .groupBy($"o_orderstatus", $"_change_type")
         .agg(count(lit(1)).as("n"), Exact.dsum($"o_totalprice").as("total"))
         .orderBy($"o_orderstatus", $"_change_type")
+    },
+
+    // Insert-only (MM) transactional tables — the OTHER migration surface
+    // (transactional_properties='insert_only'; plain files of any format,
+    // no ROW__ID wrapper). A parquet MM tree takes three committed deltas
+    // (%4 in 0,1,2) plus one ABORTED writer's delta (physically removed,
+    // the reference compactor's removeFilesForMmTable), then the SQL verb
+    // minor-compacts the rest into one span; a TEXT (Ctrl-A) MM tree
+    // carries the %8=0 exclusion keys as strings. Both route through the
+    // auto-detecting hive_acid() TVF; the oracle replays the predicates.
+    q("s41_hive_acid_mm",
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_orderkey % 4 IN (0, 1, 2) AND o_orderkey % 8 <> 0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import graft.sources.AcidMm
+      graft.plans.SnapshotSql.register(spark)
+      val orders = Engine.table(spark, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      val root = scratch()
+      AcidMm.appendDelta(spark, root, 1L, orders.where($"o_orderkey" % 4 === 0))
+      AcidMm.appendDelta(spark, root, 2L, orders.where($"o_orderkey" % 4 === 1))
+      // an aborted writer's delta: junk that must never surface
+      AcidMm.appendDelta(spark, root, 3L,
+        orders.limit(5).withColumn("o_orderkey", lit(-1L)))
+      AcidMm.appendDelta(spark, root, 4L, orders.where($"o_orderkey" % 4 === 2))
+      AcidMm.removeAborted(spark, root, Set(3L))
+      Engine.sql(spark, dir, s"COMPACT HIVE ACID '$root' 'minor'")
+      val textRoot = scratch()
+      AcidMm.appendDelta(spark, textRoot, 1L,
+        orders.where($"o_orderkey" % 8 === 0).select($"o_orderkey"),
+        format = "text")
+      spark.sql(
+        s"""SELECT o_orderstatus, count(*) AS n,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS total
+           |FROM hive_acid('$root') m
+           |LEFT ANTI JOIN (SELECT CAST(_c0 AS BIGINT) AS ex
+           |                FROM hive_acid('$textRoot')) t
+           |  ON m.o_orderkey = t.ex
+           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     })
 }

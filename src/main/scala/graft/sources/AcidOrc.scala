@@ -102,24 +102,24 @@ object AcidOrc {
   // ------------------------------------------------------------- directory
   // state: which files constitute the current snapshot
 
-  private val BaseRe = """base_(\d+)(?:_v\d+)?""".r
-  private val DeltaRe = """delta_(\d+)_(\d+)(?:_\d+)?""".r
-  private val DeleteRe = """delete_delta_(\d+)_(\d+)(?:_\d+)?""".r
-  private val BucketFileRe = """bucket_\d+(?:_\d+)?""".r
+  private[sources] val BaseRe = """base_(\d+)(?:_v\d+)?""".r
+  private[sources] val DeltaRe = """delta_(\d+)_(\d+)(?:_\d+)?""".r
+  private[sources] val DeleteRe = """delete_delta_(\d+)_(\d+)(?:_\d+)?""".r
+  private[sources] val BucketFileRe = """bucket_\d+(?:_\d+)?""".r
 
-  private case class Range(min: Long, max: Long, dir: Path)
+  private[sources] case class Range(min: Long, max: Long, dir: Path)
 
-  private case class StateDir(partSub: String, rowDirs: Seq[Path],
+  private[sources] case class StateDir(partSub: String, rowDirs: Seq[Path],
       deleteDirs: Seq[Path], originals: Seq[Path])
 
-  private def hidden(name: String): Boolean =
+  private[sources] def hidden(name: String): Boolean =
     name.startsWith(".") || name.startsWith("_")
 
   /** Widest-range-wins selection of non-overlapping delta dirs above the
     * base (AcidUtils.getAcidState's ordering: ascending min write id,
     * descending max — a compacted span shadows the raw dirs it covers).
     */
-  private def selectDeltas(all: Seq[Range], baseN: Long): Seq[Path] = {
+  private[sources] def selectDeltas(all: Seq[Range], baseN: Long): Seq[Path] = {
     var covered = baseN
     all.filter(_.max > baseN).sortBy(r => (r.min, -r.max)).flatMap { r =>
       if (r.min > covered) { covered = r.max; Some(r.dir) } else None
@@ -131,7 +131,7 @@ object AcidOrc {
     * driver-side listStatus per partition directory — the same metadata
     * cost the reference's AcidUtils.getAcidState pays.
     */
-  private def walk(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
+  private[sources] def walk(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
       partSub: String, maxWid: Long = Long.MaxValue): Seq[StateDir] = {
     val children = fs.listStatus(dir).toSeq
     val (dirs, files) = children.partition(_.isDirectory)
@@ -728,6 +728,9 @@ object AcidOrc {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root), s"ACID table directory not found: $table")
     import spark.implicits._
+    // insert-only (MM) dirs hold task-named plain files, full-ACID dirs
+    // hold bucket_*; count whichever the tree actually is
+    val tableKind = AcidMm.detectKind(spark, table)
     val rows = walk(fs, root, "").flatMap { s =>
       def widsOf(name: String): (Long, Long) = name match {
         case BaseRe(n) => (0L, n.toLong)
@@ -742,19 +745,24 @@ object AcidOrc {
         case _ => "original"
       }
       val dirs = (s.rowDirs ++ s.deleteDirs).map { d =>
-        val files = bucketFiles(fs, d)
+        val files =
+          if (tableKind == "insert_only")
+            fs.listStatus(d).toSeq
+              .filter(f => f.isFile && !hidden(f.getPath.getName))
+              .map(f => f.getPath.toString -> f.getLen)
+          else bucketFiles(fs, d)
         val (mn, mx) = widsOf(d.getName)
         (s.partSub.stripSuffix("/"), kindOf(d.getName), d.getName, mn, mx,
-          files.size.toLong, files.map(_._2).sum)
+          files.size.toLong, files.map(_._2).sum, tableKind)
       }
       val origs = s.originals.map { p =>
         (s.partSub.stripSuffix("/"), "original", p.getName, 0L, 0L, 1L,
-          fs.getFileStatus(p).getLen)
+          fs.getFileStatus(p).getLen, tableKind)
       }
       dirs ++ origs
     }
     rows.toDF("partition", "kind", "dir", "min_writeid", "max_writeid",
-      "files", "bytes")
+      "files", "bytes", "table_kind")
   }
 
   /** Partition column names of an ACID table directory (the `k=v` keys of
@@ -1013,7 +1021,7 @@ object AcidOrc {
   // which has no analog here) — quiesce writers or CONVERT for
   // multi-writer semantics.
 
-  private def partDir(table: String, partSub: String): String =
+  private[sources] def partDir(table: String, partSub: String): String =
     if (partSub.isEmpty) table
     else new Path(table, partSub.stripSuffix("/")).toString
 
@@ -1134,6 +1142,94 @@ object AcidOrc {
           nBuckets, encodedCol = Some("_graft_encoded"))
       }
       if (clean) cleanObsolete(spark, table)
+    } finally live.unpersist()
+  }
+
+  /** Rebalance compaction: rewrite each partition's live snapshot into
+    * `buckets` evenly-sized implicit buckets under a new base — the
+    * reference's third compaction verb, for ACID tables whose writes all
+    * landed in one bucket writer and stay skewed forever otherwise (ref
+    * ql/txn/compactor/CompactionQueryBuilderForRebalance.java,
+    * RebalanceQueryCompactor.java). Semantics follow the reference's
+    * rebalance query exactly: rows order globally by (writeId, bucketId,
+    * rowId), renumber `rowId` = 0..n-1 over that order, and bucket
+    * `rowId DIV CEIL(n / buckets)` — contiguous chunks of the ordered
+    * sequence — with each row's original write id preserved. ROW__IDs are
+    * REASSIGNED (legal: the reference documents rebalance invalidates
+    * ROW__ID stability), so the new base supersedes everything: covered
+    * dirs are always removed (rebalance without the clean step would
+    * leave two same-N bases).
+    *
+    * The global renumbering uses `zipWithIndex` over the sorted rows (a
+    * count pass + a map pass, parallelism preserved) rather than an
+    * unpartitioned window — the same result without funneling the
+    * partition through one task.
+    */
+  def rebalance(spark: SparkSession, table: String, buckets: Int): Unit = {
+    require(buckets >= 1, s"bucket count must be >= 1, got $buckets")
+    val w = maxWriteId(spark, table)
+    if (w < 0) return
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = readWithIds(spark, table).cache()
+    try {
+      val partCols = partitionColumns(spark, table)
+      val stored = live.columns.toSeq
+        .filterNot(Seq("_acid_otid", "_acid_bucket", "_acid_rowid",
+          "_acid_part").contains)
+        .filterNot(partCols.contains)
+      val decoded = shiftright(col("_acid_bucket"), 16)
+        .bitwiseAND(lit(0xfff))
+      // driver rows bounded by the PARTITION count, not data
+      val parts = live.select(col("_acid_part")).distinct()
+        .collect().map(_.getString(0))
+      // the rebalanced base carries a _v suffix so it never collides with
+      // a plain base_w from a prior major compaction at the same head id
+      // (nor with a prior rebalance at the same id — the suffix bumps, the
+      // reference's ever-increasing visibility txn id)
+      val dirName = {
+        var v = w + 1
+        def taken(vv: Long) = parts.exists(p => fs.exists(
+          new Path(partDir(table, p), s"base_${w}_v$vv")))
+        while (taken(v)) v += 1
+        s"base_${w}_v$v"
+      }
+      parts.foreach { p =>
+        val sorted = live.where(col("_acid_part") === p)
+          .select((Seq(col("_acid_otid")) ++ stored.map(col)): _*)
+          .orderBy(col("_acid_otid"), decoded, col("_acid_rowid"))
+        val n = sorted.count()
+        if (n > 0) {
+          val chunk = math.max(1L, (n + buckets - 1) / buckets)
+          val schema = sorted.schema.add("_graft_gidx",
+            org.apache.spark.sql.types.LongType)
+          val indexed = spark.createDataFrame(
+            sorted.rdd.zipWithIndex().map { case (r, i) =>
+              Row.fromSeq(r.toSeq :+ i) }, schema)
+          writeAcidFiles(spark, partDir(table, p), dirName,
+            indexed.select(
+              lit(OpInsert).as("operation"),
+              col("_acid_otid").as("originalTransaction"),
+              // integer DIV, not double /: gidx is exact at any scale
+              expr(s"_graft_gidx DIV $chunk").cast("int")
+                .as("_graft_bucket_id"),
+              col("_graft_gidx").as("rowId"),
+              col("_acid_otid").as("currentTransaction"),
+              struct(stored.map(col): _*).as("row")),
+            buckets)
+        }
+        // the new base supersedes every prior dir in this partition
+        val pdir = new Path(partDir(table, p))
+        fs.listStatus(pdir).toSeq.foreach { st =>
+          val nm = st.getPath.getName
+          val covered = nm match {
+            case _ if nm == dirName => false
+            case BaseRe(_) | DeltaRe(_, _) | DeleteRe(_, _) => true
+            case _ => st.isFile && !hidden(nm) // folded-in originals
+          }
+          if (covered) fs.delete(st.getPath, st.isDirectory)
+        }
+      }
     } finally live.unpersist()
   }
 

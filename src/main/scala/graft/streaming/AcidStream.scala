@@ -73,6 +73,46 @@ class AcidSourceProvider extends StreamSourceProvider with DataSourceRegister {
       withChangeType = cdcOf(parameters))
 }
 
+/** Process-global registry of live `acid-stream` consumers' COMMITTED
+  * offsets per table root — what minor compaction's `consumerFloor`
+  * safety needs (a fold spanning a lagging consumer's offset would hide
+  * its unconsumed write ids). Sources report on `commit` and deregister
+  * on `stop`; `COMPACT HIVE ACID ... 'minor'` wires [[lowestFloor]] in
+  * automatically. In-memory and session-process-scoped, like the V1
+  * source itself — consumers in other processes still need an explicit
+  * floor.
+  */
+object AcidStreamRegistry {
+  private val floors =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Long]
+
+  private[streaming] def qualify(spark: SparkSession, root: String): String = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(p).toString
+  }
+
+  private[streaming] def committed(spark: SparkSession, source: AnyRef,
+      root: String, writeId: Long): Unit =
+    floors.put((qualify(spark, root), System.identityHashCode(source)),
+      writeId)
+
+  private[streaming] def remove(spark: SparkSession, source: AnyRef,
+      root: String): Unit =
+    floors.remove((qualify(spark, root), System.identityHashCode(source)))
+
+  /** Lowest committed offset among live consumers of `root`, or -1 when
+    * none are registered (fold everything — the reference compactor's
+    * default). A never-committed source needs no floor: its first batch
+    * is a snapshot read, which compaction cannot perturb.
+    */
+  def lowestFloor(spark: SparkSession, root: String): Long = {
+    val q = qualify(spark, root)
+    val own = floors.collect { case ((r, _), w) if r == q => w }
+    if (own.isEmpty) -1L else own.min
+  }
+}
+
 /** See [[AcidSourceProvider]]. Offset N = "write ids up to and including N
   * have been emitted".
   */
@@ -108,6 +148,15 @@ class AcidStreamSource(spark: SparkSession, root: String,
     }: _*)
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    // report the consumed floor NOW — the engine calls commit() lazily (at
+    // the next batch's construction), which can be never for an idle
+    // stream. A snapshot batch (start=None) registers `end`: snapshot
+    // reconstruction tolerates folds at any boundary, and retries re-read
+    // the same snapshot. An incremental batch registers `start`: that much
+    // is durably consumed, while (start, end] must stay fold-split-safe
+    // until commit() advances past it.
+    AcidStreamRegistry.committed(spark, this, root,
+      start.map(widOf).getOrElse(widOf(end)))
     val batch = start match {
       case None if withChangeType =>
         // CDC first batch: the snapshot, all inserts, each row carrying
@@ -128,7 +177,10 @@ class AcidStreamSource(spark: SparkSession, root: String,
     org.apache.spark.sql.GraftShims.asStreamingFrame(spark, batch)
   }
 
-  override def stop(): Unit = ()
+  override def commit(end: V1Offset): Unit =
+    AcidStreamRegistry.committed(spark, this, root, widOf(end))
+
+  override def stop(): Unit = AcidStreamRegistry.remove(spark, this, root)
 
   override def toString: String = s"AcidStreamSource[$root]"
 }

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+
 /** Conformance sweep over the reference's OWN qtest corpus (ref
   * ql/src/test/queries/clientpositive — SURVEY §5 called the .q files
   * "the backbone" of the reference's verification): curated files whose core
@@ -30,151 +31,12 @@ import org.apache.spark.sql.functions._
   * Hive's std/stddev/variance are POPULATION forms — now registered so
   * (HiveFunctions), where bare Spark silently answers the SAMPLE form.
   */
-class QtestConformanceSpec extends SparkSpec {
-
-  private val refData = "/root/reference/data/files"
-
-  /** `hive`: the expected row TRANSCRIBED from the reference's own
-    * committed .q.out (a third leg for cases where Spark and DuckDB could
-    * agree with each other yet both diverge from Hive — e.g. GREATEST
-    * null semantics). `duck = Some("")` means the statement has no
-    * DuckDB analog (elt/field/translate/...) — the .q.out leg is then
-    * the whole gate and must be present.
-    */
-  private case class QCase(file: String, name: String, spark: String,
-      duck: Option[String] = None, note: String = "",
-      hive: Option[Seq[String]] = None, ordered: Boolean = false) {
-    def hiveOnly: Boolean = duck.contains("")
-    require(!hiveOnly || hive.isDefined,
-      s"$name: a DuckDB-less case needs the .q.out leg")
-  }
-
-  // ------------------------------------------------------------ fixtures
-
-  private lazy val python: Option[String] =
-    Seq("python3", "/root/.pyenv/shims/python3", "/usr/bin/python3")
-      .find { p =>
-        try new ProcessBuilder(p, "-c", "import duckdb").start()
-          .waitFor() == 0
-        catch { case _: Exception => false }
-      }
-
-  private lazy val haveRef: Boolean =
-    new java.io.File(s"$refData/kv1.txt").isFile
-
-  /** Loads every fixture as a qt_-prefixed temp view AND a parquet dir
-    * for the DuckDB side; returns the table→dir map.
-    */
-  private lazy val fixtures: Map[String, String] = {
-    graft.functions.HiveFunctions.registerAll(spark)
-    val dir = java.nio.file.Files.createTempDirectory("graft_qtest_")
-      .toString
-    def kv(path: String, sep: String, cols: Seq[String]): DataFrame =
-      spark.read
-        .option("sep", sep).option("emptyValue", "").option("nullValue", "\\N")
-        .csv(path)
-        .toDF(cols: _*)
-        .select(cols.map(c => coalesce(col(c), lit("")).as(c)): _*)
-    val src = kv(s"$refData/kv1.txt", "", Seq("key", "value"))
-    val src1 = kv(s"$refData/kv3.txt", "", Seq("key", "value"))
-    val srcpart = Seq(("2008-04-08", "11"), ("2008-04-08", "12"),
-      ("2008-04-09", "11"), ("2008-04-09", "12"))
-      .map { case (ds, hr) => src.withColumn("ds", lit(ds))
-        .withColumn("hr", lit(hr)) }
-      .reduce(_ unionByName _)
-    val t1 = kv(s"$refData/T1.txt", "", Seq("key", "val"))
-    val gsets = kv(s"$refData/grouping_sets.txt", " ", Seq("a", "b", "c"))
-    val part = spark.read.option("sep", "")
-      .csv(s"$refData/tpch/tiny/part.tbl.bz2")
-      .toDF("p_partkey", "p_name", "p_mfgr", "p_brand", "p_type",
-        "p_size", "p_container", "p_retailprice", "p_comment")
-      .select(col("p_partkey").cast("int"), col("p_name"), col("p_mfgr"),
-        col("p_brand"), col("p_type"), col("p_size").cast("int"),
-        col("p_container"), col("p_retailprice").cast("double"),
-        col("p_comment"))
-    val sales = spark.read.option("sep", "\t")
-      .csv(s"$refData/sales.txt").toDF("name", "id")
-      .select(col("name"), col("id").cast("int"))
-    val things = Seq(("things.txt", "2011-10-23"), ("things2.txt", "2011-10-24"))
-      .map { case (f, ds) => spark.read.option("sep", "\t")
-        .csv(s"$refData/$f").toDF("id", "name")
-        .select(col("id").cast("int"), col("name"))
-        .withColumn("ds", lit(ds)) }
-      .reduce(_ unionByName _)
-    // semijoin.q derives its tables from src by CTAS
-    val t1sj = src.where(col("key").cast("int") <= 10)
-      .select(col("key").cast("int").as("key"), col("value"))
-    val t2sj = t1sj.select((col("key") * 2).cast("int").as("key"),
-      col("value"))
-    val t3sj = t1sj.unionByName(t2sj)
-    val t4sj = t1sj.limit(0)
-    // subquery_scalar.q fixtures: part with NULLs, an all-NULL pair, an
-    // empty table
-    val pnull = spark.read.option("sep", ",")
-      .csv(s"$refData/part_tiny_nulls.txt")
-      .toDF("p_partkey", "p_name", "p_mfgr", "p_brand", "p_type",
-        "p_size", "p_container", "p_retailprice", "p_comment")
-      .select(col("p_partkey").cast("int"), col("p_name"), col("p_mfgr"),
-        col("p_brand"), col("p_type"), col("p_size").cast("int"),
-        col("p_container"), col("p_retailprice").cast("double"),
-        col("p_comment"))
-      .unionByName(spark.range(1).select(lit(78487).as("p_partkey"),
-        lit(null).cast("string").as("p_name"),
-        lit("Manufacturer#6").as("p_mfgr"), lit("Brand#52").as("p_brand"),
-        lit("LARGE BRUSHED BRASS").as("p_type"), lit(23).as("p_size"),
-        lit("MED BAG").as("p_container"),
-        lit(1464.48).as("p_retailprice"), lit("hely blith").as("p_comment")))
-    val tnull = spark.range(2).select(lit(null).cast("int").as("i"),
-      lit(null).cast("string").as("c"))
-    val tempty = tnull.select(col("c")).limit(0)
-    // udf_get_json_object.q's one-row json document table
-    val srcjson = spark.read.text(s"$refData/json.txt")
-      .withColumnRenamed("value", "json")
-    // join_nullsafe.q's table (in8.txt: NULL-bearing int pairs)
-    val null8 = spark.read.option("sep", "")
-      .csv(s"$refData/in8.txt").toDF("key", "value")
-      .select(col("key").cast("int"), col("value").cast("int"))
-    // order_null.q's table; count.q's abcd (in4.txt: empty field = NULL)
-    val srcnull = {
-      import spark.implicits._
-      Seq((Option(1), Option("A")), (None, None), (Option(3), None),
-        (Option(2), None), (Option(2), Option("A")),
-        (Option(2), Option("B"))).toDF("a", "b")
-    }
-    val abcd = spark.read.option("sep", "\u0001")
-      .csv(s"$refData/in4.txt").toDF("a", "b", "c", "d")
-      .select(col("a").cast("int"), col("b").cast("int"),
-        col("c").cast("int"), col("d").cast("int"))
-    // join_filters_overlap.q's table: (100, 40), (100, 50), (100, 60)
-    val a4 = spark.range(1).select(lit(100).as("key"),
-        explode(array(lit(40), lit(50), lit(60))).as("value"))
-    // lateral_view.q / lateral_view_outer.q array-valued tables
-    val lvarr = src.orderBy(col("key")).limit(20)
-      .select(col("key"), array(col("value")).as("vals"))
-    val avalued = src.select(col("key"),
-      when(col("key").cast("int") > 300,
-        array(col("value"), col("value"))).as("vals"))
-    val all = Map(
-      "qt_src" -> src, "qt_src1" -> src1, "qt_srcpart" -> srcpart,
-      "qt_t1" -> t1, "qt_gsets" -> gsets, "qt_part" -> part,
-      "qt_sales" -> sales, "qt_things" -> things,
-      "qt_t1sj" -> t1sj, "qt_t2sj" -> t2sj, "qt_t3sj" -> t3sj,
-      "qt_t4sj" -> t4sj, "qt_lvarr" -> lvarr, "qt_avalued" -> avalued,
-      "qt_a4" -> a4, "qt_pnull" -> pnull, "qt_tnull" -> tnull,
-      "qt_tempty" -> tempty, "qt_srcnull" -> srcnull, "qt_abcd" -> abcd,
-      "qt_null8" -> null8, "qt_json" -> srcjson)
-    all.map { case (name, df) =>
-      df.createOrReplaceTempView(name)
-      val d = s"$dir/$name"
-      df.write.parquet(d)
-      name -> d
-    }
-  }
+class QtestConformanceSpec extends QtestHarness {
 
   // ------------------------------------------------------- curated cases
 
   private val V5 = "CAST(substr(value, 5) AS DOUBLE)"
-  private val cases = Seq(
+  protected val qcases: Seq[QCase] = Seq(
     QCase("groupby1.q", "g1",
       s"SELECT key, sum($V5) AS s FROM qt_src GROUP BY key"),
     QCase("groupby2.q", "g2",
@@ -901,96 +763,6 @@ class QtestConformanceSpec extends SparkSpec {
         "qt_src s1 UNION ALL SELECT s2.key AS key, s2.value AS value " +
         "FROM qt_src1 s2) unionsrc GROUP BY unionsrc.key")))
 
-  // --------------------------------------------------------- machinery
-
-  /** Canonical cell: numerics via BigDecimal (strips rendering noise),
-    * booleans lowercased, NULL marker passed through.
-    */
-  private def canon(s: String): String =
-    if (s == "NULL") s
-    else if (s == "True" || s == "False") s.toLowerCase
-    else try BigDecimal(s).underlying.stripTrailingZeros.toPlainString
-    catch { case _: NumberFormatException => s }
-
-  private def cellEq(a: String, b: String): Boolean =
-    a == b || {
-      try {
-        val (x, y) = (BigDecimal(a), BigDecimal(b))
-        (x - y).abs <= BigDecimal(1e-6) * (x.abs.max(y.abs).max(1))
-      } catch { case _: NumberFormatException => false }
-    }
-
-  private def sparkRows(sql: String): Seq[Seq[String]] =
-    Engine.sql(spark, sfDir, sql).collect().toSeq.map(_.toSeq.map {
-      case null => "NULL"
-      case v => canon(v.toString)
-    })
-
-  private lazy val duckResults: Map[String, Either[String, Seq[Seq[String]]]] = {
-    import org.json4s._
-    implicit val fmts: Formats = DefaultFormats
-    val spec = jackson.Serialization.write(Map(
-      "tables" -> fixtures,
-      "queries" -> cases.filterNot(_.hiveOnly)
-        .map(c => c.name -> c.duck.getOrElse(c.spark)).toMap))
-    val proc = new ProcessBuilder(python.get, "tools/qtest_oracle.py").start()
-    proc.getOutputStream.write(spec.getBytes("UTF-8"))
-    proc.getOutputStream.close()
-    val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
-    val err = new String(proc.getErrorStream.readAllBytes(), "UTF-8")
-    require(proc.waitFor() == 0, s"qtest_oracle.py failed: $err")
-    jackson.JsonMethods.parse(out) match {
-      case JObject(fields) => fields.map {
-        case (name, JArray(rows)) => name -> Right(rows.map {
-          case JArray(cells) => cells.map {
-            case JString(s) => canon(s)
-            case other => canon(other.values.toString)
-          }
-          case other => sys.error(s"unexpected row shape: $other")
-        })
-        case (name, obj) => name ->
-          Left((obj \ "error").extractOpt[String].getOrElse(obj.toString))
-      }.toMap
-      case other => sys.error(s"unexpected oracle output: $other")
-    }
-  }
-
-  private def run(family: String*): Unit = {
-    assume(haveRef, "/root/reference fixture data not present")
-    assume(python.isDefined, "python3 + duckdb not available")
-    fixtures // force
-    cases.filter(c => family.exists(c.file.startsWith)).foreach { c =>
-      withClue(s"[${c.file} ${c.name}] ${c.note}\n  spark: ${c.spark}\n") {
-        // ORDER BY cases compare in sequence; everything else sorted
-        def arrange(rows: Seq[Seq[String]]): Seq[Seq[String]] =
-          if (c.ordered) rows else rows.sortBy(_.mkString(""))
-        val got = arrange(sparkRows(c.spark))
-        if (!c.hiveOnly) {
-          val want = duckResults(c.name) match {
-            case Left(err) => fail(s"DuckDB rejected the twin: $err")
-            case Right(rows) => arrange(rows)
-          }
-          assert(got.size === want.size,
-            s"row count: spark=${got.size} duck=${want.size}")
-          got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
-            assert(g.size === w.size, s"row $i arity")
-            g.zip(w).foreach { case (a, b) =>
-              assert(cellEq(a, b), s"row $i: spark=$g duck=$w")
-            }
-          }
-        }
-        c.hive.foreach { exp =>
-          val h = exp.map(canon)
-          assert(got.size === 1 && got.head.size === h.size,
-            s"hive-expected shape: got=$got")
-          got.head.zip(h).foreach { case (a, b) =>
-            assert(cellEq(a, b), s"vs reference .q.out: spark=${got.head} " +
-              s"hive=$h")
-          }
-        }
-      }
-    }
-  }
 
   test("qtest conformance: groupby family (incl. having, srcpart ppr, " +
       "ordinal GROUP BY)") {
@@ -1030,3 +802,4 @@ class QtestConformanceSpec extends SparkSpec {
     run("udf_")
   }
 }
+

@@ -1,0 +1,130 @@
+package graft.plans
+
+import graft.{Engine, SparkSpec}
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Hive's CTE materialization (threshold-gated temp-table rewrite, ref
+  * ql/parse/SemanticAnalyzer.java:1560,2256) on the Engine.sql front
+  * door: a WITH definition referenced >= threshold times evaluates ONCE.
+  */
+class CteMaterializeSpec extends SparkSpec {
+
+  private val Key = CteMaterialize.ThresholdKey
+
+  /** Rows flowing through the definition body, via an accumulator UDF —
+    * inline evaluation pays the body per reference, materialization once.
+    */
+  private def measure(query: String): (Long, Array[String]) = {
+    val acc = spark.sparkContext.longAccumulator("graft_cte_ticks")
+    spark.udf.register("graft_tick", (x: Long) => { acc.add(1L); x })
+    val rows = Engine.sql(spark, sfDir, query).collect()
+      .map(_.toSeq.mkString(",")).sorted
+    (acc.value, rows)
+  }
+
+  private val twoRefs =
+    """WITH c AS (SELECT graft_tick(o_orderkey) AS k FROM orders)
+      |SELECT * FROM (SELECT count(*) AS n, sum(k) AS s FROM c)
+      |UNION ALL
+      |SELECT * FROM (SELECT count(*) AS n, max(k) AS s FROM c)""".stripMargin
+
+  test("flag off (default): every reference re-evaluates the definition " +
+      "(Spark's canonical inlining)") {
+    spark.conf.unset(Key)
+    val n = Engine.sql(spark, sfDir, "SELECT count(*) FROM orders")
+      .head().getLong(0)
+    val (ticks, rows) = measure(twoRefs)
+    assert(ticks === 2 * n, "two references = two evaluations inline")
+    assert(rows.length === 2)
+  }
+
+  test("flag on: a definition referenced >= threshold evaluates once; " +
+      "results identical to the inline plan") {
+    spark.conf.unset(Key)
+    val (inlineTicks, inlineRows) = measure(twoRefs)
+    spark.conf.set(Key, "2")
+    try {
+      val (matTicks, matRows) = measure(twoRefs)
+      assert(matRows === inlineRows, "materialization must not change results")
+      assert(matTicks * 2 === inlineTicks,
+        s"one evaluation expected, got $matTicks vs inline $inlineTicks")
+    } finally spark.conf.unset(Key)
+  }
+
+  test("below-threshold definitions stay inline (no checkpoint in the plan)") {
+    spark.conf.set(Key, "3")
+    try {
+      val df = Engine.sql(spark, sfDir,
+        """WITH c AS (SELECT o_orderkey AS k FROM orders)
+          |SELECT count(*) AS n FROM (SELECT * FROM c UNION ALL SELECT * FROM c)"""
+          .stripMargin)
+      assert(df.queryExecution.optimizedPlan.collect {
+        case r: LogicalRDD => r }.isEmpty, "2 refs < threshold 3: no mat")
+      assert(df.head().getLong(0) ===
+        2 * Engine.sql(spark, sfDir, "SELECT count(*) FROM orders")
+          .head().getLong(0))
+    } finally spark.conf.unset(Key)
+  }
+
+  test("dependency chains and self-joins: later defs see the materialized " +
+      "frame; repeated instances deduplicate") {
+    spark.conf.set(Key, "2")
+    try {
+      // c referenced by d TWICE and by the main body once (3 refs, mat);
+      // d referenced twice (mat, built ON the materialized c)
+      val df = Engine.sql(spark, sfDir,
+        """WITH c AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+          |           WHERE o_orderkey % 3 = 0),
+          |     d AS (SELECT a.k FROM c a JOIN c b ON a.k = b.k)
+          |SELECT (SELECT count(*) FROM d) AS nd,
+          |       (SELECT count(*) FROM d WHERE k % 2 = 0) AS nd2,
+          |       count(*) AS nc
+          |FROM c""".stripMargin)
+      val r = df.head()
+      val expect = Engine.sql(spark, sfDir,
+        "SELECT count(*) FROM orders WHERE o_orderkey % 3 = 0")
+        .head().getLong(0)
+      assert(r.getLong(2) === expect)
+      assert(r.getLong(0) === expect) // keys unique -> self-join = same count
+      assert(df.queryExecution.optimizedPlan.collect {
+        case rdd: LogicalRDD => rdd }.nonEmpty, "materialized scans present")
+    } finally spark.conf.unset(Key)
+  }
+
+  test("forward references compose: CteForwardRefs reorders, then " +
+      "materialization applies in dependency order") {
+    spark.conf.set(Key, "2")
+    try {
+      val df = Engine.sql(spark, sfDir,
+        """WITH top AS (SELECT k FROM base WHERE k % 2 = 0),
+          |     base AS (SELECT o_orderkey AS k FROM orders)
+          |SELECT (SELECT count(*) FROM top) AS a, count(*) AS b FROM top"""
+          .stripMargin)
+      val r = df.head()
+      assert(r.getLong(0) === r.getLong(1))
+      assert(r.getLong(0) > 0)
+    } finally spark.conf.unset(Key)
+  }
+
+  test("column aliases materialize with their definition; nested WITH " +
+      "bails out conservatively — both stay correct") {
+    spark.conf.set(Key, "1")
+    try {
+      // WITH t(a) AS ... — aliases parse inside the def and materialize
+      val r1 = Engine.sql(spark, sfDir,
+        """WITH t(a) AS (SELECT o_orderkey FROM orders)
+          |SELECT count(*) FROM (SELECT a FROM t UNION ALL SELECT a FROM t)"""
+          .stripMargin).head().getLong(0)
+      // nested WITH: untouched (Spark's spelling), still correct
+      val r2 = Engine.sql(spark, sfDir,
+        """WITH u AS (WITH v AS (SELECT o_orderkey AS k FROM orders)
+          |           SELECT k FROM v)
+          |SELECT count(*) FROM (SELECT k FROM u UNION ALL SELECT k FROM u)"""
+          .stripMargin).head().getLong(0)
+      val n = Engine.sql(spark, sfDir, "SELECT count(*) FROM orders")
+        .head().getLong(0)
+      assert(r1 === 2 * n)
+      assert(r2 === 2 * n)
+    } finally spark.conf.unset(Key)
+  }
+}

@@ -1,0 +1,251 @@
+package graft.sources
+
+import graft.{Engine, SparkSpec}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, DoubleType, StructField, StructType}
+
+/** Insert-only (MM) transactional layout: same base_/delta_ write-id
+  * directory contract as full ACID, plain files of any format, no ROW__ID
+  * wrapper — the reference's `transactional_properties='insert_only'`
+  * flavor and the default conversion target for non-ORC managed tables
+  * (ref ql/io/AcidUtils.java:704).
+  */
+class AcidMmSpec extends SparkSpec {
+
+  private def scratch(): String =
+    java.nio.file.Files.createTempDirectory("graft_mm_").toString + "/t"
+
+  private def fsOf(dir: String) = new org.apache.hadoop.fs.Path(dir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def names(dir: String): Seq[String] =
+    fsOf(dir).listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).sorted.toSeq
+
+  private def rows(n: Int, from: Int = 0): DataFrame = {
+    import spark.implicits._
+    (from until from + n).map(i => (i.toLong, i * 1.0)).toDF("k", "v")
+  }
+
+  test("parquet MM tree: base wins, widest-wins deltas, originals as " +
+      "write id 0; one pruned columnar scan") {
+    val dir = scratch()
+    val fs = fsOf(dir)
+    // pre-conversion original directly in the table dir (write id 0)
+    rows(5).coalesce(1).write.parquet(s"$dir/.stage")
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/.stage"))
+      .map(_.getPath).find(_.getName.startsWith("part-")).get
+    fs.rename(part, new org.apache.hadoop.fs.Path(dir, "000000_0"))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/.stage"), true)
+    AcidMm.appendDelta(spark, dir, 1L, rows(3, 100))
+    AcidMm.appendDelta(spark, dir, 2L, rows(2, 200))
+    assert(AcidMm.detectKind(spark, dir) === "insert_only")
+    assert(AcidMm.read(spark, dir).count() === 10)
+    // a compacted span delta_1_2 shadows the raw delta_2_2 under it
+    AcidMm.appendDelta(spark, dir, 3L, rows(5, 100))
+    fsOf(dir).rename(new org.apache.hadoop.fs.Path(dir, "delta_3_3"),
+      new org.apache.hadoop.fs.Path(dir, "delta_1_2"))
+    fsOf(dir).delete(new org.apache.hadoop.fs.Path(dir, "delta_1_1"), true)
+    assert(AcidMm.read(spark, dir).count() === 10) // 5 orig + 5 span
+    // a base supersedes originals and covered deltas
+    AcidMm.appendDelta(spark, dir, 4L, rows(7, 300))
+    fsOf(dir).rename(new org.apache.hadoop.fs.Path(dir, "delta_4_4"),
+      new org.apache.hadoop.fs.Path(dir, "base_4"))
+    assert(AcidMm.read(spark, dir).count() === 7)
+    assert(AcidMm.read(spark, dir).columns.toSeq === Seq("k", "v"))
+  }
+
+  test("text (Ctrl-A) and ORC variants read back; schema types text " +
+      "columns; format sniff routes each") {
+    val dirT = scratch()
+    AcidMm.appendDelta(spark, dirT, 1L, rows(4), format = "text")
+    AcidMm.appendDelta(spark, dirT, 2L, rows(3, 10), format = "text")
+    // schema-less: all strings, _c* names (cast-downstream convention)
+    val bare = AcidMm.read(spark, dirT)
+    assert(bare.count() === 7)
+    assert(bare.schema.fields.forall(_.dataType.typeName === "string"))
+    // with a schema: typed columns under the caller's names
+    val typed = AcidMm.read(spark, dirT, schema = Some(StructType(Seq(
+      StructField("k", LongType), StructField("v", DoubleType)))))
+    assert(typed.where(col("k") === 12L).select(col("v"))
+      .head().getDouble(0) === 12.0)
+    val dirO = scratch()
+    AcidMm.appendDelta(spark, dirO, 1L, rows(6), format = "orc")
+    assert(AcidMm.read(spark, dirO).count() === 6)
+    assert(AcidMm.read(spark, dirO).schema.fields.map(_.name).toSeq ===
+      Seq("k", "v"))
+  }
+
+  test("aborted single-txn deltas are excluded from reads and deleted by " +
+      "removeAborted (the reference's removeFilesForMmTable)") {
+    val dir = scratch()
+    AcidMm.appendDelta(spark, dir, 1L, rows(4))
+    AcidMm.appendDelta(spark, dir, 2L, rows(3, 10)) // aborted
+    AcidMm.appendDelta(spark, dir, 3L, rows(2, 20))
+    assert(AcidMm.read(spark, dir).count() === 9)
+    assert(AcidMm.read(spark, dir,
+      abortedWriteIds = Set(2L)).count() === 6)
+    AcidMm.removeAborted(spark, dir, Set(2L))
+    assert(names(dir) === Seq("delta_1_1", "delta_3_3"))
+    assert(AcidMm.read(spark, dir).count() === 6)
+  }
+
+  test("kind detection separates full-ACID and MM trees; MM read refuses " +
+      "a full-ACID tree loudly") {
+    import spark.implicits._
+    val full = scratch()
+    AcidOrc.appendDelta(spark, full, 1L, rows(5))
+    assert(AcidMm.detectKind(spark, full) === "full_acid")
+    val mm = scratch()
+    AcidMm.appendDelta(spark, mm, 1L, rows(5))
+    assert(AcidMm.detectKind(spark, mm) === "insert_only")
+    // delete_delta presence alone marks full acid
+    val full2 = scratch()
+    AcidOrc.appendDelta(spark, full2, 1L, rows(5))
+    AcidOrc.appendDeleteDelta(spark, full2, 2L,
+      Seq((1L, AcidOrc.encodeBucket(0), 0L))
+        .toDF("originalTransaction", "bucket", "rowId"))
+    assert(AcidMm.detectKind(spark, full2) === "full_acid")
+    val e = intercept[IllegalArgumentException] {
+      AcidMm.read(spark, full2)
+    }
+    assert(e.getMessage.contains("full-ACID"))
+    assert(AcidMm.detectKind(spark, scratch()) === "empty")
+  }
+
+  test("partitioned MM layout: k=v dirs surface as string columns") {
+    val dir = scratch()
+    import spark.implicits._
+    Seq("A", "B").foreach { s =>
+      AcidMm.appendDelta(spark, s"$dir/st=$s", 1L, rows(4))
+      AcidMm.appendDelta(spark, s"$dir/st=$s", 2L, rows(2, 10))
+    }
+    val got = AcidMm.read(spark, dir)
+    assert(got.columns.toSeq === Seq("k", "v", "st"))
+    assert(got.count() === 12)
+    assert(got.groupBy(col("st")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("A" -> 6L, "B" -> 6L))
+  }
+
+  test("MM major compaction folds each partition to base_N in the " +
+      "table's own format; minor folds deltas above the base only") {
+    val dir = scratch()
+    AcidMm.appendDelta(spark, dir, 1L, rows(10))
+    AcidMm.appendDelta(spark, dir, 2L, rows(5, 100))
+    AcidMm.appendDelta(spark, dir, 3L, rows(5, 200), format = "parquet")
+    AcidMm.compactMajor(spark, dir)
+    assert(names(dir) === Seq("base_3"))
+    assert(AcidMm.read(spark, dir).count() === 20)
+    assert(AcidMm.detectKind(spark, dir) === "insert_only")
+    // trickle deltas over the base, then minor: base untouched
+    (4L to 7L).foreach(w => AcidMm.appendDelta(spark, dir, w, rows(2,
+      (w * 1000).toInt)))
+    val fs = fsOf(dir)
+    val baseFile = new org.apache.hadoop.fs.Path(dir, "base_3/000000_0")
+    val stamp = (fs.getFileStatus(baseFile).getLen,
+      fs.getFileStatus(baseFile).getModificationTime)
+    AcidMm.compactMinor(spark, dir)
+    assert(names(dir) === Seq("base_3", "delta_4_7"))
+    assert((fs.getFileStatus(baseFile).getLen,
+      fs.getFileStatus(baseFile).getModificationTime) === stamp)
+    assert(AcidMm.read(spark, dir).count() === 28)
+    // consumerFloor splits the fold so a lagging consumer's range survives
+    val dir2 = scratch()
+    (1L to 4L).foreach(w => AcidMm.appendDelta(spark, dir2, w, rows(1,
+      w.toInt)))
+    AcidMm.compactMinor(spark, dir2, consumerFloor = 2L)
+    assert(names(dir2) === Seq("delta_1_2", "delta_3_4"))
+    assert(AcidMm.read(spark, dir2).count() === 4)
+  }
+
+  test("text-format compaction keeps the text format") {
+    val dir = scratch()
+    AcidMm.appendDelta(spark, dir, 1L, rows(4), format = "text")
+    AcidMm.appendDelta(spark, dir, 2L, rows(3, 10), format = "text")
+    AcidMm.compactMajor(spark, dir)
+    assert(names(dir) === Seq("base_2"))
+    val got = AcidMm.read(spark, dir)
+    assert(got.count() === 7)
+    assert(got.schema.fields.forall(_.dataType.typeName === "string"))
+  }
+
+  test("SQL surface: hive_acid() auto-routes MM trees, hive_acid_state " +
+      "reports table_kind=insert_only, COMPACT routes to MM compactors") {
+    val dir = scratch()
+    AcidMm.appendDelta(spark, dir, 1L, rows(8))
+    AcidMm.appendDelta(spark, dir, 2L, rows(4, 100))
+    graft.plans.SnapshotSql.register(spark)
+    assert(spark.sql(s"SELECT count(*) FROM hive_acid('$dir')")
+      .head().getLong(0) === 12L)
+    val state = spark.sql(s"SELECT kind, dir, table_kind, files FROM " +
+      s"hive_acid_state('$dir') ORDER BY dir").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(state.map(t => (t._1, t._2, t._3)).toSeq === Seq(
+      ("delta", "delta_1_1", "insert_only"),
+      ("delta", "delta_2_2", "insert_only")))
+    assert(state.forall(_._4 >= 1L)) // MM task-named files ARE counted
+    val msg = Engine.sql(spark, sfDir, s"COMPACT HIVE ACID '$dir' 'minor'")
+      .head.getString(0)
+    assert(msg.contains("minor compaction"))
+    assert(names(dir) === Seq("delta_1_2"))
+    Engine.sql(spark, sfDir, s"COMPACT HIVE ACID '$dir'")
+    assert(names(dir) === Seq("base_2"))
+    assert(spark.sql(s"SELECT count(*) FROM hive_acid('$dir')")
+      .head().getLong(0) === 12L)
+    // rebalance refuses MM trees with a readable message
+    val e = intercept[Exception] {
+      Engine.sql(spark, sfDir, s"COMPACT HIVE ACID '$dir' 'rebalance' 4")
+    }
+    assert(e.getMessage.contains("insert-only"))
+  }
+
+  test("randomized MM op-sequence net: append/abort/minor/major always " +
+      "reconstruct to the in-memory model") {
+    val rnd = new scala.util.Random(20260815L)
+    val dir = scratch()
+    val model = scala.collection.mutable.Map[Long, Double]()
+    var nextKey = 0L
+    var aborted = Set.empty[Long]
+    def nextW() = math.max(AcidOrc.maxWriteId(spark, dir) + 1, 1L)
+    (0 until 12).foreach { i =>
+      val op = if (i == 0) "append" else rnd.nextInt(10) match {
+        case 0 | 1 | 2 | 3 | 4 => "append"
+        case 5 | 6 => "abort"
+        case 7 | 8 => "minor"
+        case _ => "major"
+      }
+      op match {
+        case "append" =>
+          val m = 1 + rnd.nextInt(6)
+          import spark.implicits._
+          val rs = (0 until m).map { _ =>
+            nextKey += 1; (nextKey, rnd.nextInt(100).toDouble)
+          }
+          AcidMm.appendDelta(spark, dir, nextW(), rs.toDF("k", "v"))
+          rs.foreach { case (k, v) => model(k) = v }
+        case "abort" =>
+          // an uncommitted writer's delta lands and is later excluded
+          val m = 1 + rnd.nextInt(4)
+          import spark.implicits._
+          val w = nextW()
+          AcidMm.appendDelta(spark, dir, w,
+            (0 until m).map(_ => (-1L, -1.0)).toDF("k", "v"))
+          aborted += w
+        case "minor" =>
+          AcidMm.compactMinor(spark, dir, clean = rnd.nextBoolean(),
+            abortedWriteIds = aborted)
+          aborted = Set.empty // compaction physically removed them
+        case "major" =>
+          AcidMm.compactMajor(spark, dir, clean = rnd.nextBoolean(),
+            abortedWriteIds = aborted)
+          aborted = Set.empty
+      }
+      val got = AcidMm.read(spark, dir, abortedWriteIds = aborted)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got === model.toMap, s"divergence after op $i ($op)")
+    }
+  }
+}

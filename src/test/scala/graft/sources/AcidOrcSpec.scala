@@ -482,8 +482,54 @@ class AcidOrcSpec extends SparkSpec {
     assert(names === Seq("base_3"), names.mkString(","))
     assert(AcidOrc.read(spark, dir).count() === 12)
     intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
-      Engine.sql(spark, sfDir, s"COMPACT HIVE ACID '$dir' 'rebalance'")
+      Engine.sql(spark, sfDir, s"COMPACT HIVE ACID '$dir' 'sideways'")
     }
+  }
+
+  test("rebalance compaction: a skewed single-bucket table rewrites to N " +
+      "even buckets, write ids preserved, ROW__IDs reassigned") {
+    val dir = scratch()
+    import spark.implicits._
+    // every write through one bucket writer — the skew rebalance exists for
+    AcidOrc.appendDelta(spark, dir, 1L,
+      (0 until 60).map(i => (i.toLong, i * 1.0)).toDF("k", "v"))
+    AcidOrc.appendDelta(spark, dir, 2L,
+      (100 until 140).map(i => (i.toLong, i * 1.0)).toDF("k", "v"))
+    AcidOrc.deleteWhere(spark, dir, col("k") % 10 === 9) // write id 3
+    val before = AcidOrc.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    Engine.sql(spark, sfDir, s"COMPACT HIVE ACID '$dir' 'rebalance' 4")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).sorted.toSeq
+    assert(dirs === Seq("base_3_v4"), dirs.mkString(","))
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(dir, "base_3_v4"))
+      .map(_.getPath.getName).sorted.toSeq
+    assert(files === Seq("bucket_00000", "bucket_00001", "bucket_00002",
+      "bucket_00003"), files.mkString(","))
+    // reconstruction identical
+    val after = AcidOrc.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(after === before)
+    // even spread: the reference's contiguous-chunk rule — 90 live rows
+    // over 4 buckets = ceil(90/4)=23 per bucket except the tail
+    val ids = AcidOrc.readWithIds(spark, dir)
+    val perBucket = ids
+      .groupBy(shiftright(col("_acid_bucket"), 16).bitwiseAND(lit(0xfff))
+        .as("b"))
+      .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perBucket === Map(0 -> 23L, 1 -> 23L, 2 -> 23L, 3 -> 21L),
+      perBucket.toString)
+    // write ids preserved; rowIds renumbered 0..n-1 globally
+    assert(ids.select(col("_acid_otid")).distinct().collect()
+      .map(_.getLong(0)).toSet === Set(1L, 2L))
+    val rids = ids.select(col("_acid_rowid")).collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(rids === (0L until 90L), "global renumbering 0..n-1")
+    // reassigned ROW__IDs are live delete targets
+    assert(AcidOrc.deleteWhere(spark, dir, col("k") === 0L) === 1L)
+    assert(AcidOrc.read(spark, dir).count() === 89)
   }
 
   test("hive_acid_ids TVF surfaces ROW__ID (writeid, bucketid, rowid)") {
@@ -532,12 +578,13 @@ class AcidOrcSpec extends SparkSpec {
     seed.foreach { case (k, v) => model(k) = v }
     def randomOp(i: Int): String =
       if (model.isEmpty || i == 0) "append"
-      else rnd.nextInt(10) match {
+      else rnd.nextInt(12) match {
         case 0 | 1 | 2 | 3 => "append"
         case 4 | 5 => "delete"
         case 6 | 7 => "update"
         case 8 => "minor"
-        case _ => "compact"
+        case 9 | 10 => "compact"
+        case _ => "rebalance"
       }
     (0 until 14).foreach { i =>
       val op = randomOp(i)
@@ -570,6 +617,8 @@ class AcidOrcSpec extends SparkSpec {
           AcidOrc.compactMinor(spark, dir, clean = rnd.nextBoolean())
         case "compact" =>
           AcidOrc.compact(spark, dir, clean = rnd.nextBoolean())
+        case "rebalance" =>
+          AcidOrc.rebalance(spark, dir, 1 + rnd.nextInt(4))
       }
       val got = AcidOrc.read(spark, dir).collect()
         .map(row => row.getLong(0) -> row.getDouble(1)).toMap

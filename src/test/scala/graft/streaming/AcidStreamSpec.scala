@@ -153,4 +153,38 @@ class AcidStreamSpec extends SparkSpec {
       assert(spark.table("acidstream_cmp").count() === 10)
     } finally q.stop()
   }
+
+  test("SQL COMPACT minor auto-wires the lowest live consumer offset: a " +
+      "lagging stream survives the fold without losing write ids") {
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val root = freshRoot()
+    AcidOrc.appendDelta(spark, root, 1L, nums(0, 4))
+    AcidOrc.appendDelta(spark, root, 2L, nums(4, 6))
+    // drive the V1 Source directly so the lag is deterministic (a live
+    // memory-sink query keeps polling and would consume the new commits
+    // before the compactor runs)
+    val src = new AcidStreamSource(spark, root, ignoreDeletes = false)
+    // snapshot batch at offset 2: registers "consumed <= 2" (the returned
+    // frame is streaming-tagged; its content is AcidOrc.read at the offset)
+    src.getBatch(None, LongOffset(2L))
+    assert(AcidOrc.read(spark, root, maxWriteId = 2L).count() === 6)
+    assert(AcidStreamRegistry.lowestFloor(spark, root) === 2L)
+    // the consumer now LAGS: three more commits land unconsumed
+    (3L to 5L).foreach(w => AcidOrc.appendDelta(spark, root, w,
+      nums(10 * w.toInt, 10 * w.toInt + 2)))
+    // an operator runs the SQL verb with no explicit floor — the verb
+    // must split the fold at the registered offset 2, never across it
+    graft.Engine.sql(spark, sfDir, s"COMPACT HIVE ACID '$root' 'minor'")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).sorted.toSeq
+    assert(names === Seq("delta_1_2", "delta_3_5"), names.mkString(","))
+    // the lagging consumer drains ids 3..5 exactly once — no data loss
+    src.getBatch(Some(LongOffset(2L)), LongOffset(5L))
+    assert(AcidOrc.readChanges(spark, root, 2L, 5L).count() === 6)
+    src.stop()
+    // stopped stream deregisters: the floor no longer binds the compactor
+    assert(AcidStreamRegistry.lowestFloor(spark, root) === -1L)
+  }
 }
