@@ -3,26 +3,34 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Count}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Count, PercentileDisc}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{LongType, StringType}
+import org.apache.spark.sql.types.{DoubleType, LongType, NumericType, StringType}
 
-/** Opt-in rewrite of exact `count(DISTINCT x)` to an HLL-sketch estimate
-  * — the reference's BI-mode optimization (ref ql/optimizer/calcite/
-  * rules/HiveRewriteToDataSketchesRules.java, gated there by
+/** Opt-in rewrite of exact aggregates to DataSketches estimates — the
+  * reference's BI-mode optimization (ref ql/optimizer/calcite/rules/
+  * HiveRewriteToDataSketchesRules.java, gated there by
   * `hive.optimize.bi.enabled`):
   *
   * {{{ SET spark.graft.rewrite.countDistinctToSketch=true }}}
   *
-  * rewrites `count(DISTINCT x)` →
-  * `cast(round(ds_hll_estimate(ds_hll_sketch(cast(x AS string)))) AS
-  * bigint)`. At 100 TB the exact form shuffles every distinct value;
-  * the sketch form ships ≤2.5 KB per partition and unions sketches
-  * (~1.6% RSE at the library-default lgK=12). Scope mirrors the
-  * reference's: single-argument DISTINCT counts with no FILTER clause;
-  * everything else stays exact. Off by default — estimates must be
-  * chosen, not imposed.
+  * (the key IS the engine's BI-mode switch — both rewrites ride it):
+  *
+  *  - `count(DISTINCT x)` → `cast(round(ds_hll_estimate(ds_hll_sketch(
+  *    cast(x AS string)))) AS bigint)`. At 100 TB the exact form shuffles
+  *    every distinct value; the sketch form ships ≤2.5 KB per partition
+  *    and unions sketches (~1.6% RSE at the library-default lgK=12).
+  *  - `percentile_disc(p) WITHIN GROUP (ORDER BY x)` →
+  *    `ds_kll_quantile(ds_kll_sketch(cast(x AS double)), p)` (ref
+  *    PercentileDiscRewrite, HiveRewriteToDataSketchesRules.java:303).
+  *    Exact percentile_disc buffers every value per group; the KLL form
+  *    is a fixed-size mergeable state (~1.65% rank error at K=200).
+  *
+  * Scope mirrors the reference's: single-argument, no FILTER clause, no
+  * DISTINCT (for percentile), ascending-only collation, foldable
+  * percentage; everything else stays exact. Off by default — estimates
+  * must be chosen, not imposed.
   */
 object SketchRewrite {
 
@@ -56,6 +64,11 @@ object SketchRewrite {
     private def isTarget(ae: AggregateExpression): Boolean = ae match {
       case AggregateExpression(cnt: Count, _, true, None, _) =>
         cnt.children.size == 1
+      case AggregateExpression(pd: PercentileDisc, _, false, None, _) =>
+        // ascending only (the reference's PercentileDiscRewrite gate) on
+        // a numeric key, with a foldable percentage
+        !pd.reverse && pd.percentageExpression.foldable &&
+          pd.child.dataType.isInstanceOf[NumericType]
       case _ => false
     }
 
@@ -66,7 +79,12 @@ object SketchRewrite {
 
     private def rewriteIn(e: Expression): Expression = e.transformUp {
       case ae: AggregateExpression if isTarget(ae) =>
-        replacement(ae.aggregateFunction.children.head).getOrElse(ae)
+        (ae.aggregateFunction match {
+          case cnt: Count => replacement(cnt.children.head)
+          case pd: PercentileDisc =>
+            kllReplacement(pd.child, pd.percentageExpression, pd.dataType)
+          case _ => None
+        }).getOrElse(ae)
     }
 
     /** `cast(round(ds_hll_estimate(ds_hll_sketch(cast(c AS string)))) AS
@@ -81,6 +99,26 @@ object SketchRewrite {
             val est = fn("ds_hll_estimate",
               Seq(af.toAggregateExpression()))
             Some(Cast(Round(est, Literal(0)), LongType))
+          case _ => None
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** `cast(ds_kll_quantile(ds_kll_sketch(cast(x AS double)), p) AS
+      * <original type>)`, or None when the ds_kll_* functions aren't
+      * registered (then the exact aggregate stands).
+      */
+    private def kllReplacement(child: Expression, pct: Expression,
+        origType: org.apache.spark.sql.types.DataType): Option[Expression] =
+      try {
+        val arg =
+          if (child.dataType == DoubleType) child else Cast(child, DoubleType)
+        fn("ds_kll_sketch", Seq(arg)) match {
+          case af: AggregateFunction =>
+            val p = if (pct.dataType == DoubleType) pct
+              else Cast(pct, DoubleType)
+            val q = fn("ds_kll_quantile",
+              Seq(af.toAggregateExpression(), p))
+            Some(if (q.dataType == origType) q else Cast(q, origType))
           case _ => None
         }
       } catch { case scala.util.control.NonFatal(_) => None }

@@ -2,8 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
-import org.apache.spark.sql.catalyst.expressions.{Expression, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias, UnresolvedWith}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, NamedExpression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, SubqueryAlias, UnresolvedWith}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** The reference's virtual columns (ref ql/metadata/VirtualColumn.java),
@@ -35,13 +35,33 @@ object VirtualColumns {
     case _ => None
   }
 
+  /** A BARE `SELECT GROUPING__ID` item is a NamedExpression slot — the
+    * substituted function needs an Alias carrying the original spelling
+    * (replacing it raw would CCE inside Project's typed projectList).
+    */
+  private def fixNamed(ne: NamedExpression): NamedExpression = ne match {
+    case a: UnresolvedAttribute if virtualOf(a).isDefined =>
+      Alias(UnresolvedFunction(Seq(virtualOf(a).get), Nil,
+        isDistinct = false), a.nameParts.head)()
+    case other => other
+  }
+
   private def rewriteExprs(p: LogicalPlan,
-      go: LogicalPlan => LogicalPlan): LogicalPlan =
-    p.transformExpressions {
+      go: LogicalPlan => LogicalPlan): LogicalPlan = {
+    val named = p match {
+      case proj: Project =>
+        proj.copy(projectList = proj.projectList.map(fixNamed))
+      case agg: Aggregate =>
+        agg.copy(aggregateExpressions =
+          agg.aggregateExpressions.map(fixNamed))
+      case other => other
+    }
+    named.transformExpressions {
       case e if virtualOf(e).isDefined =>
         UnresolvedFunction(Seq(virtualOf(e).get), Nil, isDistinct = false)
       case sq: SubqueryExpression => sq.withNewPlan(go(sq.plan))
     }
+  }
 
   /** Pre-analysis substitution for the [[graft.Engine.sql]] front door —
     * descends into CTE definitions (innerChildren, invisible to stock

@@ -104,6 +104,14 @@ class QtestConformanceSpec extends QtestHarness {
         "count(1) AS c FROM qt_t1 GROUP BY CUBE(key, val)"),
       note = "GROUPING__ID virtual column; T1 has no NULL data values, " +
         "so the twin computes the bitmask from NULL-ness"),
+    QCase("groupby_cube1.q", "c2b",
+      "SELECT key, val, GROUPING__ID, count(1) AS c FROM qt_t1 " +
+        "GROUP BY key, val WITH CUBE",
+      duck = Some("SELECT key, val, (CASE WHEN key IS NULL THEN 2 ELSE 0 " +
+        "END + CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS gid, " +
+        "count(1) AS c FROM qt_t1 GROUP BY CUBE(key, val)"),
+      note = "UNALIASED GROUPING__ID as a bare select item — regression " +
+        "pin for the named-slot substitution (a raw function swap CCE'd)"),
     QCase("groupby_cube1.q", "c3",
       "SELECT key, count(DISTINCT val) AS c FROM qt_t1 GROUP BY key " +
         "WITH CUBE",

@@ -133,6 +133,25 @@ object QtestHarness {
     val avalued = src.select(col("key"),
       when(col("key").cast("int") > 300,
         array(col("value"), col("value"))).as("vals"))
+    // windowing_windowspec*.q's over10k (|-separated; bin column dropped,
+    // Hive's bare `decimal` = DECIMAL(10,0))
+    val over10k = spark.read.option("sep", "|")
+      .csv(s"$refData/over10k")
+      .toDF("t", "si", "i", "b", "f", "d", "bo", "s", "ts", "dec", "bin")
+      .select(col("t").cast("int"), col("si").cast("int"),
+        col("i").cast("int"), col("b").cast("long"),
+        col("f").cast("float"), col("d").cast("double"),
+        col("bo").cast("boolean"), col("s"),
+        col("ts").cast("timestamp"),
+        col("dec").cast("decimal(10,0)").as("dec"))
+    // subquery_in.q's lineitem probes: the reference ships no lineitem
+    // fixture file, so the driver's sf0.001 lineitem stands in (the gate
+    // is Spark-vs-DuckDB over IDENTICAL parquet, so semantics still pin;
+    // l_shipmode doesn't exist here — cases use l_returnflag)
+    val lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_returnflag"))
     val all = Map(
       "qt_src" -> src, "qt_src1" -> src1, "qt_srcpart" -> srcpart,
       "qt_t1" -> t1, "qt_gsets" -> gsets, "qt_part" -> part,
@@ -141,11 +160,17 @@ object QtestHarness {
       "qt_t4sj" -> t4sj, "qt_lvarr" -> lvarr, "qt_avalued" -> avalued,
       "qt_a4" -> a4, "qt_pnull" -> pnull, "qt_tnull" -> tnull,
       "qt_tempty" -> tempty, "qt_srcnull" -> srcnull, "qt_abcd" -> abcd,
-      "qt_null8" -> null8, "qt_json" -> srcjson)
+      "qt_null8" -> null8, "qt_json" -> srcjson,
+      "qt_over10k" -> over10k, "qt_lineitem" -> lineitem)
     all.map { case (name, df) =>
-      df.createOrReplaceTempView(name)
       val d = s"$dir/$name"
       df.write.parquet(d)
+      // BOTH engines read the identical parquet: registering the Spark
+      // view over the written file (not the in-memory frame) keeps probe
+      // columns non-constant-foldable — a LocalRelation lit(null) probe
+      // lets Spark's NullPropagation fold `NULL IN (<empty subquery>)`
+      // to NULL where a scan probe (and Hive, and DuckDB) answers FALSE
+      spark.read.parquet(d).createOrReplaceTempView(name)
       name -> d
     }
   }

@@ -1,0 +1,118 @@
+package graft
+
+/** Qtest conformance, clientnegative sampler: statements the reference
+  * REFUSES (ref ql/src/test/queries/clientnegative) and this engine must
+  * refuse too — not silently answer. Each case pins that Engine.sql
+  * throws and that the message names the offense (the refusal is part of
+  * the user contract, same as a result row).
+  *
+  * Deliberately excluded, with reasons:
+  *  - groupby_cube1.q / groupby_grouping_sets7.q (count(DISTINCT) under
+  *    cube): Hive's limitation, not a semantic necessity — this engine
+  *    computes them (positive cases r2/c3 gate the VALUES);
+  *  - hive-config negatives (set-conf, serde, compactor): no analog
+  *    surface or already gated by AuthzSpec/SqlMaintenanceSpec.
+  */
+class QtestNegativeSpec extends QtestHarness {
+
+  protected val qcases: Seq[QCase] = Nil // message-pinned, not row-gated
+
+  private def refuses(file: String, sql: String, needles: String*): Unit = {
+    QtestHarness.fixtures // force views
+    val e = intercept[Exception] { Engine.sql(spark, sfDir, sql).collect() }
+    val msg = Option(e.getMessage).getOrElse("")
+    assert(needles.exists(n => msg.toLowerCase.contains(n.toLowerCase)),
+      s"[$file] expected a refusal naming one of $needles, got: " +
+        s"${e.getClass.getSimpleName}: $msg")
+  }
+
+  test("negative qtest: ambiguous column references refuse") {
+    refuses("ambiguous_col.q",
+      "SELECT a.key FROM (SELECT key, concat(value) AS key " +
+        "FROM qt_src) a",
+      "ambiguous", "AMBIGUOUS")
+    refuses("ambiguous_col_2.q",
+      """SELECT t.key FROM (SELECT t11.key, t12.key
+        |  FROM qt_src t11 JOIN qt_src t12 ON t11.key = t12.key) t"""
+        .stripMargin,
+      "ambiguous")
+  }
+
+  test("negative qtest: grouping-set and GROUP BY misuse refuses") {
+    refuses("groupby_grouping_id1.q",
+      "SELECT GROUPING__ID FROM qt_t1",
+      "grouping", "GROUP BY")
+    refuses("groupby_grouping_sets1.q",
+      "SELECT * FROM qt_gsets GROUP BY a GROUPING SETS (())",
+      "grouping", "expression", "aggregate")
+    refuses("groupby_invalid_position.q",
+      "SELECT key, sum(CAST(substr(value, 5) AS DOUBLE)) FROM qt_src " +
+        "GROUP BY 3",
+      "GROUP BY position 3", "ORDINAL")
+    refuses("groupby_key.q",
+      "SELECT concat(value, concat(key)) FROM qt_src GROUP BY concat(value)",
+      "group", "aggregate")
+    refuses("having1.q",
+      "SELECT * FROM qt_src HAVING CAST(key AS INT) > 300",
+      "aggregate", "group", "HAVING")
+  }
+
+  test("negative qtest: ordinal ORDER BY out of range refuses") {
+    refuses("orderby_invalid_position.q",
+      "SELECT key, value FROM qt_src ORDER BY 0",
+      "ORDER BY position 0", "ORDINAL", "range")
+    refuses("orderby_position_unsupported.q",
+      "SELECT key, value FROM qt_src ORDER BY 3",
+      "ORDER BY position 3", "ORDINAL", "range")
+  }
+
+  test("negative qtest: malformed aggregate and DISTINCT syntax refuses") {
+    refuses("invalid_avg_syntax.q",
+      "SELECT avg(*) FROM qt_src",
+      "avg", "*")
+    refuses("invalid_distinct1.q",
+      "SELECT hash(DISTINCT value) FROM qt_src",
+      "DISTINCT", "syntax")
+    refuses("windowing_leadlag_in_udaf.q",
+      "SELECT sum(lead(p_retailprice, 1) OVER (ORDER BY p_partkey)) " +
+        "FROM qt_part",
+      "window", "nested", "not allowed")
+    refuses("windowing_invalid_udaf.q",
+      "SELECT nonexistfunc(key) OVER () FROM qt_src",
+      "nonexistfunc", "cannot be found", "undefined")
+  }
+
+  test("negative qtest: unknown columns and malformed expressions refuse") {
+    refuses("invalid_select_column.q",
+      "SELECT * FROM qt_src WHERE column1 = 123",
+      "column1", "cannot be resolved", "UNRESOLVED")
+    refuses("invalid_select_expression.q",
+      "SELECT foo FROM qt_src a WHERE foo > .foo",
+      "syntax", "PARSE")
+  }
+
+  test("negative qtest: malformed subqueries refuse") {
+    refuses("subquery_multiple_cols_in_select.q",
+      "SELECT * FROM qt_src WHERE qt_src.key IN " +
+        "(SELECT * FROM qt_src s1 WHERE s1.key > '9')",
+      "number of columns", "NUM_COLUMNS", "mismatch")
+    // subquery_in_groupby.q is deliberately NOT here: grouping by an IN
+    // subquery is well-defined and this engine (like DuckDB) computes it —
+    // pinned as positive case sqi17 in QtestSubqueryMoreSpec
+    refuses("cte_with_in_subquery.q",
+      "SELECT * FROM (WITH q1 AS (SELECT key FROM q2 WHERE key = '5') " +
+        "SELECT * FROM q1) a",
+      "q2", "cannot be found", "not found")
+  }
+
+  test("negative qtest: semi-join right side is out of scope; IN against " +
+      "an array refuses") {
+    refuses("semijoin1.q",
+      "SELECT b.value FROM qt_src a LEFT SEMI JOIN qt_src b " +
+        "ON (b.key = a.key AND b.key = '100')",
+      "b.value", "cannot be resolved", "UNRESOLVED")
+    refuses("udf_in.q",
+      "SELECT 3 IN (array(1, 2, 3)) FROM qt_src",
+      "data type mismatch", "INT", "type")
+  }
+}

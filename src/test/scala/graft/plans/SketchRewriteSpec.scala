@@ -58,4 +58,63 @@ class SketchRewriteSpec extends SparkSpec {
         spark.experimental.extraOptimizations.filterNot(_ eq rule)
     }
   }
+
+  test("percentile_disc rewrites to a KLL quantile under the same flag; " +
+      "DESC collation and percentile_cont stay exact") {
+    graft.functions.SketchAggregates.register(spark)
+    val rule = new SketchRewrite.CountDistinctToSketch(spark)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ rule
+    try {
+      Engine.table(spark, sfDir, "lineitem")
+        .createOrReplaceTempView("sr_lineitem")
+      val q = "SELECT percentile_disc(0.5) WITHIN GROUP " +
+        "(ORDER BY l_quantity) AS med FROM sr_lineitem"
+      val exact = spark.sql(q).head().getDouble(0)
+      // flag OFF: exact plan
+      assert(!spark.sql(q).queryExecution.optimizedPlan.toString
+        .toLowerCase.contains("kll"))
+      spark.conf.set(SketchRewrite.ConfKey, "true")
+      val df = spark.sql(q)
+      val onPlan = df.queryExecution.optimizedPlan.toString.toLowerCase
+      assert(onPlan.contains("kll"), onPlan)
+      assert(!onPlan.contains("percentile_disc"), onPlan)
+      // KLL K=200 rank error ~1.65%; l_quantity is 1..50 uniform, so a
+      // 2% rank slip moves the value by at most ~2
+      val est = df.head().getDouble(0)
+      assert(math.abs(est - exact) <= 2.0, s"est $est vs exact $exact")
+      // grouped variant estimates per group, same bound
+      val g = spark.sql("SELECT l_returnflag, percentile_disc(0.25) " +
+        "WITHIN GROUP (ORDER BY l_quantity) AS q1 FROM sr_lineitem " +
+        "GROUP BY l_returnflag")
+      assert(g.queryExecution.optimizedPlan.toString.toLowerCase
+        .contains("kll"))
+      val exactG = {
+        spark.conf.set(SketchRewrite.ConfKey, "false")
+        val rows = spark.sql("SELECT l_returnflag, percentile_disc(0.25) " +
+          "WITHIN GROUP (ORDER BY l_quantity) AS q1 FROM sr_lineitem " +
+          "GROUP BY l_returnflag").collect()
+          .map(r => r.getString(0) -> r.getDouble(1)).toMap
+        spark.conf.set(SketchRewrite.ConfKey, "true")
+        rows
+      }
+      g.collect().foreach { r =>
+        assert(math.abs(r.getDouble(1) - exactG(r.getString(0))) <= 2.0)
+      }
+      // DESC collation is out of the reference rule's scope: stays exact
+      val desc = spark.sql("SELECT percentile_disc(0.5) WITHIN GROUP " +
+        "(ORDER BY l_quantity DESC) AS med FROM sr_lineitem")
+      assert(!desc.queryExecution.optimizedPlan.toString.toLowerCase
+        .contains("kll"))
+      // percentile_cont is a different function: stays exact
+      val cont = spark.sql("SELECT percentile_cont(0.5) WITHIN GROUP " +
+        "(ORDER BY l_quantity) AS med FROM sr_lineitem")
+      assert(!cont.queryExecution.optimizedPlan.toString.toLowerCase
+        .contains("kll"))
+    } finally {
+      spark.conf.unset(SketchRewrite.ConfKey)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq rule)
+    }
+  }
 }
