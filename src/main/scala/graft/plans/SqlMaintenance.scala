@@ -580,7 +580,12 @@ object SqlMaintenance {
       // reads raw warehouse files into a brand-new ungoverned location —
       // admin only, like REPLICATE
       Authz.requireAdmin(spark, "CONVERT HIVE ACID")
-      val df = graft.sources.AcidOrc.read(spark, src)
+      // insert-only (MM) trees convert through their own reader (plain
+      // files of any format, no ROW__ID wrapper to strip)
+      val df =
+        if (graft.sources.AcidMm.detectKind(spark, src) == "insert_only")
+          graft.sources.AcidMm.read(spark, src)
+        else graft.sources.AcidOrc.read(spark, src)
       val partCols = graft.sources.AcidOrc.partitionColumns(spark, src)
       val t = Snapshots.create(spark, dst, df, partitionBy = partCols)
       name.foreach(n => NamedTables.registerSnapshot(nameOf(n), dst))

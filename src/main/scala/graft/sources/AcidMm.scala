@@ -162,6 +162,57 @@ object AcidMm {
     }
   }
 
+  /** Rows ADDED by delta commits with write ids in (fromWriteId,
+    * toWriteId] — the incremental-consumption read behind the
+    * `acid-stream` source on insert-only trees. Compaction spans
+    * straddling fromWriteId emit nothing (data-identical), exactly as
+    * [[AcidOrc.readChanges]]. MM tables have no delete events, so the
+    * read needs no retraction contract; `withCommitId` adds
+    * `_commit_writeid` (the committing dir's max write id — MM files
+    * carry no per-row transaction column) for the CDC shape.
+    */
+  def readChanges(spark: SparkSession, table: String, fromWriteId: Long,
+      toWriteId: Long, schema: Option[StructType] = None,
+      format: Option[String] = None,
+      withCommitId: Boolean = false): DataFrame = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"MM table directory not found: $table")
+    val changed = AcidOrc.changedDirs(fs, root, "", fromWriteId, toWriteId)
+    require(changed.forall(_._3.isEmpty),
+      s"$table has delete_delta dirs — a full-ACID tree, not insert-only")
+    val files = changed.flatMap { case (_, dirs, _) =>
+      dirs.flatMap(dataFiles(fs, _)) }
+    def withCid(df: DataFrame): DataFrame =
+      if (!withCommitId) df
+      else df.withColumn("_commit_writeid",
+        regexp_extract(input_file_name(),
+          "/delta_\\d+_(\\d+)(?:_\\d+)?/", 1).cast("long"))
+    if (files.isEmpty) {
+      // empty range: a schema-correct empty frame off the current layout
+      return withCid(read(spark, table, maxWriteId = toWriteId,
+        schema = schema, format = format).limit(0))
+    }
+    val fmt = format.getOrElse(sniffFormat(fs, files.head))
+    val paths = files.map(_.toString)
+    val base = fmt match {
+      case "orc" => spark.read.orc(paths: _*)
+      case "parquet" => spark.read.parquet(paths: _*)
+      case "text" =>
+        val r = spark.read.option("sep", "\u0001").option("header", "false")
+        schema.fold(r)(r.schema(_)).csv(paths: _*)
+      case other => schema.fold(spark.read)(spark.read.schema(_))
+        .format(other).load(paths: _*)
+    }
+    val partCols = changed.map(_._1).filter(_.nonEmpty)
+      .map(_.split("/").toSeq.map(_.split("=", 2)(0)))
+      .distinct.headOption.getOrElse(Nil)
+    withCid(partCols.foldLeft(base) { (df, k) =>
+      df.withColumn(k, regexp_extract(input_file_name(),
+        "/" + java.util.regex.Pattern.quote(k) + "=([^/]+)/", 1))
+    })
+  }
+
   /** The reference compactors' first step (`removeFilesForMmTable`):
     * physically delete single-txn delta dirs of aborted write ids.
     */

@@ -169,7 +169,7 @@ object AcidOrc {
     * fromW (compaction spans over already-consumed ids) are excluded:
     * compaction is data-identical and must emit nothing.
     */
-  private def changedDirs(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
+  private[sources] def changedDirs(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
       partSub: String, fromW: Long,
       toW: Long): Seq[(String, Seq[Path], Seq[Path])] = {
     val children = fs.listStatus(dir).toSeq.filter(_.isDirectory)

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, regexp_extract, when}
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
@@ -56,8 +56,12 @@ class AcidSourceProvider extends StreamSourceProvider with DataSourceRegister {
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
+    val s = sqlContext.sparkSession
+    val root = rootOf(parameters)
     val base =
-      AcidOrc.read(sqlContext.sparkSession, rootOf(parameters)).schema
+      if (graft.sources.AcidMm.detectKind(s, root) == "insert_only")
+        graft.sources.AcidMm.read(s, root).schema
+      else AcidOrc.read(s, root).schema
     (shortName(),
       if (!cdcOf(parameters)) base
       else StructType(base.fields.toSeq ++ Seq(
@@ -119,8 +123,16 @@ object AcidStreamRegistry {
 class AcidStreamSource(spark: SparkSession, root: String,
     ignoreDeletes: Boolean, withChangeType: Boolean = false) extends Source {
 
+  // insert-only (MM) trees share the write-id directory contract but
+  // hold plain files — route their reads through AcidMm (kind pinned at
+  // source creation; a table does not change flavor mid-stream)
+  private val mm =
+    graft.sources.AcidMm.detectKind(spark, root) == "insert_only"
+
   override val schema: StructType = {
-    val base = AcidOrc.read(spark, root).schema
+    val base =
+      if (mm) graft.sources.AcidMm.read(spark, root).schema
+      else AcidOrc.read(spark, root).schema
     if (!withChangeType) base
     else StructType(base.fields.toSeq ++ Seq(
       StructField("_change_type", StringType, nullable = false),
@@ -157,8 +169,30 @@ class AcidStreamSource(spark: SparkSession, root: String,
     // until commit() advances past it.
     AcidStreamRegistry.committed(spark, this, root,
       start.map(widOf).getOrElse(widOf(end)))
-    val batch = start match {
-      case None if withChangeType =>
+    // MM rows carry no per-row transaction column: the committing dir's
+    // write id (base_N folds read as N, pre-conversion files as 0) is
+    // the honest CDC commit id
+    def mmCommitId = {
+      def num(re: String) = {
+        val m = regexp_extract(input_file_name(), re, 1)
+        when(m =!= "", m.cast("long")) // "" would be an ANSI cast error
+      }
+      coalesce(num("/delta_\\d+_(\\d+)(?:_\\d+)?/"),
+        num("/base_(\\d+)(?:_v\\d+)?/"), lit(0L))
+    }
+    val batch = (start, mm) match {
+      case (None, true) if withChangeType =>
+        align(graft.sources.AcidMm.read(spark, root, maxWriteId = widOf(end))
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_writeid", mmCommitId))
+      case (None, true) =>
+        align(graft.sources.AcidMm.read(spark, root, maxWriteId = widOf(end)))
+      case (Some(s), true) =>
+        val inc = graft.sources.AcidMm.readChanges(spark, root,
+          widOf(s), widOf(end), withCommitId = withChangeType)
+        align(if (!withChangeType) inc
+          else inc.withColumn("_change_type", lit("insert")))
+      case (None, _) if withChangeType =>
         // CDC first batch: the snapshot, all inserts, each row carrying
         // the write id that inserted it (originals: the reserved id 0)
         val ids = AcidOrc.readWithIds(spark, root,
@@ -167,9 +201,9 @@ class AcidStreamSource(spark: SparkSession, root: String,
           .withColumn("_change_type", lit("insert"))
           .withColumn("_commit_writeid", col("_acid_otid"))
           .drop("_acid_otid", "_acid_bucket", "_acid_rowid", "_acid_part"))
-      case None =>
+      case (None, _) =>
         align(AcidOrc.read(spark, root, maxWriteId = widOf(end)))
-      case Some(s) =>
+      case (Some(s), _) =>
         align(AcidOrc.readChanges(spark, root, widOf(s), widOf(end),
           ignoreDeletes, withChangeType))
     }

@@ -200,6 +200,12 @@ class AcidMmSpec extends SparkSpec {
       Engine.sql(spark, sfDir, s"COMPACT HIVE ACID '$dir' 'rebalance' 4")
     }
     assert(e.getMessage.contains("insert-only"))
+    // CONVERT migrates the MM tree to a snapshot table through AcidMm
+    val dst = scratch()
+    val msg2 = Engine.sql(spark, sfDir,
+      s"CONVERT HIVE ACID '$dir' TO SNAPSHOT '$dst'").head.getString(0)
+    assert(msg2.contains("12 rows"), msg2)
+    assert(graft.plans.Snapshots.table(spark, dst).read().count() === 12L)
   }
 
   test("randomized MM op-sequence net: append/abort/minor/major always " +

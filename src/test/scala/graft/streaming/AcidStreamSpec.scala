@@ -187,4 +187,41 @@ class AcidStreamSpec extends SparkSpec {
     // stopped stream deregisters: the floor no longer binds the compactor
     assert(AcidStreamRegistry.lowestFloor(spark, root) === -1L)
   }
+
+  test("insert-only (MM) trees stream: snapshot first batch, exactly-once " +
+      "incremental commits, CDC commit ids from the dir names") {
+    import graft.sources.AcidMm
+    val root = freshRoot()
+    AcidMm.appendDelta(spark, root, 1L, nums(0, 6))
+    val stream = spark.readStream.format("acid-stream").load(root)
+    assert(stream.schema.fieldNames.toSeq === Seq("id", "s"))
+    val q = Streams.drainToMemory(stream, "acidstream_mm")
+    try {
+      assert(spark.table("acidstream_mm").count() === 6)
+      AcidMm.appendDelta(spark, root, 2L, nums(6, 9))
+      q.processAllAvailable()
+      AcidMm.appendDelta(spark, root, 3L, nums(9, 10))
+      q.processAllAvailable()
+      val got = spark.table("acidstream_mm")
+      assert(got.count() === 10)
+      assert(got.select(sum(col("id"))).head.getLong(0) ===
+        (0 until 10).map(_.toLong).sum)
+      q.processAllAvailable() // nothing new emits nothing
+      assert(spark.table("acidstream_mm").count() === 10)
+    } finally q.stop()
+    // CDC shape: every row tags 'insert' with the committing dir's id
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val src = new AcidStreamSource(spark, root, ignoreDeletes = false,
+      withChangeType = true)
+    assert(src.schema.fieldNames.takeRight(2).toSeq ===
+      Seq("_change_type", "_commit_writeid"))
+    src.getBatch(None, LongOffset(3L)) // registry side effect only
+    val cdc = graft.sources.AcidMm.readChanges(spark, root, 0L, 3L,
+      withCommitId = true)
+    assert(cdc.count() === 10)
+    assert(cdc.groupBy(col("_commit_writeid")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(1L -> 6L, 2L -> 3L, 3L -> 1L))
+    src.stop()
+  }
 }
