@@ -152,6 +152,21 @@ object QtestHarness {
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
         col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
         col("l_returnflag"))
+    // decimal_precision.q's kv8.txt: one decimal(20,10) column; values
+    // that overflow the type parse as NULL (Hive's LOAD semantics, which
+    // PERMISSIVE csv parsing mirrors)
+    val kv8 = spark.read.schema("dval decimal(20,10)")
+      .csv(s"$refData/kv8.txt")
+    // interval_arithmetic.q's dateval/tsval pair (the .q derives them
+    // from alltypesorc; two deterministic rows carry the semantics)
+    val dts = {
+      import spark.implicits._
+      Seq(("1999-06-07", "1999-06-07 03:04:05.123456"),
+        ("2021-12-31", "2021-12-31 23:59:59.5"))
+        .toDF("d", "t")
+        .select(col("d").cast("date").as("dateval"),
+          col("t").cast("timestamp").as("tsval"))
+    }
     val all = Map(
       "qt_src" -> src, "qt_src1" -> src1, "qt_srcpart" -> srcpart,
       "qt_t1" -> t1, "qt_gsets" -> gsets, "qt_part" -> part,
@@ -161,7 +176,8 @@ object QtestHarness {
       "qt_a4" -> a4, "qt_pnull" -> pnull, "qt_tnull" -> tnull,
       "qt_tempty" -> tempty, "qt_srcnull" -> srcnull, "qt_abcd" -> abcd,
       "qt_null8" -> null8, "qt_json" -> srcjson,
-      "qt_over10k" -> over10k, "qt_lineitem" -> lineitem)
+      "qt_over10k" -> over10k, "qt_lineitem" -> lineitem,
+      "qt_kv8" -> kv8, "qt_dts" -> dts)
     all.map { case (name, df) =>
       val d = s"$dir/$name"
       df.write.parquet(d)
@@ -191,14 +207,24 @@ trait QtestHarness extends SparkSpec {
 
   // --------------------------------------------------------- machinery
 
+  private val TsFraction =
+    """(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2})(\.\d*?)0*$""".r
+
   /** Canonical cell: numerics via BigDecimal (strips rendering noise),
-    * booleans lowercased, NULL marker passed through.
+    * booleans lowercased, NULL marker passed through; timestamp strings
+    * drop trailing fraction zeros (Spark renders `.5`, DuckDB `.500000`).
     */
   protected def canon(s: String): String =
     if (s == "NULL") s
     else if (s == "True" || s == "False") s.toLowerCase
     else try BigDecimal(s).underlying.stripTrailingZeros.toPlainString
-    catch { case _: NumberFormatException => s }
+    catch {
+      case _: NumberFormatException => s match {
+        case TsFraction(whole, frac) =>
+          whole + (if (frac == ".") "" else frac)
+        case other => other
+      }
+    }
 
   protected def cellEq(a: String, b: String): Boolean =
     a == b || {
