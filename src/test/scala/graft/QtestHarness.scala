@@ -167,6 +167,10 @@ object QtestHarness {
         .select(col("d").cast("date").as("dateval"),
           col("t").cast("timestamp").as("tsval"))
     }
+    // vectorization_*.q's canonical 12,288-row alltypesorc (a plain ORC
+    // file — no acid wrapper, ordinary spark.read); timestamps surface
+    // as-is, tinyint/smallint widen in parquet for the DuckDB side
+    val alltypesorc = spark.read.orc(s"$refData/alltypesorc")
     val all = Map(
       "qt_src" -> src, "qt_src1" -> src1, "qt_srcpart" -> srcpart,
       "qt_t1" -> t1, "qt_gsets" -> gsets, "qt_part" -> part,
@@ -177,7 +181,8 @@ object QtestHarness {
       "qt_tempty" -> tempty, "qt_srcnull" -> srcnull, "qt_abcd" -> abcd,
       "qt_null8" -> null8, "qt_json" -> srcjson,
       "qt_over10k" -> over10k, "qt_lineitem" -> lineitem,
-      "qt_kv8" -> kv8, "qt_dts" -> dts)
+      "qt_kv8" -> kv8, "qt_dts" -> dts,
+      "qt_alltypesorc" -> alltypesorc)
     all.map { case (name, df) =>
       val d = s"$dir/$name"
       df.write.parquet(d)

@@ -208,6 +208,24 @@ class AcidMmSpec extends SparkSpec {
     assert(graft.plans.Snapshots.table(spark, dst).read().count() === 12L)
   }
 
+  test("MM reads keep the pruned columnar path: filters and projection " +
+      "push into the parquet scan (the full-ACID bridge can't)") {
+    val dir = scratch()
+    AcidMm.appendDelta(spark, dir, 1L, rows(1000))
+    AcidMm.appendDelta(spark, dir, 2L, rows(1000, 5000))
+    val df = AcidMm.read(spark, dir).where(col("k") === 42L).select(col("v"))
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "expected a parquet FileSourceScan")
+    val meta = scans.head.metadata
+    assert(meta("PushedFilters").contains("EqualTo(k,42)"), meta)
+    assert(meta("ReadSchema").contains("k:bigint") &&
+      meta("ReadSchema").contains("v:double") &&
+      !meta("ReadSchema").contains("extra"), meta)
+    assert(df.collect().map(_.getDouble(0)).toSeq === Seq(42.0))
+  }
+
   test("randomized MM op-sequence net: append/abort/minor/major always " +
       "reconstruct to the in-memory model") {
     val rnd = new scala.util.Random(20260815L)
