@@ -221,6 +221,7 @@ object Engine {
           .orElse(graft.plans.ScheduledQueries.maybeSql(spark, query,
             (s, q) => sql(s, sfDir, q)))
           .orElse(maybeRunHplsql(spark, sfDir, query))
+          .orElse(maybeCommaLimit(spark, sfDir, query))
           .getOrElse(spark.sql(query)) // surface the canonical parse error
       case Some(plan) =>
         // privilege check first (deny-by-default when authz is enabled),
@@ -307,6 +308,24 @@ object Engine {
     * `spark.graft.resultsCache.dir`. Commands pass through — only
     * row-producing deterministic queries are cacheable.
     */
+  /** Hive's MySQL-style `LIMIT <offset>,<count>` tail (ref ql/parse/
+    * HiveParser.g limitClause — `offset_limit.q` is its qtest), a parse
+    * error to Spark: rewritten to `LIMIT count OFFSET offset` and re-run
+    * through this front door. Statement-TAIL only — nothing can follow a
+    * top-level LIMIT, so the match can't fire inside a string literal or
+    * subquery; inner comma-limits keep Spark's canonical error.
+    */
+  private def maybeCommaLimit(spark: SparkSession, sfDir: String,
+      query: String): Option[DataFrame] = {
+    val CommaLimit =
+      """(?is)^(.*\blimit)\s+(\d+)\s*,\s*(\d+)\s*;?\s*$""".r
+    query match {
+      case CommaLimit(head, off, cnt) =>
+        Some(sql(spark, sfDir, s"$head $cnt OFFSET $off"))
+      case _ => None
+    }
+  }
+
   private def maybeCacheResult(spark: SparkSession, df: DataFrame): DataFrame =
     spark.conf.getOption("spark.graft.resultsCache.dir") match {
       case Some(dir) if !df.queryExecution.analyzed
