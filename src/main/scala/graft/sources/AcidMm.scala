@@ -139,8 +139,12 @@ object AcidMm {
     val fmt = format.getOrElse(sniffFormat(fs, files.head._1))
     val paths = files.map(_._1.toString)
     val base = fmt match {
-      case "orc" => spark.read.orc(paths: _*)
-      case "parquet" => spark.read.parquet(paths: _*)
+      // mergeSchema: add-columns evolution across deltas reads like the
+      // full-ACID bridge's widest-schema contract — older files' missing
+      // fields are NULL (first-file schema would silently DROP new cols)
+      case "orc" => spark.read.option("mergeSchema", "true").orc(paths: _*)
+      case "parquet" =>
+        spark.read.option("mergeSchema", "true").parquet(paths: _*)
       case "text" =>
         val r = spark.read.option("sep", "\u0001").option("header", "false")
         schema.fold(r)(r.schema(_)).csv(paths: _*)
@@ -196,8 +200,12 @@ object AcidMm {
     val fmt = format.getOrElse(sniffFormat(fs, files.head))
     val paths = files.map(_.toString)
     val base = fmt match {
-      case "orc" => spark.read.orc(paths: _*)
-      case "parquet" => spark.read.parquet(paths: _*)
+      // mergeSchema: add-columns evolution across deltas reads like the
+      // full-ACID bridge's widest-schema contract — older files' missing
+      // fields are NULL (first-file schema would silently DROP new cols)
+      case "orc" => spark.read.option("mergeSchema", "true").orc(paths: _*)
+      case "parquet" =>
+        spark.read.option("mergeSchema", "true").parquet(paths: _*)
       case "text" =>
         val r = spark.read.option("sep", "\u0001").option("header", "false")
         schema.fold(r)(r.schema(_)).csv(paths: _*)
@@ -293,8 +301,10 @@ object AcidMm {
         if (files.nonEmpty) {
           val fmt = sniffFormat(fs, files.head)
           val df = fmt match {
-            case "orc" => spark.read.orc(files.map(_.toString): _*)
-            case "parquet" => spark.read.parquet(files.map(_.toString): _*)
+            case "orc" => spark.read.option("mergeSchema", "true")
+              .orc(files.map(_.toString): _*)
+            case "parquet" => spark.read.option("mergeSchema", "true")
+              .parquet(files.map(_.toString): _*)
             case _ => spark.read.option("sep", "\u0001")
               .option("header", "false").csv(files.map(_.toString): _*)
           }
@@ -329,8 +339,10 @@ object AcidMm {
       val (mn, mx) = (ranged.map(_.min).min, ranged.map(_.max).max)
       val fmt = sniffFormat(fs, files.head)
       val df = fmt match {
-        case "orc" => spark.read.orc(files.map(_.toString): _*)
-        case "parquet" => spark.read.parquet(files.map(_.toString): _*)
+        case "orc" => spark.read.option("mergeSchema", "true")
+          .orc(files.map(_.toString): _*)
+        case "parquet" => spark.read.option("mergeSchema", "true")
+          .parquet(files.map(_.toString): _*)
         case _ => spark.read.option("sep", "\u0001")
           .option("header", "false").csv(files.map(_.toString): _*)
       }

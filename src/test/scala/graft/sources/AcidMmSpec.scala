@@ -160,6 +160,26 @@ class AcidMmSpec extends SparkSpec {
     assert(AcidMm.read(spark, dir2).count() === 4)
   }
 
+  test("add-columns evolution across MM deltas: widest schema wins, " +
+      "older files' missing fields read NULL") {
+    val dir = scratch()
+    import spark.implicits._
+    AcidMm.appendDelta(spark, dir, 1L, rows(4))
+    AcidMm.appendDelta(spark, dir, 2L,
+      (10 until 13).map(i => (i.toLong, i * 1.0, s"x$i"))
+        .toDF("k", "v", "extra"))
+    val got = AcidMm.read(spark, dir)
+    assert(got.columns.toSeq === Seq("k", "v", "extra"))
+    assert(got.count() === 7)
+    assert(got.where(col("extra").isNull).count() === 4)
+    assert(got.where(col("extra") === "x11").count() === 1)
+    // major compaction folds the union schema into the base
+    AcidMm.compactMajor(spark, dir)
+    val after = AcidMm.read(spark, dir)
+    assert(after.count() === 7)
+    assert(after.where(col("extra").isNull).count() === 4)
+  }
+
   test("text-format compaction keeps the text format") {
     val dir = scratch()
     AcidMm.appendDelta(spark, dir, 1L, rows(4), format = "text")
