@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Count, PercentileDisc}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.Cross
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, JoinHint, LogicalPlan, Project, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DoubleType, LongType, NumericType, StringType}
 
@@ -26,6 +27,16 @@ import org.apache.spark.sql.types.{DoubleType, LongType, NumericType, StringType
   *    PercentileDiscRewrite, HiveRewriteToDataSketchesRules.java:303).
   *    Exact percentile_disc buffers every value per group; the KLL form
   *    is a fixed-size mergeable state (~1.65% rank error at K=200).
+  *  - `rank()` / `ntile(k)` / `cume_dist()` OVER (ORDER BY x) — the
+  *    UNPARTITIONED window, which executes as a single task holding the
+  *    whole dataset — rewrite to a cross-join against one KLL sketch of
+  *    x and per-row scalar math (ref RankRewrite/NTileRewrite/
+  *    CumeDistRewrite, HiveRewriteToDataSketchesRules.java:650): rank ≈
+  *    `ceil(ds_kll_rank(ds, x) * n) + 1` clamped to n, ntile ≈
+  *    `ceil(ds_kll_rank * k)` floored at 1, cume_dist ≈ ds_kll_rank.
+  *    At 100 TB this is the difference between a working query and an
+  *    executor OOM; tied values estimate to the same rank, as exact
+  *    rank() defines.
   *
   * Scope mirrors the reference's: single-argument, no FILTER clause, no
   * DISTINCT (for percentile), ascending-only collation, foldable
@@ -49,6 +60,8 @@ object SketchRewrite {
         case agg: Aggregate if agg.aggregateExpressions.exists(hasTarget) =>
           agg.copy(aggregateExpressions = agg.aggregateExpressions
             .map(ne => rewriteIn(ne).asInstanceOf[NamedExpression]))
+        case w: Window if isRankWindow(w) =>
+          rewriteRankWindow(w).getOrElse(w)
       }
       if (rewritten eq plan) plan
       else {
@@ -101,6 +114,72 @@ object SketchRewrite {
             Some(Cast(Round(est, Literal(0)), LongType))
           case _ => None
         }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** The reference's rank-family scope gate: an UNPARTITIONED window
+      * (the single-task shape) ordered ascending by one numeric key,
+      * where every window expression is rank/ntile(k)/cume_dist over
+      * that same spec.
+      */
+    private def isRankWindow(w: Window): Boolean =
+      w.partitionSpec.isEmpty && w.orderSpec.size == 1 &&
+        w.orderSpec.head.direction == Ascending &&
+        w.orderSpec.head.child.dataType.isInstanceOf[NumericType] &&
+        w.windowExpressions.nonEmpty &&
+        w.windowExpressions.forall {
+          case Alias(WindowExpression(fn, _), _) => fn match {
+            case _: Rank => true
+            case _: CumeDist => true
+            case NTile(k) => k.foldable
+            case _ => false
+          }
+          case _ => false
+        }
+
+    /** `Window[rank-family over (order by x)](child)` →
+      * `Project(child.* + estimates, child CROSS JOIN
+      * Aggregate[ds_kll_sketch(x)](child))` — the sketch side is a scan
+      * plus a ≤2 KB aggregate that broadcasts back; the estimate aliases
+      * keep the window outputs' exprIds so parents resolve untouched.
+      * None (exact window stands) when the ds_kll_* functions aren't
+      * registered in this session.
+      */
+    private def rewriteRankWindow(w: Window): Option[LogicalPlan] =
+      try {
+        val x = w.orderSpec.head.child
+        val xd = if (x.dataType == DoubleType) x else Cast(x, DoubleType)
+        val sketch = fn("ds_kll_sketch", Seq(xd)) match {
+          case af: AggregateFunction => af.toAggregateExpression()
+          case _ => return None
+        }
+        val dsAlias = Alias(sketch, "__graft_kll_ds")()
+        val agg = Aggregate(Nil, Seq(dsAlias), w.child)
+        val join = Join(w.child, agg, Cross, None, JoinHint.NONE)
+        val ds = dsAlias.toAttribute
+        def nTotal = Cast(fn("ds_kll_n", Seq(ds)), DoubleType)
+        def rk = fn("ds_kll_rank", Seq(ds, xd)) // fraction < x, in [0,1]
+        val estimates = w.windowExpressions.map {
+          case a @ Alias(WindowExpression(f, _), name) =>
+            val est: Expression = f match {
+              case _: Rank =>
+                // ceil(rank * n) + 1, clamped to n (the reference's CASE)
+                val raw = Add(Ceil(Multiply(rk, nTotal)), Literal(1L))
+                val n = Cast(nTotal, LongType)
+                CaseWhen(Seq((LessThan(n, raw), n)), Some(raw))
+              case NTile(k) =>
+                // ceil(rank * k), floored at 1
+                val raw = Ceil(Multiply(rk, Cast(k, DoubleType)))
+                CaseWhen(Seq((LessThan(raw, Literal(1L)), Literal(1L))),
+                  Some(raw))
+              case _: CumeDist => rk
+              case other => return None // unreachable per isRankWindow
+            }
+            val typed =
+              if (est.dataType == a.dataType) est else Cast(est, a.dataType)
+            Alias(typed, name)(exprId = a.exprId)
+          case _ => return None
+        }
+        Some(Project(w.child.output ++ estimates, join))
       } catch { case scala.util.control.NonFatal(_) => None }
 
     /** `cast(ds_kll_quantile(ds_kll_sketch(cast(x AS double)), p) AS

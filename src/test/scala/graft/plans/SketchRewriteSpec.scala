@@ -117,4 +117,62 @@ class SketchRewriteSpec extends SparkSpec {
         spark.experimental.extraOptimizations.filterNot(_ eq rule)
     }
   }
+
+  test("rank/ntile/cume_dist over an UNPARTITIONED order-by rewrite to " +
+      "KLL estimates under the flag; partitioned windows stay exact") {
+    graft.functions.SketchAggregates.register(spark)
+    val rule = new SketchRewrite.CountDistinctToSketch(spark)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ rule
+    try {
+      // the synthetic lineitem has duplicate (orderkey, linenumber) pairs;
+      // a row_number id is stable across re-evaluations because rows tying
+      // on the full order are exact duplicates (same l_quantity)
+      Engine.table(spark, sfDir, "lineitem")
+        .selectExpr("row_number() OVER (ORDER BY l_orderkey, " +
+          "l_linenumber, l_quantity) AS id", "l_quantity")
+        .createOrReplaceTempView("sr_li")
+      val q = "SELECT id, rank() OVER (ORDER BY l_quantity) AS r, " +
+        "ntile(4) OVER (ORDER BY l_quantity) AS nt, " +
+        "cume_dist() OVER (ORDER BY l_quantity) AS cd FROM sr_li"
+      val exact = spark.sql(q).collect()
+        .map(r => r.getInt(0) -> ((r.getInt(1), r.getInt(2),
+          r.getDouble(3)))).toMap
+      val n = exact.size.toDouble
+      spark.conf.set(SketchRewrite.ConfKey, "true")
+      val df = spark.sql(q)
+      val plan = df.queryExecution.optimizedPlan.toString.toLowerCase
+      assert(plan.contains("kll"), plan)
+      // the fixture view's row_number window remains; the GLOBAL rank/
+      // ntile/cume_dist window must be gone
+      assert(!plan.contains("rank(") || plan.contains("ds_kll_rank"), plan)
+      assert(!plan.contains("ntile(") && !plan.contains("cume_dist("),
+        "the single-task window functions must be rewritten away")
+      var ntAgree = 0
+      df.collect().foreach { r =>
+        val (er, ent, ecd) = exact(r.getInt(0))
+        // KLL K=200 rank error ~1.65% of n; allow 3%
+        assert(math.abs(r.getInt(1) - er) <= 0.03 * n,
+          s"rank est ${r.getInt(1)} vs exact $er (n=$n)")
+        assert(math.abs(r.getDouble(3) - ecd) <= 0.03,
+          s"cume_dist est ${r.getDouble(3)} vs exact $ecd")
+        if (r.getInt(2) == ent) ntAgree += 1
+      }
+      assert(ntAgree >= 0.9 * n, s"ntile agreement $ntAgree of $n")
+      // a PARTITIONED rank is out of the reference rule's scope
+      val p = spark.sql("SELECT rank() OVER (PARTITION BY l_quantity " +
+        "ORDER BY id) AS r FROM sr_li")
+      assert(!p.queryExecution.optimizedPlan.toString.toLowerCase
+        .contains("kll"))
+      // ... and a DESC global window too
+      val d = spark.sql("SELECT rank() OVER (ORDER BY l_quantity DESC) " +
+        "AS r FROM sr_li")
+      assert(!d.queryExecution.optimizedPlan.toString.toLowerCase
+        .contains("kll"))
+    } finally {
+      spark.conf.unset(SketchRewrite.ConfKey)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq rule)
+    }
+  }
 }
