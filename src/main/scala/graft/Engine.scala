@@ -239,8 +239,8 @@ object Engine {
         graft.plans.SqlDml.maybeRun(spark, gated).getOrElse {
           val secured = graft.plans.Authz.applyPolicies(spark, plan0)
           val substituted = graft.plans.VirtualColumns.maybeSubstitute(
-            graft.plans.GroupingSetsDedup(
-              graft.plans.NamedTables.substitute(spark, secured)), query)
+            graft.plans.OrderlessWindows(graft.plans.GroupingSetsDedup(
+              graft.plans.NamedTables.substitute(spark, secured))), query)
           // LAST: materialization EXECUTES CTE definitions, which must
           // only happen after authz adjudicated and policies substituted
           val materialized = graft.plans.CteMaterialize(spark, substituted)
