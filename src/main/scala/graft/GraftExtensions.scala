@@ -44,5 +44,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // ((a), (a)) answers once)
     ext.injectResolutionRule(_ =>
       new graft.plans.GroupingSetsDedup.DedupRule)
+    // Hive semantics: ORDERLESS ranking/sequencing windows
+    // (row_number() OVER (), rank() OVER (PARTITION BY x)) — every row a
+    // peer, via a constant ORDER BY. Parser-level: the analyzer's window
+    // checks throw before injected resolution rules could run
+    ext.injectParser((_, delegate) =>
+      new graft.plans.OrderlessWindows.HiveWindowParser(delegate))
   }
 }

@@ -19,6 +19,11 @@ object ExtensionsCheck {
     val v = spark.sql("SELECT field('b', 'a', 'b') AS f, mask_first_n('Abcd1234') AS m")
       .head()
     assert(v.getInt(0) == 2 && v.getString(1) == "Xxxx1234")
+    // Hive's ORDERLESS ranking windows resolve via the injected rule
+    val ow = spark.sql("SELECT rank() OVER () AS r, " +
+      "row_number() OVER () AS rn FROM VALUES (1), (2) t(a)")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).sortBy(_._2)
+    assert(ow.toSeq == Seq((1, 1), (1, 2)), s"orderless windows: ${ow.toSeq}")
     // catalog-name snapshot tables resolve in plain spark.sql via the
     // injected analyzer rule (incl. time travel), with zero Engine calls
     import spark.implicits._
