@@ -70,6 +70,21 @@ object HiveFunctions {
       Remainder(Add(Remainder(args.head, args(1)), args(1)), args(1))
     }
 
+    // Hive's trunc accepts the 'Q' quarter abbreviation (ref udf/generic/
+    // GenericUDFTrunc.java: QUARTER|Q, MONTH|MON|MM, YEAR|YYYY|YY) —
+    // Spark's TruncDate knows QUARTER but answers NULL for bare 'Q'.
+    // Surfaced by the qtest sweep (udf_trunc.q). Literal formats only;
+    // a non-literal format passes through to Spark's behavior.
+    fn("trunc") { args =>
+      val fixed = args match {
+        case Seq(d, Literal(f, org.apache.spark.sql.types.StringType))
+            if f != null && f.toString.equalsIgnoreCase("q") =>
+          Seq(d, Literal("QUARTER"))
+        case other => other
+      }
+      new TruncDate(fixed.head, fixed(1))
+    }
+
     // Hive's INPUT__FILE__NAME virtual column (ref ql/.../VirtualColumn.java)
     // as a function — Spark's input_file_name under the Hive spelling.
     // (BLOCK__OFFSET__INSIDE__FILE / ROW__ID are storage-format-specific and
