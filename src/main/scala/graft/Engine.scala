@@ -303,11 +303,6 @@ object Engine {
     }
   }
 
-  /** Query-results caching (Hive's QueryResultsCache analog, see
-    * [[graft.plans.ResultsCache]]): opt-in per session via
-    * `spark.graft.resultsCache.dir`. Commands pass through — only
-    * row-producing deterministic queries are cacheable.
-    */
   /** Hive's MySQL-style `LIMIT <offset>,<count>` tail (ref ql/parse/
     * HiveParser.g limitClause — `offset_limit.q` is its qtest), a parse
     * error to Spark: rewritten to `LIMIT count OFFSET offset` and re-run
@@ -326,6 +321,11 @@ object Engine {
     }
   }
 
+  /** Query-results caching (Hive's QueryResultsCache analog, see
+    * [[graft.plans.ResultsCache]]): opt-in per session via
+    * `spark.graft.resultsCache.dir`. Commands pass through — only
+    * row-producing deterministic queries are cacheable.
+    */
   private def maybeCacheResult(spark: SparkSession, df: DataFrame): DataFrame =
     spark.conf.getOption("spark.graft.resultsCache.dir") match {
       case Some(dir) if !df.queryExecution.analyzed

@@ -76,6 +76,8 @@ object HiveFunctions {
     // Surfaced by the qtest sweep (udf_trunc.q). Literal formats only;
     // a non-literal format passes through to Spark's behavior.
     fn("trunc") { args =>
+      require(args.size == 2,
+        "trunc(date, fmt) takes two arguments; got " + args.size)
       val fixed = args match {
         case Seq(d, Literal(f, org.apache.spark.sql.types.StringType))
             if f != null && f.toString.equalsIgnoreCase("q") =>

@@ -667,6 +667,15 @@ object SketchAggregates {
         if (sk.isEmpty) Double.NaN
         else sk.getRank(v, QuantileSearchCriteria.INCLUSIVE)
       })
+    // the EXCLUSIVE (fraction < v) twin — what a rank() estimate needs
+    // (rank = #(< v) + 1; the INCLUSIVE form above is the cume_dist shape)
+    spark.udf.register("ds_kll_rank_lt", (b: Array[Byte], v: Double) =>
+      if (b == null || b.isEmpty) Double.NaN
+      else {
+        val sk = KllDoublesSketch.heapify(Memory.wrap(b))
+        if (sk.isEmpty) Double.NaN
+        else sk.getRank(v, QuantileSearchCriteria.EXCLUSIVE)
+      })
     spark.udf.register("ds_kll_n", (b: Array[Byte]) =>
       if (b == null || b.isEmpty) 0L
       else KllDoublesSketch.heapify(Memory.wrap(b)).getN)

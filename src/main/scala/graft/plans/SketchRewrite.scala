@@ -148,30 +148,56 @@ object SketchRewrite {
       try {
         val x = w.orderSpec.head.child
         val xd = if (x.dataType == DoubleType) x else Cast(x, DoubleType)
+        // FILTER the sketch to non-null keys: the udaf's primitive
+        // encoder would silently fold NULL inputs in as 0.0
         val sketch = fn("ds_kll_sketch", Seq(xd)) match {
-          case af: AggregateFunction => af.toAggregateExpression()
+          case af: AggregateFunction => af.toAggregateExpression(
+            isDistinct = false, filter = Some(IsNotNull(xd)))
           case _ => return None
         }
         val dsAlias = Alias(sketch, "__graft_kll_ds")()
-        val agg = Aggregate(Nil, Seq(dsAlias), w.child)
+        // NULL keys sort FIRST under ASC (the exact window's contract):
+        // the sketch skips them, so count them separately — null rows
+        // all tie at rank 1 and offset every non-null rank
+        val nullCntAlias = Alias(
+          Count(Literal(1)).toAggregateExpression(isDistinct = false,
+            filter = Some(IsNull(xd))), "__graft_kll_nulls")()
+        val agg = Aggregate(Nil, Seq(dsAlias, nullCntAlias), w.child)
         val join = Join(w.child, agg, Cross, None, JoinHint.NONE)
         val ds = dsAlias.toAttribute
-        def nTotal = Cast(fn("ds_kll_n", Seq(ds)), DoubleType)
-        def rk = fn("ds_kll_rank", Seq(ds, xd)) // fraction < x, in [0,1]
+        val nullCnt = nullCntAlias.toAttribute
+        def nSketch = Cast(fn("ds_kll_n", Seq(ds)), DoubleType)
+        def total = Add(Cast(nSketch, LongType), nullCnt)
+        // EXCLUSIVE rank (#< x) for rank(); INCLUSIVE (#<= x) = cume_dist
+        def rkLt = fn("ds_kll_rank_lt", Seq(ds, xd))
+        def rkLe = fn("ds_kll_rank", Seq(ds, xd))
         val estimates = w.windowExpressions.map {
           case a @ Alias(WindowExpression(f, _), name) =>
             val est: Expression = f match {
               case _: Rank =>
-                // ceil(rank * n) + 1, clamped to n (the reference's CASE)
-                val raw = Add(Ceil(Multiply(rk, nTotal)), Literal(1L))
-                val n = Cast(nTotal, LongType)
-                CaseWhen(Seq((LessThan(n, raw), n)), Some(raw))
+                // nulls: every null row is a peer at rank 1; non-null:
+                // nullCnt + ceil(#<x) + 1, clamped to the total
+                val raw = Add(nullCnt,
+                  Add(Ceil(Multiply(rkLt, nSketch)), Literal(1L)))
+                val clamped = CaseWhen(Seq((LessThan(total, raw), total)),
+                  Some(raw))
+                CaseWhen(Seq((IsNull(xd), Literal(1L))), Some(clamped))
               case NTile(k) =>
-                // ceil(rank * k), floored at 1
-                val raw = Ceil(Multiply(rk, Cast(k, DoubleType)))
+                // position fraction: nulls occupy the head of the order
+                val posFrac = CaseWhen(Seq((IsNull(xd),
+                  Divide(Cast(nullCnt, DoubleType),
+                    Cast(total, DoubleType)))),
+                  Some(Divide(Add(Cast(nullCnt, DoubleType),
+                    Multiply(rkLe, nSketch)), Cast(total, DoubleType))))
+                val raw = Ceil(Multiply(posFrac, Cast(k, DoubleType)))
                 CaseWhen(Seq((LessThan(raw, Literal(1L)), Literal(1L))),
                   Some(raw))
-              case _: CumeDist => rk
+              case _: CumeDist =>
+                CaseWhen(Seq((IsNull(xd),
+                  Divide(Cast(nullCnt, DoubleType),
+                    Cast(total, DoubleType)))),
+                  Some(Divide(Add(Cast(nullCnt, DoubleType),
+                    Multiply(rkLe, nSketch)), Cast(total, DoubleType))))
               case other => return None // unreachable per isRankWindow
             }
             val typed =
@@ -195,8 +221,11 @@ object SketchRewrite {
           case af: AggregateFunction =>
             val p = if (pct.dataType == DoubleType) pct
               else Cast(pct, DoubleType)
+            // exact percentile_disc ignores NULLs; the udaf's primitive
+            // encoder would fold them in as 0.0 — filter them out
             val q = fn("ds_kll_quantile",
-              Seq(af.toAggregateExpression(), p))
+              Seq(af.toAggregateExpression(isDistinct = false,
+                filter = Some(IsNotNull(arg))), p))
             Some(if (q.dataType == origType) q else Cast(q, origType))
           case _ => None
         }

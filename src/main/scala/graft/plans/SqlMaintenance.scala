@@ -625,12 +625,14 @@ object SqlMaintenance {
       val mm = graft.sources.AcidMm.detectKind(spark, dir) == "insert_only"
       k match {
         case "minor" =>
-          val floor =
-            graft.streaming.AcidStreamRegistry.lowestFloor(spark, dir)
+          // every live consumer's protection points (consumed floors AND
+          // in-flight batch ends) become fold-split boundaries
+          val floors =
+            graft.streaming.AcidStreamRegistry.splitPoints(spark, dir)
           if (mm) graft.sources.AcidMm.compactMinor(spark, dir,
-            consumerFloor = floor)
+            consumerFloors = floors)
           else graft.sources.AcidOrc.compactMinor(spark, dir,
-            consumerFloor = floor)
+            consumerFloors = floors)
         case "rebalance" =>
           if (mm) throw new IllegalArgumentException(
             "rebalance compaction applies to full-ACID tables; " +

@@ -67,13 +67,19 @@ object AcidMm {
     val states = AcidOrc.walk(fs, root, "")
     if (states.isEmpty) return "empty"
     if (states.exists(_.deleteDirs.nonEmpty)) return "full_acid"
-    val rowFiles = states.flatMap(_.rowDirs).flatMap(dataFiles(fs, _))
-    if (rowFiles.isEmpty)
-      return if (states.exists(_.originals.nonEmpty)) "originals" else "empty"
-    if (rowFiles.forall(f =>
-        AcidOrc.BucketFileRe.pattern.matcher(f.getName).matches()))
-      "full_acid"
-    else "insert_only"
+    // the FIRST non-empty row dir decides (layouts are uniform by
+    // contract): one extra file listing, not one per dir — the probe
+    // runs before every hive_acid()/COMPACT and metadata calls are the
+    // cost that matters on object stores
+    states.iterator.flatMap(_.rowDirs).foreach { d =>
+      val files = dataFiles(fs, d)
+      if (files.nonEmpty)
+        return if (files.forall(f =>
+          AcidOrc.BucketFileRe.pattern.matcher(f.getName).matches()))
+          "full_acid"
+        else "insert_only"
+    }
+    if (states.exists(_.originals.nonEmpty)) "originals" else "empty"
   }
 
   /** Format sniff by magic bytes: ORC files start `ORC`, parquet `PAR1`;
@@ -119,23 +125,18 @@ object AcidMm {
     }
   }
 
-  /** Current-snapshot read of an insert-only transactional directory.
-    * `format` overrides the magic-byte sniff; `schema` applies to
-    * text/CSV reads (else all-string `_c*` columns). Partition columns
-    * parse from `k=v` path segments as strings via `input_file_name()`
-    * (one scan for the whole table — never a per-partition read), keyed
-    * per column so base/delta segments between the partition dir and the
-    * file don't interfere.
+
+  /** One `spark.read` over an explicit MM file list. Text follows the
+    * LazySimpleSerDe defaults (Ctrl-A separator, `\\N` nulls). Partition
+    * columns attach from each file's DRIVER-KNOWN subpath via a broadcast
+    * join on Spark's own url-encoded file identity — parsing
+    * `input_file_name()` directly would surface percent-encoded values
+    * (`New%20York`), diverging from [[AcidOrc.read]]'s raw-subpath
+    * convention.
     */
-  def read(spark: SparkSession, table: String,
-      maxWriteId: Long = Long.MaxValue,
-      abortedWriteIds: Set[Long] = Set.empty,
-      schema: Option[StructType] = None,
-      format: Option[String] = None): DataFrame = {
-    val files = selectedFiles(spark, table, maxWriteId, abortedWriteIds)
-    require(files.nonEmpty, s"MM table $table has no live data files")
-    val root = new Path(table)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def readFiles(spark: SparkSession, fs: FileSystem,
+      files: Seq[(Path, String)], schema: Option[StructType],
+      format: Option[String], table: String): DataFrame = {
     val fmt = format.getOrElse(sniffFormat(fs, files.head._1))
     val paths = files.map(_._1.toString)
     val base = fmt match {
@@ -147,23 +148,52 @@ object AcidMm {
         spark.read.option("mergeSchema", "true").parquet(paths: _*)
       case "text" =>
         val r = spark.read.option("sep", "\u0001").option("header", "false")
+          .option("nullValue", "\\N")
         schema.fold(r)(r.schema(_)).csv(paths: _*)
       case other => schema.fold(spark.read)(spark.read.schema(_))
         .format(other).load(paths: _*)
     }
-    // partition columns from the k=v subpaths (string-typed, like a
-    // schema-less spark.read of a Hive layout); extracted per key from
-    // the file URI so the base_/delta_ segment in between is irrelevant
     val partCols = files.map(_._2).filter(_.nonEmpty)
       .map(_.split("/").toSeq.map(_.split("=", 2)(0)))
       .distinct
     require(partCols.size <= 1,
       s"inconsistent partition layouts under $table: " +
         partCols.map(_.mkString("/")).mkString(", "))
-    partCols.headOption.getOrElse(Nil).foldLeft(base) { (df, k) =>
-      df.withColumn(k, regexp_extract(input_file_name(),
-        "/" + java.util.regex.Pattern.quote(k) + "=([^/]+)/", 1))
+    val keys = partCols.headOption.getOrElse(Nil)
+    if (keys.isEmpty) base
+    else {
+      import spark.implicits._
+      val mapDf = files.map { case (f, sub) =>
+        (org.apache.spark.paths.SparkPath.fromPath(f).urlEncoded, sub)
+      }.toDF("_graft_uri", "_graft_sub")
+      // input_file_name() is non-deterministic: project it to a column
+      // first (legal), never into the join condition (refused)
+      val keyed = base.withColumn("_graft_file", input_file_name())
+      val joined = keyed.join(broadcast(mapDf),
+        col("_graft_file") === col("_graft_uri"), "left")
+      keys.foldLeft(joined) { (df, k) =>
+        df.withColumn(k, regexp_extract(col("_graft_sub"),
+          "(?:^|/)" + java.util.regex.Pattern.quote(k) + "=([^/]+)", 1))
+      }.drop("_graft_file", "_graft_uri", "_graft_sub")
     }
+  }
+
+  /** Current-snapshot read of an insert-only transactional directory.
+    * `format` overrides the magic-byte sniff; `schema` applies to
+    * text/CSV reads (else all-string `_c*` columns). Partition columns
+    * parse from `k=v` path segments as strings (one scan for the whole
+    * table — never a per-partition read).
+    */
+  def read(spark: SparkSession, table: String,
+      maxWriteId: Long = Long.MaxValue,
+      abortedWriteIds: Set[Long] = Set.empty,
+      schema: Option[StructType] = None,
+      format: Option[String] = None): DataFrame = {
+    val files = selectedFiles(spark, table, maxWriteId, abortedWriteIds)
+    require(files.nonEmpty, s"MM table $table has no live data files")
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readFiles(spark, fs, files, schema, format, table)
   }
 
   /** Rows ADDED by delta commits with write ids in (fromWriteId,
@@ -178,15 +208,24 @@ object AcidMm {
   def readChanges(spark: SparkSession, table: String, fromWriteId: Long,
       toWriteId: Long, schema: Option[StructType] = None,
       format: Option[String] = None,
-      withCommitId: Boolean = false): DataFrame = {
+      withCommitId: Boolean = false,
+      abortedWriteIds: Set[Long] = Set.empty): DataFrame = {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root), s"MM table directory not found: $table")
     val changed = AcidOrc.changedDirs(fs, root, "", fromWriteId, toWriteId)
     require(changed.forall(_._3.isEmpty),
       s"$table has delete_delta dirs — a full-ACID tree, not insert-only")
-    val files = changed.flatMap { case (_, dirs, _) =>
-      dirs.flatMap(dataFiles(fs, _)) }
+    // aborted single-txn deltas are excluded here exactly as the
+    // snapshot path excludes them (the dirs may not be cleaned yet)
+    val files = changed.flatMap { case (sub, dirs, _) =>
+      dirs.filterNot { d =>
+        d.getName match {
+          case DeltaRe(m, n) => m == n && abortedWriteIds.contains(m.toLong)
+          case _ => false
+        }
+      }.flatMap(dataFiles(fs, _)).map(_ -> sub)
+    }
     def withCid(df: DataFrame): DataFrame =
       if (!withCommitId) df
       else df.withColumn("_commit_writeid",
@@ -197,28 +236,7 @@ object AcidMm {
       return withCid(read(spark, table, maxWriteId = toWriteId,
         schema = schema, format = format).limit(0))
     }
-    val fmt = format.getOrElse(sniffFormat(fs, files.head))
-    val paths = files.map(_.toString)
-    val base = fmt match {
-      // mergeSchema: add-columns evolution across deltas reads like the
-      // full-ACID bridge's widest-schema contract — older files' missing
-      // fields are NULL (first-file schema would silently DROP new cols)
-      case "orc" => spark.read.option("mergeSchema", "true").orc(paths: _*)
-      case "parquet" =>
-        spark.read.option("mergeSchema", "true").parquet(paths: _*)
-      case "text" =>
-        val r = spark.read.option("sep", "\u0001").option("header", "false")
-        schema.fold(r)(r.schema(_)).csv(paths: _*)
-      case other => schema.fold(spark.read)(spark.read.schema(_))
-        .format(other).load(paths: _*)
-    }
-    val partCols = changed.map(_._1).filter(_.nonEmpty)
-      .map(_.split("/").toSeq.map(_.split("=", 2)(0)))
-      .distinct.headOption.getOrElse(Nil)
-    withCid(partCols.foldLeft(base) { (df, k) =>
-      df.withColumn(k, regexp_extract(input_file_name(),
-        "/" + java.util.regex.Pattern.quote(k) + "=([^/]+)/", 1))
-    })
+    withCid(readFiles(spark, fs, files, schema, format, table))
   }
 
   /** The reference compactors' first step (`removeFilesForMmTable`):
@@ -256,7 +274,7 @@ object AcidMm {
       case "orc" => w.orc(staging.toString)
       case "parquet" => w.parquet(staging.toString)
       case "text" => w.option("sep", "\u0001").option("header", "false")
-        .csv(staging.toString)
+        .option("nullValue", "\\N").csv(staging.toString)
       case other => w.format(other).save(staging.toString)
     }
     val parts = fs.listStatus(staging).map(_.getPath)
@@ -306,7 +324,8 @@ object AcidMm {
             case "parquet" => spark.read.option("mergeSchema", "true")
               .parquet(files.map(_.toString): _*)
             case _ => spark.read.option("sep", "\u0001")
-              .option("header", "false").csv(files.map(_.toString): _*)
+              .option("header", "false").option("nullValue", "\\N")
+              .csv(files.map(_.toString): _*)
           }
           val pdir = AcidOrc.partDir(table, s.partSub)
           writeMmDir(spark, pdir, s"base_$w", df, fmt)
@@ -327,11 +346,15 @@ object AcidMm {
     */
   def compactMinor(spark: SparkSession, table: String,
       clean: Boolean = true, consumerFloor: Long = -1L,
-      abortedWriteIds: Set[Long] = Set.empty): Unit = {
+      abortedWriteIds: Set[Long] = Set.empty,
+      consumerFloors: Seq[Long] = Nil): Unit = {
     removeAborted(spark, table, abortedWriteIds)
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
+    val floors = (consumerFloors ++
+      (if (consumerFloor >= 0) Seq(consumerFloor) else Nil))
+      .distinct.sorted
     def foldGroup(partSub: String, ranged: Seq[Range]): Unit = {
       if (ranged.size < 2) return
       val files = ranged.flatMap(r => dataFiles(fs, r.dir))
@@ -344,7 +367,8 @@ object AcidMm {
         case "parquet" => spark.read.option("mergeSchema", "true")
           .parquet(files.map(_.toString): _*)
         case _ => spark.read.option("sep", "\u0001")
-          .option("header", "false").csv(files.map(_.toString): _*)
+          .option("header", "false").option("nullValue", "\\N")
+          .csv(files.map(_.toString): _*)
       }
       writeMmDir(spark, AcidOrc.partDir(table, partSub),
         s"delta_${mn}_$mx", df, fmt)
@@ -355,10 +379,7 @@ object AcidMm {
         case DeltaRe(m, n) => Some(Range(m.toLong, n.toLong, p))
         case _ => None
       })
-      (if (consumerFloor < 0) Seq(raw)
-       else Seq(raw.filter(_.max <= consumerFloor),
-         raw.filter(_.min > consumerFloor)))
-        .foreach(foldGroup(s.partSub, _))
+      AcidOrc.floorBands(raw, floors).foreach(foldGroup(s.partSub, _))
     }
   }
 }

@@ -1255,22 +1255,25 @@ object AcidOrc {
     * correct once cleaner retention outlives consumer lag.
     */
   def compactMinor(spark: SparkSession, table: String,
-      clean: Boolean = true, consumerFloor: Long = -1L): Unit = {
+      clean: Boolean = true, consumerFloor: Long = -1L,
+      consumerFloors: Seq[Long] = Nil): Unit = {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
+    val floors = (consumerFloors ++
+      (if (consumerFloor >= 0) Seq(consumerFloor) else Nil))
+      .distinct.sorted
     def foldSide(partSub: String, dirs: Seq[Path], isDelete: Boolean): Unit = {
       val all = dirs.flatMap(p => p.getName match {
         case DeltaRe(m, n) if !isDelete => Some(Range(m.toLong, n.toLong, p))
         case DeleteRe(m, n) if isDelete => Some(Range(m.toLong, n.toLong, p))
         case _ => None
       })
-      // fold each side of the consumer floor separately (see scaladoc);
-      // a dir already straddling the floor is left alone
-      (if (consumerFloor < 0) Seq(all)
-       else Seq(all.filter(_.max <= consumerFloor),
-         all.filter(_.min > consumerFloor)))
-        .foreach(foldGroup(partSub, _, isDelete))
+      // fold each inter-floor band separately (see scaladoc) — a live
+      // consumer may hold SEVERAL protection points (its consumed floor
+      // plus an in-flight batch's latched end); a dir already straddling
+      // a floor is left alone
+      floorBands(all, floors).foreach(foldGroup(partSub, _, isDelete))
     }
     def foldGroup(partSub: String, ranged: Seq[Range],
         isDelete: Boolean): Unit = {
@@ -1303,6 +1306,18 @@ object AcidOrc {
       foldSide(s.partSub, s.deleteDirs, isDelete = true)
     }
   }
+
+  /** Ranges grouped into the bands BETWEEN consecutive floors — band i is
+    * (floor(i-1), floor(i)]; a range straddling any floor lands in no
+    * band and is left unfolded.
+    */
+  private[sources] def floorBands(all: Seq[Range],
+      floors: Seq[Long]): Seq[Seq[Range]] =
+    if (floors.isEmpty) Seq(all)
+    else (Long.MinValue +: floors :+ Long.MaxValue).sliding(2).toSeq.map {
+      case Seq(lo, hi) => all.filter(r => r.min > lo && r.max <= hi)
+      case _ => Nil // sliding(2) of a >=3-element seq always yields pairs
+    }
 
   /** Cleaner: remove base/delta/delete_delta dirs (and pre-ACID original
     * files) fully covered by each partition's current head base.

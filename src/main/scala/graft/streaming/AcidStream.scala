@@ -87,8 +87,11 @@ class AcidSourceProvider extends StreamSourceProvider with DataSourceRegister {
   * floor.
   */
 object AcidStreamRegistry {
-  private val floors =
-    scala.collection.concurrent.TrieMap.empty[(String, Int), Long]
+  // keyed by the SOURCE OBJECT (weakly): a query that dies without
+  // calling stop() must not pin a stale floor forever, and object
+  // identity cannot collide the way identityHashCode can
+  private val floors = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[AnyRef, (String, Set[Long])]())
 
   private[streaming] def qualify(spark: SparkSession, root: String): String = {
     val p = new org.apache.hadoop.fs.Path(root)
@@ -96,25 +99,40 @@ object AcidStreamRegistry {
       .makeQualified(p).toString
   }
 
-  private[streaming] def committed(spark: SparkSession, source: AnyRef,
-      root: String, writeId: Long): Unit =
-    floors.put((qualify(spark, root), System.identityHashCode(source)),
-      writeId)
-
-  private[streaming] def remove(spark: SparkSession, source: AnyRef,
-      root: String): Unit =
-    floors.remove((qualify(spark, root), System.identityHashCode(source)))
-
-  /** Lowest committed offset among live consumers of `root`, or -1 when
-    * none are registered (fold everything — the reference compactor's
-    * default). A never-committed source needs no floor: its first batch
-    * is a snapshot read, which compaction cannot perturb.
+  /** Record a source's CURRENT protection points. A fold span may never
+    * straddle any of them: the consumed floor (ids ≤ it are done) AND an
+    * in-flight batch's latched end (the engine will re-request exactly
+    * (start, end], so a span crossing `end` would hide the range on
+    * retry — the reason getBatch registers BOTH bounds).
     */
-  def lowestFloor(spark: SparkSession, root: String): Long = {
+  private[streaming] def protect(spark: SparkSession, source: AnyRef,
+      root: String, writeIds: Set[Long]): Unit =
+    floors.put(source, (qualify(spark, root), writeIds))
+
+  private[streaming] def remove(source: AnyRef): Unit =
+    floors.remove(source)
+
+  /** Every live consumer's protection points for `root` (fold-split
+    * boundaries), empty when none are registered (fold everything — the
+    * reference compactor's default). A never-started source needs no
+    * point: its first batch is a snapshot read, which compaction cannot
+    * perturb.
+    */
+  def splitPoints(spark: SparkSession, root: String): Seq[Long] = {
     val q = qualify(spark, root)
-    val own = floors.collect { case ((r, _), w) if r == q => w }
-    if (own.isEmpty) -1L else own.min
+    import scala.jdk.CollectionConverters._
+    floors.synchronized {
+      floors.values.asScala.toSeq.collect {
+        case (r, ws) if r == q => ws
+      }.flatten.distinct.sorted
+    }
   }
+
+  /** Back-compat single-floor view: the lowest protection point, -1 when
+    * none.
+    */
+  def lowestFloor(spark: SparkSession, root: String): Long =
+    splitPoints(spark, root).headOption.getOrElse(-1L)
 }
 
 /** See [[AcidSourceProvider]]. Offset N = "write ids up to and including N
@@ -160,15 +178,17 @@ class AcidStreamSource(spark: SparkSession, root: String,
     }: _*)
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
-    // report the consumed floor NOW — the engine calls commit() lazily (at
+    // report protection points NOW — the engine calls commit() lazily (at
     // the next batch's construction), which can be never for an idle
     // stream. A snapshot batch (start=None) registers `end`: snapshot
     // reconstruction tolerates folds at any boundary, and retries re-read
-    // the same snapshot. An incremental batch registers `start`: that much
-    // is durably consumed, while (start, end] must stay fold-split-safe
-    // until commit() advances past it.
-    AcidStreamRegistry.committed(spark, this, root,
-      start.map(widOf).getOrElse(widOf(end)))
+    // the same snapshot. An incremental batch registers BOTH bounds:
+    // `start` is the durably-consumed floor, and the latched `end` must
+    // also stay fold-split-safe — the engine re-requests exactly
+    // (start, end] on retry, and a fold span crossing `end` (new commits
+    // folded together with the in-flight range) would hide it.
+    AcidStreamRegistry.protect(spark, this, root,
+      start.map(s => Set(widOf(s), widOf(end))).getOrElse(Set(widOf(end))))
     // MM rows carry no per-row transaction column: the committing dir's
     // write id (base_N folds read as N, pre-conversion files as 0) is
     // the honest CDC commit id
@@ -212,9 +232,9 @@ class AcidStreamSource(spark: SparkSession, root: String,
   }
 
   override def commit(end: V1Offset): Unit =
-    AcidStreamRegistry.committed(spark, this, root, widOf(end))
+    AcidStreamRegistry.protect(spark, this, root, Set(widOf(end)))
 
-  override def stop(): Unit = AcidStreamRegistry.remove(spark, this, root)
+  override def stop(): Unit = AcidStreamRegistry.remove(this)
 
   override def toString: String = s"AcidStreamSource[$root]"
 }

@@ -159,6 +159,22 @@ class SketchRewriteSpec extends SparkSpec {
         if (r.getInt(2) == ent) ntAgree += 1
       }
       assert(ntAgree >= 0.9 * n, s"ntile agreement $ntAgree of $n")
+      // exactness at tiny n (KLL stores everything): rank is EXACT, not
+      // just within tolerance — this pins the inclusive-vs-exclusive
+      // rank criterion (an off-by-one here is bias, not sketch error)
+      val tiny = spark.sql("SELECT x, rank() OVER (ORDER BY x) AS r, " +
+        "cume_dist() OVER (ORDER BY x) AS cd FROM VALUES " +
+        "(10.0d), (20.0d), (20.0d), (30.0d) t(x)")
+        .collect().map(r => (r.getDouble(0), r.getInt(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2))
+      assert(tiny.map(_._2).toSeq === Seq(1, 2, 2, 4), tiny.toSeq)
+      assert(tiny.map(_._3).toSeq === Seq(0.25, 0.75, 0.75, 1.0))
+      // NULL keys sort first (the exact window's ASC NULLS FIRST): every
+      // null row ranks 1 and offsets the non-null ranks
+      val withNulls = spark.sql("SELECT rank() OVER (ORDER BY x) AS r " +
+        "FROM VALUES (CAST(NULL AS DOUBLE)), (1.0d), (2.0d) t(x)")
+        .collect().map(_.getInt(0)).sorted.toSeq
+      assert(withNulls === Seq(1, 2, 3), withNulls)
       // a PARTITIONED rank is out of the reference rule's scope
       val p = spark.sql("SELECT rank() OVER (PARTITION BY l_quantity " +
         "ORDER BY id) AS r FROM sr_li")

@@ -183,6 +183,20 @@ class AcidStreamSpec extends SparkSpec {
     // the lagging consumer drains ids 3..5 exactly once — no data loss
     src.getBatch(Some(LongOffset(2L)), LongOffset(5L))
     assert(AcidOrc.readChanges(spark, root, 2L, 5L).count() === 6)
+    // the IN-FLIGHT batch's latched end is a protection point too: new
+    // commits land while (2, 5] is processing, and the fold must not
+    // create a span crossing 5 (a retry re-requests exactly (2, 5])
+    assert(AcidStreamRegistry.splitPoints(spark, root) === Seq(2L, 5L))
+    (6L to 7L).foreach(w => AcidOrc.appendDelta(spark, root, w,
+      nums(100 * w.toInt, 100 * w.toInt + 1)))
+    graft.Engine.sql(spark, sfDir, s"COMPACT HIVE ACID '$root' 'minor'")
+    val names2 = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).sorted.toSeq
+    assert(names2 === Seq("delta_1_2", "delta_3_5", "delta_6_7"),
+      names2.mkString(","))
+    // the retried in-flight range AND the follow-up range both drain
+    assert(AcidOrc.readChanges(spark, root, 2L, 5L).count() === 6)
+    assert(AcidOrc.readChanges(spark, root, 5L, 7L).count() === 2)
     src.stop()
     // stopped stream deregisters: the floor no longer binds the compactor
     assert(AcidStreamRegistry.lowestFloor(spark, root) === -1L)
