@@ -314,9 +314,18 @@ object Engine {
       query: String): Option[DataFrame] = {
     val CommaLimit =
       """(?is)^(.*\blimit)\s+(\d+)\s*,\s*(\d+)\s*;?\s*$""".r
-    query match {
+    // a trailing line comment could hold a comma-limit-looking tail of an
+    // otherwise-invalid statement; never rewrite comment text
+    val bare = query.replaceAll("""(?s)\s*--[^\n]*\s*$""", "")
+    bare match {
       case CommaLimit(head, off, cnt) =>
-        Some(sql(spark, sfDir, s"$head $cnt OFFSET $off"))
+        val rewritten = s"$head $cnt OFFSET $off"
+        // only commit to the rewrite if it parses — otherwise the user
+        // must see the canonical error against THEIR text, not ours
+        val parses =
+          try { spark.sessionState.sqlParser.parsePlan(rewritten); true }
+          catch { case scala.util.control.NonFatal(_) => false }
+        if (parses) Some(sql(spark, sfDir, rewritten)) else None
       case _ => None
     }
   }

@@ -124,6 +124,9 @@ object SketchRewrite {
     private def isRankWindow(w: Window): Boolean =
       w.partitionSpec.isEmpty && w.orderSpec.size == 1 &&
         w.orderSpec.head.direction == Ascending &&
+        // estimate math below pins NULL keys to rank 1 (nulls-first);
+        // an explicit NULLS LAST order must keep the exact window
+        w.orderSpec.head.nullOrdering == NullsFirst &&
         w.orderSpec.head.child.dataType.isInstanceOf[NumericType] &&
         w.windowExpressions.nonEmpty &&
         w.windowExpressions.forall {

@@ -76,7 +76,13 @@ object SnapshotSql {
           graft.sources.AcidMm.read(s, dir)
         else graft.sources.AcidOrc.read(s, dir)
       case Seq(path, legacy) =>
-        graft.sources.AcidOrc.read(SparkSession.active, asString(path),
+        val s = SparkSession.active
+        val dir = asString(path)
+        // MM trees have no update flavor to toggle: detect them here
+        // too (the legacy flag only concerns full-ACID update deltas)
+        if (graft.sources.AcidMm.detectKind(s, dir) == "insert_only")
+          graft.sources.AcidMm.read(s, dir)
+        else graft.sources.AcidOrc.read(s, dir,
           legacyUpdates = asBoolean(legacy))
       case other => throw new IllegalArgumentException(
         s"hive_acid(path[, legacy]): got ${other.size} arguments")

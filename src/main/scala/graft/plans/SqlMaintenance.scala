@@ -598,31 +598,50 @@ object SqlMaintenance {
     }
   }
 
-  // COMPACT HIVE ACID '<dir>' ['major'|'minor'|'rebalance' [N]]: the
-  // reference's ALTER TABLE ... COMPACT verb (ref ql/ddl/table/misc/
-  // compact/AlterTableCompactDesc.java) addressed at a raw ACID warehouse
-  // directory — the bridge has no metastore table to ALTER. major folds
-  // every partition to base_<maxWid> with ROW__IDs preserved; minor folds
-  // the deltas above the base into one span without rewriting it, with
-  // the lowest live acid-stream consumer offset wired in as the fold
-  // floor automatically (a lagging consumer survives the fold);
-  // rebalance rewrites into N evenly-sized buckets, ROW__IDs reassigned.
-  // Insert-only (MM) trees are auto-detected and routed to the MM
-  // compactors. Rewrites raw warehouse files — admin-gated like CONVERT.
+  // COMPACT HIVE ACID '<dir>' ['major'|'minor'|'rebalance' [N]]
+  // [ABORTED (wid[, wid]*)]: the reference's ALTER TABLE ... COMPACT verb
+  // (ref ql/ddl/table/misc/compact/AlterTableCompactDesc.java) addressed
+  // at a raw ACID warehouse directory — the bridge has no metastore table
+  // to ALTER. major folds every partition to base_<maxWid> with ROW__IDs
+  // preserved; minor folds the deltas above the base into one span
+  // without rewriting it, with the lowest live acid-stream consumer
+  // offset wired in as the fold floor automatically (a lagging consumer
+  // survives the fold); rebalance rewrites into N evenly-sized buckets,
+  // ROW__IDs reassigned. Insert-only (MM) trees are auto-detected and
+  // routed to the MM compactors; for those the ABORTED clause names
+  // uncommitted single-txn write ids to drop FIRST (the reference
+  // compactor's removeFilesForMmTable runs before any fold — folding an
+  // aborted delta into a multi-id span would make its rows permanently
+  // unfilterable). Full-ACID trees have no aborted-id side channel here
+  // (the bridge assumes a clean listing, AcidOrc.scala:73), so ABORTED
+  // on a full-ACID dir is rejected. Rewrites raw warehouse files —
+  // admin-gated like CONVERT.
   private def hAcidCompact(spark: SparkSession, c: Cursor): Option[DataFrame] = {
     if (!c.kw("COMPACT", "HIVE", "ACID")) return None
     for {
       dir <- c.str()
       kind = c.str()
       n = c.num()
+      aborted <- optClause(c.kw("ABORTED"))(c.parenIdents())
       _ <- c.done()
       k = kind.getOrElse("major").toLowerCase
       _ <- if (k == "major" || k == "minor" || k == "rebalance") Some(())
            else None
       _ <- if (n.isEmpty || k == "rebalance") Some(()) else None
     } yield {
+      if (k == "rebalance" && !n.forall(_.matches("""\d+""")))
+        throw new IllegalArgumentException(
+          s"rebalance bucket count must be a whole number, got ${n.get}")
+      val abortedIds = aborted.getOrElse(Nil).map { w =>
+        if (!w.matches("""\d+""")) throw new IllegalArgumentException(
+          s"ABORTED write ids must be whole numbers, got $w")
+        w.toLong
+      }.toSet
       Authz.requireAdmin(spark, "COMPACT HIVE ACID")
       val mm = graft.sources.AcidMm.detectKind(spark, dir) == "insert_only"
+      if (abortedIds.nonEmpty && !mm) throw new IllegalArgumentException(
+        "ABORTED write-id exclusion applies to insert-only (MM) tables; " +
+          s"$dir is full-ACID (its listing is assumed clean of aborted ids)")
       k match {
         case "minor" =>
           // every live consumer's protection points (consumed floors AND
@@ -630,7 +649,7 @@ object SqlMaintenance {
           val floors =
             graft.streaming.AcidStreamRegistry.splitPoints(spark, dir)
           if (mm) graft.sources.AcidMm.compactMinor(spark, dir,
-            consumerFloors = floors)
+            abortedWriteIds = abortedIds, consumerFloors = floors)
           else graft.sources.AcidOrc.compactMinor(spark, dir,
             consumerFloors = floors)
         case "rebalance" =>
@@ -640,7 +659,8 @@ object SqlMaintenance {
           graft.sources.AcidOrc.rebalance(spark, dir,
             n.map(_.toInt).getOrElse(4))
         case _ =>
-          if (mm) graft.sources.AcidMm.compactMajor(spark, dir)
+          if (mm) graft.sources.AcidMm.compactMajor(spark, dir,
+            abortedWriteIds = abortedIds)
           else graft.sources.AcidOrc.compact(spark, dir)
       }
       okDf(spark, s"$k compaction of $dir complete")

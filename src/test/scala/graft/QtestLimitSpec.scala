@@ -108,4 +108,14 @@ class QtestLimitSpec extends QtestHarness {
       "form, multi-distinct single-reducer aggregates") {
     run("limit_pushdown", "offset_limit", "groupby_multi_single_reducer")
   }
+
+  test("comma-limit tail inside a trailing comment of an invalid " +
+      "statement surfaces the ORIGINAL parse error, not a rewritten one") {
+    val e = intercept[Exception] {
+      graft.Engine.sql(spark, sfDir, "SELECT x FRO t -- limit 1, 2")
+    }
+    // the error text must be about the user's statement (FRO typo), not
+    // about an OFFSET rewrite of its comment
+    assert(!e.getMessage.toUpperCase.contains("OFFSET"), e.getMessage)
+  }
 }

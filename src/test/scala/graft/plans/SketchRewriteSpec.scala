@@ -185,6 +185,14 @@ class SketchRewriteSpec extends SparkSpec {
         "AS r FROM sr_li")
       assert(!d.queryExecution.optimizedPlan.toString.toLowerCase
         .contains("kll"))
+      // ... and ASC NULLS LAST: the estimate math pins nulls FIRST, so an
+      // explicit nulls-last order must keep the exact window (and its
+      // results — nulls rank LAST there)
+      val nl = spark.sql("SELECT rank() OVER (ORDER BY x ASC NULLS LAST) " +
+        "AS r FROM VALUES (CAST(NULL AS DOUBLE)), (1.0d), (2.0d) t(x)")
+      assert(!nl.queryExecution.optimizedPlan.toString.toLowerCase
+        .contains("kll"))
+      assert(nl.collect().map(_.getInt(0)).sorted.toSeq === Seq(1, 2, 3))
     } finally {
       spark.conf.unset(SketchRewrite.ConfKey)
       spark.experimental.extraOptimizations =

@@ -228,6 +228,33 @@ class AcidMmSpec extends SparkSpec {
     assert(graft.plans.Snapshots.table(spark, dst).read().count() === 12L)
   }
 
+  test("SQL surface edges: 2-arg hive_acid auto-detects MM, COMPACT " +
+      "takes an ABORTED id list (dropped before any fold), fractional " +
+      "rebalance counts are rejected cleanly") {
+    val dir = scratch()
+    AcidMm.appendDelta(spark, dir, 1L, rows(8))
+    AcidMm.appendDelta(spark, dir, 2L, rows(4, 100)) // will be aborted
+    AcidMm.appendDelta(spark, dir, 3L, rows(3, 200))
+    graft.plans.SnapshotSql.register(spark)
+    // the legacy flag concerns full-ACID update deltas only; an MM tree
+    // must still route through the MM reader (the 1-arg docstring's
+    // auto-detect claim holds for both arities)
+    assert(spark.sql(s"SELECT count(*) FROM hive_acid('$dir', false)")
+      .head().getLong(0) === 15L)
+    // minor compaction with write id 2 aborted: the junk delta is
+    // removed FIRST, so the folded span holds only committed rows
+    Engine.sql(spark, sfDir,
+      s"COMPACT HIVE ACID '$dir' 'minor' ABORTED (2)")
+    assert(names(dir) === Seq("delta_1_3"))
+    assert(AcidMm.read(spark, dir).count() === 11L)
+    // fractional bucket counts fail with a parse-quality message, not a
+    // NumberFormatException
+    val e = intercept[IllegalArgumentException] {
+      Engine.sql(spark, sfDir, s"COMPACT HIVE ACID '$dir' 'rebalance' 3.5")
+    }
+    assert(e.getMessage.contains("whole number"), e.getMessage)
+  }
+
   test("MM reads keep the pruned columnar path: filters and projection " +
       "push into the parquet scan (the full-ACID bridge can't)") {
     val dir = scratch()
