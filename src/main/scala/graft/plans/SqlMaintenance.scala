@@ -210,7 +210,7 @@ object SqlMaintenance {
   private type Handler = (SparkSession, Cursor) => Option[DataFrame]
   private def handlers: Seq[Handler] = Seq(
     hRestore, hOptimize, hVacuum, hAlterTable, hMatView, hReplicate,
-    hConvert, hAcidCompact, hExplain, hShow)
+    hConvert, hAcidCompact, hAcidOverwrite, hExplain, hShow)
 
   // state-rewriting table verbs require the table's UPDATE privilege
   // (RESTORE rolls state back, OPTIMIZE rewrites layout, VACUUM destroys
@@ -664,6 +664,42 @@ object SqlMaintenance {
           else graft.sources.AcidOrc.compact(spark, dir)
       }
       okDf(spark, s"$k compaction of $dir complete")
+    }
+  }
+
+  // OVERWRITE HIVE ACID '<dir>' [PARTITION '<k=v[/k2=v2]>'] WRITEID <n>
+  // AS <query>: INSERT OVERWRITE onto an insert-only (MM) transactional
+  // directory — lands the query's rows as a new `base_<n>` superseding
+  // every dir at or below it (the reference's MM insert-overwrite writes
+  // a base under the txn manager's next write id; here the id is
+  // explicit, like [[graft.sources.AcidMm.appendDelta]]). The embedded
+  // query gets the caller's read checks; writing raw warehouse files is
+  // admin-gated like COMPACT/CONVERT. Full-ACID trees are refused (their
+  // overwrite needs ROW__ID allocation — CONVERT to a snapshot table).
+  private def hAcidOverwrite(spark: SparkSession, c: Cursor): Option[DataFrame] = {
+    if (!c.kw("OVERWRITE", "HIVE", "ACID")) return None
+    for {
+      dir <- c.str()
+      part <- optClause(c.kw("PARTITION"))(c.str())
+      _ <- if (c.kw("WRITEID")) Some(()) else None
+      n <- c.num()
+      _ <- if (n.matches("""\d+""")) Some(()) else None
+      _ <- if (c.kw("AS")) Some(()) else None
+      q <- c.rest()
+    } yield {
+      Authz.requireAdmin(spark, "OVERWRITE HIVE ACID")
+      if (graft.sources.AcidMm.detectKind(spark, dir) == "full_acid")
+        throw new IllegalArgumentException(
+          s"$dir is a full-ACID tree; OVERWRITE HIVE ACID applies to " +
+            "insert-only (MM) tables — CONVERT it to a snapshot table " +
+            "for row-level DML")
+      Authz.checkQueryText(spark, q)
+      val df = spark.sql(q)
+      graft.sources.AcidMm.overwrite(spark, dir, n.toLong, df,
+        partSub = part.getOrElse(""))
+      okDf(spark, s"overwrote $dir" +
+        part.map(p => s" partition $p").getOrElse("") +
+        s" at write id $n")
     }
   }
 

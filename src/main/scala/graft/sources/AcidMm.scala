@@ -311,7 +311,11 @@ object AcidMm {
     if (w < 0) return
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    AcidOrc.walk(fs, root, "").foreach { s =>
+    // bounded-parallel wave over partitions (disjoint directories, one
+    // Spark job each) — a wide table must not compact one partition at
+    // a time, the shape the reference's per-partition compactor queries
+    // also avoid only by queue concurrency
+    AcidOrc.parallelMap(AcidOrc.walk(fs, root, "")) { s =>
       val already = s.originals.isEmpty &&
         s.rowDirs.map(_.getName).toList == List(s"base_$w")
       if (!already) {
@@ -374,12 +378,61 @@ object AcidMm {
         s"delta_${mn}_$mx", df, fmt)
       if (clean) ranged.foreach(r => fs.delete(r.dir, true))
     }
-    AcidOrc.walk(fs, root, "").foreach { s =>
+    // flatten to (partition, band) fold units, then run them as one
+    // bounded-parallel wave — disjoint target dirs, one Spark job each
+    val units = AcidOrc.walk(fs, root, "").flatMap { s =>
       val raw = s.rowDirs.flatMap(p => p.getName match {
         case DeltaRe(m, n) => Some(Range(m.toLong, n.toLong, p))
         case _ => None
       })
-      AcidOrc.floorBands(raw, floors).foreach(foldGroup(s.partSub, _))
+      AcidOrc.floorBands(raw, floors).map(s.partSub -> _)
+    }
+    AcidOrc.parallelMap(units) { case (sub, g) => foldGroup(sub, g) }
+  }
+
+  /** INSERT OVERWRITE: land `df` as a new `base_<writeId>` — the third MM
+    * operation (scaladoc above; the reference's MM insert-overwrite
+    * writes a base directory under the same write-id allocation as
+    * inserts). The read path supersedes everything at or below the base
+    * by directory selection alone, so covered deltas/bases/originals stay
+    * on disk for the cleaner (pass `clean = true` to drop them here,
+    * matching the compactors' default). `readChanges` ranges covering
+    * `writeId` emit nothing for the base — bases are snapshots, not
+    * insert events. For a partitioned table pass `partSub` ("k=v" or
+    * "k=v/k2=v2") to overwrite ONE partition — the reference's
+    * static-partition INSERT OVERWRITE; the whole-table form refuses a
+    * partitioned layout rather than silently nuking sibling partitions.
+    */
+  def overwrite(spark: SparkSession, table: String, writeId: Long,
+      df: DataFrame, format: String = "parquet", partSub: String = "",
+      clean: Boolean = false): Unit = {
+    require(writeId >= 1L, "write id 0 is reserved for pre-conversion files")
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) {
+      require(writeId > AcidOrc.maxWriteId(spark, table),
+        s"overwrite write id $writeId must exceed the table's current " +
+          s"maximum ${AcidOrc.maxWriteId(spark, table)}")
+      val states = AcidOrc.walk(fs, root, "")
+      require(states.forall(_.deleteDirs.isEmpty),
+        s"$table has delete_delta dirs — a full-ACID tree, not insert-only")
+      if (partSub.isEmpty)
+        require(states.forall(_.partSub.isEmpty),
+          s"$table is partitioned; pass partSub to overwrite one partition")
+    }
+    val dir = AcidOrc.partDir(table, partSub)
+    writeMmDir(spark, dir, s"base_$writeId", df, format)
+    if (clean) {
+      val pd = new Path(dir)
+      fs.listStatus(pd).filter(_.isDirectory).map(_.getPath).foreach { d =>
+        d.getName match {
+          case AcidOrc.BaseRe(n) if n.toLong < writeId => fs.delete(d, true)
+          case DeltaRe(_, n) if n.toLong < writeId => fs.delete(d, true)
+          case _ => ()
+        }
+      }
+      fs.listStatus(pd).filter(s => s.isFile && !hidden(s.getPath.getName))
+        .foreach(s => fs.delete(s.getPath, false)) // pre-conversion originals
     }
   }
 }

@@ -247,12 +247,14 @@ object AcidOrc {
     }
   }
 
-  /** Driver-side bounded-parallel map for footer metadata fetches (no
-    * scala-parallel-collections dependency). Bound: one wave of ≤16
-    * concurrent reads; total work stays O(inputs), only the latency is
-    * amortized.
+  /** Driver-side bounded-parallel map for footer metadata fetches and
+    * per-partition compaction waves (no scala-parallel-collections
+    * dependency). Bound: one wave of ≤16 concurrent tasks; total work
+    * stays O(inputs), only the latency is amortized. Safe for Spark
+    * actions — job submission is thread-safe and each compaction task
+    * touches a disjoint partition directory.
     */
-  private def parallelMap[A, B](in: Seq[A])(f: A => B): Seq[B] = {
+  private[sources] def parallelMap[A, B](in: Seq[A])(f: A => B): Seq[B] = {
     if (in.size <= 1) return in.map(f)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(16, in.size))
@@ -1125,10 +1127,12 @@ object AcidOrc {
         case r if r.isNullAt(0) => 1
         case r => r.getInt(0) + 1
       }
-      // driver rows bounded by the PARTITION count, not data
+      // driver rows bounded by the PARTITION count, not data; partitions
+      // compact as a bounded-parallel wave (disjoint directories, one
+      // Spark job each) — a 100k-partition table must not serialize
       val parts = live.select(col("_acid_part")).distinct()
         .collect().map(_.getString(0))
-      parts.foreach { p =>
+      parallelMap(parts.toSeq) { p =>
         val slice = live.where(col("_acid_part") === p)
         writeAcidFiles(spark, partDir(table, p), s"base_$w",
           slice.select(

@@ -273,6 +273,53 @@ class AcidMmSpec extends SparkSpec {
     assert(df.collect().map(_.getDouble(0)).toSeq === Seq(42.0))
   }
 
+  test("INSERT OVERWRITE (new base): supersedes prior deltas+base, " +
+      "readChanges straddling it emits nothing, stale/colliding write " +
+      "ids refused; partitioned form targets one partition") {
+    val dir = scratch()
+    AcidMm.appendDelta(spark, dir, 1L, rows(5))
+    AcidMm.compactMajor(spark, dir) // base_1
+    AcidMm.appendDelta(spark, dir, 2L, rows(3, 100))
+    AcidMm.overwrite(spark, dir, 3L, rows(2, 500))
+    assert(names(dir).contains("base_3"))
+    val got = AcidMm.read(spark, dir).collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === Seq(500L, 501L)) // everything below is shadowed
+    // a change range straddling the overwrite emits nothing for the base
+    // (bases are snapshots, not insert events) — only true deltas inside
+    assert(AcidMm.readChanges(spark, dir, 2L, 3L).count() === 0L)
+    assert(AcidMm.readChanges(spark, dir, 1L, 2L).count() === 3L)
+    // clean=true drops the covered dirs
+    AcidMm.overwrite(spark, dir, 4L, rows(1, 900), clean = true)
+    assert(names(dir) === Seq("base_4"))
+    // stale write id refused (must exceed the current max)
+    val e = intercept[IllegalArgumentException] {
+      AcidMm.overwrite(spark, dir, 4L, rows(1))
+    }
+    assert(e.getMessage.contains("must exceed"), e.getMessage)
+    // partitioned: the whole-table form refuses; PARTITION form lands in
+    // one k=v dir and sibling partitions are untouched
+    val pdir = scratch()
+    AcidMm.appendDelta(spark, s"$pdir/p=a", 1L, rows(4))
+    AcidMm.appendDelta(spark, s"$pdir/p=b", 1L, rows(4, 50))
+    intercept[IllegalArgumentException] {
+      AcidMm.overwrite(spark, pdir, 2L, rows(1))
+    }
+    AcidMm.overwrite(spark, pdir, 2L, rows(2, 700), partSub = "p=a")
+    val byPart = AcidMm.read(spark, pdir).collect()
+      .groupBy(_.getString(2)).view.mapValues(_.map(_.getLong(0)).sorted)
+    assert(byPart("a").toSeq === Seq(700L, 701L))
+    assert(byPart("b").toSeq === Seq(50L, 51L, 52L, 53L))
+    // SQL surface: OVERWRITE HIVE ACID ... WRITEID n AS <query>
+    graft.plans.SnapshotSql.register(spark)
+    val msg = Engine.sql(spark, sfDir,
+      s"OVERWRITE HIVE ACID '$pdir' PARTITION 'p=b' WRITEID 3 AS " +
+        "SELECT CAST(7 AS BIGINT) AS k, CAST(7.0 AS DOUBLE) AS v")
+      .head.getString(0)
+    assert(msg.contains("write id 3"), msg)
+    assert(spark.sql(s"SELECT count(*) FROM hive_acid('$pdir')")
+      .head().getLong(0) === 3L) // 2 in p=a + 1 overwritten p=b
+  }
+
   test("randomized MM op-sequence net: append/abort/minor/major always " +
       "reconstruct to the in-memory model") {
     val rnd = new scala.util.Random(20260815L)
@@ -281,12 +328,13 @@ class AcidMmSpec extends SparkSpec {
     var nextKey = 0L
     var aborted = Set.empty[Long]
     def nextW() = math.max(AcidOrc.maxWriteId(spark, dir) + 1, 1L)
-    (0 until 12).foreach { i =>
-      val op = if (i == 0) "append" else rnd.nextInt(10) match {
+    (0 until 14).foreach { i =>
+      val op = if (i == 0) "append" else rnd.nextInt(12) match {
         case 0 | 1 | 2 | 3 | 4 => "append"
         case 5 | 6 => "abort"
         case 7 | 8 => "minor"
-        case _ => "major"
+        case 9 => "major"
+        case _ => "overwrite"
       }
       op match {
         case "append" =>
@@ -313,6 +361,19 @@ class AcidMmSpec extends SparkSpec {
           AcidMm.compactMajor(spark, dir, clean = rnd.nextBoolean(),
             abortedWriteIds = aborted)
           aborted = Set.empty
+        case "overwrite" =>
+          // INSERT OVERWRITE: the table becomes exactly these rows; the
+          // new base shadows any still-uncleaned aborted deltas too
+          val m = 1 + rnd.nextInt(5)
+          import spark.implicits._
+          val rs = (0 until m).map { _ =>
+            nextKey += 1; (nextKey, rnd.nextInt(100).toDouble)
+          }
+          AcidMm.overwrite(spark, dir, nextW(), rs.toDF("k", "v"),
+            clean = rnd.nextBoolean())
+          model.clear()
+          rs.foreach { case (k, v) => model(k) = v }
+          aborted = Set.empty // all below the base — shadowed or cleaned
       }
       val got = AcidMm.read(spark, dir, abortedWriteIds = aborted)
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
