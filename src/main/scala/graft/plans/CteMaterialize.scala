@@ -19,12 +19,25 @@ import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias, 
   * This front-door rewrite (Engine.sql, gated by
   * `spark.graft.cte.materializeThreshold`, OFF by default to match
   * Spark's canonical inlining) evaluates each qualifying definition ONCE
-  * into a local checkpoint (Spark's temp-table analog: computed rows
-  * pinned as RDD blocks, released on GC) and substitutes every reference
-  * with a scan of the checkpoint. Definitions below the threshold inline
-  * exactly as CTESubstitution would. References resolve correctly in
-  * self-joins: the checkpointed relation is a `MultiInstanceRelation`,
-  * so the analyzer's DeduplicateRelations re-keys repeated instances.
+  * into a staged parquet directory — the same shape as Hive's temp-TABLE
+  * materialization, and the scale-safe one: the materialized rows live
+  * on the filesystem, not in executor memory, so they compete with
+  * nothing and survive executor loss (a localCheckpoint's blocks die
+  * with their executor and FAIL the query — non-recomputable lineage).
+  * Every reference substitutes with an ordinary pruned/vectorized scan
+  * of the staging dir. The rare frame parquet can't hold (NullType /
+  * interval columns) falls back to a localCheckpoint with the old
+  * caveat. Definitions below the threshold inline exactly as
+  * CTESubstitution would. References resolve correctly in self-joins:
+  * a parquet relation is a `MultiInstanceRelation`, so the analyzer's
+  * DeduplicateRelations re-keys repeated instances.
+  *
+  * Staging lifetime: Hive drops the temp table when the query completes;
+  * a lazy DataFrame has no statement-end hook, so staged dirs live under
+  * one session-scoped root (`spark.graft.cte.materializeDir`, default
+  * java.io.tmpdir/graft_cte_<sessionUUID>) deleted on JVM exit, and
+  * [[release]] drops them eagerly (callers that drain statements
+  * synchronously can call it between statements).
   *
   * Conservative by construction — a plan is left untouched (same
   * instance, so callers' `eq` fast paths hold) unless ALL of:
@@ -44,8 +57,59 @@ import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias, 
 object CteMaterialize {
 
   val ThresholdKey = "spark.graft.cte.materializeThreshold"
+  val DirKey = "spark.graft.cte.materializeDir"
 
   private def norm(s: String): String = s.toLowerCase(Locale.ROOT)
+
+  // session -> staged dirs, for eager release (weak keys: a dropped
+  // session's entry goes with it); the root dir is also registered for
+  // JVM-exit deletion the first time a session stages
+  private val staged =
+    new java.util.WeakHashMap[SparkSession, List[java.io.File]]()
+  private val hooked = scala.collection.mutable.Set[String]()
+
+  private def stagingRoot(spark: SparkSession): java.io.File =
+    new java.io.File(spark.conf.getOption(DirKey).getOrElse(
+      sys.props("java.io.tmpdir") + "/graft_cte_" +
+        spark.sparkContext.applicationId + "_" +
+        java.lang.Integer.toHexString(System.identityHashCode(spark))))
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmTree(_))
+    f.delete()
+  }
+
+  /** Drop every staging dir this session materialized (safe only once
+    * the statements that referenced them are fully consumed).
+    */
+  def release(spark: SparkSession): Unit = synchronized {
+    Option(staged.remove(spark)).getOrElse(Nil).foreach(rmTree(_))
+  }
+
+  /** Evaluate `df` once into a staged parquet dir and return a scan of
+    * it; frames parquet can't store fall back to a localCheckpoint.
+    */
+  private def materialize(spark: SparkSession,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val root = stagingRoot(spark)
+    val dir = new java.io.File(root, java.util.UUID.randomUUID().toString)
+    try {
+      df.write.parquet(dir.toString)
+      synchronized {
+        staged.put(spark,
+          dir :: Option(staged.get(spark)).getOrElse(Nil))
+        if (hooked.add(root.toString))
+          Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(root)))
+      }
+      spark.read.schema(df.schema).parquet(dir.toString)
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("does not support") =>
+        // NullType/interval columns: parquet refuses pre-execution, so
+        // nothing was written — pin rows as RDD blocks instead
+        df.localCheckpoint()
+    }
+  }
 
   def apply(spark: SparkSession, plan: LogicalPlan): LogicalPlan = {
     val threshold = spark.conf.getOption(ThresholdKey)
@@ -116,11 +180,12 @@ object CteMaterialize {
       val resolvedDef = subst(defPlan, map.toMap)
       map(norm(name)) =
         if (counts(norm(name)) >= threshold) {
-          // evaluate ONCE; the checkpointed relation replaces every
-          // reference (eager — Hive's materialization step is also an
-          // upfront execution of the definition)
-          org.apache.spark.sql.GraftShims.ofRows(spark, resolvedDef)
-            .localCheckpoint().queryExecution.logical
+          // evaluate ONCE; the staged relation replaces every reference
+          // (eager — Hive's materialization step is also an upfront
+          // execution of the definition)
+          materialize(spark,
+            org.apache.spark.sql.GraftShims.ofRows(spark, resolvedDef))
+            .queryExecution.logical
         } else resolvedDef
     }
     subst(w.child, map.toMap)

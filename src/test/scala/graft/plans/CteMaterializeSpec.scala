@@ -2,6 +2,7 @@ package graft.plans
 
 import graft.{Engine, SparkSpec}
 import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** Hive's CTE materialization (threshold-gated temp-table rewrite, ref
   * ql/parse/SemanticAnalyzer.java:1560,2256) on the Engine.sql front
@@ -10,6 +11,16 @@ import org.apache.spark.sql.execution.LogicalRDD
 class CteMaterializeSpec extends SparkSpec {
 
   private val Key = CteMaterialize.ThresholdKey
+
+  /** Staged-CTE parquet scans in an optimized plan (the materialized
+    * form is a filesystem relation now, not a LogicalRDD).
+    */
+  private def stagedScans(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.optimizedPlan.collect {
+      case r @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _)
+          if fs.location.rootPaths.exists(_.toString.contains("graft_cte_"))
+        => r
+    }
 
   /** Rows flowing through the definition body, via an accumulator UDF —
     * inline evaluation pays the body per reference, materialization once.
@@ -59,7 +70,8 @@ class CteMaterializeSpec extends SparkSpec {
           |SELECT count(*) AS n FROM (SELECT * FROM c UNION ALL SELECT * FROM c)"""
           .stripMargin)
       assert(df.queryExecution.optimizedPlan.collect {
-        case r: LogicalRDD => r }.isEmpty, "2 refs < threshold 3: no mat")
+        case r: LogicalRDD => r }.isEmpty && stagedScans(df).isEmpty,
+        "2 refs < threshold 3: no mat")
       assert(df.head().getLong(0) ===
         2 * Engine.sql(spark, sfDir, "SELECT count(*) FROM orders")
           .head().getLong(0))
@@ -86,8 +98,7 @@ class CteMaterializeSpec extends SparkSpec {
         .head().getLong(0)
       assert(r.getLong(2) === expect)
       assert(r.getLong(0) === expect) // keys unique -> self-join = same count
-      assert(df.queryExecution.optimizedPlan.collect {
-        case rdd: LogicalRDD => rdd }.nonEmpty, "materialized scans present")
+      assert(stagedScans(df).nonEmpty, "materialized scans present")
     } finally spark.conf.unset(Key)
   }
 
@@ -103,6 +114,52 @@ class CteMaterializeSpec extends SparkSpec {
       val r = df.head()
       assert(r.getLong(0) === r.getLong(1))
       assert(r.getLong(0) > 0)
+    } finally spark.conf.unset(Key)
+  }
+
+  test("materialized frames survive an executor-blocks drop: staged on " +
+      "the filesystem, not pinned as RDD blocks; release() cleans up") {
+    spark.conf.set(Key, "2")
+    try {
+      val df = Engine.sql(spark, sfDir,
+        """WITH c AS (SELECT o_orderkey AS k FROM orders)
+          |SELECT * FROM (SELECT count(*) AS n FROM c)
+          |UNION ALL
+          |SELECT * FROM (SELECT count(*) AS n FROM c WHERE k >= 0)"""
+          .stripMargin)
+      val scans = stagedScans(df)
+      assert(scans.nonEmpty, "expected a staged parquet scan")
+      // the localCheckpoint failure mode this guards against: dropping
+      // every cached/executor block must not lose the materialization
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      val rows = df.collect()
+      assert(rows.length === 2)
+      assert(rows.map(_.getLong(0)).distinct.toSeq ===
+        Seq(Engine.sql(spark, sfDir, "SELECT count(*) FROM orders")
+          .head().getLong(0)))
+      // release() drops the staged dirs
+      val dirs = scans.flatMap {
+        case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+          fs.location.rootPaths.map(p => new java.io.File(p.toUri.getPath))
+        case _ => Nil
+      }
+      assert(dirs.forall(_.exists()))
+      CteMaterialize.release(spark)
+      assert(dirs.forall(!_.exists()), "release() must delete staged dirs")
+    } finally spark.conf.unset(Key)
+  }
+
+  test("a NullType-bearing definition falls back to the checkpoint path " +
+      "and stays correct (parquet can't store void)") {
+    spark.conf.set(Key, "2")
+    try {
+      val r = Engine.sql(spark, sfDir,
+        """WITH c AS (SELECT o_orderkey AS k, NULL AS z FROM orders)
+          |SELECT count(*) FROM (SELECT k FROM c UNION ALL SELECT k FROM c)"""
+          .stripMargin).head().getLong(0)
+      assert(r === 2 * Engine.sql(spark, sfDir,
+        "SELECT count(*) FROM orders").head().getLong(0))
     } finally spark.conf.unset(Key)
   }
 
