@@ -55,6 +55,9 @@ object Engine {
       org.apache.logging.log4j.Level.ERROR)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     // Hive string<->numeric coercions need non-ANSI mode (SURVEY §7).
+    // (INSERT-side leniency is NOT a conf: LEGACY store assignment is
+    // disallowed for DSv2 writes — plans.LenientInsertCasts adds Hive's
+    // implicit casts per statement instead.)
     spark.conf.set("spark.sql.ansi.enabled", "false")
     // events.parquet carries TIMESTAMP(NANOS) which Spark has no native type
     // for: read as long and convert (see table()).
@@ -221,6 +224,7 @@ object Engine {
           .orElse(graft.plans.ScheduledQueries.maybeSql(spark, query,
             (s, q) => sql(s, sfDir, q)))
           .orElse(maybeRunHplsql(spark, sfDir, query))
+          .orElse(maybeCastFormat(spark, sfDir, query))
           .orElse(maybeCommaLimit(spark, sfDir, query))
           .getOrElse(spark.sql(query)) // surface the canonical parse error
       case Some(plan) =>
@@ -240,7 +244,11 @@ object Engine {
           val secured = graft.plans.Authz.applyPolicies(spark, plan0)
           val substituted = graft.plans.VirtualColumns.maybeSubstitute(
             graft.plans.OrderlessWindows(graft.plans.GroupingSetsDedup(
-              graft.plans.NamedTables.substitute(spark, secured))), query)
+              graft.plans.LenientInsertCasts(spark,
+                graft.plans.ViewColumnNames(spark,
+                  graft.plans.CtePartialAliases(spark,
+                    graft.plans.NamedTables.substitute(spark, secured)))))),
+            query)
           // LAST: materialization EXECUTES CTE definitions, which must
           // only happen after authz adjudicated and policies substituted
           val materialized = graft.plans.CteMaterialize(spark, substituted)
@@ -328,6 +336,84 @@ object Engine {
         if (parses) Some(sql(spark, sfDir, rewritten)) else None
       case _ => None
     }
+  }
+
+  /** SQL:2016 `CAST(x AS type FORMAT 'pattern')` (ref ql/udf/generic/
+    * GenericUDFCastFormat.java — Hive's parser lowers it to cast_format),
+    * a parse error to Spark: each occurrence rewrites to
+    * `cast_format(x, 'type', 'pattern')` via a balanced-paren scan
+    * (regexes can't hold nested parens in the operand) and the statement
+    * re-runs through this front door. Only fires when the original text
+    * failed to parse AND the rewrite parses — otherwise the canonical
+    * error against the user's text stands.
+    */
+  private def maybeCastFormat(spark: SparkSession, sfDir: String,
+      query: String): Option[DataFrame] = {
+    rewriteCastFormat(query).flatMap { rewritten =>
+      val parses =
+        try { spark.sessionState.sqlParser.parsePlan(rewritten); true }
+        catch { case scala.util.control.NonFatal(_) => false }
+      if (parses) Some(sql(spark, sfDir, rewritten)) else None
+    }
+  }
+
+  /** One pass of CAST...FORMAT rewriting; None when nothing matched. */
+  private[graft] def rewriteCastFormat(q: String): Option[String] = {
+    val CastRe = """(?i)\bCAST\s*\(""".r
+    val Tail =
+      """(?is)^\s*(\w+(?:\s*\(\s*\d+\s*\))?)\s+FORMAT\s+('(?:[^']|'')*')\s*$""".r
+    var changed = false
+    var out = q
+    var search = 0
+    var guard = 0
+    while (guard < 64) {
+      guard += 1
+      CastRe.findFirstMatchIn(out.substring(search)) match {
+        case None => return if (changed) Some(out) else None
+        case Some(m) =>
+          val open = search + m.end - 1 // index of '('
+          // balanced scan respecting '…' literals
+          var i = open + 1; var depth = 1
+          var lastTopAs = -1
+          while (i < out.length && depth > 0) {
+            out.charAt(i) match {
+              case '\'' => // skip the string literal ('' = escaped quote)
+                i += 1
+                while (i < out.length &&
+                    (out.charAt(i) != '\'' ||
+                      (i + 1 < out.length && out.charAt(i + 1) == '\''))) {
+                  i += (if (out.charAt(i) == '\'') 2 else 1)
+                }
+              case '(' => depth += 1
+              case ')' => depth -= 1
+              case 'a' | 'A' if depth == 1 &&
+                  out.regionMatches(true, i, "as", 0, 2) &&
+                  !Character.isLetterOrDigit(out.charAt(i - 1)) &&
+                  i + 2 < out.length &&
+                  !Character.isLetterOrDigit(out.charAt(i + 2)) &&
+                  out.charAt(i + 2) != '_' =>
+                lastTopAs = i
+              case _ => ()
+            }
+            i += 1
+          }
+          if (depth != 0) return if (changed) Some(out) else None
+          val close = i - 1
+          if (lastTopAs < 0) { search = open + 1 }
+          else out.substring(lastTopAs + 2, close) match {
+            case Tail(tpe, fmtLit) =>
+              val expr = out.substring(open + 1, lastTopAs).trim
+              val castStart = search + m.start
+              out = out.substring(0, castStart) +
+                s"cast_format($expr, '${tpe.replaceAll("\\s+", "")}', " +
+                s"$fmtLit)" + out.substring(close + 1)
+              changed = true
+              search = 0 // rescan from the top (indexes shifted)
+            case _ => search = open + 1
+          }
+      }
+    }
+    if (changed) Some(out) else None
   }
 
   /** Query-results caching (Hive's QueryResultsCache analog, see

@@ -1,0 +1,238 @@
+package graft.functions
+
+import java.util.Locale
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+
+/** SQL:2016 `CAST(<value> AS <type> FORMAT '<pattern>')` — the
+  * reference's `cast_format` (ref FunctionRegistry.java:650,
+  * ql/udf/generic/GenericUDFCastFormat.java, token table in
+  * common/format/datetime/HiveSqlDateTimeFormatter.java:422).
+  *
+  * Surface here: `cast_format(value, '<type>', '<pattern>')` where type
+  * is `string`, `char(n)`, `varchar(n)`, `date` or `timestamp` — the
+  * five output types the reference permits — plus the
+  * `CAST(x AS t FORMAT 'p')` spelling via the Engine front door.
+  *
+  * SQL:2016 tokens are CASE-INSENSITIVE and collide with Java's pattern
+  * letters in the worst way (`MM` is month in both, but SQL's `MI` is
+  * minute where Java's `mm` is; SQL's `mm` is MONTH), so translation is
+  * table-driven off a longest-match tokenizer, never string surgery on
+  * the raw pattern.
+  *
+  * Datetime→string builds a `concat` of per-token `date_format` pieces:
+  * that keeps everything codegen'd AND preserves the reference's output
+  * case rule for text tokens (`MON`→`JUL`, `Mon`→`Jul`, `mon`→`jul` —
+  * a single Java pattern can't express that). String→datetime builds
+  * one Spark datetime pattern and parses through `to_timestamp`/
+  * `to_date` semantics (NULL on unparseable input, Hive's behavior).
+  *
+  * Scope (documented, fail-loud): the exotic fill-rule tokens (`yyy`/
+  * `y`/`rr` on the PARSE side), ISO week-based years (`iyyy`/`iw` parse)
+  * and timezone fields (`tzh`/`tzm` — the reference refuses them on
+  * timestamps without zone too) raise an error rather than silently
+  * mis-translating.
+  */
+object CastFormat {
+
+  private case class Tok(sql: String, isText: Boolean)
+
+  /** Longest-match-first SQL:2016 token table (subset; see scaladoc). */
+  private val Tokens: Seq[String] = Seq(
+    "sssss", "month", "a.m.", "p.m.", "yyyy", "rrrr", "iyyy", "ff1", "ff2",
+    "ff3", "ff4", "ff5", "ff6", "ff7", "ff8", "ff9", "ddd", "mon", "day",
+    "tzh", "tzm", "hh24", "hh12", "yyy", "iyy", "yy", "rr", "iy", "mm",
+    "dd", "hh", "mi", "ss", "ff", "am", "pm", "dy", "ww", "iw", "id",
+    "q", "w", "d", "y", "i")
+    .sortBy(-_.length)
+
+  private val TextTokens = Set("mon", "month", "day", "dy", "am", "pm",
+    "a.m.", "p.m.")
+
+  /** Pattern → (token-or-literal) stream. Literals are separators
+    * (punctuation/space) and double-quoted runs; unknown letters are an
+    * error, as in the reference's formatter.
+    */
+  private def tokenize(pattern: String): Seq[scala.util.Either[String, String]] = {
+    val out = scala.collection.mutable.ArrayBuffer[scala.util.Either[String, String]]()
+    var i = 0
+    val lower = pattern.toLowerCase(Locale.ROOT)
+    while (i < pattern.length) {
+      val c = pattern.charAt(i)
+      if (c == '"') { // "quoted literal text" passes through verbatim
+        val end = pattern.indexOf('"', i + 1)
+        require(end >= 0, s"unterminated quoted literal in format: $pattern")
+        out += scala.util.Right(pattern.substring(i + 1, end))
+        i = end + 1
+      } else if (!c.isLetter) {
+        out += scala.util.Right(c.toString)
+        i += 1
+      } else {
+        Tokens.find(t => lower.startsWith(t, i)) match {
+          case Some(t) =>
+            out += scala.util.Left(pattern.substring(i, i + t.length))
+            i += t.length
+          case None => throw new IllegalArgumentException(
+            s"cast_format: unknown SQL:2016 token at '${pattern.substring(i)}'")
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Case rule for text tokens: output follows the PATTERN's case. */
+  private def cased(tok: String, e: Expression): Expression =
+    if (tok.forall(c => !c.isLetter || c.isUpper)) Upper(e)
+    else if (tok.charAt(0).isUpper) e // Java's MMM/EEE emit capitalized
+    else Lower(e)
+
+  private def fmt(x: Expression, p: String): Expression =
+    DateFormatClass(Cast(x, TimestampType), Literal(p))
+
+  private def pad2(e: Expression): Expression =
+    StringLPad(Cast(e, StringType), Literal(2), Literal("0"))
+
+  /** One token → one string-typed piece of the formatted output. */
+  private def piece(tokRaw: String, x: Expression): Expression = {
+    val tok = tokRaw.toLowerCase(Locale.ROOT)
+    tok match {
+      case "yyyy" | "rrrr" => fmt(x, "yyyy")
+      case "yyy" => Substring(fmt(x, "yyyy"), Literal(2), Literal(3))
+      case "yy" | "rr" => Substring(fmt(x, "yyyy"), Literal(3), Literal(2))
+      case "y" => Substring(fmt(x, "yyyy"), Literal(4), Literal(1))
+      case "mm" => fmt(x, "MM")
+      case "dd" => fmt(x, "dd")
+      case "ddd" => fmt(x, "DDD")
+      case "hh" | "hh12" => fmt(x, "hh")
+      case "hh24" => fmt(x, "HH")
+      case "mi" => fmt(x, "mm")
+      case "ss" => fmt(x, "ss")
+      case "sssss" => // second of day, 5 digits (Hive zero-pads)
+        val t = Cast(x, TimestampType)
+        StringLPad(Cast(
+          Add(Add(Multiply(Hour(t), Literal(3600)),
+            Multiply(Minute(t), Literal(60))), Second(t)),
+          StringType), Literal(5), Literal("0"))
+      case f if f.startsWith("ff") =>
+        val digits = if (f == "ff") 6 else f.substring(2).toInt
+        // Spark timestamps are micros: truncate/pad to the asked width
+        fmt(x, "S" * math.min(digits, 6)) match {
+          case s if digits > 6 =>
+            Concat(Seq(s, Literal("0" * (digits - 6))))
+          case s => s
+        }
+      case "am" | "pm" => cased(tokRaw, fmt(x, "a"))
+      case "a.m." | "p.m." =>
+        val a = fmt(x, "a")
+        cased(tokRaw, Concat(Seq(
+          Substring(a, Literal(1), Literal(1)), Literal("."),
+          Substring(a, Literal(2), Literal(1)), Literal("."))))
+      case "mon" => cased(tokRaw, fmt(x, "MMM"))
+      case "month" => cased(tokRaw, fmt(x, "MMMM"))
+      case "dy" => cased(tokRaw, fmt(x, "EEE"))
+      case "day" => cased(tokRaw, fmt(x, "EEEE"))
+      case "q" => Cast(Quarter(Cast(x, DateType)), StringType)
+      case "ww" => // aligned week of year: ((dayOfYear-1)/7)+1, 2 digits
+        pad2(Add(IntegralDivide(
+          Subtract(DayOfYear(Cast(x, DateType)), Literal(1)),
+          Literal(7), evalMode = EvalMode.LEGACY), Literal(1L)))
+      case "w" => // aligned week of month
+        Cast(Add(IntegralDivide(
+          Subtract(DayOfMonth(Cast(x, DateType)), Literal(1)),
+          Literal(7), evalMode = EvalMode.LEGACY), Literal(1L)), StringType)
+      case "iw" => pad2(WeekOfYear(Cast(x, DateType)))
+      case "id" => // ISO day of week, Monday = 1
+        Cast(Add(WeekDay(Cast(x, DateType)), Literal(1)), StringType)
+      case "d" => // Sunday-start day of week 1..7
+        Cast(DayOfWeek(Cast(x, DateType)), StringType)
+      case "tzh" | "tzm" => throw new IllegalArgumentException(
+        "cast_format: TZH/TZM need a zoned timestamp — the reference " +
+          "refuses them on timestamp too (GenericUDFCastFormat TIMESTAMPLOCALTZ check)")
+      case other => throw new IllegalArgumentException(
+        s"cast_format: token '$other' is not supported for output formatting")
+    }
+  }
+
+  /** String→datetime: one Spark datetime-pattern string. Width-faithful
+    * for adjacent digit runs (`hh24miss`), single-token widths otherwise
+    * match the reference's digit-greedy reads closely enough for the
+    * delimited patterns its tests use.
+    */
+  private def parsePattern(pattern: String): String = {
+    val sb = new StringBuilder
+    tokenize(pattern).foreach {
+      case scala.util.Right(lit) =>
+        if (lit.exists(_.isLetter)) sb.append("'").append(lit).append("'")
+        else sb.append(lit)
+      case scala.util.Left(tokRaw) =>
+        val tok = tokRaw.toLowerCase(Locale.ROOT)
+        sb.append(tok match {
+          case "yyyy" | "rrrr" => "yyyy"
+          case "yy" => "yy"
+          case "mm" => "MM"
+          case "dd" => "dd"
+          case "ddd" => "DDD"
+          case "hh" | "hh12" => "hh"
+          case "hh24" => "HH"
+          case "mi" => "mm"
+          case "ss" => "ss"
+          case f if f.startsWith("ff") => "S" * 6
+          case "am" | "pm" => "a"
+          case "mon" => "MMM"
+          case "month" => "MMMM"
+          case "dy" => "EEE"
+          case "day" => "EEEE"
+          case other => throw new IllegalArgumentException(
+            s"cast_format: token '$other' is not supported for parsing " +
+              "(the reference's year fill rules for yyy/y/rr diverge " +
+              "from positional parses — spell the full-width token)")
+        })
+    }
+    sb.toString
+  }
+
+  /** Build the cast_format expression. `targetType` is a literal type
+    * spelling: string | char(n) | varchar(n) | date | timestamp.
+    */
+  def build(args: Seq[Expression]): Expression = {
+    require(args.size == 3,
+      "cast_format(value, 'type', 'format') takes three arguments")
+    val value = args.head
+    def litStr(e: Expression, what: String): String = e match {
+      case Literal(s, StringType) if s != null => s.toString
+      case _ => throw new IllegalArgumentException(
+        s"cast_format: $what must be a string literal")
+    }
+    val typeSpec = litStr(args(1), "the target type").trim
+      .toLowerCase(Locale.ROOT)
+    val pattern = litStr(args(2), "the format pattern")
+    val CharRe = """char\s*\(\s*(\d+)\s*\)""".r
+    val VarcharRe = """varchar\s*\(\s*(\d+)\s*\)""".r
+    typeSpec match {
+      case "string" => formatted(value, pattern)
+      case VarcharRe(n) => // truncate to n
+        Substring(formatted(value, pattern), Literal(1), Literal(n.toInt))
+      case CharRe(n) => // truncate AND right-pad to n (CHAR semantics)
+        StringRPad(Substring(formatted(value, pattern), Literal(1),
+          Literal(n.toInt)), Literal(n.toInt), Literal(" "))
+      case "timestamp" =>
+        new ParseToTimestamp(Cast(value, StringType),
+          Literal(parsePattern(pattern)))
+      case "date" =>
+        new ParseToDate(Cast(value, StringType),
+          Literal(parsePattern(pattern)))
+      case other => throw new IllegalArgumentException(
+        s"cast_format: unsupported target type '$other' (string, " +
+          "char(n), varchar(n), date, timestamp)")
+    }
+  }
+
+  private def formatted(value: Expression, pattern: String): Expression = {
+    val pieces = tokenize(pattern).map {
+      case scala.util.Right(lit) => Literal(lit): Expression
+      case scala.util.Left(tok) => piece(tok, value)
+    }
+    if (pieces.size == 1) pieces.head else Concat(pieces)
+  }
+}

@@ -109,6 +109,33 @@ object HiveFunctions {
         StringReplace(args.head, Literal("'"), Literal("\\'")), Literal("'")))
     }
 
+    // array_slice(arr, start, length) with a 0-BASED start (ref udf/
+    // generic/GenericUDFArraySlice.java; udf_array_slice.q.out pins
+    // slice(array(1,2,3,null,3,4),2,2) = [3,null]) — Spark's slice is
+    // 1-based and doesn't register this name.
+    fn("array_slice") { args =>
+      require(args.size == 3, "array_slice(array, start, length)")
+      Slice(args(0), Add(args(1), Literal(1)), args(2))
+    }
+
+    // Hive's array_join diverges from Spark's builtin two ways (ref udf/
+    // generic/GenericUDFArrayJoin.java; udf_array_join.q.out): an EMPTY
+    // array answers NULL (Spark: ''), and any element type is accepted
+    // (inner values render via their string cast; Spark demands
+    // array<string>).
+    fn("array_join") { args =>
+      require(args.size == 2 || args.size == 3,
+        "array_join(array, delimiter[, nullReplacement])")
+      val arr = args.head
+      val asStrings = Cast(arr,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType))
+      CaseWhen(Seq((EqualTo(Size(arr), Literal(0)),
+        Literal(null, org.apache.spark.sql.types.StringType))),
+        Some(ArrayJoin(asStrings, args(1),
+          if (args.size == 3) Some(args(2)) else None)))
+    }
+
     // istrue/isnottrue/isfalse/isnotfalse (FunctionRegistry.java:485-488).
     fn("istrue")(args => EqualNullSafe(args.head, Literal(true)))
     fn("isnottrue")(args => Not(EqualNullSafe(args.head, Literal(true))))
@@ -120,6 +147,25 @@ object HiveFunctions {
       args.tail.map(p => Like(args.head, p, '\\'): Expression).reduce(Or))
     fn("likeall")(args =>
       args.tail.map(p => Like(args.head, p, '\\'): Expression).reduce(And))
+
+    // Hive's add_months snaps END-OF-MONTH: when the start date is its
+    // month's last day, the result is the RESULT month's last day (ref
+    // udf/generic/GenericUDFAddMonths.java via DateTimeMath — pinned by
+    // udf_add_months.q.out: add_months('2015-02-28', 12) = 2016-02-29,
+    // add_months('2016-02-29', -1) = 2016-01-31). Spark only clamps
+    // day-overflow, so Feb 28 + 12 months answers Feb 28.
+    fn("add_months") { args =>
+      require(args.size == 2, "add_months(start_date, num_months)")
+      val d = Cast(args.head, org.apache.spark.sql.types.DateType)
+      val moved = AddMonths(d, args(1))
+      CaseWhen(Seq((EqualTo(d, LastDay(d)), LastDay(moved))), Some(moved))
+    }
+    alias("sha", "sha1") // FunctionRegistry.java: sha == sha1
+
+    // SQL:2016 CAST ... FORMAT (FunctionRegistry.java:650, ref ql/udf/
+    // generic/GenericUDFCastFormat.java) — see [[CastFormat]]; the
+    // `CAST(x AS t FORMAT 'p')` spelling rewrites here via Engine.sql.
+    fn("cast_format")(args => CastFormat.build(args))
 
     // to_epoch_milli (FunctionRegistry.java:650) = unix millis of a timestamp.
     fn("to_epoch_milli")(args => UnixMillis(Cast(args.head, org.apache.spark.sql.types.TimestampType)))
@@ -262,7 +308,14 @@ object HiveFunctions {
     fn("surrogate_key")(_ => MonotonicallyIncreasingID())
     fn("version")(_ => Literal("graft-0.1.0 (spark " +
       org.apache.spark.SPARK_VERSION + ")"))
-    alias("murmur_hash", "hash")
+    alias("murmur_hash", "hash") // Hive's murmur_hash IS Murmur3 (captured
+    // BEFORE the next line replaces the name). Hive's bare hash() is the
+    // Java-style ObjectInspectorUtils.hashCode (ref serde2/objectinspector/
+    // ObjectInspectorUtils.java:hashCode; udf/generic/GenericUDFHash.java) —
+    // Spark ships that exact algorithm as HiveHash (bucketing compat), so
+    // the SQL name gets Hive semantics while functions.hash stays Murmur3.
+    // The auto_join qtest family's sum(hash(...)) transcripts pin it.
+    fn("hash")(args => HiveHash(args))
 
     // ngrams / context_ngrams UDAFs + DataSketches family
     NGramAggregates.register(spark)

@@ -96,6 +96,18 @@ private[plans] object PartitionTransforms {
     * is Spark's murmur3 pmod — the same hash the engine's bucketed
     * layouts use, so the pruning side can replay it on a literal.
     */
+  /** Spark's Murmur3 hash built DIRECTLY as a Catalyst expression. The
+    * engine re-binds the SQL name `hash` to Hive's Java-style hashCode
+    * (HiveFunctions, pinned by the auto_join conformance transcripts),
+    * and Spark 4's `functions.hash` resolves through that registry — so
+    * every bucket-placement site (which MUST stay aligned with
+    * HashPartitioning's Murmur3) builds the expression here instead.
+    */
+  def murmur3(cols: Column*): Column =
+    org.apache.spark.sql.GraftShims.column(
+      new org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
+        cols.map(org.apache.spark.sql.GraftShims.expression)))
+
   def valueColumn(s: Spec, dt: DataType): Column = {
     val c = col(s.src)
     s.kind match {
@@ -103,7 +115,7 @@ private[plans] object PartitionTransforms {
       case "month" => date_format(c.cast(TimestampType), "yyyy-MM")
       case "day" => date_format(c.cast(TimestampType), "yyyy-MM-dd")
       case "hour" => date_format(c.cast(TimestampType), "yyyy-MM-dd-HH")
-      case "bucket" => pmod(hash(c), lit(s.arg))
+      case "bucket" => pmod(murmur3(c), lit(s.arg))
       case "trunc" => dt match {
         case StringType => substring(c, 1, s.arg)
         case _ => c - pmod(c, lit(s.arg))

@@ -591,7 +591,10 @@ object Snapshots {
       val toWrite = bCfg match {
         case Some(b) =>
           val base = stagedDf.withColumn(GbCol,
-            pmod(hash(b.cols.map(col): _*), lit(b.n)))
+            // NEVER functions.hash: it resolves through the SQL registry,
+            // where `hash` is Hive's hashCode (HiveFunctions) — placement
+            // must equal HashPartitioning's Murmur3 (task == bucket)
+            pmod(PartitionTransforms.murmur3(b.cols.map(col): _*), lit(b.n)))
           if (preserveLayout)
             // the caller (clusterBy/zOrderBy) owns the PARTITION layout,
             // but intra-file order is free — sortWithinPartitions never

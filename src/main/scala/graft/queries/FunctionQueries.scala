@@ -151,7 +151,9 @@ object FunctionQueries {
         |  CAST(weekofyear(o_orderdate) AS INT) AS woy,
         |  CAST(dayofyear(o_orderdate) AS INT) AS doy,
         |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS mon_start,
-        |  strftime(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE), '%Y-%m-%d') AS plus3m,
+        |  strftime(CASE WHEN CAST(o_orderdate AS DATE) = last_day(CAST(o_orderdate AS DATE))
+        |    THEN last_day(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE))
+        |    ELSE CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) END, '%Y-%m-%d') AS plus3m,
         |  strftime(CAST(o_orderdate + INTERVAL 30 DAY AS DATE), '%Y-%m-%d') AS plus30d,
         |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS eom,
         |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INT) AS dd,
@@ -839,6 +841,30 @@ object FunctionQueries {
         |  CAST(extract(DAY FROM o_orderdate) AS INT) AS d,
         |  CAST(extract(HOUR FROM o_orderdate) AS INT) AS h
         |FROM orders WHERE o_orderkey < 250 ORDER BY o_orderkey""".stripMargin)),
+
+    // SQL:2016 CAST ... FORMAT (ref GenericUDFCastFormat) through the
+    // Engine front door — format AND parse directions; the oracle is
+    // DuckDB strftime with the equivalent C tokens.
+    q("f36_cast_format",
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS iso,
+        |  strftime(o_orderdate, '%m/%d/%Y') AS us,
+        |  upper(strftime(o_orderdate, '%d-%b-%Y')) AS orcl,
+        |  strftime(o_orderdate, '%Y-%m') AS ym,
+        |  strftime(o_orderdate, '%A') AS dayname,
+        |  '2009-07-30' AS parsed
+        |FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""".stripMargin
+    ) { (spark, dir) =>
+      Engine.sql(spark, dir,
+        """SELECT o_orderkey,
+          |  CAST(o_orderdate AS STRING FORMAT 'yyyy-MM-dd') AS iso,
+          |  CAST(o_orderdate AS STRING FORMAT 'MM/dd/yyyy') AS us,
+          |  CAST(o_orderdate AS STRING FORMAT 'DD-MON-YYYY') AS orcl,
+          |  CAST(o_orderdate AS varchar(7) FORMAT 'yyyy-mm') AS ym,
+          |  cast_format(o_orderdate, 'string', 'Day') AS dayname,
+          |  CAST(CAST('07/30/2009' AS DATE FORMAT 'MM/dd/yyyy') AS STRING) AS parsed
+          |FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""".stripMargin)
+    },
 
     // try_* error-safe functions (null-on-error — the engine-wide non-ANSI
     // coercion story made explicit): try_cast, try_divide, try_element_at,

@@ -73,7 +73,7 @@ class SnapshotBucketSpec extends SparkSpec {
       val seg = f.split('/').find(_.startsWith("graftbucket=")).get
       assert(tag.get === seg.stripPrefix("graftbucket=").toInt)
       val bad = spark.read.parquet(t.root + "/" + f)
-        .filter(pmod(hash(col(keyCol)), lit(n)) =!= lit(tag.get))
+        .filter(pmod(PartitionTransforms.murmur3(col(keyCol)), lit(n)) =!= lit(tag.get))
         .limit(1).count()
       assert(bad === 0L, s"rows in $f hash outside bucket ${tag.get}")
     }
@@ -364,7 +364,7 @@ class SnapshotBucketSpec extends SparkSpec {
     a.latest().files.foreach { f =>
       val tag = BucketingUtils.getBucketId(f.split('/').last).get
       val bad = spark.read.parquet(rootA + "/" + f)
-        .filter(pmod(hash(col("k"), col("grp")), lit(4)) =!= lit(tag))
+        .filter(pmod(PartitionTransforms.murmur3(col("k"), col("grp")), lit(4)) =!= lit(tag))
         .limit(1).count()
       assert(bad === 0L, s"rows in $f hash outside composite bucket $tag")
     }
