@@ -115,4 +115,111 @@ class QtestNegativeSpec extends QtestHarness {
       "SELECT 3 IN (array(1, 2, 3)) FROM qt_src",
       "data type mismatch", "INT", "type")
   }
+
+  // ------------------------------------------------------------ wave 2
+
+  test("negative qtest wave 2: casting FROM binary to a numeric refuses") {
+    refuses("invalid_cast_from_binary_1.q",
+      "SELECT CAST(CAST(value AS BINARY) AS INT) FROM qt_src",
+      "cannot cast", "CAST", "binary")
+    // invalid_cast_to_binary_*.q deliberately NOT here: Spark's legacy
+    // cast renders an int's bytes where Hive refuses — a documented
+    // widening, not a silent wrong answer
+  }
+
+  test("negative qtest wave 2: DISTINCT inside non-aggregates and " +
+      "malformed aggregate calls refuse") {
+    refuses("invalid_distinct2.q",
+      "SELECT explode(DISTINCT value) FROM qt_src",
+      "DISTINCT", "syntax", "PARSE")
+    refuses("invalid_distinct3.q",
+      "SELECT hash(upper(DISTINCT value)) FROM qt_src",
+      "DISTINCT", "syntax", "PARSE")
+    refuses("invalid_max_syntax.q",
+      "SELECT max(*) FROM qt_src",
+      "max", "*", "syntax", "PARSE", "expects")
+    refuses("udf_elt_wrong_args_len.q",
+      "SELECT elt(3) FROM qt_src",
+      "elt", "argument", "parameter")
+    refuses("udf_min.q",
+      """SELECT min(map("key", key, "value", value)) FROM qt_src""",
+      "map", "orderable", "ordering", "type")
+  }
+
+  test("negative qtest wave 2: malformed DDL and unknown tables refuse") {
+    refuses("invalid_create_tbl2.q",
+      "create tabl tmp_zshao_22 (id int, name strin",
+      "syntax", "PARSE")
+    refuses("analyze_non_existent_tbl.q",
+      "analyze table nonexistent compute statistics",
+      "not found", "nonexistent", "TABLE_OR_VIEW")
+    refuses("selectDistinctStarNeg_1.q",
+      "create temporary view v_neg_dup as select distinct * " +
+        "from qt_src join qt_src1 on qt_src.key = qt_src1.key",
+      "duplicate", "COLUMN_ALREADY_EXISTS", "ambiguous")
+  }
+
+  test("negative qtest wave 2: a multi-row scalar subquery refuses at " +
+      "runtime") {
+    refuses("subquery_scalar_multi_rows.q",
+      "select p_name from qt_part where p_size > " +
+        "(select p_size from qt_part)",
+      "more than one row", "MULTI", "single")
+    // subquery_select_aggregate.q deliberately NOT here: an aggregate
+    // over a correlated scalar subquery is well-defined and this engine
+    // computes it — Hive's refusal is an implementation limitation
+  }
+
+  test("negative qtest wave 2: type-mismatched INSERT and union refuse " +
+      "even under Hive's lenient store assignment") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS qneg")
+    spark.sql("DROP TABLE IF EXISTS qneg.wrong_col_t")
+    spark.sql("CREATE TABLE qneg.wrong_col_t(a float) USING parquet")
+    try refuses("wrong_column_type.q",
+      "INSERT OVERWRITE TABLE qneg.wrong_col_t " +
+        "SELECT array(1.0, 2.0) FROM qt_src",
+      "cannot", "cast", "incompatible")
+    finally spark.sql("DROP TABLE IF EXISTS qneg.wrong_col_t")
+    refuses("union2.q",
+      "SELECT sum(v) FROM (SELECT array('1') AS v FROM qt_src " +
+        "UNION ALL SELECT value AS v FROM qt_src) u",
+      "compatible", "type", "UNION")
+  }
+
+  test("negative qtest wave 2: CLUSTER/ORDER/SORT misuse refuses") {
+    refuses("clustern2.q",
+      "SELECT x.key, x.value as v1, y.* FROM qt_src x JOIN qt_src y " +
+        "ON (x.key = y.key) CLUSTER BY key",
+      "ambiguous", "AMBIGUOUS")
+    refuses("orderbysortby.q",
+      "SELECT key, value FROM qt_src ORDER BY key SORT BY value",
+      "ORDER BY", "SORT BY", "syntax", "PARSE")
+    refuses("regex_col_1.q",
+      "SELECT `+++` FROM qt_srcpart",
+      "+++", "cannot be resolved", "UNRESOLVED", "syntax")
+    refuses("lateral_view_join.q",
+      "SELECT src.key FROM qt_src src LATERAL VIEW " +
+        "explode(array(1,2,3)) myTable AS c JOIN qt_src b ON src.key",
+      "boolean", "type", "condition", "syntax")
+  }
+
+  test("negative qtest wave 2: window/PTF misuse refuses") {
+    // ptf_negative_DistributeByOrderBy.q deliberately NOT here: Spark's
+    // grammar accepts DISTRIBUTE BY as a PARTITION BY synonym inside
+    // OVER — a strict widening of Hive's surface
+    refuses("ptf_negative_AggrFuncsWithNoGBYNoPartDef.q",
+      "select p_mfgr, sum(p_retailprice) as s1 from qt_part",
+      "GROUP BY", "aggregate", "grouping")
+    refuses("ptf_window_boundaries.q",
+      "select p_mfgr, p_name, p_size, sum(p_retailprice) over " +
+        "(rows unbounded following) as s1 from qt_part",
+      "frame", "following", "syntax", "boundary")
+  }
+
+  test("negative qtest wave 2: dynamic-partition INSERT misuse refuses") {
+    refuses("insertover_dynapart_ifnotexists.q",
+      "insert overwrite table destpart_dp partition (ds='2008-04-08', hr) " +
+        "if not exists select key, value, hr from qt_srcpart",
+      "IF NOT EXISTS", "dynamic", "syntax")
+  }
 }
