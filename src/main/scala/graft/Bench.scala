@@ -63,6 +63,15 @@ object Bench {
       "host, /tmp cleaned) -- single-run matched-22 readings carry ~15% " +
       "host-duty-cycle noise on this box; compare rounds by the BAND, " +
       "not the point value"),
+    "r15_writepath_validity" -> ("the r13->r14 upticks on " +
+      "p37_semantic_dedup (1.402->1.653), snapshot_versioned_roundtrip " +
+      "(2.218->2.632) and dml_pruned_roundtrip (2.006->2.298) are host " +
+      "drift, not regressions: bisected in r15 by benching the SAME three " +
+      "queries on the r13 CODE (commit 57d6409) on today's host -- r13 " +
+      "code measured 2.025 / 2.908 / 2.701 vs HEAD's 1.824 / 2.736 / " +
+      "2.424 (min of three 3-pass sessions each), i.e. HEAD is ~7-10% " +
+      "FASTER than r13 code under identical conditions; the elevation " +
+      "vs the recorded r13 minima lives entirely in the environment"),
     "r14_q01_validity" -> ("r13's q01_tpch_q1 uptick (1.191 -> 1.466) " +
       "was host jitter, not a regression: re-measured 3x in r14 on " +
       "unchanged q01 code/plan, minima 1.231 / 1.312 / 1.414 -- the best " +
