@@ -237,6 +237,7 @@ object Engine {
         // references FIRST so authz's positional CTE scope, the DML
         // compiler, and Spark's substitution all see dependency order
         val plan0 = graft.plans.CteForwardRefs(plan)
+        graft.plans.TypeLimits.check(plan0)
         graft.plans.Authz.guardSetPlan(spark, plan0)
         graft.plans.Authz.checkStatement(spark, plan0)
         val gated = graft.plans.Authz.applyPoliciesToDmlSources(spark, plan0)

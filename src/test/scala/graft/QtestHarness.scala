@@ -62,6 +62,8 @@ object QtestHarness {
         .withColumn("hr", lit(hr)) }
       .reduce(_ unionByName _)
     val t1 = kv(s"$refData/T1.txt", "", Seq("key", "val"))
+    val t2 = kv(s"$refData/T2.txt", "", Seq("key", "val"))
+    val t3 = kv(s"$refData/T3.txt", "", Seq("key", "val"))
     val gsets = kv(s"$refData/grouping_sets.txt", " ", Seq("a", "b", "c"))
     val part = spark.read.option("sep", "")
       .csv(s"$refData/tpch/tiny/part.tbl.bz2")
@@ -173,7 +175,8 @@ object QtestHarness {
     val alltypesorc = spark.read.orc(s"$refData/alltypesorc")
     val all = Map(
       "qt_src" -> src, "qt_src1" -> src1, "qt_srcpart" -> srcpart,
-      "qt_t1" -> t1, "qt_gsets" -> gsets, "qt_part" -> part,
+      "qt_t1" -> t1, "qt_t2" -> t2, "qt_t3" -> t3,
+      "qt_gsets" -> gsets, "qt_part" -> part,
       "qt_sales" -> sales, "qt_things" -> things,
       "qt_t1sj" -> t1sj, "qt_t2sj" -> t2sj, "qt_t3sj" -> t3sj,
       "qt_t4sj" -> t4sj, "qt_lvarr" -> lvarr, "qt_avalued" -> avalued,

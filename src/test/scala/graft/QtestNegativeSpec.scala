@@ -216,6 +216,20 @@ class QtestNegativeSpec extends QtestHarness {
       "frame", "following", "syntax", "boundary")
   }
 
+  test("negative qtest wave 2: Hive's CHAR/VARCHAR length bounds refuse") {
+    refuses("invalid_char_length_1.q",
+      "create table qneg_char_t (c1 char(1000000)) USING parquet",
+      "255", "char")
+    refuses("invalid_char_length_3.q",
+      "create table qneg_char_t (c1 char(0)) USING parquet",
+      "between 1", "char", "length")
+    refuses("invalid_varchar_length_1.q",
+      "create table qneg_char_t (c1 varchar(100000)) USING parquet",
+      "65535", "varchar")
+    // the CAST spelling is out of reach: Spark's parser rewrites a cast's
+    // char/varchar target to string before any plan is visible
+  }
+
   test("negative qtest wave 2: dynamic-partition INSERT misuse refuses") {
     refuses("insertover_dynapart_ifnotexists.q",
       "insert overwrite table destpart_dp partition (ds='2008-04-08', hr) " +
