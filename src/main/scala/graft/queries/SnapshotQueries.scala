@@ -479,5 +479,39 @@ object SnapshotQueries {
            |                FROM hive_acid('$textRoot')) t
            |  ON m.o_orderkey = t.ex
            |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    },
+
+    // MM INSERT OVERWRITE (the third MM operation): two committed insert
+    // deltas, then the OVERWRITE HIVE ACID SQL verb lands a new base that
+    // supersedes everything below it — the read answers ONLY the
+    // overwrite's rows, and a change-read range straddling the overwrite
+    // emits nothing (bases are snapshots, not insert events; asserted by
+    // folding its count into the result). Oracle replays the overwrite's
+    // predicate.
+    q("s42_mm_overwrite",
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS total,
+        |  0 AS straddle_rows
+        |FROM orders WHERE o_orderkey % 5 = 0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import graft.sources.AcidMm
+      graft.plans.SnapshotSql.register(spark)
+      val orders = Engine.table(spark, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      val root = scratch()
+      AcidMm.appendDelta(spark, root, 1L, orders.where($"o_orderkey" % 3 === 0))
+      AcidMm.appendDelta(spark, root, 2L, orders.where($"o_orderkey" % 3 === 1))
+      Engine.sql(spark, dir,
+        s"OVERWRITE HIVE ACID '$root' WRITEID 3 AS " +
+          "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders " +
+          "WHERE o_orderkey % 5 = 0")
+      val straddle = AcidMm.readChanges(spark, root, 2L, 3L).count()
+      spark.sql(
+        s"""SELECT o_orderstatus, count(*) AS n,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS total,
+           |  CAST($straddle AS INT) AS straddle_rows
+           |FROM hive_acid('$root')
+           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     })
 }
