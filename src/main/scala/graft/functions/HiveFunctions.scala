@@ -162,6 +162,26 @@ object HiveFunctions {
     }
     alias("sha", "sha1") // FunctionRegistry.java: sha == sha1
 
+    // Hive's aes_encrypt/aes_decrypt are DETERMINISTIC AES/ECB/PKCS5 with
+    // 16/24/32-byte keys, answering NULL for a bad key or input (ref udf/
+    // generic/GenericUDFAesEncrypt.java, udf_aes_encrypt.q.out) — Spark's
+    // default is random-IV GCM (non-deterministic, never Hive-comparable)
+    // and raises on a bad key. The 2-arg Hive spelling pins ECB/PKCS and
+    // wraps in TryEval for the NULL contract; 3+-arg calls keep Spark's
+    // own modes.
+    def hiveAes(name: String,
+        make: (Expression, Expression) => Expression): Unit =
+      fn(name) { args =>
+        if (args.size != 2) throw new IllegalArgumentException(
+          s"$name(input, key) — Hive's 2-argument form (ECB); use Spark's " +
+            "native modes via explicit mode/padding arguments")
+        TryEval(make(args.head, args(1)))
+      }
+    hiveAes("aes_encrypt", (in, key) => new AesEncrypt(in, key,
+      Literal("ECB"), Literal("PKCS")))
+    hiveAes("aes_decrypt", (in, key) => new AesDecrypt(in, key,
+      Literal("ECB"), Literal("PKCS")))
+
     // SQL:2016 CAST ... FORMAT (FunctionRegistry.java:650, ref ql/udf/
     // generic/GenericUDFCastFormat.java) — see [[CastFormat]]; the
     // `CAST(x AS t FORMAT 'p')` spelling rewrites here via Engine.sql.

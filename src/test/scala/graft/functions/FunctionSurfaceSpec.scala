@@ -35,6 +35,7 @@ class FunctionSurfaceSpec extends SparkSpec {
     "current_date", "current_timestamp", "to_epoch_milli", "tumbling_window",
     "floor_year", "floor_quarter", "floor_month", "floor_week", "floor_day",
     "floor_hour", "floor_minute", "floor_second", "date_trunc",
+    "cast_format",
     // conditional / null
     "if", "nvl", "nvl2", "nullif", "coalesce", "isnull", "isnotnull",
     "istrue", "isnottrue", "isfalse", "isnotfalse", "assert_true",
@@ -44,6 +45,7 @@ class FunctionSurfaceSpec extends SparkSpec {
     "array_min", "array_max", "array_distinct", "array_join", "array_except",
     "array_intersect", "array_union", "array_remove", "array_position",
     "array_append", "array_compact", "map_keys", "map_values", "slice",
+    "array_slice",
     // json/xml
     "get_json_object", "json_tuple", "from_json", "to_json", "schema_of_json",
     "xpath", "xpath_string", "xpath_boolean", "xpath_double", "xpath_float",
