@@ -63,6 +63,14 @@ object Bench {
       "host, /tmp cleaned) -- single-run matched-22 readings carry ~15% " +
       "host-duty-cycle noise on this box; compare rounds by the BAND, " +
       "not the point value"),
+    "r16_calibration" -> ("calib_first/last_sec time a fixed-work " +
+      "CPU+shuffle probe (1B-row xxhash64 spin into a 4096-key agg, no " +
+      "testdata inputs) immediately before and after the measurement " +
+      "window; matched22_norm_sec = matched22_sec * calib_nominal_sec / " +
+      "mean(first, last) restates the headline at the pinned idle-host " +
+      "speed -- compare rounds (r16 on) by matched22_norm_vs_r1, which " +
+      "self-corrects the host-duty-cycle drift that needed by-hand " +
+      "re-measurement in r13/r14/r15"),
     "r15_writepath_validity" -> ("the r13->r14 upticks on " +
       "p37_semantic_dedup (1.402->1.653), snapshot_versioned_roundtrip " +
       "(2.218->2.632) and dml_pruned_roundtrip (2.006->2.298) are host " +
@@ -134,6 +142,53 @@ object Bench {
     "p13_minhash_pairs", "t07_volume_shipping", "t13_customer_distribution",
     "t21_waiting_supplier")
   val r1MatchedTotalSec: Double = 17.7487
+
+  /** Fixed-work host-speed calibration probe (r15 verdict ask): a
+    * deterministic CPU+shuffle spin over generated data — 1B rows of
+    * xxhash64 mixing into a 4096-key hash aggregate, ~1.6 s nominal on an
+    * idle host — timed immediately BEFORE and AFTER the measurement
+    * passes. Its only input is `spark.range`, so its wall time moves with
+    * host duty-cycle and nothing else; `matched22_norm` divides that
+    * drift out of the headline. Uses xxhash64/positive-divisor pmod only
+    * (names whose registry rebinding either doesn't exist or is
+    * semantics-identical), so registered Hive overrides can't change the
+    * work measured.
+    */
+  private def calibrateOnce(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    spark.range(0L, 1000L * 1000L * 1000L, 1L, 32)
+      .select(xxhash64(col("id")).as("h0"))
+      .select(xxhash64(col("h0")).as("h1"),
+        pmod(col("h0"), lit(4096L)).as("k"))
+      .select(xxhash64(col("h1")).as("h2"), col("k"))
+      .groupBy(col("k"))
+      .agg(sum(col("h2")).as("s"), count(lit(1)).as("n"))
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** One probe POINT = median of 3 spins (a single spin carries GC/
+    * scheduler noise of its own; the median rejects one outlier while
+    * still reflecting sustained host load, which min would hide).
+    */
+  private def calibrate(spark: SparkSession): Double = {
+    val xs = (1 to 3).map(_ => calibrateOnce(spark)).sorted
+    xs(1)
+  }
+
+  /** The probe's pinned idle-host time (min of repeated runs on this
+    * round's measured-idle host, r16). `matched22_norm = matched22_sec *
+    * (CalibNominalSec / mean(calib_first, calib_last))` — i.e. the
+    * matched-22 total restated as if the host had been running at its
+    * pinned idle speed. Compare ROUNDS on the normalized number; the raw
+    * number stays for continuity.
+    */
+  val CalibNominalSec: Double = 1.46 // r16 idle-host pin, FULL-suite
+  // context (the probe runs ~10% faster inside the full bench JVM than in
+  // a single-query one — hotter JIT): idle points 1.461/1.466/1.447
+  // across two full runs 2026-08-16; the same runs' one loaded point
+  // (1.908, host duty-cycle at window end) is what normalization corrects
 
   /** Bucketed snapshot tables for the SPJ measurement, built once per JVM
     * (untimed — it's ingest): orders and lineitem bucketed 16 ways on the
@@ -378,6 +433,8 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       spark.catalog.clearCache()
+      // drained statements can't reference their CTE staging dirs anymore
+      graft.plans.CteMaterialize.release(spark)
       if (gc) { System.gc(); Thread.sleep(200) }
     } catch { case e: Throwable =>
       // hygiene must never kill the measurement pass (r8: an exception
@@ -385,6 +442,13 @@ object Bench {
       System.err.println(s"[bench] cleanStorage failed: ${e.getMessage}")
     }
     cleanStorage(gc = true)
+
+    // calibration probe: one untimed warmup (codegen+JIT), then a timed
+    // run bracketing the measurement window on each side — mean of the
+    // two is the window's host-speed denominator
+    calibrate(spark)
+    val calibFirst = calibrate(spark)
+    cleanStorage(gc = false)
 
     // Per-query MIN over n_runs full passes: single-run numbers on a shared
     // host manufacture phantom regressions/improvements (host-load spikes of
@@ -420,6 +484,7 @@ object Bench {
           System.err.println(s"[bench] hive_acid_read FAILED: ${e.getMessage}"); -1.0 }
       }))
     val passes = (1 to nRuns).map(_ => measurePass())
+    val calibLast = calibrate(spark)
     val names = passes.head.map(_._1)
     val results = names.map { name =>
       val samples = passes.map(_.toMap.apply(name))
@@ -489,8 +554,10 @@ object Bench {
     val m22 = results.filter { case (k, v) => r1Matched(k) && v >= 0 }
       .map(_._2).sum
     val m22Ratio = m22 / r1MatchedTotalSec
+    val calibMean = (calibFirst + calibLast) / 2
+    val m22Norm = m22 * (CalibNominalSec / calibMean)
     println(s"""{"metric":"detail","breakdown":$bd,"notes":$ns}""")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_runs":$nRuns,"agg":"min","matched22_sec":${r3(m22)},"matched22_vs_r1":${r3(m22Ratio)},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_runs":$nRuns,"agg":"min","matched22_sec":${r3(m22)},"matched22_vs_r1":${r3(m22Ratio)},"calib_first_sec":${r3(calibFirst)},"calib_last_sec":${r3(calibLast)},"calib_nominal_sec":${r3(CalibNominalSec)},"matched22_norm_sec":${r3(m22Norm)},"matched22_norm_vs_r1":${r3(m22Norm / r1MatchedTotalSec)},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

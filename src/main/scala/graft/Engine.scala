@@ -390,6 +390,7 @@ object Engine {
               case 'a' | 'A' if depth == 1 &&
                   out.regionMatches(true, i, "as", 0, 2) &&
                   !Character.isLetterOrDigit(out.charAt(i - 1)) &&
+                  out.charAt(i - 1) != '_' &&
                   i + 2 < out.length &&
                   !Character.isLetterOrDigit(out.charAt(i + 2)) &&
                   out.charAt(i + 2) != '_' =>

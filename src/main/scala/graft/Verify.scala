@@ -44,6 +44,9 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] ${d.name} failed: ${e.getMessage}")
       }
+      // statement fully consumed (written to parquet): drop any CTE
+      // staging dirs it materialized — the session-lifetime contract
+      graft.plans.CteMaterialize.release(spark)
     }
     spark.stop()
   }

@@ -104,9 +104,14 @@ object CteMaterialize {
       spark.read.schema(df.schema).parquet(dir.toString)
     } catch {
       case e: org.apache.spark.sql.AnalysisException
-          if e.getMessage.contains("does not support") =>
-        // NullType/interval columns: parquet refuses pre-execution, so
-        // nothing was written — pin rows as RDD blocks instead
+          if Option(e.getCondition)
+            .exists(_.startsWith("UNSUPPORTED_DATA_TYPE_FOR_DATASOURCE")) ||
+            e.getMessage.contains("does not support") ||
+            e.getMessage.contains("doesn't support") =>
+        // NullType/interval columns: parquet refuses pre-execution (Spark
+        // 4.1 emits UNSUPPORTED_DATA_TYPE_FOR_DATASOURCE, message wording
+        // "doesn't support"), so nothing was written — pin rows as RDD
+        // blocks instead
         df.localCheckpoint()
     }
   }

@@ -29,7 +29,7 @@ import org.apache.spark.sql.types._
   * replays the hash on the literal to prune bucket dirs — file skipping
   * min/max stats can never express.
   */
-private[plans] object PartitionTransforms {
+private[graft] object PartitionTransforms {
 
   /** One transform field; kind ∈ year|month|day|hour|bucket|trunc. */
   final case class Spec(kind: String, src: String, arg: Int = 0) {

@@ -419,6 +419,14 @@ object AcidMm {
       if (partSub.isEmpty)
         require(states.forall(_.partSub.isEmpty),
           s"$table is partitioned; pass partSub to overwrite one partition")
+      else
+        // the converse guard: a partition-scoped overwrite against an
+        // UNpartitioned tree would write table/k=v/base_n next to
+        // top-level base/delta dirs — a mixed layout walk/read treats
+        // inconsistently
+        require(states.forall(_.partSub.nonEmpty),
+          s"$table is unpartitioned; partition-scoped overwrite " +
+            s"'$partSub' would create a mixed layout")
     }
     val dir = AcidOrc.partDir(table, partSub)
     writeMmDir(spark, dir, s"base_$writeId", df, format)

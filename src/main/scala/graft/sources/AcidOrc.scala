@@ -1372,7 +1372,12 @@ object AcidOrc {
     val cols = df.columns.map(col)
     val bucketed = df
       .withColumn("_graft_b",
-        pmod(abs(hash(md5(concat_ws("", cols: _*)))), lit(buckets)))
+        // registry-proof Murmur3 (never functions.hash: the engine rebinds
+        // the SQL name `hash` to HiveHash, and Spark 4 resolves
+        // functions.hash through the session registry — bucket routing
+        // must not depend on whether registerAll ran)
+        pmod(abs(graft.plans.PartitionTransforms.murmur3(
+          md5(concat_ws("", cols: _*)))), lit(buckets)))
       .withColumn("_graft_rid", row_number().over(Window
         .partitionBy(col("_graft_b"))
         .orderBy(md5(concat_ws("", cols: _*)))).cast("long") - 1L)

@@ -76,6 +76,16 @@ class CastFormatSpec extends SparkSpec {
     val df3 = Engine.sql(spark, sfDir,
       "SELECT length(CAST(date_add(DATE '2009-07-29', 1) AS STRING FORMAT 'Month')) AS n")
     assert(df3.head().getInt(0) === 4) // "July"
+    // identifier-boundary safety: a trailing "as" inside an identifier
+    // (x_as) must not be taken as the AS keyword — the real AS later in
+    // the operand splits correctly
+    assert(Engine.rewriteCastFormat(
+      "SELECT CAST(t.x_as AS STRING FORMAT 'yyyy') FROM t") ===
+      Some("SELECT cast_format(t.x_as, 'STRING', 'yyyy') FROM t"))
+    // ... and with NO real AS keyword at all (the identifier's trailing
+    // "as" is the only candidate), the rewrite must not fire
+    assert(Engine.rewriteCastFormat(
+      "SELECT CAST(expr_as STRING FORMAT 'yyyy') FROM t") === None)
   }
 
   test("unknown tokens and unsupported directions fail loudly") {

@@ -163,6 +163,22 @@ class CteMaterializeSpec extends SparkSpec {
     } finally spark.conf.unset(Key)
   }
 
+  test("an INTERVAL-bearing definition falls back to the checkpoint path " +
+      "(Spark 4.1 refuses intervals with UNSUPPORTED_DATA_TYPE_FOR_" +
+      "DATASOURCE, wording \"doesn't support\" — the fallback matches the " +
+      "error condition, not message text)") {
+    spark.conf.set(Key, "2")
+    try {
+      val r = Engine.sql(spark, sfDir,
+        """WITH c AS (SELECT o_orderkey AS k, INTERVAL '1' DAY AS iv
+          |           FROM orders)
+          |SELECT count(*) FROM (SELECT k FROM c UNION ALL SELECT k FROM c)"""
+          .stripMargin).head().getLong(0)
+      assert(r === 2 * Engine.sql(spark, sfDir,
+        "SELECT count(*) FROM orders").head().getLong(0))
+    } finally spark.conf.unset(Key)
+  }
+
   test("column aliases materialize with their definition; nested WITH " +
       "bails out conservatively — both stay correct") {
     spark.conf.set(Key, "1")

@@ -318,6 +318,14 @@ class AcidMmSpec extends SparkSpec {
     assert(msg.contains("write id 3"), msg)
     assert(spark.sql(s"SELECT count(*) FROM hive_acid('$pdir')")
       .head().getLong(0) === 3L) // 2 in p=a + 1 overwritten p=b
+    // the converse guard: a PARTITION-scoped overwrite against an
+    // UNpartitioned tree would create a mixed layout — refused
+    val udir = scratch()
+    AcidMm.appendDelta(spark, udir, 1L, rows(2))
+    val e2 = intercept[IllegalArgumentException] {
+      AcidMm.overwrite(spark, udir, 2L, rows(1), partSub = "p=a")
+    }
+    assert(e2.getMessage.contains("mixed layout"), e2.getMessage)
   }
 
   test("randomized MM op-sequence net: append/abort/minor/major always " +
