@@ -31,12 +31,16 @@ object DsData {
   def ensure(spark: SparkSession): Unit = synchronized {
     if (built) return
     spark.sql("CREATE DATABASE IF NOT EXISTS tpcds")
-    if (!spark.catalog.tableExists("tpcds.store_sales")) generate(spark)
+    // inventory is the newest table — its absence regenerates a pre-r16
+    // warehouse layout
+    if (!spark.catalog.tableExists("tpcds.inventory")) generate(spark)
     // always refresh the temp-view aliases (session-shared)
     Seq("date_dim", "time_dim", "item", "store", "customer",
       "customer_address", "customer_demographics",
       "household_demographics", "promotion", "store_sales",
-      "store_returns", "catalog_sales").foreach { t =>
+      "store_returns", "catalog_sales", "catalog_returns", "inventory",
+      "warehouse", "web_sales", "web_returns", "web_site",
+      "income_band").foreach { t =>
       spark.table(s"tpcds.$t").createOrReplaceTempView(t)
     }
     built = true
@@ -64,7 +68,12 @@ object DsData {
         dayofmonth(col("d_date")).as("d_dom"),
         (dayofweek(col("d_date")) - 1).as("d_dow"), // 0 = Sunday (DS)
         quarter(col("d_date")).as("d_qoy"),
-        date_format(col("d_date"), "EEEE").as("d_day_name"))
+        date_format(col("d_date"), "EEEE").as("d_day_name"),
+        // Sunday-start week counter (1998-01-01 is a Thursday, so the
+        // first boundary is id=3): same-week dates share d_week_seq —
+        // what q72's d1/d2 equi-join keys on
+        (floor(((col("d_date_sk") - 2450815L) + 4L) / 7L) + 5217L)
+          .cast("int").as("d_week_seq"))
     save(spark, "date_dim", dateDim)
 
     // the fact-side sold/returned date pool (see scaladoc)
@@ -94,12 +103,17 @@ object DsData {
       concat(lit("Brand#"), h("brand", col("id"), 500) + 1).as("i_brand"),
       (h("cat", col("id"), 10) + 1).as("i_category_id"),
       pick("cat2", col("id"), categories).as("i_category"),
-      concat(lit("class"), h("class", col("id"), 100)).as("i_class"),
+      (h("class", col("id"), 100) + 1).as("i_class_id"),
+      concat(lit("class"), h("class", col("id"), 100) + 1).as("i_class"),
       (h("manu", col("id"), 1000) + 1).as("i_manufact_id"),
       concat(lit("manu"), h("manu", col("id"), 1000) + 1).as("i_manufact"),
       (h("mgr", col("id"), 100) + 1).as("i_manager_id"),
       ((h("price", col("id"), 9900) + 100) / lit(100.0))
-        .as("i_current_price")))
+        .as("i_current_price"),
+      pick("color", col("id"), Seq("maroon", "burnished", "dim", "steel",
+        "navajo", "chocolate", "ivory", "salmon", "plum", "khaki"))
+        .as("i_color"),
+      concat(lit("product"), col("id")).as("i_product_name")))
 
     // ---- store (12 rows; names/cities/counties cover the query literals)
     save(spark, "store", spark.range(1, 13).select(
@@ -127,7 +141,11 @@ object DsData {
       pick("castate", col("id"), Seq("KY", "GA", "NM", "MT", "OR", "IN",
         "WI", "MO", "WV", "TN", "TX", "OH")).as("ca_state"),
       lit("United States").as("ca_country"),
-      lpad(h("cazip", col("id"), 100000).cast("string"), 5, "0").as("ca_zip")))
+      lpad(h("cazip", col("id"), 100000).cast("string"), 5, "0").as("ca_zip"),
+      (h("castn", col("id"), 999) + 1).cast("string")
+        .as("ca_street_number"),
+      pick("castnm", col("id"), Seq("Main", "Oak", "Elm", "Park", "Pine",
+        "Maple", "Lake", "Hill")).as("ca_street_name")))
 
     // ---- customer
     save(spark, "customer", spark.range(1, nCa * 2 + 1).select(
@@ -143,7 +161,9 @@ object DsData {
       pick("cpf", col("id"), Seq("Y", "N")).as("c_preferred_cust_flag"),
       (h("caddr", col("id"), nCa) + 1).as("c_current_addr_sk"),
       (h("ccd", col("id"), 7000) + 1).as("c_current_cdemo_sk"),
-      (h("chd", col("id"), 720) + 1).as("c_current_hdemo_sk")))
+      (h("chd", col("id"), 720) + 1).as("c_current_hdemo_sk"),
+      (h("cfsd", col("id"), 1826) + 2450815).as("c_first_sales_date_sk"),
+      (h("cfsh", col("id"), 1826) + 2450815).as("c_first_shipto_date_sk")))
 
     // ---- customer_demographics (full cross, DS-style decomposition)
     save(spark, "customer_demographics", spark.range(1, 7001).select(
@@ -164,7 +184,26 @@ object DsData {
       (col("id") / 10 % 6).cast("int").as("hd_vehicle_count"),
       element_at(array(Seq(">10000", "unknown", "1001-5000", "5001-10000",
         "501-1000", "0-500").map(lit): _*),
-        (col("id") / 60 % 6 + 1).cast("int")).as("hd_buy_potential")))
+        (col("id") / 60 % 6 + 1).cast("int")).as("hd_buy_potential"),
+      (h("hdib", col("id"), 20) + 1).as("hd_income_band_sk")))
+
+    // ---- income_band (the DS 20-band decomposition)
+    save(spark, "income_band", spark.range(1, 21).select(
+      col("id").cast("int").as("ib_income_band_sk"),
+      ((col("id") - 1) * 10000).cast("int").as("ib_lower_bound"),
+      (col("id") * 10000 - 1).cast("int").as("ib_upper_bound")))
+
+    // ---- warehouse
+    save(spark, "warehouse", spark.range(1, 6).select(
+      col("id").cast("int").as("w_warehouse_sk"),
+      concat(lit("Warehouse "), col("id")).as("w_warehouse_name")))
+
+    // ---- web_site (2 of 4 carry company 'pri' so q95's filter keeps rows)
+    save(spark, "web_site", spark.range(1, 5).select(
+      col("id").cast("int").as("web_site_sk"),
+      concat(lit("W"), lpad(col("id").cast("string"), 4, "0"))
+        .as("web_site_id"),
+      pick("wco", col("id"), Seq("pri", "able")).as("web_company_name")))
 
     // ---- promotion
     save(spark, "promotion", spark.range(1, 101).select(
@@ -176,6 +215,18 @@ object DsData {
     // per-ticket counts span the queries' HAVING bands), partitioned by
     // sold date — the DPP target
     val nCust = 20000
+    // hot-skew: ~20% of draws land on 10 "hot" ids. q23's chains
+    // (HAVING count(*)>4 per item-DATE; customers within 95% of the max
+    // spender who then buy on catalog/web) are empty under a uniform
+    // draw at this scale — real DS data is skewed for the same reason.
+    def hotItem(seed: String, idc: Column): Column =
+      when(h(seed + "_hot", idc, 5) === 0,
+        h(seed + "_hi", idc, 10) * 200 + 8)
+        .otherwise(h(seed + "_u", idc, 2000) + 1)
+    def hotCust(seed: String, idc: Column): Column =
+      when(h(seed + "_hot", idc, 5) === 0,
+        h(seed + "_hc", idc, 10) * 1999 + 17)
+        .otherwise(h(seed + "_u", idc, nCust) + 1)
     val tik = h("tk", col("id"), 24000)
     val price = ((h("sp", col("id"), 20000) + 1) / lit(100.0))
     val qty = (h("qty", col("id"), 100) + 1)
@@ -184,8 +235,8 @@ object DsData {
     val storeSales = spark.range(240000).select(
       pickDate("sd", tik).as("ss_sold_date_sk"),
       h("st", tik, 86400).as("ss_sold_time_sk"),
-      (h("it", col("id"), 2000) + 1).as("ss_item_sk"),
-      (h("cu", tik, nCust) + 1).as("ss_customer_sk"),
+      hotItem("it", col("id")).as("ss_item_sk"),
+      hotCust("cu", tik).as("ss_customer_sk"),
       (h("cd", tik, 7000) + 1).as("ss_cdemo_sk"),
       (h("hd", tik, 720) + 1).as("ss_hdemo_sk"),
       (h("ad", tik, nCa) + 1).as("ss_addr_sk"),
@@ -223,22 +274,109 @@ object DsData {
         .as("sr_net_loss"))
     save(spark, "store_returns", sr)
 
-    // ---- catalog_sales: the minimal column set query25 touches. Half
-    // random, half CORRELATED with store_returns (same customer/item,
-    // sold on the return date) so the ss→sr→cs chain has matches — an
-    // uncorrelated table starves the returns-chain queries to zero rows
-    val csRandom = spark.range(60000).select(
-      pickDate("csd", col("id")).as("cs_sold_date_sk"),
-      (h("csi", col("id"), 2000) + 1).as("cs_item_sk"),
-      (h("csc", col("id"), nCust) + 1).as("cs_bill_customer_sk"),
-      (((h("csp", col("id"), 600000)) - 100000) / lit(100.0))
-        .as("cs_net_profit"))
+    // ---- catalog_sales: half random, half CORRELATED with
+    // store_returns (same customer/item, sold on the return date) so the
+    // ss→sr→cs chain (query25) has matches — an uncorrelated table
+    // starves the returns-chain queries to zero rows. Full q72/q23/q14
+    // column set; order-scoped attributes key off cs_order_number the
+    // way ticket-scoped ones key off tik.
+    def csCols(idc: Column, soldDate: Column, item: Column,
+        cust: Column): Seq[Column] = {
+      val onum = h("cso", idc, 10000)
+      val qty = h("csq", idc, 100) + 1
+      val listp = (h("cslp", idc, 20000) + 1) / lit(100.0)
+      Seq(
+        soldDate.as("cs_sold_date_sk"),
+        // ships 0..59 days after the sale (late-Dec-2002 sales can ship
+        // past the calendar and drop out of d3 joins — harmless)
+        (soldDate + h("cssh", idc, 60)).as("cs_ship_date_sk"),
+        item.as("cs_item_sk"),
+        cust.as("cs_bill_customer_sk"),
+        (h("cscd", onum, 7000) + 1).as("cs_bill_cdemo_sk"),
+        (h("cshd", onum, 720) + 1).as("cs_bill_hdemo_sk"),
+        (h("cspr", idc, 100) + 1).as("cs_promo_sk"),
+        onum.cast("long").as("cs_order_number"),
+        qty.as("cs_quantity"),
+        listp.as("cs_list_price"),
+        (listp * qty).as("cs_ext_list_price"),
+        (((h("csp", idc, 600000)) - 100000) / lit(100.0))
+          .as("cs_net_profit"))
+    }
+    val csRandom = spark.range(60000).select(csCols(col("id"),
+      pickDate("csd", col("id")),
+      hotItem("csi", col("id")), hotCust("csc", col("id"))): _*)
+    // the correlated half keeps the RETURN's item/customer (query25's
+    // ss→sr→cs chain joins on them)
     val csFromSr = spark.table("tpcds.store_returns").select(
-      col("sr_returned_date_sk").as("cs_sold_date_sk"),
-      col("sr_item_sk").as("cs_item_sk"),
-      col("sr_customer_sk").as("cs_bill_customer_sk"),
-      (((h("csp2", col("sr_ticket_number"), 600000)) - 100000) / lit(100.0))
-        .as("cs_net_profit"))
+      csCols(col("sr_ticket_number") + 7000000L,
+        col("sr_returned_date_sk"),
+        col("sr_item_sk"), col("sr_customer_sk")): _*)
     save(spark, "catalog_sales", csRandom.unionByName(csFromSr))
+
+    // ---- catalog_returns: ~15% of catalog order-lines return; refunds
+    // are small vs list price so q64's cs_ui HAVING keeps its groups
+    val cs = spark.table("tpcds.catalog_sales")
+    save(spark, "catalog_returns", cs
+      .where(h("cret", col("cs_order_number") * 10000 + col("cs_item_sk"),
+        7) === 0)
+      .select(
+        col("cs_item_sk").as("cr_item_sk"),
+        col("cs_order_number").as("cr_order_number"),
+        (h("crrc", col("cs_order_number") * 31 + col("cs_item_sk"), 2000)
+          / lit(100.0)).as("cr_refunded_cash"),
+        (h("crrv", col("cs_order_number") * 37 + col("cs_item_sk"), 1000)
+          / lit(100.0)).as("cr_reversed_charge"),
+        (h("crsc", col("cs_order_number") * 41 + col("cs_item_sk"), 1000)
+          / lit(100.0)).as("cr_store_credit")))
+
+    // ---- inventory: weekly (Sunday-in-pool) per item per warehouse —
+    // the q72 blowup table: at real scale this is the LARGEST table in
+    // the schema and the classic join-order trap is building
+    // cs × inventory before the demographic/date filters shrink cs
+    val invDates: Seq[Int] = (0 until nDays).collect {
+      case i if Seq(1, 4, 7, 11, 12).contains(
+          java.time.LocalDate.of(1998, 1, 1).plusDays(i).getMonthValue) &&
+        java.time.LocalDate.of(1998, 1, 1).plusDays(i)
+          .getDayOfWeek == java.time.DayOfWeek.SUNDAY => 2450815 + i
+    }
+    val invDateArr = array(invDates.map(lit): _*)
+    val nInv = invDates.size * 2000L * 5L
+    save(spark, "inventory", spark.range(nInv).select(
+      element_at(invDateArr,
+        (col("id") % invDates.size).cast("int") + 1).as("inv_date_sk"),
+      (floor(col("id") / invDates.size) % 2000 + 1).cast("int")
+        .as("inv_item_sk"),
+      (floor(col("id") / (invDates.size * 2000L)) + 1).cast("int")
+        .as("inv_warehouse_sk"),
+      h("invq", col("id"), 100).as("inv_quantity_on_hand")))
+
+    // ---- web_sales: ~7.5 lines per order; warehouse varies BY LINE so
+    // nearly every order spans >= 2 warehouses (q95's ws_wh self-join);
+    // ship/site/address are order-scoped
+    val wOnum = h("wo", col("id"), 8000)
+    val wQty = h("wq", col("id"), 100) + 1
+    val wListp = (h("wlp", col("id"), 20000) + 1) / lit(100.0)
+    val wSold = pickDate("wsd", wOnum)
+    save(spark, "web_sales", spark.range(60000).select(
+      wSold.as("ws_sold_date_sk"),
+      (wSold + h("wsdel", wOnum, 60)).as("ws_ship_date_sk"),
+      hotItem("wsi", col("id")).as("ws_item_sk"),
+      hotCust("wsc", wOnum).as("ws_bill_customer_sk"),
+      (h("wsa", wOnum, nCa) + 1).as("ws_ship_addr_sk"),
+      (h("wss", wOnum, 4) + 1).as("ws_web_site_sk"),
+      (h("wwh", col("id"), 5) + 1).as("ws_warehouse_sk"),
+      wOnum.cast("long").as("ws_order_number"),
+      wQty.as("ws_quantity"),
+      wListp.as("ws_list_price"),
+      (h("wshc", col("id"), 5000) / lit(100.0)).as("ws_ext_ship_cost"),
+      (((h("wsp", col("id"), 600000)) - 100000) / lit(100.0))
+        .as("ws_net_profit")))
+
+    // ---- web_returns: half the orders have a return
+    save(spark, "web_returns", spark.table("tpcds.web_sales")
+      .where(h("wret", col("ws_order_number"), 2) === 0)
+      .select(col("ws_order_number").as("wr_order_number"),
+        col("ws_item_sk").as("wr_item_sk"))
+      .distinct())
   }
 }
