@@ -209,6 +209,14 @@ object Engine {
         case None => ()
       }
     }
+    // filter-form / partial-spec DROP PARTITION intercepts pre-parse:
+    // the comparator spelling is a parse error to Spark and the partial
+    // equality spelling hits v1's full-spec requirement; full-equality
+    // statements fall through untouched (PartitionDdl gates authz itself)
+    graft.plans.PartitionDdl.maybeSql(spark, query) match {
+      case Some(df) => return df
+      case None => ()
+    }
     val parsed =
       try Some(spark.sessionState.sqlParser.parsePlan(query))
       catch { case scala.util.control.NonFatal(_) => None }

@@ -75,16 +75,65 @@ object HiveFunctions {
     // Spark's TruncDate knows QUARTER but answers NULL for bare 'Q'.
     // Surfaced by the qtest sweep (udf_trunc.q). Literal formats only;
     // a non-literal format passes through to Spark's behavior.
+    // ... and Hive's trunc is DUAL-PURPOSE (ref GenericUDFTrunc.java
+    // initialize: numeric+numeric or 1-arg numeric -> NUMERIC truncation
+    // toward zero at the given scale; otherwise the date path). Surfaced
+    // by the qtest sweep (udf_trunc_number.q): trunc(1234567891.1235, -4)
+    // = 1234560000, trunc(12.1238) = 12. Numeric trunc replays Hive's
+    // BigDecimal multiply->longValue->divide mechanics in double
+    // arithmetic (longValue truncates toward zero = Cast to LongType);
+    // a NULL scale behaves as 0 (the reference's converter default).
     fn("trunc") { args =>
-      require(args.size == 2,
-        "trunc(date, fmt) takes two arguments; got " + args.size)
-      val fixed = args match {
-        case Seq(d, Literal(f, org.apache.spark.sql.types.StringType))
-            if f != null && f.toString.equalsIgnoreCase("q") =>
-          Seq(d, Literal("QUARTER"))
-        case other => other
+      import org.apache.spark.sql.types._
+      require(args.size == 1 || args.size == 2,
+        "trunc takes one or two arguments; got " + args.size)
+      def numeric(e: Expression) =
+        e.resolved && e.dataType.isInstanceOf[NumericType]
+      val isNumericTrunc =
+        (args.size == 1 && numeric(args.head)) ||
+          (args.size == 2 && numeric(args.head) && numeric(args(1)))
+      if (isNumericTrunc) {
+        val x = Cast(args.head, DoubleType)
+        val sc = if (args.size == 1) Literal(0)
+          else Coalesce(Seq(Cast(args(1), IntegerType), Literal(0)))
+        val p = Pow(Literal(10.0), Cast(sc, DoubleType))
+        val q = Pow(Literal(10.0), Cast(UnaryMinus(sc), DoubleType))
+        If(GreaterThan(Coalesce(Seq(sc, Literal(0))), Literal(0)),
+          Divide(Cast(Multiply(x, p), LongType), p),
+          If(LessThan(Coalesce(Seq(sc, Literal(0))), Literal(0)),
+            Multiply(Cast(Divide(x, q), LongType), q),
+            Cast(Cast(x, LongType), DoubleType)))
+      } else {
+        require(args.size == 2,
+          "trunc(date, fmt) takes two arguments; got " + args.size)
+        val fixed = args match {
+          case Seq(d, Literal(f, StringType))
+              if f != null && f.toString.equalsIgnoreCase("q") =>
+            Seq(d, Literal("QUARTER"))
+          case other => other
+        }
+        new TruncDate(fixed.head, fixed(1))
       }
-      new TruncDate(fixed.head, fixed(1))
+    }
+
+    // Hive's hour/minute/second also parse TIME-ONLY strings — ref
+    // udf/UDFHour.java's HH:mm:ss regex fallback, pinned by udf_hour.q
+    // (hour('13:14:15') = 13 where a bare timestamp cast answers NULL).
+    // Surfaced by the qtest sweep. String inputs try the timestamp cast
+    // first, then re-parse prefixed with the epoch date; non-strings
+    // keep the builtin behavior.
+    Seq(("hour", (e: Expression) => Hour(e)),
+      ("minute", (e: Expression) => Minute(e)),
+      ("second", (e: Expression) => Second(e))).foreach { case (name, mk) =>
+      fn(name) { args =>
+        import org.apache.spark.sql.types._
+        require(args.size == 1, s"$name(ts) takes one argument")
+        val a = args.head
+        if (a.resolved && a.dataType == StringType)
+          Coalesce(Seq(mk(Cast(a, TimestampType)),
+            mk(Cast(Concat(Seq(Literal("1970-01-01 "), a)), TimestampType))))
+        else mk(a)
+      }
     }
 
     // Hive's INPUT__FILE__NAME virtual column (ref ql/.../VirtualColumn.java)
@@ -216,6 +265,23 @@ object HiveFunctions {
 
     // nvl2(a, b, c) = if a is not null then b else c.
     fn("nvl2")(args => If(IsNotNull(args.head), args(1), args(2)))
+
+    // Hive's locate coerces any argument to string and maps a NULL or
+    // unparseable start position to 0 — which answers 0, not NULL (ref
+    // udf/generic/GenericUDFLocate.java, pinned by udf_locate.q:
+    // locate('abc','abcd',null) = 0, locate('abc','abcd','junk') = 0).
+    // Spark's builtin nulls out on a NULL position. Surfaced by the
+    // qtest sweep.
+    fn("locate") { args =>
+      import org.apache.spark.sql.types._
+      require(args.size == 2 || args.size == 3,
+        "locate(substr, str[, pos]) takes two or three arguments")
+      val pos = if (args.size == 3)
+        Coalesce(Seq(Cast(args(2), IntegerType), Literal(0)))
+      else Literal(1)
+      new StringLocate(Cast(args(0), StringType),
+        Cast(args(1), StringType), pos)
+    }
 
     // reflect/java_method (ref FunctionRegistry.java:584-586) are a REAL
     // public Hive surface, but arbitrary-JVM-reflection-from-SQL is an
