@@ -236,4 +236,134 @@ class QtestNegativeSpec extends QtestHarness {
         "if not exists select key, value, hr from qt_srcpart",
       "IF NOT EXISTS", "dynamic", "syntax")
   }
+
+  // ------------------------------------------------------------ wave 3
+  // (r16: DDL misuse + insert/DML misuse + window/PTF misuse families)
+
+  private def withScratchTable(ddl: Seq[String], drops: Seq[String])(
+      body: => Unit): Unit = {
+    drops.foreach(d => Engine.sql(spark, sfDir, d))
+    ddl.foreach(d => Engine.sql(spark, sfDir, d))
+    try body
+    finally drops.foreach(d => Engine.sql(spark, sfDir, d))
+  }
+
+  test("negative qtest wave 3: partition DDL misuse refuses") {
+    withScratchTable(
+      Seq("CREATE TABLE neg_mp (a int) PARTITIONED BY (b int)"),
+      Seq("DROP TABLE IF EXISTS neg_mp")) {
+      // alter_table_add_partition.q: a spec column that is not a
+      // partition column
+      refuses("alter_table_add_partition.q",
+        "ALTER TABLE neg_mp ADD PARTITION (b='1', c='1')",
+        "partition", "c")
+      // drop_partition_failure.q: FULL-spec drop of a missing partition
+      // without IF EXISTS keeps the canonical error (the filter-form
+      // expansion must not swallow it)
+      refuses("drop_partition_failure.q",
+        "ALTER TABLE neg_mp DROP PARTITION (b='77')",
+        "PARTITIONS_NOT_FOUND", "not found", "cannot be found")
+      // dyn_part1.q: dynamic-partition insert naming a non-partition col
+      refuses("dyn_part1.q",
+        "INSERT OVERWRITE TABLE neg_mp PARTITION (hr) " +
+          "SELECT key, value FROM qt_src",
+        "hr", "partition")
+    }
+  }
+
+  test("negative qtest wave 3: table/view DDL misuse refuses") {
+    // drop_table_failure1.q
+    refuses("drop_table_failure1.q",
+      "DROP TABLE UnknownTableNeg77",
+      "not found", "cannot be found", "TABLE_OR_VIEW_NOT_FOUND")
+    // alter_view_failure.q: table-verbs addressed at a view
+    withScratchTable(
+      Seq("CREATE TEMPORARY VIEW neg_xxx3 AS SELECT * FROM qt_src"),
+      Seq("DROP VIEW IF EXISTS neg_xxx3")) {
+      refuses("alter_view_failure.q",
+        "ALTER TABLE neg_xxx3 ADD COLUMNS (xyz int)",
+        "view", "EXPECT_TABLE", "not supported")
+    }
+    // create_table_failure: CREATE over an existing name without
+    // IF NOT EXISTS
+    withScratchTable(
+      Seq("CREATE TABLE neg_dup_t AS SELECT 1 AS k",
+        "CREATE TABLE neg_dup_t2 AS SELECT 1 AS k"),
+      Seq("DROP TABLE IF EXISTS neg_dup_t",
+        "DROP TABLE IF EXISTS neg_dup_t2")) {
+      refuses("create_table_failure.q",
+        "CREATE TABLE neg_dup_t (a int)",
+        "already exists", "TABLE_OR_VIEW_ALREADY_EXISTS")
+      // renaming onto an existing name must refuse too
+      refuses("rename_to_existing.q",
+        "ALTER TABLE neg_dup_t2 RENAME TO neg_dup_t",
+        "already exists", "TABLE_OR_VIEW_ALREADY_EXISTS")
+    }
+  }
+
+  test("negative qtest wave 3: insert misuse refuses") {
+    withScratchTable(
+      Seq("CREATE TABLE neg_source (s1 int, s2 int)"),
+      Seq("DROP TABLE IF EXISTS neg_source")) {
+      // insert_into_with_schema.q: column-list arity mismatch
+      refuses("insert_into_with_schema.q",
+        "INSERT INTO neg_source (s2) VALUES (2, 1)",
+        "column", "mismatch", "not enough", "too many")
+      // smaller SELECT than the target schema
+      refuses("insert_into_with_schema2.q",
+        "INSERT INTO neg_source SELECT 1",
+        "column", "mismatch", "not enough data columns", "INSERT")
+    }
+    // nopart_insert.q: partitioned target, no partition values provided
+    withScratchTable(
+      Seq("CREATE TABLE neg_nopart (a string) PARTITIONED BY (ds string)"),
+      Seq("DROP TABLE IF EXISTS neg_nopart")) {
+      refuses("nopart_insert.q",
+        "INSERT OVERWRITE TABLE neg_nopart SELECT key, value, '1', '2' " +
+          "FROM qt_src",
+        "column", "mismatch", "too many data columns", "INSERT")
+    }
+  }
+
+  test("negative qtest wave 3: DML against non-table relations refuses") {
+    refuses("delete_non_acid_table.q",
+      "DELETE FROM qt_src WHERE key = '86'",
+      "DELETE", "not supported", "view", "table")
+    refuses("update_no_such_table.q",
+      "UPDATE no_such_table_neg SET x = 1 WHERE true",
+      "not found", "cannot be found", "no_such_table_neg")
+  }
+
+  test("negative qtest wave 3: window/PTF misuse refuses") {
+    // ptf_negative_AggrFuncsWithNoGBYNoPartDef.q: bare aggregate next to
+    // a non-grouped column
+    refuses("ptf_negative_AggrFuncsWithNoGBYNoPartDef.q",
+      "SELECT p_mfgr, sum(p_retailprice) AS s1 FROM qt_part",
+      "group", "aggregate", "MISSING_GROUP_BY")
+    // windowing_after_orderby.q: named window referenced but never defined
+    refuses("windowing_after_orderby.q",
+      "SELECT sum(CAST(key AS INT)) OVER w AS s FROM qt_src ORDER BY s",
+      "window", "w", "not defined", "unresolved")
+    // udf_sort_array_wrong1.q: invalid second argument
+    refuses("udf_sort_array_wrong1.q",
+      "SELECT sort_array(array(2, 5, 4), 3) FROM qt_src LIMIT 1",
+      "sort_array", "boolean", "type")
+    // udf_elt-style arg-count misuse against the locate override
+    refuses("udf_locate_wrong_args.q",
+      "SELECT locate('a') FROM qt_src LIMIT 1",
+      "locate", "argument")
+  }
+
+  test("negative qtest wave 3: join and subquery misuse refuses") {
+    // joinneg.q: ON references an alias that does not exist
+    refuses("joinneg.q",
+      "SELECT Y.* FROM (SELECT * FROM qt_src) x JOIN " +
+        "(SELECT * FROM qt_src) Y ON (x.key = b.key)",
+      "b", "cannot be resolved", "UNRESOLVED")
+    // subquery_scalar_multi_columns in a comparison
+    refuses("subquery_multi_col_compare.q",
+      "SELECT * FROM qt_src WHERE key = (SELECT key, value FROM qt_src " +
+        "LIMIT 1)",
+      "subquery", "column", "too many")
+  }
 }
