@@ -29,7 +29,8 @@ import org.apache.spark.sql.types._
   * `to_date` semantics (NULL on unparseable input, Hive's behavior).
   *
   * Scope (documented, fail-loud): the exotic fill-rule tokens (`yyy`/
-  * `y`/`rr` on the PARSE side), ISO week-based years (`iyyy`/`iw` parse)
+  * `y` on the PARSE side — `rr`'s pivot IS implemented, see
+  * [[rrAdjust]]), ISO week-based years (`iyyy`/`iw` parse)
   * and timezone fields (`tzh`/`tzm` — the reference refuses them on
   * timestamps without zone too) raise an error rather than silently
   * mis-translating.
@@ -169,7 +170,7 @@ object CastFormat {
         val tok = tokRaw.toLowerCase(Locale.ROOT)
         sb.append(tok match {
           case "yyyy" | "rrrr" => "yyyy"
-          case "yy" => "yy"
+          case "yy" | "rr" => "yy"
           case "mm" => "MM"
           case "dd" => "dd"
           case "ddd" => "DDD"
@@ -185,11 +186,46 @@ object CastFormat {
           case "day" => "EEEE"
           case other => throw new IllegalArgumentException(
             s"cast_format: token '$other' is not supported for parsing " +
-              "(the reference's year fill rules for yyy/y/rr diverge " +
+              "(the reference's year fill rules for yyy/y diverge " +
               "from positional parses — spell the full-width token)")
         })
     }
     sb.toString
+  }
+
+  /** Whether the parse pattern carries the two-digit `rr` token (not
+    * `rrrr`), which needs the pivot-year adjustment below.
+    */
+  private def hasRr(pattern: String): Boolean =
+    tokenize(pattern).exists {
+      case scala.util.Left(t) => t.toLowerCase(Locale.ROOT) == "rr"
+      case _ => false
+    }
+
+  /** The SQL:2016 `RR` two-digit-year pivot (ref common/format/datetime/
+    * HiveSqlDateTimeFormatter.java:112-119): the output century depends
+    * on BOTH the 2-digit input and the current year's last two digits —
+    *   input 0-49,  current 00-49 → current century
+    *   input 0-49,  current 50-99 → current century + 1
+    *   input 50-99, current 00-49 → current century - 1
+    *   input 50-99, current 50-99 → current century.
+    * Spark's `yy` parse fixes 2000-2099, so the parsed result shifts by
+    * whole years ((target - parsed) as a year-month interval; NULL
+    * parses propagate). Pinned by TestHiveSqlDateTimeFormatter:
+    * rr '00'→2000, '49'→2049, '50'→1950, '99'→1999 (current year 20xx).
+    */
+  private def rrAdjust(parsed: Expression, toDate: Boolean): Expression = {
+    val v = Pmod(Year(parsed), Literal(100)) // the 2-digit input
+    val cur = Year(CurrentDate())
+    val c = Cast(IntegralDivide(cur, Literal(100L)), IntegerType)
+    val l = Pmod(cur, Literal(100))
+    val centuryOut = If(LessThanOrEqual(v, Literal(49)),
+      If(LessThanOrEqual(l, Literal(49)), c, Add(c, Literal(1))),
+      If(LessThanOrEqual(l, Literal(49)), Subtract(c, Literal(1)), c))
+    val target = Add(Multiply(centuryOut, Literal(100)), v)
+    val delta = MakeYMInterval(Subtract(target, Year(parsed)), Literal(0))
+    if (toDate) DateAddYMInterval(parsed, delta)
+    else TimestampAddYMInterval(parsed, delta)
   }
 
   /** Build the cast_format expression. `targetType` is a literal type
@@ -217,11 +253,13 @@ object CastFormat {
         StringRPad(Substring(formatted(value, pattern), Literal(1),
           Literal(n.toInt)), Literal(n.toInt), Literal(" "))
       case "timestamp" =>
-        new ParseToTimestamp(Cast(value, StringType),
+        val parsed = new ParseToTimestamp(Cast(value, StringType),
           Literal(parsePattern(pattern)))
+        if (hasRr(pattern)) rrAdjust(parsed, toDate = false) else parsed
       case "date" =>
-        new ParseToDate(Cast(value, StringType),
+        val parsed = new ParseToDate(Cast(value, StringType),
           Literal(parsePattern(pattern)))
+        if (hasRr(pattern)) rrAdjust(parsed, toDate = true) else parsed
       case other => throw new IllegalArgumentException(
         s"cast_format: unsupported target type '$other' (string, " +
           "char(n), varchar(n), date, timestamp)")

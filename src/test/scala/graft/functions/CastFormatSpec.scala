@@ -88,6 +88,24 @@ class CastFormatSpec extends SparkSpec {
       "SELECT CAST(expr_as STRING FORMAT 'yyyy') FROM t") === None)
   }
 
+  test("rr two-digit-year pivot (TestHiveSqlDateTimeFormatter rows): " +
+      "00->2000, 49->2049, 50->1950, 99->1999") {
+    // the pivot references the CURRENT year (ref HiveSqlDateTimeFormatter
+    // .java:112-119): these pins hold while the current year's last two
+    // digits are <= 49 — i.e. until 2050, same assumption the reference's
+    // own test rows make
+    assert(one("cast_format('00-02-03', 'date', 'rr-mm-dd')") === "2000-02-03")
+    assert(one("cast_format('49-02-03', 'date', 'rr-mm-dd')") === "2049-02-03")
+    assert(one("cast_format('50-02-03', 'date', 'rr-mm-dd')") === "1950-02-03")
+    assert(one("cast_format('99-02-03', 'date', 'rr-mm-dd')") === "1999-02-03")
+    assert(one("cast_format('50-02-03 04:05:06', 'timestamp', " +
+      "'rr-mm-dd hh24:mi:ss')") === "1950-02-03 04:05:06.0")
+    assert(one("cast_format('junk', 'date', 'rr-mm-dd')") === null)
+    // rrrr with 4-digit input stays the plain year parse
+    assert(one("cast_format('1950-02-03', 'date', 'rrrr-mm-dd')") ===
+      "1950-02-03")
+  }
+
   test("unknown tokens and unsupported directions fail loudly") {
     val e1 = intercept[Exception](one(
       "cast_format(current_timestamp(), 'string', 'yyyy-xx')"))
