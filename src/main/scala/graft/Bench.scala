@@ -119,6 +119,19 @@ object Bench {
       "linearly with the fact tables, the bucketed plan's network cost " +
       "stays zero -- the metric exists to pin the plan shape, not to " +
       "manufacture a local speedup"),
+    "hive_acid_read_base" -> ("benched from r16 on: delete-free BASE-ONLY " +
+      "acid read (the post-compaction state) through AcidColumnarOrc's " +
+      "zero-copy ColumnarBatch wrap of the row struct; breakdown's " +
+      "acid_base_rowbridge is the identical read with the fast path " +
+      "forced off. r16 decision numbers: KEEP -- at sf0.1 (150k rows, " +
+      "overhead-dominated) columnar 0.097s vs rowbridge 0.118s (1.2x); " +
+      "at 10M rows (scale-representative, min-of-3) columnar-equivalent " +
+      "plain ORC 0.25s vs rowbridge 0.91s (3.6x). Spark's native ORC " +
+      "readers CANNOT read acid files at all (orc-core acid detection " +
+      "remaps batches under all three reader modes -- probed r16, " +
+      "AcidColumnarSpec scaladoc), so the DSv2 wrap is the only columnar " +
+      "route; the gate engages only for the exact post-compaction state " +
+      "and everything else keeps the row bridge"),
     "hive_acid_read" -> ("benched from r12 on: ACID migration bridge -- " +
       "reconstruct base_5 + delta_6_6 + delete_delta_7_7 over the full " +
       "orders table (4 buckets, fixture build untimed/cached) and " +
@@ -328,6 +341,47 @@ object Bench {
     * id-column-pruned delete scan, anti-join, aggregate. A cached fixture
     * is reused across passes (ACID dirs are immutable by contract).
     */
+  /** Post-compaction ACID read: a delete-free base-only snapshot of the
+    * full orders table — the state [[graft.sources.AcidColumnarOrc]]'s
+    * zero-copy ColumnarBatch path engages for (r16). The breakdown's
+    * `acid_base_rowbridge` runs the IDENTICAL read with the fast path
+    * forced off, so the pair measures the columnar win on this fixture
+    * directly. Fixture build untimed and cached.
+    */
+  private val acidBaseFixture =
+    new java.util.concurrent.atomic.AtomicReference[String]()
+  private def acidBaseDir(spark: SparkSession, sfDir: String): String =
+    Option(acidBaseFixture.get()).getOrElse {
+      import org.apache.spark.sql.functions._
+      val d = java.nio.file.Files.createTempDirectory("graft_bench_acidb_")
+        .toString + "/orders"
+      val orders = Engine.table(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.AcidOrc.appendDelta(spark, d, 5L, orders, buckets = 4)
+      val fs = new org.apache.hadoop.fs.Path(d)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.rename(new org.apache.hadoop.fs.Path(d, "delta_5_5"),
+        new org.apache.hadoop.fs.Path(d, "base_5"))
+      acidBaseFixture.set(d)
+      d
+    }
+  private def hiveAcidReadBase(spark: SparkSession, sfDir: String,
+      columnar: Boolean): Double = {
+    import org.apache.spark.sql.functions._
+    val dir = acidBaseDir(spark, sfDir)
+    if (!columnar)
+      spark.conf.set("spark.graft.acid.columnarRead", "false")
+    try {
+      val t0 = System.nanoTime()
+      graft.sources.AcidOrc.read(spark, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)), sum(col("o_totalprice")))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    } finally if (!columnar)
+      spark.conf.unset("spark.graft.acid.columnarRead")
+  }
+
   private val acidFixture = new java.util.concurrent.atomic.AtomicReference[String]()
   private def hiveAcidRead(spark: SparkSession, sfDir: String): Double = {
     import org.apache.spark.sql.functions._
@@ -403,6 +457,7 @@ object Bench {
     val doSnap = only.isEmpty || only("snapshot_versioned_roundtrip")
     val doSpj = only.isEmpty || only("bucketed_spj_join")
     val doAcid = only.isEmpty || only("hive_acid_read")
+    val doAcidBase = only.isEmpty || only("hive_acid_read_base")
     picked.foreach { n =>
       try run(n) catch { case _: Throwable => () }
     }
@@ -424,6 +479,14 @@ object Bench {
       try { bucketedSpjJoin(spark, sfDir); shuffleJoinBaseline(spark, sfDir) }
       catch { case e: Throwable =>
         System.err.println(s"[bench] spj warmup FAILED: ${e.getMessage}") }
+
+    // acid-base warmup (builds the compacted fixture + compiles both the
+    // columnar and row-bridge read plans)
+    if (doAcidBase)
+      try { hiveAcidReadBase(spark, sfDir, columnar = true)
+        hiveAcidReadBase(spark, sfDir, columnar = false) }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] acid-base warmup FAILED: ${e.getMessage}") }
 
     // measurement hygiene: drop every block the warmup pass left behind
     // (retained loser-id checkpoints etc.), clear cached relations, and GC so
@@ -482,6 +545,11 @@ object Bench {
         try { cleanStorage(gc = false); hiveAcidRead(spark, sfDir) }
         catch { case e: Throwable =>
           System.err.println(s"[bench] hive_acid_read FAILED: ${e.getMessage}"); -1.0 }
+      })) ++ (if (!doAcidBase) Seq.empty else Seq("hive_acid_read_base" -> {
+        try { cleanStorage(gc = false);
+          hiveAcidReadBase(spark, sfDir, columnar = true) }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] hive_acid_read_base FAILED: ${e.getMessage}"); -1.0 }
       }))
     val passes = (1 to nRuns).map(_ => measurePass())
     val calibLast = calibrate(spark)
@@ -533,7 +601,20 @@ object Bench {
             System.err.println(
               s"[bench] shuffle baseline FAILED: ${e.getMessage}"); -1.0 }
         }.filter(_ >= 0).minOption.getOrElse(-1.0))
-    val bd = (breakdown ++ shuffleBaseline)
+    // ACID columnar context: the identical base-only read through the
+    // row bridge — the spread vs `hive_acid_read_base` is the per-row
+    // conversion cost the ColumnarBatch wrap removes.
+    val acidRowBridgeBaseline: Seq[(String, Double)] =
+      if (!doAcidBase) Seq.empty
+      else Seq("acid_base_rowbridge" ->
+        (1 to nRuns).map { _ =>
+          try { cleanStorage(gc = false)
+            hiveAcidReadBase(spark, sfDir, columnar = false) }
+          catch { case e: Throwable =>
+            System.err.println(
+              s"[bench] acid rowbridge FAILED: ${e.getMessage}"); -1.0 }
+        }.filter(_ >= 0).minOption.getOrElse(-1.0))
+    val bd = (breakdown ++ shuffleBaseline ++ acidRowBridgeBaseline)
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
 

@@ -270,7 +270,7 @@ object AcidOrc {
   /** TypeDescription → Catalyst type (the subset the reference's SerDes
     * produce; UNION has no Catalyst analog and is refused).
     */
-  private def toCatalyst(td: TypeDescription): DataType = {
+  private[sources] def toCatalyst(td: TypeDescription): DataType = {
     import TypeDescription.Category._
     td.getCategory match {
       case BOOLEAN => BooleanType
@@ -825,6 +825,23 @@ object AcidOrc {
         s"inconsistent partition layouts under $table: " +
           keyed.distinct.map(_.mkString("/")).mkString(", "))
       keyed.headOption.getOrElse(Nil)
+    }
+
+    // COLUMNAR fast path (see [[AcidColumnarOrc]]): the delete-free,
+    // single-directory, unpartitioned, no-id-projection state — i.e. a
+    // compacted base (or one uncompacted insert delta) — reads through a
+    // zero-copy ColumnarBatch wrap of the row struct instead of the
+    // per-row bridge (measured 3.6x at 10M rows). Everything else keeps
+    // the row bridge; `spark.graft.acid.columnarRead=false` forces it.
+    if (!withIds && !legacyUpdates && deleteFiles.isEmpty &&
+        originalFiles.isEmpty && partCols.isEmpty && rowFiles.nonEmpty &&
+        rowFiles.map(s => new Path(s.file).getParent.toString)
+          .distinct.size == 1 &&
+        spark.conf.getOption("spark.graft.acid.columnarRead")
+          .forall(_.toBoolean)) {
+      return AcidColumnarOrc.scan(spark,
+        AcidColumnarOrc.rowSchema(rowFiles.head.file),
+        rowFiles.map(s => (s.file, s.offset, s.length)))
     }
 
     // delete events, shared by both sides: delete_delta dirs plus (legacy

@@ -1,0 +1,112 @@
+package graft.sources
+
+import graft.{Engine, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** The delete-free base-only COLUMNAR fast path (AcidColumnarOrc).
+  *
+  * Why it exists — r16 probes, pinned here as the design record: Spark's
+  * native ORC readers cannot open ACID-wrapper files AT ALL (orc-core's
+  * acid schema detection remaps batches underneath them):
+  * vectorized → ArrayIndexOutOfBounds, row-based-native and
+  * nested-vectorized → StructColumnVector-as-LongColumnVector cast
+  * errors, and a non-acid reader schema fares no better. The row bridge
+  * is correct but measured 3.6x slower than a plain columnar ORC scan at
+  * 10M rows (0.91s vs 0.25s min-of-3). The fast path wraps the row
+  * struct's orc-core vectors zero-copy as Spark OrcColumnVectors.
+  */
+class AcidColumnarSpec extends SparkSpec {
+
+  private def scratch(): String =
+    java.nio.file.Files.createTempDirectory("graft_acidcol_").toString + "/t"
+
+  private def mkBase(dir: String, n: Long, buckets: Int): Unit = {
+    val rows = spark.range(n).select(col("id").as("k"),
+      (col("id") % 97).as("g"), (col("id") % 10007 / 100.0).as("x"),
+      concat(lit("v"), col("id") % 1000).as("s"))
+    AcidOrc.appendDelta(spark, dir, 1L, rows, buckets = buckets)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(dir, "delta_1_1"),
+      new org.apache.hadoop.fs.Path(dir, "base_1"))
+  }
+
+  private def withRowBridge[A](body: => A): A = {
+    spark.conf.set("spark.graft.acid.columnarRead", "false")
+    try body finally spark.conf.unset("spark.graft.acid.columnarRead")
+  }
+
+  test("base-only read takes the columnar path and matches the row " +
+      "bridge cell-for-cell; schema identical") {
+    val dir = scratch()
+    mkBase(dir, 5000, 2)
+    val fast = AcidOrc.read(spark, dir)
+    val slow = withRowBridge { AcidOrc.read(spark, dir) }
+    assert(fast.schema === slow.schema)
+    // the fast plan is a BatchScan over the DSv2 source; the bridge is not
+    assert(fast.queryExecution.executedPlan.toString
+      .contains("graft-acid-columnar"), fast.queryExecution.executedPlan)
+    val a = fast.collect().map(_.toSeq.mkString("|")).sorted
+    val b = slow.collect().map(_.toSeq.mkString("|")).sorted
+    assert(a.length === 5000)
+    assert(a === b)
+  }
+
+  test("column pruning reaches orc-core: a two-column aggregate decodes " +
+      "only those row children and answers identically") {
+    val dir = scratch()
+    mkBase(dir, 20000, 2)
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("g")).agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 100))).sortBy(_._1).toSeq
+    val fast = AcidOrc.read(spark, dir)
+    assert(fast.select(col("g"), col("x")).queryExecution.executedPlan
+      .toString.contains("graft-acid-columnar"))
+    assert(agg(fast) === withRowBridge { agg(AcidOrc.read(spark, dir)) })
+    // count(*) over an empty projection works too
+    assert(AcidOrc.read(spark, dir).count() === 20000L)
+  }
+
+  test("the gate declines everything that is not the post-compaction " +
+      "state: deletes, partitions, id projections, legacy mode") {
+    // deletes present -> row bridge
+    val d1 = scratch()
+    mkBase(d1, 500, 1)
+    val doomed = AcidOrc.rawEvents(spark, s"$d1/base_1/bucket_00000")
+      .where(col("row.k") % 7 === 0)
+      .select(col("originalTransaction"), col("bucket"), col("rowId"))
+    AcidOrc.appendDeleteDelta(spark, d1, 2L, doomed, buckets = 1)
+    val withDel = AcidOrc.read(spark, d1)
+    assert(!withDel.queryExecution.executedPlan.toString
+      .contains("graft-acid-columnar"))
+    assert(withDel.count() === 500 - 72) // k % 7 == 0 in [0, 500): 72 rows
+    // id projection -> row bridge
+    val d2 = scratch()
+    mkBase(d2, 100, 1)
+    assert(!AcidOrc.readWithIds(spark, d2).queryExecution.executedPlan
+      .toString.contains("graft-acid-columnar"))
+    // partitioned layout -> row bridge
+    val d3 = scratch()
+    AcidOrc.appendDelta(spark, s"$d3/p=a", 1L,
+      spark.range(10).select(col("id").as("k")))
+    assert(!AcidOrc.read(spark, d3).queryExecution.executedPlan.toString
+      .contains("graft-acid-columnar"))
+    assert(AcidOrc.read(spark, d3).count() === 10)
+  }
+
+  test("byte-range splits slice one large base file into parallel " +
+      "columnar tasks without duplicating or losing rows") {
+    val dir = scratch()
+    mkBase(dir, 200000, 1) // single bucket file
+    spark.conf.set(AcidOrc.SplitBytesKey, "65536") // force many ranges
+    try {
+      val df = AcidOrc.read(spark, dir)
+      assert(df.queryExecution.executedPlan.toString
+        .contains("graft-acid-columnar"))
+      assert(df.count() === 200000L)
+      assert(df.agg(sum(col("k"))).head.getLong(0) ===
+        (0L until 200000L).sum)
+    } finally spark.conf.unset(AcidOrc.SplitBytesKey)
+  }
+}
