@@ -234,6 +234,7 @@ object Engine {
           .orElse(maybeRunHplsql(spark, sfDir, query))
           .orElse(maybeCastFormat(spark, sfDir, query))
           .orElse(maybeCommaLimit(spark, sfDir, query))
+          .orElse(maybeTypeSpellings(spark, sfDir, query))
           .getOrElse(spark.sql(query)) // surface the canonical parse error
       case Some(plan) =>
         // privilege check first (deny-by-default when authz is enabled),
@@ -345,6 +346,26 @@ object Engine {
         if (parses) Some(sql(spark, sfDir, rewritten)) else None
       case _ => None
     }
+  }
+
+  /** Hive type spellings Spark's parser rejects — `TIMESTAMP WITH LOCAL
+    * TIME ZONE` and its `TIMESTAMPLOCALTZ` shorthand (ref serde
+    * serdeConstants.TIMESTAMPLOCALTZ_TYPE_NAME; timestamptz*.q) — map to
+    * Spark's `TIMESTAMP_LTZ`, which IS the same type: an instant
+    * rendered in the session zone (Spark's default timestamp). Only
+    * fires when the original text failed to parse AND the rewrite
+    * parses, so no user identifier containing these words can be
+    * touched (the regex requires type-spelling word boundaries).
+    */
+  private def maybeTypeSpellings(spark: SparkSession, sfDir: String,
+      query: String): Option[DataFrame] = {
+    val Re = """(?i)\btimestamp\s+with\s+local\s+time\s+zone\b|\btimestamplocaltz\b""".r
+    if (Re.findFirstIn(query).isEmpty) return None
+    val rewritten = Re.replaceAllIn(query, "timestamp_ltz")
+    val parses =
+      try { spark.sessionState.sqlParser.parsePlan(rewritten); true }
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (parses) Some(sql(spark, sfDir, rewritten)) else None
   }
 
   /** SQL:2016 `CAST(x AS type FORMAT 'pattern')` (ref ql/udf/generic/
