@@ -73,7 +73,11 @@ object DsData {
         // first boundary is id=3): same-week dates share d_week_seq —
         // what q72's d1/d2 equi-join keys on
         (floor(((col("d_date_sk") - 2450815L) + 4L) / 7L) + 5217L)
-          .cast("int").as("d_week_seq"))
+          .cast("int").as("d_week_seq"),
+        // DS month counter (1998-01 = 1200, the corpus convention that
+        // makes q65's `d_month_seq between 1212 and 1212+11` = 1999)
+        ((year(col("d_date")) - 1998) * 12 + month(col("d_date")) + 1199)
+          .cast("int").as("d_month_seq"))
     save(spark, "date_dim", dateDim)
 
     // the fact-side sold/returned date pool (see scaladoc)
@@ -298,6 +302,7 @@ object DsData {
         onum.cast("long").as("cs_order_number"),
         qty.as("cs_quantity"),
         listp.as("cs_list_price"),
+        ((h("cssp", idc, 20000) + 1) / lit(100.0)).as("cs_sales_price"),
         (listp * qty).as("cs_ext_list_price"),
         (((h("csp", idc, 600000)) - 100000) / lit(100.0))
           .as("cs_net_profit"))
@@ -333,8 +338,10 @@ object DsData {
     // the q72 blowup table: at real scale this is the LARGEST table in
     // the schema and the classic join-order trap is building
     // cs × inventory before the demographic/date filters shrink cs
+    // month 5 added beyond the fact pool: q39 correlates consecutive
+    // months (d_moy = 4 vs 5) over inventory alone
     val invDates: Seq[Int] = (0 until nDays).collect {
-      case i if Seq(1, 4, 7, 11, 12).contains(
+      case i if Seq(1, 4, 5, 7, 11, 12).contains(
           java.time.LocalDate.of(1998, 1, 1).plusDays(i).getMonthValue) &&
         java.time.LocalDate.of(1998, 1, 1).plusDays(i)
           .getDayOfWeek == java.time.DayOfWeek.SUNDAY => 2450815 + i
@@ -348,7 +355,15 @@ object DsData {
         .as("inv_item_sk"),
       (floor(col("id") / (invDates.size * 2000L)) + 1).cast("int")
         .as("inv_warehouse_sk"),
-      h("invq", col("id"), 100).as("inv_quantity_on_hand")))
+      // skewed on-hand quantities (80% small, 20% uniform to 999): a
+      // flat draw makes every q39 coefficient-of-variation ~0.58 and
+      // `cov > 1` returns nothing; the mixture's cov ~1.9 passes groups
+      // the way real lumpy replenishment does, and q82's 100..500 band
+      // keeps ~8% of rows
+      when(h("invskew", col("id"), 5) === 0,
+        h("invq", col("id"), 1000))
+        .otherwise(h("invqs", col("id"), 50))
+        .as("inv_quantity_on_hand")))
 
     // ---- web_sales: ~7.5 lines per order; warehouse varies BY LINE so
     // nearly every order spans >= 2 warehouses (q95's ws_wh self-join);

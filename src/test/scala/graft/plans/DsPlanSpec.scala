@@ -1009,6 +1009,136 @@ class DsPlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         |order by count(distinct ws_order_number)
         |limit 100""".stripMargin, false))
 
+  /** Five more perf queries over the widened snowflake (r16): inventory
+    * statistics (q39 cov self-correlation, q82 availability scan), the
+    * grouping() rollup (q27), the catalog-channel zip report (q15), and
+    * the below-average-revenue store/item anti-select (q65).
+    */
+  private lazy val moreQueries: Seq[(String, String, Boolean)] = Seq(
+    ("query15",
+      """select  ca_zip
+        |       ,sum(cs_sales_price)
+        | from catalog_sales
+        |     ,customer
+        |     ,customer_address
+        |     ,date_dim
+        | where cs_bill_customer_sk = c_customer_sk
+        |       and c_current_addr_sk = ca_address_sk
+        |       and ( substr(ca_zip,1,5) in ('85669', '86197','88274','83405','86475',
+        |                                   '85392', '85460', '80348', '81792')
+        |             or ca_state in ('CA','WA','GA')
+        |             or cs_sales_price > 500)
+        |       and cs_sold_date_sk = d_date_sk
+        |       and d_qoy = 2 and d_year = 2000
+        | group by ca_zip
+        | order by ca_zip
+        | limit 100""".stripMargin, false),
+
+    ("query27",
+      """select  i_item_id,
+        |        s_state, grouping(s_state) g_state,
+        |        avg(ss_quantity) agg1,
+        |        avg(ss_list_price) agg2,
+        |        avg(ss_coupon_amt) agg3,
+        |        avg(ss_sales_price) agg4
+        | from store_sales, customer_demographics, date_dim, store, item
+        | where ss_sold_date_sk = d_date_sk and
+        |       ss_item_sk = i_item_sk and
+        |       ss_store_sk = s_store_sk and
+        |       ss_cdemo_sk = cd_demo_sk and
+        |       cd_gender = 'M' and
+        |       cd_marital_status = 'U' and
+        |       cd_education_status = '2 yr Degree' and
+        |       d_year = 2001 and
+        |       s_state in ('SD','FL', 'MI', 'LA', 'MO', 'SC')
+        | group by rollup (i_item_id, s_state)
+        | order by i_item_id
+        |         ,s_state
+        | limit 100""".stripMargin, true),
+
+    ("query39",
+      """with inv as
+        |(select w_warehouse_name,w_warehouse_sk,i_item_sk,d_moy
+        |       ,stdev,mean, case mean when 0 then null else stdev/mean end cov
+        | from(select w_warehouse_name,w_warehouse_sk,i_item_sk,d_moy
+        |            ,stddev_samp(inv_quantity_on_hand) stdev,avg(inv_quantity_on_hand) mean
+        |      from inventory
+        |          ,item
+        |          ,warehouse
+        |          ,date_dim
+        |      where inv_item_sk = i_item_sk
+        |        and inv_warehouse_sk = w_warehouse_sk
+        |        and inv_date_sk = d_date_sk
+        |        and d_year =1999
+        |      group by w_warehouse_name,w_warehouse_sk,i_item_sk,d_moy) foo
+        | where case mean when 0 then 0 else stdev/mean end > 1)
+        |select inv1.w_warehouse_sk,inv1.i_item_sk,inv1.d_moy,inv1.mean, inv1.cov
+        |        ,inv2.w_warehouse_sk,inv2.i_item_sk,inv2.d_moy,inv2.mean, inv2.cov
+        |from inv inv1,inv inv2
+        |where inv1.i_item_sk = inv2.i_item_sk
+        |  and inv1.w_warehouse_sk =  inv2.w_warehouse_sk
+        |  and inv1.d_moy=4
+        |  and inv2.d_moy=4+1
+        |order by inv1.w_warehouse_sk,inv1.i_item_sk,inv1.d_moy,inv1.mean,inv1.cov
+        |        ,inv2.d_moy,inv2.mean, inv2.cov""".stripMargin, false),
+
+    ("query65",
+      """select
+        |       s_store_name,
+        |       i_item_desc,
+        |       sc.revenue,
+        |       i_current_price,
+        |       i_brand
+        | from store, item,
+        |     (select ss_store_sk, avg(revenue) as ave
+        |       from
+        |           (select  ss_store_sk, ss_item_sk,
+        |                    sum(ss_sales_price) as revenue
+        |               from store_sales, date_dim
+        |               where ss_sold_date_sk = d_date_sk and d_month_seq between 1212 and 1212+11
+        |               group by ss_store_sk, ss_item_sk) sa
+        |       group by ss_store_sk) sb,
+        |     (select  ss_store_sk, ss_item_sk, sum(ss_sales_price) as revenue
+        |       from store_sales, date_dim
+        |       where ss_sold_date_sk = d_date_sk and d_month_seq between 1212 and 1212+11
+        |       group by ss_store_sk, ss_item_sk) sc
+        | where sb.ss_store_sk = sc.ss_store_sk and
+        |       sc.revenue <= 0.1 * sb.ave and
+        |       s_store_sk = sc.ss_store_sk and
+        |       i_item_sk = sc.ss_item_sk
+        | order by s_store_name, i_item_desc
+        |limit 100""".stripMargin, true),
+
+    ("query82",
+      // `+ 60 days` spelled date_add (Spark's interval-literal syntax);
+      // i_wholesale_cost dropped from q65's select (not generated) —
+      // plan shape unaffected
+      """select  i_item_id
+        |       ,i_item_desc
+        |       ,i_current_price
+        | from item, inventory, date_dim, store_sales
+        | where i_current_price between 30 and 30+30
+        | and inv_item_sk = i_item_sk
+        | and d_date_sk=inv_date_sk
+        | and d_date between cast('2002-05-30' as date) and date_add(cast('2002-05-30' as date), 60)
+        | and i_manufact_id in (437,129,727,663)
+        | and inv_quantity_on_hand between 100 and 500
+        | and ss_item_sk = i_item_sk
+        | group by i_item_id,i_item_desc,i_current_price
+        | order by i_item_id
+        | limit 100""".stripMargin, false))
+
+  test("five more perf queries (query15/27/39/65/82): inventory " +
+      "statistics, grouping rollup, below-average anti-select — same " +
+      "invariants") {
+    DsData.ensure(spark)
+    withConf(cboConfs: _*) {
+      moreQueries.foreach { case (name, sql, expectDpp) =>
+        checkQuery(name, sql, expectDpp)
+      }
+    }
+  }
+
   test("join-order traps (query72/64/23/14/95): the multi-channel/" +
       "self-join/CTE-reuse shapes, same invariants; q72 additionally " +
       "pins that inventory meets an ALREADY-FILTERED fact side") {
