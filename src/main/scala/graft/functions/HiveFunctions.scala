@@ -116,23 +116,51 @@ object HiveFunctions {
       }
     }
 
-    // Hive's hour/minute/second also parse TIME-ONLY strings — ref
-    // udf/UDFHour.java's HH:mm:ss regex fallback, pinned by udf_hour.q
-    // (hour('13:14:15') = 13 where a bare timestamp cast answers NULL).
-    // Surfaced by the qtest sweep. String inputs try the timestamp cast
-    // first, then re-parse prefixed with the epoch date; non-strings
-    // keep the builtin behavior.
-    Seq(("hour", (e: Expression) => Hour(e)),
-      ("minute", (e: Expression) => Minute(e)),
-      ("second", (e: Expression) => Second(e))).foreach { case (name, mk) =>
-      fn(name) { args =>
-        import org.apache.spark.sql.types._
-        require(args.size == 1, s"$name(ts) takes one argument")
-        val a = args.head
-        if (a.resolved && a.dataType == StringType)
+    // Hive's datetime-field functions are polymorphic two ways the Spark
+    // builtins are not (both surfaced by the qtest sweep):
+    //  - hour/minute/second parse TIME-ONLY strings (udf_hour.q:
+    //    hour('13:14:15') = 13, ref UDFHour.java's HH:mm:ss fallback) —
+    //    string inputs try the timestamp cast first, then re-parse
+    //    prefixed with the epoch date;
+    //  - year/month and day/hour/minute/second accept INTERVAL arguments
+    //    (interval_udf.q: year(interval '1-2' year to month) = 1,
+    //    second(interval '3 4:5:6.789' day to second) = 6 — integral,
+    //    fraction truncated).
+    {
+      import org.apache.spark.sql.types._
+      def ymField(extract: Expression => Expression,
+          mk: Expression => Expression)(a: Expression): Expression =
+        if (a.resolved && a.dataType.isInstanceOf[YearMonthIntervalType])
+          extract(a)
+        else mk(a)
+      def dtField(extract: Expression => Expression,
+          mk: Expression => Expression, timeString: Boolean)(
+          a: Expression): Expression =
+        if (a.resolved && a.dataType.isInstanceOf[DayTimeIntervalType])
+          extract(a)
+        else if (timeString && a.resolved && a.dataType == StringType)
           Coalesce(Seq(mk(Cast(a, TimestampType)),
             mk(Cast(Concat(Seq(Literal("1970-01-01 "), a)), TimestampType))))
         else mk(a)
+      val builders: Seq[(String, Expression => Expression)] = Seq(
+        "year" -> ymField(ExtractANSIIntervalYears, Year(_)),
+        "month" -> ymField(ExtractANSIIntervalMonths, Month(_)),
+        "day" -> dtField(ExtractANSIIntervalDays, DayOfMonth(_),
+          timeString = false),
+        "dayofmonth" -> dtField(ExtractANSIIntervalDays, DayOfMonth(_),
+          timeString = false),
+        "hour" -> dtField(ExtractANSIIntervalHours, Hour(_),
+          timeString = true),
+        "minute" -> dtField(ExtractANSIIntervalMinutes, Minute(_),
+          timeString = true),
+        "second" -> dtField(
+          e => Cast(ExtractANSIIntervalSeconds(e), IntegerType),
+          Second(_), timeString = true))
+      builders.foreach { case (name, build) =>
+        fn(name) { args =>
+          require(args.size == 1, s"$name(x) takes one argument")
+          build(args.head)
+        }
       }
     }
 
