@@ -1038,5 +1038,64 @@ object FunctionQueries {
           |FROM orders WHERE o_orderkey <= 2000
           |GROUP BY 1 ORDER BY bucket""".stripMargin)
     },
+
+    // Interval-aware datetime field functions + time-only string parsing
+    // (r16; ref interval_udf.q, udf_hour.q — Hive's year/month and
+    // day/hour/minute/second accept INTERVAL arguments, and
+    // hour/minute/second parse bare HH:mm:ss strings). The per-row leg
+    // derives a time string from the key so the oracle is not constant.
+    q("f37_interval_time_fields",
+      """SELECT o_orderkey,
+        |  date_part('year', INTERVAL 1 YEAR + INTERVAL 2 MONTHS) AS iy,
+        |  date_part('month', INTERVAL 1 YEAR + INTERVAL 2 MONTHS) AS im,
+        |  date_part('day', INTERVAL 3 DAYS + INTERVAL 4 HOURS
+        |    + INTERVAL 5 MINUTES + INTERVAL 6 SECONDS) AS idd,
+        |  date_part('hour', INTERVAL 3 DAYS + INTERVAL 4 HOURS
+        |    + INTERVAL 5 MINUTES + INTERVAL 6 SECONDS) AS ih,
+        |  date_part('minute', INTERVAL 3 DAYS + INTERVAL 4 HOURS
+        |    + INTERVAL 5 MINUTES + INTERVAL 6 SECONDS) AS imin,
+        |  CAST(date_part('second', INTERVAL 3 DAYS + INTERVAL 4 HOURS
+        |    + INTERVAL 5 MINUTES + INTERVAL 6 SECONDS) AS INT) AS isec,
+        |  date_part('hour', CAST('13:14:15' AS TIME)) AS th,
+        |  CAST(date_part('second', CAST('13:14:'
+        |    || lpad(CAST(o_orderkey % 60 AS VARCHAR), 2, '0') AS TIME))
+        |    AS INT) AS rs
+        |FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""".stripMargin
+    ) { (spark, dir) =>
+      Engine.sql(spark, dir,
+        """SELECT o_orderkey,
+          |  year(interval '1-2' year to month) AS iy,
+          |  month(interval '1-2' year to month) AS im,
+          |  day(interval '3 4:5:6.789' day to second) AS idd,
+          |  hour(interval '3 4:5:6.789' day to second) AS ih,
+          |  minute(interval '3 4:5:6.789' day to second) AS imin,
+          |  second(interval '3 4:5:6.789' day to second) AS isec,
+          |  hour('13:14:15') AS th,
+          |  second(concat('13:14:',
+          |    lpad(cast(o_orderkey % 60 as string), 2, '0'))) AS rs
+          |FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""".stripMargin)
+    },
+
+    // Numeric trunc (r16; ref udf_trunc_number.q — truncation toward
+    // zero at positive/negative/zero scale). Values are non-negative, so
+    // the DuckDB twin's floor arithmetic is the same truncation.
+    q("f38_numeric_trunc",
+      """SELECT l_orderkey, l_linenumber,
+        |  floor(l_extendedprice * 10) / 10 AS t1,
+        |  floor(l_extendedprice / 100) * 100 AS tm2,
+        |  CAST(floor(l_extendedprice) AS DOUBLE) AS t0,
+        |  floor(l_discount * 100) / 100 AS td
+        |FROM lineitem WHERE l_orderkey < 200
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+    ) { (spark, dir) =>
+      Engine.sql(spark, dir,
+        """SELECT l_orderkey, l_linenumber,
+          |  trunc(l_extendedprice, 1) AS t1,
+          |  trunc(l_extendedprice, -2) AS tm2,
+          |  trunc(l_extendedprice) AS t0,
+          |  trunc(l_discount, 2) AS td
+          |FROM lineitem WHERE l_orderkey < 200
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    },
   )
 }

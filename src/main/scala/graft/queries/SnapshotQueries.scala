@@ -513,5 +513,28 @@ object SnapshotQueries {
            |  CAST($straddle AS INT) AS straddle_rows
            |FROM hive_acid('$root')
            |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    },
+
+    // Post-compaction COLUMNAR acid read (r16, [[graft.sources
+    // .AcidColumnarOrc]]): a full-table delta compacted into base_1 —
+    // the delete-free base-only state — reads through the zero-copy
+    // ColumnarBatch path (AcidColumnarSpec pins the plan shape; this
+    // entry pins the VALUES under the DuckDB gate).
+    q("s43_hive_acid_columnar_base",
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import graft.sources.AcidOrc
+      val orders = Engine.table(spark, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      val root = scratch()
+      AcidOrc.appendDelta(spark, root, 1L, orders, buckets = 2)
+      AcidOrc.compact(spark, root) // folds to base_1: the columnar state
+      AcidOrc.read(spark, root)
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"), Exact.dsum($"o_totalprice").as("total"))
+        .orderBy($"o_orderstatus")
     })
 }
