@@ -336,10 +336,32 @@ object HiveFunctions {
         Option(args(i).eval(null)).map(_.asInstanceOf[Number].intValue).getOrElse(default)
       else throw new IllegalArgumentException(
         s"mask_* char count must be a literal, got: ${args(i).sql}")
-    fn("mask_first_n")(a => MaskRange(a.head, intArg(a, 1, 4), fromStart = true, show = false))
-    fn("mask_last_n")(a => MaskRange(a.head, intArg(a, 1, 4), fromStart = false, show = false))
-    fn("mask_show_first_n")(a => MaskRange(a.head, intArg(a, 1, 4), fromStart = true, show = true))
-    fn("mask_show_last_n")(a => MaskRange(a.head, intArg(a, 1, 4), fromStart = false, show = true))
+    // optional custom mask chars at positions 2..5 (upper, lower, digit,
+    // other — ref BaseMaskUDF.java getCharArg: a string literal's first
+    // char; int -1 keeps the default; 'other' defaults to UNMASKED).
+    // Pinned by udf_mask_first_n.q ('X','x','0',':' over TestString-123).
+    def maskCustom(a: Seq[Expression], fromStart: Boolean,
+        show: Boolean): Expression = {
+      def ch(i: Int, dflt: Char): Char = if (a.size <= i) dflt else a(i) match {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String,
+            org.apache.spark.sql.types.StringType)
+            if s != null && s.numChars() > 0 => s.toString.charAt(0)
+        case _ => dflt
+      }
+      def chOpt(i: Int): Option[Char] = if (a.size <= i) None else a(i) match {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String,
+            org.apache.spark.sql.types.StringType)
+            if s != null && s.numChars() > 0 => Some(s.toString.charAt(0))
+        case _ => None
+      }
+      MaskRange(a.head, intArg(a, 1, 4), fromStart, show,
+        upper = ch(2, 'X'), lower = ch(3, 'x'), digit = ch(4, 'n'),
+        other = chOpt(5))
+    }
+    fn("mask_first_n")(a => maskCustom(a, fromStart = true, show = false))
+    fn("mask_last_n")(a => maskCustom(a, fromStart = false, show = false))
+    fn("mask_show_first_n")(a => maskCustom(a, fromStart = true, show = true))
+    fn("mask_show_last_n")(a => maskCustom(a, fromStart = false, show = true))
     // mask_hash = sha256 hex of the string value (ref GenericUDFMaskHash.java /
     // MaskHashTransformer: DigestUtils.sha256Hex by default)
     fn("mask_hash")(a => Sha2(Cast(a.head, org.apache.spark.sql.types.BinaryType), Literal(256)))

@@ -15,12 +15,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * 0`); the default of 4 applies only when the argument is absent and is
   * supplied by the registration site (HiveFunctions).
   */
-case class MaskRange(child: Expression, n: Int, fromStart: Boolean, show: Boolean)
+case class MaskRange(child: Expression, n: Int, fromStart: Boolean,
+    show: Boolean, upper: Char = 'X', lower: Char = 'x', digit: Char = 'n',
+    other: Option[Char] = None)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = StringType
 
   private def maskChar(c: Char): Char =
-    if (c.isUpper) 'X' else if (c.isLower) 'x' else if (c.isDigit) 'n' else c
+    if (c.isUpper) upper else if (c.isLower) lower
+    else if (c.isDigit) digit else other.getOrElse(c)
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
