@@ -303,6 +303,7 @@ object DsData {
         qty.as("cs_quantity"),
         listp.as("cs_list_price"),
         ((h("cssp", idc, 20000) + 1) / lit(100.0)).as("cs_sales_price"),
+        (h("cscp", idc, 500) / lit(100.0)).as("cs_coupon_amt"),
         (listp * qty).as("cs_ext_list_price"),
         (((h("csp", idc, 600000)) - 100000) / lit(100.0))
           .as("cs_net_profit"))

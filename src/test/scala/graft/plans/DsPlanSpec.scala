@@ -1109,6 +1109,72 @@ class DsPlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         | order by s_store_name, i_item_desc
         |limit 100""".stripMargin, true),
 
+    ("query26",
+      """select  i_item_id,
+        |        avg(cs_quantity) agg1,
+        |        avg(cs_list_price) agg2,
+        |        avg(cs_coupon_amt) agg3,
+        |        avg(cs_sales_price) agg4
+        | from catalog_sales, customer_demographics, date_dim, item, promotion
+        | where cs_sold_date_sk = d_date_sk and
+        |       cs_item_sk = i_item_sk and
+        |       cs_bill_cdemo_sk = cd_demo_sk and
+        |       cs_promo_sk = p_promo_sk and
+        |       cd_gender = 'F' and
+        |       cd_marital_status = 'W' and
+        |       cd_education_status = 'Primary' and
+        |       (p_channel_email = 'N' or p_channel_event = 'N') and
+        |       d_year = 1998
+        | group by i_item_id
+        | order by i_item_id
+        | limit 100""".stripMargin, false),
+
+    ("query37",
+      // `+ 60 days` spelled date_add (Spark's interval-literal syntax)
+      """select  i_item_id
+        |       ,i_item_desc
+        |       ,i_current_price
+        | from item, inventory, date_dim, catalog_sales
+        | where i_current_price between 22 and 22 + 30
+        | and inv_item_sk = i_item_sk
+        | and d_date_sk=inv_date_sk
+        | and d_date between cast('2001-06-02' as date) and date_add(cast('2001-06-02' as date), 60)
+        | and i_manufact_id in (678,964,918,849)
+        | and inv_quantity_on_hand between 100 and 500
+        | and cs_item_sk = i_item_sk
+        | group by i_item_id,i_item_desc,i_current_price
+        | order by i_item_id
+        | limit 100""".stripMargin, false),
+
+    ("query94",
+      // `+ 60 days` spelled date_add (Spark's interval-literal syntax)
+      """select
+        |   count(distinct ws_order_number) as `order count`
+        |  ,sum(ws_ext_ship_cost) as `total shipping cost`
+        |  ,sum(ws_net_profit) as `total net profit`
+        |from
+        |   web_sales ws1
+        |  ,date_dim
+        |  ,customer_address
+        |  ,web_site
+        |where
+        |    d_date between '1999-5-01' and
+        |           date_add(cast('1999-5-01' as date), 60)
+        |and ws1.ws_ship_date_sk = d_date_sk
+        |and ws1.ws_ship_addr_sk = ca_address_sk
+        |and ca_state = 'TX'
+        |and ws1.ws_web_site_sk = web_site_sk
+        |and web_company_name = 'pri'
+        |and exists (select *
+        |            from web_sales ws2
+        |            where ws1.ws_order_number = ws2.ws_order_number
+        |              and ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+        |and not exists(select *
+        |               from web_returns wr1
+        |               where ws1.ws_order_number = wr1.wr_order_number)
+        |order by count(distinct ws_order_number)
+        |limit 100""".stripMargin, false),
+
     ("query82",
       // `+ 60 days` spelled date_add (Spark's interval-literal syntax);
       // i_wholesale_cost dropped from q65's select (not generated) —
@@ -1128,8 +1194,8 @@ class DsPlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         | order by i_item_id
         | limit 100""".stripMargin, false))
 
-  test("five more perf queries (query15/27/39/65/82): inventory " +
-      "statistics, grouping rollup, below-average anti-select — same " +
+  test("eight more perf queries (query15/26/27/37/39/65/82/94): inventory " +
+      "statistics, grouping rollup, below-average anti-select, catalog/web channels — same " +
       "invariants") {
     DsData.ensure(spark)
     withConf(cboConfs: _*) {
