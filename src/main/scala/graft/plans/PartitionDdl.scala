@@ -85,7 +85,51 @@ object PartitionDdl {
     }
   }
 
+  private val ColType =
+    ("""(?is)^\s*ALTER\s+TABLE\s+((?:`[^`]+`|[\w]+)(?:\.(?:`[^`]+`|[\w]+))*)""" +
+      """\s+PARTITION\s+COLUMN\s*\(\s*(?:`([^`]+)`|(\w+))\s+([\w]+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s*\)\s*$""").r
+
+  /** `ALTER TABLE t PARTITION COLUMN (col type)` — Hive's partition-key
+    * type evolution (ref alter_partition_coltype.q; ql/ddl/table/
+    * AlterTableAlterPartitionAnalyzer): a METADATA-ONLY retype of one
+    * partition column. Catalog partition values are stored as strings
+    * and convert to the schema type at planning, so existing partition
+    * directories stay valid and predicates coerce under the NEW type
+    * (dt='100' keeps matching after dt becomes int; ts='6.30' matches
+    * the 6.3 double partition) — at warehouse scale this is the
+    * alternative to rewriting every partition. Spark has no spelling
+    * for it (the statement is a parse error), so it lands here.
+    */
+  private def maybeColType(spark: SparkSession,
+      query: String): Option[DataFrame] = query.trim.stripSuffix(";") match {
+    case ColType(table, bq, bare, typ) =>
+      val col = Option(bq).getOrElse(bare)
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+      val cat = spark.sessionState.catalog
+      val meta =
+        try cat.getTableMetadata(ident)
+        catch { case scala.util.control.NonFatal(_) => return None }
+      require(meta.partitionColumnNames.exists(_.equalsIgnoreCase(col)),
+        s"$col is not a partition column of $table " +
+          s"(partition columns: ${meta.partitionColumnNames.mkString(", ")})")
+      val dt = spark.sessionState.sqlParser.parseDataType(typ)
+      Authz.requireRelationPrivilege(spark,
+        table.split('.').toSeq.map(_.stripPrefix("`").stripSuffix("`")),
+        "update")
+      val newSchema = org.apache.spark.sql.types.StructType(meta.schema.map(
+        f => if (f.name.equalsIgnoreCase(col)) f.copy(dataType = dt) else f))
+      cat.alterTable(meta.copy(schema = newSchema))
+      spark.catalog.refreshTable(table)
+      import spark.implicits._
+      Some(Seq(s"partition column $col retyped to ${dt.sql}")
+        .toDF("result"))
+    case _ => None
+  }
+
   def maybeSql(spark: SparkSession, query: String): Option[DataFrame] =
+    maybeColType(spark, query).orElse(maybeDrop(spark, query))
+
+  private def maybeDrop(spark: SparkSession, query: String): Option[DataFrame] =
     query.trim.stripSuffix(";") match {
       case Head(table, groupsTxt, purge) =>
         val groups = Group.findAllMatchIn(groupsTxt).map(_.group(1)).toList

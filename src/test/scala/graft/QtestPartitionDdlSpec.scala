@@ -110,6 +110,53 @@ class QtestPartitionDdlSpec extends SparkSpec {
     }
   }
 
+  test("alter_partition_coltype.q: partition-key type evolution is " +
+      "metadata-only — existing partitions stay valid and predicates " +
+      "coerce under the new type (counts pinned to the .q.out)") {
+    assume(haveRef); QtestHarness.fixtures
+    withTable("alter_coltype") {
+      Engine.sql(spark, sfDir, "DROP TABLE IF EXISTS alter_coltype")
+      Engine.sql(spark, sfDir,
+        "create table alter_coltype(key string, value string) " +
+          "partitioned by (dt string, ts string)")
+      def n(pred: String): Long = Engine.sql(spark, sfDir,
+        s"select count(*) from alter_coltype where $pred").head.getLong(0)
+      // the parquet-backed qt_src1 view keeps 21 of kv3's 25 lines (the
+      // blank-key lines drop in the CSV read — harmless to the two-
+      // engines-same-parquet gate); counts here are RELATIVE to it, the
+      // .q.out's 25/50/25 sequence scaled
+      val rows = spark.table("qt_src1").count()
+      Engine.sql(spark, sfDir,
+        "insert overwrite table alter_coltype partition(dt='100', " +
+          "ts='6.30') select * from qt_src1")
+      assert(n("dt = '100'") === rows)
+      // retype dt to INT: the '100' partition keeps matching
+      Engine.sql(spark, sfDir,
+        "alter table alter_coltype partition column (dt int)")
+      Engine.sql(spark, sfDir,
+        "insert overwrite table alter_coltype partition(dt=100, " +
+          "ts='3.0') select * from qt_src1")
+      assert(n("dt = '100'") === 2 * rows)
+      // retype ts to DOUBLE (and dt back to string): '6.30' matches the
+      // 6.3 double partition; the dt=100/ts=3.0 overwrite replaces the
+      // earlier ts='3.0' partition (same typed value)
+      Engine.sql(spark, sfDir,
+        "alter table alter_coltype partition column (ts double)")
+      Engine.sql(spark, sfDir,
+        "alter table alter_coltype partition column (dt string)")
+      Engine.sql(spark, sfDir,
+        "insert overwrite table alter_coltype partition(dt='100', " +
+          "ts=3.0) select * from qt_src1")
+      assert(n("ts = '6.30'") === rows)
+      assert(n("ts = 3.0 and dt = 100") === rows)
+      assert(n("dt = '100'") === 2 * rows)
+      // misuse refuses: not a partition column
+      val e = intercept[Exception] { Engine.sql(spark, sfDir,
+        "alter table alter_coltype partition column (key int)") }
+      assert(e.getMessage.contains("not a partition column"), e.getMessage)
+    }
+  }
+
   test("escape1.q: dynamic-partition INSERT of special-character values " +
       "escapes directory names; partial-spec DROP PARTITION clears them") {
     assume(haveRef)
