@@ -54,7 +54,8 @@ class AcidColumnarOrc extends TableProvider {
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new AcidColumnarOrc.AcidTable(schema,
-      properties.get(AcidColumnarOrc.SplitsKey))
+      properties.get(AcidColumnarOrc.SplitsKey),
+      Option(properties.get(AcidColumnarOrc.PartColsKey)).getOrElse(""))
 }
 
 object AcidColumnarOrc {
@@ -63,13 +64,16 @@ object AcidColumnarOrc {
   private val Sep = "\u0001"
 
   /** file  offset  length, one split per \n. */
-  private[sources] def encodeSplits(ss: Seq[(String, Long, Long)]): String =
-    ss.map { case (f, o, l) => s"$f$Sep$o$Sep$l" }.mkString("\n")
+  private[sources] def encodeSplits(
+      ss: Seq[(String, Long, Long, String)]): String =
+    ss.map { case (f, o, l, part) => s"$f$Sep$o$Sep$l$Sep$part" }
+      .mkString("\n")
 
   private[sources] def decodeSplits(s: String): Seq[AcidColumnarSplit] =
     s.split('\n').toSeq.map { line =>
-      val Array(f, o, l) = line.split(Sep)
-      AcidColumnarSplit(f, o.toLong, l.toLong)
+      val parts = line.split(Sep, -1)
+      AcidColumnarSplit(parts(0), parts(1).toLong, parts(2).toLong,
+        if (parts.length > 3) parts(3) else "")
     }
 
   /** The `row` struct schema of an ACID file, as Catalyst fields. */
@@ -94,38 +98,47 @@ object AcidColumnarOrc {
     i
   }
 
-  /** Entry used by AcidOrc.read's fast-path gate. */
+  /** Entry used by AcidOrc.read's fast-path gate. `schema` is the row
+    * struct plus trailing STRING partition columns (values come from
+    * each split's partSub as constant vectors — the same raw dir-segment
+    * values the row bridge surfaces).
+    */
   private[sources] def scan(spark: SparkSession, schema: StructType,
-      splits: Seq[(String, Long, Long)]): DataFrame =
+      partCols: Seq[String],
+      splits: Seq[(String, Long, Long, String)]): DataFrame =
     spark.read.format(classOf[AcidColumnarOrc].getName)
       .schema(schema)
       .option(SplitsKey, encodeSplits(splits))
+      .option(PartColsKey, partCols.mkString(","))
       .load()
 
-  private[sources] case class AcidColumnarSplit(file: String, offset: Long,
-      length: Long) extends InputPartition
+  private[sources] val PartColsKey = "graft.acid.partcols"
 
-  private class AcidTable(schema: StructType, splits: String)
-      extends Table with SupportsRead {
+  private[sources] case class AcidColumnarSplit(file: String, offset: Long,
+      length: Long, partSub: String) extends InputPartition
+
+  private class AcidTable(schema: StructType, splits: String,
+      partCols: String) extends Table with SupportsRead {
     override def name(): String = "graft-acid-columnar"
     override def schema(): StructType = schema
     override def capabilities(): util.Set[TableCapability] =
       Set(TableCapability.BATCH_READ).asJava
     override def newScanBuilder(
         options: CaseInsensitiveStringMap): ScanBuilder =
-      new AcidScanBuilder(schema, splits)
+      new AcidScanBuilder(schema, splits, partCols)
   }
 
-  private class AcidScanBuilder(full: StructType, splits: String)
-      extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private class AcidScanBuilder(full: StructType, splits: String,
+      partCols: String) extends ScanBuilder
+      with SupportsPushDownRequiredColumns {
     private var required: StructType = full
     override def pruneColumns(requiredSchema: StructType): Unit =
       required = requiredSchema
-    override def build(): Scan = new AcidScan(required, splits)
+    override def build(): Scan = new AcidScan(required, splits, partCols)
   }
 
-  private class AcidScan(required: StructType, splits: String)
-      extends Scan with Batch {
+  private class AcidScan(required: StructType, splits: String,
+      partCols: String) extends Scan with Batch {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
     override def planInputPartitions(): Array[InputPartition] =
@@ -137,12 +150,14 @@ object AcidColumnarOrc {
       val dos = new java.io.DataOutputStream(bos)
       conf.write(dos)
       dos.close()
-      new AcidReaderFactory(required, bos.toByteArray)
+      new AcidReaderFactory(required,
+        partCols.split(",").filter(_.nonEmpty).toSeq, bos.toByteArray)
     }
   }
 
   private class AcidReaderFactory(required: StructType,
-      confBytes: Array[Byte]) extends PartitionReaderFactory {
+      partCols: Seq[String], confBytes: Array[Byte])
+      extends PartitionReaderFactory {
     override def supportColumnarReads(p: InputPartition): Boolean = true
     override def createReader(
         p: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
@@ -163,18 +178,30 @@ object AcidColumnarOrc {
         val ns = rowTd.getFieldNames
         (0 until ns.size()).map(ns.get)
       }
+      // each split's partition values come from its own k=v subpath —
+      // surfaced RAW (same dir-segment strings the row bridge extracts)
+      val partVals: Map[String, String] = split.partSub.split("/")
+        .filter(_.nonEmpty).map { seg =>
+          val Array(k, v) = seg.split("=", 2)
+          k.toLowerCase -> v
+        }.toMap
+      val partSet = partCols.map(_.toLowerCase).toSet
+      // positive index = row child; -1 = partition constant
       val fieldIdx = required.fields.map { f =>
-        val i = rowNames.indexOf(f.name)
-        require(i >= 0, s"${split.file} lacks row column ${f.name} — the " +
-          "fast-path gate must not engage across schema evolution")
-        i
+        if (partSet.contains(f.name.toLowerCase)) -1
+        else {
+          val i = rowNames.indexOf(f.name)
+          require(i >= 0, s"${split.file} lacks row column ${f.name} — " +
+            "the fast-path gate must not engage across schema evolution")
+          i
+        }
       }
       // include flags: decode only the requested row children (their
       // whole subtrees), the row struct itself, and the root
       val include = new Array[Boolean](td.getMaximumId + 1)
       include(0) = true
       include(rowTd.getId) = true
-      fieldIdx.foreach { i =>
+      fieldIdx.filter(_ >= 0).foreach { i =>
         val child = rowTd.getChildren.get(i)
         (child.getId to child.getMaximumId).foreach(include(_) = true)
       }
@@ -182,15 +209,29 @@ object AcidColumnarOrc {
         .range(split.offset, split.length))
       val batch = td.createRowBatch()
       val structCv = batch.cols(rowIdx).asInstanceOf[StructColumnVector]
-      val vectors = required.fields.zip(fieldIdx).map { case (f, i) =>
-        GraftOrcColumnShim.wrap(f.dataType, structCv.fields(i))
+      val vectors = required.fields.zip(fieldIdx).map {
+        case (f, -1) =>
+          val cv = new org.apache.spark.sql.execution.vectorized
+            .ConstantColumnVector(batch.getMaxSize, f.dataType)
+          partVals.get(f.name.toLowerCase) match {
+            case Some(v) => cv.setUtf8String(
+              org.apache.spark.unsafe.types.UTF8String.fromString(v))
+            case None => cv.setNull()
+          }
+          cv: org.apache.spark.sql.vectorized.ColumnVector
+        case (f, i) =>
+          GraftOrcColumnShim.wrap(f.dataType, structCv.fields(i))
       }
       val cb = new ColumnarBatch(vectors.toArray)
       new PartitionReader[ColumnarBatch] {
         override def next(): Boolean = {
           val more = rows.nextBatch(batch)
           if (more) {
-            vectors.foreach(GraftOrcColumnShim.setBatchSize(_, batch.size))
+            vectors.foreach {
+              case v: org.apache.spark.sql.execution.datasources.orc.OrcColumnVector =>
+                GraftOrcColumnShim.setBatchSize(v, batch.size)
+              case _ => () // constant partition vectors are size-free
+            }
             cb.setNumRows(batch.size)
           }
           more

@@ -828,20 +828,34 @@ object AcidOrc {
     }
 
     // COLUMNAR fast path (see [[AcidColumnarOrc]]): the delete-free,
-    // single-directory, unpartitioned, no-id-projection state — i.e. a
-    // compacted base (or one uncompacted insert delta) — reads through a
-    // zero-copy ColumnarBatch wrap of the row struct instead of the
-    // per-row bridge (measured 3.6x at 10M rows). Everything else keeps
-    // the row bridge; `spark.graft.acid.columnarRead=false` forces it.
+    // no-id-projection state with ONE base/delta directory per partition
+    // — i.e. a compacted tree — reads through a zero-copy ColumnarBatch
+    // wrap of the row struct instead of the per-row bridge (measured
+    // 3.6x at 10M rows). Partition columns surface as constant vectors
+    // from each split's k=v subpath. A mixed-schema tree (add-columns
+    // evolution across partitions) keeps the adapting row bridge, as
+    // does `spark.graft.acid.columnarRead=false`.
     if (!withIds && !legacyUpdates && deleteFiles.isEmpty &&
-        originalFiles.isEmpty && partCols.isEmpty && rowFiles.nonEmpty &&
-        rowFiles.map(s => new Path(s.file).getParent.toString)
-          .distinct.size == 1 &&
+        originalFiles.isEmpty && rowFiles.nonEmpty &&
+        rowFiles.groupBy(_.partSub).forall { case (_, fs) =>
+          fs.map(s => new Path(s.file).getParent.toString)
+            .distinct.size == 1 } &&
         spark.conf.getOption("spark.graft.acid.columnarRead")
           .forall(_.toBoolean)) {
-      return AcidColumnarOrc.scan(spark,
-        AcidColumnarOrc.rowSchema(rowFiles.head.file),
-        rowFiles.map(s => (s.file, s.offset, s.length)))
+      val headsBySub = rowFiles.groupBy(_.partSub)
+        .map { case (_, fs) => fs.head.file }.toSeq
+      val schemas = parallelMap(headsBySub)(f =>
+        scala.util.Try(AcidColumnarOrc.rowSchema(f)).toOption)
+      if (schemas.forall(_.isDefined) && schemas.flatten.distinct.size == 1) {
+        val rowSchema = schemas.head.get
+        val schema = org.apache.spark.sql.types.StructType(
+          rowSchema.fields ++ partCols.map(c =>
+            org.apache.spark.sql.types.StructField(c,
+              org.apache.spark.sql.types.StringType, nullable = false)))
+        return AcidColumnarOrc.scan(spark, schema, partCols,
+          rowFiles.map(s => (s.file, s.offset, s.length, s.partSub)))
+      }
+      // else: schema drift across partitions — row bridge below
     }
 
     // delete events, shared by both sides: delete_delta dirs plus (legacy

@@ -68,8 +68,30 @@ class AcidColumnarSpec extends SparkSpec {
     assert(AcidOrc.read(spark, dir).count() === 20000L)
   }
 
+  test("PARTITIONED base-only trees take the columnar path: partition " +
+      "columns surface as constant vectors and match the row bridge") {
+    val dir = scratch()
+    AcidOrc.appendDelta(spark, s"$dir/p=a", 1L,
+      spark.range(100).select(col("id").as("k"), (col("id") % 5).as("v")))
+    AcidOrc.appendDelta(spark, s"$dir/p=b%20c", 1L,
+      spark.range(50).select((col("id") + 1000).as("k"),
+        (col("id") % 3).as("v")))
+    val fast = AcidOrc.read(spark, dir)
+    assert(fast.queryExecution.executedPlan.toString
+      .contains("graft-acid-columnar"), fast.queryExecution.executedPlan)
+    val slow = withRowBridge { AcidOrc.read(spark, dir) }
+    assert(fast.schema === slow.schema)
+    assert(fast.columns.toSeq === Seq("k", "v", "p"))
+    val a = fast.collect().map(_.toSeq.mkString("|")).sorted
+    val b = slow.collect().map(_.toSeq.mkString("|")).sorted
+    assert(a.length === 150)
+    assert(a === b, "partitioned columnar read diverged from the bridge")
+    // partition-pruned aggregate stays columnar and answers per-value
+    assert(AcidOrc.read(spark, dir).where(col("p") === "a").count() === 100)
+  }
+
   test("the gate declines everything that is not the post-compaction " +
-      "state: deletes, partitions, id projections, legacy mode") {
+      "state: deletes, id projections, multi-delta dirs, mixed schemas") {
     // deletes present -> row bridge
     val d1 = scratch()
     mkBase(d1, 500, 1)
@@ -86,13 +108,25 @@ class AcidColumnarSpec extends SparkSpec {
     mkBase(d2, 100, 1)
     assert(!AcidOrc.readWithIds(spark, d2).queryExecution.executedPlan
       .toString.contains("graft-acid-columnar"))
-    // partitioned layout -> row bridge
+    // several live delta dirs (uncompacted) -> row bridge
     val d3 = scratch()
-    AcidOrc.appendDelta(spark, s"$d3/p=a", 1L,
+    AcidOrc.appendDelta(spark, d3, 1L,
       spark.range(10).select(col("id").as("k")))
+    AcidOrc.appendDelta(spark, d3, 2L,
+      spark.range(10).select((col("id") + 10).as("k")))
     assert(!AcidOrc.read(spark, d3).queryExecution.executedPlan.toString
       .contains("graft-acid-columnar"))
-    assert(AcidOrc.read(spark, d3).count() === 10)
+    assert(AcidOrc.read(spark, d3).count() === 20)
+    // add-columns schema drift ACROSS partitions -> adapting row bridge
+    val d4 = scratch()
+    AcidOrc.appendDelta(spark, s"$d4/p=a", 1L,
+      spark.range(5).select(col("id").as("k")))
+    AcidOrc.appendDelta(spark, s"$d4/p=b", 1L,
+      spark.range(5).select(col("id").as("k"), (col("id") * 2).as("w")))
+    val drift = AcidOrc.read(spark, d4)
+    assert(!drift.queryExecution.executedPlan.toString
+      .contains("graft-acid-columnar"))
+    assert(drift.count() === 10)
   }
 
   test("byte-range splits slice one large base file into parallel " +
