@@ -536,5 +536,31 @@ object SnapshotQueries {
         .groupBy($"o_orderstatus")
         .agg(count(lit(1)).as("n"), Exact.dsum($"o_totalprice").as("total"))
         .orderBy($"o_orderstatus")
+    },
+
+    // ... and the PARTITIONED post-compaction state (r16): per-partition
+    // deltas compacted to one base each — the columnar gate's partitioned
+    // branch, with partition values surfaced from constant vectors.
+    q("s44_hive_acid_columnar_partitioned",
+      """SELECT o_orderstatus AS p, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY o_orderstatus ORDER BY p""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import graft.sources.AcidOrc
+      val orders = Engine.table(spark, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      val root = scratch()
+      orders.select($"o_orderstatus").distinct.collect()
+        .map(_.getString(0)).sorted.foreach { st =>
+          AcidOrc.appendDelta(spark, s"$root/p=$st", 1L,
+            orders.where($"o_orderstatus" === st).drop("o_orderstatus"),
+            buckets = 2)
+        }
+      AcidOrc.compact(spark, root)
+      AcidOrc.read(spark, root)
+        .groupBy($"p")
+        .agg(count(lit(1)).as("n"), Exact.dsum($"o_totalprice").as("total"))
+        .orderBy($"p")
     })
 }
