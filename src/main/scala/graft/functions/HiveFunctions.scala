@@ -386,22 +386,33 @@ object HiveFunctions {
     }
 
     // --- sort_array_by(arr, field [, 'ASC'|'DESC']) (GenericUDFSortArrayByField)
+    // sort_array_by(arr, f1[, f2...][, 'ASC'|'DESC']) — MULTIPLE sort
+    // fields; the trailing argument is a direction only when it spells
+    // asc/desc (ref GenericUDFSortArrayByField.java, pinned by
+    // udf_sort_array_by.q's ('name','salary') multi-key rows — r16 fix:
+    // the old builder read the second FIELD as a direction).
     fn("sort_array_by") { args =>
-      val fieldName = args(1) match {
-        case l if l.foldable => l.eval(null).toString
-        case _ => throw new IllegalArgumentException("sort_array_by field must be a literal")
+      require(args.size >= 2, "sort_array_by(arr, field...) needs a field")
+      def lit(e: Expression): String = e match {
+        case l if l.foldable => String.valueOf(l.eval(null))
+        case _ => throw new IllegalArgumentException(
+          "sort_array_by fields must be literals")
       }
-      val asc = args.lift(2).forall {
-        case l if l.foldable => l.eval(null).toString.equalsIgnoreCase("ASC")
-        case _ => true
-      }
+      val tail = args.tail.map(lit)
+      val (fields, asc) =
+        if (tail.size > 1 && Set("asc", "desc")(tail.last.toLowerCase))
+          (tail.init, tail.last.equalsIgnoreCase("ASC"))
+        else (tail, true)
       val x = UnresolvedNamedLambdaVariable(Seq("x"))
       val y = UnresolvedNamedLambdaVariable(Seq("y"))
-      val fx = UnresolvedExtractValue(x, Literal(fieldName))
-      val fy = UnresolvedExtractValue(y, Literal(fieldName))
-      val cmp = CaseWhen(Seq(
-        (LessThan(fx, fy), Literal(if (asc) -1 else 1)),
-        (GreaterThan(fx, fy), Literal(if (asc) 1 else -1))), Some(Literal(0)))
+      // lexicographic over the fields: first unequal key decides
+      val cmp = fields.foldRight(Literal(0): Expression) { (f, next) =>
+        val fx = UnresolvedExtractValue(x, Literal(f))
+        val fy = UnresolvedExtractValue(y, Literal(f))
+        CaseWhen(Seq(
+          (LessThan(fx, fy), Literal(if (asc) -1 else 1)),
+          (GreaterThan(fx, fy), Literal(if (asc) 1 else -1))), Some(next))
+      }
       ArraySort(args.head, LambdaFunction(cmp, Seq(x, y)))
     }
 
