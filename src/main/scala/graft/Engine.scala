@@ -190,7 +190,13 @@ object Engine {
     *     the same via an injected analyzer rule);
     *   - table-maintenance verbs (RESTORE TABLE / OPTIMIZE / VACUUM) that
     *     are parse errors to Spark dispatch to the snapshot lifecycle API
-    *     ([[graft.plans.SqlMaintenance]]).
+    *     ([[graft.plans.SqlMaintenance]]);
+    *   - Hive's NULL-as-largest default sort placement is made explicit
+    *     in the statement text pre-parse ([[graft.plans.DefaultNullOrder]]);
+    *   - quantified comparisons (`ANY`/`SOME`/`ALL` subqueries) and
+    *     DISTINCT window aggregates — Hive surface Spark lacks — lower
+    *     to exact compositions ([[graft.plans.QuantifiedSubqueries]],
+    *     [[graft.plans.DistinctWindows]]).
     *
     * Front-door cost (measured r16, local[8]): ~7 ms driver-side per
     * simple statement over Spark's own ~23 ms (the chain's plan walks +
@@ -225,8 +231,12 @@ object Engine {
       case Some(df) => return df
       case None => ()
     }
+    // Hive sorts NULL as the LARGEST value by default (ASC → NULLS LAST,
+    // DESC → NULLS FIRST); Spark's parser defaults the opposite and the
+    // spelling is lost after the parse — make it explicit in the text
+    val query0 = graft.plans.DefaultNullOrder(spark, query)
     val parsed =
-      try Some(spark.sessionState.sqlParser.parsePlan(query))
+      try Some(spark.sessionState.sqlParser.parsePlan(query0))
       catch { case scala.util.control.NonFatal(_) => None }
     parsed match {
       case None =>
@@ -241,6 +251,7 @@ object Engine {
             (s, q) => sql(s, sfDir, q)))
           .orElse(maybeRunHplsql(spark, sfDir, query))
           .orElse(maybeCastFormat(spark, sfDir, query))
+          .orElse(maybeQuantified(spark, sfDir, query))
           .orElse(maybeCommaLimit(spark, sfDir, query))
           .orElse(maybeTypeSpellings(spark, sfDir, query))
           .getOrElse(spark.sql(query)) // surface the canonical parse error
@@ -261,17 +272,19 @@ object Engine {
         graft.plans.SqlDml.maybeRun(spark, gated).getOrElse {
           val secured = graft.plans.Authz.applyPolicies(spark, plan0)
           val substituted = graft.plans.VirtualColumns.maybeSubstitute(
-            graft.plans.OrderlessWindows(graft.plans.GroupingSetsDedup(
+            graft.plans.OrderlessWindows(graft.plans.DistinctWindows(spark,
+              graft.plans.ProjectedInSubqueries(
+              graft.plans.GroupingSetsDedup(
               graft.plans.LenientInsertCasts(spark,
                 graft.plans.ViewColumnNames(spark,
                   graft.plans.CtePartialAliases(spark,
-                    graft.plans.NamedTables.substitute(spark, secured)))))),
-            query)
+                    graft.plans.NamedTables.substitute(spark, secured)))))))),
+            query0)
           // LAST: materialization EXECUTES CTE definitions, which must
           // only happen after authz adjudicated and policies substituted
           val materialized = graft.plans.CteMaterialize(spark, substituted)
           val df =
-            if (materialized eq plan) spark.sql(query)
+            if (materialized eq plan) spark.sql(query0)
             else org.apache.spark.sql.GraftShims.ofRows(spark, materialized)
           maybeCacheResult(spark, df)
         }
@@ -374,6 +387,22 @@ object Engine {
       try { spark.sessionState.sqlParser.parsePlan(rewritten); true }
       catch { case scala.util.control.NonFatal(_) => false }
     if (parses) Some(sql(spark, sfDir, rewritten)) else None
+  }
+
+  /** Quantified comparison subqueries — `x <op> ANY|SOME|ALL (SELECT
+    * ...)` — are Hive surface Spark's parser rejects; they lower to the
+    * aggregate CASE form of [[graft.plans.QuantifiedSubqueries]] and
+    * re-run through this front door. Fires only when the original text
+    * failed to parse AND the rewrite parses.
+    */
+  private def maybeQuantified(spark: SparkSession, sfDir: String,
+      query: String): Option[DataFrame] = {
+    graft.plans.QuantifiedSubqueries.rewrite(query).flatMap { rewritten =>
+      val parses =
+        try { spark.sessionState.sqlParser.parsePlan(rewritten); true }
+        catch { case scala.util.control.NonFatal(_) => false }
+      if (parses) Some(sql(spark, sfDir, rewritten)) else None
+    }
   }
 
   /** SQL:2016 `CAST(x AS type FORMAT 'pattern')` (ref ql/udf/generic/

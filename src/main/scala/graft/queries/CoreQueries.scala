@@ -400,6 +400,56 @@ object CoreQueries {
         |    ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 2) t
         |ORDER BY r.r_name, t.o_totalprice DESC, t.o_orderkey""".stripMargin)),
 
+    // Quantified comparison subqueries (ref ql/parse/SubQueryUtils.java;
+    // subquery_ALL.q/subquery_ANY.q): Spark has no ANY/ALL predicate —
+    // the engine front door lowers them to the Calcite
+    // SubQueryRemoveRule aggregate form (plans/QuantifiedSubqueries).
+    // DuckDB runs the identical quantified text natively, so the oracle
+    // checks the lowering against an independent implementation.
+    q("q54_quantified_subquery",
+      """SELECT p_brand, count(*) AS c FROM part
+        |WHERE p_size >= ALL (SELECT p_size FROM part WHERE p_brand = 'Brand#11')
+        |  AND p_retailprice > ANY (SELECT p_retailprice FROM part WHERE p_brand = 'Brand#23')
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (spark, dir) =>
+      Engine.sql(spark, dir,
+        """SELECT p_brand, count(*) AS c FROM part
+          |WHERE p_size >= ALL (SELECT p_size FROM part WHERE p_brand = 'Brand#11')
+          |  AND p_retailprice > ANY (SELECT p_retailprice FROM part WHERE p_brand = 'Brand#23')
+          |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+    },
+
+    // Hive's default null placement sorts NULL as the LARGEST value
+    // (HiveConf hive.default.nulls.last=true + ql/util/NullOrdering
+    // .java): a bare ASC window ordering is NULLS LAST, observable
+    // through first_value. The oracle spells the placement explicitly.
+    q("q55_default_null_order",
+      """SELECT k, v, first_value(v) OVER (PARTITION BY k ORDER BY v NULLS LAST) AS f
+        |FROM (SELECT o_orderkey % 5 AS k, NULLIF(o_custkey % 7, 0) AS v FROM orders) t
+        |ORDER BY k NULLS LAST, v NULLS LAST, f NULLS LAST""".stripMargin) { (spark, dir) =>
+      Engine.sql(spark, dir,
+        """SELECT k, v, first_value(v) OVER (PARTITION BY k ORDER BY v) AS f
+          |FROM (SELECT o_orderkey % 5 AS k, NULLIF(o_custkey % 7, 0) AS v FROM orders) t
+          |ORDER BY k, v, f""".stripMargin)
+    },
+
+    // DISTINCT window aggregates (ref windowing_distinct.q): Spark has
+    // none — the front door lowers them to collect_set compositions
+    // (plans/DistinctWindows). DuckDB oracle computes the same numbers
+    // as grouped distinct aggregates joined back per row.
+    q("q56_distinct_window",
+      """SELECT o.o_custkey AS k, g.cp AS cp, g.sp AS sp
+        |FROM orders o JOIN (
+        |  SELECT o_custkey, count(DISTINCT o_orderpriority) AS cp,
+        |         sum(DISTINCT CAST(o_totalprice AS DECIMAL(18,2))) AS sp
+        |  FROM orders GROUP BY o_custkey) g ON o.o_custkey = g.o_custkey
+        |ORDER BY k, cp, sp""".stripMargin) { (spark, dir) =>
+      Engine.sql(spark, dir,
+        """SELECT o_custkey AS k,
+          |  count(DISTINCT o_orderpriority) OVER (PARTITION BY o_custkey) AS cp,
+          |  sum(DISTINCT CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey) AS sp
+          |FROM orders ORDER BY k, cp, sp""".stripMargin)
+    },
+
     q("q20_cube",
       """SELECT l_returnflag, l_linestatus,
         |  CAST(grouping(l_returnflag) AS INT) AS g_rf,

@@ -149,7 +149,20 @@ object AcidMm {
       case "text" =>
         val r = spark.read.option("sep", "\u0001").option("header", "false")
           .option("nullValue", "\\N")
-        schema.fold(r)(r.schema(_)).csv(paths: _*)
+        schema match {
+          case Some(s) if s.exists(_.dataType
+              .isInstanceOf[org.apache.spark.sql.types.DecimalType]) =>
+            // decimal columns parse LazySimpleSerDe-leniently (a trailing
+            // '.' is a valid Hive decimal where BigDecimal throws): read
+            // as strings, cast per column via hiveTextCast
+            val asStrings = StructType(s.map(_.copy(dataType =
+              org.apache.spark.sql.types.StringType)))
+            r.schema(asStrings).csv(paths: _*).select(s.map(f =>
+              TextFormats.hiveTextCast(col(f.name), f.dataType)
+                .as(f.name)): _*)
+          case Some(s) => r.schema(s).csv(paths: _*)
+          case None => r.csv(paths: _*)
+        }
       case other => schema.fold(spark.read)(spark.read.schema(_))
         .format(other).load(paths: _*)
     }

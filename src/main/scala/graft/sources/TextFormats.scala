@@ -1,7 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, DecimalType}
 
 /** Text-format readers covering the reference's SerDe variants that plain
   * `DataFrameReader` options don't reach:
@@ -47,6 +48,19 @@ object TextFormats {
     spark.read.text(path).select(columns.zipWithIndex.map { case (c, i) =>
       when(size(parts) > i, element_at(parts, i + 1)).otherwise(lit(null)).as(c)
     }: _*)
+  }
+
+  /** LazySimpleSerDe-parity cast of a text field to its declared type.
+    * Hive's decimal text parse (ref serde2/lazy/LazyHiveDecimal.java via
+    * common HiveDecimal.create) tolerates surrounding blanks and a bare
+    * trailing decimal point — `"00000."` reads as 0 — where
+    * java.math.BigDecimal (the parser behind Spark's CSV reader and
+    * string→decimal cast) throws, surfacing NULL. Everything else is the
+    * ordinary cast.
+    */
+  def hiveTextCast(c: Column, dt: DataType): Column = dt match {
+    case d: DecimalType => regexp_replace(trim(c), "\\.$", "").cast(d)
+    case other => c.cast(other)
   }
 
   /** Per-FILE header/footer skipping (skip.header.line.count /

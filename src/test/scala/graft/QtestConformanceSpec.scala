@@ -403,24 +403,36 @@ class QtestConformanceSpec extends QtestHarness {
     QCase("order_null.q", "n1",
       "SELECT a, b FROM qt_srcnull ORDER BY a ASC, b ASC",
       duck = Some("SELECT a, b FROM qt_srcnull ORDER BY a ASC NULLS " +
-        "FIRST, b ASC NULLS FIRST"),
-      note = "Hive/engine default: NULLS FIRST on ASC — the twin " +
-        "spells DuckDB's opposite default explicitly; compared IN ORDER",
+        "LAST, b ASC NULLS LAST"),
+      note = "Hive default sorts NULL as LARGEST (hive.default.nulls." +
+        "last=true, ref ql/util/NullOrdering.java): bare ASC is NULLS " +
+        "LAST — order_null.q.out block 1 ends with the NULL row; " +
+        "compared IN ORDER",
       ordered = true),
     QCase("order_null.q", "n2",
       "SELECT a, b FROM qt_srcnull ORDER BY a DESC, b DESC",
       duck = Some("SELECT a, b FROM qt_srcnull ORDER BY a DESC NULLS " +
-        "LAST, b DESC NULLS LAST"),
-      note = "default NULLS LAST on DESC", ordered = true),
+        "FIRST, b DESC NULLS FIRST"),
+      note = "bare DESC defaults NULLS FIRST (NULL = MAXVALUE) — " +
+        "order_null.q.out block 2 starts with the NULL row",
+      ordered = true),
     QCase("order_null.q", "n3",
       "SELECT a, b FROM qt_srcnull ORDER BY b ASC NULLS LAST, a ASC",
       duck = Some("SELECT a, b FROM qt_srcnull ORDER BY b ASC NULLS " +
-        "LAST, a ASC NULLS FIRST"),
+        "LAST, a ASC NULLS LAST"),
       ordered = true),
     QCase("order_null.q", "n4",
       "SELECT a, b FROM qt_srcnull ORDER BY a DESC NULLS FIRST, " +
         "b DESC NULLS FIRST",
       ordered = true),
+    QCase("order_null.q", "n5",
+      "SELECT a, b, first_value(a) OVER (ORDER BY a) AS f FROM " +
+        "qt_srcnull",
+      duck = Some("SELECT a, b, first_value(a) OVER (ORDER BY a NULLS " +
+        "LAST) AS f FROM qt_srcnull"),
+      note = "the NULL-as-largest default reaches window-spec ORDER BY " +
+        "too (ref ql/util/NullOrdering use in PTF translation): " +
+        "first_value over a bare ASC ordering sees the non-NULL minimum"),
     QCase("cte_1.q", "ct1",
       "WITH q1 AS (SELECT key FROM qt_src WHERE key = '5') SELECT * " +
         "FROM q1"),

@@ -146,6 +146,31 @@ object QtestHarness {
         col("bo").cast("boolean"), col("s"),
         col("ts").cast("timestamp"),
         col("dec").cast("decimal(10,0)").as("dec"))
+    // windowing_order_null.q: over10k ∪ over4_null (the null-bearing
+    // tail rows that give window order keys actual NULLs)
+    val o10kNull = {
+      def rd(f: String) = spark.read.option("sep", "|")
+        .option("nullValue", "\\N").csv(s"$refData/$f")
+        .toDF("t", "si", "i", "b", "f", "d", "bo", "s", "ts", "dec", "bin")
+      rd("over10k").unionByName(rd("over4_null"))
+        .select(col("t").cast("int"), col("si").cast("int"),
+          col("i").cast("int"), col("b").cast("long"),
+          col("f").cast("float"), col("d").cast("double"),
+          col("bo").cast("boolean"), col("s"),
+          col("ts").cast("timestamp"),
+          col("dec").cast("decimal(10,0)").as("dec"))
+    }
+    // windowing_distinct.q's 12-column table (leading index; bin dropped)
+    val wdist = spark.read.option("sep", "|").option("nullValue", "\\N")
+      .csv(s"$refData/windowing_distinct.txt")
+      .toDF("index", "t", "si", "i", "b", "f", "d", "bo", "s", "ts",
+        "dec", "bin")
+      .select(col("index").cast("int"), col("t").cast("int"),
+        col("si").cast("int"), col("i").cast("int"),
+        col("b").cast("long"), col("f").cast("float"),
+        col("d").cast("double"), col("bo").cast("boolean"), col("s"),
+        col("ts").cast("timestamp"),
+        col("dec").cast("decimal(4,2)").as("dec"))
     // subquery_in.q's lineitem probes: the reference ships no lineitem
     // fixture file, so the driver's sf0.001 lineitem stands in (the gate
     // is Spark-vs-DuckDB over IDENTICAL parquet, so semantics still pin;
@@ -159,6 +184,27 @@ object QtestHarness {
     // PERMISSIVE csv parsing mirrors)
     val kv8 = spark.read.schema("dval decimal(20,10)")
       .csv(s"$refData/kv8.txt")
+    // decimal_3/5/6/trailing.q text loads (kv7/kv9/kv10): LOAD into a
+    // decimal-typed text table goes through the engine's
+    // LazySimpleSerDe-parity cast (int-digit overflow → NULL, excess
+    // scale rounds HALF_UP, a trailing '.' is a valid zero-fraction
+    // decimal — "00000." reads as 0 where BigDecimal throws)
+    def decText(file: String, sep: String,
+        schema: Seq[(String, org.apache.spark.sql.types.DataType)]) =
+      spark.read.option("sep", sep).csv(s"$refData/$file")
+        .toDF(schema.map(_._1): _*)
+        .select(schema.map { case (n, t) =>
+          graft.sources.TextFormats.hiveTextCast(col(n), t).as(n)
+        }: _*)
+    import org.apache.spark.sql.types.{DecimalType, IntegerType}
+    val kv7 = decText("kv7.txt", " ",
+      Seq("key" -> DecimalType(38, 18), "value" -> IntegerType))
+    val kv9a = decText("kv9.txt", " ",
+      Seq("key" -> DecimalType(10, 5), "value" -> IntegerType))
+    val kv9b = decText("kv9.txt", " ",
+      Seq("key" -> DecimalType(17, 4), "value" -> IntegerType))
+    val kv10 = decText("kv10.txt", ",", Seq("id" -> IntegerType,
+      "a" -> DecimalType(10, 4), "b" -> DecimalType(15, 8)))
     // interval_arithmetic.q's dateval/tsval pair (the .q derives them
     // from alltypesorc; two deterministic rows carry the semantics)
     val dts = {
@@ -185,6 +231,8 @@ object QtestHarness {
       "qt_null8" -> null8, "qt_json" -> srcjson,
       "qt_over10k" -> over10k, "qt_lineitem" -> lineitem,
       "qt_kv8" -> kv8, "qt_dts" -> dts,
+      "qt_kv7" -> kv7, "qt_kv9a" -> kv9a, "qt_kv9b" -> kv9b,
+      "qt_kv10" -> kv10, "qt_o10knull" -> o10kNull, "qt_wdist" -> wdist,
       "qt_alltypesorc" -> alltypesorc)
     all.map { case (name, df) =>
       val d = s"$dir/$name"

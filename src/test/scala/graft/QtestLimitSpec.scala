@@ -31,14 +31,14 @@ class QtestLimitSpec extends QtestHarness {
         "ORDER BY dis LIMIT 20",
       ordered = true,
       duck = Some("SELECT DISTINCT(cdouble) AS dis FROM qt_alltypesorc " +
-        "ORDER BY dis NULLS FIRST LIMIT 20")),
+        "ORDER BY dis NULLS LAST LIMIT 20")),
     QCase("limit_pushdown.q", "lp5",
       "SELECT ctinyint, count(DISTINCT(cdouble)) AS c " +
         "FROM qt_alltypesorc GROUP BY ctinyint ORDER BY ctinyint LIMIT 20",
       ordered = true,
       duck = Some("SELECT ctinyint, count(DISTINCT(cdouble)) AS c " +
         "FROM qt_alltypesorc GROUP BY ctinyint " +
-        "ORDER BY ctinyint NULLS FIRST LIMIT 20")),
+        "ORDER BY ctinyint NULLS LAST LIMIT 20")),
     QCase("limit_pushdown.q", "lp6",
       """SELECT ctinyint, count(cdouble) AS c FROM
         |  (SELECT ctinyint, cdouble FROM qt_alltypesorc
@@ -48,7 +48,7 @@ class QtestLimitSpec extends QtestHarness {
       duck = Some("""SELECT ctinyint, count(cdouble) AS c FROM
         |  (SELECT ctinyint, cdouble FROM qt_alltypesorc
         |   GROUP BY ctinyint, cdouble) t1
-        |GROUP BY ctinyint ORDER BY ctinyint NULLS FIRST LIMIT 20"""
+        |GROUP BY ctinyint ORDER BY ctinyint NULLS LAST LIMIT 20"""
         .stripMargin)),
 
     QCase("offset_limit.q", "ol1",

@@ -26,30 +26,30 @@ class QtestTypesSpec extends QtestHarness {
     // --------------------------------------------- decimal_precision.q
     QCase("decimal_precision.q", "dp1",
       "SELECT dval FROM qt_kv8 ORDER BY dval", ordered = true,
-      duck = Some("SELECT dval FROM qt_kv8 ORDER BY dval NULLS FIRST"),
+      duck = Some("SELECT dval FROM qt_kv8 ORDER BY dval NULLS LAST"),
       note = "the load itself: values overflowing decimal(20,10) are NULL"),
     QCase("decimal_precision.q", "dp2",
       "SELECT dval, dval + 1 AS p1, dval - 1 AS m1 FROM qt_kv8 " +
         "ORDER BY dval", ordered = true,
       duck = Some("SELECT dval, dval + 1 AS p1, dval - 1 AS m1 " +
-        "FROM qt_kv8 ORDER BY dval NULLS FIRST")),
+        "FROM qt_kv8 ORDER BY dval NULLS LAST")),
     QCase("decimal_precision.q", "dp3",
       "SELECT dval, dval * 2 AS d2, dval / 3 AS d3 FROM qt_kv8 " +
         "ORDER BY dval", ordered = true,
       duck = Some("SELECT dval, dval * 2 AS d2, dval / 3 AS d3 " +
-        "FROM qt_kv8 ORDER BY dval NULLS FIRST")),
+        "FROM qt_kv8 ORDER BY dval NULLS LAST")),
     QCase("decimal_precision.q", "dp4",
       "SELECT dval, dval / 9 AS d9, dval / 27 AS d27 FROM qt_kv8 " +
         "ORDER BY dval", ordered = true,
       duck = Some("SELECT dval, dval / 9 AS d9, dval / 27 AS d27 " +
-        "FROM qt_kv8 ORDER BY dval NULLS FIRST")),
+        "FROM qt_kv8 ORDER BY dval NULLS LAST")),
     QCase("decimal_precision.q", "dp5",
       "SELECT dval, dval * dval AS sq FROM qt_kv8 " +
         "WHERE dval IS NULL OR abs(dval) < 100000 ORDER BY dval",
       ordered = true,
       duck = Some("SELECT dval, dval * dval AS sq FROM qt_kv8 " +
         "WHERE dval IS NULL OR abs(dval) < 100000 " +
-        "ORDER BY dval NULLS FIRST"),
+        "ORDER BY dval NULLS LAST"),
       note = "decimal(20,10)^2 needs (40,20) -> clamps to 38 with scale " +
         "reduction; restricted to FITTING rows because DuckDB hard-errors " +
         "on decimal multiply overflow where Hive/Spark answer NULL (that " +
