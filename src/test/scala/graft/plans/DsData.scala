@@ -133,7 +133,10 @@ object DsData {
         .as("s_county"),
       pick("sstate", col("id"), Seq("NM", "TN", "SD", "AL")).as("s_state"),
       lpad(h("szip", col("id"), 100000).cast("string"), 5, "0").as("s_zip"),
-      (lit(200) + col("id").cast("int") * 8).as("s_number_employees")))
+      (lit(200) + col("id").cast("int") * 8).as("s_number_employees"),
+      // two companies so q47's company partition key is non-degenerate
+      concat(lit("company"), h("scomp", col("id"), 2) + 1)
+        .as("s_company_name")))
 
     // ---- customer_address
     val nCa = 10000
@@ -167,7 +170,12 @@ object DsData {
       (h("ccd", col("id"), 7000) + 1).as("c_current_cdemo_sk"),
       (h("chd", col("id"), 720) + 1).as("c_current_hdemo_sk"),
       (h("cfsd", col("id"), 1826) + 2450815).as("c_first_sales_date_sk"),
-      (h("cfsh", col("id"), 1826) + 2450815).as("c_first_shipto_date_sk")))
+      (h("cfsh", col("id"), 1826) + 2450815).as("c_first_shipto_date_sk"),
+      pick("cbc", col("id"), Seq("UNITED STATES", "CANADA", "MEXICO",
+        "INDIA", "CHINA", "BRAZIL")).as("c_birth_country"),
+      concat(lit("login"), col("id")).as("c_login"),
+      concat(lit("C"), col("id"), lit("@example.com"))
+        .as("c_email_address")))
 
     // ---- customer_demographics (full cross, DS-style decomposition)
     save(spark, "customer_demographics", spark.range(1, 7001).select(
@@ -274,6 +282,8 @@ object DsData {
       (h("fee", col("ss_ticket_number"), 10000) / lit(100.0)).as("sr_fee"),
       (col("ss_sales_price") * col("ss_quantity") * lit(0.9))
         .as("sr_return_amt"),
+      (h("srq", col("ss_ticket_number") * 31 + col("ss_item_sk"), 20) + 1)
+        .as("sr_return_quantity"),
       (h("loss", col("ss_ticket_number"), 20000) / lit(100.0))
         .as("sr_net_loss"))
     save(spark, "store_returns", sr)
@@ -305,6 +315,10 @@ object DsData {
         ((h("cssp", idc, 20000) + 1) / lit(100.0)).as("cs_sales_price"),
         (h("cscp", idc, 500) / lit(100.0)).as("cs_coupon_amt"),
         (listp * qty).as("cs_ext_list_price"),
+        ((h("cssp", idc, 20000) + 1) / lit(100.0) * qty)
+          .as("cs_ext_sales_price"),
+        ((h("cssp", idc, 20000) + 1) / lit(100.0) * qty * lit(0.92))
+          .as("cs_net_paid"),
         (((h("csp", idc, 600000)) - 100000) / lit(100.0))
           .as("cs_net_profit"))
     }
@@ -333,7 +347,12 @@ object DsData {
         (h("crrv", col("cs_order_number") * 37 + col("cs_item_sk"), 1000)
           / lit(100.0)).as("cr_reversed_charge"),
         (h("crsc", col("cs_order_number") * 41 + col("cs_item_sk"), 1000)
-          / lit(100.0)).as("cr_store_credit")))
+          / lit(100.0)).as("cr_store_credit"),
+        (h("crq", col("cs_order_number") * 43 + col("cs_item_sk"), 20) + 1)
+          .as("cr_return_quantity"),
+        // up to 20k so q49's `> 10000` currency filter keeps rows
+        (h("cramt", col("cs_order_number") * 47 + col("cs_item_sk"),
+          2000000) / lit(100.0)).as("cr_return_amount")))
 
     // ---- inventory: weekly (Sunday-in-pool) per item per warehouse —
     // the q72 blowup table: at real scale this is the LARGEST table in
@@ -385,14 +404,27 @@ object DsData {
       wQty.as("ws_quantity"),
       wListp.as("ws_list_price"),
       (h("wshc", col("id"), 5000) / lit(100.0)).as("ws_ext_ship_cost"),
+      ((h("wssp", col("id"), 20000) + 1) / lit(100.0) * wQty)
+        .as("ws_ext_sales_price"),
+      (wListp * wQty).as("ws_ext_list_price"),
+      (h("wsda", col("id"), 500) / lit(100.0)).as("ws_ext_discount_amt"),
+      ((h("wssp", col("id"), 20000) + 1) / lit(100.0) * wQty * lit(0.92))
+        .as("ws_net_paid"),
       (((h("wsp", col("id"), 600000)) - 100000) / lit(100.0))
         .as("ws_net_profit")))
 
-    // ---- web_returns: half the orders have a return
+    // ---- web_returns: half the orders have a return; quantity/amount
+    // derive from the (order, item) key AFTER the distinct so they are
+    // deterministic (amounts to 20k so q49's `> 10000` filter keeps rows)
     save(spark, "web_returns", spark.table("tpcds.web_sales")
       .where(h("wret", col("ws_order_number"), 2) === 0)
       .select(col("ws_order_number").as("wr_order_number"),
         col("ws_item_sk").as("wr_item_sk"))
-      .distinct())
+      .distinct()
+      .select(col("wr_order_number"), col("wr_item_sk"),
+        (h("wrq", col("wr_order_number") * 31 + col("wr_item_sk"), 20) + 1)
+          .as("wr_return_quantity"),
+        (h("wramt", col("wr_order_number") * 37 + col("wr_item_sk"),
+          2000000) / lit(100.0)).as("wr_return_amt")))
   }
 }

@@ -1194,6 +1194,401 @@ class DsPlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         | order by i_item_id
         | limit 100""".stripMargin, false))
 
+  /** Round-16b additions: the year-over-year and ranked-ratio shapes —
+    * q2 (web+catalog day-of-week ratios, one CTE consumed twice across
+    * a 53-week self-join), q11/q74 (the four-way year_total self-join
+    * over a store∪web CTE — the canonical CTE-reuse customer-growth
+    * pattern), q47 (monthly-sum window with rank + lag/lead self-joins
+    * on rn), q49 (per-channel return-ratio double rank unioned).
+    * Ref ql/src/test/queries/clientpositive/perf/query{2,11,47,49,74}.q.
+    */
+  private lazy val wave16Queries: Seq[(String, String, Boolean)] = Seq(
+    ("query2",
+      """with wscs as
+        | (select sold_date_sk
+        |        ,sales_price
+        |  from (select ws_sold_date_sk sold_date_sk
+        |              ,ws_ext_sales_price sales_price
+        |        from web_sales) x
+        |        union all
+        |       (select cs_sold_date_sk sold_date_sk
+        |              ,cs_ext_sales_price sales_price
+        |        from catalog_sales)),
+        | wswscs as
+        | (select d_week_seq,
+        |        sum(case when (d_day_name='Sunday') then sales_price else null end) sun_sales,
+        |        sum(case when (d_day_name='Monday') then sales_price else null end) mon_sales,
+        |        sum(case when (d_day_name='Tuesday') then sales_price else  null end) tue_sales,
+        |        sum(case when (d_day_name='Wednesday') then sales_price else null end) wed_sales,
+        |        sum(case when (d_day_name='Thursday') then sales_price else null end) thu_sales,
+        |        sum(case when (d_day_name='Friday') then sales_price else null end) fri_sales,
+        |        sum(case when (d_day_name='Saturday') then sales_price else null end) sat_sales
+        | from wscs
+        |     ,date_dim
+        | where d_date_sk = sold_date_sk
+        | group by d_week_seq)
+        | select d_week_seq1
+        |       ,round(sun_sales1/sun_sales2,2)
+        |       ,round(mon_sales1/mon_sales2,2)
+        |       ,round(tue_sales1/tue_sales2,2)
+        |       ,round(wed_sales1/wed_sales2,2)
+        |       ,round(thu_sales1/thu_sales2,2)
+        |       ,round(fri_sales1/fri_sales2,2)
+        |       ,round(sat_sales1/sat_sales2,2)
+        | from
+        | (select wswscs.d_week_seq d_week_seq1
+        |        ,sun_sales sun_sales1
+        |        ,mon_sales mon_sales1
+        |        ,tue_sales tue_sales1
+        |        ,wed_sales wed_sales1
+        |        ,thu_sales thu_sales1
+        |        ,fri_sales fri_sales1
+        |        ,sat_sales sat_sales1
+        |  from wswscs,date_dim
+        |  where date_dim.d_week_seq = wswscs.d_week_seq and
+        |        d_year = 2001) y,
+        | (select wswscs.d_week_seq d_week_seq2
+        |        ,sun_sales sun_sales2
+        |        ,mon_sales mon_sales2
+        |        ,tue_sales tue_sales2
+        |        ,wed_sales wed_sales2
+        |        ,thu_sales thu_sales2
+        |        ,fri_sales fri_sales2
+        |        ,sat_sales sat_sales2
+        |  from wswscs
+        |      ,date_dim
+        |  where date_dim.d_week_seq = wswscs.d_week_seq and
+        |        d_year = 2001+1) z
+        | where d_week_seq1=d_week_seq2-53
+        | order by d_week_seq1""".stripMargin, false),
+
+    ("query11",
+      """with year_total as (
+        | select c_customer_id customer_id
+        |       ,c_first_name customer_first_name
+        |       ,c_last_name customer_last_name
+        |       ,c_preferred_cust_flag customer_preferred_cust_flag
+        |       ,c_birth_country customer_birth_country
+        |       ,c_login customer_login
+        |       ,c_email_address customer_email_address
+        |       ,d_year dyear
+        |       ,sum(ss_ext_list_price-ss_ext_discount_amt) year_total
+        |       ,'s' sale_type
+        | from customer
+        |     ,store_sales
+        |     ,date_dim
+        | where c_customer_sk = ss_customer_sk
+        |   and ss_sold_date_sk = d_date_sk
+        | group by c_customer_id
+        |         ,c_first_name
+        |         ,c_last_name
+        |         ,c_preferred_cust_flag
+        |         ,c_birth_country
+        |         ,c_login
+        |         ,c_email_address
+        |         ,d_year
+        | union all
+        | select c_customer_id customer_id
+        |       ,c_first_name customer_first_name
+        |       ,c_last_name customer_last_name
+        |       ,c_preferred_cust_flag customer_preferred_cust_flag
+        |       ,c_birth_country customer_birth_country
+        |       ,c_login customer_login
+        |       ,c_email_address customer_email_address
+        |       ,d_year dyear
+        |       ,sum(ws_ext_list_price-ws_ext_discount_amt) year_total
+        |       ,'w' sale_type
+        | from customer
+        |     ,web_sales
+        |     ,date_dim
+        | where c_customer_sk = ws_bill_customer_sk
+        |   and ws_sold_date_sk = d_date_sk
+        | group by c_customer_id
+        |         ,c_first_name
+        |         ,c_last_name
+        |         ,c_preferred_cust_flag
+        |         ,c_birth_country
+        |         ,c_login
+        |         ,c_email_address
+        |         ,d_year
+        |         )
+        |  select
+        |                  t_s_secyear.customer_id
+        |                 ,t_s_secyear.customer_first_name
+        |                 ,t_s_secyear.customer_last_name
+        |                 ,t_s_secyear.customer_birth_country
+        | from year_total t_s_firstyear
+        |     ,year_total t_s_secyear
+        |     ,year_total t_w_firstyear
+        |     ,year_total t_w_secyear
+        | where t_s_secyear.customer_id = t_s_firstyear.customer_id
+        |         and t_s_firstyear.customer_id = t_w_secyear.customer_id
+        |         and t_s_firstyear.customer_id = t_w_firstyear.customer_id
+        |         and t_s_firstyear.sale_type = 's'
+        |         and t_w_firstyear.sale_type = 'w'
+        |         and t_s_secyear.sale_type = 's'
+        |         and t_w_secyear.sale_type = 'w'
+        |         and t_s_firstyear.dyear = 1999
+        |         and t_s_secyear.dyear = 1999+1
+        |         and t_w_firstyear.dyear = 1999
+        |         and t_w_secyear.dyear = 1999+1
+        |         and t_s_firstyear.year_total > 0
+        |         and t_w_firstyear.year_total > 0
+        |         and case when t_w_firstyear.year_total > 0 then t_w_secyear.year_total / t_w_firstyear.year_total else 0.0 end
+        |             > case when t_s_firstyear.year_total > 0 then t_s_secyear.year_total / t_s_firstyear.year_total else 0.0 end
+        | order by t_s_secyear.customer_id
+        |         ,t_s_secyear.customer_first_name
+        |         ,t_s_secyear.customer_last_name
+        |         ,t_s_secyear.customer_birth_country
+        |limit 100""".stripMargin, true),
+
+    ("query47",
+      """with v1 as(
+        | select i_category, i_brand,
+        |        s_store_name, s_company_name,
+        |        d_year, d_moy,
+        |        sum(ss_sales_price) sum_sales,
+        |        avg(sum(ss_sales_price)) over
+        |          (partition by i_category, i_brand,
+        |                     s_store_name, s_company_name, d_year)
+        |          avg_monthly_sales,
+        |        rank() over
+        |          (partition by i_category, i_brand,
+        |                     s_store_name, s_company_name
+        |           order by d_year, d_moy) rn
+        | from item, store_sales, date_dim, store
+        | where ss_item_sk = i_item_sk and
+        |       ss_sold_date_sk = d_date_sk and
+        |       ss_store_sk = s_store_sk and
+        |       (
+        |         d_year = 2000 or
+        |         ( d_year = 2000-1 and d_moy =12) or
+        |         ( d_year = 2000+1 and d_moy =1)
+        |       )
+        | group by i_category, i_brand,
+        |          s_store_name, s_company_name,
+        |          d_year, d_moy),
+        | v2 as(
+        | select v1.i_category
+        |        ,v1.d_year, v1.d_moy
+        |        ,v1.avg_monthly_sales
+        |        ,v1.sum_sales, v1_lag.sum_sales psum, v1_lead.sum_sales nsum
+        | from v1, v1 v1_lag, v1 v1_lead
+        | where v1.i_category = v1_lag.i_category and
+        |       v1.i_category = v1_lead.i_category and
+        |       v1.i_brand = v1_lag.i_brand and
+        |       v1.i_brand = v1_lead.i_brand and
+        |       v1.s_store_name = v1_lag.s_store_name and
+        |       v1.s_store_name = v1_lead.s_store_name and
+        |       v1.s_company_name = v1_lag.s_company_name and
+        |       v1.s_company_name = v1_lead.s_company_name and
+        |       v1.rn = v1_lag.rn + 1 and
+        |       v1.rn = v1_lead.rn - 1)
+        |  select  *
+        | from v2
+        | where  d_year = 2000 and
+        |        avg_monthly_sales > 0 and
+        |        case when avg_monthly_sales > 0 then abs(sum_sales - avg_monthly_sales) / avg_monthly_sales else null end > 0.1
+        | order by sum_sales - avg_monthly_sales, 3
+        | limit 100""".stripMargin, true),
+
+    ("query49",
+      """select
+        | 'web' as channel
+        | ,web.item
+        | ,web.return_ratio
+        | ,web.return_rank
+        | ,web.currency_rank
+        | from (
+        | 	select
+        | 	 item
+        | 	,return_ratio
+        | 	,currency_ratio
+        | 	,rank() over (order by return_ratio) as return_rank
+        | 	,rank() over (order by currency_ratio) as currency_rank
+        | 	from
+        | 	(	select ws.ws_item_sk as item
+        | 		,(cast(sum(coalesce(wr.wr_return_quantity,0)) as dec(15,4))/
+        | 		cast(sum(coalesce(ws.ws_quantity,0)) as dec(15,4) )) as return_ratio
+        | 		,(cast(sum(coalesce(wr.wr_return_amt,0)) as dec(15,4))/
+        | 		cast(sum(coalesce(ws.ws_net_paid,0)) as dec(15,4) )) as currency_ratio
+        | 		from
+        | 		 web_sales ws left outer join web_returns wr
+        | 			on (ws.ws_order_number = wr.wr_order_number and
+        | 			ws.ws_item_sk = wr.wr_item_sk)
+        |                 ,date_dim
+        | 		where
+        | 			wr.wr_return_amt > 10000
+        | 			and ws.ws_net_profit > 1
+        |                         and ws.ws_net_paid > 0
+        |                         and ws.ws_quantity > 0
+        |                         and ws_sold_date_sk = d_date_sk
+        |                         and d_year = 2000
+        |                         and d_moy = 12
+        | 		group by ws.ws_item_sk
+        | 	) in_web
+        | ) web
+        | where
+        | (
+        | web.return_rank <= 10
+        | or
+        | web.currency_rank <= 10
+        | )
+        | union
+        | select
+        | 'catalog' as channel
+        | ,catalog.item
+        | ,catalog.return_ratio
+        | ,catalog.return_rank
+        | ,catalog.currency_rank
+        | from (
+        | 	select
+        | 	 item
+        | 	,return_ratio
+        | 	,currency_ratio
+        | 	,rank() over (order by return_ratio) as return_rank
+        | 	,rank() over (order by currency_ratio) as currency_rank
+        | 	from
+        | 	(	select
+        | 		cs.cs_item_sk as item
+        | 		,(cast(sum(coalesce(cr.cr_return_quantity,0)) as dec(15,4))/
+        | 		cast(sum(coalesce(cs.cs_quantity,0)) as dec(15,4) )) as return_ratio
+        | 		,(cast(sum(coalesce(cr.cr_return_amount,0)) as dec(15,4))/
+        | 		cast(sum(coalesce(cs.cs_net_paid,0)) as dec(15,4) )) as currency_ratio
+        | 		from
+        | 		catalog_sales cs left outer join catalog_returns cr
+        | 			on (cs.cs_order_number = cr.cr_order_number and
+        | 			cs.cs_item_sk = cr.cr_item_sk)
+        |                ,date_dim
+        | 		where
+        | 			cr.cr_return_amount > 10000
+        | 			and cs.cs_net_profit > 1
+        |                         and cs.cs_net_paid > 0
+        |                         and cs.cs_quantity > 0
+        |                         and cs_sold_date_sk = d_date_sk
+        |                         and d_year = 2000
+        |                         and d_moy = 12
+        |                 group by cs.cs_item_sk
+        | 	) in_cat
+        | ) catalog
+        | where
+        | (
+        | catalog.return_rank <= 10
+        | or
+        | catalog.currency_rank <=10
+        | )
+        | union
+        | select
+        | 'store' as channel
+        | ,store.item
+        | ,store.return_ratio
+        | ,store.return_rank
+        | ,store.currency_rank
+        | from (
+        | 	select
+        | 	 item
+        | 	,return_ratio
+        | 	,currency_ratio
+        | 	,rank() over (order by return_ratio) as return_rank
+        | 	,rank() over (order by currency_ratio) as currency_rank
+        | 	from
+        | 	(	select sts.ss_item_sk as item
+        | 		,(cast(sum(coalesce(sr.sr_return_quantity,0)) as dec(15,4))/cast(sum(coalesce(sts.ss_quantity,0)) as dec(15,4) )) as return_ratio
+        | 		,(cast(sum(coalesce(sr.sr_return_amt,0)) as dec(15,4))/cast(sum(coalesce(sts.ss_net_paid,0)) as dec(15,4) )) as currency_ratio
+        | 		from
+        | 		store_sales sts left outer join store_returns sr
+        | 			on (sts.ss_ticket_number = sr.sr_ticket_number and sts.ss_item_sk = sr.sr_item_sk)
+        |                ,date_dim
+        | 		where
+        | 			sr.sr_return_amt > 10000
+        | 			and sts.ss_net_profit > 1
+        |                         and sts.ss_net_paid > 0
+        |                         and sts.ss_quantity > 0
+        |                         and ss_sold_date_sk = d_date_sk
+        |                         and d_year = 2000
+        |                         and d_moy = 12
+        | 		group by sts.ss_item_sk
+        | 	) in_store
+        | ) store
+        | where  (
+        | store.return_rank <= 10
+        | or
+        | store.currency_rank <= 10
+        | )
+        | order by 1,4,5
+        | limit 100""".stripMargin, true),
+
+    ("query74",
+      """with year_total as (
+        | select c_customer_id customer_id
+        |       ,c_first_name customer_first_name
+        |       ,c_last_name customer_last_name
+        |       ,d_year as year
+        |       ,sum(ss_net_paid) year_total
+        |       ,'s' sale_type
+        | from customer
+        |     ,store_sales
+        |     ,date_dim
+        | where c_customer_sk = ss_customer_sk
+        |   and ss_sold_date_sk = d_date_sk
+        |   and d_year in (1998,1998+1)
+        | group by c_customer_id
+        |         ,c_first_name
+        |         ,c_last_name
+        |         ,d_year
+        | union all
+        | select c_customer_id customer_id
+        |       ,c_first_name customer_first_name
+        |       ,c_last_name customer_last_name
+        |       ,d_year as year
+        |       ,sum(ws_net_paid) year_total
+        |       ,'w' sale_type
+        | from customer
+        |     ,web_sales
+        |     ,date_dim
+        | where c_customer_sk = ws_bill_customer_sk
+        |   and ws_sold_date_sk = d_date_sk
+        |   and d_year in (1998,1998+1)
+        | group by c_customer_id
+        |         ,c_first_name
+        |         ,c_last_name
+        |         ,d_year
+        |         )
+        |  select
+        |        t_s_secyear.customer_id, t_s_secyear.customer_first_name, t_s_secyear.customer_last_name
+        | from year_total t_s_firstyear
+        |     ,year_total t_s_secyear
+        |     ,year_total t_w_firstyear
+        |     ,year_total t_w_secyear
+        | where t_s_secyear.customer_id = t_s_firstyear.customer_id
+        |         and t_s_firstyear.customer_id = t_w_secyear.customer_id
+        |         and t_s_firstyear.customer_id = t_w_firstyear.customer_id
+        |         and t_s_firstyear.sale_type = 's'
+        |         and t_w_firstyear.sale_type = 'w'
+        |         and t_s_secyear.sale_type = 's'
+        |         and t_w_secyear.sale_type = 'w'
+        |         and t_s_firstyear.year = 1998
+        |         and t_s_secyear.year = 1998+1
+        |         and t_w_firstyear.year = 1998
+        |         and t_w_secyear.year = 1998+1
+        |         and t_s_firstyear.year_total > 0
+        |         and t_w_firstyear.year_total > 0
+        |         and case when t_w_firstyear.year_total > 0 then t_w_secyear.year_total / t_w_firstyear.year_total else null end
+        |           > case when t_s_firstyear.year_total > 0 then t_s_secyear.year_total / t_s_firstyear.year_total else null end
+        | order by 3,1,2
+        |limit 100""".stripMargin, true))
+
+  test("wave-16b perf queries (query2/11/47/49/74): year-over-year CTE " +
+      "reuse, monthly-window rank with lag/lead self-joins, per-channel " +
+      "ranked return ratios — same invariants") {
+    DsData.ensure(spark)
+    withConf(cboConfs: _*) {
+      wave16Queries.foreach { case (name, sql, expectDpp) =>
+        checkQuery(name, sql, expectDpp)
+      }
+    }
+  }
+
   test("eight more perf queries (query15/26/27/37/39/65/82/94): inventory " +
       "statistics, grouping rollup, below-average anti-select, catalog/web channels — same " +
       "invariants") {
