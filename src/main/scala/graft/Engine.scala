@@ -252,6 +252,7 @@ object Engine {
           .orElse(maybeRunHplsql(spark, sfDir, query))
           .orElse(maybeCastFormat(spark, sfDir, query))
           .orElse(maybeQuantified(spark, sfDir, query))
+          .orElse(maybeUniqueJoin(spark, sfDir, query))
           .orElse(maybeCommaLimit(spark, sfDir, query))
           .orElse(maybeTypeSpellings(spark, sfDir, query))
           .getOrElse(spark.sql(query)) // surface the canonical parse error
@@ -280,9 +281,14 @@ object Engine {
                   graft.plans.CtePartialAliases(spark,
                     graft.plans.NamedTables.substitute(spark, secured)))))))),
             query0)
+          // char columns reaching functions see the STRIPPED value
+          // (Hive's HiveChar contract) — post-analysis, so it knows
+          // which attributes carry char metadata
+          val charFixed =
+            graft.plans.CharStrippedFunctions(spark, substituted)
           // LAST: materialization EXECUTES CTE definitions, which must
           // only happen after authz adjudicated and policies substituted
-          val materialized = graft.plans.CteMaterialize(spark, substituted)
+          val materialized = graft.plans.CteMaterialize(spark, charFixed)
           val df =
             if (materialized eq plan) spark.sql(query0)
             else org.apache.spark.sql.GraftShims.ofRows(spark, materialized)
@@ -398,6 +404,20 @@ object Engine {
   private def maybeQuantified(spark: SparkSession, sfDir: String,
       query: String): Option[DataFrame] = {
     graft.plans.QuantifiedSubqueries.rewrite(query).flatMap { rewritten =>
+      val parses =
+        try { spark.sessionState.sqlParser.parsePlan(rewritten); true }
+        catch { case scala.util.control.NonFatal(_) => false }
+      if (parses) Some(sql(spark, sfDir, rewritten)) else None
+    }
+  }
+
+  /** Hive's `FROM UNIQUEJOIN [PRESERVE] ... SELECT` multi-way co-group
+    * verb (a Spark parse error) — lowers via
+    * [[graft.plans.UniqueJoin]] and re-runs through this front door.
+    */
+  private def maybeUniqueJoin(spark: SparkSession, sfDir: String,
+      query: String): Option[DataFrame] = {
+    graft.plans.UniqueJoin.rewrite(query).flatMap { rewritten =>
       val parses =
         try { spark.sessionState.sqlParser.parsePlan(rewritten); true }
         catch { case scala.util.control.NonFatal(_) => false }

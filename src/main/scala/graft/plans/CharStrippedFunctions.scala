@@ -1,0 +1,87 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Hive's CHAR(n) function-argument contract: a char value reaching a
+  * UDF is the STRIPPED value — `length(c CHAR(20))` of 'val_238' is 7,
+  * `concat(c3, c4)` is '238val_238' with no pad runs (ref
+  * common/type/HiveChar.java getStrippedValue + serde2 ObjectInspector
+  * conversion; char_udf1.q is the qtest). Comparisons stay
+  * pad-insensitive and bare projections display the blank-padded value
+  * in BOTH systems. Spark instead pads char columns on read
+  * (ApplyCharTypePadding), so every string function sees the padding —
+  * `length` answers 20 and concat carries the blanks.
+  *
+  * Front-door step (Engine.sql, post-analysis): analyze the statement;
+  * if any attribute carries char metadata, wrap char-typed attribute
+  * references that sit in FUNCTION-ARGUMENT position with `rtrim`.
+  * Positions that keep the padded value, matching Hive: bare
+  * projections (display), comparison operands and IN lists (both
+  * engines are pad-insensitive there natively), sort keys, and
+  * grouping keys at the root. Statements with no char columns return
+  * the original plan untouched (same-instance fast path).
+  */
+object CharStrippedFunctions {
+
+  /** Spark's metadata marker for char/varchar-typed string columns. */
+  private val Key = "__CHAR_VARCHAR_TYPE_STRING"
+
+  private def isCharAttr(e: Expression): Boolean = e match {
+    case a: Attribute => a.metadata.contains(Key) &&
+      a.metadata.getString(Key).startsWith("char(")
+    case _ => false
+  }
+
+  def apply(spark: SparkSession, plan: LogicalPlan): LogicalPlan = {
+    val analyzed =
+      try spark.sessionState.executePlan(plan).analyzed
+      catch { case scala.util.control.NonFatal(_) => return plan }
+    val hasChar = analyzed.exists(p =>
+      p.expressions.exists(_.exists(isCharAttr)))
+    if (!hasChar) return plan
+    analyzed.transformUpWithSubqueries { case p =>
+      var changed = false
+      val next = p.mapExpressions { e =>
+        val r = strip(e, underFn = false)
+        if (!(r eq e)) changed = true
+        r
+      }
+      if (changed) next else p
+    }
+  }
+
+  private def strip(e: Expression, underFn: Boolean): Expression = e match {
+    case a: Attribute if underFn && isCharAttr(a) => StringTrimRight(a)
+    case a: Attribute => a
+    case al: Alias =>
+      val c = strip(al.child, underFn)
+      if (c eq al.child) al else al.withNewChildren(Seq(c))
+    // pad-insensitive positions: the padded values compare/sort/probe
+    // identically, so the attrs stay bare (and plans stay prunable)
+    case c: BinaryComparison => mapAt(c, underFn = false)
+    case i: In => mapAt(i, underFn = false)
+    case i: InSet => i
+    case s: SortOrder => mapAt(s, underFn = false)
+    // value-preserving aggregates answer the PADDED char in Hive
+    // (char_udf1.q.out: max(c4) is 'val_238             ')
+    case m: aggregate.Max => mapAt(m, underFn = false)
+    case m: aggregate.Min => mapAt(m, underFn = false)
+    case f: aggregate.First => mapAt(f, underFn = false)
+    case l: aggregate.Last => mapAt(l, underFn = false)
+    case c: aggregate.CollectSet => mapAt(c, underFn = false)
+    case c: aggregate.CollectList => mapAt(c, underFn = false)
+    case other => mapAt(other, underFn = true)
+  }
+
+  private def mapAt(e: Expression, underFn: Boolean): Expression = {
+    var changed = false
+    val next = e.mapChildren { c =>
+      val r = strip(c, underFn)
+      if (!(r eq c)) changed = true
+      r
+    }
+    if (changed) next else e
+  }
+}

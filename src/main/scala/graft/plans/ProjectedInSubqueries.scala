@@ -42,6 +42,13 @@ object ProjectedInSubqueries {
       case f: Filter =>
         val cond = rewriteFilterCondition(f.condition)
         if (cond eq f.condition) f else f.copy(condition = cond)
+      // HAVING parses as its own node, and its bare IN conjuncts get
+      // the same exact handling from Spark as Filter's — rewriting them
+      // would push the aggregate probe into the subquery's WHERE
+      case h: org.apache.spark.sql.catalyst.analysis.UnresolvedHaving =>
+        val cond = rewriteFilterCondition(h.havingCondition)
+        if (cond eq h.havingCondition) h
+        else h.copy(havingCondition = cond)
       // JOIN conditions cannot host subqueries in Spark either way —
       // leave them so the canonical error names the user's own text
       case j: org.apache.spark.sql.catalyst.plans.logical.Join => j

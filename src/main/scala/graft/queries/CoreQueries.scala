@@ -450,6 +450,19 @@ object CoreQueries {
           |FROM orders ORDER BY k, cp, sp""".stripMargin)
     },
 
+    // UNIQUEJOIN verb (ref uniquejoin.q; plans/UniqueJoin): the
+    // PRESERVE co-group over customer/orders is the left-outer shape —
+    // customers with no orders survive with NULL order columns.
+    q("q57_uniquejoin",
+      """SELECT c.c_custkey AS k, o.o_orderkey AS ok
+        |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |ORDER BY k, ok""".stripMargin) { (spark, dir) =>
+      Engine.sql(spark, dir,
+        "FROM UNIQUEJOIN PRESERVE customer c (c.c_custkey), orders o " +
+          "(o.o_custkey) SELECT c.c_custkey AS k, o.o_orderkey AS ok " +
+          "ORDER BY k, ok")
+    },
+
     q("q20_cube",
       """SELECT l_returnflag, l_linestatus,
         |  CAST(grouping(l_returnflag) AS INT) AS g_rf,

@@ -86,9 +86,9 @@ class QtestWindowingMoreSpec extends QtestHarness {
         "AS t(ord, v))")
       .collect().map(r => (
         if (r.isNullAt(0)) -1 else r.getInt(0),
-        r.getInt(1),
+        r.getLong(1),
         if (r.isNullAt(2)) -1L else r.getDecimal(2).longValueExact())).toSeq
-    assert(rows === Seq((10, 1, 10L), (10, 1, 10L), (20, 2, 30L),
-      (-1, 2, 30L), (10, 2, 30L)))
+    assert(rows === Seq((10, 1L, 10L), (10, 1L, 10L), (20, 2L, 30L),
+      (-1, 2L, 30L), (10, 2L, 30L)))
   }
 }
