@@ -362,9 +362,43 @@ object HiveFunctions {
     fn("mask_last_n")(a => maskCustom(a, fromStart = false, show = false))
     fn("mask_show_first_n")(a => maskCustom(a, fromStart = true, show = true))
     fn("mask_show_last_n")(a => maskCustom(a, fromStart = false, show = true))
-    // mask_hash = sha256 hex of the string value (ref GenericUDFMaskHash.java /
-    // MaskHashTransformer: DigestUtils.sha256Hex by default)
-    fn("mask_hash")(a => Sha2(Cast(a.head, org.apache.spark.sql.types.BinaryType), Literal(256)))
+    // mask_hash = sha256 hex of STRING-family values; every other type
+    // answers NULL (ref GenericUDFMaskHash.java's type guard —
+    // udf_mask_hash.q pins tinyint..date → NULL)
+    fn("mask_hash")(a => MaskHash(a.head))
+
+    // json_read(json, 'type') parses a JSON document into the declared
+    // type (ref ql/udf/generic/GenericUDFJsonRead.java; udf_json_read.q)
+    // — Spark's from_json with the Hive type string, which the shared
+    // DDL grammar parses directly. The type argument must be a literal,
+    // as in the reference (it shapes the return type).
+    fn("json_read") { args =>
+      val tpe = args(1) match {
+        case Literal(s, org.apache.spark.sql.types.StringType) if s != null =>
+          s.toString
+        case other => throw new IllegalArgumentException(
+          s"json_read: the type argument must be a string literal, got $other")
+      }
+      val dt = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseDataType(tpe)
+      org.apache.spark.sql.catalyst.expressions.JsonToStructs(
+        dt, Map.empty, args.head)
+    }
+    // in_file(str, filename) — membership of str among the file's lines
+    // (ref ql/udf/generic/GenericUDFInFile.java). The file loads once on
+    // the driver at plan time, exactly like the reference's initialize().
+    fn("in_file") { args =>
+      val path = args(1) match {
+        case Literal(s, org.apache.spark.sql.types.StringType) if s != null =>
+          s.toString
+        case other => throw new IllegalArgumentException(
+          s"in_file: the file name must be a string literal, got $other")
+      }
+      import scala.jdk.CollectionConverters._
+      val lines = java.nio.file.Files
+        .readAllLines(java.nio.file.Paths.get(path)).asScala.toSeq
+      In(args.head, lines.map(l => Literal(l): Expression))
+    }
 
     // --- uniontype encoding (SURVEY §1.2): struct<tag:tinyint, fieldN...> ---
     fn("create_union") { args =>

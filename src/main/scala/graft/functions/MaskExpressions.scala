@@ -15,6 +15,25 @@ import org.apache.spark.unsafe.types.UTF8String
   * 0`); the default of 4 applies only when the argument is absent and is
   * supplied by the registration site (HiveFunctions).
   */
+/** mask_hash (ref GenericUDFMaskHash.java): sha256 hex of STRING-family
+  * values only — every other type answers NULL (Hive's MaskHashTransformer
+  * guards on STRING/VARCHAR/CHAR; udf_mask_hash.q pins tinyint..date →
+  * NULL). Type-dependent, so the dispatch happens post-resolution via
+  * RuntimeReplaceable.
+  */
+case class MaskHash(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable {
+  import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, Sha2}
+  override lazy val replacement: Expression = child.dataType match {
+    case StringType =>
+      Sha2(Cast(child, org.apache.spark.sql.types.BinaryType), Literal(256))
+    case _ => Literal.create(null, StringType)
+  }
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression = copy(child = c.head)
+}
+
 case class MaskRange(child: Expression, n: Int, fromStart: Boolean,
     show: Boolean, upper: Char = 'X', lower: Char = 'x', digit: Char = 'n',
     other: Option[Char] = None)
