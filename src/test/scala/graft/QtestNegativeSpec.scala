@@ -366,4 +366,25 @@ class QtestNegativeSpec extends QtestHarness {
         "LIMIT 1)",
       "subquery", "column", "too many")
   }
+
+  test("negative qtest wave 4: UNIQUEJOIN and quantified-subquery " +
+      "misuse refuses") {
+    // uniquejoin key lists of different arity (ref clientnegative
+    // uniquejoin.q: "The number of columns ... differ")
+    refuses("uniquejoin_neg.q",
+      "FROM UNIQUEJOIN PRESERVE qt_t1 a (a.key, a.val), PRESERVE " +
+        "qt_t2 b (b.key) SELECT a.key",
+      "arity", "equal", "number of columns")
+    // a quantified comparison against a multi-column subquery
+    refuses("subquery_quant_multi.q",
+      "SELECT count(*) FROM qt_part WHERE p_partkey > ALL " +
+        "(SELECT p_partkey, p_size FROM qt_part)",
+      "column", "too many", "NUM_COLUMNS")
+    // DISTINCT window over an unsupported function keeps Spark's
+    // canonical refusal (only count/sum/avg lower)
+    refuses("windowing_distinct_neg.q",
+      "SELECT max(DISTINCT p_size) OVER (PARTITION BY p_mfgr) FROM " +
+        "qt_part",
+      "distinct", "DISTINCT")
+  }
 }
