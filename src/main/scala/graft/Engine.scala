@@ -253,6 +253,7 @@ object Engine {
           .orElse(maybeCastFormat(spark, sfDir, query))
           .orElse(maybeQuantified(spark, sfDir, query))
           .orElse(maybeUniqueJoin(spark, sfDir, query))
+          .orElse(maybeBucketSample(spark, sfDir, query))
           .orElse(maybeCommaLimit(spark, sfDir, query))
           .orElse(maybeTypeSpellings(spark, sfDir, query))
           .getOrElse(spark.sql(query)) // surface the canonical parse error
@@ -404,6 +405,20 @@ object Engine {
   private def maybeQuantified(spark: SparkSession, sfDir: String,
       query: String): Option[DataFrame] = {
     graft.plans.QuantifiedSubqueries.rewrite(query).flatMap { rewritten =>
+      val parses =
+        try { spark.sessionState.sqlParser.parsePlan(rewritten); true }
+        catch { case scala.util.control.NonFatal(_) => false }
+      if (parses) Some(sql(spark, sfDir, rewritten)) else None
+    }
+  }
+
+  /** Hive's deterministic `TABLESAMPLE (BUCKET n OUT OF m ON expr)` (a
+    * Spark parse error) — lowers via [[graft.plans.BucketSample]] to the
+    * HiveHash bucket filter and re-runs through this front door.
+    */
+  private def maybeBucketSample(spark: SparkSession, sfDir: String,
+      query: String): Option[DataFrame] = {
+    graft.plans.BucketSample.rewrite(query).flatMap { rewritten =>
       val parses =
         try { spark.sessionState.sqlParser.parsePlan(rewritten); true }
         catch { case scala.util.control.NonFatal(_) => false }

@@ -463,6 +463,19 @@ object CoreQueries {
           "ORDER BY k, ok")
     },
 
+    // Deterministic bucket TABLESAMPLE (ref sample2-9.q;
+    // plans/BucketSample): BUCKET n OUT OF m ON col selects
+    // hash(col) % m == n-1 with Hive's hash — identity for longs below
+    // 2^31, which the oracle spells arithmetically.
+    q("q58_bucket_sample",
+      """SELECT count(*) AS c, CAST(sum(o_orderkey) AS BIGINT) AS s FROM orders
+        |WHERE (o_orderkey & 2147483647) % 3 = 0""".stripMargin) {
+      (spark, dir) =>
+        Engine.sql(spark, dir,
+          "SELECT count(*) AS c, sum(o_orderkey) AS s FROM orders " +
+            "TABLESAMPLE (BUCKET 1 OUT OF 3 ON o_orderkey)")
+    },
+
     q("q20_cube",
       """SELECT l_returnflag, l_linestatus,
         |  CAST(grouping(l_returnflag) AS INT) AS g_rf,

@@ -171,6 +171,12 @@ object QtestHarness {
         col("d").cast("double"), col("bo").cast("boolean"), col("s"),
         col("ts").cast("timestamp"),
         col("dec").cast("decimal(4,2)").as("dec"))
+    // sample2-9.q's srcbucket (2-bucket layout, Ctrl-A separated)
+    val srcbucket = Seq("srcbucket0.txt", "srcbucket1.txt")
+      .map(f => spark.read.option("sep", "")
+        .csv(s"$refData/$f").toDF("key", "value"))
+      .reduce(_ unionByName _)
+      .select(col("key").cast("int"), col("value"))
     // subquery_in.q's lineitem probes: the reference ships no lineitem
     // fixture file, so the driver's sf0.001 lineitem stands in (the gate
     // is Spark-vs-DuckDB over IDENTICAL parquet, so semantics still pin;
@@ -233,6 +239,7 @@ object QtestHarness {
       "qt_kv8" -> kv8, "qt_dts" -> dts,
       "qt_kv7" -> kv7, "qt_kv9a" -> kv9a, "qt_kv9b" -> kv9b,
       "qt_kv10" -> kv10, "qt_o10knull" -> o10kNull, "qt_wdist" -> wdist,
+      "qt_srcbucket" -> srcbucket,
       "qt_alltypesorc" -> alltypesorc)
     all.map { case (name, df) =>
       val d = s"$dir/$name"

@@ -77,7 +77,9 @@ object DsData {
         // DS month counter (1998-01 = 1200, the corpus convention that
         // makes q65's `d_month_seq between 1212 and 1212+11` = 1999)
         ((year(col("d_date")) - 1998) * 12 + month(col("d_date")) + 1199)
-          .cast("int").as("d_month_seq"))
+          .cast("int").as("d_month_seq"),
+        concat(year(col("d_date")), lit("Q"), quarter(col("d_date")))
+          .as("d_quarter_name"))
     save(spark, "date_dim", dateDim)
 
     // the fact-side sold/returned date pool (see scaladoc)
@@ -250,7 +252,10 @@ object DsData {
       hotItem("it", col("id")).as("ss_item_sk"),
       hotCust("cu", tik).as("ss_customer_sk"),
       (h("cd", tik, 7000) + 1).as("ss_cdemo_sk"),
-      (h("hd", tik, 720) + 1).as("ss_hdemo_sk"),
+      // ~2% NULL demographic fk, as in real DS data — q44's baseline
+      // subquery averages exactly the null-hdemo rows
+      when(h("hdnull", col("id"), 50) === 0, lit(null))
+        .otherwise(h("hd", tik, 720) + 1).as("ss_hdemo_sk"),
       (h("ad", tik, nCa) + 1).as("ss_addr_sk"),
       (h("sto", tik, 12) + 1).as("ss_store_sk"),
       (h("pr", col("id"), 100) + 1).as("ss_promo_sk"),

@@ -583,13 +583,18 @@ class DsPlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val carts = collect(plan) { case c: CartesianProductExec => c }
     val bnl = collect(plan) { case b: BroadcastNestedLoopJoinExec => b }
     assert(carts.isEmpty, s"$name planned a CartesianProduct")
-    if (name != "query88" && name != "query19") {
+    // q88/q28: the documented one-row scalar-aggregate cross; q19's
+    // residual non-equi predicate against the tiny store dim
+    if (name != "query88" && name != "query19" && name != "query28") {
       assert(bnl.isEmpty, s"$name planned a BroadcastNestedLoopJoin")
     }
 
     // every query is a star around a fact table: the dims broadcast
+    // (q28 has no dims at all — six single-row aggregate legs)
     val bhj = collect(plan) { case b: BroadcastHashJoinExec => b }
-    assert(bhj.nonEmpty, s"$name has no broadcast joins:\n$plan")
+    if (name != "query28") {
+      assert(bhj.nonEmpty, s"$name has no broadcast joins:\n$plan")
+    }
 
     // DPP: the store_sales scan's partition filter carries a dynamic
     // pruning subquery whenever date_dim is filtered
@@ -1577,6 +1582,627 @@ class DsPlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         |           > case when t_s_firstyear.year_total > 0 then t_s_secyear.year_total / t_s_firstyear.year_total else null end
         | order by 3,1,2
         |limit 100""".stripMargin, true))
+
+  /** Round-16c additions — fifteen more queries that run against the
+    * existing DsData columns: correlated price-vs-category-average
+    * selects (q6, q92), revenue-ratio windows (q12), the inventory
+    * rollup (q22), the six-bucket scalar cross (q28), the
+    * ss→sr→cs quantity chain (q29), grouping()-keyed rank-in-parent
+    * rollups (q36, q70), three-channel INTERSECT/EXCEPT customer sets
+    * (q38, q87), best/worst rank self-join (q44), city-demographics
+    * coupon/profit (q46), the 8-column rollup + per-category rank
+    * monster (q67), the three-channel year-over-year decrease (q75),
+    * and the store/catalog basket overlap (q97). Adapted literals are
+    * commented where the template's value can't exist in DsData.
+    */
+  private lazy val wave16cQueries: Seq[(String, String, Boolean)] = Seq(
+    ("query6",
+      // d_moy adapted 2 → 4: the fact date pool covers months
+      // {1,4,7,11,12} only (see DsData scaladoc)
+      """select  a.ca_state state, count(*) cnt
+        | from customer_address a
+        |     ,customer c
+        |     ,store_sales s
+        |     ,date_dim d
+        |     ,item i
+        | where       a.ca_address_sk = c.c_current_addr_sk
+        | 	and c.c_customer_sk = s.ss_customer_sk
+        | 	and s.ss_sold_date_sk = d.d_date_sk
+        | 	and s.ss_item_sk = i.i_item_sk
+        | 	and d.d_month_seq =
+        | 	     (select distinct (d_month_seq)
+        | 	      from date_dim
+        |               where d_year = 2000
+        | 	        and d_moy = 4 )
+        | 	and i.i_current_price > 1.2 *
+        |             (select avg(j.i_current_price)
+        | 	     from item j
+        | 	     where j.i_category = i.i_category)
+        | group by a.ca_state
+        | having count(*) >= 10
+        | order by cnt
+        | limit 100""".stripMargin, false),
+
+    ("query12",
+      """select  i_item_desc
+        |      ,i_category
+        |      ,i_class
+        |      ,i_current_price
+        |      ,sum(ws_ext_sales_price) as itemrevenue
+        |      ,sum(ws_ext_sales_price)*100/sum(sum(ws_ext_sales_price)) over
+        |          (partition by i_class) as revenueratio
+        |from
+        |	web_sales
+        |    	,item
+        |    	,date_dim
+        |where
+        |	ws_item_sk = i_item_sk
+        |  	and i_category in ('Jewelry', 'Sports', 'Books')
+        |  	and ws_sold_date_sk = d_date_sk
+        |	and d_date between cast('2001-01-12' as date)
+        |				and date_add(cast('2001-01-12' as date), 30)
+        |group by
+        |	i_item_id
+        |        ,i_item_desc
+        |        ,i_category
+        |        ,i_class
+        |        ,i_current_price
+        |order by
+        |	i_category
+        |        ,i_class
+        |        ,i_item_id
+        |        ,i_item_desc
+        |        ,revenueratio
+        |limit 100""".stripMargin, false),
+
+    ("query22",
+      """select  i_product_name
+        |             ,i_brand
+        |             ,i_class
+        |             ,i_category
+        |             ,avg(inv_quantity_on_hand) qoh
+        |       from inventory
+        |           ,date_dim
+        |           ,item
+        |           ,warehouse
+        |       where inv_date_sk=d_date_sk
+        |              and inv_item_sk=i_item_sk
+        |              and inv_warehouse_sk = w_warehouse_sk
+        |              and d_month_seq between 1212 and 1212 + 11
+        |       group by rollup(i_product_name
+        |                       ,i_brand
+        |                       ,i_class
+        |                       ,i_category)
+        |order by qoh, i_product_name, i_brand, i_class, i_category
+        |limit 100""".stripMargin, false),
+
+    ("query28",
+      """select  *
+        |from (select avg(ss_list_price) B1_LP
+        |            ,count(ss_list_price) B1_CNT
+        |            ,count(distinct ss_list_price) B1_CNTD
+        |      from store_sales
+        |      where ss_quantity between 0 and 5
+        |        and (ss_list_price between 11 and 11+10
+        |             or ss_coupon_amt between 460 and 460+1000
+        |             or ss_wholesale_cost between 14 and 14+20)) B1,
+        |     (select avg(ss_list_price) B2_LP
+        |            ,count(ss_list_price) B2_CNT
+        |            ,count(distinct ss_list_price) B2_CNTD
+        |      from store_sales
+        |      where ss_quantity between 6 and 10
+        |        and (ss_list_price between 91 and 91+10
+        |          or ss_coupon_amt between 1430 and 1430+1000
+        |          or ss_wholesale_cost between 32 and 32+20)) B2,
+        |     (select avg(ss_list_price) B3_LP
+        |            ,count(ss_list_price) B3_CNT
+        |            ,count(distinct ss_list_price) B3_CNTD
+        |      from store_sales
+        |      where ss_quantity between 11 and 15
+        |        and (ss_list_price between 66 and 66+10
+        |          or ss_coupon_amt between 920 and 920+1000
+        |          or ss_wholesale_cost between 4 and 4+20)) B3,
+        |     (select avg(ss_list_price) B4_LP
+        |            ,count(ss_list_price) B4_CNT
+        |            ,count(distinct ss_list_price) B4_CNTD
+        |      from store_sales
+        |      where ss_quantity between 16 and 20
+        |        and (ss_list_price between 142 and 142+10
+        |          or ss_coupon_amt between 3054 and 3054+1000
+        |          or ss_wholesale_cost between 80 and 80+20)) B4,
+        |     (select avg(ss_list_price) B5_LP
+        |            ,count(ss_list_price) B5_CNT
+        |            ,count(distinct ss_list_price) B5_CNTD
+        |      from store_sales
+        |      where ss_quantity between 21 and 25
+        |        and (ss_list_price between 135 and 135+10
+        |          or ss_coupon_amt between 14180 and 14180+1000
+        |          or ss_wholesale_cost between 38 and 38+20)) B5,
+        |     (select avg(ss_list_price) B6_LP
+        |            ,count(ss_list_price) B6_CNT
+        |            ,count(distinct ss_list_price) B6_CNTD
+        |      from store_sales
+        |      where ss_quantity between 26 and 30
+        |        and (ss_list_price between 28 and 28+10
+        |          or ss_coupon_amt between 2513 and 2513+1000
+        |          or ss_wholesale_cost between 42 and 42+20)) B6
+        |limit 100""".stripMargin, false),
+
+    ("query29",
+      """select
+        |     i_item_id
+        |    ,i_item_desc
+        |    ,s_store_id
+        |    ,s_store_name
+        |    ,sum(ss_quantity)        as store_sales_quantity
+        |    ,sum(sr_return_quantity) as store_returns_quantity
+        |    ,sum(cs_quantity)        as catalog_sales_quantity
+        | from
+        |    store_sales
+        |   ,store_returns
+        |   ,catalog_sales
+        |   ,date_dim             d1
+        |   ,date_dim             d2
+        |   ,date_dim             d3
+        |   ,store
+        |   ,item
+        | where
+        |     d1.d_moy               = 4
+        | and d1.d_year              = 1999
+        | and d1.d_date_sk           = ss_sold_date_sk
+        | and i_item_sk              = ss_item_sk
+        | and s_store_sk             = ss_store_sk
+        | and ss_customer_sk         = sr_customer_sk
+        | and ss_item_sk             = sr_item_sk
+        | and ss_ticket_number       = sr_ticket_number
+        | and sr_returned_date_sk    = d2.d_date_sk
+        | and d2.d_moy               between 4 and  4 + 3
+        | and d2.d_year              = 1999
+        | and sr_customer_sk         = cs_bill_customer_sk
+        | and sr_item_sk             = cs_item_sk
+        | and cs_sold_date_sk        = d3.d_date_sk
+        | and d3.d_year              in (1999,1999+1,1999+2)
+        | group by
+        |    i_item_id
+        |   ,i_item_desc
+        |   ,s_store_id
+        |   ,s_store_name
+        | order by
+        |    i_item_id
+        |   ,i_item_desc
+        |   ,s_store_id
+        |   ,s_store_name
+        | limit 100""".stripMargin, true),
+
+    ("query36",
+      """select
+        |    sum(ss_net_profit)/sum(ss_ext_sales_price) as gross_margin
+        |   ,i_category
+        |   ,i_class
+        |   ,grouping(i_category)+grouping(i_class) as lochierarchy
+        |   ,rank() over (
+        | 	partition by grouping(i_category)+grouping(i_class),
+        | 	case when grouping(i_class) = 0 then i_category end
+        | 	order by sum(ss_net_profit)/sum(ss_ext_sales_price) asc) as rank_within_parent
+        | from
+        |    store_sales
+        |   ,date_dim       d1
+        |   ,item
+        |   ,store
+        | where
+        |    d1.d_year = 1999
+        | and d1.d_date_sk = ss_sold_date_sk
+        | and i_item_sk  = ss_item_sk
+        | and s_store_sk  = ss_store_sk
+        | and s_state in ('SD','FL','MI','LA',
+        |                 'MO','SC','AL','GA')
+        | group by rollup(i_category,i_class)
+        | order by
+        |   lochierarchy desc
+        |  ,case when lochierarchy = 0 then i_category end
+        |  ,rank_within_parent
+        |  limit 100""".stripMargin, true),
+
+    ("query38",
+      """select  count(*) from (
+        |    select distinct c_last_name, c_first_name, d_date
+        |    from store_sales, date_dim, customer
+        |          where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+        |      and store_sales.ss_customer_sk = customer.c_customer_sk
+        |      and d_month_seq between 1212 and 1212 + 11
+        |  intersect
+        |    select distinct c_last_name, c_first_name, d_date
+        |    from catalog_sales, date_dim, customer
+        |          where catalog_sales.cs_sold_date_sk = date_dim.d_date_sk
+        |      and catalog_sales.cs_bill_customer_sk = customer.c_customer_sk
+        |      and d_month_seq between 1212 and 1212 + 11
+        |  intersect
+        |    select distinct c_last_name, c_first_name, d_date
+        |    from web_sales, date_dim, customer
+        |          where web_sales.ws_sold_date_sk = date_dim.d_date_sk
+        |      and web_sales.ws_bill_customer_sk = customer.c_customer_sk
+        |      and d_month_seq between 1212 and 1212 + 11
+        |) hot_cust
+        |limit 100""".stripMargin, true),
+
+    ("query44",
+      // ss_store_sk adapted 410 → 4 (DsData has stores 1..12)
+      """select  asceding.rnk, i1.i_product_name best_performing, i2.i_product_name worst_performing
+        |from(select *
+        |     from (select item_sk,rank() over (order by rank_col asc) rnk
+        |           from (select ss_item_sk item_sk,avg(ss_net_profit) rank_col
+        |                 from store_sales ss1
+        |                 where ss_store_sk = 4
+        |                 group by ss_item_sk
+        |                 having avg(ss_net_profit) > 0.9*(select avg(ss_net_profit) rank_col
+        |                                                  from store_sales
+        |                                                  where ss_store_sk = 4
+        |                                                    and ss_hdemo_sk is null
+        |                                                  group by ss_store_sk))V1)V11
+        |     where rnk  < 11) asceding,
+        |    (select *
+        |     from (select item_sk,rank() over (order by rank_col desc) rnk
+        |           from (select ss_item_sk item_sk,avg(ss_net_profit) rank_col
+        |                 from store_sales ss1
+        |                 where ss_store_sk = 4
+        |                 group by ss_item_sk
+        |                 having avg(ss_net_profit) > 0.9*(select avg(ss_net_profit) rank_col
+        |                                                  from store_sales
+        |                                                  where ss_store_sk = 4
+        |                                                    and ss_hdemo_sk is null
+        |                                                  group by ss_store_sk))V2)V21
+        |     where rnk  < 11) descending,
+        |item i1,
+        |item i2
+        |where asceding.rnk = descending.rnk
+        |  and i1.i_item_sk=asceding.item_sk
+        |  and i2.i_item_sk=descending.item_sk
+        |order by asceding.rnk
+        |limit 100""".stripMargin, false),
+
+    ("query46",
+      """select  c_last_name
+        |       ,c_first_name
+        |       ,ca_city
+        |       ,bought_city
+        |       ,ss_ticket_number
+        |       ,amt,profit
+        | from
+        |   (select ss_ticket_number
+        |          ,ss_customer_sk
+        |          ,ca_city bought_city
+        |          ,sum(ss_coupon_amt) amt
+        |          ,sum(ss_net_profit) profit
+        |    from store_sales,date_dim,store,household_demographics,customer_address
+        |    where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+        |    and store_sales.ss_store_sk = store.s_store_sk
+        |    and store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+        |    and store_sales.ss_addr_sk = customer_address.ca_address_sk
+        |    and (household_demographics.hd_dep_count = 2 or
+        |         household_demographics.hd_vehicle_count= 1)
+        |    and date_dim.d_dow in (6,0)
+        |    and date_dim.d_year in (1998,1998+1,1998+2)
+        |    and store.s_city in ('Cedar Grove','Wildwood','Union','Salem','Highland Park')
+        |    group by ss_ticket_number,ss_customer_sk,ss_addr_sk,ca_city) dn,customer,customer_address current_addr
+        |    where ss_customer_sk = c_customer_sk
+        |      and customer.c_current_addr_sk = current_addr.ca_address_sk
+        |      and current_addr.ca_city <> bought_city
+        |  order by c_last_name
+        |          ,c_first_name
+        |          ,ca_city
+        |          ,bought_city
+        |          ,ss_ticket_number
+        |  limit 100""".stripMargin, true),
+
+    ("query67",
+      """select  *
+        |from (select i_category
+        |            ,i_class
+        |            ,i_brand
+        |            ,i_product_name
+        |            ,d_year
+        |            ,d_qoy
+        |            ,d_moy
+        |            ,s_store_id
+        |            ,sumsales
+        |            ,rank() over (partition by i_category order by sumsales desc) rk
+        |      from (select i_category
+        |                  ,i_class
+        |                  ,i_brand
+        |                  ,i_product_name
+        |                  ,d_year
+        |                  ,d_qoy
+        |                  ,d_moy
+        |                  ,s_store_id
+        |                  ,sum(coalesce(ss_sales_price*ss_quantity,0)) sumsales
+        |            from store_sales
+        |                ,date_dim
+        |                ,store
+        |                ,item
+        |       where  ss_sold_date_sk=d_date_sk
+        |          and ss_item_sk=i_item_sk
+        |          and ss_store_sk = s_store_sk
+        |          and d_month_seq between 1212 and 1212+11
+        |       group by  rollup(i_category, i_class, i_brand, i_product_name, d_year, d_qoy, d_moy,s_store_id))dw1) dw2
+        |where rk <= 100
+        |order by i_category
+        |        ,i_class
+        |        ,i_brand
+        |        ,i_product_name
+        |        ,d_year
+        |        ,d_qoy
+        |        ,d_moy
+        |        ,s_store_id
+        |        ,sumsales
+        |        ,rk
+        |limit 100""".stripMargin, true),
+
+    ("query70",
+      """select
+        |    sum(ss_net_profit) as total_sum
+        |   ,s_state
+        |   ,s_county
+        |   ,grouping(s_state)+grouping(s_county) as lochierarchy
+        |   ,rank() over (
+        | 	partition by grouping(s_state)+grouping(s_county),
+        | 	case when grouping(s_county) = 0 then s_state end
+        | 	order by sum(ss_net_profit) desc) as rank_within_parent
+        | from
+        |    store_sales
+        |   ,date_dim       d1
+        |   ,store
+        | where
+        |    d1.d_month_seq between 1212 and 1212+11
+        | and d1.d_date_sk = ss_sold_date_sk
+        | and s_store_sk  = ss_store_sk
+        | and s_state in
+        |             ( select s_state
+        |               from  (select s_state as s_state,
+        | 			    rank() over ( partition by s_state order by sum(ss_net_profit) desc) as ranking
+        |                      from   store_sales, store, date_dim
+        |                      where  d_month_seq between 1212 and 1212+11
+        | 			    and d_date_sk = ss_sold_date_sk
+        | 			    and s_store_sk  = ss_store_sk
+        |                      group by s_state
+        |                     ) tmp1
+        |               where ranking <= 5
+        |             )
+        | group by rollup(s_state,s_county)
+        | order by
+        |   lochierarchy desc
+        |  ,case when lochierarchy = 0 then s_state end
+        |  ,rank_within_parent
+        | limit 100""".stripMargin, true),
+
+    ("query75",
+      """WITH all_sales AS (
+        | SELECT d_year
+        |       ,i_brand_id
+        |       ,i_class_id
+        |       ,i_category_id
+        |       ,i_manufact_id
+        |       ,SUM(sales_cnt) AS sales_cnt
+        |       ,SUM(sales_amt) AS sales_amt
+        | FROM (SELECT d_year
+        |             ,i_brand_id
+        |             ,i_class_id
+        |             ,i_category_id
+        |             ,i_manufact_id
+        |             ,cs_quantity - COALESCE(cr_return_quantity,0) AS sales_cnt
+        |             ,cs_ext_sales_price - COALESCE(cr_return_amount,0.0) AS sales_amt
+        |       FROM catalog_sales JOIN item ON i_item_sk=cs_item_sk
+        |                          JOIN date_dim ON d_date_sk=cs_sold_date_sk
+        |                          LEFT JOIN catalog_returns ON (cs_order_number=cr_order_number
+        |                                                    AND cs_item_sk=cr_item_sk)
+        |       WHERE i_category='Sports'
+        |       UNION
+        |       SELECT d_year
+        |             ,i_brand_id
+        |             ,i_class_id
+        |             ,i_category_id
+        |             ,i_manufact_id
+        |             ,ss_quantity - COALESCE(sr_return_quantity,0) AS sales_cnt
+        |             ,ss_ext_sales_price - COALESCE(sr_return_amt,0.0) AS sales_amt
+        |       FROM store_sales JOIN item ON i_item_sk=ss_item_sk
+        |                        JOIN date_dim ON d_date_sk=ss_sold_date_sk
+        |                        LEFT JOIN store_returns ON (ss_ticket_number=sr_ticket_number
+        |                                                AND ss_item_sk=sr_item_sk)
+        |       WHERE i_category='Sports'
+        |       UNION
+        |       SELECT d_year
+        |             ,i_brand_id
+        |             ,i_class_id
+        |             ,i_category_id
+        |             ,i_manufact_id
+        |             ,ws_quantity - COALESCE(wr_return_quantity,0) AS sales_cnt
+        |             ,ws_ext_sales_price - COALESCE(wr_return_amt,0.0) AS sales_amt
+        |       FROM web_sales JOIN item ON i_item_sk=ws_item_sk
+        |                      JOIN date_dim ON d_date_sk=ws_sold_date_sk
+        |                      LEFT JOIN web_returns ON (ws_order_number=wr_order_number
+        |                                            AND ws_item_sk=wr_item_sk)
+        |       WHERE i_category='Sports') sales_detail
+        | GROUP BY d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id)
+        | SELECT  prev_yr.d_year AS prev_year
+        |                          ,curr_yr.d_year AS year
+        |                          ,curr_yr.i_brand_id
+        |                          ,curr_yr.i_class_id
+        |                          ,curr_yr.i_category_id
+        |                          ,curr_yr.i_manufact_id
+        |                          ,prev_yr.sales_cnt AS prev_yr_cnt
+        |                          ,curr_yr.sales_cnt AS curr_yr_cnt
+        |                          ,curr_yr.sales_cnt-prev_yr.sales_cnt AS sales_cnt_diff
+        |                          ,curr_yr.sales_amt-prev_yr.sales_amt AS sales_amt_diff
+        | FROM all_sales curr_yr, all_sales prev_yr
+        | WHERE curr_yr.i_brand_id=prev_yr.i_brand_id
+        |   AND curr_yr.i_class_id=prev_yr.i_class_id
+        |   AND curr_yr.i_category_id=prev_yr.i_category_id
+        |   AND curr_yr.i_manufact_id=prev_yr.i_manufact_id
+        |   AND curr_yr.d_year=2002
+        |   AND prev_yr.d_year=2002-1
+        |   AND CAST(curr_yr.sales_cnt AS DECIMAL(17,2))/CAST(prev_yr.sales_cnt AS DECIMAL(17,2))<0.9
+        | ORDER BY sales_cnt_diff
+        | limit 100""".stripMargin, false),
+
+    ("query87",
+      """select count(*)
+        |from ((select distinct c_last_name, c_first_name, d_date
+        |       from store_sales, date_dim, customer
+        |       where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+        |         and store_sales.ss_customer_sk = customer.c_customer_sk
+        |         and d_month_seq between 1212 and 1212+11)
+        |       except
+        |      (select distinct c_last_name, c_first_name, d_date
+        |       from catalog_sales, date_dim, customer
+        |       where catalog_sales.cs_sold_date_sk = date_dim.d_date_sk
+        |         and catalog_sales.cs_bill_customer_sk = customer.c_customer_sk
+        |         and d_month_seq between 1212 and 1212+11)
+        |       except
+        |      (select distinct c_last_name, c_first_name, d_date
+        |       from web_sales, date_dim, customer
+        |       where web_sales.ws_sold_date_sk = date_dim.d_date_sk
+        |         and web_sales.ws_bill_customer_sk = customer.c_customer_sk
+        |         and d_month_seq between 1212 and 1212+11)
+        |) cool_cust""".stripMargin, true),
+
+    ("query92",
+      // `+ 90 days` spelled date_add (Spark's interval-literal syntax)
+      """select
+        |   sum(ws_ext_discount_amt)  as `Excess Discount Amount`
+        |from
+        |    web_sales
+        |   ,item
+        |   ,date_dim
+        |where
+        |i_manufact_id = 269
+        |and i_item_sk = ws_item_sk
+        |and d_date between '1998-03-18' and
+        |        date_add(cast('1998-03-18' as date), 90)
+        |and d_date_sk = ws_sold_date_sk
+        |and ws_ext_discount_amt
+        |     > (
+        |         SELECT
+        |            1.3 * avg(ws_ext_discount_amt)
+        |         FROM
+        |            web_sales
+        |           ,date_dim
+        |         WHERE
+        |              ws_item_sk = i_item_sk
+        |          and d_date between '1998-03-18' and
+        |                             date_add(cast('1998-03-18' as date), 90)
+        |          and d_date_sk = ws_sold_date_sk
+        |      )
+        |order by sum(ws_ext_discount_amt)
+        |limit 100""".stripMargin, false),
+
+    ("query17",
+      """select  i_item_id
+        |       ,i_item_desc
+        |       ,s_state
+        |       ,count(ss_quantity) as store_sales_quantitycount
+        |       ,avg(ss_quantity) as store_sales_quantityave
+        |       ,stddev_samp(ss_quantity) as store_sales_quantitystdev
+        |       ,stddev_samp(ss_quantity)/avg(ss_quantity) as store_sales_quantitycov
+        |       ,count(sr_return_quantity) as_store_returns_quantitycount
+        |       ,avg(sr_return_quantity) as_store_returns_quantityave
+        |       ,stddev_samp(sr_return_quantity) as_store_returns_quantitystdev
+        |       ,stddev_samp(sr_return_quantity)/avg(sr_return_quantity) as store_returns_quantitycov
+        |       ,count(cs_quantity) as catalog_sales_quantitycount ,avg(cs_quantity) as catalog_sales_quantityave
+        |       ,stddev_samp(cs_quantity)/avg(cs_quantity) as catalog_sales_quantitystdev
+        |       ,stddev_samp(cs_quantity)/avg(cs_quantity) as catalog_sales_quantitycov
+        | from store_sales
+        |     ,store_returns
+        |     ,catalog_sales
+        |     ,date_dim d1
+        |     ,date_dim d2
+        |     ,date_dim d3
+        |     ,store
+        |     ,item
+        | where d1.d_quarter_name = '2000Q1'
+        |   and d1.d_date_sk = ss_sold_date_sk
+        |   and i_item_sk = ss_item_sk
+        |   and s_store_sk = ss_store_sk
+        |   and ss_customer_sk = sr_customer_sk
+        |   and ss_item_sk = sr_item_sk
+        |   and ss_ticket_number = sr_ticket_number
+        |   and sr_returned_date_sk = d2.d_date_sk
+        |   and d2.d_quarter_name in ('2000Q1','2000Q2','2000Q3')
+        |   and sr_customer_sk = cs_bill_customer_sk
+        |   and sr_item_sk = cs_item_sk
+        |   and cs_sold_date_sk = d3.d_date_sk
+        |   and d3.d_quarter_name in ('2000Q1','2000Q2','2000Q3')
+        | group by i_item_id
+        |         ,i_item_desc
+        |         ,s_state
+        | order by i_item_id
+        |         ,i_item_desc
+        |         ,s_state
+        |limit 100""".stripMargin, true),
+
+    ("query21",
+      // `- 30 days`/`+ 30 days` spelled date_sub/date_add
+      """select  *
+        | from(select w_warehouse_name
+        |            ,i_item_id
+        |            ,sum(case when (cast(d_date as date) < cast ('1998-04-08' as date))
+        |	                then inv_quantity_on_hand
+        |                      else 0 end) as inv_before
+        |            ,sum(case when (cast(d_date as date) >= cast ('1998-04-08' as date))
+        |                      then inv_quantity_on_hand
+        |                      else 0 end) as inv_after
+        |   from inventory
+        |       ,warehouse
+        |       ,item
+        |       ,date_dim
+        |   where i_current_price between 0.99 and 1.49
+        |     and i_item_sk          = inv_item_sk
+        |     and inv_warehouse_sk   = w_warehouse_sk
+        |     and inv_date_sk    = d_date_sk
+        |     and d_date between date_sub(cast ('1998-04-08' as date), 30)
+        |                    and date_add(cast ('1998-04-08' as date), 30)
+        |   group by w_warehouse_name, i_item_id) x
+        | where (case when inv_before > 0
+        |             then inv_after / inv_before
+        |             else null
+        |             end) between 2.0/3.0 and 3.0/2.0
+        | order by w_warehouse_name
+        |         ,i_item_id
+        | limit 100""".stripMargin, false),
+
+    ("query97",
+      """with ssci as (
+        |select ss_customer_sk customer_sk
+        |      ,ss_item_sk item_sk
+        |from store_sales,date_dim
+        |where ss_sold_date_sk = d_date_sk
+        |  and d_month_seq between 1212 and 1212 + 11
+        |group by ss_customer_sk
+        |        ,ss_item_sk),
+        |csci as(
+        | select cs_bill_customer_sk customer_sk
+        |      ,cs_item_sk item_sk
+        |from catalog_sales,date_dim
+        |where cs_sold_date_sk = d_date_sk
+        |  and d_month_seq between 1212 and 1212 + 11
+        |group by cs_bill_customer_sk
+        |        ,cs_item_sk)
+        | select  sum(case when ssci.customer_sk is not null and csci.customer_sk is null then 1 else 0 end) store_only
+        |      ,sum(case when ssci.customer_sk is null and csci.customer_sk is not null then 1 else 0 end) catalog_only
+        |      ,sum(case when ssci.customer_sk is not null and csci.customer_sk is not null then 1 else 0 end) store_and_catalog
+        |from ssci full outer join csci on (ssci.customer_sk=csci.customer_sk
+        |                               and ssci.item_sk = csci.item_sk)
+        |limit 100""".stripMargin, true))
+
+  test("wave-16c perf queries (query6/12/17/21/22/28/29/36/38/44/46/" +
+      "67/70/75/87/92/97): correlated averages, grouping()-ranked " +
+      "rollups, channel set ops, rank self-joins, quarter-keyed " +
+      "return chains, inventory before/after — same invariants") {
+    DsData.ensure(spark)
+    withConf(cboConfs: _*) {
+      wave16cQueries.foreach { case (name, sql, expectDpp) =>
+        checkQuery(name, sql, expectDpp)
+      }
+    }
+  }
 
   test("wave-16b perf queries (query2/11/47/49/74): year-over-year CTE " +
       "reuse, monthly-window rank with lag/lead self-joins, per-channel " +
