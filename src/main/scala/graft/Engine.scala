@@ -198,13 +198,16 @@ object Engine {
     *     to exact compositions ([[graft.plans.QuantifiedSubqueries]],
     *     [[graft.plans.DistinctWindows]]).
     *
-    * Front-door cost (measured r16, local[8]): ~7 ms driver-side per
-    * simple statement over Spark's own ~23 ms (the chain's plan walks +
-    * the deliberate double parse when nothing rewrites); statements with
-    * real plans are noise-dominated. Per-statement driver milliseconds
-    * are irrelevant at the data scales the rewrites exist for; if the
-    * stack keeps growing, the eventual shape is one fused pre-analysis
-    * pass.
+    * Front-door cost (re-measured r16 after the second-session
+    * additions, local[4], analyze-only loop over three simple
+    * statements): ~5 ms driver-side per statement over Spark's own
+    * ~7 ms — the chain's text scans, plan walks, the deliberate double
+    * parse when nothing rewrites, and CharStrippedFunctions' analysis
+    * (gated to statements touching catalog tables; temp-view-only
+    * statements skip it). Statements with real plans are
+    * noise-dominated. Per-statement driver milliseconds are irrelevant
+    * at the data scales the rewrites exist for; if the stack keeps
+    * growing, the eventual shape is one fused pre-analysis pass.
     */
   def sql(spark: SparkSession, sfDir: String, query: String): DataFrame = {
     register(spark, sfDir)

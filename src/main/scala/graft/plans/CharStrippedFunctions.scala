@@ -35,6 +35,21 @@ object CharStrippedFunctions {
   }
 
   def apply(spark: SparkSession, plan: LogicalPlan): LogicalPlan = {
+    // cheap gate before the (analysis-priced) metadata check: char
+    // metadata can only flow from CATALOG tables — a statement whose
+    // relations are all temp views (the engine's registered parquet
+    // tables) cannot see a char column, and that is the overwhelming
+    // statement population. Qualified names and unknown names fall
+    // through to the real check.
+    val catalog = spark.sessionState.catalog
+    val refs = plan.collectWithSubqueries {
+      case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+        r.multipartIdentifier
+    }
+    val touchesCatalog = refs.exists { id =>
+      id.size > 1 || catalog.getTempView(id.last).isEmpty
+    }
+    if (!touchesCatalog) return plan
     val analyzed =
       try spark.sessionState.executePlan(plan).analyzed
       catch { case scala.util.control.NonFatal(_) => return plan }
