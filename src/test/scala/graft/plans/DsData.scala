@@ -138,7 +138,8 @@ object DsData {
       (lit(200) + col("id").cast("int") * 8).as("s_number_employees"),
       // two companies so q47's company partition key is non-degenerate
       concat(lit("company"), h("scomp", col("id"), 2) + 1)
-        .as("s_company_name")))
+        .as("s_company_name"),
+      (lit(-5) - h("sgmt", col("id"), 4)).as("s_gmt_offset")))
 
     // ---- customer_address
     val nCa = 10000
@@ -154,7 +155,19 @@ object DsData {
       (h("castn", col("id"), 999) + 1).cast("string")
         .as("ca_street_number"),
       pick("castnm", col("id"), Seq("Main", "Oak", "Elm", "Park", "Pine",
-        "Maple", "Lake", "Hill")).as("ca_street_name")))
+        "Maple", "Lake", "Hill")).as("ca_street_name"),
+      // 20 counties: q31's double quarter-over-quarter ratio compare
+      // keeps ~25% of counties on random data — a short list can
+      // deterministically keep none
+      pick("cacnty", col("id"), Seq("Ziebach County", "Walker County",
+        "Storey County", "Richland County", "Mobile County",
+        "Luce County", "Huron County", "Fairfield County",
+        "Jackson County", "Barrow County", "Pennington County",
+        "Kittitas County", "Maverick County", "Dauphin County",
+        "Greene County", "Tyler County", "Wadena County",
+        "Mesa County", "Perry County", "Salem County"))
+        .as("ca_county"),
+      (lit(-5) - h("cagmt", col("id"), 4)).as("ca_gmt_offset")))
 
     // ---- customer
     save(spark, "customer", spark.range(1, nCa * 2 + 1).select(
@@ -313,6 +326,7 @@ object DsData {
         cust.as("cs_bill_customer_sk"),
         (h("cscd", onum, 7000) + 1).as("cs_bill_cdemo_sk"),
         (h("cshd", onum, 720) + 1).as("cs_bill_hdemo_sk"),
+        (h("csad", onum, 10000) + 1).as("cs_bill_addr_sk"),
         (h("cspr", idc, 100) + 1).as("cs_promo_sk"),
         onum.cast("long").as("cs_order_number"),
         qty.as("cs_quantity"),
@@ -403,6 +417,9 @@ object DsData {
       hotItem("wsi", col("id")).as("ws_item_sk"),
       hotCust("wsc", wOnum).as("ws_bill_customer_sk"),
       (h("wsa", wOnum, nCa) + 1).as("ws_ship_addr_sk"),
+      (h("wsba", wOnum, nCa) + 1).as("ws_bill_addr_sk"),
+      ((h("wssp", col("id"), 20000) + 1) / lit(100.0))
+        .as("ws_sales_price"),
       (h("wss", wOnum, 4) + 1).as("ws_web_site_sk"),
       (h("wwh", col("id"), 5) + 1).as("ws_warehouse_sk"),
       wOnum.cast("long").as("ws_order_number"),

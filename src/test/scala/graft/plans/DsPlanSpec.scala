@@ -2192,6 +2192,265 @@ class DsPlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         |                               and ssci.item_sk = csci.item_sk)
         |limit 100""".stripMargin, true))
 
+  /** Round-16d additions — the geography batch: county quarter-over-
+    * quarter growth (q31), the three-channel by-manufact/by-item
+    * gmt-offset selects (q33/q60), day-of-week store matrix (q43), and
+    * the zip-or-item web select (q45). Ref perf/query{31,33,43,45,60}.q;
+    * d_moy literals adapted to the generated fact-date pool where
+    * commented.
+    */
+  private lazy val wave16dQueries: Seq[(String, String, Boolean)] = Seq(
+    ("query31",
+      """with ss as
+        | (select ca_county,d_qoy, d_year,sum(ss_ext_sales_price) as store_sales
+        | from store_sales,date_dim,customer_address
+        | where ss_sold_date_sk = d_date_sk
+        |  and ss_addr_sk=ca_address_sk
+        | group by ca_county,d_qoy, d_year),
+        | ws as
+        | (select ca_county,d_qoy, d_year,sum(ws_ext_sales_price) as web_sales
+        | from web_sales,date_dim,customer_address
+        | where ws_sold_date_sk = d_date_sk
+        |  and ws_bill_addr_sk=ca_address_sk
+        | group by ca_county,d_qoy, d_year)
+        | select
+        |        ss1.ca_county
+        |       ,ss1.d_year
+        |       ,ws2.web_sales/ws1.web_sales web_q1_q2_increase
+        |       ,ss2.store_sales/ss1.store_sales store_q1_q2_increase
+        |       ,ws3.web_sales/ws2.web_sales web_q2_q3_increase
+        |       ,ss3.store_sales/ss2.store_sales store_q2_q3_increase
+        | from
+        |        ss ss1
+        |       ,ss ss2
+        |       ,ss ss3
+        |       ,ws ws1
+        |       ,ws ws2
+        |       ,ws ws3
+        | where
+        |    ss1.d_qoy = 1
+        |    and ss1.d_year = 2000
+        |    and ss1.ca_county = ss2.ca_county
+        |    and ss2.d_qoy = 2
+        |    and ss2.d_year = 2000
+        | and ss2.ca_county = ss3.ca_county
+        |    and ss3.d_qoy = 3
+        |    and ss3.d_year = 2000
+        |    and ss1.ca_county = ws1.ca_county
+        |    and ws1.d_qoy = 1
+        |    and ws1.d_year = 2000
+        |    and ws1.ca_county = ws2.ca_county
+        |    and ws2.d_qoy = 2
+        |    and ws2.d_year = 2000
+        |    and ws1.ca_county = ws3.ca_county
+        |    and ws3.d_qoy = 3
+        |    and ws3.d_year =2000
+        |    and case when ws1.web_sales > 0 then ws2.web_sales/ws1.web_sales else null end
+        |       > case when ss1.store_sales > 0 then ss2.store_sales/ss1.store_sales else null end
+        |    and case when ws2.web_sales > 0 then ws3.web_sales/ws2.web_sales else null end
+        |       > case when ss2.store_sales > 0 then ss3.store_sales/ss2.store_sales else null end
+        | order by ss1.d_year""".stripMargin, false),
+
+    ("query33",
+      // d_moy adapted 3 → 4 (the generated fact-date pool)
+      """with ss as (
+        | select
+        |          i_manufact_id,sum(ss_ext_sales_price) total_sales
+        | from
+        | 	store_sales,
+        | 	date_dim,
+        |         customer_address,
+        |         item
+        | where
+        |         i_manufact_id in (select
+        |  i_manufact_id
+        |from
+        | item
+        |where i_category in ('Books'))
+        | and     ss_item_sk              = i_item_sk
+        | and     ss_sold_date_sk         = d_date_sk
+        | and     d_year                  = 1999
+        | and     d_moy                   = 4
+        | and     ss_addr_sk              = ca_address_sk
+        | and     ca_gmt_offset           = -6
+        | group by i_manufact_id),
+        | cs as (
+        | select
+        |          i_manufact_id,sum(cs_ext_sales_price) total_sales
+        | from
+        | 	catalog_sales,
+        | 	date_dim,
+        |         customer_address,
+        |         item
+        | where
+        |         i_manufact_id               in (select
+        |  i_manufact_id
+        |from
+        | item
+        |where i_category in ('Books'))
+        | and     cs_item_sk              = i_item_sk
+        | and     cs_sold_date_sk         = d_date_sk
+        | and     d_year                  = 1999
+        | and     d_moy                   = 4
+        | and     cs_bill_addr_sk         = ca_address_sk
+        | and     ca_gmt_offset           = -6
+        | group by i_manufact_id),
+        | ws as (
+        | select
+        |          i_manufact_id,sum(ws_ext_sales_price) total_sales
+        | from
+        | 	web_sales,
+        | 	date_dim,
+        |         customer_address,
+        |         item
+        | where
+        |         i_manufact_id               in (select
+        |  i_manufact_id
+        |from
+        | item
+        |where i_category in ('Books'))
+        | and     ws_item_sk              = i_item_sk
+        | and     ws_sold_date_sk         = d_date_sk
+        | and     d_year                  = 1999
+        | and     d_moy                   = 4
+        | and     ws_bill_addr_sk         = ca_address_sk
+        | and     ca_gmt_offset           = -6
+        | group by i_manufact_id)
+        |  select  i_manufact_id ,sum(total_sales) total_sales
+        | from  (select * from ss
+        |        union all
+        |        select * from cs
+        |        union all
+        |        select * from ws) tmp1
+        | group by i_manufact_id
+        | order by total_sales
+        |limit 100""".stripMargin, true),
+
+    ("query43",
+      """select  s_store_name, s_store_id,
+        |        sum(case when (d_day_name='Sunday') then ss_sales_price else null end) sun_sales,
+        |        sum(case when (d_day_name='Monday') then ss_sales_price else null end) mon_sales,
+        |        sum(case when (d_day_name='Tuesday') then ss_sales_price else  null end) tue_sales,
+        |        sum(case when (d_day_name='Wednesday') then ss_sales_price else null end) wed_sales,
+        |        sum(case when (d_day_name='Thursday') then ss_sales_price else null end) thu_sales,
+        |        sum(case when (d_day_name='Friday') then ss_sales_price else null end) fri_sales,
+        |        sum(case when (d_day_name='Saturday') then ss_sales_price else null end) sat_sales
+        | from date_dim, store_sales, store
+        | where d_date_sk = ss_sold_date_sk and
+        |       s_store_sk = ss_store_sk and
+        |       s_gmt_offset = -6 and
+        |       d_year = 1998
+        | group by s_store_name, s_store_id
+        | order by s_store_name, s_store_id,sun_sales,mon_sales,tue_sales,wed_sales,thu_sales,fri_sales,sat_sales
+        | limit 100""".stripMargin, true),
+
+    ("query45",
+      """select  ca_zip, ca_county, sum(ws_sales_price)
+        | from web_sales, customer, customer_address, date_dim, item
+        | where ws_bill_customer_sk = c_customer_sk
+        | 	and c_current_addr_sk = ca_address_sk
+        | 	and ws_item_sk = i_item_sk
+        | 	and ( substr(ca_zip,1,5) in ('85669', '86197','88274','83405','86475', '85392', '85460', '80348', '81792')
+        | 	      or
+        | 	      i_item_id in (select i_item_id
+        |                             from item
+        |                             where i_item_sk in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29)
+        |                             )
+        | 	    )
+        | 	and ws_sold_date_sk = d_date_sk
+        | 	and d_qoy = 2 and d_year = 2000
+        | group by ca_zip, ca_county
+        | order by ca_zip, ca_county
+        | limit 100""".stripMargin, false),
+
+    ("query60",
+      // d_moy adapted 9 → 11 (the generated fact-date pool)
+      """with ss as (
+        | select
+        |          i_item_id,sum(ss_ext_sales_price) total_sales
+        | from
+        | 	store_sales,
+        | 	date_dim,
+        |         customer_address,
+        |         item
+        | where
+        |         i_item_id in (select
+        |  i_item_id
+        |from
+        | item
+        |where i_category in ('Children'))
+        | and     ss_item_sk              = i_item_sk
+        | and     ss_sold_date_sk         = d_date_sk
+        | and     d_year                  = 1999
+        | and     d_moy                   = 11
+        | and     ss_addr_sk              = ca_address_sk
+        | and     ca_gmt_offset           = -6
+        | group by i_item_id),
+        | cs as (
+        | select
+        |          i_item_id,sum(cs_ext_sales_price) total_sales
+        | from
+        | 	catalog_sales,
+        | 	date_dim,
+        |         customer_address,
+        |         item
+        | where
+        |         i_item_id               in (select
+        |  i_item_id
+        |from
+        | item
+        |where i_category in ('Children'))
+        | and     cs_item_sk              = i_item_sk
+        | and     cs_sold_date_sk         = d_date_sk
+        | and     d_year                  = 1999
+        | and     d_moy                   = 11
+        | and     cs_bill_addr_sk         = ca_address_sk
+        | and     ca_gmt_offset           = -6
+        | group by i_item_id),
+        | ws as (
+        | select
+        |          i_item_id,sum(ws_ext_sales_price) total_sales
+        | from
+        | 	web_sales,
+        | 	date_dim,
+        |         customer_address,
+        |         item
+        | where
+        |         i_item_id               in (select
+        |  i_item_id
+        |from
+        | item
+        |where i_category in ('Children'))
+        | and     ws_item_sk              = i_item_sk
+        | and     ws_sold_date_sk         = d_date_sk
+        | and     d_year                  = 1999
+        | and     d_moy                   = 11
+        | and     ws_bill_addr_sk         = ca_address_sk
+        | and     ca_gmt_offset           = -6
+        | group by i_item_id)
+        |  select  i_item_id
+        |      ,sum(total_sales) total_sales
+        | from  (select * from ss
+        |        union all
+        |        select * from cs
+        |        union all
+        |        select * from ws) tmp1
+        | group by i_item_id
+        | order by i_item_id
+        |      ,total_sales
+        | limit 100""".stripMargin, true))
+
+  test("wave-16d perf queries (query31/33/43/45/60): county growth, " +
+      "gmt-offset three-channel selects, the day-of-week store matrix " +
+      "— same invariants") {
+    DsData.ensure(spark)
+    withConf(cboConfs: _*) {
+      wave16dQueries.foreach { case (name, sql, expectDpp) =>
+        checkQuery(name, sql, expectDpp)
+      }
+    }
+  }
+
   test("wave-16c perf queries (query6/12/17/21/22/28/29/36/38/44/46/" +
       "67/70/75/87/92/97): correlated averages, grouping()-ranked " +
       "rollups, channel set ops, rank self-joins, quarter-keyed " +
