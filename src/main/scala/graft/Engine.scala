@@ -236,8 +236,11 @@ object Engine {
     }
     // Hive sorts NULL as the LARGEST value by default (ASC → NULLS LAST,
     // DESC → NULLS FIRST); Spark's parser defaults the opposite and the
-    // spelling is lost after the parse — make it explicit in the text
-    val query0 = graft.plans.DefaultNullOrder(spark, query)
+    // spelling is lost after the parse — make it explicit in the text.
+    // Likewise CAST(x AS VARCHAR(n)) truncates in Hive; Spark's parser
+    // discards the length, so that too is a text rewrite.
+    val query0 = graft.plans.VarcharCasts(spark,
+      graft.plans.DefaultNullOrder(spark, query))
     val parsed =
       try Some(spark.sessionState.sqlParser.parsePlan(query0))
       catch { case scala.util.control.NonFatal(_) => None }

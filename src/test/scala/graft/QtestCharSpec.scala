@@ -60,8 +60,11 @@ class QtestCharSpec extends QtestHarness {
         "Hive-wards elsewhere, a worse trade)"),
     QCase("varchar_1.q", "v1a",
       """SELECT length(CAST('abcdef' AS VARCHAR(3))) AS l""".stripMargin,
-      note = "same documented cast-truncation divergence as c1a (Hive: 3; " +
-        "here: 6, agreed by both gate engines)"),
+      duck = Some("SELECT length(substr('abcdef', 1, 3)) AS l"),
+      note = "FIXED (r16, plans/VarcharCasts): CAST to bounded varchar " +
+        "TRUNCATES like Hive (3) — Spark's parser used to discard the " +
+        "length and both gate engines answered 6; the c1a CHAR-cast " +
+        "divergence still stands (padding/stripped-length semantics)"),
     QCase("char_1.q", "c1b",
       "SELECT CAST(key AS CHAR(10)) AS k, CAST(value AS CHAR(15)) AS v " +
         "FROM qt_src ORDER BY k, v LIMIT 2",
