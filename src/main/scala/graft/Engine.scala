@@ -281,21 +281,26 @@ object Engine {
           val secured = graft.plans.Authz.applyPolicies(spark, plan0)
           val substituted = graft.plans.VirtualColumns.maybeSubstitute(
             graft.plans.OrderlessWindows(graft.plans.DistinctWindows(spark,
+              graft.plans.HiveRegex(
               graft.plans.ProjectedInSubqueries(
               graft.plans.GroupingSetsDedup(
               graft.plans.LenientInsertCasts(spark,
                 graft.plans.ViewColumnNames(spark,
                   graft.plans.CtePartialAliases(spark,
-                    graft.plans.NamedTables.substitute(spark, secured)))))))),
+                    graft.plans.NamedTables.substitute(spark, secured))))))))),
             query0)
           // char columns reaching functions see the STRIPPED value
           // (Hive's HiveChar contract) — post-analysis, so it knows
           // which attributes carry char metadata
           val charFixed =
             graft.plans.CharStrippedFunctions(spark, substituted)
+          // Hive map-typed GROUP BY keys canonicalize to sorted entry
+          // arrays (needs the resolved plan's types, so it sits with the
+          // post-analysis stages)
+          val mapGrouped = graft.plans.MapGroupBy(spark, charFixed)
           // LAST: materialization EXECUTES CTE definitions, which must
           // only happen after authz adjudicated and policies substituted
-          val materialized = graft.plans.CteMaterialize(spark, charFixed)
+          val materialized = graft.plans.CteMaterialize(spark, mapGrouped)
           val df =
             if (materialized eq plan) spark.sql(query0)
             else org.apache.spark.sql.GraftShims.ofRows(spark, materialized)

@@ -44,6 +44,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // ((a), (a)) answers once)
     ext.injectResolutionRule(_ =>
       new graft.plans.GroupingSetsDedup.DedupRule)
+    // Hive semantics: RLIKE/REGEXP with an empty pattern answers FALSE
+    ext.injectResolutionRule(_ =>
+      new graft.plans.HiveRegex.EmptyPatternRule)
+    // Hive semantics: MAP-typed GROUP BY keys (canonical entry arrays)
+    ext.injectResolutionRule(_ =>
+      new graft.plans.MapGroupBy.MapGroupByRule)
     // Hive semantics: ORDERLESS ranking/sequencing windows
     // (row_number() OVER (), rank() OVER (PARTITION BY x)) — every row a
     // peer, via a constant ORDER BY. Parser-level: the analyzer's window

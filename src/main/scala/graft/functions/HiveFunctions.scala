@@ -70,6 +70,79 @@ object HiveFunctions {
       Remainder(Add(Remainder(args.head, args(1)), args(1)), args(1))
     }
 
+    // Hive's sqrt returns NULL for a NEGATIVE input (ref udf/UDFSqrt
+    // .java:45) where Spark's Sqrt answers NaN — surfaced by the qtest
+    // sweep (udf4.q). SQL-name-only: DataFrame functions.sqrt and every
+    // internal use (vector norms in operators/Similarity) build Sqrt
+    // directly and keep Spark semantics on their always-non-negative
+    // inputs.
+    fn("sqrt") { args =>
+      require(args.size == 1, "sqrt(x) takes one argument")
+      val d = Cast(args.head, org.apache.spark.sql.types.DoubleType)
+      If(LessThan(d, Literal(0d)),
+        Literal.create(null, org.apache.spark.sql.types.DoubleType),
+        Sqrt(d))
+    }
+
+    // Hive's 2-arg log(base, x) returns NULL whenever base <= 1 (ref
+    // udf/UDFLog.java:81: base <= 1.0 || x <= 0.0 -> null) where Spark
+    // computes log_base for any positive base != 1 (log(0.5, 2) = -1.0)
+    // — surfaced by the qtest sweep (udf7.q). The 1-arg natural-log
+    // form already agrees (both NULL on x <= 0).
+    fn("log") {
+      case Seq(x) => Log(x)
+      case Seq(b, x) =>
+        val bd = Cast(b, org.apache.spark.sql.types.DoubleType)
+        If(LessThanOrEqual(bd, Literal(1d)),
+          Literal.create(null, org.apache.spark.sql.types.DoubleType),
+          Logarithm(bd, Cast(x, org.apache.spark.sql.types.DoubleType)))
+      case args => sys.error(
+        s"log takes one or two arguments, got ${args.size}")
+    }
+
+    // Hive renders java.time 'u' (PROLEPTIC year) in from_unixtime
+    // patterns — udf5.q pins `MM/dd/uu` -> `01/13/10` — where Spark
+    // rejects any 'u' as a reserved legacy pattern. Literal patterns
+    // translate u->y outside quoted sections: identical rendering for
+    // AD years, the reachable domain of rendering a unix timestamp
+    // (BC needs seconds < -62e9). Non-literal patterns pass through to
+    // Spark's canonical refusal.
+    def uToY(p: String): String = {
+      val sb = new StringBuilder
+      var quoted = false
+      p.foreach { ch =>
+        if (ch == '\'') { quoted = !quoted; sb += ch }
+        else if (ch == 'u' && !quoted) sb += 'y'
+        else sb += ch
+      }
+      sb.toString
+    }
+    fn("from_unixtime") {
+      case Seq(t) => FromUnixTime(t, Literal("yyyy-MM-dd HH:mm:ss"))
+      case Seq(t, Literal(p: org.apache.spark.unsafe.types.UTF8String,
+          org.apache.spark.sql.types.StringType))
+          if p != null && p.toString.contains("u") =>
+        FromUnixTime(t, Literal(uToY(p.toString)))
+      case Seq(t, f) => FromUnixTime(t, f)
+      case args => sys.error(
+        s"from_unixtime takes one or two arguments, got ${args.size}")
+    }
+
+    // Hive's rlike/regexp answer FALSE for an EMPTY pattern (ref
+    // udf/generic/GenericUDFRegExp.java:126) where Spark's RLike
+    // answers TRUE — surfaced by the qtest sweep (udf1.q). These
+    // registrations cover the FUNCTION-CALL spellings; the operator
+    // spellings parse straight to RLike and are guarded by the
+    // front-door plan rewrite (plans/HiveRegex).
+    fn("rlike") { args =>
+      require(args.size == 2, "rlike(str, regexp) takes two arguments")
+      graft.plans.HiveRegex.guarded(args.head, args(1))
+    }
+    fn("regexp") { args =>
+      require(args.size == 2, "regexp(str, regexp) takes two arguments")
+      graft.plans.HiveRegex.guarded(args.head, args(1))
+    }
+
     // Hive's trunc accepts the 'Q' quarter abbreviation (ref udf/generic/
     // GenericUDFTrunc.java: QUARTER|Q, MONTH|MON|MM, YEAR|YYYY|YY) —
     // Spark's TruncDate knows QUARTER but answers NULL for bare 'Q'.

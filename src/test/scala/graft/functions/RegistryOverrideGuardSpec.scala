@@ -27,6 +27,16 @@ import org.apache.spark.sql.functions._
   *  - array_join: differs only on EMPTY arrays; both engine sites
   *    (TextAnalysis span grams, collect_list rebuild) are non-empty by
   *    construction.
+  *  - sqrt (r16): differs only for NEGATIVE input (Hive NULL vs NaN);
+  *    every engine site feeds norms/distances/retail prices — provably
+  *    non-negative domains (Similarity/Geo build math.sqrt or Catalyst
+  *    Sqrt directly anyway).
+  *  - log (r16): 1-arg form is bit-identical to the builtin; the 2-arg
+  *    base<=1 NULL only matters for bases the engine never uses
+  *    (TextSearch/Curation are all 1-arg natural logs).
+  *  - rlike/regexp (r16): differ only for the EMPTY pattern; the one
+  *    engine site (TextFormats' RegexSerDe) requires a non-empty
+  *    pattern by construction.
   */
 class RegistryOverrideGuardSpec extends SparkSpec {
 
@@ -49,6 +59,12 @@ class RegistryOverrideGuardSpec extends SparkSpec {
     // array_join -> NULL on empty input (Hive), not ""
     assert(df.select(array_join(array().cast("array<string>"), ","))
       .head.isNullAt(0))
+    // sqrt -> NULL on negative input (Hive), not NaN (r16)
+    assert(df.select(sqrt(lit(-1.0))).head.isNullAt(0))
+    assert(df.select(sqrt(lit(4.0))).head.getDouble(0) === 2.0)
+    // 2-arg log -> NULL for base <= 1 (Hive); valid bases unchanged (r16)
+    assert(df.select(log(0.5, lit(2.0))).head.isNullAt(0))
+    assert(df.select(log(2.0, lit(8.0))).head.getDouble(0) === 3.0)
   }
 
   test("bucket placement is registry-proof: poisoning `hash` changes " +

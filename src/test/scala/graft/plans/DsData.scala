@@ -31,16 +31,18 @@ object DsData {
   def ensure(spark: SparkSession): Unit = synchronized {
     if (built) return
     spark.sql("CREATE DATABASE IF NOT EXISTS tpcds")
-    // inventory is the newest table — its absence regenerates a pre-r16
+    // reason is the newest table — its absence regenerates a pre-16e
     // warehouse layout
-    if (!spark.catalog.tableExists("tpcds.inventory")) generate(spark)
+    if (!spark.catalog.tableExists("tpcds.reason") ||
+      !spark.table("tpcds.catalog_sales").columns
+        .contains("cs_ext_ship_cost")) generate(spark)
     // always refresh the temp-view aliases (session-shared)
     Seq("date_dim", "time_dim", "item", "store", "customer",
       "customer_address", "customer_demographics",
       "household_demographics", "promotion", "store_sales",
       "store_returns", "catalog_sales", "catalog_returns", "inventory",
       "warehouse", "web_sales", "web_returns", "web_site",
-      "income_band").foreach { t =>
+      "income_band", "ship_mode", "call_center", "reason").foreach { t =>
       spark.table(s"tpcds.$t").createOrReplaceTempView(t)
     }
     built = true
@@ -136,6 +138,15 @@ object DsData {
       pick("sstate", col("id"), Seq("NM", "TN", "SD", "AL")).as("s_state"),
       lpad(h("szip", col("id"), 100000).cast("string"), 5, "0").as("s_zip"),
       (lit(200) + col("id").cast("int") * 8).as("s_number_employees"),
+      (h("scoid", col("id"), 2) + 1).as("s_company_id"),
+      (h("sstn", col("id"), 999) + 1).cast("string")
+        .as("s_street_number"),
+      pick("sstnm", col("id"), Seq("Main", "Oak", "Elm", "Park"))
+        .as("s_street_name"),
+      pick("sstt", col("id"), Seq("St", "Ave", "Blvd", "Ct"))
+        .as("s_street_type"),
+      concat(lit("Suite "), (h("ssui", col("id"), 20) * 10))
+        .as("s_suite_number"),
       // two companies so q47's company partition key is non-degenerate
       concat(lit("company"), h("scomp", col("id"), 2) + 1)
         .as("s_company_name"),
@@ -181,6 +192,9 @@ object DsData {
       pick("csal", col("id"), Seq("Mr.", "Ms.", "Dr.", "Sir"))
         .as("c_salutation"),
       pick("cpf", col("id"), Seq("Y", "N")).as("c_preferred_cust_flag"),
+      (h("cbd", col("id"), 28) + 1).as("c_birth_day"),
+      (h("cbm", col("id"), 12) + 1).as("c_birth_month"),
+      (h("cby", col("id"), 60) + 1930).as("c_birth_year"),
       (h("caddr", col("id"), nCa) + 1).as("c_current_addr_sk"),
       (h("ccd", col("id"), 7000) + 1).as("c_current_cdemo_sk"),
       (h("chd", col("id"), 720) + 1).as("c_current_hdemo_sk"),
@@ -202,7 +216,13 @@ object DsData {
       element_at(array(Seq("Primary", "Secondary", "College",
         "2 yr Degree", "4 yr Degree", "Advanced Degree", "Unknown")
         .map(lit): _*),
-        (col("id") / 10 % 7 + 1).cast("int")).as("cd_education_status")))
+        (col("id") / 10 % 7 + 1).cast("int")).as("cd_education_status"),
+      (col("id") % 7).cast("int").as("cd_dep_count"),
+      ((col("id") / 7) % 7).cast("int").as("cd_dep_employed_count"),
+      ((col("id") / 49) % 7).cast("int").as("cd_dep_college_count"),
+      ((h("cdpe", col("id"), 20) + 1) * 500).as("cd_purchase_estimate"),
+      pick("cdcr", col("id"), Seq("Low Risk", "Good", "High Risk",
+        "Unknown")).as("cd_credit_rating")))
 
     // ---- household_demographics
     save(spark, "household_demographics", spark.range(1, 721).select(
@@ -230,7 +250,39 @@ object DsData {
       col("id").cast("int").as("web_site_sk"),
       concat(lit("W"), lpad(col("id").cast("string"), 4, "0"))
         .as("web_site_id"),
-      pick("wco", col("id"), Seq("pri", "able")).as("web_company_name")))
+      pick("wco", col("id"), Seq("pri", "able")).as("web_company_name"),
+      concat(lit("site_"), h("wnm", col("id"), 2)).as("web_name")))
+
+    // ---- ship_mode (20 modes over the DS 5-type decomposition)
+    save(spark, "ship_mode", spark.range(1, 21).select(
+      col("id").cast("int").as("sm_ship_mode_sk"),
+      concat(lit("SM"), lpad(col("id").cast("string"), 4, "0"))
+        .as("sm_ship_mode_id"),
+      pick("smt", col("id"), Seq("EXPRESS", "NEXT DAY", "OVERNIGHT",
+        "REGULAR", "LIBRARY")).as("sm_type"),
+      pick("smc", col("id"), Seq("AIR", "SURFACE", "SEA")).as("sm_code"),
+      pick("smca", col("id"), Seq("UPS", "FEDEX", "AIRBORNE", "USPS",
+        "DHL", "ZOUROS")).as("sm_carrier")))
+
+    // ---- call_center (6; county pool overlaps q16's IN-list so the
+    // filter keeps some centers and drops others)
+    save(spark, "call_center", spark.range(1, 7).select(
+      col("id").cast("int").as("cc_call_center_sk"),
+      concat(lit("CC"), lpad(col("id").cast("string"), 4, "0"))
+        .as("cc_call_center_id"),
+      concat(lit("call center "), col("id")).as("cc_name"),
+      pick("cccn", col("id"), Seq("Ziebach County", "Levy County",
+        "Huron County", "Franklin Parish", "Daviess County",
+        "Walker County")).as("cc_county")))
+
+    // ---- reason (35, incl. q93's exact warranty literal)
+    save(spark, "reason", spark.range(1, 36).select(
+      col("id").cast("int").as("r_reason_sk"),
+      concat(lit("R"), lpad(col("id").cast("string"), 4, "0"))
+        .as("r_reason_id"),
+      when(col("id") === 28, lit("Did not like the warranty"))
+        .otherwise(concat(lit("reason "), col("id")))
+        .as("r_reason_desc")))
 
     // ---- promotion
     save(spark, "promotion", spark.range(1, 101).select(
@@ -269,7 +321,10 @@ object DsData {
       // subquery averages exactly the null-hdemo rows
       when(h("hdnull", col("id"), 50) === 0, lit(null))
         .otherwise(h("hd", tik, 720) + 1).as("ss_hdemo_sk"),
-      (h("ad", tik, nCa) + 1).as("ss_addr_sk"),
+      // ~2% NULL address fk: q76's store channel SELECTS the null-addr
+      // rows (channel-gap audit), inner address joins just drop them
+      when(h("adnull", col("id"), 50) === 0, lit(null))
+        .otherwise(h("ad", tik, nCa) + 1).as("ss_addr_sk"),
       (h("sto", tik, 12) + 1).as("ss_store_sk"),
       (h("pr", col("id"), 100) + 1).as("ss_promo_sk"),
       tik.cast("long").as("ss_ticket_number"),
@@ -297,6 +352,8 @@ object DsData {
       col("ss_cdemo_sk").as("sr_cdemo_sk"),
       col("ss_store_sk").as("sr_store_sk"),
       col("ss_ticket_number").as("sr_ticket_number"),
+      (h("srr", col("ss_ticket_number") * 13 + col("ss_item_sk"), 35) + 1)
+        .as("sr_reason_sk"),
       (h("fee", col("ss_ticket_number"), 10000) / lit(100.0)).as("sr_fee"),
       (col("ss_sales_price") * col("ss_quantity") * lit(0.9))
         .as("sr_return_amt"),
@@ -327,6 +384,20 @@ object DsData {
         (h("cscd", onum, 7000) + 1).as("cs_bill_cdemo_sk"),
         (h("cshd", onum, 720) + 1).as("cs_bill_hdemo_sk"),
         (h("csad", onum, 10000) + 1).as("cs_bill_addr_sk"),
+        // ship-side fks (q10/q16/q99): customer and address are
+        // order-scoped; warehouse varies BY LINE so q16's
+        // same-order-different-warehouse EXISTS has matches, with ~5%
+        // NULL for q76's catalog channel-gap leg
+        hotCust("cssc", onum).as("cs_ship_customer_sk"),
+        (h("cssa", onum, 10000) + 1).as("cs_ship_addr_sk"),
+        when(h("cswn", idc, 20) === 0, lit(null))
+          .otherwise(h("csw", idc, 5) + 1).as("cs_warehouse_sk"),
+        (h("cssm", onum, 20) + 1).as("cs_ship_mode_sk"),
+        (h("cscc", onum, 6) + 1).as("cs_call_center_sk"),
+        (h("csshc", idc, 5000) / lit(100.0)).as("cs_ext_ship_cost"),
+        ((h("cswc", idc, 10000) + 1) / lit(100.0) * qty)
+          .as("cs_ext_wholesale_cost"),
+        (h("csda", idc, 500) / lit(100.0)).as("cs_ext_discount_amt"),
         (h("cspr", idc, 100) + 1).as("cs_promo_sk"),
         onum.cast("long").as("cs_order_number"),
         qty.as("cs_quantity"),
@@ -422,6 +493,12 @@ object DsData {
         .as("ws_sales_price"),
       (h("wss", wOnum, 4) + 1).as("ws_web_site_sk"),
       (h("wwh", col("id"), 5) + 1).as("ws_warehouse_sk"),
+      (h("wssm", wOnum, 20) + 1).as("ws_ship_mode_sk"),
+      // ~5% NULL page fk: q76's web channel-gap leg
+      when(h("wwpn", col("id"), 20) === 0, lit(null))
+        .otherwise(h("wwp", col("id"), 100) + 1).as("ws_web_page_sk"),
+      ((h("wswc", col("id"), 10000) + 1) / lit(100.0) * wQty)
+        .as("ws_ext_wholesale_cost"),
       wOnum.cast("long").as("ws_order_number"),
       wQty.as("ws_quantity"),
       wListp.as("ws_list_price"),

@@ -2440,6 +2440,409 @@ class DsPlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         |      ,total_sales
         | limit 100""".stripMargin, true))
 
+  /** Wave 16e (r16 third session): the three-channel year-over-year
+    * 6-consumer CTE monster (q4), demographic EXISTS-chain selects
+    * (q10), the ship-day-bucket matrix family on both remaining
+    * channels (q50/q62/q99), same-order-different-warehouse EXISTS +
+    * anti-return (q16), the NULL-fk channel-gap audit (q76), the
+    * catalog demographics rollup (q18), and the returns-reason
+    * outer-join trap (q93). Adaptations inline; DsData gained
+    * ship_mode/call_center/reason dims, ship-side catalog fks, birth
+    * fields, store address fields and the NULL fk pools this wave
+    * selects on.
+    */
+  private lazy val wave16eQueries: Seq[(String, String, Boolean)] = Seq(
+    ("query4",
+      """with year_total as (
+        | select c_customer_id customer_id
+        |       ,c_first_name customer_first_name
+        |       ,c_last_name customer_last_name
+        |       ,c_preferred_cust_flag customer_preferred_cust_flag
+        |       ,c_birth_country customer_birth_country
+        |       ,c_login customer_login
+        |       ,c_email_address customer_email_address
+        |       ,d_year dyear
+        |       ,sum(((ss_ext_list_price-ss_ext_wholesale_cost-ss_ext_discount_amt)+ss_ext_sales_price)/2) year_total
+        |       ,'s' sale_type
+        | from customer
+        |     ,store_sales
+        |     ,date_dim
+        | where c_customer_sk = ss_customer_sk
+        |   and ss_sold_date_sk = d_date_sk
+        | group by c_customer_id,c_first_name,c_last_name,
+        |   c_preferred_cust_flag,c_birth_country,c_login,
+        |   c_email_address,d_year
+        | union all
+        | select c_customer_id customer_id
+        |       ,c_first_name customer_first_name
+        |       ,c_last_name customer_last_name
+        |       ,c_preferred_cust_flag customer_preferred_cust_flag
+        |       ,c_birth_country customer_birth_country
+        |       ,c_login customer_login
+        |       ,c_email_address customer_email_address
+        |       ,d_year dyear
+        |       ,sum((((cs_ext_list_price-cs_ext_wholesale_cost-cs_ext_discount_amt)+cs_ext_sales_price)/2) ) year_total
+        |       ,'c' sale_type
+        | from customer
+        |     ,catalog_sales
+        |     ,date_dim
+        | where c_customer_sk = cs_bill_customer_sk
+        |   and cs_sold_date_sk = d_date_sk
+        | group by c_customer_id,c_first_name,c_last_name,
+        |   c_preferred_cust_flag,c_birth_country,c_login,
+        |   c_email_address,d_year
+        |union all
+        | select c_customer_id customer_id
+        |       ,c_first_name customer_first_name
+        |       ,c_last_name customer_last_name
+        |       ,c_preferred_cust_flag customer_preferred_cust_flag
+        |       ,c_birth_country customer_birth_country
+        |       ,c_login customer_login
+        |       ,c_email_address customer_email_address
+        |       ,d_year dyear
+        |       ,sum((((ws_ext_list_price-ws_ext_wholesale_cost-ws_ext_discount_amt)+ws_ext_sales_price)/2) ) year_total
+        |       ,'w' sale_type
+        | from customer
+        |     ,web_sales
+        |     ,date_dim
+        | where c_customer_sk = ws_bill_customer_sk
+        |   and ws_sold_date_sk = d_date_sk
+        | group by c_customer_id,c_first_name,c_last_name,
+        |   c_preferred_cust_flag,c_birth_country,c_login,
+        |   c_email_address,d_year
+        |         )
+        |  select
+        |                  t_s_secyear.customer_id
+        |                 ,t_s_secyear.customer_first_name
+        |                 ,t_s_secyear.customer_last_name
+        |                 ,t_s_secyear.customer_birth_country
+        | from year_total t_s_firstyear
+        |     ,year_total t_s_secyear
+        |     ,year_total t_c_firstyear
+        |     ,year_total t_c_secyear
+        |     ,year_total t_w_firstyear
+        |     ,year_total t_w_secyear
+        | where t_s_secyear.customer_id = t_s_firstyear.customer_id
+        |   and t_s_firstyear.customer_id = t_c_secyear.customer_id
+        |   and t_s_firstyear.customer_id = t_c_firstyear.customer_id
+        |   and t_s_firstyear.customer_id = t_w_firstyear.customer_id
+        |   and t_s_firstyear.customer_id = t_w_secyear.customer_id
+        |   and t_s_firstyear.sale_type = 's'
+        |   and t_c_firstyear.sale_type = 'c'
+        |   and t_w_firstyear.sale_type = 'w'
+        |   and t_s_secyear.sale_type = 's'
+        |   and t_c_secyear.sale_type = 'c'
+        |   and t_w_secyear.sale_type = 'w'
+        |   and t_s_firstyear.dyear =  1999
+        |   and t_s_secyear.dyear = 1999+1
+        |   and t_c_firstyear.dyear =  1999
+        |   and t_c_secyear.dyear =  1999+1
+        |   and t_w_firstyear.dyear = 1999
+        |   and t_w_secyear.dyear = 1999+1
+        |   and t_s_firstyear.year_total > 0
+        |   and t_c_firstyear.year_total > 0
+        |   and t_w_firstyear.year_total > 0
+        |   and case when t_c_firstyear.year_total > 0 then t_c_secyear.year_total / t_c_firstyear.year_total else null end
+        |           > case when t_s_firstyear.year_total > 0 then t_s_secyear.year_total / t_s_firstyear.year_total else null end
+        |   and case when t_c_firstyear.year_total > 0 then t_c_secyear.year_total / t_c_firstyear.year_total else null end
+        |           > case when t_w_firstyear.year_total > 0 then t_w_secyear.year_total / t_w_firstyear.year_total else null end
+        | order by t_s_secyear.customer_id
+        |         ,t_s_secyear.customer_first_name
+        |         ,t_s_secyear.customer_last_name
+        |         ,t_s_secyear.customer_birth_country
+        |limit 100""".stripMargin, false),
+
+    ("query10",
+      """select
+        |  cd_gender,
+        |  cd_marital_status,
+        |  cd_education_status,
+        |  count(*) cnt1,
+        |  cd_purchase_estimate,
+        |  count(*) cnt2,
+        |  cd_credit_rating,
+        |  count(*) cnt3,
+        |  cd_dep_count,
+        |  count(*) cnt4,
+        |  cd_dep_employed_count,
+        |  count(*) cnt5,
+        |  cd_dep_college_count,
+        |  count(*) cnt6
+        | from
+        |  customer c,customer_address ca,customer_demographics
+        | where
+        |  c.c_current_addr_sk = ca.ca_address_sk and
+        |  ca_county in ('Walker County','Richland County','Gaines County','Douglas County','Dona Ana County') and
+        |  cd_demo_sk = c.c_current_cdemo_sk and
+        |  exists (select *
+        |          from store_sales,date_dim
+        |          where c.c_customer_sk = ss_customer_sk and
+        |                ss_sold_date_sk = d_date_sk and
+        |                d_year = 2002 and
+        |                d_moy between 4 and 4+3) and
+        |   (exists (select *
+        |            from web_sales,date_dim
+        |            where c.c_customer_sk = ws_bill_customer_sk and
+        |                  ws_sold_date_sk = d_date_sk and
+        |                  d_year = 2002 and
+        |                  d_moy between 4 ANd 4+3) or
+        |    exists (select *
+        |            from catalog_sales,date_dim
+        |            where c.c_customer_sk = cs_ship_customer_sk and
+        |                  cs_sold_date_sk = d_date_sk and
+        |                  d_year = 2002 and
+        |                  d_moy between 4 and 4+3))
+        | group by cd_gender,
+        |          cd_marital_status,
+        |          cd_education_status,
+        |          cd_purchase_estimate,
+        |          cd_credit_rating,
+        |          cd_dep_count,
+        |          cd_dep_employed_count,
+        |          cd_dep_college_count
+        | order by cd_gender,
+        |          cd_marital_status,
+        |          cd_education_status,
+        |          cd_purchase_estimate,
+        |          cd_credit_rating,
+        |          cd_dep_count,
+        |          cd_dep_employed_count,
+        |          cd_dep_college_count
+        |limit 100""".stripMargin, false),
+
+    ("query16",
+      // `+ 60 days` spelled date_add; ca_state 'NY' -> 'GA' (the
+      // template literal is outside DsData's 12-state pool)
+      """select
+        |   count(distinct cs_order_number) as `order count`
+        |  ,sum(cs_ext_ship_cost) as `total shipping cost`
+        |  ,sum(cs_net_profit) as `total net profit`
+        |from
+        |   catalog_sales cs1
+        |  ,date_dim
+        |  ,customer_address
+        |  ,call_center
+        |where
+        |    d_date between '2001-4-01' and
+        |           date_add(cast('2001-4-01' as date), 60)
+        |and cs1.cs_ship_date_sk = d_date_sk
+        |and cs1.cs_ship_addr_sk = ca_address_sk
+        |and ca_state = 'GA'
+        |and cs1.cs_call_center_sk = cc_call_center_sk
+        |and cc_county in ('Ziebach County','Levy County','Huron County','Franklin Parish',
+        |                  'Daviess County'
+        |)
+        |and exists (select *
+        |            from catalog_sales cs2
+        |            where cs1.cs_order_number = cs2.cs_order_number
+        |              and cs1.cs_warehouse_sk <> cs2.cs_warehouse_sk)
+        |and not exists(select *
+        |               from catalog_returns cr1
+        |               where cs1.cs_order_number = cr1.cr_order_number)
+        |order by count(distinct cs_order_number)
+        |limit 100""".stripMargin, false),
+
+    ("query18",
+      """select  i_item_id,
+        |        ca_country,
+        |        ca_state,
+        |        ca_county,
+        |        avg( cast(cs_quantity as numeric(12,2))) agg1,
+        |        avg( cast(cs_list_price as numeric(12,2))) agg2,
+        |        avg( cast(cs_coupon_amt as numeric(12,2))) agg3,
+        |        avg( cast(cs_sales_price as numeric(12,2))) agg4,
+        |        avg( cast(cs_net_profit as numeric(12,2))) agg5,
+        |        avg( cast(c_birth_year as numeric(12,2))) agg6,
+        |        avg( cast(cd1.cd_dep_count as numeric(12,2))) agg7
+        | from catalog_sales, customer_demographics cd1,
+        |      customer_demographics cd2, customer, customer_address, date_dim, item
+        | where cs_sold_date_sk = d_date_sk and
+        |       cs_item_sk = i_item_sk and
+        |       cs_bill_cdemo_sk = cd1.cd_demo_sk and
+        |       cs_bill_customer_sk = c_customer_sk and
+        |       cd1.cd_gender = 'M' and
+        |       cd1.cd_education_status = 'College' and
+        |       c_current_cdemo_sk = cd2.cd_demo_sk and
+        |       c_current_addr_sk = ca_address_sk and
+        |       c_birth_month in (9,5,12,4,1,10) and
+        |       d_year = 2001 and
+        |       ca_state in ('ND','WI','AL'
+        |                   ,'NC','OK','MS','TN')
+        | group by rollup (i_item_id, ca_country, ca_state, ca_county)
+        | order by ca_country,
+        |        ca_state,
+        |        ca_county,
+        |	i_item_id
+        | limit 100""".stripMargin, false),
+
+    ("query50",
+      // d_moy 9 -> 11: DsData's fact-date pool covers months
+      // {1,4,7,11,12} (September return dates cannot exist)
+      """select
+        |   s_store_name
+        |  ,s_company_id
+        |  ,s_street_number
+        |  ,s_street_name
+        |  ,s_street_type
+        |  ,s_suite_number
+        |  ,s_city
+        |  ,s_county
+        |  ,s_state
+        |  ,s_zip
+        |  ,sum(case when (sr_returned_date_sk - ss_sold_date_sk <= 30 ) then 1 else 0 end)  as `30 days`
+        |  ,sum(case when (sr_returned_date_sk - ss_sold_date_sk > 30) and
+        |                 (sr_returned_date_sk - ss_sold_date_sk <= 60) then 1 else 0 end )  as `31-60 days`
+        |  ,sum(case when (sr_returned_date_sk - ss_sold_date_sk > 60) and
+        |                 (sr_returned_date_sk - ss_sold_date_sk <= 90) then 1 else 0 end)  as `61-90 days`
+        |  ,sum(case when (sr_returned_date_sk - ss_sold_date_sk > 90) and
+        |                 (sr_returned_date_sk - ss_sold_date_sk <= 120) then 1 else 0 end)  as `91-120 days`
+        |  ,sum(case when (sr_returned_date_sk - ss_sold_date_sk  > 120) then 1 else 0 end)  as `>120 days`
+        |from
+        |   store_sales
+        |  ,store_returns
+        |  ,store
+        |  ,date_dim d1
+        |  ,date_dim d2
+        |where
+        |    d2.d_year = 2000
+        |and d2.d_moy  = 11
+        |and ss_ticket_number = sr_ticket_number
+        |and ss_item_sk = sr_item_sk
+        |and ss_sold_date_sk   = d1.d_date_sk
+        |and sr_returned_date_sk   = d2.d_date_sk
+        |and ss_customer_sk = sr_customer_sk
+        |and ss_store_sk = s_store_sk
+        |group by
+        |   s_store_name
+        |  ,s_company_id
+        |  ,s_street_number
+        |  ,s_street_name
+        |  ,s_street_type
+        |  ,s_suite_number
+        |  ,s_city
+        |  ,s_county
+        |  ,s_state
+        |  ,s_zip
+        |order by s_store_name
+        |        ,s_company_id
+        |        ,s_street_number
+        |        ,s_street_name
+        |        ,s_street_type
+        |        ,s_suite_number
+        |        ,s_city
+        |        ,s_county
+        |        ,s_state
+        |        ,s_zip
+        |limit 100""".stripMargin, false),
+
+    ("query62",
+      """select substr(w_warehouse_name, 1, 20) wh, sm_type, web_name,
+        |       sum(case when (ws_ship_date_sk - ws_sold_date_sk <= 30) then 1 else 0 end) as `30 days`,
+        |       sum(case when (ws_ship_date_sk - ws_sold_date_sk > 30) and (ws_ship_date_sk - ws_sold_date_sk <= 60) then 1 else 0 end) as `31-60 days`,
+        |       sum(case when (ws_ship_date_sk - ws_sold_date_sk > 60) and (ws_ship_date_sk - ws_sold_date_sk <= 90) then 1 else 0 end) as `61-90 days`,
+        |       sum(case when (ws_ship_date_sk - ws_sold_date_sk > 90) and (ws_ship_date_sk - ws_sold_date_sk <= 120) then 1 else 0 end) as `91-120 days`,
+        |       sum(case when (ws_ship_date_sk - ws_sold_date_sk > 120) then 1 else 0 end) as `>120 days`
+        |from web_sales,
+        |     warehouse,
+        |     ship_mode,
+        |     web_site,
+        |     date_dim
+        |where d_month_seq between 1215 and 1215 + 11
+        |  and ws_ship_date_sk = d_date_sk
+        |  and ws_warehouse_sk = w_warehouse_sk
+        |  and ws_ship_mode_sk = sm_ship_mode_sk
+        |  and ws_web_site_sk = web_site_sk
+        |group by substr(w_warehouse_name, 1, 20), sm_type, web_name
+        |order by substr(w_warehouse_name, 1, 20), sm_type, web_name
+        |limit 100""".stripMargin, false),
+
+    ("query76",
+      """select  channel, col_name, d_year, d_qoy, i_category, COUNT(*) sales_cnt, SUM(ext_sales_price) sales_amt FROM (
+        |        SELECT 'store' as channel, 'ss_addr_sk' col_name, d_year, d_qoy, i_category, ss_ext_sales_price ext_sales_price
+        |         FROM store_sales, item, date_dim
+        |         WHERE ss_addr_sk IS NULL
+        |           AND ss_sold_date_sk=d_date_sk
+        |           AND ss_item_sk=i_item_sk
+        |        UNION ALL
+        |        SELECT 'web' as channel, 'ws_web_page_sk' col_name, d_year, d_qoy, i_category, ws_ext_sales_price ext_sales_price
+        |         FROM web_sales, item, date_dim
+        |         WHERE ws_web_page_sk IS NULL
+        |           AND ws_sold_date_sk=d_date_sk
+        |           AND ws_item_sk=i_item_sk
+        |        UNION ALL
+        |        SELECT 'catalog' as channel, 'cs_warehouse_sk' col_name, d_year, d_qoy, i_category, cs_ext_sales_price ext_sales_price
+        |         FROM catalog_sales, item, date_dim
+        |         WHERE cs_warehouse_sk IS NULL
+        |           AND cs_sold_date_sk=d_date_sk
+        |           AND cs_item_sk=i_item_sk) foo
+        |GROUP BY channel, col_name, d_year, d_qoy, i_category
+        |ORDER BY channel, col_name, d_year, d_qoy, i_category
+        |limit 100""".stripMargin, false),
+
+    ("query93",
+      """select  ss_customer_sk
+        |            ,sum(act_sales) sumsales
+        |      from (select ss_item_sk
+        |                  ,ss_ticket_number
+        |                  ,ss_customer_sk
+        |                  ,case when sr_return_quantity is not null then (ss_quantity-sr_return_quantity)*ss_sales_price
+        |                                                            else (ss_quantity*ss_sales_price) end act_sales
+        |            from store_sales left outer join store_returns on (sr_item_sk = ss_item_sk
+        |                                                               and sr_ticket_number = ss_ticket_number)
+        |                ,reason
+        |            where sr_reason_sk = r_reason_sk
+        |              and r_reason_desc = 'Did not like the warranty') t
+        |      group by ss_customer_sk
+        |      order by sumsales, ss_customer_sk
+        |limit 100""".stripMargin, false),
+
+    ("query99",
+      """select
+        |   substr(w_warehouse_name,1,20) wh
+        |  ,sm_type
+        |  ,cc_name
+        |  ,sum(case when (cs_ship_date_sk - cs_sold_date_sk <= 30 ) then 1 else 0 end)  as `30 days`
+        |  ,sum(case when (cs_ship_date_sk - cs_sold_date_sk > 30) and
+        |                 (cs_ship_date_sk - cs_sold_date_sk <= 60) then 1 else 0 end )  as `31-60 days`
+        |  ,sum(case when (cs_ship_date_sk - cs_sold_date_sk > 60) and
+        |                 (cs_ship_date_sk - cs_sold_date_sk <= 90) then 1 else 0 end)  as `61-90 days`
+        |  ,sum(case when (cs_ship_date_sk - cs_sold_date_sk > 90) and
+        |                 (cs_ship_date_sk - cs_sold_date_sk <= 120) then 1 else 0 end)  as `91-120 days`
+        |  ,sum(case when (cs_ship_date_sk - cs_sold_date_sk  > 120) then 1 else 0 end)  as `>120 days`
+        |from
+        |   catalog_sales
+        |  ,warehouse
+        |  ,ship_mode
+        |  ,call_center
+        |  ,date_dim
+        |where
+        |    d_month_seq between 1212 and 1212 + 11
+        |and cs_ship_date_sk   = d_date_sk
+        |and cs_warehouse_sk   = w_warehouse_sk
+        |and cs_ship_mode_sk   = sm_ship_mode_sk
+        |and cs_call_center_sk = cc_call_center_sk
+        |group by
+        |   substr(w_warehouse_name,1,20)
+        |  ,sm_type
+        |  ,cc_name
+        |order by substr(w_warehouse_name,1,20)
+        |        ,sm_type
+        |        ,cc_name
+        |limit 100""".stripMargin, false))
+
+  test("wave-16e perf queries (query4/10/16/18/50/62/76/93/99): the " +
+      "6-consumer CTE monster, EXISTS-chain demographics, ship-day " +
+      "bucket matrices on web+catalog, warehouse-span EXISTS + " +
+      "anti-return, NULL-fk channel gaps, the returns-reason " +
+      "outer-join trap — same invariants") {
+    DsData.ensure(spark)
+    withConf(cboConfs: _*) {
+      wave16eQueries.foreach { case (name, sql, expectDpp) =>
+        checkQuery(name, sql, expectDpp)
+      }
+    }
+  }
+
   test("wave-16d perf queries (query31/33/43/45/60): county growth, " +
       "gmt-offset three-channel selects, the day-of-week store matrix " +
       "— same invariants") {
