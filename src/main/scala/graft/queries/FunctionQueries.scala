@@ -1097,5 +1097,27 @@ object FunctionQueries {
           |FROM lineitem WHERE l_orderkey < 200
           |ORDER BY l_orderkey, l_linenumber""".stripMargin)
     },
+
+    // GROUP BY a MAP-typed key (r16; ref groupby_complex_types.q —
+    // Hive surface Spark's CheckAnalysis refuses as non-orderable;
+    // plans/MapGroupBy canonicalizes the key to sorted entries). The
+    // map projects back to scalars so the rendering is engine-neutral;
+    // grouping by the one-entry map is definitionally grouping by the
+    // pair, which is what the oracle does.
+    q("f39_map_groupby",
+      """SELECT o_orderpriority AS k, o_orderstatus AS v,
+        |  count(*) AS cnt
+        |FROM orders GROUP BY o_orderpriority, o_orderstatus
+        |ORDER BY k, v""".stripMargin
+    ) { (spark, dir) =>
+      Engine.sql(spark, dir,
+        """SELECT element_at(map_keys(m), 1) AS k,
+          |  element_at(map_values(m), 1) AS v, cnt
+          |FROM (SELECT MAP(o_orderpriority, o_orderstatus) AS m,
+          |        count(*) AS cnt
+          |      FROM orders
+          |      GROUP BY MAP(o_orderpriority, o_orderstatus))
+          |ORDER BY k, v""".stripMargin)
+    },
   )
 }

@@ -109,10 +109,12 @@ class QtestVectorSpec extends QtestHarness {
       "SELECT ln(0.0) AS a, ln(-1.0) AS b, log2(-2.0) AS c, " +
         "sqrt(-1.0) AS d",
       duck = Some(""),
-      hive = Some(Seq("NULL", "NULL", "NULL", "NaN")),
-      note = "non-positive math domains answer NULL in Hive/Spark " +
-        "(GenericUDFLn guards <= 0; sqrt(-1) is NaN) where DuckDB " +
-        "hard-errors — transcribed Hive semantics are the gate"),
+      hive = Some(Seq("NULL", "NULL", "NULL", "NULL")),
+      note = "non-positive math domains answer NULL in Hive " +
+        "(GenericUDFLn guards <= 0; UDFSqrt.java:45 NULLs negative " +
+        "input — the r16 sqrt registration fixed the engine's " +
+        "former NaN here) where DuckDB hard-errors — transcribed " +
+        "Hive semantics are the gate"),
 
     QCase("udf_bround.q", "br1",
       """SELECT bround(2.5) AS a, bround(3.5) AS b, bround(2.49) AS c,

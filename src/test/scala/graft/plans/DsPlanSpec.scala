@@ -2830,6 +2830,355 @@ class DsPlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         |        ,cc_name
         |limit 100""".stripMargin, false))
 
+  /** Wave 16f: the EXISTS/NOT-EXISTS demographic pair on all three
+    * channels (q35/q69, the q10 siblings), the cumulative-window full
+    * outer join (q51), quarterly-deviation manufact selects (q53),
+    * the call-center lag/lead self-join (q57, the cc sibling of q47),
+    * the 52-week year-over-year store matrix (q59), the grouping()-
+    * ranked web rollup (q86), and the monthly-deviation brand matrix
+    * (q89). Literals outside DsData's generated pools adapted inline.
+    */
+  private lazy val wave16fQueries: Seq[(String, String, Boolean)] = Seq(
+    ("query35",
+      """select
+        |  ca_state,
+        |  cd_gender,
+        |  cd_marital_status,
+        |  count(*) cnt1,
+        |  avg(cd_dep_count),
+        |  max(cd_dep_count),
+        |  sum(cd_dep_count),
+        |  cd_dep_employed_count,
+        |  count(*) cnt2,
+        |  avg(cd_dep_employed_count),
+        |  max(cd_dep_employed_count),
+        |  sum(cd_dep_employed_count),
+        |  cd_dep_college_count,
+        |  count(*) cnt3,
+        |  avg(cd_dep_college_count),
+        |  max(cd_dep_college_count),
+        |  sum(cd_dep_college_count)
+        | from
+        |  customer c,customer_address ca,customer_demographics
+        | where
+        |  c.c_current_addr_sk = ca.ca_address_sk and
+        |  cd_demo_sk = c.c_current_cdemo_sk and
+        |  exists (select *
+        |          from store_sales,date_dim
+        |          where c.c_customer_sk = ss_customer_sk and
+        |                ss_sold_date_sk = d_date_sk and
+        |                d_year = 1999 and
+        |                d_qoy < 4) and
+        |   (exists (select *
+        |            from web_sales,date_dim
+        |            where c.c_customer_sk = ws_bill_customer_sk and
+        |                  ws_sold_date_sk = d_date_sk and
+        |                  d_year = 1999 and
+        |                  d_qoy < 4) or
+        |    exists (select *
+        |            from catalog_sales,date_dim
+        |            where c.c_customer_sk = cs_ship_customer_sk and
+        |                  cs_sold_date_sk = d_date_sk and
+        |                  d_year = 1999 and
+        |                  d_qoy < 4))
+        | group by ca_state,
+        |          cd_gender,
+        |          cd_marital_status,
+        |          cd_dep_count,
+        |          cd_dep_employed_count,
+        |          cd_dep_college_count
+        | order by ca_state,
+        |          cd_gender,
+        |          cd_marital_status,
+        |          cd_dep_count,
+        |          cd_dep_employed_count,
+        |          cd_dep_college_count
+        | limit 100""".stripMargin, false),
+
+    ("query51",
+      """WITH web_v1 as (
+        |select
+        |  ws_item_sk item_sk, d_date,
+        |  sum(sum(ws_sales_price))
+        |      over (partition by ws_item_sk order by d_date rows between unbounded preceding and current row) cume_sales
+        |from web_sales
+        |    ,date_dim
+        |where ws_sold_date_sk=d_date_sk
+        |  and d_month_seq between 1212 and 1212+11
+        |  and ws_item_sk is not NULL
+        |group by ws_item_sk, d_date),
+        |store_v1 as (
+        |select
+        |  ss_item_sk item_sk, d_date,
+        |  sum(sum(ss_sales_price))
+        |      over (partition by ss_item_sk order by d_date rows between unbounded preceding and current row) cume_sales
+        |from store_sales
+        |    ,date_dim
+        |where ss_sold_date_sk=d_date_sk
+        |  and d_month_seq between 1212 and 1212+11
+        |  and ss_item_sk is not NULL
+        |group by ss_item_sk, d_date)
+        | select  *
+        |from (select item_sk
+        |     ,d_date
+        |     ,web_sales
+        |     ,store_sales
+        |     ,max(web_sales)
+        |         over (partition by item_sk order by d_date rows between unbounded preceding and current row) web_cumulative
+        |     ,max(store_sales)
+        |         over (partition by item_sk order by d_date rows between unbounded preceding and current row) store_cumulative
+        |     from (select case when web.item_sk is not null then web.item_sk else store.item_sk end item_sk
+        |                 ,case when web.d_date is not null then web.d_date else store.d_date end d_date
+        |                 ,web.cume_sales web_sales
+        |                 ,store.cume_sales store_sales
+        |           from web_v1 web full outer join store_v1 store on (web.item_sk = store.item_sk
+        |                                                          and web.d_date = store.d_date)
+        |          )x )y
+        |where web_cumulative > store_cumulative
+        |order by item_sk
+        |        ,d_date
+        |limit 100""".stripMargin, false),
+
+    ("query53",
+      // i_class/i_brand literal pools adapted to DsData's generated
+      // values (classN / Brand#N) wide enough that the conjunction
+      // keeps items
+      """select  * from
+        |(select i_manufact_id,
+        |sum(ss_sales_price) sum_sales,
+        |avg(sum(ss_sales_price)) over (partition by i_manufact_id) avg_quarterly_sales
+        |from item, store_sales, date_dim, store
+        |where ss_item_sk = i_item_sk and
+        |ss_sold_date_sk = d_date_sk and
+        |ss_store_sk = s_store_sk and
+        |d_month_seq in (1212,1212+1,1212+2,1212+3,1212+4,1212+5,1212+6,1212+7,1212+8,1212+9,1212+10,1212+11) and
+        |((i_category in ('Books','Children','Electronics') and
+        |i_class in ('class1','class2','class3','class4','class5',
+        |    'class6','class7','class8','class9','class10',
+        |    'class11','class12','class13','class14','class15',
+        |    'class16','class17','class18','class19','class20'))
+        |or(i_category in ('Women','Music','Men') and
+        |i_class in ('class21','class22','class23','class24','class25',
+        |    'class26','class27','class28','class29','class30',
+        |    'class31','class32','class33','class34','class35',
+        |    'class36','class37','class38','class39','class40')))
+        |group by i_manufact_id, d_qoy ) tmp1
+        |where case when avg_quarterly_sales > 0
+        |	then abs (sum_sales - avg_quarterly_sales)/ avg_quarterly_sales
+        |	else null end > 0.1
+        |order by avg_quarterly_sales,
+        |	 sum_sales,
+        |	 i_manufact_id
+        |limit 100""".stripMargin, false),
+
+    ("query57",
+      """with v1 as(
+        | select i_category, i_brand,
+        |        cc_name,
+        |        d_year, d_moy,
+        |        sum(cs_sales_price) sum_sales,
+        |        avg(sum(cs_sales_price)) over
+        |          (partition by i_category, i_brand,
+        |                     cc_name, d_year)
+        |          avg_monthly_sales,
+        |        rank() over
+        |          (partition by i_category, i_brand,
+        |                     cc_name
+        |           order by d_year, d_moy) rn
+        | from item, catalog_sales, date_dim, call_center
+        | where cs_item_sk = i_item_sk and
+        |       cs_sold_date_sk = d_date_sk and
+        |       cc_call_center_sk= cs_call_center_sk and
+        |       (
+        |         d_year = 2000 or
+        |         ( d_year = 2000-1 and d_moy =12) or
+        |         ( d_year = 2000+1 and d_moy =1)
+        |       )
+        | group by i_category, i_brand,
+        |          cc_name , d_year, d_moy),
+        | v2 as(
+        | select v1.i_category, v1.i_brand
+        |        ,v1.d_year, v1.d_moy
+        |        ,v1.avg_monthly_sales
+        |        ,v1.sum_sales, v1_lag.sum_sales psum, v1_lead.sum_sales nsum
+        | from v1, v1 v1_lag, v1 v1_lead
+        | where v1.i_category = v1_lag.i_category and
+        |       v1.i_category = v1_lead.i_category and
+        |       v1.i_brand = v1_lag.i_brand and
+        |       v1.i_brand = v1_lead.i_brand and
+        |       v1. cc_name = v1_lag. cc_name and
+        |       v1. cc_name = v1_lead. cc_name and
+        |       v1.rn = v1_lag.rn + 1 and
+        |       v1.rn = v1_lead.rn - 1)
+        |  select  *
+        | from v2
+        | where  d_year = 2000 and
+        |        avg_monthly_sales > 0 and
+        |        case when avg_monthly_sales > 0 then abs(sum_sales - avg_monthly_sales) / avg_monthly_sales else null end > 0.1
+        | order by sum_sales - avg_monthly_sales, 3
+        | limit 100""".stripMargin, false),
+
+    ("query59",
+      // d_month_seq windows 1185/1185+12 predate DsData's calendar
+      // (1998-01 = 1200) — shifted to 1200/1212, the same
+      // 52-weeks-apart year-over-year compare
+      """with wss as
+        | (select d_week_seq,
+        |        ss_store_sk,
+        |        sum(case when (d_day_name='Sunday') then ss_sales_price else null end) sun_sales,
+        |        sum(case when (d_day_name='Monday') then ss_sales_price else null end) mon_sales,
+        |        sum(case when (d_day_name='Tuesday') then ss_sales_price else  null end) tue_sales,
+        |        sum(case when (d_day_name='Wednesday') then ss_sales_price else null end) wed_sales,
+        |        sum(case when (d_day_name='Thursday') then ss_sales_price else null end) thu_sales,
+        |        sum(case when (d_day_name='Friday') then ss_sales_price else null end) fri_sales,
+        |        sum(case when (d_day_name='Saturday') then ss_sales_price else null end) sat_sales
+        | from store_sales,date_dim
+        | where d_date_sk = ss_sold_date_sk
+        | group by d_week_seq,ss_store_sk
+        | )
+        |  select  s_store_name1,s_store_id1,d_week_seq1
+        |       ,sun_sales1/sun_sales2,mon_sales1/mon_sales2
+        |       ,tue_sales1/tue_sales1,wed_sales1/wed_sales2,thu_sales1/thu_sales2
+        |       ,fri_sales1/fri_sales2,sat_sales1/sat_sales2
+        | from
+        | (select s_store_name s_store_name1,wss.d_week_seq d_week_seq1
+        |        ,s_store_id s_store_id1,sun_sales sun_sales1
+        |        ,mon_sales mon_sales1,tue_sales tue_sales1
+        |        ,wed_sales wed_sales1,thu_sales thu_sales1
+        |        ,fri_sales fri_sales1,sat_sales sat_sales1
+        |  from wss,store,date_dim d
+        |  where d.d_week_seq = wss.d_week_seq and
+        |        ss_store_sk = s_store_sk and
+        |        d_month_seq between 1200 and 1200 + 11) y,
+        | (select s_store_name s_store_name2,wss.d_week_seq d_week_seq2
+        |        ,s_store_id s_store_id2,sun_sales sun_sales2
+        |        ,mon_sales mon_sales2,tue_sales tue_sales2
+        |        ,wed_sales wed_sales2,thu_sales thu_sales2
+        |        ,fri_sales fri_sales2,sat_sales sat_sales2
+        |  from wss,store,date_dim d
+        |  where d.d_week_seq = wss.d_week_seq and
+        |        ss_store_sk = s_store_sk and
+        |        d_month_seq between 1200+ 12 and 1200 + 23) x
+        | where s_store_id1=s_store_id2
+        |   and d_week_seq1=d_week_seq2-52
+        | order by s_store_name1,s_store_id1,d_week_seq1
+        |limit 100""".stripMargin, false),
+
+    ("query69",
+      // ca_state list adapted to DsData's 12-state pool
+      """select
+        |  cd_gender,
+        |  cd_marital_status,
+        |  cd_education_status,
+        |  count(*) cnt1,
+        |  cd_purchase_estimate,
+        |  count(*) cnt2,
+        |  cd_credit_rating,
+        |  count(*) cnt3
+        | from
+        |  customer c,customer_address ca,customer_demographics
+        | where
+        |  c.c_current_addr_sk = ca.ca_address_sk and
+        |  ca_state in ('KY','GA','NM') and
+        |  cd_demo_sk = c.c_current_cdemo_sk and
+        |  exists (select *
+        |          from store_sales,date_dim
+        |          where c.c_customer_sk = ss_customer_sk and
+        |                ss_sold_date_sk = d_date_sk and
+        |                d_year = 1999 and
+        |                d_moy between 1 and 1+2) and
+        |   (not exists (select *
+        |            from web_sales,date_dim
+        |            where c.c_customer_sk = ws_bill_customer_sk and
+        |                  ws_sold_date_sk = d_date_sk and
+        |                  d_year = 1999 and
+        |                  d_moy between 1 and 1+2) and
+        |    not exists (select *
+        |            from catalog_sales,date_dim
+        |            where c.c_customer_sk = cs_ship_customer_sk and
+        |                  cs_sold_date_sk = d_date_sk and
+        |                  d_year = 1999 and
+        |                  d_moy between 1 and 1+2))
+        | group by cd_gender,
+        |          cd_marital_status,
+        |          cd_education_status,
+        |          cd_purchase_estimate,
+        |          cd_credit_rating
+        | order by cd_gender,
+        |          cd_marital_status,
+        |          cd_education_status,
+        |          cd_purchase_estimate,
+        |          cd_credit_rating
+        | limit 100""".stripMargin, false),
+
+    ("query86",
+      """select
+        |    sum(ws_net_paid) as total_sum
+        |   ,i_category
+        |   ,i_class
+        |   ,grouping(i_category)+grouping(i_class) as lochierarchy
+        |   ,rank() over (
+        | 	partition by grouping(i_category)+grouping(i_class),
+        | 	case when grouping(i_class) = 0 then i_category end
+        | 	order by sum(ws_net_paid) desc) as rank_within_parent
+        | from
+        |    web_sales
+        |   ,date_dim       d1
+        |   ,item
+        | where
+        |    d1.d_month_seq between 1212 and 1212+11
+        | and d1.d_date_sk = ws_sold_date_sk
+        | and i_item_sk  = ws_item_sk
+        | group by rollup(i_category,i_class)
+        | order by
+        |   lochierarchy desc,
+        |   case when lochierarchy = 0 then i_category end,
+        |   rank_within_parent
+        | limit 100""".stripMargin, false),
+
+    ("query89",
+      // i_class lists adapted to DsData's classN pool
+      """select  *
+        |from(
+        |select i_category, i_class, i_brand,
+        |       s_store_name, s_company_name,
+        |       d_moy,
+        |       sum(ss_sales_price) sum_sales,
+        |       avg(sum(ss_sales_price)) over
+        |         (partition by i_category, i_brand, s_store_name, s_company_name)
+        |         avg_monthly_sales
+        |from item, store_sales, date_dim, store
+        |where ss_item_sk = i_item_sk and
+        |      ss_sold_date_sk = d_date_sk and
+        |      ss_store_sk = s_store_sk and
+        |      d_year in (2000) and
+        |        ((i_category in ('Home','Books','Electronics') and
+        |          i_class in ('class1','class2','class3','class4','class5',
+        |              'class6','class7','class8','class9','class10')
+        |         )
+        |      or (i_category in ('Shoes','Jewelry','Men') and
+        |          i_class in ('class11','class12','class13','class14','class15',
+        |              'class16','class17','class18','class19','class20')
+        |        ))
+        |group by i_category, i_class, i_brand,
+        |         s_store_name, s_company_name, d_moy) tmp1
+        |where case when (avg_monthly_sales <> 0) then (abs(sum_sales - avg_monthly_sales) / avg_monthly_sales) else null end > 0.1
+        |order by sum_sales - avg_monthly_sales, s_store_name
+        |limit 100""".stripMargin, false))
+
+  test("wave-16f perf queries (query35/51/53/57/59/69/86/89): " +
+      "EXISTS/NOT-EXISTS demographic pairs, the cumulative-window " +
+      "full outer join, deviation-from-average selects, the " +
+      "call-center lag/lead self-join, the 52-week store matrix, the " +
+      "grouping()-ranked web rollup — same invariants") {
+    DsData.ensure(spark)
+    withConf(cboConfs: _*) {
+      wave16fQueries.foreach { case (name, sql, expectDpp) =>
+        checkQuery(name, sql, expectDpp)
+      }
+    }
+  }
+
   test("wave-16e perf queries (query4/10/16/18/50/62/76/93/99): the " +
       "6-consumer CTE monster, EXISTS-chain demographics, ship-day " +
       "bucket matrices on web+catalog, warehouse-span EXISTS + " +
