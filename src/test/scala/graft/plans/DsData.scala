@@ -35,7 +35,7 @@ object DsData {
     // warehouse layout
     if (!spark.catalog.tableExists("tpcds.reason") ||
       !spark.table("tpcds.catalog_sales").columns
-        .contains("cs_ext_ship_cost")) generate(spark)
+        .contains("cs_wholesale_cost")) generate(spark)
     // always refresh the temp-view aliases (session-shared)
     Seq("date_dim", "time_dim", "item", "store", "customer",
       "customer_address", "customer_demographics",
@@ -97,7 +97,12 @@ object DsData {
     save(spark, "time_dim", spark.range(86400).select(
       col("id").cast("int").as("t_time_sk"),
       (col("id") / 3600).cast("int").as("t_hour"),
-      (col("id") % 3600 / 60).cast("int").as("t_minute")))
+      (col("id") % 3600 / 60).cast("int").as("t_minute"),
+      // DS meal-time bands (q71/q90): breakfast 6-9, dinner 17-20
+      when(col("id") / 3600 >= 6 && col("id") / 3600 < 9, lit("breakfast"))
+        .when(col("id") / 3600 >= 17 && col("id") / 3600 < 20,
+          lit("dinner"))
+        .otherwise(lit(null)).as("t_meal_time")))
 
     // ---- item
     val categories = Seq("Books", "Sports", "Jewelry", "Home",
@@ -339,6 +344,7 @@ object DsData {
       ((h("cpn", col("id"), 500)) / lit(100.0)).as("ss_ext_discount_amt"),
       ((h("cpn", col("id"), 500)) / lit(100.0)).as("ss_coupon_amt"),
       (price * qty * lit(0.92)).as("ss_net_paid"),
+      (price * qty * lit(0.92) * lit(1.08)).as("ss_net_paid_inc_tax"),
       (((h("np", col("id"), 600000)) - 100000) / lit(100.0))
         .as("ss_net_profit"))
     save(spark, "store_sales", storeSales, Seq("ss_sold_date_sk"))
@@ -400,7 +406,10 @@ object DsData {
         (h("csda", idc, 500) / lit(100.0)).as("cs_ext_discount_amt"),
         (h("cspr", idc, 100) + 1).as("cs_promo_sk"),
         onum.cast("long").as("cs_order_number"),
+        h("cst", idc, 86400).as("cs_sold_time_sk"),
         qty.as("cs_quantity"),
+        ((h("cswu", idc, 10000) + 1) / lit(100.0))
+          .as("cs_wholesale_cost"),
         listp.as("cs_list_price"),
         ((h("cssp", idc, 20000) + 1) / lit(100.0)).as("cs_sales_price"),
         (h("cscp", idc, 500) / lit(100.0)).as("cs_coupon_amt"),
@@ -500,7 +509,10 @@ object DsData {
       ((h("wswc", col("id"), 10000) + 1) / lit(100.0) * wQty)
         .as("ws_ext_wholesale_cost"),
       wOnum.cast("long").as("ws_order_number"),
+      h("wst", col("id"), 86400).as("ws_sold_time_sk"),
       wQty.as("ws_quantity"),
+      ((h("wswu", col("id"), 10000) + 1) / lit(100.0))
+        .as("ws_wholesale_cost"),
       wListp.as("ws_list_price"),
       (h("wshc", col("id"), 5000) / lit(100.0)).as("ws_ext_ship_cost"),
       ((h("wssp", col("id"), 20000) + 1) / lit(100.0) * wQty)

@@ -590,9 +590,11 @@ class DsPlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
 
     // every query is a star around a fact table: the dims broadcast
-    // (q28 has no dims at all — six single-row aggregate legs)
+    // (q28 has no dims at all — six single-row aggregate legs; q9 is
+    // five CASE-gated scalar-subquery pairs over one table plus a
+    // one-row reason scan — no join anywhere in the template)
     val bhj = collect(plan) { case b: BroadcastHashJoinExec => b }
-    if (name != "query28") {
+    if (name != "query28" && name != "query9") {
       assert(bhj.nonEmpty, s"$name has no broadcast joins:\n$plan")
     }
 
@@ -3165,6 +3167,324 @@ class DsPlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         |where case when (avg_monthly_sales <> 0) then (abs(sum_sales - avg_monthly_sales) / avg_monthly_sales) else null end > 0.1
         |order by sum_sales - avg_monthly_sales, s_store_name
         |limit 100""".stripMargin, false))
+
+  /** Wave 16g: the scalar-subquery bucket matrix (q9), the
+    * revenue-ratio window on catalog (q20), the correlated
+    * excess-discount select (q32), the three-channel same-week
+    * revenue triple-match (q58), the meal-time brand matrix (q71),
+    * the returnless-sales channel-ratio rollup (q78), and the
+    * income-band returns select (q84). DsData gained
+    * ss_net_paid_inc_tax, cs/ws sold-time fks + per-unit wholesale
+    * cost, and t_meal_time bands.
+    */
+  private lazy val wave16gQueries: Seq[(String, String, Boolean)] = Seq(
+    ("query9",
+      // count thresholds stay verbatim: at this scale every bucket
+      // takes the else branch (avg net_paid_inc_tax), which is the
+      // point — the CASE arms must be exercised, not all-true
+      """select case when (select count(*)
+        |                  from store_sales
+        |                  where ss_quantity between 1 and 20) > 409437
+        |            then (select avg(ss_ext_list_price)
+        |                  from store_sales
+        |                  where ss_quantity between 1 and 20)
+        |            else (select avg(ss_net_paid_inc_tax)
+        |                  from store_sales
+        |                  where ss_quantity between 1 and 20) end bucket1 ,
+        |       case when (select count(*)
+        |                  from store_sales
+        |                  where ss_quantity between 21 and 40) > 4595804
+        |            then (select avg(ss_ext_list_price)
+        |                  from store_sales
+        |                  where ss_quantity between 21 and 40)
+        |            else (select avg(ss_net_paid_inc_tax)
+        |                  from store_sales
+        |                  where ss_quantity between 21 and 40) end bucket2,
+        |       case when (select count(*)
+        |                  from store_sales
+        |                  where ss_quantity between 41 and 60) > 7887297
+        |            then (select avg(ss_ext_list_price)
+        |                  from store_sales
+        |                  where ss_quantity between 41 and 60)
+        |            else (select avg(ss_net_paid_inc_tax)
+        |                  from store_sales
+        |                  where ss_quantity between 41 and 60) end bucket3,
+        |       case when (select count(*)
+        |                  from store_sales
+        |                  where ss_quantity between 61 and 80) > 10872978
+        |            then (select avg(ss_ext_list_price)
+        |                  from store_sales
+        |                  where ss_quantity between 61 and 80)
+        |            else (select avg(ss_net_paid_inc_tax)
+        |                  from store_sales
+        |                  where ss_quantity between 61 and 80) end bucket4,
+        |       case when (select count(*)
+        |                  from store_sales
+        |                  where ss_quantity between 81 and 100) > 43571537
+        |            then (select avg(ss_ext_list_price)
+        |                  from store_sales
+        |                  where ss_quantity between 81 and 100)
+        |            else (select avg(ss_net_paid_inc_tax)
+        |                  from store_sales
+        |                  where ss_quantity between 81 and 100) end bucket5
+        |from reason
+        |where r_reason_sk = 1""".stripMargin, false),
+
+    ("query20",
+      """select  i_item_desc
+        |       ,i_category
+        |       ,i_class
+        |       ,i_current_price
+        |       ,sum(cs_ext_sales_price) as itemrevenue
+        |       ,sum(cs_ext_sales_price)*100/sum(sum(cs_ext_sales_price)) over
+        |           (partition by i_class) as revenueratio
+        | from	catalog_sales
+        |     ,item
+        |     ,date_dim
+        | where cs_item_sk = i_item_sk
+        |   and i_category in ('Jewelry', 'Sports', 'Books')
+        |   and cs_sold_date_sk = d_date_sk
+        | and d_date between cast('2001-01-12' as date)
+        | 				and date_add(cast('2001-01-12' as date), 30)
+        | group by i_item_id
+        |         ,i_item_desc
+        |         ,i_category
+        |         ,i_class
+        |         ,i_current_price
+        | order by i_category
+        |         ,i_class
+        |         ,i_item_id
+        |         ,i_item_desc
+        |         ,revenueratio
+        |limit 100""".stripMargin, false),
+
+    ("query32",
+      """select  sum(cs_ext_discount_amt)  as `excess discount amount`
+        |from
+        |   catalog_sales
+        |   ,item
+        |   ,date_dim
+        |where
+        |i_manufact_id = 269
+        |and i_item_sk = cs_item_sk
+        |and d_date between '1998-01-18' and
+        |        date_add(cast('1998-01-18' as date), 90)
+        |and d_date_sk = cs_sold_date_sk
+        |and cs_ext_discount_amt
+        |     > (
+        |         select
+        |            1.3 * avg(cs_ext_discount_amt)
+        |         from
+        |            catalog_sales
+        |           ,date_dim
+        |         where
+        |              cs_item_sk = i_item_sk
+        |          and d_date between '1998-01-18' and
+        |                             date_add(cast('1998-01-18' as date), 90)
+        |          and d_date_sk = cs_sold_date_sk
+        |      )
+        |limit 100""".stripMargin, false),
+      // ^ template date 1998-03-18 shifted to January: DsData's fact
+      // pool covers months {1,4,7,11,12} and the 90-day window must
+      // contain sold dates
+
+    ("query58",
+      // template date 1998-02-19 -> 1998-01-19 (February has no fact
+      // dates); the +/-10% triple band widened to 0.2x..5x — the
+      // synthetic corpus' per-channel volumes differ by construction
+      // (240k/120k/60k rows), so the verbatim band is empty at any
+      // seed while the shape (three same-week channel aggregates,
+      // six band conjuncts) is unchanged
+      """with ss_items as
+        | (select i_item_id item_id
+        |        ,sum(ss_ext_sales_price) ss_item_rev
+        | from store_sales
+        |     ,item
+        |     ,date_dim
+        | where ss_item_sk = i_item_sk
+        |   and d_date in (select d_date
+        |                  from date_dim
+        |                  where d_week_seq = (select d_week_seq
+        |                                      from date_dim
+        |                                      where d_date = '1998-01-19'))
+        |   and ss_sold_date_sk   = d_date_sk
+        | group by i_item_id),
+        | cs_items as
+        | (select i_item_id item_id
+        |        ,sum(cs_ext_sales_price) cs_item_rev
+        |  from catalog_sales
+        |      ,item
+        |      ,date_dim
+        | where cs_item_sk = i_item_sk
+        |  and  d_date in (select d_date
+        |                  from date_dim
+        |                  where d_week_seq = (select d_week_seq
+        |                                      from date_dim
+        |                                      where d_date = '1998-01-19'))
+        |  and  cs_sold_date_sk = d_date_sk
+        | group by i_item_id),
+        | ws_items as
+        | (select i_item_id item_id
+        |        ,sum(ws_ext_sales_price) ws_item_rev
+        |  from web_sales
+        |      ,item
+        |      ,date_dim
+        | where ws_item_sk = i_item_sk
+        |  and  d_date in (select d_date
+        |                  from date_dim
+        |                  where d_week_seq =(select d_week_seq
+        |                                     from date_dim
+        |                                     where d_date = '1998-01-19'))
+        |  and ws_sold_date_sk   = d_date_sk
+        | group by i_item_id)
+        |  select  ss_items.item_id
+        |       ,ss_item_rev
+        |       ,ss_item_rev/(ss_item_rev+cs_item_rev+ws_item_rev)/3 * 100 ss_dev
+        |       ,cs_item_rev
+        |       ,cs_item_rev/(ss_item_rev+cs_item_rev+ws_item_rev)/3 * 100 cs_dev
+        |       ,ws_item_rev
+        |       ,ws_item_rev/(ss_item_rev+cs_item_rev+ws_item_rev)/3 * 100 ws_dev
+        |       ,(ss_item_rev+cs_item_rev+ws_item_rev)/3 average
+        | from ss_items,cs_items,ws_items
+        | where ss_items.item_id=cs_items.item_id
+        |   and ss_items.item_id=ws_items.item_id
+        |   and ss_item_rev between 0.2 * cs_item_rev and 5 * cs_item_rev
+        |   and ss_item_rev between 0.2 * ws_item_rev and 5 * ws_item_rev
+        |   and cs_item_rev between 0.2 * ss_item_rev and 5 * ss_item_rev
+        |   and cs_item_rev between 0.2 * ws_item_rev and 5 * ws_item_rev
+        |   and ws_item_rev between 0.2 * ss_item_rev and 5 * ss_item_rev
+        |   and ws_item_rev between 0.2 * cs_item_rev and 5 * cs_item_rev
+        | order by item_id
+        |limit 100""".stripMargin, false),
+
+    ("query71",
+      """select i_brand_id brand_id, i_brand brand,t_hour,t_minute,
+        | 	sum(ext_price) ext_price
+        | from item, (select ws_ext_sales_price as ext_price,
+        |                        ws_sold_date_sk as sold_date_sk,
+        |                        ws_item_sk as sold_item_sk,
+        |                        ws_sold_time_sk as time_sk
+        |                 from web_sales,date_dim
+        |                 where d_date_sk = ws_sold_date_sk
+        |                   and d_moy=12
+        |                   and d_year=2001
+        |                 union all
+        |                 select cs_ext_sales_price as ext_price,
+        |                        cs_sold_date_sk as sold_date_sk,
+        |                        cs_item_sk as sold_item_sk,
+        |                        cs_sold_time_sk as time_sk
+        |                 from catalog_sales,date_dim
+        |                 where d_date_sk = cs_sold_date_sk
+        |                   and d_moy=12
+        |                   and d_year=2001
+        |                 union all
+        |                 select ss_ext_sales_price as ext_price,
+        |                        ss_sold_date_sk as sold_date_sk,
+        |                        ss_item_sk as sold_item_sk,
+        |                        ss_sold_time_sk as time_sk
+        |                 from store_sales,date_dim
+        |                 where d_date_sk = ss_sold_date_sk
+        |                   and d_moy=12
+        |                   and d_year=2001
+        |                 ) as tmp,time_dim
+        | where
+        |   sold_item_sk = i_item_sk
+        |   and i_manager_id=1
+        |   and time_sk = t_time_sk
+        |   and (t_meal_time = 'breakfast' or t_meal_time = 'dinner')
+        | group by i_brand, i_brand_id,t_hour,t_minute
+        | order by ext_price desc, i_brand_id""".stripMargin, false),
+
+    ("query78",
+      """with ws as
+        |  (select d_year AS ws_sold_year, ws_item_sk,
+        |    ws_bill_customer_sk ws_customer_sk,
+        |    sum(ws_quantity) ws_qty,
+        |    sum(ws_wholesale_cost) ws_wc,
+        |    sum(ws_sales_price) ws_sp
+        |   from web_sales
+        |   left join web_returns on wr_order_number=ws_order_number and ws_item_sk=wr_item_sk
+        |   join date_dim on ws_sold_date_sk = d_date_sk
+        |   where wr_order_number is null
+        |   group by d_year, ws_item_sk, ws_bill_customer_sk
+        |   ),
+        |cs as
+        |  (select d_year AS cs_sold_year, cs_item_sk,
+        |    cs_bill_customer_sk cs_customer_sk,
+        |    sum(cs_quantity) cs_qty,
+        |    sum(cs_wholesale_cost) cs_wc,
+        |    sum(cs_sales_price) cs_sp
+        |   from catalog_sales
+        |   left join catalog_returns on cr_order_number=cs_order_number and cs_item_sk=cr_item_sk
+        |   join date_dim on cs_sold_date_sk = d_date_sk
+        |   where cr_order_number is null
+        |   group by d_year, cs_item_sk, cs_bill_customer_sk
+        |   ),
+        |ss as
+        |  (select d_year AS ss_sold_year, ss_item_sk,
+        |    ss_customer_sk,
+        |    sum(ss_quantity) ss_qty,
+        |    sum(ss_wholesale_cost) ss_wc,
+        |    sum(ss_sales_price) ss_sp
+        |   from store_sales
+        |   left join store_returns on sr_ticket_number=ss_ticket_number and ss_item_sk=sr_item_sk
+        |   join date_dim on ss_sold_date_sk = d_date_sk
+        |   where sr_ticket_number is null
+        |   group by d_year, ss_item_sk, ss_customer_sk
+        |   )
+        | select
+        |ss_sold_year, ss_item_sk, ss_customer_sk,
+        |round(ss_qty/(coalesce(ws_qty+cs_qty,1)),2) ratio,
+        |ss_qty store_qty, ss_wc store_wholesale_cost, ss_sp store_sales_price,
+        |coalesce(ws_qty,0)+coalesce(cs_qty,0) other_chan_qty,
+        |coalesce(ws_wc,0)+coalesce(cs_wc,0) other_chan_wholesale_cost,
+        |coalesce(ws_sp,0)+coalesce(cs_sp,0) other_chan_sales_price
+        |from ss
+        |left join ws on (ws_sold_year=ss_sold_year and ws_item_sk=ss_item_sk and ws_customer_sk=ss_customer_sk)
+        |left join cs on (cs_sold_year=ss_sold_year and cs_item_sk=cs_item_sk and cs_customer_sk=ss_customer_sk)
+        |where coalesce(ws_qty,0)>0 and coalesce(cs_qty, 0)>0 and ss_sold_year=2000
+        |order by
+        |  ss_sold_year, ss_item_sk, ss_customer_sk,
+        |  ss_qty desc, ss_wc desc, ss_sp desc,
+        |  other_chan_qty,
+        |  other_chan_wholesale_cost,
+        |  other_chan_sales_price,
+        |  round(ss_qty/(coalesce(ws_qty+cs_qty,1)),2)
+        |limit 100""".stripMargin, false),
+
+    ("query84",
+      // ca_city 'Hopewell' -> 'Oakland' (DsData's 10-city pool)
+      """select  c_customer_id as customer_id
+        |       ,c_last_name || ', ' || c_first_name as customername
+        | from customer
+        |     ,customer_address
+        |     ,customer_demographics
+        |     ,household_demographics
+        |     ,income_band
+        |     ,store_returns
+        | where ca_city	        =  'Oakland'
+        |   and c_current_addr_sk = ca_address_sk
+        |   and ib_lower_bound   >=  32287
+        |   and ib_upper_bound   <=  32287 + 50000
+        |   and ib_income_band_sk = hd_income_band_sk
+        |   and cd_demo_sk = c_current_cdemo_sk
+        |   and hd_demo_sk = c_current_hdemo_sk
+        |   and sr_cdemo_sk = cd_demo_sk
+        | order by c_customer_id
+        | limit 100""".stripMargin, false))
+
+  test("wave-16g perf queries (query9/20/32/58/71/78/84): " +
+      "scalar-subquery buckets, revenue-ratio windows, correlated " +
+      "excess-discount, the three-channel same-week triple-match, " +
+      "meal-time brands, returnless channel ratios, income-band " +
+      "returns — same invariants") {
+    DsData.ensure(spark)
+    withConf(cboConfs: _*) {
+      wave16gQueries.foreach { case (name, sql, expectDpp) =>
+        checkQuery(name, sql, expectDpp)
+      }
+    }
+  }
 
   test("wave-16f perf queries (query35/51/53/57/59/69/86/89): " +
       "EXISTS/NOT-EXISTS demographic pairs, the cumulative-window " +
