@@ -35,14 +35,23 @@ object DsData {
     // warehouse layout
     if (!spark.catalog.tableExists("tpcds.reason") ||
       !spark.table("tpcds.catalog_sales").columns
-        .contains("cs_wholesale_cost")) generate(spark)
+        .contains("cs_catalog_page_sk") ||
+      !spark.table("tpcds.customer").columns
+        .contains("c_last_review_date_sk") ||
+      !spark.table("tpcds.web_returns").columns
+        .contains("wr_refunded_cash") ||
+      !spark.table("tpcds.web_sales").columns
+        .contains("ws_promo_sk") ||
+      !spark.table("tpcds.catalog_sales").columns
+        .contains("cs_net_paid_inc_ship_tax")) generate(spark)
     // always refresh the temp-view aliases (session-shared)
     Seq("date_dim", "time_dim", "item", "store", "customer",
       "customer_address", "customer_demographics",
       "household_demographics", "promotion", "store_sales",
       "store_returns", "catalog_sales", "catalog_returns", "inventory",
       "warehouse", "web_sales", "web_returns", "web_site",
-      "income_band", "ship_mode", "call_center", "reason").foreach { t =>
+      "income_band", "ship_mode", "call_center", "reason", "web_page",
+      "catalog_page").foreach { t =>
       spark.table(s"tpcds.$t").createOrReplaceTempView(t)
     }
     built = true
@@ -96,6 +105,7 @@ object DsData {
     // ---- time_dim: one row per second of day (the DS shape)
     save(spark, "time_dim", spark.range(86400).select(
       col("id").cast("int").as("t_time_sk"),
+      col("id").cast("int").as("t_time"),
       (col("id") / 3600).cast("int").as("t_hour"),
       (col("id") % 3600 / 60).cast("int").as("t_minute"),
       // DS meal-time bands (q71/q90): breakfast 6-9, dinner 17-20
@@ -126,7 +136,26 @@ object DsData {
       pick("color", col("id"), Seq("maroon", "burnished", "dim", "steel",
         "navajo", "chocolate", "ivory", "salmon", "plum", "khaki"))
         .as("i_color"),
-      concat(lit("product"), col("id")).as("i_product_name")))
+      concat(lit("product"), col("id")).as("i_product_name"),
+      pick("isz", col("id"), Seq("small", "medium", "large", "extra large",
+        "economy", "petite", "N/A")).as("i_size"),
+      pick("iun", col("id"), Seq("Each", "Dozen", "Case", "Pound", "Oz",
+        "Pallet", "Gross", "Box")).as("i_units")))
+
+    // county -> state FUNCTIONAL mapping over the counties the store and
+    // customer_address pools share: q54 joins on ca_county = s_county AND
+    // ca_state = s_state — independent draws make the joint match
+    // vanishingly rare, exactly unlike real data where a county IS in one
+    // state. States stay inside the store pool (NM/TN/SD/AL) so every
+    // older state literal keeps matching.
+    val countyState = Map(
+      "Mobile County" -> "NM", "Huron County" -> "TN",
+      "Jackson County" -> "SD", "Kittitas County" -> "AL",
+      "Fairfield County" -> "NM", "Maverick County" -> "TN",
+      "Barrow County" -> "SD", "Pennington County" -> "AL")
+    def stateFor(county: Column, fallback: Column): Column =
+      countyState.foldLeft(fallback) { case (acc, (c, st)) =>
+        when(county === c, lit(st)).otherwise(acc) }
 
     // ---- store (12 rows; names/cities/counties cover the query literals)
     save(spark, "store", spark.range(1, 13).select(
@@ -140,10 +169,18 @@ object DsData {
         "Huron County", "Kittitas County", "Fairfield County",
         "Jackson County", "Barrow County", "Pennington County"))
         .as("s_county"),
-      pick("sstate", col("id"), Seq("NM", "TN", "SD", "AL")).as("s_state"),
-      lpad(h("szip", col("id"), 100000).cast("string"), 5, "0").as("s_zip"),
+      stateFor(pick("scounty", col("id"), Seq("Mobile County",
+          "Maverick County", "Huron County", "Kittitas County",
+          "Fairfield County", "Jackson County", "Barrow County",
+          "Pennington County")),
+        pick("sstate", col("id"), Seq("NM", "TN", "SD", "AL")))
+        .as("s_state"),
+      // 40-zip shared pool (q24 equi-joins s_zip = ca_zip)
+      lpad((h("szip", col("id"), 40) * 437 + 10007).cast("string"), 5, "0")
+        .as("s_zip"),
       (lit(200) + col("id").cast("int") * 8).as("s_number_employees"),
       (h("scoid", col("id"), 2) + 1).as("s_company_id"),
+      (h("smkt", col("id"), 10) + 1).as("s_market_id"),
       (h("sstn", col("id"), 999) + 1).cast("string")
         .as("s_street_number"),
       pick("sstnm", col("id"), Seq("Main", "Oak", "Elm", "Park"))
@@ -164,14 +201,29 @@ object DsData {
       pick("cacity", col("id"), Seq("Cedar Grove", "Wildwood", "Midway",
         "Fairview", "Oakland", "Springdale", "Union", "Salem", "Clinton",
         "Marion")).as("ca_city"),
-      pick("castate", col("id"), Seq("KY", "GA", "NM", "MT", "OR", "IN",
-        "WI", "MO", "WV", "TN", "TX", "OH")).as("ca_state"),
+      stateFor(pick("cacnty", col("id"), Seq("Ziebach County",
+          "Walker County", "Storey County", "Richland County",
+          "Mobile County", "Luce County", "Huron County",
+          "Fairfield County", "Jackson County", "Barrow County",
+          "Pennington County", "Kittitas County", "Maverick County",
+          "Dauphin County", "Greene County", "Tyler County",
+          "Wadena County", "Mesa County", "Perry County",
+          "Salem County")),
+        pick("castate", col("id"), Seq("KY", "GA", "NM", "MT", "OR", "IN",
+          "WI", "MO", "WV", "TN", "TX", "OH"))).as("ca_state"),
       lit("United States").as("ca_country"),
-      lpad(h("cazip", col("id"), 100000).cast("string"), 5, "0").as("ca_zip"),
+      lpad((h("cazip", col("id"), 40) * 437 + 10007).cast("string"), 5, "0")
+        .as("ca_zip"),
       (h("castn", col("id"), 999) + 1).cast("string")
         .as("ca_street_number"),
       pick("castnm", col("id"), Seq("Main", "Oak", "Elm", "Park", "Pine",
         "Maple", "Lake", "Hill")).as("ca_street_name"),
+      pick("castt", col("id"), Seq("St", "Ave", "Blvd", "Ct", "Way"))
+        .as("ca_street_type"),
+      concat(lit("Suite "), (h("casui", col("id"), 30) * 10))
+        .as("ca_suite_number"),
+      pick("calt", col("id"), Seq("apartment", "condo", "single family"))
+        .as("ca_location_type"),
       // 20 counties: q31's double quarter-over-quarter ratio compare
       // keeps ~25% of counties on random data — a short list can
       // deterministically keep none
@@ -209,7 +261,8 @@ object DsData {
         "INDIA", "CHINA", "BRAZIL")).as("c_birth_country"),
       concat(lit("login"), col("id")).as("c_login"),
       concat(lit("C"), col("id"), lit("@example.com"))
-        .as("c_email_address")))
+        .as("c_email_address"),
+      (h("crev", col("id"), 1826) + 2450815).as("c_last_review_date_sk")))
 
     // ---- customer_demographics (full cross, DS-style decomposition)
     save(spark, "customer_demographics", spark.range(1, 7001).select(
@@ -248,7 +301,14 @@ object DsData {
     // ---- warehouse
     save(spark, "warehouse", spark.range(1, 6).select(
       col("id").cast("int").as("w_warehouse_sk"),
-      concat(lit("Warehouse "), col("id")).as("w_warehouse_name")))
+      concat(lit("Warehouse "), col("id")).as("w_warehouse_name"),
+      ((h("wsq", col("id"), 900000) + 100000)).as("w_warehouse_sq_ft"),
+      pick("wci", col("id"), Seq("Cedar Grove", "Wildwood", "Midway",
+        "Fairview")).as("w_city"),
+      pick("wcn", col("id"), Seq("Mobile County", "Huron County",
+        "Jackson County")).as("w_county"),
+      pick("wst", col("id"), Seq("NM", "TN", "SD")).as("w_state"),
+      lit("United States").as("w_country")))
 
     // ---- web_site (2 of 4 carry company 'pri' so q95's filter keeps rows)
     save(spark, "web_site", spark.range(1, 5).select(
@@ -276,9 +336,24 @@ object DsData {
       concat(lit("CC"), lpad(col("id").cast("string"), 4, "0"))
         .as("cc_call_center_id"),
       concat(lit("call center "), col("id")).as("cc_name"),
+      pick("ccmgr", col("id"), Seq("Bob Belcher", "Felipe Perkins",
+        "Mark Hightower", "Larry Mccray")).as("cc_manager"),
       pick("cccn", col("id"), Seq("Ziebach County", "Levy County",
         "Huron County", "Franklin Parish", "Daviess County",
         "Walker County")).as("cc_county")))
+
+    // ---- web_page (100; char counts span q90's 5000..5200 band)
+    save(spark, "web_page", spark.range(1, 101).select(
+      col("id").cast("int").as("wp_web_page_sk"),
+      concat(lit("WP"), lpad(col("id").cast("string"), 4, "0"))
+        .as("wp_web_page_id"),
+      (h("wpch", col("id"), 400) + 4900).as("wp_char_count")))
+
+    // ---- catalog_page (100)
+    save(spark, "catalog_page", spark.range(1, 101).select(
+      col("id").cast("int").as("cp_catalog_page_sk"),
+      concat(lit("CP"), lpad(col("id").cast("string"), 4, "0"))
+        .as("cp_catalog_page_id")))
 
     // ---- reason (35, incl. q93's exact warranty literal)
     save(spark, "reason", spark.range(1, 36).select(
@@ -292,8 +367,11 @@ object DsData {
     // ---- promotion
     save(spark, "promotion", spark.range(1, 101).select(
       col("id").cast("int").as("p_promo_sk"),
+      concat(lit("promo"), col("id")).as("p_promo_name"),
       pick("pmail", col("id"), Seq("N", "Y")).as("p_channel_email"),
-      pick("pevent", col("id"), Seq("N", "Y")).as("p_channel_event")))
+      pick("pevent", col("id"), Seq("N", "Y")).as("p_channel_event"),
+      pick("pdmail", col("id"), Seq("N", "Y")).as("p_channel_dmail"),
+      pick("ptv", col("id"), Seq("N", "Y")).as("p_channel_tv")))
 
     // ---- store_sales: 240k line items over 24k tickets (sizes vary so
     // per-ticket counts span the queries' HAVING bands), partitioned by
@@ -400,6 +478,7 @@ object DsData {
           .otherwise(h("csw", idc, 5) + 1).as("cs_warehouse_sk"),
         (h("cssm", onum, 20) + 1).as("cs_ship_mode_sk"),
         (h("cscc", onum, 6) + 1).as("cs_call_center_sk"),
+        (h("cscpg", idc, 100) + 1).as("cs_catalog_page_sk"),
         (h("csshc", idc, 5000) / lit(100.0)).as("cs_ext_ship_cost"),
         ((h("cswc", idc, 10000) + 1) / lit(100.0) * qty)
           .as("cs_ext_wholesale_cost"),
@@ -418,6 +497,10 @@ object DsData {
           .as("cs_ext_sales_price"),
         ((h("cssp", idc, 20000) + 1) / lit(100.0) * qty * lit(0.92))
           .as("cs_net_paid"),
+        ((h("cssp", idc, 20000) + 1) / lit(100.0) * qty * lit(0.92)
+          * lit(1.08)).as("cs_net_paid_inc_tax"),
+        ((h("cssp", idc, 20000) + 1) / lit(100.0) * qty * lit(0.92)
+          * lit(1.155)).as("cs_net_paid_inc_ship_tax"),
         (((h("csp", idc, 600000)) - 100000) / lit(100.0))
           .as("cs_net_profit"))
     }
@@ -432,15 +515,33 @@ object DsData {
         col("sr_item_sk"), col("sr_customer_sk")): _*)
     save(spark, "catalog_sales", csRandom.unionByName(csFromSr))
 
-    // ---- catalog_returns: ~15% of catalog order-lines return; refunds
-    // are small vs list price so q64's cs_ui HAVING keeps its groups
+    // ---- catalog_returns: ~33% of catalog order-lines return (r16:
+    // raised from ~15%, and the return lands within 30 days of the
+    // sale — month-filtered return-star selects like q91 need usable
+    // mass in each pooled month); refunds are small vs list price so
+    // q64's cs_ui HAVING keeps its groups
     val cs = spark.table("tpcds.catalog_sales")
     save(spark, "catalog_returns", cs
       .where(h("cret", col("cs_order_number") * 10000 + col("cs_item_sk"),
-        7) === 0)
+        3) === 0)
       .select(
         col("cs_item_sk").as("cr_item_sk"),
         col("cs_order_number").as("cr_order_number"),
+        // returns land 0..89 days after the sale, clamped into the
+        // calendar (q30/q77/q81/q91 filter the RETURN date)
+        least(col("cs_sold_date_sk") +
+            h("crd", col("cs_order_number") * 53 + col("cs_item_sk"), 30),
+          lit(2450815 + 1825)).as("cr_returned_date_sk"),
+        col("cs_bill_customer_sk").as("cr_returning_customer_sk"),
+        col("cs_bill_addr_sk").as("cr_returning_addr_sk"),
+        col("cs_call_center_sk").as("cr_call_center_sk"),
+        (h("crcp", col("cs_order_number") * 59 + col("cs_item_sk"), 100)
+          + 1).as("cr_catalog_page_sk"),
+        ((h("cramt", col("cs_order_number") * 47 + col("cs_item_sk"),
+          2000000) / lit(100.0)) * lit(1.08))
+          .as("cr_return_amt_inc_tax"),
+        (h("crnl", col("cs_order_number") * 61 + col("cs_item_sk"), 20000)
+          / lit(100.0)).as("cr_net_loss"),
         (h("crrc", col("cs_order_number") * 31 + col("cs_item_sk"), 2000)
           / lit(100.0)).as("cr_refunded_cash"),
         (h("crrv", col("cs_order_number") * 37 + col("cs_item_sk"), 1000)
@@ -510,6 +611,7 @@ object DsData {
         .as("ws_ext_wholesale_cost"),
       wOnum.cast("long").as("ws_order_number"),
       h("wst", col("id"), 86400).as("ws_sold_time_sk"),
+      (h("wshd", wOnum, 720) + 1).as("ws_ship_hdemo_sk"),
       wQty.as("ws_quantity"),
       ((h("wswu", col("id"), 10000) + 1) / lit(100.0))
         .as("ws_wholesale_cost"),
@@ -521,7 +623,12 @@ object DsData {
       (h("wsda", col("id"), 500) / lit(100.0)).as("ws_ext_discount_amt"),
       ((h("wssp", col("id"), 20000) + 1) / lit(100.0) * wQty * lit(0.92))
         .as("ws_net_paid"),
-      (((h("wsp", col("id"), 600000)) - 100000) / lit(100.0))
+      ((h("wssp", col("id"), 20000) + 1) / lit(100.0) * wQty * lit(0.92)
+        * lit(1.08)).as("ws_net_paid_inc_tax"),
+      (h("wspr", col("id"), 100) + 1).as("ws_promo_sk"),
+      // -100..+500: concentrated like real per-line profit, so q85's
+      // 50..250-style bands keep a usable fraction of rows
+      (((h("wsp", col("id"), 60000)) - 10000) / lit(100.0))
         .as("ws_net_profit")))
 
     // ---- web_returns: half the orders have a return; quantity/amount
@@ -536,6 +643,39 @@ object DsData {
         (h("wrq", col("wr_order_number") * 31 + col("wr_item_sk"), 20) + 1)
           .as("wr_return_quantity"),
         (h("wramt", col("wr_order_number") * 37 + col("wr_item_sk"),
-          2000000) / lit(100.0)).as("wr_return_amt")))
+          2000000) / lit(100.0)).as("wr_return_amt"),
+        // return-side fks/measures (q30/q77/q83/q85/q90 consume the
+        // web-returns star the way q91 consumes catalog's)
+        (h("wrd", col("wr_order_number") * 41 + col("wr_item_sk"), 1826)
+          + 2450815).as("wr_returned_date_sk"),
+        (h("wrrc", col("wr_order_number") * 43 + col("wr_item_sk"),
+          20000) + 1).as("wr_returning_customer_sk"),
+        (h("wrra", col("wr_order_number") * 61 + col("wr_item_sk"),
+          10000) + 1).as("wr_returning_addr_sk"),
+        when(h("wrwpn", col("wr_order_number") * 47 + col("wr_item_sk"),
+            20) === 0, lit(null))
+          .otherwise(h("wrwp", col("wr_order_number") * 47 +
+            col("wr_item_sk"), 100) + 1).as("wr_web_page_sk"),
+        (h("wrr", col("wr_order_number") * 53 + col("wr_item_sk"), 35)
+          + 1).as("wr_reason_sk"),
+        (h("wrnl", col("wr_order_number") * 59 + col("wr_item_sk"),
+          20000) / lit(100.0)).as("wr_net_loss"),
+        (h("wrfc", col("wr_order_number") * 67 + col("wr_item_sk"),
+          100000) / lit(100.0)).as("wr_refunded_cash"),
+        (h("wrfe", col("wr_order_number") * 71 + col("wr_item_sk"),
+          10000) / lit(100.0)).as("wr_fee"),
+        (h("wrcd1", col("wr_order_number") * 73 + col("wr_item_sk"),
+          7000) + 1).as("wr_refunded_cdemo_sk"),
+        // the returning party IS the refunded party for ~80% of
+        // returns (as in real data) — q85's cd1 = cd2 demographic
+        // arms are deterministically empty under independent draws
+        when(h("wrsame", col("wr_order_number") * 79 + col("wr_item_sk"),
+            5) === 0,
+          h("wrcd2", col("wr_order_number") * 79 + col("wr_item_sk"),
+            7000) + 1)
+          .otherwise(h("wrcd1", col("wr_order_number") * 73 +
+            col("wr_item_sk"), 7000) + 1).as("wr_returning_cdemo_sk"),
+        (h("wrfa", col("wr_order_number") * 83 + col("wr_item_sk"),
+          10000) + 1).as("wr_refunded_addr_sk")))
   }
 }

@@ -583,9 +583,12 @@ class DsPlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val carts = collect(plan) { case c: CartesianProductExec => c }
     val bnl = collect(plan) { case b: BroadcastNestedLoopJoinExec => b }
     assert(carts.isEmpty, s"$name planned a CartesianProduct")
-    // q88/q28: the documented one-row scalar-aggregate cross; q19's
-    // residual non-equi predicate against the tiny store dim
-    if (name != "query88" && name != "query19" && name != "query28") {
+    // q88/q28/q61/q77/q90: the documented one-row scalar-aggregate
+    // cross (q61 promotional vs total, q77's cr leg, q90's am vs pm —
+    // all single rows); q19's residual non-equi predicate against the
+    // tiny store dim
+    if (name != "query88" && name != "query19" && name != "query28" &&
+        name != "query61" && name != "query77" && name != "query90") {
       assert(bnl.isEmpty, s"$name planned a BroadcastNestedLoopJoin")
     }
 
@@ -3167,6 +3170,1162 @@ class DsPlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         |where case when (avg_monthly_sales <> 0) then (abs(sum_sales - avg_monthly_sales) / avg_monthly_sales) else null end > 0.1
         |order by sum_sales - avg_monthly_sales, s_store_name
         |limit 100""".stripMargin, false))
+
+  /** Wave 16i: the warehouse monthly shipping matrix (q66, carrier
+    * list adapted to the generated pool), the five-channel
+    * profit-and-returns rollups (q77 with its one-row cr cross, q80's
+    * promotion-gated variant), the catalog-returns state-average
+    * select (q81, the q30 sibling), the three-channel same-week
+    * returned-quantity triple-match (q83), the reason/demographic
+    * OR-arm averages (q85), the am/pm page ratio (q90), and the
+    * call-center returns-loss select (q91 — its gmt-offset conjunct
+    * is dropped: five independent 1/4-to-1/35 dim filters over an
+    * 84k-row fact leave zero rows at any seed; the month-filtered
+    * returns star with paired demographic arms and the buy-potential
+    * LIKE is unchanged). August dates shift to November (the fact
+    * pool's months); all other literals verbatim.
+    */
+  private lazy val wave16iQueries: Seq[(String, String, Boolean)] = Seq(
+    ("query66",
+      """select   
+        |         w_warehouse_name
+        | 	,w_warehouse_sq_ft
+        | 	,w_city
+        | 	,w_county
+        | 	,w_state
+        | 	,w_country
+        |        ,ship_carriers
+        |        ,year
+        | 	,sum(jan_sales) as jan_sales
+        | 	,sum(feb_sales) as feb_sales
+        | 	,sum(mar_sales) as mar_sales
+        | 	,sum(apr_sales) as apr_sales
+        | 	,sum(may_sales) as may_sales
+        | 	,sum(jun_sales) as jun_sales
+        | 	,sum(jul_sales) as jul_sales
+        | 	,sum(aug_sales) as aug_sales
+        | 	,sum(sep_sales) as sep_sales
+        | 	,sum(oct_sales) as oct_sales
+        | 	,sum(nov_sales) as nov_sales
+        | 	,sum(dec_sales) as dec_sales
+        | 	,sum(jan_sales/w_warehouse_sq_ft) as jan_sales_per_sq_foot
+        | 	,sum(feb_sales/w_warehouse_sq_ft) as feb_sales_per_sq_foot
+        | 	,sum(mar_sales/w_warehouse_sq_ft) as mar_sales_per_sq_foot
+        | 	,sum(apr_sales/w_warehouse_sq_ft) as apr_sales_per_sq_foot
+        | 	,sum(may_sales/w_warehouse_sq_ft) as may_sales_per_sq_foot
+        | 	,sum(jun_sales/w_warehouse_sq_ft) as jun_sales_per_sq_foot
+        | 	,sum(jul_sales/w_warehouse_sq_ft) as jul_sales_per_sq_foot
+        | 	,sum(aug_sales/w_warehouse_sq_ft) as aug_sales_per_sq_foot
+        | 	,sum(sep_sales/w_warehouse_sq_ft) as sep_sales_per_sq_foot
+        | 	,sum(oct_sales/w_warehouse_sq_ft) as oct_sales_per_sq_foot
+        | 	,sum(nov_sales/w_warehouse_sq_ft) as nov_sales_per_sq_foot
+        | 	,sum(dec_sales/w_warehouse_sq_ft) as dec_sales_per_sq_foot
+        | 	,sum(jan_net) as jan_net
+        | 	,sum(feb_net) as feb_net
+        | 	,sum(mar_net) as mar_net
+        | 	,sum(apr_net) as apr_net
+        | 	,sum(may_net) as may_net
+        | 	,sum(jun_net) as jun_net
+        | 	,sum(jul_net) as jul_net
+        | 	,sum(aug_net) as aug_net
+        | 	,sum(sep_net) as sep_net
+        | 	,sum(oct_net) as oct_net
+        | 	,sum(nov_net) as nov_net
+        | 	,sum(dec_net) as dec_net
+        | from (
+        |    (select 
+        | 	w_warehouse_name
+        | 	,w_warehouse_sq_ft
+        | 	,w_city
+        | 	,w_county
+        | 	,w_state
+        | 	,w_country
+        | 	,'DIAMOND' || ',' || 'AIRBORNE' as ship_carriers
+        |       ,d_year as year
+        | 	,sum(case when d_moy = 1 
+        | 		then ws_sales_price* ws_quantity else 0 end) as jan_sales
+        | 	,sum(case when d_moy = 2 
+        | 		then ws_sales_price* ws_quantity else 0 end) as feb_sales
+        | 	,sum(case when d_moy = 3 
+        | 		then ws_sales_price* ws_quantity else 0 end) as mar_sales
+        | 	,sum(case when d_moy = 4 
+        | 		then ws_sales_price* ws_quantity else 0 end) as apr_sales
+        | 	,sum(case when d_moy = 5 
+        | 		then ws_sales_price* ws_quantity else 0 end) as may_sales
+        | 	,sum(case when d_moy = 6 
+        | 		then ws_sales_price* ws_quantity else 0 end) as jun_sales
+        | 	,sum(case when d_moy = 7 
+        | 		then ws_sales_price* ws_quantity else 0 end) as jul_sales
+        | 	,sum(case when d_moy = 8 
+        | 		then ws_sales_price* ws_quantity else 0 end) as aug_sales
+        | 	,sum(case when d_moy = 9 
+        | 		then ws_sales_price* ws_quantity else 0 end) as sep_sales
+        | 	,sum(case when d_moy = 10 
+        | 		then ws_sales_price* ws_quantity else 0 end) as oct_sales
+        | 	,sum(case when d_moy = 11
+        | 		then ws_sales_price* ws_quantity else 0 end) as nov_sales
+        | 	,sum(case when d_moy = 12
+        | 		then ws_sales_price* ws_quantity else 0 end) as dec_sales
+        | 	,sum(case when d_moy = 1 
+        | 		then ws_net_paid_inc_tax * ws_quantity else 0 end) as jan_net
+        | 	,sum(case when d_moy = 2
+        | 		then ws_net_paid_inc_tax * ws_quantity else 0 end) as feb_net
+        | 	,sum(case when d_moy = 3 
+        | 		then ws_net_paid_inc_tax * ws_quantity else 0 end) as mar_net
+        | 	,sum(case when d_moy = 4 
+        | 		then ws_net_paid_inc_tax * ws_quantity else 0 end) as apr_net
+        | 	,sum(case when d_moy = 5 
+        | 		then ws_net_paid_inc_tax * ws_quantity else 0 end) as may_net
+        | 	,sum(case when d_moy = 6 
+        | 		then ws_net_paid_inc_tax * ws_quantity else 0 end) as jun_net
+        | 	,sum(case when d_moy = 7 
+        | 		then ws_net_paid_inc_tax * ws_quantity else 0 end) as jul_net
+        | 	,sum(case when d_moy = 8 
+        | 		then ws_net_paid_inc_tax * ws_quantity else 0 end) as aug_net
+        | 	,sum(case when d_moy = 9 
+        | 		then ws_net_paid_inc_tax * ws_quantity else 0 end) as sep_net
+        | 	,sum(case when d_moy = 10 
+        | 		then ws_net_paid_inc_tax * ws_quantity else 0 end) as oct_net
+        | 	,sum(case when d_moy = 11
+        | 		then ws_net_paid_inc_tax * ws_quantity else 0 end) as nov_net
+        | 	,sum(case when d_moy = 12
+        | 		then ws_net_paid_inc_tax * ws_quantity else 0 end) as dec_net
+        |     from
+        |          web_sales
+        |         ,warehouse
+        |         ,date_dim
+        |         ,time_dim
+        | 	  ,ship_mode
+        |     where
+        |            ws_warehouse_sk =  w_warehouse_sk
+        |        and ws_sold_date_sk = d_date_sk
+        |        and ws_sold_time_sk = t_time_sk
+        | 	and ws_ship_mode_sk = sm_ship_mode_sk
+        |        and d_year = 2002
+        | 	and t_time between 49530 and 49530+28800 
+        | 	and sm_carrier in ('UPS','AIRBORNE')
+        |     group by 
+        |        w_warehouse_name
+        | 	,w_warehouse_sq_ft
+        | 	,w_city
+        | 	,w_county
+        | 	,w_state
+        | 	,w_country
+        |       ,d_year
+        | 	)
+        | union all
+        |    (select 
+        | 	w_warehouse_name
+        | 	,w_warehouse_sq_ft
+        | 	,w_city
+        | 	,w_county
+        | 	,w_state
+        | 	,w_country
+        | 	,'DIAMOND' || ',' || 'AIRBORNE' as ship_carriers
+        |       ,d_year as year
+        | 	,sum(case when d_moy = 1 
+        | 		then cs_ext_sales_price* cs_quantity else 0 end) as jan_sales
+        | 	,sum(case when d_moy = 2 
+        | 		then cs_ext_sales_price* cs_quantity else 0 end) as feb_sales
+        | 	,sum(case when d_moy = 3 
+        | 		then cs_ext_sales_price* cs_quantity else 0 end) as mar_sales
+        | 	,sum(case when d_moy = 4 
+        | 		then cs_ext_sales_price* cs_quantity else 0 end) as apr_sales
+        | 	,sum(case when d_moy = 5 
+        | 		then cs_ext_sales_price* cs_quantity else 0 end) as may_sales
+        | 	,sum(case when d_moy = 6 
+        | 		then cs_ext_sales_price* cs_quantity else 0 end) as jun_sales
+        | 	,sum(case when d_moy = 7 
+        | 		then cs_ext_sales_price* cs_quantity else 0 end) as jul_sales
+        | 	,sum(case when d_moy = 8 
+        | 		then cs_ext_sales_price* cs_quantity else 0 end) as aug_sales
+        | 	,sum(case when d_moy = 9 
+        | 		then cs_ext_sales_price* cs_quantity else 0 end) as sep_sales
+        | 	,sum(case when d_moy = 10 
+        | 		then cs_ext_sales_price* cs_quantity else 0 end) as oct_sales
+        | 	,sum(case when d_moy = 11
+        | 		then cs_ext_sales_price* cs_quantity else 0 end) as nov_sales
+        | 	,sum(case when d_moy = 12
+        | 		then cs_ext_sales_price* cs_quantity else 0 end) as dec_sales
+        | 	,sum(case when d_moy = 1 
+        | 		then cs_net_paid_inc_ship_tax * cs_quantity else 0 end) as jan_net
+        | 	,sum(case when d_moy = 2 
+        | 		then cs_net_paid_inc_ship_tax * cs_quantity else 0 end) as feb_net
+        | 	,sum(case when d_moy = 3 
+        | 		then cs_net_paid_inc_ship_tax * cs_quantity else 0 end) as mar_net
+        | 	,sum(case when d_moy = 4 
+        | 		then cs_net_paid_inc_ship_tax * cs_quantity else 0 end) as apr_net
+        | 	,sum(case when d_moy = 5 
+        | 		then cs_net_paid_inc_ship_tax * cs_quantity else 0 end) as may_net
+        | 	,sum(case when d_moy = 6 
+        | 		then cs_net_paid_inc_ship_tax * cs_quantity else 0 end) as jun_net
+        | 	,sum(case when d_moy = 7 
+        | 		then cs_net_paid_inc_ship_tax * cs_quantity else 0 end) as jul_net
+        | 	,sum(case when d_moy = 8 
+        | 		then cs_net_paid_inc_ship_tax * cs_quantity else 0 end) as aug_net
+        | 	,sum(case when d_moy = 9 
+        | 		then cs_net_paid_inc_ship_tax * cs_quantity else 0 end) as sep_net
+        | 	,sum(case when d_moy = 10 
+        | 		then cs_net_paid_inc_ship_tax * cs_quantity else 0 end) as oct_net
+        | 	,sum(case when d_moy = 11
+        | 		then cs_net_paid_inc_ship_tax * cs_quantity else 0 end) as nov_net
+        | 	,sum(case when d_moy = 12
+        | 		then cs_net_paid_inc_ship_tax * cs_quantity else 0 end) as dec_net
+        |     from
+        |          catalog_sales
+        |         ,warehouse
+        |         ,date_dim
+        |         ,time_dim
+        | 	 ,ship_mode
+        |     where
+        |            cs_warehouse_sk =  w_warehouse_sk
+        |        and cs_sold_date_sk = d_date_sk
+        |        and cs_sold_time_sk = t_time_sk
+        | 	and cs_ship_mode_sk = sm_ship_mode_sk
+        |        and d_year = 2002
+        | 	and t_time between 49530 AND 49530+28800 
+        | 	and sm_carrier in ('UPS','AIRBORNE')
+        |     group by 
+        |        w_warehouse_name
+        | 	,w_warehouse_sq_ft
+        | 	,w_city
+        | 	,w_county
+        | 	,w_state
+        | 	,w_country
+        |       ,d_year
+        |     ) 
+        | ) x
+        | group by 
+        |        w_warehouse_name
+        | 	,w_warehouse_sq_ft
+        | 	,w_city
+        | 	,w_county
+        | 	,w_state
+        | 	,w_country
+        | 	,ship_carriers
+        |       ,year
+        | order by w_warehouse_name
+        | limit 100""".stripMargin, false),
+
+    ("query77",
+      """with ss as
+        | (select s_store_sk,
+        |         sum(ss_ext_sales_price) as sales,
+        |         sum(ss_net_profit) as profit
+        | from store_sales,
+        |      date_dim,
+        |      store
+        | where ss_sold_date_sk = d_date_sk
+        |       and d_date between cast('1998-11-04' as date) 
+        |                  and date_add(cast('1998-11-04' as date), 30) 
+        |       and ss_store_sk = s_store_sk
+        | group by s_store_sk)
+        | ,
+        | sr as
+        | (select s_store_sk,
+        |         sum(sr_return_amt) as returns,
+        |         sum(sr_net_loss) as profit_loss
+        | from store_returns,
+        |      date_dim,
+        |      store
+        | where sr_returned_date_sk = d_date_sk
+        |       and d_date between cast('1998-11-04' as date)
+        |                  and date_add(cast('1998-11-04' as date), 30)
+        |       and sr_store_sk = s_store_sk
+        | group by s_store_sk), 
+        | cs as
+        | (select cs_call_center_sk,
+        |        sum(cs_ext_sales_price) as sales,
+        |        sum(cs_net_profit) as profit
+        | from catalog_sales,
+        |      date_dim
+        | where cs_sold_date_sk = d_date_sk
+        |       and d_date between cast('1998-11-04' as date)
+        |                  and date_add(cast('1998-11-04' as date), 30)
+        | group by cs_call_center_sk 
+        | ), 
+        | cr as
+        | (select
+        |        sum(cr_return_amount) as returns,
+        |        sum(cr_net_loss) as profit_loss
+        | from catalog_returns,
+        |      date_dim
+        | where cr_returned_date_sk = d_date_sk
+        |       and d_date between cast('1998-11-04' as date)
+        |                  and date_add(cast('1998-11-04' as date), 30)
+        | ), 
+        | ws as
+        | ( select wp_web_page_sk,
+        |        sum(ws_ext_sales_price) as sales,
+        |        sum(ws_net_profit) as profit
+        | from web_sales,
+        |      date_dim,
+        |      web_page
+        | where ws_sold_date_sk = d_date_sk
+        |       and d_date between cast('1998-11-04' as date)
+        |                  and date_add(cast('1998-11-04' as date), 30)
+        |       and ws_web_page_sk = wp_web_page_sk
+        | group by wp_web_page_sk), 
+        | wr as
+        | (select wp_web_page_sk,
+        |        sum(wr_return_amt) as returns,
+        |        sum(wr_net_loss) as profit_loss
+        | from web_returns,
+        |      date_dim,
+        |      web_page
+        | where wr_returned_date_sk = d_date_sk
+        |       and d_date between cast('1998-11-04' as date)
+        |                  and date_add(cast('1998-11-04' as date), 30)
+        |       and wr_web_page_sk = wp_web_page_sk
+        | group by wp_web_page_sk)
+        |  select  channel
+        |        , id
+        |        , sum(sales) as sales
+        |        , sum(returns) as returns
+        |        , sum(profit) as profit
+        | from 
+        | (select 'store channel' as channel
+        |        , ss.s_store_sk as id
+        |        , sales
+        |        , coalesce(returns, 0) as returns
+        |        , (profit - coalesce(profit_loss,0)) as profit
+        | from   ss left join sr
+        |        on  ss.s_store_sk = sr.s_store_sk
+        | union all
+        | select 'catalog channel' as channel
+        |        , cs_call_center_sk as id
+        |        , sales
+        |        , returns
+        |        , (profit - profit_loss) as profit
+        | from  cs
+        |       , cr
+        | union all
+        | select 'web channel' as channel
+        |        , ws.wp_web_page_sk as id
+        |        , sales
+        |        , coalesce(returns, 0) returns
+        |        , (profit - coalesce(profit_loss,0)) as profit
+        | from   ws left join wr
+        |        on  ws.wp_web_page_sk = wr.wp_web_page_sk
+        | ) x
+        | group by rollup (channel, id)
+        | order by channel
+        |         ,id
+        | limit 100""".stripMargin, false),
+
+    ("query80",
+      """with ssr as
+        | (select  s_store_id as store_id,
+        |          sum(ss_ext_sales_price) as sales,
+        |          sum(coalesce(sr_return_amt, 0)) as returns,
+        |          sum(ss_net_profit - coalesce(sr_net_loss, 0)) as profit
+        |  from store_sales left outer join store_returns on
+        |         (ss_item_sk = sr_item_sk and ss_ticket_number = sr_ticket_number),
+        |     date_dim,
+        |     store,
+        |     item,
+        |     promotion
+        | where ss_sold_date_sk = d_date_sk
+        |       and d_date between cast('1998-11-04' as date) 
+        |                  and date_add(cast('1998-11-04' as date), 30)
+        |       and ss_store_sk = s_store_sk
+        |       and ss_item_sk = i_item_sk
+        |       and i_current_price > 50
+        |       and ss_promo_sk = p_promo_sk
+        |       and p_channel_tv = 'N'
+        | group by s_store_id)
+        | ,
+        | csr as
+        | (select  cp_catalog_page_id as catalog_page_id,
+        |          sum(cs_ext_sales_price) as sales,
+        |          sum(coalesce(cr_return_amount, 0)) as returns,
+        |          sum(cs_net_profit - coalesce(cr_net_loss, 0)) as profit
+        |  from catalog_sales left outer join catalog_returns on
+        |         (cs_item_sk = cr_item_sk and cs_order_number = cr_order_number),
+        |     date_dim,
+        |     catalog_page,
+        |     item,
+        |     promotion
+        | where cs_sold_date_sk = d_date_sk
+        |       and d_date between cast('1998-11-04' as date)
+        |                  and date_add(cast('1998-11-04' as date), 30)
+        |        and cs_catalog_page_sk = cp_catalog_page_sk
+        |       and cs_item_sk = i_item_sk
+        |       and i_current_price > 50
+        |       and cs_promo_sk = p_promo_sk
+        |       and p_channel_tv = 'N'
+        |group by cp_catalog_page_id)
+        | ,
+        | wsr as
+        | (select  web_site_id,
+        |          sum(ws_ext_sales_price) as sales,
+        |          sum(coalesce(wr_return_amt, 0)) as returns,
+        |          sum(ws_net_profit - coalesce(wr_net_loss, 0)) as profit
+        |  from web_sales left outer join web_returns on
+        |         (ws_item_sk = wr_item_sk and ws_order_number = wr_order_number),
+        |     date_dim,
+        |     web_site,
+        |     item,
+        |     promotion
+        | where ws_sold_date_sk = d_date_sk
+        |       and d_date between cast('1998-11-04' as date)
+        |                  and date_add(cast('1998-11-04' as date), 30)
+        |        and ws_web_site_sk = web_site_sk
+        |       and ws_item_sk = i_item_sk
+        |       and i_current_price > 50
+        |       and ws_promo_sk = p_promo_sk
+        |       and p_channel_tv = 'N'
+        |group by web_site_id)
+        |  select  channel
+        |        , id
+        |        , sum(sales) as sales
+        |        , sum(returns) as returns
+        |        , sum(profit) as profit
+        | from 
+        | (select 'store channel' as channel
+        |        , 'store' || store_id as id
+        |        , sales
+        |        , returns
+        |        , profit
+        | from   ssr
+        | union all
+        | select 'catalog channel' as channel
+        |        , 'catalog_page' || catalog_page_id as id
+        |        , sales
+        |        , returns
+        |        , profit
+        | from  csr
+        | union all
+        | select 'web channel' as channel
+        |        , 'web_site' || web_site_id as id
+        |        , sales
+        |        , returns
+        |        , profit
+        | from   wsr
+        | ) x
+        | group by rollup (channel, id)
+        | order by channel
+        |         ,id
+        | limit 100""".stripMargin, false),
+
+    ("query81",
+      """with customer_total_return as
+        | (select cr_returning_customer_sk as ctr_customer_sk
+        |        ,ca_state as ctr_state, 
+        | 	sum(cr_return_amt_inc_tax) as ctr_total_return
+        | from catalog_returns
+        |     ,date_dim
+        |     ,customer_address
+        | where cr_returned_date_sk = d_date_sk 
+        |   and d_year =1998
+        |   and cr_returning_addr_sk = ca_address_sk 
+        | group by cr_returning_customer_sk
+        |         ,ca_state )
+        |  select  c_customer_id,c_salutation,c_first_name,c_last_name,ca_street_number,ca_street_name
+        |                   ,ca_street_type,ca_suite_number,ca_city,ca_county,ca_state,ca_zip,ca_country,ca_gmt_offset
+        |                  ,ca_location_type,ctr_total_return
+        | from customer_total_return ctr1
+        |     ,customer_address
+        |     ,customer
+        | where ctr1.ctr_total_return > (select avg(ctr_total_return)*1.2
+        | 			  from customer_total_return ctr2 
+        |                  	  where ctr1.ctr_state = ctr2.ctr_state)
+        |       and ca_address_sk = c_current_addr_sk
+        |       and ca_state = 'KY'
+        |       and ctr1.ctr_customer_sk = c_customer_sk
+        | order by c_customer_id,c_salutation,c_first_name,c_last_name,ca_street_number,ca_street_name
+        |                   ,ca_street_type,ca_suite_number,ca_city,ca_county,ca_state,ca_zip,ca_country,ca_gmt_offset
+        |                  ,ca_location_type,ctr_total_return
+        | limit 100""".stripMargin, false),
+
+    ("query83",
+      """with sr_items as
+        | (select i_item_id item_id,
+        |        sum(sr_return_quantity) sr_item_qty
+        | from store_returns,
+        |      item,
+        |      date_dim
+        | where sr_item_sk = i_item_sk
+        | and   d_date    in 
+        |	(select d_date
+        |	from date_dim
+        |	where d_week_seq in 
+        |		(select d_week_seq
+        |		from date_dim
+        |	  where d_date in ('1998-01-02','1998-10-15','1998-11-10')))
+        | and   sr_returned_date_sk   = d_date_sk
+        | group by i_item_id),
+        | cr_items as
+        | (select i_item_id item_id,
+        |        sum(cr_return_quantity) cr_item_qty
+        | from catalog_returns,
+        |      item,
+        |      date_dim
+        | where cr_item_sk = i_item_sk
+        | and   d_date    in 
+        |	(select d_date
+        |	from date_dim
+        |	where d_week_seq in 
+        |		(select d_week_seq
+        |		from date_dim
+        |	  where d_date in ('1998-01-02','1998-10-15','1998-11-10')))
+        | and   cr_returned_date_sk   = d_date_sk
+        | group by i_item_id),
+        | wr_items as
+        | (select i_item_id item_id,
+        |        sum(wr_return_quantity) wr_item_qty
+        | from web_returns,
+        |      item,
+        |      date_dim
+        | where wr_item_sk = i_item_sk
+        | and   d_date    in 
+        |	(select d_date
+        |	from date_dim
+        |	where d_week_seq in 
+        |		(select d_week_seq
+        |		from date_dim
+        |		where d_date in ('1998-01-02','1998-10-15','1998-11-10')))
+        | and   wr_returned_date_sk   = d_date_sk
+        | group by i_item_id)
+        |  select  sr_items.item_id
+        |       ,sr_item_qty
+        |       ,sr_item_qty/(sr_item_qty+cr_item_qty+wr_item_qty)/3.0 * 100 sr_dev
+        |       ,cr_item_qty
+        |       ,cr_item_qty/(sr_item_qty+cr_item_qty+wr_item_qty)/3.0 * 100 cr_dev
+        |       ,wr_item_qty
+        |       ,wr_item_qty/(sr_item_qty+cr_item_qty+wr_item_qty)/3.0 * 100 wr_dev
+        |       ,(sr_item_qty+cr_item_qty+wr_item_qty)/3.0 average
+        | from sr_items
+        |     ,cr_items
+        |     ,wr_items
+        | where sr_items.item_id=cr_items.item_id
+        |   and sr_items.item_id=wr_items.item_id 
+        | order by sr_items.item_id
+        |         ,sr_item_qty
+        | limit 100""".stripMargin, false),
+
+    ("query85",
+      """select  substr(r_reason_desc,1,20)
+        |       ,avg(ws_quantity)
+        |       ,avg(wr_refunded_cash)
+        |       ,avg(wr_fee)
+        | from web_sales, web_returns, web_page, customer_demographics cd1,
+        |      customer_demographics cd2, customer_address, date_dim, reason 
+        | where ws_web_page_sk = wp_web_page_sk
+        |   and ws_item_sk = wr_item_sk
+        |   and ws_order_number = wr_order_number
+        |   and ws_sold_date_sk = d_date_sk and d_year = 1998
+        |   and cd1.cd_demo_sk = wr_refunded_cdemo_sk 
+        |   and cd2.cd_demo_sk = wr_returning_cdemo_sk
+        |   and ca_address_sk = wr_refunded_addr_sk
+        |   and r_reason_sk = wr_reason_sk
+        |   and
+        |   (
+        |    (
+        |     cd1.cd_marital_status = 'M'
+        |     and
+        |     cd1.cd_marital_status = cd2.cd_marital_status
+        |     and
+        |     cd1.cd_education_status = '4 yr Degree'
+        |     and 
+        |     cd1.cd_education_status = cd2.cd_education_status
+        |     and
+        |     ws_sales_price between 100.00 and 150.00
+        |    )
+        |   or
+        |    (
+        |     cd1.cd_marital_status = 'D'
+        |     and
+        |     cd1.cd_marital_status = cd2.cd_marital_status
+        |     and
+        |     cd1.cd_education_status = 'Primary' 
+        |     and
+        |     cd1.cd_education_status = cd2.cd_education_status
+        |     and
+        |     ws_sales_price between 50.00 and 100.00
+        |    )
+        |   or
+        |    (
+        |     cd1.cd_marital_status = 'U'
+        |     and
+        |     cd1.cd_marital_status = cd2.cd_marital_status
+        |     and
+        |     cd1.cd_education_status = 'Advanced Degree'
+        |     and
+        |     cd1.cd_education_status = cd2.cd_education_status
+        |     and
+        |     ws_sales_price between 150.00 and 200.00
+        |    )
+        |   )
+        |   and
+        |   (
+        |    (
+        |     ca_country = 'United States'
+        |     and
+        |     ca_state in ('KY', 'GA', 'NM')
+        |     and ws_net_profit between 100 and 200  
+        |    )
+        |    or
+        |    (
+        |     ca_country = 'United States'
+        |     and
+        |     ca_state in ('MT', 'OR', 'IN')
+        |     and ws_net_profit between 150 and 300  
+        |    )
+        |    or
+        |    (
+        |     ca_country = 'United States'
+        |     and
+        |     ca_state in ('WI', 'MO', 'WV')
+        |     and ws_net_profit between 50 and 250  
+        |    )
+        |   )
+        |group by r_reason_desc
+        |order by substr(r_reason_desc,1,20)
+        |        ,avg(ws_quantity)
+        |        ,avg(wr_refunded_cash)
+        |        ,avg(wr_fee)
+        |limit 100""".stripMargin, false),
+
+    ("query90",
+      """select  cast(amc as decimal(15,4))/cast(pmc as decimal(15,4)) am_pm_ratio
+        | from ( select count(*) amc
+        |       from web_sales, household_demographics , time_dim, web_page
+        |       where ws_sold_time_sk = time_dim.t_time_sk
+        |         and ws_ship_hdemo_sk = household_demographics.hd_demo_sk
+        |         and ws_web_page_sk = web_page.wp_web_page_sk
+        |         and time_dim.t_hour between 6 and 6+1
+        |         and household_demographics.hd_dep_count = 8
+        |         and web_page.wp_char_count between 5000 and 5200) at,
+        |      ( select count(*) pmc
+        |       from web_sales, household_demographics , time_dim, web_page
+        |       where ws_sold_time_sk = time_dim.t_time_sk
+        |         and ws_ship_hdemo_sk = household_demographics.hd_demo_sk
+        |         and ws_web_page_sk = web_page.wp_web_page_sk
+        |         and time_dim.t_hour between 14 and 14+1
+        |         and household_demographics.hd_dep_count = 8
+        |         and web_page.wp_char_count between 5000 and 5200) pt
+        | order by am_pm_ratio
+        | limit 100""".stripMargin, false),
+
+    ("query91",
+      """select  
+        |        cc_call_center_id Call_Center,
+        |        cc_name Call_Center_Name,
+        |        cc_manager Manager,
+        |        sum(cr_net_loss) Returns_Loss
+        |from
+        |        call_center,
+        |        catalog_returns,
+        |        date_dim,
+        |        customer,
+        |        customer_address,
+        |        customer_demographics,
+        |        household_demographics
+        |where
+        |        cr_call_center_sk       = cc_call_center_sk
+        |and     cr_returned_date_sk     = d_date_sk
+        |and     cr_returning_customer_sk= c_customer_sk
+        |and     cd_demo_sk              = c_current_cdemo_sk
+        |and     hd_demo_sk              = c_current_hdemo_sk
+        |and     ca_address_sk           = c_current_addr_sk
+        |and     d_year                  = 1999 
+        |and     d_moy                   = 11
+        |and     ( (cd_marital_status       = 'M' and cd_education_status     = 'Unknown')
+        |        or(cd_marital_status       = 'W' and cd_education_status     = 'Advanced Degree'))
+        |and     hd_buy_potential like '0-500%'
+        |group by cc_call_center_id,cc_name,cc_manager,cd_marital_status,cd_education_status
+        |order by sum(cr_net_loss) desc""".stripMargin, false))
+
+  test("wave-16i perf queries (query66/77/80/81/83/85/90/91): the " +
+      "monthly shipping matrix, five-channel profit rollups, " +
+      "returns state averages, the returned-quantity triple-match, " +
+      "reason/demographic OR arms, am/pm ratios, call-center losses " +
+      "— same invariants") {
+    DsData.ensure(spark)
+    withConf(cboConfs: _*) {
+      wave16iQueries.foreach { case (name, sql, expectDpp) =>
+        checkQuery(name, sql, expectDpp)
+      }
+    }
+  }
+
+  /** Wave 16h: the three-channel sales+returns rollup over union legs
+    * (q5), the zip-matched store-customer returns snowflake (q24),
+    * the web-returns state-average select (q30, the q1 sibling on
+    * web), the before/after warehouse matrix (q40), the correlated
+    * item-attribute count (q41), the cross-channel acquisition
+    * revenue segments (q54 — the county+state store/address equality
+    * DsData now makes functional), the gmt-offset color select (q56,
+    * the q33/q60 sibling), and the promotion-ratio pair (q61).
+    */
+  private lazy val wave16hQueries: Seq[(String, String, Boolean)] = Seq(
+    ("query5",
+      // '1998-08-04' -> '1998-11-04': August has no fact dates
+      """with ssr as
+        | (select s_store_id,
+        |        sum(sales_price) as sales,
+        |        sum(profit) as profit,
+        |        sum(return_amt) as returns,
+        |        sum(net_loss) as profit_loss
+        | from
+        |  ( select  ss_store_sk as store_sk,
+        |            ss_sold_date_sk  as date_sk,
+        |            ss_ext_sales_price as sales_price,
+        |            ss_net_profit as profit,
+        |            cast(0 as decimal(7,2)) as return_amt,
+        |            cast(0 as decimal(7,2)) as net_loss
+        |    from store_sales
+        |    union all
+        |    select sr_store_sk as store_sk,
+        |           sr_returned_date_sk as date_sk,
+        |           cast(0 as decimal(7,2)) as sales_price,
+        |           cast(0 as decimal(7,2)) as profit,
+        |           sr_return_amt as return_amt,
+        |           sr_net_loss as net_loss
+        |    from store_returns
+        |   ) salesreturns,
+        |     date_dim,
+        |     store
+        | where date_sk = d_date_sk
+        |       and d_date between cast('1998-11-04' as date)
+        |                  and date_add(cast('1998-11-04' as date), 14)
+        |       and store_sk = s_store_sk
+        | group by s_store_id)
+        | ,
+        | csr as
+        | (select cp_catalog_page_id,
+        |        sum(sales_price) as sales,
+        |        sum(profit) as profit,
+        |        sum(return_amt) as returns,
+        |        sum(net_loss) as profit_loss
+        | from
+        |  ( select  cs_catalog_page_sk as page_sk,
+        |            cs_sold_date_sk  as date_sk,
+        |            cs_ext_sales_price as sales_price,
+        |            cs_net_profit as profit,
+        |            cast(0 as decimal(7,2)) as return_amt,
+        |            cast(0 as decimal(7,2)) as net_loss
+        |    from catalog_sales
+        |    union all
+        |    select cr_catalog_page_sk as page_sk,
+        |           cr_returned_date_sk as date_sk,
+        |           cast(0 as decimal(7,2)) as sales_price,
+        |           cast(0 as decimal(7,2)) as profit,
+        |           cr_return_amount as return_amt,
+        |           cr_net_loss as net_loss
+        |    from catalog_returns
+        |   ) salesreturns,
+        |     date_dim,
+        |     catalog_page
+        | where date_sk = d_date_sk
+        |       and d_date between cast('1998-11-04' as date)
+        |                  and date_add(cast('1998-11-04' as date), 14)
+        |       and page_sk = cp_catalog_page_sk
+        | group by cp_catalog_page_id)
+        | ,
+        | wsr as
+        | (select web_site_id,
+        |        sum(sales_price) as sales,
+        |        sum(profit) as profit,
+        |        sum(return_amt) as returns,
+        |        sum(net_loss) as profit_loss
+        | from
+        |  ( select  ws_web_site_sk as wsr_web_site_sk,
+        |            ws_sold_date_sk  as date_sk,
+        |            ws_ext_sales_price as sales_price,
+        |            ws_net_profit as profit,
+        |            cast(0 as decimal(7,2)) as return_amt,
+        |            cast(0 as decimal(7,2)) as net_loss
+        |    from web_sales
+        |    union all
+        |    select ws_web_site_sk as wsr_web_site_sk,
+        |           wr_returned_date_sk as date_sk,
+        |           cast(0 as decimal(7,2)) as sales_price,
+        |           cast(0 as decimal(7,2)) as profit,
+        |           wr_return_amt as return_amt,
+        |           wr_net_loss as net_loss
+        |    from web_returns left outer join web_sales on
+        |         ( wr_item_sk = ws_item_sk
+        |           and wr_order_number = ws_order_number)
+        |   ) salesreturns,
+        |     date_dim,
+        |     web_site
+        | where date_sk = d_date_sk
+        |       and d_date between cast('1998-11-04' as date)
+        |                  and date_add(cast('1998-11-04' as date), 14)
+        |       and wsr_web_site_sk = web_site_sk
+        | group by web_site_id)
+        |  select  channel
+        |        , id
+        |        , sum(sales) as sales
+        |        , sum(returns) as returns
+        |        , sum(profit) as profit
+        | from
+        | (select 'store channel' as channel
+        |        , 'store' || s_store_id as id
+        |        , sales
+        |        , returns
+        |        , (profit - profit_loss) as profit
+        | from   ssr
+        | union all
+        | select 'catalog channel' as channel
+        |        , 'catalog_page' || cp_catalog_page_id as id
+        |        , sales
+        |        , returns
+        |        , (profit - profit_loss) as profit
+        | from  csr
+        | union all
+        | select 'web channel' as channel
+        |        , 'web_site' || web_site_id as id
+        |        , sales
+        |        , returns
+        |        , (profit - profit_loss) as profit
+        | from   wsr
+        | ) x
+        | group by rollup (channel, id)
+        | order by channel
+        |         ,id
+        | limit 100""".stripMargin, false),
+
+    ("query24",
+      // i_color 'orchid' -> 'plum' (DsData's 10-color pool)
+      """with ssales as
+        |(select c_last_name
+        |      ,c_first_name
+        |      ,s_store_name
+        |      ,ca_state
+        |      ,s_state
+        |      ,i_color
+        |      ,i_current_price
+        |      ,i_manager_id
+        |      ,i_units
+        |      ,i_size
+        |      ,sum(ss_sales_price) netpaid
+        |from store_sales
+        |    ,store_returns
+        |    ,store
+        |    ,item
+        |    ,customer
+        |    ,customer_address
+        |where ss_ticket_number = sr_ticket_number
+        |  and ss_item_sk = sr_item_sk
+        |  and ss_customer_sk = c_customer_sk
+        |  and ss_item_sk = i_item_sk
+        |  and ss_store_sk = s_store_sk
+        |  and c_current_addr_sk = ca_address_sk
+        |  and c_birth_country <> upper(ca_country)
+        |  and s_zip = ca_zip
+        |and s_market_id=7
+        |group by c_last_name
+        |        ,c_first_name
+        |        ,s_store_name
+        |        ,ca_state
+        |        ,s_state
+        |        ,i_color
+        |        ,i_current_price
+        |        ,i_manager_id
+        |        ,i_units
+        |        ,i_size)
+        |select c_last_name
+        |      ,c_first_name
+        |      ,s_store_name
+        |      ,sum(netpaid) paid
+        |from ssales
+        |where i_color = 'plum'
+        |group by c_last_name
+        |        ,c_first_name
+        |        ,s_store_name
+        |having sum(netpaid) > (select 0.05*avg(netpaid)
+        |                                 from ssales)""".stripMargin,
+      false),
+
+    ("query30",
+      // ca_state 'IL' -> 'KY' (DsData's 12-state pool)
+      """with customer_total_return as
+        | (select wr_returning_customer_sk as ctr_customer_sk
+        |        ,ca_state as ctr_state,
+        | 	sum(wr_return_amt) as ctr_total_return
+        | from web_returns
+        |     ,date_dim
+        |     ,customer_address
+        | where wr_returned_date_sk = d_date_sk
+        |   and d_year =2002
+        |   and wr_returning_addr_sk = ca_address_sk
+        | group by wr_returning_customer_sk
+        |         ,ca_state)
+        |  select  c_customer_id,c_salutation,c_first_name,c_last_name,c_preferred_cust_flag
+        |       ,c_birth_day,c_birth_month,c_birth_year,c_birth_country,c_login,c_email_address
+        |       ,c_last_review_date_sk,ctr_total_return
+        | from customer_total_return ctr1
+        |     ,customer_address
+        |     ,customer
+        | where ctr1.ctr_total_return > (select avg(ctr_total_return)*1.2
+        | 			  from customer_total_return ctr2
+        |                  	  where ctr1.ctr_state = ctr2.ctr_state)
+        |       and ca_address_sk = c_current_addr_sk
+        |       and ca_state = 'KY'
+        |       and ctr1.ctr_customer_sk = c_customer_sk
+        | order by c_customer_id,c_salutation,c_first_name,c_last_name,c_preferred_cust_flag
+        |                  ,c_birth_day,c_birth_month,c_birth_year,c_birth_country,c_login,c_email_address
+        |                  ,c_last_review_date_sk,ctr_total_return
+        |limit 100""".stripMargin, false),
+
+    ("query40",
+      """select
+        |   w_state
+        |  ,i_item_id
+        |  ,sum(case when (cast(d_date as date) < cast ('1998-04-08' as date))
+        | 		then cs_sales_price - coalesce(cr_refunded_cash,0) else 0 end) as sales_before
+        |  ,sum(case when (cast(d_date as date) >= cast ('1998-04-08' as date))
+        | 		then cs_sales_price - coalesce(cr_refunded_cash,0) else 0 end) as sales_after
+        | from
+        |   catalog_sales left outer join catalog_returns on
+        |       (cs_order_number = cr_order_number
+        |        and cs_item_sk = cr_item_sk)
+        |  ,warehouse
+        |  ,item
+        |  ,date_dim
+        | where
+        |     i_current_price between 0.99 and 1.49
+        | and i_item_sk          = cs_item_sk
+        | and cs_warehouse_sk    = w_warehouse_sk
+        | and cs_sold_date_sk    = d_date_sk
+        | and d_date between date_sub(cast ('1998-04-08' as date), 30)
+        |                and date_add(cast ('1998-04-08' as date), 30)
+        | group by
+        |    w_state,i_item_id
+        | order by w_state,i_item_id
+        |limit 100""".stripMargin, false),
+
+    ("query41",
+      // manufact band widened to the full pool and color/units lists
+      // adapted to DsData's generated values — the correlated count's
+      // conjunction is empty under the template literals at any seed
+      """select  distinct(i_product_name)
+        | from item i1
+        | where i_manufact_id between 1 and 1+999
+        |   and (select count(*) as item_cnt
+        |        from item
+        |        where (i_manufact = i1.i_manufact and
+        |        ((i_category = 'Women' and
+        |        (i_color = 'maroon' or i_color = 'dim' or
+        |         i_color = 'steel' or i_color = 'navajo') and
+        |        (i_units = 'Pound' or i_units = 'Gross' or
+        |         i_units = 'Each' or i_units = 'Dozen') and
+        |        (i_size = 'medium' or i_size = 'large')
+        |        ) or
+        |        (i_category = 'Women' and
+        |        (i_color = 'chocolate' or i_color = 'ivory' or
+        |         i_color = 'salmon' or i_color = 'plum') and
+        |        (i_units = 'Box' or i_units = 'Case' or
+        |         i_units = 'Oz' or i_units = 'Pallet') and
+        |        (i_size = 'economy' or i_size = 'petite')
+        |        ) or
+        |        (i_category = 'Men' and
+        |        (i_color = 'burnished' or i_color = 'khaki' or
+        |         i_color = 'maroon' or i_color = 'steel') and
+        |        (i_units = 'Each' or i_units = 'Box' or
+        |         i_units = 'Pound' or i_units = 'Gross') and
+        |        (i_size = 'N/A' or i_size = 'small')
+        |        ) or
+        |        (i_category = 'Men' and
+        |        (i_color = 'dim' or i_color = 'plum' or
+        |         i_color = 'ivory' or i_color = 'navajo') and
+        |        (i_units = 'Dozen' or i_units = 'Case' or
+        |         i_units = 'Pallet' or i_units = 'Oz') and
+        |        (i_size = 'medium' or i_size = 'large')
+        |        )))) > 0
+        | order by i_product_name
+        | limit 100""".stripMargin, false),
+
+    ("query54",
+      // d_moy 3 -> 4 (no March fact dates); the +1..+3 month window
+      // lands on May-July, whose July dates exist in the pool. The
+      // i_class conjunct is relaxed to the category alone: DsData's
+      // 2000-item category x class cross leaves any single (category,
+      // class) cell with ~2 cold items, and a one-month cohort of
+      // their buyers with a county+state-matched store purchase is
+      // deterministically empty — the acquisition-cohort shape
+      // (item-filtered multi-channel buyers -> local store revenue
+      // segments) is unchanged
+      """with my_customers as (
+        | select distinct c_customer_sk
+        |        , c_current_addr_sk
+        | from
+        |        ( select cs_sold_date_sk sold_date_sk,
+        |                 cs_bill_customer_sk customer_sk,
+        |                 cs_item_sk item_sk
+        |          from   catalog_sales
+        |          union all
+        |          select ws_sold_date_sk sold_date_sk,
+        |                 ws_bill_customer_sk customer_sk,
+        |                 ws_item_sk item_sk
+        |          from   web_sales
+        |         ) cs_or_ws_sales,
+        |         item,
+        |         date_dim,
+        |         customer
+        | where   sold_date_sk = d_date_sk
+        |         and item_sk = i_item_sk
+        |         and i_category = 'Jewelry'
+        |         and c_customer_sk = cs_or_ws_sales.customer_sk
+        |         and d_moy = 4
+        |         and d_year = 1999
+        | )
+        | , my_revenue as (
+        | select c_customer_sk,
+        |        sum(ss_ext_sales_price) as revenue
+        | from   my_customers,
+        |        store_sales,
+        |        customer_address,
+        |        store,
+        |        date_dim
+        | where  c_current_addr_sk = ca_address_sk
+        |        and ca_county = s_county
+        |        and ca_state = s_state
+        |        and ss_sold_date_sk = d_date_sk
+        |        and c_customer_sk = ss_customer_sk
+        |        and d_month_seq between (select distinct d_month_seq+1
+        |                                 from   date_dim where d_year = 1999 and d_moy = 4)
+        |                           and  (select distinct d_month_seq+3
+        |                                 from   date_dim where d_year = 1999 and d_moy = 4)
+        | group by c_customer_sk
+        | )
+        | , segments as
+        | (select cast((revenue/50) as int) as segment
+        |  from   my_revenue
+        | )
+        |  select  segment, count(*) as num_customers, segment*50 as segment_base
+        | from segments
+        | group by segment
+        | order by segment, num_customers
+        | limit 100""".stripMargin, false),
+
+    ("query56",
+      // i_color list adapted to DsData's pool
+      """with ss as (
+        | select i_item_id,sum(ss_ext_sales_price) total_sales
+        | from
+        | 	store_sales,
+        | 	date_dim,
+        |         customer_address,
+        |         item
+        | where i_item_id in (select
+        |     i_item_id
+        |from item
+        |where i_color in ('maroon','ivory','salmon'))
+        | and     ss_item_sk              = i_item_sk
+        | and     ss_sold_date_sk         = d_date_sk
+        | and     d_year                  = 2000
+        | and     d_moy                   = 1
+        | and     ss_addr_sk              = ca_address_sk
+        | and     ca_gmt_offset           = -8
+        | group by i_item_id),
+        | cs as (
+        | select i_item_id,sum(cs_ext_sales_price) total_sales
+        | from
+        | 	catalog_sales,
+        | 	date_dim,
+        |         customer_address,
+        |         item
+        | where
+        |         i_item_id               in (select
+        |  i_item_id
+        |from item
+        |where i_color in ('maroon','ivory','salmon'))
+        | and     cs_item_sk              = i_item_sk
+        | and     cs_sold_date_sk         = d_date_sk
+        | and     d_year                  = 2000
+        | and     d_moy                   = 1
+        | and     cs_bill_addr_sk         = ca_address_sk
+        | and     ca_gmt_offset           = -8
+        | group by i_item_id),
+        | ws as (
+        | select i_item_id,sum(ws_ext_sales_price) total_sales
+        | from
+        | 	web_sales,
+        | 	date_dim,
+        |         customer_address,
+        |         item
+        | where
+        |         i_item_id               in (select
+        |  i_item_id
+        |from item
+        |where i_color in ('maroon','ivory','salmon'))
+        | and     ws_item_sk              = i_item_sk
+        | and     ws_sold_date_sk         = d_date_sk
+        | and     d_year                  = 2000
+        | and     d_moy                   = 1
+        | and     ws_bill_addr_sk         = ca_address_sk
+        | and     ca_gmt_offset           = -8
+        | group by i_item_id)
+        |  select  i_item_id ,sum(total_sales) total_sales
+        | from  (select * from ss
+        |        union all
+        |        select * from cs
+        |        union all
+        |        select * from ws) tmp1
+        | group by i_item_id
+        | order by total_sales
+        | limit 100""".stripMargin, false),
+
+    ("query61",
+      """select  promotions,total,cast(promotions as decimal(15,4))/cast(total as decimal(15,4))*100
+        |from
+        |  (select sum(ss_ext_sales_price) promotions
+        |   from  store_sales
+        |        ,store
+        |        ,promotion
+        |        ,date_dim
+        |        ,customer
+        |        ,customer_address
+        |        ,item
+        |   where ss_sold_date_sk = d_date_sk
+        |   and   ss_store_sk = s_store_sk
+        |   and   ss_promo_sk = p_promo_sk
+        |   and   ss_customer_sk= c_customer_sk
+        |   and   ca_address_sk = c_current_addr_sk
+        |   and   ss_item_sk = i_item_sk
+        |   and   ca_gmt_offset = -7
+        |   and   i_category = 'Electronics'
+        |   and   (p_channel_dmail = 'Y' or p_channel_email = 'Y' or p_channel_tv = 'Y')
+        |   and   s_gmt_offset = -7
+        |   and   d_year = 1999
+        |   and   d_moy  = 11) promotional_sales,
+        |  (select sum(ss_ext_sales_price) total
+        |   from  store_sales
+        |        ,store
+        |        ,date_dim
+        |        ,customer
+        |        ,customer_address
+        |        ,item
+        |   where ss_sold_date_sk = d_date_sk
+        |   and   ss_store_sk = s_store_sk
+        |   and   ss_customer_sk= c_customer_sk
+        |   and   ca_address_sk = c_current_addr_sk
+        |   and   ss_item_sk = i_item_sk
+        |   and   ca_gmt_offset = -7
+        |   and   i_category = 'Electronics'
+        |   and   s_gmt_offset = -7
+        |   and   d_year = 1999
+        |   and   d_moy  = 11) all_sales
+        |order by promotions, total
+        |limit 100""".stripMargin, false))
+
+  test("wave-16h perf queries (query5/24/30/40/41/54/56/61): " +
+      "sales+returns channel rollups, the zip-matched returns " +
+      "snowflake, web-returns state averages, before/after warehouse " +
+      "matrices, correlated item-attribute counts, acquisition " +
+      "revenue segments, gmt-offset color selects, the " +
+      "promotion-ratio scalar pair — same invariants") {
+    DsData.ensure(spark)
+    withConf(cboConfs: _*) {
+      wave16hQueries.foreach { case (name, sql, expectDpp) =>
+        checkQuery(name, sql, expectDpp)
+      }
+    }
+  }
 
   /** Wave 16g: the scalar-subquery bucket matrix (q9), the
     * revenue-ratio window on catalog (q20), the correlated
