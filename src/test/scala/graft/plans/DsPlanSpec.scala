@@ -3171,6 +3171,80 @@ class DsPlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         |order by sum_sales - avg_monthly_sales, s_store_name
         |limit 100""".stripMargin, false))
 
+  /** Wave 16j closes the corpus: query8 (zip-prefix store select —
+    * the IN-list regenerated over DsData's 40-zip shared pool; the
+    * template's 400 random zips cannot exist here) and query63 (the
+    * manager-deviation sibling of q53/q89, class/brand lists adapted
+    * to the generated pools). With these, EVERY distinct perf-corpus
+    * query (99 of 99 query templates; the corpus' remaining files are
+    * engine-config variants of the same texts) has a plan-quality +
+    * plan-independence gate.
+    */
+  private lazy val wave16jQueries: Seq[(String, String, Boolean)] = Seq(
+    ("query8",
+      """select  s_store_name
+        |      ,sum(ss_net_profit)
+        | from store_sales
+        |     ,date_dim
+        |     ,store,
+        |     (select ca_zip
+        |     from (
+        |     (SELECT substr(ca_zip,1,5) ca_zip
+        |      FROM customer_address
+        |      WHERE substr(ca_zip,1,5) IN ('10007','10444','10881','11318','11755','12192','12629','13066','13503','13940','14377','14814','15251','15688','16125','16562','16999','17436','17873','18310'))
+        |     intersect
+        |     (select ca_zip
+        |      from (SELECT substr(ca_zip,1,5) ca_zip,count(*) cnt
+        |            FROM customer_address, customer
+        |            WHERE ca_address_sk = c_current_addr_sk and
+        |                  c_preferred_cust_flag='Y'
+        |            group by ca_zip
+        |            having count(*) > 10)A1))A2) V1
+        | where ss_store_sk = s_store_sk
+        |  and ss_sold_date_sk = d_date_sk
+        |  and d_qoy = 1 and d_year = 2002
+        |  and (substr(s_zip,1,2) = substr(V1.ca_zip,1,2))
+        | group by s_store_name
+        | order by s_store_name
+        | limit 100""".stripMargin, false),
+
+    ("query63",
+      """select  *
+        |from (select i_manager_id
+        |             ,sum(ss_sales_price) sum_sales
+        |             ,avg(sum(ss_sales_price)) over (partition by i_manager_id) avg_monthly_sales
+        |      from item
+        |          ,store_sales
+        |          ,date_dim
+        |          ,store
+        |      where ss_item_sk = i_item_sk
+        |        and ss_sold_date_sk = d_date_sk
+        |        and ss_store_sk = s_store_sk
+        |        and d_month_seq in (1212,1212+1,1212+2,1212+3,1212+4,1212+5,1212+6,1212+7,1212+8,1212+9,1212+10,1212+11)
+        |        and ((    i_category in ('Books','Children','Electronics')
+        |              and i_class in ('class1','class2','class3','class4','class5','class6','class7','class8','class9','class10','class11','class12','class13','class14','class15','class16','class17','class18','class19','class20')
+        |              and i_brand in ('Brand#1','Brand#2','Brand#3','Brand#4','Brand#5','Brand#6','Brand#7','Brand#8','Brand#9','Brand#10','Brand#11','Brand#12','Brand#13','Brand#14','Brand#15','Brand#16','Brand#17','Brand#18','Brand#19','Brand#20','Brand#21','Brand#22','Brand#23','Brand#24','Brand#25','Brand#26','Brand#27','Brand#28','Brand#29','Brand#30','Brand#31','Brand#32','Brand#33','Brand#34','Brand#35','Brand#36','Brand#37','Brand#38','Brand#39','Brand#40'))
+        |           or(    i_category in ('Women','Music','Men')
+        |              and i_class in ('class21','class22','class23','class24','class25','class26','class27','class28','class29','class30','class31','class32','class33','class34','class35','class36','class37','class38','class39','class40')
+        |              and i_brand in ('Brand#1','Brand#2','Brand#3','Brand#4','Brand#5','Brand#6','Brand#7','Brand#8','Brand#9','Brand#10','Brand#11','Brand#12','Brand#13','Brand#14','Brand#15','Brand#16','Brand#17','Brand#18','Brand#19','Brand#20','Brand#21','Brand#22','Brand#23','Brand#24','Brand#25','Brand#26','Brand#27','Brand#28','Brand#29','Brand#30','Brand#31','Brand#32','Brand#33','Brand#34','Brand#35','Brand#36','Brand#37','Brand#38','Brand#39','Brand#40')))
+        |group by i_manager_id, d_moy) tmp1
+        |where case when avg_monthly_sales > 0 then abs (sum_sales - avg_monthly_sales) / avg_monthly_sales else null end > 0.1
+        |order by i_manager_id
+        |        ,avg_monthly_sales
+        |        ,sum_sales
+        |limit 100""".stripMargin, false))
+
+  test("wave-16j perf queries (query8/query63): zip-prefix store " +
+      "select and the manager-deviation matrix — the corpus' last " +
+      "two templates; same invariants") {
+    DsData.ensure(spark)
+    withConf(cboConfs: _*) {
+      wave16jQueries.foreach { case (name, sql, expectDpp) =>
+        checkQuery(name, sql, expectDpp)
+      }
+    }
+  }
+
   /** Wave 16i: the warehouse monthly shipping matrix (q66, carrier
     * list adapted to the generated pool), the five-channel
     * profit-and-returns rollups (q77 with its one-row cr cross, q80's
