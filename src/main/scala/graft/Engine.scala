@@ -283,11 +283,12 @@ object Engine {
             graft.plans.OrderlessWindows(graft.plans.DistinctWindows(spark,
               graft.plans.HiveRegex(
               graft.plans.ProjectedInSubqueries(
+              graft.plans.EmptyGroupingSets(
               graft.plans.GroupingSetsDedup(
               graft.plans.LenientInsertCasts(spark,
                 graft.plans.ViewColumnNames(spark,
                   graft.plans.CtePartialAliases(spark,
-                    graft.plans.NamedTables.substitute(spark, secured))))))))),
+                    graft.plans.NamedTables.substitute(spark, secured)))))))))),
             query0)
           // char columns reaching functions see the STRIPPED value
           // (Hive's HiveChar contract) — post-analysis, so it knows

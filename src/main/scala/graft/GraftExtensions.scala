@@ -50,6 +50,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Hive semantics: MAP-typed GROUP BY keys (canonical entry arrays)
     ext.injectResolutionRule(_ =>
       new graft.plans.MapGroupBy.MapGroupByRule)
+    // Hive semantics: the explicit empty grouping set answers its
+    // global row even over empty input
+    ext.injectResolutionRule(_ =>
+      new graft.plans.EmptyGroupingSets.EmptyGroupingSetsRule)
     // Hive semantics: ORDERLESS ranking/sequencing windows
     // (row_number() OVER (), rank() OVER (PARTITION BY x)) — every row a
     // peer, via a constant ORDER BY. Parser-level: the analyzer's window
