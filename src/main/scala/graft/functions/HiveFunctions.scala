@@ -84,6 +84,22 @@ object HiveFunctions {
         Sqrt(d))
     }
 
+    // Hive's acos/asin return NULL outside [-1, 1] (ref udf/UDFAcos
+    // .java:48, udf/UDFAsin.java:48) where Spark's Acos/Asin answer
+    // NaN — surfaced by the qtest sweep (decimal_udf2.q). Same
+    // SQL-name-only scoping as sqrt.
+    def domainGuarded(name: String,
+        builder: Expression => Expression): Unit =
+      fn(name) { args =>
+        require(args.size == 1, s"$name(x) takes one argument")
+        val d = Cast(args.head, org.apache.spark.sql.types.DoubleType)
+        If(Or(LessThan(d, Literal(-1d)), GreaterThan(d, Literal(1d))),
+          Literal.create(null, org.apache.spark.sql.types.DoubleType),
+          builder(d))
+      }
+    domainGuarded("acos", Acos)
+    domainGuarded("asin", Asin)
+
     // Hive's 2-arg log(base, x) returns NULL whenever base <= 1 (ref
     // udf/UDFLog.java:81: base <= 1.0 || x <= 0.0 -> null) where Spark
     // computes log_base for any positive base != 1 (log(0.5, 2) = -1.0)

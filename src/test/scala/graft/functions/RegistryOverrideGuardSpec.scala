@@ -37,6 +37,9 @@ import org.apache.spark.sql.functions._
   *  - rlike/regexp (r16): differ only for the EMPTY pattern; the one
   *    engine site (TextFormats' RegexSerDe) requires a non-empty
   *    pattern by construction.
+  *  - acos/asin (r16): differ only OUTSIDE [-1,1] (Hive NULL vs NaN);
+  *    engine trig sites (Geo haversine, FunctionQueries) feed
+  *    normalized ratios inside the domain.
   */
 class RegistryOverrideGuardSpec extends SparkSpec {
 
@@ -65,6 +68,9 @@ class RegistryOverrideGuardSpec extends SparkSpec {
     // 2-arg log -> NULL for base <= 1 (Hive); valid bases unchanged (r16)
     assert(df.select(log(0.5, lit(2.0))).head.isNullAt(0))
     assert(df.select(log(2.0, lit(8.0))).head.getDouble(0) === 3.0)
+    // acos/asin -> NULL outside [-1,1] (Hive), not NaN (r16)
+    assert(df.select(acos(lit(10.0))).head.isNullAt(0))
+    assert(df.select(asin(lit(1.0))).head.getDouble(0) === math.Pi / 2)
   }
 
   test("bucket placement is registry-proof: poisoning `hash` changes " +
