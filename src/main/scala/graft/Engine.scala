@@ -62,6 +62,12 @@ object Engine {
     // events.parquet carries TIMESTAMP(NANOS) which Spark has no native type
     // for: read as long and convert (see table()).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Hive's map constructors keep the LAST value for a duplicated key
+    // (GenericUDFStringToMap/GenericUDFMap put into a LinkedHashMap —
+    // str_to_map('val:1,val:2') answers {val: 2}, pinned by
+    // str_to_map_utf8.q) where Spark's default policy throws
+    // DUPLICATED_MAP_KEY.
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     // cost-based optimization from ANALYZE'd statistics (join reorder,
     // broadcast decisions) — the Catalyst analog of Hive's CBO+StatsOptimizer.
     spark.conf.set("spark.sql.cbo.enabled", "true")
