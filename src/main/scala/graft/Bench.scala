@@ -63,6 +63,12 @@ object Bench {
       "host, /tmp cleaned) -- single-run matched-22 readings carry ~15% " +
       "host-duty-cycle noise on this box; compare rounds by the BAND, " +
       "not the point value"),
+    "r17_queries_norm" -> ("queries_norm is an ARRAY in the same order " +
+      "as the queries object's keys: each query's seconds restated at " +
+      "pinned idle-host speed, sec * calib_nominal / calib_interp, " +
+      "where calib_interp linearly interpolates calib_first..calib_last " +
+      "by run position -- per-query cross-round comparisons should use " +
+      "these; raw queries stay for continuity"),
     "r16_calibration" -> ("calib_first/last_sec time a fixed-work " +
       "CPU+shuffle probe (1B-row xxhash64 spin into a 4096-key agg, no " +
       "testdata inputs) immediately before and after the measurement " +
@@ -637,8 +643,23 @@ object Bench {
     val m22Ratio = m22 / r1MatchedTotalSec
     val calibMean = (calibFirst + calibLast) / 2
     val m22Norm = m22 * (CalibNominalSec / calibMean)
+    // Per-query normalized seconds (r16 verdict ask): each query's wall
+    // time restated at pinned idle-host speed, with the calibration
+    // INTERPOLATED by run position (the probes bracket the window, and
+    // measured host drift is roughly linear across it — r16: 1.354 →
+    // 1.875 over the suite). Emitted as an ARRAY in the same order as
+    // `queries` keys, 2-decimal, so the whole headline stays inside the
+    // driver's ~2 KB stdout tail window.
+    def r2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val n = results.size
+    val qsNorm = results.zipWithIndex.map { case ((_, v), i) =>
+      val frac = (i + 0.5) / n
+      val calibAt = calibFirst + (calibLast - calibFirst) * frac
+      if (v < 0) "-1" else r2(v * (CalibNominalSec / calibAt))
+    }.mkString("[", ",", "]")
     println(s"""{"metric":"detail","breakdown":$bd,"notes":$ns}""")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_runs":$nRuns,"agg":"min","matched22_sec":${r3(m22)},"matched22_vs_r1":${r3(m22Ratio)},"calib_first_sec":${r3(calibFirst)},"calib_last_sec":${r3(calibLast)},"calib_nominal_sec":${r3(CalibNominalSec)},"matched22_norm_sec":${r3(m22Norm)},"matched22_norm_vs_r1":${r3(m22Norm / r1MatchedTotalSec)},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_runs":$nRuns,"agg":"min","matched22_sec":${r3(m22)},"matched22_vs_r1":${r3(m22Ratio)},"calib_first_sec":${r3(calibFirst)},"calib_last_sec":${r3(calibLast)},"calib_nominal_sec":${r3(CalibNominalSec)},"matched22_norm_sec":${r3(m22Norm)},"matched22_norm_vs_r1":${r3(m22Norm / r1MatchedTotalSec)},"queries":$qs,"queries_norm":$qsNorm,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -301,13 +301,13 @@ object Engine {
           // which attributes carry char metadata
           val charFixed =
             graft.plans.CharStrippedFunctions(spark, substituted)
-          // Hive map-typed GROUP BY keys canonicalize to sorted entry
-          // arrays (needs the resolved plan's types, so it sits with the
-          // post-analysis stages)
-          val mapGrouped = graft.plans.MapGroupBy(spark, charFixed)
+          // (map-typed GROUP BY keys need no rewrite on Spark 4:
+          // InsertMapSortInGroupingExpressions normalizes them
+          // natively, nested values included — verified by
+          // EmptyGroupingSetsAdviceSpec/QtestGroupbyWave16zSpec)
           // LAST: materialization EXECUTES CTE definitions, which must
           // only happen after authz adjudicated and policies substituted
-          val materialized = graft.plans.CteMaterialize(spark, mapGrouped)
+          val materialized = graft.plans.CteMaterialize(spark, charFixed)
           val df =
             if (materialized eq plan) spark.sql(query0)
             else org.apache.spark.sql.GraftShims.ofRows(spark, materialized)

@@ -47,9 +47,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Hive semantics: RLIKE/REGEXP with an empty pattern answers FALSE
     ext.injectResolutionRule(_ =>
       new graft.plans.HiveRegex.EmptyPatternRule)
-    // Hive semantics: MAP-typed GROUP BY keys (canonical entry arrays)
-    ext.injectResolutionRule(_ =>
-      new graft.plans.MapGroupBy.MapGroupByRule)
     // Hive semantics: the explicit empty grouping set answers its
     // global row even over empty input
     ext.injectResolutionRule(_ =>

@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg (local iteration only): comma-separated query
+    // names — dump just those. The driver always passes two args.
+    val (sfDir, outDir) = (args(0), args(1))
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -34,7 +38,7 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Deterministic catalog order, so a partial run loses a contiguous tail
     // (easy to diagnose) rather than a HashMap-random subset.
-    SparkEntry.allDefs.foreach { d =>
+    SparkEntry.allDefs.filter(d => only.forall(_(d.name))).foreach { d =>
       val t0 = System.nanoTime()
       try {
         d.fn(spark, sfDir).coalesce(1).write.mode("overwrite")

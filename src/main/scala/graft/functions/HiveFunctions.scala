@@ -72,9 +72,12 @@ object HiveFunctions {
 
     // Hive's sqrt returns NULL for a NEGATIVE input (ref udf/UDFSqrt
     // .java:45) where Spark's Sqrt answers NaN — surfaced by the qtest
-    // sweep (udf4.q). SQL-name-only: DataFrame functions.sqrt and every
-    // internal use (vector norms in operators/Similarity) build Sqrt
-    // directly and keep Spark semantics on their always-non-negative
+    // sweep (udf4.q). Scope (per RegistryOverrideGuardSpec): on Spark 4
+    // DataFrame functions.sqrt routes through the registry (Column.fn),
+    // so the override DOES reach the DataFrame API — the guard spec
+    // pins sqrt(lit(-1.0)) as NULL. Engine-internal sites are still
+    // safe: vector norms in operators/Similarity and Geo build Catalyst
+    // Sqrt or math.sqrt directly (never by name) on always-non-negative
     // inputs.
     fn("sqrt") { args =>
       require(args.size == 1, "sqrt(x) takes one argument")

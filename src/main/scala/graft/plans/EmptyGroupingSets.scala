@@ -2,8 +2,13 @@ package graft.plans
 
 import java.util.Locale
 
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, GroupingSets, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Grouping, GroupingID, GroupingSets, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -20,10 +25,26 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * under the remaining sets. On non-empty input the result is
   * identical (the `()` row IS the global aggregate); on empty input
   * the global leg supplies the missing row. In the global leg,
-  * `grouping(x...)` folds to its all-ones value and `grouping__id` to
-  * the full mask; select-list occurrences of the grouping expressions
-  * fold to NULL except inside aggregate calls (sum(a) with a also a
-  * group key aggregates the raw column, per Hive).
+  * `grouping(x)` folds to TINYINT 1 and `grouping_id()`/GROUPING__ID
+  * to the BIGINT full mask (typed exactly as Spark's Grouping /
+  * GroupingID so Union widening cannot shift the output type);
+  * select-list occurrences of the grouping expressions fold to NULL
+  * except inside aggregate calls (sum(a) with a also a group key
+  * aggregates the raw column, per Hive). Aggregate calls are detected
+  * through the session FunctionRegistry (the builder's result node),
+  * not a name whitelist, so max_by/median/mode/any_value/percentile_
+  * cont-class aggregates keep their raw arguments too; a static set
+  * remains only as the no-active-session fallback. Grouping-expression
+  * matching strips attribute qualifiers and compares case-insensitively
+  * (`t.a` in the select list matches group key `a`) — sound because in
+  * a valid query every bare non-aggregate select item must BE a
+  * grouping expression.
+  *
+  * Both resolved and unresolved spellings are matched: the front door
+  * runs pre-analysis (UnresolvedFunction nodes), while the
+  * extensions-injected [[EmptyGroupingSetsRule]] shares the analyzer's
+  * fixpoint with ResolveGroupingAnalytics/ResolveFunctions and can see
+  * grouping()/grouping_id() already resolved to Grouping/GroupingID.
   *
   * Scale note: the global leg re-scans the child once, but as a
   * key-less partial aggregate over only the aggregated columns — the
@@ -35,33 +56,83 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 object EmptyGroupingSets {
 
-  // aggregate functions whose arguments must keep the RAW column in
-  // the global leg (a grouping expression inside sum() aggregates the
-  // column; outside, it names the group and folds to NULL)
+  /** Fallback aggregate-name set, used only when no active session's
+    * registry is reachable (bare rule application in tests).
+    */
   private val AggNames = Set("sum", "count", "avg", "mean", "min", "max",
     "first", "last", "first_value", "last_value", "collect_list",
     "collect_set", "stddev", "stddev_pop", "stddev_samp", "std",
     "variance", "var_pop", "var_samp", "corr", "covar_pop", "covar_samp",
     "percentile", "percentile_approx", "approx_count_distinct",
     "count_if", "any", "some", "every", "bool_and", "bool_or", "bit_and",
-    "bit_or", "bit_xor", "histogram_numeric", "skewness", "kurtosis")
+    "bit_or", "bit_xor", "histogram_numeric", "skewness", "kurtosis",
+    "max_by", "min_by", "any_value", "array_agg", "median", "mode",
+    "percentile_cont", "percentile_disc", "listagg", "string_agg",
+    "regr_count", "regr_avgx", "regr_avgy", "regr_sxx", "regr_syy",
+    "regr_sxy", "regr_slope", "regr_intercept", "regr_r2")
 
   private def fnName(f: UnresolvedFunction): String =
     f.nameParts.last.toLowerCase(Locale.ROOT)
 
+  /** Is this call an aggregate? Ask the session FunctionRegistry to
+    * BUILD it and key off the result node class — the authoritative
+    * answer for builtins, Hive-gap registrations, and overrides alike.
+    * Builder failures (arg-shape checks, special parse-only forms)
+    * fall back to the static name set.
+    */
+  private def isAggregate(f: UnresolvedFunction): Boolean = {
+    val name = fnName(f)
+    val viaRegistry =
+      try {
+        SparkSession.getActiveSession.map { spark =>
+          spark.sessionState.functionRegistry
+            .lookupFunction(FunctionIdentifier(name), f.arguments) match {
+            case _: AggregateFunction => true
+            case _: AggregateExpression => true
+            case e => e.exists {
+              case _: AggregateFunction => true
+              case _ => false
+            }
+          }
+        }
+      } catch { case NonFatal(_) => None }
+    viaRegistry.getOrElse(AggNames(name))
+  }
+
+  /** Qualifier-stripped, case-folded key for grouping-expression
+    * matching: `t.a`, `T.A`, and `a` all normalize to `a`; non-attribute
+    * expressions normalize their embedded attributes the same way.
+    */
+  private def norm(e: Expression): String = {
+    val stripped = e.transformUp {
+      case a: UnresolvedAttribute =>
+        UnresolvedAttribute(Seq(a.nameParts.last.toLowerCase(Locale.ROOT)))
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        UnresolvedAttribute(Seq(a.name.toLowerCase(Locale.ROOT)))
+    }
+    stripped.sql.toLowerCase(Locale.ROOT)
+  }
+
   private def globalize(ne: NamedExpression, groupExprs: Seq[Expression],
       fullMask: Int): NamedExpression = {
-    val groupSql = groupExprs.map(_.sql).toSet
+    val groupKeys = groupExprs.map(norm).toSet
     def walk(e: Expression): Expression = e match {
+      // unresolved spellings (front-door path)
       case f: UnresolvedFunction if fnName(f) == "grouping" =>
-        Literal((1 << f.arguments.size) - 1)
+        Literal(((1 << f.arguments.size) - 1).toByte)
       case f: UnresolvedFunction if fnName(f) == "grouping_id" =>
-        Literal(fullMask)
+        Literal(fullMask.toLong)
       case a: UnresolvedAttribute
           if a.name.toLowerCase(Locale.ROOT) == "grouping__id" =>
-        Literal(fullMask)
-      case f: UnresolvedFunction if AggNames(fnName(f)) => f // raw args
-      case e if groupSql(e.sql) => Literal(null)
+        Literal(fullMask.toLong)
+      // resolved spellings (extension rule sharing the analyzer
+      // fixpoint with ResolveGroupingAnalytics/ResolveFunctions)
+      case _: Grouping => Literal(1.toByte)
+      case _: GroupingID => Literal(fullMask.toLong)
+      case f: UnresolvedFunction if isAggregate(f) => f // raw args
+      case ae: AggregateExpression => ae // raw args
+      case af: AggregateFunction => af // raw args
+      case e if groupKeys(norm(e)) => Literal(null)
       case other => other.mapChildren(walk)
     }
     walk(ne) match {

@@ -435,18 +435,26 @@ object CoreQueries {
     // DISTINCT window aggregates (ref windowing_distinct.q): Spark has
     // none — the front door lowers them to collect_set compositions
     // (plans/DistinctWindows). DuckDB oracle computes the same numbers
-    // as grouped distinct aggregates joined back per row.
+    // as grouped distinct aggregates joined back per row. Both legs
+    // cast the sum down to DECIMAL(18,2): the lowering's accumulator
+    // widens to DECIMAL(38,2), which is int128-backed — the one dtype
+    // class the driver's representation-sensitive hash diverges on
+    // even when values match cell-for-cell (the round-16 red). The
+    // final cast lands the output in the int64-backed decimal class
+    // that 191 other oracles already verify round-trips identically
+    // (tools/oracle_typelint.py now lints precision > 18 at authoring
+    // time).
     q("q56_distinct_window",
       """SELECT o.o_custkey AS k, g.cp AS cp, g.sp AS sp
         |FROM orders o JOIN (
         |  SELECT o_custkey, count(DISTINCT o_orderpriority) AS cp,
-        |         sum(DISTINCT CAST(o_totalprice AS DECIMAL(18,2))) AS sp
+        |         CAST(sum(DISTINCT CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sp
         |  FROM orders GROUP BY o_custkey) g ON o.o_custkey = g.o_custkey
         |ORDER BY k, cp, sp""".stripMargin) { (spark, dir) =>
       Engine.sql(spark, dir,
         """SELECT o_custkey AS k,
           |  count(DISTINCT o_orderpriority) OVER (PARTITION BY o_custkey) AS cp,
-          |  sum(DISTINCT CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey) AS sp
+          |  CAST(sum(DISTINCT CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey) AS DECIMAL(18,2)) AS sp
           |FROM orders ORDER BY k, cp, sp""".stripMargin)
     },
 

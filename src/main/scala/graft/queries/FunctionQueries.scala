@@ -1099,8 +1099,8 @@ object FunctionQueries {
     },
 
     // GROUP BY a MAP-typed key (r16; ref groupby_complex_types.q —
-    // Hive surface Spark's CheckAnalysis refuses as non-orderable;
-    // plans/MapGroupBy canonicalizes the key to sorted entries). The
+    // Spark 4 groups map keys natively, normalizing entry order via
+    // InsertMapSortInGroupingExpressions). The
     // map projects back to scalars so the rendering is engine-neutral;
     // grouping by the one-entry map is definitionally grouping by the
     // pair, which is what the oracle does.

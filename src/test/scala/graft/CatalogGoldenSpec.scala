@@ -5,10 +5,11 @@ import org.apache.spark.sql.DataFrame
 
 /** Golden transcripts for every catalog query WITHOUT a DuckDB oracle — the
   * reference's own verification model (golden .q.out diffs; driver
-  * itests/util/.../QTestUtil.java:110). The 14 no-oracle queries are the
-  * signature-algorithm operators (MinHash/SimHash/LSH/sketches/stub codec)
-  * whose exact output no other engine reproduces; a committed transcript
-  * pins them against regressions with the same strength as an oracle row.
+  * itests/util/.../QTestUtil.java:110). The no-oracle queries (the set is
+  * DERIVED — count it, don't trust a comment) are the signature-algorithm
+  * operators (MinHash/SimHash/LSH/sketches/stub codec) whose exact output
+  * no other engine reproduces; a committed transcript pins them against
+  * regressions with the same strength as an oracle row.
   *
   * The golden set is derived from the catalog (`oracle == None`), so a new
   * rows-only query FAILS here until its transcript is committed — the

@@ -1,9 +1,10 @@
 package graft
 
 /** Conformance wave 16z: the groupby corpus remainder — COMPLEX-TYPED
-  * grouping keys (array/map/struct; the MAP key is the r16 engine gap
-  * closed by plans/MapGroupBy — Spark's CheckAnalysis refuses map
-  * grouping outright), string-coerced aggregation, and
+  * grouping keys (array/map/struct; Spark 4 normalizes MAP keys
+  * natively via InsertMapSortInGroupingExpressions — the r16
+  * hand-rolled canonicalization was removed in r17 as redundant),
+  * string-coerced aggregation, and
   * count(DISTINCT)-per-key shapes (ref ql/src/test/queries/
   * clientpositive/groupby_complex_types.q, groupby5.q, groupby8.q,
   * groupby11.q, groupby12.q). The complex-key cases project the key
@@ -29,10 +30,8 @@ class QtestGroupbyWave16zSpec extends QtestHarness {
         "MAP(key, value)) t",
       duck = Some("SELECT key AS kk, value AS vv, count(1) AS c " +
         "FROM qt_src GROUP BY key, value"),
-      note = "GROUP BY a MAP key — Hive surface Spark refuses " +
-        "(non-orderable type); the engine canonicalizes to " +
-        "sort_array(map_entries(m)) and rebuilds the map in the " +
-        "select (plans/MapGroupBy)"),
+      note = "GROUP BY a MAP key — Spark 4 normalizes the key " +
+        "natively (InsertMapSortInGroupingExpressions)"),
     QCase("groupby_complex_types.q", "z03",
       "SELECT t.s.col1 AS kk, t.s.col2 AS vv, c FROM (SELECT " +
         "STRUCT(key AS col1, value AS col2) AS s, COUNT(1) AS c " +

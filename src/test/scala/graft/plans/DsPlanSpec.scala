@@ -4827,6 +4827,107 @@ class DsPlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
           "query72 JOIN-ORDER TRAP: inventory met a catalog_sales side " +
             s"not yet joined to its selective dims (fact side scans: $t)\n$p72")
       }
+
+      // ---- the CTE/subquery REUSE pins (r16 verdict ask) ----
+      // Each trap's signature failure mode is a RE-COMPUTED shared
+      // subtree. Exchange reuse must keep each CTE body's fact scan to
+      // ONE evaluation; the pins count fact scans (subqueries included)
+      // and require a ReusedExchange covering the shared subtree (ref
+      // golden plans ql/src/test/results/clientpositive/perf/tpcds30tb/
+      // tez/query{23,14,95}.q.out — the Tez plans share the equivalent
+      // vertices).
+      def reusedChildren(p: SparkPlan): Seq[SparkPlan] =
+        collectWithSubqueries(p) {
+          case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+            r.child
+        }
+      def scanCounts(p: SparkPlan): Map[String, Int] =
+        collectWithSubqueries(p) { case s: FileSourceScanExec =>
+          s.tableIdentifier.map(_.table).getOrElse("<pathOnly>")
+        }.groupBy(identity).view.mapValues(_.size).toMap
+
+      // q23: frequent_ss_items and best_ss_customer each feed BOTH
+      // union legs' IN-subqueries — their broadcasts must reuse, and
+      // store_sales must scan exactly three times (once per CTE body:
+      // frequent_ss_items, max_store_sales, best_ss_customer)
+      val p23 = plans("query23")
+      val r23 = reusedChildren(p23).map(scanTables)
+      assert(r23.exists(t => t("store_sales") && t("date_dim") && t("item")),
+        s"query23: frequent_ss_items subtree is not exchange-reused\n$p23")
+      assert(r23.exists(t => t("store_sales") && t("customer")),
+        s"query23: best_ss_customer subtree is not exchange-reused\n$p23")
+      assert(scanCounts(p23).getOrElse("store_sales", 0) === 3,
+        s"query23: store_sales must scan once per CTE body (3), got " +
+          s"${scanCounts(p23)}\n$p23")
+
+      // q14: the three-channel INTERSECT builds cross_items once; its
+      // whole subtree (all three facts + item + date_dim) must be
+      // exchange-reused across the rollup legs
+      val p14 = plans("query14")
+      val r14 = reusedChildren(p14).map(scanTables)
+      assert(r14.exists(t => t("store_sales") && t("catalog_sales") &&
+          t("web_sales") && t("item") && t("date_dim")),
+        s"query14: cross_items subtree is not exchange-reused\n$p14")
+      assert(scanCounts(p14).getOrElse("store_sales", 0) === 3,
+        s"query14: store_sales must scan once per consumer (cross_items " +
+          s"leg, avg_sales leg, report leg = 3), got ${scanCounts(p14)}\n$p14")
+
+      // q95: the ws_wh self-join feeds two IN-subqueries — its inner
+      // web_sales broadcast must reuse, holding the fact to <= 4 scans
+      // (ws1 fact + ws_wh ws1-side x2 + ONE shared ws2 broadcast; a
+      // no-reuse plan scans 5)
+      val p95 = plans("query95")
+      val r95 = reusedChildren(p95).map(scanTables)
+      assert(r95.exists(_("web_sales")),
+        s"query95: ws_wh's web_sales side is not exchange-reused\n$p95")
+      assert(scanCounts(p95).getOrElse("web_sales", 0) <= 4,
+        s"query95: ws_wh re-computation blew the web_sales scan count: " +
+          s"${scanCounts(p95)}\n$p95")
+    }
+  }
+
+  test("query64: the cross_sales CTE evaluates ONCE under the front " +
+      "door's materialization (ref query64.q.out evaluates the shared " +
+      "vertex once; Spark's default inlining scans the store_sales " +
+      "17-way join twice)") {
+    DsData.ensure(spark)
+    val sql64 = trapQueries.find(_._1 == "query64").get._2
+    withConf(cboConfs :+
+        (graft.plans.CteMaterialize.ThresholdKey -> "2"): _*) {
+      // default-inline context (measured here, asserted as the baseline
+      // the materialization removes): cross_sales twice = 2 fact scans
+      val inlined = executed(spark.sql(sql64))
+      val inlinedCounts = collectWithSubqueries(inlined) {
+        case s: FileSourceScanExec =>
+          s.tableIdentifier.map(_.table).getOrElse("<pathOnly>")
+      }.groupBy(identity).view.mapValues(_.size).toMap
+      assert(inlinedCounts.getOrElse("store_sales", 0) === 2,
+        s"inline baseline drifted: $inlinedCounts")
+      val want = spark.sql(sql64).collect()
+
+      // materialized: the final plan scans the staged parquet twice and
+      // the CTE body's tables ZERO times — the 17-way join ran once,
+      // during materialization
+      val parsed = spark.sessionState.sqlParser.parsePlan(sql64)
+      val materialized = graft.plans.CteMaterialize(spark, parsed)
+      assert(materialized ne parsed,
+        "CteMaterialize declined query64 — threshold gate broken?")
+      val df = org.apache.spark.sql.GraftShims.ofRows(spark, materialized)
+      val got = df.collect()
+      val plan = executed(df)
+      val counts = collectWithSubqueries(plan) {
+        case s: FileSourceScanExec =>
+          s.tableIdentifier.map(_.table).getOrElse("<pathOnly>")
+      }.groupBy(identity).view.mapValues(_.size).toMap
+      assert(counts.getOrElse("store_sales", 0) === 0,
+        s"query64: cross_sales was re-evaluated in the final plan: $counts")
+      assert(counts.getOrElse("<pathOnly>", 0) === 2,
+        s"query64: expected two scans of the staged cross_sales: $counts")
+      // value-identical to the inlined answer
+      assert(got.length === want.length)
+      assert(got.map(_.toString).sorted.toSeq ===
+        want.map(_.toString).sorted.toSeq)
+      graft.plans.CteMaterialize.release(spark)
     }
   }
 

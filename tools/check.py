@@ -113,6 +113,20 @@ def main():
                   f"(oracle needs a CAST — driver hash will diverge)")
             n_fail += 1
             continue
+        # int128-backed decimals (precision > 18) hash-diverge in the
+        # driver's round-trip even when BOTH sides agree on
+        # DECIMAL(38,s) and every cell matches (round-16 q56 red) —
+        # flag them on either side regardless of class agreement.
+        wide = [(c, t, side) for side, ts in (("spark", gt), ("oracle", et))
+                for c, t in ts.items() if t.upper().startswith("DECIMAL")
+                and int(t.split("(")[1].split(",")[0]) > 18]
+        if wide:
+            c, t, side = wide[0]
+            print(f"FAIL {name}: {side} col {c} is {t} — int128-backed "
+                  f"decimal; CAST both legs to DECIMAL(18,s) "
+                  f"(driver hash diverges on representation)")
+            n_fail += 1
+            continue
         bad = None
         for r, (g, e) in enumerate(zip(got, exp)):
             for gi, ei in zip(gidx, eidx):

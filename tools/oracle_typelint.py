@@ -4,14 +4,28 @@
 Usage: python3 tools/oracle_typelint.py <sfDir> <oraclesJsonPath>
 
 DESCRIBEs every oracle query in DuckDB over views of the testdata and
-prints one line per OFFENDING column typed HUGEINT — the dtype DuckDB
-gives a bare sum(BIGINT/INTEGER), which Spark can never produce, so the
-driver's representation-sensitive hash diverges even when values match
-(the f32/s27 class of round-9 red). The repo convention is
-CAST(sum(...) AS BIGINT/DOUBLE); this lint makes the slip a test failure
-at authoring time instead of a red CORRECTNESS row a round later.
+prints one line per OFFENDING column in a dtype class the driver's
+representation-sensitive hash is known to diverge on even when values
+match cell-for-cell:
+
+  * HUGEINT — the dtype DuckDB gives a bare sum(BIGINT/INTEGER), which
+    Spark can never produce (the f32/s27 class of round-9 red). Fix:
+    CAST(sum(...) AS BIGINT/DOUBLE).
+  * DECIMAL(p, s) with p > 18 — int128-backed wide decimal (the dtype
+    DuckDB gives sum(DECIMAL), and Spark gives its own widened decimal
+    accumulators). Round-16's q56 red proved this class hash-diverges
+    across the engines' round-trips even when BOTH sides are
+    DECIMAL(38,2) and every cell matches; int64-backed decimal (p <=
+    18) is the class 191 oracles verify round-trips identically. Fix:
+    CAST(... AS DECIMAL(18, s)) on BOTH legs.
+
+This makes the slip a test failure at authoring time instead of a red
+CORRECTNESS row a round later.
 
 Exit 0 with no output = clean. Exit 2 = offenders printed.
+
+Self-test: --selftest runs seeded wide-decimal/HUGEINT examples and
+asserts they are flagged.
 """
 import json
 import sys
@@ -21,7 +35,46 @@ import os
 import duckdb
 
 
+def offenses(cols):
+    """One (colname, dtype, advice) per column in a hash-divergent class."""
+    out = []
+    for cname, ctype, *_ in cols:
+        t = ctype.upper()
+        if t in ("HUGEINT", "UHUGEINT"):
+            out.append((cname, ctype, "wrap in CAST(... AS BIGINT)"))
+        elif t.startswith("DECIMAL"):
+            prec = int(t.split("(")[1].split(",")[0])
+            if prec > 18:
+                scale = t.rstrip(")").split(",")[1]
+                out.append((cname, ctype,
+                            f"int128-backed — CAST(... AS "
+                            f"DECIMAL(18,{scale})) on BOTH legs"))
+    return out
+
+
+def selftest():
+    con = duckdb.connect()
+    con.execute("CREATE VIEW t AS SELECT 1::BIGINT AS a, "
+                "CAST(1.23 AS DECIMAL(18,2)) AS d")
+    seeded = {
+        "hugeint": "SELECT sum(a) AS s FROM t",                  # HUGEINT
+        "wide_decimal": "SELECT sum(d) AS s FROM t",             # DECIMAL(38,2)
+        "clean": "SELECT CAST(sum(a) AS BIGINT) AS s, "
+                 "CAST(sum(d) AS DECIMAL(18,2)) AS sd FROM t",
+    }
+    got = {n: offenses(con.execute(f"DESCRIBE ({q})").fetchall())
+           for n, q in seeded.items()}
+    assert got["hugeint"], "seeded HUGEINT example not flagged"
+    assert got["wide_decimal"], "seeded DECIMAL(38,2) example not flagged"
+    assert got["wide_decimal"][0][1].upper().startswith("DECIMAL(38"), got
+    assert not got["clean"], f"clean example falsely flagged: {got['clean']}"
+    print("selftest OK: HUGEINT + DECIMAL(38,2) flagged, clean passes")
+
+
 def main():
+    if sys.argv[1] == "--selftest":
+        selftest()
+        return
     sf_dir, oracles_path = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for p in glob.glob(f"{sf_dir}/*.parquet"):
@@ -37,12 +90,10 @@ def main():
             print(f"{name}: oracle does not plan: {str(e)[:160]}")
             bad += 1
             continue
-        for cname, ctype, *_ in cols:
-            if ctype.upper() in ("HUGEINT", "UHUGEINT"):
-                print(f"{name}: column {cname} is {ctype} — wrap in "
-                      f"CAST(... AS BIGINT) (driver hash diverges on "
-                      f"representation)")
-                bad += 1
+        for cname, ctype, advice in offenses(cols):
+            print(f"{name}: column {cname} is {ctype} — {advice} "
+                  f"(driver hash diverges on representation)")
+            bad += 1
     sys.exit(2 if bad else 0)
 
 
