@@ -126,6 +126,86 @@ object TextHashKernels {
     * Same shingle construction (and short-doc collapse) as
     * [[TextHash.shingleHashes]]; still one primitive JVM loop per row.
     */
+  private def md5_60(s: UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    // first 15 hex chars = big-endian bits 0..59 of the digest
+    java.nio.ByteBuffer.wrap(d, 0, 8).getLong >>> 4
+  }
+
+  private val portableMultsCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Long]]()
+  /** Slot multipliers every ANSI engine can derive:
+    * `('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 15))::BIGINT | 1`.
+    */
+  private def portableMults(numHashes: Int): Array[Long] =
+    portableMultsCache.computeIfAbsent(numHashes,
+      (n: Integer) => Array.tabulate(n.intValue)(i =>
+        md5_60(UTF8String.fromString(String.valueOf(i))) | 1L))
+
+  private val Mask60 = (1L << 60) - 1
+
+  /** Cross-engine-replayable MinHash: shingle hashes are the portable
+    * 60-bit MD5 ([[portableShingles]]); slot i applies the affine map
+    * `(h * m_i + i) mod 2^60` with the odd multiplier above and takes the
+    * min. Because 2^60 divides 2^64, the wrapped 64-bit product's low 60
+    * bits ARE the exact product mod 2^60 — so a HUGEINT-exact engine
+    * (DuckDB oracle leg) computes the identical value. An empty doc
+    * answers all-zero slots. The XXH64 [[minhash]] stays the production
+    * kernel (one hash per shingle vs one MD5 per shingle here); this twin
+    * exists so the signature algorithm sits under a real cross-engine
+    * oracle instead of a golden transcript.
+    */
+  def portableMinhash(words: ArrayData, shingleSize: Int,
+      numHashes: Int): ArrayData = {
+    val hsData = portableShingles(words, shingleSize)
+    val cnt = hsData.numElements()
+    val m = portableMults(numHashes)
+    val sig = new Array[Long](numHashes)
+    if (cnt == 0) return new GenericArrayData(sig)
+    java.util.Arrays.fill(sig, java.lang.Long.MAX_VALUE) // > any 60-bit value
+    var s = 0
+    while (s < cnt) {
+      val h = hsData.getLong(s)
+      var i = 0
+      while (i < numHashes) {
+        val v = (h * m(i) + i) & Mask60
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** Cross-engine-replayable SimHash: 60-bit majority vote over the
+    * portable per-WORD MD5 hashes (duplicates counted). Same verification
+    * rationale as [[portableMinhash]]; [[simhash]] (XXH64, 64-bit) stays
+    * the production kernel.
+    */
+  def portableSimhash(words: ArrayData): Long = {
+    val n = words.numElements()
+    val counts = new Array[Int](60)
+    var i = 0
+    while (i < n) {
+      val h = md5_60(words.getUTF8String(i))
+      var b = 0
+      while (b < 60) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 60) {
+      if (counts(b) * 2 > n) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
   def portableShingles(words: ArrayData, k: Int): ArrayData = {
     val n = words.numElements()
     val sep = UTF8String.fromString(" ")
@@ -211,7 +291,44 @@ case class PortableShingleHashes(child: Expression, shingleSize: Int)
     copy(child = c)
 }
 
+/** Cross-engine-replayable MinHash signature (see
+  * [[TextHashKernels.portableMinhash]]).
+  */
+case class PortableMinHash(child: Expression, shingleSize: Int, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextHashKernels.portableMinhash(
+      input.asInstanceOf[ArrayData], shingleSize, numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashKernels.portableMinhash($c, " +
+        s"$shingleSize, $numHashes);")
+  override protected def withNewChildInternal(c: Expression): PortableMinHash =
+    copy(child = c)
+}
+
+/** Cross-engine-replayable 60-bit SimHash (see
+  * [[TextHashKernels.portableSimhash]]).
+  */
+case class PortableSimHash60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(
+      TextHashKernels.portableSimhash(input.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashKernels.portableSimhash($c);")
+  override protected def withNewChildInternal(c: Expression): PortableSimHash60 =
+    copy(child = c)
+}
+
 object TextHashColumns {
+  def portableMinhash(words: Column, shingleSize: Int, numHashes: Int): Column =
+    GraftShims.column(
+      PortableMinHash(GraftShims.expression(words), shingleSize, numHashes))
+  def portableSimhash(words: Column): Column =
+    GraftShims.column(PortableSimHash60(GraftShims.expression(words)))
   def minhashSignature(words: Column, shingleSize: Int, numHashes: Int): Column =
     GraftShims.column(
       MinHashSignature(GraftShims.expression(words), shingleSize, numHashes))

@@ -134,9 +134,47 @@ object PipelineQueries {
         .orderBy($"doc_id")
     },
 
-    rowsOnly("p06_minhash_signature") { (spark, dir) =>
+    // MinHash under a REAL cross-engine oracle (r17, replacing the r16
+    // golden): the portable kernel's shingle hash is the 60-bit MD5 the
+    // fingerprint oracle already replays, and each slot's affine
+    // permutation (h*m_i+i mod 2^60) is HUGEINT-exact in DuckDB — the
+    // low 60 bits of the JVM's wrapped 64-bit product are the same
+    // residue because 2^60 | 2^64. The production LSH path keeps the
+    // XXH64 kernel (p13/p14 goldens + DedupSpec brute-force equivalence
+    // pin it); this entry proves the ALGORITHM against an engine that
+    // shares no code with ours.
+    q("p06_minhash_signature",
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |    CASE WHEN len(ws) = 0 THEN []::VARCHAR[]
+        |         WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
+        |         ELSE [array_to_string(ws[i:i+4], ' ')
+        |               for i in range(1, len(ws) - 3)] END AS sh
+        |  FROM w),
+        |h AS (SELECT doc_id,
+        |    list_transform(sh,
+        |      g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)) AS hs
+        |  FROM s),
+        |m AS (SELECT i,
+        |    (CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) | 1) AS mult
+        |  FROM range(32) t(i)),
+        |sig AS (SELECT doc_id, i,
+        |    CASE WHEN len(hs) = 0 THEN 0
+        |         ELSE list_min(list_transform(hs, v ->
+        |            CAST((CAST(v AS HUGEINT) * mult + i) % 1152921504606846976 AS BIGINT))) END AS v
+        |  FROM h CROSS JOIN m)
+        |SELECT doc_id,
+        |  max(CASE WHEN i = 0 THEN v END) AS mh_0,
+        |  max(CASE WHEN i = 1 THEN v END) AS mh_1,
+        |  bit_xor(v) AS mh_xor
+        |FROM sig GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
       import spark.implicits._
-      Dedup.withMinhash(t(spark, dir, "documents"), numHashes = 32)
+      val sig = graft.functions.TextHashColumns.portableMinhash(
+        TextAnalysis.tokens($"text"), 5, 32)
+      t(spark, dir, "documents")
+        .select($"doc_id", sig.as("minhash"))
         .select($"doc_id",
           element_at($"minhash", 1).as("mh_0"),
           element_at($"minhash", 2).as("mh_1"),
@@ -144,9 +182,33 @@ object PipelineQueries {
         .orderBy($"doc_id")
     },
 
-    rowsOnly("p07_simhash") { (spark, dir) =>
+    // SimHash under a real cross-engine oracle (r17, replacing the r16
+    // golden): 60-bit per-word MD5 majority vote, bit-for-bit replayable
+    // in DuckDB; hamming distance to doc 0 rides along as bit_count(xor).
+    // Same production-vs-verification split as p06.
+    q("p07_simhash",
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |    list_transform(ws,
+        |      x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)) AS hs
+        |  FROM w),
+        |bits AS (SELECT doc_id, b, len(hs) AS n,
+        |    len(list_filter(hs, v -> ((v >> CAST(b AS BIGINT)) & 1) = 1)) AS cnt
+        |  FROM h CROSS JOIN range(60) t(b)),
+        |sh AS (SELECT doc_id,
+        |    CAST(coalesce(sum(CASE WHEN 2 * cnt > n
+        |      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END), 0) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id, a.simhash,
+        |  CAST(bit_count(xor(a.simhash, r.simhash)) AS INT) AS hamming_to_doc0
+        |FROM sh a CROSS JOIN (SELECT simhash FROM sh WHERE doc_id = 0) r
+        |ORDER BY a.doc_id""".stripMargin) { (spark, dir) =>
       import spark.implicits._
-      val withSh = Dedup.withSimhash(t(spark, dir, "documents"))
+      val withSh = t(spark, dir, "documents").select($"doc_id",
+        graft.functions.TextHashColumns.portableSimhash(
+          TextAnalysis.tokens($"text")).as("simhash"))
       val ref = withSh.filter($"doc_id" === 0)
         .select($"simhash".as("ref_simhash"))
       withSh.crossJoin(broadcast(ref))
