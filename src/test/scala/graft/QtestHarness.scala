@@ -225,6 +225,62 @@ object QtestHarness {
     // file — no acid wrapper, ordinary spark.read); timestamps surface
     // as-is, tinyint/smallint widen in parquet for the DuckDB side
     val alltypesorc = spark.read.orc(s"$refData/alltypesorc")
+    // vector_case_when_1.q's full-schema TPC-H tiny lineitem (ref
+    // data/files/tpch/tiny/lineitem.tbl.bz2) + the .q's all-NULL row.
+    // char/varchar columns land as plain strings in the shared parquet:
+    // the .tbl values are unpadded, so CHAR-pad rendering never enters
+    // the comparison and both engines filter on identical bytes.
+    val litest = {
+      val raw = spark.read.option("sep", "|")
+        .csv(s"$refData/tpch/tiny/lineitem.tbl.bz2")
+      // dbgen terminates each line with '|': drop the trailing empty field
+      val named = raw.select(raw.columns.take(16).map(col): _*)
+        .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+          "l_returnflag", "l_linestatus", "l_shipdate", "l_commitdate",
+          "l_receiptdate", "l_shipinstruct", "l_shipmode", "l_comment")
+      val typed = named.select(
+        col("l_orderkey").cast("int"), col("l_partkey").cast("int"),
+        col("l_suppkey").cast("int"), col("l_linenumber").cast("int"),
+        col("l_quantity").cast("int"),
+        col("l_extendedprice").cast("double"),
+        col("l_discount").cast("double"),
+        col("l_tax").cast("decimal(10,2)"),
+        col("l_returnflag"), col("l_linestatus"),
+        col("l_shipdate").cast("date"), col("l_commitdate").cast("date"),
+        col("l_receiptdate").cast("date"), col("l_shipinstruct"),
+        col("l_shipmode"), col("l_comment"))
+      typed.unionByName(typed.limit(1).select(
+        typed.schema.fields.map(f =>
+          lit(null).cast(f.dataType).as(f.name)): _*))
+    }
+    // vector_case_when_2.q's timestamps table: derived from
+    // data/files/timestamps.txt exactly as the .q does (ctimestamp2 =
+    // tsval - INTERVAL '1 2:3:4' DAY TO SECOND; stimestamp1 = the cast
+    // rendering) + the all-NULL row. Both engines read the parquet this
+    // derivation wrote, so the derivation itself is not under test.
+    val timestamps = {
+      val base = spark.read.schema("tsval timestamp")
+        .csv(s"$refData/timestamps.txt")
+        .select(col("tsval").cast("date").as("cdate"),
+          col("tsval").as("ctimestamp1"),
+          col("tsval").cast("string").as("stimestamp1"),
+          (col("tsval") - expr("INTERVAL '1 2:3:4' DAY TO SECOND"))
+            .as("ctimestamp2"))
+      base.unionByName(base.limit(1).select(
+        base.schema.fields.map(f =>
+          lit(null).cast(f.dataType).as(f.name)): _*))
+    }
+    // vector_between_columns.q's TSINT/TINT pairs (+ the .q's NULL rows)
+    def pipeInts(file: String, c2: String) = {
+      val base = spark.read.option("sep", "|").option("nullValue", "\\N")
+        .csv(s"$refData/$file").toDF("rnum", c2)
+        .select(col("rnum").cast("int"), col(c2).cast("int"))
+      base.unionByName(base.limit(1).select(lit(null).cast("int")
+        .as("rnum"), lit(null).cast("int").as(c2)))
+    }
+    val tsint = pipeInts("TSINT", "csint")
+    val tint = pipeInts("TINT", "cint")
     val all = Map(
       "qt_src" -> src, "qt_src1" -> src1, "qt_srcpart" -> srcpart,
       "qt_t1" -> t1, "qt_t2" -> t2, "qt_t3" -> t3,
@@ -240,7 +296,9 @@ object QtestHarness {
       "qt_kv7" -> kv7, "qt_kv9a" -> kv9a, "qt_kv9b" -> kv9b,
       "qt_kv10" -> kv10, "qt_o10knull" -> o10kNull, "qt_wdist" -> wdist,
       "qt_srcbucket" -> srcbucket,
-      "qt_alltypesorc" -> alltypesorc)
+      "qt_alltypesorc" -> alltypesorc, "qt_litest" -> litest,
+      "qt_timestamps" -> timestamps, "qt_tsint" -> tsint,
+      "qt_tint" -> tint)
     all.map { case (name, df) =>
       val d = s"$dir/$name"
       df.write.parquet(d)
