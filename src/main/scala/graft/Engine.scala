@@ -301,13 +301,17 @@ object Engine {
           // which attributes carry char metadata
           val charFixed =
             graft.plans.CharStrippedFunctions(spark, substituted)
+          // Hive decimal→integral casts NULL on overflow where Spark
+          // wraps — post-analysis (the child type must be known)
+          val decCastFixed =
+            graft.plans.DecimalIntegralCasts(spark, charFixed)
           // (map-typed GROUP BY keys need no rewrite on Spark 4:
           // InsertMapSortInGroupingExpressions normalizes them
           // natively, nested values included — verified by
           // EmptyGroupingSetsAdviceSpec/QtestGroupbyWave16zSpec)
           // LAST: materialization EXECUTES CTE definitions, which must
           // only happen after authz adjudicated and policies substituted
-          val materialized = graft.plans.CteMaterialize(spark, charFixed)
+          val materialized = graft.plans.CteMaterialize(spark, decCastFixed)
           val df =
             if (materialized eq plan) spark.sql(query0)
             else org.apache.spark.sql.GraftShims.ofRows(spark, materialized)

@@ -47,6 +47,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Hive semantics: RLIKE/REGEXP with an empty pattern answers FALSE
     ext.injectResolutionRule(_ =>
       new graft.plans.HiveRegex.EmptyPatternRule)
+    // Hive semantics: decimal→integral casts NULL on overflow
+    ext.injectResolutionRule(_ =>
+      new graft.plans.DecimalIntegralCasts.DecimalIntegralCastsRule)
     // Hive semantics: the explicit empty grouping set answers its
     // global row even over empty input
     ext.injectResolutionRule(_ =>

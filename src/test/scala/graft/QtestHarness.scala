@@ -271,6 +271,23 @@ object QtestHarness {
         base.schema.fields.map(f =>
           lit(null).cast(f.dataType).as(f.name)): _*))
     }
+    // vector_decimal_10_0.q's two-value load: 999999999.999 rounds into
+    // decimal(10,0), 9999999999.999 overflows to NULL (LOAD semantics,
+    // via the decText LazySimpleSerDe-parity reader)
+    val dec100 = decText("decimal_10_0.txt", ",",
+      Seq("dec" -> DecimalType(10, 0)))
+    // vector_decimal64_*.q's 1000-row decimal64 table (all four columns
+    // fit the decimal64 fast path); the diffscale variant re-types the
+    // wholesale column at scale 1
+    def dec64(wholesale: org.apache.spark.sql.types.DataType) =
+      spark.read.option("sep", ",")
+        .csv(s"$refData/decimal64table.csv")
+        .toDF("ss_ext_list_price", "ss_ext_wholesale_cost",
+          "ss_ext_discount_amt", "ss_ext_sales_price")
+        .select(col("ss_ext_list_price").cast(DecimalType(7, 2)),
+          col("ss_ext_wholesale_cost").cast(wholesale),
+          col("ss_ext_discount_amt").cast(DecimalType(7, 2)),
+          col("ss_ext_sales_price").cast(DecimalType(7, 2)))
     // vector_between_columns.q's TSINT/TINT pairs (+ the .q's NULL rows)
     def pipeInts(file: String, c2: String) = {
       val base = spark.read.option("sep", "|").option("nullValue", "\\N")
@@ -298,7 +315,9 @@ object QtestHarness {
       "qt_srcbucket" -> srcbucket,
       "qt_alltypesorc" -> alltypesorc, "qt_litest" -> litest,
       "qt_timestamps" -> timestamps, "qt_tsint" -> tsint,
-      "qt_tint" -> tint)
+      "qt_tint" -> tint, "qt_dec100" -> dec100,
+      "qt_dec64" -> dec64(DecimalType(7, 2)),
+      "qt_dec64b" -> dec64(DecimalType(7, 1)))
     all.map { case (name, df) =>
       val d = s"$dir/$name"
       df.write.parquet(d)
