@@ -119,6 +119,21 @@ object HiveFunctions {
         s"log takes one or two arguments, got ${args.size}")
     }
 
+    // Hive's interval constructor functions (ref udf/generic/
+    // GenericUDFIntervalYearMonth / GenericUDFIntervalDayTime;
+    // vector_interval_1.q): interval_year_month('1-2') and
+    // interval_day_time('1 2:3:4') build interval values from Hive's
+    // interval string forms — exactly what Spark's CAST to the ANSI
+    // interval types parses (r17, surfaced by qtest wave 17c).
+    fn("interval_year_month") { args =>
+      require(args.size == 1, "interval_year_month(str) takes one argument")
+      Cast(args.head, org.apache.spark.sql.types.YearMonthIntervalType())
+    }
+    fn("interval_day_time") { args =>
+      require(args.size == 1, "interval_day_time(str) takes one argument")
+      Cast(args.head, org.apache.spark.sql.types.DayTimeIntervalType())
+    }
+
     // Hive renders java.time 'u' (PROLEPTIC year) in from_unixtime
     // patterns — udf5.q pins `MM/dd/uu` -> `01/13/10` — where Spark
     // rejects any 'u' as a reserved legacy pattern. Literal patterns
