@@ -305,13 +305,19 @@ object Engine {
           // wraps — post-analysis (the child type must be known)
           val decCastFixed =
             graft.plans.DecimalIntegralCasts(spark, charFixed)
+          // Hive sums/averages timestamps as double epoch seconds
+          val tsAggFixed =
+            graft.plans.TimestampAggregates(spark, decCastFixed)
+          // Hive coerces non-boolean WHERE conditions (getBoolean rules)
+          val boolFixed =
+            graft.plans.HiveBooleanFilters(spark, tsAggFixed)
           // (map-typed GROUP BY keys need no rewrite on Spark 4:
           // InsertMapSortInGroupingExpressions normalizes them
           // natively, nested values included — verified by
           // EmptyGroupingSetsAdviceSpec/QtestGroupbyWave16zSpec)
           // LAST: materialization EXECUTES CTE definitions, which must
           // only happen after authz adjudicated and policies substituted
-          val materialized = graft.plans.CteMaterialize(spark, decCastFixed)
+          val materialized = graft.plans.CteMaterialize(spark, boolFixed)
           val df =
             if (materialized eq plan) spark.sql(query0)
             else org.apache.spark.sql.GraftShims.ofRows(spark, materialized)

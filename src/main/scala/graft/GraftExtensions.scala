@@ -47,6 +47,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Hive semantics: RLIKE/REGEXP with an empty pattern answers FALSE
     ext.injectResolutionRule(_ =>
       new graft.plans.HiveRegex.EmptyPatternRule)
+    // Hive semantics: non-boolean WHERE conditions coerce (getBoolean)
+    ext.injectResolutionRule(_ =>
+      new graft.plans.HiveBooleanFilters.HiveBooleanFiltersRule)
+    // Hive semantics: sum/avg over timestamps aggregate epoch seconds
+    ext.injectResolutionRule(_ =>
+      new graft.plans.TimestampAggregates.TimestampAggregatesRule)
     // Hive semantics: decimal→integral casts NULL on overflow
     ext.injectResolutionRule(_ =>
       new graft.plans.DecimalIntegralCasts.DecimalIntegralCastsRule)

@@ -288,6 +288,18 @@ object QtestHarness {
           col("ss_ext_wholesale_cost").cast(wholesale),
           col("ss_ext_discount_amt").cast(DecimalType(7, 2)),
           col("ss_ext_sales_price").cast(DecimalType(7, 2)))
+    // vector_aggregate_9 / vector_distinct_2.q's 2000-row vectortab2k
+    // (|-separated, empty field = NULL for the typed columns)
+    val vt2k = spark.read.option("sep", "|")
+      .csv(s"$refData/vectortab2k")
+      .toDF("t", "si", "i", "b", "f", "d", "dc", "bo", "s", "s2",
+        "ts", "ts2", "dt")
+      .select(col("t").cast("int"), col("si").cast("int"),
+        col("i").cast("int"), col("b").cast("long"),
+        col("f").cast("float"), col("d").cast("double"),
+        col("dc").cast(DecimalType(38, 18)), col("bo").cast("boolean"),
+        col("s"), col("s2"), col("ts").cast("timestamp"),
+        col("ts2").cast("timestamp"), col("dt").cast("date"))
     // vector_between_columns.q's TSINT/TINT pairs (+ the .q's NULL rows)
     def pipeInts(file: String, c2: String) = {
       val base = spark.read.option("sep", "|").option("nullValue", "\\N")
@@ -315,7 +327,7 @@ object QtestHarness {
       "qt_srcbucket" -> srcbucket,
       "qt_alltypesorc" -> alltypesorc, "qt_litest" -> litest,
       "qt_timestamps" -> timestamps, "qt_tsint" -> tsint,
-      "qt_tint" -> tint, "qt_dec100" -> dec100,
+      "qt_tint" -> tint, "qt_vt2k" -> vt2k, "qt_dec100" -> dec100,
       "qt_dec64" -> dec64(DecimalType(7, 2)),
       "qt_dec64b" -> dec64(DecimalType(7, 1)))
     all.map { case (name, df) =>
