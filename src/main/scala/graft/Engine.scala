@@ -204,16 +204,16 @@ object Engine {
     *     to exact compositions ([[graft.plans.QuantifiedSubqueries]],
     *     [[graft.plans.DistinctWindows]]).
     *
-    * Front-door cost (re-measured r16 after the second-session
-    * additions, local[4], analyze-only loop over three simple
-    * statements): ~5 ms driver-side per statement over Spark's own
-    * ~7 ms — the chain's text scans, plan walks, the deliberate double
-    * parse when nothing rewrites, and CharStrippedFunctions' analysis
-    * (gated to statements touching catalog tables; temp-view-only
-    * statements skip it). Statements with real plans are
-    * noise-dominated. Per-statement driver milliseconds are irrelevant
-    * at the data scales the rewrites exist for; if the stack keeps
-    * growing, the eventual shape is one fused pre-analysis pass.
+    * Front-door cost (re-measured r17 after fusing the post-analysis
+    * semantic rewrites into ONE analyzer pass —
+    * [[graft.plans.HiveSemantics]]; FrontDoorCostSpec is the
+    * measurement harness): ~1.0 ms driver-side per statement over
+    * Spark's own ~5.7 ms analyze cost (r16: ~5 ms — the fusion plus
+    * the gates pay off). The remaining overhead is the text scans,
+    * the gated plan walks, and the deliberate double parse when
+    * nothing rewrites. Statements with real plans are
+    * noise-dominated; new post-analysis semantics must join
+    * HiveSemantics rather than adding analyzer passes.
     */
   def sql(spark: SparkSession, sfDir: String, query: String): DataFrame = {
     register(spark, sfDir)
@@ -301,16 +301,10 @@ object Engine {
           // which attributes carry char metadata
           val charFixed =
             graft.plans.CharStrippedFunctions(spark, substituted)
-          // Hive decimal→integral casts NULL on overflow where Spark
-          // wraps — post-analysis (the child type must be known)
-          val decCastFixed =
-            graft.plans.DecimalIntegralCasts(spark, charFixed)
-          // Hive sums/averages timestamps as double epoch seconds
-          val tsAggFixed =
-            graft.plans.TimestampAggregates(spark, decCastFixed)
-          // Hive coerces non-boolean WHERE conditions (getBoolean rules)
-          val boolFixed =
-            graft.plans.HiveBooleanFilters(spark, tsAggFixed)
+          // the FUSED post-analysis Hive-semantics pass (one analyzer
+          // run): decimal→integral overflow-NULL casts, timestamp
+          // sum/avg coercion, non-boolean WHERE coercion
+          val boolFixed = graft.plans.HiveSemantics(spark, charFixed)
           // (map-typed GROUP BY keys need no rewrite on Spark 4:
           // InsertMapSortInGroupingExpressions normalizes them
           // natively, nested values included — verified by

@@ -66,7 +66,7 @@ object DecimalIntegralCasts {
       inner, Literal.create(null, c.dataType))
   }
 
-  private def rewrite(plan: LogicalPlan): LogicalPlan =
+  private[plans] def rewriteResolved(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressionsWithSubqueries {
       case c: Cast if c.resolved &&
           c.child.dataType.isInstanceOf[DecimalType] &&
@@ -89,7 +89,7 @@ object DecimalIntegralCasts {
       if (plan.resolved) plan
       else try spark.sessionState.analyzer.execute(plan)
       catch { case NonFatal(_) => return plan }
-    val out = rewrite(resolved)
+    val out = rewriteResolved(resolved)
     if (out.fastEquals(resolved)) plan else out
   }
 
@@ -98,6 +98,6 @@ object DecimalIntegralCasts {
     * the fixpoint stable.
     */
   class DecimalIntegralCastsRule extends Rule[LogicalPlan] {
-    override def apply(plan: LogicalPlan): LogicalPlan = rewrite(plan)
+    override def apply(plan: LogicalPlan): LogicalPlan = rewriteResolved(plan)
   }
 }

@@ -54,7 +54,7 @@ object HiveBooleanFilters {
       case _ => None
     }
 
-  private def rewrite(plan: LogicalPlan): LogicalPlan =
+  private[plans] def rewriteResolved(plan: LogicalPlan): LogicalPlan =
     plan.transformUpWithSubqueries {
       case f @ Filter(cond, child) if cond.resolved &&
           cond.dataType != BooleanType =>
@@ -66,12 +66,12 @@ object HiveBooleanFilters {
       if (plan.resolved) plan
       else try spark.sessionState.analyzer.execute(plan)
       catch { case NonFatal(_) => return plan }
-    val out = rewrite(analyzed)
+    val out = rewriteResolved(analyzed)
     if (out.fastEquals(analyzed)) plan else out
   }
 
   /** Extensions-injected spelling for plain `spark.sql` deployments. */
   class HiveBooleanFiltersRule extends Rule[LogicalPlan] {
-    override def apply(plan: LogicalPlan): LogicalPlan = rewrite(plan)
+    override def apply(plan: LogicalPlan): LogicalPlan = rewriteResolved(plan)
   }
 }

@@ -27,7 +27,7 @@ import org.apache.spark.sql.types.{DoubleType, TimestampType}
   */
 object TimestampAggregates {
 
-  private def rewrite(plan: LogicalPlan): LogicalPlan =
+  private[plans] def rewriteResolved(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressionsWithSubqueries {
       case s @ Sum(child, _) if child.resolved &&
           child.dataType == TimestampType =>
@@ -42,12 +42,12 @@ object TimestampAggregates {
     val analyzed =
       try spark.sessionState.analyzer.execute(plan)
       catch { case NonFatal(_) => return plan }
-    val out = rewrite(analyzed)
+    val out = rewriteResolved(analyzed)
     if (out.fastEquals(analyzed)) plan else out
   }
 
   /** Extensions-injected spelling for plain `spark.sql` deployments. */
   class TimestampAggregatesRule extends Rule[LogicalPlan] {
-    override def apply(plan: LogicalPlan): LogicalPlan = rewrite(plan)
+    override def apply(plan: LogicalPlan): LogicalPlan = rewriteResolved(plan)
   }
 }
