@@ -280,6 +280,10 @@ object HiveFunctions {
     // field(x, a, b, ...) -> 1-based index of x in the list, 0 if absent
     // (ref udf/generic/GenericUDFField.java).
     fn("field") { args =>
+      // Hive requires at least two arguments (ref udf/generic/
+      // GenericUDFField.java; clientnegative udf_field_wrong_args_len.q)
+      require(args.size >= 2,
+        "field(needle, v1, ...) requires at least 2 arguments")
       val x = args.head
       val branches = args.tail.zipWithIndex.map { case (a, i) =>
         (EqualTo(x, a): Expression, Literal(i + 1): Expression)
