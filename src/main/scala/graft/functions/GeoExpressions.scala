@@ -51,6 +51,83 @@ object GeoPack {
     out
   }
 
+  /** General TYPE-TAGGED packing for ANY geometry (r17; the
+    * geometry-geometry refine's parse-once carrier): `[tag, payload...]`
+    * with tag 0=point, 1=multipoint, 2=line, 3=multiline,
+    * 4=(multi)polygon (payload = [[pack]]'s layout). An empty point
+    * packs as `[0]`. Unpacking rebuilds the exact [[Geo.Geom]], so the
+    * refine reuses the ONE kernel — bit-identical answers, no per-pair
+    * WKT parse.
+    */
+  def packAny(g: Geom): Array[Double] = g match {
+    case GPoint(None, _) => Array(0d)
+    case GPoint(Some(p), _) => Array(0d, p.x, p.y)
+    case GMultiPoint(pts, _) =>
+      val out = new Array[Double](2 + 2 * pts.length)
+      out(0) = 1d; out(1) = pts.length.toDouble
+      var i = 0
+      pts.foreach { p => out(2 + 2 * i) = p.x; out(3 + 2 * i) = p.y; i += 1 }
+      out
+    case GLine(pts, _) =>
+      val out = new Array[Double](2 + 2 * pts.length)
+      out(0) = 2d; out(1) = pts.length.toDouble
+      var i = 0
+      pts.foreach { p => out(2 + 2 * i) = p.x; out(3 + 2 * i) = p.y; i += 1 }
+      out
+    case GMultiLine(lines, _) =>
+      val size = 2 + lines.map(l => 1 + 2 * l.length).sum
+      val out = new Array[Double](size)
+      out(0) = 3d; out(1) = lines.length.toDouble
+      var i = 2
+      lines.foreach { l =>
+        out(i) = l.length.toDouble; i += 1
+        l.foreach { p => out(i) = p.x; out(i + 1) = p.y; i += 2 }
+      }
+      out
+    case GPolygon(rings, _) => 4d +: packPolys(IndexedSeq(rings))
+    case GMultiPolygon(ps, _) => 4d +: packPolys(ps)
+  }
+
+  private def readPts(a: ArrayData, off: Int, n: Int): IndexedSeq[Pt] =
+    (0 until n).map(i =>
+      Pt(a.getDouble(off + 2 * i), a.getDouble(off + 2 * i + 1)))
+
+  /** Rebuild the [[Geo.Geom]] a [[packAny]] array encodes. */
+  def unpackAny(a: ArrayData): Geom = a.getDouble(0).toInt match {
+    case 0 =>
+      if (a.numElements() < 3) GPoint(None)
+      else GPoint(Some(Pt(a.getDouble(1), a.getDouble(2))))
+    case 1 => GMultiPoint(readPts(a, 2, a.getDouble(1).toInt))
+    case 2 => GLine(readPts(a, 2, a.getDouble(1).toInt))
+    case 3 =>
+      val nLines = a.getDouble(1).toInt
+      var i = 2
+      val lines = (0 until nLines).map { _ =>
+        val n = a.getDouble(i).toInt; i += 1
+        val pts = readPts(a, i, n); i += 2 * n
+        pts
+      }
+      GMultiLine(lines)
+    case 4 =>
+      val nPolys = a.getDouble(1).toInt
+      var i = 2
+      val polys = (0 until nPolys).map { _ =>
+        val nRings = a.getDouble(i).toInt; i += 1
+        (0 until nRings).map { _ =>
+          val n = a.getDouble(i).toInt; i += 1
+          val pts = readPts(a, i, n); i += 2 * n
+          pts
+        }
+      }
+      if (nPolys == 1) GPolygon(polys.head) else GMultiPolygon(polys)
+  }
+
+  /** Static refine kernel: unpack both sides (array reads, no text) and
+    * run the ONE intersects kernel.
+    */
+  def intersectsPacked(a: ArrayData, b: ArrayData): Boolean =
+    Geo.intersects(unpackAny(a), unpackAny(b))
+
   private val Eps = 1e-9
 
   /** 2 = interior, 1 = boundary, 0 = outside — bit-identical to
@@ -129,4 +206,24 @@ case class PackedPointInGeom(packed: Expression, xe: Expression,
       s"${ev.value} = graft.functions.GeoPack.locate($p, $x, $y) >= $minLocate;")
   override protected def withNewChildrenInternal(p: Expression, x: Expression,
       y: Expression): PackedPointInGeom = copy(packed = p, xe = x, ye = y)
+}
+
+/** `intersectsPacked(a, b)` as a whole-stage-codegen predicate — the
+  * geometry-geometry refine over two [[GeoPack.packAny]] arrays (r17:
+  * replaces the per-pair WKT-parsing UDF in SpatialJoin's intersect
+  * join).
+  */
+case class PackedGeomIntersects(a: Expression, b: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def left: Expression = a
+  override def right: Expression = b
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(x: Any, y: Any): Any =
+    java.lang.Boolean.valueOf(GeoPack.intersectsPacked(
+      x.asInstanceOf[ArrayData], y.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"${ev.value} = graft.functions.GeoPack.intersectsPacked($x, $y);")
+  override protected def withNewChildrenInternal(x: Expression,
+      y: Expression): PackedGeomIntersects = copy(a = x, b = y)
 }
