@@ -30,10 +30,14 @@ import org.apache.spark.sql.types._
   *
   * Scope (documented, fail-loud): the exotic fill-rule tokens (`yyy`/
   * `y` on the PARSE side — `rr`'s pivot IS implemented, see
-  * [[rrAdjust]]), ISO week-based years (`iyyy`/`iw` parse)
-  * and timezone fields (`tzh`/`tzm` — the reference refuses them on
-  * timestamps without zone too) raise an error rather than silently
-  * mis-translating.
+  * [[rrAdjust]]) raise an error rather than silently mis-translating.
+  * r17 closed the previously-refused tails: ISO week dates parse when
+  * the pattern's field tokens are exactly `iyyy`/`iw`/`id` (the
+  * reference's own requiredness rule — see [[isoWeekParse]]), and a
+  * TRAILING `tzh`/`tzm` run parses-and-discards the offset exactly as
+  * the reference does ([[tzStripped]]); tz tokens elsewhere, and on
+  * the FORMAT side (where the reference refuses them for zone-agnostic
+  * types too), still fail loud.
   */
 object CastFormat {
 
@@ -253,17 +257,140 @@ object CastFormat {
         StringRPad(Substring(formatted(value, pattern), Literal(1),
           Literal(n.toInt)), Literal(n.toInt), Literal(" "))
       case "timestamp" =>
-        val parsed = new ParseToTimestamp(Cast(value, StringType),
-          Literal(parsePattern(pattern)))
-        if (hasRr(pattern)) rrAdjust(parsed, toDate = false) else parsed
+        isoWeekParse(value, pattern, toDate = false).getOrElse {
+          val parsed = new ParseToTimestamp(tzStripped(value, pattern),
+            Literal(parsePattern(stripTzTail(pattern))))
+          if (hasRr(pattern)) rrAdjust(parsed, toDate = false) else parsed
+        }
       case "date" =>
-        val parsed = new ParseToDate(Cast(value, StringType),
-          Literal(parsePattern(pattern)))
-        if (hasRr(pattern)) rrAdjust(parsed, toDate = true) else parsed
+        isoWeekParse(value, pattern, toDate = true).getOrElse {
+          val parsed = new ParseToDate(tzStripped(value, pattern),
+            Literal(parsePattern(stripTzTail(pattern))))
+          if (hasRr(pattern)) rrAdjust(parsed, toDate = true) else parsed
+        }
       case other => throw new IllegalArgumentException(
         s"cast_format: unsupported target type '$other' (string, " +
           "char(n), varchar(n), date, timestamp)")
     }
+  }
+
+  // ---- ISO week-date parse (iyyy/iw/id) and TZ-offset parse (r17) ----
+
+  private val TzToks = Set("tzh", "tzm")
+  private val IsoToks = Set("iyyy", "iw", "id")
+
+  private def lower(t: String): String = t.toLowerCase(Locale.ROOT)
+
+  /** The pattern's TRAILING run of tz tokens and separators (reversed
+    * back to order), or Nil when the pattern carries no tz tokens. A tz
+    * token anywhere ELSE keeps the documented fail-loud refusal (raised
+    * by [[parsePattern]]'s unknown-token arm).
+    */
+  private def tzTail(pattern: String):
+      Seq[scala.util.Either[String, String]] = {
+    val toks = tokenize(pattern)
+    if (!toks.exists { case scala.util.Left(t) => TzToks(lower(t));
+        case _ => false }) return Nil
+    val tail = toks.reverse.takeWhile {
+      case scala.util.Left(t) => TzToks(lower(t))
+      case scala.util.Right(_) => true
+    }.reverse
+    // drop leading separators that belong to the core pattern's end
+    tail.dropWhile(_.isRight)
+  }
+
+  /** Pattern text with the trailing tz run removed (separators that only
+    * preceded it go too). Identity when there is no trailing tz run.
+    */
+  private def stripTzTail(pattern: String): String = {
+    val tail = tzTail(pattern)
+    if (tail.isEmpty) return pattern
+    // the tz run sits at the very end of the TEXT too (tokens are
+    // longest-match over the raw text): cut at the first tz token's
+    // text position by rebuilding the prefix from the token stream
+    val toks = tokenize(pattern)
+    val keep = toks.dropRight(tail.length)
+    // also drop the separator run immediately before the tz fields
+    val kept = keep.reverse.dropWhile(_.isRight).reverse
+    kept.map {
+      case scala.util.Left(t) => t
+      case scala.util.Right(s) => s
+    }.mkString
+  }
+
+  /** Strip the input's trailing zone offset when the pattern ends in
+    * tzh/tzm (ref HiveSqlDateTimeFormatter: the offset is VALIDATED and
+    * then DISCARDED — the parsed timestamp keeps the local fields;
+    * TestHiveSqlDateTimeFormatter pins `'2019-1-1 14:00-1:30'` with
+    * `'... TZH:TZM'` → `2019-01-01 14:00:00`). Built as a regex over
+    * the tail's own separators: tzh = `[+-]?\d{1,2}`, tzm = `\d{1,2}`.
+    */
+  private def tzStripped(value: Expression, pattern: String): Expression = {
+    val tail = tzTail(pattern)
+    val base = Cast(value, StringType)
+    if (tail.isEmpty) return base
+    val rx = new StringBuilder("\\s*")
+    tail.foreach {
+      case scala.util.Left(t) if lower(t) == "tzh" =>
+        rx.append("[+-]?\\d{1,2}")
+      case scala.util.Left(_) => rx.append("\\d{1,2}")
+      case scala.util.Right(sep) =>
+        rx.append(java.util.regex.Pattern.quote(sep))
+    }
+    rx.append("\\s*$")
+    RegExpReplace(base, Literal(rx.toString), Literal(""))
+  }
+
+  /** ISO week-date parse: when the pattern's FIELD tokens are exactly
+    * {iyyy, iw, id} (any order, separators between), extract the three
+    * numbers positionally and rebuild the date from the ISO week
+    * calendar — week 1 is the week containing January 4th, Monday
+    * first (ref HiveSqlDateTimeFormatter's IYYY/IW/ID contract:
+    * requires all three for string→datetime). A week that does not
+    * exist in the year (iw=53 in a 52-week year) answers NULL, the
+    * engine's documented unparseable-input behavior.
+    */
+  private def isoWeekParse(value: Expression, pattern: String,
+      toDate: Boolean): Option[Expression] = {
+    val toks = tokenize(pattern)
+    val fields = toks.collect { case scala.util.Left(t) => lower(t) }
+    if (fields.isEmpty || !fields.forall(IsoToks)) return None
+    require(fields.toSet == IsoToks && fields.size == 3,
+      "cast_format: ISO week-date parsing requires exactly iyyy, iw " +
+        "and id (ref HiveSqlDateTimeFormatter: IYYY requires IW and " +
+        "ID|DAY|DY)")
+    val rx = new StringBuilder("^\\s*")
+    val order = scala.collection.mutable.ArrayBuffer[String]()
+    toks.foreach {
+      case scala.util.Left(t) =>
+        order += lower(t)
+        rx.append(lower(t) match {
+          case "iyyy" => "(\\d{1,4})"
+          case "iw" => "(\\d{1,2})"
+          case _ => "(\\d)"
+        })
+      case scala.util.Right(sep) =>
+        rx.append(java.util.regex.Pattern.quote(sep))
+    }
+    rx.append("\\s*$")
+    val in = Cast(value, StringType)
+    def grp(tok: String): Expression =
+      Cast(RegExpExtract(in, Literal(rx.toString),
+        Literal(order.indexOf(tok) + 1)), IntegerType)
+    val (iyyy, iw, id) = (grp("iyyy"), grp("iw"), grp("id"))
+    // Jan 4 is always in ISO week 1; WeekDay is Monday = 0
+    val jan4 = MakeDate(iyyy, Literal(1), Literal(4))
+    val monday1 = DateSub(jan4, WeekDay(jan4))
+    val result = DateAdd(monday1,
+      Add(Multiply(Subtract(iw, Literal(1)), Literal(7)),
+        Subtract(id, Literal(1))))
+    // validity: id in 1..7, iw lands in the requested week (a phantom
+    // week 53 rolls into the next year's week 1 and fails this check)
+    val valid = And(And(GreaterThanOrEqual(id, Literal(1)),
+      LessThanOrEqual(id, Literal(7))),
+      EqualTo(WeekOfYear(result), iw))
+    val date = If(valid, result, Literal.create(null, DateType))
+    Some(if (toDate) date else Cast(date, TimestampType))
   }
 
   private def formatted(value: Expression, pattern: String): Expression = {

@@ -117,4 +117,40 @@ class CastFormatSpec extends SparkSpec {
       "cast_format('969', 'timestamp', 'yyy')"))
     assert(e3.getMessage.contains("not supported for parsing"), e3.getMessage)
   }
+
+  test("ISO week-date parse (iyyy-iw-id) rebuilds the ISO calendar; " +
+      "phantom weeks answer NULL (r17; ref HiveSqlDateTimeFormatter " +
+      "IYYY/IW/ID contract)") {
+    assert(one("cast_format('2019-1-1', 'date', 'iyyy-iw-id')") ===
+      "2018-12-31") // ISO 2019-W01-1 is a Monday in calendar 2018
+    assert(one("cast_format('2020-53-7', 'date', 'iyyy-iw-id')") ===
+      "2021-01-03") // 2020 is a 53-week ISO year
+    assert(one("cast_format('2019-26-3', 'date', 'iyyy-iw-id')") ===
+      "2019-06-26")
+    assert(one("cast_format('2019-53-1', 'date', 'iyyy-iw-id')") ===
+      null) // 2019 has 52 ISO weeks - the phantom week is unparseable
+    assert(one("cast_format('2019-1-9', 'date', 'iyyy-iw-id')") ===
+      null) // day-of-week outside 1..7
+    assert(one("cast_format('2020-53-7', 'timestamp', 'iyyy-iw-id')") ===
+      "2021-01-03 00:00:00.0")
+    // iyyy without iw+id keeps the documented refusal
+    assertThrows[Exception] {
+      one("cast_format('2019', 'date', 'iyyy')")
+    }
+  }
+
+  test("trailing TZH:TZM parses, validates and DISCARDS the offset " +
+      "(r17; TestHiveSqlDateTimeFormatter pins the local fields)") {
+    assert(one("cast_format('2019-01-01 14:00-1:30', 'timestamp', " +
+      "'yyyy-MM-dd HH24:MI TZH:TZM')") === "2019-01-01 14:00:00.0")
+    assert(one("cast_format('2019-01-01 14:00+10:30', 'timestamp', " +
+      "'yyyy-MM-dd HH24:MI TZH:TZM')") === "2019-01-01 14:00:00.0")
+    assert(one("cast_format('2019-01-01 -0:30', 'timestamp', " +
+      "'yyyy-mm-dd TZH:TZM')") === "2019-01-01 00:00:00.0")
+    // a NON-trailing tz token keeps the documented fail-loud refusal
+    assertThrows[Exception] {
+      one("cast_format('0/333-01-11/02', 'timestamp', " +
+        "'TZM/YYY-MM-TZH/DD')")
+    }
+  }
 }
