@@ -265,6 +265,7 @@ object Engine {
           .orElse(maybeCastFormat(spark, sfDir, query))
           .orElse(maybeQuantified(spark, sfDir, query))
           .orElse(maybeUniqueJoin(spark, sfDir, query))
+          .orElse(graft.plans.SchemaEvolution.maybeSql(spark, query))
           .orElse(maybeBucketSample(spark, sfDir, query))
           .orElse(maybeCommaLimit(spark, sfDir, query))
           .orElse(maybeTypeSpellings(spark, sfDir, query))
@@ -282,6 +283,12 @@ object Engine {
         graft.plans.TypeLimits.check(plan0)
         graft.plans.Authz.guardSetPlan(spark, plan0)
         graft.plans.Authz.checkStatement(spark, plan0)
+        // Hive v1 schema evolution (REPLACE COLUMNS / CHANGE COLUMN
+        // re-typing) — shapes Spark's catalog refuses; after authz
+        graft.plans.SchemaEvolution.maybePlan(spark, plan0) match {
+          case Some(df) => return df
+          case None => ()
+        }
         val gated = graft.plans.Authz.applyPoliciesToDmlSources(spark, plan0)
         graft.plans.SqlDml.maybeRun(spark, gated).getOrElse {
           val secured = graft.plans.Authz.applyPolicies(spark, plan0)
