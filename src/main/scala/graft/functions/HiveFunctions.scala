@@ -119,6 +119,20 @@ object HiveFunctions {
         s"log takes one or two arguments, got ${args.size}")
     }
 
+    // Hive's datetime_legacy_hybrid_calendar (ref udf/generic/
+    // GenericUDFDatetimeLegacyHybridCalendar.java; udf_datetime_legacy_
+    // hybrid_calendar.q): re-renders a proleptic-Gregorian date/
+    // timestamp with the legacy HYBRID (Julian+Gregorian) calendar's
+    // fields — '0601-03-07' answers '0601-03-04' (the 7th-century
+    // Julian offset is 3 days); at/after 1582-10-15 it is the
+    // identity. Spark ships the exact field-preserving conversion as
+    // RebaseDateTime.rebaseJulianToGregorianDays/Micros (r17).
+    fn("datetime_legacy_hybrid_calendar") { args =>
+      require(args.size == 1,
+        "datetime_legacy_hybrid_calendar(date|timestamp) takes one argument")
+      graft.functions.HybridCalendar(args.head)
+    }
+
     // Hive's interval constructor functions (ref udf/generic/
     // GenericUDFIntervalYearMonth / GenericUDFIntervalDayTime;
     // vector_interval_1.q): interval_year_month('1-2') and
