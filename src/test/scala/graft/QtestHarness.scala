@@ -300,6 +300,17 @@ object QtestHarness {
         col("dc").cast(DecimalType(38, 18)), col("bo").cast("boolean"),
         col("s"), col("s2"), col("ts").cast("timestamp"),
         col("ts2").cast("timestamp"), col("dt").cast("date"))
+    // the cbo_* corpus's three 20-row tables (key/value carry
+    // WHITESPACE-variant duplicates — ' 1 ', '1 ', '1' are distinct
+    // join keys but numerically equal after coercion; dt is the .q's
+    // constant partition value)
+    def cboT(file: String) = spark.read.option("sep", ",")
+      .option("nullValue", "\\N")
+      .csv(s"$refData/$file")
+      .toDF("key", "value", "c_int", "c_float", "c_boolean")
+      .select(col("key"), col("value"), col("c_int").cast("int"),
+        col("c_float").cast("float"), col("c_boolean").cast("boolean"),
+        lit("2014").as("dt"))
     // vector_between_columns.q's TSINT/TINT pairs (+ the .q's NULL rows)
     def pipeInts(file: String, c2: String) = {
       val base = spark.read.option("sep", "|").option("nullValue", "\\N")
@@ -328,6 +339,8 @@ object QtestHarness {
       "qt_alltypesorc" -> alltypesorc, "qt_litest" -> litest,
       "qt_timestamps" -> timestamps, "qt_tsint" -> tsint,
       "qt_tint" -> tint, "qt_vt2k" -> vt2k, "qt_dec100" -> dec100,
+      "qt_cbot1" -> cboT("cbo_t1.txt"), "qt_cbot2" -> cboT("cbo_t2.txt"),
+      "qt_cbot3" -> cboT("cbo_t3.txt"),
       "qt_dec64" -> dec64(DecimalType(7, 2)),
       "qt_dec64b" -> dec64(DecimalType(7, 1)))
     all.map { case (name, df) =>
