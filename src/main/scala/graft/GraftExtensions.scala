@@ -50,6 +50,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Hive semantics: non-boolean WHERE conditions coerce (getBoolean)
     ext.injectResolutionRule(_ =>
       new graft.plans.HiveBooleanFilters.HiveBooleanFiltersRule)
+    // Hive semantics: integral→timestamp casts read MILLISECONDS
+    ext.injectResolutionRule(_ =>
+      new graft.plans.IntegralTimestampCasts.IntegralTimestampCastsRule)
+    // Hive semantics: timestamp-vs-numeric comparisons in epoch seconds
+    ext.injectResolutionRule(_ =>
+      new graft.plans.TimestampComparisons.TimestampComparisonsRule)
     // Hive semantics: sum/avg over timestamps aggregate epoch seconds
     ext.injectResolutionRule(_ =>
       new graft.plans.TimestampAggregates.TimestampAggregatesRule)

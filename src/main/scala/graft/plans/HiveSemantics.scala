@@ -21,7 +21,9 @@ object HiveSemantics {
   private def rewrite(plan: LogicalPlan): LogicalPlan = {
     val p1 = DecimalIntegralCasts.rewriteResolved(plan)
     val p2 = TimestampAggregates.rewriteResolved(p1)
-    HiveBooleanFilters.rewriteResolved(p2)
+    val p3 = TimestampComparisons.rewriteResolved(p2)
+    val p4 = IntegralTimestampCasts.rewriteResolved(p3)
+    HiveBooleanFilters.rewriteResolved(p4)
   }
 
   def apply(spark: SparkSession, plan: LogicalPlan): LogicalPlan = {

@@ -363,16 +363,17 @@ class QtestVectorWave17aSpec extends QtestHarness {
       duck = Some("""WITH decimal_date_test AS (
         |  SELECT CAST(((cdouble*22.1)/37) AS DECIMAL(20,10)) AS cdecimal1,
         |    CAST(make_timestamp((CAST(cint AS BIGINT) * ctinyint)
-        |      * 1000000) AS DATE) AS cdate
+        |      * 1000) AS DATE) AS cdate
         |  FROM qt_alltypesorc)
         |SELECT cdate FROM decimal_date_test
         |WHERE cdate IN (CAST('1969-10-26' AS DATE),
         |  CAST('1969-07-14' AS DATE))
         |ORDER BY cdate""".stripMargin), ordered = true,
       note = "date IN list; Hive's bigint→timestamp cast reads epoch " +
-        "SECONDS, twinned as DuckDB make_timestamp(seconds * 1e6 µs); " +
-        "the pre-epoch products exercise negative-timestamp date " +
-        "flooring in both engines"),
+        "MILLISECONDS (timestamp_ints_casts.q.out; the r17 " +
+        "IntegralTimestampCasts semantics), twinned as DuckDB " +
+        "make_timestamp(ms * 1000 µs); the pre-epoch products " +
+        "exercise negative-timestamp date flooring in both engines"),
 
     QCase("vector_between_in.q", "w17a18",
       """WITH decimal_date_test AS (
