@@ -74,7 +74,26 @@ object CharStrippedFunctions {
       val c = strip(al.child, underFn)
       if (c eq al.child) al else al.withNewChildren(Seq(c))
     // pad-insensitive positions: the padded values compare/sort/probe
-    // identically, so the attrs stay bare (and plans stay prunable)
+    // identically, so the attrs stay bare (and plans stay prunable).
+    // EXCEPTION (r17, char_join1.q): a char compared against a PLAIN
+    // STRING column uses the STRIPPED char in Hive ('abc' char(10)
+    // meets string 'abc'), where Spark's padding makes them unequal —
+    // the char side rtrims when, and only when, the other side is a
+    // non-char string expression (char-vs-char and char-vs-literal
+    // keep Spark's pad-both comparison, which already matches Hive).
+    case c: BinaryComparison
+        if isCharAttr(c.left) != isCharAttr(c.right) &&
+          // the non-char side must be truly char-FREE: Spark pads a
+          // shorter char with StringRPad when lengths differ, and that
+          // wrapped side must keep the pad-both comparison
+          !(if (isCharAttr(c.left)) c.right else c.left)
+            .exists(isCharAttr) &&
+          c.left.dataType == org.apache.spark.sql.types.StringType &&
+          c.right.dataType == org.apache.spark.sql.types.StringType &&
+          !c.left.isInstanceOf[Literal] && !c.right.isInstanceOf[Literal] =>
+      c.withNewChildren(Seq(
+        if (isCharAttr(c.left)) StringTrimRight(c.left) else c.left,
+        if (isCharAttr(c.right)) StringTrimRight(c.right) else c.right))
     case c: BinaryComparison => mapAt(c, underFn = false)
     case i: In => mapAt(i, underFn = false)
     case i: InSet => i
