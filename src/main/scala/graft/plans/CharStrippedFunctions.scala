@@ -34,6 +34,75 @@ object CharStrippedFunctions {
     case _ => false
   }
 
+  private val CharLen = """char\((\d+)\)""".r
+
+  private def charLen(e: Expression): Option[Int] = e match {
+    case a: Attribute if a.metadata.contains(Key) =>
+      a.metadata.getString(Key) match {
+        case CharLen(n) => Some(n.toInt)
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** Hive's UNION type negotiation for char legs (ref char_union1.q.out):
+    * all-char legs unify to char(MAX) — every value re-pads to the max
+    * length — while a char leg meeting a plain STRING leg unifies to
+    * STRING with the char values STRIPPED (string legs keep their exact
+    * spelling). Spark unions the padded strings as-read, so a char(10)
+    * leg under a char(20) union keeps 10-width padding and a
+    * char-vs-string union renders padded. Per-leg Projects adjust the
+    * values; when the FIRST leg changes, a re-aliasing Project above the
+    * Union pins the original output exprIds so the resolved parents stay
+    * valid.
+    */
+  private def fixCharUnion(
+      u: org.apache.spark.sql.catalyst.plans.logical.Union):
+      LogicalPlan = {
+    if (u.children.size < 2) return u
+    val outs = u.children.map(_.output)
+    if (outs.map(_.size).distinct.size != 1) return u
+    val width = outs.head.size
+    // per-position decision: Left(maxLen) = all-char pad-to-max;
+    // Right(()) = mixed char/string strip; None = untouched
+    val actions: Seq[Option[scala.util.Either[Int, Unit]]] = (0 until width).map { i =>
+      val lens = outs.map(o => charLen(o(i)))
+      if (!lens.exists(_.isDefined)) None
+      else if (lens.forall(_.isDefined)) {
+        val ls = lens.flatten
+        if (ls.distinct.size <= 1) None else Some(scala.util.Left(ls.max))
+      } else Some(scala.util.Right(()))
+    }
+    if (actions.forall(_.isEmpty)) return u
+    val newChildren = u.children.map { child =>
+      var changed = false
+      val items = child.output.zipWithIndex.map { case (a, i) =>
+        actions(i) match {
+          case Some(scala.util.Left(max)) if charLen(a).exists(_ != max) =>
+            changed = true
+            Alias(StringRPad(a, Literal(max), Literal(" ")), a.name)()
+          case Some(scala.util.Right(())) if isCharAttr(a) =>
+            changed = true
+            Alias(StringTrimRight(a), a.name)()
+          case _ => a
+        }
+      }
+      if (changed)
+        org.apache.spark.sql.catalyst.plans.logical.Project(items, child)
+      else child
+    }
+    if (newChildren.zip(u.children).forall { case (a, b) => a eq b }) return u
+    val newUnion = u.withNewChildren(newChildren)
+    // re-pin the original output ids (parents reference them)
+    org.apache.spark.sql.catalyst.plans.logical.Project(
+      u.output.zip(newUnion.asInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.Union].output).map {
+        case (orig, n) =>
+          Alias(n, orig.name)(exprId = orig.exprId,
+            explicitMetadata = Some(orig.metadata))
+      }, newUnion)
+  }
+
   def apply(spark: SparkSession, plan: LogicalPlan): LogicalPlan = {
     // cheap gate before the (analysis-priced) metadata check: char
     // metadata can only flow from CATALOG tables — a statement whose
@@ -56,14 +125,17 @@ object CharStrippedFunctions {
     val hasChar = analyzed.exists(p =>
       p.expressions.exists(_.exists(isCharAttr)))
     if (!hasChar) return plan
-    analyzed.transformUpWithSubqueries { case p =>
-      var changed = false
-      val next = p.mapExpressions { e =>
-        val r = strip(e, underFn = false)
-        if (!(r eq e)) changed = true
-        r
-      }
-      if (changed) next else p
+    analyzed.transformUpWithSubqueries {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union =>
+        fixCharUnion(u)
+      case p =>
+        var changed = false
+        val next = p.mapExpressions { e =>
+          val r = strip(e, underFn = false)
+          if (!(r eq e)) changed = true
+          r
+        }
+        if (changed) next else p
     }
   }
 

@@ -75,4 +75,28 @@ class CharSemanticsSpec extends SparkSpec {
       assert(got === Seq((1, 1), (2, 2), (3, 3)))
     } finally Seq("vj_vc1", "vj_str").foreach(t => sql(s"DROP TABLE $t"))
   }
+
+  test("char unions negotiate Hive's types: all-char pads to the MAX " +
+      "length, char-vs-string strips the char legs (char_union1.q.out)") {
+    withTables {
+      def vals(q: String): Seq[String] =
+        Engine.sql(spark, sfDir, q).collect()
+          .map(_.getString(0)).sorted.toSeq
+      // same-length: 10-pad throughout
+      assert(vals("select c2 from (select * from cj_ch1 union all " +
+        "select * from cj_ch1) q1") ===
+        Seq(" abc      ", " abc      ", "abc       ", "abc       ",
+          "abc       ", "abc       "))
+      // mixed lengths: EVERY leg re-pads to char(20)
+      assert(vals("select c2 from (select * from cj_ch1 union all " +
+        "select * from cj_ch2) q1") ===
+        Seq(" abc                ", " abc                ",
+          "abc                 ", "abc                 ",
+          "abc                 ", "abc                 "))
+      // char-vs-string: the char legs STRIP, string legs keep spelling
+      assert(vals("select c2 from (select * from cj_ch1 union all " +
+        "select * from cj_str) q1") ===
+        Seq(" abc", " abc", "abc", "abc", "abc", "abc "))
+    }
+  }
 }
