@@ -291,6 +291,20 @@ object HiveFunctions {
     // have no faithful Spark analog; deliberately not faked.)
     alias("input__file__name", "input_file_name")
 
+    // index(x, i) — Hive's element-access spelled as a function: arrays
+    // take a 0-BASED ordinal, maps a key (ref udf/generic/
+    // GenericUDFIndex.java; udf_index.q) — exactly Spark's `x[i]`
+    // extraction, so it lowers to the same node.
+    fn("index") { args =>
+      require(args.size == 2, "index(container, key) takes 2 arguments")
+      org.apache.spark.sql.catalyst.analysis
+        .UnresolvedExtractValue(args.head, args(1))
+    }
+    // logged_in_user() — the session user (ref udf/generic/
+    // GenericUDFLoggedInUser.java; udf_logged_in_user.q). Same value as
+    // current_user in a non-proxied session.
+    alias("logged_in_user", "current_user")
+
     // field(x, a, b, ...) -> 1-based index of x in the list, 0 if absent
     // (ref udf/generic/GenericUDFField.java).
     fn("field") { args =>

@@ -85,7 +85,7 @@ class QtestCharUdfSpec extends QtestHarness {
       duck = Some(""), hive = Some(Seq("val_238", "val_238", "true"))),
     QCase("char_udf1.q", "cu14",
       "select cast(split(c4, '_') as string) AS a from char_udf_1",
-      duck = Some(""), hive = Some(Seq("[val, 238]")),
+      duck = Some(""), hive = Some(Seq("""["val","238"]""")),
       note = "split over the stripped value: two clean tokens, no " +
         "trailing-blank third token"),
     QCase("char_udf1.q", "cu15",

@@ -57,10 +57,10 @@ class QtestIntervalSpec extends QtestHarness {
         "cast(date '2012-01-01' + interval 30 days as string) AS b, " +
         "cast(date '2012-01-01' - interval 30 days as string) AS c",
       duck = Some(""),
-      hive = Some(Seq("INTERVAL '5-5' YEAR TO MONTH", "2012-01-31",
-        "2011-12-02")),
-      note = "Hive renders the bare '5-5'; the Spark ANSI-interval " +
-        "rendering is pinned as-is (value-identical)"))
+      hive = Some(Seq("5-5", "2012-01-31", "2011-12-02")),
+      note = "Hive renders the bare '5-5' — matched since r17's " +
+        "HiveCastRendering (this row previously pinned Spark's " +
+        "INTERVAL '...' spelling as a known divergence)"))
 
   test("qtest conformance: interval family (field extraction from " +
       "intervals, cross-unit comparisons, arithmetic)") {

@@ -73,7 +73,9 @@ class QtestUdfWave16bSpec extends QtestHarness {
     QCase("udf_map_values.q", "x09",
       "select cast(map_values(map('a', 1, 'b', 2, 'c', 3)) as string) AS v, " +
         "cast(map_keys(map(1, 'a', 2, 'b')) as string) AS k",
-      duck = Some(""), hive = Some(Seq("[1, 2, 3]", "[1, 2]"))),
+      duck = Some(""), hive = Some(Seq("[1,2,3]", "[1,2]")),
+      note = "buildJSONString array rendering: no spaces (r17 " +
+        "HiveCastRendering; the earlier pin recorded Spark's spacing)"),
 
     // ---- numeric casts wrap two's-complement, never error (non-ANSI)
     QCase("udf_to_byte.q", "x10",
@@ -164,7 +166,7 @@ class QtestUdfWave16bSpec extends QtestHarness {
       "select cast(percentile(cast(substr(value, 5) as int), " +
         "array(0.0, 0.5, 0.99, 1.0)) as string) AS ps from qt_src " +
         "where cast(key as int) < 10",
-      duck = Some(""), hive = Some(Seq("[0.0, 4.5, 8.91, 9.0]")),
+      duck = Some(""), hive = Some(Seq("[0.0,4.5,8.91,9.0]")),
       note = "udf_percentile.q.out group 0: [0.0,4.5,8.91,9.0]"),
 
     QCase("udf_isnull_isnotnull.q", "x20",

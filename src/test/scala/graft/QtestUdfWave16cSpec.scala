@@ -46,13 +46,14 @@ class QtestUdfWave16cSpec extends QtestHarness {
         "cast(xpath('<a><b>b1</b><b>b2</b><b>b3</b><c>c1</c><c>c2</c></a>', 'a/*/text()') as string) AS b, " +
         "cast(xpath('<a><b>b1</b><b>b2</b><b>b3</b><c>c1</c><c>c2</c></a>', 'a/b/text()') as string) AS c",
       duck = Some(""),
-      hive = Some(Seq("[]", "[b1, b2, b3, c1, c2]", "[b1, b2, b3]"))),
+      hive = Some(Seq("[]", """["b1","b2","b3","c1","c2"]""",
+        """["b1","b2","b3"]"""))),
 
     QCase("udf_xpath.q", "m07",
       "select cast(xpath('<a><b class=\"bb\">b1</b><b>b2</b><b>b3</b>" +
         "<c class=\"bb\">c1</c><c>c2</c></a>', " +
         "'a/*[@class=\"bb\"]/text()') as string) AS a",
-      duck = Some(""), hive = Some(Seq("[b1, c1]")),
+      duck = Some(""), hive = Some(Seq("""["b1","c1"]""")),
       note = "attribute predicates"),
 
     // xpath_int coercions: non-numeric -> 0, arithmetic over nodes,
