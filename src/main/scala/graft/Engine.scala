@@ -220,6 +220,10 @@ object Engine {
     // the security context itself is not settable through the SQL front
     // door by non-admins (the reference's restricted-conf list)
     graft.plans.Authz.guardSetStatement(spark, query)
+    // `SET hive.<key>=<v>` spellings with a live Spark equivalent flip
+    // the matching Spark conf too (e.g. quoted.identifiers=none →
+    // quotedRegexColumnNames); the SET statement itself still runs
+    graft.plans.HiveConfs.maybeMap(spark, query)
     // SET ROLE is the one verb that must intercept pre-parse (Spark 4's
     // parser rejects `SET ROLE x` outright). It intercepts whenever ANY
     // authz state exists — not only under enforcement — so a bootstrap
@@ -245,8 +249,9 @@ object Engine {
     // spelling is lost after the parse — make it explicit in the text.
     // Likewise CAST(x AS VARCHAR(n)) truncates in Hive; Spark's parser
     // discards the length, so that too is a text rewrite.
-    val query0 = graft.plans.VarcharCasts(spark,
-      graft.plans.DefaultNullOrder(spark, query))
+    val query0 = graft.plans.EmptyGroupBy(spark,
+      graft.plans.VarcharCasts(spark,
+        graft.plans.DefaultNullOrder(spark, query)))
     val parsed =
       try Some(spark.sessionState.sqlParser.parsePlan(query0))
       catch { case scala.util.control.NonFatal(_) => None }

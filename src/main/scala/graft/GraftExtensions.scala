@@ -62,6 +62,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Hive semantics: decimal→integral casts NULL on overflow
     ext.injectResolutionRule(_ =>
       new graft.plans.DecimalIntegralCasts.DecimalIntegralCastsRule)
+    // Hive semantics: boolean/interval/complex casts to string render
+    // in Hive's TextConverter/buildJSONString forms
+    ext.injectResolutionRule(_ =>
+      new graft.plans.HiveCastRendering.HiveCastRenderingRule)
+    // Hive semantics: mixed string/boolean constructor args negotiate
+    // the common STRING category
+    ext.injectResolutionRule(_ =>
+      new graft.plans.CommonCategories.CommonCategoriesRule)
+    // Hive semantics: BOOLEAN compared against any other primitive
+    // converts both sides to DOUBLE (true=1.0)
+    ext.injectResolutionRule(_ =>
+      new graft.plans.BooleanComparisons.BooleanComparisonsRule)
+    // Hive semantics: ROLLUP/CUBE answer their implicit total row
+    // over EMPTY input (post-analysis split of the () Expand set)
+    ext.injectOptimizerRule(_ =>
+      new graft.plans.RollupEmptyInput.RollupEmptyInputRule)
     // Hive semantics: the explicit empty grouping set answers its
     // global row even over empty input
     ext.injectResolutionRule(_ =>

@@ -6,10 +6,10 @@ import scala.util.control.NonFatal
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedHaving}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Grouping, GroupingID, GroupingSets, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Union}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Sort, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Hive (and DuckDB, and PostgreSQL) answer the EXPLICIT empty
@@ -46,13 +46,19 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * fixpoint with ResolveGroupingAnalytics/ResolveFunctions and can see
   * grouping()/grouping_id() already resolved to Grouping/GroupingID.
   *
+  * ROLLUP/CUBE spellings have the SAME empty-input gap for their
+  * IMPLICIT total row (ref groupby_rollup_empty2.q.out pins `1` for a
+  * rollup over an empty filtered join; r17 find) — those are handled
+  * POST-analysis by [[RollupEmptyInput]] on the resolved Expand, where
+  * ORDER BY/HAVING references to GROUPING__ID have already resolved
+  * (splitting them here, pre-analysis, would strand such references
+  * above the Union).
+  *
   * Scale note: the global leg re-scans the child once, but as a
   * key-less partial aggregate over only the aggregated columns — the
-  * cheapest possible second pass. ROLLUP/CUBE spellings (whose
-  * IMPLICIT total row has the same empty-input gap) are deliberately
-  * not rewritten: they never state `()` explicitly and rewriting them
-  * would tax every rollup query for an edge the corpus pins only on
-  * the explicit spelling.
+  * cheapest possible second pass (partial aggregation reduces each
+  * partition to one row map-side; the shuffle moves N_partitions
+  * rows).
   */
 object EmptyGroupingSets {
 
@@ -141,8 +147,41 @@ object EmptyGroupingSets {
     }
   }
 
+  /** Does this parent-node expression reference grouping metadata
+    * (GROUPING__ID, grouping(), grouping_id())? A pre-analysis split
+    * would strand such references above the Union — those plans defer
+    * to the post-analysis [[RollupEmptyInput]], which runs after the
+    * analyzer has resolved them into the Aggregate.
+    */
+  private def groupingRef(e: Expression): Boolean = e.exists {
+    case a: UnresolvedAttribute =>
+      val n = a.nameParts.last.toLowerCase(Locale.ROOT)
+      n == "grouping__id" || n == "spark_grouping_id"
+    case f: UnresolvedFunction =>
+      val n = fnName(f); n == "grouping" || n == "grouping_id"
+    case _: Grouping | _: GroupingID => true
+    case _ => false
+  }
+
+  private def strands(plan: LogicalPlan): Boolean = plan.exists {
+    // HAVING always resolves INTO its aggregate (aggregate calls,
+    // non-projected columns) — any split below it strands it
+    case _: UnresolvedHaving => true
+    // ORDER BY resolves missing references into the aggregate too:
+    // grouping metadata or any function call defers
+    case s: Sort => s.order.exists(o => groupingRef(o) || o.exists {
+      case _: UnresolvedFunction => true
+      case ae: org.apache.spark.sql.catalyst.expressions.aggregate
+          .AggregateExpression => ae != null
+      case _ => false
+    })
+    case f: Filter => groupingRef(f.condition)
+    case _ => false
+  }
+
   def apply(plan: LogicalPlan): LogicalPlan =
-    plan.transformUpWithSubqueries {
+    if (strands(plan)) plan
+    else plan.transformUpWithSubqueries {
       case p => p.transformUp {
         case agg @ Aggregate(Seq(gs: GroupingSets), aggExprs, child, _)
             if gs.groupingSets.exists(_.isEmpty) =>

@@ -23,7 +23,10 @@ object HiveSemantics {
     val p2 = TimestampAggregates.rewriteResolved(p1)
     val p3 = TimestampComparisons.rewriteResolved(p2)
     val p4 = IntegralTimestampCasts.rewriteResolved(p3)
-    HiveBooleanFilters.rewriteResolved(p4)
+    val p5 = HiveCastRendering.rewriteResolved(p4)
+    val p6 = BooleanComparisons.rewriteResolved(p5)
+    val p7 = RollupEmptyInput.rewriteResolved(p6)
+    HiveBooleanFilters.rewriteResolved(p7)
   }
 
   def apply(spark: SparkSession, plan: LogicalPlan): LogicalPlan = {
@@ -31,7 +34,17 @@ object HiveSemantics {
       if (plan.resolved) plan
       else try spark.sessionState.analyzer.execute(plan)
       catch { case NonFatal(_) => return plan }
-    val out = rewrite(analyzed)
+    // Hive common-category negotiation first: it can turn an
+    // analysis-REJECTED shape (string-vs-boolean array) into a legal
+    // one, so anything it changes re-analyzes before the
+    // expression-level fixes run (surrounding extractions resolve
+    // against the negotiated type).
+    val negotiated = CommonCategories.rewriteResolved(analyzed)
+    val base =
+      if (negotiated.fastEquals(analyzed)) analyzed
+      else try spark.sessionState.analyzer.execute(negotiated)
+      catch { case NonFatal(_) => analyzed }
+    val out = rewrite(base)
     if (out.fastEquals(analyzed)) plan else out
   }
 }
