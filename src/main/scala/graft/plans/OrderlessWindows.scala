@@ -3,7 +3,7 @@ package graft.plans
 import java.util.Locale
 
 import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Expression, Literal, SortOrder, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Expression, Literal, SortOrder, SpecifiedWindowFrame, UnspecifiedFrame, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 /** Hive permits sequencing/rank window functions with NO window ORDER BY
@@ -32,13 +32,36 @@ object OrderlessWindows {
     "percent_rank", "cume_dist", "ntile", "lead", "lag",
     "first_value", "last_value")
 
+  /** Ranking/sequencing functions whose EXPLICIT window frame Hive
+    * silently IGNORES — `row_number() over (... range between unbounded
+    * preceding and unbounded following)` runs in Hive
+    * (vector_windowing_range_multiorder.q) where Spark's
+    * ResolveWindowFrame demands the function's required frame and
+    * errors. The user frame is dropped so Spark supplies the required
+    * one — which is exactly what Hive evaluates.
+    */
+  private val IgnoresFrame = Set("row_number", "rank", "dense_rank",
+    "percent_rank", "cume_dist", "ntile", "lead", "lag")
+
   def apply(plan: LogicalPlan): LogicalPlan = {
     val rewritten = plan.transformDownWithSubqueries {
       case p => p.transformExpressions {
         case we @ WindowExpression(fn, spec: WindowSpecDefinition)
-            if spec.orderSpec.isEmpty && nameOf(fn).exists(NeedsOrder) =>
-          we.copy(windowSpec = spec.copy(orderSpec =
-            Seq(SortOrder(Literal(1), Ascending))))
+            if (spec.orderSpec.isEmpty && nameOf(fn).exists(NeedsOrder))
+              || (spec.frameSpecification
+                    .isInstanceOf[SpecifiedWindowFrame] &&
+                  nameOf(fn).exists(IgnoresFrame)) =>
+          val ordered =
+            if (spec.orderSpec.isEmpty && nameOf(fn).exists(NeedsOrder))
+              spec.copy(orderSpec = Seq(SortOrder(Literal(1), Ascending)))
+            else spec
+          val framed =
+            if (spec.frameSpecification
+                  .isInstanceOf[SpecifiedWindowFrame] &&
+                nameOf(fn).exists(IgnoresFrame))
+              ordered.copy(frameSpecification = UnspecifiedFrame)
+            else ordered
+          we.copy(windowSpec = framed)
       }
     }
     // identity-preserving: untouched trees return the SAME instance so
