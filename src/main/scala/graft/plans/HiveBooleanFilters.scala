@@ -54,11 +54,27 @@ object HiveBooleanFilters {
       case _ => None
     }
 
+  /** Coerce non-boolean operands THROUGH the logical connectives:
+    * `WHERE cint AND cstring1`, `WHERE !cstring1` (vector_cast_filter
+    * .q) apply getBoolean to each operand, not to the conjunction —
+    * NOT/AND/OR themselves stay untouched. Subtrees that failed
+    * Spark's type check are unresolved NODES with resolved CHILDREN,
+    * so each operand is coerced on its own resolved type.
+    */
+  private def coerceTree(e: Expression): Expression = e match {
+    case And(l, r) => And(coerceTree(l), coerceTree(r))
+    case Or(l, r) => Or(coerceTree(l), coerceTree(r))
+    case Not(c) => Not(coerceTree(c))
+    case other if other.resolved && other.dataType != BooleanType =>
+      coerce(other).getOrElse(other)
+    case other => other
+  }
+
   private[plans] def rewriteResolved(plan: LogicalPlan): LogicalPlan =
     plan.transformUpWithSubqueries {
-      case f @ Filter(cond, child) if cond.resolved &&
-          cond.dataType != BooleanType =>
-        coerce(cond).map(Filter(_, child)).getOrElse(f)
+      case f @ Filter(cond, child) =>
+        val fixed = coerceTree(cond)
+        if (fixed.fastEquals(cond)) f else Filter(fixed, child)
     }
 
   def apply(spark: SparkSession, plan: LogicalPlan): LogicalPlan = {
