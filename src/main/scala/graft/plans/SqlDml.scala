@@ -6,7 +6,9 @@ import org.apache.spark.sql.{Column, DataFrame, GraftShims, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression}
 import org.apache.spark.sql.catalyst.plans.logical._
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.catalyst.TableIdentifier
+import org.apache.spark.sql.catalyst.catalog.CatalogTableType
+import org.apache.spark.sql.functions.{coalesce, col, lit, when}
 
 /** SQL-statement DML: UPDATE / DELETE / MERGE / INSERT as SQL text, planned
   * onto the engine's COW and snapshot-table writers.
@@ -63,9 +65,32 @@ object SqlDml {
     plan match {
       case DeleteFromTable(t, cond) =>
         targetOf(t).map { tgt => runDelete(spark, tgt, cond); done(spark) }
+          .orElse(catalogTarget(spark, t).map { case (id, quals) =>
+            val c = asColumn(cond, quals)
+            cowCatalog(spark, id,
+              df => df.where(!coalesce(c, lit(false))))
+            done(spark)
+          })
       case UpdateTable(t, assigns, cond) =>
         targetOf(t).map { tgt =>
           runUpdate(spark, tgt, assigns, cond); done(spark) }
+          .orElse(catalogTarget(spark, t).map { case (id, quals) =>
+            val set = assigns.map(a =>
+              assignName(a.key, quals) -> asColumn(a.value, quals)).toMap
+            val c = coalesce(cond.map(asColumn(_, quals))
+              .getOrElse(lit(true)), lit(false))
+            cowCatalog(spark, id, df => df.select(df.schema.fields.map {
+              f =>
+                set.collectFirst {
+                  case (k, v) if k.equalsIgnoreCase(f.name) => v
+                } match {
+                  case Some(v) => when(c, v.cast(f.dataType))
+                    .otherwise(col(f.name)).as(f.name)
+                  case None => col(f.name)
+                }
+            }.toIndexedSeq: _*))
+            done(spark)
+          })
       case m: MergeIntoTable =>
         targetOf(m.targetTable).map { tgt =>
           runMerge(spark, tgt, m); done(spark) }
@@ -569,6 +594,54 @@ object SqlDml {
   }
 
   private def norm(s: String): String = s.toLowerCase(Locale.ROOT)
+
+  /** Hive transactional tables take row-level UPDATE/DELETE (ref
+    * ql/parse/UpdateDeleteSemanticAnalyzer.java — rewritten to
+    * insert-overwrite; the schema_evol_*_update / acid corpus); Spark
+    * has no v1 execution for them. Plain session-catalog tables (any
+    * stored format) execute COPY-ON-WRITE here: read, transform,
+    * stage to a temp parquet dir (the source must be fully
+    * materialized before the overwrite truncates it), then
+    * INSERT OVERWRITE back through the table's own writer.
+    *
+    * Scale note: the rewrite is O(table) per statement — exactly
+    * Hive's major-compaction cost paid eagerly. Update-heavy tables
+    * belong on the snapshot layer ([[Snapshots]], MOR deltas); this
+    * path is the Hive-DDL bridge for ordinary catalog tables.
+    */
+  private def catalogTarget(spark: SparkSession, plan: LogicalPlan,
+      quals: Set[String] = Set.empty)
+      : Option[(TableIdentifier, Set[String])] = plan match {
+    case SubqueryAlias(id, child) =>
+      catalogTarget(spark, child, quals + norm(id.name))
+    case u: UnresolvedRelation =>
+      val parts = u.multipartIdentifier
+      if (NamedTables.refOf(parts).isDefined) None
+      else {
+        val ident = parts match {
+          case Seq(t) => Some(TableIdentifier(t))
+          case Seq(db, t) => Some(TableIdentifier(t, Some(db)))
+          case _ => None
+        }
+        ident.filter { id =>
+          val cat = spark.sessionState.catalog
+          cat.tableExists(id) &&
+            cat.getTableMetadata(id).tableType != CatalogTableType.VIEW
+        }.map(id => (id, quals + norm(id.table)))
+      }
+    case _ => None
+  }
+
+  private def cowCatalog(spark: SparkSession, id: TableIdentifier,
+      f: DataFrame => DataFrame): Unit = {
+    val name = id.unquotedString
+    val out = f(spark.table(name))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_cow_catalog_").toString
+    out.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").insertInto(name)
+    spark.catalog.refreshTable(name)
+  }
 
   /** Unwrap the target relation (through its alias). None when the relation
     * is not one this module addresses — the statement then falls through to
