@@ -249,10 +249,11 @@ object Engine {
     // spelling is lost after the parse — make it explicit in the text.
     // Likewise CAST(x AS VARCHAR(n)) truncates in Hive; Spark's parser
     // discards the length, so that too is a text rewrite.
-    val query0 = graft.plans.StoredAs(spark,
-      graft.plans.EmptyGroupBy(spark,
-        graft.plans.VarcharCasts(spark,
-          graft.plans.DefaultNullOrder(spark, query))))
+    val query0 = graft.plans.TempTables(spark,
+      graft.plans.StoredAs(spark,
+        graft.plans.EmptyGroupBy(spark,
+          graft.plans.VarcharCasts(spark,
+            graft.plans.DefaultNullOrder(spark, query)))))
     val parsed =
       try Some(spark.sessionState.sqlParser.parsePlan(query0))
       catch { case scala.util.control.NonFatal(_) => None }
