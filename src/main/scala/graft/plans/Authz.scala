@@ -332,6 +332,23 @@ object Authz {
 
   def checkStatement(spark: SparkSession, plan: LogicalPlan): Unit = {
     if (!enabled(spark) || isAdmin(spark)) return
+    // object-destroying verbs are OWNER/ADMIN territory in the
+    // reference's SQL-standard authorization (ref ql/security/
+    // authorization/plugin/sqlstd/Operation2Privilege.java DROPTABLE
+    // = OWNER_PRIV; authorization_drop_table.q); this engine has no
+    // ownership ledger, so admins only — a granted SELECT/UPDATE must
+    // never let a principal destroy the object itself
+    plan match {
+      case d: org.apache.spark.sql.catalyst.plans.logical.DropTable =>
+        throw new AccessDenied(
+          s"user ${currentUser(spark)} may not DROP tables " +
+            "(admin-only under enforcement)")
+      case t: org.apache.spark.sql.catalyst.plans.logical.TruncateTable =>
+        throw new AccessDenied(
+          s"user ${currentUser(spark)} may not TRUNCATE tables " +
+            "(admin-only under enforcement)")
+      case _ => ()
+    }
     val (inputs, outputs, action) = statementAccess(plan)
     outputs.foreach(t => requirePrivilege(spark, t, action))
     inputs.foreach(t => requirePrivilege(spark, t, "select"))
