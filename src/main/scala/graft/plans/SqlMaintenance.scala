@@ -210,7 +210,7 @@ object SqlMaintenance {
   private type Handler = (SparkSession, Cursor) => Option[DataFrame]
   private def handlers: Seq[Handler] = Seq(
     hRestore, hOptimize, hVacuum, hAlterTable, hMatView, hReplicate,
-    hConvert, hAcidCompact, hAcidOverwrite, hExplain, hShow)
+    hConvert, hAcidCompact, hAcidOverwrite, hExplain, hShow, hExim)
 
   // state-rewriting table verbs require the table's UPDATE privilege
   // (RESTORE rolls state back, OPTIMIZE rewrites layout, VACUUM destroys
@@ -993,6 +993,35 @@ object SqlMaintenance {
   private def retainMs(n: String, unit: String): Option[Long] =
     Option(n).map(_.toLong * (if (unit.equalsIgnoreCase("DAYS"))
       86400000L else 3600000L))
+
+  /** EXPORT TABLE t TO 'dir' / IMPORT [TABLE t] FROM 'dir' (ref
+    * ql/parse/{Export,Import}SemanticAnalyzer.java; the exim_*
+    * corpus) — both verbs are parse errors to Spark, so they can only
+    * arrive through this fall-through. EXPORT reveals the table's
+    * data, so it requires SELECT on the table under enforcement;
+    * IMPORT recreates the dump ([[Ddl.importTable]]), optionally
+    * under a new name (exim_08_nonpart_rename's form).
+    */
+  private def hExim(spark: SparkSession, c: Cursor): Option[DataFrame] = {
+    if (c.kw("EXPORT", "TABLE")) {
+      for {
+        ident <- c.ident()
+        dir <- if (c.kw("TO")) c.str() else None
+      } yield {
+        Authz.requireRelationPrivilege(spark, privParts(ident), "select")
+        Ddl.exportTable(spark, ident, dir)
+        okDf(spark, s"exported $ident to $dir")
+      }
+    } else if (c.kw("IMPORT")) {
+      val name =
+        if (c.kw("TABLE")) c.ident().getOrElse("") else ""
+      if (!c.kw("FROM")) None
+      else c.str().map { dir =>
+        val created = Ddl.importTable(spark, dir, name)
+        okDf(spark, s"imported table $created from $dir")
+      }
+    } else None
+  }
 
   private def okDf(spark: SparkSession, msg: String)
       : org.apache.spark.sql.DataFrame = {
