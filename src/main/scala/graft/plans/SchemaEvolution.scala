@@ -157,10 +157,21 @@ object SchemaEvolution {
     val cat = spark.sessionState.catalog.getTableMetadata(ident)
     val partCols = cat.partitionColumnNames
     val current = spark.table(ident.unquotedString)
+    // CHAR targets re-pad to the NEW declared length on conversion —
+    // Hive reads a widened char(n) blank-padded to n (alter_char1.q);
+    // Spark's cast keeps the stored padding, so the pad is explicit
+    // (rtrim first: the stored value carries the OLD length's pad)
+    def converted(src: org.apache.spark.sql.Column,
+        to: StructField): org.apache.spark.sql.Column = to.dataType match {
+      case org.apache.spark.sql.types.CharType(n) =>
+        org.apache.spark.sql.functions.rpad(
+          org.apache.spark.sql.functions.rtrim(src.cast("string")),
+          n, " ").cast(to.dataType)
+      case dt => src.cast(dt)
+    }
     val projected = current.select(
       mapping.map {
-        case (Some(from), to) =>
-          col(from.name).cast(to.dataType).as(to.name)
+        case (Some(from), to) => converted(col(from.name), to).as(to.name)
         case (None, to) => lit(null).cast(to.dataType).as(to.name)
       } ++ partCols.map(col): _*)
     val provider = cat.provider.getOrElse("parquet")
