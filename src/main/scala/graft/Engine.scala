@@ -296,17 +296,9 @@ object Engine {
           case Some(df) => return df
           case None => ()
         }
-        // Hive's SHOW TABLES / SHOW DATABASES answer ONE column
-        // (tab_name / database_name — ref ql/ddl/table/info/
-        // ShowTablesOperation.java); Spark adds namespace and
-        // isTemporary columns, so the listing reshapes here
-        plan0 match {
-          case _: org.apache.spark.sql.catalyst.plans.logical.ShowTables =>
-            return spark.sql(query0)
-              .select(org.apache.spark.sql.functions.col("tableName")
-                .as("tab_name"))
-          case _ => ()
-        }
+        // (SHOW TABLES reshapes to Hive's one-column tab_name listing
+        // inside SqlDml.runShowTables, which also merges the engine's
+        // registered snapshot names)
         val gated = graft.plans.Authz.applyPoliciesToDmlSources(spark, plan0)
         graft.plans.SqlDml.maybeRun(spark, gated).getOrElse {
           val secured = graft.plans.Authz.applyPolicies(spark, plan0)

@@ -388,7 +388,8 @@ object SqlDml {
       case ShowTables(ns, pattern, _) if (ns match {
         case org.apache.spark.sql.catalyst.analysis.CurrentNamespace => true
         case org.apache.spark.sql.catalyst.analysis.UnresolvedNamespace(parts, _) =>
-          parts.isEmpty
+          parts.isEmpty ||
+            parts.map(_.toLowerCase(Locale.ROOT)) == Seq("default")
         case _ => false
       }) => Some(runShowTables(spark, pattern))
       case d: DescribeRelation => d.relation match {
@@ -440,8 +441,9 @@ object SqlDml {
     val taken = native.collect().map(_.getString(1)).toSet // command output: tiny
     val mine = NamedTables.all().map(_._1)
       .filter(n => matches(n) && !taken.contains(n))
-      .map(n => ("", n, false))
-    native.unionByName(mine.toDF(native.columns.toIndexedSeq: _*))
+    // Hive's listing is ONE column (tab_name — ref ql/ddl/table/info/
+    // ShowTablesOperation.java); Spark's adds namespace/isTemporary
+    (taken.toSeq ++ mine).sorted.toDF("tab_name")
   }
 
   /** SHOW PARTITIONS <registered-snapshot-name>: the distinct `k=v/...`

@@ -24,7 +24,17 @@ object VarcharCasts {
   private val TypeRe =
     """(?is)^\s*varchar\s*\(\s*(\d+)\s*\)\s*$""".r
 
+  private val ZeroLenRe = """(?i)\b(var)?char\s*\(\s*0\s*\)""".r
+
   def apply(spark: SparkSession, sql: String): String = {
+    // Hive refuses zero-length char/varchar outright (ref serde2/
+    // typeinfo/BaseCharTypeInfo validation; invalid_varchar_length_1.q,
+    // invalid_char_length_1.q) — Spark silently treats them as string
+    ZeroLenRe.findFirstIn(sql).foreach { t =>
+      throw new IllegalArgumentException(
+        s"invalid ${t.trim} type: length must be between 1 and " +
+          (if (t.toLowerCase.startsWith("var")) "65535" else "255"))
+    }
     if (!sql.toUpperCase.contains("VARCHAR")) return sql
     val out = rewrite(sql)
     if (out == sql) sql
@@ -99,6 +109,13 @@ object VarcharCasts {
           val operand = s.substring(open + 1, lastAs)
           val tpe = s.substring(lastAs + 2, k)
           tpe match {
+            case TypeRe(len) if len.toInt == 0 =>
+              // Hive refuses zero-length varchar/char outright (ref
+              // serde2/typeinfo/BaseCharUtils.validateParameter;
+              // invalid_varchar_length_1.q) — Spark would accept it
+              throw new IllegalArgumentException(
+                s"invalid ${tpe.trim} type: length must be between " +
+                  "1 and 65535")
             case TypeRe(len) if len.toInt <= 65535 =>
               return Some(s.substring(0, castStart) +
                 s"substr(CAST($operand AS STRING), 1, $len)" +

@@ -103,7 +103,7 @@ class QtestPartitionDdlSpec extends SparkSpec {
       Engine.sql(spark, sfDir,
         "alter table kv_rename_src rename to kv_rename_dst")
       val names = Engine.sql(spark, sfDir, "show tables like 'kv_rename_*'")
-        .collect().map(_.getString(1)).sorted.toSeq
+        .collect().map(_.getString(0)).sorted.toSeq // tab_name (r17 shape)
       assert(names === Seq("kv_rename_dst"))
       assert(Engine.sql(spark, sfDir, "select k from kv_rename_dst")
         .head.getInt(0) === 1)

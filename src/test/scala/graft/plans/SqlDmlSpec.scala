@@ -402,12 +402,11 @@ class SqlDmlSpec extends SparkSpec {
     NamedTables.registerSnapshot("sqldml_show_t", root)
     items(0, 3).createOrReplaceTempView("sqldml_show_v")
     val all = sql("SHOW TABLES").collect()
-    assert(all.map(_.getString(1)).contains("sqldml_show_t"))
-    assert(all.map(_.getString(1)).contains("sqldml_show_v"))
-    val reg = all.find(_.getString(1) == "sqldml_show_t").get
-    assert(!reg.getBoolean(2), "registered names are not temporary")
+    // Hive's one-column tab_name shape (r17): name is column 0
+    assert(all.map(_.getString(0)).contains("sqldml_show_t"))
+    assert(all.map(_.getString(0)).contains("sqldml_show_v"))
     // LIKE pattern applies to registered names too
-    val like = sql("SHOW TABLES LIKE 'sqldml_show_*'").collect().map(_.getString(1))
+    val like = sql("SHOW TABLES LIKE 'sqldml_show_*'").collect().map(_.getString(0))
     assert(like.toSet === Set("sqldml_show_t", "sqldml_show_v"))
     assert(sql("SHOW TABLES LIKE 'zz_nothing*'").collect().isEmpty)
     NamedTables.drop("sqldml_show_t")
