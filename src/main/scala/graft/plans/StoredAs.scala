@@ -34,12 +34,41 @@ object StoredAs {
   private val PartPattern =
     """(?is)\)\s*PARTITIONED\s+BY\s*\(([^)]*)\)\s*STORED\s+AS\s+(PARQUET|ORC)\b""".r
 
+  /** Spark's grammar puts USING before the bucket clauses; Hive's
+    * STORED AS trails them — `CLUSTERED BY (k) SORTED BY (k) INTO n
+    * BUCKETS STORED AS PARQUET` moves the format in front of the
+    * bucket spec (the smb corpus spells every fixture this way).
+    */
+  private val BucketPattern =
+    ("""(?is)\)\s*(CLUSTERED\s+BY\s*\([^)]*\)""" +
+      """(?:\s*SORTED\s+BY\s*\([^)]*\))?\s*INTO\s+\d+\s+BUCKETS)""" +
+      """\s*STORED\s+AS\s+(PARQUET|ORC)\b""").r
+
+  private val PartBucketPattern =
+    ("""(?is)\)\s*PARTITIONED\s+BY\s*\(([^)]*)\)\s*""" +
+      """(CLUSTERED\s+BY\s*\([^)]*\)""" +
+      """(?:\s*SORTED\s+BY\s*\([^)]*\))?\s*INTO\s+\d+\s+BUCKETS)""" +
+      """\s*STORED\s+AS\s+(PARQUET|ORC)\b""").r
+
   def apply(spark: SparkSession, sql: String): String = {
     val t = sql.trim
     if (t.length < 6 || !t.regionMatches(true, 0, "create", 0, 6))
       return sql
     if (Pattern.findFirstIn(sql).isEmpty) return sql
-    val moved = PartPattern.replaceAllIn(sql, m => {
+    // partitioned AND bucketed: typed partition defs move into the
+    // column list, USING leads, both clauses follow (Spark's
+    // createTableClauses are order-insensitive after the provider)
+    val partBucketed = PartBucketPattern.replaceAllIn(sql, m => {
+      val defs = m.group(1).trim
+      val names = defs.split(",").map(_.trim.split("\\s+").head)
+      java.util.regex.Matcher.quoteReplacement(
+        s", $defs) USING ${m.group(3).toLowerCase} " +
+          s"PARTITIONED BY (${names.mkString(", ")}) ${m.group(2)}")
+    })
+    val bucketed = BucketPattern.replaceAllIn(partBucketed, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s") USING ${m.group(2).toLowerCase} ${m.group(1)}"))
+    val moved = PartPattern.replaceAllIn(bucketed, m => {
       val defs = m.group(1).trim
       val names = defs.split(",").map(_.trim.split("\\s+").head)
       java.util.regex.Matcher.quoteReplacement(
