@@ -193,20 +193,33 @@ object Dedup {
     * a~b~c chains collapse to exactly one survivor even when a and c are
     * not directly similar. Output is the cleaned DataFrame.
     *
-    * Storage discipline: every internal checkpoint (signatures, exact-clean
+    * Storage discipline: every internal checkpoint (signatures, ranked
     * corpus, CC sweeps) is released before returning; the only blocks that
-    * outlive the call are the loser-id set (tiny), which the returned frame
-    * anti-joins against a freshly recomputed exact-dedup pass. Consuming the
-    * output therefore re-runs one corpus window — the deliberate trade
-    * against retaining a corpus-sized MEMORY_AND_DISK checkpoint for an
-    * unbounded time (at 100 TB the latter is not viable).
+    * outlive the call are the loser-id set (tiny). The returned frame is
+    * `df` anti-joined against the UNION of exact-duplicate loser ids and
+    * near-dup-cluster loser ids — identical rows to filtering the exact
+    * survivors, but consuming it costs ONE corpus scan + an id anti-join
+    * (broadcastable): the content-hash window (a full-corpus shuffle+sort)
+    * runs once while the loser set builds, never again at consumption. The
+    * r16 shape re-ran that window inside the returned plan — at 100 TB a
+    * second full exchange+sort of the corpus for information already held
+    * in the loser-id set (the guide-§8 rule: decide on small rows once,
+    * then move the heavy rows exactly once).
     */
   def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String = "text",
       threshold: Double = 0.8, shingleSize: Int = 3,
       numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    // consumed by candidate generation twice (signatures + jaccard texts) —
-    // checkpoint so the scan + dedup window run once while candidates build
-    val exactClean = exact(df, idCol, textCol).localCheckpoint()
+    // one content-hash window pass ranks every row; winners feed candidate
+    // generation (consumed twice: signatures + jaccard texts — hence the
+    // checkpoint), losers contribute their ids to the final anti-join set
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__h")).orderBy(col(idCol))
+    val ranked = df.withColumn("__h", md5(col(textCol).cast("binary")))
+      .withColumn("__rn", row_number().over(w))
+      .drop("__h")
+      .localCheckpoint()
+    val exactClean = ranked.filter(col("__rn") === 1).drop("__rn")
+    val exactLosers = ranked.filter(col("__rn") =!= 1).select(col(idCol))
     val (pairs, releaseSig) = nearDuplicatesReleasable(exactClean, idCol,
       textCol, threshold, shingleSize, numHashes, bands)
     // at fixpoint the component label IS the min id: losers are the rest.
@@ -214,13 +227,12 @@ object Dedup {
     // which the signature checkpoint is dead.
     val comp = connectedComponents(pairs, "id_a", "id_b")
     releaseSig()
-    val losers = comp
-      .filter(col("id") =!= col("component"))
-      .select(col("id").as(idCol))
+    val losers = exactLosers
+      .union(comp.filter(col("id") =!= col("component")).select(col("id").as(idCol)))
       .localCheckpoint()
     graft.Engine.releaseCheckpoint(comp)
-    graft.Engine.releaseCheckpoint(exactClean)
-    exact(df, idCol, textCol).join(losers, Seq(idCol), "left_anti")
+    graft.Engine.releaseCheckpoint(ranked)
+    df.join(losers, Seq(idCol), "left_anti")
   }
 
   /** Keep-best near-dup cleaning: like [[dropNearDuplicates]] but the
@@ -234,22 +246,26 @@ object Dedup {
   def dropNearDuplicatesKeepBest(df: DataFrame, idCol: String, scoreCol: String,
       textCol: String = "text", threshold: Double = 0.8, shingleSize: Int = 3,
       numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    // exact-duplicate groups also keep the best-scored copy (recomputable
-    // pure plan — built twice: once checkpointed for candidate generation,
-    // once fresh for the returned frame, same storage discipline as
-    // [[dropNearDuplicates]])
-    def keepBestExact: DataFrame = {
-      // the window keys on the content HASH, not the full text —
-      // shuffling/sorting on multi-KB document keys wastes the wire
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(md5(col(textCol).cast("binary")))
-        .orderBy(scoreRank(col(scoreCol)).desc, col(idCol).asc)
-      df.withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
-        .filter(col("_rn") === 1).drop("_rn")
-    }
+    // ONE content-hash window pass ranks every row by score (the window
+    // keys on the content HASH, not the full text — shuffling/sorting on
+    // multi-KB document keys wastes the wire): rank-1 rows are the
+    // exact-dedup survivors that feed candidate generation, the rest
+    // contribute their ids to the final anti-join set. The returned frame
+    // is `df` anti-joined on (exact losers ∪ cluster losers) — row-identical
+    // to filtering the survivors, but consumption costs one corpus scan +
+    // an id anti-join instead of re-running the full-corpus window
+    // shuffle+sort a second time (guide §8: the keep/drop decision already
+    // lives in the small loser-id set).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col(textCol).cast("binary")))
+      .orderBy(scoreRank(col(scoreCol)).desc, col(idCol).asc)
     // consumed by pair generation (2x) and the score join — checkpoint so
     // the corpus scan + dedup window run once while the loser set builds
-    val exactClean = keepBestExact.localCheckpoint()
+    val ranked = df
+      .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
+      .localCheckpoint()
+    val exactClean = ranked.filter(col("_rn") === 1).drop("_rn")
+    val exactLosers = ranked.filter(col("_rn") =!= 1).select(col(idCol))
     val (pairs, releaseSig) = nearDuplicatesReleasable(exactClean, idCol,
       textCol, threshold, shingleSize, numHashes, bands)
     val labels = connectedComponents(pairs, "id_a", "id_b")
@@ -258,14 +274,15 @@ object Dedup {
       .join(exactClean.select(col(idCol).as("id"), col(scoreCol).as("_score")), "id")
     val cw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("component")).orderBy(scoreRank(col("_score")).desc, col("id").asc)
-    val losers = comp
-      .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(cw))
-      .filter(col("_rn") =!= 1)
-      .select(col("id").as(idCol))
+    val losers = exactLosers
+      .union(comp
+        .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(cw))
+        .filter(col("_rn") =!= 1)
+        .select(col("id").as(idCol)))
       .localCheckpoint()
     graft.Engine.releaseCheckpoint(labels)
-    graft.Engine.releaseCheckpoint(exactClean)
-    keepBestExact.join(losers, Seq(idCol), "left_anti")
+    graft.Engine.releaseCheckpoint(ranked)
+    df.join(losers, Seq(idCol), "left_anti")
   }
 
   /** NULL scores rank below every real score (and below each other, where

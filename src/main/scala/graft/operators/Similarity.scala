@@ -511,9 +511,18 @@ object Similarity {
       maxClusterSize: Int = 10000): DataFrame = {
     require(maxClusterSize == 0 || maxClusterSize > 1,
       s"maxClusterSize must be 0 (unguarded) or > 1: $maxClusterSize")
-    val assigned = kMeansClusters(corpus, idCol, vecCol, k, iters)
-      .select(col(idCol).as("__id"), col("cluster_id"))
-      .join(corpus.select(col(idCol).as("__id"), col(vecCol).as("__v")), "__id")
+    // cluster assignment is the SAME map-side codegen'd argmax
+    // kMeansClusters runs (identical centroids, identical labels) inlined
+    // over the corpus directly: the r16 shape routed it through
+    // kMeansClusters' output and re-joined the corpus to itself by id to
+    // recover the vector column — a full corpus-by-id shuffle join (2
+    // exchanges) executed on EVERY consumption of `assigned` (the size
+    // gate, both pair-join sides, the final flag join). Now `assigned` is
+    // a pure projection: zero shuffle, recomputes at scan speed.
+    val cv = corpus.select(col(idCol).as("__id"), col(vecCol).as("__cv"))
+    val cents = trainIvfCentroids(cv, k, iters)
+    val assigned = assignToCentroids(cv, cents, "cluster_id")
+      .select(col("__id"), col("cluster_id"), col("__cv").as("__v"))
     // cluster sizes are k rows (metadata-bounded, like the centroids the
     // trainer already holds): the NORMAL case — every cluster within cap —
     // runs the exact uncapped plan, paying only this size-check scan (one
