@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftShims
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types._
+
+/** Allocation-free DOUBLE → DECIMAL(p, s) conversion for decimal-quantized
+  * inputs — the hot-path replacement for `CAST(money AS DECIMAL(p, s))` in
+  * the exact-aggregation helpers ([[graft.queries.Exact]]).
+  *
+  * Spark's double→decimal cast goes through `BigDecimal.valueOf(double)`,
+  * i.e. `Double.toString` plus two object allocations PER ROW — measured
+  * 3.4× slower than long arithmetic on the TPC-H Q1 aggregate (r17). This
+  * expression computes the unscaled long directly — half-up nearest integer
+  * of `value · 10^s` — and wraps it with `Decimal.createUnsafe` (no
+  * allocation beyond the Decimal box; downstream sums then take Decimal's
+  * compact-long fast path instead of BigDecimal.add).
+  *
+  * EXACTNESS DOMAIN (the reason this is not a general cast replacement):
+  * equality with CAST is guaranteed for inputs that are s-decimal-quantized
+  * doubles (the nearest double to a value with ≤ s decimal digits, e.g. the
+  * testdata's 2-decimal money columns) with |value| < 9·10^(18-s) — both
+  * sides then answer exactly the s-dp value, and out-of-precision inputs
+  * answer NULL exactly as the non-ANSI cast does (for p ≤ 18 the bound
+  * check reproduces the cast's overflow-to-NULL bound bit-for-bit; for
+  * p > 18 inputs beyond 9·10^(18-s) answer NULL where CAST could still
+  * represent them — 11 orders of magnitude past any money total, and the
+  * helpers' own `sum*10000 as bigint` average formula overflows earlier).
+  * Non-quantized inputs round at the double's binary value where CAST
+  * rounds its shortest decimal rendering (1.005d: CAST sees "1.005" → 1.01,
+  * this sees 1.00499…99 → 1.00) — callers own the quantization contract.
+  * NaN/Infinity answer NULL, as CAST does. OracleTypeParitySpec pins the
+  * equality on every Exact-wrapped column of the testdata.
+  */
+case class MoneyDecimal(child: Expression, precision: Int, scale: Int)
+    extends UnaryExpression {
+  require(precision >= scale + 1 && precision <= 38,
+    s"bad money precision/scale: ($precision, $scale)")
+
+  override def dataType: DataType = DecimalType(precision, scale)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"money_decimal needs a double input, got ${other.simpleString}")
+  }
+
+  private val mult: Double = math.pow(10, scale)
+  // unscaled-long domain: the cast-equivalent overflow bound for p <= 18,
+  // else the largest magnitude where double→long stays exact-by-rounding
+  private val bound: Long =
+    if (precision - scale >= 17) 9000000000000000000L
+    else math.pow(10, precision).toLong
+
+  override def nullSafeEval(input: Any): Any = {
+    val d = input.asInstanceOf[Double] * mult
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) null
+    else {
+      val unscaled =
+        if (d >= 0) math.floor(d + 0.5).toLong else -math.floor(-d + 0.5).toLong
+      if (unscaled <= -bound || unscaled >= bound) null
+      else Decimal.createUnsafe(unscaled, precision, scale)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val d = ctx.freshName("d")
+    val unscaled = ctx.freshName("unscaled")
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = true;
+      org.apache.spark.sql.types.Decimal ${ev.value} = null;
+      if (!${childGen.isNull}) {
+        double $d = ${childGen.value} * ${mult}D;
+        if (!java.lang.Double.isNaN($d) && !java.lang.Double.isInfinite($d)) {
+          long $unscaled = $d >= 0D
+            ? (long) java.lang.Math.floor($d + 0.5D)
+            : -(long) java.lang.Math.floor(-$d + 0.5D);
+          if ($unscaled > -${bound}L && $unscaled < ${bound}L) {
+            ${ev.isNull} = false;
+            ${ev.value} = org.apache.spark.sql.types.Decimal.createUnsafe(
+              $unscaled, $precision, $scale);
+          }
+        }
+      }""")
+  }
+
+  override protected def withNewChildInternal(c: Expression): MoneyDecimal =
+    copy(child = c)
+}
+
+object MoneyDecimal {
+  /** Column wrapper: exact DECIMAL(p, s) of an s-decimal-quantized double. */
+  def apply(c: Column, precision: Int, scale: Int): Column =
+    GraftShims.column(MoneyDecimal(GraftShims.expression(c), precision, scale))
+}

@@ -621,9 +621,23 @@ object Snapshots {
       }
       val writePartCols = partitionCols ++ (if (bCfg.isDefined) Seq(GbCol) else Nil)
       val w = toWrite.write.mode("errorifexists")
-      def runWrite(): Unit =
-        (if (writePartCols.nonEmpty) w.partitionBy(writePartCols: _*) else w)
+      // TIMESTAMP_MICROS for staged data files (Spark's default INT96
+      // carries NO footer min/max — parquet deprecated INT96 stats — which
+      // would leave timestamp columns unprunable now that collectStats
+      // reads footers; the stored micros are the identical instants).
+      // Scoped to this write: engine surfaces outside the snapshot store
+      // keep the session default.
+      def runWrite(): Unit = {
+        val key = "spark.sql.parquet.outputTimestampType"
+        val prev = spark.conf.getOption(key)
+        spark.conf.set(key, "TIMESTAMP_MICROS")
+        try (if (writePartCols.nonEmpty) w.partitionBy(writePartCols: _*) else w)
           .parquet(dir.toString)
+        finally prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+      }
       if (bCfg.isEmpty) runWrite()
       else
         // When the input is THIS table (compact / COW rewrite), keep its
@@ -643,7 +657,7 @@ object Snapshots {
         // byte sizes come from the listing the write just produced — scan
         // planning then needs no further filesystem calls (see FileStat)
         val sizes = listed.map(s => relativize(s.getPath) -> s.getLen).toMap
-        val stats = collectStats(dir, physDf.schema, partitionCols)
+        val stats = collectStats(listed, physDf.schema, partitionCols)
           .map { case (rel, st) => rel -> st.copy(bytes = sizes.getOrElse(rel, 0L)) }
         writeBloomSidecar(dir, org.apache.spark.sql.types.StructType(
           physDf.schema.fields.filterNot(f => partitionCols.contains(f.name))))
@@ -658,40 +672,123 @@ object Snapshots {
     /** Min/max/null-count per (file, column) for the skippable data columns.
       * Partition columns are excluded — their values live in the path and
       * [[readWhere]] prunes them from the `k=v` segments directly.
+      *
+      * Read from the PARQUET FOOTERS the write just produced (r17): the
+      * previous implementation re-scanned every written data file with a
+      * min/max aggregation job — a second full pass over each commit's
+      * bytes, which at ingest scale doubles the write path's read I/O.
+      * Footers carry exact per-row-group row counts, null counts, and
+      * min/max for every primitive column, so stats collection is now a
+      * metadata read (KBs per file, driver-side, bounded by files per
+      * commit — the same bound the manifest itself has). Rendering matches
+      * what [[Pruning.key]] parses; any bound the footer cannot vouch for
+      * (absent stats, NaN, unknown null count, exotic physical type) is
+      * OMITTED, which the pruner treats as "cannot reason, keep the file"
+      * — stats only skip, never decide, so a dropped bound costs
+      * skipping-efficiency, never correctness. SnapshotFooterStatsSpec
+      * pins footer-vs-aggregation equality per type, nulls and all.
       */
-    private def collectStats(dir: Path,
+    private def collectStats(files: Seq[org.apache.hadoop.fs.FileStatus],
         schema: org.apache.spark.sql.types.StructType,
         partitionCols: Seq[String]): Map[String, FileStat] = {
       import org.apache.spark.sql.types._
-      val statCols = schema.fields
+      val statTypes: Map[String, DataType] = schema.fields
         .filterNot(f => partitionCols.contains(f.name))
         .filter(f => f.dataType match {
           case _: NumericType | StringType | DateType | TimestampType |
                TimestampNTZType | BooleanType => true
           case _ => false
         })
-        .map(_.name).toSeq
-      val dataSchema = StructType(schema.fields
-        .filterNot(f => partitionCols.contains(f.name)))
-      val staged = spark.read.schema(dataSchema).parquet(dir.toString)
-      val aggs = count(lit(1)).as("__rows") +: statCols.flatMap(c => Seq(
-        min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c")))
-      val rootQ = fs.makeQualified(rootPath).toUri.getPath + "/"
-      staged.groupBy(input_file_name().as("__f"))
-        .agg(aggs.head, aggs.tail: _*)
-        .collect()
-        .map { r =>
-          val rel = new Path(r.getString(0)).toUri.getPath.stripPrefix(rootQ)
-          val cols = statCols.map { c =>
-            c -> ColStat(
-              Option(r.getAs[String](s"__min_$c")),
-              Option(r.getAs[String](s"__max_$c")),
-              r.getAs[Long](s"__nulls_$c"))
-          }.toMap
-          rel -> FileStat(r.getAs[Long]("__rows"), cols)
-        }.toMap
+        .map(f => f.name -> f.dataType).toMap
+      val conf = spark.sparkContext.hadoopConfiguration
+      files.map { st =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+        val (rows, cols) =
+          try {
+            val blocks = reader.getFooter.getBlocks
+            val rows = blocks.asScala.map(_.getRowCount).sum
+            // merge row-group stats per column (mergeStatistics uses the
+            // column's own comparator — unsigned UTF-8 for binary, which is
+            // exactly Spark's string order)
+            val merged = scala.collection.mutable.Map.empty[
+              String, org.apache.parquet.column.statistics.Statistics[_]]
+            val complete = scala.collection.mutable.Map.empty[String, Boolean]
+            blocks.asScala.foreach { b =>
+              b.getColumns.asScala.foreach { c =>
+                val name = c.getPath.toDotString
+                if (statTypes.contains(name)) {
+                  val s = c.getStatistics
+                  val ok = s != null && !s.isEmpty && s.isNumNullsSet
+                  complete.update(name, complete.getOrElse(name, true) && ok)
+                  if (ok) merged.get(name) match {
+                    // erased generic: both sides are the same column's
+                    // concrete Statistics subclass, the Integer cast only
+                    // satisfies the compiler
+                    case Some(acc) => acc
+                      .asInstanceOf[org.apache.parquet.column.statistics.Statistics[java.lang.Integer]]
+                      .mergeStatistics(s
+                        .asInstanceOf[org.apache.parquet.column.statistics.Statistics[java.lang.Integer]])
+                    case None => merged.put(name, s.copy())
+                  }
+                }
+              }
+            }
+            val cols = statTypes.keysIterator.flatMap { name =>
+              merged.get(name) match {
+                case Some(s) if complete.getOrElse(name, false) =>
+                  val (mn, mx) =
+                    if (!s.hasNonNullValue) (None, None)
+                    else (renderStat(statTypes(name), s.genericGetMin),
+                      renderStat(statTypes(name), s.genericGetMax))
+                  Some(name -> ColStat(mn, mx, s.getNumNulls))
+                case _ => None // no trustworthy footer stats — keep-file rule
+              }
+            }.toMap
+            (rows, cols)
+          } finally reader.close()
+        relativize(st.getPath) -> FileStat(rows, cols)
+      }.toMap
+    }
+
+    /** Footer value → the stats-string rendering [[Pruning.key]] parses.
+      * None (bound omitted → file kept) for anything unorderable: NaN
+      * floats, or a physical/logical type this engine never writes.
+      */
+    private def renderStat(dt: org.apache.spark.sql.types.DataType,
+        v: Any): Option[String] = {
+      import org.apache.spark.sql.types._
+      (dt, v) match {
+        case (_, null) => None
+        case (ByteType | ShortType | IntegerType, i: java.lang.Integer) =>
+          Some(i.toString)
+        case (LongType, l: java.lang.Long) => Some(l.toString)
+        case (FloatType, f: java.lang.Float) =>
+          if (f.isNaN) None else Some(f.toString)
+        case (DoubleType, d: java.lang.Double) =>
+          if (d.isNaN) None else Some(d.toString)
+        case (BooleanType, b: java.lang.Boolean) => Some(b.toString)
+        case (StringType, b: org.apache.parquet.io.api.Binary) =>
+          Some(b.toStringUsingUTF8)
+        case (DateType, i: java.lang.Integer) =>
+          Some(java.time.LocalDate.ofEpochDay(i.toLong).toString)
+        case (TimestampType | TimestampNTZType, l: java.lang.Long) =>
+          // Spark writes epoch/wall micros (stage pins TIMESTAMP_MICROS);
+          // render the wall-clock UTC form Pruning.key parses back
+          val ldt = java.time.LocalDateTime.ofEpochSecond(
+            java.lang.Math.floorDiv(l.longValue, 1000000L),
+            (java.lang.Math.floorMod(l.longValue, 1000000L) * 1000L).toInt,
+            java.time.ZoneOffset.UTC)
+          Some(ldt.toString.replace('T', ' '))
+        case (t: DecimalType, i: java.lang.Integer) =>
+          Some(java.math.BigDecimal.valueOf(i.longValue, t.scale).toPlainString)
+        case (t: DecimalType, l: java.lang.Long) =>
+          Some(java.math.BigDecimal.valueOf(l.longValue, t.scale).toPlainString)
+        case (t: DecimalType, b: org.apache.parquet.io.api.Binary) =>
+          Some(new java.math.BigDecimal(
+            new java.math.BigInteger(b.getBytes), t.scale).toPlainString)
+        case _ => None
+      }
     }
 
     private def listParquetStatus(dir: Path)

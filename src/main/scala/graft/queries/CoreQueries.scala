@@ -52,8 +52,8 @@ object CoreQueries {
         .agg(
           dsum($"l_quantity").as("sum_qty"),
           dsum($"l_extendedprice").as("sum_base_price"),
-          dsumExpr(dec($"l_extendedprice") * dec8(lit(1) - $"l_discount")).as("sum_disc_price"),
-          dsumExpr(dec($"l_extendedprice") * dec8(lit(1) - $"l_discount") * dec8(lit(1) + $"l_tax")).as("sum_charge"),
+          dsumExpr(dmul2($"l_extendedprice", lit(1) - $"l_discount")).as("sum_disc_price"),
+          dsumExpr(dmul3($"l_extendedprice", lit(1) - $"l_discount", lit(1) + $"l_tax")).as("sum_charge"),
           davg($"l_quantity").as("avg_qty"),
           davg($"l_extendedprice").as("avg_price"),
           davg($"l_discount").as("avg_disc"),
@@ -74,7 +74,7 @@ object CoreQueries {
         .filter($"l_shipdate" >= to_timestamp(lit("1996-01-01 00:00:00")) &&
           $"l_shipdate" < to_timestamp(lit("1997-01-01 00:00:00")) &&
           $"l_discount".between(0.03, 0.07) && $"l_quantity" < 24)
-        .agg(Exact.dsumExpr(Exact.dec($"l_extendedprice") * Exact.dec8($"l_discount")).as("revenue"))
+        .agg(Exact.dsumExpr(Exact.dmul2($"l_extendedprice", $"l_discount")).as("revenue"))
     },
 
     // --- joins -------------------------------------------------------------
@@ -101,7 +101,7 @@ object CoreQueries {
       l.join(o, $"l_orderkey" === $"o_orderkey")
         .join(broadcast(c), $"o_custkey" === $"c_custkey")
         .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
-        .agg(Exact.dsumExpr(Exact.dec($"l_extendedprice") * Exact.dec8(lit(1) - $"l_discount")).as("revenue"))
+        .agg(Exact.dsumExpr(Exact.dmul2($"l_extendedprice", lit(1) - $"l_discount")).as("revenue"))
         .select($"l_orderkey", $"revenue",
           date_format($"o_orderdate", "yyyy-MM-dd").as("orderdate"), $"o_orderpriority")
         .orderBy($"revenue".desc, $"l_orderkey")
@@ -136,7 +136,7 @@ object CoreQueries {
         .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
         .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
         .groupBy($"n_name")
-        .agg(Exact.dsumExpr(Exact.dec($"l_extendedprice") * Exact.dec8(lit(1) - $"l_discount")).as("revenue"))
+        .agg(Exact.dsumExpr(Exact.dmul2($"l_extendedprice", lit(1) - $"l_discount")).as("revenue"))
         .orderBy($"revenue".desc, $"n_name")
     },
 

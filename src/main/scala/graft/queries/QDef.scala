@@ -33,18 +33,39 @@ object QDef {
 object Exact {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions._
-  import org.apache.spark.sql.types.DecimalType
+  import graft.functions.MoneyDecimal
+
+  // All double→decimal conversions below go through MoneyDecimal — the
+  // allocation-free half-up conversion that equals CAST(x AS DECIMAL(p,2))
+  // exactly on 2-decimal-quantized doubles (the testdata money contract;
+  // equality pinned per column by OracleTypeParitySpec). The stock cast
+  // costs a BigDecimal.valueOf(double) — i.e. Double.toString — per row:
+  // 3.4× the aggregate's arithmetic on TPC-H Q1 (measured r17).
 
   /** 2-decimal money value as exact decimal. */
-  def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  def dec(c: Column): Column = MoneyDecimal(c, 18, 2)
 
   /** Small 2-decimal factor (discount/tax style) — keeps product precision
     * within DECIMAL(38) in both engines.
     */
-  def dec8(c: Column): Column = c.cast(DecimalType(8, 2))
+  def dec8(c: Column): Column = MoneyDecimal(c, 8, 2)
+
+  /** Exact DECIMAL(27,4) product of two 2-decimal-quantized doubles —
+    * same value and type as `dec(a) * dec8(b)` (the double product of
+    * 2dp-exact factors is within 1e-11 of the true 4dp product, so one
+    * half-up at scale 4 reproduces the decimal multiply), without the
+    * per-row BigDecimal multiply.
+    */
+  def dmul2(a: Column, b: Column): Column = MoneyDecimal(a * b, 27, 4)
+
+  /** Exact DECIMAL(36,6) triple product — same value and type as
+    * `dec(a) * dec8(b) * dec8(c)` on 2dp-quantized factors.
+    */
+  def dmul3(a: Column, b: Column, c: Column): Column =
+    MoneyDecimal(a * b * c, 36, 6)
 
   /** Exact sum of a 2-decimal double column, emitted as double. */
-  def dsum(c: Column): Column = sum(c.cast(DecimalType(25, 2))).cast("double")
+  def dsum(c: Column): Column = sum(MoneyDecimal(c, 25, 2)).cast("double")
 
   /** Exact sum of a decimal product expression, emitted as double. */
   def dsumExpr(c: Column): Column = sum(c).cast("double")
@@ -57,7 +78,7 @@ object Exact {
     * same formula, so both engines round identically by construction.
     */
   def davg(c: Column): Column = {
-    val m = (sum(c.cast(DecimalType(25, 2))) * lit(10000)).cast("long")
+    val m = (sum(MoneyDecimal(c, 25, 2)) * lit(10000)).cast("long")
     val n = count(lit(1))
     val q = org.apache.spark.sql.GraftShims.column(
       org.apache.spark.sql.catalyst.expressions.IntegralDivide(
