@@ -21,45 +21,24 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Engine.configure(spark)
-    import spark.implicits._
-    import org.apache.spark.sql.types.DecimalType
-    import org.apache.spark.sql.Column
 
-    // half-up nearest-integer of c*100 as a long, arithmetic only
-    def cents(c: Column): Column =
-      when(c >= 0, floor(c * 100 + 0.5)).otherwise(-floor(-(c * 100) + 0.5))
-        .cast("long")
-
-    val checks: Seq[(String, String, Column => Column)] = Seq(
-      ("lineitem", "l_quantity", identity),
-      ("lineitem", "l_extendedprice", identity),
-      ("lineitem", "l_discount", identity),
-      ("lineitem", "l_tax", identity),
-      ("lineitem", "l_discount_1m", c => lit(1) - c),
-      ("lineitem", "l_tax_1p", c => lit(1) + c),
-      ("orders", "o_totalprice", identity),
-      ("events", "value", identity),
-      ("customer", "c_acctbal", identity),
-      ("supplier", "s_acctbal", identity),
-      ("part", "p_retailprice", identity))
-    checks.foreach { case (tbl, colName0, f) =>
-      val colName = colName0.stripSuffix("_1m").stripSuffix("_1p")
-      val df = Engine.table(spark, sfDir, tbl)
-      val c = f(col(colName))
-      val bad25 = df.filter(
-        cents(c) =!= (c.cast(DecimalType(25, 2)) * 100).cast("long")).count()
-      val bad8 = df.filter(
-        cents(c) =!= (c.cast(DecimalType(8, 2)) * 100).cast("long")).count()
-      println(s"[scratch] $tbl.$colName0 mismatch25=$bad25 mismatch8=$bad8")
+    val df = SparkEntry.queries("p38_tfidf_topterms")(spark, sfDir)
+    df.collect()
+    val plan0 = df.queryExecution.executedPlan
+    val plan = plan0 match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
     }
-    // diff of two 2dp columns (q11's davg input)
-    val sc = Engine.table(spark, sfDir, "supplier").select($"s_acctbal", $"s_nationkey")
-      .join(Engine.table(spark, sfDir, "customer").select($"c_acctbal", $"c_nationkey"),
-        $"s_nationkey" === $"c_nationkey" && $"s_acctbal" > $"c_acctbal")
-    val d = $"s_acctbal" - $"c_acctbal"
-    val badDiff = sc.filter(
-      cents(d) =!= (d.cast(DecimalType(25, 2)) * 100).cast("long")).count()
-    println(s"[scratch] s_acctbal-c_acctbal mismatch=$badDiff")
+    val exchanges = plan.collect {
+      case q: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec => q.plan
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/p38_plan.txt"),
+      plan.toString + "\n\n=== canonicalized exchanges ===\n" +
+      exchanges.zipWithIndex.map { case (e, i) =>
+        s"--- exchange $i ---\n" + e.canonicalized.toString
+      }.mkString("\n"))
+    println("[scratch] wrote /tmp/p38_plan.txt, exchanges=" + exchanges.size)
     spark.stop()
   }
 }

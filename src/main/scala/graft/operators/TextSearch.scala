@@ -50,8 +50,12 @@ object TextSearch {
       .filter(col("__term").isin(queryTerms: _*))
       .groupBy(col(idCol), col("__dl"), col("__term"))
       .agg(count(lit(1)).cast("double").as("__tf"))
+    // sum(1.0 + __tf·0.0) == count(*) here (__tf finite, non-null) but
+    // keeps the __tf column consumed so this branch shares tf's exchange
+    // instead of re-running the tokenize→explode pass — same reuse fix as
+    // tfidfTopTerms below (r17), same exactness argument.
     val dft = tf.groupBy(col("__term"))
-      .agg(count(lit(1)).cast("double").as("__df"))
+      .agg(sum(lit(1.0) + col("__tf") * lit(0.0)).as("__df"))
     val scored = tf
       .join(broadcast(dft), "__term")
       .crossJoin(broadcast(stats))
@@ -93,8 +97,20 @@ object TextSearch {
       .filter(length(col("term")) >= minLen)
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).cast("double").as("__tf"))
+    // df counts tf's ROWS — spelled sum(1.0 + __tf·0.0), which is exactly
+    // count(*) as a double (__tf is a count: finite, non-null) but CONSUMES
+    // the __tf column in a way no rewrite can elide (x·0.0 is not foldable:
+    // a NaN/Inf x must answer NaN, and count-of-non-nullable collapses to
+    // count(1), which is how the plain spellings lost the column). With
+    // count(*) Catalyst pruned __tf and collapsed this branch's copy of
+    // the (doc,term) aggregate to a bare distinct — a subtree that no
+    // longer canonicalizes with tf's, so AQE ran the whole
+    // tokenize→explode→aggregate pipeline TWICE (r17 finding: two
+    // ShuffleQueryStages over identical scans in the executed plan).
+    // Consuming __tf keeps both branches on ONE exchange: the corpus is
+    // tokenized once and dft rolls up from the reused shuffle stage.
     val dft = tf.groupBy(col("term"))
-      .agg(count(lit(1)).cast("double").as("__df"))
+      .agg(sum(lit(1.0) + col("__tf") * lit(0.0)).as("__df"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("__score").desc, col("term"))
     tf.join(dft, "term")
