@@ -46,13 +46,13 @@ object MatchPath {
     * scan has passed are discarded immediately.
     */
   private final class MatchIterator(
-      rows: BufferedIterator[(String, Long, Array[Boolean])],
+      rows: BufferedIterator[(String, Long, Long)],
       steps: IndexedSeq[Step], symIdx: Map[String, Int], maxBufferRows: Int)
     extends Iterator[(String, Long, Long, Int)] {
 
     private var pk: String = _
     private var started = false
-    private val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Boolean])]
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     private var nextMatch: (String, Long, Long, Int) = _
     private var done = false
 
@@ -81,7 +81,7 @@ object MatchPath {
         val idx = symIdx(step.symbol)
         var maxRun = 0
         while ((step.max < 0 || maxRun < step.max) && ensure(pos + maxRun) &&
-          buf(pos + maxRun)._2(idx)) maxRun += 1
+          ((buf(pos + maxRun)._2 >>> idx) & 1L) == 1L) maxRun += 1
         var take = maxRun
         while (take >= step.min) {
           val r = go(pos + take, si + 1)
@@ -142,19 +142,26 @@ object MatchPath {
     require(steps.forall(s => symIdx.contains(s.symbol)),
       s"pattern references undefined symbols: $pattern")
 
+    require(symbols.size <= 64, s"matchpath supports at most 64 symbols, got ${symbols.size}")
+    // symbol flags pack into ONE long bitmask (codegen'd map-side): the
+    // typed boundary into the matcher then deserializes three primitives
+    // per row instead of a boxed Seq[Boolean] + per-row Array copy (r17 —
+    // the PTF's per-row hot path at 100 TB is exactly this decode)
+    val packed = symbols.zipWithIndex.map { case ((_, c), i) =>
+      when(coalesce(c, lit(false)), lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
     val flagged = df.select(
       col(partitionCol).cast("string").as("__pk"),
       col(orderCol).cast("long").as("__ord"),
-      array(symbols.map { case (_, c) => coalesce(c, lit(false)) }: _*).as("__syms"))
+      packed.as("__syms"))
 
     import spark.implicits._
     flagged
-      .as[(String, Long, Seq[Boolean])]
+      .as[(String, Long, Long)]
       .repartition(col("__pk"))
       .sortWithinPartitions(col("__pk"), col("__ord"))
       .mapPartitions { it =>
-        new MatchIterator(it.map(r => (r._1, r._2, r._3.toArray)).buffered,
-          steps, symIdx, maxBufferRows)
+        new MatchIterator(it.buffered, steps, symIdx, maxBufferRows)
       }
       .toDF("pk", "start_ord", "end_ord", "match_len")
   }
