@@ -129,11 +129,32 @@ object Dedup {
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
       .localCheckpoint()
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
+    // no edges — no components: skip label seeding and the sweep loop
+    // outright (a clean corpus reaches here on EVERY near-dup pass; the
+    // empty case otherwise still paid the seed checkpoint plus two
+    // confirm sweeps' worth of jobs). The isEmpty probe reads the
+    // just-materialized checkpoint, not the candidate pipeline.
+    if (sym.isEmpty) {
+      val spark = edges.sparkSession
+      val t = sym.schema("src").dataType
+      graft.Engine.releaseCheckpoint(sym)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", t),
+          org.apache.spark.sql.types.StructField("component", t))))
+    }
+    // seed fused with sweep 1: from identity labels, the first sweep's
+    // result is per-node min(self, neighbors) — ONE aggregation over the
+    // symmetric edges (every node appears as dst), no distinct-ids seed
+    // job and no join (r17; the loop below starts from sweep 2)
+    var labels = sym.groupBy(col("dst"))
+      .agg(min(col("src")).as("_m"))
+      .select(col("dst").as("id"),
+        least(col("dst"), col("_m")).as("component"))
       .localCheckpoint()
     var changed = 1L
-    var it = 0
+    var it = 1
     while (changed > 0 && it < maxIters) {
       val nbrMin = sym.join(labels, sym("src") === labels("id"))
         .groupBy(col("dst")).agg(min(col("component")).as("_nbr_min"))
