@@ -621,23 +621,9 @@ object Snapshots {
       }
       val writePartCols = partitionCols ++ (if (bCfg.isDefined) Seq(GbCol) else Nil)
       val w = toWrite.write.mode("errorifexists")
-      // TIMESTAMP_MICROS for staged data files (Spark's default INT96
-      // carries NO footer min/max — parquet deprecated INT96 stats — which
-      // would leave timestamp columns unprunable now that collectStats
-      // reads footers; the stored micros are the identical instants).
-      // Scoped to this write: engine surfaces outside the snapshot store
-      // keep the session default.
-      def runWrite(): Unit = {
-        val key = "spark.sql.parquet.outputTimestampType"
-        val prev = spark.conf.getOption(key)
-        spark.conf.set(key, "TIMESTAMP_MICROS")
-        try (if (writePartCols.nonEmpty) w.partitionBy(writePartCols: _*) else w)
+      def runWrite(): Unit =
+        (if (writePartCols.nonEmpty) w.partitionBy(writePartCols: _*) else w)
           .parquet(dir.toString)
-        finally prev match {
-          case Some(v) => spark.conf.set(key, v)
-          case None => spark.conf.unset(key)
-        }
-      }
       if (bCfg.isEmpty) runWrite()
       else
         // When the input is THIS table (compact / COW rewrite), keep its
@@ -657,7 +643,8 @@ object Snapshots {
         // byte sizes come from the listing the write just produced — scan
         // planning then needs no further filesystem calls (see FileStat)
         val sizes = listed.map(s => relativize(s.getPath) -> s.getLen).toMap
-        val stats = collectStats(listed, physDf.schema, partitionCols)
+        val stats0 = collectStats(dir, listed, physDf.schema, partitionCols)
+        val stats = stats0
           .map { case (rel, st) => rel -> st.copy(bytes = sizes.getOrElse(rel, 0L)) }
         writeBloomSidecar(dir, org.apache.spark.sql.types.StructType(
           physDf.schema.fields.filterNot(f => partitionCols.contains(f.name))))
@@ -675,20 +662,34 @@ object Snapshots {
       *
       * Read from the PARQUET FOOTERS the write just produced (r17): the
       * previous implementation re-scanned every written data file with a
-      * min/max aggregation job — a second full pass over each commit's
-      * bytes, which at ingest scale doubles the write path's read I/O.
-      * Footers carry exact per-row-group row counts, null counts, and
-      * min/max for every primitive column, so stats collection is now a
-      * metadata read (KBs per file, driver-side, bounded by files per
-      * commit — the same bound the manifest itself has). Rendering matches
-      * what [[Pruning.key]] parses; any bound the footer cannot vouch for
-      * (absent stats, NaN, unknown null count, exotic physical type) is
-      * OMITTED, which the pruner treats as "cannot reason, keep the file"
-      * — stats only skip, never decide, so a dropped bound costs
-      * skipping-efficiency, never correctness. SnapshotFooterStatsSpec
-      * pins footer-vs-aggregation equality per type, nulls and all.
+      * min/max aggregation job over ALL columns — a second full pass over
+      * each commit's bytes, which at ingest scale doubles the write
+      * path's read I/O. Footers carry exact per-row-group row counts,
+      * null counts, and min/max for every primitive column, so stats
+      * collection is now a metadata read (KBs per file, driver-side,
+      * bounded by files per commit — the same bound the manifest itself
+      * has). Rendering matches what [[Pruning.key]] parses; any bound the
+      * footer cannot vouch for (absent stats, NaN, unknown null count,
+      * exotic physical type) is OMITTED, which the pruner treats as
+      * "cannot reason, keep the file" — stats only skip, never decide, so
+      * a dropped bound costs skipping-efficiency, never correctness.
+      *
+      * EXCEPTION — TIMESTAMP (LTZ) columns: Spark's default parquet
+      * timestamp encoding is INT96, whose footer stats parquet deprecated
+      * (none are written). The physical encoding must NOT change (every
+      * external reader of engine-written files — the qtest DuckDB leg,
+      * the driver's oracle — types annotated UTC-adjusted MICROS as
+      * timestamptz, a representation break; and flipping the session conf
+      * around the write races with concurrent writers on the shared
+      * session). Those columns keep the pre-r17 aggregation job,
+      * restricted to JUST the LTZ columns — a narrow columnar scan, not
+      * the full-width re-read. TIMESTAMP_NTZ always writes annotated
+      * MICROS and stays on the footer path.
+      * SnapshotFooterStatsSpec pins footer-vs-aggregation equality per
+      * type, nulls and all.
       */
-    private def collectStats(files: Seq[org.apache.hadoop.fs.FileStatus],
+    private def collectStats(dir: Path,
+        files: Seq[org.apache.hadoop.fs.FileStatus],
         schema: org.apache.spark.sql.types.StructType,
         partitionCols: Seq[String]): Map[String, FileStat] = {
       import org.apache.spark.sql.types._
@@ -700,6 +701,34 @@ object Snapshots {
           case _ => false
         })
         .map(f => f.name -> f.dataType).toMap
+      val ltzCols = schema.fields
+        .filterNot(f => partitionCols.contains(f.name))
+        .filter(_.dataType == TimestampType)
+      val ltzStats: Map[String, Map[String, ColStat]] =
+        if (ltzCols.isEmpty) Map.empty
+        else {
+          val staged = spark.read
+            .schema(StructType(ltzCols)).parquet(dir.toString)
+          val aggs = ltzCols.toSeq.flatMap { f =>
+            Seq(min(col(f.name)).cast("string").as(s"__min_${f.name}"),
+              max(col(f.name)).cast("string").as(s"__max_${f.name}"),
+              sum(when(col(f.name).isNull, 1L).otherwise(0L))
+                .as(s"__nulls_${f.name}"))
+          }
+          val rootQ = fs.makeQualified(rootPath).toUri.getPath + "/"
+          staged.groupBy(input_file_name().as("__f"))
+            .agg(aggs.head, aggs.tail: _*)
+            .collect()
+            .map { r =>
+              val rel = new Path(r.getString(0)).toUri.getPath.stripPrefix(rootQ)
+              rel -> ltzCols.map { f =>
+                f.name -> ColStat(
+                  Option(r.getAs[String](s"__min_${f.name}")),
+                  Option(r.getAs[String](s"__max_${f.name}")),
+                  r.getAs[Long](s"__nulls_${f.name}"))
+              }.toMap
+            }.toMap
+        }
       val conf = spark.sparkContext.hadoopConfiguration
       files.map { st =>
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -747,7 +776,8 @@ object Snapshots {
             }.toMap
             (rows, cols)
           } finally reader.close()
-        relativize(st.getPath) -> FileStat(rows, cols)
+        val rel = relativize(st.getPath)
+        rel -> FileStat(rows, cols ++ ltzStats.getOrElse(rel, Map.empty))
       }.toMap
     }
 
