@@ -139,10 +139,37 @@ object Engine {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
     }.foreach(_.unpersist(blocking = false))
 
+  // Memoized UNEXECUTED table frames per (session, path): `spark.read
+  // .parquet` re-lists the files and re-reads parquet footers for schema
+  // inference on EVERY call — measured ~90–115 ms of driver-side work per
+  // call at bench scale (r18 ProfileQuery/SplitProbe: q04 built its frame in
+  // 478 ms, six table reads), the per-query fixed overhead the r17 verdict
+  // flagged on 33/37 bench entries. The temp-view path (Engine.register)
+  // already amortizes exactly this metadata; this gives the DataFrame path
+  // the same treatment. NOT result caching: the value is an immutable
+  // logical plan (schema + file listing) — every execution still scans the
+  // parquet inputs. Safe because the engine's named base tables are
+  // immutable testdata (every caller passes the driver's read-only sfDir);
+  // weak session keys let dead sessions drop out.
+  private val tableFrames =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     configure(spark)
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events") normalizeEventTs(df) else df
+    val per = tableFrames.synchronized {
+      var m = tableFrames.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        tableFrames.put(spark, m)
+      }
+      m
+    }
+    per.computeIfAbsent(s"$sfDir/$name", _ => {
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      if (name == "events") normalizeEventTs(df) else df
+    })
   }
 
   /** Engine-wide `ts` type: session-zoned TIMESTAMP at µs precision,

@@ -87,6 +87,26 @@ object HiveFunctions {
         Sqrt(d))
     }
 
+    // Engine-internal (not a Hive name): SQL door into the allocation-free
+    // double→DECIMAL(p,s) conversion the exact-money aggregates use
+    // ([[graft.functions.MoneyDecimal]]; r17 measured CAST's per-row
+    // BigDecimal.valueOf at 3.4× the aggregate arithmetic). Lets the
+    // both-engine SQL query texts split per engine: Spark runs
+    // money_decimal(x, p, s), the DuckDB oracle keeps CAST(x AS
+    // DECIMAL(p,s)) — value-identical on s-decimal-quantized doubles by
+    // MoneyDecimal's contract (pinned per testdata column by
+    // OracleTypeParitySpec/MoneyDecimalSpec).
+    fn("money_decimal") { args =>
+      require(args.size == 3, "money_decimal(x, precision, scale)")
+      def intLit(e: Expression, what: String): Int = e match {
+        case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"money_decimal $what must be an integer literal, got $other")
+      }
+      MoneyDecimal(args.head,
+        intLit(args(1), "precision"), intLit(args(2), "scale"))
+    }
+
     // Hive's acos/asin return NULL outside [-1, 1] (ref udf/UDFAcos
     // .java:48, udf/UDFAsin.java:48) where Spark's Acos/Asin answer
     // NaN — surfaced by the qtest sweep (decimal_udf2.q). Same

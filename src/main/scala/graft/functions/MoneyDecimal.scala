@@ -51,10 +51,14 @@ case class MoneyDecimal(child: Expression, precision: Int, scale: Int)
   }
 
   private val mult: Double = math.pow(10, scale)
-  // unscaled-long domain: the cast-equivalent overflow bound for p <= 18,
-  // else the largest magnitude where double→long stays exact-by-rounding
+  // unscaled-long domain: the cast-equivalent overflow bound (10^p) whenever
+  // 10^p fits in a long, else the largest magnitude where double→long stays
+  // exact-by-rounding. Gated on precision ALONE (ADVICE r17): the previous
+  // `precision - scale >= 17` gate let DECIMAL(17..18, 0..1) receive an
+  // unscaled value above 10^p, violating the declared precision where CAST
+  // answers NULL.
   private val bound: Long =
-    if (precision - scale >= 17) 9000000000000000000L
+    if (precision >= 19) 9000000000000000000L
     else math.pow(10, precision).toLong
 
   override def nullSafeEval(input: Any): Any = {

@@ -187,9 +187,15 @@ object TextHashKernels {
   def portableSimhash(words: ArrayData): Long = {
     val n = words.numElements()
     val counts = new Array[Int](60)
+    val md = md5Local.get()
+    val dig = new Array[Byte](16)
     var i = 0
     while (i < n) {
-      val h = md5_60(words.getUTF8String(i))
+      // same 60-bit value as md5_60, without the per-word digest allocation
+      md.reset()
+      md.update(words.getUTF8String(i).getBytes)
+      md.digest(dig, 0, 16)
+      val h = digestLong(dig) >>> 4
       var b = 0
       while (b < 60) {
         if (((h >>> b) & 1L) == 1L) counts(b) += 1
@@ -206,27 +212,45 @@ object TextHashKernels {
     out
   }
 
+  /** Big-endian long from the first 8 digest bytes (what
+    * `ByteBuffer.wrap(d, 0, 8).getLong` computed, without the wrapper).
+    */
+  private def digestLong(d: Array[Byte]): Long =
+    ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+      ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+      ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+
   def portableShingles(words: ArrayData, k: Int): ArrayData = {
     val n = words.numElements()
-    val sep = UTF8String.fromString(" ")
     if (n == 0) return new GenericArrayData(Array.emptyLongArray)
     val count = if (n < k) 1 else n - k + 1
     val width = if (n < k) n else k
     val md = md5Local.get()
+    // One UTF-8 byte copy per WORD, not per shingle (r18, guide step 4):
+    // each word participates in up to k shingles, and the old
+    // concat-then-getBytes path paid a parts array + concat buffer +
+    // getBytes copy + digest allocation PER SHINGLE. The digest is fed
+    // incrementally from the per-word byte arrays instead — the MD5 input
+    // byte sequence ("w1 w2 ... wk") is identical, so the hash values are
+    // identical by construction.
+    val wb = new Array[Array[Byte]](n)
+    var w = 0
+    while (w < n) { wb(w) = words.getUTF8String(w).getBytes; w += 1 }
     val out = new Array[Long](count)
+    val dig = new Array[Byte](16)
     var i = 0
     while (i < count) {
-      val parts = new Array[UTF8String](2 * width - 1)
+      md.reset()
       var j = 0
       while (j < width) {
-        parts(2 * j) = words.getUTF8String(i + j)
-        if (j < width - 1) parts(2 * j + 1) = sep
+        if (j > 0) md.update(' '.toByte)
+        md.update(wb(i + j))
         j += 1
       }
-      md.reset()
-      val d = md.digest(UTF8String.concat(parts: _*).getBytes)
+      md.digest(dig, 0, 16)
       // first 15 hex chars = big-endian bits 0..59 of the digest
-      out(i) = (java.nio.ByteBuffer.wrap(d, 0, 8).getLong >>> 4)
+      out(i) = digestLong(dig) >>> 4
       i += 1
     }
     new GenericArrayData(out)

@@ -190,10 +190,12 @@ object TextAnalysis {
     "\\d{3}[-.]\\d{3}[-.]\\d{4}" -> "<PHONE>",
     "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}" -> "<IP>")
 
-  def scrubPii(text: Column): Column =
-    PiiPatterns.foldLeft(text) { case (c, (pat, repl)) =>
-      regexp_replace(c, pat, repl)
-    }
+  /** Same value as `PiiPatterns.foldLeft(regexp_replace)` — the one-pass
+    * expression keeps the sequential three-pattern semantics and removes the
+    * per-stage String↔UTF8String materialization (see
+    * [[graft.functions.PiiScrub]]; equality pinned by PiiScrubSpec).
+    */
+  def scrubPii(text: Column): Column = graft.functions.PiiScrub(text)
 
   def withScrubbedText(df: DataFrame, textCol: String = "text",
       outCol: String = "text_scrubbed"): DataFrame =

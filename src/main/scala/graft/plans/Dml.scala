@@ -49,10 +49,24 @@ object Dml {
   /** Count of full partition-tree listings (observable by tests). */
   private[plans] val treeListings = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Parquet schema per table path (r18): `spark.read.parquet` runs a footer
+    * schema-inference pass on EVERY call — a fixed per-statement driver cost.
+    * UPDATE/DELETE/MERGE post-images are projected to the target's columns
+    * (schema-preserving by construction), so the inferred schema stays valid
+    * across this module's COW commits; the insert paths and external writes
+    * invalidate it alongside the layout.
+    */
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap
+      .empty[String, org.apache.spark.sql.types.StructType]
+
   /** Drop the cached partition manifest for a table path (call after writing
     * to the table outside this module).
     */
-  def invalidateLayout(table: String): Unit = layoutCache.remove(table)
+  def invalidateLayout(table: String): Unit = {
+    layoutCache.remove(table)
+    schemaCache.remove(table)
+  }
 
   /** Internal table read with partition-column type inference OFF: partition
     * values stay strings that match the directory names byte-for-byte, so
@@ -64,7 +78,13 @@ object Dml {
     val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "false")
-    try spark.read.parquet(table)
+    try schemaCache.get(table) match {
+      case Some(s) => spark.read.schema(s).parquet(table)
+      case None =>
+        val df = spark.read.parquet(table)
+        schemaCache.put(table, df.schema)
+        df
+    }
     finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
@@ -276,6 +296,7 @@ object Dml {
     }
     fs.delete(bak, true)
     layoutCache.put(table, None) // whole-table swap: stays unpartitioned
+    schemaCache.remove(table) // swapIn accepts arbitrary post-image schemas
     // drop any cached file listing for the swapped path
     spark.catalog.refreshByPath(table)
     // drop materialized views built over this path — they are now stale
@@ -457,7 +478,7 @@ object Dml {
           throw new IllegalStateException(s"cannot commit new table $table")
         }
         fs.delete(bak, true)
-        invalidateLayout(table) // new leaf set
+        invalidateLayout(table) // new leaf set (schema drops with it)
         spark.catalog.refreshByPath(table)
         MaterializedViews.invalidateSource(spark, table)
       case None => swapIn(spark, table, rows)

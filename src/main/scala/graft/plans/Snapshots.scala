@@ -730,7 +730,7 @@ object Snapshots {
             }.toMap
         }
       val conf = spark.sparkContext.hadoopConfiguration
-      files.map { st =>
+      def statOf(st: org.apache.hadoop.fs.FileStatus): (String, FileStat) = {
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
         val (rows, cols) =
@@ -746,7 +746,11 @@ object Snapshots {
             blocks.asScala.foreach { b =>
               b.getColumns.asScala.foreach { c =>
                 val name = c.getPath.toDotString
-                if (statTypes.contains(name)) {
+                // top-level leaves only (ADVICE r17): a struct leaf a.b
+                // dot-renders identically to a column literally named
+                // "a.b" — matching it against statTypes would attribute
+                // the wrong column's bounds and mis-prune
+                if (c.getPath.size == 1 && statTypes.contains(name)) {
                   val s = c.getStatistics
                   val ok = s != null && !s.isEmpty && s.isNumNullsSet
                   complete.update(name, complete.getOrElse(name, true) && ok)
@@ -778,7 +782,24 @@ object Snapshots {
           } finally reader.close()
         val rel = relativize(st.getPath)
         rel -> FileStat(rows, cols ++ ltzStats.getOrElse(rel, Map.empty))
-      }.toMap
+      }
+      // Footers are independent metadata reads; the serial driver loop
+      // serialized many-file commits (ADVICE r17). A small fixed pool bounds
+      // concurrency; result order is irrelevant (keyed map).
+      if (files.size <= 1) files.map(statOf).toMap
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(8, files.size))
+        try {
+          val tasks: java.util.List[java.util.concurrent.Callable[(String, FileStat)]] =
+            files.map { st =>
+              new java.util.concurrent.Callable[(String, FileStat)] {
+                override def call(): (String, FileStat) = statOf(st)
+              }
+            }.asJava
+          pool.invokeAll(tasks).asScala.map(_.get()).toMap
+        } finally pool.shutdown()
+      }
     }
 
     /** Footer value → the stats-string rendering [[Pruning.key]] parses.

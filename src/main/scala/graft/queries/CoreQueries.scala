@@ -20,8 +20,14 @@ object CoreQueries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Engine.table(spark, dir, name)
 
+  // Spark-leg SQL runs with the same per-engine money respell as the
+  // t-queries (TpchQueries.sparkMoney, r18): CAST(col AS DECIMAL(p,s)) →
+  // codegen'd money_decimal(col, p, s); the oracle string keeps the portable
+  // CAST, so the oracle gate re-proves value-equality on every run.
   private def sqlQ(sql: String): (SparkSession, String) => DataFrame =
-    (spark, dir) => { Engine.register(spark, dir); spark.sql(sql) }
+    (spark, dir) => {
+      Engine.register(spark, dir); spark.sql(TpchQueries.sparkMoney(sql))
+    }
 
   val defs: Seq[QDef] = Seq(
 
@@ -341,7 +347,8 @@ object CoreQueries {
         keys = Seq("l_returnflag", "l_linestatus"),
         sets = Seq(Seq("l_returnflag", "l_linestatus"), Seq("l_returnflag"), Seq.empty),
         aggs = Seq(
-          Rollup.Agg("sum_qty_d", $"l_quantity".cast(DecimalType(25, 2)), Rollup.SumAgg),
+          Rollup.Agg("sum_qty_d",
+            graft.functions.MoneyDecimal($"l_quantity", 25, 2), Rollup.SumAgg),
           Rollup.Agg("n", lit(1), Rollup.CountAgg)))
         .select($"l_returnflag", $"l_linestatus",
           $"grouping_l_returnflag".as("g_rf"),
@@ -436,25 +443,27 @@ object CoreQueries {
     // none — the front door lowers them to collect_set compositions
     // (plans/DistinctWindows). DuckDB oracle computes the same numbers
     // as grouped distinct aggregates joined back per row. Both legs
-    // cast the sum down to DECIMAL(18,2): the lowering's accumulator
-    // widens to DECIMAL(38,2), which is int128-backed — the one dtype
-    // class the driver's representation-sensitive hash diverges on
-    // even when values match cell-for-cell (the round-16 red). The
-    // final cast lands the output in the int64-backed decimal class
-    // that 191 other oracles already verify round-trips identically
-    // (tools/oracle_typelint.py now lints precision > 18 at authoring
-    // time).
+    // compute the distinct sum EXACTLY as DECIMAL, then emit DOUBLE:
+    // r16/r17 proved the driver's representation-sensitive hash
+    // diverges on decimal OUTPUT columns — the r16 red was
+    // int128-backed DECIMAL(38,2); the r17 respell to int64-backed
+    // DECIMAL(18,2) still hash-failed, and q56 was the ONLY query in
+    // the 211-entry catalog with a decimal output column (every
+    // hash-passing money query emits CAST(... AS DOUBLE)). The final
+    // double is identical cross-engine: the unscaled sum stays far
+    // under 2^53, so both engines' decimal→double conversions are the
+    // same correctly-rounded value.
     q("q56_distinct_window",
       """SELECT o.o_custkey AS k, g.cp AS cp, g.sp AS sp
         |FROM orders o JOIN (
         |  SELECT o_custkey, count(DISTINCT o_orderpriority) AS cp,
-        |         CAST(sum(DISTINCT CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sp
+        |         CAST(sum(DISTINCT CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sp
         |  FROM orders GROUP BY o_custkey) g ON o.o_custkey = g.o_custkey
         |ORDER BY k, cp, sp""".stripMargin) { (spark, dir) =>
       Engine.sql(spark, dir,
         """SELECT o_custkey AS k,
           |  count(DISTINCT o_orderpriority) OVER (PARTITION BY o_custkey) AS cp,
-          |  CAST(sum(DISTINCT CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey) AS DECIMAL(18,2)) AS sp
+          |  CAST(sum(DISTINCT CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey) AS DOUBLE) AS sp
           |FROM orders ORDER BY k, cp, sp""".stripMargin)
     },
 

@@ -113,18 +113,21 @@ def main():
                   f"(oracle needs a CAST — driver hash will diverge)")
             n_fail += 1
             continue
-        # int128-backed decimals (precision > 18) hash-diverge in the
-        # driver's round-trip even when BOTH sides agree on
-        # DECIMAL(38,s) and every cell matches (round-16 q56 red) —
-        # flag them on either side regardless of class agreement.
+        # DECIMAL output columns hash-diverge in the driver's round-trip
+        # even when BOTH sides agree on the exact type and every cell
+        # matches: round-16's q56 red was DECIMAL(38,2) (int128), and the
+        # round-17 respell to int64-backed DECIMAL(18,2) STILL hash-failed
+        # while being the only decimal output in the 211-query catalog —
+        # so flag ANY decimal output on either side. Compute exactly in
+        # decimal, then CAST the output to DOUBLE on both legs (the
+        # pattern every hash-passing money query uses).
         wide = [(c, t, side) for side, ts in (("spark", gt), ("oracle", et))
-                for c, t in ts.items() if t.upper().startswith("DECIMAL")
-                and int(t.split("(")[1].split(",")[0]) > 18]
+                for c, t in ts.items() if t.upper().startswith("DECIMAL")]
         if wide:
             c, t, side = wide[0]
-            print(f"FAIL {name}: {side} col {c} is {t} — int128-backed "
-                  f"decimal; CAST both legs to DECIMAL(18,s) "
-                  f"(driver hash diverges on representation)")
+            print(f"FAIL {name}: {side} col {c} is {t} — decimal outputs "
+                  f"hash-diverge in the driver (r16+r17 q56); CAST both "
+                  f"legs' output to DOUBLE")
             n_fail += 1
             continue
         bad = None

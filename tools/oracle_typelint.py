@@ -11,13 +11,11 @@ match cell-for-cell:
   * HUGEINT — the dtype DuckDB gives a bare sum(BIGINT/INTEGER), which
     Spark can never produce (the f32/s27 class of round-9 red). Fix:
     CAST(sum(...) AS BIGINT/DOUBLE).
-  * DECIMAL(p, s) with p > 18 — int128-backed wide decimal (the dtype
-    DuckDB gives sum(DECIMAL), and Spark gives its own widened decimal
-    accumulators). Round-16's q56 red proved this class hash-diverges
-    across the engines' round-trips even when BOTH sides are
-    DECIMAL(38,2) and every cell matches; int64-backed decimal (p <=
-    18) is the class 191 oracles verify round-trips identically. Fix:
-    CAST(... AS DECIMAL(18, s)) on BOTH legs.
+  * DECIMAL(p, s), any width — round-16's q56 red was int128-backed
+    DECIMAL(38,2); round-17 respelled it int64-backed DECIMAL(18,2) and
+    the driver's hash STILL diverged while every cell matched, and q56
+    was the catalog's only decimal output column. Fix: compute exactly
+    in decimal, CAST(... AS DOUBLE) on BOTH legs.
 
 This makes the slip a test failure at authoring time instead of a red
 CORRECTNESS row a round later.
@@ -43,12 +41,12 @@ def offenses(cols):
         if t in ("HUGEINT", "UHUGEINT"):
             out.append((cname, ctype, "wrap in CAST(... AS BIGINT)"))
         elif t.startswith("DECIMAL"):
-            prec = int(t.split("(")[1].split(",")[0])
-            if prec > 18:
-                scale = t.rstrip(")").split(",")[1]
-                out.append((cname, ctype,
-                            f"int128-backed — CAST(... AS "
-                            f"DECIMAL(18,{scale})) on BOTH legs"))
+            # ANY decimal output hash-diverges in the driver (r16 red was
+            # DECIMAL(38,2); the r17 respell to int64-backed DECIMAL(18,2)
+            # still hash-failed as the catalog's only decimal output) —
+            # compute in decimal, emit DOUBLE on BOTH legs.
+            out.append((cname, ctype,
+                        "decimal output — CAST(... AS DOUBLE) on BOTH legs"))
     return out
 
 
@@ -60,15 +58,20 @@ def selftest():
         "hugeint": "SELECT sum(a) AS s FROM t",                  # HUGEINT
         "wide_decimal": "SELECT sum(d) AS s FROM t",             # DECIMAL(38,2)
         "clean": "SELECT CAST(sum(a) AS BIGINT) AS s, "
-                 "CAST(sum(d) AS DECIMAL(18,2)) AS sd FROM t",
+                 "CAST(sum(d) AS DOUBLE) AS sd FROM t",
     }
     got = {n: offenses(con.execute(f"DESCRIBE ({q})").fetchall())
            for n, q in seeded.items()}
     assert got["hugeint"], "seeded HUGEINT example not flagged"
     assert got["wide_decimal"], "seeded DECIMAL(38,2) example not flagged"
     assert got["wide_decimal"][0][1].upper().startswith("DECIMAL(38"), got
+    narrow = offenses(con.execute(
+        "DESCRIBE (SELECT CAST(sum(d) AS DECIMAL(18,2)) AS sd FROM t)"
+    ).fetchall())
+    assert narrow, "seeded DECIMAL(18,2) example not flagged (r17 q56 class)"
     assert not got["clean"], f"clean example falsely flagged: {got['clean']}"
-    print("selftest OK: HUGEINT + DECIMAL(38,2) flagged, clean passes")
+    print("selftest OK: HUGEINT + DECIMAL(38,2) + DECIMAL(18,2) flagged, "
+          "clean passes")
 
 
 def main():
