@@ -151,25 +151,32 @@ object Engine {
   // parquet inputs. Safe because the engine's named base tables are
   // immutable testdata (every caller passes the driver's read-only sfDir);
   // weak session keys let dead sessions drop out.
+  // Bounded LRU, NOT a weak map: a DataFrame value strongly references its
+  // SparkSession, so weak session keys could never be collected through
+  // this cache (value→key chain) — and scheduledTick clones sessions, so an
+  // unbounded map would pin every clone's sessionState for the JVM's life.
+  // 256 entries bounds retention at ~25 sessions × 10 tables; eviction just
+  // re-pays one metadata read.
   private val tableFrames =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession,
-        java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](
+      64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
+        size() > 256
+    }
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     configure(spark)
-    val per = tableFrames.synchronized {
-      var m = tableFrames.get(spark)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-        tableFrames.put(spark, m)
+    val key = (spark, s"$sfDir/$name")
+    tableFrames.synchronized(Option(tableFrames.get(key))).getOrElse {
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      val df = if (name == "events") normalizeEventTs(raw) else raw
+      tableFrames.synchronized {
+        Option(tableFrames.get(key)).getOrElse { // lost race: keep the first
+          tableFrames.put(key, df); df
+        }
       }
-      m
     }
-    per.computeIfAbsent(s"$sfDir/$name", _ => {
-      val df = spark.read.parquet(s"$sfDir/$name.parquet")
-      if (name == "events") normalizeEventTs(df) else df
-    })
   }
 
   /** Engine-wide `ts` type: session-zoned TIMESTAMP at µs precision,

@@ -55,6 +55,14 @@ object Exact {
     * 2dp-exact factors is within 1e-11 of the true 4dp product, so one
     * half-up at scale 4 reproduces the decimal multiply), without the
     * per-row BigDecimal multiply.
+    *
+    * Magnitude bound (ADVICE r17 — tighter than MoneyDecimal's own
+    * domain): the double product is only guaranteed s=4-quantized-exact
+    * while |a·b|·10^4 stays well under 2^53, i.e. |a·b| ≲ 4·10^11 —
+    * beyond that the product's ulp exceeds the 1e-4 rounding margin and
+    * half-up at scale 4 can disagree with the decimal multiply. TPC-H
+    * money magnitudes (≤ ~10^7 per row) sit 4+ orders inside the bound;
+    * MoneyDecimalSpec pins the equality on the testdata columns.
     */
   def dmul2(a: Column, b: Column): Column = MoneyDecimal(a * b, 27, 4)
 

@@ -200,8 +200,25 @@ object TpchQueries {
          |    AND l_quantity >= 20 AND l_quantity <= 40)""".stripMargin),
 
     // Q21 shape: suppliers whose line was the latest ship in a multi-supplier
-    // order (double correlated EXISTS / NOT EXISTS).
-    both("t21_waiting_supplier",
+    // order (double correlated EXISTS / NOT EXISTS). The Spark leg folds the
+    // two correlated subqueries into ONE per-order aggregate of lineitem
+    // (r18, guide §2.3/§2.4): both subqueries range over the same order's
+    // lines, so EXISTS(l2 with another supplier) ⟺ the order has ≥2
+    // distinct non-null suppliers ⟺ min(l_suppkey) <> max(l_suppkey) —
+    // spelled with min/max, not count(DISTINCT), so the aggregate is a
+    // single-pass codegen'd min/max instead of per-group hash sets (l1's
+    // supplier is one of them — a NULL-supplier l2 satisfies neither form,
+    // and a NULL-supplier l1 dies at the supplier join in both; all-NULL
+    // gives NULL <> NULL = NULL → filtered, matching EXISTS over no
+    // satisfiable row) — and NOT EXISTS(l3 shipped later) ⟺
+    // l1.l_shipdate IS NULL (a NULL comparison satisfies no l3 in the
+    // original) OR l1.l_shipdate = max(non-null shipdates of the order)
+    // (NULL l3 shipdates satisfy neither form). At scale this replaces the
+    // semi-join + anti-join probes — two more full shuffles of lineitem —
+    // with one per-order aggregate whose output is orders-sized, not
+    // lineitem-sized. The DuckDB oracle keeps the EXISTS text, so the
+    // equivalence is re-proved cell-by-cell on every oracle run.
+    q("t21_waiting_supplier",
       """SELECT s_name, count(*) AS numwait
         |FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
         |  JOIN orders ON o_orderkey = l1.l_orderkey
@@ -212,7 +229,21 @@ object TpchQueries {
         |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
         |    WHERE l3.l_orderkey = l1.l_orderkey
         |      AND l3.l_shipdate > l1.l_shipdate)
-        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 25""".stripMargin),
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 25""".stripMargin) { (spark, dir) =>
+      Engine.register(spark, dir)
+      spark.sql(
+        """WITH o_agg AS (
+          |  SELECT l_orderkey, max(l_shipdate) AS __max_ship,
+          |         min(l_suppkey) AS __mn_supp, max(l_suppkey) AS __mx_supp
+          |  FROM lineitem GROUP BY l_orderkey)
+          |SELECT s_name, count(*) AS numwait
+          |FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+          |  JOIN orders ON o_orderkey = l1.l_orderkey
+          |  JOIN o_agg a ON a.l_orderkey = l1.l_orderkey
+          |WHERE o_orderstatus = 'F' AND a.__mn_supp <> a.__mx_supp
+          |  AND (l1.l_shipdate IS NULL OR l1.l_shipdate = a.__max_ship)
+          |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 25""".stripMargin)
+    },
 
     // Q22 shape: high-balance customers with no orders, bucketed by a
     // name-derived code.
